@@ -1,0 +1,135 @@
+package graft.core
+
+import java.nio.ByteBuffer
+
+/**
+ * Chunk-level Gorilla codec: a (timestamp, value) point stream packed
+ * into one self-describing byte array.
+ *
+ * The stream interleaves one timestamp token and one value token per
+ * point, exactly like the reference's compound stream (reference:
+ * src/time_and_value_stream.rs:7-52). Unlike the reference — which
+ * keeps the point count and header time external to the bit vector —
+ * chunks here carry a fixed 17-byte header so they are self-describing
+ * (required once chunks live in a distributed column store):
+ *
+ *   [0]    magic 'G'
+ *   [1]    variant: 1 = shrinking-window XOR, 2 = lead/trail XOR
+ *   [2:6]  point count n          (big-endian int)
+ *   [6:14] header time (epoch s)  (big-endian long)
+ *   [14:18] payload bit length    (big-endian int)
+ *   [18:]  bit-packed payload, 64-bit big-endian words
+ */
+object GorillaCodec {
+  final val Magic: Byte = 'G'
+  final val VariantXor: Byte = 1
+  final val VariantLeadTrail: Byte = 2
+  private final val HeaderBytes = 18
+
+  /** Align a timestamp down to a `windowSec` boundary (Gorilla uses 2 h). */
+  def alignWindow(epochSec: Long, windowSec: Long): Long =
+    Math.floorDiv(epochSec, windowSec) * windowSec
+
+  /** Encode sorted timestamps + values into one chunk. */
+  def encode(ts: Array[Long], vs: Array[Double], headerTime: Long,
+             leadTrail: Boolean = false): Array[Byte] = {
+    require(ts.length == vs.length, s"ts/vs length mismatch: ${ts.length} vs ${vs.length}")
+    val w = new BitWriter(math.max(8, ts.length / 4))
+    val tEnc = new TimestampCodec.Encoder(headerTime, w)
+    val vEnc = new XorDoubleCodec.Encoder(w, leadTrail)
+    var i = 0
+    while (i < ts.length) { tEnc.push(ts(i)); vEnc.push(vs(i)); i += 1 }
+    pack(w, ts.length, headerTime, if (leadTrail) VariantLeadTrail else VariantXor)
+  }
+
+  /** Encode a value-only stream (timestamps implicit/elsewhere). */
+  def encodeValues(vs: Array[Double], leadTrail: Boolean = false): Array[Byte] = {
+    val w = new BitWriter(math.max(8, vs.length / 4))
+    val vEnc = new XorDoubleCodec.Encoder(w, leadTrail)
+    var i = 0
+    while (i < vs.length) { vEnc.push(vs(i)); i += 1 }
+    pack(w, vs.length, 0L, if (leadTrail) VariantLeadTrail else VariantXor)
+  }
+
+  private def pack(w: BitWriter, n: Int, headerTime: Long, variant: Byte): Array[Byte] = {
+    val words = w.toWords
+    val bb = ByteBuffer.allocate(HeaderBytes + words.length * 8)
+    bb.put(Magic).put(variant).putInt(n).putLong(headerTime).putInt(w.bitLength.toInt)
+    var i = 0
+    while (i < words.length) { bb.putLong(words(i)); i += 1 }
+    bb.array()
+  }
+
+  final case class Header(variant: Byte, n: Int, headerTime: Long, bitLength: Int)
+
+  def readHeader(bytes: Array[Byte]): Header = {
+    require(bytes.length >= HeaderBytes && bytes(0) == Magic, "not a graft gorilla chunk")
+    val bb = ByteBuffer.wrap(bytes)
+    bb.get()
+    Header(bb.get(), bb.getInt(), bb.getLong(), bb.getInt())
+  }
+
+  /** O(1): point count from the chunk header alone. */
+  def numPoints(bytes: Array[Byte]): Int = readHeader(bytes).n
+
+  private def reader(bytes: Array[Byte], h: Header): BitReader = {
+    val bb = ByteBuffer.wrap(bytes, HeaderBytes, bytes.length - HeaderBytes)
+    val words = new Array[Long]((bytes.length - HeaderBytes) / 8)
+    var i = 0
+    while (i < words.length) { words(i) = bb.getLong(); i += 1 }
+    new BitReader(words, h.bitLength.toLong)
+  }
+
+  /** Decode a full chunk back to parallel (timestamps, values) arrays. */
+  def decode(bytes: Array[Byte]): (Array[Long], Array[Double]) = {
+    val h = readHeader(bytes)
+    val r = reader(bytes, h)
+    val lt = h.variant == VariantLeadTrail
+    val tDec = new TimestampCodec.Decoder(h.headerTime, r)
+    val vDec = new XorDoubleCodec.Decoder(r, lt)
+    val ts = new Array[Long](h.n)
+    val vs = new Array[Double](h.n)
+    var i = 0
+    while (i < h.n) { ts(i) = tDec.next(); vs(i) = vDec.next(); i += 1 }
+    (ts, vs)
+  }
+
+  /** Decode a value-only chunk. */
+  def decodeValues(bytes: Array[Byte]): Array[Double] = {
+    val h = readHeader(bytes)
+    val r = reader(bytes, h)
+    val vDec = new XorDoubleCodec.Decoder(r, h.variant == VariantLeadTrail)
+    val vs = new Array[Double](h.n)
+    var i = 0
+    while (i < h.n) { vs(i) = vDec.next(); i += 1 }
+    vs
+  }
+
+  /** Streaming aggregate over one compressed chunk — no array
+    * materialization (the csv_to_packed example's query mode,
+    * reference: examples/csv_to_packed.rs:40-78). */
+  final case class ChunkAgg(n: Long, minTs: Long, maxTs: Long,
+                            minV: Double, maxV: Double, sumV: Double)
+
+  def aggregate(bytes: Array[Byte]): ChunkAgg = {
+    val h = readHeader(bytes)
+    val r = reader(bytes, h)
+    val lt = h.variant == VariantLeadTrail
+    val tDec = new TimestampCodec.Decoder(h.headerTime, r)
+    val vDec = new XorDoubleCodec.Decoder(r, lt)
+    var i = 0
+    var minTs = Long.MaxValue; var maxTs = Long.MinValue
+    var minV = Double.PositiveInfinity; var maxV = Double.NegativeInfinity
+    var sum = 0.0
+    while (i < h.n) {
+      val t = tDec.next(); val v = vDec.next()
+      if (t < minTs) minTs = t
+      if (t > maxTs) maxTs = t
+      if (v < minV) minV = v
+      if (v > maxV) maxV = v
+      sum += v
+      i += 1
+    }
+    ChunkAgg(h.n.toLong, minTs, maxTs, minV, maxV, sum)
+  }
+}
