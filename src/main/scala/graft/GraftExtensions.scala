@@ -1,0 +1,16 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+
+/**
+ * Session extension installing all graft SQL functions, for use with
+ * `--conf spark.sql.extensions=graft.GraftExtensions` on a cluster.
+ * (In-process callers can use `graft.functions.registerAll` instead.)
+ */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    functions.all.foreach { case (name, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), functions.expressionInfo(name), builder))
+    }
+}

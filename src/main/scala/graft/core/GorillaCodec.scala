@@ -14,7 +14,9 @@ import java.nio.ByteBuffer
  * (required once chunks live in a distributed column store):
  *
  *   [0]    magic 'G'
- *   [1]    variant: 1 = shrinking-window XOR, 2 = lead/trail XOR
+ *   [1]    flags: bits 0-1 variant (1 = shrinking-window XOR,
+ *          2 = lead/trail XOR); bit 2 set = value-only stream
+ *          (no interleaved timestamp tokens)
  *   [2:6]  point count n          (big-endian int)
  *   [6:14] header time (epoch s)  (big-endian long)
  *   [14:18] payload bit length    (big-endian int)
@@ -24,6 +26,7 @@ object GorillaCodec {
   final val Magic: Byte = 'G'
   final val VariantXor: Byte = 1
   final val VariantLeadTrail: Byte = 2
+  final val FlagValueOnly: Byte = 4
   private final val HeaderBytes = 18
 
   /** Align a timestamp down to a `windowSec` boundary (Gorilla uses 2 h). */
@@ -48,7 +51,8 @@ object GorillaCodec {
     val vEnc = new XorDoubleCodec.Encoder(w, leadTrail)
     var i = 0
     while (i < vs.length) { vEnc.push(vs(i)); i += 1 }
-    pack(w, vs.length, 0L, if (leadTrail) VariantLeadTrail else VariantXor)
+    val flags = (if (leadTrail) VariantLeadTrail else VariantXor) | FlagValueOnly
+    pack(w, vs.length, 0L, flags.toByte)
   }
 
   private def pack(w: BitWriter, n: Int, headerTime: Long, variant: Byte): Array[Byte] = {
@@ -60,7 +64,10 @@ object GorillaCodec {
     bb.array()
   }
 
-  final case class Header(variant: Byte, n: Int, headerTime: Long, bitLength: Int)
+  final case class Header(flags: Byte, n: Int, headerTime: Long, bitLength: Int) {
+    def variant: Byte = (flags & 0x3).toByte
+    def valueOnly: Boolean = (flags & FlagValueOnly) != 0
+  }
 
   def readHeader(bytes: Array[Byte]): Header = {
     require(bytes.length >= HeaderBytes && bytes(0) == Magic, "not a graft gorilla chunk")
@@ -83,6 +90,7 @@ object GorillaCodec {
   /** Decode a full chunk back to parallel (timestamps, values) arrays. */
   def decode(bytes: Array[Byte]): (Array[Long], Array[Double]) = {
     val h = readHeader(bytes)
+    require(!h.valueOnly, "value-only chunk has no timestamps; use decodeValues")
     val r = reader(bytes, h)
     val lt = h.variant == VariantLeadTrail
     val tDec = new TimestampCodec.Decoder(h.headerTime, r)
@@ -94,9 +102,11 @@ object GorillaCodec {
     (ts, vs)
   }
 
-  /** Decode a value-only chunk. */
+  /** Decode just the values — directly for value-only chunks, skipping
+    * interleaved timestamp tokens otherwise. */
   def decodeValues(bytes: Array[Byte]): Array[Double] = {
     val h = readHeader(bytes)
+    if (!h.valueOnly) return decode(bytes)._2
     val r = reader(bytes, h)
     val vDec = new XorDoubleCodec.Decoder(r, h.variant == VariantLeadTrail)
     val vs = new Array[Double](h.n)
@@ -115,21 +125,25 @@ object GorillaCodec {
     val h = readHeader(bytes)
     val r = reader(bytes, h)
     val lt = h.variant == VariantLeadTrail
-    val tDec = new TimestampCodec.Decoder(h.headerTime, r)
+    val tDec = if (h.valueOnly) null else new TimestampCodec.Decoder(h.headerTime, r)
     val vDec = new XorDoubleCodec.Decoder(r, lt)
     var i = 0
     var minTs = Long.MaxValue; var maxTs = Long.MinValue
     var minV = Double.PositiveInfinity; var maxV = Double.NegativeInfinity
     var sum = 0.0
     while (i < h.n) {
-      val t = tDec.next(); val v = vDec.next()
-      if (t < minTs) minTs = t
-      if (t > maxTs) maxTs = t
+      if (tDec != null) {
+        val t = tDec.next()
+        if (t < minTs) minTs = t
+        if (t > maxTs) maxTs = t
+      }
+      val v = vDec.next()
       if (v < minV) minV = v
       if (v > maxV) maxV = v
       sum += v
       i += 1
     }
+    if (tDec == null) { minTs = 0L; maxTs = 0L }
     ChunkAgg(h.n.toLong, minTs, maxTs, minV, maxV, sum)
   }
 }

@@ -1,0 +1,62 @@
+package graft.functions
+
+import graft.core.GorillaCodec
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+
+/**
+ * Runtime bridge between Catalyst internal types and [[graft.core.GorillaCodec]].
+ *
+ * Methods here are called from generated code (whole-stage codegen), so
+ * they must be static-forwardable (plain object methods) and operate on
+ * Spark internal representations directly — no Row/Encoder round-trips.
+ */
+object GorillaSql {
+
+  /** points: array<struct<ts: long, v: double>> (pre-sorted by ts). */
+  def encode(points: ArrayData, headerTime: Long, leadTrail: Boolean): Array[Byte] = {
+    val n = points.numElements()
+    val ts = new Array[Long](n)
+    val vs = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val row = points.getStruct(i, 2)
+      ts(i) = row.getLong(0)
+      vs(i) = row.getDouble(1)
+      i += 1
+    }
+    GorillaCodec.encode(ts, vs, headerTime, leadTrail)
+  }
+
+  def encodeValues(values: ArrayData, leadTrail: Boolean): Array[Byte] =
+    GorillaCodec.encodeValues(values.toDoubleArray(), leadTrail)
+
+  def decode(bytes: Array[Byte]): ArrayData = {
+    val (ts, vs) = GorillaCodec.decode(bytes)
+    val rows = new Array[Any](ts.length)
+    var i = 0
+    while (i < ts.length) {
+      rows(i) = new GenericInternalRow(Array[Any](ts(i), vs(i)))
+      i += 1
+    }
+    new GenericArrayData(rows)
+  }
+
+  def decodeValues(bytes: Array[Byte]): ArrayData =
+    UnsafeArrayData.fromPrimitiveArray(GorillaCodec.decodeValues(bytes))
+
+  def decodeTimestamps(bytes: Array[Byte]): ArrayData = {
+    val (ts, _) = GorillaCodec.decode(bytes)
+    UnsafeArrayData.fromPrimitiveArray(ts)
+  }
+
+  /** struct<n: long, min_ts: long, max_ts: long, min_v: double, max_v: double, sum_v: double> */
+  def chunkAgg(bytes: Array[Byte]): InternalRow = {
+    val a = GorillaCodec.aggregate(bytes)
+    new GenericInternalRow(Array[Any](a.n, a.minTs, a.maxTs, a.minV, a.maxV, a.sumV))
+  }
+
+  def numPoints(bytes: Array[Byte]): Int = GorillaCodec.numPoints(bytes)
+}

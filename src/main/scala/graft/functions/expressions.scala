@@ -1,0 +1,134 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+
+/**
+ * Native Catalyst expressions for the Gorilla codec. All implement
+ * `doGenCode` by invoking [[GorillaSql]] static forwarders, so they stay
+ * inside whole-stage codegen (no UDF/serialization overhead) while the
+ * bit-twiddling lives in plain JVM code.
+ */
+object GorillaExprs {
+  val pointType: StructType =
+    StructType(Seq(StructField("ts", LongType, nullable = false),
+                   StructField("v", DoubleType, nullable = false)))
+  val pointArrayType: ArrayType = ArrayType(pointType, containsNull = false)
+  val aggType: StructType = StructType(Seq(
+    StructField("n", LongType, nullable = false),
+    StructField("min_ts", LongType, nullable = false),
+    StructField("max_ts", LongType, nullable = false),
+    StructField("min_v", DoubleType, nullable = false),
+    StructField("max_v", DoubleType, nullable = false),
+    StructField("sum_v", DoubleType, nullable = false)))
+
+  /** AbstractDataType is private[sql] in Spark 4, so graft expressions
+    * type-check inputs explicitly instead of via ExpectsInputTypes. */
+  def expect(e: Expression, expected: DataType, pos: String): TypeCheckResult =
+    if (DataType.equalsIgnoreCaseAndNullability(e.dataType, expected)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$pos must be ${expected.simpleString}, got ${e.dataType.simpleString}")
+}
+
+/** gorilla_encode(points array<struct<ts,v>>, header_time long) -> binary */
+case class GorillaEncode(points: Expression, headerTime: Expression, leadTrail: Boolean)
+    extends BinaryExpression {
+  override def left: Expression = points
+  override def right: Expression = headerTime
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val r = GorillaExprs.expect(points, GorillaExprs.pointArrayType, s"$prettyName arg 1")
+    if (r.isFailure) r else GorillaExprs.expect(headerTime, LongType, s"$prettyName arg 2")
+  }
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = if (leadTrail) "gorilla_encode_lt" else "gorilla_encode"
+
+  protected override def nullSafeEval(pts: Any, ht: Any): Any =
+    GorillaSql.encode(pts.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      ht.asInstanceOf[Long], leadTrail)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (p, h) => s"graft.functions.GorillaSql.encode($p, $h, $leadTrail)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(points = l, headerTime = r)
+}
+
+/** gorilla_encode_values(values array<double>) -> binary */
+case class GorillaEncodeValues(child: Expression, leadTrail: Boolean)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GorillaExprs.expect(child, ArrayType(DoubleType), s"$prettyName arg 1")
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "gorilla_encode_values"
+
+  protected override def nullSafeEval(vs: Any): Any =
+    GorillaSql.encodeValues(vs.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], leadTrail)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"graft.functions.GorillaSql.encodeValues($v, $leadTrail)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+abstract class GorillaDecodeBase extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GorillaExprs.expect(child, BinaryType, s"$prettyName arg 1")
+  override def nullIntolerant: Boolean = true
+  protected def method: String
+
+  protected override def nullSafeEval(bytes: Any): Any = evalBytes(bytes.asInstanceOf[Array[Byte]])
+  protected def evalBytes(bytes: Array[Byte]): Any
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, b => s"graft.functions.GorillaSql.$method($b)")
+}
+
+/** gorilla_decode(binary) -> array<struct<ts: long, v: double>> */
+case class GorillaDecode(child: Expression) extends GorillaDecodeBase {
+  override def dataType: DataType = GorillaExprs.pointArrayType
+  override def prettyName: String = "gorilla_decode"
+  protected def method: String = "decode"
+  protected def evalBytes(bytes: Array[Byte]): Any = GorillaSql.decode(bytes)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** gorilla_decode_values(binary) -> array<double> */
+case class GorillaDecodeValues(child: Expression) extends GorillaDecodeBase {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "gorilla_decode_values"
+  protected def method: String = "decodeValues"
+  protected def evalBytes(bytes: Array[Byte]): Any = GorillaSql.decodeValues(bytes)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** gorilla_decode_ts(binary) -> array<long> */
+case class GorillaDecodeTimestamps(child: Expression) extends GorillaDecodeBase {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "gorilla_decode_ts"
+  protected def method: String = "decodeTimestamps"
+  protected def evalBytes(bytes: Array[Byte]): Any = GorillaSql.decodeTimestamps(bytes)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** gorilla_chunk_agg(binary) -> struct<n,min_ts,max_ts,min_v,max_v,sum_v>
+  * Aggregates by streaming the decoder — never materializes point arrays. */
+case class GorillaChunkAgg(child: Expression) extends GorillaDecodeBase {
+  override def dataType: DataType = GorillaExprs.aggType
+  override def prettyName: String = "gorilla_chunk_agg"
+  protected def method: String = "chunkAgg"
+  protected def evalBytes(bytes: Array[Byte]): Any = GorillaSql.chunkAgg(bytes)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** gorilla_num_points(binary) -> int — O(1), header-only read. */
+case class GorillaNumPoints(child: Expression) extends GorillaDecodeBase {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "gorilla_num_points"
+  protected def method: String = "numPoints"
+  protected def evalBytes(bytes: Array[Byte]): Any = GorillaSql.numPoints(bytes)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.{Column, SparkSession}
+
+/**
+ * Public function surface of the graft engine.
+ *
+ * Call [[functions.registerAll]] once per session (or install
+ * [[GraftExtensions]] via `spark.sql.extensions`); the `Column`
+ * wrappers below then resolve through the session's FunctionRegistry,
+ * so they work identically from Scala and SQL text.
+ */
+package object functions {
+
+  import graft.functions.{GorillaChunkAgg, GorillaDecode, GorillaDecodeTimestamps,
+    GorillaDecodeValues, GorillaEncode, GorillaEncodeValues, GorillaNumPoints}
+
+  type Builder = Seq[Expression] => Expression
+
+  /** (name, expression builder) for every graft SQL function. */
+  val all: Seq[(String, Builder)] = Seq(
+    "gorilla_encode" -> (es => GorillaEncode(es(0), es(1), leadTrail = false)),
+    "gorilla_encode_lt" -> (es => GorillaEncode(es(0), es(1), leadTrail = true)),
+    "gorilla_encode_values" -> (es => GorillaEncodeValues(es(0), leadTrail = false)),
+    "gorilla_decode" -> (es => GorillaDecode(es(0))),
+    "gorilla_decode_values" -> (es => GorillaDecodeValues(es(0))),
+    "gorilla_decode_ts" -> (es => GorillaDecodeTimestamps(es(0))),
+    "gorilla_chunk_agg" -> (es => GorillaChunkAgg(es(0))),
+    "gorilla_num_points" -> (es => GorillaNumPoints(es(0))),
+  )
+
+  def expressionInfo(name: String): ExpressionInfo =
+    new ExpressionInfo("graft.functions", name)
+
+  /** Register all graft functions with an existing session. Idempotent. */
+  def registerAll(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    all.foreach { case (name, builder) =>
+      registry.registerFunction(FunctionIdentifier(name), expressionInfo(name), builder)
+    }
+  }
+
+  // ---- typed Column API ----
+  def gorilla_encode(points: Column, headerTime: Column): Column =
+    call_function("gorilla_encode", points, headerTime)
+  def gorilla_encode_lt(points: Column, headerTime: Column): Column =
+    call_function("gorilla_encode_lt", points, headerTime)
+  def gorilla_encode_values(values: Column): Column =
+    call_function("gorilla_encode_values", values)
+  def gorilla_decode(chunk: Column): Column = call_function("gorilla_decode", chunk)
+  def gorilla_decode_values(chunk: Column): Column = call_function("gorilla_decode_values", chunk)
+  def gorilla_decode_ts(chunk: Column): Column = call_function("gorilla_decode_ts", chunk)
+  def gorilla_chunk_agg(chunk: Column): Column = call_function("gorilla_chunk_agg", chunk)
+  def gorilla_num_points(chunk: Column): Column = call_function("gorilla_num_points", chunk)
+}

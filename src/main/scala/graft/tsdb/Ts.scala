@@ -1,0 +1,91 @@
+package graft.tsdb
+
+import graft.functions.{gorilla_decode, gorilla_encode, gorilla_encode_lt}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * The TSDB layer: Gorilla-compressed 2-hour chunks over DataFrames.
+ *
+ * Mirrors the reference's storage model — a stream per (series, 2-hour
+ * block) (reference: src/timestamp_stream.rs:1-9, examples/
+ * csv_to_packed.rs:20-23) — but re-expressed as a declarative Spark
+ * pipeline: chunking is a groupBy over (series, window), queries prune
+ * chunks by window/stat columns *before* any decode work, and all
+ * post-decode shaping stays in Catalyst-optimized DataFrame ops.
+ *
+ * Scale notes: a chunk is bounded (≤ windowSec points at 1 Hz), so the
+ * per-group collect_list is bounded memory; chunk tables partitioned by
+ * `window_date` give partition pruning at 100 TB; per-chunk min/max
+ * stats columns give parquet row-group pruning without decoding.
+ */
+object Ts {
+  val WindowSec = 7200L
+
+  /** Truncate a timestamp column to epoch seconds (floor).
+    * Handles TimestampType and raw epoch-nano longs (Spark reads
+    * parquet TIMESTAMP(NANOS) as LongType under
+    * `spark.sql.legacy.parquet.nanosAsLong=true`). Integer division
+    * throughout — nano epochs exceed 2^53, so double math would drift. */
+  def epochSec(df: DataFrame, tsCol: String): Column = df.schema(tsCol).dataType match {
+    case org.apache.spark.sql.types.LongType => expr(s"$tsCol div 1000000000")
+    case _ => col(tsCol).cast("long")
+  }
+
+  /**
+   * Compress raw points into one row per (series, window): columns
+   * `seriesCols*, window_start, n, min_ts, max_ts, min_v, max_v, chunk`.
+   */
+  def chunkify(events: DataFrame, seriesCols: Seq[String], tsCol: String, valCol: String,
+               windowSec: Long = WindowSec, leadTrail: Boolean = false): DataFrame = {
+    val sec = epochSec(events, tsCol).as("__sec")
+    val enc: (Column, Column) => Column = if (leadTrail) gorilla_encode_lt else gorilla_encode
+    val base = events.select(seriesCols.map(col) :+ sec :+ col(valCol).cast("double").as("__v"): _*)
+      .withColumn("window_start", (floor(col("__sec") / windowSec) * windowSec).cast("long"))
+    base.groupBy(seriesCols.map(col) :+ col("window_start"): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        min("__sec").as("min_ts"), max("__sec").as("max_ts"),
+        min("__v").as("min_v"), max("__v").as("max_v"),
+        enc(sort_array(collect_list(struct(col("__sec").as("ts"), col("__v").as("v")))),
+            col("window_start")).as("chunk"))
+  }
+
+  /** Decode chunks back to one row per point: `seriesCols*, ts, v`. */
+  def unpack(chunks: DataFrame, seriesCols: Seq[String]): DataFrame =
+    chunks
+      .select(seriesCols.map(col) :+ explode(gorilla_decode(col("chunk"))).as("__p"): _*)
+      .select(seriesCols.map(col) :+ col("__p.ts").as("ts") :+ col("__p.v").as("v"): _*)
+
+  /**
+   * Time-range scan. Chunk pruning happens on (window_start, min_ts,
+   * max_ts) — plain comparisons Catalyst pushes to the parquet scan —
+   * so only overlapping chunks are decoded; the residual per-point
+   * filter runs after decode.
+   */
+  def rangeQuery(chunks: DataFrame, seriesCols: Seq[String],
+                 fromSec: Long, toSec: Long): DataFrame = {
+    val pruned = chunks.filter(col("max_ts") >= fromSec && col("min_ts") <= toSec)
+    unpack(pruned, seriesCols).filter(col("ts") >= fromSec && col("ts") <= toSec)
+  }
+
+  /** Latest point per series (arg-max via ordered struct max — one shuffle). */
+  def latest(chunks: DataFrame, seriesCols: Seq[String]): DataFrame = {
+    // prune to each series' newest chunk first: only those can hold the max
+    val newest = chunks.groupBy(seriesCols.map(col): _*)
+      .agg(max("window_start").as("window_start"))
+    val lastChunks = chunks.join(newest, seriesCols :+ "window_start", "left_semi")
+    unpack(lastChunks, seriesCols)
+      .groupBy(seriesCols.map(col): _*)
+      .agg(max(struct(col("ts"), col("v"))).as("__m"))
+      .select(seriesCols.map(col) :+ col("__m.ts").as("ts") :+ col("__m.v").as("v"): _*)
+  }
+
+  /** Downsample decoded points into `bucketSec` buckets per series. */
+  def downsample(points: DataFrame, seriesCols: Seq[String], bucketSec: Long): DataFrame =
+    points
+      .withColumn("bucket", (floor(col("ts") / bucketSec) * bucketSec).cast("long"))
+      .groupBy(seriesCols.map(col) :+ col("bucket"): _*)
+      .agg(count(lit(1)).as("n"), min("v").as("min_v"), max("v").as("max_v"),
+        sum("v").as("sum_v"), avg("v").as("avg_v"))
+}
