@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.tsdb.Ts
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -34,7 +35,95 @@ object TsQueries {
       |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Decoded points straight off the compressed chunk store. */
+  def points(s: SparkSession, dir: String): DataFrame =
+    Ts.unpack(chunks(s, dir), series)
+
+  /** The oracle's view of the same points, bypassing the codec. */
+  private val ptsSql =
+    """pts AS (SELECT user_id, event_type,
+      |  CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS ts, value AS v FROM events)""".stripMargin
+
+  // fixed query window: 2024-01-10T00:00Z .. 2024-01-12T00:00Z
+  private val RangeFrom = 1704844800L
+  private val RangeTo = 1705017600L
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // time-range scan: chunk pruning on stats columns before any decode
+    "ts_range_query" -> ((s, dir) =>
+      Ts.rangeQuery(chunks(s, dir), series, RangeFrom, RangeTo)
+        .orderBy("user_id", "event_type", "ts", "v")),
+    // newest point per series, decoding only each series' newest chunk
+    "ts_latest" -> ((s, dir) =>
+      Ts.latest(chunks(s, dir), series).orderBy("user_id", "event_type")),
+    // 15-min resample; avg derived from exact integer cents
+    "ts_downsample" -> ((s, dir) =>
+      points(s, dir)
+        .withColumn("cents", round(col("v") * 100).cast("long"))
+        .groupBy(col("user_id"), col("event_type"),
+          ((col("ts") / 900).cast("long") * 900).as("bucket"))
+        .agg(count(lit(1)).as("n"), min("v").as("min_v"), max("v").as("max_v"),
+          sum("cents").as("sum_cents"))
+        .withColumn("avg_v", col("sum_cents") / (col("n") * 100.0))
+        .orderBy("user_id", "event_type", "bucket")),
+    // counter rate between consecutive points of a series
+    "ts_rate" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id", "event_type").orderBy("ts", "v")
+      points(s, dir)
+        .withColumn("prev_ts", lag("ts", 1).over(w))
+        .withColumn("prev_v", lag("v", 1).over(w))
+        .filter(col("prev_ts").isNotNull)
+        .withColumn("dt", col("ts") - col("prev_ts"))
+        .withColumn("rate", (col("v") - col("prev_v")) / nullif(col("dt"), lit(0)))
+        .select("user_id", "event_type", "ts", "v", "prev_ts", "dt", "rate")
+        .orderBy("user_id", "event_type", "ts", "v")
+    }),
+    // k-point moving average (frame: 3 preceding + current), exact via cents
+    "ts_moving_avg" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id", "event_type").orderBy("ts", "v")
+        .rowsBetween(-3, Window.currentRow)
+      points(s, dir)
+        .withColumn("cents", round(col("v") * 100).cast("long"))
+        .withColumn("mov_n", count(lit(1)).over(w))
+        .withColumn("mov_avg", sum("cents").over(w) / (col("mov_n") * 100.0))
+        .select("user_id", "event_type", "ts", "v", "mov_n", "mov_avg")
+        .orderBy("user_id", "event_type", "ts", "v")
+    }),
+    // as-of join: each purchase -> latest click at-or-before it, one
+    // shuffle via union + running max (no per-row subqueries)
+    "ts_asof_join" -> ((s, dir) => {
+      val pts = points(s, dir)
+      val clicks = pts.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), lit(0).as("kind"), col("v"))
+      val purchases = pts.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), lit(1).as("kind"), col("v"))
+      // kind orders clicks before purchases at equal ts => '<=' semantics
+      val w = Window.partitionBy("user_id").orderBy("ts", "kind")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      clicks.unionAll(purchases)
+        .withColumn("click_ts", max(when(col("kind") === 0, col("ts"))).over(w))
+        .filter(col("kind") === 1)
+        .select(col("user_id"), col("ts").as("purchase_ts"), col("v"), col("click_ts"))
+        .orderBy("user_id", "purchase_ts", "v")
+    }),
+    // hourly gap-fill with carry-forward of the last bucket max
+    "ts_gapfill" -> ((s, dir) => {
+      val hourly = points(s, dir)
+        .groupBy(col("user_id"), col("event_type"),
+          ((col("ts") / 3600).cast("long") * 3600).as("bucket"))
+        .agg(count(lit(1)).as("n"), max("v").as("max_v"))
+      val grid = hourly.groupBy("user_id", "event_type")
+        .agg(min("bucket").as("b0"), max("bucket").as("b1"))
+        .select(col("user_id"), col("event_type"),
+          explode(sequence(col("b0"), col("b1"), lit(3600L))).as("bucket"))
+      val w = Window.partitionBy("user_id", "event_type").orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(hourly, Seq("user_id", "event_type", "bucket"), "left")
+        .withColumn("n", coalesce(col("n"), lit(0L)))
+        .withColumn("v_filled", last("max_v", ignoreNulls = true).over(w))
+        .select("user_id", "event_type", "bucket", "n", "v_filled")
+        .orderBy("user_id", "event_type", "bucket")
+    }),
     // encode -> decode -> aggregate: proves bit-exact roundtrip at scale
     "ts_roundtrip_agg" -> ((s, dir) => aggExact(Ts.unpack(chunks(s, dir), series))),
     "ts_roundtrip_leadtrail" -> ((s, dir) =>
@@ -64,6 +153,57 @@ object TsQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "ts_range_query" -> s"""WITH $ptsSql
+      |SELECT user_id, event_type, ts, v FROM pts
+      |WHERE ts >= $RangeFrom AND ts <= $RangeTo
+      |ORDER BY user_id, event_type, ts, v""".stripMargin,
+    "ts_latest" -> s"""WITH $ptsSql
+      |SELECT user_id, event_type, ts, v FROM (
+      |  SELECT user_id, event_type, ts, v,
+      |    row_number() OVER (PARTITION BY user_id, event_type
+      |                       ORDER BY ts DESC, v DESC) AS rn
+      |  FROM pts) WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+    "ts_downsample" -> s"""WITH $ptsSql
+      |SELECT user_id, event_type, (ts // 900) * 900 AS bucket,
+      |  count(*) AS n, min(v) AS min_v, max(v) AS max_v,
+      |  CAST(sum(CAST(round(v * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+      |  CAST(sum(CAST(round(v * 100) AS BIGINT)) AS BIGINT) / (count(*) * 100.0) AS avg_v
+      |FROM pts GROUP BY 1, 2, 3 ORDER BY user_id, event_type, bucket""".stripMargin,
+    "ts_rate" -> s"""WITH $ptsSql
+      |SELECT * FROM (
+      |  SELECT user_id, event_type, ts, v,
+      |    lag(ts) OVER w AS prev_ts,
+      |    ts - lag(ts) OVER w AS dt,
+      |    (v - lag(v) OVER w) / nullif(ts - lag(ts) OVER w, 0) AS rate
+      |  FROM pts WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, v))
+      |WHERE prev_ts IS NOT NULL ORDER BY user_id, event_type, ts, v""".stripMargin,
+    "ts_moving_avg" -> s"""WITH $ptsSql
+      |SELECT user_id, event_type, ts, v,
+      |  count(*) OVER w AS mov_n,
+      |  sum(CAST(round(v * 100) AS BIGINT)) OVER w / (count(*) OVER w * 100.0) AS mov_avg
+      |FROM pts WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, v
+      |                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, event_type, ts, v""".stripMargin,
+    "ts_asof_join" -> s"""WITH $ptsSql,
+      |p AS (SELECT user_id, ts, v FROM pts WHERE event_type = 'purchase'),
+      |c AS (SELECT user_id, ts FROM pts WHERE event_type = 'click')
+      |SELECT p.user_id, p.ts AS purchase_ts, p.v, c.ts AS click_ts
+      |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts
+      |ORDER BY p.user_id, purchase_ts, p.v""".stripMargin,
+    "ts_gapfill" -> s"""WITH $ptsSql,
+      |agg AS (SELECT user_id, event_type, (ts // 3600) * 3600 AS bucket,
+      |          count(*) AS n, max(v) AS max_v
+      |        FROM pts GROUP BY 1, 2, 3),
+      |grid AS (SELECT user_id, event_type,
+      |           unnest(generate_series(min(bucket), max(bucket), 3600)) AS bucket
+      |         FROM agg GROUP BY user_id, event_type)
+      |SELECT g.user_id, g.event_type, g.bucket, coalesce(a.n, 0) AS n,
+      |  last_value(a.max_v IGNORE NULLS) OVER (
+      |    PARTITION BY g.user_id, g.event_type ORDER BY g.bucket
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+      |FROM grid g LEFT JOIN agg a
+      |  ON g.user_id = a.user_id AND g.event_type = a.event_type AND g.bucket = a.bucket
+      |ORDER BY g.user_id, g.event_type, g.bucket""".stripMargin,
     "ts_roundtrip_agg" -> aggExactSql,
     "ts_roundtrip_leadtrail" -> aggExactSql,
     "ts_roundtrip_points" ->
