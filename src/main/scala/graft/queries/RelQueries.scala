@@ -1,0 +1,174 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Relational/analytical layer over the TPC-H-ish tables — the query
+ * language of the engine (scan → filter → join → aggregate → window →
+ * pivot), all declarative so Catalyst pushes filters/prunes columns and
+ * AQE picks join strategies; dimension tables broadcast automatically.
+ *
+ * Money math is done on exact integer grids (cents, discount/tax in
+ * whole percent) so results hash-match DuckDB bit-for-bit; averages are
+ * derived from the exact integers by a single deterministic division.
+ */
+object RelQueries {
+
+  private def cents(c: org.apache.spark.sql.Column) = round(c * 100).cast("long")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1: pricing summary report (map-side partial aggregation)
+    "q1_agg" -> ((s, dir) => {
+      val l = Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= to_timestamp(lit("2000-09-02 00:00:00")))
+        .withColumn("price_c", cents(col("l_extendedprice")))
+        .withColumn("disc_p", cents(col("l_discount")))
+        .withColumn("tax_p", cents(col("l_tax")))
+      l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          sum(col("price_c")).as("sum_base_c"),
+          sum(col("price_c") * (lit(100) - col("disc_p"))).as("sum_disc_e4"),
+          sum(col("price_c") * (lit(100) - col("disc_p")) * (lit(100) + col("tax_p")))
+            .as("sum_charge_e6"),
+          count(lit(1)).as("n"))
+        .withColumn("avg_qty", col("sum_qty") / col("n"))
+        .withColumn("avg_price", col("sum_base_c") / (col("n") * 100.0))
+        .withColumn("avg_disc", col("sum_disc_e4") / col("sum_base_c") / 100.0)
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+    // TPC-H Q3: top-10 unshipped-revenue orders for one segment
+    "q3_topk" -> ((s, dir) => {
+      val c = Tables(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables(s, dir, "orders")
+        .filter(col("o_orderdate") < to_timestamp(lit("1997-06-01 00:00:00")))
+      val l = Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate") > to_timestamp(lit("1997-06-01 00:00:00")))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+          col("o_orderpriority"))
+        .agg(sum(cents(col("l_extendedprice")) * (lit(100) - cents(col("l_discount"))))
+          .as("revenue_e4"))
+        .orderBy(col("revenue_e4").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+    // TPC-H Q5: revenue by nation for one region, local suppliers only
+    "q5_join" -> ((s, dir) => {
+      val r = Tables(s, dir, "region").filter(col("r_name") === "ASIA")
+      val n = Tables(s, dir, "nation")
+      val c = Tables(s, dir, "customer")
+      val o = Tables(s, dir, "orders")
+      val l = Tables(s, dir, "lineitem")
+      val sup = Tables(s, dir, "supplier")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(n, col("s_nationkey") === col("n_nationkey"))
+        .join(r, col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(sum(cents(col("l_extendedprice")) * (lit(100) - cents(col("l_discount"))))
+          .as("revenue_e4"))
+        .orderBy(col("revenue_e4").desc, col("n_name"))
+    }),
+    // TPC-H Q6: forecast revenue change (tight filter, pushdown-friendly)
+    "q6_filter" -> ((s, dir) =>
+      Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+          col("l_shipdate") < to_timestamp(lit("1997-01-01 00:00:00")) &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(sum(cents(col("l_extendedprice")) * cents(col("l_discount")))
+          .as("revenue_e4"), count(lit(1)).as("n"))),
+    // window rank: top-2 orders per customer by value
+    "q_window" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables(s, dir, "orders")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 2)
+        .select(col("o_custkey"), col("rk"), col("o_orderkey"),
+          cents(col("o_totalprice")).as("total_c"))
+        .orderBy("o_custkey", "rk")
+    }),
+    // dynamic-column pivot: events per user by type
+    "q_events_pivot" -> ((s, dir) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      Tables(s, dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("user_id")
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """WITH l AS (
+        |  SELECT *, CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+        |    CAST(round(l_discount * 100) AS BIGINT) AS disc_p,
+        |    CAST(round(l_tax * 100) AS BIGINT) AS tax_p
+        |  FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00')
+        |SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(sum(price_c) AS BIGINT) AS sum_base_c,
+        |  CAST(sum(price_c * (100 - disc_p)) AS BIGINT) AS sum_disc_e4,
+        |  CAST(sum(price_c * (100 - disc_p) * (100 + tax_p)) AS BIGINT) AS sum_charge_e6,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) / CAST(count(*) AS DOUBLE) AS avg_qty,
+        |  CAST(sum(price_c) AS BIGINT) / (count(*) * 100.0) AS avg_price,
+        |  CAST(sum(price_c * (100 - disc_p)) AS BIGINT) / CAST(CAST(sum(price_c) AS BIGINT) AS DOUBLE) / 100.0 AS avg_disc
+        |FROM l GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_topk" ->
+      """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date, o_orderpriority,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |           (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_e4
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1997-06-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1997-06-01 00:00:00'
+        |GROUP BY l_orderkey, o_date, o_orderpriority
+        |ORDER BY revenue_e4 DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q5_join" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |           (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_e4
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name ORDER BY revenue_e4 DESC, n_name""".stripMargin,
+    "q6_filter" ->
+      """SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |                CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS revenue_e4,
+        |  count(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin,
+    "q_window" ->
+      """SELECT o_custkey, rk, o_orderkey, total_c FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS total_c,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders) WHERE rk <= 2 ORDER BY o_custkey, rk""".stripMargin,
+    "q_events_pivot" ->
+      """SELECT user_id,
+        |  count(*) FILTER (event_type = 'click') AS click,
+        |  count(*) FILTER (event_type = 'error') AS error,
+        |  count(*) FILTER (event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (event_type = 'signup') AS signup,
+        |  count(*) FILTER (event_type = 'view') AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+  )
+}

@@ -1,0 +1,46 @@
+package graft.queries
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape assertions: these encode the 100-TB story — dims broadcast,
+  * filters reach the parquet scan, aggregates keep partial (map-side)
+  * phases. Data correctness is covered by the DuckDB oracle gate. */
+class RelQueriesSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val dir = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String = {
+    val df = RelQueries.queries(name)(spark, dir)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q6 filters are pushed to the parquet scan") {
+    val p = planOf("q6_filter")
+    assert(p.contains("PushedFilters: [IsNotNull"), p.take(2000))
+    assert(p.contains("l_quantity"), "quantity filter should appear in scan")
+  }
+
+  test("q3/q5 join small dimensions via broadcast") {
+    assert(planOf("q3_topk").contains("BroadcastHashJoin"))
+    assert(planOf("q5_join").contains("BroadcastHashJoin"))
+  }
+
+  test("q1 keeps partial aggregation (map-side combine)") {
+    val p = planOf("q1_agg")
+    assert(p.contains("partial_sum") || p.contains("HashAggregate"), p.take(2000))
+  }
+
+  test("scan prunes columns: q6 reads only needed lineitem columns") {
+    val p = planOf("q6_filter")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_orderkey"), readSchema)
+    assert(readSchema.contains("l_extendedprice"), readSchema)
+  }
+
+  test("relational queries return rows on sf0.001") {
+    for ((name, q) <- RelQueries.queries) {
+      assert(q(spark, dir).count() > 0, s"$name returned no rows")
+    }
+  }
+}
