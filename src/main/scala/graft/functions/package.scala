@@ -17,7 +17,8 @@ import org.apache.spark.sql.{Column, SparkSession}
 package object functions {
 
   import graft.functions.{GorillaChunkAgg, GorillaDecode, GorillaDecodeTimestamps,
-    GorillaDecodeValues, GorillaEncode, GorillaEncodeValues, GorillaNumPoints}
+    GorillaDecodeValues, GorillaEncode, GorillaEncodeValues, GorillaNumPoints,
+    MinHashExpr, SimHashExpr}
 
   type Builder = Seq[Expression] => Expression
 
@@ -31,6 +32,10 @@ package object functions {
     "gorilla_decode_ts" -> (es => GorillaDecodeTimestamps(es(0))),
     "gorilla_chunk_agg" -> (es => GorillaChunkAgg(es(0))),
     "gorilla_num_points" -> (es => GorillaNumPoints(es(0))),
+    // minhash(shingles, k): k must be a foldable int literal
+    "minhash" -> (es => MinHashExpr(es(0),
+      es(1).eval(null).asInstanceOf[Number].intValue())),
+    "simhash" -> (es => SimHashExpr(es(0))),
   )
 
   def expressionInfo(name: String): ExpressionInfo =
@@ -56,4 +61,7 @@ package object functions {
   def gorilla_decode_ts(chunk: Column): Column = call_function("gorilla_decode_ts", chunk)
   def gorilla_chunk_agg(chunk: Column): Column = call_function("gorilla_chunk_agg", chunk)
   def gorilla_num_points(chunk: Column): Column = call_function("gorilla_num_points", chunk)
+  def minhash(shingles: Column, k: Int): Column =
+    call_function("minhash", shingles, org.apache.spark.sql.functions.lit(k))
+  def simhash(tokens: Column): Column = call_function("simhash", tokens)
 }

@@ -1,0 +1,102 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Deterministic 64-bit string hashing for the dedup operators.
+ * FNV-1a over UTF-8 bytes, then splitmix64 finalization; the k MinHash
+ * "permutations" are splitmix64 re-mixes of the base hash — no stored
+ * coefficient tables, identical on every JVM.
+ */
+object TextHash {
+  final val Gold = 0x9E3779B97F4A7C15L
+
+  def splitmix64(x0: Long): Long = {
+    var x = x0 + Gold
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
+  def fnv64(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    var h = 0xCBF29CE484222325L
+    var i = 0
+    while (i < bytes.length) { h ^= bytes(i) & 0xFFL; h *= 0x100000001B3L; i += 1 }
+    h
+  }
+
+  /** k min-hashes over the shingle set. Empty input => Long.MaxValue rows. */
+  def minHash(shingles: ArrayData, k: Int): ArrayData = {
+    val mins = Array.fill(k)(Long.MaxValue)
+    val n = shingles.numElements()
+    var i = 0
+    while (i < n) {
+      val base = fnv64(shingles.getUTF8String(i))
+      var j = 0
+      while (j < k) {
+        val h = splitmix64(base + j * Gold)
+        if (h < mins(j)) mins(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(mins)
+  }
+
+  /** Classic 64-bit SimHash over the token multiset. */
+  def simHash(tokens: ArrayData): Long = {
+    val acc = new Array[Int](64)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      val h = splitmix64(fnv64(tokens.getUTF8String(i)))
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+}
+
+/** minhash(shingles array<string>, k) -> array<long> (k fixed at plan time) */
+case class MinHashExpr(child: Expression, k: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GorillaExprs.expect(child, ArrayType(StringType), s"$prettyName arg 1")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "minhash"
+  protected override def nullSafeEval(a: Any): Any =
+    TextHash.minHash(a.asInstanceOf[ArrayData], k)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.TextHash.minHash($a, $k)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** simhash(tokens array<string>) -> long */
+case class SimHashExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GorillaExprs.expect(child, ArrayType(StringType), s"$prettyName arg 1")
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "simhash"
+  protected override def nullSafeEval(a: Any): Any =
+    TextHash.simHash(a.asInstanceOf[ArrayData])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.TextHash.simHash($a)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

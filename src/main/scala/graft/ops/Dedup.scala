@@ -1,0 +1,126 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Deduplication operators for training-data pipelines.
+ *
+ * Scale design: the only all-pairs work ever done is inside an LSH
+ * bucket (bounded by `maxBucket`) or on an explicitly bounded
+ * correctness-baseline subset. Everything else is hash-groupBy /
+ * bucket-join shaped — linear shuffles that survive 100 TB.
+ */
+object Dedup {
+
+  /** Word n-gram shingles of a text column (distinct set). */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val words = split(text, " ")
+    array_distinct(transform(
+      sequence(lit(0), greatest(size(words) - n, lit(0))),
+      i => concat_ws(" ", slice(words, i + 1, lit(n)))))
+  }
+
+  /**
+   * Exact dedup by content hash: every doc mapped to its group's
+   * canonical (min) id plus the group size. One hash-groupBy + one
+   * broadcast-friendly join back; no text comparison.
+   */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val hashed = docs.select(col(idCol), md5(col(textCol)).as("content_hash"))
+    val groups = hashed.groupBy("content_hash")
+      .agg(min(idCol).as("keep_id"), count(lit(1)).as("n_copies"))
+    hashed.join(groups, "content_hash")
+      .select(col(idCol), col("content_hash"), col("keep_id"), col("n_copies"),
+        (col(idCol) =!= col("keep_id")).as("is_dup"))
+  }
+
+  /**
+   * MinHash signatures + banded LSH candidate pairs.
+   * k hashes in `bands` bands of `rowsPerBand`; docs sharing any band
+   * bucket become candidates. Bucket explosion is capped at
+   * `maxBucket` docs (degenerate buckets — e.g. empty texts — would
+   * otherwise produce quadratic pairs).
+   */
+  def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
+                 bands: Int = 16, rowsPerBand: Int = 4,
+                 maxBucket: Int = 1000): DataFrame = {
+    val k = bands * rowsPerBand
+    val sig = docs.select(col(idCol).as("id"),
+      graft.functions.minhash(Dedup.shingles(col(textCol)), k).as("sig"))
+    val banded = sig.select(col("id"), posexplode(
+      transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
+      .toDF("id", "band", "bucket")
+    val buckets = banded.groupBy("band", "bucket")
+      .agg(collect_list("id").as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+    // all pairs within a bucket, deduped across bands
+    buckets.select(explode(flatten(transform(col("ids"), a =>
+        filter(transform(col("ids"), b => struct(a.as("a"), b.as("b"))),
+          p => p("a") < p("b"))))).as("p"))
+      .select(col("p.a").as("a_id"), col("p.b").as("b_id"))
+      .distinct()
+  }
+
+  /** Exact Jaccard similarity for given candidate pairs (verify stage). */
+  def jaccardVerify(pairs: DataFrame, docs: DataFrame, idCol: String,
+                    textCol: String, threshold: Double): DataFrame = {
+    val sh = docs.select(col(idCol).as("__jid"), Dedup.shingles(col(textCol)).as("__sh"))
+    pairs
+      .join(sh.withColumnRenamed("__jid", "a_id").withColumnRenamed("__sh", "sh_a"), "a_id")
+      .join(sh.withColumnRenamed("__jid", "b_id").withColumnRenamed("__sh", "sh_b"), "b_id")
+      .withColumn("n_common", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", col("n_common") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("n_common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("a_id", "b_id", "n_common", "jaccard")
+  }
+
+  /**
+   * Correctness-baseline exact Jaccard over a bounded id range
+   * (all-pairs; the LSH path above is the scale path).
+   */
+  def ngramJaccardBrute(docs: DataFrame, idCol: String, textCol: String,
+                        maxId: Long, threshold: Double): DataFrame = {
+    val d = docs.filter(col(idCol) < maxId)
+      .select(col(idCol).as("__jid"), Dedup.shingles(col(textCol)).as("__sh"))
+    val pairs = d.toDF("a_id", "sh_a")
+      .join(d.toDF("b_id", "sh_b"), col("a_id") < col("b_id"))
+    pairs
+      .withColumn("n_common", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", col("n_common") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("n_common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("a_id", "b_id", "n_common", "jaccard")
+  }
+
+  /**
+   * SimHash near-dup pairs at hamming distance <= maxDist, found by
+   * 8x8-bit band blocking (any identical byte => candidate): a pair
+   * at distance d <= 7 cannot differ in all 8 bands (pigeonhole), so
+   * blocking is exact for maxDist <= 7.
+   */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxDist: Int = 7, maxBucket: Int = 1000): DataFrame = {
+    require(maxDist <= 7, "8-band blocking is exact only for maxDist <= 7")
+    val sig = docs.select(col(idCol).as("id"),
+      graft.functions.simhash(split(col(textCol), " ")).as("sig"))
+    val bandCols = (0 until 8).map(b =>
+      shiftrightunsigned(col("sig"), b * 8).bitwiseAND(lit(0xFFL)))
+    val banded = sig.select(col("id"), col("sig"), posexplode(array(bandCols: _*)))
+      .toDF("id", "sig", "band", "bucket")
+    val buckets = banded.groupBy("band", "bucket")
+      .agg(collect_list(struct(col("id"), col("sig"))).as("xs"))
+      .filter(size(col("xs")).between(2, maxBucket))
+    buckets.select(explode(flatten(transform(col("xs"), a =>
+        filter(transform(col("xs"), b =>
+            struct(a("id").as("a_id"), b("id").as("b_id"),
+              a("sig").as("sig_a"), b("sig").as("sig_b"))),
+          p => p("a_id") < p("b_id"))))).as("p"))
+      .select(col("p.a_id"), col("p.b_id"),
+        bit_count(col("p.sig_a").bitwiseXOR(col("p.sig_b"))).as("dist"))
+      .distinct()
+      .filter(col("dist") <= maxDist)
+  }
+}

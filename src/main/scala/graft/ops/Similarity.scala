@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Similarity search over embedding columns (`array<float>`).
+ *
+ * Brute-force cosine is the correctness baseline: distributed
+ * query-broadcast x corpus-scan, linear in corpus size per query.
+ * The scale path is random-hyperplane LSH bucketing: candidates share
+ * a bucket, so per-query work is bucket-sized, not corpus-sized.
+ * All float math is double-widened and accumulated in index order, so
+ * results are reproducible across engines.
+ */
+object Similarity {
+
+  /** Cosine similarity of two float-array columns, in double. */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    val na = sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x))
+    val nb = sqrt(aggregate(transform(b, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x))
+    dot / (na * nb)
+  }
+
+  /** Exact top-k neighbors for each query vector (brute force). */
+  def bruteTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+                vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+    val scored = q.join(broadcast(c), col("q_id") =!= col("n_id"))
+      .withColumn("cos", cosine(col("q_vec"), col("n_vec")))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "n_id", "cos")
+  }
+
+  /** All near-duplicate pairs with cosine >= threshold within id < maxId. */
+  def cosinePairs(embeddings: DataFrame, idCol: String, vecCol: String,
+                  maxId: Long, threshold: Double): DataFrame = {
+    val e = embeddings.filter(col(idCol) < maxId)
+      .select(col(idCol).as("__cid"), col(vecCol).as("__cvec"))
+    e.toDF("a_id", "vec_a").join(e.toDF("b_id", "vec_b"), col("a_id") < col("b_id"))
+      .withColumn("cos", cosine(col("vec_a"), col("vec_b")))
+      .filter(col("cos") >= threshold)
+      .select("a_id", "b_id", "cos")
+  }
+
+  /**
+   * Random-hyperplane LSH bucketing: `nBits`-bit signature per vector
+   * per hash table. Returns one (id, table, bucket) row per table.
+   * Hyperplane components are signed hashes of (table, plane, dim) —
+   * deterministic, no coefficient broadcast needed.
+   */
+  def lshBuckets(embeddings: DataFrame, idCol: String, vecCol: String,
+                 nBits: Int, tables: Int): DataFrame = {
+    val dims = size(col(vecCol))
+    val bucketFor = (t: Int) => {
+      val bits = transform(sequence(lit(0), lit(nBits - 1)), p => {
+        val dot = aggregate(
+          zip_with(col(vecCol), sequence(lit(0), dims - 1), (x, d) =>
+            x.cast("double") *
+              (graft.functions.simhash(array(concat(lit(s"$t#"), p.cast("string"),
+                lit("#"), d.cast("string")))).cast("double") / lit(Long.MaxValue.toDouble))),
+          lit(0.0), (acc, x) => acc + x)
+        when(dot >= 0, lit(1L)).otherwise(lit(0L))
+      })
+      // bucket = Σ bits_i·2^i, folded as acc·2 + bit over reversed bits
+      aggregate(reverse(bits), lit(0L), (acc, b) => acc * 2 + b)
+    }
+    embeddings.select(col(idCol).as("id"),
+        posexplode(array((0 until tables).map(bucketFor): _*)))
+      .toDF("id", "table", "bucket")
+  }
+
+  /**
+   * ANN top-k via multi-table LSH: candidates share a bucket in any
+   * table, exact cosine rerank over the (deduped) candidate set.
+   * Approximate by construction — recall measured against bruteTopK
+   * in the spec, not against an oracle.
+   */
+  def annTopK(embeddings: DataFrame, idCol: String, vecCol: String,
+              k: Int, nBits: Int = 4, tables: Int = 4): DataFrame = {
+    val b = lshBuckets(embeddings, idCol, vecCol, nBits, tables)
+    val e = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val cand = b.toDF("q_id", "table", "bucket")
+      .join(b.toDF("n_id", "table", "bucket"), Seq("table", "bucket"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select("q_id", "n_id").distinct()
+    val pairs = cand
+      .join(e.toDF("q_id", "q_vec"), "q_id")
+      .join(e.toDF("n_id", "n_vec"), "n_id")
+      .withColumn("cos", cosine(col("q_vec"), col("n_vec")))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "n_id", "cos")
+  }
+}

@@ -1,0 +1,81 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Text analysis operators: language-ID, quality scoring, token
+ * counting, fingerprinting. Pure `org.apache.spark.sql.functions`
+ * compositions (whole-stage codegen'd, no UDFs), with semantics chosen
+ * to be exactly replicable in ANSI-ish SQL for the oracle.
+ */
+object TextOps {
+
+  /** Marker stopword sets per language (deterministic heuristic). */
+  val markers: Map[String, Seq[String]] = Map(
+    "de" -> Seq("der", "die", "und", "das", "ein"),
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "es" -> Seq("el", "los", "las", "una", "y"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "zh" -> Seq("的", "了", "是", "在", "我"))
+
+  private def markerCount(words: Column, lang: String): Column =
+    size(filter(words, w => w.isin(markers(lang): _*)))
+
+  /**
+   * n-gram/stopword language id: count marker words per language,
+   * argmax with alphabetical tie-break, 'und' (undetermined) when no
+   * marker hits at all.
+   */
+  def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = split(lower(col(textCol)), " ")
+    val scored = docs.select(
+      col(idCol) +: markers.keys.toSeq.sorted.map(l =>
+        markerCount(words, l).as(s"score_$l")): _*)
+    val langs = markers.keys.toSeq.sorted
+    val best = langs.map(l => col(s"score_$l")).reduce(greatest(_, _))
+    val pick = langs.foldRight(lit("und")) { (l, rest) =>
+      when(col(s"score_$l") === best && best > 0, lit(l)).otherwise(rest)
+    }
+    // foldRight means earlier (alphabetical) languages win ties
+    scored.withColumn("pred_lang", pick)
+  }
+
+  /**
+   * Quality metrics: counts and ratios derived from exact integers
+   * (ratios are single divisions of exact ints — deterministic).
+   */
+  def quality(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = split(col(textCol), " ")
+    val stop = Seq("the", "a", "of", "and", "to", "in", "is")
+    docs.select(col(idCol),
+        length(col(textCol)).as("n_chars"),
+        size(words).as("n_words"),
+        size(array_distinct(words)).as("n_uniq"),
+        size(filter(words, w => w.isin(stop: _*))).as("n_stop"))
+      .withColumn("uniq_ratio", col("n_uniq") / col("n_words").cast("double"))
+      .withColumn("stop_ratio", col("n_stop") / col("n_words").cast("double"))
+      .withColumn("avg_word_len",
+        (col("n_chars") - col("n_words") + 1) / col("n_words").cast("double"))
+      .withColumn("quality_score",
+        col("uniq_ratio") * 0.5 + col("stop_ratio") * 0.2 +
+          least(col("n_words").cast("double") / 100.0, lit(1.0)) * 0.3)
+  }
+
+  /** Token counts: whitespace tokens, regex word/number/punct tokens,
+    * and BPE-ish fixed-width subword pieces. */
+  def tokens(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol),
+      size(split(col(textCol), " ")).as("n_ws"),
+      size(regexp_extract_all(col(textCol),
+        lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0))).as("n_re"),
+      size(regexp_extract_all(col(textCol),
+        lit("[A-Za-z]{1,4}|[0-9]{1,3}"), lit(0))).as("n_bpeish"))
+
+  /** Content fingerprint of whitespace-normalized lowercase text. */
+  def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val norm = trim(regexp_replace(lower(col(textCol)), "\\s+", " "))
+    docs.select(col(idCol), md5(norm).as("fp_md5"),
+      graft.functions.simhash(split(norm, " ")).as("fp_sim"))
+  }
+}

@@ -1,0 +1,162 @@
+package graft.queries
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * LLM-data-pipeline operators as driver-contract queries over the
+ * `documents` and `embeddings` tables.
+ *
+ * Oracle policy: operators whose semantics are expressible in SQL get
+ * an exact DuckDB oracle (exact dedup, brute-force jaccard/cosine/
+ * top-k, text analysis). Approximate/custom-hash operators (MinHash
+ * LSH, SimHash, hyperplane ANN) are rows-only here and are instead
+ * validated in `OpsSpec` against the exact baselines (recall/subset
+ * properties) — an oracle cannot re-derive the hash family in SQL.
+ */
+object OpsQueries {
+
+  private val docCols = Seq("doc_id", "text")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exact(Tables(s, dir, "documents"), "doc_id", "text").orderBy("doc_id")),
+    "dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashLsh(Tables(s, dir, "documents"), "doc_id", "text")
+        .orderBy("a_id", "b_id")),
+    "dedup_minhash_verify" -> ((s, dir) =>
+      Dedup.jaccardVerify(
+        Dedup.minhashLsh(Tables(s, dir, "documents"), "doc_id", "text"),
+        Tables(s, dir, "documents"), "doc_id", "text", 0.5)
+        .orderBy("a_id", "b_id")),
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardBrute(Tables(s, dir, "documents"), "doc_id", "text",
+        maxId = 1000, threshold = 0.5).orderBy("a_id", "b_id")),
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(Tables(s, dir, "documents"), "doc_id", "text")
+        .orderBy("a_id", "b_id")),
+    "dedup_embedding" -> ((s, dir) =>
+      Similarity.cosinePairs(Tables(s, dir, "embeddings"), "vec_id", "embedding",
+        maxId = 1000, threshold = 0.45).orderBy("a_id", "b_id")),
+    "sim_topk" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      Similarity.bruteTopK(e.filter(col("vec_id") < 10), e, "vec_id", "embedding", 5)
+        .orderBy("q_id", "rank")
+    }),
+    "sim_ann_lsh" -> ((s, dir) =>
+      Similarity.annTopK(Tables(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 5).orderBy("q_id", "rank")),
+    "text_langid" -> ((s, dir) =>
+      TextOps.langId(Tables(s, dir, "documents"), "doc_id", "text").orderBy("doc_id")),
+    "text_quality" -> ((s, dir) =>
+      TextOps.quality(Tables(s, dir, "documents"), "doc_id", "text").orderBy("doc_id")),
+    "text_tokens" -> ((s, dir) =>
+      TextOps.tokens(Tables(s, dir, "documents"), "doc_id", "text").orderBy("doc_id")),
+    "text_fingerprint" -> ((s, dir) =>
+      TextOps.fingerprint(Tables(s, dir, "documents"), "doc_id", "text")
+        .select("doc_id", "fp_md5").orderBy("doc_id")),
+    "mm_features" -> ((s, dir) =>
+      Multimodal.featureStats(
+        Multimodal.syntheticMedia(Tables(s, dir, "documents"), "doc_id", "text"))),
+  )
+
+  private val shinglesSql =
+    """sh AS (SELECT doc_id,
+      |  list_distinct(list_transform(generate_series(1, len(w) - 2),
+      |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+      |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))""".stripMargin
+
+  private val cosSql = (a: String, b: String) =>
+    s"""list_sum(list_transform(generate_series(1, len($a)), i ->
+       |    CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))) /
+       |  (sqrt(list_sum(list_transform(generate_series(1, len($a)), i ->
+       |    CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE)))) *
+       |   sqrt(list_sum(list_transform(generate_series(1, len($b)), i ->
+       |    CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))))""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "dedup_exact" ->
+      """WITH h AS (SELECT doc_id, md5(text) AS content_hash FROM documents),
+        |g AS (SELECT content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+        |      FROM h GROUP BY 1)
+        |SELECT h.doc_id, h.content_hash, g.keep_id, g.n_copies,
+        |  h.doc_id != g.keep_id AS is_dup
+        |FROM h JOIN g USING (content_hash) ORDER BY h.doc_id""".stripMargin,
+    "dedup_ngram_jaccard" -> s"""WITH $shinglesSql
+      |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |  len(list_intersect(a.s, b.s)) AS n_common,
+      |  len(list_intersect(a.s, b.s)) /
+      |    CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) AS jaccard
+      |FROM sh a, sh b
+      |WHERE a.doc_id < b.doc_id AND a.doc_id < 1000 AND b.doc_id < 1000
+      |  AND len(list_intersect(a.s, b.s)) /
+      |    CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) >= 0.5
+      |ORDER BY a_id, b_id""".stripMargin,
+    "dedup_embedding" -> s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+      |  ${cosSql("a.embedding", "b.embedding")} AS cos
+      |FROM embeddings a, embeddings b
+      |WHERE a.vec_id < b.vec_id AND a.vec_id < 1000 AND b.vec_id < 1000
+      |  AND ${cosSql("a.embedding", "b.embedding")} >= 0.45
+      |ORDER BY a_id, b_id""".stripMargin,
+    "sim_topk" -> s"""SELECT q_id, rank, n_id, cos FROM (
+      |  SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+      |    ${cosSql("q.embedding", "n.embedding")} AS cos,
+      |    row_number() OVER (PARTITION BY q.vec_id
+      |      ORDER BY ${cosSql("q.embedding", "n.embedding")} DESC, n.vec_id) AS rank
+      |  FROM embeddings q, embeddings n
+      |  WHERE q.vec_id < 10 AND n.vec_id != q.vec_id)
+      |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    "text_langid" ->
+      """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+        |sc AS (SELECT doc_id,
+        |  len(list_filter(ws, x -> x IN ('der','die','und','das','ein'))) AS score_de,
+        |  len(list_filter(ws, x -> x IN ('the','a','of','and','to'))) AS score_en,
+        |  len(list_filter(ws, x -> x IN ('el','los','las','una','y'))) AS score_es,
+        |  len(list_filter(ws, x -> x IN ('le','la','et','les','des'))) AS score_fr,
+        |  len(list_filter(ws, x -> x IN ('的','了','是','在','我'))) AS score_zh
+        |FROM w)
+        |SELECT doc_id, score_de, score_en, score_es, score_fr, score_zh,
+        |  CASE WHEN greatest(score_de, score_en, score_es, score_fr, score_zh) = 0 THEN 'und'
+        |       WHEN score_de = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'de'
+        |       WHEN score_en = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'en'
+        |       WHEN score_es = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'es'
+        |       WHEN score_fr = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'fr'
+        |       ELSE 'zh' END AS pred_lang
+        |FROM sc ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      """WITH w AS (SELECT doc_id, length(text) AS n_chars,
+        |  string_split(text, ' ') AS ws FROM documents),
+        |c AS (SELECT doc_id, n_chars, len(ws) AS n_words,
+        |  len(list_distinct(ws)) AS n_uniq,
+        |  len(list_filter(ws, x -> x IN ('the','a','of','and','to','in','is'))) AS n_stop
+        |FROM w)
+        |SELECT doc_id, n_chars, n_words, n_uniq, n_stop,
+        |  n_uniq / CAST(n_words AS DOUBLE) AS uniq_ratio,
+        |  n_stop / CAST(n_words AS DOUBLE) AS stop_ratio,
+        |  (n_chars - n_words + 1) / CAST(n_words AS DOUBLE) AS avg_word_len,
+        |  n_uniq / CAST(n_words AS DOUBLE) * 0.5 + n_stop / CAST(n_words AS DOUBLE) * 0.2 +
+        |    least(CAST(n_words AS DOUBLE) / 100.0, 1.0) * 0.3 AS quality_score
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "text_tokens" ->
+      """SELECT doc_id, len(string_split(text, ' ')) AS n_ws,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS n_re,
+        |  len(regexp_extract_all(text, '[A-Za-z]{1,4}|[0-9]{1,3}')) AS n_bpeish
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_features" ->
+      """WITH m AS (SELECT doc_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  md5(text) AS hx FROM documents),
+        |b AS (SELECT doc_id, kind,
+        |  list_transform(generate_series(0, 15),
+        |    i -> CAST('0x' || substr(hx, 2 * i + 1, 2) AS INT)) AS bytes
+        |FROM m)
+        |SELECT kind, count(*) AS n, CAST(count(*) * 16 AS BIGINT) AS total_bytes,
+        |  CAST(sum(list_sum(bytes)) AS BIGINT) AS sum_bytes,
+        |  max(bytes[1] % 64 + 1) AS max_w, max(bytes[2] % 64 + 1) AS max_h
+        |FROM b GROUP BY kind ORDER BY kind""".stripMargin,
+  )
+}

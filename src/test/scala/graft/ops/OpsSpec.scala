@@ -1,0 +1,76 @@
+package graft.ops
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Properties of the approximate operators against their exact
+ * baselines — the checks an SQL oracle cannot express.
+ */
+class OpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val dir = "/root/testdata/sf0.001"
+  lazy val docs = spark.read.parquet(s"$dir/documents.parquet")
+  lazy val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("minhash LSH recall: finds every exact-jaccard>=0.8 pair") {
+    val truth = pairSet(Dedup.ngramJaccardBrute(docs, "doc_id", "text", Long.MaxValue, 0.8))
+    val lsh = pairSet(Dedup.minhashLsh(docs, "doc_id", "text"))
+    assert(truth.nonEmpty, "test data should contain near-dups")
+    assert((truth -- lsh).isEmpty, s"LSH missed ${truth -- lsh}")
+  }
+
+  test("minhash+verify equals the brute-force jaccard>=0.5 pair set") {
+    val verified = pairSet(Dedup.jaccardVerify(
+      Dedup.minhashLsh(docs, "doc_id", "text"), docs, "doc_id", "text", 0.5))
+    val truth = pairSet(Dedup.ngramJaccardBrute(docs, "doc_id", "text", Long.MaxValue, 0.5))
+    assert(verified == truth)
+  }
+
+  test("simhash blocking finds most strong near-dups, all within dist bound") {
+    val truth = pairSet(Dedup.ngramJaccardBrute(docs, "doc_id", "text", Long.MaxValue, 0.8))
+    val sim = Dedup.simhashPairs(docs, "doc_id", "text")
+    assert(sim.filter(col("dist") > 7).count() == 0)
+    val found = pairSet(sim)
+    val recall = (truth & found).size.toDouble / truth.size
+    assert(recall >= 0.8, s"simhash recall $recall")
+  }
+
+  test("hash primitives are deterministic across invocations") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val h1 = graft.functions.TextHash.fnv64(UTF8String.fromString("spark gorilla"))
+    val h2 = graft.functions.TextHash.fnv64(UTF8String.fromString("spark gorilla"))
+    assert(h1 == h2)
+    assert(graft.functions.TextHash.splitmix64(42L) == graft.functions.TextHash.splitmix64(42L))
+    assert(graft.functions.TextHash.hamming64(h1, h1 ^ 0xF0F0L) == 8)
+  }
+
+  test("ann lsh: rank-ordered per query, sane recall vs brute force") {
+    val ann = Similarity.annTopK(emb, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val brute = Similarity.bruteTopK(emb, emb, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(ann.nonEmpty)
+    val annTop = ann.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    val bruteTop = brute.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    val recalls = bruteTop.collect { case (q, t) if annTop.contains(q) =>
+      (annTop(q) & t).size.toDouble / t.size }
+    val recall = if (recalls.isEmpty) 0.0 else recalls.sum / recalls.size
+    // unclustered random embeddings: LSH recall is modest by nature;
+    // the point is the bucketed shape — brute force is the exact path
+    assert(recall > 0.2, s"ann recall $recall")
+  }
+
+  test("multimodal: stub decoder plumbing preserves rows and determinism") {
+    val media = Multimodal.syntheticMedia(docs, "doc_id", "text")
+    val feats = Multimodal.extractFeatures(media).collect()
+    assert(feats.length == docs.count())
+    assert(feats.forall(f => f.n_bytes == 16 && f.width >= 1 && f.width <= 64))
+    val again = Multimodal.extractFeatures(media).collect()
+    assert(feats.sortBy(_.media_id).toSeq == again.sortBy(_.media_id).toSeq)
+  }
+}
