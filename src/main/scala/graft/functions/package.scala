@@ -16,9 +16,10 @@ import org.apache.spark.sql.{Column, SparkSession}
  */
 package object functions {
 
-  import graft.functions.{GorillaChunkAgg, GorillaDecode, GorillaDecodeTimestamps,
-    GorillaDecodeValues, GorillaEncode, GorillaEncodeValues, GorillaNumPoints,
-    MinHashExpr, SimHashExpr}
+  import graft.functions.{CosineSimExpr, GorillaChunkAgg, GorillaDecode,
+    GorillaDecodeTimestamps, GorillaDecodeValues, GorillaEncode, GorillaEncodeValues,
+    GorillaNumPoints, HashSetSortedExpr, HyperplaneBucketsExpr, MinHashExpr,
+    SimHashExpr, SortedIntersectCountExpr}
 
   type Builder = Seq[Expression] => Expression
 
@@ -36,6 +37,12 @@ package object functions {
     "minhash" -> (es => MinHashExpr(es(0),
       es(1).eval(null).asInstanceOf[Number].intValue())),
     "simhash" -> (es => SimHashExpr(es(0))),
+    "cosine_sim" -> (es => CosineSimExpr(es(0), es(1))),
+    "hyperplane_buckets" -> (es => HyperplaneBucketsExpr(es(0),
+      es(1).eval(null).asInstanceOf[Number].intValue(),
+      es(2).eval(null).asInstanceOf[Number].intValue())),
+    "hash_set_sorted" -> (es => HashSetSortedExpr(es(0))),
+    "sorted_intersect_count" -> (es => SortedIntersectCountExpr(es(0), es(1))),
   )
 
   def expressionInfo(name: String): ExpressionInfo =
@@ -64,4 +71,11 @@ package object functions {
   def minhash(shingles: Column, k: Int): Column =
     call_function("minhash", shingles, org.apache.spark.sql.functions.lit(k))
   def simhash(tokens: Column): Column = call_function("simhash", tokens)
+  def cosine_sim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
+  def hyperplane_buckets(vec: Column, nBits: Int, tables: Int): Column =
+    call_function("hyperplane_buckets", vec,
+      org.apache.spark.sql.functions.lit(nBits), org.apache.spark.sql.functions.lit(tables))
+  def hash_set_sorted(xs: Column): Column = call_function("hash_set_sorted", xs)
+  def sorted_intersect_count(a: Column, b: Column): Column =
+    call_function("sorted_intersect_count", a, b)
 }

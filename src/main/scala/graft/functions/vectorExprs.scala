@@ -1,0 +1,156 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/**
+ * One-pass vector/set kernels for the similarity and dedup operators.
+ * These replace interpreted higher-order-function chains (zip_with +
+ * aggregate lambdas) in the hot inner loops of all-pairs work: one
+ * JVM loop per row pair instead of per-element lambda dispatch.
+ */
+object VectorKernels {
+
+  /** Cosine similarity, float inputs widened to double, accumulated in
+    * index order — numerically identical to the three-sum SQL form. */
+  def cosineFloat(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Deterministic hyperplane component for (table, plane, dim) in [-1, 1). */
+  private def component(t: Int, p: Int, d: Int): Double =
+    TextHash.splitmix64(((t.toLong << 40) + (p.toLong << 20) + d) * TextHash.Gold)
+      .toDouble / Long.MaxValue.toDouble
+
+  /** One bucket id per hash table: sign-bit signature of nBits
+    * hyperplane dots. Replaces per-component string hashing. */
+  def hyperplaneBuckets(vec: ArrayData, nBits: Int, tables: Int): ArrayData = {
+    val dims = vec.numElements()
+    val v = new Array[Double](dims)
+    var i = 0
+    while (i < dims) { v(i) = vec.getFloat(i).toDouble; i += 1 }
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var bucket = 0L
+      var p = 0
+      while (p < nBits) {
+        var dot = 0.0
+        var d = 0
+        while (d < dims) { dot += v(d) * component(t, p, d); d += 1 }
+        if (dot >= 0) bucket |= (1L << p)
+        p += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** Distinct FNV-64 hashes of a string array, sorted ascending. */
+  def hashSetSorted(xs: ArrayData): ArrayData = {
+    val n = xs.numElements()
+    val hs = new Array[Long](n)
+    var i = 0
+    while (i < n) { hs(i) = TextHash.fnv64(xs.getUTF8String(i)); i += 1 }
+    java.util.Arrays.sort(hs)
+    var uniq = 0
+    var j = 0
+    while (j < n) {
+      if (j == 0 || hs(j) != hs(j - 1)) { hs(uniq) = hs(j); uniq += 1 }
+      j += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(hs, uniq))
+  }
+
+  /** |A ∩ B| of two ascending long arrays by linear merge. */
+  def sortedIntersectCount(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var c = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+}
+
+/** cosine_sim(a array<float>, b array<float>) -> double */
+case class CosineSimExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val r = GorillaExprs.expect(left, ArrayType(FloatType), s"$prettyName arg 1")
+    if (r.isFailure) r else GorillaExprs.expect(right, ArrayType(FloatType), s"$prettyName arg 2")
+  }
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "cosine_sim"
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.cosineFloat(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorKernels.cosineFloat($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** hyperplane_buckets(vec array<float>, nBits, tables) -> array<long> */
+case class HyperplaneBucketsExpr(child: Expression, nBits: Int, tables: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GorillaExprs.expect(child, ArrayType(FloatType), s"$prettyName arg 1")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "hyperplane_buckets"
+  protected override def nullSafeEval(a: Any): Any =
+    VectorKernels.hyperplaneBuckets(a.asInstanceOf[ArrayData], nBits, tables)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      a => s"graft.functions.VectorKernels.hyperplaneBuckets($a, $nBits, $tables)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** hash_set_sorted(array<string>) -> array<long> (distinct, ascending) */
+case class HashSetSortedExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GorillaExprs.expect(child, ArrayType(StringType), s"$prettyName arg 1")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "hash_set_sorted"
+  protected override def nullSafeEval(a: Any): Any =
+    VectorKernels.hashSetSorted(a.asInstanceOf[ArrayData])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.VectorKernels.hashSetSorted($a)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** sorted_intersect_count(array<long>, array<long>) -> int */
+case class SortedIntersectCountExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val r = GorillaExprs.expect(left, ArrayType(LongType), s"$prettyName arg 1")
+    if (r.isFailure) r else GorillaExprs.expect(right, ArrayType(LongType), s"$prettyName arg 2")
+  }
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "sorted_intersect_count"
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.sortedIntersectCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.VectorKernels.sortedIntersectCount($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}

@@ -63,14 +63,22 @@ object Dedup {
       .distinct()
   }
 
-  /** Exact Jaccard similarity for given candidate pairs (verify stage). */
+  /** Exact Jaccard similarity for given candidate pairs (verify stage).
+    * Shingle sets are pre-hashed to sorted longs once per doc; the
+    * per-pair work is a linear merge, not string-set construction. */
   def jaccardVerify(pairs: DataFrame, docs: DataFrame, idCol: String,
                     textCol: String, threshold: Double): DataFrame = {
-    val sh = docs.select(col(idCol).as("__jid"), Dedup.shingles(col(textCol)).as("__sh"))
+    val sh = docs.select(col(idCol).as("__jid"),
+      graft.functions.hash_set_sorted(Dedup.shingles(col(textCol))).as("__sh"))
+    // broadcast the per-doc shingle sets: keeps the (expensive) LSH
+    // candidate subplan as the single probe side, executed exactly once
     pairs
-      .join(sh.withColumnRenamed("__jid", "a_id").withColumnRenamed("__sh", "sh_a"), "a_id")
-      .join(sh.withColumnRenamed("__jid", "b_id").withColumnRenamed("__sh", "sh_b"), "b_id")
-      .withColumn("n_common", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .join(broadcast(sh.withColumnRenamed("__jid", "a_id")
+        .withColumnRenamed("__sh", "sh_a")), "a_id")
+      .join(broadcast(sh.withColumnRenamed("__jid", "b_id")
+        .withColumnRenamed("__sh", "sh_b")), "b_id")
+      .withColumn("n_common",
+        graft.functions.sorted_intersect_count(col("sh_a"), col("sh_b")))
       .withColumn("jaccard", col("n_common") /
         (size(col("sh_a")) + size(col("sh_b")) - col("n_common")).cast("double"))
       .filter(col("jaccard") >= threshold)
@@ -84,11 +92,13 @@ object Dedup {
   def ngramJaccardBrute(docs: DataFrame, idCol: String, textCol: String,
                         maxId: Long, threshold: Double): DataFrame = {
     val d = docs.filter(col(idCol) < maxId)
-      .select(col(idCol).as("__jid"), Dedup.shingles(col(textCol)).as("__sh"))
+      .select(col(idCol).as("__jid"),
+        graft.functions.hash_set_sorted(Dedup.shingles(col(textCol))).as("__sh"))
     val pairs = d.toDF("a_id", "sh_a")
       .join(d.toDF("b_id", "sh_b"), col("a_id") < col("b_id"))
     pairs
-      .withColumn("n_common", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("n_common",
+        graft.functions.sorted_intersect_count(col("sh_a"), col("sh_b")))
       .withColumn("jaccard", col("n_common") /
         (size(col("sh_a")) + size(col("sh_b")) - col("n_common")).cast("double"))
       .filter(col("jaccard") >= threshold)
@@ -113,14 +123,14 @@ object Dedup {
     val buckets = banded.groupBy("band", "bucket")
       .agg(collect_list(struct(col("id"), col("sig"))).as("xs"))
       .filter(size(col("xs")).between(2, maxBucket))
+    // hamming filter inside the bucket lambda: far pairs never leave
+    // the bucket row, so distinct() only sees true near-dups
     buckets.select(explode(flatten(transform(col("xs"), a =>
         filter(transform(col("xs"), b =>
             struct(a("id").as("a_id"), b("id").as("b_id"),
-              a("sig").as("sig_a"), b("sig").as("sig_b"))),
-          p => p("a_id") < p("b_id"))))).as("p"))
-      .select(col("p.a_id"), col("p.b_id"),
-        bit_count(col("p.sig_a").bitwiseXOR(col("p.sig_b"))).as("dist"))
+              bit_count(a("sig").bitwiseXOR(b("sig"))).as("dist"))),
+          p => p("a_id") < p("b_id") && p("dist") <= maxDist)))).as("p"))
+      .select(col("p.a_id"), col("p.b_id"), col("p.dist"))
       .distinct()
-      .filter(col("dist") <= maxDist)
   }
 }

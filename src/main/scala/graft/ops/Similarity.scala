@@ -16,16 +16,9 @@ import org.apache.spark.sql.functions._
  */
 object Similarity {
 
-  /** Cosine similarity of two float-array columns, in double. */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
-    val na = sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, x) => acc + x))
-    val nb = sqrt(aggregate(transform(b, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, x) => acc + x))
-    dot / (na * nb)
-  }
+  /** Cosine similarity of two float-array columns, in double — a native
+    * one-pass kernel, numerically identical to the three-sum SQL form. */
+  def cosine(a: Column, b: Column): Column = graft.functions.cosine_sim(a, b)
 
   /** Exact top-k neighbors for each query vector (brute force). */
   def bruteTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
@@ -58,25 +51,10 @@ object Similarity {
    * deterministic, no coefficient broadcast needed.
    */
   def lshBuckets(embeddings: DataFrame, idCol: String, vecCol: String,
-                 nBits: Int, tables: Int): DataFrame = {
-    val dims = size(col(vecCol))
-    val bucketFor = (t: Int) => {
-      val bits = transform(sequence(lit(0), lit(nBits - 1)), p => {
-        val dot = aggregate(
-          zip_with(col(vecCol), sequence(lit(0), dims - 1), (x, d) =>
-            x.cast("double") *
-              (graft.functions.simhash(array(concat(lit(s"$t#"), p.cast("string"),
-                lit("#"), d.cast("string")))).cast("double") / lit(Long.MaxValue.toDouble))),
-          lit(0.0), (acc, x) => acc + x)
-        when(dot >= 0, lit(1L)).otherwise(lit(0L))
-      })
-      // bucket = Σ bits_i·2^i, folded as acc·2 + bit over reversed bits
-      aggregate(reverse(bits), lit(0L), (acc, b) => acc * 2 + b)
-    }
+                 nBits: Int, tables: Int): DataFrame =
     embeddings.select(col(idCol).as("id"),
-        posexplode(array((0 until tables).map(bucketFor): _*)))
+        posexplode(graft.functions.hyperplane_buckets(col(vecCol), nBits, tables)))
       .toDF("id", "table", "bucket")
-  }
 
   /**
    * ANN top-k via multi-table LSH: candidates share a bucket in any
