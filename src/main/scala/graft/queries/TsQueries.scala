@@ -106,6 +106,18 @@ object TsQueries {
         .select(col("user_id"), col("ts").as("purchase_ts"), col("v"), col("click_ts"))
         .orderBy("user_id", "purchase_ts", "v")
     }),
+    // batch-equivalent of the streaming windowed ingest aggregation
+    // (StreamIngest.chunkStream semantics; streaming path in
+    // StreamIngestSpec over MemoryStream)
+    "stream_window_agg" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+      ev.withColumn("__sec", Ts.epochSec(ev, "ts"))
+        .groupBy(col("event_type"),
+          ((col("__sec") / 3600).cast("long") * 3600).as("window_start"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("sum_cents"))
+        .orderBy("event_type", "window_start")
+    }),
     // hourly gap-fill with carry-forward of the last bucket max
     "ts_gapfill" -> ((s, dir) => {
       val hourly = points(s, dir)
@@ -190,6 +202,12 @@ object TsQueries {
       |SELECT p.user_id, p.ts AS purchase_ts, p.v, c.ts AS click_ts
       |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts
       |ORDER BY p.user_id, purchase_ts, p.v""".stripMargin,
+    "stream_window_agg" ->
+      """SELECT event_type,
+        |  CAST((epoch_ns(ts) // 1000000000) // 3600 * 3600 AS BIGINT) AS window_start,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events GROUP BY 1, 2 ORDER BY event_type, window_start""".stripMargin,
     "ts_gapfill" -> s"""WITH $ptsSql,
       |agg AS (SELECT user_id, event_type, (ts // 3600) * 3600 AS bucket,
       |          count(*) AS n, max(v) AS max_v

@@ -1,0 +1,91 @@
+package graft.streaming
+
+import graft.functions.gorilla_encode
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/**
+ * Structured Streaming ingestion — the Gorilla write path re-expressed
+ * on Spark's streaming model.
+ *
+ * Gorilla closes a series' in-memory block when its 2-hour window ends
+ * (reference: src/timestamp_stream.rs:1-9 header-time windows); here
+ * the event-time watermark plays that role: a (series, window) group's
+ * chunk is emitted in append mode exactly once, when the watermark
+ * passes window end. Late data inside the watermark still lands in its
+ * chunk; later than that is dropped — the same trade Gorilla makes by
+ * closing blocks.
+ *
+ * At scale: state is one open group per (series, active window) —
+ * bounded by series cardinality, not event volume; shuffle is the
+ * groupBy's hash partitioning on (series, window).
+ */
+object StreamIngest {
+
+  /**
+   * Watermarked windowed chunking of a streaming point source.
+   * `events` must have `tsCol: timestamp` and `valCol: double`.
+   * Output (append-mode): seriesCols*, window_start, n, min/max stats,
+   * gorilla chunk — the same layout as the batch `Ts.chunkify`.
+   */
+  def chunkStream(events: DataFrame, seriesCols: Seq[String], tsCol: String,
+                  valCol: String, windowDuration: String = "2 hours",
+                  watermark: String = "10 minutes"): DataFrame = {
+    val sec = col(tsCol).cast("long")
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(seriesCols.map(col) :+ window(col(tsCol), windowDuration): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        min(sec).as("min_ts"), max(sec).as("max_ts"),
+        min(valCol).as("min_v"), max(valCol).as("max_v"),
+        gorilla_encode(
+          sort_array(collect_list(struct(sec.as("ts"), col(valCol).cast("double").as("v")))),
+          col("window").getField("start").cast("long")).as("chunk"))
+      .select(seriesCols.map(col) :+
+        col("window.start").cast("long").as("window_start") :+
+        col("n") :+ col("min_ts") :+ col("max_ts") :+
+        col("min_v") :+ col("max_v") :+ col("chunk"): _*)
+  }
+
+  final case class SeriesLatest(series: String, ts: Long, v: Double, n: Long)
+
+  /**
+   * Stateful latest-point-per-series via mapGroupsWithState (the
+   * custom-state path for operators the windowed model can't express).
+   * Emits the running (latest ts, latest v, points seen) per series on
+   * every trigger (update mode).
+   */
+  def latestPerSeries(points: Dataset[(String, Long, Double)]): Dataset[SeriesLatest] = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    points.groupByKey(_._1)
+      .mapGroupsWithState[SeriesLatest, SeriesLatest](GroupStateTimeout.NoTimeout()) {
+        case (series, rows, state: GroupState[SeriesLatest]) =>
+          val prev = state.getOption.getOrElse(SeriesLatest(series, Long.MinValue, 0.0, 0L))
+          var latestTs = prev.ts
+          var latestV = prev.v
+          var n = prev.n
+          rows.foreach { case (_, ts, v) =>
+            n += 1
+            if (ts >= latestTs) { latestTs = ts; latestV = v }
+          }
+          val next = SeriesLatest(series, latestTs, latestV, n)
+          state.update(next)
+          next
+      }
+  }
+
+  /** Append-mode parquet sink for the chunk stream, partitioned by
+    * window date for partition pruning on the read side. */
+  def writeChunks(chunks: DataFrame, path: String, checkpoint: String) =
+    chunks
+      .withColumn("window_date", to_date(to_timestamp(col("window_start"))))
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("window_date")
+      .format("parquet")
+      .option("path", path)
+  }

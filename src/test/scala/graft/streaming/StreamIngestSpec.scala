@@ -1,0 +1,99 @@
+package graft.streaming
+
+import graft.SparkTestSession
+import graft.core.GorillaCodec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.sql.Timestamp
+
+class StreamIngestSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def ts(sec: Long) = new Timestamp(sec * 1000L)
+
+  test("watermarked stream closes 2h windows into exact gorilla chunks") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp, Double)]
+    val events = input.toDF().toDF("series", "ts", "v")
+
+    val chunks = StreamIngest.chunkStream(events, Seq("series"), "ts", "v",
+      windowDuration = "2 hours", watermark = "1 minute")
+    val q = chunks.writeStream.outputMode("append")
+      .format("memory").queryName("chunks_sink").start()
+    try {
+      val w0 = 1700006400L // 2h-aligned
+      // window 1 points for two series
+      input.addData(
+        ("cpu", ts(w0 + 10), 1.5), ("cpu", ts(w0 + 70), 1.5), ("cpu", ts(w0 + 130), 2.25),
+        ("mem", ts(w0 + 5), 10.0), ("mem", ts(w0 + 65), 11.0))
+      q.processAllAvailable()
+      // advance event time past window end + watermark => window closes
+      input.addData(("cpu", ts(w0 + 7200 + 120), 9.0))
+      q.processAllAvailable()
+
+      val out = spark.table("chunks_sink")
+        .select("series", "window_start", "n", "chunk")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getAs[Array[Byte]](3)))
+      assert(out.map(o => (o._1, o._2, o._3)).toSet ==
+        Set(("cpu", w0, 3L), ("mem", w0, 2L)))
+
+      val cpu = out.find(_._1 == "cpu").get
+      val (tsArr, vsArr) = GorillaCodec.decode(cpu._4)
+      assert(tsArr.toSeq == Seq(w0 + 10, w0 + 70, w0 + 130))
+      assert(vsArr.toSeq == Seq(1.5, 1.5, 2.25))
+      val mem = out.find(_._1 == "mem").get
+      assert(GorillaCodec.decode(mem._4)._2.toSeq == Seq(10.0, 11.0))
+    } finally q.stop()
+  }
+
+  test("late-but-within-watermark data lands in its chunk") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp, Double)]
+    val events = input.toDF().toDF("series", "ts", "v")
+    val chunks = StreamIngest.chunkStream(events, Seq("series"), "ts", "v",
+      windowDuration = "1 hour", watermark = "30 minutes")
+    val q = chunks.writeStream.outputMode("append")
+      .format("memory").queryName("late_sink").start()
+    try {
+      val w0 = 1700000000L / 3600 * 3600
+      input.addData(("cpu", ts(w0 + 100), 1.0))
+      q.processAllAvailable()
+      // out-of-order point, still within watermark
+      input.addData(("cpu", ts(w0 + 50), 0.5))
+      q.processAllAvailable()
+      // push watermark past w0 + 1h + 30min
+      input.addData(("cpu", ts(w0 + 3600 + 1900), 7.0))
+      q.processAllAvailable()
+      val rows = spark.table("late_sink").select("series", "n", "chunk").collect()
+      assert(rows.length == 1)
+      assert(rows(0).getLong(1) == 2L)
+      val (t2, v2) = GorillaCodec.decode(rows(0).getAs[Array[Byte]](2))
+      assert(t2.toSeq == Seq(w0 + 50, w0 + 100)) // sorted within chunk
+      assert(v2.toSeq == Seq(0.5, 1.0))
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState keeps running latest per series") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long, Double)]
+    val q = StreamIngest.latestPerSeries(input.toDS())
+      .writeStream.outputMode("update")
+      .format("memory").queryName("latest_sink").start()
+    try {
+      input.addData(("cpu", 100L, 1.0), ("cpu", 200L, 2.0), ("mem", 50L, 9.0))
+      q.processAllAvailable()
+      input.addData(("cpu", 150L, 5.0)) // older than current latest
+      q.processAllAvailable()
+      val last = spark.table("latest_sink")
+        .groupBy("series").agg(max(struct(col("n"), col("ts"), col("v"))).as("m"))
+        .select("series", "m.ts", "m.v", "m.n").as[(String, Long, Double, Long)]
+        .collect().toSet
+      assert(last == Set(("cpu", 200L, 2.0, 3L), ("mem", 50L, 9.0, 1L)))
+    } finally q.stop()
+  }
+}
