@@ -152,6 +152,10 @@ object TsQueries {
         .agg(count(lit(1)).as("n_chunks"), sum("n").as("n_points"),
           max("n").as("max_chunk_points"))
         .orderBy("user_id", "event_type")),
+    // compression accounting (rows-only: byte sizes are codec-specific)
+    "ts_compression" -> ((s, dir) =>
+      graft.tsdb.Ts.compressionStats(chunks(s, dir), series)
+        .orderBy("user_id", "event_type")),
     // aggregate *directly over compressed chunks* (no point materialization)
     "ts_compressed_agg" -> ((s, dir) => {
       val c = chunks(s, dir)

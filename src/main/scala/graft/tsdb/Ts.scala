@@ -81,6 +81,39 @@ object Ts {
       .select(seriesCols.map(col) :+ col("__m.ts").as("ts") :+ col("__m.v").as("v"): _*)
   }
 
+  /**
+   * Persist a chunk table partitioned by window date: partition pruning
+   * handles coarse time ranges, per-chunk stat columns handle the rest,
+   * and only surviving chunks are ever decoded.
+   */
+  def writeStore(chunks: DataFrame, path: String): Unit =
+    chunks
+      .withColumn("window_date", to_date(to_timestamp(col("window_start"))))
+      .write.mode("overwrite")
+      .partitionBy("window_date")
+      .parquet(path)
+
+  /** Open a chunk store; `fromSec`/`toSec` prune partitions at plan time. */
+  def readStore(spark: org.apache.spark.sql.SparkSession, path: String,
+                fromSec: Long = Long.MinValue, toSec: Long = Long.MaxValue): DataFrame = {
+    val df = spark.read.parquet(path)
+    if (fromSec == Long.MinValue && toSec == Long.MaxValue) df
+    else df.filter(
+      col("window_date") >= to_date(to_timestamp(lit(fromSec))) &&
+      col("window_date") <= to_date(to_timestamp(lit(toSec))))
+  }
+
+  /** Per-series compression accounting (the csv_to_packed report,
+    * reference: examples/csv_to_packed.rs:112-118): compressed chunk
+    * bytes vs 16 B/point raw. */
+  def compressionStats(chunks: DataFrame, seriesCols: Seq[String]): DataFrame =
+    chunks.groupBy(seriesCols.map(col): _*)
+      .agg(sum("n").as("n_points"),
+        sum(length(col("chunk"))).as("chunk_bytes"),
+        (sum("n") * 16).as("raw_bytes"))
+      .withColumn("ratio_pct",
+        round(col("chunk_bytes") * 100.0 / col("raw_bytes"), 2))
+
   /** Downsample decoded points into `bucketSec` buckets per series. */
   def downsample(points: DataFrame, seriesCols: Seq[String], bucketSec: Long): DataFrame =
     points

@@ -1,0 +1,55 @@
+package graft.tsdb
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TsStoreSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val dir = "/root/testdata/sf0.001"
+
+  test("chunk store round-trips through partitioned parquet with pruning") {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val chunks = Ts.chunkify(ev, Seq("user_id", "event_type"), "ts", "value")
+    val path = java.nio.file.Files.createTempDirectory("graft-store").toString
+    Ts.writeStore(chunks, path)
+
+    val all = Ts.readStore(spark, path)
+    assert(all.agg(sum("n")).first().getLong(0) == ev.count())
+
+    // day-bounded read: partition pruning must reach the file scan
+    val from = 1704844800L // 2024-01-10
+    val to = 1705017600L   // 2024-01-12
+    val pruned = Ts.readStore(spark, path, from, to)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(window_date"), plan.take(1500))
+    // decoded points from the pruned store match a direct range query
+    val viaStore = Ts.rangeQuery(pruned, Seq("user_id", "event_type"), from, to)
+    val direct = Ts.rangeQuery(chunks, Seq("user_id", "event_type"), from, to)
+    assert(viaStore.orderBy("user_id", "event_type", "ts", "v").collect().toSeq ==
+      direct.orderBy("user_id", "event_type", "ts", "v").collect().toSeq)
+  }
+
+  test("dense 1Hz series compress far below raw 16B/point through the pipeline") {
+    import spark.implicits._
+    // the shape gorilla is built for: regular cadence, slowly-moving values
+    val base = 1700000000L
+    val dense = (0 until 4).flatMap(s =>
+      (0 until 14400).map(i =>
+        ("m" + s, new java.sql.Timestamp((base + i) * 1000L), 20.0 + (i % 7))))
+      .toDF("series", "ts", "value")
+    val chunks = Ts.chunkify(dense, Seq("series"), "ts", "value")
+    val stats = Ts.compressionStats(chunks, Seq("series"))
+    val overall = stats.agg((sum("chunk_bytes") * 100.0 / sum("raw_bytes")).as("pct"))
+      .first().getDouble(0)
+    assert(overall < 25.0, s"compression ratio $overall%")
+  }
+
+  test("sparse event series report honest (poor) ratios — stats stay consistent") {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val chunks = Ts.chunkify(ev, Seq("user_id", "event_type"), "ts", "value")
+    val stats = Ts.compressionStats(chunks, Seq("user_id", "event_type")).collect()
+    assert(stats.forall(r => r.getAs[Long]("chunk_bytes") > 0))
+    assert(stats.forall(r => r.getAs[Long]("raw_bytes") == 16 * r.getAs[Long]("n_points")))
+  }
+}
