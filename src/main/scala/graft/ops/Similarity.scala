@@ -57,6 +57,73 @@ object Similarity {
       .toDF("id", "table", "bucket")
 
   /**
+   * IVF (inverted-file) index: deterministic seeded k-means-lite.
+   * Seeds are the nlist vectors with smallest xxhash64(id) (a
+   * deterministic pseudo-random sample); `iters` Lloyd rounds of
+   * (assign by cosine, recompute elementwise means). Returns
+   * (cluster, centroid array<float>).
+   *
+   * At scale: assignment is a broadcast of nlist centroids against a
+   * corpus scan (no shuffle of vectors); mean recomputation shuffles
+   * (cluster, dim, component) triples — linear in corpus size.
+   */
+  def ivfCentroids(embeddings: DataFrame, idCol: String, vecCol: String,
+                   nlist: Int, iters: Int = 2): DataFrame = {
+    val e = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    var centroids = e.orderBy(xxhash64(col("id"))).limit(nlist)
+      .select(row_number().over(Window.orderBy("id")).as("cluster"), col("vec").as("centroid"))
+    var it = 0
+    while (it < iters) {
+      val assigned = assign(e, centroids)
+      centroids = assigned.join(e, "id")
+        .select(col("cluster"), posexplode(col("vec")))
+        .groupBy("cluster", "pos").agg(avg("col").as("m"))
+        .groupBy("cluster")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m").cast("float")).as("centroid"))
+      it += 1
+    }
+    centroids
+  }
+
+  /** Nearest centroid per vector (broadcast nlist × corpus scan). */
+  private def assign(e: DataFrame, centroids: DataFrame): DataFrame = {
+    val w = Window.partitionBy("id").orderBy(col("__c").desc, col("cluster"))
+    e.crossJoin(broadcast(centroids))
+      .withColumn("__c", cosine(col("vec"), col("centroid")))
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") === 1)
+      .select(col("id"), col("cluster"))
+  }
+
+  /**
+   * IVF ANN top-k: queries probe their `nprobe` closest centroids and
+   * rerank exactly within those inverted lists only.
+   */
+  def ivfTopK(embeddings: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val e = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val q = queries.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val centroids = ivfCentroids(embeddings, idCol, vecCol, nlist)
+    val lists = assign(e, centroids) // inverted file: id -> cluster
+    val wq = Window.partitionBy("id").orderBy(col("__c").desc, col("cluster"))
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("__c", cosine(col("vec"), col("centroid")))
+      .withColumn("__r", row_number().over(wq))
+      .filter(col("__r") <= nprobe)
+      .select(col("id").as("q_id"), col("vec").as("q_vec"), col("cluster"))
+    val cand = probes.join(lists.toDF("n_id", "cluster"), Seq("cluster"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select("q_id", "q_vec", "n_id").distinct()
+    val scored = cand.join(e.toDF("n_id", "n_vec"), "n_id")
+      .withColumn("cos", cosine(col("q_vec"), col("n_vec")))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "n_id", "cos")
+  }
+
+  /**
    * ANN top-k via multi-table LSH: candidates share a bucket in any
    * table, exact cosine rerank over the (deduped) candidate set.
    * Approximate by construction — recall measured against bruteTopK

@@ -47,6 +47,11 @@ object OpsQueries {
     "sim_ann_lsh" -> ((s, dir) =>
       Similarity.annTopK(Tables(s, dir, "embeddings"), "vec_id", "embedding",
         k = 5).orderBy("q_id", "rank")),
+    "sim_ann_ivf" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5).orderBy("q_id", "rank")
+    }),
     "text_langid" -> ((s, dir) =>
       TextOps.langId(Tables(s, dir, "documents"), "doc_id", "text").orderBy("doc_id")),
     "text_quality" -> ((s, dir) =>

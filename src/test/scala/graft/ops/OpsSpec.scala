@@ -65,6 +65,26 @@ class OpsSpec extends AnyFunSuite {
     assert(recall > 0.2, s"ann recall $recall")
   }
 
+  test("ivf ann: probing more lists converges toward brute-force truth") {
+    val qs = emb.filter(col("vec_id") < 20)
+    val brute = Similarity.bruteTopK(qs, emb, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    def recallAt(nprobe: Int): Double = {
+      val ivf = Similarity.ivfTopK(emb, qs, "vec_id", "embedding", 5,
+          nlist = 16, nprobe = nprobe)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSet).toMap
+      val rs = brute.map { case (q, t) => (ivf.getOrElse(q, Set.empty) & t).size.toDouble / t.size }
+      rs.sum / rs.size
+    }
+    val r4 = recallAt(4)
+    val r16 = recallAt(16) // probing all lists == exhaustive => recall 1
+    assert(r4 > 0.2, s"ivf recall@nprobe=4 $r4")
+    assert(r16 > 0.99, s"ivf recall@nprobe=16 $r16 (all lists probed)")
+    assert(r16 >= r4)
+  }
+
   test("multimodal: stub decoder plumbing preserves rows and determinism") {
     val media = Multimodal.syntheticMedia(docs, "doc_id", "text")
     val feats = Multimodal.extractFeatures(media).collect()
