@@ -95,6 +95,14 @@ object RelQueries {
           cents(col("o_totalprice")).as("total_c"))
         .orderBy("o_custkey", "rk")
     }),
+    // semi-structured columns: JSON property extraction + aggregation
+    "q_json" -> ((s, dir) =>
+      Tables(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), count(col("k")).as("n_k"),
+          sum("k").as("sum_k"), min("k").as("min_k"), max("k").as("max_k"))
+        .orderBy("event_type")),
     // dynamic-column pivot: events per user by type
     "q_events_pivot" -> ((s, dir) => {
       val types = Seq("click", "error", "purchase", "signup", "view")
@@ -162,6 +170,13 @@ object RelQueries {
         |    row_number() OVER (PARTITION BY o_custkey
         |                       ORDER BY o_totalprice DESC, o_orderkey) AS rk
         |  FROM orders) WHERE rk <= 2 ORDER BY o_custkey, rk""".stripMargin,
+    "q_json" ->
+      """SELECT event_type, count(*) AS n,
+        |  count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_events_pivot" ->
       """SELECT user_id,
         |  count(*) FILTER (event_type = 'click') AS click,

@@ -106,6 +106,53 @@ object TsQueries {
         .select(col("user_id"), col("ts").as("purchase_ts"), col("v"), col("click_ts"))
         .orderBy("user_id", "purchase_ts", "v")
     }),
+    // hourly grid with *linear interpolation* across interior gaps
+    // (edges carry the nearest real value)
+    "ts_interp" -> ((s, dir) => {
+      val hourly = points(s, dir)
+        .groupBy(col("user_id"), col("event_type"),
+          ((col("ts") / 3600).cast("long") * 3600).as("bucket"))
+        .agg(count(lit(1)).as("n"), max("v").as("max_v"))
+      val grid = hourly.groupBy("user_id", "event_type")
+        .agg(min("bucket").as("b0"), max("bucket").as("b1"))
+        .select(col("user_id"), col("event_type"),
+          explode(sequence(col("b0"), col("b1"), lit(3600L))).as("bucket"))
+      val base = grid.join(hourly, Seq("user_id", "event_type", "bucket"), "left")
+        .withColumn("n", coalesce(col("n"), lit(0L)))
+      val wPrev = Window.partitionBy("user_id", "event_type").orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wNext = Window.partitionBy("user_id", "event_type").orderBy("bucket")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      base
+        .withColumn("pb", last(when(col("n") > 0, col("bucket")), ignoreNulls = true).over(wPrev))
+        .withColumn("pv", last(when(col("n") > 0, col("max_v")), ignoreNulls = true).over(wPrev))
+        .withColumn("nb", first(when(col("n") > 0, col("bucket")), ignoreNulls = true).over(wNext))
+        .withColumn("nv", first(when(col("n") > 0, col("max_v")), ignoreNulls = true).over(wNext))
+        .withColumn("v_interp",
+          when(col("n") > 0, col("max_v"))
+            .when(col("pb").isNotNull && col("nb").isNotNull,
+              col("pv") + (col("nv") - col("pv")) *
+                ((col("bucket") - col("pb")) / (col("nb") - col("pb")).cast("double")))
+            .otherwise(coalesce(col("pv"), col("nv"))))
+        .select("user_id", "event_type", "bucket", "n", "v_interp")
+        .orderBy("user_id", "event_type", "bucket")
+    }),
+    // counter increase per day with reset handling (negative delta =>
+    // counter restarted; its value counts from zero), exact via cents
+    "ts_increase" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id", "event_type").orderBy("ts", "v")
+      points(s, dir)
+        .withColumn("cents", round(col("v") * 100).cast("long"))
+        .withColumn("prev_cents", lag("cents", 1).over(w))
+        .withColumn("inc",
+          when(col("prev_cents").isNull, lit(0L))
+            .when(col("cents") >= col("prev_cents"), col("cents") - col("prev_cents"))
+            .otherwise(col("cents")))
+        .groupBy(col("user_id"), col("event_type"),
+          ((col("ts") / 86400).cast("long") * 86400).as("day"))
+        .agg(sum("inc").as("increase_cents"), count(lit(1)).as("n"))
+        .orderBy("user_id", "event_type", "day")
+    }),
     // batch-equivalent of the streaming windowed ingest aggregation
     // (StreamIngest.chunkStream semantics; streaming path in
     // StreamIngestSpec over MemoryStream)
@@ -206,6 +253,46 @@ object TsQueries {
       |SELECT p.user_id, p.ts AS purchase_ts, p.v, c.ts AS click_ts
       |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts
       |ORDER BY p.user_id, purchase_ts, p.v""".stripMargin,
+    "ts_interp" -> s"""WITH $ptsSql,
+      |agg AS (SELECT user_id, event_type, (ts // 3600) * 3600 AS bucket,
+      |          count(*) AS n, max(v) AS max_v
+      |        FROM pts GROUP BY 1, 2, 3),
+      |grid AS (SELECT user_id, event_type,
+      |           unnest(generate_series(min(bucket), max(bucket), 3600)) AS bucket
+      |         FROM agg GROUP BY user_id, event_type),
+      |j AS (SELECT g.user_id, g.event_type, g.bucket,
+      |        coalesce(a.n, 0) AS n, a.max_v
+      |      FROM grid g LEFT JOIN agg a
+      |        ON g.user_id = a.user_id AND g.event_type = a.event_type
+      |       AND g.bucket = a.bucket),
+      |k AS (SELECT user_id, event_type, bucket, n, max_v,
+      |  last_value(CASE WHEN n > 0 THEN bucket END IGNORE NULLS) OVER wp AS pb,
+      |  last_value(CASE WHEN n > 0 THEN max_v END IGNORE NULLS) OVER wp AS pv,
+      |  first_value(CASE WHEN n > 0 THEN bucket END IGNORE NULLS) OVER wn AS nb,
+      |  first_value(CASE WHEN n > 0 THEN max_v END IGNORE NULLS) OVER wn AS nv
+      |FROM j WINDOW
+      |  wp AS (PARTITION BY user_id, event_type ORDER BY bucket
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |  wn AS (PARTITION BY user_id, event_type ORDER BY bucket
+      |         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      |SELECT user_id, event_type, bucket, n,
+      |  CASE WHEN n > 0 THEN max_v
+      |       WHEN pb IS NOT NULL AND nb IS NOT NULL THEN
+      |         pv + (nv - pv) * ((bucket - pb) / CAST(nb - pb AS DOUBLE))
+      |       ELSE coalesce(pv, nv) END AS v_interp
+      |FROM k ORDER BY user_id, event_type, bucket""".stripMargin,
+    "ts_increase" -> s"""WITH $ptsSql,
+      |d AS (SELECT user_id, event_type, ts,
+      |        CAST(round(v * 100) AS BIGINT) AS cents,
+      |        lag(CAST(round(v * 100) AS BIGINT))
+      |          OVER (PARTITION BY user_id, event_type ORDER BY ts, v) AS prev_cents
+      |      FROM pts)
+      |SELECT user_id, event_type, (ts // 86400) * 86400 AS day,
+      |  CAST(sum(CASE WHEN prev_cents IS NULL THEN 0
+      |                WHEN cents >= prev_cents THEN cents - prev_cents
+      |                ELSE cents END) AS BIGINT) AS increase_cents,
+      |  count(*) AS n
+      |FROM d GROUP BY 1, 2, 3 ORDER BY user_id, event_type, day""".stripMargin,
     "stream_window_agg" ->
       """SELECT event_type,
         |  CAST((epoch_ns(ts) // 1000000000) // 3600 * 3600 AS BIGINT) AS window_start,
