@@ -104,7 +104,12 @@ object Similarity {
               vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
     val e = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val q = queries.select(col(idCol).as("id"), col(vecCol).as("vec"))
-    val centroids = ivfCentroids(embeddings, idCol, vecCol, nlist)
+    // materialize the (tiny, <= nlist rows) centroid table once — the
+    // k-means lineage would otherwise re-execute for every consumer
+    val spark = embeddings.sparkSession
+    val cdf = ivfCentroids(embeddings, idCol, vecCol, nlist)
+    val centroids = spark.createDataFrame(
+      spark.sparkContext.parallelize(cdf.collect().toSeq, 1), cdf.schema)
     val lists = assign(e, centroids) // inverted file: id -> cluster
     val wq = Window.partitionBy("id").orderBy(col("__c").desc, col("cluster"))
     val probes = q.crossJoin(broadcast(centroids))
