@@ -153,6 +153,18 @@ object TsQueries {
         .agg(sum("inc").as("increase_cents"), count(lit(1)).as("n"))
         .orderBy("user_id", "event_type", "day")
     }),
+    // sessionization: 30-min-gap session windows per user
+    // (session_window is also the streaming form of this operator)
+    "ts_sessionize" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+      ev.withColumn("__sec", Ts.epochSec(ev, "ts"))
+        .groupBy(col("user_id"),
+          session_window(to_timestamp(col("__sec")), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n"),
+          min("__sec").as("session_start"), max("__sec").as("session_end"))
+        .select("user_id", "session_start", "session_end", "n")
+        .orderBy("user_id", "session_start")
+    }),
     // batch-equivalent of the streaming windowed ingest aggregation
     // (StreamIngest.chunkStream semantics; streaming path in
     // StreamIngestSpec over MemoryStream)
@@ -293,6 +305,20 @@ object TsQueries {
       |                ELSE cents END) AS BIGINT) AS increase_cents,
       |  count(*) AS n
       |FROM d GROUP BY 1, 2, 3 ORDER BY user_id, event_type, day""".stripMargin,
+    "ts_sessionize" -> s"""WITH $ptsSql,
+      |g AS (SELECT user_id, ts,
+      |        CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= 1800
+      |             THEN 1 ELSE 0 END AS brk
+      |      FROM (SELECT DISTINCT user_id, ts FROM pts) q),
+      |s AS (SELECT user_id, ts,
+      |        sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |      FROM g),
+      |pp AS (SELECT p.user_id, p.ts, s.sid
+      |       FROM pts p JOIN s ON p.user_id = s.user_id AND p.ts = s.ts)
+      |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+      |  count(*) AS n
+      |FROM pp GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
     "stream_window_agg" ->
       """SELECT event_type,
         |  CAST((epoch_ns(ts) // 1000000000) // 3600 * 3600 AS BIGINT) AS window_start,
