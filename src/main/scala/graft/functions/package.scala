@@ -19,7 +19,7 @@ package object functions {
   import graft.functions.{CosineSimExpr, GorillaChunkAgg, GorillaDecode,
     GorillaDecodeTimestamps, GorillaDecodeValues, GorillaEncode, GorillaEncodeValues,
     GorillaNumPoints, HashSetSortedExpr, HyperplaneBucketsExpr, MinHashExpr,
-    SimHashExpr, SortedIntersectCountExpr}
+    MinHashFromHashesExpr, ShingleHashesExpr, SimHashExpr, SortedIntersectCountExpr}
 
   type Builder = Seq[Expression] => Expression
 
@@ -43,6 +43,10 @@ package object functions {
       es(2).eval(null).asInstanceOf[Number].intValue())),
     "hash_set_sorted" -> (es => HashSetSortedExpr(es(0))),
     "sorted_intersect_count" -> (es => SortedIntersectCountExpr(es(0), es(1))),
+    "shingle_hashes" -> (es => ShingleHashesExpr(es(0),
+      es(1).eval(null).asInstanceOf[Number].intValue())),
+    "minhash_hashes" -> (es => MinHashFromHashesExpr(es(0),
+      es(1).eval(null).asInstanceOf[Number].intValue())),
   )
 
   def expressionInfo(name: String): ExpressionInfo =
@@ -78,4 +82,8 @@ package object functions {
   def hash_set_sorted(xs: Column): Column = call_function("hash_set_sorted", xs)
   def sorted_intersect_count(a: Column, b: Column): Column =
     call_function("sorted_intersect_count", a, b)
+  def shingle_hashes(text: Column, n: Int): Column =
+    call_function("shingle_hashes", text, org.apache.spark.sql.functions.lit(n))
+  def minhash_hashes(hashes: Column, k: Int): Column =
+    call_function("minhash_hashes", hashes, org.apache.spark.sql.functions.lit(k))
 }

@@ -71,6 +71,92 @@ object TextHash {
   }
 
   def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  /**
+   * FNV-1a hashes of all word n-gram shingles of a text, distinct and
+   * sorted — fused split+shingle+hash so no shingle strings are ever
+   * materialized. The hash of a shingle equals fnv64("w1 w2 .. wn"),
+   * so signatures are interchangeable with the string-shingle path.
+   */
+  def shingleHashes(text: UTF8String, n: Int): ArrayData = {
+    val bytes = text.getBytes
+    // word boundaries (split on single spaces, like split(text, ' '))
+    var words = 1
+    var i = 0
+    while (i < bytes.length) { if (bytes(i) == ' ') words += 1; i += 1 }
+    val starts = new Array[Int](words + 1)
+    var w = 1
+    i = 0
+    while (i < bytes.length) { if (bytes(i) == ' ') { starts(w) = i + 1; w += 1 }; i += 1 }
+    starts(words) = bytes.length + 1
+    val nShingles = math.max(words - n + 1, 1)
+    val hs = new Array[Long](nShingles)
+    var s = 0
+    while (s < nShingles) {
+      val from = starts(s)
+      val until = starts(math.min(s + n, words)) - 1 // end of last word in shingle
+      var h = 0xCBF29CE484222325L
+      var j = from
+      while (j < until) { h ^= bytes(j) & 0xFFL; h *= 0x100000001B3L; j += 1 }
+      hs(s) = h
+      s += 1
+    }
+    java.util.Arrays.sort(hs)
+    var uniq = 0
+    var k = 0
+    while (k < nShingles) {
+      if (k == 0 || hs(k) != hs(k - 1)) { hs(uniq) = hs(k); uniq += 1 }
+      k += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(hs, uniq))
+  }
+
+  /** k min-hashes over pre-hashed shingles (same permutations as
+    * [[minHash]], so signatures are interchangeable). */
+  def minHashFromHashes(hashes: ArrayData, k: Int): ArrayData = {
+    val mins = Array.fill(k)(Long.MaxValue)
+    val n = hashes.numElements()
+    var i = 0
+    while (i < n) {
+      val base = hashes.getLong(i)
+      var j = 0
+      while (j < k) {
+        val h = splitmix64(base + j * Gold)
+        if (h < mins(j)) mins(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(mins)
+  }
+}
+
+/** shingle_hashes(text, n) -> array<long> (distinct, ascending) */
+case class ShingleHashesExpr(child: Expression, n: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GorillaExprs.expect(child, StringType, s"$prettyName arg 1")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "shingle_hashes"
+  protected override def nullSafeEval(t: Any): Any =
+    TextHash.shingleHashes(t.asInstanceOf[UTF8String], n)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.functions.TextHash.shingleHashes($t, $n)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** minhash_hashes(hashes array<long>, k) -> array<long> */
+case class MinHashFromHashesExpr(child: Expression, k: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GorillaExprs.expect(child, ArrayType(LongType), s"$prettyName arg 1")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "minhash_hashes"
+  protected override def nullSafeEval(a: Any): Any =
+    TextHash.minHashFromHashes(a.asInstanceOf[ArrayData], k)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.TextHash.minHashFromHashes($a, $k)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 /** minhash(shingles array<string>, k) -> array<long> (k fixed at plan time) */

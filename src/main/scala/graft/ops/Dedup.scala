@@ -47,7 +47,8 @@ object Dedup {
                  maxBucket: Int = 1000): DataFrame = {
     val k = bands * rowsPerBand
     val sig = docs.select(col(idCol).as("id"),
-      graft.functions.minhash(Dedup.shingles(col(textCol)), k).as("sig"))
+      graft.functions.minhash_hashes(
+        graft.functions.shingle_hashes(col(textCol), 3), k).as("sig"))
     val banded = sig.select(col("id"), posexplode(
       transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
@@ -69,7 +70,7 @@ object Dedup {
   def jaccardVerify(pairs: DataFrame, docs: DataFrame, idCol: String,
                     textCol: String, threshold: Double): DataFrame = {
     val sh = docs.select(col(idCol).as("__jid"),
-      graft.functions.hash_set_sorted(Dedup.shingles(col(textCol))).as("__sh"))
+      graft.functions.shingle_hashes(col(textCol), 3).as("__sh"))
     // broadcast the per-doc shingle sets: keeps the (expensive) LSH
     // candidate subplan as the single probe side, executed exactly once
     pairs
@@ -93,7 +94,7 @@ object Dedup {
                         maxId: Long, threshold: Double): DataFrame = {
     val d = docs.filter(col(idCol) < maxId)
       .select(col(idCol).as("__jid"),
-        graft.functions.hash_set_sorted(Dedup.shingles(col(textCol))).as("__sh"))
+        graft.functions.shingle_hashes(col(textCol), 3).as("__sh"))
     val pairs = d.toDF("a_id", "sh_a")
       .join(d.toDF("b_id", "sh_b"), col("a_id") < col("b_id"))
     pairs

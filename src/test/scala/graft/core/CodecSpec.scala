@@ -234,4 +234,24 @@ class GorillaCodecSpec extends AnyFunSuite {
     val vs = Array.tabulate(100)(i => math.sin(i / 10.0))
     assert(GorillaCodec.decodeValues(GorillaCodec.encodeValues(vs)).toSeq == vs.toSeq)
   }
+
+  test("edge cases: empty, single point, NaN/Inf payloads, zero-delta runs") {
+    // empty chunk
+    val empty = GorillaCodec.encode(Array.empty[Long], Array.empty[Double], 0L)
+    val (et, ev) = GorillaCodec.decode(empty)
+    assert(et.isEmpty && ev.isEmpty && GorillaCodec.numPoints(empty) == 0)
+    // single point
+    val one = GorillaCodec.encode(Array(7201L), Array(42.5), 7200L)
+    assert(GorillaCodec.decode(one)._2.toSeq == Seq(42.5))
+    // NaN / infinities are raw-bit payloads and must round-trip bit-exactly
+    val weird = Array(Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity,
+      -0.0, Double.MinPositiveValue)
+    val wb = GorillaCodec.encode(Array(10L, 20L, 30L, 40L, 50L), weird, 0L)
+    val back = GorillaCodec.decode(wb)._2
+    assert(back.map(java.lang.Double.doubleToRawLongBits).toSeq ==
+      weird.map(java.lang.Double.doubleToRawLongBits).toSeq)
+    // duplicate timestamps (zero delta then zero dod) are legal
+    val dup = GorillaCodec.encode(Array(5L, 5L, 5L), Array(1.0, 1.0, 2.0), 0L)
+    assert(GorillaCodec.decode(dup)._1.toSeq == Seq(5L, 5L, 5L))
+  }
 }
