@@ -107,6 +107,40 @@ object Dedup {
   }
 
   /**
+   * Connected components of a near-dup pair graph by iterative
+   * min-label propagation: each doc's component becomes the minimum
+   * doc id reachable through near-dup edges, so an entire dup cluster
+   * (even chains A~B~C where A!~C) keeps exactly one canonical doc.
+   *
+   * `iters` bounds propagation distance; near-dup components are
+   * shallow (LSH-verified clusters are near-cliques), so a handful of
+   * rounds reaches the fixpoint. Each round is one join + groupBy —
+   * the standard large-graph CC shape (no driver-side state).
+   */
+  def components(pairs: DataFrame, allIds: DataFrame, idCol: String,
+                 iters: Int = 6): DataFrame = {
+    val edges = pairs.select(col("a_id").as("x"), col("b_id").as("y"))
+      .unionAll(pairs.select(col("b_id").as("x"), col("a_id").as("y")))
+      .distinct()
+    var comp = allIds.select(col(idCol).as("id"), col(idCol).as("comp"))
+    var i = 0
+    while (i < iters) {
+      val neighborMin = edges
+        .join(comp.select(col("id").as("y"), col("comp").as("ncomp")), "y")
+        .groupBy(col("x").as("id")).agg(min("ncomp").as("nmin"))
+      comp = comp.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
+        .localCheckpoint(eager = false) // cut lineage growth per round
+      i += 1
+    }
+    val sizes = comp.groupBy("comp").agg(count(lit(1)).as("comp_size"))
+    comp.join(sizes, "comp")
+      .select(col("id"), col("comp"), col("comp_size"),
+        (col("id") =!= col("comp")).as("is_dup"))
+  }
+
+  /**
    * SimHash near-dup pairs at hamming distance <= maxDist, found by
    * 8x8-bit band blocking (any identical byte => candidate): a pair
    * at distance d <= 7 cannot differ in all 8 bands (pigeonhole), so

@@ -33,6 +33,12 @@ object OpsQueries {
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardBrute(Tables(s, dir, "documents"), "doc_id", "text",
         maxId = 1000, threshold = 0.5).orderBy("a_id", "b_id")),
+    "dedup_components" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents").filter(col("doc_id") < 1000)
+      Dedup.components(
+        Dedup.ngramJaccardBrute(docs, "doc_id", "text", 1000, 0.5),
+        docs, "doc_id").orderBy("id")
+    }),
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(Tables(s, dir, "documents"), "doc_id", "text")
         .orderBy("a_id", "b_id")),
@@ -98,6 +104,22 @@ object OpsQueries {
       |  AND len(list_intersect(a.s, b.s)) /
       |    CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) >= 0.5
       |ORDER BY a_id, b_id""".stripMargin,
+    "dedup_components" -> s"""WITH RECURSIVE $shinglesSql,
+      |pr AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+      |       FROM sh a, sh b
+      |       WHERE a.doc_id < b.doc_id AND a.doc_id < 1000 AND b.doc_id < 1000
+      |         AND len(list_intersect(a.s, b.s)) /
+      |           CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) >= 0.5),
+      |e AS (SELECT a_id AS x, b_id AS y FROM pr UNION SELECT b_id, a_id FROM pr),
+      |reach(x, y) AS (SELECT x, y FROM e
+      |  UNION SELECT r.x, e2.y FROM reach r JOIN e e2 ON r.y = e2.x),
+      |cmp AS (SELECT x AS id, least(x, min(y)) AS comp FROM reach GROUP BY x),
+      |ids AS (SELECT doc_id AS id FROM documents WHERE doc_id < 1000),
+      |lbl AS (SELECT ids.id, coalesce(cmp.comp, ids.id) AS comp
+      |        FROM ids LEFT JOIN cmp ON ids.id = cmp.id),
+      |sz AS (SELECT comp, count(*) AS comp_size FROM lbl GROUP BY comp)
+      |SELECT lbl.id, lbl.comp, sz.comp_size, lbl.id != lbl.comp AS is_dup
+      |FROM lbl JOIN sz ON lbl.comp = sz.comp ORDER BY lbl.id""".stripMargin,
     "dedup_embedding" -> s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id,
       |  ${cosSql("a.embedding", "b.embedding")} AS cos
       |FROM embeddings a, embeddings b

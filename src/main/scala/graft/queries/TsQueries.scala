@@ -153,6 +153,17 @@ object TsQueries {
         .agg(sum("inc").as("increase_cents"), count(lit(1)).as("n"))
         .orderBy("user_id", "event_type", "day")
     }),
+    // exact distribution aggregates per series (interpolated quantiles
+    // over the exact integer cent grid)
+    "ts_quantiles" -> ((s, dir) =>
+      points(s, dir)
+        .withColumn("cents", round(col("v") * 100).cast("long"))
+        .groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("n"),
+          expr("percentile(cents, 0.5)").as("p50"),
+          expr("percentile(cents, 0.9)").as("p90"),
+          expr("percentile(cents, 0.99)").as("p99"))
+        .orderBy("user_id", "event_type")),
     // sessionization: 30-min-gap session windows per user
     // (session_window is also the streaming form of this operator)
     "ts_sessionize" -> ((s, dir) => {
@@ -305,6 +316,13 @@ object TsQueries {
       |                ELSE cents END) AS BIGINT) AS increase_cents,
       |  count(*) AS n
       |FROM d GROUP BY 1, 2, 3 ORDER BY user_id, event_type, day""".stripMargin,
+    "ts_quantiles" -> s"""WITH $ptsSql
+      |SELECT user_id, event_type, count(*) AS n,
+      |  quantile_cont(CAST(round(v * 100) AS BIGINT), 0.5) AS p50,
+      |  quantile_cont(CAST(round(v * 100) AS BIGINT), 0.9) AS p90,
+      |  quantile_cont(CAST(round(v * 100) AS BIGINT), 0.99) AS p99
+      |FROM pts GROUP BY user_id, event_type
+      |ORDER BY user_id, event_type""".stripMargin,
     "ts_sessionize" -> s"""WITH $ptsSql,
       |g AS (SELECT user_id, ts,
       |        CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= 1800

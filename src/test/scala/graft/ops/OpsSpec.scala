@@ -85,6 +85,18 @@ class OpsSpec extends AnyFunSuite {
     assert(r16 >= r4)
   }
 
+  test("components: chains collapse transitively to one canonical id") {
+    import spark.implicits._
+    // A~B, B~C, D~E; A!~C directly — all of A,B,C must share component 1
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("a_id", "b_id")
+    val ids = Seq(1L, 2L, 3L, 5L, 7L, 9L).toDF("doc_id")
+    val comp = Dedup.components(pairs, ids, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSet
+    assert(comp == Set(
+      (1L, 1L, 3L, false), (2L, 1L, 3L, true), (3L, 1L, 3L, true),
+      (5L, 5L, 1L, false), (7L, 7L, 2L, false), (9L, 7L, 2L, true)))
+  }
+
   test("multimodal: stub decoder plumbing preserves rows and determinism") {
     val media = Multimodal.syntheticMedia(docs, "doc_id", "text")
     val feats = Multimodal.extractFeatures(media).collect()
