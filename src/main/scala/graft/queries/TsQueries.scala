@@ -325,7 +325,9 @@ object TsQueries {
       |ORDER BY user_id, event_type""".stripMargin,
     "ts_sessionize" -> s"""WITH $ptsSql,
       |g AS (SELECT user_id, ts,
-      |        CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= 1800
+      |        -- session_window merges touching windows: an event at
+      |        -- exactly prev+gap still extends the session => break on >
+      |        CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > 1800
       |             THEN 1 ELSE 0 END AS brk
       |      FROM (SELECT DISTINCT user_id, ts FROM pts) q),
       |s AS (SELECT user_id, ts,

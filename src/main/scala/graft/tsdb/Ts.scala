@@ -44,14 +44,22 @@ object Ts {
    * dense-series shapes.
    */
   def chunkify(events: DataFrame, seriesCols: Seq[String], tsCol: String, valCol: String,
-               windowSec: Long = WindowSec, leadTrail: Boolean = false): DataFrame = {
+               windowSec: Long = WindowSec, leadTrail: Boolean = false,
+               saltBuckets: Int = 1): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.types._
-    val base = events
+    val base0 = events
       .select(seriesCols.map(col) :+ epochSec(events, tsCol).as("__sec") :+
         col(valCol).cast("double").as("__v"): _*)
       .withColumn("window_start", (floor(col("__sec") / windowSec) * windowSec).cast("long"))
-    val keyCols = seriesCols :+ "window_start"
+    // optional skew escape hatch: a pathologically hot (series, window)
+    // splits into saltBuckets sub-chunks; readers are agnostic (a
+    // window may own several chunks), roundtrip set semantics unchanged
+    val base = if (saltBuckets <= 1) base0
+      else base0.withColumn("__salt",
+        pmod(xxhash64(col("__sec"), col("__v")), lit(saltBuckets.toLong)))
+    val keyCols = (if (saltBuckets <= 1) Seq.empty[String] else Seq("__salt")) ++:
+      seriesCols :+ "window_start"
     val sorted = base
       .repartition(keyCols.map(col): _*)
       .sortWithinPartitions((keyCols :+ "__sec" :+ "__v").map(col): _*)

@@ -45,6 +45,33 @@ class TsStoreSpec extends AnyFunSuite {
     assert(overall < 25.0, s"compression ratio $overall%")
   }
 
+  test("salted chunkify splits hot windows but preserves the point set") {
+    import spark.implicits._
+    val pts = (0 until 5000).map(i =>
+      ("hot", new java.sql.Timestamp((1700000000L + i % 600) * 1000L), i / 100.0))
+      .toDF("series", "ts", "value")
+    val plain = Ts.chunkify(pts, Seq("series"), "ts", "value")
+    val salted = Ts.chunkify(pts, Seq("series"), "ts", "value", saltBuckets = 8)
+    assert(plain.count() == 1L)
+    assert(salted.count() > 1L) // hot window split into sub-chunks
+    val a = Ts.unpack(plain, Seq("series")).orderBy("ts", "v").collect().toSeq
+    val b = Ts.unpack(salted, Seq("series")).orderBy("ts", "v").collect().toSeq
+    assert(a.map(r => (r.getLong(1), r.getDouble(2))) ==
+      b.map(r => (r.getLong(1), r.getDouble(2))))
+  }
+
+  test("typed facade round-trips Points through Chunks") {
+    import spark.implicits._
+    val pts = Seq(Point("cpu", 7200, 1.5), Point("cpu", 7260, 2.5),
+      Point("mem", 7201, 10.0)).toDS()
+    val chunks = TsTyped.chunkify(pts)
+    val back = TsTyped.unpack(chunks).orderBy("series", "ts").collect().toSeq
+    assert(back == Seq(Point("cpu", 7200, 1.5), Point("cpu", 7260, 2.5),
+      Point("mem", 7201, 10.0)))
+    assert(TsTyped.latest(chunks).collect().toSet ==
+      Set(Point("cpu", 7260, 2.5), Point("mem", 7201, 10.0)))
+  }
+
   test("sparse event series report honest (poor) ratios — stats stay consistent") {
     val ev = spark.read.parquet(s"$dir/events.parquet")
     val chunks = Ts.chunkify(ev, Seq("user_id", "event_type"), "ts", "value")
