@@ -1,6 +1,6 @@
 package graft.tsdb
 
-import graft.functions.{gorilla_decode, gorilla_encode, gorilla_encode_lt}
+import graft.functions.gorilla_decode
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
