@@ -95,6 +95,24 @@ object RelQueries {
           cents(col("o_totalprice")).as("total_c"))
         .orderBy("o_custkey", "rk")
     }),
+    // hierarchical totals: ROLLUP over (returnflag, linestatus)
+    "q_rollup" -> ((s, dir) =>
+      Tables(s, dir, "lineitem")
+        .withColumn("price_c", cents(col("l_extendedprice")))
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), sum("price_c").as("sum_base_c"),
+          grouping_id().as("lvl"))
+        .orderBy(col("lvl"), col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
+    // anti join: customers with no order since 2000-06-01
+    "q_antijoin" -> ((s, dir) => {
+      val c = Tables(s, dir, "customer")
+      val o = Tables(s, dir, "orders")
+        .filter(col("o_orderdate") >= to_timestamp(lit("2000-06-01 00:00:00")))
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    }),
     // semi-structured columns: JSON property extraction + aggregation
     "q_json" -> ((s, dir) =>
       Tables(s, dir, "events")
@@ -170,6 +188,17 @@ object RelQueries {
         |    row_number() OVER (PARTITION BY o_custkey
         |                       ORDER BY o_totalprice DESC, o_orderkey) AS rk
         |  FROM orders) WHERE rk <= 2 ORDER BY o_custkey, rk""".stripMargin,
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_c,
+        |  grouping(l_returnflag) * 2 + grouping(l_linestatus) AS lvl
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY lvl, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q_antijoin" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+        |                        WHERE o_orderdate >= TIMESTAMP '2000-06-01 00:00:00')
+        |ORDER BY c_custkey""".stripMargin,
     "q_json" ->
       """SELECT event_type, count(*) AS n,
         |  count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k,
