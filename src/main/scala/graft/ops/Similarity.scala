@@ -75,9 +75,11 @@ object Similarity {
     var it = 0
     while (it < iters) {
       val assigned = assign(e, centroids)
+      // round the means to 1e-6: float sums depend on partition order,
+      // and unquantized noise would make bucket assignment run-varying
       centroids = assigned.join(e, "id")
         .select(col("cluster"), posexplode(col("vec")))
-        .groupBy("cluster", "pos").agg(avg("col").as("m"))
+        .groupBy("cluster", "pos").agg(round(avg("col"), 6).as("m"))
         .groupBy("cluster")
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           s => s.getField("m").cast("float")).as("centroid"))
