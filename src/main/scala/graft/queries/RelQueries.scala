@@ -113,6 +113,16 @@ object RelQueries {
         .select("c_custkey", "c_name", "c_mktsegment")
         .orderBy("c_custkey")
     }),
+    // sketch aggregates: HLL distinct users per event type (approx,
+    // mergeable across partitions — the 100TB distinct-count path);
+    // rows-only, accuracy pinned vs exact counts in RelQueriesSpec
+    "q_hll_distinct" -> ((s, dir) =>
+      Tables(s, dir, "events")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          approx_count_distinct(col("user_id")).as("approx_users"),
+          expr("hll_sketch_estimate(hll_sketch_agg(user_id))").as("hll_users"))
+        .orderBy("event_type")),
     // semi-structured columns: JSON property extraction + aggregation
     "q_json" -> ((s, dir) =>
       Tables(s, dir, "events")

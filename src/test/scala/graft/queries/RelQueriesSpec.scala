@@ -38,6 +38,20 @@ class RelQueriesSpec extends AnyFunSuite {
     assert(readSchema.contains("l_extendedprice"), readSchema)
   }
 
+  test("hll distinct estimates stay within 5% of exact") {
+    import org.apache.spark.sql.functions._
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct("user_id").as("exact")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = RelQueries.queries("q_hll_distinct")(spark, dir).collect()
+    approx.foreach { r =>
+      val e = exact(r.getString(0)).toDouble
+      assert(math.abs(r.getLong(2) - e) / e <= 0.05, s"approx_count_distinct off for $r")
+      assert(math.abs(r.getLong(3) - e) / e <= 0.05, s"hll_sketch off for $r")
+    }
+  }
+
   test("relational queries return rows on sf0.001") {
     for ((name, q) <- RelQueries.queries) {
       assert(q(spark, dir).count() > 0, s"$name returned no rows")
