@@ -119,9 +119,12 @@ object Dedup {
    */
   def components(pairs: DataFrame, allIds: DataFrame, idCol: String,
                  iters: Int = 6): DataFrame = {
+    // materialize edges once: the pair source may be expensive (LSH or
+    // brute-force jaccard) and is joined in every propagation round
     val edges = pairs.select(col("a_id").as("x"), col("b_id").as("y"))
       .unionAll(pairs.select(col("b_id").as("x"), col("a_id").as("y")))
       .distinct()
+      .localCheckpoint()
     var comp = allIds.select(col(idCol).as("id"), col(idCol).as("comp"))
     var i = 0
     while (i < iters) {
