@@ -12,10 +12,11 @@ final class BitWriter(initialWords: Int = 8) {
   private var buf = new Array[Long](math.max(initialWords, 2))
   private var pos = 0L // bits written so far
 
-  /** Append the `count` least-significant bits of `value` (0 <= count <= 64). */
+  /** Append the `count` least-significant bits of `value`
+    * (0 <= count <= 64; out-of-range counts are a caller bug — the
+    * codecs only emit fixed field widths, so no per-call validation). */
   def write(value: Long, count: Int): Unit = {
     if (count == 0) return
-    require(count >= 1 && count <= 64, s"bit count out of range: $count")
     val v = if (count == 64) value else value & ((1L << count) - 1L)
     val idx = (pos >>> 6).toInt
     val off = (pos & 63L).toInt
