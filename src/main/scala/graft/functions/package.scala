@@ -19,7 +19,8 @@ package object functions {
   import graft.functions.{CosineSimExpr, GorillaChunkAgg, GorillaDecode,
     GorillaDecodeTimestamps, GorillaDecodeValues, GorillaEncode, GorillaEncodeValues,
     GorillaNumPoints, HashSetSortedExpr, HyperplaneBucketsExpr, MinHashExpr,
-    MinHashFromHashesExpr, ShingleHashesExpr, SimHashExpr, SortedIntersectCountExpr}
+    MinHashFromHashesExpr, ShingleHashesExpr, SimHashExpr, SimHashTextExpr,
+    SortedIntersectCountExpr}
 
   type Builder = Seq[Expression] => Expression
 
@@ -37,6 +38,7 @@ package object functions {
     "minhash" -> (es => MinHashExpr(es(0),
       es(1).eval(null).asInstanceOf[Number].intValue())),
     "simhash" -> (es => SimHashExpr(es(0))),
+    "simhash_text" -> (es => SimHashTextExpr(es(0))),
     "cosine_sim" -> (es => CosineSimExpr(es(0), es(1))),
     "hyperplane_buckets" -> (es => HyperplaneBucketsExpr(es(0),
       es(1).eval(null).asInstanceOf[Number].intValue(),
@@ -75,6 +77,7 @@ package object functions {
   def minhash(shingles: Column, k: Int): Column =
     call_function("minhash", shingles, org.apache.spark.sql.functions.lit(k))
   def simhash(tokens: Column): Column = call_function("simhash", tokens)
+  def simhash_text(text: Column): Column = call_function("simhash_text", text)
   def cosine_sim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
   def hyperplane_buckets(vec: Column, nBits: Int, tables: Int): Column =
     call_function("hyperplane_buckets", vec,

@@ -56,14 +56,42 @@ object TextHash {
     val n = tokens.numElements()
     var i = 0
     while (i < n) {
-      val h = splitmix64(fnv64(tokens.getUTF8String(i)))
-      var b = 0
-      while (b < 64) {
-        if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
-        b += 1
+      accumulate(acc, splitmix64(fnv64(tokens.getUTF8String(i))))
+      i += 1
+    }
+    finish(acc)
+  }
+
+  /** SimHash over whitespace tokens without materializing a token
+    * array: split + FNV + accumulate fused in one byte scan. */
+  def simHashText(text: UTF8String): Long = {
+    val bytes = text.getBytes
+    val acc = new Array[Int](64)
+    var h = 0xCBF29CE484222325L
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i)
+      if (b == ' ') {
+        accumulate(acc, splitmix64(h))
+        h = 0xCBF29CE484222325L
+      } else {
+        h ^= b & 0xFFL; h *= 0x100000001B3L
       }
       i += 1
     }
+    accumulate(acc, splitmix64(h)) // final token (split(text,' ') always yields >= 1)
+    finish(acc)
+  }
+
+  private def accumulate(acc: Array[Int], h: Long): Unit = {
+    var b = 0
+    while (b < 64) {
+      if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+      b += 1
+    }
+  }
+
+  private def finish(acc: Array[Int]): Long = {
     var out = 0L
     var b = 0
     while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
@@ -129,6 +157,20 @@ object TextHash {
     }
     UnsafeArrayData.fromPrimitiveArray(mins)
   }
+}
+
+/** simhash_text(text) -> long (== simhash(split(text, ' '))) */
+case class SimHashTextExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GorillaExprs.expect(child, StringType, s"$prettyName arg 1")
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "simhash_text"
+  protected override def nullSafeEval(t: Any): Any =
+    TextHash.simHashText(t.asInstanceOf[UTF8String])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.functions.TextHash.simHashText($t)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 /** shingle_hashes(text, n) -> array<long> (distinct, ascending) */

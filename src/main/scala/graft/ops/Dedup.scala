@@ -153,7 +153,7 @@ object Dedup {
                    maxDist: Int = 7, maxBucket: Int = 1000): DataFrame = {
     require(maxDist <= 7, "8-band blocking is exact only for maxDist <= 7")
     val sig = docs.select(col(idCol).as("id"),
-      graft.functions.simhash(split(col(textCol), " ")).as("sig"))
+      graft.functions.simhash_text(col(textCol)).as("sig"))
     val bandCols = (0 until 8).map(b =>
       shiftrightunsigned(col("sig"), b * 8).bitwiseAND(lit(0xFFL)))
     val banded = sig.select(col("id"), col("sig"), posexplode(array(bandCols: _*)))

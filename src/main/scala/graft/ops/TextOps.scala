@@ -76,6 +76,6 @@ object TextOps {
   def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val norm = trim(regexp_replace(lower(col(textCol)), "\\s+", " "))
     docs.select(col(idCol), md5(norm).as("fp_md5"),
-      graft.functions.simhash(split(norm, " ")).as("fp_sim"))
+      graft.functions.simhash_text(norm).as("fp_sim"))
   }
 }
