@@ -226,6 +226,13 @@ object TsQueries {
     "ts_compression" -> ((s, dir) =>
       graft.tsdb.Ts.compressionStats(chunks(s, dir), series)
         .orderBy("user_id", "event_type")),
+    // density-adaptive windows: sparse series get wide windows so
+    // chunk headers stop dominating (rows-only: byte sizes)
+    "ts_compression_adaptive" -> ((s, dir) =>
+      graft.tsdb.Ts.compressionStats(
+        graft.tsdb.Ts.chunkifyAdaptive(Tables(s, dir, "events"), series, "ts", "value",
+          targetPoints = 64), series)
+        .orderBy("user_id", "event_type")),
     // aggregate *directly over compressed chunks* (no point materialization)
     "ts_compressed_agg" -> ((s, dir) => {
       val c = chunks(s, dir)

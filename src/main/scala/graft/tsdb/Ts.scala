@@ -46,8 +46,6 @@ object Ts {
   def chunkify(events: DataFrame, seriesCols: Seq[String], tsCol: String, valCol: String,
                windowSec: Long = WindowSec, leadTrail: Boolean = false,
                saltBuckets: Int = 1): DataFrame = {
-    import org.apache.spark.sql.{Encoders, Row}
-    import org.apache.spark.sql.types._
     val base0 = events
       .select(seriesCols.map(col) :+ epochSec(events, tsCol).as("__sec") :+
         col(valCol).cast("double").as("__v"): _*)
@@ -60,10 +58,19 @@ object Ts {
         pmod(xxhash64(col("__sec"), col("__v")), lit(saltBuckets.toLong)))
     val keyCols = (if (saltBuckets <= 1) Seq.empty[String] else Seq("__salt")) ++:
       seriesCols :+ "window_start"
+    encodeSorted(base, keyCols, leadTrail)
+  }
+
+  /** Sort-based encode of a prepared (keys*, __sec, __v) frame: hash-
+    * repartition on the keys, external-sort within partitions, stream
+    * consecutive runs straight into the gorilla encoder. */
+  private def encodeSorted(base: DataFrame, keyCols: Seq[String],
+                           leadTrail: Boolean): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
     val sorted = base
       .repartition(keyCols.map(col): _*)
       .sortWithinPartitions((keyCols :+ "__sec" :+ "__v").map(col): _*)
-    val nKeys = keyCols.length
     val outSchema = StructType(
       keyCols.map(k => sorted.schema(k)).toArray ++ Array(
         StructField("n", LongType, nullable = false),
@@ -82,7 +89,6 @@ object Ts {
         def next(): Row = {
           val head = it.head
           val key = keyIdx.map(head.get)
-          val windowStart = head.getLong(keyIdx(nKeys - 1))
           var ts = new Array[Long](64)
           var vs = new Array[Double](64)
           var n = 0
@@ -103,13 +109,46 @@ object Ts {
             if (v > maxV) maxV = v
             n += 1
           }
+          // header time aligns to the first point's 2h block, not the
+          // (possibly much larger) window: keeps the 14-bit first
+          // delta valid for any windowSec; chunks are self-describing
           val bytes = graft.core.GorillaCodec.encode(
             java.util.Arrays.copyOf(ts, n), java.util.Arrays.copyOf(vs, n),
-            windowStart, leadTrail)
+            graft.core.GorillaCodec.alignWindow(ts(0), WindowSec), leadTrail)
           Row.fromSeq(key.toSeq ++ Seq(n.toLong, ts(0), ts(n - 1), minV, maxV, bytes))
         }
       }
     }(Encoders.row(outSchema))
+  }
+
+  /**
+   * Density-adaptive chunking for mixed dense/sparse workloads: each
+   * series gets a window sized so chunks average ~`targetPoints`
+   * points (clamped to [windowSec, maxWindowSec], multiples of
+   * windowSec). Sparse series stop paying one chunk header per
+   * near-empty 2-h block — the fix for header-dominated ratios —
+   * while dense series keep small windows. Two passes: a per-series
+   * stats aggregation (tiny — one row per series), then the normal
+   * sort-based encode keyed by the per-series window.
+   */
+  def chunkifyAdaptive(events: DataFrame, seriesCols: Seq[String], tsCol: String,
+                       valCol: String, targetPoints: Long = 512,
+                       windowSec: Long = WindowSec,
+                       maxWindowSec: Long = 365L * 86400): DataFrame = {
+    val base = events
+      .select(seriesCols.map(col) :+ epochSec(events, tsCol).as("__sec") :+
+        col(valCol).cast("double").as("__v"): _*)
+    val stats = base.groupBy(seriesCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"), min("__sec").as("__t0"), max("__sec").as("__t1"))
+      .select(seriesCols.map(col) :+
+        least(lit(maxWindowSec), greatest(lit(windowSec),
+          (ceil((col("__t1") - col("__t0") + 1) * targetPoints /
+            (col("__n") * windowSec.toDouble)) * windowSec).cast("long"))).as("__wsec"): _*)
+    val withWindow = base.join(broadcast(stats), seriesCols)
+      .withColumn("window_start",
+        (floor(col("__sec") / col("__wsec")) * col("__wsec")).cast("long"))
+      .drop("__wsec")
+    encodeSorted(withWindow, seriesCols :+ "window_start", leadTrail = false)
   }
 
   /** Decode chunks back to one row per point: `seriesCols*, ts, v`. */

@@ -72,6 +72,25 @@ class TsStoreSpec extends AnyFunSuite {
       Set(Point("cpu", 7260, 2.5), Point("mem", 7201, 10.0)))
   }
 
+  test("adaptive windows fix sparse-series compression and round-trip exactly") {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val series = Seq("user_id", "event_type")
+    val fixed = Ts.chunkify(ev, series, "ts", "value")
+    val adaptive = Ts.chunkifyAdaptive(ev, series, "ts", "value", targetPoints = 64)
+    def ratio(c: org.apache.spark.sql.DataFrame): Double =
+      Ts.compressionStats(c, series)
+        .agg((sum("chunk_bytes") * 100.0 / sum("raw_bytes")).as("pct"))
+        .first().getDouble(0)
+    val (rf, ra) = (ratio(fixed), ratio(adaptive))
+    assert(ra < rf / 2, s"adaptive $ra% should halve fixed $rf%")
+    assert(ra < 100.0, s"adaptive must beat raw, got $ra%")
+    // identical decoded point sets
+    val a = Ts.unpack(fixed, series).orderBy("user_id", "event_type", "ts", "v").collect().toSeq
+    val b = Ts.unpack(adaptive, series).orderBy("user_id", "event_type", "ts", "v").collect().toSeq
+    assert(a == b)
+    assert(adaptive.count() < fixed.count()) // fewer, fuller chunks
+  }
+
   test("sparse event series report honest (poor) ratios — stats stay consistent") {
     val ev = spark.read.parquet(s"$dir/events.parquet")
     val chunks = Ts.chunkify(ev, Seq("user_id", "event_type"), "ts", "value")
