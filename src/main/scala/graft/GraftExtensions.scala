@@ -9,8 +9,10 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
  * (In-process callers can use `graft.functions.registerAll` instead.)
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     functions.all.foreach { case (name, builder) =>
       ext.injectFunction((FunctionIdentifier(name), functions.expressionInfo(name), builder))
     }
+    ext.injectOptimizerRule(_ => graft.plans.ChunkPruneRule)
+  }
 }
