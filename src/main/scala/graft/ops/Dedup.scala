@@ -118,7 +118,7 @@ object Dedup {
    * the standard large-graph CC shape (no driver-side state).
    */
   def components(pairs: DataFrame, allIds: DataFrame, idCol: String,
-                 iters: Int = 6): DataFrame = {
+                 iters: Int = 4): DataFrame = {
     // materialize edges once: the pair source may be expensive (LSH or
     // brute-force jaccard) and is joined in every propagation round
     val edges = pairs.select(col("a_id").as("x"), col("b_id").as("y"))

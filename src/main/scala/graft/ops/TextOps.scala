@@ -72,6 +72,24 @@ object TextOps {
       size(regexp_extract_all(col(textCol),
         lit("[A-Za-z]{1,4}|[0-9]{1,3}"), lit(0))).as("n_bpeish"))
 
+  /**
+   * Deterministic stratified sampling: keep a row iff
+   * xxhash64(id, salt) lands under the stratum's rate threshold.
+   * Hash-gated (not RNG) so the sample is reproducible across runs,
+   * cluster layouts, and retries — the property training-data
+   * pipelines need for resumable dataset builds.
+   */
+  def sampleStratified(df: DataFrame, idCol: String, stratumCol: String,
+                       rates: Map[String, Double], defaultRate: Double = 0.0,
+                       salt: Long = 42L): DataFrame = {
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (k, r)) =>
+      when(col(stratumCol) === k, lit(r)).otherwise(acc)
+    }
+    // uniform in [0,1): low 52 bits of the hash over 2^52
+    val u = (pmod(xxhash64(col(idCol), lit(salt)), lit(1L << 52))) / lit((1L << 52).toDouble)
+    df.withColumn("__rate", rate).filter(u < col("__rate")).drop("__rate")
+  }
+
   /** Content fingerprint of whitespace-normalized lowercase text. */
   def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val norm = trim(regexp_replace(lower(col(textCol)), "\\s+", " "))

@@ -67,6 +67,12 @@ object OpsQueries {
     "text_fingerprint" -> ((s, dir) =>
       TextOps.fingerprint(Tables(s, dir, "documents"), "doc_id", "text")
         .select("doc_id", "fp_md5").orderBy("doc_id")),
+    // deterministic hash-gated stratified sample (rows-only: the hash
+    // family is engine-specific; determinism + rates pinned in OpsSpec)
+    "sample_stratified" -> ((s, dir) =>
+      TextOps.sampleStratified(Tables(s, dir, "documents"), "doc_id", "lang",
+        Map("en" -> 0.5, "fr" -> 0.25, "zh" -> 1.0), defaultRate = 0.1)
+        .select("doc_id", "lang").orderBy("doc_id")),
     "mm_features" -> ((s, dir) =>
       Multimodal.featureStats(
         Multimodal.syntheticMedia(Tables(s, dir, "documents"), "doc_id", "text"))),

@@ -97,6 +97,23 @@ class OpsSpec extends AnyFunSuite {
       (5L, 5L, 1L, false), (7L, 7L, 2L, false), (9L, 7L, 2L, true)))
   }
 
+  test("stratified sample: deterministic, rates honored per stratum") {
+    val rates = Map("en" -> 0.5, "fr" -> 0.25, "zh" -> 1.0)
+    def run() = TextOps.sampleStratified(docs, "doc_id", "lang", rates, defaultRate = 0.1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val s1 = run(); val s2 = run()
+    assert(s1 == s2, "hash-gated sample must be reproducible")
+    val byLang = docs.select("doc_id", "lang").collect()
+      .groupBy(_.getString(1)).view.mapValues(_.map(_.getLong(0)).toSet).toMap
+    for ((lang, ids) <- byLang) {
+      val r = rates.getOrElse(lang, 0.1)
+      val got = (ids & s1).size.toDouble / ids.size
+      assert(math.abs(got - r) < 0.15 + 2.0 / math.sqrt(ids.size),
+        s"$lang rate $got vs $r over ${ids.size} docs")
+    }
+    assert((byLang("zh") -- s1).isEmpty, "rate 1.0 stratum must be fully kept")
+  }
+
   test("multimodal: stub decoder plumbing preserves rows and determinism") {
     val media = Multimodal.syntheticMedia(docs, "doc_id", "text")
     val feats = Multimodal.extractFeatures(media).collect()
