@@ -90,20 +90,16 @@ object TsQueries {
         .orderBy("user_id", "event_type", "ts", "v")
     }),
     // as-of join: each purchase -> latest click at-or-before it, one
-    // shuffle via union + running max (no per-row subqueries)
+    // shuffle via the generic Ts.asofJoin (union + running struct max)
     "ts_asof_join" -> ((s, dir) => {
       val pts = points(s, dir)
-      val clicks = pts.filter(col("event_type") === "click")
-        .select(col("user_id"), col("ts"), lit(0).as("kind"), col("v"))
       val purchases = pts.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("ts"), lit(1).as("kind"), col("v"))
-      // kind orders clicks before purchases at equal ts => '<=' semantics
-      val w = Window.partitionBy("user_id").orderBy("ts", "kind")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      clicks.unionAll(purchases)
-        .withColumn("click_ts", max(when(col("kind") === 0, col("ts"))).over(w))
-        .filter(col("kind") === 1)
-        .select(col("user_id"), col("ts").as("purchase_ts"), col("v"), col("click_ts"))
+        .select(col("user_id"), col("ts"), col("v"))
+      val clicks = pts.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"))
+      Ts.asofJoin(purchases, clicks, Seq("user_id"), "ts", "ts")
+        .select(col("user_id"), col("ts").as("purchase_ts"), col("v"),
+          col("right_ts").as("click_ts"))
         .orderBy("user_id", "purchase_ts", "v")
     }),
     // hourly grid with *linear interpolation* across interior gaps

@@ -214,6 +214,39 @@ object Ts {
       .withColumn("ratio_pct",
         round(col("chunk_bytes") * 100.0 / col("raw_bytes"), 2))
 
+  /**
+   * Generic backward as-of join: for every left row, attach the
+   * latest right row with `right.tsCol <= left.tsCol` on the same
+   * keys. Single shuffle: union both sides tagged, one window pass
+   * carrying the right row's payload in a running (ts, payload)
+   * struct max — no per-row subqueries, no range join explosion.
+   * Right columns come back prefixed `right_` (null when no match).
+   */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftTs: String, rightTs: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rightPayload = right.columns.filterNot(c => keys.contains(c) || c == rightTs).toSeq
+    val payloadType = right.select(rightPayload.map(col): _*).schema
+    val l = left
+      .withColumn("__ts", col(leftTs).cast("long"))
+      .withColumn("__kind", lit(1))
+      .withColumn("__rs", lit(null).cast(payloadType))
+    val r = right.select(keys.map(col) :+ col(rightTs).cast("long").as("__ts") :+
+        struct(rightPayload.map(col): _*).as("__rs"): _*)
+      .withColumn("__kind", lit(0))
+    val together = l.unionByName(r, allowMissingColumns = true)
+    // kind orders right rows before left at equal ts => '<=' semantics
+    val w = Window.partitionBy(keys.map(col): _*).orderBy("__ts", "__kind")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = together
+      .withColumn("__m", max(when(col("__kind") === 0,
+        struct(col("__ts").as("ts"), col("__rs").as("rs")))).over(w))
+      .filter(col("__kind") === 1)
+    matched.select(left.columns.map(col) ++
+      Seq(col("__m.ts").as(s"right_$rightTs")) ++
+      rightPayload.map(c => col(s"__m.rs.$c").as(s"right_$c")): _*)
+  }
+
   /** Downsample decoded points into `bucketSec` buckets per series. */
   def downsample(points: DataFrame, seriesCols: Seq[String], bucketSec: Long): DataFrame =
     points
