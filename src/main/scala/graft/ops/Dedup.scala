@@ -66,18 +66,27 @@ object Dedup {
 
   /** Exact Jaccard similarity for given candidate pairs (verify stage).
     * Shingle sets are pre-hashed to sorted longs once per doc; the
-    * per-pair work is a linear merge, not string-set construction. */
+    * per-pair work is a linear merge, not string-set construction.
+    *
+    * Scale shape: the candidate frame (typically the LSH output) is
+    * persisted once — it is consumed twice below — and the corpus-sized
+    * shingle frame is semi-joined down to candidate ids BEFORE any
+    * equi-join. Candidates ≪ corpus, so no corpus-sized frame is ever
+    * broadcast or carried through a shuffle; the joins stay plain
+    * shuffle joins (AQE may still broadcast the already-reduced side,
+    * which is then bounded by the candidate count, not the corpus). */
   def jaccardVerify(pairs: DataFrame, docs: DataFrame, idCol: String,
                     textCol: String, threshold: Double): DataFrame = {
+    val cand = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val candIds = cand.select(col("a_id").as("__jid"))
+      .unionAll(cand.select(col("b_id").as("__jid")))
+      .distinct()
     val sh = docs.select(col(idCol).as("__jid"),
-      graft.functions.shingle_hashes(col(textCol), 3).as("__sh"))
-    // broadcast the per-doc shingle sets: keeps the (expensive) LSH
-    // candidate subplan as the single probe side, executed exactly once
-    pairs
-      .join(broadcast(sh.withColumnRenamed("__jid", "a_id")
-        .withColumnRenamed("__sh", "sh_a")), "a_id")
-      .join(broadcast(sh.withColumnRenamed("__jid", "b_id")
-        .withColumnRenamed("__sh", "sh_b")), "b_id")
+        graft.functions.shingle_hashes(col(textCol), 3).as("__sh"))
+      .join(candIds, Seq("__jid"), "left_semi")
+    cand
+      .join(sh.toDF("a_id", "sh_a"), "a_id")
+      .join(sh.toDF("b_id", "sh_b"), "b_id")
       .withColumn("n_common",
         graft.functions.sorted_intersect_count(col("sh_a"), col("sh_b")))
       .withColumn("jaccard", col("n_common") /
@@ -112,29 +121,40 @@ object Dedup {
    * doc id reachable through near-dup edges, so an entire dup cluster
    * (even chains A~B~C where A!~C) keeps exactly one canonical doc.
    *
-   * `iters` bounds propagation distance; near-dup components are
-   * shallow (LSH-verified clusters are near-cliques), so a handful of
-   * rounds reaches the fixpoint. Each round is one join + groupBy —
-   * the standard large-graph CC shape (no driver-side state).
+   * Iterates to the FIXPOINT: each round is one join + groupBy (the
+   * standard large-graph CC shape, no driver-side state), and the loop
+   * stops when a round changes zero labels — so arbitrarily long dup
+   * chains converge, with `maxIters` only as a runaway bound (labels
+   * move one hop per round; a chain of length L needs ~L rounds).
+   * The per-round materialization doubles as the convergence check, so
+   * the extra `count()` reads an already-computed frame.
+   *
+   * `reliable = true` swaps executor-local `localCheckpoint` (fast,
+   * but lost on executor death) for reliable `checkpoint()` — required
+   * on a real multi-executor cluster; needs
+   * `sparkContext.setCheckpointDir` to be set.
    */
   def components(pairs: DataFrame, allIds: DataFrame, idCol: String,
-                 iters: Int = 4): DataFrame = {
+                 maxIters: Int = 50, reliable: Boolean = false): DataFrame = {
+    def pin(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
     // materialize edges once: the pair source may be expensive (LSH or
     // brute-force jaccard) and is joined in every propagation round
-    val edges = pairs.select(col("a_id").as("x"), col("b_id").as("y"))
+    val edges = pin(pairs.select(col("a_id").as("x"), col("b_id").as("y"))
       .unionAll(pairs.select(col("b_id").as("x"), col("a_id").as("y")))
-      .distinct()
-      .localCheckpoint()
+      .distinct())
     var comp = allIds.select(col(idCol).as("id"), col(idCol).as("comp"))
     var i = 0
-    while (i < iters) {
+    var changed = 1L
+    while (changed > 0 && i < maxIters) {
       val neighborMin = edges
         .join(comp.select(col("id").as("y"), col("comp").as("ncomp")), "y")
         .groupBy(col("x").as("id")).agg(min("ncomp").as("nmin"))
-      comp = comp.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
-        .localCheckpoint(eager = false) // cut lineage growth per round
+      val next = pin(comp.join(neighborMin, Seq("id"), "left")
+        .select(col("id"), col("comp").as("__prev"),
+          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp")))
+      changed = next.filter(col("comp") =!= col("__prev")).count()
+      comp = next.drop("__prev")
       i += 1
     }
     val sizes = comp.groupBy("comp").agg(count(lit(1)).as("comp_size"))

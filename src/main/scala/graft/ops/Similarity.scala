@@ -131,19 +131,50 @@ object Similarity {
   }
 
   /**
-   * ANN top-k via multi-table LSH: candidates share a bucket in any
-   * table, exact cosine rerank over the (deduped) candidate set.
+   * Candidate pairs for LSH ANN: a pair is a candidate when the query's
+   * signature is within hamming distance `probes` of the neighbor's
+   * bucket in any table (multi-probe LSH — probing adjacent buckets
+   * buys recall without shrinking the signature).
+   *
+   * Scale shape: buckets are materialized as capped `collect_list`s —
+   * a degenerate hot bucket (e.g. the all-zeros sketch) is DROPPED at
+   * `maxBucket` rather than exploding into O(bucket²) pairs, mirroring
+   * `Dedup.minhashLsh`. With `nBits` wide signatures (default 10 ⇒ 1024
+   * buckets/table) candidate volume is O(n · avgBucket · (1 + nBits) ·
+   * tables), never all-pairs; size nBits ≈ log2(n) upward for larger
+   * corpora.
+   */
+  def annCandidates(embeddings: DataFrame, idCol: String, vecCol: String,
+                    nBits: Int = 10, tables: Int = 8, probes: Int = 1,
+                    maxBucket: Int = 1000): DataFrame = {
+    require(probes <= 1, "only hamming radius 0 or 1 probing is supported")
+    val b = lshBuckets(embeddings, idCol, vecCol, nBits, tables)
+    val lists = b.groupBy("table", "bucket")
+      .agg(collect_list("id").as("ids"))
+      .filter(size(col("ids")) <= maxBucket)
+    val probeBuckets =
+      if (probes >= 1)
+        array((col("bucket") +: (0 until nBits).map(i =>
+          col("bucket").bitwiseXOR(lit(1L << i)))): _*)
+      else array(col("bucket"))
+    b.select(col("id").as("q_id"), col("table"), explode(probeBuckets).as("bucket"))
+      .join(lists, Seq("table", "bucket"))
+      .select(col("q_id"), explode(col("ids")).as("n_id"))
+      .filter(col("q_id") =!= col("n_id"))
+      .distinct()
+  }
+
+  /**
+   * ANN top-k via multi-table multi-probe LSH: exact cosine rerank over
+   * the (deduped, bucket-capped) candidate set from [[annCandidates]].
    * Approximate by construction — recall measured against bruteTopK
    * in the spec, not against an oracle.
    */
   def annTopK(embeddings: DataFrame, idCol: String, vecCol: String,
-              k: Int, nBits: Int = 4, tables: Int = 4): DataFrame = {
-    val b = lshBuckets(embeddings, idCol, vecCol, nBits, tables)
+              k: Int, nBits: Int = 10, tables: Int = 8, probes: Int = 1,
+              maxBucket: Int = 1000): DataFrame = {
     val e = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
-    val cand = b.toDF("q_id", "table", "bucket")
-      .join(b.toDF("n_id", "table", "bucket"), Seq("table", "bucket"))
-      .filter(col("q_id") =!= col("n_id"))
-      .select("q_id", "n_id").distinct()
+    val cand = annCandidates(embeddings, idCol, vecCol, nBits, tables, probes, maxBucket)
     val pairs = cand
       .join(e.toDF("q_id", "q_vec"), "q_id")
       .join(e.toDF("n_id", "n_vec"), "n_id")

@@ -65,6 +65,26 @@ class OpsSpec extends AnyFunSuite {
     assert(recall > 0.2, s"ann recall $recall")
   }
 
+  test("ann lsh candidates are sub-quadratic (bucketed, not all-pairs)") {
+    val n = emb.count()
+    val cand = Similarity.annCandidates(emb, "vec_id", "embedding").count()
+    // all-(ordered)-pairs would be n*(n-1); the bucketed multi-probe
+    // candidate set must stay well under it
+    assert(cand < n * (n - 1) / 4,
+      s"$cand candidates from $n vectors degenerates toward all-pairs")
+  }
+
+  test("jaccardVerify reduces the corpus by semi-join, broadcasts no corpus frame") {
+    val df = Dedup.jaccardVerify(
+      Dedup.minhashLsh(docs, "doc_id", "text"), docs, "doc_id", "text", 0.5)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("LeftSemi"),
+      "shingle frame must be semi-join-reduced to candidate ids before the equi-joins")
+    val analyzed = df.queryExecution.analyzed.toString
+    assert(!analyzed.toLowerCase.contains("broadcast"),
+      "no explicit broadcast hint of a docs-derived frame")
+  }
+
   test("ivf ann: probing more lists converges toward brute-force truth") {
     val qs = emb.filter(col("vec_id") < 20)
     val brute = Similarity.bruteTopK(qs, emb, "vec_id", "embedding", 5)
@@ -95,6 +115,19 @@ class OpsSpec extends AnyFunSuite {
     assert(comp == Set(
       (1L, 1L, 3L, false), (2L, 1L, 3L, true), (3L, 1L, 3L, true),
       (5L, 5L, 1L, false), (7L, 7L, 2L, false), (9L, 7L, 2L, true)))
+  }
+
+  test("components: an 8-hop chain converges to one component (fixpoint)") {
+    import spark.implicits._
+    // a pure chain 1-2-3-...-9: min-label propagation moves one hop per
+    // round, so any fixed small iteration count (the old iters=4) would
+    // split this into several wrong components
+    val pairs = (1L until 9L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val ids = (1L to 9L).toDF("doc_id")
+    val comp = Dedup.components(pairs, ids, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(comp == (1L to 9L).map(_ -> 1L).toMap,
+      s"chain must collapse to component 1, got $comp")
   }
 
   test("stratified sample: deterministic, rates honored per stratum") {
