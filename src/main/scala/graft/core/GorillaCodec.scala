@@ -146,4 +146,43 @@ object GorillaCodec {
     if (tDec == null) { minTs = 0L; maxTs = 0L }
     ChunkAgg(h.n.toLong, minTs, maxTs, minV, maxV, sum)
   }
+
+  /** Range aggregate over one compressed chunk: only points with
+    * fromSec <= ts <= toSec contribute. `sumFixed` accumulates
+    * round(v * fixedScale) as a long — fixed-point sums are
+    * order-independent, so they stay exact when chunk partials are
+    * re-aggregated across a shuffle (double sums would not).
+    * Value-only chunks carry no timestamps; their points count only
+    * when 0 ∈ [fromSec, toSec] (decoded ts of a value-only chunk is 0). */
+  final case class RangeAgg(n: Long, minTs: Long, maxTs: Long,
+                            minV: Double, maxV: Double, sumFixed: Long)
+
+  def aggregateRange(bytes: Array[Byte], fromSec: Long, toSec: Long,
+                     fixedScale: Double = 100.0): RangeAgg = {
+    val h = readHeader(bytes)
+    val r = reader(bytes, h)
+    val lt = h.variant == VariantLeadTrail
+    val tDec = if (h.valueOnly) null else new TimestampCodec.Decoder(h.headerTime, r)
+    val vDec = new XorDoubleCodec.Decoder(r, lt)
+    var i = 0
+    var n = 0L
+    var minTs = Long.MaxValue; var maxTs = Long.MinValue
+    var minV = Double.PositiveInfinity; var maxV = Double.NegativeInfinity
+    var sumFixed = 0L
+    while (i < h.n) {
+      val t = if (tDec != null) tDec.next() else 0L
+      val v = vDec.next()
+      if (t >= fromSec && t <= toSec) {
+        n += 1
+        if (t < minTs) minTs = t
+        if (t > maxTs) maxTs = t
+        if (v < minV) minV = v
+        if (v > maxV) maxV = v
+        sumFixed += Math.round(v * fixedScale)
+      }
+      i += 1
+    }
+    if (n == 0) RangeAgg(0L, 0L, 0L, 0.0, 0.0, 0L)
+    else RangeAgg(n, minTs, maxTs, minV, maxV, sumFixed)
+  }
 }

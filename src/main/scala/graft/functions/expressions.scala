@@ -23,6 +23,13 @@ object GorillaExprs {
     StructField("min_v", DoubleType, nullable = false),
     StructField("max_v", DoubleType, nullable = false),
     StructField("sum_v", DoubleType, nullable = false)))
+  val rangeAggType: StructType = StructType(Seq(
+    StructField("n", LongType, nullable = false),
+    StructField("min_ts", LongType, nullable = false),
+    StructField("max_ts", LongType, nullable = false),
+    StructField("min_v", DoubleType, nullable = false),
+    StructField("max_v", DoubleType, nullable = false),
+    StructField("sum_cents", LongType, nullable = false)))
 
   /** AbstractDataType is private[sql] in Spark 4, so graft expressions
     * type-check inputs explicitly instead of via ExpectsInputTypes. */
@@ -122,6 +129,42 @@ case class GorillaChunkAgg(child: Expression) extends GorillaDecodeBase {
   protected def method: String = "chunkAgg"
   protected def evalBytes(bytes: Array[Byte]): Any = GorillaSql.chunkAgg(bytes)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** gorilla_chunk_agg_range(binary, from long, to long) ->
+  * struct<n,min_ts,max_ts,min_v,max_v,sum_cents> — streaming aggregate
+  * over ONLY the points with from <= ts <= to; never materializes point
+  * arrays. sum_cents is a fixed-point (1e-2) long sum, so chunk partials
+  * re-aggregate exactly across shuffles. */
+case class GorillaChunkAggRange(chunk: Expression, fromSec: Expression, toSec: Expression)
+    extends TernaryExpression {
+  override def first: Expression = chunk
+  override def second: Expression = fromSec
+  override def third: Expression = toSec
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val r = GorillaExprs.expect(chunk, BinaryType, s"$prettyName arg 1")
+    val r2 = if (r.isFailure) r else GorillaExprs.expect(fromSec, LongType, s"$prettyName arg 2")
+    if (r2.isFailure) r2 else GorillaExprs.expect(toSec, LongType, s"$prettyName arg 3")
+  }
+  override def dataType: DataType = GorillaExprs.rangeAggType
+  override def nullIntolerant: Boolean = true
+  // NULL when the chunk has no point in [from, to] (see GorillaSql)
+  override def nullable: Boolean = true
+  override def prettyName: String = "gorilla_chunk_agg_range"
+
+  protected override def nullSafeEval(b: Any, lo: Any, hi: Any): Any =
+    GorillaSql.chunkAggRange(b.asInstanceOf[Array[Byte]],
+      lo.asInstanceOf[Long], hi.asInstanceOf[Long])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, lo, hi) => s"""
+      ${ev.value} = graft.functions.GorillaSql.chunkAggRange($b, $lo, $hi);
+      ${ev.isNull} = (${ev.value} == null);
+    """)
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(chunk = f, fromSec = s, toSec = t)
 }
 
 /** gorilla_num_points(binary) -> int — O(1), header-only read. */

@@ -16,7 +16,7 @@ import org.apache.spark.sql.{Column, SparkSession}
  */
 package object functions {
 
-  import graft.functions.{CosineSimExpr, GorillaChunkAgg, GorillaDecode,
+  import graft.functions.{CosineSimExpr, GorillaChunkAgg, GorillaChunkAggRange, GorillaDecode,
     GorillaDecodeTimestamps, GorillaDecodeValues, GorillaEncode, GorillaEncodeValues,
     GorillaNumPoints, HashSetSortedExpr, HyperplaneBucketsExpr, MinHashExpr,
     MinHashFromHashesExpr, ShingleHashesExpr, SimHashExpr, SimHashTextExpr,
@@ -33,6 +33,7 @@ package object functions {
     "gorilla_decode_values" -> (es => GorillaDecodeValues(es(0))),
     "gorilla_decode_ts" -> (es => GorillaDecodeTimestamps(es(0))),
     "gorilla_chunk_agg" -> (es => GorillaChunkAgg(es(0))),
+    "gorilla_chunk_agg_range" -> (es => GorillaChunkAggRange(es(0), es(1), es(2))),
     "gorilla_num_points" -> (es => GorillaNumPoints(es(0))),
     // minhash(shingles, k): k must be a foldable int literal
     "minhash" -> (es => MinHashExpr(es(0),
@@ -73,6 +74,9 @@ package object functions {
   def gorilla_decode_values(chunk: Column): Column = call_function("gorilla_decode_values", chunk)
   def gorilla_decode_ts(chunk: Column): Column = call_function("gorilla_decode_ts", chunk)
   def gorilla_chunk_agg(chunk: Column): Column = call_function("gorilla_chunk_agg", chunk)
+  def gorilla_chunk_agg_range(chunk: Column, fromSec: Long, toSec: Long): Column =
+    call_function("gorilla_chunk_agg_range", chunk,
+      org.apache.spark.sql.functions.lit(fromSec), org.apache.spark.sql.functions.lit(toSec))
   def gorilla_num_points(chunk: Column): Column = call_function("gorilla_num_points", chunk)
   def minhash(shingles: Column, k: Int): Column =
     call_function("minhash", shingles, org.apache.spark.sql.functions.lit(k))

@@ -40,13 +40,15 @@ object StreamIngest {
         count(lit(1)).as("n"),
         min(sec).as("min_ts"), max(sec).as("max_ts"),
         min(valCol).as("min_v"), max(valCol).as("max_v"),
+        sum(round(col(valCol).cast("double") * graft.tsdb.Ts.FixedScale).cast("long"))
+          .as("sum_cents"),
         gorilla_encode(
           sort_array(collect_list(struct(sec.as("ts"), col(valCol).cast("double").as("v")))),
           col("window").getField("start").cast("long")).as("chunk"))
       .select(seriesCols.map(col) :+
         col("window.start").cast("long").as("window_start") :+
         col("n") :+ col("min_ts") :+ col("max_ts") :+
-        col("min_v") :+ col("max_v") :+ col("chunk"): _*)
+        col("min_v") :+ col("max_v") :+ col("sum_cents") :+ col("chunk"): _*)
   }
 
   final case class SeriesLatest(series: String, ts: Long, v: Double, n: Long)

@@ -22,6 +22,12 @@ import org.apache.spark.sql.functions._
 object Ts {
   val WindowSec = 7200L
 
+  /** Fixed-point scale for per-chunk value sums (`sum_cents` =
+    * Σ round(v * FixedScale) as long). Long sums are order-independent,
+    * so re-aggregating chunk partials across a shuffle stays exact at
+    * any cluster size — a double `sum_v` would drift with partitioning. */
+  val FixedScale = 100.0
+
   /** Truncate a timestamp column to epoch seconds (floor).
     * Handles TimestampType and raw epoch-nano longs (Spark reads
     * parquet TIMESTAMP(NANOS) as LongType under
@@ -34,7 +40,8 @@ object Ts {
 
   /**
    * Compress raw points into one row per (series, window): columns
-   * `seriesCols*, window_start, n, min_ts, max_ts, min_v, max_v, chunk`.
+   * `seriesCols*, window_start, n, min_ts, max_ts, min_v, max_v,
+   * sum_cents, chunk`.
    *
    * Sort-based: hash-repartition on (series, window), sort within
    * partitions by (series, window, ts, v), then stream consecutive
@@ -78,6 +85,7 @@ object Ts {
         StructField("max_ts", LongType, nullable = false),
         StructField("min_v", DoubleType, nullable = false),
         StructField("max_v", DoubleType, nullable = false),
+        StructField("sum_cents", LongType, nullable = false),
         StructField("chunk", BinaryType, nullable = false)))
     val secIdx = sorted.schema.fieldIndex("__sec")
     val vIdx = sorted.schema.fieldIndex("__v")
@@ -94,6 +102,7 @@ object Ts {
           var n = 0
           var minV = Double.PositiveInfinity
           var maxV = Double.NegativeInfinity
+          var sumC = 0L
           while (it.hasNext && java.util.Arrays.equals(
               keyIdx.map(it.head.get).asInstanceOf[Array[AnyRef]],
               key.asInstanceOf[Array[AnyRef]])) {
@@ -107,6 +116,7 @@ object Ts {
             vs(n) = v
             if (v < minV) minV = v
             if (v > maxV) maxV = v
+            sumC += Math.round(v * FixedScale)
             n += 1
           }
           // header time aligns to the first point's 2h block, not the
@@ -115,7 +125,7 @@ object Ts {
           val bytes = graft.core.GorillaCodec.encode(
             java.util.Arrays.copyOf(ts, n), java.util.Arrays.copyOf(vs, n),
             graft.core.GorillaCodec.alignWindow(ts(0), WindowSec), leadTrail)
-          Row.fromSeq(key.toSeq ++ Seq(n.toLong, ts(0), ts(n - 1), minV, maxV, bytes))
+          Row.fromSeq(key.toSeq ++ Seq(n.toLong, ts(0), ts(n - 1), minV, maxV, sumC, bytes))
         }
       }
     }(Encoders.row(outSchema))
@@ -167,6 +177,49 @@ object Ts {
                  fromSec: Long, toSec: Long): DataFrame = {
     val pruned = chunks.filter(col("max_ts") >= fromSec && col("min_ts") <= toSec)
     unpack(pruned, seriesCols).filter(col("ts") >= fromSec && col("ts") <= toSec)
+  }
+
+  /**
+   * Compressed-domain range aggregate: count/min/max/fixed-point-sum
+   * over `[fromSec, toSec]` per series, WITHOUT materializing points.
+   *
+   * Three tiers of work, each strictly cheaper than decoding:
+   *  - chunks outside the range: eliminated by the (min_ts, max_ts)
+   *    stat columns — pushed to the parquet scan, never read;
+   *  - chunks fully inside the range: answered from the stored header
+   *    stats (n, min/max, sum_cents) with ZERO chunk-byte reads — the
+   *    covered branch never references `chunk`, so column pruning
+   *    drops the bytes from its scan entirely;
+   *  - boundary chunks (straddling an endpoint): a streaming
+   *    `gorilla_chunk_agg_range` pass — decode-and-fold, no point
+   *    arrays, only for the at-most-two boundary windows per series.
+   *
+   * Generalizes the reference's compressed-read aggregation
+   * (examples/csv_to_packed.rs:40-78) from whole-file to time ranges.
+   */
+  def rangeAgg(chunks: DataFrame, seriesCols: Seq[String],
+               fromSec: Long, toSec: Long): DataFrame = {
+    val overlapping = chunks.filter(col("max_ts") >= fromSec && col("min_ts") <= toSec)
+    val statCols = Seq("n", "min_ts", "max_ts", "min_v", "max_v", "sum_cents")
+    val covered = overlapping
+      .filter(col("min_ts") >= fromSec && col("max_ts") <= toSec)
+      .select(seriesCols.map(col) ++ statCols.map(col): _*)
+    // empty-in-range boundary chunks yield a NULL agg struct (not a
+    // row filter: Catalyst would push `a.n > 0` below the Project and
+    // evaluate the decode twice); null fields then vanish inside the
+    // aggregates, and all-null groups are dropped afterwards
+    val boundary = overlapping
+      .filter(col("min_ts") < fromSec || col("max_ts") > toSec)
+      .select(seriesCols.map(col) :+
+        graft.functions.gorilla_chunk_agg_range(col("chunk"), fromSec, toSec).as("a"): _*)
+      .select(seriesCols.map(col) ++ statCols.map(c => col(s"a.$c").as(c)): _*)
+    covered.unionByName(boundary)
+      .groupBy(seriesCols.map(col): _*)
+      .agg(sum("n").as("n"),
+        min("min_ts").as("min_ts"), max("max_ts").as("max_ts"),
+        min("min_v").as("min_v"), max("max_v").as("max_v"),
+        sum("sum_cents").as("sum_cents"))
+      .filter(col("n").isNotNull)
   }
 
   /** Latest point per series (arg-max via ordered struct max — one shuffle). */

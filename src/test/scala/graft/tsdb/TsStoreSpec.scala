@@ -30,6 +30,44 @@ class TsStoreSpec extends AnyFunSuite {
       direct.orderBy("user_id", "event_type", "ts", "v").collect().toSeq)
   }
 
+  test("compressed-domain range aggregate matches the decode-everything baseline") {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val series = Seq("user_id", "event_type")
+    val chunks = Ts.chunkify(ev, series, "ts", "value")
+    val from = 1704844800L
+    val to = 1705017600L
+    val agg = Ts.rangeAgg(chunks, series, from, to)
+      .orderBy("user_id", "event_type").collect().toSeq
+    val baseline = Ts.rangeQuery(chunks, series, from, to)
+      .groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("n"), min("ts").as("min_ts"), max("ts").as("max_ts"),
+        min("v").as("min_v"), max("v").as("max_v"),
+        sum(round(col("v") * 100).cast("long")).as("sum_cents"))
+      .orderBy("user_id", "event_type").collect().toSeq
+    assert(agg.nonEmpty && agg == baseline)
+  }
+
+  test("store-backed rangeAgg reads zero chunk bytes for covered chunks") {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val series = Seq("user_id", "event_type")
+    val path = java.nio.file.Files.createTempDirectory("graft-store-agg").toString
+    Ts.writeStore(Ts.chunkify(ev, series, "ts", "value"), path)
+    val from = 1704844800L
+    val to = 1705017600L
+    val agg = Ts.rangeAgg(Ts.readStore(spark, path, from, to), series, from, to)
+    val plan = agg.queryExecution.executedPlan.toString
+    // two parquet scans: the covered branch's scan must carry the stats
+    // (sum_cents) but NOT the chunk binary — column pruning keeps
+    // compressed bytes out of the stats-only path entirely
+    val scanCols = "FileScan parquet \\[[^\\]]*\\]".r.findAllIn(plan).toList
+    assert(scanCols.exists(s => s.contains("sum_cents") && !s.contains("chunk")),
+      s"no stats-only scan in:\n${scanCols.mkString("\n")}")
+    // and the stat-range guards + partition pruning are pushed to the scan
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThanOrEqual(max_ts"),
+      plan.take(2000))
+    assert(plan.contains("PartitionFilters: [isnotnull(window_date"), plan.take(2000))
+  }
+
   test("dense 1Hz series compress far below raw 16B/point through the pipeline") {
     import spark.implicits._
     // the shape gorilla is built for: regular cadence, slowly-moving values
