@@ -31,6 +31,10 @@ object TsQueries {
   def storeChunks(s: SparkSession, dir: String,
                   fromSec: Long = Long.MinValue,
                   toSec: Long = Long.MaxValue): DataFrame = synchronized {
+    // the cache-hit path skips chunkify (and with it Tables' implicit
+    // function registration), but decoding the read-back store still
+    // needs the gorilla functions in this session's registry
+    graft.functions.registerAll(s)
     val path = storePath(dir)
     if (!new java.io.File(path, "_SUCCESS").exists())
       Ts.writeStore(chunks(s, dir), path)

@@ -77,6 +77,47 @@ class StreamIngestSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("batch and stream chunkers produce byte-identical chunks for the same window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val w0 = 1700006400L // 2h-aligned
+    // out-of-order arrivals, a duplicate timestamp, two series
+    val pts = Seq(
+      ("cpu", w0 + 130, 2.25), ("cpu", w0 + 10, 1.5), ("cpu", w0 + 10, 0.5),
+      ("cpu", w0 + 70, 1.5), ("mem", w0 + 65, 11.0), ("mem", w0 + 5, 10.25))
+
+    val batch = graft.tsdb.Ts.chunkify(
+      pts.map { case (s, t, v) => (s, ts(t), v) }.toDF("series", "ts", "v"),
+      Seq("series"), "ts", "v")
+
+    val input = MemoryStream[(String, Timestamp, Double)]
+    val stream = StreamIngest.chunkStream(
+      input.toDF().toDF("series", "ts", "v"), Seq("series"), "ts", "v",
+      windowDuration = "2 hours", watermark = "1 minute")
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("parity_sink").start()
+    try {
+      input.addData(pts.map { case (s, t, v) => (s, ts(t), v) }: _*)
+      q.processAllAvailable()
+      input.addData(("cpu", ts(w0 + 7200 + 120), 9.0)) // close window w0
+      q.processAllAvailable()
+
+      def rows(df: org.apache.spark.sql.DataFrame) = df
+        .filter(col("window_start") === w0)
+        .select("series", "window_start", "n", "min_ts", "max_ts",
+          "min_v", "max_v", "sum_cents", "chunk")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getDouble(5), r.getDouble(6), r.getLong(7),
+          r.getAs[Array[Byte]](8).toSeq))
+        .sortBy(_._1).toSeq
+      val b = rows(batch)
+      val s = rows(spark.table("parity_sink"))
+      assert(b.size == 2)
+      assert(b == s, s"batch:\n$b\nstream:\n$s")
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState keeps running latest per series") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
