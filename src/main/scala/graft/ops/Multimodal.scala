@@ -8,11 +8,13 @@ import org.apache.spark.sql.types._
  * Multimodal columns: media as opaque `binary` with typed metadata.
  *
  * The Spark-side plumbing is real — schema, partition-parallel batch
- * decode via mapPartitions, typed output — while the actual media
- * decode is STUBBED (`decodeStub`): this container has no image/audio
- * codecs, so the "decoder" derives deterministic fake features from
- * the bytes. Swapping in a real decoder (JNI/FFmpeg/Pillow worker)
- * changes only the function body, not the distributed shape.
+ * decode via mapPartitions, typed output. The IMAGE path does real
+ * work: blobs with a PNG/JPEG/GIF/BMP header get their true pixel
+ * dimensions parsed from the bytes ([[ImageHeader]] — pure JVM, no
+ * native codec needed). Audio/video feature extraction is still a
+ * declared STUB (`decodeStub` — no codecs in this container); a real
+ * decoder (FFmpeg/Pillow worker) slots into the same `mapPartitions`
+ * body without touching the partitioning or schema.
  */
 object Multimodal {
 
@@ -24,34 +26,58 @@ object Multimodal {
     StructField("meta", StringType, nullable = true)))
 
   /**
-   * Build a synthetic media table from documents: the blob is the
-   * md5 digest bytes of the text (deterministic 16-byte "payload").
+   * Build a synthetic media table from documents. Image rows get a
+   * REAL (minimal) PNG whose IHDR dimensions derive from the text's
+   * md5 bytes — so the decode stage must actually parse the format to
+   * recover them; audio/video rows carry the raw 16 md5 bytes as an
+   * opaque payload. (The PNG wrapper runs in a scalar UDF: this is a
+   * fixture builder, not a query hot path.)
    */
-  def syntheticMedia(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+  def syntheticMedia(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val pngOf = udf { (digest: Array[Byte]) =>
+      ImageHeader.pngBytes((digest(0) & 0xFF) % 64 + 1, (digest(1) & 0xFF) % 64 + 1)
+    }
     docs.select(col(idCol).as("media_id"),
-      element_at(array(lit("image"), lit("audio"), lit("video")),
-        (pmod(col(idCol), lit(3)) + 1).cast("int")).as("kind"),
-      unhex(md5(col(textCol))).as("blob"),
-      to_json(struct(col(idCol).as("src_doc"))).as("meta"))
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (pmod(col(idCol), lit(3)) + 1).cast("int")).as("kind"),
+        unhex(md5(col(textCol))).as("digest"),
+        to_json(struct(col(idCol).as("src_doc"))).as("meta"))
+      .withColumn("blob",
+        when(col("kind") === "image", pngOf(col("digest"))).otherwise(col("digest")))
+      .select("media_id", "kind", "blob", "meta")
+  }
 
   final case class MediaFeatures(media_id: Long, kind: String, n_bytes: Int,
                                  head_byte: Int, width: Int, height: Int,
                                  sum_bytes: Long)
 
+  /** Decode one media row: images get their REAL dimensions parsed
+    * from the format header; other kinds fall back to the stub. */
+  def decode(id: Long, kind: String, blob: Array[Byte]): MediaFeatures =
+    ImageHeader.parse(blob) match {
+      case Some((w, h)) =>
+        MediaFeatures(id, kind, blob.length, blob(0) & 0xFF, w, h, byteSum(blob))
+      case None => decodeStub(id, kind, blob)
+    }
+
   /**
-   * STUB decoder: stands in for image decode / audio frame extraction.
-   * Deterministic features from the payload bytes; real decoders slot
-   * in here without touching the partitioning or schema.
+   * STUB decoder for the codec-less kinds (audio/video frame
+   * extraction needs libraries this container lacks). Deterministic
+   * features from the payload bytes; real decoders slot in here
+   * without touching the partitioning or schema.
    */
-  def decodeStub(id: Long, kind: String, blob: Array[Byte]): MediaFeatures = {
-    var sum = 0L
-    var i = 0
-    while (i < blob.length) { sum += blob(i) & 0xFF; i += 1 }
+  def decodeStub(id: Long, kind: String, blob: Array[Byte]): MediaFeatures =
     MediaFeatures(id, kind, blob.length,
       head_byte = blob(0) & 0xFF,
       width = (blob(0) & 0xFF) % 64 + 1,
       height = (blob(1) & 0xFF) % 64 + 1,
-      sum_bytes = sum)
+      sum_bytes = byteSum(blob))
+
+  private def byteSum(blob: Array[Byte]): Long = {
+    var sum = 0L
+    var i = 0
+    while (i < blob.length) { sum += blob(i) & 0xFF; i += 1 }
+    sum
   }
 
   /**
@@ -65,18 +91,20 @@ object Multimodal {
     media.select("media_id", "kind", "blob").as[(Long, String, Array[Byte])]
       .mapPartitions { it =>
         // per-partition setup for a real decoder would happen here
-        it.map { case (id, kind, blob) => decodeStub(id, kind, blob) }
+        it.map { case (id, kind, blob) => decode(id, kind, blob) }
       }
   }
 
-  /** Per-kind feature aggregates (the downstream "training filter"). */
+  /** Per-kind feature aggregates (the downstream "training filter").
+    * Image dimensions here are PARSED from real format headers, so an
+    * oracle that derives the expected dims independently (from the
+    * md5 bytes the fixtures encode) checks the parser end-to-end. */
   def featureStats(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     extractFeatures(media).toDF()
       .groupBy("kind")
       .agg(count(lit(1)).as("n"), sum("n_bytes").as("total_bytes"),
-        sum("sum_bytes").as("sum_bytes"), max("width").as("max_w"),
-        max("height").as("max_h"))
+        max("width").as("max_w"), max("height").as("max_h"))
       .orderBy("kind")
   }
 }

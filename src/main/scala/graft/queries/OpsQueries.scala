@@ -179,17 +179,21 @@ object OpsQueries {
     "text_fingerprint" ->
       """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // image dims must round-trip md5 bytes -> PNG IHDR -> header parser;
+    // the oracle recomputes them straight from the md5 (45 = fixture
+    // PNG byte length: 8 sig + 25 IHDR + 12 IEND)
     "mm_features" ->
       """WITH m AS (SELECT doc_id,
         |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
         |  md5(text) AS hx FROM documents),
         |b AS (SELECT doc_id, kind,
-        |  list_transform(generate_series(0, 15),
-        |    i -> CAST('0x' || substr(hx, 2 * i + 1, 2) AS INT)) AS bytes
+        |  CAST('0x' || substr(hx, 1, 2) AS INT) AS b0,
+        |  CAST('0x' || substr(hx, 3, 2) AS INT) AS b1
         |FROM m)
-        |SELECT kind, count(*) AS n, CAST(count(*) * 16 AS BIGINT) AS total_bytes,
-        |  CAST(sum(list_sum(bytes)) AS BIGINT) AS sum_bytes,
-        |  max(bytes[1] % 64 + 1) AS max_w, max(bytes[2] % 64 + 1) AS max_h
+        |SELECT kind, count(*) AS n,
+        |  CAST(count(*) * (CASE WHEN kind = 'image' THEN 45 ELSE 16 END) AS BIGINT)
+        |    AS total_bytes,
+        |  max(b0 % 64 + 1) AS max_w, max(b1 % 64 + 1) AS max_h
         |FROM b GROUP BY kind ORDER BY kind""".stripMargin,
   )
 }

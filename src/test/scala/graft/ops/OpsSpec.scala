@@ -147,11 +147,23 @@ class OpsSpec extends AnyFunSuite {
     assert((byLang("zh") -- s1).isEmpty, "rate 1.0 stratum must be fully kept")
   }
 
-  test("multimodal: stub decoder plumbing preserves rows and determinism") {
+  test("multimodal: image dims parsed from real PNG headers; stub for codec-less kinds") {
     val media = Multimodal.syntheticMedia(docs, "doc_id", "text")
     val feats = Multimodal.extractFeatures(media).collect()
     assert(feats.length == docs.count())
-    assert(feats.forall(f => f.n_bytes == 16 && f.width >= 1 && f.width <= 64))
+    val images = feats.filter(_.kind == "image")
+    assert(images.nonEmpty)
+    // real 45-byte PNG fixtures, parsed back to the md5-derived dims
+    assert(images.forall(f => f.n_bytes == 45 && f.head_byte == 0x89))
+    val textById = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    images.foreach { f =>
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(textById(f.media_id).getBytes("UTF-8"))
+      assert(f.width == (d(0) & 0xFF) % 64 + 1 && f.height == (d(1) & 0xFF) % 64 + 1,
+        s"parsed ${f.width}x${f.height} != md5-derived dims for ${f.media_id}")
+    }
+    assert(feats.filter(_.kind != "image").forall(f => f.n_bytes == 16))
     val again = Multimodal.extractFeatures(media).collect()
     assert(feats.sortBy(_.media_id).toSeq == again.sortBy(_.media_id).toSeq)
   }
