@@ -181,13 +181,17 @@ object Dedup {
     val buckets = banded.groupBy("band", "bucket")
       .agg(collect_list(struct(col("id"), col("sig"))).as("xs"))
       .filter(size(col("xs")).between(2, maxBucket))
-    // hamming filter inside the bucket lambda: far pairs never leave
-    // the bucket row, so distinct() only sees true near-dups
+    // hamming filter BEFORE struct construction: the k² in-bucket pair
+    // scan only does a long-xor popcount per pair; structs (the
+    // allocation cost) are built for the few surviving near-dups, and
+    // far pairs never leave the bucket row, so distinct() only sees
+    // true near-dups
     buckets.select(explode(flatten(transform(col("xs"), a =>
-        filter(transform(col("xs"), b =>
-            struct(a("id").as("a_id"), b("id").as("b_id"),
-              bit_count(a("sig").bitwiseXOR(b("sig"))).as("dist"))),
-          p => p("a_id") < p("b_id") && p("dist") <= maxDist)))).as("p"))
+        transform(
+          filter(col("xs"), b => a("id") < b("id") &&
+            bit_count(a("sig").bitwiseXOR(b("sig"))) <= maxDist),
+          b => struct(a("id").as("a_id"), b("id").as("b_id"),
+            bit_count(a("sig").bitwiseXOR(b("sig"))).as("dist")))))).as("p"))
       .select(col("p.a_id"), col("p.b_id"), col("p.dist"))
       .distinct()
   }
