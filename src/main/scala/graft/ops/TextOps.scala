@@ -90,6 +90,60 @@ object TextOps {
     df.withColumn("__rate", rate).filter(u < col("__rate")).drop("__rate")
   }
 
+  /**
+   * Corpus-wide top-k most frequent word n-grams. The groupBy count is
+   * the canonical map-side-combine shape (partial counts per partition,
+   * one shuffle of the combined vocabulary); top-k runs as a
+   * TakeOrdered, never a full sort. Ties break on the gram itself, so
+   * the result is deterministic.
+   */
+  def ngramTopK(docs: DataFrame, textCol: String, n: Int = 2, k: Int = 20): DataFrame = {
+    val words = split(col(textCol), " ")
+    val grams = when(size(words) >= n,
+        transform(sequence(lit(0), size(words) - n),
+          i => concat_ws(" ", slice(words, i + 1, lit(n)))))
+      .otherwise(array())
+    docs.select(explode(grams).as("ngram"))
+      .groupBy("ngram").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("ngram"))
+      .limit(k)
+  }
+
+  /**
+   * Top-k characteristic terms per document, ranked by (term frequency
+   * desc, document frequency asc, term asc) — the tf-idf ordering on
+   * exact integers only, so both engines agree bitwise (a float
+   * tf·log(N/df) score could differ in the last ulp between libms).
+   *
+   * At scale: tf is one (doc, term) shuffle with partial counts; df is
+   * a vocabulary-sized aggregate (small — broadcast-joinable back onto
+   * tf); the final per-doc top-k is a window over the doc partition.
+   */
+  def keyTerms(docs: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(col(idCol), explode(split(col(textCol), " ")).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(idCol).orderBy(col("tf").desc, col("df").asc, col("term"))
+    tf.join(broadcast(dfreq), "term")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("term"), col("tf"), col("df"))
+  }
+
+  /**
+   * Deterministic uniform subsample: the k rows with the smallest
+   * md5(id) — order-free, engine-agnostic (md5 is standardized, unlike
+   * engine hash functions), reproducible across runs and layouts, and
+   * executed as a distributed TakeOrdered (per-partition top-k, no
+   * full sort or shuffle of the corpus).
+   */
+  def sampleTopKByHash(df: DataFrame, idCol: String, k: Int): DataFrame =
+    df.select(col(idCol), md5(col(idCol).cast("string")).as("h"))
+      .orderBy(col("h"), col(idCol))
+      .limit(k)
+
   /** Content fingerprint of whitespace-normalized lowercase text. */
   def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val norm = trim(regexp_replace(lower(col(textCol)), "\\s+", " "))

@@ -76,6 +76,24 @@ object OpsQueries {
     "mm_features" -> ((s, dir) =>
       Multimodal.featureStats(
         Multimodal.syntheticMedia(Tables(s, dir, "documents"), "doc_id", "text"))),
+    // corpus-wide bigram frequencies (map-side combine + TakeOrdered)
+    "text_ngram_topk" -> ((s, dir) =>
+      TextOps.ngramTopK(Tables(s, dir, "documents"), "text", n = 2, k = 20)),
+    // characteristic terms per doc: integer-only tf-idf ordering
+    "text_keyterms" -> ((s, dir) =>
+      TextOps.keyTerms(Tables(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id", "rank")),
+    // engine-agnostic deterministic subsample (smallest md5(id))
+    "sample_hash_topk" -> ((s, dir) =>
+      TextOps.sampleTopKByHash(Tables(s, dir, "documents"), "doc_id", 100)),
+    // semantic dedup: connected components over embedding-cosine edges
+    // (composition of cosinePairs + the fixpoint components operator)
+    "dedup_semantic" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      Dedup.components(
+        Similarity.cosinePairs(e, "vec_id", "embedding", maxId = 1000, threshold = 0.45),
+        e.filter(col("vec_id") < 1000), "vec_id").orderBy("id")
+    }),
   )
 
   private val shinglesSql =
@@ -195,5 +213,41 @@ object OpsQueries {
         |    AS total_bytes,
         |  max(b0 % 64 + 1) AS max_w, max(b1 % 64 + 1) AS max_h
         |FROM b GROUP BY kind ORDER BY kind""".stripMargin,
+    "text_ngram_topk" ->
+      """SELECT ngram, count(*) AS cnt FROM (
+        |  SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+        |    i -> w[i] || ' ' || w[i+1])) AS ngram
+        |  FROM (SELECT string_split(text, ' ') AS w FROM documents))
+        |GROUP BY ngram ORDER BY cnt DESC, ngram LIMIT 20""".stripMargin,
+    "text_keyterms" ->
+      """WITH tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+        |  GROUP BY doc_id, term),
+        |dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+        |SELECT doc_id, rank, term, tf, df FROM (
+        |  SELECT tf.doc_id, tf.term, tf.tf, dfx.df,
+        |    row_number() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY tf.tf DESC, dfx.df ASC, tf.term) AS rank
+        |  FROM tf JOIN dfx USING (term))
+        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "sample_hash_topk" ->
+      """SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents
+        |ORDER BY h, doc_id LIMIT 100""".stripMargin,
+    "dedup_semantic" -> s"""WITH RECURSIVE
+      |pr AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id
+      |       FROM embeddings a, embeddings b
+      |       WHERE a.vec_id < b.vec_id AND a.vec_id < 1000 AND b.vec_id < 1000
+      |         AND ${cosSql("a.embedding", "b.embedding")} >= 0.45),
+      |e AS (SELECT a_id AS x, b_id AS y FROM pr UNION SELECT b_id, a_id FROM pr),
+      |reach(x, y) AS (SELECT x, y FROM e
+      |  UNION SELECT r.x, e2.y FROM reach r JOIN e e2 ON r.y = e2.x),
+      |cmp AS (SELECT x AS id, least(x, min(y)) AS comp FROM reach GROUP BY x),
+      |ids AS (SELECT vec_id AS id FROM embeddings WHERE vec_id < 1000),
+      |lbl AS (SELECT ids.id, coalesce(cmp.comp, ids.id) AS comp
+      |        FROM ids LEFT JOIN cmp ON ids.id = cmp.id),
+      |sz AS (SELECT comp, count(*) AS comp_size FROM lbl GROUP BY comp)
+      |SELECT lbl.id, lbl.comp, sz.comp_size, lbl.id != lbl.comp AS is_dup
+      |FROM lbl JOIN sz ON lbl.comp = sz.comp ORDER BY lbl.id""".stripMargin,
   )
 }

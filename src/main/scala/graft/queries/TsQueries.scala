@@ -116,6 +116,12 @@ object TsQueries {
     "ts_range_agg" -> ((s, dir) =>
       Ts.rangeAgg(storeChunks(s, dir, RangeFrom, RangeTo), series, RangeFrom, RangeTo)
         .orderBy("user_id", "event_type")),
+    // hottest series in a time range, straight off the compressed
+    // store: rangeAgg (stats + boundary fold) then TakeOrdered top-k
+    "ts_topk_series" -> ((s, dir) =>
+      Ts.rangeAgg(storeChunks(s, dir, RangeFrom, RangeTo), series, RangeFrom, RangeTo)
+        .orderBy(col("sum_cents").desc, col("user_id"), col("event_type"))
+        .limit(10)),
     // counter rate between consecutive points of a series
     "ts_rate" -> ((s, dir) => {
       val w = Window.partitionBy("user_id", "event_type").orderBy("ts", "v")
@@ -448,5 +454,14 @@ object TsQueries {
       |  CAST(sum(CAST(round(v * 100) AS BIGINT)) AS BIGINT) AS sum_cents
       |FROM pts WHERE ts >= $RangeFrom AND ts <= $RangeTo
       |GROUP BY user_id, event_type ORDER BY user_id, event_type""".stripMargin,
+    "ts_topk_series" -> s"""WITH $ptsSql,
+      |agg AS (SELECT user_id, event_type, count(*) AS n,
+      |  min(ts) AS min_ts, max(ts) AS max_ts,
+      |  min(v) AS min_v, max(v) AS max_v,
+      |  CAST(sum(CAST(round(v * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+      |FROM pts WHERE ts >= $RangeFrom AND ts <= $RangeTo
+      |GROUP BY user_id, event_type)
+      |SELECT * FROM agg
+      |ORDER BY sum_cents DESC, user_id, event_type LIMIT 10""".stripMargin,
   )
 }
