@@ -42,6 +42,12 @@ object ThroughputBench {
       r
     }
 
+    // warm up codegen/JIT on a small slice so the timed runs measure
+    // steady-state throughput (what a long-running cluster job sees),
+    // not one-time compiler costs
+    Ts.writeStore(Ts.chunkify(points.limit(100000), Seq("series"), "ts", "v"),
+      java.nio.file.Files.createTempDirectory("graft-tp-warm").toString)
+
     val chunkPath = java.nio.file.Files.createTempDirectory("graft-tp").toString
     timed("encode+write") {
       Ts.writeStore(Ts.chunkify(points, Seq("series"), "ts", "v"), chunkPath)

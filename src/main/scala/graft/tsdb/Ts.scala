@@ -56,16 +56,88 @@ object Ts {
     val base0 = events
       .select(seriesCols.map(col) :+ epochSec(events, tsCol).as("__sec") :+
         col(valCol).cast("double").as("__v"): _*)
+    if (saltBuckets <= 1)
+      // fast path: the window is a pure function of __sec, so it rides
+      // the shuffle as a repartition EXPRESSION and is re-derived
+      // in-partition — 8 fewer bytes per shuffled row on the
+      // encode-dominant path (the shuffle is the encode bottleneck)
+      return encodeSortedDerived(base0, seriesCols, windowSec, leadTrail)
+    // skew escape hatch: a pathologically hot (series, window) splits
+    // into saltBuckets sub-chunks; readers are agnostic (a window may
+    // own several chunks), roundtrip set semantics unchanged
+    val base = base0
       .withColumn("window_start", (floor(col("__sec") / windowSec) * windowSec).cast("long"))
-    // optional skew escape hatch: a pathologically hot (series, window)
-    // splits into saltBuckets sub-chunks; readers are agnostic (a
-    // window may own several chunks), roundtrip set semantics unchanged
-    val base = if (saltBuckets <= 1) base0
-      else base0.withColumn("__salt",
+      .withColumn("__salt",
         pmod(xxhash64(col("__sec"), col("__v")), lit(saltBuckets.toLong)))
-    val keyCols = (if (saltBuckets <= 1) Seq.empty[String] else Seq("__salt")) ++:
-      seriesCols :+ "window_start"
-    encodeSorted(base, keyCols, leadTrail)
+    encodeSorted(base, "__salt" +: seriesCols :+ "window_start", leadTrail)
+  }
+
+  /** Sort-based encode that derives the window from `__sec` inside the
+    * partition instead of shuffling a precomputed window_start column:
+    * rows hash-partition on (series, floor(__sec / windowSec)) via
+    * repartition expressions, sort by (series, __sec, __v), and the
+    * merge loop breaks groups on a series-key or window change. */
+  private def encodeSortedDerived(base: DataFrame, seriesCols: Seq[String],
+                                  windowSec: Long, leadTrail: Boolean): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val sorted = base
+      .repartition(seriesCols.map(col) :+
+        floor(col("__sec") / windowSec).cast("long").as("__w"): _*)
+      .sortWithinPartitions((seriesCols :+ "__sec" :+ "__v").map(col): _*)
+    val outSchema = StructType(
+      seriesCols.map(k => sorted.schema(k)).toArray ++ Array(
+        StructField("window_start", LongType, nullable = false),
+        StructField("n", LongType, nullable = false),
+        StructField("min_ts", LongType, nullable = false),
+        StructField("max_ts", LongType, nullable = false),
+        StructField("min_v", DoubleType, nullable = false),
+        StructField("max_v", DoubleType, nullable = false),
+        StructField("sum_cents", LongType, nullable = false),
+        StructField("chunk", BinaryType, nullable = false)))
+    val secIdx = sorted.schema.fieldIndex("__sec")
+    val vIdx = sorted.schema.fieldIndex("__v")
+    val keyIdx = seriesCols.map(sorted.schema.fieldIndex).toArray
+    sorted.mapPartitions { rows =>
+      new Iterator[Row] {
+        private val it = rows.buffered
+        def hasNext: Boolean = it.hasNext
+        def next(): Row = {
+          val head = it.head
+          val key = keyIdx.map(head.get)
+          val window = Math.floorDiv(head.getLong(secIdx), windowSec)
+          var ts = new Array[Long](64)
+          var vs = new Array[Double](64)
+          var n = 0
+          var minV = Double.PositiveInfinity
+          var maxV = Double.NegativeInfinity
+          var sumC = 0L
+          while (it.hasNext &&
+              Math.floorDiv(it.head.getLong(secIdx), windowSec) == window &&
+              java.util.Arrays.equals(
+                keyIdx.map(it.head.get).asInstanceOf[Array[AnyRef]],
+                key.asInstanceOf[Array[AnyRef]])) {
+            val r = it.next()
+            if (n == ts.length) {
+              ts = java.util.Arrays.copyOf(ts, n * 2)
+              vs = java.util.Arrays.copyOf(vs, n * 2)
+            }
+            val v = r.getDouble(vIdx)
+            ts(n) = r.getLong(secIdx)
+            vs(n) = v
+            if (v < minV) minV = v
+            if (v > maxV) maxV = v
+            sumC += Math.round(v * FixedScale)
+            n += 1
+          }
+          val bytes = graft.core.GorillaCodec.encode(
+            java.util.Arrays.copyOf(ts, n), java.util.Arrays.copyOf(vs, n),
+            graft.core.GorillaCodec.alignWindow(ts(0), WindowSec), leadTrail)
+          Row.fromSeq(key.toSeq ++
+            Seq(window * windowSec, n.toLong, ts(0), ts(n - 1), minV, maxV, sumC, bytes))
+        }
+      }
+    }(Encoders.row(outSchema))
   }
 
   /** Sort-based encode of a prepared (keys*, __sec, __v) frame: hash-
