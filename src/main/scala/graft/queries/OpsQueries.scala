@@ -86,6 +86,19 @@ object OpsQueries {
     // engine-agnostic deterministic subsample (smallest md5(id))
     "sample_hash_topk" -> ((s, dir) =>
       TextOps.sampleTopKByHash(Tables(s, dir, "documents"), "doc_id", 100)),
+    // the flagship dedup pipeline end-to-end: LSH candidates -> exact
+    // jaccard verify -> fixpoint components -> canonical doc per
+    // cluster. Oracled against brute-force transitive closure (the
+    // LSH path must lose nothing at this threshold — OpsSpec proves
+    // candidate recall; this proves the whole composition)
+    "dedup_pipeline" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents").filter(col("doc_id") < 1000)
+      Dedup.components(
+        Dedup.jaccardVerify(
+          Dedup.minhashLsh(docs, "doc_id", "text"), docs, "doc_id", "text", 0.5)
+          .select("a_id", "b_id"),
+        docs, "doc_id").orderBy("id")
+    }),
     // semantic dedup: connected components over embedding-cosine edges
     // (composition of cosinePairs + the fixpoint components operator)
     "dedup_semantic" -> ((s, dir) => {
@@ -110,7 +123,28 @@ object OpsQueries {
        |   sqrt(list_sum(list_transform(generate_series(1, len($b)), i ->
        |    CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))))""".stripMargin
 
+  /** Brute-force transitive closure over exact-jaccard >= 0.5 edges on
+    * doc_id < 1000 — the ground truth for BOTH the components operator
+    * (fed brute pairs) and the full LSH->verify->components pipeline. */
+  private lazy val componentsOracleSql: String = s"""WITH RECURSIVE $shinglesSql,
+    |pr AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+    |       FROM sh a, sh b
+    |       WHERE a.doc_id < b.doc_id AND a.doc_id < 1000 AND b.doc_id < 1000
+    |         AND len(list_intersect(a.s, b.s)) /
+    |           CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) >= 0.5),
+    |e AS (SELECT a_id AS x, b_id AS y FROM pr UNION SELECT b_id, a_id FROM pr),
+    |reach(x, y) AS (SELECT x, y FROM e
+    |  UNION SELECT r.x, e2.y FROM reach r JOIN e e2 ON r.y = e2.x),
+    |cmp AS (SELECT x AS id, least(x, min(y)) AS comp FROM reach GROUP BY x),
+    |ids AS (SELECT doc_id AS id FROM documents WHERE doc_id < 1000),
+    |lbl AS (SELECT ids.id, coalesce(cmp.comp, ids.id) AS comp
+    |        FROM ids LEFT JOIN cmp ON ids.id = cmp.id),
+    |sz AS (SELECT comp, count(*) AS comp_size FROM lbl GROUP BY comp)
+    |SELECT lbl.id, lbl.comp, sz.comp_size, lbl.id != lbl.comp AS is_dup
+    |FROM lbl JOIN sz ON lbl.comp = sz.comp ORDER BY lbl.id""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "dedup_pipeline" -> componentsOracleSql,
     "dedup_exact" ->
       """WITH h AS (SELECT doc_id, md5(text) AS content_hash FROM documents),
         |g AS (SELECT content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
@@ -128,22 +162,7 @@ object OpsQueries {
       |  AND len(list_intersect(a.s, b.s)) /
       |    CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) >= 0.5
       |ORDER BY a_id, b_id""".stripMargin,
-    "dedup_components" -> s"""WITH RECURSIVE $shinglesSql,
-      |pr AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
-      |       FROM sh a, sh b
-      |       WHERE a.doc_id < b.doc_id AND a.doc_id < 1000 AND b.doc_id < 1000
-      |         AND len(list_intersect(a.s, b.s)) /
-      |           CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) >= 0.5),
-      |e AS (SELECT a_id AS x, b_id AS y FROM pr UNION SELECT b_id, a_id FROM pr),
-      |reach(x, y) AS (SELECT x, y FROM e
-      |  UNION SELECT r.x, e2.y FROM reach r JOIN e e2 ON r.y = e2.x),
-      |cmp AS (SELECT x AS id, least(x, min(y)) AS comp FROM reach GROUP BY x),
-      |ids AS (SELECT doc_id AS id FROM documents WHERE doc_id < 1000),
-      |lbl AS (SELECT ids.id, coalesce(cmp.comp, ids.id) AS comp
-      |        FROM ids LEFT JOIN cmp ON ids.id = cmp.id),
-      |sz AS (SELECT comp, count(*) AS comp_size FROM lbl GROUP BY comp)
-      |SELECT lbl.id, lbl.comp, sz.comp_size, lbl.id != lbl.comp AS is_dup
-      |FROM lbl JOIN sz ON lbl.comp = sz.comp ORDER BY lbl.id""".stripMargin,
+    "dedup_components" -> componentsOracleSql,
     "dedup_embedding" -> s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id,
       |  ${cosSql("a.embedding", "b.embedding")} AS cos
       |FROM embeddings a, embeddings b
