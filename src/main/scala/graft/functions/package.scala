@@ -20,7 +20,7 @@ package object functions {
     GorillaDecodeTimestamps, GorillaDecodeValues, GorillaEncode, GorillaEncodeValues,
     GorillaNumPoints, HashSetSortedExpr, HyperplaneBucketsExpr, MinHashExpr,
     MinHashFromHashesExpr, ShingleHashesExpr, SimHashExpr, SimHashTextExpr,
-    SortedIntersectCountExpr}
+    SortedIntersectCountExpr, WordNgramsExpr}
 
   type Builder = Seq[Expression] => Expression
 
@@ -47,6 +47,8 @@ package object functions {
     "hash_set_sorted" -> (es => HashSetSortedExpr(es(0))),
     "sorted_intersect_count" -> (es => SortedIntersectCountExpr(es(0), es(1))),
     "shingle_hashes" -> (es => ShingleHashesExpr(es(0),
+      es(1).eval(null).asInstanceOf[Number].intValue())),
+    "word_ngrams" -> (es => WordNgramsExpr(es(0),
       es(1).eval(null).asInstanceOf[Number].intValue())),
     "minhash_hashes" -> (es => MinHashFromHashesExpr(es(0),
       es(1).eval(null).asInstanceOf[Number].intValue())),
@@ -91,6 +93,8 @@ package object functions {
     call_function("sorted_intersect_count", a, b)
   def shingle_hashes(text: Column, n: Int): Column =
     call_function("shingle_hashes", text, org.apache.spark.sql.functions.lit(n))
+  def word_ngrams(text: Column, n: Int): Column =
+    call_function("word_ngrams", text, org.apache.spark.sql.functions.lit(n))
   def minhash_hashes(hashes: Column, k: Int): Column =
     call_function("minhash_hashes", hashes, org.apache.spark.sql.functions.lit(k))
 }

@@ -139,6 +139,36 @@ object TextHash {
     UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(hs, uniq))
   }
 
+  /**
+   * All word n-grams of a text as strings, in document order WITH
+   * duplicates (frequency counting needs multiplicity — unlike
+   * [[shingleHashes]]' distinct sets). One pass over the bytes; each
+   * gram is a zero-copy byte-span view (consecutive words already sit
+   * space-joined in the source), so nothing is re-concatenated.
+   * Texts with fewer than n words yield an empty array.
+   */
+  def wordNgrams(text: UTF8String, n: Int): ArrayData = {
+    val bytes = text.getBytes
+    var words = 1
+    var i = 0
+    while (i < bytes.length) { if (bytes(i) == ' ') words += 1; i += 1 }
+    val starts = new Array[Int](words + 1)
+    var w = 1
+    i = 0
+    while (i < bytes.length) { if (bytes(i) == ' ') { starts(w) = i + 1; w += 1 }; i += 1 }
+    starts(words) = bytes.length + 1
+    val nGrams = math.max(words - n + 1, 0)
+    val out = new Array[Any](nGrams)
+    var s = 0
+    while (s < nGrams) {
+      val from = starts(s)
+      val until = starts(s + n) - 1
+      out(s) = UTF8String.fromBytes(bytes, from, until - from)
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** k min-hashes over pre-hashed shingles (same permutations as
     * [[minHash]], so signatures are interchangeable). */
   def minHashFromHashes(hashes: ArrayData, k: Int): ArrayData = {
@@ -184,6 +214,20 @@ case class ShingleHashesExpr(child: Expression, n: Int) extends UnaryExpression 
     TextHash.shingleHashes(t.asInstanceOf[UTF8String], n)
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, t => s"graft.functions.TextHash.shingleHashes($t, $n)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** word_ngrams(text, n) -> array<string> (in order, with duplicates) */
+case class WordNgramsExpr(child: Expression, n: Int) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GorillaExprs.expect(child, StringType, s"$prettyName arg 1")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "word_ngrams"
+  protected override def nullSafeEval(t: Any): Any =
+    TextHash.wordNgrams(t.asInstanceOf[UTF8String], n)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.functions.TextHash.wordNgrams($t, $n)")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 

@@ -97,17 +97,15 @@ object TextOps {
    * TakeOrdered, never a full sort. Ties break on the gram itself, so
    * the result is deterministic.
    */
-  def ngramTopK(docs: DataFrame, textCol: String, n: Int = 2, k: Int = 20): DataFrame = {
-    val words = split(col(textCol), " ")
-    val grams = when(size(words) >= n,
-        transform(sequence(lit(0), size(words) - n),
-          i => concat_ws(" ", slice(words, i + 1, lit(n)))))
-      .otherwise(array())
-    docs.select(explode(grams).as("ngram"))
+  def ngramTopK(docs: DataFrame, textCol: String, n: Int = 2, k: Int = 20): DataFrame =
+    // word_ngrams is a fused native kernel (one byte-scan per doc,
+    // zero-copy gram views) — the transform/slice/concat_ws lambda
+    // chain it replaces evaluates interpreted (higher-order functions
+    // are a codegen barrier) and re-concatenates every gram
+    docs.select(explode(graft.functions.word_ngrams(col(textCol), n)).as("ngram"))
       .groupBy("ngram").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("ngram"))
       .limit(k)
-  }
 
   /**
    * Top-k characteristic terms per document, ranked by (term frequency
