@@ -79,6 +79,31 @@ object StreamIngest {
       }
   }
 
+  /**
+   * High-rate alternative sealer: every micro-batch is sort-encoded
+   * immediately via the batch `Ts.chunkify` path (external sort, no
+   * collect_list, no per-group streaming state), so a 1 kHz series
+   * never accumulates rows in state — at the cost of several PARTIAL
+   * chunks per (series, window) when a window spans micro-batches.
+   * Readers are agnostic: the store contract already allows multiple
+   * chunks per window (salted ingest produces the same shape), and
+   * every chunk still carries exact stats for pruning. Use
+   * [[chunkStream]] when you want exactly one sealed chunk per window
+   * and your rate fits watermark state; use this when ingest rate
+   * dominates.
+   */
+  def writeChunksPerBatch(events: DataFrame, seriesCols: Seq[String], tsCol: String,
+                          valCol: String, path: String, checkpoint: String,
+                          windowSec: Long = graft.tsdb.Ts.WindowSec) =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          graft.tsdb.Ts.writeStore(
+            graft.tsdb.Ts.chunkify(batch, seriesCols, tsCol, valCol, windowSec),
+            path, mode = "append")
+      }
+
   /** Append-mode parquet sink for the chunk stream, partitioned by
     * window date for partition pruning on the read side. */
   def writeChunks(chunks: DataFrame, path: String, checkpoint: String) =

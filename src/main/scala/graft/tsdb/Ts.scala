@@ -311,10 +311,10 @@ object Ts {
    * handles coarse time ranges, per-chunk stat columns handle the rest,
    * and only surviving chunks are ever decoded.
    */
-  def writeStore(chunks: DataFrame, path: String): Unit =
+  def writeStore(chunks: DataFrame, path: String, mode: String = "overwrite"): Unit =
     chunks
       .withColumn("window_date", to_date(to_timestamp(col("window_start"))))
-      .write.mode("overwrite")
+      .write.mode(mode)
       .partitionBy("window_date")
       .parquet(path)
 

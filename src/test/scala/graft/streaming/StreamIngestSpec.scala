@@ -118,6 +118,34 @@ class StreamIngestSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("per-batch sort-encode sink appends partial chunks, point set intact") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp, Double)]
+    val path = java.nio.file.Files.createTempDirectory("graft-perbatch").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-perbatch-ck").toString
+    val q = StreamIngest.writeChunksPerBatch(
+      input.toDF().toDF("series", "ts", "v"), Seq("series"), "ts", "v",
+      s"$path/store", ckpt).start()
+    try {
+      val w0 = 1700006400L
+      input.addData(("cpu", ts(w0 + 10), 1.0), ("cpu", ts(w0 + 30), 2.0))
+      q.processAllAvailable()
+      input.addData(("cpu", ts(w0 + 20), 1.5)) // same window, next batch
+      q.processAllAvailable()
+      val store = graft.tsdb.Ts.readStore(spark, s"$path/store")
+      // two PARTIAL chunks for the same (series, window) — the store
+      // contract salting already established — with exact stats each
+      assert(store.count() == 2)
+      assert(store.select("window_start").distinct().collect().map(_.getLong(0)).toSeq
+        == Seq(w0))
+      assert(store.agg(sum("n")).first().getLong(0) == 3L)
+      val pts = graft.tsdb.Ts.unpack(store, Seq("series"))
+        .orderBy("ts").collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+      assert(pts == Seq((w0 + 10, 1.0), (w0 + 20, 1.5), (w0 + 30, 2.0)))
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState keeps running latest per series") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
