@@ -114,8 +114,12 @@ object TextOps {
    * tf·log(N/df) score could differ in the last ulp between libms).
    *
    * At scale: tf is one (doc, term) shuffle with partial counts; df is
-   * a vocabulary-sized aggregate (small — broadcast-joinable back onto
-   * tf); the final per-doc top-k is a window over the doc partition.
+   * a vocabulary-sized aggregate. The tf⋈df join is left unhinted — a
+   * clean natural-language vocabulary broadcasts (AQE picks that up),
+   * but a noisy web corpus's vocabulary is O(corpus) (urls, ids), so
+   * forcing a broadcast would OOM; the shuffle join is the safe
+   * default. The final per-doc top-k is a window over the doc
+   * partition.
    */
   def keyTerms(docs: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -124,7 +128,7 @@ object TextOps {
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(idCol).orderBy(col("tf").desc, col("df").asc, col("term"))
-    tf.join(broadcast(dfreq), "term")
+    tf.join(dfreq, "term")
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col(idCol), col("rank"), col("term"), col("tf"), col("df"))

@@ -34,4 +34,18 @@ class ImageHeaderSpec extends AnyFunSuite {
     assert(ImageHeader.parse("not an image at all".getBytes).isEmpty)
     assert(ImageHeader.parse(Array.emptyByteArray).isEmpty)
   }
+
+  test("word_ngrams edge cases: short texts, multi-space, duplicates kept") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def grams(s: String, n: Int): Seq[String] = {
+      val a = graft.functions.TextHash.wordNgrams(UTF8String.fromString(s), n)
+      (0 until a.numElements()).map(i => a.getUTF8String(i).toString)
+    }
+    assert(grams("a b c", 2) == Seq("a b", "b c"))
+    assert(grams("a b a b", 2) == Seq("a b", "b a", "a b")) // duplicates kept
+    assert(grams("solo", 2) == Seq.empty)                   // fewer words than n
+    assert(grams("", 2) == Seq.empty)
+    assert(grams("a  b", 2) == Seq("a ", " b"))             // split-on-every-space semantics
+    assert(grams("x y z", 3) == Seq("x y z"))
+  }
 }
