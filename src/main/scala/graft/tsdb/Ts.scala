@@ -367,7 +367,7 @@ object Ts {
       .withColumn("__m", max(when(col("__kind") === 0,
         struct(col("__ts").as("ts"), col("__rs").as("rs")))).over(w))
       .filter(col("__kind") === 1)
-    matched.select(left.columns.map(col) ++
+    matched.select(left.columns.toSeq.map(col) ++
       Seq(col("__m.ts").as(s"right_$rightTs")) ++
       rightPayload.map(c => col(s"__m.rs.$c").as(s"right_$c")): _*)
   }
