@@ -143,7 +143,13 @@ object Dedup {
     val edges = pin(pairs.select(col("a_id").as("x"), col("b_id").as("y"))
       .unionAll(pairs.select(col("b_id").as("x"), col("a_id").as("y")))
       .distinct())
-    var comp = allIds.select(col(idCol).as("id"), col(idCol).as("comp"))
+    // only nodes that touch an edge can ever change label, so the loop
+    // iterates over the DUP-SUBGRAPH (≤ 2·|edges| nodes), not the
+    // corpus — near-dup graphs are tiny relative to the corpus, so
+    // every round's join/shuffle/materialization is subgraph-sized;
+    // edge-free ids join back with comp = id once at the end
+    val nodes = edges.select(col("x").as("id")).distinct()
+    var comp = nodes.select(col("id"), col("id").as("comp"))
     var i = 0
     var changed = 1L
     while (changed > 0 && i < maxIters) {
@@ -157,8 +163,11 @@ object Dedup {
       comp = next.drop("__prev")
       i += 1
     }
-    val sizes = comp.groupBy("comp").agg(count(lit(1)).as("comp_size"))
-    comp.join(sizes, "comp")
+    val full = allIds.select(col(idCol).as("id"))
+      .join(comp, Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
+    val sizes = full.groupBy("comp").agg(count(lit(1)).as("comp_size"))
+    full.join(sizes, "comp")
       .select(col("id"), col("comp"), col("comp_size"),
         (col("id") =!= col("comp")).as("is_dup"))
   }

@@ -260,6 +260,25 @@ object TsQueries {
     }),
     // encode -> decode -> aggregate: proves bit-exact roundtrip at scale
     "ts_roundtrip_agg" -> ((s, dir) => aggExact(Ts.unpack(chunks(s, dir), series))),
+    // the VALUE-ONLY codec (reference double_stream.rs standalone):
+    // per-series ts-ordered values -> gorilla_encode_values ->
+    // gorilla_decode_values -> exact aggregates. Values sort by
+    // (ts, v) so the encode order is deterministic under dup ts.
+    "ts_values_roundtrip" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+      val vals = ev.select(col("user_id"), col("event_type"),
+          Ts.epochSec(ev, "ts").as("__sec"), col("value").cast("double").as("__v"))
+        .groupBy("user_id", "event_type")
+        .agg(graft.functions.gorilla_encode_values(
+          transform(array_sort(collect_list(struct(col("__sec"), col("__v")))),
+            p => p.getField("__v"))).as("vchunk"))
+      vals.select(col("user_id"), col("event_type"),
+          explode(graft.functions.gorilla_decode_values(col("vchunk"))).as("v"))
+        .groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("n"), min("v").as("min_v"), max("v").as("max_v"),
+          sum(round(col("v") * 100).cast("long")).as("sum_cents"))
+        .orderBy("user_id", "event_type")
+    }),
     "ts_roundtrip_leadtrail" -> ((s, dir) =>
       aggExact(Ts.unpack(chunks(s, dir, leadTrail = true), series))),
     // the full decoded point set, row for row
@@ -419,6 +438,12 @@ object TsQueries {
       |  ON g.user_id = a.user_id AND g.event_type = a.event_type AND g.bucket = a.bucket
       |ORDER BY g.user_id, g.event_type, g.bucket""".stripMargin,
     "ts_roundtrip_agg" -> aggExactSql,
+    "ts_values_roundtrip" -> s"""WITH $ptsSql
+      |SELECT user_id, event_type, count(*) AS n,
+      |  min(v) AS min_v, max(v) AS max_v,
+      |  CAST(sum(CAST(round(v * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+      |FROM pts GROUP BY user_id, event_type
+      |ORDER BY user_id, event_type""".stripMargin,
     "ts_roundtrip_leadtrail" -> aggExactSql,
     "ts_roundtrip_points" ->
       """SELECT user_id, event_type, CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS ts, value AS v
