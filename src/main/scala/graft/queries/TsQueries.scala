@@ -261,14 +261,18 @@ object TsQueries {
     // encode -> decode -> aggregate: proves bit-exact roundtrip at scale
     "ts_roundtrip_agg" -> ((s, dir) => aggExact(Ts.unpack(chunks(s, dir), series))),
     // the VALUE-ONLY codec (reference double_stream.rs standalone):
-    // per-series ts-ordered values -> gorilla_encode_values ->
-    // gorilla_decode_values -> exact aggregates. Values sort by
-    // (ts, v) so the encode order is deterministic under dup ts.
+    // per-(series, 2h-window) ts-ordered values ->
+    // gorilla_encode_values -> gorilla_decode_values -> exact
+    // aggregates. Windowed like chunkify so the per-group array stays
+    // bounded (a whole series' history in one collect_list would not
+    // survive scale); values sort by (ts, v) so the encode order is
+    // deterministic under duplicate timestamps.
     "ts_values_roundtrip" -> ((s, dir) => {
       val ev = Tables(s, dir, "events")
       val vals = ev.select(col("user_id"), col("event_type"),
           Ts.epochSec(ev, "ts").as("__sec"), col("value").cast("double").as("__v"))
-        .groupBy("user_id", "event_type")
+        .groupBy(col("user_id"), col("event_type"),
+          ((col("__sec") / Ts.WindowSec).cast("long") * Ts.WindowSec).as("__w"))
         .agg(graft.functions.gorilla_encode_values(
           transform(array_sort(collect_list(struct(col("__sec"), col("__v")))),
             p => p.getField("__v"))).as("vchunk"))
