@@ -296,11 +296,17 @@ object Ts {
 
   /** Latest point per series (arg-max via ordered struct max — one shuffle). */
   def latest(chunks: DataFrame, seriesCols: Seq[String]): DataFrame = {
-    // prune to each series' newest chunk first: only those can hold the max
+    // arg-max the newest chunk per series in ONE shuffle: struct max
+    // ordered by window_start with the chunk bytes riding along
+    // ((series, window_start) is unique, so the bytes never decide the
+    // order). No join, and map-side partial max means only one
+    // candidate chunk per series per input partition crosses the wire.
     val newest = chunks.groupBy(seriesCols.map(col): _*)
-      .agg(max("window_start").as("window_start"))
-    val lastChunks = chunks.join(newest, seriesCols :+ "window_start", "left_semi")
-    unpack(lastChunks, seriesCols)
+      .agg(max(struct(col("window_start"), col("chunk"))).as("__c"))
+      .select(seriesCols.map(col) :+ col("__c.chunk").as("chunk"): _*)
+    // decoding + the final per-series arg-max reuse the groupBy's hash
+    // partitioning (explode preserves it), so no second exchange
+    unpack(newest, seriesCols)
       .groupBy(seriesCols.map(col): _*)
       .agg(max(struct(col("ts"), col("v"))).as("__m"))
       .select(seriesCols.map(col) :+ col("__m.ts").as("ts") :+ col("__m.v").as("v"): _*)
