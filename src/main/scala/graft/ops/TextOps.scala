@@ -152,4 +152,23 @@ object TextOps {
     docs.select(col(idCol), md5(norm).as("fp_md5"),
       graft.functions.simhash_text(norm).as("fp_sim"))
   }
+
+  /** Email pattern shared by the scrub and its oracle (RE2-compatible:
+    * no backrefs/lookarounds, so Java and RE2 engines agree). */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  /** International-format phone pattern (+CC-XXX-XXXX). */
+  val PhoneRe = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+
+  /**
+   * PII scrubbing for training-data pipelines: count and redact email
+   * addresses and international-format phone numbers. Pure codegen'd
+   * regexp ops — no UDF — and the returned md5 of the scrubbed text
+   * lets an oracle verify the complete rewrite, not just the counts.
+   */
+  def piiScrub(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol),
+      regexp_count(col(textCol), lit(EmailRe)).cast("long").as("n_emails"),
+      regexp_count(col(textCol), lit(PhoneRe)).cast("long").as("n_phones"),
+      md5(regexp_replace(regexp_replace(col(textCol), EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>")).as("scrub_md5"))
 }

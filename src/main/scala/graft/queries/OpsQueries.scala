@@ -76,6 +76,13 @@ object OpsQueries {
     "mm_features" -> ((s, dir) =>
       Multimodal.featureStats(
         Multimodal.syntheticMedia(Tables(s, dir, "documents"), "doc_id", "text"))),
+    // all-modality header decode: per-row image dims, WAV sample rate/
+    // channels/samples, AVI dims/frames — every value must round-trip
+    // md5 bytes -> real container bytes -> format parser, row by row
+    "mm_av_features" -> ((s, dir) =>
+      Multimodal.extractAvFeatures(
+        Multimodal.syntheticAvMedia(Tables(s, dir, "documents"), "doc_id", "text"))
+        .toDF().orderBy("media_id")),
     // corpus-wide bigram frequencies (map-side combine + TakeOrdered)
     "text_ngram_topk" -> ((s, dir) =>
       TextOps.ngramTopK(Tables(s, dir, "documents"), "text", n = 2, k = 20)),
@@ -98,6 +105,16 @@ object OpsQueries {
           Dedup.minhashLsh(docs, "doc_id", "text"), docs, "doc_id", "text", 0.5)
           .select("a_id", "b_id"),
         docs, "doc_id").orderBy("id")
+    }),
+    // PII scrub: the corpus text carries no PII, so the query injects a
+    // deterministic synthetic email + phone per doc (the oracle builds
+    // the exact same string), then the operator counts and redacts them
+    "text_pii_scrub" -> ((s, dir) => {
+      val withPii = Tables(s, dir, "documents").withColumn("text",
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@example.com or +1-555-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+      TextOps.piiScrub(withPii, "doc_id", "text").orderBy("doc_id")
     }),
     // semantic dedup: connected components over embedding-cosine edges
     // (composition of cosinePairs + the fixpoint components operator)
@@ -232,6 +249,27 @@ object OpsQueries {
         |    AS total_bytes,
         |  max(b0 % 64 + 1) AS max_w, max(b1 % 64 + 1) AS max_h
         |FROM b GROUP BY kind ORDER BY kind""".stripMargin,
+    // every feature recomputed straight from the md5 bytes the fixture
+    // containers encode — a row matches only if the WAV/AVI/PNG parser
+    // read the real header correctly
+    "mm_av_features" ->
+      """WITH b AS (SELECT doc_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  CAST('0x' || substr(md5(text), 1, 2) AS INT) AS b0,
+        |  CAST('0x' || substr(md5(text), 3, 2) AS INT) AS b1,
+        |  CAST('0x' || substr(md5(text), 5, 2) AS INT) AS b2
+        |FROM documents)
+        |SELECT doc_id AS media_id, kind,
+        |  CAST(CASE kind WHEN 'image' THEN 45
+        |    WHEN 'audio' THEN 44 + 2 * (b1 % 2 + 1) * (b2 % 64 + 1)
+        |    ELSE 88 END AS INT) AS n_bytes,
+        |  CAST(CASE WHEN kind = 'audio' THEN 0 ELSE b0 % 64 + 1 END AS INT) AS width,
+        |  CAST(CASE WHEN kind = 'audio' THEN 0 ELSE b1 % 64 + 1 END AS INT) AS height,
+        |  CAST(CASE WHEN kind = 'audio' THEN (b0 % 4 + 1) * 11025 ELSE 0 END AS INT) AS sample_rate,
+        |  CAST(CASE WHEN kind = 'audio' THEN b1 % 2 + 1 ELSE 0 END AS INT) AS channels,
+        |  CAST(CASE kind WHEN 'audio' THEN b2 % 64 + 1
+        |    WHEN 'video' THEN b2 % 1000 + 1 ELSE 0 END AS INT) AS n_frames
+        |FROM b ORDER BY media_id""".stripMargin,
     "text_ngram_topk" ->
       """SELECT ngram, count(*) AS cnt FROM (
         |  SELECT unnest(list_transform(generate_series(1, len(w) - 1),
@@ -253,6 +291,21 @@ object OpsQueries {
     "sample_hash_topk" ->
       """SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents
         |ORDER BY h, doc_id LIMIT 100""".stripMargin,
+    "text_pii_scrub" ->
+      """WITH t AS (SELECT doc_id,
+        |  text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+        |    '@example.com or +1-555-' ||
+        |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+        |FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text,
+        |    '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+        |  md5(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS scrub_md5
+        |FROM t ORDER BY doc_id""".stripMargin,
     "dedup_semantic" -> s"""WITH RECURSIVE
       |pr AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id
       |       FROM embeddings a, embeddings b

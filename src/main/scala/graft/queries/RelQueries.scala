@@ -104,6 +104,16 @@ object RelQueries {
           grouping_id().as("lvl"))
         .orderBy(col("lvl"), col("l_returnflag").asc_nulls_first,
           col("l_linestatus").asc_nulls_first)),
+    // multidimensional totals: CUBE over (status, priority) — all four
+    // grouping-set combinations in one pass with partial aggregation
+    "q_cube" -> ((s, dir) =>
+      Tables(s, dir, "orders")
+        .withColumn("price_c", cents(col("o_totalprice")))
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum("price_c").as("sum_c"),
+          grouping_id().as("lvl"))
+        .orderBy(col("lvl"), col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)),
     // anti join: customers with no order since 2000-06-01
     "q_antijoin" -> ((s, dir) => {
       val c = Tables(s, dir, "customer")
@@ -204,6 +214,12 @@ object RelQueries {
         |  grouping(l_returnflag) * 2 + grouping(l_linestatus) AS lvl
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY lvl, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_c,
+        |  grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS lvl
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY lvl, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
     "q_antijoin" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
         |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders

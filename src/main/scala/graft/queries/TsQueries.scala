@@ -308,6 +308,27 @@ object TsQueries {
         graft.tsdb.Ts.chunkifyAdaptive(Tables(s, dir, "events"), series, "ts", "value",
           targetPoints = 64), series)
         .orderBy("user_id", "event_type")),
+    // per-series 3-sigma outliers, exactly: on integer cents,
+    // (x - mean)^2 > 9*variance  <=>  (n*x - S)^2 > 9*(n*Q - S^2) with
+    // S = sum(x), Q = sum(x^2) — all-integer arithmetic, so the flag is
+    // bit-exact across engines (no float mean/stddev). One groupBy for
+    // the per-series moments + a join back that AQE broadcasts (the
+    // stats side is one row per series). Longs hold the moments up to
+    // ~1e9 cents-points per series; beyond that, swap the three
+    // aggregate columns to decimal(38,0) — same plan shape.
+    "ts_anomaly" -> ((s, dir) => {
+      val pts = points(s, dir)
+        .withColumn("cents", round(col("v") * 100).cast("long"))
+      val stats = pts.groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("n"), sum("cents").as("s"),
+          sum(col("cents") * col("cents")).as("q"))
+      pts.join(stats, Seq("user_id", "event_type"))
+        .filter((col("n") * col("cents") - col("s")) *
+            (col("n") * col("cents") - col("s")) >
+          lit(9L) * (col("n") * col("q") - col("s") * col("s")))
+        .select("user_id", "event_type", "ts", "cents", "n")
+        .orderBy("user_id", "event_type", "ts", "cents")
+    }),
     // aggregate *directly over compressed chunks* (no point materialization)
     "ts_compressed_agg" -> ((s, dir) => {
       val c = chunks(s, dir)
@@ -483,6 +504,18 @@ object TsQueries {
       |  CAST(sum(CAST(round(v * 100) AS BIGINT)) AS BIGINT) AS sum_cents
       |FROM pts WHERE ts >= $RangeFrom AND ts <= $RangeTo
       |GROUP BY user_id, event_type ORDER BY user_id, event_type""".stripMargin,
+    "ts_anomaly" -> s"""WITH $ptsSql,
+      |c AS (SELECT user_id, event_type, ts,
+      |  CAST(round(v * 100) AS BIGINT) AS cents FROM pts),
+      |st AS (SELECT user_id, event_type, count(*) AS n,
+      |  CAST(sum(cents) AS BIGINT) AS s,
+      |  CAST(sum(cents * cents) AS BIGINT) AS q
+      |FROM c GROUP BY 1, 2)
+      |SELECT c.user_id, c.event_type, c.ts, c.cents, st.n
+      |FROM c JOIN st USING (user_id, event_type)
+      |WHERE (st.n * c.cents - st.s) * (st.n * c.cents - st.s) >
+      |  9 * (st.n * st.q - st.s * st.s)
+      |ORDER BY user_id, event_type, ts, cents""".stripMargin,
     "ts_topk_series" -> s"""WITH $ptsSql,
       |agg AS (SELECT user_id, event_type, count(*) AS n,
       |  min(ts) AS min_ts, max(ts) AS max_ts,

@@ -1,0 +1,41 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class AvHeaderSpec extends AnyFunSuite {
+
+  test("WAV fixture round-trips through the RIFF chunk walk") {
+    val b = AvHeader.wavBytes(22050, 2, 17)
+    assert(b.length == 44 + 2 * 2 * 17)
+    assert(AvHeader.parseWav(b).contains(AvHeader.WavInfo(22050, 2, 17)))
+    assert(AvHeader.parseAvi(b).isEmpty)
+    assert(ImageHeader.parse(b).isEmpty)
+  }
+
+  test("mono WAV with zero samples still parses") {
+    val b = AvHeader.wavBytes(8000, 1, 0)
+    assert(AvHeader.parseWav(b).contains(AvHeader.WavInfo(8000, 1, 0)))
+  }
+
+  test("AVI fixture round-trips through the hdrl LIST descent") {
+    val b = AvHeader.aviBytes(33, 7, 999)
+    assert(b.length == 88)
+    assert(AvHeader.parseAvi(b).contains(AvHeader.AviInfo(33, 7, 999)))
+    assert(AvHeader.parseWav(b).isEmpty)
+    assert(ImageHeader.parse(b).isEmpty)
+  }
+
+  test("garbage, truncated, and near-miss blobs parse to None") {
+    assert(AvHeader.parseWav(Array[Byte](1, 2, 3)).isEmpty)
+    assert(AvHeader.parseWav(AvHeader.wavBytes(8000, 1, 4).take(20)).isEmpty)
+    assert(AvHeader.parseAvi("RIFFxxxxWAVExxxx".getBytes("US-ASCII")).isEmpty)
+    assert(AvHeader.parseWav("RIFFxxxxAVI xxxx".getBytes("US-ASCII")).isEmpty)
+  }
+
+  test("decodeAv dispatches by real format, not the kind label") {
+    // a "video"-labelled row whose bytes are a WAV still decodes as WAV
+    val f = Multimodal.decodeAv(1L, "video", AvHeader.wavBytes(11025, 1, 3))
+    assert(f.sample_rate == 11025 && f.channels == 1 && f.n_frames == 3)
+    assert(f.width == 0 && f.height == 0)
+  }
+}
