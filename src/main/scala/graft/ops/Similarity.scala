@@ -130,6 +130,122 @@ object Similarity {
       .select("q_id", "rank", "n_id", "cos")
   }
 
+  /** Squared L2 distance of two float arrays, accumulated in double in
+    * index order (subspace dims are small; interpreted HOFs are fine
+    * off the hot path — assignment is once per vector per round). */
+  private def l2sq(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) =>
+        (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Dot product of two float arrays in double, index order. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Subspace slices: one (id, j, sub) row per vector per subspace. */
+  private def subspaces(e: DataFrame, m: Int): DataFrame = {
+    val dsub = (size(col("vec")) / m).cast("int")
+    e.select(col("id"), posexplode(transform(sequence(lit(0), lit(m - 1)),
+        j => slice(col("vec"), j * dsub + 1, dsub))))
+      .toDF("id", "j", "sub")
+  }
+
+  /** Nearest codeword per (vector, subspace): broadcast of the m·ksub
+    * codebook rows against the subspace scan — no vector shuffle. */
+  private def pqAssign(subs: DataFrame, books: DataFrame): DataFrame = {
+    val w = Window.partitionBy("id", "j").orderBy(col("__d"), col("code"))
+    subs.join(broadcast(books), Seq("j"))
+      .withColumn("__d", l2sq(col("sub"), col("cw")))
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") === 1)
+      .select("id", "j", "code")
+  }
+
+  /**
+   * Product-quantization codebooks: the vector space is cut into `m`
+   * subspaces and each gets its own `ksub`-codeword k-means-lite
+   * codebook (deterministic seeding by xxhash64(id) per subspace,
+   * Lloyd rounds with 1e-6-rounded means — same determinism discipline
+   * as [[ivfCentroids]]). Encoded, a 64-float vector becomes m small
+   * codes: 256 B → 8 B at m=8, the memory-compression layer that lets
+   * a 100 TB embedding corpus fit its candidate scan in RAM.
+   */
+  def pqCodebooks(embeddings: DataFrame, idCol: String, vecCol: String,
+                  m: Int = 8, ksub: Int = 16, iters: Int = 2): DataFrame = {
+    val subs = subspaces(
+      embeddings.select(col(idCol).as("id"), col(vecCol).as("vec")), m)
+    val wseed = Window.partitionBy("j").orderBy(xxhash64(col("id")), col("id"))
+    var books = subs.withColumn("__r", row_number().over(wseed))
+      .filter(col("__r") <= ksub)
+      .select(col("j"), (col("__r") - 1).as("code"), col("sub").as("cw"))
+    var it = 0
+    while (it < iters) {
+      books = pqAssign(subs, books).join(subs, Seq("id", "j"))
+        .select(col("j"), col("code"), posexplode(col("sub")))
+        .groupBy("j", "code", "pos").agg(round(avg("col"), 6).as("mean"))
+        .groupBy("j", "code")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("mean")))),
+          s => s.getField("mean").cast("float")).as("cw"))
+      it += 1
+    }
+    books
+  }
+
+  /** PQ-encode a corpus: m codes per vector. */
+  def pqEncode(embeddings: DataFrame, idCol: String, vecCol: String,
+               books: DataFrame, m: Int = 8): DataFrame =
+    pqAssign(subspaces(
+      embeddings.select(col(idCol).as("id"), col(vecCol).as("vec")), m), books)
+
+  /**
+   * PQ ANN top-k by asymmetric distance computation: each query builds
+   * an m×ksub lookup table of partial dot products against the
+   * codebooks, the corpus is scanned as CODES ONLY (approx score =
+   * sum of LUT entries at each neighbor's codes — the corpus vectors
+   * are never touched), and the top `k·rerankFactor` by approximate
+   * score are reranked with exact cosine.
+   *
+   * Scale shape: the scan is linear in corpus size like bruteTopK but
+   * moves m small ints per vector instead of the full float array —
+   * PQ is the bandwidth/memory path, and composes with [[ivfTopK]]
+   * (probe lists first, then ADC-score only those lists) when even a
+   * compressed full scan is too much.
+   */
+  def pqTopK(embeddings: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, k: Int, m: Int = 8, ksub: Int = 16,
+             rerankFactor: Int = 4): DataFrame = {
+    val spark = embeddings.sparkSession
+    val e = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val q = queries.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    // materialize the (m·ksub rows) codebook once — its k-means lineage
+    // would otherwise re-execute for every consumer
+    val cb = pqCodebooks(embeddings, idCol, vecCol, m, ksub)
+    val books = spark.createDataFrame(
+      spark.sparkContext.parallelize(cb.collect().toSeq, 1), cb.schema)
+    val codes = pqEncode(embeddings, idCol, vecCol, books, m)
+    val lut = subspaces(q, m).join(broadcast(books), Seq("j"))
+      .select(col("id").as("q_id"), col("j"), col("code"),
+        dot(col("sub"), col("cw")).as("pdot"))
+    val approx = codes.toDF("n_id", "j", "code")
+      .join(broadcast(lut), Seq("j", "code"))
+      .filter(col("q_id") =!= col("n_id"))
+      .groupBy("q_id", "n_id").agg(sum("pdot").as("approx_dot"))
+    val wq = Window.partitionBy("q_id").orderBy(col("approx_dot").desc, col("n_id"))
+    val cand = approx.withColumn("__r", row_number().over(wq))
+      .filter(col("__r") <= k * rerankFactor)
+      .select("q_id", "n_id")
+    val scored = cand
+      .join(q.toDF("q_id", "q_vec"), "q_id")
+      .join(e.toDF("n_id", "n_vec"), "n_id")
+      .withColumn("cos", cosine(col("q_vec"), col("n_vec")))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "n_id", "cos")
+  }
+
   /**
    * Candidate pairs for LSH ANN: a pair is a candidate when the query's
    * signature is within hamming distance `probes` of the neighbor's

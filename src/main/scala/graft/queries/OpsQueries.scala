@@ -58,6 +58,14 @@ object OpsQueries {
       Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
         k = 5).orderBy("q_id", "rank")
     }),
+    // PQ ANN: codes-only ADC scan + exact rerank (rows-only: recall
+    // pinned vs brute force in OpsSpec; the hash-seeded codebooks are
+    // not SQL-expressible)
+    "sim_ann_pq" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      Similarity.pqTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5).orderBy("q_id", "rank")
+    }),
     "text_langid" -> ((s, dir) =>
       TextOps.langId(Tables(s, dir, "documents"), "doc_id", "text").orderBy("doc_id")),
     "text_quality" -> ((s, dir) =>
@@ -106,6 +114,17 @@ object OpsQueries {
           .select("a_id", "b_id"),
         docs, "doc_id").orderBy("id")
     }),
+    // batch-equivalent of the streaming first-arrival dedup
+    // (StreamIngest.dedupStream; stream==batch parity is proven over
+    // MemoryStream in StreamIngestSpec): with arrival order = doc_id,
+    // the survivor of each content hash is its minimum doc_id
+    "stream_dedup" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .withColumn("content_hash", md5(col("text")))
+        .groupBy("content_hash")
+        .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_arrivals"))
+        .select("doc_id", "content_hash", "n_arrivals")
+        .orderBy("doc_id")),
     // PII scrub: the corpus text carries no PII, so the query injects a
     // deterministic synthetic email + phone per doc (the oracle builds
     // the exact same string), then the operator counts and redacts them
@@ -291,6 +310,10 @@ object OpsQueries {
     "sample_hash_topk" ->
       """SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents
         |ORDER BY h, doc_id LIMIT 100""".stripMargin,
+    "stream_dedup" ->
+      """SELECT min(doc_id) AS doc_id, md5(text) AS content_hash,
+        |  count(*) AS n_arrivals
+        |FROM documents GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
     "text_pii_scrub" ->
       """WITH t AS (SELECT doc_id,
         |  text || ' contact user' || CAST(doc_id AS VARCHAR) ||

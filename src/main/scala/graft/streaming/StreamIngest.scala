@@ -104,6 +104,23 @@ object StreamIngest {
             path, mode = "append")
       }
 
+  /**
+   * Streaming exact dedup: the first arrival of each content hash
+   * passes, replicas are dropped. State is one entry per DISTINCT
+   * hash inside the watermark horizon — bounded by content variety and
+   * time, not event volume — and `dropDuplicatesWithinWatermark` lets
+   * Spark expire entries once the watermark passes them (plain
+   * `dropDuplicates` on a non-event-time key would keep state
+   * forever). The batch-equivalent semantics (first occurrence per
+   * hash in arrival order) are what the `stream_dedup` query oracles.
+   */
+  def dedupStream(docs: DataFrame, tsCol: String, textCol: String,
+                  watermark: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("content_hash", md5(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("content_hash")
+
   /** Append-mode parquet sink for the chunk stream, partitioned by
     * window date for partition pruning on the read side. */
   def writeChunks(chunks: DataFrame, path: String, checkpoint: String) =

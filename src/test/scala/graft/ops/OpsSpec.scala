@@ -105,6 +105,30 @@ class OpsSpec extends AnyFunSuite {
     assert(r16 >= r4)
   }
 
+  test("pq ann: codes are complete, ADC recall beats floor, rerank is exact") {
+    val qs = emb.filter(col("vec_id") < 20)
+    val books = Similarity.pqCodebooks(emb, "vec_id", "embedding")
+    val codes = Similarity.pqEncode(emb, "vec_id", "embedding", books)
+    val n = emb.count()
+    // every vector encodes to exactly m codes within [0, ksub)
+    assert(codes.count() == n * 8)
+    assert(codes.groupBy("id").count().filter(col("count") =!= 8).count() == 0)
+    assert(codes.filter(col("code") < 0 || col("code") >= 16).count() == 0)
+
+    val brute = Similarity.bruteTopK(qs, emb, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val pq = Similarity.pqTopK(emb, qs, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val rs = brute.map { case (q, t) => (pq.getOrElse(q, Set.empty) & t).size.toDouble / t.size }
+    val recall = rs.sum / rs.size
+    // 16 codewords x 8 subspaces on unclustered random vectors: modest
+    // recall by nature; the property is "far above chance" (chance
+    // at k=5 of n=500 is ~1%)
+    assert(recall > 0.2, s"pq recall $recall")
+  }
+
   test("components: chains collapse transitively to one canonical id") {
     import spark.implicits._
     // A~B, B~C, D~E; A!~C directly — all of A,B,C must share component 1

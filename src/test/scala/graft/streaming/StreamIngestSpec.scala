@@ -146,6 +146,27 @@ class StreamIngestSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming first-arrival dedup matches the batch stream_dedup survivors") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val docs = input.toDF().toDF("doc_id", "ts", "text")
+    val q = StreamIngest.dedupStream(docs, "ts", "text", watermark = "1 minute")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_sink").start()
+    try {
+      val t0 = 1700006400L
+      // arrival order = doc_id order; "aa" and "bb" repeat across batches
+      input.addData((0L, ts(t0), "aa"), (1L, ts(t0 + 1), "bb"), (2L, ts(t0 + 2), "aa"))
+      q.processAllAvailable()
+      input.addData((3L, ts(t0 + 3), "bb"), (4L, ts(t0 + 4), "cc"))
+      q.processAllAvailable()
+      val kept = spark.table("dedup_sink").select("doc_id").as[Long].collect().toSet
+      // batch equivalent: min doc_id per content hash
+      assert(kept == Set(0L, 1L, 4L))
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState keeps running latest per series") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
