@@ -159,17 +159,23 @@ object Dedup {
       val stepped = comp.join(neighborMin, Seq("id"), "left")
         .select(col("id"), col("comp").as("__prev"),
           least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
-      // pointer jump (path compression): comp := comp(comp). A label is
-      // always the id of a same-component node and only ever decreases,
-      // so the jump is safe — and labels now travel 2^round hops per
-      // round instead of 1, making convergence O(log chain-length)
-      // rounds. One extra subgraph-sized join per round buys an
-      // exponential cut in round count (rounds = whole-cluster barriers
-      // at scale, so fewer rounds is the win that matters at 100 TB).
-      val parent = stepped.select(col("id").as("__jid"), col("comp").as("__jcomp"))
-      val next = pin(stepped.join(parent, col("comp") === col("__jid"), "left")
-        .select(col("id"), col("__prev"),
-          coalesce(col("__jcomp"), col("comp")).as("comp")))
+      // Rounds 3+: pointer jump (path compression), comp := comp(comp).
+      // A label is always the id of a same-component node and only ever
+      // decreases, so the jump is safe — and labels then travel ~2^round
+      // hops per round instead of 1, making the long tail O(log chain)
+      // rounds (rounds = whole-cluster barriers at scale, so the round
+      // count is what matters at 100 TB). The first two rounds skip it:
+      // most real dup graphs are shallow and converge before a jump
+      // would ever pay for its extra subgraph-sized join.
+      val next =
+        if (i < 2) pin(stepped)
+        else {
+          val st = pin(stepped)
+          val parent = st.select(col("id").as("__jid"), col("comp").as("__jcomp"))
+          pin(st.join(parent, col("comp") === col("__jid"), "left")
+            .select(col("id"), col("__prev"),
+              coalesce(col("__jcomp"), col("comp")).as("comp")))
+        }
       changed = next.filter(col("comp") =!= col("__prev")).count()
       comp = next.drop("__prev")
       i += 1

@@ -74,10 +74,16 @@ object Similarity {
       .select(row_number().over(Window.orderBy("id")).as("cluster"), col("vec").as("centroid"))
     var it = 0
     while (it < iters) {
-      val assigned = assign(e, centroids)
+      // assignment carries the vector through the aggregate (first() —
+      // one vec per id group), so the mean recompute needs no join-back.
       // round the means to 1e-6: float sums depend on partition order,
       // and unquantized noise would make bucket assignment run-varying
-      centroids = assigned.join(e, "id")
+      val assigned = e.crossJoin(broadcast(centroids))
+        .groupBy("id")
+        .agg(max(struct(cosine(col("vec"), col("centroid")).as("c"),
+          (-col("cluster")).as("negc"))).as("__m"), first("vec").as("vec"))
+        .select((-col("__m.negc")).as("cluster"), col("vec"))
+      centroids = assigned
         .select(col("cluster"), posexplode(col("vec")))
         .groupBy("cluster", "pos").agg(round(avg("col"), 6).as("m"))
         .groupBy("cluster")
@@ -88,15 +94,15 @@ object Similarity {
     centroids
   }
 
-  /** Nearest centroid per vector (broadcast nlist × corpus scan). */
-  private def assign(e: DataFrame, centroids: DataFrame): DataFrame = {
-    val w = Window.partitionBy("id").orderBy(col("__c").desc, col("cluster"))
+  /** Nearest centroid per vector (broadcast nlist × corpus scan); the
+    * arg-max is a hash aggregate over an ordered struct (map-side
+    * partial max) — no row_number window, no sort. */
+  private def assign(e: DataFrame, centroids: DataFrame): DataFrame =
     e.crossJoin(broadcast(centroids))
-      .withColumn("__c", cosine(col("vec"), col("centroid")))
-      .withColumn("__r", row_number().over(w))
-      .filter(col("__r") === 1)
-      .select(col("id"), col("cluster"))
-  }
+      .groupBy("id")
+      .agg(max(struct(cosine(col("vec"), col("centroid")).as("c"),
+        (-col("cluster")).as("negc"))).as("__m"))
+      .select(col("id"), (-col("__m.negc")).as("cluster"))
 
   /**
    * IVF ANN top-k: queries probe their `nprobe` closest centroids and
@@ -153,15 +159,14 @@ object Similarity {
   }
 
   /** Nearest codeword per (vector, subspace): broadcast of the m·ksub
-    * codebook rows against the subspace scan — no vector shuffle. */
-  private def pqAssign(subs: DataFrame, books: DataFrame): DataFrame = {
-    val w = Window.partitionBy("id", "j").orderBy(col("__d"), col("code"))
+    * codebook rows against the subspace scan — no vector shuffle, and
+    * the arg-min is a hash aggregate over an ordered struct (map-side
+    * partial min), not a row_number window (which would add a sort). */
+  private def pqAssign(subs: DataFrame, books: DataFrame): DataFrame =
     subs.join(broadcast(books), Seq("j"))
-      .withColumn("__d", l2sq(col("sub"), col("cw")))
-      .withColumn("__r", row_number().over(w))
-      .filter(col("__r") === 1)
-      .select("id", "j", "code")
-  }
+      .groupBy("id", "j")
+      .agg(min(struct(l2sq(col("sub"), col("cw")).as("d"), col("code"))).as("__m"))
+      .select(col("id"), col("j"), col("__m.code").as("code"))
 
   /**
    * Product-quantization codebooks: the vector space is cut into `m`
@@ -182,7 +187,15 @@ object Similarity {
       .select(col("j"), (col("__r") - 1).as("code"), col("sub").as("cw"))
     var it = 0
     while (it < iters) {
-      books = pqAssign(subs, books).join(subs, Seq("id", "j"))
+      // assignment carries the subvector through the aggregate
+      // (first() — one sub per (id, j) group), so no join-back is
+      // needed before the mean recompute
+      val assigned = subs.join(broadcast(books), Seq("j"))
+        .groupBy("id", "j")
+        .agg(min(struct(l2sq(col("sub"), col("cw")).as("d"), col("code"))).as("__m"),
+          first("sub").as("sub"))
+        .select(col("j"), col("__m.code").as("code"), col("sub"))
+      books = assigned
         .select(col("j"), col("code"), posexplode(col("sub")))
         .groupBy("j", "code", "pos").agg(round(avg("col"), 6).as("mean"))
         .groupBy("j", "code")
