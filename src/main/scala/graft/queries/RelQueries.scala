@@ -114,6 +114,16 @@ object RelQueries {
           grouping_id().as("lvl"))
         .orderBy(col("lvl"), col("o_orderstatus").asc_nulls_first,
           col("o_orderpriority").asc_nulls_first)),
+    // semi join: customers WITH at least one recent order (dual of the
+    // anti join; no order columns materialize past the join)
+    "q_semijoin" -> ((s, dir) => {
+      val c = Tables(s, dir, "customer")
+      val o = Tables(s, dir, "orders")
+        .filter(col("o_orderdate") >= to_timestamp(lit("2000-06-01 00:00:00")))
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    }),
     // anti join: customers with no order since 2000-06-01
     "q_antijoin" -> ((s, dir) => {
       val c = Tables(s, dir, "customer")
@@ -220,6 +230,11 @@ object RelQueries {
         |  grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS lvl
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY lvl, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "q_semijoin" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders
+        |                    WHERE o_orderdate >= TIMESTAMP '2000-06-01 00:00:00')
+        |ORDER BY c_custkey""".stripMargin,
     "q_antijoin" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
         |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders

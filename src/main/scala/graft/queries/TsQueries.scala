@@ -329,6 +329,17 @@ object TsQueries {
         .select("user_id", "event_type", "ts", "cents", "n")
         .orderBy("user_id", "event_type", "ts", "cents")
     }),
+    // per-series value histogram on exact integer buckets (50-unit
+    // wide via cents div 5000): one hash-aggregate with map-side
+    // partials — the classic distribution profile over decoded points
+    "ts_histogram" -> ((s, dir) =>
+      points(s, dir)
+        .withColumn("bucket",
+          floor(round(col("v") * 100).cast("long") / 5000).cast("long"))
+        .groupBy("user_id", "event_type", "bucket")
+        .agg(count(lit(1)).as("n"),
+          min("v").as("min_v"), max("v").as("max_v"))
+        .orderBy("user_id", "event_type", "bucket")),
     // aggregate *directly over compressed chunks* (no point materialization)
     "ts_compressed_agg" -> ((s, dir) => {
       val c = chunks(s, dir)
@@ -504,6 +515,12 @@ object TsQueries {
       |  CAST(sum(CAST(round(v * 100) AS BIGINT)) AS BIGINT) AS sum_cents
       |FROM pts WHERE ts >= $RangeFrom AND ts <= $RangeTo
       |GROUP BY user_id, event_type ORDER BY user_id, event_type""".stripMargin,
+    "ts_histogram" -> s"""WITH $ptsSql
+      |SELECT user_id, event_type,
+      |  CAST(round(v * 100) AS BIGINT) // 5000 AS bucket,
+      |  count(*) AS n, min(v) AS min_v, max(v) AS max_v
+      |FROM pts GROUP BY 1, 2, 3
+      |ORDER BY user_id, event_type, bucket""".stripMargin,
     "ts_anomaly" -> s"""WITH $ptsSql,
       |c AS (SELECT user_id, event_type, ts,
       |  CAST(round(v * 100) AS BIGINT) AS cents FROM pts),
