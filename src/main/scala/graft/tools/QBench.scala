@@ -1,4 +1,4 @@
-package graft
+package graft.tools
 import org.apache.spark.sql.SparkSession
 object QBench {
   def main(args: Array[String]): Unit = {
@@ -16,7 +16,7 @@ object QBench {
     (1 to 2).foreach { pass =>
       names.foreach { n =>
         val t0 = System.nanoTime()
-        SparkEntry.queries(n)(spark, sfDir).count()
+        graft.SparkEntry.queries(n)(spark, sfDir).count()
         println(f"pass$pass $n ${(System.nanoTime()-t0)/1e9}%.2f")
       }
     }
