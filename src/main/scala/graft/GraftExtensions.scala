@@ -13,6 +13,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     functions.all.foreach { case (name, builder) =>
       ext.injectFunction((FunctionIdentifier(name), functions.expressionInfo(name), builder))
     }
+    ext.injectOptimizerRule(_ => graft.plans.DecodeNarrowRule)
     ext.injectOptimizerRule(_ => graft.plans.ChunkPruneRule)
   }
 }

@@ -102,17 +102,36 @@ object GorillaCodec {
     (ts, vs)
   }
 
-  /** Decode just the values — directly for value-only chunks, skipping
-    * interleaved timestamp tokens otherwise. */
+  /** Decode just the values. Interleaved timestamp tokens must still
+    * be CONSUMED to advance the bit stream, but no timestamp array is
+    * ever materialized. */
   def decodeValues(bytes: Array[Byte]): Array[Double] = {
     val h = readHeader(bytes)
-    if (!h.valueOnly) return decode(bytes)._2
     val r = reader(bytes, h)
     val vDec = new XorDoubleCodec.Decoder(r, h.variant == VariantLeadTrail)
     val vs = new Array[Double](h.n)
     var i = 0
-    while (i < h.n) { vs(i) = vDec.next(); i += 1 }
+    if (h.valueOnly) {
+      while (i < h.n) { vs(i) = vDec.next(); i += 1 }
+    } else {
+      val tDec = new TimestampCodec.Decoder(h.headerTime, r)
+      while (i < h.n) { tDec.next(); vs(i) = vDec.next(); i += 1 }
+    }
     vs
+  }
+
+  /** Decode just the timestamps of an interleaved chunk; value tokens
+    * advance the stream but are never materialized. */
+  def decodeTimestamps(bytes: Array[Byte]): Array[Long] = {
+    val h = readHeader(bytes)
+    require(!h.valueOnly, "value-only chunk has no timestamps; use decodeValues")
+    val r = reader(bytes, h)
+    val tDec = new TimestampCodec.Decoder(h.headerTime, r)
+    val vDec = new XorDoubleCodec.Decoder(r, h.variant == VariantLeadTrail)
+    val ts = new Array[Long](h.n)
+    var i = 0
+    while (i < h.n) { ts(i) = tDec.next(); vDec.next(); i += 1 }
+    ts
   }
 
   /** Streaming aggregate over one compressed chunk — no array

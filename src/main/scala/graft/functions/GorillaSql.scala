@@ -47,10 +47,8 @@ object GorillaSql {
   def decodeValues(bytes: Array[Byte]): ArrayData =
     UnsafeArrayData.fromPrimitiveArray(GorillaCodec.decodeValues(bytes))
 
-  def decodeTimestamps(bytes: Array[Byte]): ArrayData = {
-    val (ts, _) = GorillaCodec.decode(bytes)
-    UnsafeArrayData.fromPrimitiveArray(ts)
-  }
+  def decodeTimestamps(bytes: Array[Byte]): ArrayData =
+    UnsafeArrayData.fromPrimitiveArray(GorillaCodec.decodeTimestamps(bytes))
 
   /** struct<n: long, min_ts: long, max_ts: long, min_v: double, max_v: double, sum_v: double> */
   def chunkAgg(bytes: Array[Byte]): InternalRow = {
