@@ -324,6 +324,30 @@ object Ts {
       .partitionBy("window_date")
       .parquet(path)
 
+  /**
+   * Compact a chunk store into a new store at `outPath`: decode every
+   * point and re-encode exactly one sealed chunk per (series, window).
+   * Streaming per-batch ingest (`StreamIngest.writeChunksPerBatch`)
+   * and salted chunkify legitimately leave several PARTIAL chunks per
+   * window; compaction restores the one-chunk-per-window shape —
+   * Gorilla's background block finalization as a batch job. Because
+   * encode is sort-based and deterministic, the compacted chunks are
+   * byte-identical to a direct batch chunkify of the same points
+   * (asserted in TsStoreSpec), so readers can't tell compacted and
+   * never-fragmented stores apart.
+   */
+  def compactStore(spark: org.apache.spark.sql.SparkSession, path: String,
+                   outPath: String, windowSec: Long = WindowSec): Unit = {
+    val chunks = readStore(spark, path)
+    val fixed = Set("window_start", "n", "min_ts", "max_ts", "min_v", "max_v",
+      "sum_cents", "chunk", "window_date")
+    val seriesCols = chunks.columns.filterNot(fixed.contains).toSeq
+    // ts comes back as epoch seconds (long); go through timestamp so
+    // chunkify's epochSec treats it as seconds, not parquet nanos
+    val pts = unpack(chunks, seriesCols).withColumn("ts", to_timestamp(col("ts")))
+    writeStore(chunkify(pts, seriesCols, "ts", "v", windowSec), outPath)
+  }
+
   /** Open a chunk store; `fromSec`/`toSec` prune partitions at plan time. */
   def readStore(spark: org.apache.spark.sql.SparkSession, path: String,
                 fromSec: Long = Long.MinValue, toSec: Long = Long.MaxValue): DataFrame = {

@@ -30,6 +30,32 @@ class TsStoreSpec extends AnyFunSuite {
       direct.orderBy("user_id", "event_type", "ts", "v").collect().toSeq)
   }
 
+  test("compaction merges partial chunks into byte-identical sealed chunks") {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val series = Seq("user_id", "event_type")
+    // fragment the ingest: two arbitrary halves appended separately,
+    // like two micro-batches of writeChunksPerBatch
+    val path = java.nio.file.Files.createTempDirectory("graft-frag").toString
+    val half = pmod(xxhash64(col("event_id")), lit(2L))
+    Ts.writeStore(Ts.chunkify(ev.filter(half === 0), series, "ts", "value"), path)
+    Ts.writeStore(Ts.chunkify(ev.filter(half === 1), series, "ts", "value"),
+      path, mode = "append")
+    val fragged = Ts.readStore(spark, path)
+    val direct = Ts.chunkify(ev, series, "ts", "value")
+    assert(fragged.count() > direct.count(), "ingest should be fragmented")
+
+    val out = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    Ts.compactStore(spark, path, out)
+    val compacted = Ts.readStore(spark, out)
+    def sig(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("user_id"), col("event_type"), col("window_start"),
+          col("n"), md5(col("chunk")).as("h"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getString(4))).toSet
+    // one sealed chunk per window, byte-identical to never-fragmented encode
+    assert(sig(compacted) == sig(direct))
+  }
+
   test("compressed-domain range aggregate matches the decode-everything baseline") {
     val ev = spark.read.parquet(s"$dir/events.parquet")
     val series = Seq("user_id", "event_type")
