@@ -216,6 +216,33 @@ object TsQueries {
           expr("percentile(cents, 0.9)").as("p90"),
           expr("percentile(cents, 0.99)").as("p99"))
         .orderBy("user_id", "event_type")),
+    // multi-resolution rollup: the hourly tier is derived by MERGING
+    // the 15-min partials (sum-of-sums, min-of-mins, count-of-counts)
+    // — never re-scanning points. This is the mergeable-aggregate
+    // contract that makes continuous TSDB rollup tiers cheap at scale;
+    // the oracle computes the hour straight from raw points, so the
+    // merge must be lossless
+    "ts_rollup_1h" -> ((s, dir) =>
+      downsample15m(points(s, dir))
+        .groupBy(col("user_id"), col("event_type"),
+          ((col("bucket") / 3600).cast("long") * 3600).as("bucket_1h"))
+        .agg(sum("n").as("n"), min("min_v").as("min_v"), max("max_v").as("max_v"),
+          sum("sum_cents").as("sum_cents"))
+        .withColumn("avg_v", col("sum_cents") / (col("n") * 100.0))
+        .orderBy("user_id", "event_type", "bucket_1h")),
+    // mergeable sketch quantiles per series (rows-only: sketch shape
+    // is engine-specific; accuracy vs exact percentile pinned in
+    // TsSketchSpec) — the 100 TB path where exact per-series sorts
+    // are replaced by fixed-size mergeable state
+    "ts_quantiles_sketch" -> ((s, dir) =>
+      points(s, dir)
+        .withColumn("cents", round(col("v") * 100).cast("long"))
+        .groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("n"),
+          expr("approx_percentile(cents, array(0.5, 0.9, 0.99), 1000)").as("qs"))
+        .select(col("user_id"), col("event_type"), col("n"),
+          col("qs")(0).as("p50"), col("qs")(1).as("p90"), col("qs")(2).as("p99"))
+        .orderBy("user_id", "event_type")),
     // sessionization: 30-min-gap session windows per user
     // (session_window is also the streaming form of this operator)
     "ts_sessionize" -> ((s, dir) => {
@@ -437,6 +464,14 @@ object TsQueries {
       |  quantile_cont(CAST(round(v * 100) AS BIGINT), 0.99) AS p99
       |FROM pts GROUP BY user_id, event_type
       |ORDER BY user_id, event_type""".stripMargin,
+    "ts_rollup_1h" -> s"""WITH $ptsSql
+      |SELECT user_id, event_type,
+      |  CAST(ts // 3600 * 3600 AS BIGINT) AS bucket_1h,
+      |  count(*) AS n, min(v) AS min_v, max(v) AS max_v,
+      |  CAST(sum(CAST(round(v * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+      |  CAST(sum(CAST(round(v * 100) AS BIGINT)) AS BIGINT) / (count(*) * 100.0) AS avg_v
+      |FROM pts GROUP BY 1, 2, 3
+      |ORDER BY user_id, event_type, bucket_1h""".stripMargin,
     "ts_sessionize" -> s"""WITH $ptsSql,
       |g AS (SELECT user_id, ts,
       |        -- session_window merges touching windows: an event at
