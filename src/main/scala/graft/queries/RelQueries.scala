@@ -114,6 +114,20 @@ object RelQueries {
           grouping_id().as("lvl"))
         .orderBy(col("lvl"), col("o_orderstatus").asc_nulls_first,
           col("o_orderpriority").asc_nulls_first)),
+    // correlated-subquery shape, decorrelated: orders above their own
+    // customer's average order value — one groupBy for the per-customer
+    // moments + a join back (AQE broadcasts the stats side); the
+    // comparison price > avg runs as price*cnt > sum on exact integers
+    "q_correlated" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders")
+        .withColumn("price_c", cents(col("o_totalprice")))
+      val stats = o.groupBy("o_custkey")
+        .agg(sum("price_c").as("s"), count(lit(1)).as("cn"))
+      o.join(stats, "o_custkey")
+        .filter(col("price_c") * col("cn") > col("s"))
+        .select(col("o_custkey"), col("o_orderkey"), col("price_c"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
     // semi join: customers WITH at least one recent order (dual of the
     // anti join; no order columns materialize past the join)
     "q_semijoin" -> ((s, dir) => {
@@ -230,6 +244,15 @@ object RelQueries {
         |  grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS lvl
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY lvl, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "q_correlated" ->
+      """WITH o AS (SELECT o_custkey, o_orderkey,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_c FROM orders),
+        |st AS (SELECT o_custkey, CAST(sum(price_c) AS BIGINT) AS s,
+        |  count(*) AS cn FROM o GROUP BY 1)
+        |SELECT o.o_custkey, o.o_orderkey, o.price_c
+        |FROM o JOIN st USING (o_custkey)
+        |WHERE o.price_c * st.cn > st.s
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q_semijoin" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
         |WHERE c_custkey IN (SELECT o_custkey FROM orders

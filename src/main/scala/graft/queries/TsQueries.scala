@@ -216,6 +216,23 @@ object TsQueries {
           expr("percentile(cents, 0.9)").as("p90"),
           expr("percentile(cents, 0.99)").as("p99"))
         .orderBy("user_id", "event_type")),
+    // conversion funnel: purchases attributed to the latest click at
+    // most 1 h earlier (event analytics on the same single-shuffle
+    // as-of join), rolled up to daily conversions / users / revenue
+    "ts_funnel" -> ((s, dir) => {
+      val pts = points(s, dir)
+      val purchases = pts.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("v"))
+      val clicks = pts.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"))
+      Ts.asofJoin(purchases, clicks, Seq("user_id"), "ts", "ts")
+        .filter(col("right_ts").isNotNull && col("ts") - col("right_ts") <= 3600)
+        .groupBy(((col("ts") / 86400).cast("long") * 86400).as("day"))
+        .agg(count(lit(1)).as("n_conversions"),
+          count_distinct(col("user_id")).as("n_users"),
+          sum(round(col("v") * 100).cast("long")).as("rev_cents"))
+        .orderBy("day")
+    }),
     // multi-resolution rollup: the hourly tier is derived by MERGING
     // the 15-min partials (sum-of-sums, min-of-mins, count-of-counts)
     // — never re-scanning points. This is the mergeable-aggregate
@@ -464,6 +481,17 @@ object TsQueries {
       |  quantile_cont(CAST(round(v * 100) AS BIGINT), 0.99) AS p99
       |FROM pts GROUP BY user_id, event_type
       |ORDER BY user_id, event_type""".stripMargin,
+    "ts_funnel" -> s"""WITH $ptsSql,
+      |p AS (SELECT user_id, ts, v FROM pts WHERE event_type = 'purchase'),
+      |c AS (SELECT user_id, ts FROM pts WHERE event_type = 'click'),
+      |m AS (SELECT p.user_id, p.ts, p.v, c.ts AS click_ts
+      |      FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts)
+      |SELECT CAST(ts // 86400 * 86400 AS BIGINT) AS day,
+      |  count(*) AS n_conversions,
+      |  count(DISTINCT user_id) AS n_users,
+      |  CAST(sum(CAST(round(v * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+      |FROM m WHERE click_ts IS NOT NULL AND ts - click_ts <= 3600
+      |GROUP BY 1 ORDER BY 1""".stripMargin,
     "ts_rollup_1h" -> s"""WITH $ptsSql
       |SELECT user_id, event_type,
       |  CAST(ts // 3600 * 3600 AS BIGINT) AS bucket_1h,
