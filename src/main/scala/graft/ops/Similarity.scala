@@ -260,6 +260,57 @@ object Similarity {
   }
 
   /**
+   * IVF-PQ ANN: the two scale paths composed. IVF probing restricts
+   * the candidate set to the query's `nprobe` inverted lists (a
+   * corpus-fraction scan instead of a full one), PQ codes score those
+   * candidates without touching corpus floats, and the top
+   * `k·rerankFactor` are reranked with exact cosine. This is the
+   * billion-vector shape: list restriction bounds work, codes bound
+   * memory bandwidth, rerank restores precision at the top.
+   */
+  def ivfPqTopK(embeddings: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
+                m: Int = 8, ksub: Int = 16, rerankFactor: Int = 4): DataFrame = {
+    val spark = embeddings.sparkSession
+    val e = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val q = queries.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    def materialize(df: DataFrame): DataFrame = spark.createDataFrame(
+      spark.sparkContext.parallelize(df.collect().toSeq, 1), df.schema)
+    // both tiny model tables (≤ nlist and m·ksub rows) materialized once
+    val centroids = materialize(ivfCentroids(embeddings, idCol, vecCol, nlist))
+    val books = materialize(pqCodebooks(embeddings, idCol, vecCol, m, ksub))
+    val lists = assign(e, centroids)
+    val wq = Window.partitionBy("id").orderBy(col("__c").desc, col("cluster"))
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("__c", cosine(col("vec"), col("centroid")))
+      .withColumn("__r", row_number().over(wq))
+      .filter(col("__r") <= nprobe)
+      .select(col("id").as("q_id"), col("cluster"))
+    val cand = probes.join(lists.toDF("n_id", "cluster"), Seq("cluster"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select("q_id", "n_id")
+    val codes = pqEncode(embeddings, idCol, vecCol, books, m)
+    val lut = subspaces(q, m).join(broadcast(books), Seq("j"))
+      .select(col("id").as("q_id"), col("j"), col("code"),
+        dot(col("sub"), col("cw")).as("pdot"))
+    val approx = cand.join(codes.toDF("n_id", "j", "code"), Seq("n_id"))
+      .join(broadcast(lut), Seq("q_id", "j", "code"))
+      .groupBy("q_id", "n_id").agg(sum("pdot").as("approx_dot"))
+    val wr = Window.partitionBy("q_id").orderBy(col("approx_dot").desc, col("n_id"))
+    val top = approx.withColumn("__r", row_number().over(wr))
+      .filter(col("__r") <= k * rerankFactor)
+      .select("q_id", "n_id")
+    val scored = top
+      .join(q.toDF("q_id", "q_vec"), "q_id")
+      .join(e.toDF("n_id", "n_vec"), "n_id")
+      .withColumn("cos", cosine(col("q_vec"), col("n_vec")))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "n_id", "cos")
+  }
+
+  /**
    * Candidate pairs for LSH ANN: a pair is a candidate when the query's
    * signature is within hamming distance `probes` of the neighbor's
    * bucket in any table (multi-probe LSH — probing adjacent buckets

@@ -66,6 +66,13 @@ object OpsQueries {
       Similarity.pqTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
         k = 5).orderBy("q_id", "rank")
     }),
+    // IVF-PQ composition: list-restricted candidate scan scored by
+    // codes, exact rerank (rows-only: recall pinned vs brute in OpsSpec)
+    "sim_ann_ivfpq" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5).orderBy("q_id", "rank")
+    }),
     "text_langid" -> ((s, dir) =>
       TextOps.langId(Tables(s, dir, "documents"), "doc_id", "text").orderBy("doc_id")),
     "text_quality" -> ((s, dir) =>

@@ -129,6 +129,25 @@ class OpsSpec extends AnyFunSuite {
     assert(recall > 0.2, s"pq recall $recall")
   }
 
+  test("ivf-pq ann: restricted code scan still finds real neighbors") {
+    val qs = emb.filter(col("vec_id") < 20)
+    val brute = Similarity.bruteTopK(qs, emb, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    def recallAt(nprobe: Int): Double = {
+      val got = Similarity.ivfPqTopK(emb, qs, "vec_id", "embedding", 5,
+          nlist = 16, nprobe = nprobe)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSet).toMap
+      val rs = brute.map { case (q, t) => (got.getOrElse(q, Set.empty) & t).size.toDouble / t.size }
+      rs.sum / rs.size
+    }
+    val r4 = recallAt(4)
+    val r16 = recallAt(16) // all lists probed: only PQ approximation remains
+    assert(r4 > 0.15, s"ivfpq recall@nprobe=4 $r4")
+    assert(r16 >= r4, s"probing all lists must not lose recall ($r16 < $r4)")
+  }
+
   test("components: chains collapse transitively to one canonical id") {
     import spark.implicits._
     // A~B, B~C, D~E; A!~C directly — all of A,B,C must share component 1
