@@ -25,16 +25,20 @@ object AvHeader {
     * (payload size); sample count = data bytes / block align. */
   def parseWav(b: Array[Byte]): Option[WavInfo] = {
     if (b.length < 36 || !tag(b, 0, "RIFF") || !tag(b, 8, "WAVE")) return None
-    var i = 12
+    // the cursor is a Long and corrupt (negative / huge) size fields
+    // bail to None — a bad blob in a binary column must never wedge or
+    // crash an executor task
+    var i = 12L
     var rate, channels, blockAlign, dataLen = -1
     while (i + 8 <= b.length) {
-      val size = le32(b, i + 4)
-      if (tag(b, i, "fmt ") && i + 8 + 16 <= b.length) {
-        channels = le16(b, i + 10)
-        rate = le32(b, i + 12)
-        blockAlign = le16(b, i + 20)
-      } else if (tag(b, i, "data")) dataLen = size
-      i += 8 + size + (size & 1) // RIFF chunks are word-aligned
+      val size = le32(b, i.toInt + 4)
+      if (size < 0) return None
+      if (tag(b, i.toInt, "fmt ") && i + 8 + 16 <= b.length) {
+        channels = le16(b, i.toInt + 10)
+        rate = le32(b, i.toInt + 12)
+        blockAlign = le16(b, i.toInt + 20)
+      } else if (tag(b, i.toInt, "data")) dataLen = size
+      i += 8L + size + (size & 1) // RIFF chunks are word-aligned
     }
     if (rate > 0 && channels > 0 && blockAlign > 0 && dataLen >= 0)
       Some(WavInfo(rate, channels, dataLen / blockAlign))
@@ -45,13 +49,14 @@ object AvHeader {
     * main header (total frames / width / height at fixed offsets). */
   def parseAvi(b: Array[Byte]): Option[AviInfo] = {
     if (b.length < 12 || !tag(b, 0, "RIFF") || !tag(b, 8, "AVI ")) return None
-    var i = 12
+    var i = 12L // Long cursor + size validation: see parseWav
     while (i + 8 <= b.length) {
-      val size = le32(b, i + 4)
-      if (tag(b, i, "LIST") && tag(b, i + 8, "hdrl")) i += 12 // descend
-      else if (tag(b, i, "avih") && i + 8 + 40 <= b.length)
-        return Some(AviInfo(le32(b, i + 40), le32(b, i + 44), le32(b, i + 24)))
-      else i += 8 + size + (size & 1)
+      val size = le32(b, i.toInt + 4)
+      if (size < 0) return None
+      if (tag(b, i.toInt, "LIST") && tag(b, i.toInt + 8, "hdrl")) i += 12 // descend
+      else if (tag(b, i.toInt, "avih") && i + 8 + 40 <= b.length)
+        return Some(AviInfo(le32(b, i.toInt + 40), le32(b, i.toInt + 44), le32(b, i.toInt + 24)))
+      else i += 8L + size + (size & 1)
     }
     None
   }

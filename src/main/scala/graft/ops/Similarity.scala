@@ -104,6 +104,40 @@ object Similarity {
         (-col("cluster")).as("negc"))).as("__m"))
       .select(col("id"), (-col("__m.negc")).as("cluster"))
 
+  /** Materialize a tiny model table (centroids / codebooks) once —
+    * collect + 1-partition parallelize — so its k-means lineage never
+    * re-executes per consumer. Row counts are bounded by construction
+    * (≤ nlist, ≤ m·ksub). */
+  private def materialize(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(df.collect().toSeq, 1), df.schema)
+  }
+
+  /** Each query's `nprobe` closest centroids: (q_id, cluster). */
+  private def probeLists(q: DataFrame, centroids: DataFrame, nprobe: Int): DataFrame = {
+    val w = Window.partitionBy("id").orderBy(col("__c").desc, col("cluster"))
+    q.crossJoin(broadcast(centroids))
+      .withColumn("__c", cosine(col("vec"), col("centroid")))
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= nprobe)
+      .select(col("id").as("q_id"), col("cluster"))
+  }
+
+  /** Exact-cosine rerank of (q_id, n_id) candidates: top k per query.
+    * Shared tie-break everywhere: cosine desc, then n_id. */
+  private def rerankExact(cand: DataFrame, q: DataFrame, e: DataFrame,
+                          k: Int): DataFrame = {
+    val scored = cand
+      .join(q.toDF("q_id", "q_vec"), "q_id")
+      .join(e.toDF("n_id", "n_vec"), "n_id")
+      .withColumn("cos", cosine(col("q_vec"), col("n_vec")))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "n_id", "cos")
+  }
+
   /**
    * IVF ANN top-k: queries probe their `nprobe` closest centroids and
    * rerank exactly within those inverted lists only.
@@ -112,28 +146,13 @@ object Similarity {
               vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
     val e = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val q = queries.select(col(idCol).as("id"), col(vecCol).as("vec"))
-    // materialize the (tiny, <= nlist rows) centroid table once — the
-    // k-means lineage would otherwise re-execute for every consumer
-    val spark = embeddings.sparkSession
-    val cdf = ivfCentroids(embeddings, idCol, vecCol, nlist)
-    val centroids = spark.createDataFrame(
-      spark.sparkContext.parallelize(cdf.collect().toSeq, 1), cdf.schema)
+    val centroids = materialize(ivfCentroids(embeddings, idCol, vecCol, nlist))
     val lists = assign(e, centroids) // inverted file: id -> cluster
-    val wq = Window.partitionBy("id").orderBy(col("__c").desc, col("cluster"))
-    val probes = q.crossJoin(broadcast(centroids))
-      .withColumn("__c", cosine(col("vec"), col("centroid")))
-      .withColumn("__r", row_number().over(wq))
-      .filter(col("__r") <= nprobe)
-      .select(col("id").as("q_id"), col("vec").as("q_vec"), col("cluster"))
-    val cand = probes.join(lists.toDF("n_id", "cluster"), Seq("cluster"))
+    val cand = probeLists(q, centroids, nprobe)
+      .join(lists.toDF("n_id", "cluster"), Seq("cluster"))
       .filter(col("q_id") =!= col("n_id"))
-      .select("q_id", "q_vec", "n_id").distinct()
-    val scored = cand.join(e.toDF("n_id", "n_vec"), "n_id")
-      .withColumn("cos", cosine(col("q_vec"), col("n_vec")))
-    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("q_id", "rank", "n_id", "cos")
+      .select("q_id", "n_id").distinct()
+    rerankExact(cand, q, e, k)
   }
 
   /** Squared L2 distance of two float arrays, accumulated in double in
@@ -229,34 +248,31 @@ object Similarity {
   def pqTopK(embeddings: DataFrame, queries: DataFrame, idCol: String,
              vecCol: String, k: Int, m: Int = 8, ksub: Int = 16,
              rerankFactor: Int = 4): DataFrame = {
-    val spark = embeddings.sparkSession
     val e = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val q = queries.select(col(idCol).as("id"), col(vecCol).as("vec"))
-    // materialize the (m·ksub rows) codebook once — its k-means lineage
-    // would otherwise re-execute for every consumer
-    val cb = pqCodebooks(embeddings, idCol, vecCol, m, ksub)
-    val books = spark.createDataFrame(
-      spark.sparkContext.parallelize(cb.collect().toSeq, 1), cb.schema)
-    val codes = pqEncode(embeddings, idCol, vecCol, books, m)
-    val lut = subspaces(q, m).join(broadcast(books), Seq("j"))
-      .select(col("id").as("q_id"), col("j"), col("code"),
-        dot(col("sub"), col("cw")).as("pdot"))
-    val approx = codes.toDF("n_id", "j", "code")
-      .join(broadcast(lut), Seq("j", "code"))
+    val books = materialize(pqCodebooks(embeddings, idCol, vecCol, m, ksub))
+    val codes = pqEncode(embeddings, idCol, vecCol, books, m).toDF("n_id", "j", "code")
+    val lut = adcLut(q, books, m)
+    // full-corpus ADC scan: every code row finds its LUT entry per query
+    val approx = codes.join(broadcast(lut), Seq("j", "code"))
       .filter(col("q_id") =!= col("n_id"))
       .groupBy("q_id", "n_id").agg(sum("pdot").as("approx_dot"))
-    val wq = Window.partitionBy("q_id").orderBy(col("approx_dot").desc, col("n_id"))
-    val cand = approx.withColumn("__r", row_number().over(wq))
-      .filter(col("__r") <= k * rerankFactor)
+    rerankExact(topApprox(approx, k * rerankFactor), q, e, k)
+  }
+
+  /** Query-side ADC lookup table: the partial dot product of every
+    * (query subspace, codeword) pair — m·ksub rows per query. */
+  private def adcLut(q: DataFrame, books: DataFrame, m: Int): DataFrame =
+    subspaces(q, m).join(broadcast(books), Seq("j"))
+      .select(col("id").as("q_id"), col("j"), col("code"),
+        dot(col("sub"), col("cw")).as("pdot"))
+
+  /** Top n candidates per query by approximate score. */
+  private def topApprox(approx: DataFrame, n: Int): DataFrame = {
+    val w = Window.partitionBy("q_id").orderBy(col("approx_dot").desc, col("n_id"))
+    approx.withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= n)
       .select("q_id", "n_id")
-    val scored = cand
-      .join(q.toDF("q_id", "q_vec"), "q_id")
-      .join(e.toDF("n_id", "n_vec"), "n_id")
-      .withColumn("cos", cosine(col("q_vec"), col("n_vec")))
-    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("q_id", "rank", "n_id", "cos")
   }
 
   /**
@@ -271,43 +287,21 @@ object Similarity {
   def ivfPqTopK(embeddings: DataFrame, queries: DataFrame, idCol: String,
                 vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
                 m: Int = 8, ksub: Int = 16, rerankFactor: Int = 4): DataFrame = {
-    val spark = embeddings.sparkSession
     val e = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val q = queries.select(col(idCol).as("id"), col(vecCol).as("vec"))
-    def materialize(df: DataFrame): DataFrame = spark.createDataFrame(
-      spark.sparkContext.parallelize(df.collect().toSeq, 1), df.schema)
-    // both tiny model tables (≤ nlist and m·ksub rows) materialized once
     val centroids = materialize(ivfCentroids(embeddings, idCol, vecCol, nlist))
     val books = materialize(pqCodebooks(embeddings, idCol, vecCol, m, ksub))
     val lists = assign(e, centroids)
-    val wq = Window.partitionBy("id").orderBy(col("__c").desc, col("cluster"))
-    val probes = q.crossJoin(broadcast(centroids))
-      .withColumn("__c", cosine(col("vec"), col("centroid")))
-      .withColumn("__r", row_number().over(wq))
-      .filter(col("__r") <= nprobe)
-      .select(col("id").as("q_id"), col("cluster"))
-    val cand = probes.join(lists.toDF("n_id", "cluster"), Seq("cluster"))
+    val cand = probeLists(q, centroids, nprobe)
+      .join(lists.toDF("n_id", "cluster"), Seq("cluster"))
       .filter(col("q_id") =!= col("n_id"))
       .select("q_id", "n_id")
-    val codes = pqEncode(embeddings, idCol, vecCol, books, m)
-    val lut = subspaces(q, m).join(broadcast(books), Seq("j"))
-      .select(col("id").as("q_id"), col("j"), col("code"),
-        dot(col("sub"), col("cw")).as("pdot"))
-    val approx = cand.join(codes.toDF("n_id", "j", "code"), Seq("n_id"))
-      .join(broadcast(lut), Seq("q_id", "j", "code"))
+    // list-restricted ADC scan: only probed candidates meet their codes
+    val codes = pqEncode(embeddings, idCol, vecCol, books, m).toDF("n_id", "j", "code")
+    val approx = cand.join(codes, Seq("n_id"))
+      .join(broadcast(adcLut(q, books, m)), Seq("q_id", "j", "code"))
       .groupBy("q_id", "n_id").agg(sum("pdot").as("approx_dot"))
-    val wr = Window.partitionBy("q_id").orderBy(col("approx_dot").desc, col("n_id"))
-    val top = approx.withColumn("__r", row_number().over(wr))
-      .filter(col("__r") <= k * rerankFactor)
-      .select("q_id", "n_id")
-    val scored = top
-      .join(q.toDF("q_id", "q_vec"), "q_id")
-      .join(e.toDF("n_id", "n_vec"), "n_id")
-      .withColumn("cos", cosine(col("q_vec"), col("n_vec")))
-    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("q_id", "rank", "n_id", "cos")
+    rerankExact(topApprox(approx, k * rerankFactor), q, e, k)
   }
 
   /**
@@ -355,13 +349,6 @@ object Similarity {
               maxBucket: Int = 1000): DataFrame = {
     val e = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val cand = annCandidates(embeddings, idCol, vecCol, nBits, tables, probes, maxBucket)
-    val pairs = cand
-      .join(e.toDF("q_id", "q_vec"), "q_id")
-      .join(e.toDF("n_id", "n_vec"), "n_id")
-      .withColumn("cos", cosine(col("q_vec"), col("n_vec")))
-    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
-    pairs.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("q_id", "rank", "n_id", "cos")
+    rerankExact(cand, e, e, k)
   }
 }

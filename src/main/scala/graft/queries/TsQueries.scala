@@ -373,13 +373,15 @@ object TsQueries {
         .select("user_id", "event_type", "ts", "cents", "n")
         .orderBy("user_id", "event_type", "ts", "cents")
     }),
-    // per-series value histogram on exact integer buckets (50-unit
-    // wide via cents div 5000): one hash-aggregate with map-side
-    // partials — the classic distribution profile over decoded points
+    // per-series value histogram on 50-unit buckets: floor of the
+    // double quotient cents/5000.0 — the identical IEEE operation in
+    // both engines (DuckDB's integer `//` truncates toward zero, which
+    // would diverge on negative values) — in one hash-aggregate with
+    // map-side partials
     "ts_histogram" -> ((s, dir) =>
       points(s, dir)
         .withColumn("bucket",
-          floor(round(col("v") * 100).cast("long") / 5000).cast("long"))
+          floor(round(col("v") * 100).cast("long") / 5000.0).cast("long"))
         .groupBy("user_id", "event_type", "bucket")
         .agg(count(lit(1)).as("n"),
           min("v").as("min_v"), max("v").as("max_v"))
@@ -580,7 +582,7 @@ object TsQueries {
       |GROUP BY user_id, event_type ORDER BY user_id, event_type""".stripMargin,
     "ts_histogram" -> s"""WITH $ptsSql
       |SELECT user_id, event_type,
-      |  CAST(round(v * 100) AS BIGINT) // 5000 AS bucket,
+      |  CAST(floor(CAST(round(v * 100) AS BIGINT) / 5000.0) AS BIGINT) AS bucket,
       |  count(*) AS n, min(v) AS min_v, max(v) AS max_v
       |FROM pts GROUP BY 1, 2, 3
       |ORDER BY user_id, event_type, bucket""".stripMargin,

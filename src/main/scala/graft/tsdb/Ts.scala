@@ -294,19 +294,18 @@ object Ts {
       .filter(col("n").isNotNull)
   }
 
-  /** Latest point per series (arg-max via ordered struct max — one shuffle). */
+  /** Latest point per series: stat-prune to each series' max-ts
+    * chunk(s), decode only those. Keyed on the point-level `max_ts`
+    * stat (tighter than window_start, and fragmentation-safe: salted /
+    * per-batch ingest legally stores several chunks per window, and an
+    * exact max_ts tie keeps ALL tied chunks so the final (ts, v)
+    * arg-max still sees every candidate point). The join's build side
+    * is one row per series — AQE broadcasts it. */
   def latest(chunks: DataFrame, seriesCols: Seq[String]): DataFrame = {
-    // arg-max the newest chunk per series in ONE shuffle: struct max
-    // ordered by window_start with the chunk bytes riding along
-    // ((series, window_start) is unique, so the bytes never decide the
-    // order). No join, and map-side partial max means only one
-    // candidate chunk per series per input partition crosses the wire.
     val newest = chunks.groupBy(seriesCols.map(col): _*)
-      .agg(max(struct(col("window_start"), col("chunk"))).as("__c"))
-      .select(seriesCols.map(col) :+ col("__c.chunk").as("chunk"): _*)
-    // decoding + the final per-series arg-max reuse the groupBy's hash
-    // partitioning (explode preserves it), so no second exchange
-    unpack(newest, seriesCols)
+      .agg(max("max_ts").as("max_ts"))
+    val lastChunks = chunks.join(newest, seriesCols :+ "max_ts", "left_semi")
+    unpack(lastChunks, seriesCols)
       .groupBy(seriesCols.map(col): _*)
       .agg(max(struct(col("ts"), col("v"))).as("__m"))
       .select(seriesCols.map(col) :+ col("__m.ts").as("ts") :+ col("__m.v").as("v"): _*)

@@ -56,6 +56,19 @@ class TsStoreSpec extends AnyFunSuite {
     assert(sig(compacted) == sig(direct))
   }
 
+  test("latest() is exact on a fragmented store (several chunks per window)") {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val series = Seq("user_id", "event_type")
+    // salted ingest: every hot window owns several chunks, and the
+    // chunk holding the true latest point is not distinguishable by
+    // window_start alone
+    val salted = Ts.chunkify(ev, series, "ts", "value", saltBuckets = 3)
+    val direct = Ts.latest(Ts.chunkify(ev, series, "ts", "value"), series)
+    assert(Ts.latest(salted, series).orderBy("user_id", "event_type")
+        .collect().toSeq ==
+      direct.orderBy("user_id", "event_type").collect().toSeq)
+  }
+
   test("compressed-domain range aggregate matches the decode-everything baseline") {
     val ev = spark.read.parquet(s"$dir/events.parquet")
     val series = Seq("user_id", "event_type")

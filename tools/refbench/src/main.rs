@@ -31,7 +31,9 @@ fn main() {
     for _ in 0..rounds { let _ = encode(); }
     let dt = t0.elapsed().as_secs_f64();
     let w = encode();
-    let bits = w.bit_vector.len() as f64 * 64.0;
+    // exclude the unused tail of the final word (that's what
+    // used_bits_last_elm is for) so bytes/point is bit-accurate
+    let bits = (w.bit_vector.len() as f64 - 1.0) * 64.0 + w.used_bits_last_elm as f64;
     println!("REF bytes/point  {:.3}", bits / 8.0 / n as f64);
     println!("REF encode  {:8.1} Mpts/s", (n * rounds) as f64 / dt / 1e6);
 
