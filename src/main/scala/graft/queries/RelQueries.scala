@@ -114,6 +114,20 @@ object RelQueries {
           grouping_id().as("lvl"))
         .orderBy(col("lvl"), col("o_orderstatus").asc_nulls_first,
           col("o_orderpriority").asc_nulls_first)),
+    // co-located join: orders and lineitem pre-bucketed (+ sorted) on
+    // the order key join WITHOUT a shuffle or sort — at 100 TB this
+    // removes the biggest exchange in the layer (shuffle-free-ness is
+    // plan-asserted in RelQueriesSpec; this gate entry proves the
+    // bucketed layout returns the same answers)
+    "q_bucket_join" -> ((s, dir) => {
+      val o = Tables.bucketed(s, dir, "orders", "o_orderkey")
+      val l = Tables.bucketed(s, dir, "lineitem", "l_orderkey")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(cents(col("l_extendedprice"))).as("sum_price_c"))
+        .orderBy("o_orderstatus")
+    }),
     // correlated-subquery shape, decorrelated: orders above their own
     // customer's average order value — one groupBy for the per-customer
     // moments + a join back (AQE broadcasts the stats side); the
@@ -244,6 +258,12 @@ object RelQueries {
         |  grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS lvl
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY lvl, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "q_bucket_join" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_price_c
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q_correlated" ->
       """WITH o AS (SELECT o_custkey, o_orderkey,
         |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_c FROM orders),

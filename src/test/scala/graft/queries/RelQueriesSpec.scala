@@ -52,6 +52,25 @@ class RelQueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed tables merge-join with no shuffle and no sort") {
+    val o = Tables.bucketed(spark, dir, "orders", "o_orderkey")
+    val l = Tables.bucketed(spark, dir, "lineitem", "l_orderkey")
+    // force the merge join (tiny test data would otherwise broadcast)
+    // and read the pre-AQE plan: bucketed+sorted scans must satisfy
+    // the join's distribution AND ordering requirements directly
+    val j = l.hint("merge")
+      .join(o, org.apache.spark.sql.functions.col("l_orderkey") ===
+        org.apache.spark.sql.functions.col("o_orderkey"))
+      .groupBy("o_orderstatus").agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+    val plan = j.queryExecution.sparkPlan.toString
+    assert(plan.contains("SortMergeJoin"), plan.take(800))
+    assert(!plan.contains("hashpartitioning(l_orderkey") &&
+      !plan.contains("hashpartitioning(o_orderkey"),
+      s"join key shuffle present:\n${plan.take(1500)}")
+    assert(!plan.contains("- Sort "), s"sort crept back in:\n${plan.take(1500)}")
+  }
+
   test("relational queries return rows on sf0.001") {
     for ((name, q) <- RelQueries.queries) {
       assert(q(spark, dir).count() > 0, s"$name returned no rows")
