@@ -23,10 +23,15 @@ object Bench {
       try spark.read.parquet(s"$sfDir/$t.parquet").count()
       catch { case _: Throwable => () }
     }
-    // build the persisted chunk store up front: the ts_store_* queries
-    // measure ingest-once/query-many — ingest cost is not query cost
+    // build the persisted chunk store and bucketed tables up front:
+    // ts_store_* / q_bucket_join measure ingest-once/query-many —
+    // ingest cost is not query cost
     try graft.queries.TsQueries.storeChunks(spark, sfDir).count()
     catch { case _: Throwable => () }
+    try {
+      graft.queries.Tables.bucketed(spark, sfDir, "orders", "o_orderkey").count()
+      graft.queries.Tables.bucketed(spark, sfDir, "lineitem", "l_orderkey").count()
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
