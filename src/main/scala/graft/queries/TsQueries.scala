@@ -386,6 +386,26 @@ object TsQueries {
         .agg(count(lit(1)).as("n"),
           min("v").as("min_v"), max("v").as("max_v"))
         .orderBy("user_id", "event_type", "bucket")),
+    // PREFIX anomaly flags: each point judged against the integer
+    // moments of strictly-earlier points only — the batch equivalent
+    // of the streaming detector (StreamIngest.anomalyStream, stream==
+    // batch parity in StreamIngestSpec); running moments via a window
+    // frame ending at 1 PRECEDING, all-integer test as ts_anomaly
+    "ts_anomaly_prefix" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id", "event_type").orderBy("ts", "cents")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      points(s, dir)
+        .withColumn("cents", round(col("v") * 100).cast("long"))
+        .withColumn("np", count(lit(1)).over(w))
+        .withColumn("sp", coalesce(sum("cents").over(w), lit(0L)))
+        .withColumn("qp", coalesce(sum(col("cents") * col("cents")).over(w), lit(0L)))
+        .filter(col("np") >= 8 &&
+          (col("np") * col("cents") - col("sp")) *
+            (col("np") * col("cents") - col("sp")) >
+          lit(9L) * (col("np") * col("qp") - col("sp") * col("sp")))
+        .select("user_id", "event_type", "ts", "cents", "np")
+        .orderBy("user_id", "event_type", "ts", "cents")
+    }),
     // aggregate *directly over compressed chunks* (no point materialization)
     "ts_compressed_agg" -> ((s, dir) => {
       val c = chunks(s, dir)
@@ -597,6 +617,19 @@ object TsQueries {
       |FROM c JOIN st USING (user_id, event_type)
       |WHERE (st.n * c.cents - st.s) * (st.n * c.cents - st.s) >
       |  9 * (st.n * st.q - st.s * st.s)
+      |ORDER BY user_id, event_type, ts, cents""".stripMargin,
+    "ts_anomaly_prefix" -> s"""WITH $ptsSql,
+      |c AS (SELECT user_id, event_type, ts,
+      |  CAST(round(v * 100) AS BIGINT) AS cents FROM pts),
+      |r AS (SELECT user_id, event_type, ts, cents,
+      |  count(*) OVER w AS np,
+      |  coalesce(CAST(sum(cents) OVER w AS BIGINT), 0) AS sp,
+      |  coalesce(CAST(sum(cents * cents) OVER w AS BIGINT), 0) AS qp
+      |FROM c
+      |WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, cents
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+      |SELECT user_id, event_type, ts, cents, np FROM r
+      |WHERE np >= 8 AND (np * cents - sp) * (np * cents - sp) > 9 * (np * qp - sp * sp)
       |ORDER BY user_id, event_type, ts, cents""".stripMargin,
     "ts_topk_series" -> s"""WITH $ptsSql,
       |agg AS (SELECT user_id, event_type, count(*) AS n,

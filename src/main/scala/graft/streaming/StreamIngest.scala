@@ -104,6 +104,45 @@ object StreamIngest {
             path, mode = "append")
       }
 
+  final case class AnomalyPoint(series: String, ts: Long, cents: Long, n_prior: Long)
+  final case class MomentState(n: Long, s: Long, q: Long)
+
+  /**
+   * Streaming anomaly detection with PREFIX-EXACT semantics: each
+   * point is judged against the integer moments (n, S=Σx, Q=Σx²) of
+   * the points that arrived BEFORE it in event-time order — the same
+   * all-integer 3-sigma test as the batch `ts_anomaly_prefix` query
+   * ((n·x−S)² > 9(nQ−S²), n ≥ minPrior), so stream output equals the
+   * batch window computation row-for-row (parity in StreamIngestSpec).
+   *
+   * State per series is THREE longs — fixed-size regardless of volume,
+   * the mapGroupsWithState shape that survives unbounded streams.
+   * Within a micro-batch, rows are sorted by (ts, cents) before the
+   * fold (the iterator has no order guarantee); across batches,
+   * arrival order must respect event time for prefix semantics (pair
+   * with a watermark-sorted upstream or accept per-batch ordering).
+   */
+  def anomalyStream(points: Dataset[(String, Long, Long)],
+                    minPrior: Long = 30): Dataset[AnomalyPoint] = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    points.groupByKey(_._1)
+      .flatMapGroupsWithState[MomentState, AnomalyPoint](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (series, rows, state: GroupState[MomentState]) =>
+          var st = state.getOption.getOrElse(MomentState(0L, 0L, 0L))
+          val out = scala.collection.mutable.ArrayBuffer.empty[AnomalyPoint]
+          rows.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, ts, x) =>
+            val d = st.n * x - st.s
+            if (st.n >= minPrior && d * d > 9L * (st.n * st.q - st.s * st.s))
+              out += AnomalyPoint(series, ts, x, st.n)
+            st = MomentState(st.n + 1, st.s + x, st.q + x * x)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /**
    * Streaming exact dedup: the first arrival of each content hash
    * passes, replicas are dropped. State is one entry per DISTINCT

@@ -167,6 +167,46 @@ class StreamIngestSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming anomaly flags equal the batch prefix computation") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // 40 calm-ish points (cents cycle 100/101/102 => nonzero variance)
+    // with a spike at i=37, split across two micro-batches
+    val pts = (0 until 40).map(i =>
+      ("cpu", 1000L + i, if (i == 37) 5000L else 100L + (i % 3)))
+    val input = MemoryStream[(String, Long, Long)]
+    val q = StreamIngest.anomalyStream(input.toDS(), minPrior = 30)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("anom_sink").start()
+    try {
+      input.addData(pts.take(20): _*)
+      q.processAllAvailable()
+      input.addData(pts.drop(20): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("anom_sink")
+        .select("series", "ts", "cents", "n_prior")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+
+      // batch prefix computation over the same rows
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("series").orderBy("ts", "cents")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val batch = pts.toDF("series", "ts", "cents")
+        .withColumn("np", count(lit(1)).over(w))
+        .withColumn("sp", coalesce(sum("cents").over(w), lit(0L)))
+        .withColumn("qp", coalesce(sum(col("cents") * col("cents")).over(w), lit(0L)))
+        .filter(col("np") >= 30 &&
+          (col("np") * col("cents") - col("sp")) *
+            (col("np") * col("cents") - col("sp")) >
+          lit(9L) * (col("np") * col("qp") - col("sp") * col("sp")))
+        .select("series", "ts", "cents", "np")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+
+      assert(streamed == batch)
+      assert(streamed.exists(_._2 == 1037L), "the spike must be flagged")
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState keeps running latest per series") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
