@@ -73,8 +73,24 @@ object GorillaCodec {
     require(bytes.length >= HeaderBytes && bytes(0) == Magic, "not a graft gorilla chunk")
     val bb = ByteBuffer.wrap(bytes)
     bb.get()
-    Header(bb.get(), bb.getInt(), bb.getLong(), bb.getInt())
+    val h = Header(bb.get(), bb.getInt(), bb.getLong(), bb.getInt())
+    // corrupt-header guards: a flipped n or bitLength must fail fast
+    // HERE (or read as invalid via isValid), not as a multi-GB array
+    // allocation or a garbage decode downstream. Every point costs at
+    // least 1 bit (value repeat) — 2 interleaved — so n is bounded by
+    // the payload bit budget; never rejects a chunk pack() produced.
+    val payloadBits = (bytes.length - HeaderBytes).toLong * 8
+    require(h.n >= 0 && h.bitLength >= 0 && h.bitLength <= payloadBits &&
+      (h.n == 0 || h.n.toLong <= h.bitLength.toLong / (if (h.valueOnly) 1 else 2) + 1),
+      s"corrupt gorilla chunk header: n=${h.n} bitLength=${h.bitLength} payload=$payloadBits bits")
+    h
   }
+
+  /** Cheap validity probe: does this blob carry a sane chunk header?
+    * The scan-time guard for bit-rot at scale — `filter(gorilla_is_valid
+    * (chunk))` skips corrupt rows instead of failing the job. */
+  def isValid(bytes: Array[Byte]): Boolean =
+    try { readHeader(bytes); true } catch { case _: IllegalArgumentException => false }
 
   /** O(1): point count from the chunk header alone. */
   def numPoints(bytes: Array[Byte]): Int = readHeader(bytes).n

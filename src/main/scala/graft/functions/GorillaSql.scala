@@ -68,4 +68,6 @@ object GorillaSql {
   }
 
   def numPoints(bytes: Array[Byte]): Int = GorillaCodec.numPoints(bytes)
+
+  def isValid(bytes: Array[Byte]): Boolean = GorillaCodec.isValid(bytes)
 }

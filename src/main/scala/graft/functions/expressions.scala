@@ -167,6 +167,17 @@ case class GorillaChunkAggRange(chunk: Expression, fromSec: Expression, toSec: E
     copy(chunk = f, fromSec = s, toSec = t)
 }
 
+/** gorilla_is_valid(binary) -> boolean — O(1) header sanity probe;
+  * `filter(gorilla_is_valid(chunk))` lets a 100 TB scan skip bit-rot
+  * rows instead of failing the job. */
+case class GorillaIsValid(child: Expression) extends GorillaDecodeBase {
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "gorilla_is_valid"
+  protected def method: String = "isValid"
+  protected def evalBytes(bytes: Array[Byte]): Any = GorillaSql.isValid(bytes)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** gorilla_num_points(binary) -> int — O(1), header-only read. */
 case class GorillaNumPoints(child: Expression) extends GorillaDecodeBase {
   override def dataType: DataType = IntegerType

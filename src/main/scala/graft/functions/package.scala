@@ -18,7 +18,7 @@ package object functions {
 
   import graft.functions.{CosineSimExpr, GorillaChunkAgg, GorillaChunkAggRange, GorillaDecode,
     GorillaDecodeTimestamps, GorillaDecodeValues, GorillaEncode, GorillaEncodeValues,
-    GorillaNumPoints, HashSetSortedExpr, HyperplaneBucketsExpr, MinHashExpr,
+    GorillaIsValid, GorillaNumPoints, HashSetSortedExpr, HyperplaneBucketsExpr, MinHashExpr,
     MinHashFromHashesExpr, ShingleHashesExpr, SimHashExpr, SimHashTextExpr,
     SortedIntersectCountExpr, WordNgramsExpr}
 
@@ -35,6 +35,7 @@ package object functions {
     "gorilla_chunk_agg" -> (es => GorillaChunkAgg(es(0))),
     "gorilla_chunk_agg_range" -> (es => GorillaChunkAggRange(es(0), es(1), es(2))),
     "gorilla_num_points" -> (es => GorillaNumPoints(es(0))),
+    "gorilla_is_valid" -> (es => GorillaIsValid(es(0))),
     // minhash(shingles, k): k must be a foldable int literal
     "minhash" -> (es => MinHashExpr(es(0),
       es(1).eval(null).asInstanceOf[Number].intValue())),
@@ -80,6 +81,7 @@ package object functions {
     call_function("gorilla_chunk_agg_range", chunk,
       org.apache.spark.sql.functions.lit(fromSec), org.apache.spark.sql.functions.lit(toSec))
   def gorilla_num_points(chunk: Column): Column = call_function("gorilla_num_points", chunk)
+  def gorilla_is_valid(chunk: Column): Column = call_function("gorilla_is_valid", chunk)
   def minhash(shingles: Column, k: Int): Column =
     call_function("minhash", shingles, org.apache.spark.sql.functions.lit(k))
   def simhash(tokens: Column): Column = call_function("simhash", tokens)

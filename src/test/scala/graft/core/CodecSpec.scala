@@ -254,4 +254,25 @@ class GorillaCodecSpec extends AnyFunSuite {
     val dup = GorillaCodec.encode(Array(5L, 5L, 5L), Array(1.0, 1.0, 2.0), 0L)
     assert(GorillaCodec.decode(dup)._1.toSeq == Seq(5L, 5L, 5L))
   }
+
+  test("corrupt headers fail fast instead of allocating or looping") {
+    val good = GorillaCodec.encode(Array(10L, 11L, 13L), Array(1.0, 2.0, 2.0), 0L)
+    assert(GorillaCodec.isValid(good))
+    assert(!GorillaCodec.isValid(Array[Byte](1, 2, 3)))
+    assert(!GorillaCodec.isValid("not a chunk at all".getBytes("US-ASCII")))
+
+    // flip n to a huge value: must be rejected by the header guard,
+    // not surface as a multi-GB Array allocation in decode
+    val hugeN = good.clone()
+    val bb = java.nio.ByteBuffer.wrap(hugeN)
+    bb.putInt(2, Int.MaxValue)
+    assert(!GorillaCodec.isValid(hugeN))
+    intercept[IllegalArgumentException](GorillaCodec.decode(hugeN))
+
+    // bitLength beyond the payload: rejected too
+    val hugeBits = good.clone()
+    java.nio.ByteBuffer.wrap(hugeBits).putInt(14, Int.MaxValue)
+    assert(!GorillaCodec.isValid(hugeBits))
+    intercept[IllegalArgumentException](GorillaCodec.aggregate(hugeBits))
+  }
 }
