@@ -216,6 +216,23 @@ object TsQueries {
           expr("percentile(cents, 0.9)").as("p90"),
           expr("percentile(cents, 0.99)").as("p99"))
         .orderBy("user_id", "event_type")),
+    // cohort retention: users grouped by first-seen 6-hour window; how
+    // many are active again exactly 24 h later. Two hash-aggregates +
+    // one join back on user — both join sides are one row per user
+    // (-window), not per event, so the shuffle is corpus-cardinality
+    // bounded. All counts — bit-exact everywhere.
+    "ts_retention" -> ((s, dir) => {
+      val pts = points(s, dir)
+        .select(col("user_id"), ((col("ts") / 21600).cast("long") * 21600).as("w"))
+        .distinct()
+      val cohorts = pts.groupBy("user_id").agg(min("w").as("cohort_w"))
+      cohorts.join(pts, "user_id")
+        .groupBy("cohort_w")
+        .agg(count_distinct(col("user_id")).as("n_users"),
+          count_distinct(when(col("w") === col("cohort_w") + 86400,
+            col("user_id"))).as("n_retained_24h"))
+        .orderBy("cohort_w")
+    }),
     // conversion funnel: purchases attributed to the latest click at
     // most 1 h earlier (event analytics on the same single-shuffle
     // as-of join), rolled up to daily conversions / users / revenue
@@ -503,6 +520,16 @@ object TsQueries {
       |  quantile_cont(CAST(round(v * 100) AS BIGINT), 0.99) AS p99
       |FROM pts GROUP BY user_id, event_type
       |ORDER BY user_id, event_type""".stripMargin,
+    "ts_retention" -> s"""WITH $ptsSql,
+      |d AS (SELECT DISTINCT user_id,
+      |  CAST(ts // 21600 * 21600 AS BIGINT) AS w FROM pts),
+      |c AS (SELECT user_id, min(w) AS cohort_w FROM d GROUP BY user_id)
+      |SELECT c.cohort_w,
+      |  count(DISTINCT c.user_id) AS n_users,
+      |  count(DISTINCT CASE WHEN d.w = c.cohort_w + 86400
+      |    THEN c.user_id END) AS n_retained_24h
+      |FROM c JOIN d USING (user_id)
+      |GROUP BY c.cohort_w ORDER BY c.cohort_w""".stripMargin,
     "ts_funnel" -> s"""WITH $ptsSql,
       |p AS (SELECT user_id, ts, v FROM pts WHERE event_type = 'purchase'),
       |c AS (SELECT user_id, ts FROM pts WHERE event_type = 'click'),
