@@ -95,6 +95,19 @@ object RelQueries {
           cents(col("o_totalprice")).as("total_c"))
         .orderBy("o_custkey", "rk")
     }),
+    // RANGE-frame window: each order's count/total of the same
+    // customer's orders within ±5 days by VALUE distance (peers at the
+    // same day all included — the frame the ROWS form can't express)
+    "q_window_range" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders")
+        .withColumn("day", (col("o_orderdate").cast("timestamp").cast("long") / 86400).cast("long"))
+        .withColumn("price_c", cents(col("o_totalprice")))
+      val w = Window.partitionBy("o_custkey").orderBy("day").rangeBetween(-5, 5)
+      o.withColumn("win_n", count(lit(1)).over(w))
+        .withColumn("win_sum_c", sum("price_c").over(w))
+        .select("o_custkey", "o_orderkey", "day", "price_c", "win_n", "win_sum_c")
+        .orderBy("o_custkey", "o_orderkey")
+    }),
     // hierarchical totals: ROLLUP over (returnflag, linestatus)
     "q_rollup" -> ((s, dir) =>
       Tables(s, dir, "lineitem")
@@ -246,6 +259,16 @@ object RelQueries {
         |    row_number() OVER (PARTITION BY o_custkey
         |                       ORDER BY o_totalprice DESC, o_orderkey) AS rk
         |  FROM orders) WHERE rk <= 2 ORDER BY o_custkey, rk""".stripMargin,
+    "q_window_range" ->
+      """WITH o AS (SELECT o_custkey, o_orderkey,
+        |  CAST(epoch_ns(o_orderdate) // 1000000000 AS BIGINT) // 86400 AS day,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_c FROM orders)
+        |SELECT o_custkey, o_orderkey, day, price_c,
+        |  count(*) OVER w AS win_n,
+        |  CAST(sum(price_c) OVER w AS BIGINT) AS win_sum_c
+        |FROM o WINDOW w AS (PARTITION BY o_custkey ORDER BY day
+        |  RANGE BETWEEN 5 PRECEDING AND 5 FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_c,

@@ -32,6 +32,31 @@ class AvHeaderSpec extends AnyFunSuite {
     assert(AvHeader.parseWav("RIFFxxxxAVI xxxx".getBytes("US-ASCII")).isEmpty)
   }
 
+  test("random bytes never crash any header parser (fuzz)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // plain random blobs plus adversarial ones that start with real
+    // container magics followed by garbage sizes/fields
+    val jpegSoi = new String(Array(0xFF, 0xD8, 0xFF).map(_.toChar))
+    val pngSig = new String(Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt,
+      0x0D, 0x0A, 0x1A, 0x0A).map(_.toChar))
+    val magics = Seq("RIFF????WAVE", "RIFF????AVI ", "RIFF", "GIF89a", "BM",
+      pngSig, jpegSoi)
+    val blobs: Gen[Array[Byte]] = for {
+      prefix <- Gen.oneOf(magics :+ "")
+      tail <- Gen.containerOf[Array, Byte](Gen.choose(Byte.MinValue, Byte.MaxValue))
+    } yield prefix.getBytes("ISO-8859-1") ++ tail
+    val prop = Prop.forAll(blobs) { b =>
+      // must return (not throw, not hang): any Option / stub result is
+      // fine (decodeAv needs at least 2 payload bytes for its stub)
+      AvHeader.parseWav(b); AvHeader.parseAvi(b); ImageHeader.parse(b)
+      if (b.length >= 2) Multimodal.decodeAv(0L, "image", b)
+      graft.core.GorillaCodec.isValid(b)
+      true
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("decodeAv dispatches by real format, not the kind label") {
     // a "video"-labelled row whose bytes are a WAV still decodes as WAV
     val f = Multimodal.decodeAv(1L, "video", AvHeader.wavBytes(11025, 1, 3))
