@@ -160,6 +160,26 @@ object TextOps {
   val PhoneRe = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
 
   /**
+   * Benchmark decontamination: flag every training doc that shares at
+   * least one word n-gram with the held-out set. The scale shape is a
+   * shuffle keyed on the n-gram itself (explode → distinct bench
+   * grams → left-semi → distinct ids), never a doc×doc comparison —
+   * decontaminating against a fixed benchmark stays linear in corpus
+   * size, and the bench-gram side is benchmark-sized, not corpus-sized.
+   */
+  def decontaminate(train: DataFrame, bench: DataFrame, idCol: String,
+                    textCol: String, n: Int = 5): DataFrame = {
+    val t = train.select(col(idCol),
+      explode(Dedup.shingles(col(textCol), n)).as("g"))
+    val b = bench.select(explode(Dedup.shingles(col(textCol), n)).as("g")).distinct()
+    val hit = t.join(b, Seq("g"), "left_semi").select(idCol).distinct()
+      .withColumn("is_contaminated", lit(true))
+    train.select(col(idCol)).join(hit, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("is_contaminated"), lit(false)).as("is_contaminated"))
+  }
+
+  /**
    * PII scrubbing for training-data pipelines: count and redact email
    * addresses and international-format phone numbers. Pure codegen'd
    * regexp ops — no UDF — and the returned md5 of the scrubbed text

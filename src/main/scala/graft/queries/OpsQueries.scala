@@ -132,6 +132,14 @@ object OpsQueries {
         .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_arrivals"))
         .select("doc_id", "content_hash", "n_arrivals")
         .orderBy("doc_id")),
+    // benchmark decontamination: docs >= 450 play the held-out set;
+    // every training doc sharing a word 5-gram with it gets flagged
+    "text_decontaminate" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      TextOps.decontaminate(
+        docs.filter(col("doc_id") < 450), docs.filter(col("doc_id") >= 450),
+        "doc_id", "text").orderBy("doc_id")
+    }),
     // PII scrub: the corpus text carries no PII, so the query injects a
     // deterministic synthetic email + phone per doc (the oracle builds
     // the exact same string), then the operator counts and redacts them
@@ -317,6 +325,18 @@ object OpsQueries {
     "sample_hash_topk" ->
       """SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents
         |ORDER BY h, doc_id LIMIT 100""".stripMargin,
+    "text_decontaminate" ->
+      """WITH sh AS (SELECT doc_id,
+        |  list_distinct(list_transform(generate_series(1, len(w) - 4),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+        |      w[i+3] || ' ' || w[i+4])) AS s
+        |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+        |b AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id >= 450),
+        |hit AS (SELECT DISTINCT doc_id FROM
+        |  (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id < 450) t
+        |  WHERE g IN (SELECT g FROM b))
+        |SELECT sh.doc_id, sh.doc_id IN (SELECT doc_id FROM hit) AS is_contaminated
+        |FROM sh WHERE sh.doc_id < 450 ORDER BY sh.doc_id""".stripMargin,
     "stream_dedup" ->
       """SELECT min(doc_id) AS doc_id, md5(text) AS content_hash,
         |  count(*) AS n_arrivals
