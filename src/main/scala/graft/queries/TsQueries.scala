@@ -403,6 +403,40 @@ object TsQueries {
         .agg(count(lit(1)).as("n"),
           min("v").as("min_v"), max("v").as("max_v"))
         .orderBy("user_id", "event_type", "bucket")),
+    // the same integer-moment anomaly flags computed OFF THE PERSISTED
+    // STORE (ingest-once path; shares ts_anomaly's oracle — the thing
+    // under test is that the store roundtrip changes nothing)
+    "ts_store_anomaly" -> ((s, dir) => {
+      val pts = Ts.unpack(storeChunks(s, dir), series)
+        .withColumn("cents", round(col("v") * 100).cast("long"))
+      val stats = pts.groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("n"), sum("cents").as("s"),
+          sum(col("cents") * col("cents")).as("q"))
+      pts.join(stats, Seq("user_id", "event_type"))
+        .filter((col("n") * col("cents") - col("s")) *
+            (col("n") * col("cents") - col("s")) >
+          lit(9L) * (col("n") * col("q") - col("s") * col("s")))
+        .select("user_id", "event_type", "ts", "cents", "n")
+        .orderBy("user_id", "event_type", "ts", "cents")
+    }),
+    // top movers: series ranked by largest absolute day-over-day change
+    // in daily integer-cents total (windowed lag over per-day partials,
+    // then a global TakeOrdered top-k — never a full sort)
+    "ts_top_movers" -> ((s, dir) => {
+      val daily = points(s, dir)
+        .withColumn("cents", round(col("v") * 100).cast("long"))
+        .groupBy(col("user_id"), col("event_type"),
+          ((col("ts") / 86400).cast("long") * 86400).as("day"))
+        .agg(sum("cents").as("day_cents"))
+      val w = Window.partitionBy("user_id", "event_type").orderBy("day")
+      daily
+        .withColumn("prev_cents", lag("day_cents", 1).over(w))
+        .filter(col("prev_cents").isNotNull)
+        .withColumn("delta", col("day_cents") - col("prev_cents"))
+        .select("user_id", "event_type", "day", "day_cents", "prev_cents", "delta")
+        .orderBy(abs(col("delta")).desc, col("user_id"), col("event_type"), col("day"))
+        .limit(20)
+    }),
     // PREFIX anomaly flags: each point judged against the integer
     // moments of strictly-earlier points only — the batch equivalent
     // of the streaming detector (StreamIngest.anomalyStream, stream==
@@ -616,6 +650,19 @@ object TsQueries {
   /** The store-backed queries compute the same relations as their
     * in-memory counterparts (same series, same windows), so they share
     * oracles — the thing under test is the persisted-store path. */
+  private lazy val anomalyOracleSql: String = s"""WITH $ptsSql,
+    |c AS (SELECT user_id, event_type, ts,
+    |  CAST(round(v * 100) AS BIGINT) AS cents FROM pts),
+    |st AS (SELECT user_id, event_type, count(*) AS n,
+    |  CAST(sum(cents) AS BIGINT) AS s,
+    |  CAST(sum(cents * cents) AS BIGINT) AS q
+    |FROM c GROUP BY 1, 2)
+    |SELECT c.user_id, c.event_type, c.ts, c.cents, st.n
+    |FROM c JOIN st USING (user_id, event_type)
+    |WHERE (st.n * c.cents - st.s) * (st.n * c.cents - st.s) >
+    |  9 * (st.n * st.q - st.s * st.s)
+    |ORDER BY user_id, event_type, ts, cents""".stripMargin
+
   val oracleSql: Map[String, String] = baseOracle ++ Map(
     "ts_store_range" -> baseOracle("ts_range_query"),
     "ts_store_latest" -> baseOracle("ts_latest"),
@@ -633,18 +680,23 @@ object TsQueries {
       |  count(*) AS n, min(v) AS min_v, max(v) AS max_v
       |FROM pts GROUP BY 1, 2, 3
       |ORDER BY user_id, event_type, bucket""".stripMargin,
-    "ts_anomaly" -> s"""WITH $ptsSql,
-      |c AS (SELECT user_id, event_type, ts,
-      |  CAST(round(v * 100) AS BIGINT) AS cents FROM pts),
-      |st AS (SELECT user_id, event_type, count(*) AS n,
-      |  CAST(sum(cents) AS BIGINT) AS s,
-      |  CAST(sum(cents * cents) AS BIGINT) AS q
-      |FROM c GROUP BY 1, 2)
-      |SELECT c.user_id, c.event_type, c.ts, c.cents, st.n
-      |FROM c JOIN st USING (user_id, event_type)
-      |WHERE (st.n * c.cents - st.s) * (st.n * c.cents - st.s) >
-      |  9 * (st.n * st.q - st.s * st.s)
-      |ORDER BY user_id, event_type, ts, cents""".stripMargin,
+    "ts_anomaly" -> anomalyOracleSql,
+    // same relation computed off the persisted store — shared oracle
+    "ts_store_anomaly" -> anomalyOracleSql,
+    "ts_top_movers" -> s"""WITH $ptsSql,
+      |daily AS (SELECT user_id, event_type,
+      |  CAST(ts // 86400 * 86400 AS BIGINT) AS day,
+      |  CAST(sum(CAST(round(v * 100) AS BIGINT)) AS BIGINT) AS day_cents
+      |FROM pts GROUP BY 1, 2, 3),
+      |d AS (SELECT user_id, event_type, day, day_cents,
+      |  lag(day_cents) OVER (PARTITION BY user_id, event_type ORDER BY day)
+      |    AS prev_cents
+      |FROM daily)
+      |SELECT user_id, event_type, day, day_cents, prev_cents,
+      |  day_cents - prev_cents AS delta
+      |FROM d WHERE prev_cents IS NOT NULL
+      |ORDER BY abs(day_cents - prev_cents) DESC, user_id, event_type, day
+      |LIMIT 20""".stripMargin,
     "ts_anomaly_prefix" -> s"""WITH $ptsSql,
       |c AS (SELECT user_id, event_type, ts,
       |  CAST(round(v * 100) AS BIGINT) AS cents FROM pts),
