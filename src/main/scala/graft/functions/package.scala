@@ -20,7 +20,7 @@ package object functions {
     GorillaDecodeTimestamps, GorillaDecodeValues, GorillaEncode, GorillaEncodeValues,
     GorillaIsValid, GorillaNumPoints, HashSetSortedExpr, HyperplaneBucketsExpr, MinHashExpr,
     MinHashFromHashesExpr, ShingleHashesExpr, SimHashExpr, SimHashTextExpr,
-    SortedIntersectCountExpr, WordNgramsExpr}
+    SortedIntersectCountExpr, VecDotExpr, VecL2SqExpr, WordNgramsExpr}
 
   type Builder = Seq[Expression] => Expression
 
@@ -42,6 +42,8 @@ package object functions {
     "simhash" -> (es => SimHashExpr(es(0))),
     "simhash_text" -> (es => SimHashTextExpr(es(0))),
     "cosine_sim" -> (es => CosineSimExpr(es(0), es(1))),
+    "vec_dot" -> (es => VecDotExpr(es(0), es(1))),
+    "vec_l2sq" -> (es => VecL2SqExpr(es(0), es(1))),
     "hyperplane_buckets" -> (es => HyperplaneBucketsExpr(es(0),
       es(1).eval(null).asInstanceOf[Number].intValue(),
       es(2).eval(null).asInstanceOf[Number].intValue())),
@@ -82,6 +84,8 @@ package object functions {
       org.apache.spark.sql.functions.lit(fromSec), org.apache.spark.sql.functions.lit(toSec))
   def gorilla_num_points(chunk: Column): Column = call_function("gorilla_num_points", chunk)
   def gorilla_is_valid(chunk: Column): Column = call_function("gorilla_is_valid", chunk)
+  def vec_dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
+  def vec_l2sq(a: Column, b: Column): Column = call_function("vec_l2sq", a, b)
   def minhash(shingles: Column, k: Int): Column =
     call_function("minhash", shingles, org.apache.spark.sql.functions.lit(k))
   def simhash(tokens: Column): Column = call_function("simhash", tokens)

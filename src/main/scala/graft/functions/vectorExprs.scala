@@ -29,6 +29,25 @@ object VectorKernels {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  def dotFloat(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    var dot = 0.0
+    var i = 0
+    while (i < n) { dot += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    dot
+  }
+
+  def l2sqFloat(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val d = a.getFloat(i).toDouble - b.getFloat(i).toDouble
+      s += d * d; i += 1
+    }
+    s
+  }
+
   /** Deterministic hyperplane component for (table, plane, dim) in [-1, 1). */
   private def component(t: Int, p: Int, d: Int): Double =
     TextHash.splitmix64(((t.toLong << 40) + (p.toLong << 20) + d) * TextHash.Gold)
@@ -102,6 +121,40 @@ case class CosineSimExpr(left: Expression, right: Expression) extends BinaryExpr
     VectorKernels.cosineFloat(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorKernels.cosineFloat($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** vec_dot(array<float>, array<float>) -> double (index-order sum). */
+case class VecDotExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val r = GorillaExprs.expect(left, ArrayType(FloatType), s"$prettyName arg 1")
+    if (r.isFailure) r else GorillaExprs.expect(right, ArrayType(FloatType), s"$prettyName arg 2")
+  }
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "vec_dot"
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.dotFloat(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorKernels.dotFloat($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** vec_l2sq(array<float>, array<float>) -> double (squared L2). */
+case class VecL2SqExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val r = GorillaExprs.expect(left, ArrayType(FloatType), s"$prettyName arg 1")
+    if (r.isFailure) r else GorillaExprs.expect(right, ArrayType(FloatType), s"$prettyName arg 2")
+  }
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "vec_l2sq"
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.l2sqFloat(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorKernels.l2sqFloat($a, $b)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }

@@ -155,19 +155,13 @@ object Similarity {
     rerankExact(cand, q, e, k)
   }
 
-  /** Squared L2 distance of two float arrays, accumulated in double in
-    * index order (subspace dims are small; interpreted HOFs are fine
-    * off the hot path — assignment is once per vector per round). */
-  private def l2sq(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) =>
-        (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
-      lit(0.0), (acc, v) => acc + v)
+  /** Squared L2 distance of two float arrays — native codegen'd kernel
+    * (HOF lambdas are interpreted, a codegen barrier; the numeric
+    * result is identical: double accumulation in index order). */
+  private def l2sq(a: Column, b: Column): Column = graft.functions.vec_l2sq(a, b)
 
   /** Dot product of two float arrays in double, index order. */
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  private def dot(a: Column, b: Column): Column = graft.functions.vec_dot(a, b)
 
   /** Subspace slices: one (id, j, sub) row per vector per subspace. */
   private def subspaces(e: DataFrame, m: Int): DataFrame = {
