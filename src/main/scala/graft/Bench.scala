@@ -41,20 +41,40 @@ object Bench {
       val e50 = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(50)
       graft.ops.Similarity.bruteTopK(e50, e50, "vec_id", "embedding", 2).count()
     } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // warm the sort-encode mapPartitions path (both codec variants) and
+    // the persisted-store read: when the chunk store is already on disk
+    // the storeChunks warm-up above never runs chunkify, so whichever
+    // query first touched the encoder used to absorb its full JIT cost
+    // (ts_roundtrip_leadtrail measured 16x its own time in round 3)
+    try {
+      graft.queries.TsQueries.chunks(spark, sfDir).count()
+      val ev = spark.read.parquet(s"$sfDir/events.parquet").limit(5000)
+      graft.tsdb.Ts.chunkify(ev, Seq("user_id", "event_type"), "ts", "value",
+        leadTrail = true).count()
+      val store = graft.queries.TsQueries.storeChunks(spark, sfDir)
+      store.groupBy("user_id").agg(
+        org.apache.spark.sql.functions.max("max_ts")).count()
+    } catch { case _: Throwable => () }
+    // fixed alphabetical execution order: Map iteration order reshuffles
+    // whenever keys are added, which made first-touch JIT cost land on a
+    // different query every round — per-query times were uncomparable
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def fmt(v: Double): String = (math.round(v * 10000) / 10000.0).toString
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val total = results.map(_._2).sum
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(json)
-    // belt-and-braces for log-wrapped stdout: the same line as a file
-    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
-      java.nio.file.Files.writeString(java.nio.file.Paths.get(p), json + "\n")
-    }
+    // the stdout line is what the driver parses, but its log-tail capture
+    // truncated the (now 77-key) line in round 3 — ALWAYS write the same
+    // JSON to a file as well, not only when the env hook is set
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_out.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -14,10 +14,21 @@ import org.apache.spark.sql.types._
  */
 object VectorKernels {
 
+  /** Mismatched vector lengths must fail loudly: UnsafeArrayData.getFloat
+    * does no bounds check, so iterating past the shorter array would
+    * silently read out-of-bounds memory and return garbage scores. */
+  private def sameLength(a: ArrayData, b: ArrayData): Int = {
+    val n = a.numElements()
+    if (n != b.numElements())
+      throw new IllegalArgumentException(
+        s"vector length mismatch: $n vs ${b.numElements()}")
+    n
+  }
+
   /** Cosine similarity, float inputs widened to double, accumulated in
     * index order — numerically identical to the three-sum SQL form. */
   def cosineFloat(a: ArrayData, b: ArrayData): Double = {
-    val n = a.numElements()
+    val n = sameLength(a, b)
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
@@ -30,7 +41,7 @@ object VectorKernels {
   }
 
   def dotFloat(a: ArrayData, b: ArrayData): Double = {
-    val n = a.numElements()
+    val n = sameLength(a, b)
     var dot = 0.0
     var i = 0
     while (i < n) { dot += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
@@ -38,7 +49,7 @@ object VectorKernels {
   }
 
   def l2sqFloat(a: ArrayData, b: ArrayData): Double = {
-    val n = a.numElements()
+    val n = sameLength(a, b)
     var s = 0.0
     var i = 0
     while (i < n) {

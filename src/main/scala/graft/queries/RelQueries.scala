@@ -100,7 +100,10 @@ object RelQueries {
     // same day all included — the frame the ROWS form can't express)
     "q_window_range" -> ((s, dir) => {
       val o = Tables(s, dir, "orders")
-        .withColumn("day", (col("o_orderdate").cast("timestamp").cast("long") / 86400).cast("long"))
+        // floor, not truncate-toward-zero: the DuckDB oracle's `//` floors,
+        // and the two only agree for non-negative epochs — a pre-1970
+        // orderdate would silently land in the wrong day bucket otherwise
+        .withColumn("day", floor(col("o_orderdate").cast("timestamp").cast("long") / 86400).cast("long"))
         .withColumn("price_c", cents(col("o_totalprice")))
       val w = Window.partitionBy("o_custkey").orderBy("day").rangeBetween(-5, 5)
       o.withColumn("win_n", count(lit(1)).over(w))

@@ -82,6 +82,46 @@ object TsQueries {
       .withColumn("avg_v", col("sum_cents") / (col("n") * 100.0))
       .orderBy("user_id", "event_type", "bucket")
 
+  /** Per-series 3-sigma outliers, exactly: on integer cents,
+    * (x - mean)^2 > 9*variance  <=>  (n*x - S)^2 > 9*(n*Q - S^2) with
+    * S = sum(x), Q = sum(x^2) — all-integer arithmetic, so the flag is
+    * bit-exact across engines (no float mean/stddev). One groupBy for
+    * the per-series moments + a join back that AQE broadcasts (the
+    * stats side is one row per series). Longs hold the moments up to
+    * ~1e9 cents-points per series; beyond that, swap the three
+    * aggregate columns to decimal(38,0) — same plan shape. Shared by
+    * the in-memory and store-backed queries: the store variant tests
+    * that the persisted roundtrip changes nothing. */
+  private def anomalyFlags(pts0: DataFrame): DataFrame = {
+    val pts = pts0.withColumn("cents", round(col("v") * 100).cast("long"))
+    val stats = pts.groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("n"), sum("cents").as("s"),
+        sum(col("cents") * col("cents")).as("q"))
+    pts.join(stats, Seq("user_id", "event_type"))
+      .filter((col("n") * col("cents") - col("s")) *
+          (col("n") * col("cents") - col("s")) >
+        lit(9L) * (col("n") * col("q") - col("s") * col("s")))
+      .select("user_id", "event_type", "ts", "cents", "n")
+      .orderBy("user_id", "event_type", "ts", "cents")
+  }
+
+  /** Hourly (count, max) buckets of a point frame, left-joined onto the
+    * dense per-series hour grid spanning [first, last] bucket — the
+    * shared base of gap-fill and interpolation (`n` = 0 marks a filled
+    * gap row). Grid size is bounded by series span, not point count. */
+  private def hourlyGrid(pts: DataFrame): DataFrame = {
+    val hourly = pts
+      .groupBy(col("user_id"), col("event_type"),
+        ((col("ts") / 3600).cast("long") * 3600).as("bucket"))
+      .agg(count(lit(1)).as("n"), max("v").as("max_v"))
+    val grid = hourly.groupBy("user_id", "event_type")
+      .agg(min("bucket").as("b0"), max("bucket").as("b1"))
+      .select(col("user_id"), col("event_type"),
+        explode(sequence(col("b0"), col("b1"), lit(3600L))).as("bucket"))
+    grid.join(hourly, Seq("user_id", "event_type", "bucket"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+  }
+
   /** The oracle's view of the same points, bypassing the codec. */
   private val ptsSql =
     """pts AS (SELECT user_id, event_type,
@@ -161,16 +201,7 @@ object TsQueries {
     // hourly grid with *linear interpolation* across interior gaps
     // (edges carry the nearest real value)
     "ts_interp" -> ((s, dir) => {
-      val hourly = points(s, dir)
-        .groupBy(col("user_id"), col("event_type"),
-          ((col("ts") / 3600).cast("long") * 3600).as("bucket"))
-        .agg(count(lit(1)).as("n"), max("v").as("max_v"))
-      val grid = hourly.groupBy("user_id", "event_type")
-        .agg(min("bucket").as("b0"), max("bucket").as("b1"))
-        .select(col("user_id"), col("event_type"),
-          explode(sequence(col("b0"), col("b1"), lit(3600L))).as("bucket"))
-      val base = grid.join(hourly, Seq("user_id", "event_type", "bucket"), "left")
-        .withColumn("n", coalesce(col("n"), lit(0L)))
+      val base = hourlyGrid(points(s, dir))
       val wPrev = Window.partitionBy("user_id", "event_type").orderBy("bucket")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val wNext = Window.partitionBy("user_id", "event_type").orderBy("bucket")
@@ -303,18 +334,9 @@ object TsQueries {
     }),
     // hourly gap-fill with carry-forward of the last bucket max
     "ts_gapfill" -> ((s, dir) => {
-      val hourly = points(s, dir)
-        .groupBy(col("user_id"), col("event_type"),
-          ((col("ts") / 3600).cast("long") * 3600).as("bucket"))
-        .agg(count(lit(1)).as("n"), max("v").as("max_v"))
-      val grid = hourly.groupBy("user_id", "event_type")
-        .agg(min("bucket").as("b0"), max("bucket").as("b1"))
-        .select(col("user_id"), col("event_type"),
-          explode(sequence(col("b0"), col("b1"), lit(3600L))).as("bucket"))
       val w = Window.partitionBy("user_id", "event_type").orderBy("bucket")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      grid.join(hourly, Seq("user_id", "event_type", "bucket"), "left")
-        .withColumn("n", coalesce(col("n"), lit(0L)))
+      hourlyGrid(points(s, dir))
         .withColumn("v_filled", last("max_v", ignoreNulls = true).over(w))
         .select("user_id", "event_type", "bucket", "n", "v_filled")
         .orderBy("user_id", "event_type", "bucket")
@@ -369,27 +391,8 @@ object TsQueries {
         graft.tsdb.Ts.chunkifyAdaptive(Tables(s, dir, "events"), series, "ts", "value",
           targetPoints = 64), series)
         .orderBy("user_id", "event_type")),
-    // per-series 3-sigma outliers, exactly: on integer cents,
-    // (x - mean)^2 > 9*variance  <=>  (n*x - S)^2 > 9*(n*Q - S^2) with
-    // S = sum(x), Q = sum(x^2) — all-integer arithmetic, so the flag is
-    // bit-exact across engines (no float mean/stddev). One groupBy for
-    // the per-series moments + a join back that AQE broadcasts (the
-    // stats side is one row per series). Longs hold the moments up to
-    // ~1e9 cents-points per series; beyond that, swap the three
-    // aggregate columns to decimal(38,0) — same plan shape.
-    "ts_anomaly" -> ((s, dir) => {
-      val pts = points(s, dir)
-        .withColumn("cents", round(col("v") * 100).cast("long"))
-      val stats = pts.groupBy("user_id", "event_type")
-        .agg(count(lit(1)).as("n"), sum("cents").as("s"),
-          sum(col("cents") * col("cents")).as("q"))
-      pts.join(stats, Seq("user_id", "event_type"))
-        .filter((col("n") * col("cents") - col("s")) *
-            (col("n") * col("cents") - col("s")) >
-          lit(9L) * (col("n") * col("q") - col("s") * col("s")))
-        .select("user_id", "event_type", "ts", "cents", "n")
-        .orderBy("user_id", "event_type", "ts", "cents")
-    }),
+    // per-series integer-moment 3-sigma outliers (see anomalyFlags)
+    "ts_anomaly" -> ((s, dir) => anomalyFlags(points(s, dir))),
     // per-series value histogram on 50-unit buckets: floor of the
     // double quotient cents/5000.0 — the identical IEEE operation in
     // both engines (DuckDB's integer `//` truncates toward zero, which
@@ -406,19 +409,8 @@ object TsQueries {
     // the same integer-moment anomaly flags computed OFF THE PERSISTED
     // STORE (ingest-once path; shares ts_anomaly's oracle — the thing
     // under test is that the store roundtrip changes nothing)
-    "ts_store_anomaly" -> ((s, dir) => {
-      val pts = Ts.unpack(storeChunks(s, dir), series)
-        .withColumn("cents", round(col("v") * 100).cast("long"))
-      val stats = pts.groupBy("user_id", "event_type")
-        .agg(count(lit(1)).as("n"), sum("cents").as("s"),
-          sum(col("cents") * col("cents")).as("q"))
-      pts.join(stats, Seq("user_id", "event_type"))
-        .filter((col("n") * col("cents") - col("s")) *
-            (col("n") * col("cents") - col("s")) >
-          lit(9L) * (col("n") * col("q") - col("s") * col("s")))
-        .select("user_id", "event_type", "ts", "cents", "n")
-        .orderBy("user_id", "event_type", "ts", "cents")
-    }),
+    "ts_store_anomaly" -> ((s, dir) =>
+      anomalyFlags(Ts.unpack(storeChunks(s, dir), series))),
     // top movers: series ranked by largest absolute day-over-day change
     // in daily integer-cents total (windowed lag over per-day partials,
     // then a global TakeOrdered top-k — never a full sort)

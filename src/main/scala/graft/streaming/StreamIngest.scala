@@ -121,6 +121,13 @@ object StreamIngest {
    * fold (the iterator has no order guarantee); across batches,
    * arrival order must respect event time for prefix semantics (pair
    * with a watermark-sorted upstream or accept per-batch ordering).
+   *
+   * Numeric bound (same as the batch queries' documented limit): the
+   * moments are longs, so n·Q − S² stays exact only up to ~1e9
+   * cents-points per series; beyond that the test can overflow and
+   * silently flip while a hugeint-summing oracle would not — swap
+   * MomentState to BigInt fields above that volume (same plan shape,
+   * state still fixed-size).
    */
   def anomalyStream(points: Dataset[(String, Long, Long)],
                     minPrior: Long = 30): Dataset[AnomalyPoint] = {
