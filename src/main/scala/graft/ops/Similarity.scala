@@ -1,8 +1,9 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
 
 /**
  * Similarity search over embedding columns (`array<float>`).
@@ -70,8 +71,18 @@ object Similarity {
   def ivfCentroids(embeddings: DataFrame, idCol: String, vecCol: String,
                    nlist: Int, iters: Int = 2): DataFrame = {
     val e = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
-    var centroids = e.orderBy(xxhash64(col("id"))).limit(nlist)
-      .select(row_number().over(Window.orderBy("id")).as("cluster"), col("vec").as("centroid"))
+    // seed selection is a distributed TakeOrdered (per-partition top-k,
+    // no full sort); the <= nlist survivors are numbered on the driver
+    // — the single-partition row_number window this replaces was a
+    // needless serial stage
+    val spark = e.sparkSession
+    val seedRows = e.orderBy(xxhash64(col("id")), col("id")).limit(nlist)
+      .orderBy("id").select("vec").collect()
+    var centroids = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        seedRows.zipWithIndex.map { case (r, i) => Row(i + 1, r.get(0)) }.toSeq, 1),
+      StructType(Seq(StructField("cluster", IntegerType, nullable = false),
+        e.schema("vec").copy(name = "centroid"))))
     var it = 0
     while (it < iters) {
       // assignment carries the vector through the aggregate (first() —
@@ -140,13 +151,22 @@ object Similarity {
 
   /**
    * IVF ANN top-k: queries probe their `nprobe` closest centroids and
-   * rerank exactly within those inverted lists only.
+   * rerank exactly within those inverted lists only. Trains the
+   * centroids inline — for the train-once/query-many shape, train (or
+   * [[writeModels]]) once and call [[ivfTopKWith]].
    */
   def ivfTopK(embeddings: DataFrame, queries: DataFrame, idCol: String,
-              vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+              vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame =
+    ivfTopKWith(materialize(ivfCentroids(embeddings, idCol, vecCol, nlist)),
+      embeddings, queries, idCol, vecCol, k, nprobe)
+
+  /** IVF ANN top-k against a pre-trained centroid table (e.g. read back
+    * from a [[writeModels]] store): pure probe/scan/rerank — no k-means
+    * work on the query path. */
+  def ivfTopKWith(centroids: DataFrame, embeddings: DataFrame, queries: DataFrame,
+                  idCol: String, vecCol: String, k: Int, nprobe: Int = 4): DataFrame = {
     val e = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val q = queries.select(col(idCol).as("id"), col(vecCol).as("vec"))
-    val centroids = materialize(ivfCentroids(embeddings, idCol, vecCol, nlist))
     val lists = assign(e, centroids) // inverted file: id -> cluster
     val cand = probeLists(q, centroids, nprobe)
       .join(lists.toDF("n_id", "cluster"), Seq("cluster"))
@@ -191,13 +211,31 @@ object Similarity {
    * a 100 TB embedding corpus fit its candidate scan in RAM.
    */
   def pqCodebooks(embeddings: DataFrame, idCol: String, vecCol: String,
-                  m: Int = 8, ksub: Int = 16, iters: Int = 2): DataFrame = {
-    val subs = subspaces(
-      embeddings.select(col(idCol).as("id"), col(vecCol).as("vec")), m)
-    val wseed = Window.partitionBy("j").orderBy(xxhash64(col("id")), col("id"))
-    var books = subs.withColumn("__r", row_number().over(wseed))
-      .filter(col("__r") <= ksub)
-      .select(col("j"), (col("__r") - 1).as("code"), col("sub").as("cw"))
+                  m: Int = 8, ksub: Int = 16, iters: Int = 2): DataFrame =
+    pqCodebooksOn(
+      embeddings.select(col(idCol).as("id"), col(vecCol).as("vec")), m, ksub, iters)
+
+  /** PQ training on a prepared (id, vec) frame — shared by the raw and
+    * residual codebook paths. */
+  private def pqCodebooksOn(e: DataFrame, m: Int, ksub: Int, iters: Int): DataFrame = {
+    val subs = subspaces(e, m)
+    // seed ids: ONE distributed top-ksub by (xxhash64(id), id). The
+    // hash ignores j, so every subspace's seeds are the same ksub ids —
+    // the per-j row_number window this replaces sorted the WHOLE corpus
+    // through m reducer partitions (m tasks each sorting 1/m of a
+    // 100 TB corpus: a guaranteed straggler). TakeOrdered is
+    // per-partition top-k + a ksub-row driver merge; codes are assigned
+    // on the driver and broadcast back as a ksub-row join.
+    val spark = e.sparkSession
+    val seedIds = e.select(col("id"))
+      .orderBy(xxhash64(col("id")), col("id")).limit(ksub).collect()
+    val codeMap = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        seedIds.zipWithIndex.map { case (r, i) => Row(r.get(0), i) }.toSeq, 1),
+      StructType(Seq(e.schema("id").copy(name = "id"),
+        StructField("code", IntegerType, nullable = false))))
+    var books = subs.join(broadcast(codeMap), Seq("id"))
+      .select(col("j"), col("code"), col("sub").as("cw"))
     var it = 0
     while (it < iters) {
       // assignment carries the subvector through the aggregate
@@ -241,10 +279,17 @@ object Similarity {
    */
   def pqTopK(embeddings: DataFrame, queries: DataFrame, idCol: String,
              vecCol: String, k: Int, m: Int = 8, ksub: Int = 16,
-             rerankFactor: Int = 4): DataFrame = {
+             rerankFactor: Int = 4): DataFrame =
+    pqTopKWith(materialize(pqCodebooks(embeddings, idCol, vecCol, m, ksub)),
+      embeddings, queries, idCol, vecCol, k, m, rerankFactor)
+
+  /** PQ ADC top-k against a pre-trained codebook table: encode + scan +
+    * rerank only — no k-means on the query path. */
+  def pqTopKWith(books: DataFrame, embeddings: DataFrame, queries: DataFrame,
+                 idCol: String, vecCol: String, k: Int, m: Int = 8,
+                 rerankFactor: Int = 4): DataFrame = {
     val e = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val q = queries.select(col(idCol).as("id"), col(vecCol).as("vec"))
-    val books = materialize(pqCodebooks(embeddings, idCol, vecCol, m, ksub))
     val codes = pqEncode(embeddings, idCol, vecCol, books, m).toDF("n_id", "j", "code")
     val lut = adcLut(q, books, m)
     // full-corpus ADC scan: every code row finds its LUT entry per query
@@ -280,11 +325,18 @@ object Similarity {
    */
   def ivfPqTopK(embeddings: DataFrame, queries: DataFrame, idCol: String,
                 vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
-                m: Int = 8, ksub: Int = 16, rerankFactor: Int = 4): DataFrame = {
+                m: Int = 8, ksub: Int = 16, rerankFactor: Int = 4): DataFrame =
+    ivfPqTopKWith(materialize(ivfCentroids(embeddings, idCol, vecCol, nlist)),
+      materialize(pqCodebooks(embeddings, idCol, vecCol, m, ksub)),
+      embeddings, queries, idCol, vecCol, k, nprobe, m, rerankFactor)
+
+  /** IVF-PQ top-k against pre-trained centroid + codebook tables. */
+  def ivfPqTopKWith(centroids: DataFrame, books: DataFrame,
+                    embeddings: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, k: Int, nprobe: Int = 4,
+                    m: Int = 8, rerankFactor: Int = 4): DataFrame = {
     val e = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val q = queries.select(col(idCol).as("id"), col(vecCol).as("vec"))
-    val centroids = materialize(ivfCentroids(embeddings, idCol, vecCol, nlist))
-    val books = materialize(pqCodebooks(embeddings, idCol, vecCol, m, ksub))
     val lists = assign(e, centroids)
     val cand = probeLists(q, centroids, nprobe)
       .join(lists.toDF("n_id", "cluster"), Seq("cluster"))
@@ -344,5 +396,145 @@ object Similarity {
     val e = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val cand = annCandidates(embeddings, idCol, vecCol, nBits, tables, probes, maxBucket)
     rerankExact(cand, e, e, k)
+  }
+
+  // === persisted ANN models: train once, query many =================
+
+  /**
+   * Train every ANN model table ONCE and persist them as parquet under
+   * `path`: `centroids/` (IVF), `codebooks/` (PQ on raw vectors),
+   * `res_codebooks/` (PQ on per-list residuals — see
+   * [[ivfPqResidualTopKWith]]), plus a `_SUCCESS` marker after all
+   * three land. This is the chunk-store treatment applied to ANN: a
+   * user issuing two queries must not pay (or risk diverging) training
+   * twice, and at 100 TB the Lloyd rounds are an ingest-time job, not
+   * a query tax. Readers get bounded tables (≤ nlist / m·ksub rows)
+   * they can broadcast.
+   */
+  def writeModels(embeddings: DataFrame, idCol: String, vecCol: String,
+                  path: String, nlist: Int = 16, m: Int = 8, ksub: Int = 16,
+                  iters: Int = 2): Unit = {
+    val centroids = materialize(ivfCentroids(embeddings, idCol, vecCol, nlist, iters))
+    centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    pqCodebooks(embeddings, idCol, vecCol, m, ksub, iters)
+      .write.mode("overwrite").parquet(s"$path/codebooks")
+    residualCodebooks(embeddings, idCol, vecCol, centroids, m, ksub, iters)
+      .write.mode("overwrite").parquet(s"$path/res_codebooks")
+    // marker AFTER all three tables: a half-written model dir (crash
+    // between writes) must read as absent, not as a partial model
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), embeddings.sparkSession.sparkContext.hadoopConfiguration)
+    fs.create(new org.apache.hadoop.fs.Path(path, "_SUCCESS"), true).close()
+  }
+
+  /** True when a [[writeModels]] store at `path` is complete. */
+  def modelsExist(spark: SparkSession, path: String): Boolean = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS"))
+  }
+
+  /** Read back (centroids, codebooks, res_codebooks) from a
+    * [[writeModels]] store, materialized so consumers broadcast a
+    * bounded local table instead of re-running the parquet scan per
+    * join. */
+  def readModels(spark: SparkSession, path: String): (DataFrame, DataFrame, DataFrame) =
+    (materialize(spark.read.parquet(s"$path/centroids")),
+      materialize(spark.read.parquet(s"$path/codebooks")),
+      materialize(spark.read.parquet(s"$path/res_codebooks")))
+
+  // === residual IVF-PQ ==============================================
+
+  /** Nearest centroid per vector, carrying the vector through the
+    * aggregate (first() — one vec per id group) so consumers need no
+    * join-back: (id, cluster, vec). */
+  private def assignWithVec(e: DataFrame, centroids: DataFrame): DataFrame =
+    e.crossJoin(broadcast(centroids))
+      .groupBy("id")
+      .agg(max(struct(cosine(col("vec"), col("centroid")).as("c"),
+        (-col("cluster")).as("negc"))).as("__m"), first("vec").as("vec"))
+      .select(col("id"), (-col("__m.negc")).as("cluster"), col("vec"))
+
+  /** Per-vector residual against its assigned list centroid:
+    * (id, cluster, vec = v − c). The standard billion-scale accuracy
+    * move: residual norms are much smaller than vector norms, so the
+    * same m×ksub codebook budget quantizes them with far less error. */
+  private def residualFrame(e: DataFrame, centroids: DataFrame): DataFrame =
+    assignWithVec(e, centroids)
+      .join(broadcast(centroids), Seq("cluster"))
+      .select(col("id"), col("cluster"),
+        zip_with(col("vec"), col("centroid"), (x, y) => x - y)
+          .cast("array<float>").as("vec"))
+
+  /** Residual-encode a corpus: (id, cluster, j, code) — the persisted
+    * index shape (codes + list assignment; vectors only needed again
+    * at rerank). */
+  def residualEncode(embeddings: DataFrame, idCol: String, vecCol: String,
+                     centroids: DataFrame, resBooks: DataFrame, m: Int = 8): DataFrame = {
+    val resid = residualFrame(
+      embeddings.select(col(idCol).as("id"), col(vecCol).as("vec")), centroids)
+    pqAssign(subspaces(resid.select("id", "vec"), m), resBooks)
+      .join(resid.select("id", "cluster"), Seq("id"))
+      .select("id", "cluster", "j", "code")
+  }
+
+  /** PQ codebooks trained on per-list residuals (v − centroid). */
+  def residualCodebooks(embeddings: DataFrame, idCol: String, vecCol: String,
+                        centroids: DataFrame, m: Int = 8, ksub: Int = 16,
+                        iters: Int = 2): DataFrame =
+    pqCodebooksOn(
+      residualFrame(
+        embeddings.select(col(idCol).as("id"), col(vecCol).as("vec")), centroids)
+        .select("id", "vec"),
+      m, ksub, iters)
+
+  /** Residual IVF-PQ with inline training — see [[ivfPqResidualTopKWith]]. */
+  def ivfPqResidualTopK(embeddings: DataFrame, queries: DataFrame, idCol: String,
+                        vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
+                        m: Int = 8, ksub: Int = 16, rerankFactor: Int = 4): DataFrame = {
+    val centroids = materialize(ivfCentroids(embeddings, idCol, vecCol, nlist))
+    ivfPqResidualTopKWith(centroids,
+      materialize(residualCodebooks(embeddings, idCol, vecCol, centroids, m, ksub)),
+      embeddings, queries, idCol, vecCol, k, nprobe, m, rerankFactor)
+  }
+
+  /**
+   * IVF-PQ with RESIDUAL encoding: each corpus vector is approximated
+   * as centroid(list) + codewords(v − centroid), so the approximate
+   * score decomposes as dot(q, c_list) + Σ_j LUT[j, code_j] — one
+   * broadcast (query × centroid) dot table plus the same codes-only
+   * ADC scan as [[ivfPqTopKWith]]. Same probe/scan/rerank plan shape;
+   * strictly lower quantization error at equal m·ksub budget
+   * (residual norms ≪ vector norms), which is what makes PQ usable at
+   * billion scale.
+   */
+  def ivfPqResidualTopKWith(centroids: DataFrame, resBooks: DataFrame,
+                            embeddings: DataFrame, queries: DataFrame,
+                            idCol: String, vecCol: String, k: Int,
+                            nprobe: Int = 4, m: Int = 8,
+                            rerankFactor: Int = 4): DataFrame = {
+    val e = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val q = queries.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val resid = residualFrame(e, centroids)
+    val lists = resid.select(col("id").as("n_id"), col("cluster"))
+    val codes = pqAssign(subspaces(resid.select("id", "vec"), m), resBooks)
+      .toDF("n_id", "j", "code")
+    // candidates keep the neighbor's list so the centroid term of the
+    // score can be added back per (query, list)
+    val cand = probeLists(q, centroids, nprobe)
+      .join(lists, Seq("cluster"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select("q_id", "n_id", "cluster")
+    // query-side model tables: residual ADC LUT + per-list dot terms
+    val lut = adcLut(q, resBooks, m)
+    val qc = q.crossJoin(broadcast(centroids))
+      .select(col("id").as("q_id"), col("cluster"),
+        dot(col("vec"), col("centroid")).as("c_dot"))
+    val approx = cand.join(codes, Seq("n_id"))
+      .join(broadcast(lut), Seq("q_id", "j", "code"))
+      .groupBy("q_id", "n_id", "cluster").agg(sum("pdot").as("r_dot"))
+      .join(broadcast(qc), Seq("q_id", "cluster"))
+      .select(col("q_id"), col("n_id"), (col("c_dot") + col("r_dot")).as("approx_dot"))
+    rerankExact(topApprox(approx, k * rerankFactor), q, e, k)
   }
 }

@@ -148,6 +148,91 @@ class OpsSpec extends AnyFunSuite {
     assert(r16 >= r4, s"probing all lists must not lose recall ($r16 < $r4)")
   }
 
+  test("ann training plans are window-free (no skewed per-j corpus sort)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    // pqCodebooks used to seed via row_number over partitionBy("j"):
+    // m reducer partitions each sorting 1/m of the corpus — a
+    // guaranteed straggler at scale. Training must stay hash-agg +
+    // TakeOrdered shaped.
+    val books = Similarity.pqCodebooks(emb, "vec_id", "embedding")
+    assert(books.queryExecution.optimizedPlan.collect { case w: LWindow => w }.isEmpty,
+      "pq codebook training plan must contain no Window")
+    val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", nlist = 16)
+    assert(cents.queryExecution.optimizedPlan.collect { case w: LWindow => w }.isEmpty,
+      "ivf centroid training plan must contain no Window")
+  }
+
+  test("persisted models: write-once read-many, queries match inline training") {
+    val path = s"/tmp/graft_models_spec_${System.currentTimeMillis()}"
+    assert(!Similarity.modelsExist(spark, path))
+    Similarity.writeModels(emb, "vec_id", "embedding", path)
+    assert(Similarity.modelsExist(spark, path))
+    val (centroids, books, resBooks) = Similarity.readModels(spark, path)
+    assert(centroids.count() == 16 && books.count() == 8 * 16 && resBooks.count() == 8 * 16)
+    // model determinism: the same corpus trains the same model, so a
+    // query against the store equals a query with inline training
+    val qs = emb.filter(col("vec_id") < 10)
+    val fromStore = Similarity.ivfTopKWith(centroids, emb, qs, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq.sorted
+    val inline = Similarity.ivfTopK(emb, qs, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq.sorted
+    assert(fromStore == inline)
+  }
+
+  test("residual ivf-pq: quantization error drops, recall not worse than raw-pq") {
+    val qs = emb.filter(col("vec_id") < 20)
+    val brute = Similarity.bruteTopK(qs, emb, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.collect().map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSet).toMap
+      val rs = brute.map { case (q, t) => (got.getOrElse(q, Set.empty) & t).size.toDouble / t.size }
+      rs.sum / rs.size
+    }
+    val raw4 = recallOf(Similarity.ivfPqTopK(emb, qs, "vec_id", "embedding", 5,
+      nlist = 16, nprobe = 4))
+    val res4 = recallOf(Similarity.ivfPqResidualTopK(emb, qs, "vec_id", "embedding", 5,
+      nlist = 16, nprobe = 4))
+    val raw16 = recallOf(Similarity.ivfPqTopK(emb, qs, "vec_id", "embedding", 5,
+      nlist = 16, nprobe = 16))
+    val res16 = recallOf(Similarity.ivfPqResidualTopK(emb, qs, "vec_id", "embedding", 5,
+      nlist = 16, nprobe = 16))
+    info(s"recall raw@4=$raw4 res@4=$res4 raw@16=$raw16 res@16=$res16")
+
+    // reconstruction error: mean ||v - v_hat||^2 with v_hat = concat of
+    // codewords (raw) vs centroid + concat of residual codewords
+    import org.apache.spark.sql.functions.{broadcast => bcast}
+    val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", nlist = 16)
+    val rawBooks = Similarity.pqCodebooks(emb, "vec_id", "embedding")
+    val resBooks = Similarity.residualCodebooks(emb, "vec_id", "embedding", cents)
+    def approxVec(codes: org.apache.spark.sql.DataFrame,
+                  books: org.apache.spark.sql.DataFrame) =
+      codes.join(bcast(books), Seq("j", "code"))
+        .groupBy("id")
+        .agg(flatten(transform(array_sort(collect_list(struct(col("j"), col("cw")))),
+          s => s.getField("cw"))).as("vhat"))
+    val e = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val rawErr = approxVec(
+        Similarity.pqEncode(emb, "vec_id", "embedding", rawBooks), rawBooks)
+      .join(e, Seq("id"))
+      .agg(avg(graft.functions.vec_l2sq(col("vec"), col("vhat")))).head().getDouble(0)
+    val resCodes = Similarity.residualEncode(emb, "vec_id", "embedding", cents, resBooks)
+    val resErr = approxVec(resCodes.select("id", "j", "code"), resBooks)
+      .join(resCodes.select("id", "cluster").distinct(), Seq("id"))
+      .join(bcast(cents), Seq("cluster"))
+      .withColumn("vhat",
+        zip_with(col("centroid"), col("vhat"), (a, b) => a + b).cast("array<float>"))
+      .join(e, Seq("id"))
+      .agg(avg(graft.functions.vec_l2sq(col("vec"), col("vhat")))).head().getDouble(0)
+    info(s"reconstruction mse raw=$rawErr residual=$resErr")
+    assert(resErr < rawErr,
+      s"residual encoding must cut quantization error: $resErr !< $rawErr")
+    assert(res4 > 0.15, s"residual ivfpq recall $res4 below floor")
+    assert(res16 >= raw16 - 1e-9,
+      s"with all lists probed residual approximation lost recall: $res16 < $raw16")
+  }
+
   test("components: chains collapse transitively to one canonical id") {
     import spark.implicits._
     // A~B, B~C, D~E; A!~C directly — all of A,B,C must share component 1
