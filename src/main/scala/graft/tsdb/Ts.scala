@@ -324,6 +324,47 @@ object Ts {
       .parquet(path)
 
   /**
+   * Idempotent per-window-date (re-)ingest: dynamic partition overwrite
+   * replaces EXACTLY the `window_date` partitions present in `chunks`
+   * and leaves every other partition untouched. Re-running a day's
+   * ingest (backfill, late pipeline retry) swaps that day's chunks in
+   * place — a plain append would double-write them, and a full
+   * overwrite would drop the rest of the store. This is the
+   * operational contract that makes the store trustworthy under
+   * at-least-once upstream delivery.
+   */
+  def upsertStore(chunks: DataFrame, path: String): Unit =
+    chunks
+      .withColumn("window_date", to_date(to_timestamp(col("window_start"))))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("window_date")
+      .parquet(path)
+
+  /**
+   * Retention: drop `window_date` partitions strictly older than
+   * `olderThanDays` days before `asOfSec` — Gorilla's block aging
+   * (§4.1's out-of-memory aging) as a metadata-only batch operation:
+   * partition-directory deletes, zero chunk bytes read or rewritten.
+   * Uses the Hadoop FileSystem API so the same call works on HDFS/
+   * object stores, not just local disk.
+   */
+  def expireStore(spark: org.apache.spark.sql.SparkSession, path: String,
+                  olderThanDays: Int, asOfSec: Long): Unit = {
+    val cutoff = java.time.LocalDate.ofEpochDay(
+      Math.floorDiv(asOfSec, 86400L) - olderThanDays)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(root)) fs.listStatus(root).foreach { st =>
+      val name = st.getPath.getName
+      if (st.isDirectory && name.startsWith("window_date=")) {
+        val d = java.time.LocalDate.parse(name.stripPrefix("window_date="))
+        if (d.isBefore(cutoff)) fs.delete(st.getPath, true)
+      }
+    }
+  }
+
+  /**
    * Compact a chunk store into a new store at `outPath`: decode every
    * point and re-encode exactly one sealed chunk per (series, window).
    * Streaming per-batch ingest (`StreamIngest.writeChunksPerBatch`)

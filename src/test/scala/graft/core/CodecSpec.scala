@@ -117,6 +117,49 @@ class TimestampCodecSpec extends AnyFunSuite {
     val w = encode(header, ts)
     assert(decode(header, w, ts.size) == ts)
   }
+
+  test("property: escape-boundary dods round-trip (sign-extension fuzz)") {
+    // adversarial generator biased to the ±2048 bucket edge and the
+    // ±2^31 extremes of the 32-bit escape — the one code path whose
+    // reference counterpart is known-buggy (unsigned escape read,
+    // reference src/timestamp_stream.rs:104-109): every negative or
+    // edge dod must survive the sign-extending decode
+    val edges = Gen.oneOf(-2049L, -2048L, -2047L, 2047L, 2048L, 2049L,
+      -65536L, 65536L, Int.MaxValue.toLong, Int.MinValue.toLong + 1)
+    val dodGen = Gen.frequency(
+      3 -> edges,
+      2 -> Gen.choose(-3000L, 3000L),
+      2 -> Gen.choose(Int.MinValue.toLong + 1, Int.MaxValue.toLong))
+    val caseGen = for {
+      d0 <- Gen.oneOf(Gen.choose(0L, 16383L), Gen.oneOf(0L, 1L, 16382L, 16383L))
+      dods <- Gen.listOfN(40, dodGen)
+    } yield (d0, dods)
+    val header = 1700000000L / 7200 * 7200
+    val prop = Prop.forAll(caseGen) { case (d0, dods) =>
+      var delta = d0
+      var t = header + d0
+      val ts = t +: dods.map { dod => delta += dod; t += delta; t }
+      decode(header, encode(header, ts), ts.size) == ts
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("chunk round-trip at the 14-bit header-delta edge, both value variants") {
+    // window-boundary cross-variant coverage: the first point sits at
+    // the extreme ends of the 14-bit header window, then an escape-
+    // sized jump follows — through the full chunk codec both with and
+    // without the lead/trail value variant
+    val header = GorillaCodec.alignWindow(1700000000L, 7200)
+    for (d0 <- Seq(0L, 1L, 16382L, 16383L); lt <- Seq(false, true)) {
+      val ts = Array(header + d0, header + d0 + 1, header + d0 + 9001,
+        header + d0 + 9002)
+      val vs = Array(1.0, -2.5, 3.25, 3.25)
+      val bytes = GorillaCodec.encode(ts, vs, header, lt)
+      val (t2, v2) = GorillaCodec.decode(bytes)
+      assert(t2.toSeq == ts.toSeq && v2.toSeq == vs.toSeq, s"d0=$d0 lt=$lt")
+    }
+  }
 }
 
 class XorDoubleCodecSpec extends AnyFunSuite {

@@ -52,23 +52,35 @@ class RelQueriesSpec extends AnyFunSuite {
     }
   }
 
-  test("bucketed tables merge-join with no shuffle and no sort") {
-    val o = Tables.bucketed(spark, dir, "orders", "o_orderkey")
-    val l = Tables.bucketed(spark, dir, "lineitem", "l_orderkey")
-    // force the merge join (tiny test data would otherwise broadcast)
-    // and read the pre-AQE plan: bucketed+sorted scans must satisfy
-    // the join's distribution AND ordering requirements directly
-    val j = l.hint("merge")
-      .join(o, org.apache.spark.sql.functions.col("l_orderkey") ===
-        org.apache.spark.sql.functions.col("o_orderkey"))
-      .groupBy("o_orderstatus").agg(org.apache.spark.sql.functions.count(
-        org.apache.spark.sql.functions.lit(1)).as("n"))
-    val plan = j.queryExecution.sparkPlan.toString
-    assert(plan.contains("SortMergeJoin"), plan.take(800))
-    assert(!plan.contains("hashpartitioning(l_orderkey") &&
-      !plan.contains("hashpartitioning(o_orderkey"),
-      s"join key shuffle present:\n${plan.take(1500)}")
-    assert(!plan.contains("- Sort "), s"sort crept back in:\n${plan.take(1500)}")
+  test("bucketed tables merge-join with no shuffle and no sort, at two widths") {
+    // the invariant must hold at any agreed bucket count, not just the
+    // former hardcoded 8 — exercise the size-derived default AND an
+    // explicit width in the same session (the catalog name carries the
+    // count, so both coexist)
+    for (nb <- Seq(0, 16)) {
+      val o = Tables.bucketed(spark, dir, "orders", "o_orderkey", nb)
+      val l = Tables.bucketed(spark, dir, "lineitem", "l_orderkey", nb)
+      // force the merge join (tiny test data would otherwise broadcast)
+      // and read the pre-AQE plan: bucketed+sorted scans must satisfy
+      // the join's distribution AND ordering requirements directly
+      val j = l.hint("merge")
+        .join(o, org.apache.spark.sql.functions.col("l_orderkey") ===
+          org.apache.spark.sql.functions.col("o_orderkey"))
+        .groupBy("o_orderstatus").agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+      val plan = j.queryExecution.sparkPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan.take(800))
+      assert(!plan.contains("hashpartitioning(l_orderkey") &&
+        !plan.contains("hashpartitioning(o_orderkey"),
+        s"join key shuffle present at nb=$nb:\n${plan.take(1500)}")
+      assert(!plan.contains("- Sort "), s"sort crept back at nb=$nb:\n${plan.take(1500)}")
+    }
+    // one data file per bucket: the invariant that lets the scan honor
+    // sortBy (multi-file buckets force a sort back into the plan)
+    val dirTag = dir.replaceAll("[^A-Za-z0-9]", "_").toLowerCase
+    val files = new java.io.File(s"/tmp/graft_bucketed/$dirTag/orders_16")
+      .listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(files.length == 16, s"expected 16 bucket files, got ${files.length}")
   }
 
   test("relational queries return rows on sf0.001") {

@@ -107,6 +107,73 @@ class TsStoreSpec extends AnyFunSuite {
     assert(plan.contains("PartitionFilters: [isnotnull(window_date"), plan.take(2000))
   }
 
+  test("store latest(): the newest-chunk pass scans stats only, no chunk bytes") {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val series = Seq("user_id", "event_type")
+    val path = java.nio.file.Files.createTempDirectory("graft-latest").toString
+    Ts.writeStore(Ts.chunkify(ev, series, "ts", "value"), path)
+    val df = Ts.latest(Ts.readStore(spark, path), series)
+    val plan = df.queryExecution.executedPlan.toString
+    val scans = "FileScan parquet \\[[^\\]]*\\]".r.findAllIn(plan).toList
+    // pass 1 (max_ts per series) must be a stats-column scan: column
+    // pruning keeps the compressed bytes out of it entirely — two
+    // cheap metadata passes is the design, not two full decodes
+    assert(scans.exists(s => s.contains("max_ts") && !s.contains("chunk")),
+      s"no stats-only scan in:\n${scans.mkString("\n")}")
+    // and the result matches the non-store path
+    val direct = Ts.latest(Ts.chunkify(ev, series, "ts", "value"), series)
+    assert(df.orderBy("user_id", "event_type").collect().toSeq ==
+      direct.orderBy("user_id", "event_type").collect().toSeq)
+  }
+
+  test("upsertStore: re-ingesting a day replaces it, never double-writes") {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val series = Seq("user_id", "event_type")
+    val chunks = Ts.chunkify(ev, series, "ts", "value")
+    val path = java.nio.file.Files.createTempDirectory("graft-upsert").toString
+    Ts.writeStore(chunks, path)
+    def sig() = Ts.readStore(spark, path)
+      .select(col("user_id"), col("event_type"), col("window_start"),
+        col("n"), md5(col("chunk")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getString(4))).toSet
+    val before = sig()
+    // pick one stored day and re-ingest exactly its chunks (the
+    // backfill/retry shape) — an append would double it; dynamic
+    // partition overwrite must leave the store byte-identical
+    val day = Ts.readStore(spark, path).select(min("window_start")).first().getLong(0)
+    val dayChunks = chunks.filter(
+      floor(col("window_start") / 86400) === Math.floorDiv(day, 86400L))
+    assert(dayChunks.count() > 0)
+    Ts.upsertStore(dayChunks, path)
+    assert(sig() == before, "double-ingest of one day must be a no-op")
+    // and upserting a modified day really replaces it (not appends)
+    Ts.upsertStore(dayChunks.limit(1), path)
+    val after = sig()
+    assert(after.size < before.size && after.subsetOf(before))
+  }
+
+  test("expireStore drops only partitions older than retention") {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val series = Seq("user_id", "event_type")
+    val path = java.nio.file.Files.createTempDirectory("graft-expire").toString
+    Ts.writeStore(Ts.chunkify(ev, series, "ts", "value"), path)
+    val dates = Ts.readStore(spark, path)
+      .select(to_date(to_timestamp(col("window_start"))).cast("string"))
+      .distinct().collect().map(_.getString(0)).sorted
+    assert(dates.length > 2, s"need several days, got ${dates.toSeq}")
+    // retain the newest 2 days as-of the newest point
+    val asOf = Ts.readStore(spark, path).select(max("window_start")).first().getLong(0)
+    Ts.expireStore(spark, path, olderThanDays = 1, asOfSec = asOf)
+    val kept = Ts.readStore(spark, path)
+      .select(to_date(to_timestamp(col("window_start"))).cast("string"))
+      .distinct().collect().map(_.getString(0)).sorted
+    val cutoff = java.time.LocalDate.ofEpochDay(Math.floorDiv(asOf, 86400L) - 1).toString
+    assert(kept.toSet == dates.filter(_ >= cutoff).toSet,
+      s"kept ${kept.toSeq}, expected >= $cutoff of ${dates.toSeq}")
+    assert(kept.nonEmpty && kept.length < dates.length)
+  }
+
   test("dense 1Hz series compress far below raw 16B/point through the pipeline") {
     import spark.implicits._
     // the shape gorilla is built for: regular cadence, slowly-moving values
