@@ -183,11 +183,18 @@ object Similarity {
   /** Dot product of two float arrays in double, index order. */
   private def dot(a: Column, b: Column): Column = graft.functions.vec_dot(a, b)
 
-  /** Subspace slices: one (id, j, sub) row per vector per subspace. */
-  private def subspaces(e: DataFrame, m: Int): DataFrame = {
+  /** Subspace slices: one (id, j, sub) row per vector per subspace.
+    * When the dimension is not divisible by `m`, the LAST subspace
+    * absorbs the `size % m` trailing dims — integer division alone
+    * would silently drop them from the codebooks/codes and ADC scores
+    * would ignore those dims. Training, encoding, and query paths all
+    * slice through here, so the fold stays consistent end-to-end. */
+  private[graft] def subspaces(e: DataFrame, m: Int): DataFrame = {
     val dsub = (size(col("vec")) / m).cast("int")
     e.select(col("id"), posexplode(transform(sequence(lit(0), lit(m - 1)),
-        j => slice(col("vec"), j * dsub + 1, dsub))))
+        j => slice(col("vec"), j * dsub + 1,
+          when(j === m - 1, size(col("vec")) - (lit(m) - 1) * dsub)
+            .otherwise(dsub)))))
       .toDF("id", "j", "sub")
   }
 

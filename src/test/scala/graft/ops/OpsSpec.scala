@@ -129,6 +129,26 @@ class OpsSpec extends AnyFunSuite {
     assert(recall > 0.2, s"pq recall $recall")
   }
 
+  test("pq subspaces cover every dim when dimension % m != 0 (remainder folds into last)") {
+    import spark.implicits._
+    // 10-dim vectors, m=4 -> dsub=2 and the last subspace must carry 4
+    // dims (integer division alone would drop dims 8..9 from codebooks,
+    // codes and ADC scores)
+    val e = Seq((1L, (0 until 10).map(_.toFloat).toArray))
+      .toDF("id", "vec")
+    val subs = Similarity.subspaces(e, 4)
+      .select(col("j"), size(col("sub")).as("len"))
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toMap
+    assert(subs == Map(0 -> 2, 1 -> 2, 2 -> 2, 3 -> 4), subs.toString)
+    // and the full PQ path runs green on a non-divisible dimension
+    val odd = emb.select(col("vec_id"), slice(col("embedding"), 1, 10).as("embedding"))
+    val books = Similarity.pqCodebooks(odd, "vec_id", "embedding", m = 4, ksub = 8)
+    val codes = Similarity.pqEncode(odd, "vec_id", "embedding", books)
+    assert(codes.count() == odd.count() * 4)
+    assert(Similarity.pqTopK(odd, odd.filter(col("vec_id") < 5), "vec_id", "embedding", 3)
+      .count() > 0)
+  }
+
   test("ivf-pq ann: restricted code scan still finds real neighbors") {
     val qs = emb.filter(col("vec_id") < 20)
     val brute = Similarity.bruteTopK(qs, emb, "vec_id", "embedding", 5)
