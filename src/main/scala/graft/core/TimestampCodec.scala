@@ -35,13 +35,15 @@ object TimestampCodec {
       } else {
         val delta = t - prev
         val dod = delta - prevDelta
+        // control code + payload fused into ONE write each: same wire
+        // bits, half the BitWriter calls on the encode hot path
         if (dod == 0L) w.write(0L, 1)
-        else if (dod >= -63 && dod <= 64) { w.write(0x2L, 2); w.write(dod + 63, 7) }
-        else if (dod >= -255 && dod <= 256) { w.write(0x6L, 3); w.write(dod + 255, 9) }
-        else if (dod >= -2047 && dod <= 2048) { w.write(0xEL, 4); w.write(dod + 2047, 12) }
+        else if (dod >= -63 && dod <= 64) w.write((0x2L << 7) | (dod + 63), 9)
+        else if (dod >= -255 && dod <= 256) w.write((0x6L << 9) | (dod + 255), 12)
+        else if (dod >= -2047 && dod <= 2048) w.write((0xEL << 12) | (dod + 2047), 16)
         else {
           require(dod >= Int.MinValue && dod <= Int.MaxValue, s"delta-of-delta overflow: $dod")
-          w.write(0xFL, 4); w.write(dod & 0xFFFFFFFFL, 32)
+          w.write((0xFL << 32) | (dod & 0xFFFFFFFFL), 36)
         }
         prev = t; prevDelta = delta
       }

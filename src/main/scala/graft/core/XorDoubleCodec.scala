@@ -54,14 +54,18 @@ object XorDoubleCodec {
           val tz = ntz(x)
           val winTz = 64 - winLz - winMeaningful
           if (winLz < 64 && lz >= winLz && tz >= winTz) {
-            w.write(0x2L, 2)
-            w.write(x >>> winTz, 64 - winTz - winLz)
+            // '10' + payload fused when they fit one word (window width
+            // <= 62); a full-width window keeps the two-write form
+            val width = 64 - winTz - winLz
+            if (width <= 62) w.write((0x2L << width) | (x >>> winTz), width + 2)
+            else { w.write(0x2L, 2); w.write(x >>> winTz, width) }
           } else {
             val meaningful = 64 - tz - lz
-            w.write(0x3L, 2)
-            w.write(lz.toLong, 5)
-            w.write((meaningful - 1).toLong, 6)
-            w.write(x >>> tz, meaningful)
+            // '11' + 5-bit lz + 6-bit (meaningful-1), fused with the
+            // payload too when all 13+meaningful bits fit one word
+            val ctl = (0x3L << 11) | (lz.toLong << 6) | (meaningful - 1).toLong
+            if (meaningful <= 51) w.write((ctl << meaningful) | (x >>> tz), 13 + meaningful)
+            else { w.write(ctl, 13); w.write(x >>> tz, meaningful) }
             if (leadTrail) { winLz = lz; winMeaningful = meaningful }
           }
           if (!leadTrail) { winLz = nlz(x); winMeaningful = 64 - nlz(x) - ntz(x) }
