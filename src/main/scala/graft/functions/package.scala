@@ -20,7 +20,8 @@ package object functions {
     GorillaDecodeTimestamps, GorillaDecodeValues, GorillaEncode, GorillaEncodeValues,
     GorillaIsValid, GorillaNumPoints, HashSetSortedExpr, HyperplaneBucketsExpr, MinHashExpr,
     MinHashFromHashesExpr, ShingleHashesExpr, SimHashExpr, SimHashTextExpr,
-    SortedIntersectCountExpr, VecDotExpr, VecL2SqExpr, WordNgramsExpr}
+    SortedIntersectCountExpr, Sq8DotExpr, Sq8EncodeExpr, VecDotExpr, VecL2SqExpr,
+    WordNgramsExpr}
 
   type Builder = Seq[Expression] => Expression
 
@@ -47,6 +48,8 @@ package object functions {
     "hyperplane_buckets" -> (es => HyperplaneBucketsExpr(es(0),
       es(1).eval(null).asInstanceOf[Number].intValue(),
       es(2).eval(null).asInstanceOf[Number].intValue())),
+    "sq8_encode" -> (es => Sq8EncodeExpr(es(0), es(1))),
+    "sq8_dot" -> (es => Sq8DotExpr(es(0), es(1))),
     "hash_set_sorted" -> (es => HashSetSortedExpr(es(0))),
     "sorted_intersect_count" -> (es => SortedIntersectCountExpr(es(0), es(1))),
     "shingle_hashes" -> (es => ShingleHashesExpr(es(0),
@@ -86,6 +89,9 @@ package object functions {
   def gorilla_is_valid(chunk: Column): Column = call_function("gorilla_is_valid", chunk)
   def vec_dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
   def vec_l2sq(a: Column, b: Column): Column = call_function("vec_l2sq", a, b)
+  def sq8_encode(vec: Column, invScale: Column): Column =
+    call_function("sq8_encode", vec, invScale)
+  def sq8_dot(a: Column, b: Column): Column = call_function("sq8_dot", a, b)
   def minhash(shingles: Column, k: Int): Column =
     call_function("minhash", shingles, org.apache.spark.sql.functions.lit(k))
   def simhash(tokens: Column): Column = call_function("simhash", tokens)

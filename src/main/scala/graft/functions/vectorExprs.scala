@@ -105,6 +105,36 @@ object VectorKernels {
     UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(hs, uniq))
   }
 
+  /** Symmetric int8 scalar quantization: one byte per dimension,
+    * code_i = clamp(round(v_i · invScale), −127, 127). With a single
+    * per-corpus scale the quantized dot product ranks identically to
+    * the dequantized approximate dot (the scale is a global constant
+    * factor), so scoring can stay in exact integer arithmetic. */
+  def sq8Encode(vec: ArrayData, invScale: Double): Array[Byte] = {
+    val n = vec.numElements()
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      val q = Math.round(vec.getFloat(i) * invScale)
+      out(i) = (if (q > 127) 127 else if (q < -127) -127 else q.toInt).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Integer dot product of two int8 code arrays — exact and
+    * order-independent, so approximate ANN scores are bit-stable
+    * across partitionings (unlike float accumulation). */
+  def sq8Dot(a: Array[Byte], b: Array[Byte]): Long = {
+    if (a.length != b.length)
+      throw new IllegalArgumentException(
+        s"code length mismatch: ${a.length} vs ${b.length}")
+    var s = 0L
+    var i = 0
+    while (i < a.length) { s += a(i).toLong * b(i).toLong; i += 1 }
+    s
+  }
+
   /** |A ∩ B| of two ascending long arrays by linear merge. */
   def sortedIntersectCount(a: ArrayData, b: ArrayData): Int = {
     val na = a.numElements(); val nb = b.numElements()
@@ -215,6 +245,40 @@ case class SortedIntersectCountExpr(left: Expression, right: Expression)
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
       (a, b) => s"graft.functions.VectorKernels.sortedIntersectCount($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** sq8_encode(vec array<float>, invScale double) -> binary (int8 codes) */
+case class Sq8EncodeExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val r = GorillaExprs.expect(left, ArrayType(FloatType), s"$prettyName arg 1")
+    if (r.isFailure) r else GorillaExprs.expect(right, DoubleType, s"$prettyName arg 2")
+  }
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "sq8_encode"
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.sq8Encode(a.asInstanceOf[ArrayData], b.asInstanceOf[Double])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorKernels.sq8Encode($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** sq8_dot(binary, binary) -> long (exact integer dot of int8 codes) */
+case class Sq8DotExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val r = GorillaExprs.expect(left, BinaryType, s"$prettyName arg 1")
+    if (r.isFailure) r else GorillaExprs.expect(right, BinaryType, s"$prettyName arg 2")
+  }
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "sq8_dot"
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.sq8Dot(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorKernels.sq8Dot($a, $b)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }

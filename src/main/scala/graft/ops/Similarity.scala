@@ -322,6 +322,39 @@ object Similarity {
   }
 
   /**
+   * Scalar-quantized (SQ8) ANN: every vector is quantized to one int8
+   * byte per dimension with a single symmetric per-corpus scale
+   * (code = round(v · 127 / maxAbs)), so the candidate scan reads ¼
+   * the bytes of a float scan and scores with an exact integer dot —
+   * bit-stable across partitionings, no float summation order. With a
+   * global scale, integer-dot order equals dequantized approximate-dot
+   * order, so no dequantization happens until the exact-cosine rerank
+   * of the top k·rerankFactor.
+   *
+   * At scale: the scale is one order-independent aggregate over the
+   * corpus (a single driver scalar — persist alongside the model
+   * tables for the train-once shape); encode and scan are one
+   * codegen'd pass each; no shuffle before the bounded rerank.
+   */
+  def sq8TopK(embeddings: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, rerankFactor: Int = 4): DataFrame = {
+    val e = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val q = queries.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    import graft.functions.{sq8_dot, sq8_encode}
+    val maxAbs = e
+      .select(array_max(transform(col("vec"), x => abs(x))).as("m"))
+      .agg(max("m")).first().getFloat(0)
+    require(maxAbs > 0f, "sq8TopK: all-zero corpus")
+    val inv = lit(127.0 / maxAbs)
+    val codes = e.select(col("id").as("n_id"), sq8_encode(col("vec"), inv).as("n_code"))
+    val qcodes = q.select(col("id").as("q_id"), sq8_encode(col("vec"), inv).as("q_code"))
+    val approx = codes.join(broadcast(qcodes), col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        sq8_dot(col("q_code"), col("n_code")).cast("double").as("approx_dot"))
+    rerankExact(topApprox(approx, k * rerankFactor), q, e, k)
+  }
+
+  /**
    * IVF-PQ ANN: the two scale paths composed. IVF probing restricts
    * the candidate set to the query's `nprobe` inverted lists (a
    * corpus-fraction scan instead of a full one), PQ codes score those

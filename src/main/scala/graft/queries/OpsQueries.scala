@@ -113,6 +113,14 @@ object OpsQueries {
         e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
         .orderBy("q_id", "rank")
     }),
+    // int8 scalar-quantized scan: ¼ the scan bytes of floats, exact
+    // integer scoring (bit-stable), exact-cosine rerank on top
+    // (rows-only: recall floor vs brute pinned in OpsSpec)
+    "sim_ann_sq8" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      Similarity.sq8TopK(e, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5).orderBy("q_id", "rank")
+    }),
     "text_langid" -> ((s, dir) =>
       TextOps.langId(Tables(s, dir, "documents"), "doc_id", "text").orderBy("doc_id")),
     "text_quality" -> ((s, dir) =>
@@ -160,6 +168,21 @@ object OpsQueries {
           Dedup.minhashLsh(docs, "doc_id", "text"), docs, "doc_id", "text", 0.5)
           .select("a_id", "b_id"),
         docs, "doc_id").orderBy("id")
+    }),
+    // the step every dedup pipeline actually ships: keep one
+    // representative per near-dup cluster (the min doc_id — what
+    // min-label components converge to) and emit the surviving corpus
+    "dedup_apply" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents").filter(col("doc_id") < 1000)
+      val comp = Dedup.components(
+        Dedup.jaccardVerify(
+          Dedup.minhashLsh(docs, "doc_id", "text"), docs, "doc_id", "text", 0.5)
+          .select("a_id", "b_id"),
+        docs, "doc_id")
+      docs.join(comp.filter(col("id") === col("comp")),
+          docs("doc_id") === col("id"))
+        .select(docs("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
     }),
     // batch-equivalent of the streaming first-arrival dedup
     // (StreamIngest.dedupStream; stream==batch parity is proven over
@@ -214,10 +237,10 @@ object OpsQueries {
        |   sqrt(list_sum(list_transform(generate_series(1, len($b)), i ->
        |    CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))))""".stripMargin
 
-  /** Brute-force transitive closure over exact-jaccard >= 0.5 edges on
-    * doc_id < 1000 — the ground truth for BOTH the components operator
-    * (fed brute pairs) and the full LSH->verify->components pipeline. */
-  private lazy val componentsOracleSql: String = s"""WITH RECURSIVE $shinglesSql,
+  /** Shared CTE prefix: brute-force transitive closure over
+    * exact-jaccard >= 0.5 edges on doc_id < 1000, ending in
+    * `lbl(id, comp)` — min-id component labels for every doc. */
+  private lazy val componentsCteSql: String = s"""WITH RECURSIVE $shinglesSql,
     |pr AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
     |       FROM sh a, sh b
     |       WHERE a.doc_id < b.doc_id AND a.doc_id < 1000 AND b.doc_id < 1000
@@ -229,13 +252,21 @@ object OpsQueries {
     |cmp AS (SELECT x AS id, least(x, min(y)) AS comp FROM reach GROUP BY x),
     |ids AS (SELECT doc_id AS id FROM documents WHERE doc_id < 1000),
     |lbl AS (SELECT ids.id, coalesce(cmp.comp, ids.id) AS comp
-    |        FROM ids LEFT JOIN cmp ON ids.id = cmp.id),
+    |        FROM ids LEFT JOIN cmp ON ids.id = cmp.id)""".stripMargin
+
+  /** The ground truth for BOTH the components operator (fed brute
+    * pairs) and the full LSH->verify->components pipeline. */
+  private lazy val componentsOracleSql: String = s"""$componentsCteSql,
     |sz AS (SELECT comp, count(*) AS comp_size FROM lbl GROUP BY comp)
     |SELECT lbl.id, lbl.comp, sz.comp_size, lbl.id != lbl.comp AS is_dup
     |FROM lbl JOIN sz ON lbl.comp = sz.comp ORDER BY lbl.id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "dedup_pipeline" -> componentsOracleSql,
+    "dedup_apply" -> s"""$componentsCteSql
+      |SELECT d.doc_id, d.lang, d.source, d.n_chars
+      |FROM documents d JOIN lbl ON d.doc_id = lbl.id
+      |WHERE lbl.id = lbl.comp ORDER BY d.doc_id""".stripMargin,
     "dedup_exact" ->
       """WITH h AS (SELECT doc_id, md5(text) AS content_hash FROM documents),
         |g AS (SELECT content_hash, min(doc_id) AS keep_id, count(*) AS n_copies

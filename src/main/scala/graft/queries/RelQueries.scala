@@ -75,6 +75,30 @@ object RelQueries {
           .as("revenue_e4"))
         .orderBy(col("revenue_e4").desc, col("n_name"))
     }),
+    // salted skew join: scatter each fact key across S (key, salt)
+    // shuffle cells and replicate the dimension S ways, so no single
+    // reducer owns a hot key's whole row set — the join shape that
+    // survives power-law keys at 100 TB (AQE skew-split handles
+    // moderate skew; salting is the explicit fix for extreme keys).
+    // Two-stage aggregation (partial per salt, then final) reassembles
+    // exact totals; the result equals the unsalted join (the oracle).
+    "q_skew_join" -> ((s, dir) => {
+      val S = 8
+      val l = Tables(s, dir, "lineitem")
+        .withColumn("salt",
+          pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(S)).cast("int"))
+      val o = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          explode(sequence(lit(0), lit(S - 1))).as("salt"))
+      l.join(o, l("l_orderkey") === o("o_orderkey") && l("salt") === o("salt"))
+        .groupBy(col("o_orderpriority"), l("salt"))
+        .agg(count(lit(1)).as("pn"),
+          sum(cents(col("l_extendedprice")) * (lit(100) - cents(col("l_discount"))))
+            .as("prev"))
+        .groupBy("o_orderpriority")
+        .agg(sum("pn").as("n"), sum("prev").as("revenue_e4"))
+        .orderBy("o_orderpriority")
+    }),
     // TPC-H Q6: forecast revenue change (tight filter, pushdown-friendly)
     "q6_filter" -> ((s, dir) =>
       Tables(s, dir, "lineitem")
@@ -247,6 +271,12 @@ object RelQueries {
         |  JOIN region ON n_regionkey = r_regionkey
         |WHERE r_name = 'ASIA'
         |GROUP BY n_name ORDER BY revenue_e4 DESC, n_name""".stripMargin,
+    "q_skew_join" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |           (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_e4
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q6_filter" ->
       """SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
         |                CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS revenue_e4,

@@ -253,6 +253,58 @@ class OpsSpec extends AnyFunSuite {
       s"with all lists probed residual approximation lost recall: $res16 < $raw16")
   }
 
+  test("sq8 ann: high recall vs brute, integer scores bit-stable across runs") {
+    val qs = emb.filter(col("vec_id") < 20)
+    val brute = Similarity.bruteTopK(qs, emb, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    def run() = Similarity.sq8TopK(emb, qs, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val a = run()
+    assert(a == run(), "sq8 ranking must be deterministic (integer scores)")
+    val sq = a.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    val rs = brute.map { case (q, t) => (sq.getOrElse(q, Set.empty) & t).size.toDouble / t.size }
+    val recall = rs.sum / rs.size
+    // 255-level int8 quantization + exact rerank of 4k candidates:
+    // recall should be near-exact, far above the coarse-code ladders
+    assert(recall > 0.8, s"sq8 recall $recall")
+  }
+
+  test("sq8 codes: one byte per dim, clamped, kernel matches scalar math") {
+    import graft.functions.{sq8_dot, sq8_encode}
+    val one = emb.limit(3)
+      .select(col("embedding"), sq8_encode(col("embedding"), lit(127.0)).as("code"))
+      .collect()
+    for (r <- one) {
+      val vec = r.getSeq[Float](0)
+      val code = r.getAs[Array[Byte]](1)
+      assert(code.length == vec.length, "one byte per dimension")
+      for ((v, c) <- vec.zip(code))
+        assert(c == math.max(-127, math.min(127, math.round(v * 127.0))).toByte)
+    }
+    val dot = emb.limit(1)
+      .select(sq8_dot(sq8_encode(col("embedding"), lit(127.0)),
+        sq8_encode(col("embedding"), lit(127.0))).as("d"))
+      .first().getLong(0)
+    assert(dot > 0, "self-dot of a nonzero code vector is positive")
+  }
+
+  test("dedup_apply: survivors are exactly the component representatives") {
+    val sub = docs.filter(col("doc_id") < 1000)
+    val comp = Dedup.components(
+      Dedup.jaccardVerify(
+        Dedup.minhashLsh(sub, "doc_id", "text"), sub, "doc_id", "text", 0.5)
+        .select("a_id", "b_id"),
+      sub, "doc_id")
+    val survivors = graft.queries.OpsQueries.queries("dedup_apply")(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val reps = comp.select("comp").distinct().collect().map(_.getLong(0)).toSet
+    assert(survivors == reps, "one surviving doc per component, keyed by min id")
+    val all = sub.count()
+    val dups = comp.filter(col("is_dup")).count()
+    assert(survivors.size == all - dups)
+  }
+
   test("components: chains collapse transitively to one canonical id") {
     import spark.implicits._
     // A~B, B~C, D~E; A!~C directly — all of A,B,C must share component 1

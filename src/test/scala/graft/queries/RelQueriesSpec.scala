@@ -83,6 +83,21 @@ class RelQueriesSpec extends AnyFunSuite {
     assert(files.length == 16, s"expected 16 bucket files, got ${files.length}")
   }
 
+  test("salted skew join equals the unsalted join exactly") {
+    import org.apache.spark.sql.functions._
+    val salted = RelQueries.queries("q_skew_join")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val plain = Tables(spark, dir, "lineitem")
+      .join(Tables(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("l_extendedprice") * 100).cast("long") *
+          (lit(100) - round(col("l_discount") * 100).cast("long"))).as("revenue_e4"))
+      .orderBy("o_orderpriority")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(salted == plain)
+  }
+
   test("relational queries return rows on sf0.001") {
     for ((name, q) <- RelQueries.queries) {
       assert(q(spark, dir).count() > 0, s"$name returned no rows")
