@@ -108,6 +108,29 @@ object TextOps {
       .limit(k)
 
   /**
+   * Gopher-style within-doc repetition signals: the fraction of word
+   * n-grams that are repeats (any gram occurring ≥ 2 times counts all
+   * its occurrences) and the share of the single most frequent gram.
+   * All counts are exact integers; each ratio is ONE double division
+   * at the end, so both engines agree bitwise. Docs with < n words
+   * have no grams and drop out (same as the SQL unnest of an empty
+   * list).
+   *
+   * At scale: one (doc, gram) shuffle with partial counts, then a
+   * per-doc aggregate — linear in corpus token count, no windows.
+   */
+  def repetition(docs: DataFrame, idCol: String, textCol: String, n: Int = 2): DataFrame =
+    docs.select(col(idCol), explode(graft.functions.word_ngrams(col(textCol), n)).as("g"))
+      .groupBy(idCol, "g").agg(count(lit(1)).as("c"))
+      .groupBy(idCol)
+      .agg(sum("c").as("n_grams"),
+        count(lit(1)).as("n_uniq_grams"),
+        max("c").as("top_gram_n"),
+        sum(when(col("c") > 1, col("c")).otherwise(0L)).as("n_rep_grams"))
+      .withColumn("dup_gram_frac", col("n_rep_grams") / col("n_grams").cast("double"))
+      .withColumn("top_gram_frac", col("top_gram_n") / col("n_grams").cast("double"))
+
+  /**
    * Top-k characteristic terms per document, ranked by (term frequency
    * desc, document frequency asc, term asc) — the tf-idf ordering on
    * exact integers only, so both engines agree bitwise (a float

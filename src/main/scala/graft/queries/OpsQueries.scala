@@ -123,6 +123,11 @@ object OpsQueries {
     }),
     "text_langid" -> ((s, dir) =>
       TextOps.langId(Tables(s, dir, "documents"), "doc_id", "text").orderBy("doc_id")),
+    // within-doc repetition (dup-bigram + top-bigram shares) — the
+    // Gopher-style quality gate for boilerplate/spam docs
+    "text_repetition" -> ((s, dir) =>
+      TextOps.repetition(Tables(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
     "text_quality" -> ((s, dir) =>
       TextOps.quality(Tables(s, dir, "documents"), "doc_id", "text").orderBy("doc_id")),
     "text_tokens" -> ((s, dir) =>
@@ -375,6 +380,21 @@ object OpsQueries {
         |  CAST(CASE kind WHEN 'audio' THEN b2 % 64 + 1
         |    WHEN 'video' THEN b2 % 1000 + 1 ELSE 0 END AS INT) AS n_frames
         |FROM b ORDER BY media_id""".stripMargin,
+    "text_repetition" ->
+      """WITH g AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 1),
+        |    i -> w[i] || ' ' || w[i+1])) AS g
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+        |per AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY doc_id, g)
+        |SELECT doc_id,
+        |  CAST(sum(c) AS BIGINT) AS n_grams,
+        |  count(*) AS n_uniq_grams,
+        |  CAST(max(c) AS BIGINT) AS top_gram_n,
+        |  CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS n_rep_grams,
+        |  CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) /
+        |    CAST(sum(c) AS DOUBLE) AS dup_gram_frac,
+        |  CAST(max(c) AS BIGINT) / CAST(sum(c) AS DOUBLE) AS top_gram_frac
+        |FROM per GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_ngram_topk" ->
       """SELECT ngram, count(*) AS cnt FROM (
         |  SELECT unnest(list_transform(generate_series(1, len(w) - 1),

@@ -75,6 +75,21 @@ object RelQueries {
           .as("revenue_e4"))
         .orderBy(col("revenue_e4").desc, col("n_name"))
     }),
+    // explicit GROUPING SETS (beyond rollup/cube): two independent
+    // one-dimension totals + grand total in ONE pass over orders;
+    // grouping_id disambiguates aggregation level (bit-compatible
+    // with DuckDB's GROUPING()), and sort keys coalesce nulls so both
+    // engines order identically
+    "q_grouping_sets" -> ((s, dir) =>
+      Tables(s, dir, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(grouping_id().cast("int").as("gid"), count(lit(1)).as("n"),
+          sum(cents(col("o_totalprice"))).as("total_cents"))
+        .select("gid", "o_orderstatus", "o_orderpriority", "n", "total_cents")
+        .orderBy(col("gid"), coalesce(col("o_orderstatus"), lit("")),
+          coalesce(col("o_orderpriority"), lit("")))),
     // salted skew join: scatter each fact key across S (key, salt)
     // shuffle cells and replicate the dimension S ways, so no single
     // reducer owns a hot key's whole row set — the join shape that
@@ -271,6 +286,13 @@ object RelQueries {
         |  JOIN region ON n_regionkey = r_regionkey
         |WHERE r_name = 'ASIA'
         |GROUP BY n_name ORDER BY revenue_e4 DESC, n_name""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS gid,
+        |  o_orderstatus, o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY gid, coalesce(o_orderstatus, ''), coalesce(o_orderpriority, '')""".stripMargin,
     "q_skew_join" ->
       """SELECT o_orderpriority, count(*) AS n,
         |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *

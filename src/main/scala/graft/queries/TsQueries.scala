@@ -131,6 +131,24 @@ object TsQueries {
   private val RangeFrom = 1704844800L
   private val RangeTo = 1705017600L
 
+  /** Gap-break sessionization ground truth for any key column:
+    * session_window merges touching windows, so an event at exactly
+    * prev+gap still extends the session => break strictly on >. */
+  private def sessionizeSql(key: String, gapSec: Long): String = s"""WITH $ptsSql,
+    |g AS (SELECT $key, ts,
+    |        CASE WHEN ts - lag(ts) OVER (PARTITION BY $key ORDER BY ts) > $gapSec
+    |             THEN 1 ELSE 0 END AS brk
+    |      FROM (SELECT DISTINCT $key, ts FROM pts) q),
+    |s AS (SELECT $key, ts,
+    |        sum(brk) OVER (PARTITION BY $key ORDER BY ts
+    |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+    |      FROM g),
+    |pp AS (SELECT p.$key, p.ts, s.sid
+    |       FROM pts p JOIN s ON p.$key = s.$key AND p.ts = s.ts)
+    |SELECT $key, min(ts) AS session_start, max(ts) AS session_end,
+    |  count(*) AS n
+    |FROM pp GROUP BY $key, sid ORDER BY $key, session_start""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // time-range scan: chunk pruning on stats columns before any decode
     "ts_range_query" -> ((s, dir) =>
@@ -312,13 +330,20 @@ object TsQueries {
     // (session_window is also the streaming form of this operator)
     "ts_sessionize" -> ((s, dir) => {
       val ev = Tables(s, dir, "events")
-      ev.withColumn("__sec", Ts.epochSec(ev, "ts"))
-        .groupBy(col("user_id"),
-          session_window(to_timestamp(col("__sec")), "30 minutes").as("sw"))
-        .agg(count(lit(1)).as("n"),
-          min("__sec").as("session_start"), max("__sec").as("session_end"))
-        .select("user_id", "session_start", "session_end", "n")
+      graft.streaming.StreamIngest.sessionize(
+          ev.withColumn("__ts", to_timestamp(Ts.epochSec(ev, "ts"))),
+          "user_id", "__ts", "30 minutes")
         .orderBy("user_id", "session_start")
+    }),
+    // the SAME sessionize aggregation the streaming path runs
+    // (StreamIngest.sessionize; watermarked stream parity in
+    // StreamIngestSpec), here keyed by event_type at a 10 min gap
+    "stream_sessionize" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+      graft.streaming.StreamIngest.sessionize(
+          ev.withColumn("__ts", to_timestamp(Ts.epochSec(ev, "ts"))),
+          "event_type", "__ts", "10 minutes")
+        .orderBy("event_type", "session_start")
     }),
     // batch-equivalent of the streaming windowed ingest aggregation
     // (StreamIngest.chunkStream semantics; streaming path in
@@ -575,22 +600,8 @@ object TsQueries {
       |  CAST(sum(CAST(round(v * 100) AS BIGINT)) AS BIGINT) / (count(*) * 100.0) AS avg_v
       |FROM pts GROUP BY 1, 2, 3
       |ORDER BY user_id, event_type, bucket_1h""".stripMargin,
-    "ts_sessionize" -> s"""WITH $ptsSql,
-      |g AS (SELECT user_id, ts,
-      |        -- session_window merges touching windows: an event at
-      |        -- exactly prev+gap still extends the session => break on >
-      |        CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > 1800
-      |             THEN 1 ELSE 0 END AS brk
-      |      FROM (SELECT DISTINCT user_id, ts FROM pts) q),
-      |s AS (SELECT user_id, ts,
-      |        sum(brk) OVER (PARTITION BY user_id ORDER BY ts
-      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
-      |      FROM g),
-      |pp AS (SELECT p.user_id, p.ts, s.sid
-      |       FROM pts p JOIN s ON p.user_id = s.user_id AND p.ts = s.ts)
-      |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
-      |  count(*) AS n
-      |FROM pp GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+    "ts_sessionize" -> sessionizeSql("user_id", 1800),
+    "stream_sessionize" -> sessionizeSql("event_type", 600),
     "stream_window_agg" ->
       """SELECT event_type,
         |  CAST((epoch_ns(ts) // 1000000000) // 3600 * 3600 AS BIGINT) AS window_start,

@@ -51,6 +51,26 @@ object StreamIngest {
         col("min_v") :+ col("max_v") :+ col("sum_cents") :+ col("chunk"): _*)
   }
 
+  /**
+   * Gap-based sessionization — batch and streaming share this ONE
+   * aggregation (`session_window` merges touching windows identically
+   * in both execution modes, so stream==batch parity is structural,
+   * not re-implemented). On a stream, pass a watermark: a session
+   * emits (append mode) once the watermark passes `gap` beyond its
+   * last event. `tsCol` must already be a timestamp column.
+   */
+  def sessionize(events: DataFrame, keyCol: String, tsCol: String,
+                 gap: String = "30 minutes",
+                 watermark: Option[String] = None): DataFrame = {
+    val src = watermark.fold(events)(w => events.withWatermark(tsCol, w))
+    src
+      .groupBy(col(keyCol), session_window(col(tsCol), gap).as("sw"))
+      .agg(count(lit(1)).as("n"),
+        min(col(tsCol).cast("long")).as("session_start"),
+        max(col(tsCol).cast("long")).as("session_end"))
+      .select(col(keyCol), col("session_start"), col("session_end"), col("n"))
+  }
+
   final case class SeriesLatest(series: String, ts: Long, v: Double, n: Long)
 
   /**

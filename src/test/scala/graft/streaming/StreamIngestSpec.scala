@@ -226,4 +226,43 @@ class StreamIngestSpec extends AnyFunSuite {
       assert(last == Set(("cpu", 200L, 2.0, 3L), ("mem", 50L, 9.0, 1L)))
     } finally q.stop()
   }
+
+  test("streaming sessionize equals batch sessionize on the same events") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = 1700006400L
+    // u1: two sessions (gap > 10 min between 3rd and 4th event; an
+    // event at EXACTLY gap extends); u2: one session
+    val events = Seq(
+      ("u1", t0), ("u1", t0 + 300), ("u1", t0 + 900), // 900 = prev+600 => merges
+      ("u1", t0 + 2000),                              // > 600 after => new session
+      ("u2", t0 + 100), ("u2", t0 + 400))
+    val input = MemoryStream[(String, Timestamp)]
+    val stream = StreamIngest.sessionize(
+      input.toDF().toDF("user", "ts"), "user", "ts",
+      gap = "10 minutes", watermark = Some("1 minute"))
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("sess_sink").start()
+    try {
+      // batch split keeps later batches AHEAD of the watermark (events
+      // behind it are dropped as late, by design)
+      input.addData((events.take(3) ++ events.drop(4)).map { case (u, t) => (u, ts(t)) }: _*)
+      q.processAllAvailable()
+      input.addData(events.slice(3, 4).map { case (u, t) => (u, ts(t)) }: _*)
+      q.processAllAvailable()
+      // push watermark far past every open session so all emit
+      input.addData(("u3", ts(t0 + 10000)))
+      q.processAllAvailable()
+      val streamed = spark.table("sess_sink")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val batch = StreamIngest.sessionize(
+          events.map { case (u, t) => (u, ts(t)) }.toDF("user", "ts"),
+          "user", "ts", gap = "10 minutes")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(batch == Set(
+        ("u1", t0, t0 + 900, 3L), ("u1", t0 + 2000, t0 + 2000, 1L),
+        ("u2", t0 + 100, t0 + 400, 2L)))
+      assert(streamed == batch, "stream==batch sessionize parity")
+    } finally q.stop()
+  }
 }
