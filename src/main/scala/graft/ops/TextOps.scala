@@ -62,6 +62,34 @@ object TextOps {
           least(col("n_words").cast("double") / 100.0, lit(1.0)) * 0.3)
   }
 
+  /**
+   * Apply the quality gate: keep docs passing ALL thresholds and emit
+   * the surviving corpus — the filter-materialization step every
+   * dataset build ships. Predicates compare exact integers only
+   * (`2·n_uniq ≥ n_words` is `uniq_ratio ≥ 0.5` without the float),
+   * so engines can never disagree at a threshold boundary.
+   */
+  def filterApply(docs: DataFrame, idCol: String, textCol: String,
+                  minChars: Int = 100, minWords: Int = 20): DataFrame = {
+    val q = quality(docs, idCol, textCol)
+    docs.join(
+        q.filter(col("n_chars") >= minChars && col("n_words") >= minWords &&
+            col("n_uniq") * 2 >= col("n_words") && col("n_stop") > 0)
+          .select(col(idCol), col("n_words"), col("n_uniq")),
+        idCol)
+  }
+
+  /** Corpus reporting: per-(lang, source) document/char/token totals —
+    * the dataset card numbers, one scan, exact integers. */
+  def corpusStats(docs: DataFrame, langCol: String, sourceCol: String,
+                  textCol: String): DataFrame =
+    docs.groupBy(langCol, sourceCol)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col(textCol)).cast("long")).as("total_chars"),
+        sum(size(split(col(textCol), " ")).cast("long")).as("total_words"),
+        min(length(col(textCol))).as("min_chars"),
+        max(length(col(textCol))).as("max_chars"))
+
   /** Token counts: whitespace tokens, regex word/number/punct tokens,
     * and BPE-ish fixed-width subword pieces. */
   def tokens(docs: DataFrame, idCol: String, textCol: String): DataFrame =

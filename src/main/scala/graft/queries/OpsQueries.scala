@@ -128,6 +128,21 @@ object OpsQueries {
     "text_repetition" -> ((s, dir) =>
       TextOps.repetition(Tables(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
+    // apply the quality gate: emit the surviving corpus (the filter
+    // materialization every dataset build ships); exact-int thresholds
+    "text_filter_apply" -> ((s, dir) =>
+      TextOps.filterApply(Tables(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+    // dataset-card numbers: per-(lang, source) doc/char/token totals
+    "text_corpus_stats" -> ((s, dir) =>
+      TextOps.corpusStats(Tables(s, dir, "documents"), "lang", "source", "text")
+        .orderBy("lang", "source")),
+    // per-vector L2 norms (index-order double accumulation == oracle)
+    "sim_norms" -> ((s, dir) =>
+      Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"), size(col("embedding")).as("dim"),
+          sqrt(graft.functions.vec_dot(col("embedding"), col("embedding"))).as("l2_norm"))
+        .orderBy("vec_id")),
     "text_quality" -> ((s, dir) =>
       TextOps.quality(Tables(s, dir, "documents"), "doc_id", "text").orderBy("doc_id")),
     "text_tokens" -> ((s, dir) =>
@@ -380,6 +395,27 @@ object OpsQueries {
         |  CAST(CASE kind WHEN 'audio' THEN b2 % 64 + 1
         |    WHEN 'video' THEN b2 % 1000 + 1 ELSE 0 END AS INT) AS n_frames
         |FROM b ORDER BY media_id""".stripMargin,
+    "text_filter_apply" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |c AS (SELECT doc_id, len(ws) AS n_words, len(list_distinct(ws)) AS n_uniq,
+        |  len(list_filter(ws, x -> x IN ('the','a','of','and','to','in','is'))) AS n_stop
+        |FROM w)
+        |SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars, c.n_words, c.n_uniq
+        |FROM documents d JOIN c USING (doc_id)
+        |WHERE length(d.text) >= 100 AND c.n_words >= 20
+        |  AND c.n_uniq * 2 >= c.n_words AND c.n_stop > 0
+        |ORDER BY d.doc_id""".stripMargin,
+    "text_corpus_stats" ->
+      """SELECT lang, source, count(*) AS n_docs,
+        |  CAST(sum(length(text)) AS BIGINT) AS total_chars,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_words,
+        |  min(length(text)) AS min_chars, max(length(text)) AS max_chars
+        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    "sim_norms" ->
+      """SELECT vec_id, label, len(embedding) AS dim,
+        |  sqrt(list_sum(list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS l2_norm
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
     "text_repetition" ->
       """WITH g AS (
         |  SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 1),
