@@ -102,9 +102,14 @@ object RelQueries {
       val l = Tables(s, dir, "lineitem")
         .withColumn("salt",
           pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(S)).cast("int"))
+      // shuffle_hash hint: at test SF the replicated dimension would
+      // broadcast, which has no shuffle to de-skew and would make the
+      // salt a no-op — force the shuffle join this operator exists for
+      // (at 100 TB a replicated big dimension never broadcasts anyway)
       val o = Tables(s, dir, "orders")
         .select(col("o_orderkey"), col("o_orderpriority"),
           explode(sequence(lit(0), lit(S - 1))).as("salt"))
+        .hint("shuffle_hash")
       l.join(o, l("l_orderkey") === o("o_orderkey") && l("salt") === o("salt"))
         .groupBy(col("o_orderpriority"), l("salt"))
         .agg(count(lit(1)).as("pn"),

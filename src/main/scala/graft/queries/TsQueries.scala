@@ -313,6 +313,27 @@ object TsQueries {
           sum("sum_cents").as("sum_cents"))
         .withColumn("avg_v", col("sum_cents") / (col("n") * 100.0))
         .orderBy("user_id", "event_type", "bucket_1h")),
+    // seasonal (hour-of-day) baseline per series, and each
+    // series-day-hour's deviation from it: exact integer sums both
+    // levels; dev is two exact divisions and one subtraction —
+    // deterministic across engines
+    "ts_seasonal" -> ((s, dir) => {
+      val p = points(s, dir)
+        .withColumn("cents", round(col("v") * 100).cast("long"))
+        .withColumn("day", floor(col("ts") / 86400).cast("long"))
+        .withColumn("hod", floor((col("ts") % 86400) / 3600).cast("long"))
+      val hourly = p.groupBy("user_id", "event_type", "day", "hod")
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+      val base = hourly.groupBy("user_id", "event_type", "hod")
+        .agg(sum("n").as("base_n"), sum("sum_cents").as("base_sum_cents"))
+      hourly.join(base, Seq("user_id", "event_type", "hod"))
+        .withColumn("dev_cents",
+          col("sum_cents") / col("n").cast("double") -
+            col("base_sum_cents") / col("base_n").cast("double"))
+        .select("user_id", "event_type", "day", "hod", "n", "sum_cents",
+          "base_n", "base_sum_cents", "dev_cents")
+        .orderBy("user_id", "event_type", "day", "hod")
+    }),
     // mergeable sketch quantiles per series (rows-only: sketch shape
     // is engine-specific; accuracy vs exact percentile pinned in
     // TsSketchSpec) — the 100 TB path where exact per-series sorts
@@ -600,6 +621,20 @@ object TsQueries {
       |  CAST(sum(CAST(round(v * 100) AS BIGINT)) AS BIGINT) / (count(*) * 100.0) AS avg_v
       |FROM pts GROUP BY 1, 2, 3
       |ORDER BY user_id, event_type, bucket_1h""".stripMargin,
+    "ts_seasonal" -> s"""WITH $ptsSql,
+      |h AS (SELECT user_id, event_type, ts // 86400 AS day,
+      |        (ts % 86400) // 3600 AS hod, count(*) AS n,
+      |        CAST(sum(CAST(round(v * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+      |      FROM pts GROUP BY 1, 2, 3, 4),
+      |b AS (SELECT user_id, event_type, hod, CAST(sum(n) AS BIGINT) AS base_n,
+      |        CAST(sum(sum_cents) AS BIGINT) AS base_sum_cents
+      |      FROM h GROUP BY 1, 2, 3)
+      |SELECT h.user_id, h.event_type, h.day, h.hod, h.n, h.sum_cents,
+      |  b.base_n, b.base_sum_cents,
+      |  h.sum_cents / CAST(h.n AS DOUBLE) -
+      |    b.base_sum_cents / CAST(b.base_n AS DOUBLE) AS dev_cents
+      |FROM h JOIN b USING (user_id, event_type, hod)
+      |ORDER BY user_id, event_type, day, hod""".stripMargin,
     "ts_sessionize" -> sessionizeSql("user_id", 1800),
     "stream_sessionize" -> sessionizeSql("event_type", 600),
     "stream_window_agg" ->

@@ -83,6 +83,19 @@ class RelQueriesSpec extends AnyFunSuite {
     assert(files.length == 16, s"expected 16 bucket files, got ${files.length}")
   }
 
+  test("skew join shuffles on (key, salt) — not broadcast, salt in the join keys") {
+    val df = RelQueries.queries("q_skew_join")(spark, dir)
+    // sparkPlan (pre-exchange-insertion) carries the join node; the
+    // salt must be IN the join keys for the shuffle to scatter on it
+    val plan = df.queryExecution.sparkPlan.toString
+    assert(!plan.contains("BroadcastHashJoin"),
+      s"broadcast would make the salt a no-op:\n${plan.take(1200)}")
+    val joinLine = plan.linesIterator
+      .find(_.contains("ShuffledHashJoin")).getOrElse("")
+    assert(joinLine.contains("l_orderkey") && joinLine.contains("salt"),
+      s"join must key on (l_orderkey, salt): $joinLine")
+  }
+
   test("salted skew join equals the unsalted join exactly") {
     import org.apache.spark.sql.functions._
     val salted = RelQueries.queries("q_skew_join")(spark, dir)
