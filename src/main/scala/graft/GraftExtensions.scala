@@ -15,5 +15,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     ext.injectOptimizerRule(_ => graft.plans.DecodeNarrowRule)
     ext.injectOptimizerRule(_ => graft.plans.ChunkPruneRule)
+    ext.injectOptimizerRule(_ => graft.plans.ChunkAggRule)
   }
 }

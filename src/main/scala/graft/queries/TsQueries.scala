@@ -496,6 +496,19 @@ object TsQueries {
         .orderBy("user_id", "event_type", "ts", "cents")
     }),
     // aggregate *directly over compressed chunks* (no point materialization)
+    // written as a NAIVE decode-explode-aggregate — ChunkAggRule
+    // rewrites it to per-chunk gorilla_chunk_agg partials (one row per
+    // chunk through the aggregate, no point structs); plan-asserted in
+    // PlansSpec, results oracled like any other query
+    "ts_points_agg" -> ((s, dir) => {
+      val c = chunks(s, dir)
+      Ts.unpack(c, Seq("user_id", "event_type"))
+        .groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("n"),
+          min("ts").as("min_ts"), max("ts").as("max_ts"),
+          min("v").as("min_v"), max("v").as("max_v"))
+        .orderBy("user_id", "event_type")
+    }),
     "ts_compressed_agg" -> ((s, dir) => {
       val c = chunks(s, dir)
       c.select(col("user_id"), graft.functions.gorilla_chunk_agg(col("chunk")).as("a"))
@@ -683,6 +696,11 @@ object TsQueries {
         |  max(CAST(epoch_ns(ts) // 1000000000 AS BIGINT)) AS max_ts,
         |  min(value) AS min_v, max(value) AS max_v
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "ts_points_agg" -> s"""WITH $ptsSql
+      |SELECT user_id, event_type, count(*) AS n,
+      |  min(ts) AS min_ts, max(ts) AS max_ts,
+      |  min(v) AS min_v, max(v) AS max_v
+      |FROM pts GROUP BY 1, 2 ORDER BY user_id, event_type""".stripMargin,
   )
 
   /** The store-backed queries compute the same relations as their

@@ -29,7 +29,10 @@ class DecodeNarrowRuleSpec extends AnyFunSuite {
   }
 
   test("ts-only consumption narrows to gorilla_decode_ts") {
-    val q = pts.groupBy("event_type").agg(max("ts").as("m"))
+    // a pure count/min/max aggregate would be consumed whole by
+    // ChunkAggRule now; a per-point projection still exercises the
+    // narrowing path
+    val q = pts.select(col("event_type"), col("ts")).filter(col("ts") % 7 === 0)
     val opt = q.queryExecution.optimizedPlan.toString
     assert(opt.contains("gorilla_decode_ts"), s"not narrowed:\n$opt")
   }
@@ -50,7 +53,10 @@ class DecodeNarrowRuleSpec extends AnyFunSuite {
   }
 
   test("queries touching both sides keep the full struct decode") {
-    val q = pts.groupBy("user_id").agg(max("ts").as("m"), max("v").as("mv"))
+    // max(ts)/max(v) alone would rewrite to chunk partials via
+    // ChunkAggRule; the float-sum blocker keeps per-point rows, and
+    // with both sides consumed the struct decode must survive
+    val q = pts.groupBy("user_id").agg(max("ts").as("m"), sum("v").as("sv"))
     val opt = q.queryExecution.optimizedPlan.toString
     assert(opt.contains("gorilla_decode("), s"full decode should survive:\n$opt")
     assert(!opt.contains("gorilla_decode_values"))
