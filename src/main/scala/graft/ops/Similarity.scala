@@ -337,18 +337,63 @@ object Similarity {
    * codegen'd pass each; no shuffle before the bounded rerank.
    */
   def sq8TopK(embeddings: DataFrame, queries: DataFrame, idCol: String,
-              vecCol: String, k: Int, rerankFactor: Int = 4): DataFrame = {
+              vecCol: String, k: Int, rerankFactor: Int = 4): DataFrame =
+    sq8TopKWith(sq8Scale(embeddings, idCol, vecCol),
+      embeddings, queries, idCol, vecCol, k, rerankFactor)
+
+  /** The SQ8 model: the corpus' max |component| — ONE order-independent
+    * aggregate pass, persisted by [[writeModels]] so queries never
+    * rescan the corpus for it (the train-once shape, trivially). */
+  def sq8Scale(embeddings: DataFrame, idCol: String, vecCol: String): Double = {
+    val maxAbs = embeddings
+      .select(array_max(transform(col(vecCol), x => abs(x))).as("m"))
+      .agg(max("m")).first().getFloat(0)
+    require(maxAbs > 0f, "sq8: all-zero corpus")
+    maxAbs.toDouble
+  }
+
+  /** SQ8 top-k against a pre-computed corpus scale: encode + scan +
+    * rerank only — no corpus pass on the query path. */
+  def sq8TopKWith(maxAbs: Double, embeddings: DataFrame, queries: DataFrame,
+                  idCol: String, vecCol: String, k: Int,
+                  rerankFactor: Int = 4): DataFrame = {
     val e = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val q = queries.select(col(idCol).as("id"), col(vecCol).as("vec"))
     import graft.functions.{sq8_dot, sq8_encode}
-    val maxAbs = e
-      .select(array_max(transform(col("vec"), x => abs(x))).as("m"))
-      .agg(max("m")).first().getFloat(0)
-    require(maxAbs > 0f, "sq8TopK: all-zero corpus")
     val inv = lit(127.0 / maxAbs)
     val codes = e.select(col("id").as("n_id"), sq8_encode(col("vec"), inv).as("n_code"))
     val qcodes = q.select(col("id").as("q_id"), sq8_encode(col("vec"), inv).as("q_code"))
     val approx = codes.join(broadcast(qcodes), col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        sq8_dot(col("q_code"), col("n_code")).cast("double").as("approx_dot"))
+    rerankExact(topApprox(approx, k * rerankFactor), q, e, k)
+  }
+
+  /**
+   * IVF-SQ8: probe lists restrict the candidate scan (a
+   * corpus-fraction instead of the full corpus), int8 codes score the
+   * restricted candidates at ¼ float bandwidth with exact integer
+   * dots, and the top k·rerankFactor rerank with exact cosine — the
+   * FAISS IVF-SQ composition, sitting between IVF-flat (more memory)
+   * and IVF-PQ (more quantization error) on the accuracy/cost ladder.
+   */
+  def ivfSq8TopKWith(centroids: DataFrame, maxAbs: Double,
+                     embeddings: DataFrame, queries: DataFrame,
+                     idCol: String, vecCol: String, k: Int, nprobe: Int = 4,
+                     rerankFactor: Int = 4): DataFrame = {
+    val e = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val q = queries.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    import graft.functions.{sq8_dot, sq8_encode}
+    val inv = lit(127.0 / maxAbs)
+    val codes = assign(e, centroids)
+      .join(e, "id")
+      .select(col("id").as("n_id"), col("cluster"),
+        sq8_encode(col("vec"), inv).as("n_code"))
+    val qcodes = q.select(col("id").as("q_id"), sq8_encode(col("vec"), inv).as("q_code"))
+    val approx = probeLists(q, centroids, nprobe)
+      .join(codes, Seq("cluster"))
+      .join(broadcast(qcodes), Seq("q_id"))
+      .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
         sq8_dot(col("q_code"), col("n_code")).cast("double").as("approx_dot"))
     rerankExact(topApprox(approx, k * rerankFactor), q, e, k)
@@ -460,7 +505,11 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$path/codebooks")
     residualCodebooks(embeddings, idCol, vecCol, centroids, m, ksub, iters)
       .write.mode("overwrite").parquet(s"$path/res_codebooks")
-    // marker AFTER all three tables: a half-written model dir (crash
+    val spark = embeddings.sparkSession
+    spark.createDataFrame(Seq(Tuple1(sq8Scale(embeddings, idCol, vecCol))))
+      .toDF("max_abs").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/sq8")
+    // marker AFTER all model tables: a half-written model dir (crash
     // between writes) must read as absent, not as a partial model
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), embeddings.sparkSession.sparkContext.hadoopConfiguration)
@@ -482,6 +531,10 @@ object Similarity {
     (materialize(spark.read.parquet(s"$path/centroids")),
       materialize(spark.read.parquet(s"$path/codebooks")),
       materialize(spark.read.parquet(s"$path/res_codebooks")))
+
+  /** The persisted SQ8 corpus scale (max |component|). */
+  def readSq8Scale(spark: SparkSession, path: String): Double =
+    spark.read.parquet(s"$path/sq8").first().getDouble(0)
 
   // === residual IVF-PQ ==============================================
 

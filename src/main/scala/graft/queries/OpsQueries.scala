@@ -28,20 +28,24 @@ object OpsQueries {
    * and can never see different models.
    */
   def storeModels(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) =
-    synchronized {
-      val path = modelPath(dir)
-      if (!Similarity.modelsExist(s, path))
-        Similarity.writeModels(Tables(s, dir, "embeddings"), "vec_id", "embedding", path)
-      Similarity.readModels(s, path)
-    }
+    Similarity.readModels(s, storeModelPath(s, dir))
+
+  /** Ensure the model store for `dir` is trained, and return its path. */
+  def storeModelPath(s: SparkSession, dir: String): String = synchronized {
+    val path = modelPath(dir)
+    if (!Similarity.modelsExist(s, path))
+      Similarity.writeModels(Tables(s, dir, "embeddings"), "vec_id", "embedding", path)
+    path
+  }
 
   /** Cache key: input dir + total bytes+mtimes of the embeddings
-    * table, so a regenerated test dir never reads stale models. */
+    * table, so a regenerated test dir never reads stale models (the
+    * `m2` suffix versions the store layout — it gained the sq8 scale). */
   private def modelPath(dir: String): String = {
     val src = new java.io.File(s"$dir/embeddings.parquet")
     val files = if (src.isDirectory) src.listFiles().toSeq else Seq(src)
     val fp = files.filter(_.isFile).map(f => f.length() + f.lastModified()).sum
-    s"/tmp/graft_models/${dir.replaceAll("[^A-Za-z0-9.]", "_")}_${java.lang.Long.toHexString(fp)}"
+    s"/tmp/graft_models/${dir.replaceAll("[^A-Za-z0-9.]", "_")}_${java.lang.Long.toHexString(fp)}_m2"
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -114,12 +118,25 @@ object OpsQueries {
         .orderBy("q_id", "rank")
     }),
     // int8 scalar-quantized scan: ¼ the scan bytes of floats, exact
-    // integer scoring (bit-stable), exact-cosine rerank on top
-    // (rows-only: recall floor vs brute pinned in OpsSpec)
+    // integer scoring (bit-stable), exact-cosine rerank on top; the
+    // corpus scale comes from the persisted model store — no corpus
+    // pass on the query path (rows-only: recall pinned in OpsSpec)
     "sim_ann_sq8" -> ((s, dir) => {
       val e = Tables(s, dir, "embeddings")
-      Similarity.sq8TopK(e, e.filter(col("vec_id") < 10),
+      val scale = Similarity.readSq8Scale(s, storeModelPath(s, dir))
+      Similarity.sq8TopKWith(scale, e, e.filter(col("vec_id") < 10),
         "vec_id", "embedding", k = 5).orderBy("q_id", "rank")
+    }),
+    // IVF-SQ8: probe-restricted candidate lists scored by int8 codes —
+    // the FAISS IVF-SQ rung between IVF-flat and IVF-PQ
+    // (rows-only: recall floor vs brute pinned in OpsSpec)
+    "sim_ann_ivfsq8" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val path = storeModelPath(s, dir)
+      val (centroids, _, _) = storeModels(s, dir)
+      Similarity.ivfSq8TopKWith(centroids, Similarity.readSq8Scale(s, path),
+        e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+        .orderBy("q_id", "rank")
     }),
     "text_langid" -> ((s, dir) =>
       TextOps.langId(Tables(s, dir, "documents"), "doc_id", "text").orderBy("doc_id")),

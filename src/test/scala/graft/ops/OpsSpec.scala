@@ -270,6 +270,32 @@ class OpsSpec extends AnyFunSuite {
     assert(recall > 0.8, s"sq8 recall $recall")
   }
 
+  test("ivf-sq8: probing more lists converges toward brute, scale persists") {
+    val qs = emb.filter(col("vec_id") < 20)
+    val brute = Similarity.bruteTopK(qs, emb, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val centroids = Similarity.ivfCentroids(emb, "vec_id", "embedding", nlist = 16)
+    val scale = Similarity.sq8Scale(emb, "vec_id", "embedding")
+    def recallAt(nprobe: Int): Double = {
+      val r = Similarity.ivfSq8TopKWith(centroids, scale, emb, qs,
+          "vec_id", "embedding", 5, nprobe = nprobe)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSet).toMap
+      val rs = brute.map { case (q, t) => (r.getOrElse(q, Set.empty) & t).size.toDouble / t.size }
+      rs.sum / rs.size
+    }
+    val r4 = recallAt(4)
+    val r16 = recallAt(16) // all lists probed + fine int8 codes + rerank
+    assert(r4 > 0.2, s"ivf-sq8 recall@nprobe=4 $r4")
+    assert(r16 > 0.9, s"ivf-sq8 recall@nprobe=16 $r16")
+    assert(r16 >= r4)
+    // writeModels persists the scale; read-back must round-trip it
+    val path = s"/tmp/graft_sq8_spec_${System.nanoTime()}"
+    Similarity.writeModels(emb, "vec_id", "embedding", path)
+    assert(Similarity.readSq8Scale(spark, path) == scale)
+  }
+
   test("sq8 codes: one byte per dim, clamped, kernel matches scalar math") {
     import graft.functions.{sq8_dot, sq8_encode}
     val one = emb.limit(3)
