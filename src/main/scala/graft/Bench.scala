@@ -29,40 +29,33 @@ object Bench {
     try graft.queries.TsQueries.storeChunks(spark, sfDir).count()
     catch { case _: Throwable => () }
     try {
-      graft.queries.Tables.bucketed(spark, sfDir, "orders", "o_orderkey").count()
-      graft.queries.Tables.bucketed(spark, sfDir, "lineitem", "l_orderkey").count()
-    } catch { case _: Throwable => () }
-    // JIT/codegen warmup for the text-hash and vector kernels on a
-    // 50-row slice, so the first dedup/ANN query measures the
-    // operator, not compiler startup
-    try {
-      val d50 = spark.read.parquet(s"$sfDir/documents.parquet").limit(50)
-      graft.ops.Dedup.minhashLsh(d50, "doc_id", "text").count()
-      val e50 = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(50)
-      graft.ops.Similarity.bruteTopK(e50, e50, "vec_id", "embedding", 2).count()
+      // the SAME shared bucket count q_bucket_join derives, so the
+      // warm-up builds the tables that query will actually read
+      val nb = math.max(graft.queries.Tables.defaultBuckets(sfDir, "lineitem"),
+        graft.queries.Tables.defaultBuckets(sfDir, "orders"))
+      graft.queries.Tables.bucketed(spark, sfDir, "orders", "o_orderkey", nb).count()
+      graft.queries.Tables.bucketed(spark, sfDir, "lineitem", "l_orderkey", nb).count()
     } catch { case _: Throwable => () }
     // train the persisted ANN models up front: sim_ann_* measure the
     // query path (probe/scan/rerank); k-means training is ingest cost
     try graft.queries.OpsQueries.storeModels(spark, sfDir)
     catch { case _: Throwable => () }
-    // warm the sort-encode mapPartitions path (both codec variants) and
-    // the persisted-store read: when the chunk store is already on disk
-    // the storeChunks warm-up above never runs chunkify, so whichever
-    // query first touched the encoder used to absorb its full JIT cost
-    // (ts_roundtrip_leadtrail measured 16x its own time in round 3)
-    try {
-      graft.queries.TsQueries.chunks(spark, sfDir).count()
-      val ev = spark.read.parquet(s"$sfDir/events.parquet").limit(5000)
-      graft.tsdb.Ts.chunkify(ev, Seq("user_id", "event_type"), "ts", "value",
-        leadTrail = true).count()
-      val store = graft.queries.TsQueries.storeChunks(spark, sfDir)
-      store.groupBy("user_id").agg(
-        org.apache.spark.sql.functions.max("max_ts")).count()
-    } catch { case _: Throwable => () }
     // fixed alphabetical execution order: Map iteration order reshuffles
     // whenever keys are added, which made first-touch JIT cost land on a
     // different query every round — per-query times were uncomparable
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    // untimed full-suite pre-pass: every query runs once cold, so ALL
+    // first-touch cost (codegen compilation, JIT warm-up of the codec /
+    // text-hash / vector kernels, parquet footer caches) lands here.
+    // Round-4 numbers showed targeted 50-row warm-ups don't compile the
+    // full-schema codegen: whichever heavy query ran first absorbed
+    // multiples of its own steady-state time (dedup_apply 11.7s vs its
+    // superset dedup_pipeline at 2.9s later in the same run). The timed
+    // pass below then measures plans, not the compiler.
+    ordered.foreach { case (_, fn) =>
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+    }
+    val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

@@ -152,11 +152,35 @@ object GorillaCodec {
 
   /** Streaming aggregate over one compressed chunk — no array
     * materialization (the csv_to_packed example's query mode,
-    * reference: examples/csv_to_packed.rs:40-78). */
+    * reference: examples/csv_to_packed.rs:40-78). `sumFixed` is the
+    * fixed-point long sum Σ round(v·fixedScale) (0 unless `hasFixed`):
+    * order-independent, so per-chunk partials re-aggregate exactly
+    * across shuffles where a double sum would not. */
   final case class ChunkAgg(n: Long, minTs: Long, maxTs: Long,
-                            minV: Double, maxV: Double, sumV: Double)
+                            minV: Double, maxV: Double, sumV: Double,
+                            sumFixed: Long)
 
-  def aggregate(bytes: Array[Byte]): ChunkAgg = {
+  /** Spark's round(x, 0) then cast to long, replicated exactly so a
+    * chunk-level partial equals the per-point expression bit-for-bit:
+    * NaN/±Infinity pass through round and saturate in the long cast;
+    * finite values round HALF_UP on the shortest decimal repr (what
+    * scala BigDecimal(d) — and Spark's RoundBase — use), NOT
+    * Math.round's floor(x+0.5), which disagrees on negative ties and
+    * on doubles just below a half. */
+  private[graft] def halfUpFixed(x: Double): Long =
+    if (java.lang.Double.isNaN(x)) 0L
+    else if (java.lang.Double.isInfinite(x)) { if (x > 0) Long.MaxValue else Long.MinValue }
+    else BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble.toLong
+
+  /** Spark's nan-safe "greater than" for doubles: NaN sorts above
+    * everything (Spark SQL total order), so chunk min/max partials
+    * agree with Spark Min/Max over the exploded points even when a
+    * chunk carries NaN values. */
+  @inline private def nanGt(a: Double, b: Double): Boolean =
+    (java.lang.Double.isNaN(a) && !java.lang.Double.isNaN(b)) || a > b
+
+  def aggregate(bytes: Array[Byte], fixedScale: Double = 0.0,
+                hasFixed: Boolean = false): ChunkAgg = {
     val h = readHeader(bytes)
     val r = reader(bytes, h)
     val lt = h.variant == VariantLeadTrail
@@ -166,6 +190,8 @@ object GorillaCodec {
     var minTs = Long.MaxValue; var maxTs = Long.MinValue
     var minV = Double.PositiveInfinity; var maxV = Double.NegativeInfinity
     var sum = 0.0
+    var sumFixed = 0L
+    var first = true
     while (i < h.n) {
       if (tDec != null) {
         val t = tDec.next()
@@ -173,13 +199,18 @@ object GorillaCodec {
         if (t > maxTs) maxTs = t
       }
       val v = vDec.next()
-      if (v < minV) minV = v
-      if (v > maxV) maxV = v
+      if (first) { minV = v; maxV = v; first = false }
+      else {
+        if (nanGt(minV, v)) minV = v
+        if (nanGt(v, maxV)) maxV = v
+      }
       sum += v
+      if (hasFixed) sumFixed += halfUpFixed(v * fixedScale)
       i += 1
     }
+    if (first) { minV = Double.PositiveInfinity; maxV = Double.NegativeInfinity }
     if (tDec == null) { minTs = 0L; maxTs = 0L }
-    ChunkAgg(h.n.toLong, minTs, maxTs, minV, maxV, sum)
+    ChunkAgg(h.n.toLong, minTs, maxTs, minV, maxV, sum, sumFixed)
   }
 
   /** Range aggregate over one compressed chunk: only points with

@@ -50,11 +50,17 @@ object GorillaSql {
   def decodeTimestamps(bytes: Array[Byte]): ArrayData =
     UnsafeArrayData.fromPrimitiveArray(GorillaCodec.decodeTimestamps(bytes))
 
-  /** struct<n: long, min_ts: long, max_ts: long, min_v: double, max_v: double, sum_v: double> */
-  def chunkAgg(bytes: Array[Byte]): InternalRow = {
-    val a = GorillaCodec.aggregate(bytes)
-    new GenericInternalRow(Array[Any](a.n, a.minTs, a.maxTs, a.minV, a.maxV, a.sumV))
+  /** struct<n: long, min_ts: long, max_ts: long, min_v: double,
+    * max_v: double, sum_v: double, sum_fixed: long>. `sum_fixed` is
+    * Σ round(v·scale) as a long (Spark round/cast semantics exactly);
+    * 0 when `hasScale` is false, so the common no-fixed-sum path skips
+    * the per-point rounding work. */
+  def chunkAgg(bytes: Array[Byte], scale: Double, hasScale: Boolean): InternalRow = {
+    val a = GorillaCodec.aggregate(bytes, scale, hasScale)
+    new GenericInternalRow(Array[Any](a.n, a.minTs, a.maxTs, a.minV, a.maxV, a.sumV, a.sumFixed))
   }
+
+  def chunkAgg(bytes: Array[Byte]): InternalRow = chunkAgg(bytes, 0.0, hasScale = false)
 
   /** struct<n, min_ts, max_ts, min_v, max_v: double, sum_cents: long>
     * over only the points with fromSec <= ts <= toSec; NULL when no

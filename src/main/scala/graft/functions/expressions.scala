@@ -22,7 +22,8 @@ object GorillaExprs {
     StructField("max_ts", LongType, nullable = false),
     StructField("min_v", DoubleType, nullable = false),
     StructField("max_v", DoubleType, nullable = false),
-    StructField("sum_v", DoubleType, nullable = false)))
+    StructField("sum_v", DoubleType, nullable = false),
+    StructField("sum_fixed", LongType, nullable = false)))
   val rangeAggType: StructType = StructType(Seq(
     StructField("n", LongType, nullable = false),
     StructField("min_ts", LongType, nullable = false),
@@ -121,13 +122,23 @@ case class GorillaDecodeTimestamps(child: Expression) extends GorillaDecodeBase 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
-/** gorilla_chunk_agg(binary) -> struct<n,min_ts,max_ts,min_v,max_v,sum_v>
-  * Aggregates by streaming the decoder — never materializes point arrays. */
-case class GorillaChunkAgg(child: Expression) extends GorillaDecodeBase {
+/** gorilla_chunk_agg(binary) ->
+  * struct<n,min_ts,max_ts,min_v,max_v,sum_v,sum_fixed>
+  * Aggregates by streaming the decoder — never materializes point
+  * arrays. `fixedScale` (set by [[graft.plans.ChunkAggRule]] when it
+  * pushes a fixed-point sum through the codec) makes `sum_fixed` carry
+  * Σ round(v·scale) as a long; absent, the field is 0 and the
+  * per-point rounding work is skipped. */
+case class GorillaChunkAgg(child: Expression, fixedScale: Option[Double] = None)
+    extends GorillaDecodeBase {
   override def dataType: DataType = GorillaExprs.aggType
   override def prettyName: String = "gorilla_chunk_agg"
   protected def method: String = "chunkAgg"
-  protected def evalBytes(bytes: Array[Byte]): Any = GorillaSql.chunkAgg(bytes)
+  protected def evalBytes(bytes: Array[Byte]): Any =
+    GorillaSql.chunkAgg(bytes, fixedScale.getOrElse(0.0), fixedScale.isDefined)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, b => s"graft.functions.GorillaSql.chunkAgg($b, " +
+      s"${fixedScale.getOrElse(0.0)}, ${fixedScale.isDefined})")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 

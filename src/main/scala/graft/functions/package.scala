@@ -101,6 +101,13 @@ package object functions {
     call_function("hyperplane_buckets", vec,
       org.apache.spark.sql.functions.lit(nBits), org.apache.spark.sql.functions.lit(tables))
   def hash_set_sorted(xs: Column): Column = call_function("hash_set_sorted", xs)
+  /** Not in the SQL registry: the centroid model rides the expression
+    * (a bounded table baked into the plan), which SQL text can't carry. */
+  def nearest_centroids(vec: Column, ids: Array[Int], mat: Array[Array[Float]],
+                        nprobe: Int): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      NearestCentroidsExpr(
+        org.apache.spark.sql.GraftSqlBridge.expression(vec), ids, mat, nprobe))
   def sorted_intersect_count(a: Column, b: Column): Column =
     call_function("sorted_intersect_count", a, b)
   def shingle_hashes(text: Column, n: Int): Column =

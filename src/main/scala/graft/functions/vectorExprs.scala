@@ -135,6 +135,63 @@ object VectorKernels {
     s
   }
 
+  /** Spark's nan-safe "greater than" for doubles (NaN sorts above
+    * everything), so centroid argmax ties resolve exactly as the
+    * max(struct(cos, -cluster)) aggregate this kernel replaces. */
+  @inline private def gtD(a: Double, b: Double): Boolean =
+    (java.lang.Double.isNaN(a) && !java.lang.Double.isNaN(b)) || a > b
+  @inline private def eqD(a: Double, b: Double): Boolean =
+    a == b || (java.lang.Double.isNaN(a) && java.lang.Double.isNaN(b))
+
+  /**
+   * The `nprobe` nearest centroid ids for one vector, ordered by
+   * cosine desc then centroid id asc — ONE row in, one array out.
+   * Replaces the crossJoin(broadcast(centroids)) + argmax-aggregate
+   * shape, which amplified a corpus scan ×nlist (at nlist=4096, 4096
+   * rows through the hash aggregate per input row). Cosine math is
+   * bit-identical to [[cosineFloat]]: double-widened, index order.
+   */
+  def nearestCentroids(vec: ArrayData, ids: Array[Int],
+                       mat: Array[Array[Float]], nprobe: Int): ArrayData = {
+    val dims = vec.numElements()
+    val v = new Array[Double](dims)
+    var i = 0
+    while (i < dims) { v(i) = vec.getFloat(i).toDouble; i += 1 }
+    val k = math.min(nprobe, ids.length)
+    val topC = new Array[Double](k)
+    val topI = new Array[Int](k)
+    var filled = 0
+    var c = 0
+    while (c < ids.length) {
+      val cw = mat(c)
+      if (cw.length != dims)
+        throw new IllegalArgumentException(
+          s"vector length mismatch: $dims vs ${cw.length}")
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var d = 0
+      while (d < dims) {
+        val x = v(d); val y = cw(d).toDouble
+        dot += x * y; na += x * x; nb += y * y
+        d += 1
+      }
+      val cos = dot / (math.sqrt(na) * math.sqrt(nb))
+      val id = ids(c)
+      if (filled < k || gtD(cos, topC(k - 1)) ||
+          (eqD(cos, topC(k - 1)) && id < topI(k - 1))) {
+        var pos = if (filled < k) filled else k - 1
+        while (pos > 0 && (gtD(cos, topC(pos - 1)) ||
+            (eqD(cos, topC(pos - 1)) && id < topI(pos - 1)))) {
+          topC(pos) = topC(pos - 1); topI(pos) = topI(pos - 1)
+          pos -= 1
+        }
+        topC(pos) = cos; topI(pos) = id
+        if (filled < k) filled += 1
+      }
+      c += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(topI, filled))
+  }
+
   /** |A ∩ B| of two ascending long arrays by linear merge. */
   def sortedIntersectCount(a: ArrayData, b: ArrayData): Int = {
     val na = a.numElements(); val nb = b.numElements()
@@ -213,6 +270,32 @@ case class HyperplaneBucketsExpr(child: Expression, nBits: Int, tables: Int)
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
       a => s"graft.functions.VectorKernels.hyperplaneBuckets($a, $nBits, $tables)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** nearest_centroids(vec array<float>) -> array<int>: the `nprobe`
+  * nearest centroid ids by cosine (desc, ties by smaller id). The
+  * centroid model rides the expression itself (serialized with the
+  * plan, referenced once per codegen'd stage — the broadcast-literal
+  * treatment for a bounded model table), so the corpus scan stays
+  * 1-row-in/1-row-out instead of crossJoining ×nlist. */
+case class NearestCentroidsExpr(child: Expression, ids: Array[Int],
+                                mat: Array[Array[Float]], nprobe: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GorillaExprs.expect(child, ArrayType(FloatType), s"$prettyName arg 1")
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "nearest_centroids"
+  def kernel(v: ArrayData): ArrayData =
+    VectorKernels.nearestCentroids(v, ids, mat, nprobe)
+  protected override def nullSafeEval(a: Any): Any =
+    kernel(a.asInstanceOf[ArrayData])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("nearestCentroids", this,
+      classOf[NearestCentroidsExpr].getName)
+    defineCodeGen(ctx, ev, a => s"$ref.kernel($a)")
+  }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 

@@ -85,15 +85,14 @@ object Similarity {
         e.schema("vec").copy(name = "centroid"))))
     var it = 0
     while (it < iters) {
-      // assignment carries the vector through the aggregate (first() —
-      // one vec per id group), so the mean recompute needs no join-back.
+      // assignment is 1-row-in/1-row-out through the nearest-centroid
+      // kernel (no ×nlist row amplification, no groupBy shuffle).
       // round the means to 1e-6: float sums depend on partition order,
       // and unquantized noise would make bucket assignment run-varying
-      val assigned = e.crossJoin(broadcast(centroids))
-        .groupBy("id")
-        .agg(max(struct(cosine(col("vec"), col("centroid")).as("c"),
-          (-col("cluster")).as("negc"))).as("__m"), first("vec").as("vec"))
-        .select((-col("__m.negc")).as("cluster"), col("vec"))
+      val (cids, mat) = centroidModel(centroids)
+      val assigned = e.select(
+        element_at(graft.functions.nearest_centroids(col("vec"), cids, mat, 1), 1)
+          .as("cluster"), col("vec"))
       centroids = assigned
         .select(col("cluster"), posexplode(col("vec")))
         .groupBy("cluster", "pos").agg(round(avg("col"), 6).as("m"))
@@ -105,15 +104,27 @@ object Similarity {
     centroids
   }
 
-  /** Nearest centroid per vector (broadcast nlist × corpus scan); the
-    * arg-max is a hash aggregate over an ordered struct (map-side
-    * partial max) — no row_number window, no sort. */
-  private def assign(e: DataFrame, centroids: DataFrame): DataFrame =
-    e.crossJoin(broadcast(centroids))
-      .groupBy("id")
-      .agg(max(struct(cosine(col("vec"), col("centroid")).as("c"),
-        (-col("cluster")).as("negc"))).as("__m"))
-      .select(col("id"), (-col("__m.negc")).as("cluster"))
+  /** The centroid table as plain arrays (sorted by cluster id) for the
+    * nearest-centroid kernel — collected once per consumer; bounded by
+    * construction (≤ nlist rows). */
+  private def centroidModel(centroids: DataFrame): (Array[Int], Array[Array[Float]]) = {
+    val rows = centroids.select("cluster", "centroid").collect()
+      .sortBy(_.getInt(0))
+    (rows.map(_.getInt(0)), rows.map(_.getSeq[Float](1).toArray))
+  }
+
+  /** Nearest centroid per vector: ONE codegen'd kernel call per row —
+    * no crossJoin row amplification (the old broadcast-crossJoin +
+    * argmax-aggregate pushed corpus×nlist rows through a hash
+    * aggregate; at the 100 TB setting of nlist=4096 that is a 4096×
+    * blow-up of the scan), no shuffle at all. Tie order (cosine desc,
+    * cluster asc) and cosine math are bit-identical to the old shape. */
+  private def assign(e: DataFrame, centroids: DataFrame): DataFrame = {
+    val (ids, mat) = centroidModel(centroids)
+    e.select(col("id"),
+      element_at(graft.functions.nearest_centroids(col("vec"), ids, mat, 1), 1)
+        .as("cluster"))
+  }
 
   /** Materialize a tiny model table (centroids / codebooks) once —
     * collect + 1-partition parallelize — so its k-means lineage never
@@ -125,14 +136,15 @@ object Similarity {
       spark.sparkContext.parallelize(df.collect().toSeq, 1), df.schema)
   }
 
-  /** Each query's `nprobe` closest centroids: (q_id, cluster). */
+  /** Each query's `nprobe` closest centroids: (q_id, cluster). Same
+    * kernel as [[assign]] — one row per query through a codegen'd
+    * top-nprobe selection, then a bounded explode; the crossJoin +
+    * row_number window (with its sort) is gone. */
   private def probeLists(q: DataFrame, centroids: DataFrame, nprobe: Int): DataFrame = {
-    val w = Window.partitionBy("id").orderBy(col("__c").desc, col("cluster"))
-    q.crossJoin(broadcast(centroids))
-      .withColumn("__c", cosine(col("vec"), col("centroid")))
-      .withColumn("__r", row_number().over(w))
-      .filter(col("__r") <= nprobe)
-      .select(col("id").as("q_id"), col("cluster"))
+    val (ids, mat) = centroidModel(centroids)
+    q.select(col("id").as("q_id"),
+      explode(graft.functions.nearest_centroids(col("vec"), ids, mat, nprobe))
+        .as("cluster"))
   }
 
   /** Exact-cosine rerank of (q_id, n_id) candidates: top k per query.
@@ -345,9 +357,11 @@ object Similarity {
     * aggregate pass, persisted by [[writeModels]] so queries never
     * rescan the corpus for it (the train-once shape, trivially). */
   def sq8Scale(embeddings: DataFrame, idCol: String, vecCol: String): Double = {
-    val maxAbs = embeddings
+    val row = embeddings
       .select(array_max(transform(col(vecCol), x => abs(x))).as("m"))
-      .agg(max("m")).first().getFloat(0)
+      .agg(max("m")).first()
+    require(!row.isNullAt(0), "sq8: empty corpus (or all-empty embedding arrays)")
+    val maxAbs = row.getFloat(0)
     require(maxAbs > 0f, "sq8: all-zero corpus")
     maxAbs.toDouble
   }
@@ -499,6 +513,13 @@ object Similarity {
   def writeModels(embeddings: DataFrame, idCol: String, vecCol: String,
                   path: String, nlist: Int = 16, m: Int = 8, ksub: Int = 16,
                   iters: Int = 2): Unit = {
+    // re-training over an existing complete store: drop the marker
+    // FIRST, so a crash mid-rewrite (or a concurrent reader) can never
+    // observe _SUCCESS alongside mixed-generation tables — the
+    // "half-written dir reads as absent" contract holds for rewrites too
+    val fsOut = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), embeddings.sparkSession.sparkContext.hadoopConfiguration)
+    fsOut.delete(new org.apache.hadoop.fs.Path(path, "_SUCCESS"), false)
     val centroids = materialize(ivfCentroids(embeddings, idCol, vecCol, nlist, iters))
     centroids.write.mode("overwrite").parquet(s"$path/centroids")
     pqCodebooks(embeddings, idCol, vecCol, m, ksub, iters)
@@ -511,9 +532,7 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$path/sq8")
     // marker AFTER all model tables: a half-written model dir (crash
     // between writes) must read as absent, not as a partial model
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(path), embeddings.sparkSession.sparkContext.hadoopConfiguration)
-    fs.create(new org.apache.hadoop.fs.Path(path, "_SUCCESS"), true).close()
+    fsOut.create(new org.apache.hadoop.fs.Path(path, "_SUCCESS"), true).close()
   }
 
   /** True when a [[writeModels]] store at `path` is complete. */
@@ -538,15 +557,15 @@ object Similarity {
 
   // === residual IVF-PQ ==============================================
 
-  /** Nearest centroid per vector, carrying the vector through the
-    * aggregate (first() — one vec per id group) so consumers need no
-    * join-back: (id, cluster, vec). */
-  private def assignWithVec(e: DataFrame, centroids: DataFrame): DataFrame =
-    e.crossJoin(broadcast(centroids))
-      .groupBy("id")
-      .agg(max(struct(cosine(col("vec"), col("centroid")).as("c"),
-        (-col("cluster")).as("negc"))).as("__m"), first("vec").as("vec"))
-      .select(col("id"), (-col("__m.negc")).as("cluster"), col("vec"))
+  /** Nearest centroid per vector, keeping the vector alongside —
+    * (id, cluster, vec) in one 1-row-in/1-row-out kernel pass (the old
+    * crossJoin + argmax-aggregate + first(vec) carry is gone). */
+  private def assignWithVec(e: DataFrame, centroids: DataFrame): DataFrame = {
+    val (ids, mat) = centroidModel(centroids)
+    e.select(col("id"),
+      element_at(graft.functions.nearest_centroids(col("vec"), ids, mat, 1), 1)
+        .as("cluster"), col("vec"))
+  }
 
   /** Per-vector residual against its assigned list centroid:
     * (id, cluster, vec = v − c). The standard billion-scale accuracy

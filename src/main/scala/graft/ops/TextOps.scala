@@ -219,11 +219,22 @@ object TextOps {
    * size, and the bench-gram side is benchmark-sized, not corpus-sized.
    */
   def decontaminate(train: DataFrame, bench: DataFrame, idCol: String,
-                    textCol: String, n: Int = 5): DataFrame = {
+                    textCol: String, n: Int = 5,
+                    maxGramDf: Long = 100000L): DataFrame = {
     val t = train.select(col(idCol),
       explode(Dedup.shingles(col(textCol), n)).as("g"))
+    // hot-gram guard (the LSH maxBucket treatment): a boilerplate
+    // n-gram carried by >maxGramDf train docs would land every carrier
+    // row on ONE reducer of the gram-keyed shuffle. The doc-frequency
+    // pass has map-side partials (no skew), its survivors are a tiny
+    // set, and dropping them is semantically the right call for
+    // decontamination — a gram shared by 10^6 docs is boilerplate, not
+    // benchmark leakage. Flags below the cap are untouched.
+    val hot = t.groupBy("g").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxGramDf).select("g")
     val b = bench.select(explode(Dedup.shingles(col(textCol), n)).as("g")).distinct()
-    val hit = t.join(b, Seq("g"), "left_semi").select(idCol).distinct()
+    val hit = t.join(broadcast(hot), Seq("g"), "left_anti")
+      .join(b, Seq("g"), "left_semi").select(idCol).distinct()
       .withColumn("is_contaminated", lit(true))
     train.select(col(idCol)).join(hit, Seq(idCol), "left")
       .select(col(idCol),

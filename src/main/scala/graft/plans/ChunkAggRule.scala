@@ -5,6 +5,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Generate, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 /**
  * Optimizer rule: aggregate pushdown THROUGH the codec. A
@@ -29,10 +30,14 @@ import org.apache.spark.sql.catalyst.rules.Rule
  * chunks (explode of an empty chunk produces no rows, so a group with
  * only empty chunks must stay absent).
  *
- * Only order-independent aggregates rewrite (Count/Min/Max — bit-exact
- * under any regrouping). Sum over double stays on the explode path:
- * reassociating a float sum would change the result, and exact sums
- * here are fixed-point (`sum_cents`) which the header does not carry.
+ * Only order-independent aggregates rewrite. Count/Min/Max map onto
+ * chunk-header stats (bit-exact under any regrouping), and the
+ * fixed-point sum shape `sum(cast(round(v * c) as long))` maps onto a
+ * per-chunk long partial (`__ca.sum_fixed`, computed with Spark's
+ * exact round/cast semantics inside the streaming decode) — long
+ * addition is associative, so regrouping the partials cannot change
+ * the result. Sum over raw double stays on the explode path:
+ * reassociating a float sum would change the result.
  * Composes with [[DecodeNarrowRule]] (narrowed single-side decodes are
  * matched too) and [[ChunkPruneRule]] (same fixpoint batch).
  *
@@ -92,7 +97,32 @@ object ChunkAggRule extends Rule[LogicalPlan] {
 
     if (group.exists(touchesPt)) return None
 
-    val ca = Alias(GorillaChunkAgg(chunk), "__ca")()
+    // fixed-point sum pushdown: sum(cast(round(v * c, 0) as long)) has
+    // a per-chunk long partial. All such sums in one aggregate must
+    // share the scale c (the chunk kernel computes one fixed sum).
+    def fixedScaleOf(x: Expression): Option[Double] = inline(x) match {
+      case Cast(r: Round, LongType, _, _)
+          if r.scale.foldable && r.scale.eval() == 0 => r.child match {
+        case Multiply(a, Literal(c: Double, DoubleType), _)
+          if sideOf(a).contains(VSide) => Some(c)
+        case Multiply(Literal(c: Double, DoubleType), b, _)
+          if sideOf(b).contains(VSide) => Some(c)
+        case _ => None
+      }
+      case _ => None
+    }
+    var scale: Option[Double] = None
+    aggExprs.foreach(_.foreach {
+      case AggregateExpression(s: Sum, _, false, None, _) =>
+        fixedScaleOf(s.child) match {
+          case Some(c) =>
+            if (scale.exists(_ != c)) return None else scale = Some(c)
+          case None => ()
+        }
+      case _ => ()
+    })
+
+    val ca = Alias(GorillaChunkAgg(chunk, scale), "__ca")()
     val caAttr = ca.toAttribute
     def field(i: Int, name: String) =
       GetStructField(caAttr, i, Some(name))
@@ -101,7 +131,7 @@ object ChunkAggRule extends Rule[LogicalPlan] {
     // top-down so the AggregateExpression is replaced wholesale before
     // its point-referencing argument would trip the attribute guard
     val rewritten = aggExprs.map { ne =>
-      ne.transformDown {
+      val t = ne.transformDown {
         case ae @ AggregateExpression(fn, _, false, None, _) =>
           val newFn: AggregateFunction = fn match {
             case Count(cs) if cs.forall(c => c.foldable || sideOf(c).isDefined) =>
@@ -116,13 +146,24 @@ object ChunkAggRule extends Rule[LogicalPlan] {
               case Some(VSide) => Max(field(4, "max_v"))
               case None => return None
             }
+            case s: Sum if scale.isDefined && fixedScaleOf(s.child) == scale =>
+              Sum(field(6, "sum_fixed"))
             case _ => return None
           }
           ae.copy(aggregateFunction = newFn)
         case other: AggregateExpression => return None
         case a: Attribute if sub.contains(a.exprId) =>
           if (touchesPt(a)) return None else inline(a)
-      }.asInstanceOf[NamedExpression]
+      }
+      // keep top-level names AND exprIds stable: when the root itself
+      // was substituted (a bare attribute resolving to a Project alias,
+      // e.g. a withColumn-derived group key echoed in the output list),
+      // the inlined expression is no longer the same NamedExpression —
+      // re-wrap it so parent operators' references still resolve
+      t match {
+        case n: NamedExpression if n.exprId == ne.exprId => n
+        case other => Alias(other, ne.name)(exprId = ne.exprId)
+      }
     }
     val newGroup = group.map(inline)
     if ((rewritten ++ newGroup).exists(_.exists(

@@ -180,8 +180,14 @@ object RelQueries {
     // plan-asserted in RelQueriesSpec; this gate entry proves the
     // bucketed layout returns the same answers)
     "q_bucket_join" -> ((s, dir) => {
-      val o = Tables.bucketed(s, dir, "orders", "o_orderkey")
-      val l = Tables.bucketed(s, dir, "lineitem", "l_orderkey")
+      // ONE bucket count for both sides, derived from the larger table
+      // (lineitem): independently size-derived counts would diverge
+      // once the tables land on different ~64MB multiples, and the
+      // shuffle-free co-located join would silently regain an exchange
+      val nb = math.max(Tables.defaultBuckets(dir, "lineitem"),
+        Tables.defaultBuckets(dir, "orders"))
+      val o = Tables.bucketed(s, dir, "orders", "o_orderkey", nb)
+      val l = Tables.bucketed(s, dir, "lineitem", "l_orderkey", nb)
       l.join(o, col("l_orderkey") === col("o_orderkey"))
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n"),

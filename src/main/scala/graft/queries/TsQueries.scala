@@ -85,19 +85,23 @@ object TsQueries {
   /** Per-series 3-sigma outliers, exactly: on integer cents,
     * (x - mean)^2 > 9*variance  <=>  (n*x - S)^2 > 9*(n*Q - S^2) with
     * S = sum(x), Q = sum(x^2) — all-integer arithmetic, so the flag is
-    * bit-exact across engines (no float mean/stddev). One groupBy for
-    * the per-series moments + a join back that AQE broadcasts (the
-    * stats side is one row per series). Longs hold the moments up to
-    * ~1e9 cents-points per series; beyond that, swap the three
-    * aggregate columns to decimal(38,0) — same plan shape. Shared by
+    * bit-exact across engines (no float mean/stddev). The per-series
+    * moments come from ONE whole-partition window pass (the unbounded
+    * variant of ts_anomaly_prefix's frame): one shuffle on the series
+    * key and one read of the input lineage. The previous
+    * groupBy + join-back shape re-executed the input twice — off the
+    * persisted store that meant two complete parquet scans + gorilla
+    * decodes per query, a real cost at 100×. Longs hold the moments up
+    * to ~1e9 cents-points per series; beyond that, swap the three
+    * window columns to decimal(38,0) — same plan shape. Shared by
     * the in-memory and store-backed queries: the store variant tests
     * that the persisted roundtrip changes nothing. */
   private def anomalyFlags(pts0: DataFrame): DataFrame = {
-    val pts = pts0.withColumn("cents", round(col("v") * 100).cast("long"))
-    val stats = pts.groupBy("user_id", "event_type")
-      .agg(count(lit(1)).as("n"), sum("cents").as("s"),
-        sum(col("cents") * col("cents")).as("q"))
-    pts.join(stats, Seq("user_id", "event_type"))
+    val w = Window.partitionBy("user_id", "event_type")
+    pts0.withColumn("cents", round(col("v") * 100).cast("long"))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("s", sum("cents").over(w))
+      .withColumn("q", sum(col("cents") * col("cents")).over(w))
       .filter((col("n") * col("cents") - col("s")) *
           (col("n") * col("cents") - col("s")) >
         lit(9L) * (col("n") * col("q") - col("s") * col("s")))
@@ -506,7 +510,8 @@ object TsQueries {
         .groupBy("user_id", "event_type")
         .agg(count(lit(1)).as("n"),
           min("ts").as("min_ts"), max("ts").as("max_ts"),
-          min("v").as("min_v"), max("v").as("max_v"))
+          min("v").as("min_v"), max("v").as("max_v"),
+          sum(round(col("v") * 100).cast("long")).as("sum_cents"))
         .orderBy("user_id", "event_type")
     }),
     "ts_compressed_agg" -> ((s, dir) => {
@@ -699,7 +704,8 @@ object TsQueries {
     "ts_points_agg" -> s"""WITH $ptsSql
       |SELECT user_id, event_type, count(*) AS n,
       |  min(ts) AS min_ts, max(ts) AS max_ts,
-      |  min(v) AS min_v, max(v) AS max_v
+      |  min(v) AS min_v, max(v) AS max_v,
+      |  CAST(sum(CAST(round(v * 100) AS BIGINT)) AS BIGINT) AS sum_cents
       |FROM pts GROUP BY 1, 2 ORDER BY user_id, event_type""".stripMargin,
   )
 

@@ -182,6 +182,48 @@ class OpsSpec extends AnyFunSuite {
       "ivf centroid training plan must contain no Window")
   }
 
+  test("ivf assign/probe are kernel scans: no crossJoin row amplification") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    import org.apache.spark.sql.catalyst.plans.Cross
+    // the old shape crossJoined every corpus row with all nlist
+    // centroids and arg-maxed through a hash aggregate — a ×nlist
+    // amplification of the scan (4096× at the 100 TB setting). Both
+    // the corpus assignment and the query probe must now go through
+    // the 1-row-in/1-row-out nearest_centroids kernel.
+    val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", nlist = 16)
+    val q = Similarity.ivfTopKWith(cents, emb, emb.filter(col("vec_id") < 10),
+      "vec_id", "embedding", k = 5)
+    val plan = q.queryExecution.optimizedPlan
+    assert(plan.collect { case j @ Join(_, _, Cross, _, _) => j }.isEmpty,
+      s"crossJoin survived in the IVF query path:\n$plan")
+    assert(plan.toString.contains("nearest_centroids"),
+      s"nearest-centroid kernel missing from the IVF plan:\n$plan")
+    // training (the Lloyd assignment) must be crossJoin-free too
+    assert(cents.queryExecution.optimizedPlan.collect {
+      case j @ Join(_, _, Cross, _, _) => j }.isEmpty,
+      "crossJoin survived in IVF centroid training")
+  }
+
+  test("decontaminate: hot-gram cap leaves flags unchanged below the cap") {
+    val train = docs.filter(col("doc_id") < 450)
+    val bench = docs.filter(col("doc_id") >= 450)
+    val base = TextOps.decontaminate(train, bench, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toSet
+    // no legit 5-gram in this corpus reaches the default cap, so the
+    // capped output must equal the uncapped one
+    val uncapped = TextOps.decontaminate(train, bench, "doc_id", "text",
+        maxGramDf = Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toSet
+    assert(base == uncapped)
+    assert(base.exists(_._2), "corpus should contain contaminated docs")
+    // a cap of 0 drops every gram -> nothing can be flagged (the
+    // degenerate-bucket guard actually gates the shuffle key)
+    val allCapped = TextOps.decontaminate(train, bench, "doc_id", "text",
+        maxGramDf = 0L)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1)))
+    assert(allCapped.forall(!_._2))
+  }
+
   test("persisted models: write-once read-many, queries match inline training") {
     val path = s"/tmp/graft_models_spec_${System.currentTimeMillis()}"
     assert(!Similarity.modelsExist(spark, path))

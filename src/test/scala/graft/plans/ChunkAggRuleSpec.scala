@@ -22,15 +22,83 @@ class ChunkAggRuleSpec extends AnyFunSuite {
     val opt = q.queryExecution.optimizedPlan.toString
     assert(opt.contains("gorilla_chunk_agg"), s"rule did not fire:\n$opt")
     assert(!opt.contains("Generate"), s"explode survived the rewrite:\n$opt")
-    // values identical to the forced explode path (sum(cents) in the
-    // aggregate list blocks the rewrite, keeping per-point rows)
+    // values identical to the forced explode path (the raw float sum
+    // in the aggregate list blocks the rewrite, keeping per-point rows)
     val blocked = pts.groupBy("user_id")
       .agg(count(lit(1)).as("n"), min("ts").as("min_ts"), max("ts").as("max_ts"),
-        min("v").as("min_v"), max("v").as("max_v"),
-        sum(round(col("v") * 100).cast("long")).as("__cents"))
-      .drop("__cents")
+        min("v").as("min_v"), max("v").as("max_v"), sum("v").as("__s"))
+      .drop("__s")
     assert(q.orderBy("user_id").collect().toSeq ==
       blocked.orderBy("user_id").collect().toSeq)
+  }
+
+  test("fixed-point sum(cast(round(v*100) as long)) rewrites to sum_fixed partials") {
+    val cents = sum(round(col("v") * 100).cast("long")).as("sum_cents")
+    val q = pts.groupBy("user_id")
+      .agg(count(lit(1)).as("n"), min("v").as("min_v"), cents)
+    val opt = q.queryExecution.optimizedPlan.toString
+    assert(opt.contains("gorilla_chunk_agg"), s"rule did not fire on cents sum:\n$opt")
+    assert(!opt.contains("Generate"), s"explode survived the rewrite:\n$opt")
+    val blocked = pts.groupBy("user_id")
+      .agg(count(lit(1)).as("n"), min("v").as("min_v"), cents, sum("v").as("__s"))
+      .drop("__s")
+    assert(q.orderBy("user_id").collect().toSeq ==
+      blocked.orderBy("user_id").collect().toSeq)
+  }
+
+  test("withColumn-derived group key does not crash the rule and stays named") {
+    // regression: a bare output attribute resolving to a Project alias
+    // used to be substituted by a non-named expression -> CCE at
+    // optimization time (and a rename alias silently swapped exprIds)
+    val q = pts.withColumn("k", concat(col("user_id"), lit("_"), col("event_type")))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n"), min("ts").as("min_ts"), max("v").as("max_v"))
+    val opt = q.queryExecution.optimizedPlan.toString
+    assert(opt.contains("gorilla_chunk_agg"), s"rule did not fire on derived key:\n$opt")
+    val blocked = pts
+      .withColumn("k", concat(col("user_id"), lit("_"), col("event_type")))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n"), min("ts").as("min_ts"), max("v").as("max_v"),
+        sum("v").as("__s"))
+      .drop("__s")
+    assert(q.orderBy("k").collect().toSeq == blocked.orderBy("k").collect().toSeq)
+    // parent operators referencing the aggregate output must still work
+    assert(q.filter(col("k").isNotNull).select("k", "n").count() > 0)
+  }
+
+  test("NaN and negative-tie values agree with the explode path exactly") {
+    import spark.implicits._
+    // -0.025*100 lands on an exact -2.5 tie (HALF_UP rounds away from
+    // zero; Math.round would give -2) and NaN exercises the nan-safe
+    // min/max total order in the chunk kernel
+    val raw = Seq(
+      ("a", 7200L, -0.025), ("a", 7260L, Double.NaN), ("a", 7320L, 3.5),
+      ("b", 7200L, Double.NaN), ("b", 7260L, Double.NaN),
+      ("c", 7200L, -0.005), ("c", 7260L, 0.005), ("c", 7320L, -7.5e-3))
+      .toDF("k", "ts", "value")
+    val ch = Ts.chunkify(raw, Seq("k"), "ts", "value")
+    val p = Ts.unpack(ch, Seq("k"))
+    val q = p.groupBy("k").agg(count(lit(1)).as("n"),
+      min("v").as("min_v"), max("v").as("max_v"),
+      sum(round(col("v") * 100).cast("long")).as("sum_cents"))
+    val opt = q.queryExecution.optimizedPlan.toString
+    assert(opt.contains("gorilla_chunk_agg"), s"rule did not fire:\n$opt")
+    val blocked = p.groupBy("k").agg(count(lit(1)).as("n"),
+      min("v").as("min_v"), max("v").as("max_v"),
+      sum(round(col("v") * 100).cast("long")).as("sum_cents"),
+      sum("v").as("__s")).drop("__s")
+    val got = q.orderBy("k").collect().toSeq
+    val want = blocked.orderBy("k").collect().toSeq
+    assert(got.toString == want.toString, s"rewrite diverged:\n got $got\nwant $want")
+  }
+
+  test("mixed-scale fixed sums block the rewrite") {
+    val q = pts.groupBy("user_id").agg(
+      sum(round(col("v") * 100).cast("long")).as("cents"),
+      sum(round(col("v") * 1000).cast("long")).as("mills"))
+    val opt = q.queryExecution.optimizedPlan.toString
+    assert(!opt.contains("gorilla_chunk_agg"),
+      s"one chunk kernel cannot carry two fixed scales:\n$opt")
   }
 
   test("narrowed single-side decode shapes rewrite too") {

@@ -16,16 +16,26 @@ class DecodeNarrowRuleSpec extends AnyFunSuite {
   private def pts = Ts.unpack(chunks, Seq("user_id", "event_type"))
 
   test("values-only consumption narrows to gorilla_decode_values") {
-    val q = pts.groupBy("user_id").agg(sum(round(col("v") * 100).cast("long")).as("s"))
+    // the cents sum is consumed whole by ChunkAggRule now (no explode
+    // at all), so the narrowing path is exercised with the
+    // order-dependent float sum that rule must NOT touch
+    val q = pts.groupBy("user_id").agg(sum("v").as("s"))
     val opt = q.queryExecution.optimizedPlan.toString
     assert(opt.contains("gorilla_decode_values"), s"not narrowed:\n$opt")
     assert(!opt.contains("gorilla_decode("), s"full decode survived:\n$opt")
     // numbers identical to the full-decode path (rule disabled by shape:
     // selecting both sides keeps the struct decode)
     val full = pts.select(col("user_id"), col("ts"), col("v"))
-      .groupBy("user_id").agg(sum(round(col("v") * 100).cast("long")).as("s"))
+      .groupBy("user_id").agg(sum("v").as("s"))
     assert(q.orderBy("user_id").collect().toSeq ==
       full.orderBy("user_id").collect().toSeq)
+  }
+
+  test("cents sum alone is consumed whole by ChunkAggRule (no decode at all)") {
+    val q = pts.groupBy("user_id").agg(sum(round(col("v") * 100).cast("long")).as("s"))
+    val opt = q.queryExecution.optimizedPlan.toString
+    assert(opt.contains("gorilla_chunk_agg"), s"expected chunk-agg pushdown:\n$opt")
+    assert(!opt.contains("gorilla_decode"), s"decode survived the pushdown:\n$opt")
   }
 
   test("ts-only consumption narrows to gorilla_decode_ts") {
