@@ -161,6 +161,24 @@ object TsQueries {
     // newest point per series, decoding only each series' newest chunk
     "ts_latest" -> ((s, dir) =>
       Ts.latest(chunks(s, dir), series).orderBy("user_id", "event_type")),
+    // read-your-writes: sealed chunks + the OPEN (unsealed) tail served
+    // as one view (the reference README's "serve queries mid-stream"
+    // further work). The open frame deliberately re-presents a 2h
+    // overlap of already-sealed points — the per-series sealed horizon
+    // must drop them (exactly-once is structural, not caller-enforced).
+    // Shares ts_range_query's oracle: the live view must equal a plain
+    // range scan over ALL the data, sealed or not.
+    "ts_live_range" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+      val cut = RangeFrom + 86400L // mid-range seal point
+      val sec = Ts.epochSec(ev, "ts")
+      val sealedChunks = Ts.chunkify(ev.filter(sec < cut), series, "ts", "value")
+      val open = ev.filter(sec >= cut - 7200)
+        .select(col("user_id"), col("event_type"), sec.as("ts"),
+          col("value").cast("double").as("v"))
+      Ts.liveRange(sealedChunks, open, series, RangeFrom, RangeTo)
+        .orderBy("user_id", "event_type", "ts", "v")
+    }),
     // 15-min resample; avg derived from exact integer cents
     "ts_downsample" -> ((s, dir) => downsample15m(points(s, dir))),
     // === ingest-once/query-many: the same semantics off the persisted
@@ -527,6 +545,11 @@ object TsQueries {
 
   private val baseOracle: Map[String, String] = Map(
     "ts_range_query" -> s"""WITH $ptsSql
+      |SELECT user_id, event_type, ts, v FROM pts
+      |WHERE ts >= $RangeFrom AND ts <= $RangeTo
+      |ORDER BY user_id, event_type, ts, v""".stripMargin,
+    // the live view must equal the plain range scan over ALL points
+    "ts_live_range" -> s"""WITH $ptsSql
       |SELECT user_id, event_type, ts, v FROM pts
       |WHERE ts >= $RangeFrom AND ts <= $RangeTo
       |ORDER BY user_id, event_type, ts, v""".stripMargin,

@@ -252,6 +252,40 @@ object Ts {
   }
 
   /**
+   * Read-your-writes range query: sealed store chunks UNION the open
+   * (not yet sealed) tail of raw points — the reference README's
+   * "serve queries mid-stream" further-work item (a dashboard's
+   * last-2h panel must see points the sealer still holds).
+   *
+   * `open` is a point frame (`seriesCols*, ts: long, v: double`), e.g.
+   * the streaming source's unflushed tail. Exactly-once is structural,
+   * not caller-enforced: each series' SEALED HORIZON (max stored
+   * point-level `max_ts` — a stat-column aggregate, zero chunk bytes
+   * read) gates the open side, so re-presenting already-sealed points
+   * in `open` can never double-count. This is the Gorilla seal
+   * contract (blocks close in time order per series) expressed as a
+   * filter: open contributes strictly AFTER the horizon.
+   *
+   * Scale shape: the sealed side is the normal pruned store scan; the
+   * horizon is one row per series (AQE broadcasts it onto the open
+   * tail); the open side is micro-batch-sized, never history-sized.
+   */
+  def liveRange(chunks: DataFrame, open: DataFrame, seriesCols: Seq[String],
+                fromSec: Long, toSec: Long): DataFrame = {
+    val sealedRows = rangeQuery(chunks, seriesCols, fromSec, toSec)
+    val horizon = chunks.groupBy(seriesCols.map(col): _*)
+      .agg(max("max_ts").as("__horizon"))
+    val tail = open
+      .select(seriesCols.map(col) :+ col("ts").cast("long").as("ts") :+
+        col("v").cast("double").as("v"): _*)
+      .join(horizon, seriesCols, "left")
+      .filter(col("__horizon").isNull || col("ts") > col("__horizon"))
+      .filter(col("ts") >= fromSec && col("ts") <= toSec)
+      .drop("__horizon")
+    sealedRows.unionByName(tail)
+  }
+
+  /**
    * Compressed-domain range aggregate: count/min/max/fixed-point-sum
    * over `[fromSec, toSec]` per series, WITHOUT materializing points.
    *

@@ -146,6 +146,39 @@ class StreamIngestSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("live range = sealed store + open tail, exactly-once under replay overlap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp, Double)]
+    val path = java.nio.file.Files.createTempDirectory("graft-live").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-live-ck").toString
+    val q = StreamIngest.writeChunksPerBatch(
+      input.toDF().toDF("series", "ts", "v"), Seq("series"), "ts", "v",
+      s"$path/store", ckpt).start()
+    try {
+      val w0 = 1700006400L
+      // sealed: what the sink has flushed so far
+      val sealedPts = Seq(("cpu", w0 + 10, 1.0), ("cpu", w0 + 30, 2.0),
+        ("mem", w0 + 20, 5.0))
+      input.addData(sealedPts.map { case (s0, t, v) => (s0, ts(t), v) }: _*)
+      q.processAllAvailable()
+      val store = graft.tsdb.Ts.readStore(spark, s"$path/store")
+      // open: the unsealed tail PLUS a replay of already-sealed points
+      // (the horizon guard must drop those) and a brand-new series
+      val openPts = Seq(("cpu", w0 + 30, 2.0), ("cpu", w0 + 40, 3.0),
+        ("mem", w0 + 10, 4.0), ("gpu", w0 + 50, 9.0))
+      val open = openPts.toDF("series", "ts", "v")
+      val live = graft.tsdb.Ts.liveRange(store, open, Seq("series"),
+          w0, w0 + 7200)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      // ground truth: a plain range scan over sealed ∪ genuinely-new
+      // (the mem replay at w0+10 is BEFORE mem's horizon => dropped)
+      val want = (sealedPts ++ Seq(("cpu", w0 + 40, 3.0), ("gpu", w0 + 50, 9.0)))
+        .toSet
+      assert(live == want.map(t => (t._1, t._2, t._3)))
+    } finally q.stop()
+  }
+
   test("streaming first-arrival dedup matches the batch stream_dedup survivors") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
