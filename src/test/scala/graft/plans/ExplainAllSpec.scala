@@ -1,0 +1,89 @@
+package graft.plans
+
+import graft.{SparkEntry, SparkTestSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Plan-shape snapshots for the most expensive queries in the suite,
+ * so a physical-plan regression (a lost broadcast, a regained shuffle,
+ * a dropped pushdown, a re-doubled store decode) is caught by
+ * `sbt test` — not discovered two rounds later in the bench numbers.
+ *
+ * The pinned numbers are the INTENDED plan, not an accident of the
+ * snapshot: every entry documents why its count is what it is. A
+ * failing entry means either a real regression or an intentional
+ * plan change — update the expectation ONLY with a reason.
+ */
+class ExplainAllSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val dir = "/root/testdata/sf0.001"
+
+  /** (shuffle exchanges, broadcast exchanges, gorilla_decode calls) of
+    * the pre-execution physical plan. AQE may coalesce at runtime, but
+    * the initial plan is what the optimizer committed to. */
+  private def shape(name: String): (Int, Int, Int) = {
+    val plan = SparkEntry.queries(name)(spark, dir).queryExecution
+      .executedPlan.toString
+    val shuffles = "(?m)^[^\\n]*\\bExchange (hash|range|Single)".r
+      .findAllIn(plan).size
+    val bcasts = "BroadcastExchange".r.findAllIn(plan).size
+    val decodes = "gorilla_decode".r.findAllIn(plan).size
+    (shuffles, bcasts, decodes)
+  }
+
+  test("plan-shape snapshots of the expensive queries hold") {
+    // name -> (shuffles, broadcasts, decode-call sites), with the why
+    val expected = Map(
+      // one shuffle into the window (series partition), one for the
+      // final orderBy; ONE decode of the persisted store — the round-4
+      // double-decode (stats groupBy + join-back probe, two full store
+      // scans) must never come back
+      "ts_store_anomaly" -> (2, 0, 1),
+      // same single-pass shape off the in-memory chunk lineage
+      "ts_anomaly" -> (3, 0, 1),
+      // decode-free: ChunkAggRule answers count/min/max/sum_cents from
+      // per-chunk partials (encode repartition + agg + orderBy; ZERO
+      // decode call sites in the plan)
+      "ts_points_agg" -> (3, 0, 0),
+      // dims broadcast, fact scan never shuffles pre-agg: 2 shuffles
+      // (agg + orderBy), 5 broadcasts (region/nation/customer/supplier
+      // dim chain) — the round-4 "2x drift" suspect; the pinned plan
+      // proves it never changed
+      "q5_join" -> (2, 5, 0),
+      // TakeOrdered top-k: agg shuffle only, no global sort exchange
+      "q3_topk" -> (1, 2, 0),
+      // scan -> partial agg -> final agg -> single-row result: 1
+      // shuffle, no joins at all, filters pushed (asserted separately)
+      "q6_filter" -> (1, 0, 0),
+      // the salt's POINT is a shuffle join: both table sides shuffle on
+      // (key, salt), then agg + orderBy; NO broadcast (the salt only
+      // de-skews an exchange that exists)
+      "q_skew_join" -> (5, 0, 0),
+      // IVF probe/scan/rerank off the persisted model store: corpus
+      // assignment is a kernel scan (no crossJoin — plan-asserted in
+      // OpsSpec), candidate + rerank joins drive 3 shuffles, small
+      // sides broadcast
+      "sim_ann_ivf" -> (3, 3, 0),
+      // list-restricted ADC scan + rerank: LUT/centroid/query sides
+      // broadcast (6), candidate/codes/approx-topk joins shuffle (5)
+      "sim_ann_ivfpq" -> (5, 6, 0),
+      // LSH -> verify -> fixpoint components head plan (the fixpoint
+      // itself re-plans per round behind localCheckpoint barriers)
+      "dedup_apply" -> (8, 1, 0))
+    val failures = expected.flatMap { case (name, want) =>
+      val got = shape(name)
+      if (got != want)
+        Some(s"$name: expected (shuffles, bcasts, decodes)=$want, got $got")
+      else None
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  test("q6 scan keeps its pushed filters (regression gate on pushdown)") {
+    val plan = SparkEntry.queries("q6_filter")(spark, dir).queryExecution
+      .executedPlan.toString
+    assert(plan.contains("PushedFilters: ["), s"no pushed filters:\n$plan")
+    assert("PushedFilters: \\[[^\\]]*GreaterThanOrEqual".r.findFirstIn(plan).isDefined,
+      s"range predicate not pushed:\n$plan")
+  }
+}
