@@ -19,7 +19,7 @@ package object functions {
   import graft.functions.{CosineSimExpr, GorillaChunkAgg, GorillaChunkAggRange, GorillaDecode,
     GorillaDecodeTimestamps, GorillaDecodeValues, GorillaEncode, GorillaEncodeValues,
     GorillaIsValid, GorillaNumPoints, HashSetSortedExpr, HyperplaneBucketsExpr, MinHashExpr,
-    MinHashFromHashesExpr, ShingleHashesExpr, SimHashExpr, SimHashTextExpr,
+    MinHashFromHashesExpr, MisraGriesAgg, ShingleHashesExpr, SimHashExpr, SimHashTextExpr,
     SortedIntersectCountExpr, Sq8DotExpr, Sq8EncodeExpr, VecDotExpr, VecL2SqExpr,
     WordNgramsExpr}
 
@@ -39,6 +39,9 @@ package object functions {
     "gorilla_is_valid" -> (es => GorillaIsValid(es(0))),
     // minhash(shingles, k): k must be a foldable int literal
     "minhash" -> (es => MinHashExpr(es(0),
+      es(1).eval(null).asInstanceOf[Number].intValue())),
+    // misra_gries(item, k): mergeable heavy-hitters sketch aggregate
+    "misra_gries" -> (es => MisraGriesAgg(es(0),
       es(1).eval(null).asInstanceOf[Number].intValue())),
     "simhash" -> (es => SimHashExpr(es(0))),
     "simhash_text" -> (es => SimHashTextExpr(es(0))),
@@ -94,6 +97,8 @@ package object functions {
   def sq8_dot(a: Column, b: Column): Column = call_function("sq8_dot", a, b)
   def minhash(shingles: Column, k: Int): Column =
     call_function("minhash", shingles, org.apache.spark.sql.functions.lit(k))
+  def misra_gries(item: Column, k: Int): Column =
+    call_function("misra_gries", item, org.apache.spark.sql.functions.lit(k))
   def simhash(tokens: Column): Column = call_function("simhash", tokens)
   def simhash_text(text: Column): Column = call_function("simhash_text", text)
   def cosine_sim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)

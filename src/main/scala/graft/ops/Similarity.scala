@@ -21,17 +21,34 @@ object Similarity {
     * one-pass kernel, numerically identical to the three-sum SQL form. */
   def cosine(a: Column, b: Column): Column = graft.functions.cosine_sim(a, b)
 
-  /** Exact top-k neighbors for each query vector (brute force). */
+  /** Exact top-k neighbors for each query vector (brute force). The
+    * QUERY side broadcasts (it is the bounded one); the corpus is the
+    * scan — broadcasting the corpus would cap it at driver memory. */
   def bruteTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
                 vecCol: String, k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
     val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
-    val scored = q.join(broadcast(c), col("q_id") =!= col("n_id"))
+    val scored = c.join(broadcast(q), col("q_id") =!= col("n_id"))
       .withColumn("cos", cosine(col("q_vec"), col("n_vec")))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("q_id", "rank", "n_id", "cos")
+  }
+
+  /** Cosine range search: every corpus neighbor with cosine >= the
+    * threshold, per query — the radius dual of [[bruteTopK]] (retrieval
+    * wants "all sufficiently similar", dedup wants "the k closest").
+    * Brute scan = the exact baseline; at scale, feed [[annCandidates]]
+    * through the same threshold filter for the bucketed path. */
+  def rangeSearch(queries: DataFrame, corpus: DataFrame, idCol: String,
+                  vecCol: String, threshold: Double): DataFrame = {
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+    c.join(broadcast(q), col("q_id") =!= col("n_id"))
+      .withColumn("cos", cosine(col("q_vec"), col("n_vec")))
+      .filter(col("cos") >= threshold)
+      .select("q_id", "n_id", "cos")
   }
 
   /** All near-duplicate pairs with cosine >= threshold within id < maxId. */

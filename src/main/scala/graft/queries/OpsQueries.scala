@@ -79,6 +79,27 @@ object OpsQueries {
       Similarity.bruteTopK(e.filter(col("vec_id") < 10), e, "vec_id", "embedding", 5)
         .orderBy("q_id", "rank")
     }),
+    // radius dual of sim_topk: ALL neighbors above a similarity
+    // threshold per query (retrieval wants "sufficiently similar",
+    // not "k closest"); query side broadcasts, corpus is the scan
+    "sim_range_search" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      Similarity.rangeSearch(e.filter(col("vec_id") < 10), e, "vec_id", "embedding",
+        threshold = 0.3).orderBy("q_id", "n_id")
+    }),
+    // corpus-dominant tokens from ONE mergeable fixed-state sketch
+    // (misra_gries TypedImperativeAggregate): no full-vocabulary
+    // shuffle — the 100 TB boilerplate/stopword detector (rows-only:
+    // reported counts are guarantee-banded lower bounds; the
+    // superset + error-bound guarantees are pinned in OpsSpec)
+    "text_heavy_hitters" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .agg(graft.functions.misra_gries(col("w"), 64).as("hh"))
+        .select(posexplode(col("hh")))
+        .filter(col("pos") < 10)
+        .select((col("pos") + 1).as("rank"), col("col.item").as("term"),
+          col("col.lower_count").as("lower_count"))),
     "sim_ann_lsh" -> ((s, dir) =>
       Similarity.annTopK(Tables(s, dir, "embeddings"), "vec_id", "embedding",
         k = 5).orderBy("q_id", "rank")),
@@ -328,6 +349,12 @@ object OpsQueries {
       |WHERE a.vec_id < b.vec_id AND a.vec_id < 1000 AND b.vec_id < 1000
       |  AND ${cosSql("a.embedding", "b.embedding")} >= 0.45
       |ORDER BY a_id, b_id""".stripMargin,
+    "sim_range_search" -> s"""SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+      |  ${cosSql("q.embedding", "n.embedding")} AS cos
+      |FROM embeddings q, embeddings n
+      |WHERE q.vec_id < 10 AND n.vec_id != q.vec_id
+      |  AND ${cosSql("q.embedding", "n.embedding")} >= 0.3
+      |ORDER BY q_id, n_id""".stripMargin,
     "sim_topk" -> s"""SELECT q_id, rank, n_id, cos FROM (
       |  SELECT q.vec_id AS q_id, n.vec_id AS n_id,
       |    ${cosSql("q.embedding", "n.embedding")} AS cos,

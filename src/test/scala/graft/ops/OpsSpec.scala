@@ -204,6 +204,41 @@ class OpsSpec extends AnyFunSuite {
       "crossJoin survived in IVF centroid training")
   }
 
+  test("misra_gries: superset of true heavy hitters, counts within N/k") {
+    import spark.implicits._
+    val words = docs.select(explode(split(col("text"), " ")).as("w"))
+    val n = words.count()
+    val k = 64
+    val exact = words.groupBy("w").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sketch = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .agg(graft.functions.misra_gries(col("w"), k).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.item"), col("e.lower_count"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sketch.size <= k - 1, s"state exceeded k-1: ${sketch.size}")
+    // every item with true count > N/k must be present
+    val mustHave = exact.filter { case (_, c) => c > n / k }
+    assert(mustHave.nonEmpty, "test corpus should have heavy hitters")
+    val missed = mustHave.keySet -- sketch.keySet
+    assert(missed.isEmpty, s"guaranteed heavy hitters missed: $missed")
+    // reported counts are lower bounds within N/k of truth
+    sketch.foreach { case (w, c) =>
+      val t = exact.getOrElse(w, 0L)
+      assert(c <= t, s"'$w': reported $c exceeds true $t")
+      assert(t - c <= n / k, s"'$w': error ${t - c} above N/k=${n / k}")
+    }
+    // merge-order robustness: a 1-partition fold obeys the same bounds
+    val one = docs.coalesce(1)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .agg(graft.functions.misra_gries(col("w"), k).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.item"), col("e.lower_count"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert((mustHave.keySet -- one.keySet).isEmpty)
+  }
+
   test("decontaminate: hot-gram cap leaves flags unchanged below the cap") {
     val train = docs.filter(col("doc_id") < 450)
     val bench = docs.filter(col("doc_id") >= 450)
