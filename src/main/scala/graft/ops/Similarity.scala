@@ -516,16 +516,29 @@ object Similarity {
 
   // === persisted ANN models: train once, query many =================
 
+  /** Everything a query needs from a [[writeModels]] store: the
+    * bounded model tables (materialized — broadcastable) AND the
+    * ENCODED CORPUS (lists / codes — parquet scans, corpus-sized but
+    * a few percent of the raw vector bytes). Query paths that read
+    * codes from here never touch corpus floats until the rerank. */
+  final case class AnnIndex(centroids: DataFrame, books: DataFrame,
+                            resBooks: DataFrame, lists: DataFrame,
+                            codes: DataFrame, resCodes: DataFrame,
+                            sq8Codes: DataFrame, maxAbs: Double)
+
   /**
    * Train every ANN model table ONCE and persist them as parquet under
    * `path`: `centroids/` (IVF), `codebooks/` (PQ on raw vectors),
    * `res_codebooks/` (PQ on per-list residuals — see
-   * [[ivfPqResidualTopKWith]]), plus a `_SUCCESS` marker after all
-   * three land. This is the chunk-store treatment applied to ANN: a
-   * user issuing two queries must not pay (or risk diverging) training
-   * twice, and at 100 TB the Lloyd rounds are an ingest-time job, not
-   * a query tax. Readers get bounded tables (≤ nlist / m·ksub rows)
-   * they can broadcast.
+   * [[ivfPqResidualTopKWith]]), the sq8 corpus scale — AND the encoded
+   * corpus itself: `lists/` (id, cluster), `codes/` (id, j, code),
+   * `res_codes/` (id, cluster, j, code), `sq8_codes/` (id, int8
+   * bytes). A `_SUCCESS` marker lands after everything. This is the
+   * chunk-store treatment applied to ANN end-to-end: training AND
+   * encoding are ingest-time jobs, so the query path reads codes —
+   * ~1–3% of the raw vector bytes — instead of re-encoding 100 TB of
+   * floats per query. Model tables stay bounded (≤ nlist / m·ksub
+   * rows) and broadcastable.
    */
   def writeModels(embeddings: DataFrame, idCol: String, vecCol: String,
                   path: String, nlist: Int = 16, m: Int = 8, ksub: Int = 16,
@@ -539,18 +552,43 @@ object Similarity {
     fsOut.delete(new org.apache.hadoop.fs.Path(path, "_SUCCESS"), false)
     val centroids = materialize(ivfCentroids(embeddings, idCol, vecCol, nlist, iters))
     centroids.write.mode("overwrite").parquet(s"$path/centroids")
-    pqCodebooks(embeddings, idCol, vecCol, m, ksub, iters)
-      .write.mode("overwrite").parquet(s"$path/codebooks")
-    residualCodebooks(embeddings, idCol, vecCol, centroids, m, ksub, iters)
-      .write.mode("overwrite").parquet(s"$path/res_codebooks")
+    val books = materialize(pqCodebooks(embeddings, idCol, vecCol, m, ksub, iters))
+    books.write.mode("overwrite").parquet(s"$path/codebooks")
+    val resBooks = materialize(
+      residualCodebooks(embeddings, idCol, vecCol, centroids, m, ksub, iters))
+    resBooks.write.mode("overwrite").parquet(s"$path/res_codebooks")
     val spark = embeddings.sparkSession
-    spark.createDataFrame(Seq(Tuple1(sq8Scale(embeddings, idCol, vecCol))))
+    val maxAbs = sq8Scale(embeddings, idCol, vecCol)
+    spark.createDataFrame(Seq(Tuple1(maxAbs)))
       .toDF("max_abs").coalesce(1)
       .write.mode("overwrite").parquet(s"$path/sq8")
+    // the encoded corpus: one kernel pass each, written once
+    val e = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    assign(e, centroids).write.mode("overwrite").parquet(s"$path/lists")
+    pqEncode(embeddings, idCol, vecCol, books, m)
+      .write.mode("overwrite").parquet(s"$path/codes")
+    residualEncode(embeddings, idCol, vecCol, centroids, resBooks, m)
+      .write.mode("overwrite").parquet(s"$path/res_codes")
+    e.select(col("id"), graft.functions.sq8_encode(col("vec"),
+        lit(127.0 / maxAbs)).as("code"))
+      .write.mode("overwrite").parquet(s"$path/sq8_codes")
     // marker AFTER all model tables: a half-written model dir (crash
     // between writes) must read as absent, not as a partial model
     fsOut.create(new org.apache.hadoop.fs.Path(path, "_SUCCESS"), true).close()
   }
+
+  /** Read the complete index: bounded model tables materialized, the
+    * encoded corpus left as parquet scans. */
+  def readIndex(spark: SparkSession, path: String): AnnIndex =
+    AnnIndex(
+      materialize(spark.read.parquet(s"$path/centroids")),
+      materialize(spark.read.parquet(s"$path/codebooks")),
+      materialize(spark.read.parquet(s"$path/res_codebooks")),
+      spark.read.parquet(s"$path/lists"),
+      spark.read.parquet(s"$path/codes"),
+      spark.read.parquet(s"$path/res_codes"),
+      spark.read.parquet(s"$path/sq8_codes"),
+      readSq8Scale(spark, path))
 
   /** True when a [[writeModels]] store at `path` is complete. */
   def modelsExist(spark: SparkSession, path: String): Boolean = {
@@ -571,6 +609,117 @@ object Similarity {
   /** The persisted SQ8 corpus scale (max |component|). */
   def readSq8Scale(spark: SparkSession, path: String): Double =
     spark.read.parquet(s"$path/sq8").first().getDouble(0)
+
+  // === query paths over the FULLY persisted index ===================
+  // (probe + code-scan + rerank only: no corpus encode, no assignment
+  // pass — the corpus floats are touched exactly once, at the bounded
+  // exact-cosine rerank)
+
+  /** IVF top-k off persisted lists: probe centroids, scan only the
+    * probed inverted lists, rerank exactly. */
+  def ivfTopKStored(idx: AnnIndex, embeddings: DataFrame, queries: DataFrame,
+                    idCol: String, vecCol: String, k: Int,
+                    nprobe: Int = 4): DataFrame = {
+    val e = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val q = queries.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val cand = probeLists(q, idx.centroids, nprobe)
+      .join(idx.lists.toDF("n_id", "cluster"), Seq("cluster"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select("q_id", "n_id").distinct()
+    rerankExact(cand, q, e, k)
+  }
+
+  /** PQ ADC top-k off persisted codes: the corpus scan reads m small
+    * ints per vector from parquet — never the float arrays. */
+  def pqTopKStored(idx: AnnIndex, embeddings: DataFrame, queries: DataFrame,
+                   idCol: String, vecCol: String, k: Int, m: Int = 8,
+                   rerankFactor: Int = 4): DataFrame = {
+    val e = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val q = queries.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val lut = adcLut(q, idx.books, m)
+    val approx = idx.codes.toDF("n_id", "j", "code")
+      .join(broadcast(lut), Seq("j", "code"))
+      .filter(col("q_id") =!= col("n_id"))
+      .groupBy("q_id", "n_id").agg(sum("pdot").as("approx_dot"))
+    rerankExact(topApprox(approx, k * rerankFactor), q, e, k)
+  }
+
+  /** IVF-PQ top-k off persisted lists + codes. */
+  def ivfPqTopKStored(idx: AnnIndex, embeddings: DataFrame, queries: DataFrame,
+                      idCol: String, vecCol: String, k: Int, nprobe: Int = 4,
+                      m: Int = 8, rerankFactor: Int = 4): DataFrame = {
+    val e = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val q = queries.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val cand = probeLists(q, idx.centroids, nprobe)
+      .join(idx.lists.toDF("n_id", "cluster"), Seq("cluster"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select("q_id", "n_id")
+    val approx = cand.join(idx.codes.toDF("n_id", "j", "code"), Seq("n_id"))
+      .join(broadcast(adcLut(q, idx.books, m)), Seq("q_id", "j", "code"))
+      .groupBy("q_id", "n_id").agg(sum("pdot").as("approx_dot"))
+    rerankExact(topApprox(approx, k * rerankFactor), q, e, k)
+  }
+
+  /** Residual IVF-PQ top-k off persisted residual codes (which carry
+    * the list assignment, so no assignment pass is needed). */
+  def ivfPqResidualTopKStored(idx: AnnIndex, embeddings: DataFrame,
+                              queries: DataFrame, idCol: String, vecCol: String,
+                              k: Int, nprobe: Int = 4, m: Int = 8,
+                              rerankFactor: Int = 4): DataFrame = {
+    val e = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val q = queries.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val codes = idx.resCodes.toDF("n_id", "cluster", "j", "code")
+    val cand = probeLists(q, idx.centroids, nprobe)
+      .join(codes.select("n_id", "cluster").distinct(), Seq("cluster"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select("q_id", "n_id", "cluster")
+    val lut = adcLut(q, idx.resBooks, m)
+    val qc = q.crossJoin(broadcast(idx.centroids))
+      .select(col("id").as("q_id"), col("cluster"),
+        dot(col("vec"), col("centroid")).as("c_dot"))
+    val approx = cand.join(codes.select("n_id", "j", "code"), Seq("n_id"))
+      .join(broadcast(lut), Seq("q_id", "j", "code"))
+      .groupBy("q_id", "n_id", "cluster").agg(sum("pdot").as("r_dot"))
+      .join(broadcast(qc), Seq("q_id", "cluster"))
+      .select(col("q_id"), col("n_id"), (col("c_dot") + col("r_dot")).as("approx_dot"))
+    rerankExact(topApprox(approx, k * rerankFactor), q, e, k)
+  }
+
+  /** SQ8 top-k off persisted int8 codes: the scan reads ¼ the float
+    * bytes from parquet, scores with exact integer dots. */
+  def sq8TopKStored(idx: AnnIndex, embeddings: DataFrame, queries: DataFrame,
+                    idCol: String, vecCol: String, k: Int,
+                    rerankFactor: Int = 4): DataFrame = {
+    val e = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val q = queries.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    import graft.functions.{sq8_dot, sq8_encode}
+    val qcodes = q.select(col("id").as("q_id"),
+      sq8_encode(col("vec"), lit(127.0 / idx.maxAbs)).as("q_code"))
+    val approx = idx.sq8Codes.toDF("n_id", "n_code")
+      .join(broadcast(qcodes), col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        sq8_dot(col("q_code"), col("n_code")).cast("double").as("approx_dot"))
+    rerankExact(topApprox(approx, k * rerankFactor), q, e, k)
+  }
+
+  /** IVF-SQ8 top-k off persisted lists + int8 codes. */
+  def ivfSq8TopKStored(idx: AnnIndex, embeddings: DataFrame, queries: DataFrame,
+                       idCol: String, vecCol: String, k: Int, nprobe: Int = 4,
+                       rerankFactor: Int = 4): DataFrame = {
+    val e = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val q = queries.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    import graft.functions.{sq8_dot, sq8_encode}
+    val qcodes = q.select(col("id").as("q_id"),
+      sq8_encode(col("vec"), lit(127.0 / idx.maxAbs)).as("q_code"))
+    val approx = probeLists(q, idx.centroids, nprobe)
+      .join(idx.lists.toDF("n_id", "cluster"), Seq("cluster"))
+      .join(idx.sq8Codes.toDF("n_id", "n_code"), Seq("n_id"))
+      .join(broadcast(qcodes), Seq("q_id"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        sq8_dot(col("q_code"), col("n_code")).cast("double").as("approx_dot"))
+    rerankExact(topApprox(approx, k * rerankFactor), q, e, k)
+  }
 
   // === residual IVF-PQ ==============================================
 

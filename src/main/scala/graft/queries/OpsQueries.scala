@@ -20,15 +20,17 @@ object OpsQueries {
   private val docCols = Seq("doc_id", "text")
 
   /**
-   * The persisted ANN model store for a data dir: train ONCE (first
-   * call per corpus fingerprint runs the k-means jobs and writes the
-   * centroid/codebook parquet tables), then every ANN query reads the
-   * bounded model tables — the chunk-store ingest-once shape applied
-   * to ANN. Two queries against the same corpus now pay training once
-   * and can never see different models.
+   * The persisted ANN index for a data dir: train AND encode ONCE
+   * (first call per corpus fingerprint runs the k-means jobs and
+   * writes centroids/codebooks PLUS the encoded corpus — lists, PQ
+   * codes, residual codes, int8 codes), then every ANN query is pure
+   * probe/code-scan/rerank — the chunk-store ingest-once shape applied
+   * to ANN end-to-end. Two queries against the same corpus pay
+   * training once and can never see different models; at 100 TB the
+   * query path reads a few percent of the raw vector bytes.
    */
-  def storeModels(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) =
-    Similarity.readModels(s, storeModelPath(s, dir))
+  def storeModels(s: SparkSession, dir: String): Similarity.AnnIndex =
+    Similarity.readIndex(s, storeModelPath(s, dir))
 
   /** Ensure the model store for `dir` is trained, and return its path. */
   def storeModelPath(s: SparkSession, dir: String): String = synchronized {
@@ -40,12 +42,13 @@ object OpsQueries {
 
   /** Cache key: input dir + total bytes+mtimes of the embeddings
     * table, so a regenerated test dir never reads stale models (the
-    * `m2` suffix versions the store layout — it gained the sq8 scale). */
+    * `m3` suffix versions the store layout — it gained the encoded
+    * corpus: lists, PQ/residual/int8 codes). */
   private def modelPath(dir: String): String = {
     val src = new java.io.File(s"$dir/embeddings.parquet")
     val files = if (src.isDirectory) src.listFiles().toSeq else Seq(src)
     val fp = files.filter(_.isFile).map(f => f.length() + f.lastModified()).sum
-    s"/tmp/graft_models/${dir.replaceAll("[^A-Za-z0-9.]", "_")}_${java.lang.Long.toHexString(fp)}_m2"
+    s"/tmp/graft_models/${dir.replaceAll("[^A-Za-z0-9.]", "_")}_${java.lang.Long.toHexString(fp)}_m3"
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -103,60 +106,55 @@ object OpsQueries {
     "sim_ann_lsh" -> ((s, dir) =>
       Similarity.annTopK(Tables(s, dir, "embeddings"), "vec_id", "embedding",
         k = 5).orderBy("q_id", "rank")),
-    // IVF ANN off the PERSISTED model store (train-once/query-many):
-    // the query path is probe -> list scan -> exact rerank only
+    // IVF ANN off the FULLY persisted index (train+encode once): the
+    // query path is probe -> persisted-list scan -> exact rerank only
     "sim_ann_ivf" -> ((s, dir) => {
       val e = Tables(s, dir, "embeddings")
-      val (centroids, _, _) = storeModels(s, dir)
-      Similarity.ivfTopKWith(centroids, e, e.filter(col("vec_id") < 10),
+      Similarity.ivfTopKStored(storeModels(s, dir), e, e.filter(col("vec_id") < 10),
         "vec_id", "embedding", k = 5).orderBy("q_id", "rank")
     }),
-    // PQ ANN: codes-only ADC scan + exact rerank off persisted
-    // codebooks (rows-only: recall pinned vs brute force in OpsSpec;
-    // the hash-seeded codebooks are not SQL-expressible)
+    // PQ ANN: ADC scan over PERSISTED codes (the corpus floats are
+    // never read before the rerank) + exact rerank (rows-only: recall
+    // pinned vs brute force in OpsSpec; hash-seeded codebooks are not
+    // SQL-expressible)
     "sim_ann_pq" -> ((s, dir) => {
       val e = Tables(s, dir, "embeddings")
-      val (_, books, _) = storeModels(s, dir)
-      Similarity.pqTopKWith(books, e, e.filter(col("vec_id") < 10),
+      Similarity.pqTopKStored(storeModels(s, dir), e, e.filter(col("vec_id") < 10),
         "vec_id", "embedding", k = 5).orderBy("q_id", "rank")
     }),
-    // IVF-PQ composition: list-restricted candidate scan scored by
-    // codes, exact rerank (rows-only: recall pinned vs brute in OpsSpec)
+    // IVF-PQ composition: persisted-list-restricted candidate scan
+    // scored by persisted codes, exact rerank (rows-only: recall
+    // pinned vs brute in OpsSpec)
     "sim_ann_ivfpq" -> ((s, dir) => {
       val e = Tables(s, dir, "embeddings")
-      val (centroids, books, _) = storeModels(s, dir)
-      Similarity.ivfPqTopKWith(centroids, books, e, e.filter(col("vec_id") < 10),
+      Similarity.ivfPqTopKStored(storeModels(s, dir), e, e.filter(col("vec_id") < 10),
         "vec_id", "embedding", k = 5).orderBy("q_id", "rank")
     }),
     // residual IVF-PQ: vectors quantized as centroid + PQ(v - centroid)
-    // — the billion-scale accuracy variant; same probe/ADC/rerank plan
-    // (rows-only: recall floor + >= non-residual recall in OpsSpec)
+    // — the billion-scale accuracy variant; persisted residual codes
+    // carry the list assignment (rows-only: recall floor + >=
+    // non-residual recall in OpsSpec)
     "sim_ann_ivfpq_res" -> ((s, dir) => {
       val e = Tables(s, dir, "embeddings")
-      val (centroids, _, resBooks) = storeModels(s, dir)
-      Similarity.ivfPqResidualTopKWith(centroids, resBooks, e,
+      Similarity.ivfPqResidualTopKStored(storeModels(s, dir), e,
         e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
         .orderBy("q_id", "rank")
     }),
-    // int8 scalar-quantized scan: ¼ the scan bytes of floats, exact
-    // integer scoring (bit-stable), exact-cosine rerank on top; the
-    // corpus scale comes from the persisted model store — no corpus
-    // pass on the query path (rows-only: recall pinned in OpsSpec)
+    // int8 scalar-quantized scan over PERSISTED codes: ¼ the scan
+    // bytes of floats, exact integer scoring (bit-stable), exact
+    // rerank on top (rows-only: recall pinned in OpsSpec)
     "sim_ann_sq8" -> ((s, dir) => {
       val e = Tables(s, dir, "embeddings")
-      val scale = Similarity.readSq8Scale(s, storeModelPath(s, dir))
-      Similarity.sq8TopKWith(scale, e, e.filter(col("vec_id") < 10),
+      Similarity.sq8TopKStored(storeModels(s, dir), e, e.filter(col("vec_id") < 10),
         "vec_id", "embedding", k = 5).orderBy("q_id", "rank")
     }),
-    // IVF-SQ8: probe-restricted candidate lists scored by int8 codes —
-    // the FAISS IVF-SQ rung between IVF-flat and IVF-PQ
+    // IVF-SQ8: probe-restricted persisted lists scored by persisted
+    // int8 codes — the FAISS IVF-SQ rung between IVF-flat and IVF-PQ
     // (rows-only: recall floor vs brute pinned in OpsSpec)
     "sim_ann_ivfsq8" -> ((s, dir) => {
       val e = Tables(s, dir, "embeddings")
-      val path = storeModelPath(s, dir)
-      val (centroids, _, _) = storeModels(s, dir)
-      Similarity.ivfSq8TopKWith(centroids, Similarity.readSq8Scale(s, path),
-        e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+      Similarity.ivfSq8TopKStored(storeModels(s, dir), e,
+        e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
         .orderBy("q_id", "rank")
     }),
     "text_langid" -> ((s, dir) =>

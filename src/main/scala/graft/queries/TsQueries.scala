@@ -308,13 +308,21 @@ object TsQueries {
     // most 1 h earlier (event analytics on the same single-shuffle
     // as-of join), rolled up to daily conversions / users / revenue
     "ts_funnel" -> ((s, dir) => {
-      val pts = points(s, dir)
-      val purchases = pts.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("ts"), col("v"))
-      val clicks = pts.filter(col("event_type") === "click")
-        .select(col("user_id"), col("ts"))
-      Ts.asofJoin(purchases, clicks, Seq("user_id"), "ts", "ts")
-        .filter(col("right_ts").isNotNull && col("ts") - col("right_ts") <= 3600)
+      // as-of attribution as ONE tagged scan: clicks sort before
+      // purchases at equal ts (kind 0 < 1 => '<=' semantics), a
+      // running max carries the latest click ts forward — exactly
+      // Ts.asofJoin's shape, but on a single pass of the decode
+      // lineage (feeding two filtered branches into the union-based
+      // asofJoin executed the chunkify+decode pipeline twice)
+      val w = Window.partitionBy("user_id").orderBy("ts", "__kind")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      points(s, dir)
+        .filter(col("event_type").isin("click", "purchase"))
+        .withColumn("__kind", (col("event_type") === "purchase").cast("int"))
+        .withColumn("__click_ts",
+          max(when(col("__kind") === 0, col("ts"))).over(w))
+        .filter(col("__kind") === 1 && col("__click_ts").isNotNull &&
+          col("ts") - col("__click_ts") <= 3600)
         .groupBy(((col("ts") / 86400).cast("long") * 86400).as("day"))
         .agg(count(lit(1)).as("n_conversions"),
           count_distinct(col("user_id")).as("n_users"),

@@ -182,6 +182,34 @@ class OpsSpec extends AnyFunSuite {
       "ivf centroid training plan must contain no Window")
   }
 
+  test("stored index: code-scan query paths equal their recompute twins") {
+    // the persisted encoded corpus (lists / PQ / residual / int8
+    // codes) must answer every ANN rung identically to encoding the
+    // corpus at query time — same kernels, so same codes, so same
+    // candidates and ranks
+    val path = s"/tmp/graft_models_spec_idx_${System.currentTimeMillis()}"
+    Similarity.writeModels(emb, "vec_id", "embedding", path)
+    val idx = Similarity.readIndex(spark, path)
+    val qs = emb.filter(col("vec_id") < 10)
+    def fmt(df: org.apache.spark.sql.DataFrame): Seq[(Long, Int, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq.sorted
+    assert(fmt(Similarity.ivfTopKStored(idx, emb, qs, "vec_id", "embedding", 5)) ==
+      fmt(Similarity.ivfTopKWith(idx.centroids, emb, qs, "vec_id", "embedding", 5)))
+    assert(fmt(Similarity.pqTopKStored(idx, emb, qs, "vec_id", "embedding", 5)) ==
+      fmt(Similarity.pqTopKWith(idx.books, emb, qs, "vec_id", "embedding", 5)))
+    assert(fmt(Similarity.ivfPqTopKStored(idx, emb, qs, "vec_id", "embedding", 5)) ==
+      fmt(Similarity.ivfPqTopKWith(idx.centroids, idx.books, emb, qs,
+        "vec_id", "embedding", 5)))
+    assert(fmt(Similarity.ivfPqResidualTopKStored(idx, emb, qs, "vec_id", "embedding", 5)) ==
+      fmt(Similarity.ivfPqResidualTopKWith(idx.centroids, idx.resBooks, emb, qs,
+        "vec_id", "embedding", 5)))
+    assert(fmt(Similarity.sq8TopKStored(idx, emb, qs, "vec_id", "embedding", 5)) ==
+      fmt(Similarity.sq8TopKWith(idx.maxAbs, emb, qs, "vec_id", "embedding", 5)))
+    assert(fmt(Similarity.ivfSq8TopKStored(idx, emb, qs, "vec_id", "embedding", 5)) ==
+      fmt(Similarity.ivfSq8TopKWith(idx.centroids, idx.maxAbs, emb, qs,
+        "vec_id", "embedding", 5)))
+  }
+
   test("ivf assign/probe are kernel scans: no crossJoin row amplification") {
     import org.apache.spark.sql.catalyst.plans.logical.Join
     import org.apache.spark.sql.catalyst.plans.Cross

@@ -65,8 +65,11 @@ class ExplainAllSpec extends AnyFunSuite {
       // sides broadcast
       "sim_ann_ivf" -> (3, 3, 0),
       // list-restricted ADC scan + rerank: LUT/centroid/query sides
-      // broadcast (6), candidate/codes/approx-topk joins shuffle (5)
-      "sim_ann_ivfpq" -> (5, 6, 0),
+      // broadcast (6); with lists AND codes read from the persisted
+      // index (round 5) the per-query corpus encode is gone — only the
+      // candidate/ADC-agg/rerank joins shuffle (was 5 when codes were
+      // recomputed per query)
+      "sim_ann_ivfpq" -> (3, 6, 0),
       // LSH -> verify -> fixpoint components head plan (the fixpoint
       // itself re-plans per round behind localCheckpoint barriers)
       "dedup_apply" -> (8, 1, 0))
