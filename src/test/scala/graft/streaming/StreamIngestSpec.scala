@@ -146,6 +146,45 @@ class StreamIngestSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("misra_gries runs as streaming state: guarantees hold across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the sketch's merge IS the streaming state update, so a global
+    // heavy-hitters aggregate needs only k-1 counters of state no
+    // matter how long the stream runs — the guarantees must hold on
+    // the running result exactly as in batch
+    val input = MemoryStream[String]
+    val agg = input.toDF().toDF("w")
+      .agg(graft.functions.misra_gries(col("w"), 8).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.item"), col("e.lower_count"))
+    val q = agg.writeStream.format("memory").queryName("mg_stream")
+      .outputMode("complete").start()
+    try {
+      val batch1 = Seq.fill(30)("the") ++ Seq.fill(20)("of") ++
+        (1 to 25).map(i => s"rare$i")
+      val batch2 = Seq.fill(25)("the") ++ Seq.fill(15)("and") ++
+        (26 to 45).map(i => s"rare$i")
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+      val got = spark.table("mg_stream").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val all = batch1 ++ batch2
+      val exact = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val n = all.size
+      assert(got.size <= 7, s"state exceeded k-1: $got")
+      // every item above N/k present; counts are in-band lower bounds
+      exact.filter(_._2 > n / 8).keySet.foreach { w =>
+        assert(got.contains(w), s"heavy hitter '$w' missing: $got") }
+      got.foreach { case (w, c) =>
+        val t = exact.getOrElse(w, 0L)
+        assert(c <= t && t - c <= n / 8, s"'$w': $c vs true $t, N/k=${n / 8}")
+      }
+    } finally q.stop()
+  }
+
   test("live range = sealed store + open tail, exactly-once under replay overlap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
