@@ -172,13 +172,6 @@ object GorillaCodec {
     else if (java.lang.Double.isInfinite(x)) { if (x > 0) Long.MaxValue else Long.MinValue }
     else BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble.toLong
 
-  /** Spark's nan-safe "greater than" for doubles: NaN sorts above
-    * everything (Spark SQL total order), so chunk min/max partials
-    * agree with Spark Min/Max over the exploded points even when a
-    * chunk carries NaN values. */
-  @inline private def nanGt(a: Double, b: Double): Boolean =
-    (java.lang.Double.isNaN(a) && !java.lang.Double.isNaN(b)) || a > b
-
   def aggregate(bytes: Array[Byte], fixedScale: Double = 0.0,
                 hasFixed: Boolean = false): ChunkAgg = {
     val h = readHeader(bytes)
@@ -191,7 +184,11 @@ object GorillaCodec {
     var minV = Double.PositiveInfinity; var maxV = Double.NegativeInfinity
     var sum = 0.0
     var sumFixed = 0L
-    var first = true
+    // Spark's nan-safe total order (NaN above everything) without
+    // per-iteration NaN tests on both comparands: IEEE min/max over
+    // the non-NaN values in the hot loop, then one post-pass fix-up —
+    // max is NaN when ANY value was NaN, min only when ALL were
+    var sawNaN = false; var sawNonNaN = false
     while (i < h.n) {
       if (tDec != null) {
         val t = tDec.next()
@@ -199,16 +196,17 @@ object GorillaCodec {
         if (t > maxTs) maxTs = t
       }
       val v = vDec.next()
-      if (first) { minV = v; maxV = v; first = false }
+      if (v != v) sawNaN = true
       else {
-        if (nanGt(minV, v)) minV = v
-        if (nanGt(v, maxV)) maxV = v
+        sawNonNaN = true
+        if (v < minV) minV = v
+        if (v > maxV) maxV = v
       }
       sum += v
       if (hasFixed) sumFixed += halfUpFixed(v * fixedScale)
       i += 1
     }
-    if (first) { minV = Double.PositiveInfinity; maxV = Double.NegativeInfinity }
+    if (sawNaN) { maxV = Double.NaN; if (!sawNonNaN) minV = Double.NaN }
     if (tDec == null) { minTs = 0L; maxTs = 0L }
     ChunkAgg(h.n.toLong, minTs, maxTs, minV, maxV, sum, sumFixed)
   }
