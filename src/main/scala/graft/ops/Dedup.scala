@@ -64,6 +64,48 @@ object Dedup {
       .distinct()
   }
 
+  /**
+   * INCREMENTAL near-dup candidates: a new batch (today's crawl)
+   * against the full corpus WITHOUT re-pairing history against itself
+   * — the corpus-maintenance shape. Every emitted pair touches at
+   * least one batch doc: batch×history pairs come from joining the
+   * batch's band buckets against history's (capped) bucket lists,
+   * batch×batch pairs from the normal in-batch LSH. History×history
+   * pairs were settled when history was deduped, so daily maintenance
+   * costs O(batch · avgBucket · bands), not O(corpus²) — at 100 TB the
+   * history side is touched only to hash and bucket it (linear, and a
+   * pre-computed bucket table can stand in for it entirely).
+   * Same hash family as [[minhashLsh]], so candidate completeness at a
+   * given threshold carries over to the incremental pair set.
+   */
+  def minhashLshIncremental(batch: DataFrame, history: DataFrame,
+                            idCol: String, textCol: String,
+                            bands: Int = 16, rowsPerBand: Int = 4,
+                            maxBucket: Int = 1000): DataFrame = {
+    val k = bands * rowsPerBand
+    def banded(docs: DataFrame): DataFrame = {
+      val sig = docs.select(col(idCol).as("id"),
+        graft.functions.minhash_hashes(
+          graft.functions.shingle_hashes(col(textCol), 3), k).as("sig"))
+      sig.select(col("id"), posexplode(
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
+        .toDF("id", "band", "bucket")
+    }
+    val hist = banded(history).groupBy("band", "bucket")
+      .agg(collect_list("id").as("ids"))
+      .filter(size(col("ids")) <= maxBucket)
+    val newOld = banded(batch)
+      .join(hist, Seq("band", "bucket"))
+      .select(col("id"), explode(col("ids")).as("oid"))
+      .select(least(col("id"), col("oid")).as("a_id"),
+        greatest(col("id"), col("oid")).as("b_id"))
+      .distinct()
+    newOld
+      .unionByName(minhashLsh(batch, idCol, textCol, bands, rowsPerBand, maxBucket))
+      .distinct()
+  }
+
   /** Exact Jaccard similarity for given candidate pairs (verify stage).
     * Shingle sets are pre-hashed to sorted longs once per doc; the
     * per-pair work is a linear merge, not string-set construction.

@@ -669,8 +669,11 @@ object Similarity {
     val e = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val q = queries.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val codes = idx.resCodes.toDF("n_id", "cluster", "j", "code")
+    // candidate lists come from the persisted `lists` table (the SAME
+    // centroid assignment residual encoding used) — not a distinct()
+    // over the m×-larger codes table
     val cand = probeLists(q, idx.centroids, nprobe)
-      .join(codes.select("n_id", "cluster").distinct(), Seq("cluster"))
+      .join(idx.lists.toDF("n_id", "cluster"), Seq("cluster"))
       .filter(col("q_id") =!= col("n_id"))
       .select("q_id", "n_id", "cluster")
     val lut = adcLut(q, idx.resBooks, m)

@@ -74,6 +74,19 @@ object OpsQueries {
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(Tables(s, dir, "documents"), "doc_id", "text")
         .orderBy("a_id", "b_id")),
+    // corpus maintenance: dedup TODAY'S batch (doc_id >= 400) against
+    // already-deduped history (< 400) — candidates touch at least one
+    // batch doc, history is never re-paired against itself; verified
+    // with exact jaccard and oracled against brute pairs restricted
+    // to the batch
+    "dedup_incremental" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents").filter(col("doc_id") < 1000)
+      Dedup.jaccardVerify(
+        Dedup.minhashLshIncremental(
+          docs.filter(col("doc_id") >= 400), docs.filter(col("doc_id") < 400),
+          "doc_id", "text"),
+        docs, "doc_id", "text", 0.5).orderBy("a_id", "b_id")
+    }),
     "dedup_embedding" -> ((s, dir) =>
       Similarity.cosinePairs(Tables(s, dir, "embeddings"), "vec_id", "embedding",
         maxId = 1000, threshold = 0.45).orderBy("a_id", "b_id")),
@@ -341,6 +354,17 @@ object OpsQueries {
       |    CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) >= 0.5
       |ORDER BY a_id, b_id""".stripMargin,
     "dedup_components" -> componentsOracleSql,
+    "dedup_incremental" -> s"""WITH $shinglesSql
+      |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |  len(list_intersect(a.s, b.s)) AS n_common,
+      |  len(list_intersect(a.s, b.s)) /
+      |    CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) AS jaccard
+      |FROM sh a, sh b
+      |WHERE a.doc_id < b.doc_id AND a.doc_id < 1000 AND b.doc_id < 1000
+      |  AND (a.doc_id >= 400 OR b.doc_id >= 400)
+      |  AND len(list_intersect(a.s, b.s)) /
+      |    CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) >= 0.5
+      |ORDER BY a_id, b_id""".stripMargin,
     "dedup_embedding" -> s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id,
       |  ${cosSql("a.embedding", "b.embedding")} AS cos
       |FROM embeddings a, embeddings b

@@ -232,6 +232,22 @@ class OpsSpec extends AnyFunSuite {
       "crossJoin survived in IVF centroid training")
   }
 
+  test("incremental LSH equals full LSH restricted to batch-touching pairs") {
+    val history = docs.filter(col("doc_id") < 400)
+    val batch = docs.filter(col("doc_id") >= 400)
+    val inc = pairSet(Dedup.jaccardVerify(
+      Dedup.minhashLshIncremental(batch, history, "doc_id", "text"),
+      docs, "doc_id", "text", 0.5))
+    val full = pairSet(Dedup.jaccardVerify(
+      Dedup.minhashLsh(docs, "doc_id", "text"), docs, "doc_id", "text", 0.5))
+      .filter { case (a, b) => a >= 400 || b >= 400 }
+    assert(inc == full, s"incremental diverged: only-inc=${inc -- full}, " +
+      s"missed=${full -- inc}")
+    assert(inc.nonEmpty, "test corpus should have batch-touching near-dups")
+    // and never a history-only pair
+    assert(inc.forall { case (a, b) => a >= 400 || b >= 400 })
+  }
+
   test("misra_gries: superset of true heavy hitters, counts within N/k") {
     import spark.implicits._
     val words = docs.select(explode(split(col("text"), " ")).as("w"))
