@@ -174,6 +174,12 @@ object GorillaCodec {
 
   def aggregate(bytes: Array[Byte], fixedScale: Double = 0.0,
                 hasFixed: Boolean = false): ChunkAgg = {
+    // Fast path: plain IEEE comparisons, zero NaN bookkeeping in the
+    // loop. Any NaN value forces `sum` to NaN (x + NaN = NaN), so a
+    // non-NaN sum PROVES the chunk had no NaN and IEEE min/max equal
+    // Spark's nan-safe total order. A NaN sum (a NaN value, or a
+    // +Inf/-Inf mix) falls back to one careful re-decode — rare by
+    // construction, and correctness never depends on rarity.
     val h = readHeader(bytes)
     val r = reader(bytes, h)
     val lt = h.variant == VariantLeadTrail
@@ -184,10 +190,40 @@ object GorillaCodec {
     var minV = Double.PositiveInfinity; var maxV = Double.NegativeInfinity
     var sum = 0.0
     var sumFixed = 0L
-    // Spark's nan-safe total order (NaN above everything) without
-    // per-iteration NaN tests on both comparands: IEEE min/max over
-    // the non-NaN values in the hot loop, then one post-pass fix-up —
-    // max is NaN when ANY value was NaN, min only when ALL were
+    while (i < h.n) {
+      if (tDec != null) {
+        val t = tDec.next()
+        if (t < minTs) minTs = t
+        if (t > maxTs) maxTs = t
+      }
+      val v = vDec.next()
+      if (v < minV) minV = v
+      if (v > maxV) maxV = v
+      sum += v
+      if (hasFixed) sumFixed += halfUpFixed(v * fixedScale)
+      i += 1
+    }
+    if (java.lang.Double.isNaN(sum)) return aggregateNanSafe(bytes, fixedScale, hasFixed)
+    if (tDec == null) { minTs = 0L; maxTs = 0L }
+    ChunkAgg(h.n.toLong, minTs, maxTs, minV, maxV, sum, sumFixed)
+  }
+
+  /** The careful variant behind [[aggregate]]'s NaN-sum fallback:
+    * min/max follow Spark's nan-safe total order (max is NaN when ANY
+    * value was NaN, min only when ALL were), so chunk partials agree
+    * with Spark Min/Max over the exploded points. */
+  private def aggregateNanSafe(bytes: Array[Byte], fixedScale: Double,
+                               hasFixed: Boolean): ChunkAgg = {
+    val h = readHeader(bytes)
+    val r = reader(bytes, h)
+    val lt = h.variant == VariantLeadTrail
+    val tDec = if (h.valueOnly) null else new TimestampCodec.Decoder(h.headerTime, r)
+    val vDec = new XorDoubleCodec.Decoder(r, lt)
+    var i = 0
+    var minTs = Long.MaxValue; var maxTs = Long.MinValue
+    var minV = Double.PositiveInfinity; var maxV = Double.NegativeInfinity
+    var sum = 0.0
+    var sumFixed = 0L
     var sawNaN = false; var sawNonNaN = false
     while (i < h.n) {
       if (tDec != null) {

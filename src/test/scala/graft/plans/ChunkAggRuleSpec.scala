@@ -74,7 +74,11 @@ class ChunkAggRuleSpec extends AnyFunSuite {
     val raw = Seq(
       ("a", 7200L, -0.025), ("a", 7260L, Double.NaN), ("a", 7320L, 3.5),
       ("b", 7200L, Double.NaN), ("b", 7260L, Double.NaN),
-      ("c", 7200L, -0.005), ("c", 7260L, 0.005), ("c", 7320L, -7.5e-3))
+      ("c", 7200L, -0.005), ("c", 7260L, 0.005), ("c", 7320L, -7.5e-3),
+      // +Inf/-Inf mix WITHOUT NaN: sum is NaN but min/max are IEEE —
+      // exercises the aggregate's NaN-sum fallback on its no-NaN branch
+      ("d", 7200L, Double.PositiveInfinity), ("d", 7260L, Double.NegativeInfinity),
+      ("d", 7320L, 1.0))
       .toDF("k", "ts", "value")
     val ch = Ts.chunkify(raw, Seq("k"), "ts", "value")
     val p = Ts.unpack(ch, Seq("k"))
@@ -90,6 +94,38 @@ class ChunkAggRuleSpec extends AnyFunSuite {
     val got = q.orderBy("k").collect().toSeq
     val want = blocked.orderBy("k").collect().toSeq
     assert(got.toString == want.toString, s"rewrite diverged:\n got $got\nwant $want")
+  }
+
+  test("fuzz: rewrite equals explode on random values across many chunks") {
+    import spark.implicits._
+    // seeded adversarial mix: ordinary values, exact cent ties of both
+    // signs, tiny magnitudes, and occasional NaN/±Inf — any divergence
+    // between the chunk kernel and Spark's per-point round/cast/min/max
+    // semantics shows up as a row mismatch
+    val rnd = new scala.util.Random(20260813)
+    val special = Array(Double.NaN, Double.PositiveInfinity,
+      Double.NegativeInfinity, -0.025, 0.005, -0.005, 1e-9, -1e-9, 0.0)
+    val rows = (0 until 4000).map { i =>
+      val v = if (rnd.nextInt(20) == 0) special(rnd.nextInt(special.length))
+      else math.rint(rnd.nextDouble() * 2e7 - 1e7) / 100 + rnd.nextDouble() * 1e-4
+      (s"s${i % 7}", 7200L + i * 13L, v)
+    }
+    val ch = Ts.chunkify(rows.toDF("k", "ts", "value"), Seq("k"), "ts", "value")
+    val p = Ts.unpack(ch, Seq("k"))
+    def agg(df: org.apache.spark.sql.DataFrame) = df.groupBy("k").agg(
+      count(lit(1)).as("n"), min("ts").as("min_ts"), max("ts").as("max_ts"),
+      min("v").as("min_v"), max("v").as("max_v"),
+      sum(round(col("v") * 100).cast("long")).as("sum_cents"))
+    val q = agg(p)
+    assert(q.queryExecution.optimizedPlan.toString.contains("gorilla_chunk_agg"))
+    // ground truth: the rewrite forced OFF via a float-sum blocker
+    val ground = p.groupBy("k").agg(
+      count(lit(1)).as("n"), min("ts").as("min_ts"), max("ts").as("max_ts"),
+      min("v").as("min_v"), max("v").as("max_v"),
+      sum(round(col("v") * 100).cast("long")).as("sum_cents"),
+      sum("v").as("__s")).drop("__s")
+    assert(q.orderBy("k").collect().toSeq.toString ==
+      ground.orderBy("k").collect().toSeq.toString)
   }
 
   test("mixed-scale fixed sums block the rewrite") {
