@@ -278,7 +278,9 @@ object GorillaCodec {
         if (t > maxTs) maxTs = t
         if (v < minV) minV = v
         if (v > maxV) maxV = v
-        sumFixed += Math.round(v * fixedScale)
+        // HALF_UP like Spark round()/DuckDB round(): Math.round's
+        // floor(x+0.5) would diverge on negative ties (-2.5 -> -2)
+        sumFixed += halfUpFixed(v * fixedScale)
       }
       i += 1
     }

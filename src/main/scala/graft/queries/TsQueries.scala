@@ -42,12 +42,13 @@ object TsQueries {
   }
 
   /** Cache key: input dir + total bytes of the events table, so a
-    * regenerated test dir never reads a stale store. */
+    * regenerated test dir never reads a stale store (the `s2` suffix
+    * versions the stat layout — sum_cents moved to HALF_UP rounding). */
   private def storePath(dir: String): String = {
     val src = new java.io.File(s"$dir/events.parquet")
     val files = if (src.isDirectory) src.listFiles().toSeq else Seq(src)
     val fp = files.filter(_.isFile).map(f => f.length() + f.lastModified()).sum
-    s"/tmp/graft_store/${dir.replaceAll("[^A-Za-z0-9.]", "_")}_${java.lang.Long.toHexString(fp)}"
+    s"/tmp/graft_store/${dir.replaceAll("[^A-Za-z0-9.]", "_")}_${java.lang.Long.toHexString(fp)}_s2"
   }
 
   private def aggExact(points: DataFrame): DataFrame =

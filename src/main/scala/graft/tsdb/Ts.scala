@@ -127,7 +127,7 @@ object Ts {
             vs(n) = v
             if (v < minV) minV = v
             if (v > maxV) maxV = v
-            sumC += Math.round(v * FixedScale)
+            sumC += graft.core.GorillaCodec.halfUpFixed(v * FixedScale)
             n += 1
           }
           val bytes = graft.core.GorillaCodec.encode(
@@ -188,7 +188,7 @@ object Ts {
             vs(n) = v
             if (v < minV) minV = v
             if (v > maxV) maxV = v
-            sumC += Math.round(v * FixedScale)
+            sumC += graft.core.GorillaCodec.halfUpFixed(v * FixedScale)
             n += 1
           }
           // header time aligns to the first point's 2h block, not the
