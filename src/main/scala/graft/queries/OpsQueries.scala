@@ -215,6 +215,21 @@ object OpsQueries {
       Multimodal.extractAvFeatures(
         Multimodal.syntheticAvMedia(Tables(s, dir, "documents"), "doc_id", "text"))
         .toDF().orderBy("media_id")),
+    // frame-sampling PLAN for video rows: ≤ 8 stride-sampled frame
+    // indices per video, computed from the REAL parsed AVI header
+    // frame count (decode of frame pixels stays out of scope — no
+    // codecs in-container; this is the plan a mapInPandas decoder
+    // would execute). Integer stride arithmetic => hash-exact oracle.
+    "mm_frame_sample" -> ((s, dir) =>
+      Multimodal.extractAvFeatures(
+        Multimodal.syntheticAvMedia(Tables(s, dir, "documents"), "doc_id", "text"))
+        .toDF()
+        .filter(col("kind") === "video")
+        .withColumn("stride", expr("(n_frames + 7) div 8"))
+        .select(col("media_id"), col("n_frames"),
+          explode(sequence(lit(0), col("n_frames") - 1, col("stride")))
+            .as("frame_idx"))
+        .orderBy("media_id", "frame_idx")),
     // corpus-wide bigram frequencies (map-side combine + TakeOrdered)
     "text_ngram_topk" -> ((s, dir) =>
       TextOps.ngramTopK(Tables(s, dir, "documents"), "text", n = 2, k = 20)),
@@ -461,6 +476,14 @@ object OpsQueries {
         |  CAST(CASE kind WHEN 'audio' THEN b2 % 64 + 1
         |    WHEN 'video' THEN b2 % 1000 + 1 ELSE 0 END AS INT) AS n_frames
         |FROM b ORDER BY media_id""".stripMargin,
+    "mm_frame_sample" ->
+      """WITH b AS (SELECT doc_id,
+        |  CAST('0x' || substr(md5(text), 5, 2) AS INT) % 1000 + 1 AS n_frames
+        |FROM documents WHERE doc_id % 3 = 2)
+        |SELECT doc_id AS media_id, CAST(n_frames AS INT) AS n_frames,
+        |  CAST(unnest(generate_series(0, n_frames - 1, (n_frames + 7) // 8)) AS INT)
+        |    AS frame_idx
+        |FROM b ORDER BY media_id, frame_idx""".stripMargin,
     "text_filter_apply" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |c AS (SELECT doc_id, len(ws) AS n_words, len(list_distinct(ws)) AS n_uniq,
