@@ -44,19 +44,28 @@ object Dedup {
    */
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
                  bands: Int = 16, rowsPerBand: Int = 4,
-                 maxBucket: Int = 1000): DataFrame = {
+                 maxBucket: Int = 1000): DataFrame =
+    bucketPairs(bandedSignatures(docs, idCol, textCol, bands, rowsPerBand), maxBucket)
+
+  /** (id, band, bucket) rows: k = bands·rowsPerBand minhashes, one
+    * xxhash64 bucket per band slice. */
+  private def bandedSignatures(docs: DataFrame, idCol: String, textCol: String,
+                               bands: Int, rowsPerBand: Int): DataFrame = {
     val k = bands * rowsPerBand
     val sig = docs.select(col(idCol).as("id"),
       graft.functions.minhash_hashes(
         graft.functions.shingle_hashes(col(textCol), 3), k).as("sig"))
-    val banded = sig.select(col("id"), posexplode(
+    sig.select(col("id"), posexplode(
       transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
       .toDF("id", "band", "bucket")
+  }
+
+  /** All pairs within a (band, bucket), capped and deduped across bands. */
+  private def bucketPairs(banded: DataFrame, maxBucket: Int): DataFrame = {
     val buckets = banded.groupBy("band", "bucket")
       .agg(collect_list("id").as("ids"))
       .filter(size(col("ids")).between(2, maxBucket))
-    // all pairs within a bucket, deduped across bands
     buckets.select(explode(flatten(transform(col("ids"), a =>
         filter(transform(col("ids"), b => struct(a.as("a"), b.as("b"))),
           p => p("a") < p("b"))))).as("p"))
@@ -82,27 +91,23 @@ object Dedup {
                             idCol: String, textCol: String,
                             bands: Int = 16, rowsPerBand: Int = 4,
                             maxBucket: Int = 1000): DataFrame = {
-    val k = bands * rowsPerBand
-    def banded(docs: DataFrame): DataFrame = {
-      val sig = docs.select(col(idCol).as("id"),
-        graft.functions.minhash_hashes(
-          graft.functions.shingle_hashes(col(textCol), 3), k).as("sig"))
-      sig.select(col("id"), posexplode(
-        transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
-        .toDF("id", "band", "bucket")
-    }
-    val hist = banded(history).groupBy("band", "bucket")
+    // the batch's banded signatures feed BOTH the history probe and the
+    // in-batch pairs; persist them so the minhash pass over the batch
+    // text runs once, not once per consumer
+    val bandedBatch = bandedSignatures(batch, idCol, textCol, bands, rowsPerBand)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hist = bandedSignatures(history, idCol, textCol, bands, rowsPerBand)
+      .groupBy("band", "bucket")
       .agg(collect_list("id").as("ids"))
       .filter(size(col("ids")) <= maxBucket)
-    val newOld = banded(batch)
+    val newOld = bandedBatch
       .join(hist, Seq("band", "bucket"))
       .select(col("id"), explode(col("ids")).as("oid"))
       .select(least(col("id"), col("oid")).as("a_id"),
         greatest(col("id"), col("oid")).as("b_id"))
       .distinct()
     newOld
-      .unionByName(minhashLsh(batch, idCol, textCol, bands, rowsPerBand, maxBucket))
+      .unionByName(bucketPairs(bandedBatch, maxBucket))
       .distinct()
   }
 

@@ -250,6 +250,24 @@ class GorillaCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("fixed-point sums round HALF_UP on negative ties, not floor(x+0.5)") {
+    // -0.025 * 100 lands on an exact -2.5 double: HALF_UP (Spark
+    // round(), DuckDB round()) gives -3; Math.round would give -2.
+    // Both the whole-chunk fixed sum and the range fold must agree.
+    val header = GorillaCodec.alignWindow(7200L, 7200)
+    val ts = Array(7200L, 7260L, 7320L)
+    val vs = Array(-0.025, 0.025, 1.0)
+    val bytes = GorillaCodec.encode(ts, vs, header)
+    // -3 + 3 + 100
+    assert(GorillaCodec.aggregate(bytes, 100.0, hasFixed = true).sumFixed == 100L)
+    assert(GorillaCodec.aggregateRange(bytes, 7200L, 7260L).sumFixed == 0L) // -3 + 3
+    assert(GorillaCodec.halfUpFixed(-2.5) == -3L)
+    assert(GorillaCodec.halfUpFixed(2.5) == 3L)
+    assert(GorillaCodec.halfUpFixed(0.49999999999999994) == 0L) // floor(x+0.5) says 1
+    assert(GorillaCodec.halfUpFixed(Double.NaN) == 0L)
+    assert(GorillaCodec.halfUpFixed(Double.PositiveInfinity) == Long.MaxValue)
+  }
+
   test("streaming aggregate matches decoded aggregate") {
     val rnd = new scala.util.Random(1)
     val header = GorillaCodec.alignWindow(1700003456L, 7200)

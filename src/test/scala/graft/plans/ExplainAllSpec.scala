@@ -72,7 +72,16 @@ class ExplainAllSpec extends AnyFunSuite {
       "sim_ann_ivfpq" -> (3, 6, 0),
       // LSH -> verify -> fixpoint components head plan (the fixpoint
       // itself re-plans per round behind localCheckpoint barriers)
-      "dedup_apply" -> (8, 1, 0))
+      "dedup_apply" -> (8, 1, 0),
+      // read-your-writes union: encode repartition + horizon agg +
+      // final orderBy drive the shuffles, the one-row-per-series
+      // horizon broadcasts, and the sealed side decodes exactly ONCE
+      "ts_live_range" -> (4, 1, 1),
+      // 3-stage composition (batch banding + history buckets + in-batch
+      // LSH + jaccard verify): many small exchanges by construction —
+      // the pinned point is that NOTHING corpus-sized broadcasts (the
+      // 9 broadcasts are candidate-bounded verify sides) and no decode
+      "dedup_incremental" -> (23, 9, 0))
     val failures = expected.flatMap { case (name, want) =>
       val got = shape(name)
       if (got != want)
