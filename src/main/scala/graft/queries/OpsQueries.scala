@@ -215,6 +215,21 @@ object OpsQueries {
       Multimodal.extractAvFeatures(
         Multimodal.syntheticAvMedia(Tables(s, dir, "documents"), "doc_id", "text"))
         .toDF().orderBy("media_id")),
+    // audio feature-extraction windows: 16-sample frames over the REAL
+    // parsed WAV header sample count (the windows an MFCC-style
+    // extractor consumes; sample decode stays out of scope). Integer
+    // window math => hash-exact oracle.
+    "mm_audio_windows" -> ((s, dir) =>
+      Multimodal.extractAvFeatures(
+        Multimodal.syntheticAvMedia(Tables(s, dir, "documents"), "doc_id", "text"))
+        .toDF()
+        .filter(col("kind") === "audio")
+        .select(col("media_id"), col("n_frames").as("n_samples"), col("sample_rate"),
+          explode(sequence(lit(0), expr("(n_frames - 1) div 16"))).as("win_idx"))
+        .withColumn("start_sample", col("win_idx") * 16)
+        .withColumn("n_in_window",
+          least(lit(16), col("n_samples") - col("start_sample")))
+        .orderBy("media_id", "win_idx")),
     // frame-sampling PLAN for video rows: ≤ 8 stride-sampled frame
     // indices per video, computed from the REAL parsed AVI header
     // frame count (decode of frame pixels stays out of scope — no
@@ -476,6 +491,17 @@ object OpsQueries {
         |  CAST(CASE kind WHEN 'audio' THEN b2 % 64 + 1
         |    WHEN 'video' THEN b2 % 1000 + 1 ELSE 0 END AS INT) AS n_frames
         |FROM b ORDER BY media_id""".stripMargin,
+    "mm_audio_windows" ->
+      """WITH b AS (SELECT doc_id,
+        |  CAST('0x' || substr(md5(text), 1, 2) AS INT) % 4 * 11025 + 11025 AS sample_rate,
+        |  CAST('0x' || substr(md5(text), 5, 2) AS INT) % 64 + 1 AS n_samples
+        |FROM documents WHERE doc_id % 3 = 1)
+        |SELECT doc_id AS media_id, CAST(n_samples AS INT) AS n_samples,
+        |  CAST(sample_rate AS INT) AS sample_rate,
+        |  CAST(w AS INT) AS win_idx, CAST(w * 16 AS INT) AS start_sample,
+        |  CAST(least(16, n_samples - w * 16) AS INT) AS n_in_window
+        |FROM b, unnest(generate_series(0, (n_samples - 1) // 16)) AS t(w)
+        |ORDER BY media_id, win_idx""".stripMargin,
     "mm_frame_sample" ->
       """WITH b AS (SELECT doc_id,
         |  CAST('0x' || substr(md5(text), 5, 2) AS INT) % 1000 + 1 AS n_frames
