@@ -110,21 +110,31 @@ object TsQueries {
       .orderBy("user_id", "event_type", "ts", "cents")
   }
 
-  /** Hourly (count, max) buckets of a point frame, left-joined onto the
-    * dense per-series hour grid spanning [first, last] bucket — the
-    * shared base of gap-fill and interpolation (`n` = 0 marks a filled
-    * gap row). Grid size is bounded by series span, not point count. */
+  /** Hourly (count, max) buckets of a point frame, densified to the
+    * per-series hour grid spanning [first, last] bucket — the shared
+    * base of gap-fill and interpolation (`n` = 0 marks a filled gap
+    * row). JOIN-FREE densification: each hourly row emits itself
+    * (pos 0, real stats) plus the empty buckets up to its successor
+    * (lead + posexplode) — ONE pass over ONE execution of the decode
+    * lineage. The previous bounds-aggregate + left-join-back shape
+    * executed the full decode twice (exchange reuse never kicks in:
+    * column pruning makes the two subplans differ), the same
+    * double-read disease ts_store_anomaly had. Row count is bounded by
+    * series span, not point count, exactly as before. */
   private def hourlyGrid(pts: DataFrame): DataFrame = {
     val hourly = pts
       .groupBy(col("user_id"), col("event_type"),
         ((col("ts") / 3600).cast("long") * 3600).as("bucket"))
       .agg(count(lit(1)).as("n"), max("v").as("max_v"))
-    val grid = hourly.groupBy("user_id", "event_type")
-      .agg(min("bucket").as("b0"), max("bucket").as("b1"))
-      .select(col("user_id"), col("event_type"),
-        explode(sequence(col("b0"), col("b1"), lit(3600L))).as("bucket"))
-    grid.join(hourly, Seq("user_id", "event_type", "bucket"), "left")
-      .withColumn("n", coalesce(col("n"), lit(0L)))
+    val w = Window.partitionBy("user_id", "event_type").orderBy("bucket")
+    hourly
+      .withColumn("__next", lead("bucket", 1).over(w))
+      .select(col("user_id"), col("event_type"), col("n"), col("max_v"),
+        posexplode(sequence(col("bucket"),
+          coalesce(col("__next") - 3600L, col("bucket")), lit(3600L))))
+      .select(col("user_id"), col("event_type"), col("col").as("bucket"),
+        when(col("pos") === 0, col("n")).otherwise(lit(0L)).as("n"),
+        when(col("pos") === 0, col("max_v")).as("max_v"))
   }
 
   /** The oracle's view of the same points, bypassing the codec. */
