@@ -304,11 +304,14 @@ object TsQueries {
     // (-window), not per event, so the shuffle is corpus-cardinality
     // bounded. All counts — bit-exact everywhere.
     "ts_retention" -> ((s, dir) => {
-      val pts = points(s, dir)
+      // cohort = per-user min window via ONE whole-partition window
+      // pass (the groupBy + join-back shape executed the decode
+      // lineage twice — the ts_store_anomaly disease)
+      val wUser = Window.partitionBy("user_id")
+      points(s, dir)
         .select(col("user_id"), ((col("ts") / 21600).cast("long") * 21600).as("w"))
         .distinct()
-      val cohorts = pts.groupBy("user_id").agg(min("w").as("cohort_w"))
-      cohorts.join(pts, "user_id")
+        .withColumn("cohort_w", min("w").over(wUser))
         .groupBy("cohort_w")
         .agg(count_distinct(col("user_id")).as("n_users"),
           count_distinct(when(col("w") === col("cohort_w") + 86400,
@@ -363,11 +366,15 @@ object TsQueries {
         .withColumn("cents", round(col("v") * 100).cast("long"))
         .withColumn("day", floor(col("ts") / 86400).cast("long"))
         .withColumn("hod", floor((col("ts") % 86400) / 3600).cast("long"))
-      val hourly = p.groupBy("user_id", "event_type", "day", "hod")
+      // hour-of-day baseline via ONE whole-partition window over the
+      // hourly partials (the second groupBy + join-back executed the
+      // decode lineage twice — the ts_store_anomaly disease); exact
+      // integer sums either way
+      val wHod = Window.partitionBy("user_id", "event_type", "hod")
+      p.groupBy("user_id", "event_type", "day", "hod")
         .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
-      val base = hourly.groupBy("user_id", "event_type", "hod")
-        .agg(sum("n").as("base_n"), sum("sum_cents").as("base_sum_cents"))
-      hourly.join(base, Seq("user_id", "event_type", "hod"))
+        .withColumn("base_n", sum("n").over(wHod))
+        .withColumn("base_sum_cents", sum("sum_cents").over(wHod))
         .withColumn("dev_cents",
           col("sum_cents") / col("n").cast("double") -
             col("base_sum_cents") / col("base_n").cast("double"))
