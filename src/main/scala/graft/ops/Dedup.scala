@@ -23,14 +23,16 @@ object Dedup {
 
   /**
    * Exact dedup by content hash: every doc mapped to its group's
-   * canonical (min) id plus the group size. One hash-groupBy + one
-   * broadcast-friendly join back; no text comparison.
+   * canonical (min) id plus the group size, via ONE whole-partition
+   * window over the hash — one scan of the corpus text, one shuffle
+   * on the hash, no text comparison (the groupBy + join-back shape
+   * this replaces hashed the corpus text twice).
    */
   def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val hashed = docs.select(col(idCol), md5(col(textCol)).as("content_hash"))
-    val groups = hashed.groupBy("content_hash")
-      .agg(min(idCol).as("keep_id"), count(lit(1)).as("n_copies"))
-    hashed.join(groups, "content_hash")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("content_hash")
+    docs.select(col(idCol), md5(col(textCol)).as("content_hash"))
+      .withColumn("keep_id", min(idCol).over(w))
+      .withColumn("n_copies", count(lit(1)).over(w))
       .select(col(idCol), col("content_hash"), col("keep_id"), col("n_copies"),
         (col(idCol) =!= col("keep_id")).as("is_dup"))
   }

@@ -177,9 +177,12 @@ object TextOps {
     val tf = docs
       .select(col(idCol), explode(split(col(textCol), " ")).as("term"))
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // document frequency via a whole-partition window over the SAME tf
+    // frame: the old groupBy(term) + join-back re-executed the corpus
+    // explode + aggregate a second time
+    val wTerm = Window.partitionBy("term")
     val w = Window.partitionBy(idCol).orderBy(col("tf").desc, col("df").asc, col("term"))
-    tf.join(dfreq, "term")
+    tf.withColumn("df", count(lit(1)).over(wTerm))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col(idCol), col("rank"), col("term"), col("tf"), col("df"))

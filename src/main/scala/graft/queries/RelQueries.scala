@@ -195,15 +195,16 @@ object RelQueries {
         .orderBy("o_orderstatus")
     }),
     // correlated-subquery shape, decorrelated: orders above their own
-    // customer's average order value — one groupBy for the per-customer
-    // moments + a join back (AQE broadcasts the stats side); the
-    // comparison price > avg runs as price*cnt > sum on exact integers
+    // customer's average order value. The per-customer moments come
+    // from ONE whole-partition window pass (the groupBy + join-back
+    // this replaces scanned the fact table twice); the comparison
+    // price > avg runs as price*cnt > sum on exact integers
     "q_correlated" -> ((s, dir) => {
-      val o = Tables(s, dir, "orders")
+      val w = Window.partitionBy("o_custkey")
+      Tables(s, dir, "orders")
         .withColumn("price_c", cents(col("o_totalprice")))
-      val stats = o.groupBy("o_custkey")
-        .agg(sum("price_c").as("s"), count(lit(1)).as("cn"))
-      o.join(stats, "o_custkey")
+        .withColumn("s", sum("price_c").over(w))
+        .withColumn("cn", count(lit(1)).over(w))
         .filter(col("price_c") * col("cn") > col("s"))
         .select(col("o_custkey"), col("o_orderkey"), col("price_c"))
         .orderBy("o_custkey", "o_orderkey")
