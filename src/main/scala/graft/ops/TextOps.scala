@@ -71,12 +71,18 @@ object TextOps {
    */
   def filterApply(docs: DataFrame, idCol: String, textCol: String,
                   minChars: Int = 100, minWords: Int = 20): DataFrame = {
-    val q = quality(docs, idCol, textCol)
-    docs.join(
-        q.filter(col("n_chars") >= minChars && col("n_words") >= minWords &&
-            col("n_uniq") * 2 >= col("n_words") && col("n_stop") > 0)
-          .select(col(idCol), col("n_words"), col("n_uniq")),
-        idCol)
+    // the quality stats are row-wise expressions, so the gate is a
+    // plain filter on inline columns — no join back onto the corpus
+    // (the quality(docs) + join shape scanned the text twice)
+    val words = split(col(textCol), " ")
+    val stop = Seq("the", "a", "of", "and", "to", "in", "is")
+    docs
+      .withColumn("n_words", size(words))
+      .withColumn("n_uniq", size(array_distinct(words)))
+      .withColumn("__n_stop", size(filter(words, w => w.isin(stop: _*))))
+      .filter(length(col(textCol)) >= minChars && col("n_words") >= minWords &&
+        col("n_uniq") * 2 >= col("n_words") && col("__n_stop") > 0)
+      .drop("__n_stop")
   }
 
   /** Corpus reporting: per-(lang, source) document/char/token totals —
