@@ -482,9 +482,16 @@ object Similarity {
    */
   def annCandidates(embeddings: DataFrame, idCol: String, vecCol: String,
                     nBits: Int = 10, tables: Int = 8, probes: Int = 1,
-                    maxBucket: Int = 1000): DataFrame = {
+                    maxBucket: Int = 1000): DataFrame =
+    annCandidatesFrom(lshBuckets(embeddings, idCol, vecCol, nBits, tables),
+      nBits, probes, maxBucket)
+
+  /** Candidate pairs from a prepared (id, table, bucket) frame —
+    * shared by the hash-at-query-time path and the persisted-bucket
+    * path ([[annTopKStored]]). */
+  private def annCandidatesFrom(b: DataFrame, nBits: Int, probes: Int,
+                                maxBucket: Int): DataFrame = {
     require(probes <= 1, "only hamming radius 0 or 1 probing is supported")
-    val b = lshBuckets(embeddings, idCol, vecCol, nBits, tables)
     val lists = b.groupBy("table", "bucket")
       .agg(collect_list("id").as("ids"))
       .filter(size(col("ids")) <= maxBucket)
@@ -514,6 +521,18 @@ object Similarity {
     rerankExact(cand, e, e, k)
   }
 
+  /** LSH ANN top-k off the PERSISTED bucket table (written by
+    * [[writeModels]] at nBits=10, tables=8): the corpus is never
+    * re-hashed on the query path — the last ANN rung to gain the
+    * ingest-once treatment. */
+  def annTopKStored(idx: AnnIndex, embeddings: DataFrame, idCol: String,
+                    vecCol: String, k: Int, probes: Int = 1,
+                    maxBucket: Int = 1000): DataFrame = {
+    val e = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    rerankExact(annCandidatesFrom(idx.lshBuckets, nBits = 10, probes, maxBucket),
+      e, e, k)
+  }
+
   // === persisted ANN models: train once, query many =================
 
   /** Everything a query needs from a [[writeModels]] store: the
@@ -524,7 +543,8 @@ object Similarity {
   final case class AnnIndex(centroids: DataFrame, books: DataFrame,
                             resBooks: DataFrame, lists: DataFrame,
                             codes: DataFrame, resCodes: DataFrame,
-                            sq8Codes: DataFrame, maxAbs: Double)
+                            sq8Codes: DataFrame, lshBuckets: DataFrame,
+                            maxAbs: Double)
 
   /**
    * Train every ANN model table ONCE and persist them as parquet under
@@ -572,6 +592,8 @@ object Similarity {
     e.select(col("id"), graft.functions.sq8_encode(col("vec"),
         lit(127.0 / maxAbs)).as("code"))
       .write.mode("overwrite").parquet(s"$path/sq8_codes")
+    lshBuckets(embeddings, idCol, vecCol, nBits = 10, tables = 8)
+      .write.mode("overwrite").parquet(s"$path/lsh_buckets")
     // marker AFTER all model tables: a half-written model dir (crash
     // between writes) must read as absent, not as a partial model
     fsOut.create(new org.apache.hadoop.fs.Path(path, "_SUCCESS"), true).close()
@@ -588,6 +610,7 @@ object Similarity {
       spark.read.parquet(s"$path/codes"),
       spark.read.parquet(s"$path/res_codes"),
       spark.read.parquet(s"$path/sq8_codes"),
+      spark.read.parquet(s"$path/lsh_buckets"),
       readSq8Scale(spark, path))
 
   /** True when a [[writeModels]] store at `path` is complete. */

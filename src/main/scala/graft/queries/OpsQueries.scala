@@ -42,13 +42,13 @@ object OpsQueries {
 
   /** Cache key: input dir + total bytes+mtimes of the embeddings
     * table, so a regenerated test dir never reads stale models (the
-    * `m3` suffix versions the store layout — it gained the encoded
-    * corpus: lists, PQ/residual/int8 codes). */
+    * `m4` suffix versions the store layout — it gained the encoded
+    * corpus: lists, PQ/residual/int8 codes, LSH buckets). */
   private def modelPath(dir: String): String = {
     val src = new java.io.File(s"$dir/embeddings.parquet")
     val files = if (src.isDirectory) src.listFiles().toSeq else Seq(src)
     val fp = files.filter(_.isFile).map(f => f.length() + f.lastModified()).sum
-    s"/tmp/graft_models/${dir.replaceAll("[^A-Za-z0-9.]", "_")}_${java.lang.Long.toHexString(fp)}_m3"
+    s"/tmp/graft_models/${dir.replaceAll("[^A-Za-z0-9.]", "_")}_${java.lang.Long.toHexString(fp)}_m4"
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -116,9 +116,11 @@ object OpsQueries {
         .filter(col("pos") < 10)
         .select((col("pos") + 1).as("rank"), col("col.item").as("term"),
           col("col.lower_count").as("lower_count"))),
+    // multi-probe LSH off the PERSISTED bucket table: the corpus is
+    // never re-hashed on the query path
     "sim_ann_lsh" -> ((s, dir) =>
-      Similarity.annTopK(Tables(s, dir, "embeddings"), "vec_id", "embedding",
-        k = 5).orderBy("q_id", "rank")),
+      Similarity.annTopKStored(storeModels(s, dir), Tables(s, dir, "embeddings"),
+        "vec_id", "embedding", k = 5).orderBy("q_id", "rank")),
     // IVF ANN off the FULLY persisted index (train+encode once): the
     // query path is probe -> persisted-list scan -> exact rerank only
     "sim_ann_ivf" -> ((s, dir) => {

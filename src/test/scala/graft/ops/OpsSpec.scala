@@ -208,6 +208,11 @@ class OpsSpec extends AnyFunSuite {
     assert(fmt(Similarity.ivfSq8TopKStored(idx, emb, qs, "vec_id", "embedding", 5)) ==
       fmt(Similarity.ivfSq8TopKWith(idx.centroids, idx.maxAbs, emb, qs,
         "vec_id", "embedding", 5)))
+    // LSH off persisted buckets == hash-at-query-time (same family)
+    def fmtAll(df: org.apache.spark.sql.DataFrame): Seq[(Long, Int, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq.sorted
+    assert(fmtAll(Similarity.annTopKStored(idx, emb, "vec_id", "embedding", 5)) ==
+      fmtAll(Similarity.annTopK(emb, "vec_id", "embedding", 5)))
   }
 
   test("ivf assign/probe are kernel scans: no crossJoin row amplification") {
