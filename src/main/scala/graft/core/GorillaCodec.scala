@@ -172,8 +172,23 @@ object GorillaCodec {
     else if (java.lang.Double.isInfinite(x)) { if (x > 0) Long.MaxValue else Long.MinValue }
     else BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble.toLong
 
+  /** ANSI-mode variant: Spark's `cast(double as long)` under
+    * spark.sql.ansi.enabled THROWS on NaN/±Infinity/overflow instead
+    * of saturating, and a rewrite must error exactly where the
+    * un-rewritten query would. */
+  private[graft] def halfUpFixedAnsi(x: Double): Long = {
+    if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x))
+      throw new ArithmeticException(
+        s"[CAST_OVERFLOW] The value $x of the type \"DOUBLE\" cannot be cast to \"BIGINT\"")
+    val rounded = BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble
+    if (rounded < Long.MinValue.toDouble || rounded > Long.MaxValue.toDouble)
+      throw new ArithmeticException(
+        s"[CAST_OVERFLOW] The value $rounded of the type \"DOUBLE\" cannot be cast to \"BIGINT\"")
+    rounded.toLong
+  }
+
   def aggregate(bytes: Array[Byte], fixedScale: Double = 0.0,
-                hasFixed: Boolean = false): ChunkAgg = {
+                hasFixed: Boolean = false, fixedAnsi: Boolean = false): ChunkAgg = {
     // Fast path: plain IEEE comparisons, zero NaN bookkeeping in the
     // loop. Any NaN value forces `sum` to NaN (x + NaN = NaN), so a
     // non-NaN sum PROVES the chunk had no NaN and IEEE min/max equal
@@ -200,12 +215,68 @@ object GorillaCodec {
       if (v < minV) minV = v
       if (v > maxV) maxV = v
       sum += v
-      if (hasFixed) sumFixed += halfUpFixed(v * fixedScale)
+      if (hasFixed) sumFixed +=
+        (if (fixedAnsi) halfUpFixedAnsi(v * fixedScale) else halfUpFixed(v * fixedScale))
       i += 1
     }
-    if (java.lang.Double.isNaN(sum)) return aggregateNanSafe(bytes, fixedScale, hasFixed)
+    if (java.lang.Double.isNaN(sum))
+      return aggregateNanSafe(bytes, fixedScale, hasFixed, fixedAnsi)
     if (tDec == null) { minTs = 0L; maxTs = 0L }
     ChunkAgg(h.n.toLong, minTs, maxTs, minV, maxV, sum, sumFixed)
+  }
+
+  /** Per-bucket partial of a compressed-domain downsample. */
+  final case class BucketAgg(bucket: Long, n: Long, minV: Double,
+                             maxV: Double, sumFixed: Long)
+
+  /**
+   * Streaming DOWNSAMPLE of one compressed chunk: one decode pass
+   * folds the points into per-`bucketSec` partials (count, nan-safe
+   * min/max, HALF_UP fixed-point sum) — a 2-h chunk at 1 Hz becomes
+   * ≤ 8 rows for 15-min buckets instead of 7200 exploded points, and
+   * the partials re-aggregate exactly across chunks/shuffles (longs
+   * and min/max are order-independent). Timestamps are encoded in
+   * ascending order, so buckets close run-wise with O(1) state.
+   */
+  def aggregateBuckets(bytes: Array[Byte], bucketSec: Long,
+                       fixedScale: Double): Array[BucketAgg] = {
+    val h = readHeader(bytes)
+    val r = reader(bytes, h)
+    val lt = h.variant == VariantLeadTrail
+    val tDec = if (h.valueOnly) null else new TimestampCodec.Decoder(h.headerTime, r)
+    val vDec = new XorDoubleCodec.Decoder(r, lt)
+    val out = scala.collection.mutable.ArrayBuffer.empty[BucketAgg]
+    var curBucket = Long.MinValue
+    var n = 0L; var minV = Double.PositiveInfinity; var maxV = Double.NegativeInfinity
+    var sumFixed = 0L; var sawNaN = false; var sawNonNaN = false
+    def flush(): Unit = if (n > 0) {
+      var lo = minV; var hi = maxV
+      if (sawNaN) { hi = Double.NaN; if (!sawNonNaN) lo = Double.NaN }
+      out += BucketAgg(curBucket, n, lo, hi, sumFixed)
+    }
+    var i = 0
+    while (i < h.n) {
+      val t = if (tDec != null) tDec.next() else 0L
+      val v = vDec.next()
+      val b = Math.floorDiv(t, bucketSec) * bucketSec
+      if (b != curBucket) {
+        flush()
+        curBucket = b; n = 0L
+        minV = Double.PositiveInfinity; maxV = Double.NegativeInfinity
+        sumFixed = 0L; sawNaN = false; sawNonNaN = false
+      }
+      n += 1
+      if (v != v) sawNaN = true
+      else {
+        sawNonNaN = true
+        if (v < minV) minV = v
+        if (v > maxV) maxV = v
+      }
+      sumFixed += halfUpFixed(v * fixedScale)
+      i += 1
+    }
+    flush()
+    out.toArray
   }
 
   /** The careful variant behind [[aggregate]]'s NaN-sum fallback:
@@ -213,7 +284,7 @@ object GorillaCodec {
     * value was NaN, min only when ALL were), so chunk partials agree
     * with Spark Min/Max over the exploded points. */
   private def aggregateNanSafe(bytes: Array[Byte], fixedScale: Double,
-                               hasFixed: Boolean): ChunkAgg = {
+                               hasFixed: Boolean, fixedAnsi: Boolean): ChunkAgg = {
     val h = readHeader(bytes)
     val r = reader(bytes, h)
     val lt = h.variant == VariantLeadTrail
@@ -239,7 +310,8 @@ object GorillaCodec {
         if (v > maxV) maxV = v
       }
       sum += v
-      if (hasFixed) sumFixed += halfUpFixed(v * fixedScale)
+      if (hasFixed) sumFixed +=
+        (if (fixedAnsi) halfUpFixedAnsi(v * fixedScale) else halfUpFixed(v * fixedScale))
       i += 1
     }
     if (sawNaN) { maxV = Double.NaN; if (!sawNonNaN) minV = Double.NaN }

@@ -55,12 +55,14 @@ object GorillaSql {
     * Σ round(v·scale) as a long (Spark round/cast semantics exactly);
     * 0 when `hasScale` is false, so the common no-fixed-sum path skips
     * the per-point rounding work. */
-  def chunkAgg(bytes: Array[Byte], scale: Double, hasScale: Boolean): InternalRow = {
-    val a = GorillaCodec.aggregate(bytes, scale, hasScale)
+  def chunkAgg(bytes: Array[Byte], scale: Double, hasScale: Boolean,
+               ansi: Boolean): InternalRow = {
+    val a = GorillaCodec.aggregate(bytes, scale, hasScale, ansi)
     new GenericInternalRow(Array[Any](a.n, a.minTs, a.maxTs, a.minV, a.maxV, a.sumV, a.sumFixed))
   }
 
-  def chunkAgg(bytes: Array[Byte]): InternalRow = chunkAgg(bytes, 0.0, hasScale = false)
+  def chunkAgg(bytes: Array[Byte]): InternalRow =
+    chunkAgg(bytes, 0.0, hasScale = false, ansi = false)
 
   /** struct<n, min_ts, max_ts, min_v, max_v: double, sum_cents: long>
     * over only the points with fromSec <= ts <= toSec; NULL when no
@@ -71,6 +73,21 @@ object GorillaSql {
     val a = GorillaCodec.aggregateRange(bytes, fromSec, toSec)
     if (a.n == 0) null
     else new GenericInternalRow(Array[Any](a.n, a.minTs, a.maxTs, a.minV, a.maxV, a.sumFixed))
+  }
+
+  /** array<struct<bucket: long, n: long, min_v: double, max_v: double,
+    * sum_fixed: long>> — per-bucket downsample partials of one chunk,
+    * from one streaming decode (see GorillaCodec.aggregateBuckets). */
+  def chunkBucketAgg(bytes: Array[Byte], bucketSec: Long, scale: Double): ArrayData = {
+    val as = GorillaCodec.aggregateBuckets(bytes, bucketSec, scale)
+    val rows = new Array[Any](as.length)
+    var i = 0
+    while (i < as.length) {
+      val a = as(i)
+      rows(i) = new GenericInternalRow(Array[Any](a.bucket, a.n, a.minV, a.maxV, a.sumFixed))
+      i += 1
+    }
+    new GenericArrayData(rows)
   }
 
   def numPoints(bytes: Array[Byte]): Int = GorillaCodec.numPoints(bytes)

@@ -31,6 +31,12 @@ object GorillaExprs {
     StructField("min_v", DoubleType, nullable = false),
     StructField("max_v", DoubleType, nullable = false),
     StructField("sum_cents", LongType, nullable = false)))
+  val bucketAggType: ArrayType = ArrayType(StructType(Seq(
+    StructField("bucket", LongType, nullable = false),
+    StructField("n", LongType, nullable = false),
+    StructField("min_v", DoubleType, nullable = false),
+    StructField("max_v", DoubleType, nullable = false),
+    StructField("sum_fixed", LongType, nullable = false))), containsNull = false)
 
   /** AbstractDataType is private[sql] in Spark 4, so graft expressions
     * type-check inputs explicitly instead of via ExpectsInputTypes. */
@@ -129,16 +135,17 @@ case class GorillaDecodeTimestamps(child: Expression) extends GorillaDecodeBase 
   * pushes a fixed-point sum through the codec) makes `sum_fixed` carry
   * Σ round(v·scale) as a long; absent, the field is 0 and the
   * per-point rounding work is skipped. */
-case class GorillaChunkAgg(child: Expression, fixedScale: Option[Double] = None)
+case class GorillaChunkAgg(child: Expression, fixedScale: Option[Double] = None,
+                           fixedAnsi: Boolean = false)
     extends GorillaDecodeBase {
   override def dataType: DataType = GorillaExprs.aggType
   override def prettyName: String = "gorilla_chunk_agg"
   protected def method: String = "chunkAgg"
   protected def evalBytes(bytes: Array[Byte]): Any =
-    GorillaSql.chunkAgg(bytes, fixedScale.getOrElse(0.0), fixedScale.isDefined)
+    GorillaSql.chunkAgg(bytes, fixedScale.getOrElse(0.0), fixedScale.isDefined, fixedAnsi)
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, b => s"graft.functions.GorillaSql.chunkAgg($b, " +
-      s"${fixedScale.getOrElse(0.0)}, ${fixedScale.isDefined})")
+      s"${fixedScale.getOrElse(0.0)}, ${fixedScale.isDefined}, $fixedAnsi)")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
@@ -176,6 +183,24 @@ case class GorillaChunkAggRange(chunk: Expression, fromSec: Expression, toSec: E
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, t: Expression): Expression =
     copy(chunk = f, fromSec = s, toSec = t)
+}
+
+/** gorilla_chunk_bucket_agg(binary, bucketSec, scale) ->
+  * array<struct<bucket,n,min_v,max_v,sum_fixed>> — compressed-domain
+  * DOWNSAMPLE partials: one streaming decode folds a chunk into
+  * per-bucket (count, nan-safe min/max, HALF_UP fixed sum) rows —
+  * ≤ windowSec/bucketSec rows per chunk instead of one per point. */
+case class GorillaChunkBucketAgg(child: Expression, bucketSec: Long, scale: Double)
+    extends GorillaDecodeBase {
+  override def dataType: DataType = GorillaExprs.bucketAggType
+  override def prettyName: String = "gorilla_chunk_bucket_agg"
+  protected def method: String = "chunkBucketAgg"
+  protected def evalBytes(bytes: Array[Byte]): Any =
+    GorillaSql.chunkBucketAgg(bytes, bucketSec, scale)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      b => s"graft.functions.GorillaSql.chunkBucketAgg($b, ${bucketSec}L, $scale)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 /** gorilla_is_valid(binary) -> boolean — O(1) header sanity probe;

@@ -16,7 +16,8 @@ import org.apache.spark.sql.{Column, SparkSession}
  */
 package object functions {
 
-  import graft.functions.{CosineSimExpr, GorillaChunkAgg, GorillaChunkAggRange, GorillaDecode,
+  import graft.functions.{CosineSimExpr, GorillaChunkAgg, GorillaChunkAggRange,
+    GorillaChunkBucketAgg, GorillaDecode,
     GorillaDecodeTimestamps, GorillaDecodeValues, GorillaEncode, GorillaEncodeValues,
     GorillaIsValid, GorillaNumPoints, HashSetSortedExpr, HyperplaneBucketsExpr, MinHashExpr,
     MinHashFromHashesExpr, MisraGriesAgg, ShingleHashesExpr, SimHashExpr, SimHashTextExpr,
@@ -35,6 +36,10 @@ package object functions {
     "gorilla_decode_ts" -> (es => GorillaDecodeTimestamps(es(0))),
     "gorilla_chunk_agg" -> (es => GorillaChunkAgg(es(0))),
     "gorilla_chunk_agg_range" -> (es => GorillaChunkAggRange(es(0), es(1), es(2))),
+    // bucketSec/scale must be foldable literals
+    "gorilla_chunk_bucket_agg" -> (es => GorillaChunkBucketAgg(es(0),
+      es(1).eval(null).asInstanceOf[Number].longValue(),
+      es(2).eval(null).asInstanceOf[Number].doubleValue())),
     "gorilla_num_points" -> (es => GorillaNumPoints(es(0))),
     "gorilla_is_valid" -> (es => GorillaIsValid(es(0))),
     // minhash(shingles, k): k must be a foldable int literal
@@ -88,6 +93,9 @@ package object functions {
   def gorilla_chunk_agg_range(chunk: Column, fromSec: Long, toSec: Long): Column =
     call_function("gorilla_chunk_agg_range", chunk,
       org.apache.spark.sql.functions.lit(fromSec), org.apache.spark.sql.functions.lit(toSec))
+  def gorilla_chunk_bucket_agg(chunk: Column, bucketSec: Long, scale: Double): Column =
+    call_function("gorilla_chunk_bucket_agg", chunk,
+      org.apache.spark.sql.functions.lit(bucketSec), org.apache.spark.sql.functions.lit(scale))
   def gorilla_num_points(chunk: Column): Column = call_function("gorilla_num_points", chunk)
   def gorilla_is_valid(chunk: Column): Column = call_function("gorilla_is_valid", chunk)
   def vec_dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)

@@ -99,19 +99,24 @@ object ChunkAggRule extends Rule[LogicalPlan] {
 
     // fixed-point sum pushdown: sum(cast(round(v * c, 0) as long)) has
     // a per-chunk long partial. All such sums in one aggregate must
-    // share the scale c (the chunk kernel computes one fixed sum).
-    def fixedScaleOf(x: Expression): Option[Double] = inline(x) match {
-      case Cast(r: Round, LongType, _, _)
-          if r.scale.foldable && r.scale.eval() == 0 => r.child match {
-        case Multiply(a, Literal(c: Double, DoubleType), _)
-          if sideOf(a).contains(VSide) => Some(c)
-        case Multiply(Literal(c: Double, DoubleType), b, _)
-          if sideOf(b).contains(VSide) => Some(c)
-        case _ => None
-      }
+    // share the scale c AND the cast's eval mode (the kernel computes
+    // one fixed sum): ANSI casts throw on NaN/Inf/overflow and the
+    // rewrite must error exactly where the un-rewritten query would,
+    // so the mode rides into the kernel; TRY casts (null on overflow)
+    // are not replicated — bail.
+    def fixedScaleOf(x: Expression): Option[(Double, Boolean)] = inline(x) match {
+      case Cast(r: Round, LongType, _, mode)
+          if mode != EvalMode.TRY && r.scale.foldable && r.scale.eval() == 0 =>
+        r.child match {
+          case Multiply(a, Literal(c: Double, DoubleType), _)
+            if sideOf(a).contains(VSide) => Some((c, mode == EvalMode.ANSI))
+          case Multiply(Literal(c: Double, DoubleType), b, _)
+            if sideOf(b).contains(VSide) => Some((c, mode == EvalMode.ANSI))
+          case _ => None
+        }
       case _ => None
     }
-    var scale: Option[Double] = None
+    var scale: Option[(Double, Boolean)] = None
     aggExprs.foreach(_.foreach {
       case AggregateExpression(s: Sum, _, false, None, _) =>
         fixedScaleOf(s.child) match {
@@ -122,7 +127,8 @@ object ChunkAggRule extends Rule[LogicalPlan] {
       case _ => ()
     })
 
-    val ca = Alias(GorillaChunkAgg(chunk, scale), "__ca")()
+    val ca = Alias(GorillaChunkAgg(chunk, scale.map(_._1),
+      scale.exists(_._2)), "__ca")()
     val caAttr = ca.toAttribute
     def field(i: Int, name: String) =
       GetStructField(caAttr, i, Some(name))

@@ -199,8 +199,13 @@ object TsQueries {
         .orderBy("user_id", "event_type", "ts", "v")),
     "ts_store_latest" -> ((s, dir) =>
       Ts.latest(storeChunks(s, dir), series).orderBy("user_id", "event_type")),
+    // COMPRESSED-DOMAIN resample off the store: per-chunk bucket
+    // partials (≤ 8 rows per 2-h chunk) instead of exploding 7200
+    // points through the aggregate; shares ts_downsample's oracle —
+    // the partial-merge path must change nothing
     "ts_store_downsample" -> ((s, dir) =>
-      downsample15m(Ts.unpack(storeChunks(s, dir), series))),
+      Ts.downsampleCompressed(storeChunks(s, dir), series, 900)
+        .orderBy("user_id", "event_type", "bucket")),
     // compressed-domain range aggregate off the store: covered chunks
     // answered from header stats (no chunk bytes read), boundary chunks
     // via a streaming in-range fold — no point materialization anywhere

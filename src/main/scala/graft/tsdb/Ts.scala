@@ -328,6 +328,33 @@ object Ts {
       .filter(col("n").isNotNull)
   }
 
+  /**
+   * Compressed-domain DOWNSAMPLE: per-series `bucketSec` resample
+   * computed from per-chunk bucket partials — one streaming decode
+   * folds each chunk into ≤ windowSec/bucketSec partial rows (a 2-h
+   * 1 Hz chunk becomes ≤ 8 rows for 15-min buckets instead of 7200
+   * exploded points), and the partials merge exactly across
+   * chunks/salt shards/shuffles (counts, nan-safe min/max, HALF_UP
+   * fixed-point sums — all order-independent). The TSDB's highest
+   * frequency query shape with a ~bucket-width× cut in rows through
+   * the aggregate, and never a point struct materialized.
+   * NaN contract (pinned in TsStoreSpec): NaN values contribute 0 to
+   * the fixed sum; max is NaN when any value in the bucket was NaN,
+   * min only when all were.
+   */
+  def downsampleCompressed(chunks: DataFrame, seriesCols: Seq[String],
+                           bucketSec: Long = 900,
+                           fixedScale: Double = FixedScale): DataFrame =
+    chunks
+      .select(seriesCols.map(col) :+
+        explode(graft.functions.gorilla_chunk_bucket_agg(
+          col("chunk"), bucketSec, fixedScale)).as("__b"): _*)
+      .groupBy(seriesCols.map(col) :+ col("__b.bucket").as("bucket"): _*)
+      .agg(sum("__b.n").as("n"),
+        min("__b.min_v").as("min_v"), max("__b.max_v").as("max_v"),
+        sum("__b.sum_fixed").as("sum_cents"))
+      .withColumn("avg_v", col("sum_cents") / (col("n") * fixedScale))
+
   /** Latest point per series: stat-prune to each series' max-ts
     * chunk(s), decode only those. Keyed on the point-level `max_ts`
     * stat (tighter than window_start, and fragmentation-safe: salted /

@@ -66,45 +66,73 @@ class ChunkAggRuleSpec extends AnyFunSuite {
     assert(q.filter(col("k").isNotNull).select("k", "n").count() > 0)
   }
 
-  test("NaN and negative-tie values agree with the explode path exactly") {
+  /** Ground-truth explode aggregate: the float sum stays VISIBLE in
+    * the output (a dropped column gets pruned away and the rewrite
+    * fires after all — which made an earlier version of these tests
+    * compare the rewrite against itself); callers strip the last
+    * column from the collected rows. */
+  private def blockedRows(df: org.apache.spark.sql.DataFrame,
+                          aggs: Seq[org.apache.spark.sql.Column]): Seq[Seq[Any]] = {
+    val g = df.groupBy("k").agg(aggs.head, aggs.tail :+ sum("v").as("__s"): _*)
+    val opt = g.queryExecution.optimizedPlan.toString
+    assert(!opt.contains("gorilla_chunk_agg"), s"blocker was pruned:\n$opt")
+    g.orderBy("k").collect().toSeq.map(_.toSeq.dropRight(1))
+  }
+
+  test("negative-tie cents sums agree with the REAL explode path exactly") {
     import spark.implicits._
-    // -0.025*100 lands on an exact -2.5 tie (HALF_UP rounds away from
-    // zero; Math.round would give -2) and NaN exercises the nan-safe
-    // min/max total order in the chunk kernel
+    // -0.025*100 lands on an exact -2.5 tie: HALF_UP (Spark round)
+    // gives -3; Math.round's floor(x+0.5) would give -2
+    val raw = Seq(
+      ("a", 7200L, -0.025), ("a", 7260L, 0.025), ("a", 7320L, 3.5),
+      ("c", 7200L, -0.005), ("c", 7260L, 0.005), ("c", 7320L, -7.5e-3))
+      .toDF("k", "ts", "value")
+    val p = Ts.unpack(Ts.chunkify(raw, Seq("k"), "ts", "value"), Seq("k"))
+    val aggs = Seq(count(lit(1)).as("n"), min("v").as("min_v"),
+      max("v").as("max_v"), sum(round(col("v") * 100).cast("long")).as("sum_cents"))
+    val q = p.groupBy("k").agg(aggs.head, aggs.tail: _*)
+    assert(q.queryExecution.optimizedPlan.toString.contains("gorilla_chunk_agg"))
+    assert(q.orderBy("k").collect().toSeq.map(_.toSeq) == blockedRows(p, aggs))
+  }
+
+  test("NaN/Inf chunks: min/max agree with explode; ANSI cents cast throws on BOTH paths") {
+    import spark.implicits._
     val raw = Seq(
       ("a", 7200L, -0.025), ("a", 7260L, Double.NaN), ("a", 7320L, 3.5),
       ("b", 7200L, Double.NaN), ("b", 7260L, Double.NaN),
-      ("c", 7200L, -0.005), ("c", 7260L, 0.005), ("c", 7320L, -7.5e-3),
       // +Inf/-Inf mix WITHOUT NaN: sum is NaN but min/max are IEEE —
       // exercises the aggregate's NaN-sum fallback on its no-NaN branch
       ("d", 7200L, Double.PositiveInfinity), ("d", 7260L, Double.NegativeInfinity),
       ("d", 7320L, 1.0))
       .toDF("k", "ts", "value")
-    val ch = Ts.chunkify(raw, Seq("k"), "ts", "value")
-    val p = Ts.unpack(ch, Seq("k"))
-    val q = p.groupBy("k").agg(count(lit(1)).as("n"),
-      min("v").as("min_v"), max("v").as("max_v"),
-      sum(round(col("v") * 100).cast("long")).as("sum_cents"))
-    val opt = q.queryExecution.optimizedPlan.toString
-    assert(opt.contains("gorilla_chunk_agg"), s"rule did not fire:\n$opt")
-    val blocked = p.groupBy("k").agg(count(lit(1)).as("n"),
-      min("v").as("min_v"), max("v").as("max_v"),
-      sum(round(col("v") * 100).cast("long")).as("sum_cents"),
-      sum("v").as("__s")).drop("__s")
-    val got = q.orderBy("k").collect().toSeq
-    val want = blocked.orderBy("k").collect().toSeq
-    assert(got.toString == want.toString, s"rewrite diverged:\n got $got\nwant $want")
+    val p = Ts.unpack(Ts.chunkify(raw, Seq("k"), "ts", "value"), Seq("k"))
+    val aggs = Seq(count(lit(1)).as("n"), min("v").as("min_v"), max("v").as("max_v"))
+    val q = p.groupBy("k").agg(aggs.head, aggs.tail: _*)
+    assert(q.queryExecution.optimizedPlan.toString.contains("gorilla_chunk_agg"))
+    assert(q.orderBy("k").collect().toSeq.map(_.toSeq).toString ==
+      blockedRows(p, aggs).toString)
+    // the cents sum under ANSI (this session's default): cast of a
+    // NaN/Inf double to long throws — and the rewrite must throw too,
+    // not silently return a number the un-rewritten query never would
+    assert(spark.conf.get("spark.sql.ansi.enabled") == "true")
+    val cents = sum(round(col("v") * 100).cast("long")).as("s")
+    val qc = p.groupBy("k").agg(cents)
+    assert(qc.queryExecution.optimizedPlan.toString.contains("gorilla_chunk_agg"))
+    intercept[Exception] { qc.collect() }
+    val gc = p.groupBy("k").agg(cents, sum("v").as("__s"))
+    assert(!gc.queryExecution.optimizedPlan.toString.contains("gorilla_chunk_agg"))
+    intercept[Exception] { gc.collect() }
   }
 
   test("fuzz: rewrite equals explode on random values across many chunks") {
     import spark.implicits._
     // seeded adversarial mix: ordinary values, exact cent ties of both
-    // signs, tiny magnitudes, and occasional NaN/±Inf — any divergence
-    // between the chunk kernel and Spark's per-point round/cast/min/max
-    // semantics shows up as a row mismatch
+    // signs, tiny magnitudes (finite only: NaN/Inf cents casts throw
+    // under ANSI and are covered by the dedicated test above) — any
+    // divergence between the chunk kernel and Spark's per-point
+    // round/cast/min/max semantics shows up as a row mismatch
     val rnd = new scala.util.Random(20260813)
-    val special = Array(Double.NaN, Double.PositiveInfinity,
-      Double.NegativeInfinity, -0.025, 0.005, -0.005, 1e-9, -1e-9, 0.0)
+    val special = Array(-0.025, 0.025, 0.005, -0.005, 1e-9, -1e-9, 0.0, -2.5, 2.5)
     val rows = (0 until 4000).map { i =>
       val v = if (rnd.nextInt(20) == 0) special(rnd.nextInt(special.length))
       else math.rint(rnd.nextDouble() * 2e7 - 1e7) / 100 + rnd.nextDouble() * 1e-4
@@ -112,20 +140,13 @@ class ChunkAggRuleSpec extends AnyFunSuite {
     }
     val ch = Ts.chunkify(rows.toDF("k", "ts", "value"), Seq("k"), "ts", "value")
     val p = Ts.unpack(ch, Seq("k"))
-    def agg(df: org.apache.spark.sql.DataFrame) = df.groupBy("k").agg(
+    val aggs = Seq(
       count(lit(1)).as("n"), min("ts").as("min_ts"), max("ts").as("max_ts"),
       min("v").as("min_v"), max("v").as("max_v"),
       sum(round(col("v") * 100).cast("long")).as("sum_cents"))
-    val q = agg(p)
+    val q = p.groupBy("k").agg(aggs.head, aggs.tail: _*)
     assert(q.queryExecution.optimizedPlan.toString.contains("gorilla_chunk_agg"))
-    // ground truth: the rewrite forced OFF via a float-sum blocker
-    val ground = p.groupBy("k").agg(
-      count(lit(1)).as("n"), min("ts").as("min_ts"), max("ts").as("max_ts"),
-      min("v").as("min_v"), max("v").as("max_v"),
-      sum(round(col("v") * 100).cast("long")).as("sum_cents"),
-      sum("v").as("__s")).drop("__s")
-    assert(q.orderBy("k").collect().toSeq.toString ==
-      ground.orderBy("k").collect().toSeq.toString)
+    assert(q.orderBy("k").collect().toSeq.map(_.toSeq) == blockedRows(p, aggs))
   }
 
   test("mixed-scale fixed sums block the rewrite") {

@@ -69,6 +69,44 @@ class TsStoreSpec extends AnyFunSuite {
       direct.orderBy("user_id", "event_type").collect().toSeq)
   }
 
+  test("compressed-domain downsample equals the decode-everything resample") {
+    import spark.implicits._
+    val series = Seq("user_id", "event_type")
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val chunks = Ts.chunkify(ev, series, "ts", "value")
+    val fast = Ts.downsampleCompressed(chunks, series, 900)
+      .orderBy("user_id", "event_type", "bucket").collect().toSeq
+    val slow = Ts.unpack(chunks, series)
+      .withColumn("cents", round(col("v") * 100).cast("long"))
+      .groupBy(col("user_id"), col("event_type"),
+        ((col("ts") / 900).cast("long") * 900).as("bucket"))
+      .agg(count(lit(1)).as("n"), min("v").as("min_v"), max("v").as("max_v"),
+        sum("cents").as("sum_cents"))
+      .withColumn("avg_v", col("sum_cents") / (col("n") * 100.0))
+      .orderBy("user_id", "event_type", "bucket").collect().toSeq
+    assert(fast == slow)
+    // NaN / negative-tie chunk: documented operator semantics — HALF_UP
+    // ties, NaN contributes 0 to the fixed sum, nan-safe min/max (max
+    // NaN when any value was NaN, min only when all were). The explode
+    // baseline cannot express this under ANSI (cast(NaN as long)
+    // throws), so the expectations are pinned directly.
+    // raw long ts are nanos under the epochSec contract
+    val ns = 1000000000L
+    val raw = Seq(("a", 7200L * ns, -0.025), ("a", 7300L * ns, Double.NaN),
+      ("a", 8200L * ns, 3.5), ("b", 7200L * ns, Double.NaN))
+      .toDF("k", "ts", "value")
+    val ch = Ts.chunkify(raw, Seq("k"), "ts", "value")
+    val f2 = Ts.downsampleCompressed(ch, Seq("k"), 900)
+      .orderBy("k", "bucket").collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getLong(5), r.getDouble(6)))
+    val want = Seq(
+      ("a", 7200L, 2L, -0.025, Double.NaN, -3L, -0.015),
+      ("a", 8100L, 1L, 3.5, 3.5, 350L, 3.5),
+      ("b", 7200L, 1L, Double.NaN, Double.NaN, 0L, 0.0))
+    assert(f2.mkString("|") == want.mkString("|"))
+  }
+
   test("compressed-domain range aggregate matches the decode-everything baseline") {
     val ev = spark.read.parquet(s"$dir/events.parquet")
     val series = Seq("user_id", "event_type")
