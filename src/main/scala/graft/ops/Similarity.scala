@@ -489,9 +489,13 @@ object Similarity {
   /** Candidate pairs from a prepared (id, table, bucket) frame —
     * shared by the hash-at-query-time path and the persisted-bucket
     * path ([[annTopKStored]]). */
-  private def annCandidatesFrom(b: DataFrame, nBits: Int, probes: Int,
+  private def annCandidatesFrom(b0: DataFrame, nBits: Int, probes: Int,
                                 maxBucket: Int): DataFrame = {
     require(probes <= 1, "only hamming radius 0 or 1 probing is supported")
+    // the bucket frame feeds BOTH the capped list build and the probe
+    // side; persist it so one read (or one hyperplane-hash pass, on
+    // the in-memory path) serves both consumers
+    val b = b0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val lists = b.groupBy("table", "bucket")
       .agg(collect_list("id").as("ids"))
       .filter(size(col("ids")) <= maxBucket)
