@@ -160,17 +160,34 @@ object GorillaCodec {
                             minV: Double, maxV: Double, sumV: Double,
                             sumFixed: Long)
 
+  /** Doubles at or above this magnitude have no fractional part, so
+    * rounding is the identity and only cast saturation remains. */
+  private final val IntegralThreshold = 4503599627370496.0 // 2^52
+
   /** Spark's round(x, 0) then cast to long, replicated exactly so a
     * chunk-level partial equals the per-point expression bit-for-bit:
     * NaN/±Infinity pass through round and saturate in the long cast;
     * finite values round HALF_UP on the shortest decimal repr (what
-    * scala BigDecimal(d) — and Spark's RoundBase — use), NOT
-    * Math.round's floor(x+0.5), which disagrees on negative ties and
-    * on doubles just below a half. */
+    * scala BigDecimal(d) — and Spark's RoundBase — use).
+    *
+    * Allocation-free: a shortest decimal repr reads exactly "k.5" iff
+    * the double IS exactly k.5 (toString round-trips uniquely, and
+    * every k.5 with |k| < 2^52 is itself a double), and it preserves
+    * ordering against every k.5 boundary (the repr lies within the
+    * double's rounding interval, which cannot straddle another
+    * representable value). So HALF_UP-on-repr == round half away from
+    * zero on the exact double. Math.round is exact integer-arithmetic
+    * nearest-with-ties-toward-+inf (not floor(x+0.5) — JDK ≥ 7), which
+    * matches away-from-zero for x ≥ 0; negation covers negative ties
+    * (-2.5 → -3, where a bare Math.round would give -2). Equivalence
+    * vs the BigDecimal reference is property-pinned in CodecSpec. */
   private[graft] def halfUpFixed(x: Double): Long =
-    if (java.lang.Double.isNaN(x)) 0L
-    else if (java.lang.Double.isInfinite(x)) { if (x > 0) Long.MaxValue else Long.MinValue }
-    else BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble.toLong
+    if (x >= 0.0) { // includes -0.0
+      if (x < IntegralThreshold) Math.round(x) else x.toLong // toLong saturates +Inf/2^63+
+    } else if (x > -IntegralThreshold) {
+      -Math.round(-x)
+    } else x.toLong // integral already; saturates -Inf and beyond-long
+    // NaN: both comparisons false, falls to x.toLong == 0L
 
   /** ANSI-mode variant: Spark's `cast(double as long)` under
     * spark.sql.ansi.enabled THROWS on NaN/±Infinity/overflow instead
@@ -180,11 +197,16 @@ object GorillaCodec {
     if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x))
       throw new ArithmeticException(
         s"[CAST_OVERFLOW] The value $x of the type \"DOUBLE\" cannot be cast to \"BIGINT\"")
-    val rounded = BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble
-    if (rounded < Long.MinValue.toDouble || rounded > Long.MaxValue.toDouble)
-      throw new ArithmeticException(
-        s"[CAST_OVERFLOW] The value $rounded of the type \"DOUBLE\" cannot be cast to \"BIGINT\"")
-    rounded.toLong
+    if (x > -IntegralThreshold && x < IntegralThreshold) {
+      if (x >= 0.0) Math.round(x) else -Math.round(-x)
+    } else {
+      // |x| ≥ 2^52: x is integral, rounding is the identity; only the
+      // long-range check remains (x == -2^63 passes, as in Spark).
+      if (x < Long.MinValue.toDouble || x > Long.MaxValue.toDouble)
+        throw new ArithmeticException(
+          s"[CAST_OVERFLOW] The value $x of the type \"DOUBLE\" cannot be cast to \"BIGINT\"")
+      x.toLong
+    }
   }
 
   def aggregate(bytes: Array[Byte], fixedScale: Double = 0.0,
@@ -205,7 +227,23 @@ object GorillaCodec {
     var minV = Double.PositiveInfinity; var maxV = Double.NegativeInfinity
     var sum = 0.0
     var sumFixed = 0L
-    while (i < h.n) {
+    if (hasFixed && !fixedAnsi) {
+      // dedicated loop for the hot shape (every ChunkAggRule partial):
+      // no per-point flag tests, halfUpFixed inlines monomorphically
+      while (i < h.n) {
+        if (tDec != null) {
+          val t = tDec.next()
+          if (t < minTs) minTs = t
+          if (t > maxTs) maxTs = t
+        }
+        val v = vDec.next()
+        if (v < minV) minV = v
+        if (v > maxV) maxV = v
+        sum += v
+        sumFixed += halfUpFixed(v * fixedScale)
+        i += 1
+      }
+    } else while (i < h.n) {
       if (tDec != null) {
         val t = tDec.next()
         if (t < minTs) minTs = t
@@ -215,8 +253,7 @@ object GorillaCodec {
       if (v < minV) minV = v
       if (v > maxV) maxV = v
       sum += v
-      if (hasFixed) sumFixed +=
-        (if (fixedAnsi) halfUpFixedAnsi(v * fixedScale) else halfUpFixed(v * fixedScale))
+      if (hasFixed) sumFixed += halfUpFixedAnsi(v * fixedScale)
       i += 1
     }
     if (java.lang.Double.isNaN(sum))

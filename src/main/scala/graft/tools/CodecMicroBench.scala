@@ -40,6 +40,27 @@ object CodecMicroBench {
     bench("encode")(() => GorillaCodec.encode(ts, vs, header))
     bench("decode")(() => GorillaCodec.decode(chunk))
     bench("aggregate")(() => GorillaCodec.aggregate(chunk))
+    // The production chunkify/aggregate shape: per-point HALF_UP
+    // fixed-point sum alongside min/max. Round 5's BigDecimal rounding
+    // regressed exactly this loop 121× while the rounds above stayed
+    // flat — this round exists so a hot-loop rounding swap is visible
+    // here before it ships.
+    bench("agg-fixed")(() =>
+      GorillaCodec.aggregate(chunk, fixedScale = 100.0, hasFixed = true))
+    var statSink = 0L
+    bench("stat-loop")(() => {
+      var j = 0; var s = 0L
+      var minV = Double.PositiveInfinity; var maxV = Double.NegativeInfinity
+      while (j < n) {
+        val v = vs(j)
+        if (v < minV) minV = v
+        if (v > maxV) maxV = v
+        s += GorillaCodec.halfUpFixed(v * 100.0)
+        j += 1
+      }
+      statSink ^= s
+    })
+    if (statSink == 42L) println("(sink)") // defeat dead-code elimination
     bench("encode-lt")(() => GorillaCodec.encode(ts, vs, header, leadTrail = true))
   }
 }

@@ -264,8 +264,71 @@ class GorillaCodecSpec extends AnyFunSuite {
     assert(GorillaCodec.halfUpFixed(-2.5) == -3L)
     assert(GorillaCodec.halfUpFixed(2.5) == 3L)
     assert(GorillaCodec.halfUpFixed(0.49999999999999994) == 0L) // floor(x+0.5) says 1
+    assert(GorillaCodec.halfUpFixed(-0.49999999999999994) == 0L)
     assert(GorillaCodec.halfUpFixed(Double.NaN) == 0L)
     assert(GorillaCodec.halfUpFixed(Double.PositiveInfinity) == Long.MaxValue)
+  }
+
+  /** The BigDecimal semantics halfUpFixed's fast path must reproduce
+    * bit-for-bit (this WAS the implementation before the fast path;
+    * 121× slower per point, so it lives here as the oracle only). */
+  private def halfUpRef(x: Double): Long =
+    if (java.lang.Double.isNaN(x)) 0L
+    else if (java.lang.Double.isInfinite(x)) { if (x > 0) Long.MaxValue else Long.MinValue }
+    else BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble.toLong
+
+  test("halfUpFixed fast path == BigDecimal HALF_UP reference (adversarial + random)") {
+    val twoPow52 = 4503599627370496.0
+    val adversarial: Seq[Double] = Seq(
+      0.0, -0.0, 0.5, -0.5, 1.5, -1.5, 2.5, -2.5, 3.5, -3.5,
+      0.49999999999999994, -0.49999999999999994,    // largest double < 0.5
+      Math.nextDown(2.5), Math.nextUp(2.5), Math.nextDown(-2.5), Math.nextUp(-2.5),
+      twoPow52, -twoPow52, twoPow52 - 0.5, -(twoPow52 - 0.5),
+      Math.nextDown(twoPow52), -Math.nextDown(twoPow52),
+      twoPow52 + 1, -(twoPow52 + 1),
+      9.223372036854776E18, -9.223372036854776E18,  // ±2^63 (long-cast saturation)
+      Math.nextDown(9.223372036854776E18), -Math.nextDown(9.223372036854776E18),
+      1e300, -1e300, Double.MaxValue, Double.MinValue,
+      Double.MinPositiveValue, -Double.MinPositiveValue,
+      Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity)
+    adversarial.foreach { x =>
+      assert(GorillaCodec.halfUpFixed(x) == halfUpRef(x), s"halfUpFixed($x)")
+    }
+    val rnd = new scala.util.Random(42)
+    // cents-like values (the production call shape: v * FixedScale)
+    var i = 0
+    while (i < 200000) {
+      val v = (rnd.nextDouble() - 0.5) * 20000.0 * 100.0
+      assert(GorillaCodec.halfUpFixed(v) == halfUpRef(v), s"halfUpFixed($v)")
+      // exact k.5 ties of both signs
+      val tie = (rnd.nextInt(2000001) - 1000000).toDouble + 0.5
+      assert(GorillaCodec.halfUpFixed(tie) == halfUpRef(tie), s"halfUpFixed($tie)")
+      i += 1
+    }
+    // uniform over raw bit patterns: hits subnormals, huge magnitudes, NaNs
+    i = 0
+    while (i < 200000) {
+      val x = java.lang.Double.longBitsToDouble(rnd.nextLong())
+      assert(GorillaCodec.halfUpFixed(x) == halfUpRef(x),
+        s"halfUpFixed($x) [bits=${java.lang.Double.doubleToRawLongBits(x)}]")
+      i += 1
+    }
+  }
+
+  test("halfUpFixedAnsi fast path matches saturating variant where it doesn't throw") {
+    val rnd = new scala.util.Random(7)
+    var i = 0
+    while (i < 100000) {
+      val v = (rnd.nextDouble() - 0.5) * 2e6
+      assert(GorillaCodec.halfUpFixedAnsi(v) == GorillaCodec.halfUpFixed(v))
+      i += 1
+    }
+    assert(GorillaCodec.halfUpFixedAnsi(-2.5) == -3L)
+    assert(GorillaCodec.halfUpFixedAnsi(-9.223372036854776E18) == Long.MinValue) // == -2^63 passes
+    intercept[ArithmeticException](GorillaCodec.halfUpFixedAnsi(Double.NaN))
+    intercept[ArithmeticException](GorillaCodec.halfUpFixedAnsi(Double.PositiveInfinity))
+    intercept[ArithmeticException](GorillaCodec.halfUpFixedAnsi(1e19))
+    intercept[ArithmeticException](GorillaCodec.halfUpFixedAnsi(-1e19))
   }
 
   test("streaming aggregate matches decoded aggregate") {
