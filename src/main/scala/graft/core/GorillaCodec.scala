@@ -155,10 +155,13 @@ object GorillaCodec {
     * reference: examples/csv_to_packed.rs:40-78). `sumFixed` is the
     * fixed-point long sum Σ round(v·fixedScale) (0 unless `hasFixed`):
     * order-independent, so per-chunk partials re-aggregate exactly
-    * across shuffles where a double sum would not. */
+    * across shuffles where a double sum would not. `sumSqFixed` is
+    * Σ round(v·fixedScale)² — the second moment in the same exact
+    * integer domain, so mean/variance (and 3-sigma tests) derive from
+    * chunk headers alone with zero decode. */
   final case class ChunkAgg(n: Long, minTs: Long, maxTs: Long,
                             minV: Double, maxV: Double, sumV: Double,
-                            sumFixed: Long)
+                            sumFixed: Long, sumSqFixed: Long)
 
   /** Doubles at or above this magnitude have no fractional part, so
     * rounding is the identity and only cast saturation remains. */
@@ -227,6 +230,7 @@ object GorillaCodec {
     var minV = Double.PositiveInfinity; var maxV = Double.NegativeInfinity
     var sum = 0.0
     var sumFixed = 0L
+    var sumSqFixed = 0L
     if (hasFixed && !fixedAnsi) {
       // dedicated loop for the hot shape (every ChunkAggRule partial):
       // no per-point flag tests, halfUpFixed inlines monomorphically
@@ -240,7 +244,9 @@ object GorillaCodec {
         if (v < minV) minV = v
         if (v > maxV) maxV = v
         sum += v
-        sumFixed += halfUpFixed(v * fixedScale)
+        val c = halfUpFixed(v * fixedScale)
+        sumFixed += c
+        sumSqFixed += c * c
         i += 1
       }
     } else while (i < h.n) {
@@ -253,13 +259,17 @@ object GorillaCodec {
       if (v < minV) minV = v
       if (v > maxV) maxV = v
       sum += v
-      if (hasFixed) sumFixed += halfUpFixedAnsi(v * fixedScale)
+      if (hasFixed) {
+        val c = halfUpFixedAnsi(v * fixedScale)
+        sumFixed += c
+        sumSqFixed += c * c
+      }
       i += 1
     }
     if (java.lang.Double.isNaN(sum))
       return aggregateNanSafe(bytes, fixedScale, hasFixed, fixedAnsi)
     if (tDec == null) { minTs = 0L; maxTs = 0L }
-    ChunkAgg(h.n.toLong, minTs, maxTs, minV, maxV, sum, sumFixed)
+    ChunkAgg(h.n.toLong, minTs, maxTs, minV, maxV, sum, sumFixed, sumSqFixed)
   }
 
   /** Per-bucket partial of a compressed-domain downsample. */
@@ -332,6 +342,7 @@ object GorillaCodec {
     var minV = Double.PositiveInfinity; var maxV = Double.NegativeInfinity
     var sum = 0.0
     var sumFixed = 0L
+    var sumSqFixed = 0L
     var sawNaN = false; var sawNonNaN = false
     while (i < h.n) {
       if (tDec != null) {
@@ -347,13 +358,16 @@ object GorillaCodec {
         if (v > maxV) maxV = v
       }
       sum += v
-      if (hasFixed) sumFixed +=
-        (if (fixedAnsi) halfUpFixedAnsi(v * fixedScale) else halfUpFixed(v * fixedScale))
+      if (hasFixed) {
+        val c = if (fixedAnsi) halfUpFixedAnsi(v * fixedScale) else halfUpFixed(v * fixedScale)
+        sumFixed += c
+        sumSqFixed += c * c
+      }
       i += 1
     }
     if (sawNaN) { maxV = Double.NaN; if (!sawNonNaN) minV = Double.NaN }
     if (tDec == null) { minTs = 0L; maxTs = 0L }
-    ChunkAgg(h.n.toLong, minTs, maxTs, minV, maxV, sum, sumFixed)
+    ChunkAgg(h.n.toLong, minTs, maxTs, minV, maxV, sum, sumFixed, sumSqFixed)
   }
 
   /** Range aggregate over one compressed chunk: only points with

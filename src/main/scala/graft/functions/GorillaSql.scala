@@ -51,14 +51,16 @@ object GorillaSql {
     UnsafeArrayData.fromPrimitiveArray(GorillaCodec.decodeTimestamps(bytes))
 
   /** struct<n: long, min_ts: long, max_ts: long, min_v: double,
-    * max_v: double, sum_v: double, sum_fixed: long>. `sum_fixed` is
-    * Σ round(v·scale) as a long (Spark round/cast semantics exactly);
-    * 0 when `hasScale` is false, so the common no-fixed-sum path skips
-    * the per-point rounding work. */
+    * max_v: double, sum_v: double, sum_fixed: long, sumsq_fixed: long>.
+    * `sum_fixed` is Σ round(v·scale) as a long (Spark round/cast
+    * semantics exactly) and `sumsq_fixed` is Σ round(v·scale)² — the
+    * exact-integer second moment; both 0 when `hasScale` is false, so
+    * the common no-fixed-sum path skips the per-point rounding work. */
   def chunkAgg(bytes: Array[Byte], scale: Double, hasScale: Boolean,
                ansi: Boolean): InternalRow = {
     val a = GorillaCodec.aggregate(bytes, scale, hasScale, ansi)
-    new GenericInternalRow(Array[Any](a.n, a.minTs, a.maxTs, a.minV, a.maxV, a.sumV, a.sumFixed))
+    new GenericInternalRow(Array[Any](
+      a.n, a.minTs, a.maxTs, a.minV, a.maxV, a.sumV, a.sumFixed, a.sumSqFixed))
   }
 
   def chunkAgg(bytes: Array[Byte]): InternalRow =

@@ -23,7 +23,8 @@ object GorillaExprs {
     StructField("min_v", DoubleType, nullable = false),
     StructField("max_v", DoubleType, nullable = false),
     StructField("sum_v", DoubleType, nullable = false),
-    StructField("sum_fixed", LongType, nullable = false)))
+    StructField("sum_fixed", LongType, nullable = false),
+    StructField("sumsq_fixed", LongType, nullable = false)))
   val rangeAggType: StructType = StructType(Seq(
     StructField("n", LongType, nullable = false),
     StructField("min_ts", LongType, nullable = false),
@@ -129,12 +130,13 @@ case class GorillaDecodeTimestamps(child: Expression) extends GorillaDecodeBase 
 }
 
 /** gorilla_chunk_agg(binary) ->
-  * struct<n,min_ts,max_ts,min_v,max_v,sum_v,sum_fixed>
+  * struct<n,min_ts,max_ts,min_v,max_v,sum_v,sum_fixed,sumsq_fixed>
   * Aggregates by streaming the decoder — never materializes point
   * arrays. `fixedScale` (set by [[graft.plans.ChunkAggRule]] when it
   * pushes a fixed-point sum through the codec) makes `sum_fixed` carry
-  * Σ round(v·scale) as a long; absent, the field is 0 and the
-  * per-point rounding work is skipped. */
+  * Σ round(v·scale) and `sumsq_fixed` Σ round(v·scale)² as longs;
+  * absent, the fields are 0 and the per-point rounding work is
+  * skipped. */
 case class GorillaChunkAgg(child: Expression, fixedScale: Option[Double] = None,
                            fixedAnsi: Boolean = false)
     extends GorillaDecodeBase {

@@ -116,10 +116,23 @@ object ChunkAggRule extends Rule[LogicalPlan] {
         }
       case _ => None
     }
+    // second-moment pushdown: sum(cents * cents) where both factors are
+    // the same fixed-point shape maps onto the per-chunk sumsq_fixed
+    // long partial — variance/stddev/3-sigma aggregates then need no
+    // point rows (long addition is associative, so regrouping the
+    // partials cannot change the result).
+    def fixedSqScaleOf(x: Expression): Option[(Double, Boolean)] = inline(x) match {
+      case Multiply(a, b, _) =>
+        (fixedScaleOf(a), fixedScaleOf(b)) match {
+          case (sa @ Some(_), sb) if sa == sb => sa
+          case _ => None
+        }
+      case _ => None
+    }
     var scale: Option[(Double, Boolean)] = None
     aggExprs.foreach(_.foreach {
       case AggregateExpression(s: Sum, _, false, None, _) =>
-        fixedScaleOf(s.child) match {
+        fixedScaleOf(s.child).orElse(fixedSqScaleOf(s.child)) match {
           case Some(c) =>
             if (scale.exists(_ != c)) return None else scale = Some(c)
           case None => ()
@@ -154,6 +167,8 @@ object ChunkAggRule extends Rule[LogicalPlan] {
             }
             case s: Sum if scale.isDefined && fixedScaleOf(s.child) == scale =>
               Sum(field(6, "sum_fixed"))
+            case s: Sum if scale.isDefined && fixedSqScaleOf(s.child) == scale =>
+              Sum(field(7, "sumsq_fixed"))
             case _ => return None
           }
           ae.copy(aggregateFunction = newFn)

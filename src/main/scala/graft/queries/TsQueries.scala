@@ -42,13 +42,14 @@ object TsQueries {
   }
 
   /** Cache key: input dir + total bytes of the events table, so a
-    * regenerated test dir never reads a stale store (the `s2` suffix
-    * versions the stat layout — sum_cents moved to HALF_UP rounding). */
+    * regenerated test dir never reads a stale store (the `s3` suffix
+    * versions the stat layout — s3 added the `sumsq_cents` second
+    * moment; s2 moved sum_cents to HALF_UP rounding). */
   private def storePath(dir: String): String = {
     val src = new java.io.File(s"$dir/events.parquet")
     val files = if (src.isDirectory) src.listFiles().toSeq else Seq(src)
     val fp = files.filter(_.isFile).map(f => f.length() + f.lastModified()).sum
-    s"/tmp/graft_store/${dir.replaceAll("[^A-Za-z0-9.]", "_")}_${java.lang.Long.toHexString(fp)}_s2"
+    s"/tmp/graft_store/${dir.replaceAll("[^A-Za-z0-9.]", "_")}_${java.lang.Long.toHexString(fp)}_s3"
   }
 
   private def aggExact(points: DataFrame): DataFrame =
@@ -86,29 +87,48 @@ object TsQueries {
   /** Per-series 3-sigma outliers, exactly: on integer cents,
     * (x - mean)^2 > 9*variance  <=>  (n*x - S)^2 > 9*(n*Q - S^2) with
     * S = sum(x), Q = sum(x^2) — all-integer arithmetic, so the flag is
-    * bit-exact across engines (no float mean/stddev). The per-series
-    * moments come from ONE whole-partition window pass (the unbounded
-    * variant of ts_anomaly_prefix's frame): one shuffle on the series
-    * key and one read of the input lineage. The previous
-    * groupBy + join-back shape re-executed the input twice — off the
-    * persisted store that meant two complete parquet scans + gorilla
-    * decodes per query, a real cost at 100×. Longs hold the moments up
-    * to ~1e9 cents-points per series; beyond that, swap the three
-    * window columns to decimal(38,0) — same plan shape. Shared by
-    * the in-memory and store-backed queries: the store variant tests
-    * that the persisted roundtrip changes nothing. */
-  private def anomalyFlags(pts0: DataFrame): DataFrame = {
-    val w = Window.partitionBy("user_id", "event_type")
-    pts0.withColumn("cents", round(col("v") * 100).cast("long"))
-      .withColumn("n", count(lit(1)).over(w))
-      .withColumn("s", sum("cents").over(w))
-      .withColumn("q", sum(col("cents") * col("cents")).over(w))
+    * bit-exact across engines (no float mean/stddev). `moments` is a
+    * tiny one-row-per-series (n, s, q) frame; broadcast onto the
+    * decoded points, per-point filter, done. This replaces round 5's
+    * whole-partition window: the window buffered every row of a series
+    * in ONE task (a hot series at 100× is a straggler with no map-side
+    * partials), where the moments aggregate partial-aggregates
+    * map-side and the join is a broadcast — skew-free by construction,
+    * and the points lineage still executes exactly once. Longs hold
+    * the moments up to ~1e9 cents-points per series; beyond that, swap
+    * the three moment columns to decimal(38,0) — same plan shape. */
+  private def anomalyJoin(pts: DataFrame, moments: DataFrame): DataFrame =
+    pts.withColumn("cents", round(col("v") * 100).cast("long"))
+      .join(broadcast(moments), Seq("user_id", "event_type"))
       .filter((col("n") * col("cents") - col("s")) *
           (col("n") * col("cents") - col("s")) >
         lit(9L) * (col("n") * col("q") - col("s") * col("s")))
       .select("user_id", "event_type", "ts", "cents", "n")
       .orderBy("user_id", "event_type", "ts", "cents")
-  }
+
+  /** Per-series exact-integer moments (n, S=Σc, Q=Σc²) straight off
+    * chunk-header stat columns — ZERO chunk decode: column pruning
+    * keeps the `chunk` bytes out of this branch's scan entirely
+    * (plan-pinned in ExplainAllSpec). One header row per chunk feeds
+    * the aggregate, so at 100 TB the moments pass reads kilobytes of
+    * stats per series instead of re-decoding the corpus. */
+  private def headerMoments(chunkFrame: DataFrame): DataFrame =
+    chunkFrame.groupBy("user_id", "event_type")
+      .agg(sum("n").as("n"), sum("sum_cents").as("s"), sum("sumsq_cents").as("q"))
+
+  /** The same moments from the raw events table (for the in-memory
+    * variant, whose chunk frame is a transient chunkify — re-running
+    * the encode just to read its headers would double the dominant
+    * cost; a 3-column raw scan with map-side partial aggregation is
+    * far cheaper than either a re-encode or a whole-partition window
+    * over the decoded points). */
+  private def rawMoments(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        round(col("value").cast("double") * 100).cast("long").as("cents"))
+      .groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("n"), sum("cents").as("s"),
+        sum(col("cents") * col("cents")).as("q"))
 
   /** Hourly (count, max) buckets of a point frame, densified to the
     * per-series hour grid spanning [first, last] bucket — the shared
@@ -490,8 +510,10 @@ object TsQueries {
         graft.tsdb.Ts.chunkifyAdaptive(Tables(s, dir, "events"), series, "ts", "value",
           targetPoints = 64), series)
         .orderBy("user_id", "event_type")),
-    // per-series integer-moment 3-sigma outliers (see anomalyFlags)
-    "ts_anomaly" -> ((s, dir) => anomalyFlags(points(s, dir))),
+    // per-series integer-moment 3-sigma outliers (see anomalyJoin):
+    // moments from a cheap raw-table aggregate, flags in one pass over
+    // the decoded points — no whole-partition window, no skew
+    "ts_anomaly" -> ((s, dir) => anomalyJoin(points(s, dir), rawMoments(s, dir))),
     // per-series value histogram on 50-unit buckets: floor of the
     // double quotient cents/5000.0 — the identical IEEE operation in
     // both engines (DuckDB's integer `//` truncates toward zero, which
@@ -507,9 +529,14 @@ object TsQueries {
         .orderBy("user_id", "event_type", "bucket")),
     // the same integer-moment anomaly flags computed OFF THE PERSISTED
     // STORE (ingest-once path; shares ts_anomaly's oracle — the thing
-    // under test is that the store roundtrip changes nothing)
-    "ts_store_anomaly" -> ((s, dir) =>
-      anomalyFlags(Ts.unpack(storeChunks(s, dir), series))),
+    // under test is that the store roundtrip changes nothing). Moments
+    // come from the stored (n, sum_cents, sumsq_cents) stat columns:
+    // that branch never touches the `chunk` bytes, so the only decode
+    // in the whole plan is the single points pass (plan-pinned)
+    "ts_store_anomaly" -> ((s, dir) => {
+      val st = storeChunks(s, dir)
+      anomalyJoin(Ts.unpack(st, series), headerMoments(st))
+    }),
     // top movers: series ranked by largest absolute day-over-day change
     // in daily integer-cents total (windowed lag over per-day partials,
     // then a global TakeOrdered top-k — never a full sort)

@@ -42,13 +42,17 @@ object StreamIngest {
         min(valCol).as("min_v"), max(valCol).as("max_v"),
         sum(round(col(valCol).cast("double") * graft.tsdb.Ts.FixedScale).cast("long"))
           .as("sum_cents"),
+        sum(round(col(valCol).cast("double") * graft.tsdb.Ts.FixedScale).cast("long") *
+            round(col(valCol).cast("double") * graft.tsdb.Ts.FixedScale).cast("long"))
+          .as("sumsq_cents"),
         gorilla_encode(
           sort_array(collect_list(struct(sec.as("ts"), col(valCol).cast("double").as("v")))),
           col("window").getField("start").cast("long")).as("chunk"))
       .select(seriesCols.map(col) :+
         col("window.start").cast("long").as("window_start") :+
         col("n") :+ col("min_ts") :+ col("max_ts") :+
-        col("min_v") :+ col("max_v") :+ col("sum_cents") :+ col("chunk"): _*)
+        col("min_v") :+ col("max_v") :+ col("sum_cents") :+ col("sumsq_cents") :+
+        col("chunk"): _*)
   }
 
   /**

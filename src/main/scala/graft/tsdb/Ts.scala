@@ -41,7 +41,10 @@ object Ts {
   /**
    * Compress raw points into one row per (series, window): columns
    * `seriesCols*, window_start, n, min_ts, max_ts, min_v, max_v,
-   * sum_cents, chunk`.
+   * sum_cents, sumsq_cents, chunk`. The two fixed-point stats are the
+   * exact integer first and second moments (Σc, Σc² with
+   * c = round(v·FixedScale)): mean/variance/3-sigma queries derive
+   * per-series moments from headers alone — zero chunk decode.
    *
    * Sort-based: hash-repartition on (series, window), sort within
    * partitions by (series, window, ts, v), then stream consecutive
@@ -94,6 +97,7 @@ object Ts {
         StructField("min_v", DoubleType, nullable = false),
         StructField("max_v", DoubleType, nullable = false),
         StructField("sum_cents", LongType, nullable = false),
+        StructField("sumsq_cents", LongType, nullable = false),
         StructField("chunk", BinaryType, nullable = false)))
     val secIdx = sorted.schema.fieldIndex("__sec")
     val vIdx = sorted.schema.fieldIndex("__v")
@@ -112,6 +116,7 @@ object Ts {
           var minV = Double.PositiveInfinity
           var maxV = Double.NegativeInfinity
           var sumC = 0L
+          var sumQ = 0L
           while (it.hasNext &&
               Math.floorDiv(it.head.getLong(secIdx), windowSec) == window &&
               java.util.Arrays.equals(
@@ -127,14 +132,16 @@ object Ts {
             vs(n) = v
             if (v < minV) minV = v
             if (v > maxV) maxV = v
-            sumC += graft.core.GorillaCodec.halfUpFixed(v * FixedScale)
+            val c = graft.core.GorillaCodec.halfUpFixed(v * FixedScale)
+            sumC += c
+            sumQ += c * c
             n += 1
           }
           val bytes = graft.core.GorillaCodec.encode(
             java.util.Arrays.copyOf(ts, n), java.util.Arrays.copyOf(vs, n),
             graft.core.GorillaCodec.alignWindow(ts(0), WindowSec), leadTrail)
           Row.fromSeq(key.toSeq ++
-            Seq(window * windowSec, n.toLong, ts(0), ts(n - 1), minV, maxV, sumC, bytes))
+            Seq(window * windowSec, n.toLong, ts(0), ts(n - 1), minV, maxV, sumC, sumQ, bytes))
         }
       }
     }(Encoders.row(outSchema))
@@ -158,6 +165,7 @@ object Ts {
         StructField("min_v", DoubleType, nullable = false),
         StructField("max_v", DoubleType, nullable = false),
         StructField("sum_cents", LongType, nullable = false),
+        StructField("sumsq_cents", LongType, nullable = false),
         StructField("chunk", BinaryType, nullable = false)))
     val secIdx = sorted.schema.fieldIndex("__sec")
     val vIdx = sorted.schema.fieldIndex("__v")
@@ -175,6 +183,7 @@ object Ts {
           var minV = Double.PositiveInfinity
           var maxV = Double.NegativeInfinity
           var sumC = 0L
+          var sumQ = 0L
           while (it.hasNext && java.util.Arrays.equals(
               keyIdx.map(it.head.get).asInstanceOf[Array[AnyRef]],
               key.asInstanceOf[Array[AnyRef]])) {
@@ -188,7 +197,9 @@ object Ts {
             vs(n) = v
             if (v < minV) minV = v
             if (v > maxV) maxV = v
-            sumC += graft.core.GorillaCodec.halfUpFixed(v * FixedScale)
+            val c = graft.core.GorillaCodec.halfUpFixed(v * FixedScale)
+            sumC += c
+            sumQ += c * c
             n += 1
           }
           // header time aligns to the first point's 2h block, not the
@@ -197,7 +208,7 @@ object Ts {
           val bytes = graft.core.GorillaCodec.encode(
             java.util.Arrays.copyOf(ts, n), java.util.Arrays.copyOf(vs, n),
             graft.core.GorillaCodec.alignWindow(ts(0), WindowSec), leadTrail)
-          Row.fromSeq(key.toSeq ++ Seq(n.toLong, ts(0), ts(n - 1), minV, maxV, sumC, bytes))
+          Row.fromSeq(key.toSeq ++ Seq(n.toLong, ts(0), ts(n - 1), minV, maxV, sumC, sumQ, bytes))
         }
       }
     }(Encoders.row(outSchema))
@@ -441,7 +452,7 @@ object Ts {
                    outPath: String, windowSec: Long = WindowSec): Unit = {
     val chunks = readStore(spark, path)
     val fixed = Set("window_start", "n", "min_ts", "max_ts", "min_v", "max_v",
-      "sum_cents", "chunk", "window_date")
+      "sum_cents", "sumsq_cents", "chunk", "window_date")
     val seriesCols = chunks.columns.filterNot(fixed.contains).toSeq
     // ts comes back as epoch seconds (long); go through timestamp so
     // chunkify's epochSec treats it as seconds, not parquet nanos

@@ -7,10 +7,11 @@ import org.apache.spark.sql.functions._
 final case class Point(series: String, ts: Long, v: Double)
 
 /** One sealed gorilla chunk of one series window. `sum_cents` is the
-  * fixed-point value sum (Σ round(v * [[Ts.FixedScale]])). */
+  * fixed-point value sum (Σ round(v * [[Ts.FixedScale]])) and
+  * `sumsq_cents` its exact second moment (Σ round(v·scale)²). */
 final case class Chunk(series: String, window_start: Long, n: Long,
                        min_ts: Long, max_ts: Long, min_v: Double, max_v: Double,
-                       sum_cents: Long, chunk: Array[Byte])
+                       sum_cents: Long, sumsq_cents: Long, chunk: Array[Byte])
 
 /**
  * Typed facade over [[Ts]] for the common single-string-key case:

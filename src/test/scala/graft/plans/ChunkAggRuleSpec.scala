@@ -46,6 +46,28 @@ class ChunkAggRuleSpec extends AnyFunSuite {
       blocked.orderBy("user_id").collect().toSeq)
   }
 
+  test("sum of squared cents rewrites to sumsq_fixed partials (variance pushdown)") {
+    val c = round(col("v") * 100).cast("long")
+    val q = pts.groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum(c).as("s"), sum(c * c).as("q"))
+    val opt = q.queryExecution.optimizedPlan.toString
+    assert(opt.contains("gorilla_chunk_agg"), s"rule did not fire on cents² sum:\n$opt")
+    assert(!opt.contains("Generate"), s"explode survived the rewrite:\n$opt")
+    val blocked = pts.groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum(c).as("s"), sum(c * c).as("q"),
+        sum("v").as("__s"))
+      .drop("__s")
+    assert(q.orderBy("user_id").collect().toSeq ==
+      blocked.orderBy("user_id").collect().toSeq)
+    // 3-sigma moments derived from the pushed-down q must equal the
+    // stored chunk-header stats — the two independent computations of
+    // the same second moment (kernel streaming vs chunkify stat loop)
+    val header = chunks.groupBy("user_id")
+      .agg(sum("n").as("n"), sum("sum_cents").as("s"), sum("sumsq_cents").as("q"))
+    assert(q.orderBy("user_id").collect().toSeq ==
+      header.orderBy("user_id").collect().toSeq)
+  }
+
   test("withColumn-derived group key does not crash the rule and stays named") {
     // regression: a bare output attribute resolving to a Project alias
     // used to be substituted by a non-named expression -> CCE at

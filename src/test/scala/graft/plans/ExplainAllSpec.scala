@@ -34,13 +34,19 @@ class ExplainAllSpec extends AnyFunSuite {
   test("plan-shape snapshots of the expensive queries hold") {
     // name -> (shuffles, broadcasts, decode-call sites), with the why
     val expected = Map(
-      // one shuffle into the window (series partition), one for the
-      // final orderBy; ONE decode of the persisted store — the round-4
-      // double-decode (stats groupBy + join-back probe, two full store
-      // scans) must never come back
-      "ts_store_anomaly" -> (2, 0, 1),
-      // same single-pass shape off the in-memory chunk lineage
-      "ts_anomaly" -> (3, 0, 1),
+      // moments off the stored header stats (groupBy shuffle over
+      // header rows + broadcast onto the points), final orderBy; ONE
+      // decode of the persisted store — the moments branch reads stat
+      // columns only (no chunk bytes), and the round-4 double-decode
+      // (two full store scans) must never come back. No window: the
+      // round-5 whole-partition window buffered each series in one
+      // task — a hot-series straggler at scale (asserted below)
+      "ts_store_anomaly" -> (2, 1, 1),
+      // same join shape off the in-memory chunk lineage; moments from
+      // a 3-column raw-events aggregate (cheaper than re-encoding or
+      // windowing the decoded points), chunkify + moments agg + final
+      // orderBy shuffles
+      "ts_anomaly" -> (3, 1, 1),
       // decode-free: ChunkAggRule answers count/min/max/sum_cents from
       // per-chunk partials (encode repartition + agg + orderBy; ZERO
       // decode call sites in the plan)
@@ -89,6 +95,18 @@ class ExplainAllSpec extends AnyFunSuite {
       else None
     }
     assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  test("anomaly queries are window-free (skew guard: no whole-partition buffering)") {
+    // the 3-sigma moments must come from a partial-aggregating groupBy
+    // + broadcast join, never a whole-partition window (which lands
+    // each series' full point set on one task with no map-side combine)
+    for (name <- Seq("ts_anomaly", "ts_store_anomaly")) {
+      val plan = SparkEntry.queries(name)(spark, dir).queryExecution
+        .executedPlan.toString
+      assert(!plan.contains("Window"), s"$name plan contains a Window operator")
+      assert(plan.contains("BroadcastExchange"), s"$name moments side not broadcast")
+    }
   }
 
   test("q6 scan keeps its pushed filters (regression gate on pushdown)") {
