@@ -23,18 +23,33 @@ object Dedup {
 
   /**
    * Exact dedup by content hash: every doc mapped to its group's
-   * canonical (min) id plus the group size, via ONE whole-partition
-   * window over the hash — one scan of the corpus text, one shuffle
-   * on the hash, no text comparison (the groupBy + join-back shape
-   * this replaces hashed the corpus text twice).
+   * canonical (min) id plus the group size.
+   *
+   * Shape: a partial-aggregating groupBy builds the DUP GROUPS ONLY
+   * (hashes with ≥ 2 copies), left-joined back onto the hashed rows;
+   * singletons — the overwhelming majority of a real corpus — never
+   * enter the join build side at all. Skew is handled where Spark has
+   * machinery for it: the groupBy map-side-combines a hot hash
+   * (millions of identical boilerplate docs become one partial per
+   * input partition), and the join is an ordinary shuffle join AQE can
+   * skew-split or demote to broadcast when the dup-group table is
+   * small. The whole-partition window this replaces buffered every
+   * row of a hot hash in ONE task with no partials and no AQE escape —
+   * a guaranteed straggler at 100×. Cost of the trade: the narrow
+   * (id, md5(text)) projection is computed in both branches of the
+   * self-join — two linear scans that parallelize, bought for the
+   * removal of a serial single-task cliff.
    */
   def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("content_hash")
-    docs.select(col(idCol), md5(col(textCol)).as("content_hash"))
-      .withColumn("keep_id", min(idCol).over(w))
-      .withColumn("n_copies", count(lit(1)).over(w))
-      .select(col(idCol), col("content_hash"), col("keep_id"), col("n_copies"),
-        (col(idCol) =!= col("keep_id")).as("is_dup"))
+    val hashed = docs.select(col(idCol), md5(col(textCol)).as("content_hash"))
+    val dupGroups = hashed.groupBy("content_hash")
+      .agg(min(idCol).as("keep_id"), count(lit(1)).as("n_copies"))
+      .filter(col("n_copies") > 1)
+    hashed.join(dupGroups, Seq("content_hash"), "left")
+      .select(col(idCol), col("content_hash"),
+        coalesce(col("keep_id"), col(idCol)).as("keep_id"),
+        coalesce(col("n_copies"), lit(1L)).as("n_copies"),
+        coalesce(col("keep_id") =!= col(idCol), lit(false)).as("is_dup"))
   }
 
   /**

@@ -17,6 +17,35 @@ class OpsSpec extends AnyFunSuite {
   private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
     df.select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
 
+  test("exact dedup survives a pathologically hot hash without a window cliff") {
+    import spark.implicits._
+    // one boilerplate text duplicated 100k times (a single content
+    // hash) + distinct tail: the shape that strangled the old
+    // whole-partition window into one task
+    val hot = spark.range(100000).select(col("id"),
+      lit("the same boilerplate page").as("text"))
+    val tail = spark.range(100000, 101000).select(col("id"),
+      concat(lit("unique "), col("id")).as("text"))
+    val out = Dedup.exact(hot.union(tail), "id", "text")
+    // plan shape: no whole-partition Window (single-task buffering);
+    // the groupBy must partial-aggregate map-side
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"hot-hash path uses a Window:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"no partial aggregation in dup-groups build:\n$plan")
+    // results: hot group keeps id 0, 99999 dups; tail are singletons
+    val rows = out.collect()
+    assert(rows.length == 101000)
+    val hotRows = rows.filter(_.getAs[Long]("n_copies") == 100000L)
+    assert(hotRows.length == 100000)
+    assert(hotRows.forall(_.getAs[Long]("keep_id") == 0L))
+    assert(hotRows.count(_.getAs[Boolean]("is_dup")) == 99999)
+    val singles = rows.filter(_.getAs[Long]("n_copies") == 1L)
+    assert(singles.length == 1000)
+    assert(singles.forall(r => !r.getAs[Boolean]("is_dup") &&
+      r.getAs[Long]("keep_id") == r.getAs[Long]("id")))
+  }
+
   test("minhash LSH recall: finds every exact-jaccard>=0.8 pair") {
     val truth = pairSet(Dedup.ngramJaccardBrute(docs, "doc_id", "text", Long.MaxValue, 0.8))
     val lsh = pairSet(Dedup.minhashLsh(docs, "doc_id", "text"))
