@@ -165,7 +165,19 @@ object Similarity {
   }
 
   /** Exact-cosine rerank of (q_id, n_id) candidates: top k per query.
-    * Shared tie-break everywhere: cosine desc, then n_id. */
+    * Shared tie-break everywhere: cosine desc, then n_id.
+    *
+    * Duplicate-pair tolerant: candidate generators (multi-table LSH,
+    * multi-probe IVF) emit the same pair via several routes, and a
+    * standalone `distinct()` shuffles the FULL pair set just to drop a
+    * few percent of rows (measured 6 % at bench scale — the r5
+    * sim_ann_lsh regression). Instead the rank window dedups for free:
+    * duplicates of a pair are adjacent under the (cos desc, n_id)
+    * order, so a `lag(n_id)` guard drops them inside the SAME
+    * partitioning/sort the ranking already pays for — Catalyst plans
+    * both window functions over one exchange, zero extra shuffles.
+    * Already-unique candidate sets (topApprox output) pass through the
+    * guard unchanged. */
   private def rerankExact(cand: DataFrame, q: DataFrame, e: DataFrame,
                           k: Int): DataFrame = {
     val scored = cand
@@ -173,7 +185,9 @@ object Similarity {
       .join(e.toDF("n_id", "n_vec"), "n_id")
       .withColumn("cos", cosine(col("q_vec"), col("n_vec")))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
-    scored.withColumn("rank", row_number().over(w))
+    scored.withColumn("__prev", lag("n_id", 1).over(w))
+      .filter(col("__prev").isNull || col("__prev") =!= col("n_id"))
+      .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("q_id", "rank", "n_id", "cos")
   }
@@ -197,10 +211,13 @@ object Similarity {
     val e = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val q = queries.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val lists = assign(e, centroids) // inverted file: id -> cluster
+    // no distinct: a vector lives in exactly ONE inverted list, so a
+    // (q, n) pair can only arise via one probed cluster (and rerank
+    // dedups defensively anyway)
     val cand = probeLists(q, centroids, nprobe)
       .join(lists.toDF("n_id", "cluster"), Seq("cluster"))
       .filter(col("q_id") =!= col("n_id"))
-      .select("q_id", "n_id").distinct()
+      .select("q_id", "n_id")
     rerankExact(cand, q, e, k)
   }
 
@@ -504,11 +521,15 @@ object Similarity {
         array((col("bucket") +: (0 until nBits).map(i =>
           col("bucket").bitwiseXOR(lit(1L << i)))): _*)
       else array(col("bucket"))
+    // NOT distinct: multi-table/multi-probe routes duplicate a few
+    // percent of pairs, and a full-pair-set shuffle to drop them costs
+    // more than carrying them into rerankExact's window, which dedups
+    // inside the partitioning it already pays for (measured: the
+    // standalone distinct was the r5 sim_ann_lsh regression)
     b.select(col("id").as("q_id"), col("table"), explode(probeBuckets).as("bucket"))
       .join(lists, Seq("table", "bucket"))
       .select(col("q_id"), explode(col("ids")).as("n_id"))
       .filter(col("q_id") =!= col("n_id"))
-      .distinct()
   }
 
   /**
@@ -649,10 +670,12 @@ object Similarity {
                     nprobe: Int = 4): DataFrame = {
     val e = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val q = queries.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    // no distinct: one list per vector => pairs are unique by
+    // construction (rerank dedups defensively anyway)
     val cand = probeLists(q, idx.centroids, nprobe)
       .join(idx.lists.toDF("n_id", "cluster"), Seq("cluster"))
       .filter(col("q_id") =!= col("n_id"))
-      .select("q_id", "n_id").distinct()
+      .select("q_id", "n_id")
     rerankExact(cand, q, e, k)
   }
 

@@ -67,9 +67,11 @@ class ExplainAllSpec extends AnyFunSuite {
       "q_skew_join" -> (5, 0, 0),
       // IVF probe/scan/rerank off the persisted model store: corpus
       // assignment is a kernel scan (no crossJoin — plan-asserted in
-      // OpsSpec), candidate + rerank joins drive 3 shuffles, small
-      // sides broadcast
-      "sim_ann_ivf" -> (3, 3, 0),
+      // OpsSpec), candidate + rerank joins drive the shuffles, small
+      // sides broadcast. Round 6 dropped the candidate distinct() (IVF
+      // pairs are unique by construction — one list per vector), so
+      // one fewer shuffle than r5
+      "sim_ann_ivf" -> (2, 3, 0),
       // list-restricted ADC scan + rerank: LUT/centroid/query sides
       // broadcast (6); with lists AND codes read from the persisted
       // index (round 5) the per-query corpus encode is gone — only the
