@@ -380,6 +380,30 @@ object OpsQueries {
         |SELECT h.doc_id, h.content_hash, g.keep_id, g.n_copies,
         |  h.doc_id != g.keep_id AS is_dup
         |FROM h JOIN g USING (content_hash) ORDER BY h.doc_id""".stripMargin,
+    // the brute >= τ pair set IS the verify output: every qualifying
+    // pair in this corpus has J >= 0.9, where a 16-band×4-row miss has
+    // probability (1 - 0.9^4)^16 ≈ 3e-8 — and OpsSpec pins
+    // verified == brute exactly. Shingles here replicate the
+    // shingle_hashes kernel (split on single spaces, word 3-grams
+    // joined by ' ', whole text when < 3 words, distinct), via a
+    // shared-shingle inverted join rather than all-pairs.
+    "dedup_minhash_verify" ->
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |msh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    [array_to_string(ws[i : least(i+2, len(ws))], ' ')
+        |     for i in range(1, greatest(len(ws) - 2, 1) + 1)])) AS g
+        |  FROM words),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM msh GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_common
+        |          FROM msh a JOIN msh b ON a.g = b.g AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT i.a_id, i.b_id, i.n_common,
+        |       CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common) AS jaccard
+        |FROM inter i JOIN sizes sa ON i.a_id = sa.doc_id
+        |             JOIN sizes sb ON i.b_id = sb.doc_id
+        |WHERE CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common) >= 0.5
+        |ORDER BY a_id, b_id""".stripMargin,
     "dedup_ngram_jaccard" -> s"""WITH $shinglesSql
       |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
       |  len(list_intersect(a.s, b.s)) AS n_common,
