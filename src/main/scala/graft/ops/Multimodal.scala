@@ -159,4 +159,76 @@ object Multimodal {
         max("width").as("max_w"), max("height").as("max_h"))
       .orderBy("kind")
   }
+
+  // === real pixel content decode (PNG) ==============================
+
+  /**
+   * Synthetic pixel-media table: every doc becomes a REAL deflate-
+   * compressed RGB PNG whose pixel values follow a deterministic
+   * formula of the text's md5 digest —
+   *   r(x,y) = (b0+x) mod 256, g = (b1+y) mod 256,
+   *   b(x,y) = (b2+x+y) mod 256,  w = b4 mod 48 + 4, h = b5 mod 48 + 4
+   * — with scanline y filtered as (b3+y) mod 5, cycling through ALL
+   * five PNG filter types. Recovering the channel sums therefore
+   * requires a genuine zlib inflate + unfilter pass, while an oracle
+   * can recompute the expected sums arithmetically from the digest.
+   * (Scalar UDF: fixture builder, not a query hot path.)
+   */
+  def syntheticPixelMedia(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val pngOf = udf { (d: Array[Byte]) =>
+      val (b0, b1, b2, b3) = (d(0) & 0xFF, d(1) & 0xFF, d(2) & 0xFF, d(3) & 0xFF)
+      val w = (d(4) & 0xFF) % 48 + 4
+      val h = (d(5) & 0xFF) % 48 + 4
+      val px = new Array[Byte](w * h * 3)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val o = (y * w + x) * 3
+          px(o) = ((b0 + x) % 256).toByte
+          px(o + 1) = ((b1 + y) % 256).toByte
+          px(o + 2) = ((b2 + x + y) % 256).toByte
+          x += 1
+        }
+        y += 1
+      }
+      PngPixels.encode(w, h, 3, px, yy => (b3 + yy) % 5)
+    }
+    docs.select(col(idCol).as("media_id"),
+        unhex(md5(col(textCol))).as("digest"))
+      .withColumn("blob", pngOf(col("digest")))
+      .select("media_id", "blob")
+  }
+
+  final case class PixelStats(media_id: Long, width: Int, height: Int,
+                              n_pixels: Long, sum_r: Long, sum_g: Long, sum_b: Long,
+                              mean_r: Double, mean_g: Double, mean_b: Double)
+
+  /** Per-image channel statistics from REAL pixel decode
+    * ([[PngPixels.decode]]: inflate + unfilter), partition-parallel.
+    * Undecodable rows are dropped (a decoder bug thus surfaces as a
+    * row-count mismatch against the oracle, never as silent zeros). */
+  def pixelStats(media: DataFrame): Dataset[PixelStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "blob").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, blob) =>
+          PngPixels.decode(blob).map { img =>
+            var (sr, sg, sb) = (0L, 0L, 0L)
+            var i = 0
+            val n = img.width * img.height
+            while (i < n) {
+              val o = i * img.channels
+              sr += img.pixels(o) & 0xFF
+              sg += img.pixels(o + 1) & 0xFF
+              sb += img.pixels(o + 2) & 0xFF
+              i += 1
+            }
+            PixelStats(id, img.width, img.height, n.toLong, sr, sg, sb,
+              sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
+          }
+        }
+      }
+  }
 }

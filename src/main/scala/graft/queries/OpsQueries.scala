@@ -215,6 +215,15 @@ object OpsQueries {
     "mm_features" -> ((s, dir) =>
       Multimodal.featureStats(
         Multimodal.syntheticMedia(Tables(s, dir, "documents"), "doc_id", "text"))),
+    // REAL pixel content decode: per-image channel sums/means off
+    // deflate-compressed PNGs using all five scanline filters — the
+    // values only come out right through a genuine inflate + unfilter
+    // pass (PngPixels), while the oracle recomputes them
+    // arithmetically from the md5-seeded pixel formula
+    "mm_pixel_stats" -> ((s, dir) =>
+      Multimodal.pixelStats(
+        Multimodal.syntheticPixelMedia(Tables(s, dir, "documents"), "doc_id", "text"))
+        .toDF().orderBy("media_id")),
     // all-modality header decode: per-row image dims, WAV sample rate/
     // channels/samples, AVI dims/frames — every value must round-trip
     // md5 bytes -> real container bytes -> format parser, row by row
@@ -501,6 +510,31 @@ object OpsQueries {
         |    AS total_bytes,
         |  max(b0 % 64 + 1) AS max_w, max(b1 % 64 + 1) AS max_h
         |FROM b GROUP BY kind ORDER BY kind""".stripMargin,
+    // channel sums recomputed arithmetically from the md5-seeded pixel
+    // formula — Spark's numbers come from a real inflate + unfilter of
+    // the compressed scanlines, so a filter/inflate bug cannot cancel
+    "mm_pixel_stats" ->
+      """WITH b AS (SELECT doc_id,
+        |  CAST('0x' || substr(md5(text), 1, 2) AS INT) AS b0,
+        |  CAST('0x' || substr(md5(text), 3, 2) AS INT) AS b1,
+        |  CAST('0x' || substr(md5(text), 5, 2) AS INT) AS b2,
+        |  CAST('0x' || substr(md5(text), 9, 2) AS INT) % 48 + 4 AS w,
+        |  CAST('0x' || substr(md5(text), 11, 2) AS INT) % 48 + 4 AS h
+        |FROM documents),
+        |s AS (SELECT doc_id, w, h,
+        |  h * list_sum([(b0 + x) % 256 for x in range(0, w)]) AS sr,
+        |  w * list_sum([(b1 + y) % 256 for y in range(0, h)]) AS sg,
+        |  list_sum([list_sum([(b2 + x + y) % 256 for y in range(0, h)])
+        |            for x in range(0, w)]) AS sb
+        |FROM b)
+        |SELECT doc_id AS media_id, w AS width, h AS height,
+        |  CAST(w * h AS BIGINT) AS n_pixels,
+        |  CAST(sr AS BIGINT) AS sum_r, CAST(sg AS BIGINT) AS sum_g,
+        |  CAST(sb AS BIGINT) AS sum_b,
+        |  CAST(sr AS DOUBLE) / (w * h) AS mean_r,
+        |  CAST(sg AS DOUBLE) / (w * h) AS mean_g,
+        |  CAST(sb AS DOUBLE) / (w * h) AS mean_b
+        |FROM s ORDER BY media_id""".stripMargin,
     // every feature recomputed straight from the md5 bytes the fixture
     // containers encode — a row matches only if the WAV/AVI/PNG parser
     // read the real header correctly
