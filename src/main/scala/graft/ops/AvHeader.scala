@@ -61,6 +61,44 @@ object AvHeader {
     None
   }
 
+  /**
+   * REAL sample content decode for 16-bit PCM WAV: walks the RIFF
+   * chunks like [[parseWav]] but also requires format tag 1 (PCM) at
+   * 16 bits and returns the interleaved little-endian samples. A WAV
+   * in any other encoding (float, ADPCM, 8/24-bit) declines to None —
+   * honest partial coverage; 16-bit PCM is raw data, no codec needed.
+   */
+  def decodeWavSamples(b: Array[Byte]): Option[(WavInfo, Array[Short])] = {
+    if (b.length < 36 || !tag(b, 0, "RIFF") || !tag(b, 8, "WAVE")) return None
+    var i = 12L
+    var rate, channels, blockAlign, fmtTag, bits = -1
+    var dataOff, dataLen = -1
+    while (i + 8 <= b.length) {
+      val size = le32(b, i.toInt + 4)
+      if (size < 0) return None
+      if (tag(b, i.toInt, "fmt ") && i + 8 + 16 <= b.length) {
+        fmtTag = le16(b, i.toInt + 8)
+        channels = le16(b, i.toInt + 10)
+        rate = le32(b, i.toInt + 12)
+        blockAlign = le16(b, i.toInt + 20)
+        bits = le16(b, i.toInt + 22)
+      } else if (tag(b, i.toInt, "data")) { dataOff = i.toInt + 8; dataLen = size }
+      i += 8L + size + (size & 1)
+    }
+    if (fmtTag != 1 || bits != 16 || rate <= 0 || channels <= 0 ||
+        blockAlign != channels * 2 || dataOff < 0 ||
+        dataOff.toLong + dataLen > b.length || (dataLen & 1) == 1) return None
+    val n = dataLen / 2
+    val samples = new Array[Short](n)
+    var j = 0
+    while (j < n) {
+      samples(j) = ((b(dataOff + 2 * j) & 0xFF) |
+        (b(dataOff + 2 * j + 1) << 8)).toShort
+      j += 1
+    }
+    Some((WavInfo(rate, channels, dataLen / blockAlign), samples))
+  }
+
   private def w32(out: java.io.ByteArrayOutputStream, v: Int): Unit = {
     out.write(v & 0xFF); out.write((v >> 8) & 0xFF)
     out.write((v >> 16) & 0xFF); out.write((v >> 24) & 0xFF)
@@ -73,15 +111,22 @@ object AvHeader {
 
   /** A canonical 44-byte-header 16-bit PCM WAV with `nSamples` zero
     * samples — a real file any WAV reader opens. */
-  def wavBytes(sampleRate: Int, channels: Int, nSamples: Int): Array[Byte] = {
-    val dataLen = nSamples * channels * 2
+  def wavBytes(sampleRate: Int, channels: Int, nSamples: Int): Array[Byte] =
+    wavBytesPcm(sampleRate, channels, new Array[Short](nSamples * channels))
+
+  /** A real 16-bit PCM WAV carrying `pcm` as its interleaved payload
+    * (pcm.length must be a multiple of channels). */
+  def wavBytesPcm(sampleRate: Int, channels: Int, pcm: Array[Short]): Array[Byte] = {
+    require(pcm.length % channels == 0, "interleaved payload must fill whole frames")
+    val dataLen = pcm.length * 2
     val out = new java.io.ByteArrayOutputStream(44 + dataLen)
     ascii(out, "RIFF"); w32(out, 36 + dataLen); ascii(out, "WAVE")
     ascii(out, "fmt "); w32(out, 16)
     w16(out, 1); w16(out, channels); w32(out, sampleRate)
     w32(out, sampleRate * channels * 2); w16(out, channels * 2); w16(out, 16)
     ascii(out, "data"); w32(out, dataLen)
-    out.write(new Array[Byte](dataLen), 0, dataLen)
+    var i = 0
+    while (i < pcm.length) { w16(out, pcm(i) & 0xFFFF); i += 1 }
     out.toByteArray
   }
 

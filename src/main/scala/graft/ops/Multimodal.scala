@@ -200,6 +200,67 @@ object Multimodal {
       .select("media_id", "blob")
   }
 
+  /**
+   * Synthetic PCM-audio table: every doc becomes a REAL 16-bit PCM WAV
+   * whose interleaved samples follow a deterministic formula of the
+   * text's md5 digest —
+   *   s(i) = ((b0+1)·(i+1) + 7·b1) mod 65536 − 32768
+   * with ch = b2 mod 2 + 1 channels, b3 mod 400 + 50 frames, and
+   * rate = (b4 mod 4 + 1)·11025 — so an oracle recomputes every
+   * statistic arithmetically while Spark must genuinely parse the RIFF
+   * layout and little-endian payload. (Scalar UDF: fixture builder.)
+   */
+  def syntheticPcmMedia(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val wavOf = udf { (d: Array[Byte]) =>
+      val (b0, b1, b2, b3, b4) =
+        (d(0) & 0xFF, d(1) & 0xFF, d(2) & 0xFF, d(3) & 0xFF, d(4) & 0xFF)
+      val ch = b2 % 2 + 1
+      val n = (b3 % 400 + 50) * ch
+      val pcm = Array.tabulate[Short](n)(i =>
+        (((b0 + 1) * (i + 1) + 7 * b1) % 65536 - 32768).toShort)
+      AvHeader.wavBytesPcm((b4 % 4 + 1) * 11025, ch, pcm)
+    }
+    docs.select(col(idCol).as("media_id"),
+        unhex(md5(col(textCol))).as("digest"))
+      .withColumn("blob", wavOf(col("digest")))
+      .select("media_id", "blob")
+  }
+
+  final case class AudioStats(media_id: Long, sample_rate: Int, channels: Int,
+                              n_frames: Int, n_samples: Long, sum_pcm: Long,
+                              sum_sq: Long, peak: Int, mean_pcm: Double,
+                              mean_square: Double)
+
+  /** Per-clip sample statistics from REAL PCM decode
+    * ([[AvHeader.decodeWavSamples]]): exact integer first/second
+    * moments and peak over the interleaved payload. Undecodable rows
+    * are dropped (decoder bugs surface as row-count mismatches). */
+  def audioStats(media: DataFrame): Dataset[AudioStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "blob").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, blob) =>
+          AvHeader.decodeWavSamples(blob).map { case (info, pcm) =>
+            var (s, q) = (0L, 0L)
+            var peak = 0
+            var i = 0
+            while (i < pcm.length) {
+              val v = pcm(i).toInt
+              s += v
+              q += v.toLong * v
+              val a = math.abs(v)
+              if (a > peak) peak = a
+              i += 1
+            }
+            AudioStats(id, info.sampleRate, info.channels, info.nSamples,
+              pcm.length.toLong, s, q, peak,
+              s.toDouble / pcm.length, q.toDouble / pcm.length)
+          }
+        }
+      }
+  }
+
   final case class PixelStats(media_id: Long, width: Int, height: Int,
                               n_pixels: Long, sum_r: Long, sum_g: Long, sum_b: Long,
                               mean_r: Double, mean_g: Double, mean_b: Double)

@@ -224,6 +224,14 @@ object OpsQueries {
       Multimodal.pixelStats(
         Multimodal.syntheticPixelMedia(Tables(s, dir, "documents"), "doc_id", "text"))
         .toDF().orderBy("media_id")),
+    // REAL audio sample content decode: exact integer PCM moments +
+    // peak per clip, off genuine 16-bit RIFF payloads (little-endian
+    // interleaved) — values only come out right through a real
+    // data-chunk walk and sample parse (AvHeader.decodeWavSamples)
+    "mm_audio_stats" -> ((s, dir) =>
+      Multimodal.audioStats(
+        Multimodal.syntheticPcmMedia(Tables(s, dir, "documents"), "doc_id", "text"))
+        .toDF().orderBy("media_id")),
     // all-modality header decode: per-row image dims, WAV sample rate/
     // channels/samples, AVI dims/frames — every value must round-trip
     // md5 bytes -> real container bytes -> format parser, row by row
@@ -510,6 +518,30 @@ object OpsQueries {
         |    AS total_bytes,
         |  max(b0 % 64 + 1) AS max_w, max(b1 % 64 + 1) AS max_h
         |FROM b GROUP BY kind ORDER BY kind""".stripMargin,
+    // PCM moments recomputed arithmetically from the md5-seeded sample
+    // formula — Spark's numbers come from a real RIFF walk + 16-bit
+    // little-endian sample parse, so an offset/endianness bug cannot
+    // cancel
+    "mm_audio_stats" ->
+      """WITH b AS (SELECT doc_id,
+        |  CAST('0x' || substr(md5(text), 1, 2) AS INT) AS b0,
+        |  CAST('0x' || substr(md5(text), 3, 2) AS INT) AS b1,
+        |  CAST('0x' || substr(md5(text), 5, 2) AS INT) % 2 + 1 AS ch,
+        |  CAST('0x' || substr(md5(text), 7, 2) AS INT) % 400 + 50 AS frames,
+        |  (CAST('0x' || substr(md5(text), 9, 2) AS INT) % 4 + 1) * 11025 AS rate
+        |FROM documents),
+        |v AS (SELECT doc_id, rate, ch, frames, frames * ch AS n,
+        |  [((b0 + 1) * (i + 1) + 7 * b1) % 65536 - 32768
+        |   for i in range(0, frames * ch)] AS s
+        |FROM b)
+        |SELECT doc_id AS media_id, rate AS sample_rate, ch AS channels,
+        |  frames AS n_frames, CAST(n AS BIGINT) AS n_samples,
+        |  CAST(list_sum(s) AS BIGINT) AS sum_pcm,
+        |  CAST(list_sum([x * x for x in s]) AS BIGINT) AS sum_sq,
+        |  CAST(list_max([abs(x) for x in s]) AS INT) AS peak,
+        |  CAST(list_sum(s) AS DOUBLE) / n AS mean_pcm,
+        |  CAST(list_sum([x * x for x in s]) AS DOUBLE) / n AS mean_square
+        |FROM v ORDER BY media_id""".stripMargin,
     // channel sums recomputed arithmetically from the md5-seeded pixel
     // formula — Spark's numbers come from a real inflate + unfilter of
     // the compressed scanlines, so a filter/inflate bug cannot cancel

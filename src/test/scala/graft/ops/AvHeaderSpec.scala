@@ -17,6 +17,37 @@ class AvHeaderSpec extends AnyFunSuite {
     assert(AvHeader.parseWav(b).contains(AvHeader.WavInfo(8000, 1, 0)))
   }
 
+  test("16-bit PCM payload round-trips sample-exactly (mono and stereo)") {
+    val rnd = new scala.util.Random(11)
+    for (ch <- Seq(1, 2)) {
+      val pcm = Array.fill[Short](ch * 37)((rnd.nextInt(65536) - 32768).toShort)
+      val blob = AvHeader.wavBytesPcm(44100, ch, pcm)
+      val (info, back) = AvHeader.decodeWavSamples(blob)
+        .getOrElse(fail(s"pcm decode failed ch=$ch"))
+      assert(info == AvHeader.WavInfo(44100, ch, 37))
+      assert(back.toSeq == pcm.toSeq)
+      // negative extremes survive the little-endian round-trip
+      val edge = Array[Short](Short.MinValue, -1, 0, 1, Short.MaxValue, 0)
+      val (_, eb) = AvHeader.decodeWavSamples(AvHeader.wavBytesPcm(8000, 1, edge)).get
+      assert(eb.toSeq == edge.toSeq)
+    }
+  }
+
+  test("sample decode declines non-PCM shapes and truncated payloads") {
+    val good = AvHeader.wavBytesPcm(8000, 1, Array[Short](5, -5, 7))
+    // header still parses but the data chunk is cut short
+    assert(AvHeader.decodeWavSamples(good.take(good.length - 2)).isEmpty)
+    // format tag != PCM
+    val nonPcm = good.clone(); nonPcm(20) = 3 // IEEE float tag
+    assert(AvHeader.decodeWavSamples(nonPcm).isEmpty)
+    // 8-bit sample size
+    val eightBit = good.clone(); eightBit(34) = 8
+    assert(AvHeader.decodeWavSamples(eightBit).isEmpty)
+    // the zero-filled fixture decodes as silence
+    val (_, silent) = AvHeader.decodeWavSamples(AvHeader.wavBytes(8000, 2, 4)).get
+    assert(silent.toSeq == Seq.fill[Short](8)(0))
+  }
+
   test("AVI fixture round-trips through the hdrl LIST descent") {
     val b = AvHeader.aviBytes(33, 7, 999)
     assert(b.length == 88)
