@@ -503,9 +503,32 @@ object Similarity {
     annCandidatesFrom(lshBuckets(embeddings, idCol, vecCol, nBits, tables),
       nBits, probes, maxBucket)
 
+  /** Candidate pairs from PRE-GROUPED (table, bucket, ids) lists —
+    * the persisted-index path: the per-query collect_list shuffle is
+    * gone entirely (grouping happened once, at [[writeModels]] time).
+    * The probe side derives from the same lists by exploding ids
+    * (every id sits in exactly one bucket per table, so the explode
+    * IS the raw bucket frame) — two scans of a small parquet, zero
+    * shuffles before the rerank window. Oversize buckets are dropped
+    * from the BUILD side only, exactly like the raw-frame path. */
+  private def annCandidatesFromLists(lists0: DataFrame, nBits: Int, probes: Int,
+                                     maxBucket: Int): DataFrame = {
+    require(probes <= 1, "only hamming radius 0 or 1 probing is supported")
+    val lists = lists0.filter(size(col("ids")) <= maxBucket)
+    val probeBuckets =
+      if (probes >= 1)
+        array((col("bucket") +: (0 until nBits).map(i =>
+          col("bucket").bitwiseXOR(lit(1L << i)))): _*)
+      else array(col("bucket"))
+    lists0.select(col("table"), col("bucket"), explode(col("ids")).as("q_id"))
+      .select(col("q_id"), col("table"), explode(probeBuckets).as("bucket"))
+      .join(lists, Seq("table", "bucket"))
+      .select(col("q_id"), explode(col("ids")).as("n_id"))
+      .filter(col("q_id") =!= col("n_id"))
+  }
+
   /** Candidate pairs from a prepared (id, table, bucket) frame —
-    * shared by the hash-at-query-time path and the persisted-bucket
-    * path ([[annTopKStored]]). */
+    * the hash-at-query-time path ([[annCandidates]]). */
   private def annCandidatesFrom(b0: DataFrame, nBits: Int, probes: Int,
                                 maxBucket: Int): DataFrame = {
     require(probes <= 1, "only hamming radius 0 or 1 probing is supported")
@@ -546,15 +569,16 @@ object Similarity {
     rerankExact(cand, e, e, k)
   }
 
-  /** LSH ANN top-k off the PERSISTED bucket table (written by
-    * [[writeModels]] at nBits=10, tables=8): the corpus is never
-    * re-hashed on the query path — the last ANN rung to gain the
-    * ingest-once treatment. */
+  /** LSH ANN top-k off the PERSISTED pre-grouped bucket lists
+    * (written by [[writeModels]] at nBits=10, tables=8): the corpus is
+    * never re-hashed NOR re-grouped on the query path — candidates
+    * come straight off the stored lists with zero pre-rerank
+    * shuffles. */
   def annTopKStored(idx: AnnIndex, embeddings: DataFrame, idCol: String,
                     vecCol: String, k: Int, probes: Int = 1,
                     maxBucket: Int = 1000): DataFrame = {
     val e = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
-    rerankExact(annCandidatesFrom(idx.lshBuckets, nBits = 10, probes, maxBucket),
+    rerankExact(annCandidatesFromLists(idx.lshLists, nBits = 10, probes, maxBucket),
       e, e, k)
   }
 
@@ -568,7 +592,7 @@ object Similarity {
   final case class AnnIndex(centroids: DataFrame, books: DataFrame,
                             resBooks: DataFrame, lists: DataFrame,
                             codes: DataFrame, resCodes: DataFrame,
-                            sq8Codes: DataFrame, lshBuckets: DataFrame,
+                            sq8Codes: DataFrame, lshLists: DataFrame,
                             maxAbs: Double)
 
   /**
@@ -617,8 +641,11 @@ object Similarity {
     e.select(col("id"), graft.functions.sq8_encode(col("vec"),
         lit(127.0 / maxAbs)).as("code"))
       .write.mode("overwrite").parquet(s"$path/sq8_codes")
+    // pre-grouped: the query path's collect_list shuffle happens HERE,
+    // once, instead of on every query
     lshBuckets(embeddings, idCol, vecCol, nBits = 10, tables = 8)
-      .write.mode("overwrite").parquet(s"$path/lsh_buckets")
+      .groupBy("table", "bucket").agg(collect_list("id").as("ids"))
+      .write.mode("overwrite").parquet(s"$path/lsh_lists")
     // marker AFTER all model tables: a half-written model dir (crash
     // between writes) must read as absent, not as a partial model
     fsOut.create(new org.apache.hadoop.fs.Path(path, "_SUCCESS"), true).close()
@@ -635,7 +662,7 @@ object Similarity {
       spark.read.parquet(s"$path/codes"),
       spark.read.parquet(s"$path/res_codes"),
       spark.read.parquet(s"$path/sq8_codes"),
-      spark.read.parquet(s"$path/lsh_buckets"),
+      spark.read.parquet(s"$path/lsh_lists"),
       readSq8Scale(spark, path))
 
   /** True when a [[writeModels]] store at `path` is complete. */

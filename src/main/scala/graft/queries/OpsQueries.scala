@@ -42,13 +42,14 @@ object OpsQueries {
 
   /** Cache key: input dir + total bytes+mtimes of the embeddings
     * table, so a regenerated test dir never reads stale models (the
-    * `m4` suffix versions the store layout — it gained the encoded
+    * `m5` suffix versions the store layout — m5 pre-groups the LSH
+    * buckets into (table, bucket, ids) lists; m4 added the encoded
     * corpus: lists, PQ/residual/int8 codes, LSH buckets). */
   private def modelPath(dir: String): String = {
     val src = new java.io.File(s"$dir/embeddings.parquet")
     val files = if (src.isDirectory) src.listFiles().toSeq else Seq(src)
     val fp = files.filter(_.isFile).map(f => f.length() + f.lastModified()).sum
-    s"/tmp/graft_models/${dir.replaceAll("[^A-Za-z0-9.]", "_")}_${java.lang.Long.toHexString(fp)}_m4"
+    s"/tmp/graft_models/${dir.replaceAll("[^A-Za-z0-9.]", "_")}_${java.lang.Long.toHexString(fp)}_m5"
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
