@@ -378,7 +378,8 @@ object GorillaCodec {
     * Value-only chunks carry no timestamps; their points count only
     * when 0 ∈ [fromSec, toSec] (decoded ts of a value-only chunk is 0). */
   final case class RangeAgg(n: Long, minTs: Long, maxTs: Long,
-                            minV: Double, maxV: Double, sumFixed: Long)
+                            minV: Double, maxV: Double, sumFixed: Long,
+                            sumSqFixed: Long)
 
   def aggregateRange(bytes: Array[Byte], fromSec: Long, toSec: Long,
                      fixedScale: Double = 100.0): RangeAgg = {
@@ -392,6 +393,7 @@ object GorillaCodec {
     var minTs = Long.MaxValue; var maxTs = Long.MinValue
     var minV = Double.PositiveInfinity; var maxV = Double.NegativeInfinity
     var sumFixed = 0L
+    var sumSqFixed = 0L
     while (i < h.n) {
       val t = if (tDec != null) tDec.next() else 0L
       val v = vDec.next()
@@ -401,13 +403,16 @@ object GorillaCodec {
         if (t > maxTs) maxTs = t
         if (v < minV) minV = v
         if (v > maxV) maxV = v
-        // HALF_UP like Spark round()/DuckDB round(): Math.round's
-        // floor(x+0.5) would diverge on negative ties (-2.5 -> -2)
-        sumFixed += halfUpFixed(v * fixedScale)
+        // HALF_UP like Spark round()/DuckDB round() on the shortest
+        // decimal repr (see halfUpFixed); c and c² partials are exact
+        // integers, order-independent across chunk re-aggregation
+        val c = halfUpFixed(v * fixedScale)
+        sumFixed += c
+        sumSqFixed += c * c
       }
       i += 1
     }
-    if (n == 0) RangeAgg(0L, 0L, 0L, 0.0, 0.0, 0L)
-    else RangeAgg(n, minTs, maxTs, minV, maxV, sumFixed)
+    if (n == 0) RangeAgg(0L, 0L, 0L, 0.0, 0.0, 0L, 0L)
+    else RangeAgg(n, minTs, maxTs, minV, maxV, sumFixed, sumSqFixed)
   }
 }

@@ -66,15 +66,17 @@ object GorillaSql {
   def chunkAgg(bytes: Array[Byte]): InternalRow =
     chunkAgg(bytes, 0.0, hasScale = false, ansi = false)
 
-  /** struct<n, min_ts, max_ts, min_v, max_v: double, sum_cents: long>
-    * over only the points with fromSec <= ts <= toSec; NULL when no
-    * point falls in the range (so aggregates skip the chunk without a
-    * per-row filter, which Catalyst would push down and thereby
-    * evaluate this decode twice). */
+  /** struct<n, min_ts, max_ts, min_v, max_v: double, sum_cents: long,
+    * sumsq_cents: long> over only the points with
+    * fromSec <= ts <= toSec; NULL when no point falls in the range (so
+    * aggregates skip the chunk without a per-row filter, which
+    * Catalyst would push down and thereby evaluate this decode
+    * twice). */
   def chunkAggRange(bytes: Array[Byte], fromSec: Long, toSec: Long): InternalRow = {
     val a = GorillaCodec.aggregateRange(bytes, fromSec, toSec)
     if (a.n == 0) null
-    else new GenericInternalRow(Array[Any](a.n, a.minTs, a.maxTs, a.minV, a.maxV, a.sumFixed))
+    else new GenericInternalRow(Array[Any](
+      a.n, a.minTs, a.maxTs, a.minV, a.maxV, a.sumFixed, a.sumSqFixed))
   }
 
   /** array<struct<bucket: long, n: long, min_v: double, max_v: double,

@@ -31,7 +31,8 @@ object GorillaExprs {
     StructField("max_ts", LongType, nullable = false),
     StructField("min_v", DoubleType, nullable = false),
     StructField("max_v", DoubleType, nullable = false),
-    StructField("sum_cents", LongType, nullable = false)))
+    StructField("sum_cents", LongType, nullable = false),
+    StructField("sumsq_cents", LongType, nullable = false)))
   val bucketAggType: ArrayType = ArrayType(StructType(Seq(
     StructField("bucket", LongType, nullable = false),
     StructField("n", LongType, nullable = false),
@@ -152,7 +153,8 @@ case class GorillaChunkAgg(child: Expression, fixedScale: Option[Double] = None,
 }
 
 /** gorilla_chunk_agg_range(binary, from long, to long) ->
-  * struct<n,min_ts,max_ts,min_v,max_v,sum_cents> — streaming aggregate
+  * struct<n,min_ts,max_ts,min_v,max_v,sum_cents,sumsq_cents> —
+  * streaming aggregate
   * over ONLY the points with from <= ts <= to; never materializes point
   * arrays. sum_cents is a fixed-point (1e-2) long sum, so chunk partials
   * re-aggregate exactly across shuffles. */

@@ -232,6 +232,19 @@ object TsQueries {
     "ts_range_agg" -> ((s, dir) =>
       Ts.rangeAgg(storeChunks(s, dir, RangeFrom, RangeTo), series, RangeFrom, RangeTo)
         .orderBy("user_id", "event_type")),
+    // per-series VARIANCE over a time range, compressed-domain: the
+    // exact integer moments (n, S, Q) come from stored header stats
+    // for covered chunks and the streaming range kernel for boundary
+    // chunks — zero point materialization; variance = (nQ - S²)/n²
+    // with an exact BIGINT numerator and one float division
+    "ts_range_variance" -> ((s, dir) =>
+      Ts.rangeAgg(storeChunks(s, dir, RangeFrom, RangeTo), series, RangeFrom, RangeTo)
+        .select(col("user_id"), col("event_type"), col("n"),
+          col("sum_cents"), col("sumsq_cents"),
+          (col("sum_cents").cast("double") / col("n")).as("mean_cents"),
+          ((col("n") * col("sumsq_cents") - col("sum_cents") * col("sum_cents"))
+            .cast("double") / (col("n") * col("n"))).as("var_cents"))
+        .orderBy("user_id", "event_type")),
     // hottest series in a time range, straight off the compressed
     // store: rangeAgg (stats + boundary fold) then TakeOrdered top-k
     "ts_topk_series" -> ((s, dir) =>
@@ -814,7 +827,9 @@ object TsQueries {
       |SELECT user_id, event_type, count(*) AS n,
       |  min(ts) AS min_ts, max(ts) AS max_ts,
       |  min(v) AS min_v, max(v) AS max_v,
-      |  CAST(sum(CAST(round(v * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+      |  CAST(sum(CAST(round(v * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+      |  CAST(sum(CAST(round(v * 100) AS BIGINT) * CAST(round(v * 100) AS BIGINT))
+      |    AS BIGINT) AS sumsq_cents
       |FROM pts WHERE ts >= $RangeFrom AND ts <= $RangeTo
       |GROUP BY user_id, event_type ORDER BY user_id, event_type""".stripMargin,
     "ts_histogram" -> s"""WITH $ptsSql
@@ -857,10 +872,27 @@ object TsQueries {
       |agg AS (SELECT user_id, event_type, count(*) AS n,
       |  min(ts) AS min_ts, max(ts) AS max_ts,
       |  min(v) AS min_v, max(v) AS max_v,
-      |  CAST(sum(CAST(round(v * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+      |  CAST(sum(CAST(round(v * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+      |  CAST(sum(CAST(round(v * 100) AS BIGINT) * CAST(round(v * 100) AS BIGINT))
+      |    AS BIGINT) AS sumsq_cents
       |FROM pts WHERE ts >= $RangeFrom AND ts <= $RangeTo
       |GROUP BY user_id, event_type)
       |SELECT * FROM agg
       |ORDER BY sum_cents DESC, user_id, event_type LIMIT 10""".stripMargin,
+    // variance derives from the SAME header/kernel integer moments the
+    // range aggregate carries: numerator n·Q − S² stays an exact
+    // BIGINT in both engines, the only float op is one division
+    "ts_range_variance" -> s"""WITH $ptsSql,
+      |agg AS (SELECT user_id, event_type, count(*) AS n,
+      |  CAST(sum(CAST(round(v * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+      |  CAST(sum(CAST(round(v * 100) AS BIGINT) * CAST(round(v * 100) AS BIGINT))
+      |    AS BIGINT) AS sumsq_cents
+      |FROM pts WHERE ts >= $RangeFrom AND ts <= $RangeTo
+      |GROUP BY user_id, event_type)
+      |SELECT user_id, event_type, n, sum_cents, sumsq_cents,
+      |  CAST(sum_cents AS DOUBLE) / n AS mean_cents,
+      |  CAST(n * sumsq_cents - sum_cents * sum_cents AS DOUBLE) / (n * n)
+      |    AS var_cents
+      |FROM agg ORDER BY user_id, event_type""".stripMargin,
   )
 }

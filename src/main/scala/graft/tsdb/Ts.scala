@@ -304,7 +304,8 @@ object Ts {
    *  - chunks outside the range: eliminated by the (min_ts, max_ts)
    *    stat columns — pushed to the parquet scan, never read;
    *  - chunks fully inside the range: answered from the stored header
-   *    stats (n, min/max, sum_cents) with ZERO chunk-byte reads — the
+   *    stats (n, min/max, sum_cents, sumsq_cents) with ZERO chunk-byte
+   *    reads — the
    *    covered branch never references `chunk`, so column pruning
    *    drops the bytes from its scan entirely;
    *  - boundary chunks (straddling an endpoint): a streaming
@@ -317,7 +318,8 @@ object Ts {
   def rangeAgg(chunks: DataFrame, seriesCols: Seq[String],
                fromSec: Long, toSec: Long): DataFrame = {
     val overlapping = chunks.filter(col("max_ts") >= fromSec && col("min_ts") <= toSec)
-    val statCols = Seq("n", "min_ts", "max_ts", "min_v", "max_v", "sum_cents")
+    val statCols = Seq("n", "min_ts", "max_ts", "min_v", "max_v",
+      "sum_cents", "sumsq_cents")
     val covered = overlapping
       .filter(col("min_ts") >= fromSec && col("max_ts") <= toSec)
       .select(seriesCols.map(col) ++ statCols.map(col): _*)
@@ -335,7 +337,7 @@ object Ts {
       .agg(sum("n").as("n"),
         min("min_ts").as("min_ts"), max("max_ts").as("max_ts"),
         min("min_v").as("min_v"), max("max_v").as("max_v"),
-        sum("sum_cents").as("sum_cents"))
+        sum("sum_cents").as("sum_cents"), sum("sumsq_cents").as("sumsq_cents"))
       .filter(col("n").isNotNull)
   }
 

@@ -115,11 +115,12 @@ class TsStoreSpec extends AnyFunSuite {
     val to = 1705017600L
     val agg = Ts.rangeAgg(chunks, series, from, to)
       .orderBy("user_id", "event_type").collect().toSeq
+    val cents = round(col("v") * 100).cast("long")
     val baseline = Ts.rangeQuery(chunks, series, from, to)
       .groupBy("user_id", "event_type")
       .agg(count(lit(1)).as("n"), min("ts").as("min_ts"), max("ts").as("max_ts"),
         min("v").as("min_v"), max("v").as("max_v"),
-        sum(round(col("v") * 100).cast("long")).as("sum_cents"))
+        sum(cents).as("sum_cents"), sum(cents * cents).as("sumsq_cents"))
       .orderBy("user_id", "event_type").collect().toSeq
     assert(agg.nonEmpty && agg == baseline)
   }
