@@ -46,15 +46,21 @@ object RelQueries {
         .filter(col("o_orderdate") < to_timestamp(lit("1997-06-01 00:00:00")))
       val l = Tables(s, dir, "lineitem")
         .filter(col("l_shipdate") > to_timestamp(lit("1997-06-01 00:00:00")))
+      // group on the raw timestamp and format AFTER the top-10:
+      // l_orderkey determines o_orderdate, so the grouping is 1:1 with
+      // the formatted-string key, but the per-row date_format (a
+      // timezone-aware string render on every joined row) collapses to
+      // 10 calls, and the aggregate hashes a long instead of a string
       l.join(o, col("l_orderkey") === col("o_orderkey"))
         .join(c, col("o_custkey") === col("c_custkey"))
-        .groupBy(col("l_orderkey"),
-          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
-          col("o_orderpriority"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
         .agg(sum(cents(col("l_extendedprice")) * (lit(100) - cents(col("l_discount"))))
           .as("revenue_e4"))
         .orderBy(col("revenue_e4").desc, col("l_orderkey"))
         .limit(10)
+        .select(col("l_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+          col("o_orderpriority"), col("revenue_e4"))
     }),
     // TPC-H Q5: revenue by nation for one region, local suppliers only
     "q5_join" -> ((s, dir) => {
