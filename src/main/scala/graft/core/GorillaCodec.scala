@@ -274,7 +274,7 @@ object GorillaCodec {
 
   /** Per-bucket partial of a compressed-domain downsample. */
   final case class BucketAgg(bucket: Long, n: Long, minV: Double,
-                             maxV: Double, sumFixed: Long)
+                             maxV: Double, sumFixed: Long, sumSqFixed: Long)
 
   /**
    * Streaming DOWNSAMPLE of one compressed chunk: one decode pass
@@ -295,11 +295,12 @@ object GorillaCodec {
     val out = scala.collection.mutable.ArrayBuffer.empty[BucketAgg]
     var curBucket = Long.MinValue
     var n = 0L; var minV = Double.PositiveInfinity; var maxV = Double.NegativeInfinity
-    var sumFixed = 0L; var sawNaN = false; var sawNonNaN = false
+    var sumFixed = 0L; var sumSqFixed = 0L
+    var sawNaN = false; var sawNonNaN = false
     def flush(): Unit = if (n > 0) {
       var lo = minV; var hi = maxV
       if (sawNaN) { hi = Double.NaN; if (!sawNonNaN) lo = Double.NaN }
-      out += BucketAgg(curBucket, n, lo, hi, sumFixed)
+      out += BucketAgg(curBucket, n, lo, hi, sumFixed, sumSqFixed)
     }
     var i = 0
     while (i < h.n) {
@@ -310,7 +311,7 @@ object GorillaCodec {
         flush()
         curBucket = b; n = 0L
         minV = Double.PositiveInfinity; maxV = Double.NegativeInfinity
-        sumFixed = 0L; sawNaN = false; sawNonNaN = false
+        sumFixed = 0L; sumSqFixed = 0L; sawNaN = false; sawNonNaN = false
       }
       n += 1
       if (v != v) sawNaN = true
@@ -319,7 +320,9 @@ object GorillaCodec {
         if (v < minV) minV = v
         if (v > maxV) maxV = v
       }
-      sumFixed += halfUpFixed(v * fixedScale)
+      val c = halfUpFixed(v * fixedScale)
+      sumFixed += c
+      sumSqFixed += c * c
       i += 1
     }
     flush()

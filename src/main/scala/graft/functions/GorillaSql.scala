@@ -80,15 +80,17 @@ object GorillaSql {
   }
 
   /** array<struct<bucket: long, n: long, min_v: double, max_v: double,
-    * sum_fixed: long>> — per-bucket downsample partials of one chunk,
-    * from one streaming decode (see GorillaCodec.aggregateBuckets). */
+    * sum_fixed: long, sumsq_fixed: long>> — per-bucket downsample
+    * partials of one chunk, from one streaming decode (see
+    * GorillaCodec.aggregateBuckets). */
   def chunkBucketAgg(bytes: Array[Byte], bucketSec: Long, scale: Double): ArrayData = {
     val as = GorillaCodec.aggregateBuckets(bytes, bucketSec, scale)
     val rows = new Array[Any](as.length)
     var i = 0
     while (i < as.length) {
       val a = as(i)
-      rows(i) = new GenericInternalRow(Array[Any](a.bucket, a.n, a.minV, a.maxV, a.sumFixed))
+      rows(i) = new GenericInternalRow(Array[Any](
+        a.bucket, a.n, a.minV, a.maxV, a.sumFixed, a.sumSqFixed))
       i += 1
     }
     new GenericArrayData(rows)

@@ -38,7 +38,8 @@ object GorillaExprs {
     StructField("n", LongType, nullable = false),
     StructField("min_v", DoubleType, nullable = false),
     StructField("max_v", DoubleType, nullable = false),
-    StructField("sum_fixed", LongType, nullable = false))), containsNull = false)
+    StructField("sum_fixed", LongType, nullable = false),
+    StructField("sumsq_fixed", LongType, nullable = false))), containsNull = false)
 
   /** AbstractDataType is private[sql] in Spark 4, so graft expressions
     * type-check inputs explicitly instead of via ExpectsInputTypes. */

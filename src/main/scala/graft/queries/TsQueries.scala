@@ -226,6 +226,16 @@ object TsQueries {
     "ts_store_downsample" -> ((s, dir) =>
       Ts.downsampleCompressed(storeChunks(s, dir), series, 900)
         .orderBy("user_id", "event_type", "bucket")),
+    // per-bucket VARIANCE off the store, compressed-domain: the same
+    // one-decode-per-chunk bucket fold, with exact integer second
+    // moments riding the partials (stddev_over_time's shape) — no
+    // point rows anywhere, variance deterministic under any
+    // partitioning
+    "ts_store_downsample_var" -> ((s, dir) =>
+      Ts.downsampleStatsCompressed(storeChunks(s, dir), series, 900)
+        .select(col("user_id"), col("event_type"), col("bucket"), col("n"),
+          col("sum_cents"), col("sumsq_cents"), col("avg_v"), col("var_cents"))
+        .orderBy("user_id", "event_type", "bucket")),
     // compressed-domain range aggregate off the store: covered chunks
     // answered from header stats (no chunk bytes read), boundary chunks
     // via a streaming in-range fold — no point materialization anywhere
@@ -882,6 +892,19 @@ object TsQueries {
     // variance derives from the SAME header/kernel integer moments the
     // range aggregate carries: numerator n·Q − S² stays an exact
     // BIGINT in both engines, the only float op is one division
+    "ts_store_downsample_var" -> s"""WITH $ptsSql,
+      |c AS (SELECT user_id, event_type,
+      |  CAST(ts // 900 * 900 AS BIGINT) AS bucket,
+      |  CAST(round(v * 100) AS BIGINT) AS cents FROM pts),
+      |agg AS (SELECT user_id, event_type, bucket, count(*) AS n,
+      |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+      |  CAST(sum(cents * cents) AS BIGINT) AS sumsq_cents
+      |FROM c GROUP BY 1, 2, 3)
+      |SELECT user_id, event_type, bucket, n, sum_cents, sumsq_cents,
+      |  sum_cents / (n * 100.0) AS avg_v,
+      |  CAST(n * sumsq_cents - sum_cents * sum_cents AS DOUBLE) / (n * n)
+      |    AS var_cents
+      |FROM agg ORDER BY user_id, event_type, bucket""".stripMargin,
     "ts_range_variance" -> s"""WITH $ptsSql,
       |agg AS (SELECT user_id, event_type, count(*) AS n,
       |  CAST(sum(CAST(round(v * 100) AS BIGINT)) AS BIGINT) AS sum_cents,

@@ -368,6 +368,33 @@ object Ts {
         sum("__b.sum_fixed").as("sum_cents"))
       .withColumn("avg_v", col("sum_cents") / (col("n") * fixedScale))
 
+  /**
+   * Compressed-domain downsample WITH dispersion: same single
+   * streaming decode per chunk as [[downsampleCompressed]], but the
+   * per-bucket partials carry the exact integer second moment too, so
+   * each bucket reports variance — Prometheus's `stddev_over_time`
+   * shape — as (nQ − S²)/n² with an exact long numerator and one
+   * float division. Partials re-aggregate exactly across chunks/salt
+   * shards (all longs), so bucket variance is deterministic under any
+   * partitioning.
+   */
+  def downsampleStatsCompressed(chunks: DataFrame, seriesCols: Seq[String],
+                                bucketSec: Long = 900,
+                                fixedScale: Double = FixedScale): DataFrame =
+    chunks
+      .select(seriesCols.map(col) :+
+        explode(graft.functions.gorilla_chunk_bucket_agg(
+          col("chunk"), bucketSec, fixedScale)).as("__b"): _*)
+      .groupBy(seriesCols.map(col) :+ col("__b.bucket").as("bucket"): _*)
+      .agg(sum("__b.n").as("n"),
+        min("__b.min_v").as("min_v"), max("__b.max_v").as("max_v"),
+        sum("__b.sum_fixed").as("sum_cents"),
+        sum("__b.sumsq_fixed").as("sumsq_cents"))
+      .withColumn("avg_v", col("sum_cents") / (col("n") * fixedScale))
+      .withColumn("var_cents",
+        (col("n") * col("sumsq_cents") - col("sum_cents") * col("sum_cents"))
+          .cast("double") / (col("n") * col("n")))
+
   /** Latest point per series: stat-prune to each series' max-ts
     * chunk(s), decode only those. Keyed on the point-level `max_ts`
     * stat (tighter than window_start, and fragmentation-safe: salted /
