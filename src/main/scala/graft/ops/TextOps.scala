@@ -183,12 +183,20 @@ object TextOps {
     val tf = docs
       .select(col(idCol), explode(split(col(textCol), " ")).as("term"))
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
-    // document frequency via a whole-partition window over the SAME tf
-    // frame: the old groupBy(term) + join-back re-executed the corpus
-    // explode + aggregate a second time
-    val wTerm = Window.partitionBy("term")
+    // document frequency as a partial-aggregating groupBy joined back,
+    // NOT a whole-partition window over term: a window buffers every
+    // doc containing a hot stopword in ONE task with no map-side
+    // combine, while the groupBy collapses a hot term to one partial
+    // per partition and the join-back is a shape AQE can skew-split.
+    // df counts docs-containing-term off its own array_distinct scan
+    // rather than re-aggregating tf — the second scan shuffles only
+    // vocab-sized partial counts, never a second corpus-sized
+    // (doc, term) exchange (pinned in ExplainAllSpec).
+    val dfx = docs
+      .select(explode(array_distinct(split(col(textCol), " "))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(idCol).orderBy(col("tf").desc, col("df").asc, col("term"))
-    tf.withColumn("df", count(lit(1)).over(wTerm))
+    tf.join(dfx, "term")
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col(idCol), col("rank"), col("term"), col("tf"), col("df"))

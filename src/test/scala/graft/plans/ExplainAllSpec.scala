@@ -111,6 +111,17 @@ class ExplainAllSpec extends AnyFunSuite {
     }
   }
 
+  test("keyterms df is a partial-aggregating groupBy, not a term window (skew guard)") {
+    // document frequency over a hot stopword must partial-aggregate
+    // (one partial per input partition, map-side combine), never
+    // buffer every containing doc in one window task
+    val plan = SparkEntry.queries("text_keyterms")(spark, dir).queryExecution
+      .executedPlan.toString
+    val windows = "(?m)^[^\\n]*\\bWindow\\b".r.findAllIn(plan).size
+    assert(windows == 1, s"expected only the per-doc rank window, got $windows:\n$plan")
+    assert(plan.contains("partial_count"), s"df side lost its map-side combine:\n$plan")
+  }
+
   test("q6 scan keeps its pushed filters (regression gate on pushdown)") {
     val plan = SparkEntry.queries("q6_filter")(spark, dir).queryExecution
       .executedPlan.toString
