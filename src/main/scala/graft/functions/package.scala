@@ -16,7 +16,8 @@ import org.apache.spark.sql.{Column, SparkSession}
  */
 package object functions {
 
-  import graft.functions.{CosineSimExpr, GorillaChunkAgg, GorillaChunkAggRange,
+  import graft.functions.{BloomFilterAgg, BloomMightContain, CosineSimExpr,
+    GorillaChunkAgg, GorillaChunkAggRange,
     GorillaChunkBucketAgg, GorillaDecode,
     GorillaDecodeTimestamps, GorillaDecodeValues, GorillaEncode, GorillaEncodeValues,
     GorillaIsValid, GorillaNumPoints, HashSetSortedExpr, HyperplaneBucketsExpr, MinHashExpr,
@@ -48,6 +49,12 @@ package object functions {
     // misra_gries(item, k): mergeable heavy-hitters sketch aggregate
     "misra_gries" -> (es => MisraGriesAgg(es(0),
       es(1).eval(null).asInstanceOf[Number].intValue())),
+    // bloom_agg(hash, numBits, numHashes): mergeable Bloom filter;
+    // size parameters must be foldable int literals
+    "bloom_agg" -> (es => BloomFilterAgg(es(0),
+      es(1).eval(null).asInstanceOf[Number].intValue(),
+      es(2).eval(null).asInstanceOf[Number].intValue())),
+    "bloom_might_contain" -> (es => BloomMightContain(es(0), es(1))),
     "simhash" -> (es => SimHashExpr(es(0))),
     "simhash_text" -> (es => SimHashTextExpr(es(0))),
     "cosine_sim" -> (es => CosineSimExpr(es(0), es(1))),
@@ -107,6 +114,12 @@ package object functions {
     call_function("minhash", shingles, org.apache.spark.sql.functions.lit(k))
   def misra_gries(item: Column, k: Int): Column =
     call_function("misra_gries", item, org.apache.spark.sql.functions.lit(k))
+  def bloom_agg(hash: Column, numBits: Int, numHashes: Int): Column =
+    call_function("bloom_agg", hash,
+      org.apache.spark.sql.functions.lit(numBits),
+      org.apache.spark.sql.functions.lit(numHashes))
+  def bloom_might_contain(bloom: Column, hash: Column): Column =
+    call_function("bloom_might_contain", bloom, hash)
   def simhash(tokens: Column): Column = call_function("simhash", tokens)
   def simhash_text(text: Column): Column = call_function("simhash_text", text)
   def cosine_sim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)

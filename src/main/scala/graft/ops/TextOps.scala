@@ -259,6 +259,49 @@ object TextOps {
   }
 
   /**
+   * Bloom-prefiltered decontamination — [[decontaminate]]'s semantics
+   * at [[decontaminate]]'s exactness, with the 100 TB join shape: the
+   * held-out set's shingles fold into ONE broadcastable Bloom filter
+   * (`bloom_agg`, mergeable bit-array partials), the corpus-sized
+   * train-gram stream is prefiltered by `bloom_might_contain` BEFORE
+   * any shuffle, and only the survivors (true hits + the fpp tail)
+   * enter the exact gram semi-join. A Bloom filter has zero false
+   * negatives, and the exact verify removes the false positives, so
+   * the output is identical to the unfiltered operator — same DuckDB
+   * oracle — while the gram-keyed shuffle shrinks from |corpus grams|
+   * to |contaminated grams| / fpp·|corpus|, the difference between
+   * shuffling 100 TB and shuffling a few hundred GB.
+   *
+   * The one non-lazy action is `bGrams.count()` for filter sizing —
+   * an O(bench) aggregate over the SMALL side (the held-out set is
+   * bounded by construction; it is what fits in an eval harness).
+   */
+  def decontaminateBloom(train: DataFrame, bench: DataFrame, idCol: String,
+                         textCol: String, n: Int = 5,
+                         maxGramDf: Long = 100000L,
+                         fpp: Double = 0.01): DataFrame = {
+    val t = train.select(col(idCol),
+      explode(Dedup.shingles(col(textCol), n)).as("g"))
+    // identical hot-gram boilerplate guard as the exact operator (its
+    // doc explains why dropping >maxGramDf grams is semantically right)
+    val hot = t.groupBy("g").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxGramDf).select("g")
+    val bGrams = bench.select(explode(Dedup.shingles(col(textCol), n)).as("g")).distinct()
+    val (bits, k) = graft.functions.BloomUtil.size(bGrams.count(), fpp)
+    val bloomDf = bGrams.agg(graft.functions.bloom_agg(
+      xxhash64(col("g")), bits, k).as("__bf"))
+    val cand = t.join(broadcast(hot), Seq("g"), "left_anti")
+      .crossJoin(broadcast(bloomDf))
+      .filter(graft.functions.bloom_might_contain(col("__bf"), xxhash64(col("g"))))
+      .select(col(idCol), col("g"))
+    val hit = cand.join(bGrams, Seq("g"), "left_semi").select(idCol).distinct()
+      .withColumn("is_contaminated", lit(true))
+    train.select(col(idCol)).join(hit, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("is_contaminated"), lit(false)).as("is_contaminated"))
+  }
+
+  /**
    * PII scrubbing for training-data pipelines: count and redact email
    * addresses and international-format phone numbers. Pure codegen'd
    * regexp ops — no UDF — and the returned md5 of the scrubbed text

@@ -327,6 +327,17 @@ object OpsQueries {
         docs.filter(col("doc_id") < 450), docs.filter(col("doc_id") >= 450),
         "doc_id", "text").orderBy("doc_id")
     }),
+    // the same contamination flags through the Bloom-prefilter path:
+    // held-out shingles fold into one broadcast bloom_agg sketch, the
+    // corpus gram stream prefilters BEFORE the exact semi-join (zero
+    // false negatives + exact verify of the fpp tail == identical
+    // output, so it shares the exact operator's oracle)
+    "text_decontaminate_bloom" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      TextOps.decontaminateBloom(
+        docs.filter(col("doc_id") < 450), docs.filter(col("doc_id") >= 450),
+        "doc_id", "text").orderBy("doc_id")
+    }),
     // PII scrub: the corpus text carries no PII, so the query injects a
     // deterministic synthetic email + phone per doc (the oracle builds
     // the exact same string), then the operator counts and redacts them
@@ -384,6 +395,22 @@ object OpsQueries {
     |sz AS (SELECT comp, count(*) AS comp_size FROM lbl GROUP BY comp)
     |SELECT lbl.id, lbl.comp, sz.comp_size, lbl.id != lbl.comp AS is_dup
     |FROM lbl JOIN sz ON lbl.comp = sz.comp ORDER BY lbl.id""".stripMargin
+
+  /** Shared by text_decontaminate and text_decontaminate_bloom: the
+    * bloom prefilter has no false negatives and its hits are exactly
+    * re-verified, so both operators are output-identical. */
+  private val decontaminateOracleSql: String =
+    """WITH sh AS (SELECT doc_id,
+      |  list_distinct(list_transform(generate_series(1, len(w) - 4),
+      |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+      |      w[i+3] || ' ' || w[i+4])) AS s
+      |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+      |b AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id >= 450),
+      |hit AS (SELECT DISTINCT doc_id FROM
+      |  (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id < 450) t
+      |  WHERE g IN (SELECT g FROM b))
+      |SELECT sh.doc_id, sh.doc_id IN (SELECT doc_id FROM hit) AS is_contaminated
+      |FROM sh WHERE sh.doc_id < 450 ORDER BY sh.doc_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "dedup_pipeline" -> componentsOracleSql,
@@ -665,18 +692,9 @@ object OpsQueries {
     "sample_hash_topk" ->
       """SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents
         |ORDER BY h, doc_id LIMIT 100""".stripMargin,
-    "text_decontaminate" ->
-      """WITH sh AS (SELECT doc_id,
-        |  list_distinct(list_transform(generate_series(1, len(w) - 4),
-        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
-        |      w[i+3] || ' ' || w[i+4])) AS s
-        |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
-        |b AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id >= 450),
-        |hit AS (SELECT DISTINCT doc_id FROM
-        |  (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id < 450) t
-        |  WHERE g IN (SELECT g FROM b))
-        |SELECT sh.doc_id, sh.doc_id IN (SELECT doc_id FROM hit) AS is_contaminated
-        |FROM sh WHERE sh.doc_id < 450 ORDER BY sh.doc_id""".stripMargin,
+    "text_decontaminate" -> decontaminateOracleSql,
+    // the bloom path must be output-identical to the exact operator
+    "text_decontaminate_bloom" -> decontaminateOracleSql,
     "stream_dedup" ->
       """SELECT min(doc_id) AS doc_id, md5(text) AS content_hash,
         |  count(*) AS n_arrivals

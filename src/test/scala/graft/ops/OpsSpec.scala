@@ -337,6 +337,52 @@ class OpsSpec extends AnyFunSuite {
     assert(allCapped.forall(!_._2))
   }
 
+  test("bloom filter: zero false negatives, bounded fp rate, order-free merge") {
+    import graft.functions.BloomUtil
+    val (bits, k) = BloomUtil.size(10000, 0.01)
+    // sizing sanity: ~9.59 bits/item at 1% fpp, ~7 probes
+    assert(bits >= 9 * 10000 && bits <= 11 * 10000, s"bits=$bits")
+    assert(k >= 5 && k <= 9, s"k=$k")
+    val words = new Array[Long]((bits + 63) >>> 6)
+    val rnd = new scala.util.Random(7)
+    val members = Array.fill(10000)(rnd.nextLong())
+    members.foreach(BloomUtil.insert(words, bits, k, _))
+    val ser = BloomUtil.serialize(words, bits, k)
+    // soundness: every inserted key probes true through the
+    // SERIALIZED form (the broadcast path probes bytes, not words)
+    assert(members.forall(BloomUtil.contains(ser, _)), "false negative")
+    // fp rate on fresh keys: statistically ~1%; 3% tolerates tail luck
+    val probes = Array.fill(20000)(rnd.nextLong())
+    val memberSet = members.toSet
+    val fps = probes.count(h => !memberSet(h) && BloomUtil.contains(ser, h))
+    assert(fps.toDouble / probes.length < 0.03, s"fp rate ${fps.toDouble / probes.length}")
+    // merge = bitwise OR: any split of the inserts merges to the same
+    // filter the single-pass build produced
+    val (w1, w2) = (new Array[Long](words.length), new Array[Long](words.length))
+    members.zipWithIndex.foreach { case (h, i) =>
+      BloomUtil.insert(if (i % 2 == 0) w1 else w2, bits, k, h) }
+    var i = 0
+    while (i < w1.length) { w1(i) |= w2(i); i += 1 }
+    assert(java.util.Arrays.equals(w1, words), "merge not order-free")
+  }
+
+  test("decontaminateBloom equals the exact operator (prefilter loses nothing)") {
+    val train = docs.filter(col("doc_id") < 450)
+    val bench = docs.filter(col("doc_id") >= 450)
+    val exact = TextOps.decontaminate(train, bench, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toSet
+    val bloom = TextOps.decontaminateBloom(train, bench, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toSet
+    assert(bloom == exact)
+    assert(bloom.exists(_._2), "corpus should contain contaminated docs")
+    // an aggressively small filter (fpp -> 0.5) only adds false
+    // POSITIVES to the prefilter; the exact verify still removes them
+    val sloppy = TextOps.decontaminateBloom(train, bench, "doc_id", "text",
+        fpp = 0.5)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toSet
+    assert(sloppy == exact)
+  }
+
   test("persisted models: write-once read-many, queries match inline training") {
     val path = s"/tmp/graft_models_spec_${System.currentTimeMillis()}"
     assert(!Similarity.modelsExist(spark, path))
