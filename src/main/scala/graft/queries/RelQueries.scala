@@ -234,6 +234,25 @@ object RelQueries {
         .select("c_custkey", "c_name", "c_mktsegment")
         .orderBy("c_custkey")
     }),
+    // interval join with NO equi-key: lineitems shipped inside sampled
+    // 7-day audit windows. Naive Spark plans this BETWEEN-only join as
+    // a nested loop / cartesian; RangeJoin buckets both sides on a
+    // 7-day grid and equi-joins (plan-asserted no cartesian, no BNLJ
+    // in RelQueriesSpec) — O(points + intervals) shuffle at any scale
+    "q_range_join" -> ((s, dir) => {
+      val l = Tables(s, dir, "lineitem")
+        .select(col("l_quantity"),
+          col("l_shipdate").cast("timestamp").cast("long").as("ship_sec"))
+      val iv = Tables(s, dir, "orders")
+        .filter(pmod(col("o_orderkey"), lit(997)) === 0)
+        .select(col("o_orderkey").as("audit_key"),
+          col("o_orderdate").cast("timestamp").cast("long").as("lo"),
+          (col("o_orderdate").cast("timestamp").cast("long") + lit(7L * 86400)).as("hi"))
+      graft.ops.RangeJoin.bucketed(l, "ship_sec", iv, "lo", "hi", 7L * 86400)
+        .groupBy("audit_key")
+        .agg(count(lit(1)).as("n_ship"), sum("l_quantity").as("sum_qty"))
+        .orderBy("audit_key")
+    }),
     // sketch aggregates: HLL distinct users per event type (approx,
     // mergeable across partitions — the 100TB distinct-count path);
     // rows-only, accuracy pinned vs exact counts in RelQueriesSpec
@@ -265,6 +284,17 @@ object RelQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_range_join" ->
+      """WITH iv AS (SELECT o_orderkey AS audit_key,
+        |  CAST(epoch_ns(o_orderdate) // 1000000000 AS BIGINT) AS lo,
+        |  CAST(epoch_ns(o_orderdate) // 1000000000 AS BIGINT) + 7*86400 AS hi
+        |FROM orders WHERE o_orderkey % 997 = 0)
+        |SELECT audit_key, count(*) AS n_ship,
+        |  CAST(sum(l_quantity) AS DOUBLE) AS sum_qty
+        |FROM lineitem l JOIN iv
+        |  ON CAST(epoch_ns(l.l_shipdate) // 1000000000 AS BIGINT)
+        |     BETWEEN iv.lo AND iv.hi
+        |GROUP BY audit_key ORDER BY audit_key""".stripMargin,
     "q1_agg" ->
       """WITH l AS (
         |  SELECT *, CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,

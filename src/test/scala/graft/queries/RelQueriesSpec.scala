@@ -38,6 +38,36 @@ class RelQueriesSpec extends AnyFunSuite {
     assert(readSchema.contains("l_extendedprice"), readSchema)
   }
 
+  test("range join buckets to an equi-join: no cartesian, no nested loop") {
+    val p = planOf("q_range_join")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    // pair set equals the naive theta join (the shape we refuse to plan)
+    import org.apache.spark.sql.functions._
+    val l = graft.queries.Tables(spark, dir, "lineitem")
+      .select(col("l_quantity"), col("l_shipdate").cast("timestamp").cast("long").as("ship_sec"))
+    val iv = graft.queries.Tables(spark, dir, "orders")
+      .filter(pmod(col("o_orderkey"), lit(997)) === 0)
+      .select(col("o_orderkey").as("audit_key"),
+        col("o_orderdate").cast("timestamp").cast("long").as("lo"),
+        (col("o_orderdate").cast("timestamp").cast("long") + lit(7L * 86400)).as("hi"))
+    val naive = l.join(iv, col("ship_sec") >= col("lo") && col("ship_sec") <= col("hi"))
+      .groupBy("audit_key").agg(count(lit(1)).as("n_ship"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val bucketed = RelQueries.queries("q_range_join")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(bucketed == naive)
+    assert(bucketed.nonEmpty, "audit windows should catch shipments")
+    // intervals spanning a bucket boundary must still match exactly
+    // once (a point lives in ONE bucket — no dedup stage to hide it)
+    import spark.implicits._
+    val pts = Seq((5L, "a"), (13L, "b"), (21L, "c")).toDF("p", "tag")
+    val ivs = Seq((4L, 14L, "w1"), (10L, 30L, "w2")).toDF("lo", "hi", "name")
+    val got = graft.ops.RangeJoin.bucketed(pts, "p", ivs, "lo", "hi", 10L)
+      .select("tag", "name").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("a", "w1"), ("b", "w1"), ("b", "w2"), ("c", "w2")))
+  }
+
   test("hll distinct estimates stay within 5% of exact") {
     import org.apache.spark.sql.functions._
     val ev = spark.read.parquet(s"$dir/events.parquet")
