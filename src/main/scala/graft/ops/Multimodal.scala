@@ -269,6 +269,103 @@ object Multimodal {
     * ([[PngPixels.decode]]: inflate + unfilter), partition-parallel.
     * Undecodable rows are dropped (a decoder bug thus surfaces as a
     * row-count mismatch against the oracle, never as silent zeros). */
+  /** Route a blob to the pixel codec its magic bytes name — the
+    * decoder a mixed-format corpus column actually needs. */
+  def decodePixels(blob: Array[Byte]): Option[PngPixels.Image] =
+    if (blob.length >= 2 && blob(0) == 'B' && blob(1) == 'M') BmpPixels.decode(blob)
+    else if (blob.length >= 4 && blob(0) == 'G' && blob(1) == 'I' && blob(2) == 'F')
+      GifPixels.decode(blob)
+    else PngPixels.decode(blob)
+
+  /**
+   * Mixed-format synthetic media: even docs become REAL 24-bit BMPs
+   * (bottom-up padded BGR rows), odd docs REAL LZW-compressed GIFs
+   * (256-entry palette, variable-width codes). Pixels follow
+   * deterministic md5 formulas the oracle recomputes arithmetically —
+   * values only come out right through genuine format decodes
+   * (row-flip + BGR swap for BMP, LZW + palette resolution for GIF).
+   */
+  def syntheticFormatMedia(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val blobOf = udf { (id: Long, d: Array[Byte]) =>
+      val (b0, b1, b2, b3) = (d(0) & 0xFF, d(1) & 0xFF, d(2) & 0xFF, d(3) & 0xFF)
+      val w = (d(4) & 0xFF) % 48 + 4
+      val h = (d(5) & 0xFF) % 48 + 4
+      if (id % 2 == 0) {
+        val px = new Array[Byte](w * h * 3)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val o = (y * w + x) * 3
+            px(o) = ((b0 + x) % 256).toByte
+            px(o + 1) = ((b1 + y) % 256).toByte
+            px(o + 2) = ((b2 + x + y) % 256).toByte
+            x += 1
+          }
+          y += 1
+        }
+        BmpPixels.encode(w, h, px)
+      } else {
+        val palette = new Array[Byte](256 * 3)
+        var i = 0
+        while (i < 256) {
+          palette(i * 3) = ((b0 + i) % 256).toByte
+          palette(i * 3 + 1) = ((b1 + i) % 256).toByte
+          palette(i * 3 + 2) = ((b2 + i) % 256).toByte
+          i += 1
+        }
+        val idx = new Array[Byte](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            idx(y * w + x) = ((3 * x + 7 * y + b3) % 256).toByte
+            x += 1
+          }
+          y += 1
+        }
+        GifPixels.encode(w, h, palette, idx)
+      }
+    }
+    docs.select(col(idCol).as("media_id"),
+        unhex(md5(col(textCol))).as("digest"))
+      .withColumn("blob", blobOf(col("media_id"), col("digest")))
+      .select("media_id", "blob")
+  }
+
+  final case class FormatPixelStats(media_id: Long, fmt: String, width: Int,
+                                    height: Int, n_pixels: Long, sum_r: Long,
+                                    sum_g: Long, sum_b: Long)
+
+  /** Per-image channel sums through the magic-byte dispatch — one
+    * mapPartitions decode pass over a mixed BMP/GIF/PNG column. */
+  def formatPixelStats(media: DataFrame): Dataset[FormatPixelStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "blob").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, blob) =>
+          val fmt =
+            if (blob.length >= 2 && blob(0) == 'B' && blob(1) == 'M') "bmp"
+            else if (blob.length >= 3 && blob(0) == 'G' && blob(1) == 'I' && blob(2) == 'F') "gif"
+            else "png"
+          decodePixels(blob).map { img =>
+            var (sr, sg, sb) = (0L, 0L, 0L)
+            var i = 0
+            val n = img.width * img.height
+            while (i < n) {
+              val o = i * img.channels
+              sr += img.pixels(o) & 0xFF
+              sg += img.pixels(o + 1) & 0xFF
+              sb += img.pixels(o + 2) & 0xFF
+              i += 1
+            }
+            FormatPixelStats(id, fmt, img.width, img.height, n.toLong, sr, sg, sb)
+          }
+        }
+      }
+  }
+
   def pixelStats(media: DataFrame): Dataset[PixelStats] = {
     val spark = media.sparkSession
     import spark.implicits._

@@ -225,6 +225,15 @@ object OpsQueries {
       Multimodal.pixelStats(
         Multimodal.syntheticPixelMedia(Tables(s, dir, "documents"), "doc_id", "text"))
         .toDF().orderBy("media_id")),
+    // mixed-format REAL pixel decode through magic-byte dispatch: even
+    // docs are 24-bit BMPs (bottom-up padded BGR — the decoder must
+    // flip both), odd docs are LZW-compressed GIFs (variable-width
+    // codes + palette resolution); the oracle recomputes every channel
+    // sum arithmetically from the md5 pixel formulas
+    "mm_pixel_formats" -> ((s, dir) =>
+      Multimodal.formatPixelStats(
+        Multimodal.syntheticFormatMedia(Tables(s, dir, "documents"), "doc_id", "text"))
+        .toDF().orderBy("media_id")),
     // REAL audio sample content decode: exact integer PCM moments +
     // peak per clip, off genuine 16-bit RIFF payloads (little-endian
     // interleaved) — values only come out right through a real
@@ -546,6 +555,39 @@ object OpsQueries {
         |    AS total_bytes,
         |  max(b0 % 64 + 1) AS max_w, max(b1 % 64 + 1) AS max_h
         |FROM b GROUP BY kind ORDER BY kind""".stripMargin,
+    // channel sums recomputed arithmetically per format: a row only
+    // matches if the BMP path really row-flipped + BGR-swapped and the
+    // GIF path really LZW-decoded + palette-resolved
+    "mm_pixel_formats" ->
+      """WITH b AS (SELECT doc_id,
+        |  CAST('0x' || substr(md5(text), 1, 2) AS INT) AS b0,
+        |  CAST('0x' || substr(md5(text), 3, 2) AS INT) AS b1,
+        |  CAST('0x' || substr(md5(text), 5, 2) AS INT) AS b2,
+        |  CAST('0x' || substr(md5(text), 7, 2) AS INT) AS b3,
+        |  CAST('0x' || substr(md5(text), 9, 2) AS INT) % 48 + 4 AS w,
+        |  CAST('0x' || substr(md5(text), 11, 2) AS INT) % 48 + 4 AS h
+        |FROM documents),
+        |s AS (SELECT doc_id, w, h,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'gif' END AS fmt,
+        |  CASE WHEN doc_id % 2 = 0
+        |    THEN h * list_sum([(b0 + x) % 256 for x in range(0, w)])
+        |    ELSE list_sum([list_sum([(b0 + (3*x + 7*y + b3) % 256) % 256
+        |      for y in range(0, h)]) for x in range(0, w)]) END AS sr,
+        |  CASE WHEN doc_id % 2 = 0
+        |    THEN w * list_sum([(b1 + y) % 256 for y in range(0, h)])
+        |    ELSE list_sum([list_sum([(b1 + (3*x + 7*y + b3) % 256) % 256
+        |      for y in range(0, h)]) for x in range(0, w)]) END AS sg,
+        |  CASE WHEN doc_id % 2 = 0
+        |    THEN list_sum([list_sum([(b2 + x + y) % 256 for y in range(0, h)])
+        |      for x in range(0, w)])
+        |    ELSE list_sum([list_sum([(b2 + (3*x + 7*y + b3) % 256) % 256
+        |      for y in range(0, h)]) for x in range(0, w)]) END AS sb
+        |FROM b)
+        |SELECT doc_id AS media_id, fmt, w AS width, h AS height,
+        |  CAST(w * h AS BIGINT) AS n_pixels,
+        |  CAST(sr AS BIGINT) AS sum_r, CAST(sg AS BIGINT) AS sum_g,
+        |  CAST(sb AS BIGINT) AS sum_b
+        |FROM s ORDER BY media_id""".stripMargin,
     // PCM moments recomputed arithmetically from the md5-seeded sample
     // formula — Spark's numbers come from a real RIFF walk + 16-bit
     // little-endian sample parse, so an offset/endianness bug cannot
