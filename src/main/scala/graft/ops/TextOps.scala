@@ -286,7 +286,12 @@ object TextOps {
     // doc explains why dropping >maxGramDf grams is semantically right)
     val hot = t.groupBy("g").agg(count(lit(1)).as("__df"))
       .filter(col("__df") > maxGramDf).select("g")
+    // the held-out gram set feeds THREE consumers (filter sizing,
+    // bloom build, exact verify) — persist it so the explode+distinct
+    // shuffle runs once; the bench side is the small one by
+    // construction (it is what fits in an eval harness)
     val bGrams = bench.select(explode(Dedup.shingles(col(textCol), n)).as("g")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val (bits, k) = graft.functions.BloomUtil.size(bGrams.count(), fpp)
     val bloomDf = bGrams.agg(graft.functions.bloom_agg(
       xxhash64(col("g")), bits, k).as("__bf"))
