@@ -41,6 +41,17 @@ object TsQueries {
     Ts.readStore(s, path, fromSec, toSec)
   }
 
+  /** The materialized 15-min rollup for a data dir: derived from the
+    * persisted chunk store ONCE (raw → chunks → rollup, the standing-
+    * aggregate lineage), then every serve is a pruned partial scan. */
+  def rollupStore(s: SparkSession, dir: String): DataFrame = synchronized {
+    graft.functions.registerAll(s)
+    val path = storePath(dir) + "_roll900"
+    if (!new java.io.File(path, "_SUCCESS").exists())
+      Ts.writeRollup(storeChunks(s, dir), series, path, bucketSec = 900)
+    Ts.readRollup(s, path)
+  }
+
   /** Cache key: input dir + total bytes of the events table, so a
     * regenerated test dir never reads a stale store (the `s3` suffix
     * versions the stat layout — s3 added the `sumsq_cents` second
@@ -226,6 +237,17 @@ object TsQueries {
     "ts_store_downsample" -> ((s, dir) =>
       Ts.downsampleCompressed(storeChunks(s, dir), series, 900)
         .orderBy("user_id", "event_type", "bucket")),
+    // standing aggregate served from the MATERIALIZED rollup: 1-h
+    // buckets merged from persisted 15-min exact partials — zero
+    // chunk bytes, zero decode (plan-asserted in TsStoreSpec); shares
+    // ts_rollup_1h's raw-path oracle, so the materialize+merge
+    // lineage must be lossless
+    "ts_rollup_serve" -> ((s, dir) =>
+      Ts.serveRollup(rollupStore(s, dir), series, 3600)
+        .withColumnRenamed("bucket", "bucket_1h")
+        .select("user_id", "event_type", "bucket_1h", "n", "min_v", "max_v",
+          "sum_cents", "avg_v")
+        .orderBy("user_id", "event_type", "bucket_1h")),
     // per-bucket VARIANCE off the store, compressed-domain: the same
     // one-decode-per-chunk bucket fold, with exact integer second
     // moments riding the partials (stddev_over_time's shape) — no
@@ -833,6 +855,8 @@ object TsQueries {
     "ts_store_range" -> baseOracle("ts_range_query"),
     "ts_store_latest" -> baseOracle("ts_latest"),
     "ts_store_downsample" -> baseOracle("ts_downsample"),
+    // the rollup serve must equal computing the hour from raw points
+    "ts_rollup_serve" -> baseOracle("ts_rollup_1h"),
     "ts_range_agg" -> s"""WITH $ptsSql
       |SELECT user_id, event_type, count(*) AS n,
       |  min(ts) AS min_ts, max(ts) AS max_ts,

@@ -395,6 +395,66 @@ object Ts {
         (col("n") * col("sumsq_cents") - col("sum_cents") * col("sum_cents"))
           .cast("double") / (col("n") * col("n")))
 
+  /**
+   * Materialized rollup (continuous aggregate): fold the chunk
+   * store's per-chunk bucket partials ONCE into a persisted
+   * per-(series, bucket) partial table, partitioned by bucket date.
+   * Serving a downsample then never touches chunk bytes — a pruned
+   * scan of tiny partial rows plus an exact merge — which is how
+   * dashboards survive 100 TB: the raw store answers ad-hoc ranges,
+   * the rollup answers the standing aggregation cheaply, forever.
+   *
+   * The partials are all exact integers / nan-safe min-max (the same
+   * algebra as [[downsampleCompressed]]), so they re-aggregate
+   * losslessly to ANY multiple of the base bucket: one 15-min rollup
+   * serves 15-min, 1-h, and 1-d queries bit-identically to computing
+   * from raw (oracle-shared with the raw-path query).
+   */
+  def writeRollup(chunks: DataFrame, seriesCols: Seq[String], path: String,
+                  bucketSec: Long = 900, fixedScale: Double = FixedScale): Unit =
+    chunks
+      .select(seriesCols.map(col) :+
+        explode(graft.functions.gorilla_chunk_bucket_agg(
+          col("chunk"), bucketSec, fixedScale)).as("__b"): _*)
+      .groupBy(seriesCols.map(col) :+ col("__b.bucket").as("bucket"): _*)
+      .agg(sum("__b.n").as("n"),
+        min("__b.min_v").as("min_v"), max("__b.max_v").as("max_v"),
+        sum("__b.sum_fixed").as("sum_cents"),
+        sum("__b.sumsq_fixed").as("sumsq_cents"))
+      .withColumn("bucket_date", to_date(to_timestamp(col("bucket"))))
+      .write.mode("overwrite")
+      .partitionBy("bucket_date")
+      .parquet(path)
+
+  /** Open a rollup; `fromSec`/`toSec` prune partitions at plan time. */
+  def readRollup(spark: org.apache.spark.sql.SparkSession, path: String,
+                 fromSec: Long = Long.MinValue, toSec: Long = Long.MaxValue): DataFrame = {
+    val df = spark.read.parquet(path)
+    if (fromSec == Long.MinValue && toSec == Long.MaxValue) df
+    else df.filter(
+      col("bucket_date") >= to_date(to_timestamp(lit(fromSec))) &&
+      col("bucket_date") <= to_date(to_timestamp(lit(toSec))))
+  }
+
+  /**
+   * Serve a downsample off a materialized rollup at `servedBucketSec`
+   * — any multiple of the rollup's base bucket (the caller owns that
+   * contract; partials merged across a misaligned boundary would
+   * split points into the wrong bucket, not error). Pure partial
+   * merge: longs sum, min/max compose, avg derives at the end.
+   */
+  def serveRollup(rollup: DataFrame, seriesCols: Seq[String],
+                  servedBucketSec: Long,
+                  fixedScale: Double = FixedScale): DataFrame =
+    rollup
+      .groupBy(seriesCols.map(col) :+
+        (floor(col("bucket") / servedBucketSec) * servedBucketSec)
+          .cast("long").as("bucket"): _*)
+      .agg(sum("n").as("n"),
+        min("min_v").as("min_v"), max("max_v").as("max_v"),
+        sum("sum_cents").as("sum_cents"))
+      .withColumn("avg_v", col("sum_cents") / (col("n") * fixedScale))
+
   /** Latest point per series: stat-prune to each series' max-ts
     * chunk(s), decode only those. Keyed on the point-level `max_ts`
     * stat (tighter than window_start, and fragmentation-safe: salted /

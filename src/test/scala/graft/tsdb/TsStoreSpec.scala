@@ -107,6 +107,40 @@ class TsStoreSpec extends AnyFunSuite {
     assert(f2.mkString("|") == want.mkString("|"))
   }
 
+  test("materialized rollup: serve equals recompute at base and coarser buckets, decode-free") {
+    val series = Seq("user_id", "event_type")
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val chunks = Ts.chunkify(ev, series, "ts", "value")
+    val path = s"/tmp/graft_rollup_spec_${System.currentTimeMillis()}"
+    Ts.writeRollup(chunks, series, path, bucketSec = 900)
+    val rollup = Ts.readRollup(spark, path)
+    // base granularity: partial scan == the compressed-domain resample
+    val served = Ts.serveRollup(rollup, series, 900)
+      .select("user_id", "event_type", "bucket", "n", "min_v", "max_v",
+        "sum_cents", "avg_v")
+      .orderBy("user_id", "event_type", "bucket").collect().toSeq
+    val direct = Ts.downsampleCompressed(chunks, series, 900)
+      .select("user_id", "event_type", "bucket", "n", "min_v", "max_v",
+        "sum_cents", "avg_v")
+      .orderBy("user_id", "event_type", "bucket").collect().toSeq
+    assert(served == direct)
+    // coarser granularity: the SAME 15-min partials serve 1-h exactly
+    val served1h = Ts.serveRollup(rollup, series, 3600)
+      .orderBy("user_id", "event_type", "bucket").collect().toSeq
+    val direct1h = Ts.downsampleCompressed(chunks, series, 3600)
+      .select("user_id", "event_type", "bucket", "n", "min_v", "max_v",
+        "sum_cents", "avg_v")
+      .orderBy("user_id", "event_type", "bucket").collect().toSeq
+    assert(served1h == direct1h)
+    // the serve plan reads the rollup parquet only: no chunk column,
+    // no gorilla call of any kind — the standing aggregate never
+    // touches the raw store again
+    val plan = Ts.serveRollup(rollup, series, 3600)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("gorilla"), s"rollup serve decodes chunks:\n$plan")
+    assert(!plan.contains("chunk"), s"rollup serve reads chunk bytes:\n$plan")
+  }
+
   test("compressed-domain range aggregate matches the decode-everything baseline") {
     val ev = spark.read.parquet(s"$dir/events.parquet")
     val series = Seq("user_id", "event_type")
