@@ -412,6 +412,15 @@ object Ts {
    */
   def writeRollup(chunks: DataFrame, seriesCols: Seq[String], path: String,
                   bucketSec: Long = 900, fixedScale: Double = FixedScale): Unit =
+    rollupPartials(chunks, seriesCols, bucketSec, fixedScale)
+      .write.mode("overwrite")
+      .partitionBy("bucket_date")
+      .parquet(path)
+
+  /** One exact partial row per (series, bucket), dated for partition
+    * pruning — the stored form behind write/upsertRollup. */
+  private def rollupPartials(chunks: DataFrame, seriesCols: Seq[String],
+                             bucketSec: Long, fixedScale: Double): DataFrame =
     chunks
       .select(seriesCols.map(col) :+
         explode(graft.functions.gorilla_chunk_bucket_agg(
@@ -422,7 +431,22 @@ object Ts {
         sum("__b.sum_fixed").as("sum_cents"),
         sum("__b.sumsq_fixed").as("sumsq_cents"))
       .withColumn("bucket_date", to_date(to_timestamp(col("bucket"))))
+
+  /**
+   * Incremental rollup maintenance: fold ONLY the given chunks (e.g.
+   * today's sealed ingest) into partials and swap exactly their
+   * `bucket_date` partitions into the standing rollup — the
+   * "continuous" in continuous aggregate. Chunks must cover their
+   * buckets' full day (partition replace, not merge); re-running a
+   * day is idempotent under at-least-once upstream delivery, same
+   * contract as [[upsertStore]]. Equals a full rebuild over the union
+   * (spec-pinned) at O(day) instead of O(history) cost.
+   */
+  def upsertRollup(chunks: DataFrame, seriesCols: Seq[String], path: String,
+                   bucketSec: Long = 900, fixedScale: Double = FixedScale): Unit =
+    rollupPartials(chunks, seriesCols, bucketSec, fixedScale)
       .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
       .partitionBy("bucket_date")
       .parquet(path)
 

@@ -141,6 +141,38 @@ class TsStoreSpec extends AnyFunSuite {
     assert(!plan.contains("chunk"), s"rollup serve reads chunk bytes:\n$plan")
   }
 
+  test("incremental rollup upsert equals the full rebuild, and re-runs are idempotent") {
+    import spark.implicits._
+    val ns = 1000000000L
+    def day(d: Long, k: String, n: Int): Seq[(String, Long, Double)] =
+      (0 until n).map(i => (k, (d * 86400 + i * 600) * ns, d * 10.0 + i))
+    val hist = (day(19000, "a", 20) ++ day(19000, "b", 10) ++ day(19001, "a", 15)).toDF("k", "ts", "value")
+    val today = day(19002, "a", 12).toDF("k", "ts", "value")
+    val path = s"/tmp/graft_rollup_upsert_${System.currentTimeMillis()}"
+    // seed with history, then fold ONLY today's chunks in
+    Ts.writeRollup(Ts.chunkify(hist, Seq("k"), "ts", "value"), Seq("k"), path)
+    val todayChunks = Ts.chunkify(today, Seq("k"), "ts", "value")
+    Ts.upsertRollup(todayChunks, Seq("k"), path)
+    Ts.upsertRollup(todayChunks, Seq("k"), path) // at-least-once retry
+    val got = Ts.readRollup(spark, path)
+      .select("k", "bucket", "n", "min_v", "max_v", "sum_cents", "sumsq_cents")
+      .orderBy("k", "bucket").collect().toSeq
+    // ground truth: one rebuild over the union
+    val full = s"/tmp/graft_rollup_full_${System.currentTimeMillis()}"
+    Ts.writeRollup(Ts.chunkify(hist.union(today), Seq("k"), "ts", "value"), Seq("k"), full)
+    val want = Ts.readRollup(spark, full)
+      .select("k", "bucket", "n", "min_v", "max_v", "sum_cents", "sumsq_cents")
+      .orderBy("k", "bucket").collect().toSeq
+    assert(got == want)
+    // exactly the three day partitions exist: two untouched history
+    // days plus the upserted one (dynamic overwrite replaced only its
+    // own bucket_date)
+    val parts = new java.io.File(path).listFiles()
+      .map(_.getName).filter(_.startsWith("bucket_date=")).sorted.toSeq
+    assert(parts == Seq("bucket_date=2022-01-08", "bucket_date=2022-01-09",
+      "bucket_date=2022-01-10"), parts.toString)
+  }
+
   test("compressed-domain range aggregate matches the decode-everything baseline") {
     val ev = spark.read.parquet(s"$dir/events.parquet")
     val series = Seq("user_id", "event_type")
