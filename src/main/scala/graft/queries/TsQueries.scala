@@ -572,6 +572,40 @@ object TsQueries {
         .agg(count(lit(1)).as("n"),
           min("v").as("min_v"), max("v").as("max_v"))
         .orderBy("user_id", "event_type", "bucket")),
+    // PromQL-style histogram_quantile(0.9) per series: the cumulative
+    // distribution over the SAME fixed-width integer buckets
+    // ts_histogram emits, the target rank at 0.9·n, and a linear
+    // interpolation inside the bucket the rank falls into. Everything
+    // up to the final division is integer (bucket counts, cumulative
+    // sums), and the interpolation is the identical IEEE expression in
+    // both engines — so the estimate is bit-deterministic. Scale: the
+    // bucket partials are a mergeable map-side hash-agg, and the
+    // per-series windows run over ≤ #buckets partial rows (bounded by
+    // the value range, NOT the point count) — at 100 TB this is the
+    // shape histogram-backed quantiles must take, since exact
+    // per-series sorts don't compose and sketches lose exactness
+    "ts_histogram_quantile" -> ((s, dir) => {
+      val hist = points(s, dir)
+        .withColumn("bucket",
+          floor(round(col("v") * 100).cast("long") / 5000.0).cast("long"))
+        .groupBy("user_id", "event_type", "bucket")
+        .agg(count(lit(1)).as("nb"))
+      val wCum = Window.partitionBy("user_id", "event_type").orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy("user_id", "event_type")
+      hist
+        .withColumn("cum", sum("nb").over(wCum))
+        .withColumn("n", sum("nb").over(wAll))
+        .withColumn("rank", col("n") * 0.9)
+        // exactly one bucket per series crosses the rank: cum is
+        // strictly increasing (empty buckets are absent), 0 < rank <= n
+        .filter(col("cum") >= col("rank") && col("cum") - col("nb") < col("rank"))
+        .select(col("user_id"), col("event_type"), col("n"),
+          ((col("bucket") * 5000.0 +
+            (col("rank") - (col("cum") - col("nb"))) / col("nb") * 5000.0)
+            / 100.0).as("p90_v"))
+        .orderBy("user_id", "event_type")
+    }),
     // the same integer-moment anomaly flags computed OFF THE PERSISTED
     // STORE (ingest-once path; shares ts_anomaly's oracle — the thing
     // under test is that the store roundtrip changes nothing). Moments
@@ -872,6 +906,28 @@ object TsQueries {
       |  count(*) AS n, min(v) AS min_v, max(v) AS max_v
       |FROM pts GROUP BY 1, 2, 3
       |ORDER BY user_id, event_type, bucket""".stripMargin,
+    // DuckDB's sum(BIGINT) is HUGEINT — cast the window sums back to
+    // BIGINT so the schema and the double conversions match Spark's.
+    // And DuckDB parses bare `0.9`/`5000.0` literals as DECIMAL, whose
+    // exact arithmetic diverges bit-wise from Spark's IEEE doubles —
+    // every literal in the interpolation is cast to DOUBLE explicitly
+    "ts_histogram_quantile" -> s"""WITH $ptsSql,
+      |hist AS (SELECT user_id, event_type,
+      |    CAST(floor(CAST(round(v * 100) AS BIGINT) / 5000.0) AS BIGINT) AS bucket,
+      |    count(*) AS nb
+      |  FROM pts GROUP BY 1, 2, 3),
+      |c AS (SELECT user_id, event_type, bucket, nb,
+      |    CAST(sum(nb) OVER (PARTITION BY user_id, event_type ORDER BY bucket
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+      |    CAST(sum(nb) OVER (PARTITION BY user_id, event_type) AS BIGINT) AS n
+      |  FROM hist),
+      |r AS (SELECT *, n * CAST(0.9 AS DOUBLE) AS rank FROM c)
+      |SELECT user_id, event_type, n,
+      |  (bucket * CAST(5000 AS DOUBLE) +
+      |   (rank - (cum - nb)) / nb * CAST(5000 AS DOUBLE))
+      |    / CAST(100 AS DOUBLE) AS p90_v
+      |FROM r WHERE cum >= rank AND cum - nb < rank
+      |ORDER BY user_id, event_type""".stripMargin,
     "ts_anomaly" -> anomalyOracleSql,
     // same relation computed off the persisted store — shared oracle
     "ts_store_anomaly" -> anomalyOracleSql,
