@@ -52,6 +52,32 @@ object TsQueries {
     Ts.readRollup(s, path)
   }
 
+  /** The rollup built the way the STREAM maintains it: three uneven
+    * chunk increments merge-folded in sequence (Ts.mergeRollup — the
+    * body behind StreamIngest.rollupStream's per-batch sink), with the
+    * cut points landing mid-day so the later folds hit partitions the
+    * earlier folds already wrote (the existing+fresh merge path, not
+    * just appends of new dates). Serving off this store must equal
+    * computing from raw — the continuous aggregate is lossless under
+    * incremental maintenance. */
+  def mergeRollupStore(s: SparkSession, dir: String): DataFrame = synchronized {
+    graft.functions.registerAll(s)
+    val path = storePath(dir) + "_roll900m"
+    if (!new java.io.File(path, "_SUCCESS").exists()) {
+      val ch = storeChunks(s, dir)
+      // 2024-01-10T12:00Z and 2024-01-20T06:00Z — both 2-h aligned,
+      // both strictly inside a bucket_date the neighboring fold touches
+      val cuts = Seq(1704888000L, 1705730400L)
+      Ts.mergeRollup(ch.filter(col("window_start") < cuts(0)),
+        series, path, bucketSec = 900)
+      Ts.mergeRollup(ch.filter(col("window_start") >= cuts(0) &&
+        col("window_start") < cuts(1)), series, path, bucketSec = 900)
+      Ts.mergeRollup(ch.filter(col("window_start") >= cuts(1)),
+        series, path, bucketSec = 900)
+    }
+    Ts.readRollup(s, path)
+  }
+
   /** Cache key: input dir + total bytes of the events table, so a
     * regenerated test dir never reads a stale store (the `s3` suffix
     * versions the stat layout — s3 added the `sumsq_cents` second
@@ -244,6 +270,19 @@ object TsQueries {
     // lineage must be lossless
     "ts_rollup_serve" -> ((s, dir) =>
       Ts.serveRollup(rollupStore(s, dir), series, 3600)
+        .withColumnRenamed("bucket", "bucket_1h")
+        .select("user_id", "event_type", "bucket_1h", "n", "min_v", "max_v",
+          "sum_cents", "avg_v")
+        .orderBy("user_id", "event_type", "bucket_1h")),
+    // the same standing aggregate served off a rollup maintained the
+    // way the STREAM maintains it — incremental merge-folds
+    // (Ts.mergeRollup, the body of StreamIngest.rollupStream's sink)
+    // instead of one batch materialization. Shares the raw-path
+    // oracle: incremental maintenance must be lossless, fold order
+    // and partition-merge included (stream==batch parity of the sink
+    // itself is proven over MemoryStream in StreamIngestSpec)
+    "stream_rollup" -> ((s, dir) =>
+      Ts.serveRollup(mergeRollupStore(s, dir), series, 3600)
         .withColumnRenamed("bucket", "bucket_1h")
         .select("user_id", "event_type", "bucket_1h", "n", "min_v", "max_v",
           "sum_cents", "avg_v")
@@ -891,6 +930,8 @@ object TsQueries {
     "ts_store_downsample" -> baseOracle("ts_downsample"),
     // the rollup serve must equal computing the hour from raw points
     "ts_rollup_serve" -> baseOracle("ts_rollup_1h"),
+    // incrementally-maintained rollup serves the same relation
+    "stream_rollup" -> baseOracle("ts_rollup_1h"),
     "ts_range_agg" -> s"""WITH $ptsSql
       |SELECT user_id, event_type, count(*) AS n,
       |  min(ts) AS min_ts, max(ts) AS max_ts,

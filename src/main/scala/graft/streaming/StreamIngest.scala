@@ -128,6 +128,45 @@ object StreamIngest {
             path, mode = "append")
       }
 
+  /**
+   * Continuous-aggregate maintenance off the streaming chunk feed:
+   * every micro-batch of chunks merge-folds into the standing rollup
+   * ([[graft.tsdb.Ts.mergeRollup]] — O(batch + touched partitions)
+   * per fold, history partitions untouched), so the materialized
+   * 15-min partial table that serves standing dashboards stays
+   * current as the stream runs, without ever rebuilding.
+   *
+   * A merge applied twice counts twice, so exactly-once under
+   * foreachBatch's at-least-once replay comes from the standard
+   * transactional-sink pattern: the last folded batchId persists next
+   * to the rollup and a replayed batch is skipped. Restart-safe: the
+   * marker survives with the rollup it describes.
+   */
+  def rollupStream(chunks: DataFrame, seriesCols: Seq[String], path: String,
+                   checkpoint: String, bucketSec: Long = 900) =
+    chunks.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        foldRollupBatch(batch, batchId, seriesCols, path, bucketSec)
+      }
+
+  /** The per-batch fold behind [[rollupStream]], exposed so the
+    * replay-skip contract is testable without a second stream run. */
+  def foldRollupBatch(batch: DataFrame, batchId: Long, seriesCols: Seq[String],
+                      path: String, bucketSec: Long = 900): Unit = {
+    val marker = java.nio.file.Paths.get(path + "_batch")
+    val last =
+      if (java.nio.file.Files.exists(marker))
+        new String(java.nio.file.Files.readAllBytes(marker)).trim.toLong
+      else -1L
+    if (batchId > last) {
+      if (!batch.isEmpty)
+        graft.tsdb.Ts.mergeRollup(batch, seriesCols, path, bucketSec)
+      java.nio.file.Files.write(marker, batchId.toString.getBytes)
+    }
+  }
+
   final case class AnomalyPoint(series: String, ts: Long, cents: Long, n_prior: Long)
   final case class MomentState(n: Long, s: Long, q: Long)
 

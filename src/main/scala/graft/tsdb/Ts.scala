@@ -450,6 +450,64 @@ object Ts {
       .partitionBy("bucket_date")
       .parquet(path)
 
+  /**
+   * MERGE-fold an arbitrary chunk increment into a standing rollup —
+   * the streaming-maintenance shape. A micro-batch carries no
+   * full-day contract (it may even hold partial chunks of a window
+   * the next batch continues), so its partials must MERGE with the
+   * stored partials of the `bucket_date` partitions they touch —
+   * sums add, min/max compose, exactly the mergeable-partial algebra
+   * the rollup stores — and only those partitions rewrite (existing
+   * rows are semi-joined on the touched dates; history partitions are
+   * never read or written). Cost per fold: O(increment + touched
+   * partitions), independent of history size.
+   *
+   * Unlike [[upsertRollup]]'s partition replace, a REPLAYED increment
+   * is not idempotent (a merge applied twice counts twice) — callers
+   * own replay protection; [[graft.streaming.StreamIngest.rollupStream]]
+   * does it with the sink's transactional batchId.
+   */
+  def mergeRollup(chunks: DataFrame, seriesCols: Seq[String], path: String,
+                  bucketSec: Long = 900, fixedScale: Double = FixedScale): Unit = {
+    val spark = chunks.sparkSession
+    val fresh = rollupPartials(chunks, seriesCols, bucketSec, fixedScale)
+    val merged =
+      if (!new java.io.File(path, "_SUCCESS").exists) fresh
+      else {
+        val cols = fresh.columns
+        val touched = fresh.select("bucket_date").distinct()
+        val existing = readRollup(spark, path)
+          .join(broadcast(touched), Seq("bucket_date"), "left_semi")
+          .select(cols.map(col): _*)
+        existing.union(fresh.select(cols.map(col): _*))
+          .groupBy((seriesCols :+ "bucket").map(col): _*)
+          .agg(sum("n").as("n"),
+            min("min_v").as("min_v"), max("max_v").as("max_v"),
+            sum("sum_cents").as("sum_cents"),
+            sum("sumsq_cents").as("sumsq_cents"))
+          .withColumn("bucket_date", to_date(to_timestamp(col("bucket"))))
+      }
+    // the merged plan READS the partitions it is about to overwrite —
+    // localCheckpoint materializes the merge (truncating the lineage
+    // back to an in-memory scan) before the write touches the path
+    merged.localCheckpoint(true)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket_date")
+      .parquet(path)
+    // dynamic-overwrite commits do NOT write a root _SUCCESS (they
+    // stage and swap partition dirs only) — write the marker
+    // ourselves, AFTER the commit, so the next fold sees a store to
+    // merge into and readers keep the _SUCCESS-gated contract. The
+    // remaining gap is a crash BETWEEN partition swaps of one fold:
+    // replaying that fold would re-merge the partitions that did
+    // commit — closing it needs an atomic multi-partition commit (a
+    // transactional table format), so a mid-commit crash should
+    // rebuild the touched dates from chunks (upsertRollup) instead
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(path, "_SUCCESS"), Array.emptyByteArray)
+  }
+
   /** Open a rollup; `fromSec`/`toSec` prune partitions at plan time. */
   def readRollup(spark: org.apache.spark.sql.SparkSession, path: String,
                  fromSec: Long = Long.MinValue, toSec: Long = Long.MaxValue): DataFrame = {

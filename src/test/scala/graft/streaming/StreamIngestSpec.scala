@@ -146,6 +146,72 @@ class StreamIngestSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming rollup maintenance equals batch materialization; replays skip") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp, Double)]
+    val path = java.nio.file.Files.createTempDirectory("graft-rollstream").toString + "/roll"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-rollstream-ck").toString
+    val chunks = StreamIngest.chunkStream(
+      input.toDF().toDF("series", "ts", "v"), Seq("series"), "ts", "v",
+      windowDuration = "2 hours", watermark = "1 minute")
+    val q = StreamIngest.rollupStream(chunks, Seq("series"), path, ckpt,
+      bucketSec = 900).start()
+    try {
+      val w0 = 1700006400L // 2h-aligned
+      // batch 1: window w0 fills for two series
+      input.addData(
+        ("cpu", ts(w0 + 10), 1.5), ("cpu", ts(w0 + 70), 2.5),
+        ("cpu", ts(w0 + 1000), 4.0), ("mem", ts(w0 + 5), 10.0))
+      q.processAllAvailable()
+      // batch 2: event time passes w0's end + watermark => w0 seals and
+      // merge-folds; the new window stays open
+      input.addData(("cpu", ts(w0 + 7200 + 120), 9.0))
+      q.processAllAvailable()
+      // batch 3: seal the second window too — its fold MERGES into a
+      // store that already exists (the existing+fresh path)
+      input.addData(("cpu", ts(w0 + 14400 + 120), 1.0))
+      q.processAllAvailable()
+
+      val streamed = graft.tsdb.Ts.readRollup(spark, path)
+      // the stream folded two sealed windows; the batch path
+      // materializes the same chunks in one shot — must be identical
+      val sealedPts = Seq(
+        ("cpu", w0 + 10, 1.5), ("cpu", w0 + 70, 2.5),
+        ("cpu", w0 + 1000L, 4.0), ("mem", w0 + 5, 10.0),
+        ("cpu", w0 + 7200 + 120L, 9.0))
+        .toDF("series", "sec", "v")
+        .withColumn("ts", col("sec").cast("timestamp"))
+      val batchChunks = graft.tsdb.Ts.chunkify(sealedPts, Seq("series"), "ts", "v")
+      val batchPath = java.nio.file.Files.createTempDirectory("graft-rollbatch").toString + "/roll"
+      graft.tsdb.Ts.writeRollup(batchChunks, Seq("series"), batchPath, bucketSec = 900)
+      val batch = graft.tsdb.Ts.readRollup(spark, batchPath)
+      def rows(df: org.apache.spark.sql.DataFrame) = df
+        .select("series", "bucket", "n", "min_v", "max_v", "sum_cents", "sumsq_cents")
+        .collect().map(_.toSeq).toSet
+      assert(rows(streamed) == rows(batch))
+
+      // replay protection: re-folding an already-folded batchId is a
+      // no-op (at-least-once restarts must not double-count)
+      val before = rows(graft.tsdb.Ts.readRollup(spark, path))
+      StreamIngest.foldRollupBatch(batchChunks, batchId = 0L, Seq("series"), path)
+      assert(rows(graft.tsdb.Ts.readRollup(spark, path)) == before)
+      // a NEW batchId with fresh chunks does fold (and merges exactly)
+      val extra = Seq(("cpu", w0 + 20, 100.0)).toDF("series", "sec", "v")
+        .withColumn("ts", col("sec").cast("timestamp"))
+      val lastId = java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get(path + "_batch")).get(0).trim.toLong
+      StreamIngest.foldRollupBatch(
+        graft.tsdb.Ts.chunkify(extra, Seq("series"), "ts", "v"),
+        lastId + 1, Seq("series"), path)
+      val after = graft.tsdb.Ts.readRollup(spark, path)
+        .filter(col("series") === "cpu" && col("bucket") === (w0 / 900) * 900)
+        .select("n", "sum_cents").collect().head
+      assert(after.getLong(0) == 3L) // 2 original + 1 merged-in point
+      assert(after.getLong(1) == 150 + 250 + 10000)
+    } finally q.stop()
+  }
+
   test("misra_gries runs as streaming state: guarantees hold across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
