@@ -29,8 +29,23 @@ object OpsQueries {
    * training once and can never see different models; at 100 TB the
    * query path reads a few percent of the raw vector bytes.
    */
-  def storeModels(s: SparkSession, dir: String): Similarity.AnnIndex =
-    Similarity.readIndex(s, storeModelPath(s, dir))
+  def storeModels(s: SparkSession, dir: String): Similarity.AnnIndex = synchronized {
+    val path = storeModelPath(s, dir)
+    // hot-index caching: a serving cluster keeps the encoded corpus
+    // (lists/codes — a few percent of the raw float bytes) resident in
+    // executor memory instead of re-reading parquet per query; persist
+    // spills to local disk if it outgrows memory, so this is the
+    // at-scale shape, not a driver collect
+    indexCache.getOrElseUpdate((s, path), {
+      val idx = Similarity.readIndex(s, path)
+      Seq(idx.lists, idx.codes, idx.resCodes, idx.sq8Codes, idx.lshLists)
+        .foreach(_.persist())
+      idx
+    })
+  }
+
+  private val indexCache =
+    scala.collection.mutable.Map[(SparkSession, String), Similarity.AnnIndex]()
 
   /** Ensure the model store for `dir` is trained, and return its path. */
   def storeModelPath(s: SparkSession, dir: String): String = synchronized {
