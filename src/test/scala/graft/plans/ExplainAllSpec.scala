@@ -122,6 +122,21 @@ class ExplainAllSpec extends AnyFunSuite {
     assert(plan.contains("partial_count"), s"df side lost its map-side combine:\n$plan")
   }
 
+  test("stored ANN queries scan the cached index, not parquet (hot-index gate)") {
+    // storeModels persists the encoded-corpus tables once per session;
+    // every sim_ann_* execution after that must read them from the
+    // block-manager cache (InMemoryTableScan), not re-scan the model
+    // parquet — losing the persist silently re-adds a per-query
+    // corpus-codes read that the bench would only catch rounds later
+    graft.queries.OpsQueries.storeModels(spark, dir)
+    for (name <- Seq("sim_ann_sq8", "sim_ann_pq", "sim_ann_lsh")) {
+      val plan = SparkEntry.queries(name)(spark, dir).queryExecution
+        .executedPlan.toString
+      assert(plan.contains("InMemoryTableScan"),
+        s"$name does not read the cached index:\n$plan")
+    }
+  }
+
   test("q6 scan keeps its pushed filters (regression gate on pushdown)") {
     val plan = SparkEntry.queries("q6_filter")(spark, dir).queryExecution
       .executedPlan.toString

@@ -173,6 +173,34 @@ class TsStoreSpec extends AnyFunSuite {
       "bucket_date=2022-01-10"), parts.toString)
   }
 
+  test("mergeRollup folds PARTIAL chunks of one window across increments losslessly") {
+    import spark.implicits._
+    val ns = 1000000000L
+    val w0 = 19005L * 86400 // day-aligned => 2h-window- and bucket-aligned
+    // one 2h window's points split across two folds mid-bucket: the
+    // per-batch streaming sink's shape (several partial chunks per
+    // window), which partition-replacing upsertRollup cannot absorb
+    val first = (0 until 8).map(i => ("a", (w0 + i * 200) * ns, 1.0 * i))
+    val second = (8 until 14).map(i => ("a", (w0 + i * 200) * ns, 1.0 * i))
+    val path = s"/tmp/graft_rollup_merge_${System.currentTimeMillis()}"
+    Ts.mergeRollup(Ts.chunkify(first.toDF("k", "ts", "value"), Seq("k"), "ts", "value"),
+      Seq("k"), path)
+    Ts.mergeRollup(Ts.chunkify(second.toDF("k", "ts", "value"), Seq("k"), "ts", "value"),
+      Seq("k"), path)
+    def rows(p: String) = Ts.readRollup(spark, p)
+      .select("k", "bucket", "n", "min_v", "max_v", "sum_cents", "sumsq_cents")
+      .orderBy("k", "bucket").collect().toSeq
+    val full = s"/tmp/graft_rollup_merge_full_${System.currentTimeMillis()}"
+    Ts.writeRollup(Ts.chunkify((first ++ second).toDF("k", "ts", "value"),
+      Seq("k"), "ts", "value"), Seq("k"), full)
+    assert(rows(path) == rows(full))
+    // the shared bucket really merged across folds: bucket [900, 1800)
+    // holds offsets 1000/1200/1400 (first fold) + 1600 (second fold)
+    val merged = Ts.readRollup(spark, path)
+      .filter(col("bucket") === w0 + 900).select("n").collect()
+    assert(merged.map(_.getLong(0)).toSeq == Seq(4L))
+  }
+
   test("compressed-domain range aggregate matches the decode-everything baseline") {
     val ev = spark.read.parquet(s"$dir/events.parquet")
     val series = Seq("user_id", "event_type")
