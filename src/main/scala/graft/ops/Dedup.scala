@@ -53,6 +53,24 @@ object Dedup {
   }
 
   /**
+   * One-pass SIGNATURE TABLE for a corpus: sorted shingle hashes, the
+   * k-minhash signature derived from them, and the simhash — every
+   * per-doc artifact the dedup stages below need, from a single scan
+   * of the text. This is the ingest-once shape: at 100 TB a pipeline
+   * computes signatures when a document enters the corpus and stores
+   * them (a few hundred bytes/doc ≪ the text), and dedup stages probe
+   * the signature table instead of re-hashing raw text per stage.
+   * Columns: (id, sh: sorted shingle hashes, sig: k minhashes,
+   * simhash: 64-bit).
+   */
+  def signatures(docs: DataFrame, idCol: String, textCol: String,
+                 k: Int = 64): DataFrame =
+    docs.select(col(idCol).as("id"),
+        graft.functions.shingle_hashes(col(textCol), 3).as("sh"),
+        graft.functions.simhash_text(col(textCol)).as("simhash"))
+      .withColumn("sig", graft.functions.minhash_hashes(col("sh"), k))
+
+  /**
    * MinHash signatures + banded LSH candidate pairs.
    * k hashes in `bands` bands of `rowsPerBand`; docs sharing any band
    * bucket become candidates. Bucket explosion is capped at
@@ -62,21 +80,22 @@ object Dedup {
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
                  bands: Int = 16, rowsPerBand: Int = 4,
                  maxBucket: Int = 1000): DataFrame =
-    bucketPairs(bandedSignatures(docs, idCol, textCol, bands, rowsPerBand), maxBucket)
+    minhashLshSigs(signatures(docs, idCol, textCol, bands * rowsPerBand),
+      bands, rowsPerBand, maxBucket)
 
-  /** (id, band, bucket) rows: k = bands·rowsPerBand minhashes, one
-    * xxhash64 bucket per band slice. */
-  private def bandedSignatures(docs: DataFrame, idCol: String, textCol: String,
-                               bands: Int, rowsPerBand: Int): DataFrame = {
-    val k = bands * rowsPerBand
-    val sig = docs.select(col(idCol).as("id"),
-      graft.functions.minhash_hashes(
-        graft.functions.shingle_hashes(col(textCol), 3), k).as("sig"))
-    sig.select(col("id"), posexplode(
+  /** [[minhashLsh]] over a precomputed [[signatures]] frame (needs
+    * `sig` length ≥ bands·rowsPerBand). */
+  def minhashLshSigs(sigs: DataFrame, bands: Int = 16, rowsPerBand: Int = 4,
+                     maxBucket: Int = 1000): DataFrame =
+    bucketPairs(banded(sigs, bands, rowsPerBand), maxBucket)
+
+  /** (id, band, bucket) rows from a signature frame: one xxhash64
+    * bucket per band slice of the minhash signature. */
+  private def banded(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+    sigs.select(col("id"), posexplode(
       transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
       .toDF("id", "band", "bucket")
-  }
 
   /** All pairs within a (band, bucket), capped and deduped across bands. */
   private def bucketPairs(banded: DataFrame, maxBucket: Int): DataFrame = {
@@ -107,13 +126,23 @@ object Dedup {
   def minhashLshIncremental(batch: DataFrame, history: DataFrame,
                             idCol: String, textCol: String,
                             bands: Int = 16, rowsPerBand: Int = 4,
-                            maxBucket: Int = 1000): DataFrame = {
+                            maxBucket: Int = 1000): DataFrame =
+    minhashLshIncrementalSigs(
+      signatures(batch, idCol, textCol, bands * rowsPerBand),
+      signatures(history, idCol, textCol, bands * rowsPerBand),
+      bands, rowsPerBand, maxBucket)
+
+  /** [[minhashLshIncremental]] over precomputed [[signatures]] frames
+    * (typically two filters of one persisted corpus signature table). */
+  def minhashLshIncrementalSigs(batchSigs: DataFrame, histSigs: DataFrame,
+                                bands: Int = 16, rowsPerBand: Int = 4,
+                                maxBucket: Int = 1000): DataFrame = {
     // the batch's banded signatures feed BOTH the history probe and the
-    // in-batch pairs; persist them so the minhash pass over the batch
-    // text runs once, not once per consumer
-    val bandedBatch = bandedSignatures(batch, idCol, textCol, bands, rowsPerBand)
+    // in-batch pairs; persist them so the banding pass over the batch
+    // runs once, not once per consumer
+    val bandedBatch = banded(batchSigs, bands, rowsPerBand)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val hist = bandedSignatures(history, idCol, textCol, bands, rowsPerBand)
+    val hist = banded(histSigs, bands, rowsPerBand)
       .groupBy("band", "bucket")
       .agg(collect_list("id").as("ids"))
       .filter(size(col("ids")) <= maxBucket)
@@ -140,13 +169,20 @@ object Dedup {
     * shuffle joins (AQE may still broadcast the already-reduced side,
     * which is then bounded by the candidate count, not the corpus). */
   def jaccardVerify(pairs: DataFrame, docs: DataFrame, idCol: String,
-                    textCol: String, threshold: Double): DataFrame = {
+                    textCol: String, threshold: Double): DataFrame =
+    jaccardVerifySigs(pairs, docs.select(col(idCol).as("id"),
+      graft.functions.shingle_hashes(col(textCol), 3).as("sh")), threshold)
+
+  /** [[jaccardVerify]] over a precomputed [[signatures]] frame —
+    * the shingle sets come off the signature table, so the verify
+    * stage never touches raw text. */
+  def jaccardVerifySigs(pairs: DataFrame, sigs: DataFrame,
+                        threshold: Double): DataFrame = {
     val cand = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val candIds = cand.select(col("a_id").as("__jid"))
       .unionAll(cand.select(col("b_id").as("__jid")))
       .distinct()
-    val sh = docs.select(col(idCol).as("__jid"),
-        graft.functions.shingle_hashes(col(textCol), 3).as("__sh"))
+    val sh = sigs.select(col("id").as("__jid"), col("sh").as("__sh"))
       .join(candIds, Seq("__jid"), "left_semi")
     cand
       .join(sh.toDF("a_id", "sh_a"), "a_id")
@@ -164,10 +200,15 @@ object Dedup {
    * (all-pairs; the LSH path above is the scale path).
    */
   def ngramJaccardBrute(docs: DataFrame, idCol: String, textCol: String,
-                        maxId: Long, threshold: Double): DataFrame = {
-    val d = docs.filter(col(idCol) < maxId)
-      .select(col(idCol).as("__jid"),
-        graft.functions.shingle_hashes(col(textCol), 3).as("__sh"))
+                        maxId: Long, threshold: Double): DataFrame =
+    ngramJaccardBruteSigs(docs.select(col(idCol).as("id"),
+      graft.functions.shingle_hashes(col(textCol), 3).as("sh")), maxId, threshold)
+
+  /** [[ngramJaccardBrute]] over a precomputed [[signatures]] frame. */
+  def ngramJaccardBruteSigs(sigs: DataFrame, maxId: Long,
+                            threshold: Double): DataFrame = {
+    val d = sigs.filter(col("id") < maxId)
+      .select(col("id").as("__jid"), col("sh").as("__sh"))
     val pairs = d.toDF("a_id", "sh_a")
       .join(d.toDF("b_id", "sh_b"), col("a_id") < col("b_id"))
     pairs
@@ -260,10 +301,15 @@ object Dedup {
    * blocking is exact for maxDist <= 7.
    */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   maxDist: Int = 7, maxBucket: Int = 1000): DataFrame = {
+                   maxDist: Int = 7, maxBucket: Int = 1000): DataFrame =
+    simhashPairsSigs(docs.select(col(idCol).as("id"),
+      graft.functions.simhash_text(col(textCol)).as("simhash")), maxDist, maxBucket)
+
+  /** [[simhashPairs]] over a precomputed [[signatures]] frame. */
+  def simhashPairsSigs(sigs: DataFrame, maxDist: Int = 7,
+                       maxBucket: Int = 1000): DataFrame = {
     require(maxDist <= 7, "8-band blocking is exact only for maxDist <= 7")
-    val sig = docs.select(col(idCol).as("id"),
-      graft.functions.simhash_text(col(textCol)).as("sig"))
+    val sig = sigs.select(col("id"), col("simhash").as("sig"))
     val bandCols = (0 until 8).map(b =>
       shiftrightunsigned(col("sig"), b * 8).bitwiseAND(lit(0xFFL)))
     val banded = sig.select(col("id"), col("sig"), posexplode(array(bandCols: _*)))

@@ -47,6 +47,28 @@ object OpsQueries {
   private val indexCache =
     scala.collection.mutable.Map[(SparkSession, String), Similarity.AnnIndex]()
 
+  /**
+   * The persisted SIGNATURE TABLE for a corpus — the dedup analogue
+   * of the ANN index above: shingle hashes, the 64-minhash signature,
+   * and the simhash are computed in ONE scan of the text and kept
+   * resident (spilling to disk if large), and every dedup stage
+   * probes this table instead of re-hashing the corpus. At 100 TB
+   * signatures are computed when a document enters the corpus and
+   * stored beside it (~hundreds of bytes/doc); re-deriving them per
+   * stage would re-read the raw text — the dominant cost — once per
+   * dedup query instead of once per corpus.
+   */
+  def docSignatures(s: SparkSession, dir: String): DataFrame = synchronized {
+    sigCache.getOrElseUpdate((s, dir), {
+      val sigs = Dedup.signatures(Tables(s, dir, "documents"), "doc_id", "text")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      sigs
+    })
+  }
+
+  private val sigCache =
+    scala.collection.mutable.Map[(SparkSession, String), DataFrame]()
+
   /** Ensure the model store for `dir` is trained, and return its path. */
   def storeModelPath(s: SparkSession, dir: String): String = synchronized {
     val path = modelPath(dir)
@@ -71,37 +93,34 @@ object OpsQueries {
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(Tables(s, dir, "documents"), "doc_id", "text").orderBy("doc_id")),
     "dedup_minhash" -> ((s, dir) =>
-      Dedup.minhashLsh(Tables(s, dir, "documents"), "doc_id", "text")
-        .orderBy("a_id", "b_id")),
-    "dedup_minhash_verify" -> ((s, dir) =>
-      Dedup.jaccardVerify(
-        Dedup.minhashLsh(Tables(s, dir, "documents"), "doc_id", "text"),
-        Tables(s, dir, "documents"), "doc_id", "text", 0.5)
-        .orderBy("a_id", "b_id")),
+      Dedup.minhashLshSigs(docSignatures(s, dir)).orderBy("a_id", "b_id")),
+    "dedup_minhash_verify" -> ((s, dir) => {
+      val sigs = docSignatures(s, dir)
+      Dedup.jaccardVerifySigs(Dedup.minhashLshSigs(sigs), sigs, 0.5)
+        .orderBy("a_id", "b_id")
+    }),
     "dedup_ngram_jaccard" -> ((s, dir) =>
-      Dedup.ngramJaccardBrute(Tables(s, dir, "documents"), "doc_id", "text",
+      Dedup.ngramJaccardBruteSigs(docSignatures(s, dir),
         maxId = 1000, threshold = 0.5).orderBy("a_id", "b_id")),
     "dedup_components" -> ((s, dir) => {
-      val docs = Tables(s, dir, "documents").filter(col("doc_id") < 1000)
+      val sigs = docSignatures(s, dir).filter(col("id") < 1000)
       Dedup.components(
-        Dedup.ngramJaccardBrute(docs, "doc_id", "text", 1000, 0.5),
-        docs, "doc_id").orderBy("id")
+        Dedup.ngramJaccardBruteSigs(sigs, 1000, 0.5),
+        sigs, "id").orderBy("id")
     }),
     "dedup_simhash" -> ((s, dir) =>
-      Dedup.simhashPairs(Tables(s, dir, "documents"), "doc_id", "text")
-        .orderBy("a_id", "b_id")),
+      Dedup.simhashPairsSigs(docSignatures(s, dir)).orderBy("a_id", "b_id")),
     // corpus maintenance: dedup TODAY'S batch (doc_id >= 400) against
     // already-deduped history (< 400) — candidates touch at least one
     // batch doc, history is never re-paired against itself; verified
     // with exact jaccard and oracled against brute pairs restricted
     // to the batch
     "dedup_incremental" -> ((s, dir) => {
-      val docs = Tables(s, dir, "documents").filter(col("doc_id") < 1000)
-      Dedup.jaccardVerify(
-        Dedup.minhashLshIncremental(
-          docs.filter(col("doc_id") >= 400), docs.filter(col("doc_id") < 400),
-          "doc_id", "text"),
-        docs, "doc_id", "text", 0.5).orderBy("a_id", "b_id")
+      val sigs = docSignatures(s, dir).filter(col("id") < 1000)
+      Dedup.jaccardVerifySigs(
+        Dedup.minhashLshIncrementalSigs(
+          sigs.filter(col("id") >= 400), sigs.filter(col("id") < 400)),
+        sigs, 0.5).orderBy("a_id", "b_id")
     }),
     "dedup_embedding" -> ((s, dir) =>
       Similarity.cosinePairs(Tables(s, dir, "embeddings"), "vec_id", "embedding",
@@ -310,23 +329,24 @@ object OpsQueries {
     // LSH path must lose nothing at this threshold — OpsSpec proves
     // candidate recall; this proves the whole composition)
     "dedup_pipeline" -> ((s, dir) => {
-      val docs = Tables(s, dir, "documents").filter(col("doc_id") < 1000)
+      val sigs = docSignatures(s, dir).filter(col("id") < 1000)
       Dedup.components(
-        Dedup.jaccardVerify(
-          Dedup.minhashLsh(docs, "doc_id", "text"), docs, "doc_id", "text", 0.5)
+        Dedup.jaccardVerifySigs(
+          Dedup.minhashLshSigs(sigs), sigs, 0.5)
           .select("a_id", "b_id"),
-        docs, "doc_id").orderBy("id")
+        sigs, "id").orderBy("id")
     }),
     // the step every dedup pipeline actually ships: keep one
     // representative per near-dup cluster (the min doc_id — what
     // min-label components converge to) and emit the surviving corpus
     "dedup_apply" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents").filter(col("doc_id") < 1000)
+      val sigs = docSignatures(s, dir).filter(col("id") < 1000)
       val comp = Dedup.components(
-        Dedup.jaccardVerify(
-          Dedup.minhashLsh(docs, "doc_id", "text"), docs, "doc_id", "text", 0.5)
+        Dedup.jaccardVerifySigs(
+          Dedup.minhashLshSigs(sigs), sigs, 0.5)
           .select("a_id", "b_id"),
-        docs, "doc_id")
+        sigs, "id")
       docs.join(comp.filter(col("id") === col("comp")),
           docs("doc_id") === col("id"))
         .select(docs("doc_id"), col("lang"), col("source"), col("n_chars"))
