@@ -221,6 +221,31 @@ object Dedup {
   }
 
   /**
+   * Asymmetric CONTAINMENT between docs: C(A→B) = |S(A)∩S(B)|/|S(A)|
+   * is ~1 when A's shingles sit inside a larger B (a benchmark item
+   * quoted inside a long crawl page) even though symmetric Jaccard is
+   * tiny — exactly the pairs a Jaccard-tuned LSH under-recalls, and
+   * the measure contamination checks need. Bounded all-pairs baseline
+   * over `id < maxId` (the scale path generates candidates from a
+   * rare-shingle inverted join — any pair with C ≥ τ > 0 shares a
+   * shingle — then verifies with this same exact merge). Emits both
+   * directions; a pair qualifies when either direction ≥ `threshold`.
+   */
+  def containmentBruteSigs(sigs: DataFrame, maxId: Long,
+                           threshold: Double): DataFrame = {
+    val d = sigs.filter(col("id") < maxId)
+      .select(col("id").as("__jid"), col("sh").as("__sh"))
+    d.toDF("a_id", "sh_a")
+      .join(d.toDF("b_id", "sh_b"), col("a_id") < col("b_id"))
+      .withColumn("n_common",
+        graft.functions.sorted_intersect_count(col("sh_a"), col("sh_b")))
+      .withColumn("c_a_in_b", col("n_common") / size(col("sh_a")).cast("double"))
+      .withColumn("c_b_in_a", col("n_common") / size(col("sh_b")).cast("double"))
+      .filter(greatest(col("c_a_in_b"), col("c_b_in_a")) >= threshold)
+      .select("a_id", "b_id", "n_common", "c_a_in_b", "c_b_in_a")
+  }
+
+  /**
    * Connected components of a near-dup pair graph by iterative
    * min-label propagation: each doc's component becomes the minimum
    * doc id reachable through near-dup edges, so an entire dup cluster

@@ -102,6 +102,13 @@ object OpsQueries {
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardBruteSigs(docSignatures(s, dir),
         maxId = 1000, threshold = 0.5).orderBy("a_id", "b_id")),
+    // asymmetric containment |A∩B|/|A| off the signature store: the
+    // snippet-inside-page measure contamination checks need and
+    // symmetric Jaccard misses (a pair qualifies when either
+    // direction ≥ 0.5)
+    "text_containment" -> ((s, dir) =>
+      Dedup.containmentBruteSigs(docSignatures(s, dir),
+        maxId = 1000, threshold = 0.5).orderBy("a_id", "b_id")),
     "dedup_components" -> ((s, dir) => {
       val sigs = docSignatures(s, dir).filter(col("id") < 1000)
       Dedup.components(
@@ -493,6 +500,19 @@ object OpsQueries {
         |             JOIN sizes sb ON i.b_id = sb.doc_id
         |WHERE CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common) >= 0.5
         |ORDER BY a_id, b_id""".stripMargin,
+    // containment replicates the shingle kernel the same way the
+    // verify oracle does; both directions emitted, either ≥ 0.5
+    "text_containment" -> s"""WITH $shinglesSql
+      |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |  len(list_intersect(a.s, b.s)) AS n_common,
+      |  len(list_intersect(a.s, b.s)) / CAST(len(a.s) AS DOUBLE) AS c_a_in_b,
+      |  len(list_intersect(a.s, b.s)) / CAST(len(b.s) AS DOUBLE) AS c_b_in_a
+      |FROM sh a, sh b
+      |WHERE a.doc_id < 1000 AND b.doc_id < 1000 AND a.doc_id < b.doc_id
+      |  AND greatest(
+      |    len(list_intersect(a.s, b.s)) / CAST(len(a.s) AS DOUBLE),
+      |    len(list_intersect(a.s, b.s)) / CAST(len(b.s) AS DOUBLE)) >= 0.5
+      |ORDER BY a_id, b_id""".stripMargin,
     "dedup_ngram_jaccard" -> s"""WITH $shinglesSql
       |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
       |  len(list_intersect(a.s, b.s)) AS n_common,

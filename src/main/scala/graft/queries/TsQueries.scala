@@ -226,6 +226,14 @@ object TsQueries {
     "ts_range_query" -> ((s, dir) =>
       Ts.rangeQuery(chunks(s, dir), series, RangeFrom, RangeTo)
         .orderBy("user_id", "event_type", "ts", "v")),
+    // surgical delete of the fixed range, then exact per-user
+    // aggregates over what remains: untouched chunks pass through
+    // encoded, fully-covered chunks drop without decode, only the
+    // boundary windows re-encode (Ts.deleteRange) — must equal
+    // aggregating the raw events with the range filtered out
+    "ts_delete_range" -> ((s, dir) =>
+      aggExact(Ts.unpack(
+        Ts.deleteRange(chunks(s, dir), series, RangeFrom, RangeTo), series))),
     // newest point per series, decoding only each series' newest chunk
     "ts_latest" -> ((s, dir) =>
       Ts.latest(chunks(s, dir), series).orderBy("user_id", "event_type")),
@@ -724,6 +732,15 @@ object TsQueries {
       |SELECT user_id, event_type, ts, v FROM pts
       |WHERE ts >= $RangeFrom AND ts <= $RangeTo
       |ORDER BY user_id, event_type, ts, v""".stripMargin,
+    // the store after a surgical delete must equal the raw events
+    // with the deleted range filtered out
+    "ts_delete_range" -> s"""WITH $ptsSql
+      |SELECT user_id, count(*) AS n,
+      |  min(ts) AS min_ts, max(ts) AS max_ts,
+      |  min(v) AS min_v, max(v) AS max_v,
+      |  CAST(sum(CAST(round(v * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+      |FROM pts WHERE ts < $RangeFrom OR ts > $RangeTo
+      |GROUP BY user_id ORDER BY user_id""".stripMargin,
     // the live view must equal the plain range scan over ALL points
     "ts_live_range" -> s"""WITH $ptsSql
       |SELECT user_id, event_type, ts, v FROM pts

@@ -608,6 +608,41 @@ object Ts {
   }
 
   /**
+   * Surgical point DELETE from a chunk frame: remove every point with
+   * `fromSec <= ts <= toSec`, touching the minimum set of chunks.
+   * The chunk headers' (min_ts, max_ts) split the frame three ways
+   * with plain metadata comparisons — no decode decides membership:
+   *   - untouched (max_ts < from || min_ts > to): encoded bytes pass
+   *     through UNREAD — with `window_date` pruning on a store scan
+   *     this is ~every chunk at 100 TB;
+   *   - fully covered (min_ts >= from && max_ts <= to): dropped
+   *     without ever reading the payload;
+   *   - straddling (at most the two boundary windows per series):
+   *     decoded, point-filtered, re-encoded by the same sort-based
+   *     deterministic chunkify — so surviving straddle chunks are
+   *     byte-identical to chunkifying the surviving points directly,
+   *     and the one-chunk-per-(series, window) invariant holds.
+   * This is retention finer than [[expireStore]]'s partition drops
+   * (GDPR-style erasure, bad-ingest rollback) as one linear pass.
+   */
+  def deleteRange(chunks: DataFrame, seriesCols: Seq[String],
+                  fromSec: Long, toSec: Long,
+                  windowSec: Long = WindowSec): DataFrame = {
+    val untouched = chunks.filter(
+      col("max_ts") < fromSec || col("min_ts") > toSec)
+    val straddling = chunks.filter(
+      !(col("max_ts") < fromSec || col("min_ts") > toSec) &&
+      !(col("min_ts") >= fromSec && col("max_ts") <= toSec))
+    val survivors = unpack(straddling, seriesCols)
+      .filter(col("ts") < fromSec || col("ts") > toSec)
+      // ts comes back as epoch seconds; go through timestamp so
+      // chunkify's epochSec treats it as seconds (same as compactStore)
+      .withColumn("ts", to_timestamp(col("ts")))
+    untouched.unionByName(
+      chunkify(survivors, seriesCols, "ts", "v", windowSec))
+  }
+
+  /**
    * Compact a chunk store into a new store at `outPath`: decode every
    * point and re-encode exactly one sealed chunk per (series, window).
    * Streaming per-batch ingest (`StreamIngest.writeChunksPerBatch`)

@@ -60,6 +60,30 @@ class OpsSpec extends AnyFunSuite {
     assert(verified == truth)
   }
 
+  test("containment: catches snippet-in-page pairs jaccard misses, supersets jaccard pairs") {
+    import spark.implicits._
+    // every J>=τ pair has both containments >= J, so the jaccard pair
+    // set is a subset of the containment pair set at the same τ
+    val sigs = Dedup.signatures(docs, "doc_id", "text")
+    val cont = pairSet(Dedup.containmentBruteSigs(sigs, Long.MaxValue, 0.5))
+    val jac = pairSet(Dedup.ngramJaccardBrute(docs, "doc_id", "text", Long.MaxValue, 0.5))
+    assert(jac.subsetOf(cont))
+
+    // the asymmetric case: a short doc quoted inside a much longer one
+    // — containment flags it, symmetric jaccard cannot
+    val snippet = "alpha beta gamma delta epsilon zeta"
+    val page = snippet + " " + (1 to 60).map(i => s"filler$i word$i").mkString(" ")
+    val two = Seq((1L, snippet), (2L, page)).toDF("doc_id", "text")
+    val p = Dedup.containmentBruteSigs(
+      Dedup.signatures(two, "doc_id", "text"), Long.MaxValue, 0.9).collect()
+    assert(p.length == 1)
+    val r = p.head
+    assert(r.getAs[Double]("c_a_in_b") == 1.0) // all snippet shingles in page
+    assert(r.getAs[Double]("c_b_in_a") < 0.1)  // page barely inside snippet
+    assert(pairSet(Dedup.ngramJaccardBrute(two, "doc_id", "text",
+      Long.MaxValue, 0.5)).isEmpty) // jaccard blind to it
+  }
+
   test("simhash blocking finds most strong near-dups, all within dist bound") {
     val truth = pairSet(Dedup.ngramJaccardBrute(docs, "doc_id", "text", Long.MaxValue, 0.8))
     val sim = Dedup.simhashPairs(docs, "doc_id", "text")

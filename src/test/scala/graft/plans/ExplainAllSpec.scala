@@ -79,8 +79,12 @@ class ExplainAllSpec extends AnyFunSuite {
       // recomputed per query)
       "sim_ann_ivfpq" -> (3, 6, 0),
       // LSH -> verify -> fixpoint components head plan (the fixpoint
-      // itself re-plans per round behind localCheckpoint barriers)
-      "dedup_apply" -> (8, 1, 0),
+      // itself re-plans per round behind localCheckpoint barriers).
+      // 9th shuffle since the signature store: the pipeline branch
+      // reads the persisted signature table, so the raw-docs exchange
+      // feeding the final join-back is no longer shared with it — the
+      // trade buys removing the per-query text re-hash entirely
+      "dedup_apply" -> (9, 1, 0),
       // read-your-writes union: encode repartition + horizon agg +
       // final orderBy drive the shuffles, the one-row-per-series
       // horizon broadcasts, and the sealed side decodes exactly ONCE

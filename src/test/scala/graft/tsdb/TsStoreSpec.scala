@@ -56,6 +56,39 @@ class TsStoreSpec extends AnyFunSuite {
     assert(sig(compacted) == sig(direct))
   }
 
+  test("deleteRange: point-exact, untouched chunks byte-identical, covered chunks dropped") {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val series = Seq("user_id", "event_type")
+    val chunks = Ts.chunkify(ev, series, "ts", "value").persist()
+    // interior range: partial first/last windows around whole 2h windows
+    val from = 1704844800L + 3600L
+    val to = from + 4 * 7200L
+    val out = Ts.deleteRange(chunks, series, from, to).persist()
+
+    // the surviving points are exactly the decoded points outside the range
+    val got = Ts.unpack(out, series)
+      .orderBy("user_id", "event_type", "ts", "v").collect().toSeq
+    val expect = Ts.unpack(chunks, series)
+      .filter(col("ts") < from || col("ts") > to)
+      .orderBy("user_id", "event_type", "ts", "v").collect().toSeq
+    assert(got == expect)
+
+    // untouched chunks (no time overlap) pass through byte-identical
+    val keyCols = series :+ "window_start"
+    val origUntouched = chunks.filter(col("max_ts") < from || col("min_ts") > to)
+    val paired = origUntouched
+      .select((keyCols.map(col) :+ col("chunk").as("c0")): _*)
+      .join(out.select((keyCols.map(col) :+ col("chunk").as("c1")): _*), keyCols)
+    assert(paired.count() == origUntouched.count())
+    assert(paired.filter(col("c0") =!= col("c1")).count() == 0)
+
+    // fully covered chunks existed and are gone — dropped by header
+    // comparison alone, never decoded
+    assert(chunks.filter(col("min_ts") >= from && col("max_ts") <= to).count() > 0)
+    assert(out.filter(col("min_ts") >= from && col("max_ts") <= to).count() == 0)
+    chunks.unpersist(); out.unpersist()
+  }
+
   test("latest() is exact on a fragmented store (several chunks per window)") {
     val ev = spark.read.parquet(s"$dir/events.parquet")
     val series = Seq("user_id", "event_type")
