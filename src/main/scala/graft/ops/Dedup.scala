@@ -246,6 +246,58 @@ object Dedup {
   }
 
   /**
+   * PREFIX-FILTERED containment join — the exact sub-quadratic scale
+   * path for [[containmentBruteSigs]] (PPJoin's prefix principle,
+   * Xiao et al., WWW'08, applied to containment): order every doc's
+   * shingles by GLOBAL document frequency ascending (rarest first);
+   * if C(A→B) = |A∩B|/|A| ≥ τ then B misses fewer than (1−τ)·|A| of
+   * A's shingles, so among A's ⌊(1−τ)·|A|⌋+1 rarest shingles at least
+   * one is shared with B — the inverted join only needs each doc's
+   * PREFIX, and candidates concentrate on RARE shingles (a stopword
+   * 3-gram shared by half the corpus almost never lands in a prefix),
+   * so bucket sizes stay bounded by construction instead of by a
+   * recall-losing cap. Exact: candidates ⊇ all qualifying pairs in
+   * either direction (each pair's shorter side contributes the
+   * tighter prefix), then the sorted-merge intersection verifies.
+   * Shuffles are linear in Σ|prefix| + candidate pairs.
+   */
+  def containmentJoinSigs(sigs: DataFrame, threshold: Double): DataFrame = {
+    val ex = sigs.select(col("id"), explode(col("sh")).as("g"))
+    // global df per shingle — one groupBy, broadcast-joined back is
+    // wrong at 100 TB (vocabulary-sized), so it rides a shuffle join
+    val df = ex.groupBy("g").agg(count(lit(1)).as("__df"))
+    // rank each doc's shingles rarest-first; keep the containment
+    // prefix ⌊(1−τ)·n⌋+1 (ties broken by hash value for determinism)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("__df"), col("g"))
+    val prefix = ex.join(df, "g")
+      .withColumn("__rk", row_number().over(w))
+      .join(sigs.select(col("id"), size(col("sh")).as("__n")), "id")
+      .filter(col("__rk") <= floor((lit(1.0) - threshold) * col("__n")) + 1)
+      .select(col("id"), col("g"))
+    // candidate pairs share a prefix shingle of at least one side:
+    // A's prefix hit in ANY of B's shingles covers C(A→B) ≥ τ, and
+    // symmetrically, so join prefix(A) against ALL postings of g —
+    // posting lists of prefix shingles are rare-shingle-sized
+    val cand = prefix.toDF("a_id", "g")
+      .join(ex.toDF("b_id", "g"), "g")
+      .filter(col("a_id") =!= col("b_id"))
+      .select(least(col("a_id"), col("b_id")).as("a_id"),
+        greatest(col("a_id"), col("b_id")).as("b_id"))
+      .distinct()
+    val sh = sigs.select(col("id"), col("sh"))
+    cand
+      .join(sh.toDF("a_id", "sh_a"), "a_id")
+      .join(sh.toDF("b_id", "sh_b"), "b_id")
+      .withColumn("n_common",
+        graft.functions.sorted_intersect_count(col("sh_a"), col("sh_b")))
+      .withColumn("c_a_in_b", col("n_common") / size(col("sh_a")).cast("double"))
+      .withColumn("c_b_in_a", col("n_common") / size(col("sh_b")).cast("double"))
+      .filter(greatest(col("c_a_in_b"), col("c_b_in_a")) >= threshold)
+      .select("a_id", "b_id", "n_common", "c_a_in_b", "c_b_in_a")
+  }
+
+  /**
    * Connected components of a near-dup pair graph by iterative
    * min-label propagation: each doc's component becomes the minimum
    * doc id reachable through near-dup edges, so an entire dup cluster

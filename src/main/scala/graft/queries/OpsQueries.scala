@@ -109,6 +109,14 @@ object OpsQueries {
     "text_containment" -> ((s, dir) =>
       Dedup.containmentBruteSigs(docSignatures(s, dir),
         maxId = 1000, threshold = 0.5).orderBy("a_id", "b_id")),
+    // the FULL-corpus scale path: prefix-filtered containment join
+    // (rarest-shingle prefixes bound the inverted join exactly — no
+    // recall-losing bucket cap), equal output to brute over the same
+    // corpus (pinned in OpsSpec); runs unbounded where the brute
+    // baseline needs its id cap
+    "text_containment_join" -> ((s, dir) =>
+      Dedup.containmentJoinSigs(docSignatures(s, dir), threshold = 0.5)
+        .orderBy("a_id", "b_id")),
     "dedup_components" -> ((s, dir) => {
       val sigs = docSignatures(s, dir).filter(col("id") < 1000)
       Dedup.components(
@@ -500,6 +508,19 @@ object OpsQueries {
         |             JOIN sizes sb ON i.b_id = sb.doc_id
         |WHERE CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common) >= 0.5
         |ORDER BY a_id, b_id""".stripMargin,
+    // the prefix-join output must equal the unbounded brute set — the
+    // oracle is the same inverted-join SQL without the id cap
+    "text_containment_join" -> s"""WITH $shinglesSql
+      |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |  len(list_intersect(a.s, b.s)) AS n_common,
+      |  len(list_intersect(a.s, b.s)) / CAST(len(a.s) AS DOUBLE) AS c_a_in_b,
+      |  len(list_intersect(a.s, b.s)) / CAST(len(b.s) AS DOUBLE) AS c_b_in_a
+      |FROM sh a, sh b
+      |WHERE a.doc_id < b.doc_id
+      |  AND greatest(
+      |    len(list_intersect(a.s, b.s)) / CAST(len(a.s) AS DOUBLE),
+      |    len(list_intersect(a.s, b.s)) / CAST(len(b.s) AS DOUBLE)) >= 0.5
+      |ORDER BY a_id, b_id""".stripMargin,
     // containment replicates the shingle kernel the same way the
     // verify oracle does; both directions emitted, either ≥ 0.5
     "text_containment" -> s"""WITH $shinglesSql

@@ -84,6 +84,15 @@ class OpsSpec extends AnyFunSuite {
       Long.MaxValue, 0.5)).isEmpty) // jaccard blind to it
   }
 
+  test("prefix-filtered containment join equals brute at several thresholds") {
+    val sigs = Dedup.signatures(docs, "doc_id", "text")
+    for (tau <- Seq(0.5, 0.8, 0.95)) {
+      val brute = pairSet(Dedup.containmentBruteSigs(sigs, Long.MaxValue, tau))
+      val joined = pairSet(Dedup.containmentJoinSigs(sigs, tau))
+      assert(joined == brute, s"tau=$tau")
+    }
+  }
+
   test("simhash blocking finds most strong near-dups, all within dist bound") {
     val truth = pairSet(Dedup.ngramJaccardBrute(docs, "doc_id", "text", Long.MaxValue, 0.8))
     val sim = Dedup.simhashPairs(docs, "doc_id", "text")
