@@ -78,13 +78,12 @@ class ExplainAllSpec extends AnyFunSuite {
       // candidate/ADC-agg/rerank joins shuffle (was 5 when codes were
       // recomputed per query)
       "sim_ann_ivfpq" -> (3, 6, 0),
-      // LSH -> verify -> fixpoint components head plan (the fixpoint
-      // itself re-plans per round behind localCheckpoint barriers).
-      // 9th shuffle since the signature store: the pipeline branch
-      // reads the persisted signature table, so the raw-docs exchange
-      // feeding the final join-back is no longer shared with it — the
-      // trade buys removing the per-query text re-hash entirely
-      "dedup_apply" -> (9, 1, 0),
+      // survivor join over the fixpoint labels (the fixpoint itself
+      // re-plans per round behind localCheckpoint barriers). Down
+      // 9 -> 7 shuffles with the published pair table: candidates +
+      // verify moved into the once-per-corpus artifact, so the head
+      // plan is clustering + join-back only
+      "dedup_apply" -> (7, 1, 0),
       // read-your-writes union: encode repartition + horizon agg +
       // final orderBy drive the shuffles, the one-row-per-series
       // horizon broadcasts, and the sealed side decodes exactly ONCE
