@@ -643,6 +643,58 @@ object Ts {
   }
 
   /**
+   * In-place surgical delete on a PERSISTED store — [[deleteRange]]
+   * routed by the partition layout, so pruning stacks three-deep:
+   *   1. whole `window_date` partitions strictly inside the range
+   *      drop as directory deletes (zero bytes read — expireStore's
+   *      aging move applied to an interior range);
+   *   2. only the boundary dates are read, where chunk headers route
+   *      untouched chunks through unread and decode only straddlers;
+   *   3. the surviving boundary chunks write back via dynamic
+   *      partition overwrite — dates outside the range are never
+   *      listed, read, or rewritten.
+   * A boundary date left with zero chunks is removed explicitly:
+   * dynamic overwrite cannot delete a partition it writes no rows to.
+   */
+  def deleteFromStore(spark: org.apache.spark.sql.SparkSession, path: String,
+                      fromSec: Long, toSec: Long,
+                      windowSec: Long = WindowSec): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    val dates = fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("window_date="))
+      .map(_.getPath.getName.stripPrefix("window_date="))
+    // partition d holds window_starts in [d, d+1day), so its points
+    // lie in [d, d+1day+windowSec) — windows may cross midnight
+    def dayStart(d: String) = java.time.LocalDate.parse(d).toEpochDay * 86400L
+    def dayEnd(d: String) = dayStart(d) + 86400L + windowSec
+    val covered = dates.filter(d =>
+      fromSec <= dayStart(d) && dayEnd(d) - 1 <= toSec)
+    val boundary = dates.filter(d => !(fromSec <= dayStart(d) && dayEnd(d) - 1 <= toSec) &&
+      dayStart(d) <= toSec && fromSec < dayEnd(d))
+    covered.foreach(d =>
+      fs.delete(new org.apache.hadoop.fs.Path(root, s"window_date=$d"), true))
+    if (boundary.isEmpty) return
+    val aff = spark.read.parquet(path)
+      .filter(col("window_date").cast("string").isin(boundary: _*))
+    val fixed = Set("window_start", "n", "min_ts", "max_ts", "min_v", "max_v",
+      "sum_cents", "sumsq_cents", "chunk", "window_date")
+    val seriesCols = aff.columns.filterNot(fixed.contains).toSeq
+    val out = deleteRange(aff.drop("window_date"), seriesCols,
+        fromSec, toSec, windowSec)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      upsertStore(out, path)
+      val kept = out
+        .select(to_date(to_timestamp(col("window_start"))).cast("string").as("d"))
+        .distinct().collect().map(_.getString(0)).toSet
+      boundary.filterNot(kept).foreach(d =>
+        fs.delete(new org.apache.hadoop.fs.Path(root, s"window_date=$d"), true))
+    } finally out.unpersist()
+  }
+
+  /**
    * Compact a chunk store into a new store at `outPath`: decode every
    * point and re-encode exactly one sealed chunk per (series, window).
    * Streaming per-batch ingest (`StreamIngest.writeChunksPerBatch`)

@@ -89,6 +89,44 @@ class TsStoreSpec extends AnyFunSuite {
     chunks.unpersist(); out.unpersist()
   }
 
+  test("deleteFromStore: interior dates drop as directories, only boundary dates rewrite") {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val series = Seq("user_id", "event_type")
+    val chunks = Ts.chunkify(ev, series, "ts", "value")
+    val path = java.nio.file.Files.createTempDirectory("graft-del").toString
+    Ts.writeStore(chunks, path)
+    def dirNames = new java.io.File(path).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    // capture untouched-partition file states before the delete
+    val before = dirNames
+    val probe = "window_date=2024-01-05"
+    val probeFiles = new java.io.File(path, probe).listFiles()
+      .map(f => f.getName -> f.lastModified()).toMap
+
+    // 2024-01-10T12:00 .. 2024-01-13T06:00 — fully covers 01-11, 01-12
+    val from = 1704844800L + 43200L
+    val to = 1705104000L + 21600L
+    Ts.deleteFromStore(spark, path, from, to)
+
+    // interior dates dropped as directories; all other dates remain
+    assert(before.contains("window_date=2024-01-11"))
+    assert(!dirNames.contains("window_date=2024-01-11"))
+    assert(!dirNames.contains("window_date=2024-01-12"))
+    assert(dirNames.contains("window_date=2024-01-10")) // boundary, partial
+    // untouched partitions keep their exact files (never rewritten)
+    val probeAfter = new java.io.File(path, probe).listFiles()
+      .map(f => f.getName -> f.lastModified()).toMap
+    assert(probeAfter == probeFiles)
+
+    // the store is point-exact vs filtering the raw events
+    val got = Ts.unpack(Ts.readStore(spark, path).drop("window_date"), series)
+      .orderBy("user_id", "event_type", "ts", "v").collect().toSeq
+    val expect = Ts.unpack(chunks, series)
+      .filter(col("ts") < from || col("ts") > to)
+      .orderBy("user_id", "event_type", "ts", "v").collect().toSeq
+    assert(got == expect)
+  }
+
   test("latest() is exact on a fragmented store (several chunks per window)") {
     val ev = spark.read.parquet(s"$dir/events.parquet")
     val series = Seq("user_id", "event_type")
