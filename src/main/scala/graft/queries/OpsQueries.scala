@@ -60,10 +60,27 @@ object OpsQueries {
    */
   def docSignatures(s: SparkSession, dir: String): DataFrame = synchronized {
     sigCache.getOrElseUpdate((s, dir), {
-      val sigs = Dedup.signatures(Tables(s, dir, "documents"), "doc_id", "text")
+      // durable like the ANN model store: signatures are written
+      // beside the corpus once per corpus fingerprint, so a later
+      // session (or another JVM) reads the published table instead of
+      // re-hashing the text
+      val path = sigPath(dir)
+      if (!new java.io.File(path, "_SUCCESS").exists())
+        Dedup.signatures(Tables(s, dir, "documents"), "doc_id", "text")
+          .write.mode("overwrite").parquet(path)
+      s.read.parquet(path)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      sigs
     })
+  }
+
+  /** Signature-table path keyed by corpus fingerprint (bytes+mtimes
+    * of documents.parquet), so a regenerated dir never reads stale
+    * signatures; `s1` versions the signature layout. */
+  private def sigPath(dir: String): String = {
+    val src = new java.io.File(s"$dir/documents.parquet")
+    val files = if (src.isDirectory) src.listFiles().toSeq else Seq(src)
+    val fp = files.filter(_.isFile).map(f => f.length() + f.lastModified()).sum
+    s"/tmp/graft_models/${dir.replaceAll("[^A-Za-z0-9.]", "_")}_${java.lang.Long.toHexString(fp)}_s1"
   }
 
   private val sigCache =

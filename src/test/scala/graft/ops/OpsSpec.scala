@@ -84,6 +84,15 @@ class OpsSpec extends AnyFunSuite {
       Long.MaxValue, 0.5)).isEmpty) // jaccard blind to it
   }
 
+  test("published signature table round-trips: read-back equals inline compute") {
+    val viaStore = graft.queries.OpsQueries.docSignatures(spark, dir)
+      .orderBy("id").collect().toSeq
+    val inline = Dedup.signatures(docs, "doc_id", "text")
+      .select(viaStore.head.schema.fieldNames.map(col): _*)
+      .orderBy("id").collect().toSeq
+    assert(viaStore == inline)
+  }
+
   test("prefix-filtered containment join equals brute at several thresholds") {
     val sigs = Dedup.signatures(docs, "doc_id", "text")
     for (tau <- Seq(0.5, 0.8, 0.95)) {

@@ -89,6 +89,30 @@ class TsStoreSpec extends AnyFunSuite {
     chunks.unpersist(); out.unpersist()
   }
 
+  test("deleteRange: point-exact across degenerate and extreme ranges") {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val series = Seq("user_id", "event_type")
+    val chunks = Ts.chunkify(ev, series, "ts", "value").persist()
+    val lo = 1704067200L // 2024-01-01
+    val hi = 1706659200L // 2024-01-31
+    val ranges = Seq(
+      (hi + 1000L, hi + 2000L),      // entirely after the data: no-op
+      (lo - 2000L, lo - 1000L),      // entirely before: no-op
+      (lo - 1000L, hi + 1000L),      // covers everything: empty store
+      (1704844800L, 1704844800L),    // single second
+      (1704844800L, 1704844800L + 7199L), // exactly one window
+      (1704844801L, 1704844800L + 7200L)) // off-by-one straddle
+    for ((f, t) <- ranges) {
+      val got = Ts.unpack(Ts.deleteRange(chunks, series, f, t), series)
+        .orderBy("user_id", "event_type", "ts", "v").collect().toSeq
+      val expect = Ts.unpack(chunks, series)
+        .filter(col("ts") < f || col("ts") > t)
+        .orderBy("user_id", "event_type", "ts", "v").collect().toSeq
+      assert(got == expect, s"range [$f, $t]")
+    }
+    chunks.unpersist()
+  }
+
   test("deleteFromStore: interior dates drop as directories, only boundary dates rewrite") {
     val ev = spark.read.parquet(s"$dir/events.parquet")
     val series = Seq("user_id", "event_type")
