@@ -54,10 +54,17 @@ object Similarity {
   /** All near-duplicate pairs with cosine >= threshold within id < maxId. */
   def cosinePairs(embeddings: DataFrame, idCol: String, vecCol: String,
                   maxId: Long, threshold: Double): DataFrame = {
+    // per-row norms once, dot-only per pair: the pair kernel's
+    // multiply-adds drop to a third, bit-identically — sqrt(Σx²) is
+    // the same double whether computed once per row or once per pair,
+    // and the accumulation order matches cosineFloat's
     val e = embeddings.filter(col(idCol) < maxId)
-      .select(col(idCol).as("__cid"), col(vecCol).as("__cvec"))
-    e.toDF("a_id", "vec_a").join(e.toDF("b_id", "vec_b"), col("a_id") < col("b_id"))
-      .withColumn("cos", cosine(col("vec_a"), col("vec_b")))
+      .select(col(idCol).as("__cid"), col(vecCol).as("__cvec"),
+        sqrt(graft.functions.vec_dot(col(vecCol), col(vecCol))).as("__cn"))
+    e.toDF("a_id", "vec_a", "na")
+      .join(e.toDF("b_id", "vec_b", "nb"), col("a_id") < col("b_id"))
+      .withColumn("cos", graft.functions.vec_dot(col("vec_a"), col("vec_b")) /
+        (col("na") * col("nb")))
       .filter(col("cos") >= threshold)
       .select("a_id", "b_id", "cos")
   }
