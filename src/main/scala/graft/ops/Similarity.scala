@@ -26,10 +26,15 @@ object Similarity {
     * scan — broadcasting the corpus would cap it at driver memory. */
   def bruteTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
                 vecCol: String, k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
-    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+    // corpus norms once per row, not once per (query, row): the scan
+    // kernel is dot-only, bit-identical (see cosinePairs)
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+      sqrt(graft.functions.vec_dot(col(vecCol), col(vecCol))).as("q_n"))
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+      sqrt(graft.functions.vec_dot(col(vecCol), col(vecCol))).as("n_n"))
     val scored = c.join(broadcast(q), col("q_id") =!= col("n_id"))
-      .withColumn("cos", cosine(col("q_vec"), col("n_vec")))
+      .withColumn("cos", graft.functions.vec_dot(col("q_vec"), col("n_vec")) /
+        (col("q_n") * col("n_n")))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -43,10 +48,13 @@ object Similarity {
     * through the same threshold filter for the bucketed path. */
   def rangeSearch(queries: DataFrame, corpus: DataFrame, idCol: String,
                   vecCol: String, threshold: Double): DataFrame = {
-    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
-    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+      sqrt(graft.functions.vec_dot(col(vecCol), col(vecCol))).as("q_n"))
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+      sqrt(graft.functions.vec_dot(col(vecCol), col(vecCol))).as("n_n"))
     c.join(broadcast(q), col("q_id") =!= col("n_id"))
-      .withColumn("cos", cosine(col("q_vec"), col("n_vec")))
+      .withColumn("cos", graft.functions.vec_dot(col("q_vec"), col("n_vec")) /
+        (col("q_n") * col("n_n")))
       .filter(col("cos") >= threshold)
       .select("q_id", "n_id", "cos")
   }
