@@ -92,7 +92,12 @@ class ExplainAllSpec extends AnyFunSuite {
       // LSH + jaccard verify): many small exchanges by construction —
       // the pinned point is that NOTHING corpus-sized broadcasts (the
       // 9 broadcasts are candidate-bounded verify sides) and no decode
-      "dedup_incremental" -> (23, 9, 0))
+      "dedup_incremental" -> (23, 9, 0),
+      // prefix-filtered containment: df groupBy + per-doc rank window
+      // + candidate distinct + final orderBy shuffle; the broadcasts
+      // are the doc-size/prefix/shingle sides (all signature-table
+      // projections, none corpus-text-sized), and nothing decodes
+      "text_containment_join" -> (4, 5, 0))
     val failures = expected.flatMap { case (name, want) =>
       val got = shape(name)
       if (got != want)
