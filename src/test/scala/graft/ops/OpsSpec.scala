@@ -102,6 +102,23 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("containment join == brute on randomized corpora (seeded sweep)") {
+    import spark.implicits._
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = Vector.tabulate(25)(i => s"w$i")
+      val rdocs = (0 until 60).map { i =>
+        val len = rnd.nextInt(40) // includes empty and sub-shingle docs
+        (i.toLong, Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }.toDF("doc_id", "text")
+      val sigs = Dedup.signatures(rdocs, "doc_id", "text")
+      val tau = 0.3 + 0.4 * rnd.nextDouble()
+      val brute = pairSet(Dedup.containmentBruteSigs(sigs, Long.MaxValue, tau))
+      val joined = pairSet(Dedup.containmentJoinSigs(sigs, tau))
+      assert(joined == brute, s"seed=$seed tau=$tau")
+    }
+  }
+
   test("simhash blocking finds most strong near-dups, all within dist bound") {
     val truth = pairSet(Dedup.ngramJaccardBrute(docs, "doc_id", "text", Long.MaxValue, 0.8))
     val sim = Dedup.simhashPairs(docs, "doc_id", "text")
