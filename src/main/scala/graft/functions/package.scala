@@ -73,6 +73,8 @@ package object functions {
       es(1).eval(null).asInstanceOf[Number].intValue())),
     "minhash_hashes" -> (es => MinHashFromHashesExpr(es(0),
       es(1).eval(null).asInstanceOf[Number].intValue())),
+    "simhash_bucket_pairs" -> (es => SimhashBucketPairsExpr(es(0),
+      es(1).eval(null).asInstanceOf[Number].intValue())),
   )
 
   def expressionInfo(name: String): ExpressionInfo =
@@ -142,4 +144,8 @@ package object functions {
     call_function("word_ngrams", text, org.apache.spark.sql.functions.lit(n))
   def minhash_hashes(hashes: Column, k: Int): Column =
     call_function("minhash_hashes", hashes, org.apache.spark.sql.functions.lit(k))
+
+  def simhash_bucket_pairs(xs: Column, maxDist: Int): Column =
+    call_function("simhash_bucket_pairs", xs,
+      org.apache.spark.sql.functions.lit(maxDist))
 }

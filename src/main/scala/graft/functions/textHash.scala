@@ -187,6 +187,73 @@ object TextHash {
     }
     UnsafeArrayData.fromPrimitiveArray(mins)
   }
+
+  /**
+   * In-bucket simhash pair scan over array<struct<id, sig>>: all
+   * (a, b) with a.id < b.id and popcount(a.sig XOR b.sig) <= maxDist,
+   * as array<struct<a_id, b_id, dist>>. One native double loop over
+   * primitive arrays replaces the nested higher-order-function
+   * expression tree (transform/filter/flatten) that paid ~75 ns of
+   * interpretive struct machinery per pair-check — the k² scan is the
+   * simhash blocker's hot loop (Σk² ≈ 17 M checks at bench scale), so
+   * the per-check constant IS the query cost. Semantics identical to
+   * the SQL-expression form, including duplicate-id behavior
+   * (identical ids never pair: a.id < b.id fails both ways).
+   */
+  def simhashBucketPairs(xs: ArrayData, maxDist: Int): ArrayData = {
+    val n = xs.numElements()
+    val ids = new Array[Long](n)
+    val sigs = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val r = xs.getStruct(i, 2)
+      ids(i) = r.getLong(0)
+      sigs(i) = r.getLong(1)
+      i += 1
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    i = 0
+    while (i < n) {
+      var j = 0
+      while (j < n) {
+        if (ids(i) < ids(j)) {
+          val d = java.lang.Long.bitCount(sigs(i) ^ sigs(j))
+          if (d <= maxDist)
+            out += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+              Array[Any](ids(i), ids(j), d))
+        }
+        j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+}
+
+/** simhash_bucket_pairs(array<struct<id,sig>>, maxDist) ->
+  * array<struct<a_id,b_id,dist>> — the in-bucket k² scan as one
+  * native kernel call per bucket row. */
+case class SimhashBucketPairsExpr(child: Expression, maxDist: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(s: StructType, _)
+      if s.length == 2 && s.forall(_.dataType == LongType) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName arg 1 expects array<struct<long, long>>, got $t")
+  }
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("a_id", LongType, nullable = false),
+    StructField("b_id", LongType, nullable = false),
+    StructField("dist", IntegerType, nullable = false))), containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "simhash_bucket_pairs"
+  protected override def nullSafeEval(xs: Any): Any =
+    TextHash.simhashBucketPairs(xs.asInstanceOf[ArrayData], maxDist)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      xs => s"graft.functions.TextHash.simhashBucketPairs($xs, $maxDist)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 /** simhash_text(text) -> long (== simhash(split(text, ' '))) */

@@ -394,17 +394,15 @@ object Dedup {
     val buckets = banded.groupBy("band", "bucket")
       .agg(collect_list(struct(col("id"), col("sig"))).as("xs"))
       .filter(size(col("xs")).between(2, maxBucket))
-    // hamming filter BEFORE struct construction: the k² in-bucket pair
-    // scan only does a long-xor popcount per pair; structs (the
-    // allocation cost) are built for the few surviving near-dups, and
-    // far pairs never leave the bucket row, so distinct() only sees
-    // true near-dups
-    buckets.select(explode(flatten(transform(col("xs"), a =>
-        transform(
-          filter(col("xs"), b => a("id") < b("id") &&
-            bit_count(a("sig").bitwiseXOR(b("sig"))) <= maxDist),
-          b => struct(a("id").as("a_id"), b("id").as("b_id"),
-            bit_count(a("sig").bitwiseXOR(b("sig"))).as("dist")))))).as("p"))
+    // the k² in-bucket scan is ONE native kernel call per bucket
+    // (simhash_bucket_pairs): primitive-array double loop, popcount
+    // filter before any struct allocation — the nested
+    // transform/filter/flatten expression tree this replaces paid
+    // ~75 ns of interpretive struct machinery per pair-check, and at
+    // Σk² ≈ 17 M checks per bench corpus that WAS the query cost.
+    // Only surviving near-dups materialize, so distinct() stays small
+    buckets.select(explode(
+        graft.functions.simhash_bucket_pairs(col("xs"), maxDist)).as("p"))
       .select(col("p.a_id"), col("p.b_id"), col("p.dist"))
       .distinct()
   }

@@ -119,6 +119,34 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("simhash_bucket_pairs kernel == the higher-order-function expression form") {
+    val sigs = Dedup.signatures(docs, "doc_id", "text")
+    val sig = sigs.select(col("id"), col("simhash").as("sig"))
+    val bandCols = (0 until 8).map(b =>
+      shiftrightunsigned(col("sig"), b * 8).bitwiseAND(lit(0xFFL)))
+    val buckets = sig.select(col("id"), col("sig"), posexplode(array(bandCols: _*)))
+      .toDF("id", "sig", "band", "bucket")
+      .groupBy("band", "bucket")
+      .agg(collect_list(struct(col("id"), col("sig"))).as("xs"))
+      .filter(size(col("xs")).between(2, 1000))
+    val maxDist = 7
+    // the pre-kernel SQL-expression scan, verbatim
+    val viaExprs = buckets.select(explode(flatten(transform(col("xs"), a =>
+        transform(
+          filter(col("xs"), b => a("id") < b("id") &&
+            bit_count(a("sig").bitwiseXOR(b("sig"))) <= maxDist),
+          b => struct(a("id").as("a_id"), b("id").as("b_id"),
+            bit_count(a("sig").bitwiseXOR(b("sig"))).cast("int").as("dist")))))).as("p"))
+      .select(col("p.a_id"), col("p.b_id"), col("p.dist")).distinct()
+      .orderBy("a_id", "b_id").collect().toSeq
+    val viaKernel = buckets.select(explode(
+        graft.functions.simhash_bucket_pairs(col("xs"), maxDist)).as("p"))
+      .select(col("p.a_id"), col("p.b_id"), col("p.dist")).distinct()
+      .orderBy("a_id", "b_id").collect().toSeq
+    assert(viaKernel == viaExprs)
+    assert(viaKernel.nonEmpty)
+  }
+
   test("simhash blocking finds most strong near-dups, all within dist bound") {
     val truth = pairSet(Dedup.ngramJaccardBrute(docs, "doc_id", "text", Long.MaxValue, 0.8))
     val sim = Dedup.simhashPairs(docs, "doc_id", "text")
