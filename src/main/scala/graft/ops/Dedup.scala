@@ -262,6 +262,27 @@ object Dedup {
    * Shuffles are linear in Σ|prefix| + candidate pairs.
    */
   def containmentJoinSigs(sigs: DataFrame, threshold: Double): DataFrame = {
+    val cand = prefixCandidates(sigs, threshold)
+    val sh = sigs.select(col("id"), col("sh"))
+    cand
+      .join(sh.toDF("a_id", "sh_a"), "a_id")
+      .join(sh.toDF("b_id", "sh_b"), "b_id")
+      .withColumn("n_common",
+        graft.functions.sorted_intersect_count(col("sh_a"), col("sh_b")))
+      .withColumn("c_a_in_b", col("n_common") / size(col("sh_a")).cast("double"))
+      .withColumn("c_b_in_a", col("n_common") / size(col("sh_b")).cast("double"))
+      .filter(greatest(col("c_a_in_b"), col("c_b_in_a")) >= threshold)
+      .select("a_id", "b_id", "n_common", "c_a_in_b", "c_b_in_a")
+  }
+
+  /** Prefix-filtered candidate pairs: every pair with containment ≥ τ
+    * in either direction shares at least one shingle from the shorter
+    * side's ⌊(1−τ)·n⌋+1 rarest shingles (pigeonhole on the global-df
+    * ordering), so joining each doc's PREFIX against all postings is
+    * candidate-complete — and prefixes concentrate on RARE shingles,
+    * so posting lists stay bounded by construction instead of by a
+    * recall-losing cap. */
+  private def prefixCandidates(sigs: DataFrame, threshold: Double): DataFrame = {
     val ex = sigs.select(col("id"), explode(col("sh")).as("g"))
     // global df per shingle — one groupBy, broadcast-joined back is
     // wrong at 100 TB (vocabulary-sized), so it rides a shuffle join
@@ -279,22 +300,35 @@ object Dedup {
     // A's prefix hit in ANY of B's shingles covers C(A→B) ≥ τ, and
     // symmetrically, so join prefix(A) against ALL postings of g —
     // posting lists of prefix shingles are rare-shingle-sized
-    val cand = prefix.toDF("a_id", "g")
+    prefix.toDF("a_id", "g")
       .join(ex.toDF("b_id", "g"), "g")
       .filter(col("a_id") =!= col("b_id"))
       .select(least(col("a_id"), col("b_id")).as("a_id"),
         greatest(col("a_id"), col("b_id")).as("b_id"))
       .distinct()
-    val sh = sigs.select(col("id"), col("sh"))
-    cand
+  }
+
+  /**
+   * Exact n-gram Jaccard pairs from the prefix-filtered candidate
+   * set: J ≥ τ implies BOTH containments ≥ τ (|A∩B|/|A| ≥
+   * |A∩B|/|A∪B|), so [[prefixCandidates]] is candidate-complete for
+   * Jaccard too — the same exact pair set and jaccard doubles as
+   * [[ngramJaccardBrute]] (identical verify expression), without the
+   * all-pairs scan. The scale form of the brute baseline.
+   */
+  def ngramJaccardPrefixSigs(sigs: DataFrame, maxId: Long,
+                             threshold: Double): DataFrame = {
+    val s = sigs.filter(col("id") < maxId)
+    val sh = s.select(col("id"), col("sh"))
+    prefixCandidates(s, threshold)
       .join(sh.toDF("a_id", "sh_a"), "a_id")
       .join(sh.toDF("b_id", "sh_b"), "b_id")
       .withColumn("n_common",
         graft.functions.sorted_intersect_count(col("sh_a"), col("sh_b")))
-      .withColumn("c_a_in_b", col("n_common") / size(col("sh_a")).cast("double"))
-      .withColumn("c_b_in_a", col("n_common") / size(col("sh_b")).cast("double"))
-      .filter(greatest(col("c_a_in_b"), col("c_b_in_a")) >= threshold)
-      .select("a_id", "b_id", "n_common", "c_a_in_b", "c_b_in_a")
+      .withColumn("jaccard", col("n_common") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("n_common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("a_id", "b_id", "n_common", "jaccard")
   }
 
   /**

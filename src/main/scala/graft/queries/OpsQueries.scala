@@ -158,7 +158,7 @@ object OpsQueries {
     "dedup_components" -> ((s, dir) => {
       val sigs = docSignatures(s, dir).filter(col("id") < 1000)
       Dedup.components(
-        Dedup.ngramJaccardBruteSigs(sigs, 1000, 0.5),
+        Dedup.ngramJaccardPrefixSigs(sigs, 1000, 0.5),
         sigs, "id").orderBy("id")
     }),
     "dedup_simhash" -> ((s, dir) =>

@@ -102,6 +102,17 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("prefix-filtered jaccard == brute: same pairs, bit-identical jaccard doubles") {
+    val sigs = Dedup.signatures(docs, "doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("a_id", "b_id").collect().toSeq
+    for (tau <- Seq(0.5, 0.8)) {
+      val brute = rows(Dedup.ngramJaccardBruteSigs(sigs, Long.MaxValue, tau))
+      val pref = rows(Dedup.ngramJaccardPrefixSigs(sigs, Long.MaxValue, tau))
+      assert(pref == brute, s"tau=$tau")
+    }
+  }
+
   test("containment join == brute on randomized corpora (seeded sweep)") {
     import spark.implicits._
     for (seed <- 1 to 3) {
