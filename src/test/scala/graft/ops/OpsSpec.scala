@@ -113,6 +113,23 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("null and empty texts flow through the dedup stack without crashing or pairing") {
+    import spark.implicits._
+    val messy = Seq((1L, "alpha beta gamma delta"), (2L, null: String),
+      (3L, ""), (4L, "alpha beta gamma delta"), (5L, " "))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.signatures(messy, "doc_id", "text")
+    // null text -> null signature columns; they never enter pair sets
+    val cont = pairSet(Dedup.containmentBruteSigs(sigs, Long.MaxValue, 0.5))
+    val joined = pairSet(Dedup.containmentJoinSigs(sigs, 0.5))
+    val sim = pairSet(Dedup.simhashPairsSigs(sigs))
+    val lsh = pairSet(Dedup.minhashLshSigs(sigs))
+    assert(cont == Set((1L, 4L)))
+    assert(joined == cont)
+    assert(sim.subsetOf(Set((1L, 4L), (3L, 5L))) && sim.contains((1L, 4L)))
+    assert(lsh.forall(p => !Set(2L).contains(p._1) && !Set(2L).contains(p._2)))
+  }
+
   test("containment join == brute on randomized corpora (seeded sweep)") {
     import spark.implicits._
     for (seed <- 1 to 3) {
