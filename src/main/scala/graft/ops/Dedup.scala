@@ -412,13 +412,19 @@ object Dedup {
    * blocking is exact for maxDist <= 7.
    */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   maxDist: Int = 7, maxBucket: Int = 1000): DataFrame =
+                   maxDist: Int = 7, maxBucket: Int = 10000): DataFrame =
     simhashPairsSigs(docs.select(col(idCol).as("id"),
       graft.functions.simhash_text(col(textCol)).as("simhash")), maxDist, maxBucket)
 
   /** [[simhashPairs]] over a precomputed [[signatures]] frame. */
+  /** `maxBucket` guards truly degenerate skew only: the native
+    * kernel scans a 10k-doc bucket in ~100 ms (k² popcounts on
+    * primitive arrays), so the default cap is high enough that no
+    * real band bucket drops at bench scale — a dropped bucket loses
+    * pairs the ≤-maxDist exactness claim promises, so the cap should
+    * bind only where a single bucket would be quadratic-pathological. */
   def simhashPairsSigs(sigs: DataFrame, maxDist: Int = 7,
-                       maxBucket: Int = 1000): DataFrame = {
+                       maxBucket: Int = 10000): DataFrame = {
     require(maxDist <= 7, "8-band blocking is exact only for maxDist <= 7")
     val sig = sigs.select(col("id"), col("simhash").as("sig"))
     val bandCols = (0 until 8).map(b =>
