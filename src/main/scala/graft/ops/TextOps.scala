@@ -125,6 +125,59 @@ object TextOps {
   }
 
   /**
+   * Weight-proportional deterministic sampling: keep each doc with
+   * probability min(1, weight/scale) via an INTEGER-EXACT hash gate —
+   * `h·scale < weight·2³²`, with h the first 32 md5 bits of the id.
+   * With weight = a token/char count this is uniform-over-TOKENS doc
+   * sampling (a long doc is proportionally likelier kept), the right
+   * prior for cutting a token-budgeted corpus from skewed-length
+   * sources. The comparison is all-integer, so two engines can never
+   * disagree at a threshold boundary — the float-free alternative to
+   * Efraimidis–Spirakis u^(1/w) priorities, whose pow/ln doubles are
+   * not bit-portable across runtimes. Hash-gated like
+   * [[sampleStratified]]: reproducible across runs/retries/layouts.
+   */
+  def sampleWeighted(docs: DataFrame, idCol: String, weightCol: Column,
+                     scale: Long): DataFrame = {
+    val h = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    docs.filter(h * scale < weightCol.cast("long") * 4294967296L)
+  }
+
+  /**
+   * Token-budget corpus cut: per source, take docs best-quality-first
+   * until the budget fills — the selection step that turns "2 %
+   * quality tail of the crawl" into "exactly the N tokens we can
+   * afford", per source so one giant source cannot starve the rest.
+   * One window cumsum per source over (quality desc, id) — fully
+   * ordered, so the cut is deterministic; emits each kept doc with
+   * its running total.
+   */
+  def tokenBudget(docs: DataFrame, idCol: String, textCol: String,
+                  sourceCol: String, budget: Long): DataFrame = {
+    val words = split(col(textCol), " ")
+    val stop = Seq("the", "a", "of", "and", "to", "in", "is")
+    val scored = docs.select(col(idCol), col(sourceCol),
+        size(words).cast("long").as("n_tokens"),
+        length(col(textCol)).as("__nc"),
+        size(words).as("__nw"),
+        size(array_distinct(words)).as("__nu"),
+        size(filter(words, w => w.isin(stop: _*))).as("__ns"))
+      .withColumn("quality_score",
+        col("__nu") / col("__nw").cast("double") * 0.5 +
+          col("__ns") / col("__nw").cast("double") * 0.2 +
+          least(col("__nw").cast("double") / 100.0, lit(1.0)) * 0.3)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(sourceCol).orderBy(col("quality_score").desc, col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    scored.withColumn("cum_tokens", sum("n_tokens").over(w))
+      .filter(col("cum_tokens") <= budget)
+      .select(col(idCol), col(sourceCol), col("n_tokens"),
+        col("quality_score"), col("cum_tokens"))
+  }
+
+  /**
    * Corpus-wide top-k most frequent word n-grams. The groupBy count is
    * the canonical map-side-combine shape (partial counts per partition,
    * one shuffle of the combined vocabulary); top-k runs as a

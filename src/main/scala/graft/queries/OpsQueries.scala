@@ -289,6 +289,17 @@ object OpsQueries {
         .orderBy("vec_id")),
     "text_quality" -> ((s, dir) =>
       TextOps.quality(Tables(s, dir, "documents"), "doc_id", "text").orderBy("doc_id")),
+    // length-proportional deterministic sampling (integer-exact hash
+    // gate, p = min(1, n_chars/2000)): uniform-over-chars doc pick
+    "sample_weighted" -> ((s, dir) =>
+      TextOps.sampleWeighted(Tables(s, dir, "documents"), "doc_id",
+          col("n_chars"), scale = 2000L)
+        .select("doc_id", "source", "n_chars").orderBy("doc_id")),
+    // per-source best-quality-first cut at an 800-token budget (binds
+    // at every SF: sources carry ~1.3k tokens at sf0.01, ~13k at sf0.1)
+    "text_token_budget" -> ((s, dir) =>
+      TextOps.tokenBudget(Tables(s, dir, "documents"), "doc_id", "text",
+        "source", budget = 800L).orderBy("doc_id")),
     "text_tokens" -> ((s, dir) =>
       TextOps.tokens(Tables(s, dir, "documents"), "doc_id", "text").orderBy("doc_id")),
     "text_fingerprint" -> ((s, dir) =>
@@ -623,6 +634,32 @@ object OpsQueries {
         |       WHEN score_fr = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'fr'
         |       ELSE 'zh' END AS pred_lang
         |FROM sc ORDER BY doc_id""".stripMargin,
+    // the integer-exact hash gate replicated digit-by-digit (DuckDB
+    // has no hex->int conv; the 8-hex-digit sum is exact in doubles)
+    "sample_weighted" ->
+      """SELECT doc_id, source, n_chars FROM documents
+        |WHERE CAST(list_sum(list_transform(generate_series(1, 8), i ->
+        |    (strpos('0123456789abcdef',
+        |       substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)
+        |      * power(16, 8 - i))) AS BIGINT) * 2000
+        |  < CAST(n_chars AS BIGINT) * 4294967296
+        |ORDER BY doc_id""".stripMargin,
+    "text_token_budget" ->
+      """WITH w AS (SELECT doc_id, source, length(text) AS n_chars,
+        |  string_split(text, ' ') AS ws FROM documents),
+        |c AS (SELECT doc_id, source, CAST(len(ws) AS BIGINT) AS n_tokens,
+        |  len(list_distinct(ws)) / CAST(len(ws) AS DOUBLE) * 0.5 +
+        |  len(list_filter(ws, x -> x IN ('the','a','of','and','to','in','is')))
+        |    / CAST(len(ws) AS DOUBLE) * 0.2 +
+        |  least(CAST(len(ws) AS DOUBLE) / 100.0, 1.0) * 0.3 AS quality_score
+        |FROM w),
+        |r AS (SELECT doc_id, source, n_tokens, quality_score,
+        |  sum(n_tokens) OVER (PARTITION BY source
+        |    ORDER BY quality_score DESC, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        |FROM c)
+        |SELECT doc_id, source, n_tokens, quality_score, cum_tokens
+        |FROM r WHERE cum_tokens <= 800 ORDER BY doc_id""".stripMargin,
     "text_quality" ->
       """WITH w AS (SELECT doc_id, length(text) AS n_chars,
         |  string_split(text, ' ') AS ws FROM documents),
