@@ -230,6 +230,21 @@ object StreamIngest {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /**
+   * Streaming maintenance of the corpus SIGNATURE TABLE: each
+   * arriving document maps statelessly to its (id, shingle hashes,
+   * minhash signature, simhash) row — the same kernels and row shape
+   * as the batch `Dedup.signatures`, so the appended table IS the
+   * published signature artifact the dedup stages probe, kept current
+   * as the corpus grows instead of rebuilt per run. Stateless map →
+   * append sink: no watermark, no state store, pure per-row compute —
+   * the cheapest possible streaming operator, which is exactly why
+   * signatures belong at ingest time.
+   */
+  def signatureStream(docs: DataFrame, idCol: String, textCol: String,
+                      k: Int = 64): DataFrame =
+    graft.ops.Dedup.signatures(docs, idCol, textCol, k)
+
   /** Append-mode parquet sink for the chunk stream, partitioned by
     * window date for partition pruning on the read side. */
   def writeChunks(chunks: DataFrame, path: String, checkpoint: String) =

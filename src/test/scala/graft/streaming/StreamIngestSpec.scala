@@ -284,6 +284,29 @@ class StreamIngestSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming signature maintenance equals the batch signature table") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val q = StreamIngest.signatureStream(docs, "doc_id", "text")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sig_sink").start()
+    try {
+      val batch1 = Seq((1L, "alpha beta gamma delta"), (2L, "the quick brown fox"))
+      val batch2 = Seq((3L, "alpha beta gamma delta epsilon"), (4L, ""))
+      input.addData(batch1: _*); q.processAllAvailable()
+      input.addData(batch2: _*); q.processAllAvailable()
+      val streamed = spark.table("sig_sink")
+        .orderBy("id").collect().toSeq
+      val batch = graft.ops.Dedup.signatures(
+          (batch1 ++ batch2).toDF("doc_id", "text"), "doc_id", "text")
+        .select(spark.table("sig_sink").schema.fieldNames.map(col): _*)
+        .orderBy("id").collect().toSeq
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("streaming first-arrival dedup matches the batch stream_dedup survivors") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
