@@ -366,6 +366,30 @@ object Multimodal {
       }
   }
 
+  final case class ImagePhash(media_id: Long, width: Int, height: Int,
+                              phash: Long)
+
+  /**
+   * Perceptual hash per image: decode (format routed by magic bytes —
+   * a mixed PNG/BMP/GIF column hashes identically for identical
+   * pixels) then [[PHash.phash]]. mapPartitions because the decoders
+   * are byte-walking parsers, like the other content extractors here.
+   * Undecodable rows drop (surfaces as a row-count mismatch, never
+   * silent zeros).
+   */
+  def imagePhash(media: DataFrame): Dataset[ImagePhash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "blob").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, blob) =>
+          decodePixels(blob).map { img =>
+            ImagePhash(id, img.width, img.height, PHash.phash(img))
+          }
+        }
+      }
+  }
+
   def pixelStats(media: DataFrame): Dataset[PixelStats] = {
     val spark = media.sparkSession
     import spark.implicits._

@@ -319,6 +319,22 @@ object OpsQueries {
     // values only come out right through a genuine inflate + unfilter
     // pass (PngPixels), while the oracle recomputes them
     // arithmetically from the md5-seeded pixel formula
+    // perceptual 64-bit image hash off REAL pixel decodes — identical
+    // pixels hash identically whatever container delivered them
+    // (rows-only: DCT hash has no SQL oracle; robustness + blocking
+    // exactness pinned in PHashSpec)
+    "mm_image_phash" -> ((s, dir) =>
+      Multimodal.imagePhash(
+        Multimodal.syntheticPixelMedia(Tables(s, dir, "documents"), "doc_id", "text"))
+        .toDF().orderBy("media_id")),
+    // image near-dup pairs: the SimHash 8×8-band blocking + native
+    // bucket kernel reused verbatim on phash (exact for dist ≤ 6)
+    "mm_image_neardup" -> ((s, dir) => {
+      val ph = Multimodal.imagePhash(
+        Multimodal.syntheticPixelMedia(Tables(s, dir, "documents"), "doc_id", "text"))
+        .select(col("media_id").as("id"), col("phash").as("simhash"))
+      Dedup.simhashPairsSigs(ph, maxDist = 6).orderBy("a_id", "b_id")
+    }),
     "mm_pixel_stats" -> ((s, dir) =>
       Multimodal.pixelStats(
         Multimodal.syntheticPixelMedia(Tables(s, dir, "documents"), "doc_id", "text"))

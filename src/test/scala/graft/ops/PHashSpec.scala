@@ -1,0 +1,82 @@
+package graft.ops
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Perceptual-hash properties: container independence, robustness to
+  * small pixel edits, separation of unrelated images, and exactness
+  * of the banded blocking that finds near-dup pairs. */
+class PHashSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val dir = "/root/testdata/sf0.001"
+
+  private def gradient(w: Int, h: Int, seed: Int): Array[Byte] = {
+    val px = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val o = (y * w + x) * 3
+      px(o) = ((seed + x) % 256).toByte
+      px(o + 1) = ((seed * 3 + y) % 256).toByte
+      px(o + 2) = ((seed + x + y) % 256).toByte
+    }
+    px
+  }
+
+  test("phash is a property of the pixels, not the container or encoding") {
+    val (w, h) = (40, 28)
+    val px = gradient(w, h, 57)
+    val viaPngF0 = PngPixels.decode(PngPixels.encode(w, h, 3, px, _ => 0)).get
+    val viaPngF4 = PngPixels.decode(PngPixels.encode(w, h, 3, px, y => y % 5)).get
+    val viaBmp = BmpPixels.decode(BmpPixels.encode(w, h, px)).get
+    val hashes = Seq(viaPngF0, viaPngF4, viaBmp).map(PHash.phash)
+    assert(hashes.distinct.size == 1,
+      "same pixels must hash identically through PNG (two filter plans) and BMP")
+  }
+
+  /** Textured pixels (dense DCT spectrum, like a real photo). A pure
+    * gradient would be pathological here: its AC coefficients are all
+    * ≈ 0, so every bit sits on the median knife-edge and tiny edits
+    * flip many bits — a documented pHash caveat, not a bug. */
+  private def textured(w: Int, h: Int, seed: Long): Array[Byte] = {
+    val px = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until 3) {
+      val m = graft.functions.TextHash.splitmix64(seed + x * 31L + y * 17L + c * 7L)
+      px((y * w + x) * 3 + c) = (m & 0xFF).toByte
+    }
+    px
+  }
+
+  test("phash: small edits stay near, unrelated images land far") {
+    val (w, h) = (48, 48)
+    val base = textured(w, h, 10L)
+    val h0 = PHash.phash(PngPixels.Image(w, h, 3, base))
+    // a handful of single-pixel edits: perceptually the same image
+    val tweaked = base.clone()
+    for (i <- Seq(0, 301, 902, 2203)) tweaked(i) = (tweaked(i) + 9).toByte
+    val h1 = PHash.phash(PngPixels.Image(w, h, 3, tweaked))
+    assert(java.lang.Long.bitCount(h0 ^ h1) <= 8)
+    // inverted image: perceptually opposite, far in hamming space
+    val inverted = base.map(b => (~b).toByte)
+    val h2 = PHash.phash(PngPixels.Image(w, h, 3, inverted))
+    assert(java.lang.Long.bitCount(h0 ^ h2) > 16)
+  }
+
+  test("image near-dup blocking equals brute hamming pairs (exact at dist <= 6)") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val ph = Multimodal.imagePhash(
+        Multimodal.syntheticPixelMedia(docs, "doc_id", "text"))
+      .select(col("media_id").as("id"), col("phash").as("simhash"))
+      .persist()
+    val blocked = Dedup.simhashPairsSigs(ph, maxDist = 6)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val p = ph.toDF("a_id", "ha")
+    val brute = p.join(ph.toDF("b_id", "hb"), col("a_id") < col("b_id"))
+      .filter(bit_count(col("ha").bitwiseXOR(col("hb"))) <= 6)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(blocked == brute)
+    assert(brute.nonEmpty, "the synthetic corpus should contain image near-dups")
+    ph.unpersist()
+  }
+}
