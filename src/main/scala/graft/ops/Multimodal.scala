@@ -235,6 +235,26 @@ object Multimodal {
     * ([[AvHeader.decodeWavSamples]]): exact integer first/second
     * moments and peak over the interleaved payload. Undecodable rows
     * are dropped (decoder bugs surface as row-count mismatches). */
+  final case class AudioFingerprint(media_id: Long, sample_rate: Int,
+                                    channels: Int, n_frames: Int, afp: Long)
+
+  /** Spectral fingerprint per clip off the real RIFF/PCM parse —
+    * [[AudioFp]]'s sign-of-band-energy bits; identical audio
+    * fingerprints identically whatever container delivered it. */
+  def audioFingerprint(media: DataFrame): Dataset[AudioFingerprint] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "blob").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, blob) =>
+          AvHeader.decodeWavSamples(blob).map { case (info, pcm) =>
+            AudioFingerprint(id, info.sampleRate, info.channels,
+              info.nSamples, AudioFp.fingerprint(pcm, info.channels))
+          }
+        }
+      }
+  }
+
   def audioStats(media: DataFrame): Dataset[AudioStats] = {
     val spark = media.sparkSession
     import spark.implicits._

@@ -335,6 +335,13 @@ object OpsQueries {
         .select(col("media_id").as("id"), col("phash").as("simhash"))
       Dedup.simhashPairsSigs(ph, maxDist = 6).orderBy("a_id", "b_id")
     }),
+    // spectral audio fingerprint off the real PCM parse (rows-only:
+    // sign-of-band-energy bits have no SQL oracle; robustness and
+    // amplitude invariance pinned in PHashSpec)
+    "mm_audio_fingerprint" -> ((s, dir) =>
+      Multimodal.audioFingerprint(
+        Multimodal.syntheticPcmMedia(Tables(s, dir, "documents"), "doc_id", "text"))
+        .toDF().orderBy("media_id")),
     "mm_pixel_stats" -> ((s, dir) =>
       Multimodal.pixelStats(
         Multimodal.syntheticPixelMedia(Tables(s, dir, "documents"), "doc_id", "text"))

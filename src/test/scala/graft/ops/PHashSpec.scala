@@ -61,6 +61,28 @@ class PHashSpec extends AnyFunSuite {
     assert(java.lang.Long.bitCount(h0 ^ h2) > 16)
   }
 
+  test("audio fingerprint: amplitude-invariant, noise-robust, distinct clips far") {
+    val rnd = new scala.util.Random(7)
+    val base = Array.tabulate[Short](4000)(i =>
+      ((Math.sin(i * 0.05) * 8000 + Math.sin(i * 0.31) * 3000 +
+        rnd.nextInt(800) - 400)).toShort)
+    val h0 = AudioFp.fingerprint(base, 1)
+    // half the volume: every band energy scales equally, signs hold
+    val quiet = base.map(s => (s / 2).toShort)
+    assert(AudioFp.fingerprint(quiet, 1) == h0)
+    // small additive noise: most sign bits survive
+    val noisy = base.map(s => (s + rnd.nextInt(200) - 100).toShort)
+    assert(java.lang.Long.bitCount(h0 ^ AudioFp.fingerprint(noisy, 1)) <= 8)
+    // a different clip lands far
+    val other = Array.tabulate[Short](4000)(i =>
+      ((Math.sin(i * 0.013) * 9000 + Math.sin(i * 0.21) * 2000)).toShort)
+    assert(java.lang.Long.bitCount(h0 ^ AudioFp.fingerprint(other, 1)) > 16)
+    // stereo interleave of the same mono signal fingerprints identically
+    val stereo = new Array[Short](base.length * 2)
+    for (i <- base.indices) { stereo(2 * i) = base(i); stereo(2 * i + 1) = base(i) }
+    assert(AudioFp.fingerprint(stereo, 2) == h0)
+  }
+
   test("image near-dup blocking equals brute hamming pairs (exact at dist <= 6)") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val ph = Multimodal.imagePhash(
