@@ -2,7 +2,7 @@ package graft.ops
 
 /**
  * Spectral audio fingerprint: a 64-bit clip-level hash built the
- * Haitsma–Kalker way (ICMIR'02, the scheme behind classic audio
+ * Haitsma–Kalker way (ISMIR'02, the scheme behind classic audio
  * matching systems) — energies in adjacent frequency bands, one bit
  * per SIGN of the adjacent-band energy difference. Signs of energy
  * ratios survive amplitude scaling, resampling containers, and small
