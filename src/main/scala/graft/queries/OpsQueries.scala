@@ -107,6 +107,26 @@ object OpsQueries {
   private val pairCache =
     scala.collection.mutable.Map[(SparkSession, String), DataFrame]()
 
+  /**
+   * The per-corpus IMAGE SIGNATURE table — [[docSignatures]] for
+   * media: decode + perceptual hash run once per corpus (at ingest in
+   * a real pipeline; phash is a property of the pixels, so it is
+   * computed when the image first arrives and stored beside it), and
+   * every image-dedup stage probes the hashes instead of re-decoding
+   * blobs.
+   */
+  def imageSignatures(s: SparkSession, dir: String): DataFrame = synchronized {
+    imgSigCache.getOrElseUpdate((s, dir), {
+      Multimodal.imagePhash(
+          Multimodal.syntheticPixelMedia(Tables(s, dir, "documents"), "doc_id", "text"))
+        .toDF()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+  }
+
+  private val imgSigCache =
+    scala.collection.mutable.Map[(SparkSession, String), DataFrame]()
+
   /** Ensure the model store for `dir` is trained, and return its path. */
   def storeModelPath(s: SparkSession, dir: String): String = synchronized {
     val path = modelPath(dir)
@@ -324,16 +344,25 @@ object OpsQueries {
     // (rows-only: DCT hash has no SQL oracle; robustness + blocking
     // exactness pinned in PHashSpec)
     "mm_image_phash" -> ((s, dir) =>
-      Multimodal.imagePhash(
-        Multimodal.syntheticPixelMedia(Tables(s, dir, "documents"), "doc_id", "text"))
-        .toDF().orderBy("media_id")),
+      imageSignatures(s, dir).orderBy("media_id")),
     // image near-dup pairs: the SimHash 8×8-band blocking + native
     // bucket kernel reused verbatim on phash (exact for dist ≤ 6)
     "mm_image_neardup" -> ((s, dir) => {
-      val ph = Multimodal.imagePhash(
-        Multimodal.syntheticPixelMedia(Tables(s, dir, "documents"), "doc_id", "text"))
+      val ph = imageSignatures(s, dir)
         .select(col("media_id").as("id"), col("phash").as("simhash"))
       Dedup.simhashPairsSigs(ph, maxDist = 6).orderBy("a_id", "b_id")
+    }),
+    // the text dedup pipeline's clustering/apply machinery, reused
+    // verbatim on IMAGE near-dup pairs: phash blocking -> fixpoint
+    // components -> one canonical image per perceptual cluster
+    // (rows-only like its pair source; components' transitive-closure
+    // properties are pinned generally in OpsSpec)
+    "mm_image_dedup" -> ((s, dir) => {
+      val ph = imageSignatures(s, dir)
+        .select(col("media_id").as("id"), col("phash").as("simhash"))
+      Dedup.components(
+        Dedup.simhashPairsSigs(ph, maxDist = 6).select("a_id", "b_id"),
+        ph, "id").orderBy("id")
     }),
     // spectral audio fingerprint off the real PCM parse (rows-only:
     // sign-of-band-energy bits have no SQL oracle; robustness and
