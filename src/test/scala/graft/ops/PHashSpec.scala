@@ -11,26 +11,35 @@ class PHashSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   val dir = "/root/testdata/sf0.001"
 
-  private def gradient(w: Int, h: Int, seed: Int): Array[Byte] = {
+  test("phash is a property of the pixels, not the container or encoding") {
+    val (w, h) = (40, 28)
+    // 4-px blocks keep the distinct-color count under one GIF palette
+    // while leaving a real 2-D structure for the DCT
     val px = new Array[Byte](w * h * 3)
     for (y <- 0 until h; x <- 0 until w) {
       val o = (y * w + x) * 3
-      px(o) = ((seed + x) % 256).toByte
-      px(o + 1) = ((seed * 3 + y) % 256).toByte
-      px(o + 2) = ((seed + x + y) % 256).toByte
+      px(o) = ((57 + (x / 4) * 23) % 256).toByte
+      px(o + 1) = ((171 + (y / 4) * 41) % 256).toByte
+      px(o + 2) = ((9 + (x / 4) * 13 + (y / 4) * 29) % 256).toByte
     }
-    px
-  }
-
-  test("phash is a property of the pixels, not the container or encoding") {
-    val (w, h) = (40, 28)
-    val px = gradient(w, h, 57)
     val viaPngF0 = PngPixels.decode(PngPixels.encode(w, h, 3, px, _ => 0)).get
     val viaPngF4 = PngPixels.decode(PngPixels.encode(w, h, 3, px, y => y % 5)).get
     val viaBmp = BmpPixels.decode(BmpPixels.encode(w, h, px)).get
-    val hashes = Seq(viaPngF0, viaPngF4, viaBmp).map(PHash.phash)
+    // GIF leg: palette-index the exact colors (the gradient uses
+    // < 256 distinct RGB triples at this size) so the LZW round-trip
+    // reproduces the pixels bit-for-bit
+    val colors = px.grouped(3).map(_.toSeq).toSeq.distinct
+    assert(colors.size <= 256, "fixture must fit one GIF palette")
+    val lookup = colors.zipWithIndex.toMap
+    val palette = new Array[Byte](256 * 3)
+    colors.zipWithIndex.foreach { case (c, i) =>
+      palette(i * 3) = c(0); palette(i * 3 + 1) = c(1); palette(i * 3 + 2) = c(2)
+    }
+    val indices = px.grouped(3).map(c => lookup(c.toSeq).toByte).toArray
+    val viaGif = GifPixels.decode(GifPixels.encode(w, h, palette, indices)).get
+    val hashes = Seq(viaPngF0, viaPngF4, viaBmp, viaGif).map(PHash.phash)
     assert(hashes.distinct.size == 1,
-      "same pixels must hash identically through PNG (two filter plans) and BMP")
+      "same pixels must hash identically through PNG (two filter plans), BMP, and GIF")
   }
 
   /** Textured pixels (dense DCT spectrum, like a real photo). A pure
