@@ -107,8 +107,14 @@ object TextOps {
         lit("[A-Za-z]{1,4}|[0-9]{1,3}"), lit(0))).as("n_bpeish"))
 
   /**
-   * Deterministic stratified sampling: keep a row iff
-   * xxhash64(id, salt) lands under the stratum's rate threshold.
+   * Deterministic stratified sampling: keep a row iff the first 32 md5
+   * bits of `"id:salt"` land under the stratum's rate threshold via the
+   * INTEGER-EXACT gate `h·10⁶ < round(rate·10⁶)·2³²` — the same
+   * engine-portable construction as [[sampleWeighted]] (md5 is
+   * bit-identical everywhere; xxhash64 is Spark-specific), with the
+   * rate quantized to parts-per-million so the comparison never
+   * touches a float. Bounds: h < 2³² so h·10⁶ < 2⁵², and
+   * round(rate·10⁶)·2³² ≤ 2⁵² — no Long overflow possible.
    * Hash-gated (not RNG) so the sample is reproducible across runs,
    * cluster layouts, and retries — the property training-data
    * pipelines need for resumable dataset builds.
@@ -116,12 +122,18 @@ object TextOps {
   def sampleStratified(df: DataFrame, idCol: String, stratumCol: String,
                        rates: Map[String, Double], defaultRate: Double = 0.0,
                        salt: Long = 42L): DataFrame = {
-    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (k, r)) =>
-      when(col(stratumCol) === k, lit(r)).otherwise(acc)
+    def ppm(r: Double): Long = {
+      require(r >= 0.0 && r <= 1.0, s"rate $r outside [0, 1]")
+      Math.round(r * 1000000L)
     }
-    // uniform in [0,1): low 52 bits of the hash over 2^52
-    val u = (pmod(xxhash64(col(idCol), lit(salt)), lit(1L << 52))) / lit((1L << 52).toDouble)
-    df.withColumn("__rate", rate).filter(u < col("__rate")).drop("__rate")
+    val ratePpm = rates.foldLeft(lit(ppm(defaultRate))) { case (acc, (k, r)) =>
+      when(col(stratumCol) === k, lit(ppm(r))).otherwise(acc)
+    }
+    val h = conv(substring(md5(concat(col(idCol).cast("string"), lit(":" + salt))), 1, 8),
+      16, 10).cast("long")
+    df.withColumn("__ppm", ratePpm)
+      .filter(h * 1000000L < col("__ppm") * 4294967296L)
+      .drop("__ppm")
   }
 
   /**
@@ -136,12 +148,21 @@ object TextOps {
    * Efraimidis–Spirakis u^(1/w) priorities, whose pow/ln doubles are
    * not bit-portable across runtimes. Hash-gated like
    * [[sampleStratified]]: reproducible across runs/retries/layouts.
+   *
+   * Overflow-free by construction: `scale < 2³¹` is asserted (h < 2³²
+   * makes `h·scale < 2⁶³`), and rows with `weight ≥ scale` have
+   * p = 1 so they short-circuit past the multiply — the
+   * `weight·2³²` product therefore only evaluates with
+   * `weight < scale < 2³¹`, which cannot wrap a Long.
    */
   def sampleWeighted(docs: DataFrame, idCol: String, weightCol: Column,
                      scale: Long): DataFrame = {
+    require(scale > 0 && scale < (1L << 31),
+      s"scale $scale outside (0, 2^31): h*scale would overflow Long")
     val h = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
       .cast("long")
-    docs.filter(h * scale < weightCol.cast("long") * 4294967296L)
+    val w = weightCol.cast("long")
+    docs.filter(w >= scale || h * scale < w * 4294967296L)
   }
 
   /**
@@ -152,6 +173,14 @@ object TextOps {
    * One window cumsum per source over (quality desc, id) — fully
    * ordered, so the cut is deterministic; emits each kept doc with
    * its running total.
+   *
+   * The score is EMITTED as integer milli-units (`floor(score·1000)`)
+   * rather than a raw double: the ordering doubles are bit-identical
+   * across engines (same IEEE expression tree), but `round(x, 3)`
+   * implementations differ at half-boundaries (JVM BigDecimal
+   * shortest-string HALF_UP vs multiply-and-round), so the only
+   * hash-stable emission is an integer derived by the same IEEE ops
+   * on both sides. Ordering stays on the unrounded score.
    */
   def tokenBudget(docs: DataFrame, idCol: String, textCol: String,
                   sourceCol: String, budget: Long): DataFrame = {
@@ -174,7 +203,8 @@ object TextOps {
     scored.withColumn("cum_tokens", sum("n_tokens").over(w))
       .filter(col("cum_tokens") <= budget)
       .select(col(idCol), col(sourceCol), col("n_tokens"),
-        col("quality_score"), col("cum_tokens"))
+        floor(col("quality_score") * 1000).cast("long").as("quality_milli"),
+        col("cum_tokens"))
   }
 
   /**

@@ -325,8 +325,8 @@ object OpsQueries {
     "text_fingerprint" -> ((s, dir) =>
       TextOps.fingerprint(Tables(s, dir, "documents"), "doc_id", "text")
         .select("doc_id", "fp_md5").orderBy("doc_id")),
-    // deterministic hash-gated stratified sample (rows-only: the hash
-    // family is engine-specific; determinism + rates pinned in OpsSpec)
+    // deterministic md5-gated stratified sample (integer-exact ppm
+    // gate — fully SQL-oracled, same trick as sample_weighted)
     "sample_stratified" -> ((s, dir) =>
       TextOps.sampleStratified(Tables(s, dir, "documents"), "doc_id", "lang",
         Map("en" -> 0.5, "fr" -> 0.25, "zh" -> 1.0), defaultRate = 0.1)
@@ -696,6 +696,16 @@ object OpsQueries {
         |      * power(16, 8 - i))) AS BIGINT) * 2000
         |  < CAST(n_chars AS BIGINT) * 4294967296
         |ORDER BY doc_id""".stripMargin,
+    // the same 8-hex-digit md5 gate, salted, with per-stratum ppm rates
+    "sample_stratified" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE CAST(list_sum(list_transform(generate_series(1, 8), i ->
+        |    (strpos('0123456789abcdef',
+        |       substr(md5(CAST(doc_id AS VARCHAR) || ':42'), i, 1)) - 1)
+        |      * power(16, 8 - i))) AS BIGINT) * 1000000
+        |  < (CASE lang WHEN 'en' THEN 500000 WHEN 'fr' THEN 250000
+        |      WHEN 'zh' THEN 1000000 ELSE 100000 END) * 4294967296
+        |ORDER BY doc_id""".stripMargin,
     "text_token_budget" ->
       """WITH w AS (SELECT doc_id, source, length(text) AS n_chars,
         |  string_split(text, ' ') AS ws FROM documents),
@@ -710,7 +720,8 @@ object OpsQueries {
         |    ORDER BY quality_score DESC, doc_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
         |FROM c)
-        |SELECT doc_id, source, n_tokens, quality_score, cum_tokens
+        |SELECT doc_id, source, n_tokens,
+        |  CAST(floor(quality_score * 1000) AS BIGINT) AS quality_milli, cum_tokens
         |FROM r WHERE cum_tokens <= 800 ORDER BY doc_id""".stripMargin,
     "text_quality" ->
       """WITH w AS (SELECT doc_id, length(text) AS n_chars,

@@ -1,0 +1,65 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import com.fasterxml.jackson.databind.ObjectMapper
+import scala.jdk.CollectionConverters._
+
+/**
+ * The driver keeps only the last 2000 chars of bench stdout and parses
+ * the last complete JSON line it finds there (~80 chars of sbt epilogue
+ * follow our line). Rounds 3-6 lost their per-query map because the
+ * flat 114-key line outgrew that window. These tests pin the compact
+ * trie line's two contracts: it must FIT (<= 1900 chars) and it must
+ * carry EVERY query losslessly (flatten nested keys by joining with
+ * '_'; "" names the node that is itself a query).
+ */
+class BenchLineSpec extends AnyFunSuite {
+  private val keys = SparkEntry.queries.keys.toSeq.sorted
+  // deterministic per-key pseudo-times matching the real suite's shape
+  // (mostly sub-second, a handful of 1-2s stragglers)
+  private val results = keys.zipWithIndex.map { case (k, i) =>
+    k -> (if (i % 12 == 0) 1.0 + (math.abs(k.hashCode) % 150) / 100.0
+          else 0.05 + (math.abs(k.hashCode) % 95) / 100.0)
+  }
+
+  private def flatten(node: com.fasterxml.jackson.databind.JsonNode,
+                      prefix: String,
+                      out: collection.mutable.Map[String, Long]): Unit =
+    node.fields().asScala.foreach { e =>
+      val name =
+        if (e.getKey.isEmpty) prefix
+        else if (prefix.isEmpty) e.getKey
+        else prefix + "_" + e.getKey
+      if (e.getValue.isObject) flatten(e.getValue, name, out)
+      else out(name) = e.getValue.asLong()
+    }
+
+  test("compact line fits the driver's tail window with margin") {
+    val line = Bench.compactLine(results, results.map(_._2).sum, "sf0.1")
+    assert(line.length <= 1900, s"compact line ${line.length} chars > 1900")
+    assert(!line.contains('\n'))
+  }
+
+  test("compact line round-trips every query key and centisecond value") {
+    val line = Bench.compactLine(results, results.map(_._2).sum, "sf0.1")
+    val root = new ObjectMapper().readTree(line)
+    assert(root.get("qunit").asText() == "centisec")
+    assert(root.get("unit").asText() == "sec")
+    assert(root.get("sf").asText() == "sf0.1")
+    val flat = collection.mutable.Map.empty[String, Long]
+    flatten(root.get("queries"), "", flat)
+    assert(flat.keySet == keys.toSet,
+      s"missing=${keys.toSet -- flat.keySet} extra=${flat.keySet -- keys.toSet}")
+    results.foreach { case (k, v) =>
+      assert(flat(k) == math.round(v * 100), s"$k: ${flat(k)} != ${math.round(v * 100)}")
+    }
+  }
+
+  test("sibling-leaf keys (ts_anomaly vs ts_anomaly_prefix) survive nesting") {
+    val entries = Seq("a_b" -> 0.1, "a_b_c" -> 0.2, "a_b_d" -> 0.3, "x" -> 0.4)
+    val line = Bench.compactLine(entries, 1.0, "sf0")
+    val flat = collection.mutable.Map.empty[String, Long]
+    flatten(new ObjectMapper().readTree(line).get("queries"), "", flat)
+    assert(flat == Map("a_b" -> 10L, "a_b_c" -> 20L, "a_b_d" -> 30L, "x" -> 40L))
+  }
+}
