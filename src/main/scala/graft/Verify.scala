@@ -39,6 +39,21 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // publish the measured recall numbers (quality_recall's rows) as a
+    // per-round repo artifact next to the CORRECTNESS/BENCH files —
+    // the gate query pins thresholds, this file carries the values
+    try {
+      val rows = spark.read.parquet(s"$outDir/quality_recall")
+        .orderBy("op").collect()
+      val recallJson = rows.map { r =>
+        s"${q(r.getString(0))}: {\"n_true\": ${r.getLong(1)}, \"n_found\": ${r.getLong(2)}, " +
+          s"\"n_matched\": ${r.getLong(3)}, \"recall_bp\": ${r.getLong(4)}}"
+      }.mkString("{\n", ",\n", "\n}")
+      Files.writeString(Paths.get(s"$outDir/recall.json"), recallJson)
+      Files.writeString(Paths.get("/root/repo/RECALL.json"), recallJson)
+    } catch { case e: Throwable =>
+      System.err.println(s"[verify] recall artifact failed: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -1,15 +1,22 @@
 package graft.ops
 
 /**
- * Spectral audio fingerprint: a 64-bit clip-level hash built the
- * Haitsma–Kalker way (ISMIR'02, the scheme behind classic audio
- * matching systems) — energies in adjacent frequency bands, one bit
- * per SIGN of the adjacent-band energy difference. Signs of energy
- * ratios survive amplitude scaling, resampling containers, and small
- * noise, so perceptually-equal clips hash near each other while
- * byte-level hashes scatter — the audio analogue of [[PHash]] for
- * images and SimHash for text, and it blocks with the same banded
- * kernel.
+ * Spectral audio fingerprint: a 64-bit CLIP-LEVEL hash of
+ * Haitsma–Kalker-STYLE sign-of-band-energy bits (the sign-of-
+ * adjacent-band-difference idea from ISMIR'02) over whole-clip
+ * fractional-frequency bins — NOT the paper's construction, which is
+ * frame-wise (32 sub-fingerprints/s) over 33 log-spaced bands in
+ * 300 Hz–2 kHz with a time axis. Here there is ONE fingerprint per
+ * clip from a single whole-clip DFT at k = 1..65 cycles per clip, so
+ * the "bands" are sub-Hz for any real-length clip and there is no
+ * temporal granularity. Signs of energy ratios still survive
+ * amplitude scaling and container changes (pinned in PHashSpec for
+ * the synthetic fixtures), so perceptually-equal clips hash near each
+ * other while byte-level hashes scatter — the audio analogue of
+ * [[PHash]] for images and SimHash for text, and it blocks with the
+ * same banded kernel. A production system matching real audio would
+ * swap in the frame-wise variant; the Spark-side plumbing (binary
+ * decode → 64-bit hash → banded blocking → components) is identical.
  *
  * Implementation: channels mix to mono, one direct DFT over the whole
  * clip evaluated at 65 fixed fractional frequencies k/n (k = 1..65 —

@@ -27,14 +27,17 @@ object BmpPixels {
     val compression = bb.getInt(30)
     if (width <= 0 || height <= 0 || planes != 1 || bpp != 24 || compression != 0)
       return None
-    val rowBytes = (width * 3 + 3) & ~3 // each row padded to 4 bytes
-    if (dataOffset < 54 || dataOffset.toLong + rowBytes.toLong * height > blob.length)
+    // long arithmetic end-to-end: width is attacker-controlled getInt,
+    // so width*3 wraps Int for width > 715M and a wrapped-negative
+    // rowBytes would slip past the size check into a throwing alloc
+    val rowBytes = (width.toLong * 3 + 3) & ~3L // each row padded to 4 bytes
+    if (dataOffset < 54 || dataOffset.toLong + rowBytes * height > blob.length)
       return None
     val out = new Array[Byte](width * height * 3)
     var y = 0
     while (y < height) {
       // row y of the file is row (height-1-y) of the image
-      val src = dataOffset + y * rowBytes
+      val src = (dataOffset + y * rowBytes).toInt // fits: checked <= blob.length
       val dst = (height - 1 - y) * width * 3
       var x = 0
       while (x < width) {

@@ -97,6 +97,25 @@ object Dedup {
         b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
       .toDF("id", "band", "bucket")
 
+  /**
+   * Accounting for [[minhashLshSigs]]'s `maxBucket` truncation: one
+   * row with the total/dropped bucket and in-bucket pair counts at
+   * the given cap. A dropped bucket silently loses candidate pairs,
+   * so the recall gate pins `pairs_dropped == 0` at bench scale — if
+   * a corpus ever trips the cap, the loss becomes a red gate (with
+   * the count in RECALL.json), not an invisible recall hole.
+   */
+  def minhashBucketStats(sigs: DataFrame, bands: Int = 16, rowsPerBand: Int = 4,
+                         maxBucket: Int = 1000): DataFrame =
+    banded(sigs, bands, rowsPerBand)
+      .groupBy("band", "bucket").agg(count(lit(1)).as("k"))
+      .filter(col("k") >= 2)
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(when(col("k") > maxBucket, 1L).otherwise(0L)).as("n_dropped_buckets"),
+        sum(col("k") * (col("k") - 1) / 2).cast("long").as("pairs_total"),
+        sum(when(col("k") > maxBucket, col("k") * (col("k") - 1) / 2)
+          .otherwise(0L)).cast("long").as("pairs_dropped"))
+
   /** All pairs within a (band, bucket), capped and deduped across bands. */
   private def bucketPairs(banded: DataFrame, maxBucket: Int): DataFrame = {
     val buckets = banded.groupBy("band", "bucket")

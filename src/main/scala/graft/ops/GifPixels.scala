@@ -48,7 +48,11 @@ object GifPixels {
     val height = le16(pos + 7)
     val imgPacked = u8(pos + 9)
     val interlaced = (imgPacked & 0x40) != 0
-    if (width <= 0 || height <= 0) return None
+    // overflow-safe dimension cap (same policy as PngPixels): le16
+    // dims reach 65535 each, so width*height*3 wraps Int — a crafted
+    // 30-byte header must decline cleanly, never throw or allocate GBs
+    if (width <= 0 || height <= 0 ||
+      width.toLong * height * 3 > Int.MaxValue / 2) return None
     pos += 10
     if ((imgPacked & 0x80) != 0) { // local color table overrides the GCT
       palette = pos

@@ -65,22 +65,54 @@ object OpsQueries {
       // session (or another JVM) reads the published table instead of
       // re-hashing the text
       val path = sigPath(dir)
-      if (!new java.io.File(path, "_SUCCESS").exists())
+      publishOnce(s, path) { tmp =>
         Dedup.signatures(Tables(s, dir, "documents"), "doc_id", "text")
-          .write.mode("overwrite").parquet(path)
+          .write.mode("overwrite").parquet(tmp)
+      }
       s.read.parquet(path)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
   }
 
-  /** Signature-table path keyed by corpus fingerprint (bytes+mtimes
-    * of documents.parquet), so a regenerated dir never reads stale
-    * signatures; `s1` versions the signature layout. */
-  private def sigPath(dir: String): String = {
-    val src = new java.io.File(s"$dir/documents.parquet")
+  /** Signature-table path keyed by corpus fingerprint, so a
+    * regenerated dir never reads stale signatures; `s1` versions the
+    * signature layout. */
+  private def sigPath(dir: String): String =
+    s"/tmp/graft_models/${dir.replaceAll("[^A-Za-z0-9.]", "_")}_${corpusFingerprint(dir, "documents")}_s1"
+
+  /** Corpus fingerprint: md5 over the ORDERED (name, length, mtime)
+    * tuples of the table's files — an additive sum of length+mtime
+    * (the previous scheme) admits collisions (swap bytes between two
+    * files, touch timestamps that cancel), which would silently serve
+    * a stale signature/model store for a regenerated corpus. */
+  private[queries] def corpusFingerprint(dir: String, table: String): String = {
+    val src = new java.io.File(s"$dir/$table.parquet")
     val files = if (src.isDirectory) src.listFiles().toSeq else Seq(src)
-    val fp = files.filter(_.isFile).map(f => f.length() + f.lastModified()).sum
-    s"/tmp/graft_models/${dir.replaceAll("[^A-Za-z0-9.]", "_")}_${java.lang.Long.toHexString(fp)}_s1"
+    val desc = files.filter(_.isFile).sortBy(_.getName)
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString("|")
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(desc.getBytes("UTF-8"))
+    d.take(8).map(b => f"$b%02x").mkString
+  }
+
+  /** Publish a derived table once per corpus: write to a session-
+    * unique temp dir, then atomically rename into place. Two JVMs
+    * racing on the same fingerprint cannot interleave writes into one
+    * destination (the previous direct-overwrite + _SUCCESS check
+    * could); the rename loser just deletes its temp copy. */
+  private[queries] def publishOnce(s: SparkSession, path: String)
+                                  (write: String => Unit): Unit = {
+    val target = new org.apache.hadoop.fs.Path(path)
+    val fs = target.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(path, "_SUCCESS"))) return
+    // a marker-less target is a crashed partial write — by contract it
+    // reads as absent, so clear it out of the rename's way
+    if (fs.exists(target)) fs.delete(target, true)
+    val tmp = new org.apache.hadoop.fs.Path(
+      path + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
+    write(tmp.toString)
+    fs.mkdirs(target.getParent)
+    if (!fs.rename(tmp, target)) fs.delete(tmp, true)
   }
 
   private val sigCache =
@@ -127,11 +159,80 @@ object OpsQueries {
   private val imgSigCache =
     scala.collection.mutable.Map[(SparkSession, String), DataFrame]()
 
-  /** Ensure the model store for `dir` is trained, and return its path. */
+  /**
+   * Measured recall of every approximate path against its exact
+   * baseline, as NUMBERS (basis points) rather than spec booleans —
+   * one row per op: (op, n_true, n_found, n_matched, recall_bp).
+   * Runs per round inside Verify so a recall regression is visible in
+   * the round artifact (RECALL.json) and, via `quality_recall_gate`'s
+   * pinned thresholds, fails the oracle gate outright.
+   *
+   * - `sim_ann_*`: intersection with the exact brute-force top-5 of
+   *   the same 10 queries (`sim_topk`'s definition).
+   * - `dedup_minhash`: verified LSH pairs vs brute n-gram Jaccard
+   *   pairs ≥ 0.5 on the bounded corpus (id < 1000).
+   * - `dedup_simhash`: banded-kernel pairs vs brute Hamming ≤ 7 pairs
+   *   over the same signatures (id < 1000 bound keeps brute ≤ 500k
+   *   comparisons at any SF).
+   * - `minhash_bucket_cap`: pairs surviving the LSH `maxBucket`
+   *   truncation vs all in-bucket pairs — [[Dedup.minhashBucketStats]]
+   *   accounting, so cap-induced loss is a measured number.
+   */
+  def recallReport(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+    val brutePairs = Similarity
+      .bruteTopK(e.filter(col("vec_id") < 10), e, "vec_id", "embedding", 5)
+      .select(col("q_id").cast("long").as("a"), col("n_id").cast("long").as("b"))
+    def recallRow(op: String, truth: DataFrame, found: DataFrame): DataFrame = {
+      val t = truth.agg(count(lit(1)).as("n_true"))
+      val f = found.agg(count(lit(1)).as("n_found"))
+      val m = found.join(truth, Seq("a", "b"), "left_semi")
+        .agg(count(lit(1)).as("n_matched"))
+      t.crossJoin(f).crossJoin(m)
+        .select(lit(op).as("op"), col("n_true"), col("n_found"), col("n_matched"),
+          expr("CAST(n_matched * 10000 DIV n_true AS BIGINT)").as("recall_bp"))
+    }
+    val annOps = Seq("sim_ann_lsh", "sim_ann_ivf", "sim_ann_pq", "sim_ann_ivfpq",
+      "sim_ann_ivfpq_res", "sim_ann_sq8", "sim_ann_ivfsq8")
+    val annRows = annOps.map { op =>
+      recallRow(op, brutePairs,
+        queries(op)(s, dir).filter(col("q_id") < 10)
+          .select(col("q_id").cast("long").as("a"), col("n_id").cast("long").as("b")))
+    }
+    val sigs = docSignatures(s, dir)
+    val bounded = sigs.filter(col("id") < 1000)
+    val mhTruth = Dedup.ngramJaccardBruteSigs(sigs, 1000, 0.5)
+      .select(col("a_id").as("a"), col("b_id").as("b"))
+    val mhFound = verifiedPairs(s, dir)
+      .select(col("a_id").as("a"), col("b_id").as("b"))
+    val sh = bounded.select(col("id"), col("simhash"))
+    val shTruth = sh.as("x").join(sh.as("y"),
+        col("x.id") < col("y.id") &&
+          expr("bit_count(x.simhash ^ y.simhash) <= 7"))
+      .select(col("x.id").as("a"), col("y.id").as("b"))
+    val shFound = Dedup.simhashPairsSigs(bounded)
+      .select(col("a_id").as("a"), col("b_id").as("b"))
+    val capStats = Dedup.minhashBucketStats(sigs)
+      .select(lit("minhash_bucket_cap").as("op"),
+        col("pairs_total").as("n_true"),
+        (col("pairs_total") - col("pairs_dropped")).as("n_found"),
+        (col("pairs_total") - col("pairs_dropped")).as("n_matched"),
+        expr("CAST((pairs_total - pairs_dropped) * 10000 DIV pairs_total AS BIGINT)")
+          .as("recall_bp"))
+    (annRows :+ recallRow("dedup_minhash", mhTruth, mhFound)
+      :+ recallRow("dedup_simhash", shTruth, shFound)
+      :+ capStats)
+      .reduce(_ unionByName _)
+  }
+
+  /** Ensure the model store for `dir` is trained, and return its path.
+    * Published via [[publishOnce]]: train into a temp dir, atomic
+    * rename — concurrent JVMs can't interleave writes into one store. */
   def storeModelPath(s: SparkSession, dir: String): String = synchronized {
     val path = modelPath(dir)
-    if (!Similarity.modelsExist(s, path))
-      Similarity.writeModels(Tables(s, dir, "embeddings"), "vec_id", "embedding", path)
+    publishOnce(s, path) { tmp =>
+      Similarity.writeModels(Tables(s, dir, "embeddings"), "vec_id", "embedding", tmp)
+    }
     path
   }
 
@@ -146,6 +247,32 @@ object OpsQueries {
     val fp = files.filter(_.isFile).map(f => f.length() + f.lastModified()).sum
     s"/tmp/graft_models/${dir.replaceAll("[^A-Za-z0-9.]", "_")}_${java.lang.Long.toHexString(fp)}_m5"
   }
+
+  /** Pinned recall floors (basis points) for `quality_recall_gate` —
+    * measured at sf0.01 AND sf0.1, then set with enough margin to
+    * absorb corpus-regeneration noise but tight enough that a real
+    * regression (a broken hash family, a recall-losing cap) goes red. */
+  // measured 2026-08-13 (sf0.01 / sf0.1): lsh 3000/4200, ivf 5400/5000,
+  // pq 4400/2400, ivfpq 3600/2000, ivfpq_res 5000/2000, sq8 10000/10000,
+  // ivfsq8 5400/5000; the three pair paths are EXACT by construction
+  // (LSH candidate-complete at J>=0.9, 8-band simhash blocking exact at
+  // dist<=7, bucket cap binding nothing) so their floors pin 10000
+  private val recallFloorBp: Map[String, Long] = Map(
+    "sim_ann_lsh" -> 2000L,
+    "sim_ann_ivf" -> 3500L,
+    "sim_ann_pq" -> 1500L,
+    "sim_ann_ivfpq" -> 1200L,
+    "sim_ann_ivfpq_res" -> 1200L,
+    "sim_ann_sq8" -> 9000L,
+    "sim_ann_ivfsq8" -> 3500L,
+    "dedup_minhash" -> 10000L,
+    "dedup_simhash" -> 10000L,
+    "minhash_bucket_cap" -> 10000L)
+
+  private def recallFloors(op: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    recallFloorBp.foldLeft(lit(Long.MaxValue)) { case (acc, (k, v)) =>
+      when(op === k, lit(v)).otherwise(acc)
+    }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> ((s, dir) =>
@@ -285,6 +412,17 @@ object OpsQueries {
         e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
         .orderBy("q_id", "rank")
     }),
+    // per-round recall NUMBERS for every approximate path (rows-only:
+    // the values are measurements; the pinned thresholds live in
+    // quality_recall_gate, which IS sql-oracled)
+    "quality_recall" -> ((s, dir) => recallReport(s, dir).orderBy("op")),
+    // threshold gate over the measured recalls: the oracle pins one
+    // (op, pass=true) row per approximate path, so any recall dropping
+    // below its floor flips pass -> false and hash-fails the gate
+    "quality_recall_gate" -> ((s, dir) =>
+      recallReport(s, dir)
+        .select(col("op"), (col("recall_bp") >= recallFloors(col("op"))).as("pass"))
+        .orderBy("op")),
     "text_langid" -> ((s, dir) =>
       TextOps.langId(Tables(s, dir, "documents"), "doc_id", "text").orderBy("doc_id")),
     // within-doc repetition (dup-bigram + top-bigram shares) — the
@@ -565,6 +703,13 @@ object OpsQueries {
       |FROM sh WHERE sh.doc_id < 450 ORDER BY sh.doc_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // one pinned (op, pass=true) row per approximate path, generated
+    // from the same floor map the Spark side reads — a measured recall
+    // below its floor flips the Spark row to pass=false and the gate
+    // hash-fails; the floors themselves cannot drift out of sync
+    "quality_recall_gate" -> (recallFloorBp.keys.toSeq.sorted
+      .map(k => s"SELECT '$k' AS op, true AS pass")
+      .mkString("", " UNION ALL ", " ORDER BY op")),
     "dedup_pipeline" -> componentsOracleSql,
     "dedup_apply" -> s"""$componentsCteSql
       |SELECT d.doc_id, d.lang, d.source, d.n_chars

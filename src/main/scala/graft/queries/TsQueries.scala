@@ -89,6 +89,28 @@ object TsQueries {
     s"/tmp/graft_store/${dir.replaceAll("[^A-Za-z0-9.]", "_")}_${java.lang.Long.toHexString(fp)}_s3"
   }
 
+  /** A byte-copy of the chunk store with [RangeFrom, RangeTo] deleted
+    * in place ([[Ts.deleteFromStore]]) — built once per dir like
+    * [[storeChunks]]. The copy is a filesystem copy, not a re-encode:
+    * the point is to exercise delete-then-serve on a real persisted
+    * store (horizon marker included) without paying a second ingest. */
+  def deletedStorePath(s: SparkSession, dir: String): String = synchronized {
+    graft.functions.registerAll(s)
+    storeChunks(s, dir) // ensure the source store exists
+    val path = storePath(dir) + "_del"
+    if (!new java.io.File(path, "_SUCCESS").exists()) {
+      val conf = s.sparkContext.hadoopConfiguration
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(conf)
+      val tmp = new org.apache.hadoop.fs.Path(path + ".tmp")
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+      org.apache.hadoop.fs.FileUtil.copy(
+        fs, new org.apache.hadoop.fs.Path(storePath(dir)), fs, tmp, false, conf)
+      Ts.deleteFromStore(s, tmp.toString, RangeFrom, RangeTo)
+      fs.rename(tmp, new org.apache.hadoop.fs.Path(path))
+    }
+    path
+  }
+
   private def aggExact(points: DataFrame): DataFrame =
     points.groupBy("user_id")
       .agg(count(lit(1)).as("n"),
@@ -202,6 +224,9 @@ object TsQueries {
   // fixed query window: 2024-01-10T00:00Z .. 2024-01-12T00:00Z
   private val RangeFrom = 1704844800L
   private val RangeTo = 1705017600L
+  // 90 days: far enough past the events corpus max (2024-01-31) that a
+  // shifted replay lands above every per-series ingest horizon
+  private val ReplayShift = 7776000L
 
   /** Gap-break sessionization ground truth for any key column:
     * session_window merges touching windows, so an event at exactly
@@ -264,6 +289,25 @@ object TsQueries {
         .orderBy("user_id", "event_type", "ts", "v")),
     "ts_store_latest" -> ((s, dir) =>
       Ts.latest(storeChunks(s, dir), series).orderBy("user_id", "event_type")),
+    // delete × live-read interplay: a store with [RangeFrom, RangeTo]
+    // surgically deleted, served through liveRange with an open tail
+    // that REPLAYS the entire deleted range (already ingested once —
+    // the persisted horizon marker must drop every row, or deleted
+    // data would resurrect under at-least-once delivery) plus the
+    // same rows shifted 90 days past the corpus max (genuinely new —
+    // every row must appear). The oracle is pure set algebra on raw
+    // events, so both guard directions are exact-verified.
+    "ts_store_live_delete" -> ((s, dir) => {
+      val path = deletedStorePath(s, dir)
+      val ev = Tables(s, dir, "events")
+      val sec = Ts.epochSec(ev, "ts")
+      val del = ev.filter(sec >= RangeFrom && sec <= RangeTo)
+        .select(col("user_id"), col("event_type"), sec.as("ts"),
+          col("value").cast("double").as("v"))
+      val open = del.unionByName(del.withColumn("ts", col("ts") + ReplayShift))
+      Ts.liveRangeStore(s, path, open, series, 0L, RangeTo + ReplayShift)
+        .orderBy("user_id", "event_type", "ts", "v")
+    }),
     // COMPRESSED-DOMAIN resample off the store: per-chunk bucket
     // partials (≤ 8 rows per 2-h chunk) instead of exploding 7200
     // points through the aggregate; shares ts_downsample's oracle —
@@ -943,6 +987,16 @@ object TsQueries {
 
   val oracleSql: Map[String, String] = baseOracle ++ Map(
     "ts_store_range" -> baseOracle("ts_range_query"),
+    // survivors of the delete, plus the 90-day-shifted replay copies
+    // (genuinely new), and NOT the un-shifted replays (dropped by the
+    // persisted horizon) — exact set algebra over raw events
+    "ts_store_live_delete" -> s"""WITH $ptsSql
+      |SELECT user_id, event_type, ts, v FROM pts
+      |WHERE ts < $RangeFrom OR ts > $RangeTo
+      |UNION ALL
+      |SELECT user_id, event_type, ts + $ReplayShift AS ts, v FROM pts
+      |WHERE ts >= $RangeFrom AND ts <= $RangeTo
+      |ORDER BY user_id, event_type, ts, v""".stripMargin,
     "ts_store_latest" -> baseOracle("ts_latest"),
     "ts_store_downsample" -> baseOracle("ts_downsample"),
     // the rollup serve must equal computing the hour from raw points

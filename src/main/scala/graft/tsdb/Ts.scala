@@ -282,10 +282,24 @@ object Ts {
    * tail); the open side is micro-batch-sized, never history-sized.
    */
   def liveRange(chunks: DataFrame, open: DataFrame, seriesCols: Seq[String],
-                fromSec: Long, toSec: Long): DataFrame = {
+                fromSec: Long, toSec: Long,
+                extraHorizon: Option[DataFrame] = None): DataFrame = {
     val sealedRows = rangeQuery(chunks, seriesCols, fromSec, toSec)
-    val horizon = chunks.groupBy(seriesCols.map(col): _*)
+    val chunkHorizon = chunks.groupBy(seriesCols.map(col): _*)
       .agg(max("max_ts").as("__horizon"))
+    // a persisted horizon marker (deleteFromStore) outlives the chunks
+    // it was derived from: after a delete of a series' newest chunks
+    // the chunk-derived horizon DROPS, and a replay of the deleted
+    // (already-ingested-once) points would resurrect through the
+    // guard — exactly-once requires max(chunk horizon, marker)
+    val horizon = extraHorizon match {
+      case None => chunkHorizon
+      case Some(m) => chunkHorizon
+        .unionByName(m.select(seriesCols.map(col) :+
+          col("horizon_ts").as("__horizon"): _*))
+        .groupBy(seriesCols.map(col): _*)
+        .agg(max("__horizon").as("__horizon"))
+    }
     val tail = open
       .select(seriesCols.map(col) :+ col("ts").cast("long").as("ts") :+
         col("v").cast("double").as("v"): _*)
@@ -655,6 +669,19 @@ object Ts {
    *      listed, read, or rewritten.
    * A boundary date left with zero chunks is removed explicitly:
    * dynamic overwrite cannot delete a partition it writes no rows to.
+   *
+   * Partition classification is METADATA-VERIFIED, not inferred from
+   * day arithmetic: a partition is directory-deleted only when its
+   * actual per-partition (min(min_ts), max(max_ts)) lies inside
+   * [fromSec, toSec]. Day arithmetic (`dayStart + 86400 + windowSec`)
+   * would silently lose data on a store whose chunks outlive the
+   * assumed window — chunkifyAdaptive windows run up to 365 days, and
+   * a caller can pass a windowSec the store was not built with. The
+   * stats pass reads two long columns of the candidate partitions
+   * (header-sized vs the payload bytes it saves from a wrong delete);
+   * `window_date > date(toSec)` partitions are pruned from it for
+   * free because min_ts >= window_start >= its partition's day start
+   * holds in every layout.
    */
   def deleteFromStore(spark: org.apache.spark.sql.SparkSession, path: String,
                       fromSec: Long, toSec: Long,
@@ -665,22 +692,41 @@ object Ts {
     val dates = fs.listStatus(root).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("window_date="))
       .map(_.getPath.getName.stripPrefix("window_date="))
-    // partition d holds window_starts in [d, d+1day), so its points
-    // lie in [d, d+1day+windowSec) — windows may cross midnight
     def dayStart(d: String) = java.time.LocalDate.parse(d).toEpochDay * 86400L
-    def dayEnd(d: String) = dayStart(d) + 86400L + windowSec
-    val covered = dates.filter(d =>
-      fromSec <= dayStart(d) && dayEnd(d) - 1 <= toSec)
-    val boundary = dates.filter(d => !(fromSec <= dayStart(d) && dayEnd(d) - 1 <= toSec) &&
-      dayStart(d) <= toSec && fromSec < dayEnd(d))
+    val candidates = dates.filter(d => dayStart(d) <= toSec)
+    if (candidates.isEmpty) return
+    // true span of each candidate partition from chunk-header stats
+    // (bounded collect: one row per partition date, like the
+    // boundary-date sets elsewhere in this file)
+    val span = spark.read.parquet(path)
+      .filter(col("window_date").cast("string").isin(candidates: _*))
+      .groupBy(col("window_date").cast("string").as("d"))
+      .agg(min("min_ts").as("pmin"), max("max_ts").as("pmax"))
+      .collect()
+    val overlapping = span.filter(r => r.getLong(1) <= toSec && r.getLong(2) >= fromSec)
+    if (overlapping.isEmpty) return
+    val covered = overlapping
+      .filter(r => r.getLong(1) >= fromSec && r.getLong(2) <= toSec)
+      .map(_.getString(0)).toSeq
+    val boundary = overlapping.map(_.getString(0)).toSeq.diff(covered)
+    val fixed = Set("window_start", "n", "min_ts", "max_ts", "min_v", "max_v",
+      "sum_cents", "sumsq_cents", "chunk", "window_date")
+    val seriesCols = spark.read.parquet(path).columns
+      .filterNot(fixed.contains).toSeq
+    // BEFORE any bytes are deleted: persist each touched series'
+    // pre-delete ingest horizon, merged with any prior marker. The
+    // chunk-derived horizon drops when a series' newest chunks die
+    // here, and liveRange's exactly-once replay guard needs the
+    // high-water mark to survive the delete (a point at a deleted
+    // timestamp was still INGESTED once — a replay of it must drop,
+    // not resurrect). Stats-only scan of just the touched partitions;
+    // untouched series keep their horizon via the surviving chunks.
+    persistHorizon(spark, path, overlapping.map(_.getString(0)).toSeq, seriesCols)
     covered.foreach(d =>
       fs.delete(new org.apache.hadoop.fs.Path(root, s"window_date=$d"), true))
     if (boundary.isEmpty) return
     val aff = spark.read.parquet(path)
       .filter(col("window_date").cast("string").isin(boundary: _*))
-    val fixed = Set("window_start", "n", "min_ts", "max_ts", "min_v", "max_v",
-      "sum_cents", "sumsq_cents", "chunk", "window_date")
-    val seriesCols = aff.columns.filterNot(fixed.contains).toSeq
     val out = deleteRange(aff.drop("window_date"), seriesCols,
         fromSec, toSec, windowSec)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -693,6 +739,53 @@ object Ts {
         fs.delete(new org.apache.hadoop.fs.Path(root, s"window_date=$d"), true))
     } finally out.unpersist()
   }
+
+  /** `_`-prefixed so parquet readers of the store skip it as hidden. */
+  private val HorizonDir = "_graft_horizon"
+
+  /** Merge the touched partitions' per-series max(max_ts) into the
+    * store's persisted horizon marker. Tmp-write + swap because the
+    * merge READS the current marker; the frame is one row per touched
+    * series (distributed write — never collected). */
+  private def persistHorizon(spark: org.apache.spark.sql.SparkSession,
+                             path: String, touchedDates: Seq[String],
+                             seriesCols: Seq[String]): Unit = {
+    val fresh = spark.read.parquet(path)
+      .filter(col("window_date").cast("string").isin(touchedDates: _*))
+      .groupBy(seriesCols.map(col): _*)
+      .agg(max("max_ts").as("horizon_ts"))
+    val merged = storeHorizon(spark, path) match {
+      case None => fresh
+      case Some(old) => fresh.unionByName(old)
+        .groupBy(seriesCols.map(col): _*)
+        .agg(max("horizon_ts").as("horizon_ts"))
+    }
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(root, HorizonDir)
+    val tmp = new org.apache.hadoop.fs.Path(root, HorizonDir + ".tmp")
+    merged.write.mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(marker)) fs.delete(marker, true)
+    fs.rename(tmp, marker)
+  }
+
+  /** The persisted ingest high-water marks of a store, if any delete
+    * has ever recorded one: (seriesCols..., horizon_ts). */
+  def storeHorizon(spark: org.apache.spark.sql.SparkSession,
+                   path: String): Option[DataFrame] = {
+    val marker = new org.apache.hadoop.fs.Path(path, HorizonDir)
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(marker)) Some(spark.read.parquet(marker.toString)) else None
+  }
+
+  /** [[liveRange]] over a PERSISTED store: sealed chunks plus the open
+    * tail, with the replay guard honoring the store's persisted
+    * horizon marker — so a delete stays deleted under replay. */
+  def liveRangeStore(spark: org.apache.spark.sql.SparkSession, path: String,
+                     open: DataFrame, seriesCols: Seq[String],
+                     fromSec: Long, toSec: Long): DataFrame =
+    liveRange(readStore(spark, path), open, seriesCols, fromSec, toSec,
+      storeHorizon(spark, path))
 
   /**
    * Compact a chunk store into a new store at `outPath`: decode every

@@ -44,7 +44,6 @@ class BenchLineSpec extends AnyFunSuite {
     val line = Bench.compactLine(results, results.map(_._2).sum, "sf0.1")
     val root = new ObjectMapper().readTree(line)
     assert(root.get("qunit").asText() == "centisec")
-    assert(root.get("unit").asText() == "sec")
     assert(root.get("sf").asText() == "sf0.1")
     val flat = collection.mutable.Map.empty[String, Long]
     flatten(root.get("queries"), "", flat)

@@ -64,6 +64,46 @@ class PixelCodecSpec extends AnyFunSuite {
     assert(BmpPixels.decode(rle).isEmpty)
     val bpp = good.clone(); bpp(28) = 8 // 8-bit palette
     assert(BmpPixels.decode(bpp).isEmpty)
+    // width*3 wraps Int at width > 715M: a wrapped-negative row stride
+    // must not slip past the size check into a throwing allocation
+    val wide = good.clone()
+    val bb = java.nio.ByteBuffer.wrap(wide).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(18, 0x40000000) // width = 2^30
+    assert(BmpPixels.decode(wide).isEmpty)
+  }
+
+  test("gif: garbage, truncation, and overflow headers decline cleanly") {
+    val (_, _, good) = gifFixture(16, 16, 5)
+    // every truncation prefix: a cut inside the pixel data must
+    // decline; a cut that only loses the terminator/trailer may still
+    // decode (all LZW codes present) but must be well-formed — and no
+    // prefix may ever throw
+    for (cut <- 0 until good.length) {
+      val r = GifPixels.decode(good.take(cut))
+      if (cut < 13 + 256 * 3 + 11) // inside header/palette/descriptor
+        assert(r.isEmpty, s"truncated at $cut decoded")
+      else r.foreach(img => assert(img.width == 16 && img.height == 16 &&
+        img.pixels.length == 16 * 16 * 3))
+    }
+    // random garbage, and garbage behind a valid magic
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 200) {
+      val junk = new Array[Byte](rnd.nextInt(300)); rnd.nextBytes(junk)
+      GifPixels.decode(junk) // must not throw; None or not is unspecified
+      val magic = ("GIF89a".getBytes("US-ASCII") ++ junk)
+      GifPixels.decode(magic)
+    }
+    // 65535x65535 claimed dims: width*height*3 wraps Int — a crafted
+    // ~30-byte header must decline, not NegativeArraySizeException
+    val huge = good.clone()
+    val desc = 13 + 256 * 3 // image descriptor offset in this fixture layout
+    assert(huge(desc) == 0x2C)
+    for (i <- desc + 5 to desc + 8) huge(i) = 0xFF.toByte
+    assert(GifPixels.decode(huge).isEmpty)
+    // corrupt LZW payload: flip bytes inside the data sub-blocks
+    val bad = good.clone()
+    for (i <- bad.length - 12 until bad.length - 2) bad(i) = (bad(i) ^ 0x5A).toByte
+    GifPixels.decode(bad) // None or wrong pixels, never a throw
   }
 
   private def gifFixture(w: Int, h: Int, seed: Int): (Array[Byte], Array[Byte], Array[Byte]) = {

@@ -284,6 +284,45 @@ class StreamIngestSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("delete stays deleted under replay: persisted horizon guards the live view") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp, Double)]
+    val path = java.nio.file.Files.createTempDirectory("graft-deldur").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-deldur-ck").toString
+    val q = StreamIngest.writeChunksPerBatch(
+      input.toDF().toDF("series", "ts", "v"), Seq("series"), "ts", "v",
+      s"$path/store", ckpt).start()
+    try {
+      val w0 = 1700006400L
+      // two sealed windows for cpu; mem untouched by the delete
+      input.addData(("cpu", ts(w0 + 10), 1.0), ("cpu", ts(w0 + 30), 2.0),
+        ("cpu", ts(w0 + 7210), 3.0), ("mem", ts(w0 + 20), 5.0))
+      q.processAllAvailable()
+      // surgically delete cpu's NEWEST window: the chunk-derived
+      // horizon for cpu drops back to w0+30, so only the persisted
+      // marker knows w0+7210 was ever ingested
+      graft.tsdb.Ts.deleteFromStore(spark, s"$path/store", w0 + 7200, w0 + 14400)
+      // open tail: an at-least-once REPLAY of the deleted point (must
+      // stay deleted), a replay of a surviving point (must not double),
+      // and one genuinely-new point past the old horizon (must appear)
+      val open = Seq(("cpu", w0 + 7210, 3.0), ("cpu", w0 + 30, 2.0),
+        ("cpu", w0 + 7300, 7.0)).toDF("series", "ts", "v")
+      val live = graft.tsdb.Ts.liveRangeStore(spark, s"$path/store", open,
+          Seq("series"), w0, w0 + 14400)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(live == Set(("cpu", w0 + 10, 1.0), ("cpu", w0 + 30, 2.0),
+        ("cpu", w0 + 7300, 7.0), ("mem", w0 + 20, 5.0)))
+      // and WITHOUT the marker the replay would resurrect — pin that
+      // the guard is the persisted horizon, not an accident of layout
+      val unguarded = graft.tsdb.Ts.liveRange(
+          graft.tsdb.Ts.readStore(spark, s"$path/store"), open, Seq("series"),
+          w0, w0 + 14400)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(unguarded.contains(("cpu", w0 + 7210, 3.0)))
+    } finally q.stop()
+  }
+
   test("streaming signature maintenance equals the batch signature table") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -151,6 +151,34 @@ class TsStoreSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("deleteFromStore: metadata-verified coverage survives a mismatched windowSec") {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val series = Seq("user_id", "event_type")
+    // week-long windows: the partition for the window-start day holds
+    // chunks whose points run SEVEN days past it — the layout
+    // chunkifyAdaptive produces and the old day-arithmetic coverage
+    // test (dayStart + 86400 + windowSec) never anticipated
+    val week = 7 * 86400L
+    val chunks = Ts.chunkify(ev, series, "ts", "value", windowSec = week)
+    val path = java.nio.file.Files.createTempDirectory("graft-del-mm").toString
+    Ts.writeStore(chunks, path)
+    // delete exactly the first day of a week-long partition, passing
+    // the DEFAULT (small) windowSec: day arithmetic would classify the
+    // whole partition as covered and directory-delete six days of
+    // surviving points; the metadata check must route it as boundary
+    val w = (1704844800L / week) * week
+    val from = w
+    val to = w + 86399L
+    Ts.deleteFromStore(spark, path, from, to)
+    val got = Ts.unpack(Ts.readStore(spark, path).drop("window_date"), series)
+      .orderBy("user_id", "event_type", "ts", "v").collect().toSeq
+    val expect = Ts.unpack(chunks, series)
+      .filter(col("ts") < from || col("ts") > to)
+      .orderBy("user_id", "event_type", "ts", "v").collect().toSeq
+    assert(got.nonEmpty && got == expect,
+      s"mismatched-windowSec delete lost ${expect.size - got.size} points")
+  }
+
   test("latest() is exact on a fragmented store (several chunks per window)") {
     val ev = spark.read.parquet(s"$dir/events.parquet")
     val series = Seq("user_id", "event_type")
