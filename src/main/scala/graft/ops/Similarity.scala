@@ -193,6 +193,11 @@ object Similarity {
     * both window functions over one exchange, zero extra shuffles.
     * Already-unique candidate sets (topApprox output) pass through the
     * guard unchanged. */
+  // rerankFactor = 8 default everywhere: the exact pass costs k·factor
+  // dot products per query (trivial against the candidate scan), while
+  // the approximate ordering is the dominant recall loss — measured at
+  // sf0.1, PQ-scored variants sat at 2000 bp with factor 4 against a
+  // 5000 bp probed-list ceiling; widening the net recovers most of it
   private def rerankExact(cand: DataFrame, q: DataFrame, e: DataFrame,
                           k: Int): DataFrame = {
     val scored = cand
@@ -347,7 +352,7 @@ object Similarity {
    */
   def pqTopK(embeddings: DataFrame, queries: DataFrame, idCol: String,
              vecCol: String, k: Int, m: Int = 8, ksub: Int = 16,
-             rerankFactor: Int = 4): DataFrame =
+             rerankFactor: Int = 8): DataFrame =
     pqTopKWith(materialize(pqCodebooks(embeddings, idCol, vecCol, m, ksub)),
       embeddings, queries, idCol, vecCol, k, m, rerankFactor)
 
@@ -355,7 +360,7 @@ object Similarity {
     * rerank only — no k-means on the query path. */
   def pqTopKWith(books: DataFrame, embeddings: DataFrame, queries: DataFrame,
                  idCol: String, vecCol: String, k: Int, m: Int = 8,
-                 rerankFactor: Int = 4): DataFrame = {
+                 rerankFactor: Int = 8): DataFrame = {
     val e = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val q = queries.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val codes = pqEncode(embeddings, idCol, vecCol, books, m).toDF("n_id", "j", "code")
@@ -398,7 +403,7 @@ object Similarity {
    * codegen'd pass each; no shuffle before the bounded rerank.
    */
   def sq8TopK(embeddings: DataFrame, queries: DataFrame, idCol: String,
-              vecCol: String, k: Int, rerankFactor: Int = 4): DataFrame =
+              vecCol: String, k: Int, rerankFactor: Int = 8): DataFrame =
     sq8TopKWith(sq8Scale(embeddings, idCol, vecCol),
       embeddings, queries, idCol, vecCol, k, rerankFactor)
 
@@ -419,7 +424,7 @@ object Similarity {
     * rerank only — no corpus pass on the query path. */
   def sq8TopKWith(maxAbs: Double, embeddings: DataFrame, queries: DataFrame,
                   idCol: String, vecCol: String, k: Int,
-                  rerankFactor: Int = 4): DataFrame = {
+                  rerankFactor: Int = 8): DataFrame = {
     val e = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val q = queries.select(col(idCol).as("id"), col(vecCol).as("vec"))
     import graft.functions.{sq8_dot, sq8_encode}
@@ -443,7 +448,7 @@ object Similarity {
   def ivfSq8TopKWith(centroids: DataFrame, maxAbs: Double,
                      embeddings: DataFrame, queries: DataFrame,
                      idCol: String, vecCol: String, k: Int, nprobe: Int = 4,
-                     rerankFactor: Int = 4): DataFrame = {
+                     rerankFactor: Int = 8): DataFrame = {
     val e = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val q = queries.select(col(idCol).as("id"), col(vecCol).as("vec"))
     import graft.functions.{sq8_dot, sq8_encode}
@@ -473,7 +478,7 @@ object Similarity {
    */
   def ivfPqTopK(embeddings: DataFrame, queries: DataFrame, idCol: String,
                 vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
-                m: Int = 8, ksub: Int = 16, rerankFactor: Int = 4): DataFrame =
+                m: Int = 8, ksub: Int = 16, rerankFactor: Int = 8): DataFrame =
     ivfPqTopKWith(materialize(ivfCentroids(embeddings, idCol, vecCol, nlist)),
       materialize(pqCodebooks(embeddings, idCol, vecCol, m, ksub)),
       embeddings, queries, idCol, vecCol, k, nprobe, m, rerankFactor)
@@ -482,7 +487,7 @@ object Similarity {
   def ivfPqTopKWith(centroids: DataFrame, books: DataFrame,
                     embeddings: DataFrame, queries: DataFrame, idCol: String,
                     vecCol: String, k: Int, nprobe: Int = 4,
-                    m: Int = 8, rerankFactor: Int = 4): DataFrame = {
+                    m: Int = 8, rerankFactor: Int = 8): DataFrame = {
     val e = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val q = queries.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val lists = assign(e, centroids)
@@ -725,7 +730,7 @@ object Similarity {
     * ints per vector from parquet — never the float arrays. */
   def pqTopKStored(idx: AnnIndex, embeddings: DataFrame, queries: DataFrame,
                    idCol: String, vecCol: String, k: Int, m: Int = 8,
-                   rerankFactor: Int = 4): DataFrame = {
+                   rerankFactor: Int = 8): DataFrame = {
     val e = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val q = queries.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val lut = adcLut(q, idx.books, m)
@@ -739,7 +744,7 @@ object Similarity {
   /** IVF-PQ top-k off persisted lists + codes. */
   def ivfPqTopKStored(idx: AnnIndex, embeddings: DataFrame, queries: DataFrame,
                       idCol: String, vecCol: String, k: Int, nprobe: Int = 4,
-                      m: Int = 8, rerankFactor: Int = 4): DataFrame = {
+                      m: Int = 8, rerankFactor: Int = 8): DataFrame = {
     val e = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val q = queries.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val cand = probeLists(q, idx.centroids, nprobe)
@@ -757,7 +762,7 @@ object Similarity {
   def ivfPqResidualTopKStored(idx: AnnIndex, embeddings: DataFrame,
                               queries: DataFrame, idCol: String, vecCol: String,
                               k: Int, nprobe: Int = 4, m: Int = 8,
-                              rerankFactor: Int = 4): DataFrame = {
+                              rerankFactor: Int = 8): DataFrame = {
     val e = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val q = queries.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val codes = idx.resCodes.toDF("n_id", "cluster", "j", "code")
@@ -784,7 +789,7 @@ object Similarity {
     * bytes from parquet, scores with exact integer dots. */
   def sq8TopKStored(idx: AnnIndex, embeddings: DataFrame, queries: DataFrame,
                     idCol: String, vecCol: String, k: Int,
-                    rerankFactor: Int = 4): DataFrame = {
+                    rerankFactor: Int = 8): DataFrame = {
     val e = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val q = queries.select(col(idCol).as("id"), col(vecCol).as("vec"))
     import graft.functions.{sq8_dot, sq8_encode}
@@ -800,7 +805,7 @@ object Similarity {
   /** IVF-SQ8 top-k off persisted lists + int8 codes. */
   def ivfSq8TopKStored(idx: AnnIndex, embeddings: DataFrame, queries: DataFrame,
                        idCol: String, vecCol: String, k: Int, nprobe: Int = 4,
-                       rerankFactor: Int = 4): DataFrame = {
+                       rerankFactor: Int = 8): DataFrame = {
     val e = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val q = queries.select(col(idCol).as("id"), col(vecCol).as("vec"))
     import graft.functions.{sq8_dot, sq8_encode}
@@ -864,7 +869,7 @@ object Similarity {
   /** Residual IVF-PQ with inline training — see [[ivfPqResidualTopKWith]]. */
   def ivfPqResidualTopK(embeddings: DataFrame, queries: DataFrame, idCol: String,
                         vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
-                        m: Int = 8, ksub: Int = 16, rerankFactor: Int = 4): DataFrame = {
+                        m: Int = 8, ksub: Int = 16, rerankFactor: Int = 8): DataFrame = {
     val centroids = materialize(ivfCentroids(embeddings, idCol, vecCol, nlist))
     ivfPqResidualTopKWith(centroids,
       materialize(residualCodebooks(embeddings, idCol, vecCol, centroids, m, ksub)),
@@ -885,7 +890,7 @@ object Similarity {
                             embeddings: DataFrame, queries: DataFrame,
                             idCol: String, vecCol: String, k: Int,
                             nprobe: Int = 4, m: Int = 8,
-                            rerankFactor: Int = 4): DataFrame = {
+                            rerankFactor: Int = 8): DataFrame = {
     val e = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val q = queries.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val resid = residualFrame(e, centroids)

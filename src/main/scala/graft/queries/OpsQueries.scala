@@ -178,7 +178,22 @@ object OpsQueries {
    *   truncation vs all in-bucket pairs — [[Dedup.minhashBucketStats]]
    *   accounting, so cap-induced loss is a measured number.
    */
-  def recallReport(s: SparkSession, dir: String): DataFrame = {
+  def recallReport(s: SparkSession, dir: String): DataFrame = synchronized {
+    // one computation per (session, corpus): the report is a published
+    // per-round ARTIFACT (RECALL.json) read by two query keys and the
+    // Verify dump — the brute-force truth passes are the expensive
+    // part, and they are identical across those consumers
+    recallCache.getOrElseUpdate((s, dir), {
+      val df = computeRecallReport(s, dir)
+      val rows = df.collect() // 11 rows — one per approximate op
+      s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1), df.schema)
+    })
+  }
+
+  private val recallCache =
+    scala.collection.mutable.Map[(SparkSession, String), DataFrame]()
+
+  private def computeRecallReport(s: SparkSession, dir: String): DataFrame = {
     val e = Tables(s, dir, "embeddings")
     val brutePairs = Similarity
       .bruteTopK(e.filter(col("vec_id") < 10), e, "vec_id", "embedding", 5)
