@@ -97,7 +97,13 @@ class ExplainAllSpec extends AnyFunSuite {
       // + candidate distinct + final orderBy shuffle; the broadcasts
       // are the doc-size/prefix/shingle sides (all signature-table
       // projections, none corpus-text-sized), and nothing decodes
-      "text_containment_join" -> (4, 5, 0))
+      "text_containment_join" -> (4, 5, 0),
+      // delete-durable live view: ONE decode of the deleted store's
+      // sealed side; shuffles are the chunk-horizon groupBy, the
+      // persisted-marker merge groupBy, and the final orderBy; the
+      // one-row-per-series merged horizon broadcasts onto the open
+      // tail — nothing store-sized shuffles twice
+      "ts_store_live_delete" -> (3, 1, 1))
     val failures = expected.flatMap { case (name, want) =>
       val got = shape(name)
       if (got != want)
