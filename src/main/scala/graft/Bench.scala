@@ -65,13 +65,17 @@ object Bench {
       // phantom 1.4-1.8x outliers on the store family (r6 vs a 5-rep
       // recheck, BASELINE.md) — the min of two timed runs measures the
       // plan, the max measures whatever the heap was doing
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 2).flatMap { _ =>
         System.gc()
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        // a failed query must NOT record its (fast) failure latency as
+        // a timing — round 7's driver data-shape change made every ts_*
+        // query fail analysis in ~60 ms, and the bench line happily
+        // reported those as 6-centisecond successes
+        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+        catch { case _: Throwable => None }
       }
-      name -> times.min
+      name -> (if (times.nonEmpty) times.min else -1.0)
     }
     def fmt(v: Double): String = (math.round(v * 10000) / 10000.0).toString
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
@@ -103,7 +107,12 @@ object Bench {
                                  sfName: String): String = {
     def build(unit: String, scale: Double): String = {
       val entries = results.sortBy(_._1)
-        .map { case (k, v) => (k.split('_').toList, math.round(math.max(v, 0.0) * scale)) }
+        .map { case (k, v) =>
+          // -1 marks a FAILED query (both timed runs threw) — keep the
+          // sentinel visible in the compact line rather than rounding
+          // it up to a plausible-looking 0
+          (k.split('_').toList, if (v < 0) -1L else math.round(v * scale))
+        }
       // minimal wrapper: the metric/value/unit contract fields ride the
       // full-precision line above and bench_out.json — every byte here
       // is budget for query keys

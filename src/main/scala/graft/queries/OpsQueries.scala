@@ -876,9 +876,10 @@ object OpsQueries {
         |  least(CAST(len(ws) AS DOUBLE) / 100.0, 1.0) * 0.3 AS quality_score
         |FROM w),
         |r AS (SELECT doc_id, source, n_tokens, quality_score,
-        |  sum(n_tokens) OVER (PARTITION BY source
+        |  CAST(sum(n_tokens) OVER (PARTITION BY source
         |    ORDER BY quality_score DESC, doc_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_tokens
         |FROM c)
         |SELECT doc_id, source, n_tokens,
         |  CAST(floor(quality_score * 1000) AS BIGINT) AS quality_milli, cum_tokens

@@ -29,12 +29,20 @@ object Ts {
   val FixedScale = 100.0
 
   /** Truncate a timestamp column to epoch seconds (floor).
-    * Handles TimestampType and raw epoch-nano longs (Spark reads
-    * parquet TIMESTAMP(NANOS) as LongType under
-    * `spark.sql.legacy.parquet.nanosAsLong=true`). Integer division
-    * throughout — nano epochs exceed 2^53, so double math would drift. */
+    * Handles parquet TIMESTAMP(MICROS) read as TIMESTAMP/TIMESTAMP_NTZ
+    * (naive values bind to the session timezone, pinned UTC — matching
+    * the oracle's `epoch_ns(ts) // 1e9`, which treats naive as UTC),
+    * raw epoch-nano longs (parquet TIMESTAMP(NANOS) under
+    * `spark.sql.legacy.parquet.nanosAsLong=true`), and plain numeric
+    * epoch seconds. Integer division throughout — nano/micro epochs
+    * exceed 2^53, so double math would drift; ANSI mode also forbids a
+    * direct timestamp→long cast. */
   def epochSec(df: DataFrame, tsCol: String): Column = df.schema(tsCol).dataType match {
     case org.apache.spark.sql.types.LongType => expr(s"$tsCol div 1000000000")
+    case _: org.apache.spark.sql.types.TimestampNTZType =>
+      expr(s"unix_micros(cast($tsCol as timestamp)) div 1000000")
+    case _: org.apache.spark.sql.types.TimestampType =>
+      expr(s"unix_micros($tsCol) div 1000000")
     case _ => col(tsCol).cast("long")
   }
 

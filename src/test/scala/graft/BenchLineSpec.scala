@@ -54,6 +54,14 @@ class BenchLineSpec extends AnyFunSuite {
     }
   }
 
+  test("failed queries ride the line as -1 sentinels, not fake zeros") {
+    val entries = Seq("ok" -> 0.5, "broken" -> -1.0)
+    val line = Bench.compactLine(entries, 0.5, "sf0")
+    val flat = collection.mutable.Map.empty[String, Long]
+    flatten(new ObjectMapper().readTree(line).get("queries"), "", flat)
+    assert(flat == Map("ok" -> 50L, "broken" -> -1L))
+  }
+
   test("sibling-leaf keys (ts_anomaly vs ts_anomaly_prefix) survive nesting") {
     val entries = Seq("a_b" -> 0.1, "a_b_c" -> 0.2, "a_b_d" -> 0.3, "x" -> 0.4)
     val line = Bench.compactLine(entries, 1.0, "sf0")
