@@ -31,3 +31,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// The driver keeps only the last 2000 stdout chars of a bench run; the
+// "[success] Total time ..." epilogue would evict ~80 chars of the
+// compact query line, so suppress it (the exit code still reports).
+Global / excludeLintKeys += showSuccess
+Global / showSuccess := false

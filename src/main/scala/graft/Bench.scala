@@ -94,7 +94,7 @@ object Bench {
     // always sees every query. Keys nest on '_' tokens wherever >= 2
     // queries share a prefix; reconstruct flat names by joining nested
     // keys with '_' ("" = the node itself is a query). Values are
-    // integer centiseconds ("qunit") — 10 ms resolution, enough to
+    // integer centiseconds (qunit "cs") — 10 ms resolution, enough to
     // flag any regression the per-round diff cares about.
     val compact = compactLine(results, total, new java.io.File(sfDir).getName)
     println(compact)
@@ -113,13 +113,17 @@ object Bench {
           // it up to a plausible-looking 0
           (k.split('_').toList, if (v < 0) -1L else math.round(v * scale))
         }
-      // minimal wrapper: the metric/value/unit contract fields ride the
-      // full-precision line above and bench_out.json — every byte here
-      // is budget for query keys
-      s"""{"sf":"$sfName","qunit":"$unit","total_cs":${math.round(total * 100)},"queries":${emitTrie(entries)}}"""
+      // minimal wrapper: the metric/value/unit contract fields (and the
+      // total) ride the full-precision line above and bench_out.json —
+      // every byte here is budget for query keys
+      s"""{"sf":"$sfName","qunit":"$unit","queries":${emitTrie(entries)}}"""
     }
-    val cs = build("centisec", 100.0)
-    if (cs.length <= 1900) cs else build("decisec", 10.0)
+    // budget: the driver keeps the LAST 2000 stdout chars; with the sbt
+    // success epilogue suppressed (build.sbt showSuccess := false) the
+    // compact line + its newline is the tail's end, so ≤ 1995 keeps the
+    // whole line visible with margin
+    val cs = build("cs", 100.0)
+    if (cs.length <= 1995) cs else build("ds", 10.0)
   }
 
   /** Emit items (token-path, value) as nested JSON, collapsing

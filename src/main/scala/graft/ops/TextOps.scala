@@ -208,6 +208,74 @@ object TextOps {
   }
 
   /**
+   * Deterministic concat-and-chunk sequence packing: documents are
+   * concatenated in id order and sliced into fixed `ctxLen`-token
+   * training sequences; each doc is assigned the sequence its FIRST
+   * token lands in, plus its offset inside that sequence — the plan a
+   * tokenizer-side packer executes verbatim. Packing runs per
+   * (source, shard) with `shard = id mod nShards`, so the cumsum
+   * windows are embarrassingly parallel: at 100 TB the packer's only
+   * sequential dependency is within one shard, never the corpus, and
+   * shard count scales with the cluster while keeping the assignment
+   * reproducible (id-derived, not partition-derived). All-integer
+   * arithmetic — start offsets, sequence ids, and in-sequence offsets
+   * come from one window cumsum and two integer divisions.
+   */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+                    sourceCol: String, ctxLen: Long, nShards: Int = 8): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sourceCol), col("shard")).orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    docs.select(col(idCol), col(sourceCol),
+        pmod(col(idCol), lit(nShards.toLong)).as("shard"),
+        size(split(col(textCol), " ")).cast("long").as("n_tokens"))
+      .withColumn("start_offset", sum("n_tokens").over(w) - col("n_tokens"))
+      .select(col(idCol), col(sourceCol), col("shard"), col("n_tokens"),
+        col("start_offset"),
+        // `div`, not `/`: Spark's `/` is double division, whose
+        // rounding could cross an integer boundary on big offsets
+        expr(s"start_offset div $ctxLen").as("seq_id"),
+        pmod(col("start_offset"), lit(ctxLen)).as("offset_in_seq"))
+  }
+
+  /**
+   * Mixture allocation for a dataset build: split a total token
+   * `budget` across groups (languages, sources) proportionally to
+   * their EXACT token counts, with largest-remainder rounding so the
+   * allocations sum to exactly `budget` — the "how many tokens of
+   * each language go in the mix" step, all-integer so two engines
+   * can never disagree. floor(budget·n/total) leaves
+   * `budget − Σfloor < #groups` tokens; they go to the groups with
+   * the largest remainders (ties broken on the group key). The
+   * per-group totals are one map-side-combined aggregate over the
+   * corpus; the allocation windows then run over #groups rows —
+   * group-cardinality bounded, nothing at corpus scale.
+   */
+  def mixAllocate(docs: DataFrame, groupCol: String, textCol: String,
+                  budget: Long): DataFrame = {
+    val totals = docs
+      .groupBy(col(groupCol))
+      .agg(sum(size(split(col(textCol), " ")).cast("long")).as("n_tokens"))
+    val all = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val byRem = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rem").desc, col(groupCol))
+    totals
+      .withColumn("total", sum("n_tokens").over(all))
+      // `div`/`pmod` keep the split all-integer (`/` would go double)
+      .withColumn("fl", expr(s"($budget * n_tokens) div total"))
+      .withColumn("rem", pmod(lit(budget) * col("n_tokens"), col("total")))
+      .withColumn("rk", row_number().over(byRem))
+      .withColumn("short", lit(budget) - sum("fl").over(all))
+      .select(col(groupCol), col("n_tokens"),
+        (col("fl") + when(col("rk") <= col("short"), 1L).otherwise(0L))
+          .as("alloc_tokens"))
+  }
+
+  /**
    * Corpus-wide top-k most frequent word n-grams. The groupBy count is
    * the canonical map-side-combine shape (partial counts per partition,
    * one shuffle of the combined vocabulary); top-k runs as a

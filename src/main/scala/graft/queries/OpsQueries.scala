@@ -473,6 +473,16 @@ object OpsQueries {
     "text_token_budget" -> ((s, dir) =>
       TextOps.tokenBudget(Tables(s, dir, "documents"), "doc_id", "text",
         "source", budget = 800L).orderBy("doc_id")),
+    // concat-and-chunk packing into 1024-token training sequences,
+    // sharded 8 ways per source so the cumsum parallelizes
+    "pack_sequences" -> ((s, dir) =>
+      TextOps.packSequences(Tables(s, dir, "documents"), "doc_id", "text",
+        "source", ctxLen = 1024L).orderBy("doc_id")),
+    // split a 1M-token budget across languages proportionally to
+    // exact token counts, largest-remainder rounded to sum exactly
+    "mix_allocate" -> ((s, dir) =>
+      TextOps.mixAllocate(Tables(s, dir, "documents"), "lang", "text",
+        budget = 1000000L).orderBy("lang")),
     "text_tokens" -> ((s, dir) =>
       TextOps.tokens(Tables(s, dir, "documents"), "doc_id", "text").orderBy("doc_id")),
     "text_fingerprint" -> ((s, dir) =>
@@ -884,6 +894,34 @@ object OpsQueries {
         |SELECT doc_id, source, n_tokens,
         |  CAST(floor(quality_score * 1000) AS BIGINT) AS quality_milli, cum_tokens
         |FROM r WHERE cum_tokens <= 800 ORDER BY doc_id""".stripMargin,
+    "pack_sequences" ->
+      """WITH w AS (SELECT doc_id, source, doc_id % 8 AS shard,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |FROM documents),
+        |c AS (SELECT doc_id, source, shard, n_tokens,
+        |  CAST(sum(n_tokens) OVER (PARTITION BY source, shard ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    - n_tokens AS start_offset
+        |FROM w)
+        |SELECT doc_id, source, shard, n_tokens, start_offset,
+        |  start_offset // 1024 AS seq_id, start_offset % 1024 AS offset_in_seq
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "mix_allocate" ->
+      """WITH t AS (SELECT lang,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |FROM documents GROUP BY lang),
+        |s AS (SELECT lang, n_tokens,
+        |  CAST(sum(n_tokens) OVER () AS BIGINT) AS total FROM t),
+        |f AS (SELECT lang, n_tokens, total,
+        |  CAST((1000000 * n_tokens) // total AS BIGINT) AS fl,
+        |  CAST((1000000 * n_tokens) % total AS BIGINT) AS rem FROM s),
+        |r AS (SELECT lang, n_tokens, fl, rem,
+        |  row_number() OVER (ORDER BY rem DESC, lang) AS rk,
+        |  CAST(1000000 - sum(fl) OVER () AS BIGINT) AS short FROM f)
+        |SELECT lang, n_tokens,
+        |  CAST(fl + CASE WHEN rk <= short THEN 1 ELSE 0 END AS BIGINT)
+        |    AS alloc_tokens
+        |FROM r ORDER BY lang""".stripMargin,
     "text_quality" ->
       """WITH w AS (SELECT doc_id, length(text) AS n_chars,
         |  string_split(text, ' ') AS ws FROM documents),

@@ -374,6 +374,89 @@ object TsQueries {
       Ts.rangeAgg(storeChunks(s, dir, RangeFrom, RangeTo), series, RangeFrom, RangeTo)
         .orderBy(col("sum_cents").desc, col("user_id"), col("event_type"))
         .limit(10)),
+    // counter resets per series-day (PromQL resets()): a reset is a
+    // strict drop between consecutive samples, compared on exact
+    // integer cents so both engines agree at every boundary
+    "ts_resets" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id", "event_type").orderBy("ts", "v")
+      points(s, dir)
+        .withColumn("cents", round(col("v") * 100).cast("long"))
+        .withColumn("prev_cents", lag("cents", 1).over(w))
+        .groupBy(col("user_id"), col("event_type"),
+          ((col("ts") / 86400).cast("long") * 86400).as("day"))
+        .agg(sum(when(col("prev_cents").isNotNull &&
+            col("cents") < col("prev_cents"), 1L).otherwise(0L)).as("n_resets"),
+          count(lit(1)).as("n"))
+        .orderBy("user_id", "event_type", "day")
+    }),
+    // instantaneous rate (PromQL irate()): per series, the slope of
+    // the LAST two samples inside the fixed query range. One window
+    // rank keeps only two rows per series before the pivot, so the
+    // shuffle is 2×|series|, not point-count; dcents/dt are exact
+    // integers, the emitted rate is one IEEE division of them
+    "ts_irate" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy(col("ts").desc, col("v").desc)
+      points(s, dir)
+        .filter(col("ts") >= RangeFrom && col("ts") <= RangeTo)
+        .withColumn("cents", round(col("v") * 100).cast("long"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2)
+        .groupBy("user_id", "event_type")
+        .agg(max(when(col("rn") === 1, col("ts"))).as("last_ts"),
+          max(when(col("rn") === 2, col("ts"))).as("prev_ts"),
+          (max(when(col("rn") === 1, col("cents"))) -
+            max(when(col("rn") === 2, col("cents")))).as("dcents"),
+          (max(when(col("rn") === 1, col("ts"))) -
+            max(when(col("rn") === 2, col("ts")))).as("dt"))
+        .filter(col("prev_ts").isNotNull)
+        .withColumn("irate",
+          when(col("dt") =!= 0,
+            col("dcents").cast("double") / (lit(100.0) * col("dt"))))
+        .orderBy("user_id", "event_type")
+    }),
+    // per-series least-squares trend (PromQL deriv()): slope over the
+    // fixed range from exact integer sums (t relative to the range
+    // start so t·cents products stay far under 2^63; bound in the
+    // oracle comment), emitted as BIGINT numerator/denominator plus
+    // one IEEE division — deterministic under any partitioning
+    "ts_deriv" -> ((s, dir) =>
+      points(s, dir)
+        .filter(col("ts") >= RangeFrom && col("ts") <= RangeTo)
+        .select(col("user_id"), col("event_type"),
+          (col("ts") - RangeFrom).as("t"),
+          round(col("v") * 100).cast("long").as("cents"))
+        .groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("n"), sum("t").as("st"), sum("cents").as("sv"),
+          sum(col("t") * col("cents")).as("stv"),
+          sum(col("t") * col("t")).as("stt"))
+        .filter(col("n") >= 2)
+        .withColumn("num", col("n") * col("stv") - col("st") * col("sv"))
+        .withColumn("den", col("n") * col("stt") - col("st") * col("st"))
+        .withColumn("slope",
+          when(col("den") =!= 0,
+            col("num").cast("double") / (lit(100.0) * col("den"))))
+        .select("user_id", "event_type", "n", "num", "den", "slope")
+        .orderBy("user_id", "event_type")),
+    // absent-series detection (PromQL absent() over a grid): for every
+    // series the corpus has EVER seen, the hours in the fixed range
+    // with zero samples. Grid = |series| × 48 rows (series-bounded,
+    // not point-bounded); the present set is an hour-granular
+    // distinct, removed with a broadcast-able left-anti join
+    "ts_absent" -> ((s, dir) => {
+      val pts = points(s, dir)
+      val grid = pts.select("user_id", "event_type").distinct()
+        .select(col("user_id"), col("event_type"),
+          explode(sequence(lit(RangeFrom), lit(RangeTo - 3600), lit(3600L)))
+            .as("hour"))
+      val present = pts
+        .filter(col("ts") >= RangeFrom && col("ts") < RangeTo)
+        .select(col("user_id"), col("event_type"),
+          ((col("ts") / 3600).cast("long") * 3600).as("hour"))
+        .distinct()
+      grid.join(present, Seq("user_id", "event_type", "hour"), "left_anti")
+        .orderBy("user_id", "event_type", "hour")
+    }),
     // counter rate between consecutive points of a series
     "ts_rate" -> ((s, dir) => {
       val w = Window.partitionBy("user_id", "event_type").orderBy("ts", "v")
@@ -810,6 +893,68 @@ object TsQueries {
       |    (v - lag(v) OVER w) / nullif(ts - lag(ts) OVER w, 0) AS rate
       |  FROM pts WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, v))
       |WHERE prev_ts IS NOT NULL ORDER BY user_id, event_type, ts, v""".stripMargin,
+    "ts_resets" -> s"""WITH $ptsSql,
+      |d AS (SELECT user_id, event_type, ts,
+      |        CAST(round(v * 100) AS BIGINT) AS cents,
+      |        lag(CAST(round(v * 100) AS BIGINT))
+      |          OVER (PARTITION BY user_id, event_type ORDER BY ts, v) AS prev_cents
+      |      FROM pts)
+      |SELECT user_id, event_type, (ts // 86400) * 86400 AS day,
+      |  CAST(sum(CASE WHEN prev_cents IS NOT NULL AND cents < prev_cents
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS n_resets,
+      |  count(*) AS n
+      |FROM d GROUP BY 1, 2, 3 ORDER BY user_id, event_type, day""".stripMargin,
+    "ts_irate" -> s"""WITH $ptsSql,
+      |r AS (SELECT user_id, event_type, ts,
+      |        CAST(round(v * 100) AS BIGINT) AS cents,
+      |        row_number() OVER (PARTITION BY user_id, event_type
+      |                           ORDER BY ts DESC, v DESC) AS rn
+      |      FROM pts WHERE ts >= $RangeFrom AND ts <= $RangeTo)
+      |SELECT user_id, event_type,
+      |  max(CASE WHEN rn = 1 THEN ts END) AS last_ts,
+      |  max(CASE WHEN rn = 2 THEN ts END) AS prev_ts,
+      |  CAST(max(CASE WHEN rn = 1 THEN cents END) -
+      |       max(CASE WHEN rn = 2 THEN cents END) AS BIGINT) AS dcents,
+      |  CAST(max(CASE WHEN rn = 1 THEN ts END) -
+      |       max(CASE WHEN rn = 2 THEN ts END) AS BIGINT) AS dt,
+      |  CAST(max(CASE WHEN rn = 1 THEN cents END) -
+      |       max(CASE WHEN rn = 2 THEN cents END) AS DOUBLE) /
+      |    (100.0 * nullif(max(CASE WHEN rn = 1 THEN ts END) -
+      |                    max(CASE WHEN rn = 2 THEN ts END), 0)) AS irate
+      |FROM r WHERE rn <= 2 GROUP BY 1, 2
+      |HAVING max(CASE WHEN rn = 2 THEN ts END) IS NOT NULL
+      |ORDER BY user_id, event_type""".stripMargin,
+    // t·cents ≤ 172800 · |cents|max and the per-series sums stay far
+    // under 2^63 at every test SF (and at sf1: ~10⁴ pts/series ×
+    // 1.7e13 ≈ 1.7e17); num/den are exact BIGINTs on both engines
+    "ts_deriv" -> s"""WITH $ptsSql,
+      |c AS (SELECT user_id, event_type, ts - $RangeFrom AS t,
+      |        CAST(round(v * 100) AS BIGINT) AS cents
+      |      FROM pts WHERE ts >= $RangeFrom AND ts <= $RangeTo),
+      |s AS (SELECT user_id, event_type, count(*) AS n,
+      |        CAST(sum(t) AS BIGINT) AS st, CAST(sum(cents) AS BIGINT) AS sv,
+      |        CAST(sum(t * cents) AS BIGINT) AS stv,
+      |        CAST(sum(t * t) AS BIGINT) AS stt
+      |      FROM c GROUP BY 1, 2)
+      |SELECT user_id, event_type, n,
+      |  CAST(n * stv - st * sv AS BIGINT) AS num,
+      |  CAST(n * stt - st * st AS BIGINT) AS den,
+      |  CAST(n * stv - st * sv AS DOUBLE) /
+      |    (100.0 * nullif(n * stt - st * st, 0)) AS slope
+      |FROM s WHERE n >= 2 ORDER BY user_id, event_type""".stripMargin,
+    "ts_absent" -> s"""WITH $ptsSql,
+      |sr AS (SELECT DISTINCT user_id, event_type FROM pts),
+      |grid AS (SELECT user_id, event_type,
+      |           unnest(generate_series($RangeFrom, ${RangeTo - 3600}, 3600)) AS hour
+      |         FROM sr),
+      |pres AS (SELECT DISTINCT user_id, event_type,
+      |           (ts // 3600) * 3600 AS hour
+      |         FROM pts WHERE ts >= $RangeFrom AND ts < $RangeTo)
+      |SELECT g.user_id, g.event_type, g.hour FROM grid g
+      |WHERE NOT EXISTS (SELECT 1 FROM pres p
+      |  WHERE p.user_id = g.user_id AND p.event_type = g.event_type
+      |    AND p.hour = g.hour)
+      |ORDER BY g.user_id, g.event_type, g.hour""".stripMargin,
     "ts_moving_avg" -> s"""WITH $ptsSql
       |SELECT user_id, event_type, ts, v,
       |  count(*) OVER w AS mov_n,

@@ -6,12 +6,13 @@ import scala.jdk.CollectionConverters._
 
 /**
  * The driver keeps only the last 2000 chars of bench stdout and parses
- * the last complete JSON line it finds there (~80 chars of sbt epilogue
- * follow our line). Rounds 3-6 lost their per-query map because the
- * flat 114-key line outgrew that window. These tests pin the compact
- * trie line's two contracts: it must FIT (<= 1900 chars) and it must
- * carry EVERY query losslessly (flatten nested keys by joining with
- * '_'; "" names the node that is itself a query).
+ * the last complete JSON line it finds there (build.sbt suppresses the
+ * sbt success epilogue so our line IS the tail's end). Rounds 3-6 lost
+ * their per-query map because the flat 114-key line outgrew that
+ * window. These tests pin the compact trie line's two contracts: it
+ * must FIT (<= 1995 chars) and it must carry EVERY query losslessly
+ * (flatten nested keys by joining with '_'; "" names the node that is
+ * itself a query).
  */
 class BenchLineSpec extends AnyFunSuite {
   private val keys = SparkEntry.queries.keys.toSeq.sorted
@@ -36,14 +37,14 @@ class BenchLineSpec extends AnyFunSuite {
 
   test("compact line fits the driver's tail window with margin") {
     val line = Bench.compactLine(results, results.map(_._2).sum, "sf0.1")
-    assert(line.length <= 1900, s"compact line ${line.length} chars > 1900")
+    assert(line.length <= 1995, s"compact line ${line.length} chars > 1995")
     assert(!line.contains('\n'))
   }
 
   test("compact line round-trips every query key and centisecond value") {
     val line = Bench.compactLine(results, results.map(_._2).sum, "sf0.1")
     val root = new ObjectMapper().readTree(line)
-    assert(root.get("qunit").asText() == "centisec")
+    assert(root.get("qunit").asText() == "cs")
     assert(root.get("sf").asText() == "sf0.1")
     val flat = collection.mutable.Map.empty[String, Long]
     flatten(root.get("queries"), "", flat)

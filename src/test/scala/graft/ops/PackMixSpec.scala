@@ -1,0 +1,72 @@
+package graft.ops
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Structural invariants of the dataset-build operators — sequence
+ * packing and mixture allocation — that the SQL oracles don't state
+ * explicitly: offsets tile each shard gaplessly, allocations sum to
+ * exactly the budget, and both stay deterministic under repartition.
+ */
+class PackMixSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val dir = "/root/testdata/sf0.001"
+  lazy val docs = spark.read.parquet(s"$dir/documents.parquet")
+
+  test("packSequences tiles each (source, shard) stream gaplessly") {
+    val out = TextOps.packSequences(docs, "doc_id", "text", "source",
+      ctxLen = 64L, nShards = 4).collect()
+    assert(out.nonEmpty)
+    val byShard = out.groupBy(r => (r.getAs[String]("source"), r.getAs[Long]("shard")))
+    byShard.foreach { case ((src, sh), rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("doc_id"))
+      // concat-and-chunk: each doc starts exactly where the previous
+      // one ended — the offsets ARE the token stream, no gaps/overlaps
+      var expect = 0L
+      sorted.foreach { r =>
+        assert(r.getAs[Long]("start_offset") == expect,
+          s"gap in ($src, $sh) at doc ${r.getAs[Long]("doc_id")}")
+        assert(r.getAs[Long]("seq_id") == expect / 64,
+          "seq_id is not the ctx-chunk of the start offset")
+        assert(r.getAs[Long]("offset_in_seq") == expect % 64)
+        expect += r.getAs[Long]("n_tokens")
+      }
+    }
+    // shard is id-derived, so every doc appears exactly once
+    assert(out.map(_.getAs[Long]("doc_id")).distinct.length == out.length)
+    assert(out.length == docs.count())
+  }
+
+  test("packSequences is layout-independent") {
+    val a = TextOps.packSequences(docs, "doc_id", "text", "source", 64L, 4)
+      .orderBy("doc_id").collect().toSeq
+    val b = TextOps.packSequences(docs.repartition(13), "doc_id", "text",
+      "source", 64L, 4).orderBy("doc_id").collect().toSeq
+    assert(a == b)
+  }
+
+  test("mixAllocate sums to exactly the budget, proportionally") {
+    val budget = 999983L // prime: floor division always leaves remainders
+    val out = TextOps.mixAllocate(docs, "lang", "text", budget).collect()
+    val total = out.map(_.getAs[Long]("n_tokens")).sum
+    assert(out.map(_.getAs[Long]("alloc_tokens")).sum == budget,
+      "largest-remainder rounding must conserve the budget exactly")
+    out.foreach { r =>
+      val exact = budget.toDouble * r.getAs[Long]("n_tokens") / total
+      val alloc = r.getAs[Long]("alloc_tokens")
+      // each group is within one token of its exact proportional share
+      assert(math.abs(alloc - exact) < 1.0 + 1e-9,
+        s"${r.getAs[String]("lang")}: alloc $alloc vs exact $exact")
+    }
+  }
+
+  test("mixAllocate is layout-independent") {
+    val a = TextOps.mixAllocate(docs, "lang", "text", 12345L)
+      .orderBy("lang").collect().toSeq
+    val b = TextOps.mixAllocate(docs.repartition(7), "lang", "text", 12345L)
+      .orderBy("lang").collect().toSeq
+    assert(a == b)
+  }
+}
