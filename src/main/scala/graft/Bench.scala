@@ -115,8 +115,9 @@ object Bench {
         }
       // minimal wrapper: the metric/value/unit contract fields (and the
       // total) ride the full-precision line above and bench_out.json —
-      // every byte here is budget for query keys
-      s"""{"sf":"$sfName","qunit":"$unit","queries":${emitTrie(entries)}}"""
+      // every byte here is budget for query keys. "u" = value unit
+      // ("cs" centiseconds / "ds" deciseconds), "q" = the query map
+      s"""{"sf":"$sfName","u":"$unit","q":${emitTrie(entries)}}"""
     }
     // budget: the driver keeps the LAST 2000 stdout chars; with the sbt
     // success epilogue suppressed (build.sbt showSuccess := false) the

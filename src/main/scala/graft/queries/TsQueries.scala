@@ -111,6 +111,40 @@ object TsQueries {
     path
   }
 
+  /** The late batch both upsert queries merge: the fixed range's
+    * points shifted +30 min — most land inside windows the store
+    * already sealed (the decode-merge-re-encode path), the tail spills
+    * into fresh windows (the new-chunk path). */
+  private def lateBatch(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+    val sec = Ts.epochSec(ev, "ts")
+    ev.filter(sec >= RangeFrom && sec <= RangeTo)
+      .select(col("user_id"), col("event_type"),
+        to_timestamp(sec + 1800L).as("ts"),
+        col("value").cast("double").as("v"))
+  }
+
+  /** A byte-copy of the chunk store with the late batch upserted in
+    * place ([[Ts.upsertIntoStore]]) — built once per dir like
+    * [[deletedStorePath]]: only the touched `window_date` partitions
+    * are read and rewritten on a real persisted store. */
+  def upsertedStorePath(s: SparkSession, dir: String): String = synchronized {
+    graft.functions.registerAll(s)
+    storeChunks(s, dir) // ensure the source store exists
+    val path = storePath(dir) + "_ups"
+    if (!new java.io.File(path, "_SUCCESS").exists()) {
+      val conf = s.sparkContext.hadoopConfiguration
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(conf)
+      val tmp = new org.apache.hadoop.fs.Path(path + ".tmp")
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+      org.apache.hadoop.fs.FileUtil.copy(
+        fs, new org.apache.hadoop.fs.Path(storePath(dir)), fs, tmp, false, conf)
+      Ts.upsertIntoStore(s, tmp.toString, lateBatch(s, dir), series, "ts", "v")
+      fs.rename(tmp, new org.apache.hadoop.fs.Path(path))
+    }
+    path
+  }
+
   private def aggExact(points: DataFrame): DataFrame =
     points.groupBy("user_id")
       .agg(count(lit(1)).as("n"),
@@ -259,6 +293,21 @@ object TsQueries {
     "ts_delete_range" -> ((s, dir) =>
       aggExact(Ts.unpack(
         Ts.deleteRange(chunks(s, dir), series, RangeFrom, RangeTo), series))),
+    // late-data merge into sealed chunks: the +30-min-shifted range
+    // batch routed by (series, window) metadata — untouched chunks
+    // pass through encoded, touched windows decode+union+re-encode,
+    // spill windows encode fresh; must equal aggregating raw ∪ late
+    "ts_upsert" -> ((s, dir) =>
+      aggExact(Ts.unpack(
+        Ts.upsertPoints(chunks(s, dir), lateBatch(s, dir), series, "ts", "v"),
+        series))),
+    // the same merge in place on the PERSISTED store: only the touched
+    // window_date partitions are read/rewritten (dynamic overwrite);
+    // shares ts_upsert's oracle — the store roundtrip must change
+    // nothing
+    "ts_store_upsert" -> ((s, dir) =>
+      aggExact(Ts.unpack(
+        Ts.readStore(s, upsertedStorePath(s, dir)), series))),
     // newest point per series, decoding only each series' newest chunk
     "ts_latest" -> ((s, dir) =>
       Ts.latest(chunks(s, dir), series).orderBy("user_id", "event_type")),
@@ -868,6 +917,18 @@ object TsQueries {
       |  CAST(sum(CAST(round(v * 100) AS BIGINT)) AS BIGINT) AS sum_cents
       |FROM pts WHERE ts < $RangeFrom OR ts > $RangeTo
       |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // the upserted frame must equal aggregating raw events ∪ the
+    // +30-min-shifted late batch (merge-append multiset semantics)
+    "ts_upsert" -> s"""WITH $ptsSql,
+      |allp AS (SELECT user_id, ts, v FROM pts
+      |  UNION ALL
+      |  SELECT user_id, ts + 1800 AS ts, v FROM pts
+      |  WHERE ts >= $RangeFrom AND ts <= $RangeTo)
+      |SELECT user_id, count(*) AS n,
+      |  min(ts) AS min_ts, max(ts) AS max_ts,
+      |  min(v) AS min_v, max(v) AS max_v,
+      |  CAST(sum(CAST(round(v * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+      |FROM allp GROUP BY user_id ORDER BY user_id""".stripMargin,
     // the live view must equal the plain range scan over ALL points
     "ts_live_range" -> s"""WITH $ptsSql
       |SELECT user_id, event_type, ts, v FROM pts
@@ -1143,6 +1204,7 @@ object TsQueries {
       |WHERE ts >= $RangeFrom AND ts <= $RangeTo
       |ORDER BY user_id, event_type, ts, v""".stripMargin,
     "ts_store_latest" -> baseOracle("ts_latest"),
+    "ts_store_upsert" -> baseOracle("ts_upsert"),
     "ts_store_downsample" -> baseOracle("ts_downsample"),
     // the rollup serve must equal computing the hour from raw points
     "ts_rollup_serve" -> baseOracle("ts_rollup_1h"),

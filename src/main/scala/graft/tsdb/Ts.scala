@@ -665,6 +665,84 @@ object Ts {
   }
 
   /**
+   * Late-data UPSERT into a chunk frame: merge a batch of
+   * late-arriving points into the minimum set of chunks — Gorilla's
+   * append path for data that missed its ingest window (backfill,
+   * delayed producers, correction replays). The batch's distinct
+   * (series, window) keys — bounded by the batch, broadcastable —
+   * route chunks with a metadata-only join:
+   *   - untouched chunks (no late point in their window) pass through
+   *     with their encoded bytes UNREAD — at 100 TB that is ~every
+   *     chunk, since a late batch clusters in a few recent windows;
+   *   - touched windows decode, union the late points, and re-encode
+   *     via the same sort-based deterministic chunkify, so the result
+   *     is byte-identical to having ingested the late points on time;
+   *   - late windows with no existing chunk encode fresh.
+   * Merge-append semantics (multiset, like the codec): a late point
+   * that duplicates an existing (ts, v) is stored again, exactly as
+   * an on-time duplicate would have been. For corpus-scale backfills
+   * (late ≈ corpus) skip the routing and re-chunkify directly — the
+   * broadcast assumption is a BATCH, not a second corpus.
+   */
+  def upsertPoints(chunks: DataFrame, late: DataFrame, seriesCols: Seq[String],
+                   tsCol: String, valCol: String,
+                   windowSec: Long = WindowSec): DataFrame = {
+    val pts = late.select(seriesCols.map(col) :+
+      epochSec(late, tsCol).as("ts") :+
+      col(valCol).cast("double").as("v"): _*)
+    val keys = pts.select(seriesCols.map(col) :+
+        (floor(col("ts") / windowSec) * windowSec).cast("long")
+          .as("window_start"): _*)
+      .distinct()
+    val joinCols = seriesCols :+ "window_start"
+    val untouched = chunks.join(broadcast(keys), joinCols, "left_anti")
+    val touched = chunks.join(broadcast(keys), joinCols, "left_semi")
+    val merged = unpack(touched, seriesCols)
+      .unionByName(pts)
+      // ts is epoch seconds here; through timestamp so chunkify's
+      // epochSec reads it as seconds (same as deleteRange/compactStore)
+      .withColumn("ts", to_timestamp(col("ts")))
+    untouched.unionByName(chunkify(merged, seriesCols, "ts", "v", windowSec))
+  }
+
+  /**
+   * In-place late-data upsert on a PERSISTED store — [[upsertPoints]]
+   * routed by the partition layout: only the `window_date` partitions
+   * the late batch lands in are read (a bounded one-row-per-date
+   * collect picks them), merged, and written back via dynamic
+   * partition overwrite; every other date is never listed, read, or
+   * rewritten. New dates the store has never seen appear as fresh
+   * partitions. No horizon marker is needed (unlike
+   * [[deleteFromStore]]): an upsert only ADDS chunks, so the
+   * chunk-derived ingest horizon can only rise.
+   */
+  def upsertIntoStore(spark: org.apache.spark.sql.SparkSession, path: String,
+                      late: DataFrame, seriesCols: Seq[String],
+                      tsCol: String, valCol: String,
+                      windowSec: Long = WindowSec): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) {
+      writeStore(chunkify(late, seriesCols, tsCol, valCol, windowSec), path)
+      return
+    }
+    val pts = late.select(seriesCols.map(col) :+
+      epochSec(late, tsCol).as("__sec"): _*)
+    val touchedDates = pts
+      .select(to_date(to_timestamp(
+        (floor(col("__sec") / windowSec) * windowSec).cast("long")))
+        .cast("string").as("d"))
+      .distinct().collect().map(_.getString(0)).toSeq
+    if (touchedDates.isEmpty) return
+    val existing = spark.read.parquet(path)
+      .filter(col("window_date").cast("string").isin(touchedDates: _*))
+      .drop("window_date")
+    val merged = upsertPoints(existing, late, seriesCols, tsCol, valCol,
+      windowSec)
+    upsertStore(merged, path)
+  }
+
+  /**
    * In-place surgical delete on a PERSISTED store — [[deleteRange]]
    * routed by the partition layout, so pruning stacks three-deep:
    *   1. whole `window_date` partitions strictly inside the range

@@ -44,10 +44,10 @@ class BenchLineSpec extends AnyFunSuite {
   test("compact line round-trips every query key and centisecond value") {
     val line = Bench.compactLine(results, results.map(_._2).sum, "sf0.1")
     val root = new ObjectMapper().readTree(line)
-    assert(root.get("qunit").asText() == "cs")
+    assert(root.get("u").asText() == "cs")
     assert(root.get("sf").asText() == "sf0.1")
     val flat = collection.mutable.Map.empty[String, Long]
-    flatten(root.get("queries"), "", flat)
+    flatten(root.get("q"), "", flat)
     assert(flat.keySet == keys.toSet,
       s"missing=${keys.toSet -- flat.keySet} extra=${flat.keySet -- keys.toSet}")
     results.foreach { case (k, v) =>
@@ -59,7 +59,7 @@ class BenchLineSpec extends AnyFunSuite {
     val entries = Seq("ok" -> 0.5, "broken" -> -1.0)
     val line = Bench.compactLine(entries, 0.5, "sf0")
     val flat = collection.mutable.Map.empty[String, Long]
-    flatten(new ObjectMapper().readTree(line).get("queries"), "", flat)
+    flatten(new ObjectMapper().readTree(line).get("q"), "", flat)
     assert(flat == Map("ok" -> 50L, "broken" -> -1L))
   }
 
@@ -67,7 +67,7 @@ class BenchLineSpec extends AnyFunSuite {
     val entries = Seq("a_b" -> 0.1, "a_b_c" -> 0.2, "a_b_d" -> 0.3, "x" -> 0.4)
     val line = Bench.compactLine(entries, 1.0, "sf0")
     val flat = collection.mutable.Map.empty[String, Long]
-    flatten(new ObjectMapper().readTree(line).get("queries"), "", flat)
+    flatten(new ObjectMapper().readTree(line).get("q"), "", flat)
     assert(flat == Map("a_b" -> 10L, "a_b_c" -> 20L, "a_b_d" -> 30L, "x" -> 40L))
   }
 }

@@ -113,6 +113,101 @@ class TsStoreSpec extends AnyFunSuite {
     chunks.unpersist()
   }
 
+  test("upsertPoints: merge equals on-time ingest bit-exactly, untouched chunks unread") {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val series = Seq("user_id", "event_type")
+    val sec = Ts.epochSec(ev, "ts")
+    // late batch: a day's points shifted +30 min — mostly into sealed
+    // windows, the tail into fresh ones
+    val from = 1704844800L
+    val to = from + 86400L
+    val late = ev.filter(sec >= from && sec <= to)
+      .select(col("user_id"), col("event_type"),
+        to_timestamp(sec + 1800L).as("ts"), col("value").as("v"))
+    val base = Ts.chunkify(ev.filter(sec < from || sec > to), series, "ts", "value")
+      .persist()
+    val out = Ts.upsertPoints(base, late, series, "ts", "v").persist()
+
+    // the merged store is BYTE-identical to having ingested everything
+    // at once: same chunks, same encoded bytes (deterministic encode)
+    val onTime = Ts.chunkify(
+      ev.filter(sec < from || sec > to)
+        .select(col("user_id"), col("event_type"), col("ts").as("t"),
+          col("value").cast("double").as("v"))
+        .withColumnRenamed("t", "ts")
+        .unionByName(late), series, "ts", "v")
+    def sig(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("user_id"), col("event_type"), col("window_start"),
+          col("n"), md5(col("chunk")).as("h"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getString(4))).toSet
+    assert(sig(out) == sig(onTime))
+
+    // chunks in windows the batch never touched pass through
+    // byte-identical (their payload is never decoded)
+    val lateKeys = late
+      .select(col("user_id"), col("event_type"),
+        (floor(Ts.epochSec(late, "ts") / 7200L) * 7200L).cast("long")
+          .as("window_start"))
+      .distinct()
+    val keyCols = series :+ "window_start"
+    val origUntouched = base.join(lateKeys, keyCols, "left_anti")
+    val paired = origUntouched
+      .select((keyCols.map(col) :+ col("chunk").as("c0")): _*)
+      .join(out.select((keyCols.map(col) :+ col("chunk").as("c1")): _*), keyCols)
+    assert(paired.count() == origUntouched.count())
+    assert(paired.filter(col("c0") =!= col("c1")).count() == 0)
+    base.unpersist(); out.unpersist()
+  }
+
+  test("upsertIntoStore: only the late batch's dates are rewritten, new dates appear") {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val series = Seq("user_id", "event_type")
+    val path = java.nio.file.Files.createTempDirectory("graft-ups").toString
+    Ts.writeStore(Ts.chunkify(ev, series, "ts", "value"), path)
+    val before = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("window_date="))
+      .map(d => d.getName -> d.listFiles().map(f =>
+        (f.getName, f.length(), f.lastModified())).toSet).toMap
+
+    // late: one in-range day shifted +30 min, plus points 90 days out
+    // (a window_date the store has never seen)
+    val sec = Ts.epochSec(ev, "ts")
+    val from = 1704844800L
+    val dayLate = ev.filter(sec >= from && sec <= from + 86400L)
+      .select(col("user_id"), col("event_type"),
+        to_timestamp(sec + 1800L).as("ts"), col("value").as("v"))
+    val farLate = ev.filter(sec >= from && sec <= from + 86400L)
+      .select(col("user_id"), col("event_type"),
+        to_timestamp(sec + 7776000L).as("ts"), col("value").as("v"))
+    val late = dayLate.unionByName(farLate)
+    Ts.upsertIntoStore(spark, path, late, series, "ts", "v")
+
+    val after = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("window_date="))
+      .map(d => d.getName -> d.listFiles().map(f =>
+        (f.getName, f.length(), f.lastModified())).toSet).toMap
+    val touched = after.keySet.filter(d => before.get(d) != after.get(d))
+    // the untouched dates' files are bit-for-bit untouched on disk
+    val lateDates = Seq("window_date=2024-01-10", "window_date=2024-01-11")
+    assert(touched.subsetOf((lateDates ++ (after.keySet -- before.keySet)).toSet),
+      s"unexpected rewrites: ${touched -- lateDates.toSet}")
+    assert((after.keySet -- before.keySet).nonEmpty, "new date partition missing")
+
+    // read-back equals chunkifying raw ∪ late directly
+    def sig(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("user_id"), col("event_type"), col("window_start"),
+          col("n"), md5(col("chunk")).as("h"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getString(4))).toSet
+    val onTime = Ts.chunkify(
+      ev.select(col("user_id"), col("event_type"), col("ts"),
+          col("value").cast("double").as("v"))
+        .withColumn("ts", to_timestamp(Ts.epochSec(ev, "ts")))
+        .unionByName(late), series, "ts", "v")
+    assert(sig(Ts.readStore(spark, path).drop("window_date")) == sig(onTime))
+  }
+
   test("deleteFromStore: interior dates drop as directories, only boundary dates rewrite") {
     val ev = spark.read.parquet(s"$dir/events.parquet")
     val series = Seq("user_id", "event_type")
