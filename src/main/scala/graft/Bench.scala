@@ -113,11 +113,12 @@ object Bench {
           // it up to a plausible-looking 0
           (k.split('_').toList, if (v < 0) -1L else math.round(v * scale))
         }
-      // minimal wrapper: the metric/value/unit contract fields (and the
-      // total) ride the full-precision line above and bench_out.json —
-      // every byte here is budget for query keys. "u" = value unit
-      // ("cs" centiseconds / "ds" deciseconds), "q" = the query map
-      s"""{"sf":"$sfName","u":"$unit","q":${emitTrie(entries)}}"""
+      // minimal wrapper: the metric/value/unit contract fields, the
+      // total, and the sf dir ride the full-precision line above and
+      // bench_out.json (the driver also records sf itself) — every
+      // byte here is budget for query keys. "u" = value unit ("cs"
+      // centiseconds / "ds" deciseconds), "q" = the query map
+      s"""{"u":"$unit","q":${emitTrie(entries)}}"""
     }
     // budget: the driver keeps the LAST 2000 stdout chars; with the sbt
     // success epilogue suppressed (build.sbt showSuccess := false) the

@@ -137,6 +137,30 @@ object TextOps {
   }
 
   /**
+   * Deterministic train/val/test split: the first 32 md5 bits of the
+   * (salted) id place each doc on the [0, 2³²) line, and integer ppm
+   * thresholds carve it — `h·10⁶ < valPpm·2³²` → val, below
+   * `(valPpm+testPpm)·2³²` → test, else train. The assignment is a
+   * pure function of the id: stable across runs, retries, engines,
+   * partition layouts, and corpus growth (a doc never migrates
+   * between splits when others are added — the property random
+   * shuffles lose and hash splits exist to provide). All-integer
+   * comparisons, same gate family as [[sampleStratified]].
+   */
+  def sampleSplit(df: DataFrame, idCol: String,
+                  valPpm: Long = 50000L, testPpm: Long = 50000L,
+                  salt: Long = 42L): DataFrame = {
+    require(valPpm >= 0 && testPpm >= 0 && valPpm + testPpm <= 1000000L,
+      s"split fractions $valPpm + $testPpm exceed 1000000 ppm")
+    val h = conv(substring(md5(concat(col(idCol).cast("string"),
+      lit(":split:" + salt))), 1, 8), 16, 10).cast("long")
+    df.withColumn("split",
+      when(h * 1000000L < valPpm * 4294967296L, "val")
+        .when(h * 1000000L < (valPpm + testPpm) * 4294967296L, "test")
+        .otherwise("train"))
+  }
+
+  /**
    * Weight-proportional deterministic sampling: keep each doc with
    * probability min(1, weight/scale) via an INTEGER-EXACT hash gate —
    * `h·scale < weight·2³²`, with h the first 32 md5 bits of the id.

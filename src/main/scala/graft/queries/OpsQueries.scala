@@ -488,6 +488,11 @@ object OpsQueries {
     "text_fingerprint" -> ((s, dir) =>
       TextOps.fingerprint(Tables(s, dir, "documents"), "doc_id", "text")
         .select("doc_id", "fp_md5").orderBy("doc_id")),
+    // deterministic train/val/test split: stable hash thresholds, a
+    // doc never migrates splits as the corpus grows
+    "sample_split" -> ((s, dir) =>
+      TextOps.sampleSplit(Tables(s, dir, "documents"), "doc_id")
+        .select("doc_id", "lang", "split").orderBy("doc_id")),
     // deterministic md5-gated stratified sample (integer-exact ppm
     // gate — fully SQL-oracled, same trick as sample_weighted)
     "sample_stratified" -> ((s, dir) =>
@@ -866,6 +871,18 @@ object OpsQueries {
         |      * power(16, 8 - i))) AS BIGINT) * 2000
         |  < CAST(n_chars AS BIGINT) * 4294967296
         |ORDER BY doc_id""".stripMargin,
+    // the split thresholds replicated on the same 8-hex-digit hash
+    "sample_split" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN hval * 1000000 < 50000 * 4294967296 THEN 'val'
+        |       WHEN hval * 1000000 < 100000 * 4294967296 THEN 'test'
+        |       ELSE 'train' END AS split
+        |FROM (SELECT doc_id, lang,
+        |  CAST(list_sum(list_transform(generate_series(1, 8), i ->
+        |    (strpos('0123456789abcdef',
+        |       substr(md5(CAST(doc_id AS VARCHAR) || ':split:42'), i, 1)) - 1)
+        |      * power(16, 8 - i))) AS BIGINT) AS hval
+        |  FROM documents) ORDER BY doc_id""".stripMargin,
     // the same 8-hex-digit md5 gate, salted, with per-stratum ppm rates
     "sample_stratified" ->
       """SELECT doc_id, lang FROM documents

@@ -331,6 +331,13 @@ object TsQueries {
     }),
     // 15-min resample; avg derived from exact integer cents
     "ts_downsample" -> ((s, dir) => downsample15m(points(s, dir))),
+    // M4 visualization downsampling: the 4 points per series-bucket a
+    // pixel-perfect polyline render needs (first/last/min/max, each
+    // with its timestamp) — one hash aggregate, deterministic ties
+    // via lexicographic struct ordering
+    "ts_m4" -> ((s, dir) =>
+      Ts.m4(points(s, dir), series, 14400L)
+        .orderBy("user_id", "event_type", "bucket")),
     // === ingest-once/query-many: the same semantics off the persisted
     // date-partitioned chunk store (storeChunks writes once per dir) ===
     "ts_store_range" -> ((s, dir) =>
@@ -954,6 +961,30 @@ object TsQueries {
       |    (v - lag(v) OVER w) / nullif(ts - lag(ts) OVER w, 0) AS rate
       |  FROM pts WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, v))
       |WHERE prev_ts IS NOT NULL ORDER BY user_id, event_type, ts, v""".stripMargin,
+    "ts_m4" -> s"""WITH $ptsSql,
+      |b AS (SELECT user_id, event_type, (ts // 14400) * 14400 AS bucket,
+      |        ts, v FROM pts),
+      |r AS (SELECT *,
+      |  row_number() OVER (PARTITION BY user_id, event_type, bucket
+      |                     ORDER BY ts, v) AS rf,
+      |  row_number() OVER (PARTITION BY user_id, event_type, bucket
+      |                     ORDER BY ts DESC, v DESC) AS rl,
+      |  row_number() OVER (PARTITION BY user_id, event_type, bucket
+      |                     ORDER BY v, ts) AS rlo,
+      |  row_number() OVER (PARTITION BY user_id, event_type, bucket
+      |                     ORDER BY v DESC, ts DESC) AS rhi
+      |FROM b)
+      |SELECT user_id, event_type, bucket, count(*) AS n,
+      |  max(CASE WHEN rf = 1 THEN ts END) AS ts_first,
+      |  max(CASE WHEN rf = 1 THEN v END) AS v_first,
+      |  max(CASE WHEN rl = 1 THEN ts END) AS ts_last,
+      |  max(CASE WHEN rl = 1 THEN v END) AS v_last,
+      |  max(CASE WHEN rlo = 1 THEN v END) AS min_v,
+      |  max(CASE WHEN rlo = 1 THEN ts END) AS ts_min,
+      |  max(CASE WHEN rhi = 1 THEN v END) AS max_v,
+      |  max(CASE WHEN rhi = 1 THEN ts END) AS ts_max
+      |FROM r GROUP BY 1, 2, 3
+      |ORDER BY user_id, event_type, bucket""".stripMargin,
     "ts_resets" -> s"""WITH $ptsSql,
       |d AS (SELECT user_id, event_type, ts,
       |        CAST(round(v * 100) AS BIGINT) AS cents,

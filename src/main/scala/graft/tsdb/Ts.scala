@@ -958,4 +958,30 @@ object Ts {
       .groupBy(seriesCols.map(col) :+ col("bucket"): _*)
       .agg(count(lit(1)).as("n"), min("v").as("min_v"), max("v").as("max_v"),
         sum("v").as("sum_v"), avg("v").as("avg_v"))
+
+  /**
+   * M4 visualization downsampling (Jugel et al., "M4: A
+   * Visualization-Oriented Time Series Data Aggregation", VLDB 2014):
+   * per series-bucket, the four points a pixel-perfect line render
+   * needs — first, last, min, max. A dashboard query over a year of
+   * 1 Hz data returns 4·#pixels rows instead of 31M, with the
+   * guarantee that the rendered polyline is identical. One hash
+   * aggregate with map-side partials; first/last ride lexicographic
+   * (ts, v) struct min/max so ties are deterministic, min/max over v
+   * likewise carry their timestamp via (v, ts) structs.
+   */
+  def m4(points: DataFrame, seriesCols: Seq[String], bucketSec: Long): DataFrame =
+    points
+      .withColumn("bucket", (floor(col("ts") / bucketSec) * bucketSec).cast("long"))
+      .groupBy(seriesCols.map(col) :+ col("bucket"): _*)
+      .agg(count(lit(1)).as("n"),
+        min(struct(col("ts"), col("v"))).as("__f"),
+        max(struct(col("ts"), col("v"))).as("__l"),
+        min(struct(col("v"), col("ts"))).as("__lo"),
+        max(struct(col("v"), col("ts"))).as("__hi"))
+      .select(seriesCols.map(col) ++ Seq(col("bucket"), col("n"),
+        col("__f.ts").as("ts_first"), col("__f.v").as("v_first"),
+        col("__l.ts").as("ts_last"), col("__l.v").as("v_last"),
+        col("__lo.v").as("min_v"), col("__lo.ts").as("ts_min"),
+        col("__hi.v").as("max_v"), col("__hi.ts").as("ts_max")): _*)
 }

@@ -45,7 +45,6 @@ class BenchLineSpec extends AnyFunSuite {
     val line = Bench.compactLine(results, results.map(_._2).sum, "sf0.1")
     val root = new ObjectMapper().readTree(line)
     assert(root.get("u").asText() == "cs")
-    assert(root.get("sf").asText() == "sf0.1")
     val flat = collection.mutable.Map.empty[String, Long]
     flatten(root.get("q"), "", flat)
     assert(flat.keySet == keys.toSet,

@@ -62,6 +62,24 @@ class PackMixSpec extends AnyFunSuite {
     }
   }
 
+  test("sampleSplit: stable assignments, sane fractions, no migration on growth") {
+    val out = TextOps.sampleSplit(docs, "doc_id", valPpm = 100000L,
+      testPpm = 100000L).select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val n = out.size
+    val frac = out.values.groupBy(identity).view.mapValues(_.size.toDouble / n)
+    // 10% ± generous tolerance at 500 docs (binomial noise)
+    assert(math.abs(frac.getOrElse("val", 0.0) - 0.1) < 0.06, frac.toMap)
+    assert(math.abs(frac.getOrElse("test", 0.0) - 0.1) < 0.06, frac.toMap)
+    // growth stability: assignments computed on HALF the corpus are
+    // identical for those ids — a doc never migrates splits
+    val half = TextOps.sampleSplit(docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", valPpm = 100000L, testPpm = 100000L)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    half.foreach { case (id, s) => assert(out(id) == s, s"doc $id migrated") }
+  }
+
   test("mixAllocate is layout-independent") {
     val a = TextOps.mixAllocate(docs, "lang", "text", 12345L)
       .orderBy("lang").collect().toSeq
