@@ -167,6 +167,48 @@ object StreamIngest {
     }
   }
 
+  /**
+   * LATE-DATA ingest as a stream: each micro-batch of raw points
+   * merge-upserts into the persisted chunk store
+   * ([[graft.tsdb.Ts.upsertIntoStore]] — only the `window_date`
+   * partitions the batch lands in are read and rewritten), so a
+   * delayed producer's points land in their correct, already-sealed
+   * windows instead of a side file. The complement of
+   * [[chunkStream]]'s watermarked path: the watermark seals windows
+   * for the on-time flow; this sink repairs the windows the
+   * watermark already closed.
+   *
+   * Merge-append applied twice counts twice, so replays are guarded
+   * by the same transactional batchId marker as [[rollupStream]]:
+   * a re-delivered completed batch is skipped.
+   */
+  def upsertStream(events: DataFrame, seriesCols: Seq[String], tsCol: String,
+                   valCol: String, path: String, checkpoint: String,
+                   windowSec: Long = graft.tsdb.Ts.WindowSec) =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        upsertBatch(batch, batchId, seriesCols, tsCol, valCol, path, windowSec)
+      }
+
+  /** The per-batch merge behind [[upsertStream]], exposed so the
+    * replay-skip contract is testable without a second stream run. */
+  def upsertBatch(batch: DataFrame, batchId: Long, seriesCols: Seq[String],
+                  tsCol: String, valCol: String, path: String,
+                  windowSec: Long = graft.tsdb.Ts.WindowSec): Unit = {
+    val marker = java.nio.file.Paths.get(path + "_upsert_batch")
+    val last =
+      if (java.nio.file.Files.exists(marker))
+        new String(java.nio.file.Files.readAllBytes(marker)).trim.toLong
+      else -1L
+    if (batchId > last) {
+      if (!batch.isEmpty)
+        graft.tsdb.Ts.upsertIntoStore(batch.sparkSession, path, batch,
+          seriesCols, tsCol, valCol, windowSec)
+      java.nio.file.Files.write(marker, batchId.toString.getBytes)
+    }
+  }
+
   final case class AnomalyPoint(series: String, ts: Long, cents: Long, n_prior: Long)
   final case class MomentState(n: Long, s: Long, q: Long)
 

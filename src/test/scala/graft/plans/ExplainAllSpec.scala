@@ -103,7 +103,23 @@ class ExplainAllSpec extends AnyFunSuite {
       // persisted-marker merge groupBy, and the final orderBy; the
       // one-row-per-series merged horizon broadcasts onto the open
       // tail — nothing store-sized shuffles twice
-      "ts_store_live_delete" -> (3, 1, 1))
+      "ts_store_live_delete" -> (3, 1, 1),
+      // late-batch routing: the batch's (series, window) keys BROADCAST
+      // twice (anti + semi) — the store side must never shuffle to meet
+      // a small batch; ONE decode (the touched windows), the outer
+      // aggExact readback is ChunkAggRule-rewritten decode-free. The 7
+      // shuffles: source chunkify, key distinct, merged re-chunkify,
+      // unions' partial/final agg, orderBy
+      "ts_upsert" -> (7, 2, 1),
+      // reading the persisted upserted store back: ZERO decodes —
+      // ChunkAggRule answers aggExact from per-chunk partials (agg +
+      // orderBy shuffles only). The merge cost lives at write time,
+      // queries pay the normal compressed-store path
+      "ts_store_upsert" -> (2, 0, 0),
+      // M4: one hash aggregate over decoded points (encode repartition
+      // + agg + orderBy), no Window operator, no joins — the 4-points-
+      // per-pixel reduction must stay a single-pass partial agg
+      "ts_m4" -> (3, 0, 1))
     val failures = expected.flatMap { case (name, want) =>
       val got = shape(name)
       if (got != want)

@@ -212,6 +212,64 @@ class StreamIngestSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming late-data upsert equals one batch upsert; replays skip") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val w0 = 1700006400L // 2h-aligned
+    // a sealed store with two windows of on-time data
+    val onTime = Seq(
+      ("cpu", w0 + 10, 1.0), ("cpu", w0 + 100, 2.0),
+      ("cpu", w0 + 7200 + 10, 3.0), ("mem", w0 + 50, 5.0))
+      .toDF("series", "sec", "v").withColumn("ts", col("sec").cast("timestamp"))
+    val path = java.nio.file.Files.createTempDirectory("graft-upstream").toString + "/store"
+    graft.tsdb.Ts.writeStore(
+      graft.tsdb.Ts.chunkify(onTime, Seq("series"), "ts", "v"), path)
+
+    val input = MemoryStream[(String, Timestamp, Double)]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-upstream-ck").toString
+    val q = StreamIngest.upsertStream(
+      input.toDF().toDF("series", "ts", "v"), Seq("series"), "ts", "v",
+      path, ckpt).start()
+    try {
+      // batch 1: late points into the FIRST (sealed) window
+      input.addData(("cpu", ts(w0 + 55), 1.5), ("mem", ts(w0 + 60), 6.0))
+      q.processAllAvailable()
+      // batch 2: one more late point + a window the store has never seen
+      input.addData(("cpu", ts(w0 + 101), 2.5), ("cpu", ts(w0 + 14400 + 5), 7.0))
+      q.processAllAvailable()
+
+      // stream-maintained store == one batch upsert of all late points
+      val late = Seq(
+        ("cpu", w0 + 55, 1.5), ("mem", w0 + 60, 6.0),
+        ("cpu", w0 + 101, 2.5), ("cpu", w0 + 14400 + 5, 7.0))
+        .toDF("series", "sec", "v").withColumn("ts", col("sec").cast("timestamp"))
+      val batchPath = java.nio.file.Files.createTempDirectory("graft-upbatch").toString + "/store"
+      graft.tsdb.Ts.writeStore(
+        graft.tsdb.Ts.chunkify(onTime, Seq("series"), "ts", "v"), batchPath)
+      graft.tsdb.Ts.upsertIntoStore(spark, batchPath, late, Seq("series"), "ts", "v")
+      def sig(p: String) = graft.tsdb.Ts.readStore(spark, p)
+        .select(col("series"), col("window_start"), col("n"), md5(col("chunk")).as("h"))
+        .collect().map(_.toSeq).toSet
+      assert(sig(path) == sig(batchPath))
+
+      // replay protection: re-merging an already-applied batchId is a
+      // no-op (at-least-once redelivery must not double-append)
+      val before = sig(path)
+      val replay = Seq(("cpu", w0 + 55, 1.5)).toDF("series", "sec", "v")
+        .withColumn("ts", col("sec").cast("timestamp"))
+      StreamIngest.upsertBatch(replay, batchId = 0L, Seq("series"), "ts", "v", path)
+      assert(sig(path) == before)
+      // a NEW batchId does merge
+      val lastId = java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get(path + "_upsert_batch")).get(0).trim.toLong
+      StreamIngest.upsertBatch(replay, lastId + 1, Seq("series"), "ts", "v", path)
+      val n = graft.tsdb.Ts.readStore(spark, path)
+        .filter(col("series") === "cpu" && col("window_start") === w0)
+        .agg(sum("n")).first().getLong(0)
+      assert(n == 5L) // 2 on-time + 2 late + 1 fresh-batch replay copy
+    } finally q.stop()
+  }
+
   test("misra_gries runs as streaming state: guarantees hold across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
