@@ -264,6 +264,109 @@ object TextOps {
   }
 
   /**
+   * Deterministic global epoch shuffle: assign every doc a unique
+   * position in a reproducible pseudo-random permutation — the
+   * "training order" step of a dataset build, stable across runs,
+   * engines, and cluster layouts (position is id-derived, never
+   * partition-derived). Order = (md5(id:salt), id); the id tiebreak
+   * makes the permutation total even under hash collisions.
+   *
+   * At scale the global rank is computed WITHOUT a whole-corpus
+   * window: the first hash byte splits the corpus into 256 buckets
+   * (hash-uniform, so no skew), each bucket ranks independently in
+   * parallel, and the global offset of each bucket is a cumsum over
+   * the 256-row bucket-count table (broadcast back). The only
+   * single-task step touches 256 rows; everything corpus-sized
+   * partial-aggregates or ranks per bucket. A different epoch = a
+   * different salt = an independent permutation.
+   */
+  def sampleShuffle(docs: DataFrame, idCol: String, salt: Long = 42L,
+                    nBuckets: Int = 256): DataFrame = {
+    require(nBuckets == 256, "bucket = first md5 byte; other widths NYI")
+    val keyed = docs.select(col(idCol),
+        md5(concat(col(idCol).cast("string"), lit(":shuffle:" + salt))).as("h"))
+      .withColumn("bucket", conv(substring(col("h"), 1, 2), 16, 10).cast("long"))
+    val counts = keyed.groupBy("bucket").agg(count(lit(1)).as("cnt"))
+    // 256-row frame: the unpartitioned window is deliberate and cheap
+    val wOff = org.apache.spark.sql.expressions.Window.orderBy("bucket")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = counts.withColumn("offset",
+      coalesce(sum("cnt").over(wOff), lit(0L)))
+    val wB = org.apache.spark.sql.expressions.Window
+      .partitionBy("bucket").orderBy(col("h"), col(idCol))
+    keyed.withColumn("rk", row_number().over(wB))
+      .join(broadcast(offsets.select(col("bucket"), col("offset"))), Seq("bucket"))
+      .select(col(idCol), col("bucket"),
+        (col("offset") + col("rk") - 1).as("pos"))
+  }
+
+  /**
+   * Length-bucketed batch packing: group docs of similar token length
+   * into fixed-size batches so per-batch padding (every sequence pads
+   * to the batch max) stays small — the sequence-bucketing trick that
+   * cuts padding FLOPs versus arrival-order batching. Bands are
+   * integer token ranges (`n_tokens div bandTokens`), batches fill in
+   * id order within a (band, shard); the emitted per-batch padded /
+   * waste accounting is exactly what a training-throughput dashboard
+   * reads. All-integer arithmetic end to end.
+   *
+   * Shards make the within-band ranking embarrassingly parallel, the
+   * same escape hatch [[packSequences]] uses: a 100 TB corpus has
+   * billions of docs in one popular length band, and `id mod nShards`
+   * splits that band's rank window into independent streams while
+   * keeping every assignment id-reproducible (never partition-order).
+   */
+  def packBuckets(docs: DataFrame, idCol: String, textCol: String,
+                  bandTokens: Long = 16L, batchDocs: Int = 8,
+                  nShards: Int = 4): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("band", "shard").orderBy(idCol)
+    docs.select(col(idCol),
+        size(split(col(textCol), " ")).cast("long").as("n_tokens"))
+      .withColumn("band", expr(s"n_tokens div $bandTokens"))
+      .withColumn("shard", pmod(col(idCol), lit(nShards.toLong)))
+      .withColumn("rk", row_number().over(w) - 1)
+      .withColumn("batch_id", expr(s"rk div $batchDocs"))
+      .groupBy("band", "shard", "batch_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("sum_tokens"),
+        max("n_tokens").as("max_tokens"))
+      .withColumn("padded_tokens", col("n_docs") * col("max_tokens"))
+      .withColumn("waste_tokens", col("padded_tokens") - col("sum_tokens"))
+  }
+
+  /**
+   * Span-level duplication profile (the span-granular shape of exact
+   * substring dedup, Lee et al. 2022 "Deduplicating Training Data
+   * Makes Language Models Better"): every word `k`-gram position in
+   * every doc, flagged when that span's text occurs anywhere else in
+   * the corpus (another doc OR another position of the same doc).
+   * Emits per-doc span counts and an integer dup-fraction in milli
+   * units — the signal that separates "two docs share one quote"
+   * (containment) from "this doc is stitched from boilerplate spans".
+   *
+   * Two partial-aggregating hash aggregates and one shuffle join on
+   * the span hash — linear in corpus token count. The gram-total join
+   * is vocabulary-sized, so it stays a shuffle join (broadcasting a
+   * 100 TB corpus vocabulary is the anti-pattern). `word_ngrams` is
+   * the same fused native kernel the repetition/decontaminate ops
+   * scan with — one byte-pass per doc.
+   */
+  def spanDedup(docs: DataFrame, idCol: String, textCol: String,
+                k: Int = 10): DataFrame = {
+    val perDocGram = docs
+      .select(col(idCol),
+        explode(graft.functions.word_ngrams(col(textCol), k)).as("g"))
+      .groupBy(idCol, "g").agg(count(lit(1)).as("c"))
+    val totals = perDocGram.groupBy("g").agg(sum("c").as("tot"))
+    perDocGram.join(totals, Seq("g"))
+      .groupBy(idCol)
+      .agg(sum("c").as("n_spans"),
+        sum(when(col("tot") >= 2, col("c")).otherwise(0L)).as("n_dup_spans"))
+      .withColumn("dup_milli", expr("(1000 * n_dup_spans) div n_spans"))
+  }
+
+  /**
    * Mixture allocation for a dataset build: split a total token
    * `budget` across groups (languages, sources) proportionally to
    * their EXACT token counts, with largest-remainder rounding so the

@@ -483,6 +483,21 @@ object OpsQueries {
     "mix_allocate" -> ((s, dir) =>
       TextOps.mixAllocate(Tables(s, dir, "documents"), "lang", "text",
         budget = 1000000L).orderBy("lang")),
+    // deterministic global epoch shuffle: id-derived permutation,
+    // ranked per hash bucket so no whole-corpus window exists
+    "sample_shuffle" -> ((s, dir) =>
+      TextOps.sampleShuffle(Tables(s, dir, "documents"), "doc_id")
+        .orderBy("doc_id")),
+    // length-bucketed batch packing with padding-waste accounting
+    "pack_buckets" -> ((s, dir) =>
+      TextOps.packBuckets(Tables(s, dir, "documents"), "doc_id", "text",
+        bandTokens = 16L, batchDocs = 8, nShards = 4)
+        .orderBy("band", "shard", "batch_id")),
+    // span-granular duplication profile (10-word spans): which docs
+    // are stitched from text that exists elsewhere in the corpus
+    "text_span_dedup" -> ((s, dir) =>
+      TextOps.spanDedup(Tables(s, dir, "documents"), "doc_id", "text",
+        k = 10).orderBy("doc_id")),
     "text_tokens" -> ((s, dir) =>
       TextOps.tokens(Tables(s, dir, "documents"), "doc_id", "text").orderBy("doc_id")),
     "text_fingerprint" -> ((s, dir) =>
@@ -939,6 +954,49 @@ object OpsQueries {
         |  CAST(fl + CASE WHEN rk <= short THEN 1 ELSE 0 END AS BIGINT)
         |    AS alloc_tokens
         |FROM r ORDER BY lang""".stripMargin,
+    // global rank by (md5, id) == bucket offset + in-bucket rank: the
+    // hex string orders identically to its first-byte numeric bucket
+    "sample_shuffle" ->
+      """WITH h AS (SELECT doc_id,
+        |  md5(CAST(doc_id AS VARCHAR) || ':shuffle:42') AS h FROM documents)
+        |SELECT doc_id,
+        |  CAST((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16 +
+        |       (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) AS BIGINT)
+        |    AS bucket,
+        |  CAST(row_number() OVER (ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
+        |FROM h ORDER BY doc_id""".stripMargin,
+    "pack_buckets" ->
+      """WITH t AS (SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |FROM documents),
+        |b AS (SELECT doc_id, n_tokens, n_tokens // 16 AS band,
+        |  doc_id % 4 AS shard FROM t),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY band, shard
+        |  ORDER BY doc_id) - 1 AS rk FROM b)
+        |SELECT band, shard, rk // 8 AS batch_id, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+        |  max(n_tokens) AS max_tokens,
+        |  count(*) * max(n_tokens) AS padded_tokens,
+        |  count(*) * max(n_tokens) - CAST(sum(n_tokens) AS BIGINT)
+        |    AS waste_tokens
+        |FROM r GROUP BY 1, 2, 3 ORDER BY band, shard, batch_id""".stripMargin,
+    "text_span_dedup" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |  FROM documents),
+        |sp AS (SELECT doc_id,
+        |  unnest(list_transform(generate_series(1, len(ws) - 9), i ->
+        |    ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] ||
+        |    ' ' || ws[i+4] || ' ' || ws[i+5] || ' ' || ws[i+6] || ' ' ||
+        |    ws[i+7] || ' ' || ws[i+8] || ' ' || ws[i+9])) AS g
+        |FROM w),
+        |c AS (SELECT doc_id, g, count(*) AS c FROM sp GROUP BY 1, 2),
+        |t AS (SELECT g, CAST(sum(c) AS BIGINT) AS tot FROM c GROUP BY 1)
+        |SELECT c.doc_id, CAST(sum(c.c) AS BIGINT) AS n_spans,
+        |  CAST(sum(CASE WHEN t.tot >= 2 THEN c.c ELSE 0 END) AS BIGINT)
+        |    AS n_dup_spans,
+        |  (1000 * CAST(sum(CASE WHEN t.tot >= 2 THEN c.c ELSE 0 END)
+        |    AS BIGINT)) // CAST(sum(c.c) AS BIGINT) AS dup_milli
+        |FROM c JOIN t USING (g) GROUP BY 1 ORDER BY doc_id""".stripMargin,
     "text_quality" ->
       """WITH w AS (SELECT doc_id, length(text) AS n_chars,
         |  string_split(text, ' ') AS ws FROM documents),

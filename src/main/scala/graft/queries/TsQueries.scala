@@ -494,6 +494,76 @@ object TsQueries {
             col("num").cast("double") / (lit(100.0) * col("den"))))
         .select("user_id", "event_type", "n", "num", "den", "slope")
         .orderBy("user_id", "event_type")),
+    // gauge change count per series-day (PromQL changes()): a change
+    // is any consecutive-sample pair with differing values, compared
+    // on exact integer cents — same window shape as ts_resets, but
+    // counting magnitude-insensitive flips (a flapping gauge scores
+    // high even when every drop is tiny and resets() stays 0)
+    "ts_changes" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id", "event_type").orderBy("ts", "v")
+      points(s, dir)
+        .withColumn("cents", round(col("v") * 100).cast("long"))
+        .withColumn("prev_cents", lag("cents", 1).over(w))
+        .groupBy(col("user_id"), col("event_type"),
+          ((col("ts") / 86400).cast("long") * 86400).as("day"))
+        .agg(sum(when(col("prev_cents").isNotNull &&
+            col("cents") =!= col("prev_cents"), 1L).otherwise(0L)).as("n_changes"),
+          count(lit(1)).as("n"))
+        .orderBy("user_id", "event_type", "day")
+    }),
+    // gauge delta over the fixed range (PromQL delta()): last − first
+    // sample per series, on exact cents. First/last ride ONE
+    // partial-aggregating min/max over (ts, cents) structs — Spark's
+    // struct ordering is lexicographic, so ties at the boundary
+    // timestamp resolve on cents identically to the oracle's
+    // (ts, cents) row_number — no whole-series window, no rank
+    // shuffle: the aggregate partials map-side like any min/max
+    "ts_delta" -> ((s, dir) =>
+      points(s, dir)
+        .filter(col("ts") >= RangeFrom && col("ts") <= RangeTo)
+        .select(col("user_id"), col("event_type"), col("ts"),
+          round(col("v") * 100).cast("long").as("cents"))
+        .groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("n"),
+          min(struct(col("ts"), col("cents"))).as("__f"),
+          max(struct(col("ts"), col("cents"))).as("__l"))
+        .filter(col("n") >= 2)
+        .select(col("user_id"), col("event_type"), col("n"),
+          col("__f.ts").as("first_ts"), col("__l.ts").as("last_ts"),
+          col("__f.cents").as("first_cents"), col("__l.cents").as("last_cents"),
+          (col("__l.cents") - col("__f.cents")).as("delta_cents"),
+          ((col("__l.cents") - col("__f.cents")) / 100.0).as("delta_v"))
+        .orderBy("user_id", "event_type")),
+    // linear extrapolation (PromQL predict_linear(, 1h)): ts_deriv's
+    // exact integer sums feed ŷ = ȳ + m·(t_pred − t̄) evaluated as ONE
+    // identical IEEE expression tree on both engines — every input is
+    // a BIGINT→DOUBLE cast (correctly rounded in any engine) and
+    // float arithmetic is deterministic, so the emitted double is
+    // bit-stable without bignum intermediates (the all-integer
+    // numerator ȳ·den + num·(n·t_pred − st) needs ~1e26 at sf1 —
+    // decimal territory; the float form needs nothing past the exact
+    // BIGINT moments already proven in ts_deriv)
+    "ts_predict_linear" -> ((s, dir) =>
+      points(s, dir)
+        .filter(col("ts") >= RangeFrom && col("ts") <= RangeTo)
+        .select(col("user_id"), col("event_type"),
+          (col("ts") - RangeFrom).as("t"),
+          round(col("v") * 100).cast("long").as("cents"))
+        .groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("n"), sum("t").as("st"), sum("cents").as("sv"),
+          sum(col("t") * col("cents")).as("stv"),
+          sum(col("t") * col("t")).as("stt"))
+        .filter(col("n") >= 2)
+        .withColumn("num", col("n") * col("stv") - col("st") * col("sv"))
+        .withColumn("den", col("n") * col("stt") - col("st") * col("st"))
+        .withColumn("predict_v",
+          when(col("den") =!= 0,
+            (col("sv").cast("double") / (col("n") * 100.0)) +
+              (col("num").cast("double") / (lit(100.0) * col("den"))) *
+                (lit((RangeTo - RangeFrom + 3600L).toDouble) -
+                  col("st").cast("double") / col("n"))))
+        .select("user_id", "event_type", "n", "num", "den", "predict_v")
+        .orderBy("user_id", "event_type")),
     // absent-series detection (PromQL absent() over a grid): for every
     // series the corpus has EVER seen, the hours in the fixed range
     // with zero samples. Grid = |series| × 48 rows (series-bounded,
@@ -1033,6 +1103,57 @@ object TsQueries {
       |  CAST(n * stt - st * st AS BIGINT) AS den,
       |  CAST(n * stv - st * sv AS DOUBLE) /
       |    (100.0 * nullif(n * stt - st * st, 0)) AS slope
+      |FROM s WHERE n >= 2 ORDER BY user_id, event_type""".stripMargin,
+    "ts_changes" -> s"""WITH $ptsSql,
+      |d AS (SELECT user_id, event_type, ts,
+      |        CAST(round(v * 100) AS BIGINT) AS cents,
+      |        lag(CAST(round(v * 100) AS BIGINT))
+      |          OVER (PARTITION BY user_id, event_type ORDER BY ts, v) AS prev_cents
+      |      FROM pts)
+      |SELECT user_id, event_type, (ts // 86400) * 86400 AS day,
+      |  CAST(sum(CASE WHEN prev_cents IS NOT NULL AND cents <> prev_cents
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS n_changes,
+      |  count(*) AS n
+      |FROM d GROUP BY 1, 2, 3 ORDER BY user_id, event_type, day""".stripMargin,
+    "ts_delta" -> s"""WITH $ptsSql,
+      |r AS (SELECT user_id, event_type, ts,
+      |        CAST(round(v * 100) AS BIGINT) AS cents,
+      |        row_number() OVER (PARTITION BY user_id, event_type
+      |                           ORDER BY ts, CAST(round(v * 100) AS BIGINT)) AS rf,
+      |        row_number() OVER (PARTITION BY user_id, event_type
+      |                           ORDER BY ts DESC, CAST(round(v * 100) AS BIGINT) DESC) AS rl
+      |      FROM pts WHERE ts >= $RangeFrom AND ts <= $RangeTo),
+      |s AS (SELECT user_id, event_type,
+      |        max(CASE WHEN rf = 1 THEN ts END) AS first_ts,
+      |        max(CASE WHEN rl = 1 THEN ts END) AS last_ts,
+      |        max(CASE WHEN rf = 1 THEN cents END) AS first_cents,
+      |        max(CASE WHEN rl = 1 THEN cents END) AS last_cents,
+      |        count(*) AS n
+      |      FROM r GROUP BY 1, 2)
+      |SELECT user_id, event_type, CAST(n AS BIGINT) AS n,
+      |  first_ts, last_ts, first_cents, last_cents,
+      |  CAST(last_cents - first_cents AS BIGINT) AS delta_cents,
+      |  CAST(last_cents - first_cents AS BIGINT) / 100.0 AS delta_v
+      |FROM s WHERE n >= 2 ORDER BY user_id, event_type""".stripMargin,
+    "ts_predict_linear" -> s"""WITH $ptsSql,
+      |c AS (SELECT user_id, event_type, ts - $RangeFrom AS t,
+      |        CAST(round(v * 100) AS BIGINT) AS cents
+      |      FROM pts WHERE ts >= $RangeFrom AND ts <= $RangeTo),
+      |s AS (SELECT user_id, event_type, count(*) AS n,
+      |        CAST(sum(t) AS BIGINT) AS st, CAST(sum(cents) AS BIGINT) AS sv,
+      |        CAST(sum(t * cents) AS BIGINT) AS stv,
+      |        CAST(sum(t * t) AS BIGINT) AS stt
+      |      FROM c GROUP BY 1, 2)
+      |SELECT user_id, event_type, n,
+      |  CAST(n * stv - st * sv AS BIGINT) AS num,
+      |  CAST(n * stt - st * st AS BIGINT) AS den,
+      |  CASE WHEN n * stt - st * st <> 0 THEN
+      |    (CAST(sv AS DOUBLE) / (n * 100.0)) +
+      |      (CAST(n * stv - st * sv AS DOUBLE) /
+      |        (100.0 * (n * stt - st * st))) *
+      |        (${(RangeTo - RangeFrom + 3600L).toDouble} -
+      |          CAST(st AS DOUBLE) / n)
+      |  END AS predict_v
       |FROM s WHERE n >= 2 ORDER BY user_id, event_type""".stripMargin,
     "ts_absent" -> s"""WITH $ptsSql,
       |sr AS (SELECT DISTINCT user_id, event_type FROM pts),

@@ -87,4 +87,71 @@ class PackMixSpec extends AnyFunSuite {
       .orderBy("lang").collect().toSeq
     assert(a == b)
   }
+
+  test("sampleShuffle is a bijection onto 0..n-1; salt gives an independent order") {
+    val out = TextOps.sampleShuffle(docs, "doc_id").collect()
+    val n = docs.count()
+    assert(out.length == n)
+    // every position 0..n-1 exactly once: the bucket-offset + in-bucket
+    // rank decomposition must tile the global range with no gap/overlap
+    assert(out.map(_.getAs[Long]("pos")).sorted.toSeq == (0L until n).toSeq)
+    // id-derived, not layout-derived
+    val b = TextOps.sampleShuffle(docs.repartition(11), "doc_id")
+      .orderBy("doc_id").collect().toSeq
+    assert(out.sortBy(_.getAs[Long]("doc_id")).toSeq == b)
+    // a different salt (epoch) is a genuinely different permutation
+    val other = TextOps.sampleShuffle(docs, "doc_id", salt = 43L)
+      .orderBy("doc_id").collect()
+    val moved = out.sortBy(_.getAs[Long]("doc_id")).zip(other)
+      .count { case (x, y) => x.getAs[Long]("pos") != y.getAs[Long]("pos") }
+    assert(moved > n / 2, s"salt change moved only $moved of $n docs")
+  }
+
+  test("packBuckets: bounded batches, homogeneous bands, exact waste accounting") {
+    val out = TextOps.packBuckets(docs, "doc_id", "text",
+      bandTokens = 16L, batchDocs = 8, nShards = 4).collect()
+    assert(out.nonEmpty)
+    assert(out.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_docs") <= 8)
+      val padded = r.getAs[Long]("padded_tokens")
+      assert(padded == r.getAs[Long]("n_docs") * r.getAs[Long]("max_tokens"))
+      val waste = r.getAs[Long]("waste_tokens")
+      assert(waste >= 0 && waste == padded - r.getAs[Long]("sum_tokens"))
+      // a band is a 16-token range, so padding per doc is < bandTokens:
+      // the whole point of length bucketing
+      assert(waste < r.getAs[Long]("n_docs") * 16L)
+    }
+    // within a (band, shard), only the LAST batch may run short
+    out.groupBy(r => (r.getAs[Long]("band"), r.getAs[Long]("shard")))
+      .foreach { case (_, rows) =>
+        val byBatch = rows.sortBy(_.getAs[Long]("batch_id"))
+        byBatch.dropRight(1).foreach(r => assert(r.getAs[Long]("n_docs") == 8))
+      }
+  }
+
+  test("spanDedup flags shared and internally-repeated spans, not unique text") {
+    import spark.implicits._
+    val span = (1 to 10).map(i => s"w$i").mkString(" ")
+    val mini = Seq(
+      (1L, s"alpha beta $span gamma"),        // shares `span` with doc 2
+      (2L, s"$span delta epsilon"),
+      (3L, "one two three four five six seven eight nine ten eleven"), // unique
+      (4L, s"x $span y $span z")              // repeats `span` internally
+    ).toDF("doc_id", "text")
+    val out = TextOps.spanDedup(mini, "doc_id", "text", k = 10)
+      .orderBy("doc_id").collect()
+    assert(out.length == 4)
+    val byId = out.map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[Long]("n_spans"), r.getAs[Long]("n_dup_spans"))).toMap
+    // doc 1: 13 words -> 4 spans, exactly one of them IS `span`
+    assert(byId(1L) == (4L, 1L))
+    assert(byId(2L) == (3L, 1L))
+    assert(byId(3L) == (2L, 0L))
+    // doc 4: both copies of `span` count — duplication inside one doc
+    // is still duplication (Lee et al. dedup within AND across docs)
+    assert(byId(4L)._2 == 2L)
+    val milli = out.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("dup_milli")).toMap
+    assert(milli(3L) == 0L && milli(1L) == 250L)
+  }
 }
