@@ -89,6 +89,13 @@ object Bench {
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_out.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
     catch { case _: Throwable => () }
+    // the same map as a COMMITTED per-round artifact (BENCH_FULL.json,
+    // alongside RECALL.json): once the compact stdout line crosses the
+    // tail budget it degrades to deciseconds, so the repo file is the
+    // durable exact record round-over-round diffs read
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/root/repo/BENCH_FULL.json"), json + "\n")
+    catch { case _: Throwable => () }
     // LAST line: a compact trie-grouped encoding that fits the driver's
     // 2000-char tail window entirely, so its last-JSON-line parse
     // always sees every query. Keys nest on '_' tokens wherever >= 2

@@ -41,16 +41,25 @@ class BenchLineSpec extends AnyFunSuite {
     assert(!line.contains('\n'))
   }
 
-  test("compact line round-trips every query key and centisecond value") {
+  test("compact line round-trips every query key at its declared unit") {
     val line = Bench.compactLine(results, results.map(_._2).sum, "sf0.1")
     val root = new ObjectMapper().readTree(line)
-    assert(root.get("u").asText() == "cs")
+    // past ~130 keys the centisecond line outgrows the tail budget and
+    // the encoder degrades to deciseconds; either way the line must
+    // declare its unit and round-trip every key exactly at that scale
+    // (the committed BENCH_FULL.json carries the full-precision map)
+    val scale = root.get("u").asText() match {
+      case "cs" => 100.0
+      case "ds" => 10.0
+      case u    => fail(s"unknown unit $u")
+    }
     val flat = collection.mutable.Map.empty[String, Long]
     flatten(root.get("q"), "", flat)
     assert(flat.keySet == keys.toSet,
       s"missing=${keys.toSet -- flat.keySet} extra=${flat.keySet -- keys.toSet}")
     results.foreach { case (k, v) =>
-      assert(flat(k) == math.round(v * 100), s"$k: ${flat(k)} != ${math.round(v * 100)}")
+      assert(flat(k) == math.round(v * scale),
+        s"$k: ${flat(k)} != ${math.round(v * scale)}")
     }
   }
 
