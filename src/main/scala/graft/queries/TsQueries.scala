@@ -145,6 +145,52 @@ object TsQueries {
     path
   }
 
+  /** A COMPACTED copy of a deliberately fragmented ingest: the events
+    * split into two arbitrary halves and appended separately (two
+    * micro-batches of a per-batch streaming sink — each window ends up
+    * owning several partial chunks), then re-sealed by
+    * [[Ts.compactStore]] into one-chunk-per-window form. Built once
+    * per dir like the other derived stores. */
+  def compactedStorePath(s: SparkSession, dir: String): String = synchronized {
+    graft.functions.registerAll(s)
+    val path = storePath(dir) + "_cmp"
+    if (!new java.io.File(path, "_SUCCESS").exists()) {
+      val frag = storePath(dir) + "_frag"
+      val ev = Tables(s, dir, "events")
+      val half = pmod(xxhash64(col("event_id")), lit(2L))
+      Ts.writeStore(Ts.chunkify(ev.filter(half === 0), series, "ts", "value"), frag)
+      Ts.writeStore(Ts.chunkify(ev.filter(half === 1), series, "ts", "value"),
+        frag, mode = "append")
+      val tmp = path + ".tmp"
+      Ts.compactStore(s, frag, tmp)
+      new java.io.File(tmp).renameTo(new java.io.File(path))
+    }
+    path
+  }
+
+  /** A byte-copy of the chunk store with partitions older than the
+    * fixed range EXPIRED ([[Ts.expireStore]] — retention enforcement as
+    * metadata-only partition drops, zero chunk bytes read). asOf =
+    * RangeTo with a 2-day horizon puts the cutoff date exactly at
+    * RangeFrom's midnight; 2-h windows never straddle midnight, so the
+    * surviving store holds precisely the events at ts >= RangeFrom. */
+  def expiredStorePath(s: SparkSession, dir: String): String = synchronized {
+    graft.functions.registerAll(s)
+    storeChunks(s, dir) // ensure the source store exists
+    val path = storePath(dir) + "_exp"
+    if (!new java.io.File(path, "_SUCCESS").exists()) {
+      val conf = s.sparkContext.hadoopConfiguration
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(conf)
+      val tmp = new org.apache.hadoop.fs.Path(path + ".tmp")
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+      org.apache.hadoop.fs.FileUtil.copy(
+        fs, new org.apache.hadoop.fs.Path(storePath(dir)), fs, tmp, false, conf)
+      Ts.expireStore(s, tmp.toString, olderThanDays = 2, asOfSec = RangeTo)
+      fs.rename(tmp, new org.apache.hadoop.fs.Path(path))
+    }
+    path
+  }
+
   private def aggExact(points: DataFrame): DataFrame =
     points.groupBy("user_id")
       .agg(count(lit(1)).as("n"),
@@ -308,6 +354,23 @@ object TsQueries {
     "ts_store_upsert" -> ((s, dir) =>
       aggExact(Ts.unpack(
         Ts.readStore(s, upsertedStorePath(s, dir)), series))),
+    // background compaction (Gorilla's block finalize as a batch job):
+    // a fragmented two-batch ingest re-sealed into one-chunk-per-window
+    // form, then served — the compacted store must answer exactly like
+    // a never-fragmented ingest of the raw events (shares
+    // ts_roundtrip_agg's full-corpus oracle; the byte-identity of the
+    // re-sealed chunks themselves is pinned in TsStoreSpec)
+    "ts_store_compact" -> ((s, dir) =>
+      aggExact(Ts.unpack(
+        Ts.readStore(s, compactedStorePath(s, dir)), series))),
+    // retention enforcement: partitions older than the fixed range
+    // dropped metadata-only (directory deletes, zero chunk bytes
+    // read), then the survivors served — must equal aggregating the
+    // raw events at ts >= RangeFrom (2-h windows never straddle the
+    // date cutoff's midnight, so expiry is point-exact here)
+    "ts_store_expire" -> ((s, dir) =>
+      aggExact(Ts.unpack(
+        Ts.readStore(s, expiredStorePath(s, dir)), series))),
     // newest point per series, decoding only each series' newest chunk
     "ts_latest" -> ((s, dir) =>
       Ts.latest(chunks(s, dir), series).orderBy("user_id", "event_type")),
@@ -595,6 +658,33 @@ object TsQueries {
         .select("user_id", "event_type", "ts", "v", "prev_ts", "dt", "rate")
         .orderBy("user_id", "event_type", "ts", "v")
     }),
+    // PromQL SUBQUERY composition, max_over_time(rate(x[1d])[31d:1d]):
+    // stage 1 computes each series' daily rate from ONE
+    // partial-aggregating (ts, cents)-struct min/max per bucket (exact
+    // integer dcents/dt, one IEEE division — ts_delta's shape at
+    // bucket granularity); stage 2 reduces the ≤ 31 bucket rows per
+    // series to the peak rate via a (rate, bucket) struct max, ties
+    // resolving to the later bucket exactly like the oracle's
+    // row_number. No point-count window anywhere — both stages are
+    // map-side-combining hash aggregates
+    "ts_subquery_rate" -> ((s, dir) =>
+      points(s, dir)
+        .select(col("user_id"), col("event_type"),
+          ((col("ts") / 86400).cast("long") * 86400).as("bucket"), col("ts"),
+          round(col("v") * 100).cast("long").as("cents"))
+        .groupBy("user_id", "event_type", "bucket")
+        .agg(count(lit(1)).as("n"),
+          min(struct(col("ts"), col("cents"))).as("__f"),
+          max(struct(col("ts"), col("cents"))).as("__l"))
+        .filter(col("n") >= 2 && col("__l.ts") =!= col("__f.ts"))
+        .withColumn("rate", (col("__l.cents") - col("__f.cents")).cast("double") /
+          (lit(100.0) * (col("__l.ts") - col("__f.ts"))))
+        .groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("n_buckets"),
+          max(struct(col("rate"), col("bucket"))).as("__m"))
+        .select(col("user_id"), col("event_type"), col("n_buckets"),
+          col("__m.rate").as("max_rate"), col("__m.bucket").as("at_bucket"))
+        .orderBy("user_id", "event_type")),
     // k-point moving average (frame: 3 preceding + current), exact via cents
     "ts_moving_avg" -> ((s, dir) => {
       val w = Window.partitionBy("user_id", "event_type").orderBy("ts", "v")
@@ -1294,6 +1384,44 @@ object TsQueries {
       |  ON g.user_id = a.user_id AND g.event_type = a.event_type AND g.bucket = a.bucket
       |ORDER BY g.user_id, g.event_type, g.bucket""".stripMargin,
     "ts_roundtrip_agg" -> aggExactSql,
+    // the compacted store serves the whole corpus — same full oracle
+    "ts_store_compact" -> aggExactSql,
+    // expiry drops exactly the partitions before RangeFrom's midnight
+    "ts_store_expire" ->
+      s"""SELECT user_id, count(*) AS n,
+         |  min(CAST(epoch_ns(ts) // 1000000000 AS BIGINT)) AS min_ts,
+         |  max(CAST(epoch_ns(ts) // 1000000000 AS BIGINT)) AS max_ts,
+         |  min(value) AS min_v, max(value) AS max_v,
+         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+         |FROM events
+         |WHERE CAST(epoch_ns(ts) // 1000000000 AS BIGINT) >= $RangeFrom
+         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "ts_subquery_rate" -> s"""WITH $ptsSql,
+      |b AS (SELECT user_id, event_type, (ts // 86400) * 86400 AS bucket, ts,
+      |        CAST(round(v * 100) AS BIGINT) AS cents
+      |      FROM pts),
+      |r AS (SELECT *,
+      |  row_number() OVER (PARTITION BY user_id, event_type, bucket
+      |                     ORDER BY ts, cents) AS rf,
+      |  row_number() OVER (PARTITION BY user_id, event_type, bucket
+      |                     ORDER BY ts DESC, cents DESC) AS rl
+      |FROM b),
+      |g AS (SELECT user_id, event_type, bucket, count(*) AS n,
+      |  max(CASE WHEN rf = 1 THEN ts END) AS f_ts,
+      |  max(CASE WHEN rf = 1 THEN cents END) AS f_c,
+      |  max(CASE WHEN rl = 1 THEN ts END) AS l_ts,
+      |  max(CASE WHEN rl = 1 THEN cents END) AS l_c
+      |FROM r GROUP BY 1, 2, 3),
+      |q AS (SELECT user_id, event_type, bucket,
+      |  CAST(l_c - f_c AS DOUBLE) / (100.0 * (l_ts - f_ts)) AS rate
+      |FROM g WHERE n >= 2 AND l_ts <> f_ts)
+      |SELECT user_id, event_type,
+      |  count(*) OVER (PARTITION BY user_id, event_type) AS n_buckets,
+      |  rate AS max_rate, bucket AS at_bucket
+      |FROM q
+      |QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+      |                           ORDER BY rate DESC, bucket DESC) = 1
+      |ORDER BY user_id, event_type""".stripMargin,
     "ts_values_roundtrip" -> s"""WITH $ptsSql
       |SELECT user_id, event_type, count(*) AS n,
       |  min(v) AS min_v, max(v) AS max_v,
