@@ -403,6 +403,69 @@ object TextOps {
   }
 
   /**
+   * Temperature-scaled mixture allocation (the multilingual-sampling
+   * α-temperature from XLM-R / mT5: weight ∝ count^α with α = 0.5, so
+   * low-resource groups are up-sampled relative to proportional): the
+   * budget splits by largest-remainder over integer micro-weights
+   * `floor(sqrt(n_tokens)·10⁶)`. sqrt is IEEE-correctly-rounded in
+   * every engine and the ×10⁶ is one double multiply, so the
+   * quantized weights are bit-identical across engines and the whole
+   * allocation stays in exact BIGINT arithmetic afterwards —
+   * Σalloc == budget exactly, like [[mixAllocate]]. Windows run over
+   * #groups rows only.
+   */
+  def mixTemperature(docs: DataFrame, groupCol: String, textCol: String,
+                     budget: Long): DataFrame = {
+    val totals = docs
+      .groupBy(col(groupCol))
+      .agg(sum(size(split(col(textCol), " ")).cast("long")).as("n_tokens"))
+      .withColumn("wq", floor(sqrt(col("n_tokens").cast("double")) * 1e6).cast("long"))
+    val all = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val byRem = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rem").desc, col(groupCol))
+    totals
+      .withColumn("total", sum("wq").over(all))
+      .withColumn("fl", expr(s"($budget * wq) div total"))
+      .withColumn("rem", pmod(lit(budget) * col("wq"), col("total")))
+      .withColumn("rk", row_number().over(byRem))
+      .withColumn("short", lit(budget) - sum("fl").over(all))
+      .select(col(groupCol), col("n_tokens"), col("wq"),
+        (col("fl") + when(col("rk") <= col("short"), 1L).otherwise(0L))
+          .as("alloc_tokens"))
+  }
+
+  /**
+   * Deterministic per-stratum k-sample — the reproducible equivalent
+   * of reservoir sampling: each stratum keeps its k smallest
+   * `md5(id:salt)` hex values (uniform over the stratum, stable
+   * across runs / engines / layouts / corpus growth of OTHER strata).
+   * Exact without a whole-stratum rank window: hex-prefix shards
+   * (first 2 md5 chars — prefix order IS string order) rank locally
+   * first, so the per-stratum merge ranks ≤ 256·k survivor rows
+   * instead of the stratum's full row count; any stratum-global
+   * top-k row is also top-k in its own shard, so the two-stage
+   * selection is lossless.
+   */
+  def sampleReservoir(df: DataFrame, idCol: String, stratumCol: String,
+                      k: Int, salt: Long = 42L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val h = md5(concat(col(idCol).cast("string"), lit(":res:" + salt)))
+    val local = w.partitionBy(col(stratumCol), col("__shard"))
+      .orderBy(col("__h"), col(idCol))
+    val global = w.partitionBy(col(stratumCol)).orderBy(col("__h"), col(idCol))
+    df.withColumn("__h", h)
+      .withColumn("__shard", substring(col("__h"), 1, 2))
+      .withColumn("__lrk", row_number().over(local))
+      .filter(col("__lrk") <= k)
+      .withColumn("rank", row_number().over(global))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col(stratumCol), col("rank").cast("long").as("rank"))
+  }
+
+  /**
    * Corpus-wide top-k most frequent word n-grams. The groupBy count is
    * the canonical map-side-combine shape (partial counts per partition,
    * one shuffle of the combined vocabulary); top-k runs as a

@@ -483,6 +483,18 @@ object OpsQueries {
     "mix_allocate" -> ((s, dir) =>
       TextOps.mixAllocate(Tables(s, dir, "documents"), "lang", "text",
         budget = 1000000L).orderBy("lang")),
+    // temperature-scaled mixture (α = 0.5): low-resource languages
+    // up-sampled relative to proportional; integer micro-weights from
+    // IEEE sqrt keep the largest-remainder split exact
+    "mix_temperature" -> ((s, dir) =>
+      TextOps.mixTemperature(Tables(s, dir, "documents"), "lang", "text",
+        budget = 1000000L).orderBy("lang")),
+    // deterministic per-stratum k-sample (reproducible reservoir
+    // equivalent): k smallest md5(id) per language, two-stage
+    // shard-then-merge ranking so no whole-stratum window exists
+    "sample_reservoir" -> ((s, dir) =>
+      TextOps.sampleReservoir(Tables(s, dir, "documents"), "doc_id", "lang",
+        k = 20).orderBy("lang", "rank")),
     // deterministic global epoch shuffle: id-derived permutation,
     // ranked per hash bucket so no whole-corpus window exists
     "sample_shuffle" -> ((s, dir) =>
@@ -954,6 +966,34 @@ object OpsQueries {
         |  CAST(fl + CASE WHEN rk <= short THEN 1 ELSE 0 END AS BIGINT)
         |    AS alloc_tokens
         |FROM r ORDER BY lang""".stripMargin,
+    "mix_temperature" ->
+      """WITH t AS (SELECT lang,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |FROM documents GROUP BY lang),
+        |q AS (SELECT lang, n_tokens,
+        |  CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1e6) AS BIGINT) AS wq
+        |FROM t),
+        |s AS (SELECT lang, n_tokens, wq,
+        |  CAST(sum(wq) OVER () AS BIGINT) AS total FROM q),
+        |f AS (SELECT lang, n_tokens, wq, total,
+        |  CAST((1000000 * wq) // total AS BIGINT) AS fl,
+        |  CAST((1000000 * wq) % total AS BIGINT) AS rem FROM s),
+        |r AS (SELECT lang, n_tokens, wq, fl, rem,
+        |  row_number() OVER (ORDER BY rem DESC, lang) AS rk,
+        |  CAST(1000000 - sum(fl) OVER () AS BIGINT) AS short FROM f)
+        |SELECT lang, n_tokens, wq,
+        |  CAST(fl + CASE WHEN rk <= short THEN 1 ELSE 0 END AS BIGINT)
+        |    AS alloc_tokens
+        |FROM r ORDER BY lang""".stripMargin,
+    "sample_reservoir" ->
+      """WITH h AS (SELECT doc_id, lang,
+        |  md5(CAST(doc_id AS VARCHAR) || ':res:42') AS h FROM documents)
+        |SELECT doc_id, lang,
+        |  CAST(row_number() OVER (PARTITION BY lang ORDER BY h, doc_id)
+        |    AS BIGINT) AS rank
+        |FROM h
+        |QUALIFY rank <= 20
+        |ORDER BY lang, rank""".stripMargin,
     // global rank by (md5, id) == bucket offset + in-bucket rank: the
     // hex string orders identically to its first-byte numeric bucket
     "sample_shuffle" ->

@@ -88,6 +88,54 @@ class PackMixSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("mixTemperature conserves the budget and up-samples low-resource groups") {
+    val budget = 999983L
+    val out = TextOps.mixTemperature(docs, "lang", "text", budget).collect()
+    assert(out.map(_.getAs[Long]("alloc_tokens")).sum == budget,
+      "largest-remainder rounding must conserve the budget exactly")
+    val prop = TextOps.mixAllocate(docs, "lang", "text", budget).collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("alloc_tokens")).toMap
+    val counts = out.map(r =>
+      r.getAs[String]("lang") -> r.getAs[Long]("n_tokens")).toMap
+    // α = 0.5 flattens the mixture: every group SMALLER than the mean
+    // token count gains share vs proportional, every larger one loses
+    val mean = counts.values.sum.toDouble / counts.size
+    out.foreach { r =>
+      val lang = r.getAs[String]("lang")
+      val alloc = r.getAs[Long]("alloc_tokens")
+      if (counts(lang) < mean * 0.9) assert(alloc > prop(lang),
+        s"$lang: temperature sampling should up-sample small groups")
+      if (counts(lang) > mean * 1.1) assert(alloc < prop(lang),
+        s"$lang: temperature sampling should down-sample large groups")
+    }
+  }
+
+  test("sampleReservoir: shard-merge selection == whole-stratum rank, stable under growth") {
+    import org.apache.spark.sql.expressions.Window
+    val k = 17
+    val out = TextOps.sampleReservoir(docs, "doc_id", "lang", k)
+      .orderBy("lang", "rank").collect().toSeq
+    // the two-stage (shard top-k, then merge) selection must equal the
+    // naive single whole-stratum rank window it exists to avoid
+    val naive = docs
+      .withColumn("__h", md5(concat(col("doc_id").cast("string"), lit(":res:42"))))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("lang").orderBy(col("__h"), col("doc_id"))))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("lang"), col("rank").cast("long").as("rank"))
+      .orderBy("lang", "rank").collect().toSeq
+    assert(out == naive)
+    out.groupBy(_.getAs[String]("lang")).foreach { case (lang, rows) =>
+      assert(rows.length <= k, s"$lang overflowed k")
+      assert(rows.map(_.getAs[Long]("rank")).sorted == (1L to rows.length),
+        s"$lang ranks must tile 1..n")
+    }
+    // growth in OTHER strata never perturbs a stratum's sample
+    val en = TextOps.sampleReservoir(docs.filter(col("lang") === "en"),
+      "doc_id", "lang", k).orderBy("rank").collect().toSeq
+    assert(en == out.filter(_.getAs[String]("lang") == "en"))
+  }
+
   test("sampleShuffle is a bijection onto 0..n-1; salt gives an independent order") {
     val out = TextOps.sampleShuffle(docs, "doc_id").collect()
     val n = docs.count()
