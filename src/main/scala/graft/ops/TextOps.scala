@@ -403,6 +403,48 @@ object TextOps {
   }
 
   /**
+   * Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+   * SIGMOD 2003 — the MOSS algorithm): word `k`-gram hashes, then in
+   * every window of `w` consecutive hashes select the RIGHTMOST
+   * minimum; the distinct (position, hash) pairs are the document's
+   * fingerprints. Guarantees: any shared run of w+k-1 words between
+   * two documents yields at least one shared fingerprint (the
+   * winnowing guarantee), and within-doc density is ~2/(w+1) —
+   * position-bearing span matching at a fraction of all-gram cost.
+   *
+   * Hashes are the first 48 md5 bits of the gram (portable: both
+   * engines md5 identically, so the SQL oracle recomputes them
+   * bit-for-bit). Docs shorter than k words have no grams and drop;
+   * docs with fewer than w grams winnow a single full-width window.
+   * All arithmetic is integer-exact.
+   *
+   * At scale: one pass per doc through builtin codegen HOFs
+   * (transform/slice/array_min — O(m·w) comparisons at w = 8), no
+   * shuffle at all until the caller aggregates fingerprints; the
+   * output is ~2/(w+1) of the gram count, so downstream joins carry
+   * an 4-5× lighter payload than exact-substring shingling.
+   */
+  def winnowing(docs: DataFrame, idCol: String, textCol: String,
+                k: Int = 4, w: Int = 8): DataFrame =
+    docs
+      .select(col(idCol), split(col(textCol), " ").as("__ws"))
+      .filter(size(col("__ws")) >= k)
+      .withColumn("__hs", expr(
+        s"""transform(sequence(1, size(__ws) - $k + 1),
+           |  j -> CAST(conv(substring(md5(array_join(slice(__ws, j, $k), ' ')),
+           |                 1, 12), 16, 10) AS BIGINT))""".stripMargin))
+      .withColumn("__wl", least(lit(w), size(col("__hs"))))
+      .withColumn("__fps", expr(
+        """transform(sequence(1, size(__hs) - __wl + 1),
+          |  i -> named_struct(
+          |    'pos', CAST(i + __wl - array_position(reverse(slice(__hs, i, __wl)),
+          |                  array_min(slice(__hs, i, __wl))) AS BIGINT),
+          |    'fp', array_min(slice(__hs, i, __wl))))""".stripMargin))
+      .select(col(idCol), explode(col("__fps")).as("__f"))
+      .select(col(idCol), col("__f.pos").as("pos"), col("__f.fp").as("fp"))
+      .distinct()
+
+  /**
    * Temperature-scaled mixture allocation (the multilingual-sampling
    * α-temperature from XLM-R / mT5: weight ∝ count^α with α = 0.5, so
    * low-resource groups are up-sampled relative to proportional): the

@@ -483,6 +483,12 @@ object OpsQueries {
     "mix_allocate" -> ((s, dir) =>
       TextOps.mixAllocate(Tables(s, dir, "documents"), "lang", "text",
         budget = 1000000L).orderBy("lang")),
+    // winnowing fingerprints (MOSS): rightmost-min of every 8-hash
+    // window over word 4-gram hashes — position-bearing span
+    // fingerprints at ~2/(w+1) the gram count
+    "text_winnowing" -> ((s, dir) =>
+      TextOps.winnowing(Tables(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id", "pos", "fp")),
     // temperature-scaled mixture (α = 0.5): low-resource languages
     // up-sampled relative to proportional; integer micro-weights from
     // IEEE sqrt keep the largest-remainder split exact
@@ -966,6 +972,24 @@ object OpsQueries {
         |  CAST(fl + CASE WHEN rk <= short THEN 1 ELSE 0 END AS BIGINT)
         |    AS alloc_tokens
         |FROM r ORDER BY lang""".stripMargin,
+    "text_winnowing" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g AS (SELECT doc_id,
+        |        list_transform(range(1, len(ws) - 4 + 2),
+        |          j -> CAST(('0x' || substr(md5(array_to_string(ws[j:j+3], ' ')),
+        |                     1, 12)) AS BIGINT)) AS hs
+        |      FROM w WHERE len(ws) >= 4),
+        |s AS (SELECT doc_id, hs, least(8, len(hs)) AS wl FROM g),
+        |f AS (SELECT doc_id,
+        |        list_transform(range(1, len(hs) - wl + 2),
+        |          i -> {'pos': i + wl -
+        |                  list_position(list_reverse(hs[i:i+wl-1]),
+        |                                list_min(hs[i:i+wl-1])),
+        |                'fp': list_min(hs[i:i+wl-1])}) AS fps
+        |      FROM s)
+        |SELECT DISTINCT doc_id, u.pos AS pos, u.fp AS fp
+        |FROM f, LATERAL UNNEST(fps) AS t(u)
+        |ORDER BY doc_id, pos, fp""".stripMargin,
     "mix_temperature" ->
       """WITH t AS (SELECT lang,
         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens

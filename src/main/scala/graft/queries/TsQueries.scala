@@ -685,6 +685,39 @@ object TsQueries {
         .select(col("user_id"), col("event_type"), col("n_buckets"),
           col("__m.rate").as("max_rate"), col("__m.bucket").as("at_bucket"))
         .orderBy("user_id", "event_type")),
+    // PromQL holt_winters (double exponential smoothing, sf=0.3,
+    // tf=0.1) over the fixed range: level/trend from the textbook
+    // sequential fold — level=x₁, trend=x₁−x₀, then
+    // lᵢ = 0.3·xᵢ + 0.7·(l+t); tᵢ = 0.1·(lᵢ−l) + 0.9·t. The recursion
+    // is inherently sequential PER SERIES, so it runs as one
+    // sort_array(collect_list) + aggregate() fold per series — state
+    // bounded by the range's points per series (a PromQL range
+    // vector), never the corpus; series parallelize freely. Inputs
+    // are exact integer cents and the fold is the same IEEE
+    // expression tree on both engines (the lᵢ subterm duplicated
+    // verbatim), so the emitted doubles are bit-stable
+    "ts_holt_winters" -> ((s, dir) =>
+      points(s, dir)
+        .filter(col("ts") >= RangeFrom && col("ts") <= RangeTo)
+        .select(col("user_id"), col("event_type"), col("ts"),
+          round(col("v") * 100).cast("long").as("cents"))
+        .groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("n"),
+          sort_array(collect_list(struct(col("ts"), col("cents")))).as("__arr"))
+        .filter(col("n") >= 2)
+        .withColumn("__xs",
+          expr("transform(__arr, p -> CAST(p.cents AS DOUBLE) / 100.0D)"))
+        .withColumn("__hw", expr(
+          """aggregate(slice(__xs, 3, size(__xs) - 2),
+            |  named_struct('l', __xs[1], 't', __xs[1] - __xs[0]),
+            |  (acc, v) -> named_struct(
+            |    'l', 0.3D * v + 0.7D * (acc.l + acc.t),
+            |    't', 0.1D * ((0.3D * v + 0.7D * (acc.l + acc.t)) - acc.l)
+            |         + 0.9D * acc.t))""".stripMargin))
+        .select(col("user_id"), col("event_type"), col("n"),
+          col("__hw.l").as("level"), col("__hw.t").as("trend"),
+          (col("__hw.l") + col("__hw.t")).as("forecast"))
+        .orderBy("user_id", "event_type")),
     // k-point moving average (frame: 3 preceding + current), exact via cents
     "ts_moving_avg" -> ((s, dir) => {
       val w = Window.partitionBy("user_id", "event_type").orderBy("ts", "v")
@@ -1396,6 +1429,35 @@ object TsQueries {
          |FROM events
          |WHERE CAST(epoch_ns(ts) // 1000000000 AS BIGINT) >= $RangeFrom
          |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // the same fold as a RECURSIVE CTE stepping through each series'
+    // sorted sample list — each iteration's expressions evaluate
+    // against the previous row, so the duplicated lᵢ subterm computes
+    // on unmutated state. (DuckDB's list_reduce is NOT usable here:
+    // from the second application on it overwrites the accumulator's
+    // first struct field before evaluating the second, silently
+    // corrupting any lambda whose later field reads an earlier one.)
+    "ts_holt_winters" -> s"""WITH RECURSIVE $ptsSql,
+      |c AS (SELECT user_id, event_type, ts,
+      |        CAST(round(v * 100) AS BIGINT) AS cents
+      |      FROM pts WHERE ts >= $RangeFrom AND ts <= $RangeTo),
+      |a AS (SELECT user_id, event_type, count(*) AS n,
+      |        list(cents ORDER BY ts, cents) AS cl
+      |      FROM c GROUP BY 1, 2),
+      |x AS (SELECT user_id, event_type, n,
+      |        list_transform(cl, q -> CAST(q AS DOUBLE) / 100.0) AS xs
+      |      FROM a WHERE n >= 2),
+      |r AS (
+      |  SELECT user_id, event_type, n, xs, 2 AS i,
+      |         xs[2] AS l, xs[2] - xs[1] AS t
+      |  FROM x
+      |  UNION ALL
+      |  SELECT user_id, event_type, n, xs, i + 1,
+      |         0.3 * xs[i + 1] + 0.7 * (l + t),
+      |         0.1 * ((0.3 * xs[i + 1] + 0.7 * (l + t)) - l) + 0.9 * t
+      |  FROM r WHERE i < n)
+      |SELECT user_id, event_type, n, l AS level, t AS trend,
+      |  l + t AS forecast
+      |FROM r WHERE i = n ORDER BY user_id, event_type""".stripMargin,
     "ts_subquery_rate" -> s"""WITH $ptsSql,
       |b AS (SELECT user_id, event_type, (ts // 86400) * 86400 AS bucket, ts,
       |        CAST(round(v * 100) AS BIGINT) AS cents

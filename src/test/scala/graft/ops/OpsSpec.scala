@@ -709,4 +709,40 @@ class OpsSpec extends AnyFunSuite {
     val again = Multimodal.extractFeatures(media).collect()
     assert(feats.sortBy(_.media_id).toSeq == again.sortBy(_.media_id).toSeq)
   }
+
+  test("winnowing: shared-run guarantee, density bound, layout independence") {
+    import spark.implicits._
+    val k = 4; val w = 8
+    // a 20-word run planted inside two otherwise-unrelated documents
+    // (run length 20 >= w + k - 1 = 11 → the winnowing guarantee
+    // promises at least one SHARED fingerprint hash)
+    val run = (1 to 20).map(i => s"run$i").mkString(" ")
+    val a = (1 to 30).map(i => s"alpha$i").mkString(" ") + " " + run
+    val b = run + " " + (1 to 30).map(i => s"beta$i").mkString(" ")
+    val c = (1 to 40).map(i => s"gamma$i").mkString(" ")
+    val df = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val fps = TextOps.winnowing(df, "doc_id", "text", k, w).collect()
+    def hashes(id: Long) = fps.filter(_.getLong(0) == id).map(_.getLong(2)).toSet
+    assert((hashes(1L) intersect hashes(2L)).nonEmpty,
+      "documents sharing a 20-word run must share a fingerprint")
+    assert((hashes(1L) intersect hashes(3L)).isEmpty,
+      "unrelated documents should not collide at 48-bit hashes")
+    // density: distinct positions per doc ~ 2/(w+1) of gram count;
+    // allow a generous band (random hashes, short docs)
+    val grams3 = 40 - k + 1
+    val n3 = fps.count(_.getLong(0) == 3L)
+    assert(n3 >= grams3 / (w + 1) && n3 <= grams3,
+      s"doc 3 selected $n3 of $grams3 grams — outside any plausible density")
+    // every window must have a selected fingerprint within w of it:
+    // consecutive selected positions can never be more than w apart
+    val pos3 = fps.filter(_.getLong(0) == 3L).map(_.getLong(1)).sorted
+    pos3.sliding(2).foreach {
+      case Array(p, q) => assert(q - p <= w, s"gap $p..$q exceeds the window")
+      case _ => ()
+    }
+    // id-derived, not layout-derived
+    val again = TextOps.winnowing(df.repartition(7), "doc_id", "text", k, w)
+      .orderBy("doc_id", "pos", "fp").collect().toSeq
+    assert(fps.sortBy(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq == again)
+  }
 }
