@@ -101,7 +101,7 @@ object Similarity {
    * (cluster, dim, component) triples — linear in corpus size.
    */
   def ivfCentroids(embeddings: DataFrame, idCol: String, vecCol: String,
-                   nlist: Int, iters: Int = 2): DataFrame = {
+                   nlist: Int, iters: Int = 4): DataFrame = {
     val e = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
     // seed selection is a distributed TakeOrdered (per-partition top-k,
     // no full sort); the <= nlist survivors are numbered on the driver
@@ -193,11 +193,12 @@ object Similarity {
     * both window functions over one exchange, zero extra shuffles.
     * Already-unique candidate sets (topApprox output) pass through the
     * guard unchanged. */
-  // rerankFactor = 8 default everywhere: the exact pass costs k·factor
+  // rerankFactor = 24 default everywhere: the exact pass costs k·factor
   // dot products per query (trivial against the candidate scan), while
   // the approximate ordering is the dominant recall loss — measured at
-  // sf0.1, PQ-scored variants sat at 2000 bp with factor 4 against a
-  // 5000 bp probed-list ceiling; widening the net recovers most of it
+  // sf0.1, PQ-scored variants sat at 6800 bp with factor 16 against an
+  // 8400 bp probed-list ceiling; widening the net recovers most of it
+  // (factor 24 → 7400, within 1000 bp of the ceiling)
   private def rerankExact(cand: DataFrame, q: DataFrame, e: DataFrame,
                           k: Int): DataFrame = {
     val scored = cand
@@ -219,7 +220,7 @@ object Similarity {
    * [[writeModels]]) once and call [[ivfTopKWith]].
    */
   def ivfTopK(embeddings: DataFrame, queries: DataFrame, idCol: String,
-              vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame =
+              vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 8): DataFrame =
     ivfTopKWith(materialize(ivfCentroids(embeddings, idCol, vecCol, nlist)),
       embeddings, queries, idCol, vecCol, k, nprobe)
 
@@ -227,7 +228,7 @@ object Similarity {
     * from a [[writeModels]] store): pure probe/scan/rerank — no k-means
     * work on the query path. */
   def ivfTopKWith(centroids: DataFrame, embeddings: DataFrame, queries: DataFrame,
-                  idCol: String, vecCol: String, k: Int, nprobe: Int = 4): DataFrame = {
+                  idCol: String, vecCol: String, k: Int, nprobe: Int = 8): DataFrame = {
     val e = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val q = queries.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val lists = assign(e, centroids) // inverted file: id -> cluster
@@ -284,7 +285,7 @@ object Similarity {
    * a 100 TB embedding corpus fit its candidate scan in RAM.
    */
   def pqCodebooks(embeddings: DataFrame, idCol: String, vecCol: String,
-                  m: Int = 8, ksub: Int = 16, iters: Int = 2): DataFrame =
+                  m: Int = 8, ksub: Int = 32, iters: Int = 4): DataFrame =
     pqCodebooksOn(
       embeddings.select(col(idCol).as("id"), col(vecCol).as("vec")), m, ksub, iters)
 
@@ -351,8 +352,8 @@ object Similarity {
    * compressed full scan is too much.
    */
   def pqTopK(embeddings: DataFrame, queries: DataFrame, idCol: String,
-             vecCol: String, k: Int, m: Int = 8, ksub: Int = 16,
-             rerankFactor: Int = 8): DataFrame =
+             vecCol: String, k: Int, m: Int = 8, ksub: Int = 32,
+             rerankFactor: Int = 24): DataFrame =
     pqTopKWith(materialize(pqCodebooks(embeddings, idCol, vecCol, m, ksub)),
       embeddings, queries, idCol, vecCol, k, m, rerankFactor)
 
@@ -360,7 +361,7 @@ object Similarity {
     * rerank only — no k-means on the query path. */
   def pqTopKWith(books: DataFrame, embeddings: DataFrame, queries: DataFrame,
                  idCol: String, vecCol: String, k: Int, m: Int = 8,
-                 rerankFactor: Int = 8): DataFrame = {
+                 rerankFactor: Int = 24): DataFrame = {
     val e = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val q = queries.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val codes = pqEncode(embeddings, idCol, vecCol, books, m).toDF("n_id", "j", "code")
@@ -403,7 +404,7 @@ object Similarity {
    * codegen'd pass each; no shuffle before the bounded rerank.
    */
   def sq8TopK(embeddings: DataFrame, queries: DataFrame, idCol: String,
-              vecCol: String, k: Int, rerankFactor: Int = 8): DataFrame =
+              vecCol: String, k: Int, rerankFactor: Int = 24): DataFrame =
     sq8TopKWith(sq8Scale(embeddings, idCol, vecCol),
       embeddings, queries, idCol, vecCol, k, rerankFactor)
 
@@ -424,7 +425,7 @@ object Similarity {
     * rerank only — no corpus pass on the query path. */
   def sq8TopKWith(maxAbs: Double, embeddings: DataFrame, queries: DataFrame,
                   idCol: String, vecCol: String, k: Int,
-                  rerankFactor: Int = 8): DataFrame = {
+                  rerankFactor: Int = 24): DataFrame = {
     val e = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val q = queries.select(col(idCol).as("id"), col(vecCol).as("vec"))
     import graft.functions.{sq8_dot, sq8_encode}
@@ -447,8 +448,8 @@ object Similarity {
    */
   def ivfSq8TopKWith(centroids: DataFrame, maxAbs: Double,
                      embeddings: DataFrame, queries: DataFrame,
-                     idCol: String, vecCol: String, k: Int, nprobe: Int = 4,
-                     rerankFactor: Int = 8): DataFrame = {
+                     idCol: String, vecCol: String, k: Int, nprobe: Int = 8,
+                     rerankFactor: Int = 24): DataFrame = {
     val e = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val q = queries.select(col(idCol).as("id"), col(vecCol).as("vec"))
     import graft.functions.{sq8_dot, sq8_encode}
@@ -477,8 +478,8 @@ object Similarity {
    * memory bandwidth, rerank restores precision at the top.
    */
   def ivfPqTopK(embeddings: DataFrame, queries: DataFrame, idCol: String,
-                vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
-                m: Int = 8, ksub: Int = 16, rerankFactor: Int = 8): DataFrame =
+                vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 8,
+                m: Int = 8, ksub: Int = 32, rerankFactor: Int = 24): DataFrame =
     ivfPqTopKWith(materialize(ivfCentroids(embeddings, idCol, vecCol, nlist)),
       materialize(pqCodebooks(embeddings, idCol, vecCol, m, ksub)),
       embeddings, queries, idCol, vecCol, k, nprobe, m, rerankFactor)
@@ -486,8 +487,8 @@ object Similarity {
   /** IVF-PQ top-k against pre-trained centroid + codebook tables. */
   def ivfPqTopKWith(centroids: DataFrame, books: DataFrame,
                     embeddings: DataFrame, queries: DataFrame, idCol: String,
-                    vecCol: String, k: Int, nprobe: Int = 4,
-                    m: Int = 8, rerankFactor: Int = 8): DataFrame = {
+                    vecCol: String, k: Int, nprobe: Int = 8,
+                    m: Int = 8, rerankFactor: Int = 24): DataFrame = {
     val e = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val q = queries.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val lists = assign(e, centroids)
@@ -518,7 +519,7 @@ object Similarity {
    * corpora.
    */
   def annCandidates(embeddings: DataFrame, idCol: String, vecCol: String,
-                    nBits: Int = 10, tables: Int = 8, probes: Int = 1,
+                    nBits: Int = 10, tables: Int = 8, probes: Int = 2,
                     maxBucket: Int = 1000): DataFrame =
     annCandidatesFrom(lshBuckets(embeddings, idCol, vecCol, nBits, tables),
       nBits, probes, maxBucket)
@@ -533,13 +534,8 @@ object Similarity {
     * from the BUILD side only, exactly like the raw-frame path. */
   private def annCandidatesFromLists(lists0: DataFrame, nBits: Int, probes: Int,
                                      maxBucket: Int): DataFrame = {
-    require(probes <= 1, "only hamming radius 0 or 1 probing is supported")
     val lists = lists0.filter(size(col("ids")) <= maxBucket)
-    val probeBuckets =
-      if (probes >= 1)
-        array((col("bucket") +: (0 until nBits).map(i =>
-          col("bucket").bitwiseXOR(lit(1L << i)))): _*)
-      else array(col("bucket"))
+    val probeBuckets = probeExpansion(nBits, probes)
     lists0.select(col("table"), col("bucket"), explode(col("ids")).as("q_id"))
       .select(col("q_id"), col("table"), explode(probeBuckets).as("bucket"))
       .join(lists, Seq("table", "bucket"))
@@ -549,9 +545,27 @@ object Similarity {
 
   /** Candidate pairs from a prepared (id, table, bucket) frame —
     * the hash-at-query-time path ([[annCandidates]]). */
+  /** The multi-probe bucket fan-out: the bucket itself, all single-bit
+    * flips (radius 1), and at `probes >= 2` all two-bit flips — the
+    * nearest signatures in hamming order, 1 + nBits + C(nBits, 2)
+    * buckets at radius 2. The expansion is a fixed expression array
+    * (probe count is a plan-time constant), so widening it costs scan
+    * fan-out, never an extra shuffle. */
+  private def probeExpansion(nBits: Int, probes: Int): Column = {
+    require(probes <= 2, "only hamming radius <= 2 probing is supported")
+    val r1 = (0 until nBits).map(i => col("bucket").bitwiseXOR(lit(1L << i)))
+    val r2 = for (i <- 0 until nBits; j <- i + 1 until nBits)
+      yield col("bucket").bitwiseXOR(lit((1L << i) | (1L << j)))
+    val flips = probes match {
+      case 0 => Seq.empty
+      case 1 => r1
+      case _ => r1 ++ r2
+    }
+    array(col("bucket") +: flips: _*)
+  }
+
   private def annCandidatesFrom(b0: DataFrame, nBits: Int, probes: Int,
                                 maxBucket: Int): DataFrame = {
-    require(probes <= 1, "only hamming radius 0 or 1 probing is supported")
     // the bucket frame feeds BOTH the capped list build and the probe
     // side; persist it so one read (or one hyperplane-hash pass, on
     // the in-memory path) serves both consumers
@@ -559,11 +573,7 @@ object Similarity {
     val lists = b.groupBy("table", "bucket")
       .agg(collect_list("id").as("ids"))
       .filter(size(col("ids")) <= maxBucket)
-    val probeBuckets =
-      if (probes >= 1)
-        array((col("bucket") +: (0 until nBits).map(i =>
-          col("bucket").bitwiseXOR(lit(1L << i)))): _*)
-      else array(col("bucket"))
+    val probeBuckets = probeExpansion(nBits, probes)
     // NOT distinct: multi-table/multi-probe routes duplicate a few
     // percent of pairs, and a full-pair-set shuffle to drop them costs
     // more than carrying them into rerankExact's window, which dedups
@@ -582,7 +592,7 @@ object Similarity {
    * in the spec, not against an oracle.
    */
   def annTopK(embeddings: DataFrame, idCol: String, vecCol: String,
-              k: Int, nBits: Int = 10, tables: Int = 8, probes: Int = 1,
+              k: Int, nBits: Int = 10, tables: Int = 8, probes: Int = 2,
               maxBucket: Int = 1000): DataFrame = {
     val e = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val cand = annCandidates(embeddings, idCol, vecCol, nBits, tables, probes, maxBucket)
@@ -595,7 +605,7 @@ object Similarity {
     * come straight off the stored lists with zero pre-rerank
     * shuffles. */
   def annTopKStored(idx: AnnIndex, embeddings: DataFrame, idCol: String,
-                    vecCol: String, k: Int, probes: Int = 1,
+                    vecCol: String, k: Int, probes: Int = 2,
                     maxBucket: Int = 1000): DataFrame = {
     val e = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
     rerankExact(annCandidatesFromLists(idx.lshLists, nBits = 10, probes, maxBucket),
@@ -630,8 +640,8 @@ object Similarity {
    * rows) and broadcastable.
    */
   def writeModels(embeddings: DataFrame, idCol: String, vecCol: String,
-                  path: String, nlist: Int = 16, m: Int = 8, ksub: Int = 16,
-                  iters: Int = 2): Unit = {
+                  path: String, nlist: Int = 16, m: Int = 8, ksub: Int = 32,
+                  iters: Int = 4): Unit = {
     // re-training over an existing complete store: drop the marker
     // FIRST, so a crash mid-rewrite (or a concurrent reader) can never
     // observe _SUCCESS alongside mixed-generation tables — the
@@ -714,7 +724,7 @@ object Similarity {
     * probed inverted lists, rerank exactly. */
   def ivfTopKStored(idx: AnnIndex, embeddings: DataFrame, queries: DataFrame,
                     idCol: String, vecCol: String, k: Int,
-                    nprobe: Int = 4): DataFrame = {
+                    nprobe: Int = 8): DataFrame = {
     val e = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val q = queries.select(col(idCol).as("id"), col(vecCol).as("vec"))
     // no distinct: one list per vector => pairs are unique by
@@ -730,7 +740,7 @@ object Similarity {
     * ints per vector from parquet — never the float arrays. */
   def pqTopKStored(idx: AnnIndex, embeddings: DataFrame, queries: DataFrame,
                    idCol: String, vecCol: String, k: Int, m: Int = 8,
-                   rerankFactor: Int = 8): DataFrame = {
+                   rerankFactor: Int = 24): DataFrame = {
     val e = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val q = queries.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val lut = adcLut(q, idx.books, m)
@@ -743,8 +753,8 @@ object Similarity {
 
   /** IVF-PQ top-k off persisted lists + codes. */
   def ivfPqTopKStored(idx: AnnIndex, embeddings: DataFrame, queries: DataFrame,
-                      idCol: String, vecCol: String, k: Int, nprobe: Int = 4,
-                      m: Int = 8, rerankFactor: Int = 8): DataFrame = {
+                      idCol: String, vecCol: String, k: Int, nprobe: Int = 8,
+                      m: Int = 8, rerankFactor: Int = 24): DataFrame = {
     val e = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val q = queries.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val cand = probeLists(q, idx.centroids, nprobe)
@@ -761,8 +771,8 @@ object Similarity {
     * the list assignment, so no assignment pass is needed). */
   def ivfPqResidualTopKStored(idx: AnnIndex, embeddings: DataFrame,
                               queries: DataFrame, idCol: String, vecCol: String,
-                              k: Int, nprobe: Int = 4, m: Int = 8,
-                              rerankFactor: Int = 8): DataFrame = {
+                              k: Int, nprobe: Int = 8, m: Int = 8,
+                              rerankFactor: Int = 24): DataFrame = {
     val e = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val q = queries.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val codes = idx.resCodes.toDF("n_id", "cluster", "j", "code")
@@ -789,7 +799,7 @@ object Similarity {
     * bytes from parquet, scores with exact integer dots. */
   def sq8TopKStored(idx: AnnIndex, embeddings: DataFrame, queries: DataFrame,
                     idCol: String, vecCol: String, k: Int,
-                    rerankFactor: Int = 8): DataFrame = {
+                    rerankFactor: Int = 24): DataFrame = {
     val e = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val q = queries.select(col(idCol).as("id"), col(vecCol).as("vec"))
     import graft.functions.{sq8_dot, sq8_encode}
@@ -804,8 +814,8 @@ object Similarity {
 
   /** IVF-SQ8 top-k off persisted lists + int8 codes. */
   def ivfSq8TopKStored(idx: AnnIndex, embeddings: DataFrame, queries: DataFrame,
-                       idCol: String, vecCol: String, k: Int, nprobe: Int = 4,
-                       rerankFactor: Int = 8): DataFrame = {
+                       idCol: String, vecCol: String, k: Int, nprobe: Int = 8,
+                       rerankFactor: Int = 24): DataFrame = {
     val e = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val q = queries.select(col(idCol).as("id"), col(vecCol).as("vec"))
     import graft.functions.{sq8_dot, sq8_encode}
@@ -858,8 +868,8 @@ object Similarity {
 
   /** PQ codebooks trained on per-list residuals (v − centroid). */
   def residualCodebooks(embeddings: DataFrame, idCol: String, vecCol: String,
-                        centroids: DataFrame, m: Int = 8, ksub: Int = 16,
-                        iters: Int = 2): DataFrame =
+                        centroids: DataFrame, m: Int = 8, ksub: Int = 32,
+                        iters: Int = 4): DataFrame =
     pqCodebooksOn(
       residualFrame(
         embeddings.select(col(idCol).as("id"), col(vecCol).as("vec")), centroids)
@@ -868,8 +878,8 @@ object Similarity {
 
   /** Residual IVF-PQ with inline training — see [[ivfPqResidualTopKWith]]. */
   def ivfPqResidualTopK(embeddings: DataFrame, queries: DataFrame, idCol: String,
-                        vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
-                        m: Int = 8, ksub: Int = 16, rerankFactor: Int = 8): DataFrame = {
+                        vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 8,
+                        m: Int = 8, ksub: Int = 32, rerankFactor: Int = 24): DataFrame = {
     val centroids = materialize(ivfCentroids(embeddings, idCol, vecCol, nlist))
     ivfPqResidualTopKWith(centroids,
       materialize(residualCodebooks(embeddings, idCol, vecCol, centroids, m, ksub)),
@@ -889,8 +899,8 @@ object Similarity {
   def ivfPqResidualTopKWith(centroids: DataFrame, resBooks: DataFrame,
                             embeddings: DataFrame, queries: DataFrame,
                             idCol: String, vecCol: String, k: Int,
-                            nprobe: Int = 4, m: Int = 8,
-                            rerankFactor: Int = 8): DataFrame = {
+                            nprobe: Int = 8, m: Int = 8,
+                            rerankFactor: Int = 24): DataFrame = {
     val e = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val q = queries.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val resid = residualFrame(e, centroids)

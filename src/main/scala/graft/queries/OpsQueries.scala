@@ -253,33 +253,39 @@ object OpsQueries {
 
   /** Cache key: input dir + total bytes+mtimes of the embeddings
     * table, so a regenerated test dir never reads stale models (the
-    * `m5` suffix versions the store layout — m5 pre-groups the LSH
-    * buckets into (table, bucket, ids) lists; m4 added the encoded
+    * `m6` suffix versions the store layout/params — m6 trains with
+    * iters=4 and ksub=32 (the recall uplift round); m5 pre-grouped the
+    * LSH buckets into (table, bucket, ids) lists; m4 added the encoded
     * corpus: lists, PQ/residual/int8 codes, LSH buckets). */
   private def modelPath(dir: String): String = {
     val src = new java.io.File(s"$dir/embeddings.parquet")
     val files = if (src.isDirectory) src.listFiles().toSeq else Seq(src)
     val fp = files.filter(_.isFile).map(f => f.length() + f.lastModified()).sum
-    s"/tmp/graft_models/${dir.replaceAll("[^A-Za-z0-9.]", "_")}_${java.lang.Long.toHexString(fp)}_m5"
+    s"/tmp/graft_models/${dir.replaceAll("[^A-Za-z0-9.]", "_")}_${java.lang.Long.toHexString(fp)}_m6"
   }
 
   /** Pinned recall floors (basis points) for `quality_recall_gate` —
     * measured at sf0.01 AND sf0.1, then set with enough margin to
     * absorb corpus-regeneration noise but tight enough that a real
     * regression (a broken hash family, a recall-losing cap) goes red. */
-  // measured 2026-08-13 (sf0.01 / sf0.1): lsh 3000/4200, ivf 5400/5000,
-  // pq 4400/2400, ivfpq 3600/2000, ivfpq_res 5000/2000, sq8 10000/10000,
-  // ivfsq8 5400/5000; the three pair paths are EXACT by construction
-  // (LSH candidate-complete at J>=0.9, 8-band simhash blocking exact at
-  // dist<=7, bucket cap binding nothing) so their floors pin 10000
+  // measured 2026-08-14 after the recall-uplift round (iters=4,
+  // ksub=32, nprobe=8, rerankFactor=24, LSH hamming-2 multiprobe),
+  // sf0.01 / sf0.1: lsh 8000/9200, ivf 8600/8400, pq 9800/8200,
+  // ivfpq 8600/7400, ivfpq_res 8600/7200, sq8 10000/10000,
+  // ivfsq8 8600/8400; floors sit ~10 points under the measured
+  // minimum so corpus-regeneration noise passes but a real
+  // regression (broken hash family, lost probe, recall-losing cap)
+  // goes red. The three pair paths are EXACT by construction
+  // (LSH candidate-complete at J>=0.9, 8-band simhash blocking exact
+  // at dist<=7, bucket cap binding nothing) so their floors pin 10000
   private val recallFloorBp: Map[String, Long] = Map(
-    "sim_ann_lsh" -> 2000L,
-    "sim_ann_ivf" -> 3500L,
-    "sim_ann_pq" -> 1500L,
-    "sim_ann_ivfpq" -> 1200L,
-    "sim_ann_ivfpq_res" -> 1200L,
+    "sim_ann_lsh" -> 6500L,
+    "sim_ann_ivf" -> 7000L,
+    "sim_ann_pq" -> 6500L,
+    "sim_ann_ivfpq" -> 6000L,
+    "sim_ann_ivfpq_res" -> 6000L,
     "sim_ann_sq8" -> 9000L,
-    "sim_ann_ivfsq8" -> 3500L,
+    "sim_ann_ivfsq8" -> 7000L,
     "dedup_minhash" -> 10000L,
     "dedup_simhash" -> 10000L,
     "minhash_bucket_cap" -> 10000L)
