@@ -109,7 +109,19 @@ object Bench {
   }
 
   /** Trie-grouped compact bench line; falls back to deciseconds in the
-    * (pathological) case centiseconds still exceed the tail budget. */
+    * (pathological) case centiseconds still exceed the tail budget.
+    *
+    * The per-query payload is a parenthesis-packed STRING, not nested
+    * JSON objects: at 140 queries the name bytes alone are ~1.2k, and
+    * strict JSON adds ~770 bytes of quotes/colons/braces — over the
+    * tail window no matter the unit. Dropping the per-name quotes
+    * (names are [a-z0-9_]+, nothing to escape) buys ~350 bytes while
+    * the line stays one valid JSON object whose "q" field carries the
+    * packed map. Grammar (declared inline in "f" for the reader):
+    * `name:val` is a leaf, `name(children)` a group, `,` separates,
+    * flat names reconstruct by joining nested names with '_', and a
+    * bare `:val` names the group node itself. Full-precision flat maps
+    * ride bench_out.json + the committed BENCH_FULL.json. */
   private[graft] def compactLine(results: Seq[(String, Double)], total: Double,
                                  sfName: String): String = {
     def build(unit: String, scale: Double): String = {
@@ -120,12 +132,7 @@ object Bench {
           // it up to a plausible-looking 0
           (k.split('_').toList, if (v < 0) -1L else math.round(v * scale))
         }
-      // minimal wrapper: the metric/value/unit contract fields, the
-      // total, and the sf dir ride the full-precision line above and
-      // bench_out.json (the driver also records sf itself) — every
-      // byte here is budget for query keys. "u" = value unit ("cs"
-      // centiseconds / "ds" deciseconds), "q" = the query map
-      s"""{"u":"$unit","q":${emitTrie(entries)}}"""
+      s"""{"u":"$unit","f":"k:v,g(kids),join _","q":"${emitTrie(entries)}"}"""
     }
     // budget: the driver keeps the LAST 2000 stdout chars; with the sbt
     // success epilogue suppressed (build.sbt showSuccess := false) the
@@ -135,12 +142,12 @@ object Bench {
     if (cs.length <= 1995) cs else build("ds", 10.0)
   }
 
-  /** Emit items (token-path, value) as nested JSON, collapsing
+  /** Emit items (token-path, value) in the packed grammar, collapsing
     * single-child chains back into '_'-joined names. */
   private def emitTrie(items: Seq[(List[String], Long)]): String = {
     val (leaves, rest) = items.partition(_._1.isEmpty)
     val parts = scala.collection.mutable.ArrayBuffer.empty[String]
-    leaves.foreach { case (_, v) => parts += "\"\":" + v }
+    leaves.foreach { case (_, v) => parts += ":" + v }
     rest.groupBy(_._1.head).toSeq.sortBy(_._1).foreach { case (tok, g) =>
       var path = List(tok)
       var sub: Seq[(List[String], Long)] = g.map { case (t, v) => (t.tail, v) }
@@ -154,10 +161,10 @@ object Bench {
       }
       val name = path.mkString("_")
       sub match {
-        case Seq((Nil, v)) => parts += "\"" + name + "\":" + v
-        case _             => parts += "\"" + name + "\":" + emitTrie(sub)
+        case Seq((Nil, v)) => parts += name + ":" + v
+        case _             => parts += name + "(" + emitTrie(sub) + ")"
       }
     }
-    parts.mkString("{", ",", "}")
+    parts.mkString(",")
   }
 }

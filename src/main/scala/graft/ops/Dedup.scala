@@ -215,6 +215,41 @@ object Dedup {
   }
 
   /**
+   * Edit-distance verification on top of Jaccard-qualified candidate
+   * pairs — the second, character-level signal real dedup pipelines
+   * run after set similarity: two docs can share most 3-gram shingles
+   * yet differ by a large rewritten span, and only sequence distance
+   * sees that. The O(|a|·|b|) Levenshtein kernel is priced accordingly:
+   * it runs ONLY on pairs the cheap shingle verify already passed
+   * (candidates, never the corpus), so at 100 TB its cost is
+   * candidate-bounded while the corpus-wide work stays hash-shaped.
+   * Raw text joins in via two hash joins on the pair ids (a left-semi
+   * prefilter keeps the text shuffle to candidate ids only).
+   *
+   * A pair passes when `edit_dist · 1000 <= max_len · maxDistPermille`
+   * — all-integer, so the gate is exact on both engines. Emits integer
+   * distance + max length; no float ratio column (the oracle compares
+   * hashes, and the ratio is derivable).
+   */
+  def editVerify(pairs: DataFrame, docs: DataFrame, idCol: String,
+                 textCol: String, maxDistPermille: Int): DataFrame = {
+    val cand = pairs.select("a_id", "b_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val candIds = cand.select(col("a_id").as("__eid"))
+      .unionAll(cand.select(col("b_id").as("__eid"))).distinct()
+    val txt = docs.select(col(idCol).as("__eid"), col(textCol).as("__et"))
+      .join(candIds, Seq("__eid"), "left_semi")
+    cand
+      .join(txt.toDF("a_id", "__ta"), "a_id")
+      .join(txt.toDF("b_id", "__tb"), "b_id")
+      .withColumn("edit_dist", levenshtein(col("__ta"), col("__tb")).cast("long"))
+      .withColumn("max_len",
+        greatest(length(col("__ta")), length(col("__tb"))).cast("long"))
+      .filter(col("edit_dist") * 1000L <= col("max_len") * maxDistPermille.toLong)
+      .select("a_id", "b_id", "edit_dist", "max_len")
+  }
+
+  /**
    * Correctness-baseline exact Jaccard over a bounded id range
    * (all-pairs; the LSH path above is the scale path).
    */

@@ -301,6 +301,52 @@ object TextOps {
   }
 
   /**
+   * Deterministic curriculum ordering: docs are staged easy→hard by
+   * exact token count (fixed integer thresholds — the standard
+   * length-based curriculum), then SHUFFLED within each stage so
+   * intra-stage order carries no collection bias. The emitted `pos`
+   * is the doc's global position in the curriculum: all stage-0 docs
+   * first (in salted-hash order), then stage 1, and so on.
+   *
+   * Distributed ranking, not one window per stage: position = running
+   * offset of all preceding (stage, bucket) groups + in-bucket rank,
+   * where buckets are the first md5 byte — 256 contiguous hash ranges
+   * per stage, so concatenating buckets in (stage, bucket) order IS
+   * the (stage, h) order. The only whole-frame window runs over the
+   * ≤ stages·256-row count table; per-doc work is two hash aggregates
+   * and a broadcast join — the same shape [[sampleShuffle]] uses, so
+   * a 100 TB curriculum orders with cluster-wide parallelism while
+   * every position stays a pure function of (doc_id, n_tokens), never
+   * of partitioning.
+   */
+  def sampleCurriculum(docs: DataFrame, idCol: String, textCol: String,
+                       stages: Seq[Long] = Seq(40L, 80L, 160L),
+                       salt: Long = 42L): DataFrame = {
+    val stageExpr = stages.zipWithIndex
+      .foldRight(lit(stages.size.toLong): Column) { case ((thr, i), acc) =>
+        when(col("n_tokens") < thr, lit(i.toLong)).otherwise(acc)
+      }
+    val keyed = docs.select(col(idCol),
+        size(split(col(textCol), " ")).cast("long").as("n_tokens"),
+        md5(concat(col(idCol).cast("string"), lit(":cur:" + salt))).as("h"))
+      .withColumn("stage", stageExpr)
+      .withColumn("bucket", conv(substring(col("h"), 1, 2), 16, 10).cast("long"))
+    val counts = keyed.groupBy("stage", "bucket").agg(count(lit(1)).as("cnt"))
+    // ≤ (nStages+1)·256 rows: unpartitioned window deliberate and cheap
+    val wOff = org.apache.spark.sql.expressions.Window.orderBy("stage", "bucket")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = counts.withColumn("offset",
+      coalesce(sum("cnt").over(wOff), lit(0L)))
+    val wB = org.apache.spark.sql.expressions.Window
+      .partitionBy("stage", "bucket").orderBy(col("h"), col(idCol))
+    keyed.withColumn("rk", row_number().over(wB))
+      .join(broadcast(offsets.select("stage", "bucket", "offset")),
+        Seq("stage", "bucket"))
+      .select(col(idCol), col("stage"), col("n_tokens"),
+        (col("offset") + col("rk") - 1L).as("pos"))
+  }
+
+  /**
    * Length-bucketed batch packing: group docs of similar token length
    * into fixed-size batches so per-batch padding (every sequence pads
    * to the batch max) stays small — the sequence-bucketing trick that

@@ -305,6 +305,17 @@ object OpsQueries {
       Dedup.jaccardVerifySigs(Dedup.minhashLshSigs(sigs), sigs, 0.5)
         .orderBy("a_id", "b_id")
     }),
+    // character-level second signal on the Jaccard-verified near-dup
+    // pairs: Levenshtein within 2% of the longer doc — the typo-level
+    // gate that separates "same text, small edits" from paraphrase.
+    // The O(len²) kernel prices per CANDIDATE, never per corpus pair
+    "dedup_edit_verify" -> ((s, dir) => {
+      val sigs = docSignatures(s, dir)
+      Dedup.editVerify(
+        Dedup.jaccardVerifySigs(Dedup.minhashLshSigs(sigs), sigs, 0.5),
+        Tables(s, dir, "documents"), "doc_id", "text", maxDistPermille = 20)
+        .orderBy("a_id", "b_id")
+    }),
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardBruteSigs(docSignatures(s, dir),
         maxId = 1000, threshold = 0.5).orderBy("a_id", "b_id")),
@@ -511,6 +522,12 @@ object OpsQueries {
     // ranked per hash bucket so no whole-corpus window exists
     "sample_shuffle" -> ((s, dir) =>
       TextOps.sampleShuffle(Tables(s, dir, "documents"), "doc_id")
+        .orderBy("doc_id")),
+    // length-staged curriculum order: easy (short) stages first,
+    // salted-hash shuffle within a stage; global pos via the same
+    // bucket-offset distributed ranking as sample_shuffle
+    "sample_curriculum" -> ((s, dir) =>
+      TextOps.sampleCurriculum(Tables(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
     // length-bucketed batch packing with padding-waste accounting
     "pack_buckets" -> ((s, dir) =>
@@ -815,6 +832,32 @@ object OpsQueries {
         |             JOIN sizes sb ON i.b_id = sb.doc_id
         |WHERE CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common) >= 0.5
         |ORDER BY a_id, b_id""".stripMargin,
+    // same brute Jaccard-pair truth as dedup_minhash_verify (LSH pair
+    // recall vs that truth is gated at 100%), narrowed by the exact
+    // integer edit-distance test the op applies
+    "dedup_edit_verify" ->
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |msh AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    [array_to_string(ws[i : least(i+2, len(ws))], ' ')
+        |     for i in range(1, greatest(len(ws) - 2, 1) + 1)])) AS g
+        |  FROM words),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM msh GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_common
+        |          FROM msh a JOIN msh b ON a.g = b.g AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |cand AS (SELECT i.a_id, i.b_id
+        |         FROM inter i JOIN sizes sa ON i.a_id = sa.doc_id
+        |                      JOIN sizes sb ON i.b_id = sb.doc_id
+        |         WHERE CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common) >= 0.5)
+        |SELECT c.a_id, c.b_id,
+        |  CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist,
+        |  CAST(greatest(length(da.text), length(db.text)) AS BIGINT) AS max_len
+        |FROM cand c JOIN documents da ON c.a_id = da.doc_id
+        |            JOIN documents db ON c.b_id = db.doc_id
+        |WHERE levenshtein(da.text, db.text) * 1000
+        |  <= greatest(length(da.text), length(db.text)) * 20
+        |ORDER BY a_id, b_id""".stripMargin,
     // the prefix-join output must equal the unbounded brute set — the
     // oracle is the same inverted-join SQL without the id cap
     "text_containment_join" -> s"""WITH $shinglesSql
@@ -1035,6 +1078,19 @@ object OpsQueries {
         |    AS bucket,
         |  CAST(row_number() OVER (ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
         |FROM h ORDER BY doc_id""".stripMargin,
+    // curriculum pos = rank over (stage, h, id); the op's per-(stage,
+    // bucket) offsets + in-bucket ranks concatenate to exactly this
+    "sample_curriculum" ->
+      """WITH c AS (SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  md5(CAST(doc_id AS VARCHAR) || ':cur:42') AS h FROM documents),
+        |s AS (SELECT doc_id, n_tokens, h,
+        |  CAST(CASE WHEN n_tokens < 40 THEN 0 WHEN n_tokens < 80 THEN 1
+        |            WHEN n_tokens < 160 THEN 2 ELSE 3 END AS BIGINT) AS stage
+        |FROM c)
+        |SELECT doc_id, stage, n_tokens,
+        |  CAST(row_number() OVER (ORDER BY stage, h, doc_id) - 1 AS BIGINT) AS pos
+        |FROM s ORDER BY doc_id""".stripMargin,
     "pack_buckets" ->
       """WITH t AS (SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens

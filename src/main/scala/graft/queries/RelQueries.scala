@@ -234,6 +234,21 @@ object RelQueries {
         .select("c_custkey", "c_name", "c_mktsegment")
         .orderBy("c_custkey")
     }),
+    // set operators: INTERSECT/EXCEPT are first-class Catalyst plans
+    // (hash-aggregate + join under AQE, never row-loop comparison);
+    // buyers active in both 1998 and 2000, and 1998-only churners
+    "q_intersect" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders")
+      def yr(y: Int) = o.filter(year(col("o_orderdate")) === y)
+        .select(col("o_custkey"))
+      yr(1998).intersect(yr(2000)).orderBy("o_custkey")
+    }),
+    "q_except" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders")
+      def yr(y: Int) = o.filter(year(col("o_orderdate")) === y)
+        .select(col("o_custkey"))
+      yr(1998).except(yr(2000)).orderBy("o_custkey")
+    }),
     // interval join with NO equi-key: lineitems shipped inside sampled
     // 7-day audit windows. Naive Spark plans this BETWEEN-only join as
     // a nested loop / cartesian; RangeJoin buckets both sides on a
@@ -409,6 +424,16 @@ object RelQueries {
         |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
         |                        WHERE o_orderdate >= TIMESTAMP '2000-06-01 00:00:00')
         |ORDER BY c_custkey""".stripMargin,
+    "q_intersect" ->
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1998
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 2000
+        |ORDER BY o_custkey""".stripMargin,
+    "q_except" ->
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1998
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 2000
+        |ORDER BY o_custkey""".stripMargin,
     "q_json" ->
       """SELECT event_type, count(*) AS n,
         |  count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k,

@@ -791,6 +791,25 @@ object TsQueries {
           expr("percentile(cents, 0.9)").as("p90"),
           expr("percentile(cents, 0.99)").as("p99"))
         .orderBy("user_id", "event_type")),
+    // robust dispersion per series (PromQL mad_over_time): median +
+    // median-absolute-deviation over the exact integer cent grid. Two
+    // aggregation passes with a per-series median joined back between
+    // them — the join's build side is one row per series, so it stays
+    // broadcast-shaped at any point volume. Interpolated medians over
+    // ints land on binary fractions (x.0/x.5, then x.25 for the MAD),
+    // so both engines agree bitwise
+    "ts_mad" -> ((s, dir) => {
+      val pts = points(s, dir)
+        .withColumn("cents", round(col("v") * 100).cast("long"))
+      val med = pts.groupBy("user_id", "event_type")
+        .agg(expr("percentile(cents, 0.5)").as("med_cents"))
+      pts.join(broadcast(med), Seq("user_id", "event_type"))
+        .groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("n"),
+          max("med_cents").as("med_cents"),
+          expr("percentile(abs(cents - med_cents), 0.5)").as("mad_cents"))
+        .orderBy("user_id", "event_type")
+    }),
     // cohort retention: users grouped by first-seen 6-hour window; how
     // many are active again exactly 24 h later. Two hash-aggregates +
     // one join back on user — both join sides are one row per user
@@ -1350,6 +1369,17 @@ object TsQueries {
       |  quantile_cont(CAST(round(v * 100) AS BIGINT), 0.9) AS p90,
       |  quantile_cont(CAST(round(v * 100) AS BIGINT), 0.99) AS p99
       |FROM pts GROUP BY user_id, event_type
+      |ORDER BY user_id, event_type""".stripMargin,
+    "ts_mad" -> s"""WITH $ptsSql,
+      |c AS (SELECT user_id, event_type,
+      |  CAST(round(v * 100) AS BIGINT) AS cents FROM pts),
+      |m AS (SELECT user_id, event_type,
+      |  quantile_cont(cents, 0.5) AS med_cents FROM c GROUP BY 1, 2)
+      |SELECT c.user_id, c.event_type, count(*) AS n,
+      |  max(m.med_cents) AS med_cents,
+      |  quantile_cont(abs(c.cents - m.med_cents), 0.5) AS mad_cents
+      |FROM c JOIN m USING (user_id, event_type)
+      |GROUP BY c.user_id, c.event_type
       |ORDER BY user_id, event_type""".stripMargin,
     "ts_retention" -> s"""WITH $ptsSql,
       |d AS (SELECT DISTINCT user_id,

@@ -2,17 +2,20 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import com.fasterxml.jackson.databind.ObjectMapper
-import scala.jdk.CollectionConverters._
 
 /**
  * The driver keeps only the last 2000 chars of bench stdout and parses
  * the last complete JSON line it finds there (build.sbt suppresses the
  * sbt success epilogue so our line IS the tail's end). Rounds 3-6 lost
  * their per-query map because the flat 114-key line outgrew that
- * window. These tests pin the compact trie line's two contracts: it
- * must FIT (<= 1995 chars) and it must carry EVERY query losslessly
- * (flatten nested keys by joining with '_'; "" names the node that is
- * itself a query).
+ * window; at 140 queries even nested-JSON-object grouping no longer
+ * fits (name bytes ~1.2k + ~770 bytes of mandatory JSON punctuation),
+ * so the per-query payload is a parenthesis-packed string inside one
+ * JSON object — see Bench.compactLine. These tests pin the line's two
+ * contracts: it must FIT (<= 1995 chars) and it must carry EVERY
+ * query losslessly (leaf `name:val`, group `name(children)`, flat
+ * names reconstruct by '_'-joining, bare `:val` names the group node
+ * itself).
  */
 class BenchLineSpec extends AnyFunSuite {
   private val keys = SparkEntry.queries.keys.toSeq.sorted
@@ -23,17 +26,53 @@ class BenchLineSpec extends AnyFunSuite {
           else 0.05 + (math.abs(k.hashCode) % 95) / 100.0)
   }
 
-  private def flatten(node: com.fasterxml.jackson.databind.JsonNode,
-                      prefix: String,
-                      out: collection.mutable.Map[String, Long]): Unit =
-    node.fields().asScala.foreach { e =>
-      val name =
-        if (e.getKey.isEmpty) prefix
-        else if (prefix.isEmpty) e.getKey
-        else prefix + "_" + e.getKey
-      if (e.getValue.isObject) flatten(e.getValue, name, out)
-      else out(name) = e.getValue.asLong()
+  /** Recursive-descent parse of the packed `q` grammar back to the
+    * flat name -> value map — the reconstruction rule the "f" field
+    * declares to the driver/judge. */
+  private def parsePacked(s: String): Map[String, Long] = {
+    val out = collection.mutable.Map.empty[String, Long]
+    var i = 0
+    def ident(): String = {
+      val start = i
+      while (i < s.length && (s(i).isLetterOrDigit || s(i) == '_')) i += 1
+      s.substring(start, i)
     }
+    def number(): Long = {
+      val start = i
+      if (i < s.length && s(i) == '-') i += 1
+      while (i < s.length && s(i).isDigit) i += 1
+      s.substring(start, i).toLong
+    }
+    def children(prefix: String): Unit = {
+      var more = true
+      while (more) {
+        if (i < s.length && s(i) == ':') { // bare :val = the node itself
+          i += 1; out(prefix) = number()
+        } else {
+          val name = ident()
+          val flat = if (prefix.isEmpty) name else prefix + "_" + name
+          s(i) match {
+            case ':' => i += 1; out(flat) = number()
+            case '(' => i += 1; children(flat); assert(s(i) == ')'); i += 1
+            case c   => fail(s"unexpected '$c' at $i")
+          }
+        }
+        if (i < s.length && s(i) == ',') i += 1 else more = false
+      }
+    }
+    if (s.nonEmpty) children("")
+    out.toMap
+  }
+
+  private def lineParts(line: String): (Double, Map[String, Long]) = {
+    val root = new ObjectMapper().readTree(line)
+    val scale = root.get("u").asText() match {
+      case "cs" => 100.0
+      case "ds" => 10.0
+      case u    => fail(s"unknown unit $u")
+    }
+    (scale, parsePacked(root.get("q").asText()))
+  }
 
   test("compact line fits the driver's tail window with margin") {
     val line = Bench.compactLine(results, results.map(_._2).sum, "sf0.1")
@@ -43,18 +82,7 @@ class BenchLineSpec extends AnyFunSuite {
 
   test("compact line round-trips every query key at its declared unit") {
     val line = Bench.compactLine(results, results.map(_._2).sum, "sf0.1")
-    val root = new ObjectMapper().readTree(line)
-    // past ~130 keys the centisecond line outgrows the tail budget and
-    // the encoder degrades to deciseconds; either way the line must
-    // declare its unit and round-trip every key exactly at that scale
-    // (the committed BENCH_FULL.json carries the full-precision map)
-    val scale = root.get("u").asText() match {
-      case "cs" => 100.0
-      case "ds" => 10.0
-      case u    => fail(s"unknown unit $u")
-    }
-    val flat = collection.mutable.Map.empty[String, Long]
-    flatten(root.get("q"), "", flat)
+    val (scale, flat) = lineParts(line)
     assert(flat.keySet == keys.toSet,
       s"missing=${keys.toSet -- flat.keySet} extra=${flat.keySet -- keys.toSet}")
     results.foreach { case (k, v) =>
@@ -64,18 +92,16 @@ class BenchLineSpec extends AnyFunSuite {
   }
 
   test("failed queries ride the line as -1 sentinels, not fake zeros") {
-    val entries = Seq("ok" -> 0.5, "broken" -> -1.0)
-    val line = Bench.compactLine(entries, 0.5, "sf0")
-    val flat = collection.mutable.Map.empty[String, Long]
-    flatten(new ObjectMapper().readTree(line).get("q"), "", flat)
+    val line = Bench.compactLine(Seq("ok" -> 0.5, "broken" -> -1.0), 0.5, "sf0")
+    val (scale, flat) = lineParts(line)
+    assert(scale == 100.0)
     assert(flat == Map("ok" -> 50L, "broken" -> -1L))
   }
 
   test("sibling-leaf keys (ts_anomaly vs ts_anomaly_prefix) survive nesting") {
     val entries = Seq("a_b" -> 0.1, "a_b_c" -> 0.2, "a_b_d" -> 0.3, "x" -> 0.4)
     val line = Bench.compactLine(entries, 1.0, "sf0")
-    val flat = collection.mutable.Map.empty[String, Long]
-    flatten(new ObjectMapper().readTree(line).get("q"), "", flat)
+    val (_, flat) = lineParts(line)
     assert(flat == Map("a_b" -> 10L, "a_b_c" -> 20L, "a_b_d" -> 30L, "x" -> 40L))
   }
 }
