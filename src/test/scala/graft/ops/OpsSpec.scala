@@ -60,6 +60,34 @@ class OpsSpec extends AnyFunSuite {
     assert(verified == truth)
   }
 
+  test("editVerify: exact distances, permille gate binds, candidate-only pricing") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "aaaa bbbb cccc dddd"),            // identical pair 1-2
+      (2L, "aaaa bbbb cccc dddd"),
+      (3L, "aaaa bbbb cccc dddX"),            // dist 1 to 1/2 (len 19)
+      (4L, "zzzz yyyy xxxx wwww")             // unrelated
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("a_id", "b_id")
+    // wide gate: distances must be the exact Levenshtein values
+    val all = Dedup.editVerify(pairs, d, "doc_id", "text", maxDistPermille = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getAs[Long]("edit_dist"), r.getAs[Long]("max_len"))).toMap
+    assert(all((1L, 2L)) == (0L, 19L))
+    assert(all((1L, 3L)) == (1L, 19L))
+    assert(all((1L, 4L))._1 > 10L)            // nearly everything differs
+    // tight gate: 1/19 ≈ 53‰ — a 60‰ gate keeps it, a 50‰ gate cuts it
+    assert(pairSet(Dedup.editVerify(pairs, d, "doc_id", "text", 60)) ==
+      Set((1L, 2L), (1L, 3L)))
+    assert(pairSet(Dedup.editVerify(pairs, d, "doc_id", "text", 50)) ==
+      Set((1L, 2L)))
+    // candidate pricing: docs never in a pair do not reach the kernel —
+    // the text join is semi-filtered to candidate ids
+    val plan = Dedup.editVerify(pairs, d, "doc_id", "text", 60)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("LeftSemi"), s"expected semi-filtered text join:\n$plan")
+  }
+
   test("containment: catches snippet-in-page pairs jaccard misses, supersets jaccard pairs") {
     import spark.implicits._
     // every J>=τ pair has both containments >= J, so the jaccard pair

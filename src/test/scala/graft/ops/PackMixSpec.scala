@@ -39,6 +39,37 @@ class PackMixSpec extends AnyFunSuite {
     assert(out.length == docs.count())
   }
 
+  test("sampleCurriculum: stage-major bijection onto 0..n-1, thresholds honored") {
+    val out = TextOps.sampleCurriculum(docs, "doc_id", "text").collect()
+    assert(out.length == docs.count())
+    // pos is a permutation of 0..n-1 — the curriculum is a total order
+    assert(out.map(_.getAs[Long]("pos")).sorted.toSeq ==
+      (0L until out.length.toLong))
+    // stages honor the exact token thresholds
+    out.foreach { r =>
+      val (n, st) = (r.getAs[Long]("n_tokens"), r.getAs[Long]("stage"))
+      val expect = if (n < 40) 0L else if (n < 80) 1L else if (n < 160) 2L else 3L
+      assert(st == expect, s"doc ${r.getAs[Long]("doc_id")}: stage $st for $n tokens")
+    }
+    // stage-major: every stage-k position precedes every stage-(k+1)
+    // position — the distributed offset arithmetic reassembles the
+    // single global (stage, h) order exactly
+    val maxByStage = out.groupBy(_.getAs[Long]("stage"))
+      .view.mapValues(_.map(_.getAs[Long]("pos")))
+    maxByStage.keys.toSeq.sorted.sliding(2).foreach {
+      case Seq(a, b) => assert(maxByStage(a).max < maxByStage(b).min)
+      case _         => ()
+    }
+  }
+
+  test("sampleCurriculum is layout-independent") {
+    val a = TextOps.sampleCurriculum(docs, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    val b = TextOps.sampleCurriculum(docs.repartition(13), "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    assert(a == b)
+  }
+
   test("packSequences is layout-independent") {
     val a = TextOps.packSequences(docs, "doc_id", "text", "source", 64L, 4)
       .orderBy("doc_id").collect().toSeq

@@ -119,7 +119,14 @@ class ExplainAllSpec extends AnyFunSuite {
       // M4: one hash aggregate over decoded points (encode repartition
       // + agg + orderBy), no Window operator, no joins — the 4-points-
       // per-pixel reduction must stay a single-pass partial agg
-      "ts_m4" -> (3, 0, 1))
+      "ts_m4" -> (3, 0, 1),
+      // MAD: two aggregation passes over the decoded points with the
+      // one-row-per-series median BROADCAST back between them (never a
+      // shuffle join against the point stream, never a Window). 5
+      // shuffles = 2 encode repartitions (identical twins — AQE's
+      // ReuseExchange collapses them at runtime) + med agg + final agg
+      // + orderBy; 2 decode sites for the same reason
+      "ts_mad" -> (5, 1, 2))
     val failures = expected.flatMap { case (name, want) =>
       val got = shape(name)
       if (got != want)
@@ -133,7 +140,7 @@ class ExplainAllSpec extends AnyFunSuite {
     // the 3-sigma moments must come from a partial-aggregating groupBy
     // + broadcast join, never a whole-partition window (which lands
     // each series' full point set on one task with no map-side combine)
-    for (name <- Seq("ts_anomaly", "ts_store_anomaly")) {
+    for (name <- Seq("ts_anomaly", "ts_store_anomaly", "ts_mad")) {
       val plan = SparkEntry.queries(name)(spark, dir).queryExecution
         .executedPlan.toString
       assert(!plan.contains("Window"), s"$name plan contains a Window operator")
