@@ -224,6 +224,28 @@ object Similarity {
     ivfTopKWith(materialize(ivfCentroids(embeddings, idCol, vecCol, nlist)),
       embeddings, queries, idCol, vecCol, k, nprobe)
 
+  /**
+   * K-means clustering of an embedding corpus as a user-facing
+   * operator (corpus segmentation, per-cluster curation/sampling
+   * budgets — the semantic-bucket step of a training-data pipeline).
+   * Same trainer as the IVF index (deterministic seeded init via
+   * distributed TakeOrdered, one codegen'd nearest-centroid kernel
+   * call per row, 1e-6-quantized means so assignments are
+   * layout-independent), surfaced with membership accounting: one row
+   * per vector — (id, cluster, n_members) — with the per-cluster size
+   * broadcast back (≤ k rows, never a corpus-sized join side).
+   */
+  def kmeans(embeddings: DataFrame, idCol: String, vecCol: String,
+             k: Int, iters: Int = 4): DataFrame = {
+    val cents = materialize(ivfCentroids(embeddings, idCol, vecCol, k, iters))
+    val e = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val assigned = assign(e, cents)
+    val sizes = assigned.groupBy("cluster").agg(count(lit(1)).as("n_members"))
+    assigned.join(broadcast(sizes), Seq("cluster"))
+      .select(col("id"), col("cluster").cast("long").as("cluster"),
+        col("n_members"))
+  }
+
   /** IVF ANN top-k against a pre-trained centroid table (e.g. read back
     * from a [[writeModels]] store): pure probe/scan/rerank — no k-means
     * work on the query path. */

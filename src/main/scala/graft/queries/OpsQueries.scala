@@ -362,6 +362,12 @@ object OpsQueries {
       Similarity.bruteTopK(e.filter(col("vec_id") < 10), e, "vec_id", "embedding", 5)
         .orderBy("q_id", "rank")
     }),
+    // corpus segmentation: deterministic k-means cluster assignments
+    // with membership counts (rows-only: Lloyd's has no SQL oracle;
+    // assignment==independent-nearest-centroid pinned in OpsSpec)
+    "sim_kmeans" -> ((s, dir) =>
+      Similarity.kmeans(Tables(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 8).orderBy("id")),
     // radius dual of sim_topk: ALL neighbors above a similarity
     // threshold per query (retrieval wants "sufficiently similar",
     // not "k closest"); query side broadcasts, corpus is the scan

@@ -221,6 +221,42 @@ class OpsSpec extends AnyFunSuite {
     assert(graft.functions.TextHash.hamming64(h1, h1 ^ 0xF0F0L) == 8)
   }
 
+  test("kmeans: assignments match independent nearest-centroid, counts exact, layout-free") {
+    val out = Similarity.kmeans(emb, "vec_id", "embedding", k = 8).collect()
+    assert(out.length == emb.count())
+    // membership accounting is exact
+    val sizes = out.groupBy(_.getAs[Long]("cluster")).view.mapValues(_.length)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_members") == sizes(r.getAs[Long]("cluster"))) }
+    assert(sizes.keys.size <= 8)
+    // same trainer, same data => same centroids; verify every
+    // assignment against a scalar nearest-centroid computed OUTSIDE
+    // the kernel (cosine desc, cluster asc tie rule)
+    val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", 8)
+      .collect().map(r => (r.getInt(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var (d, na, nb, i) = (0.0, 0.0, 0.0, 0)
+      while (i < a.length) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      if (na == 0 || nb == 0) -2.0 else d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    out.foreach { r =>
+      val v = vecs(r.getAs[Long]("id"))
+      val best = cents.map { case (c, m) => (c, cos(v, m)) }
+        .maxBy { case (c, s) => (s, -c) }._1
+      assert(r.getAs[Long]("cluster") == best.toLong,
+        s"vec ${r.getAs[Long]("id")}: cluster ${r.getAs[Long]("cluster")} != scalar $best")
+    }
+    // layout independence (the 1e-6 mean quantization's whole point)
+    val b = Similarity.kmeans(emb.repartition(13), "vec_id", "embedding", 8)
+      .orderBy("id").collect().toSeq
+    assert(out.sortBy(_.getAs[Long]("id")).toSeq == b)
+  }
+
   test("ann lsh: rank-ordered per query, sane recall vs brute force") {
     val ann = Similarity.annTopK(emb, "vec_id", "embedding", k = 5)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
