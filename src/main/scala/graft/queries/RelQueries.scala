@@ -234,6 +234,22 @@ object RelQueries {
         .select("c_custkey", "c_name", "c_mktsegment")
         .orderBy("c_custkey")
     }),
+    // wide->long reshape: the unpivot dual of q_events_pivot (metric
+    // name becomes a column, codegen'd Expand — 3 rows out per agg row,
+    // no join/shuffle beyond the agg itself); integer metrics so the
+    // reshaped value column stays hash-exact
+    "q_unpivot" -> ((s, dir) => {
+      val agg = Tables(s, dir, "lineitem")
+        .withColumn("price_c", cents(col("l_extendedprice")))
+        .groupBy("l_returnflag")
+        .agg(sum(col("l_quantity").cast("long")).as("sum_qty"),
+          sum(col("price_c")).as("sum_base_c"),
+          count(lit(1)).as("n"))
+      agg.unpivot(Array(col("l_returnflag")),
+          Array(col("sum_qty"), col("sum_base_c"), col("n")),
+          "metric", "value")
+        .orderBy("l_returnflag", "metric")
+    }),
     // set operators: INTERSECT/EXCEPT are first-class Catalyst plans
     // (hash-aggregate + join under AQE, never row-loop comparison);
     // buyers active in both 1998 and 2000, and 1998-only churners
@@ -424,6 +440,15 @@ object RelQueries {
         |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
         |                        WHERE o_orderdate >= TIMESTAMP '2000-06-01 00:00:00')
         |ORDER BY c_custkey""".stripMargin,
+    "q_unpivot" ->
+      """WITH a AS (SELECT l_returnflag,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_base_c,
+        |  count(*) AS n FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, metric, value
+        |FROM (UNPIVOT a ON sum_qty, sum_base_c, n INTO NAME metric VALUE value)
+        |ORDER BY l_returnflag, metric""".stripMargin,
     "q_intersect" ->
       """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1998
         |INTERSECT
