@@ -23,7 +23,7 @@ package object functions {
     GorillaIsValid, GorillaNumPoints, HashSetSortedExpr, HyperplaneBucketsExpr, MinHashExpr,
     MinHashFromHashesExpr, MisraGriesAgg, ShingleHashesExpr, SimHashExpr, SimHashTextExpr,
     SortedIntersectCountExpr, Sq8DotExpr, Sq8EncodeExpr, VecDotExpr, VecL2SqExpr,
-    WordNgramsExpr}
+    WinnowFingerprintsExpr, WordNgramsExpr}
 
   type Builder = Seq[Expression] => Expression
 
@@ -73,6 +73,9 @@ package object functions {
       es(1).eval(null).asInstanceOf[Number].intValue())),
     "minhash_hashes" -> (es => MinHashFromHashesExpr(es(0),
       es(1).eval(null).asInstanceOf[Number].intValue())),
+    "winnow_fps" -> (es => WinnowFingerprintsExpr(es(0),
+      es(1).eval(null).asInstanceOf[Number].intValue(),
+      es(2).eval(null).asInstanceOf[Number].intValue())),
     "simhash_bucket_pairs" -> (es => SimhashBucketPairsExpr(es(0),
       es(1).eval(null).asInstanceOf[Number].intValue())),
   )
@@ -144,6 +147,9 @@ package object functions {
     call_function("word_ngrams", text, org.apache.spark.sql.functions.lit(n))
   def minhash_hashes(hashes: Column, k: Int): Column =
     call_function("minhash_hashes", hashes, org.apache.spark.sql.functions.lit(k))
+  def winnow_fps(text: Column, k: Int, w: Int): Column =
+    call_function("winnow_fps", text, org.apache.spark.sql.functions.lit(k),
+      org.apache.spark.sql.functions.lit(w))
 
   def simhash_bucket_pairs(xs: Column, maxDist: Int): Column =
     call_function("simhash_bucket_pairs", xs,

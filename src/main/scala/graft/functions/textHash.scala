@@ -169,6 +169,75 @@ object TextHash {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /**
+   * Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003) in
+   * ONE pass per row: word k-gram hashes (first 48 md5 bits of the
+   * gram text — portable, the SQL oracle recomputes the identical
+   * value from md5 hex), then the rightmost minimum of every w-window
+   * via a monotonic deque — O(m) total, consecutive re-selections
+   * deduped (winnowing selections are monotone in position, so
+   * adjacent-dedup equals global (pos, fp) distinct per doc).
+   *
+   * Grams are byte ranges of the original text (split on single
+   * spaces, empty tokens kept, rejoined with the same spaces), so no
+   * per-gram string materializes. Replaces a HOF pipeline whose gram-
+   * hash array was re-inlined into every window slice by project
+   * collapse — O(m²) md5 work, measured 630 s over the sf0.1 corpus
+   * against ~1 s through this kernel.
+   *
+   * Returns array<struct<pos:long, fp:long>>, pos = 1-based gram
+   * position of the selected (rightmost-min) gram.
+   */
+  def winnowFingerprints(text: UTF8String, k: Int, w: Int): ArrayData = {
+    val bytes = text.getBytes
+    var words = 1
+    var i = 0
+    while (i < bytes.length) { if (bytes(i) == ' ') words += 1; i += 1 }
+    val m = words - k + 1
+    if (m <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val starts = new Array[Int](words + 1)
+    var wi = 1
+    i = 0
+    while (i < bytes.length) { if (bytes(i) == ' ') { starts(wi) = i + 1; wi += 1 }; i += 1 }
+    starts(words) = bytes.length + 1
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hs = new Array[Long](m)
+    i = 0
+    while (i < m) {
+      md.reset()
+      md.update(bytes, starts(i), starts(i + k) - 1 - starts(i))
+      val d = md.digest()
+      hs(i) = ((d(0) & 0xFFL) << 40) | ((d(1) & 0xFFL) << 32) |
+        ((d(2) & 0xFFL) << 24) | ((d(3) & 0xFFL) << 16) |
+        ((d(4) & 0xFFL) << 8) | (d(5) & 0xFFL)
+      i += 1
+    }
+    val wl = math.min(w, m)
+    // monotonic deque of indices: popping `>=` keeps the LATEST among
+    // equal minima at the front => front is the rightmost window min
+    val idx = new Array[Int](m)
+    var head = 0
+    var tail = 0
+    val out = new scala.collection.mutable.ArrayBuffer[Any](2 * m / (w + 1) + 2)
+    var last = -1
+    i = 0
+    while (i < m) {
+      while (tail > head && hs(idx(tail - 1)) >= hs(i)) tail -= 1
+      idx(tail) = i; tail += 1
+      if (idx(head) <= i - wl) head += 1
+      if (i >= wl - 1) {
+        val p = idx(head)
+        if (p != last) {
+          out += org.apache.spark.sql.catalyst.InternalRow((p + 1).toLong, hs(p))
+          last = p
+        }
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
   /** k min-hashes over pre-hashed shingles (same permutations as
     * [[minHash]], so signatures are interchangeable). */
   def minHashFromHashes(hashes: ArrayData, k: Int): ArrayData = {
@@ -295,6 +364,23 @@ case class WordNgramsExpr(child: Expression, n: Int) extends UnaryExpression {
     TextHash.wordNgrams(t.asInstanceOf[UTF8String], n)
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, t => s"graft.functions.TextHash.wordNgrams($t, $n)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** winnow_fps(text, k, w) -> array<struct<pos:long, fp:long>> */
+case class WinnowFingerprintsExpr(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GorillaExprs.expect(child, StringType, s"$prettyName arg 1")
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("pos", LongType, nullable = false),
+      StructField("fp", LongType, nullable = false))), containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "winnow_fps"
+  protected override def nullSafeEval(t: Any): Any =
+    TextHash.winnowFingerprints(t.asInstanceOf[UTF8String], k, w)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.functions.TextHash.winnowFingerprints($t, $k, $w)")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 

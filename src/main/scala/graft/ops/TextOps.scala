@@ -464,31 +464,23 @@ object TextOps {
    * docs with fewer than w grams winnow a single full-width window.
    * All arithmetic is integer-exact.
    *
-   * At scale: one pass per doc through builtin codegen HOFs
-   * (transform/slice/array_min — O(m·w) comparisons at w = 8), no
-   * shuffle at all until the caller aggregates fingerprints; the
-   * output is ~2/(w+1) of the gram count, so downstream joins carry
-   * an 4-5× lighter payload than exact-substring shingling.
+   * At scale: ONE native kernel call per doc (`winnow_fps` — the
+   * gram-hash pass and the monotonic-deque window minimum fused into
+   * a single O(m) scan, selections deduped in the kernel), no shuffle
+   * at all until the caller aggregates fingerprints; the output is
+   * ~2/(w+1) of the gram count, so downstream joins carry a 4-5×
+   * lighter payload than exact-substring shingling. The previous HOF
+   * pipeline (transform/slice/array_min over a derived hash array)
+   * collapsed into O(m²) md5 work once Catalyst inlined the array
+   * projection into every window slice — 630 s at sf0.1 against ~1 s
+   * through the kernel, same rows.
    */
   def winnowing(docs: DataFrame, idCol: String, textCol: String,
                 k: Int = 4, w: Int = 8): DataFrame =
     docs
-      .select(col(idCol), split(col(textCol), " ").as("__ws"))
-      .filter(size(col("__ws")) >= k)
-      .withColumn("__hs", expr(
-        s"""transform(sequence(1, size(__ws) - $k + 1),
-           |  j -> CAST(conv(substring(md5(array_join(slice(__ws, j, $k), ' ')),
-           |                 1, 12), 16, 10) AS BIGINT))""".stripMargin))
-      .withColumn("__wl", least(lit(w), size(col("__hs"))))
-      .withColumn("__fps", expr(
-        """transform(sequence(1, size(__hs) - __wl + 1),
-          |  i -> named_struct(
-          |    'pos', CAST(i + __wl - array_position(reverse(slice(__hs, i, __wl)),
-          |                  array_min(slice(__hs, i, __wl))) AS BIGINT),
-          |    'fp', array_min(slice(__hs, i, __wl))))""".stripMargin))
-      .select(col(idCol), explode(col("__fps")).as("__f"))
+      .select(col(idCol),
+        explode(graft.functions.winnow_fps(col(textCol), k, w)).as("__f"))
       .select(col(idCol), col("__f.pos").as("pos"), col("__f.fp").as("fp"))
-      .distinct()
 
   /**
    * Temperature-scaled mixture allocation (the multilingual-sampling
