@@ -483,6 +483,36 @@ object TextOps {
       .select(col(idCol), col("__f.pos").as("pos"), col("__f.fp").as("fp"))
 
   /**
+   * Winnowing-fingerprint near-dup candidates: doc pairs sharing at
+   * least `minShared` distinct fingerprints. Each shared fp is a
+   * shared k-gram BOTH docs' windows selected, and the winnowing
+   * guarantee makes every shared run of w+k−1 words contribute at
+   * least one — so the pair evidence is span-level (copied passages),
+   * cheaper and more targeted than whole-set Jaccard: the inverted
+   * index carries ~2/(w+1) of the gram count.
+   *
+   * Shape is the standard scale-safe inversion: distinct (doc, fp) →
+   * hot-fp cap (fingerprints in more than `maxDf` docs are boilerplate
+   * spans — pairing them is O(df²) noise, so they drop, mirroring the
+   * decontaminate hot-gram cap; the oracle applies the identical cap)
+   * → fp-blocked self-join → per-pair distinct-fp count. Shuffles are
+   * linear in fingerprint count plus candidate pairs.
+   */
+  def winnowPairs(docs: DataFrame, idCol: String, textCol: String,
+                  k: Int = 4, w: Int = 8, minShared: Long = 5L,
+                  maxDf: Long = 50L): DataFrame = {
+    val fps = winnowing(docs, idCol, textCol, k, w)
+      .select(col(idCol).as("__wid"), col("fp")).distinct()
+    val keep = fps.groupBy("fp").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf).select("fp")
+    val f = fps.join(keep, Seq("fp")).select("fp", "__wid")
+    f.toDF("fp", "a_id").join(f.toDF("fp", "b_id"), "fp")
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /**
    * Temperature-scaled mixture allocation (the multilingual-sampling
    * α-temperature from XLM-R / mT5: weight ∝ count^α with α = 0.5, so
    * low-resource groups are up-sampled relative to proportional): the

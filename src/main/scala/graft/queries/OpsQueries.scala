@@ -512,6 +512,12 @@ object OpsQueries {
     "text_winnowing" -> ((s, dir) =>
       TextOps.winnowing(Tables(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id", "pos", "fp")),
+    // span-evidence near-dup candidates: pairs sharing >= 3 winnow
+    // fingerprints (each one a k-gram both docs' windows selected),
+    // fp-blocked inversion with a hot-fingerprint df cap
+    "dedup_winnow" -> ((s, dir) =>
+      TextOps.winnowPairs(Tables(s, dir, "documents"), "doc_id", "text",
+        minShared = 3L).orderBy("a_id", "b_id")),
     // temperature-scaled mixture (α = 0.5): low-resource languages
     // up-sampled relative to proportional; integer micro-weights from
     // IEEE sqrt keep the largest-remainder split exact
@@ -1045,6 +1051,27 @@ object OpsQueries {
         |SELECT DISTINCT doc_id, u.pos AS pos, u.fp AS fp
         |FROM f, LATERAL UNNEST(fps) AS t(u)
         |ORDER BY doc_id, pos, fp""".stripMargin,
+    // same winnow CTE, inverted: distinct (doc, fp) -> df cap (<= 50)
+    // -> fp self-join -> pairs with >= 3 shared fingerprints
+    "dedup_winnow" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g AS (SELECT doc_id,
+        |        list_transform(range(1, len(ws) - 4 + 2),
+        |          j -> CAST(('0x' || substr(md5(array_to_string(ws[j:j+3], ' ')),
+        |                     1, 12)) AS BIGINT)) AS hs
+        |      FROM w WHERE len(ws) >= 4),
+        |s AS (SELECT doc_id, hs, least(8, len(hs)) AS wl FROM g),
+        |f AS (SELECT doc_id,
+        |        list_transform(range(1, len(hs) - wl + 2),
+        |          i -> list_min(hs[i:i+wl-1])) AS fps
+        |      FROM s),
+        |d AS (SELECT DISTINCT doc_id, UNNEST(fps) AS fp FROM f),
+        |keep AS (SELECT fp FROM d GROUP BY fp HAVING count(*) <= 50),
+        |e AS (SELECT d.doc_id, d.fp FROM d JOIN keep USING (fp))
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_shared
+        |FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 3
+        |ORDER BY a_id, b_id""".stripMargin,
     "mix_temperature" ->
       """WITH t AS (SELECT lang,
         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
