@@ -816,4 +816,30 @@ class OpsSpec extends AnyFunSuite {
       .orderBy("doc_id", "pos", "fp").collect().toSeq
     assert(fps.sortBy(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq == again)
   }
+
+  test("winnowPairs: copied-run pairs found, unrelated absent, hot-fp cap binds") {
+    import spark.implicits._
+    val run = (1 to 40).map(i => s"run$i").mkString(" ")
+    val a = (1 to 30).map(i => s"alpha$i").mkString(" ") + " " + run
+    val b = run + " " + (1 to 30).map(i => s"beta$i").mkString(" ")
+    val c = (1 to 40).map(i => s"gamma$i").mkString(" ")
+    // docs 10..29 all embed the SAME boilerplate run — its fingerprints
+    // have df = 20, above a cap of 10, so boilerplate-only pairs vanish
+    val boiler = (1 to 40).map(i => s"boiler$i").mkString(" ")
+    val noisy = (10L until 30L).map(i =>
+      (i, s"unique${i}a unique${i}b unique${i}c " + boiler))
+    val df = (Seq((1L, a), (2L, b), (3L, c)) ++ noisy).toDF("doc_id", "text")
+    val pairs = TextOps.winnowPairs(df, "doc_id", "text",
+      minShared = 2L, maxDf = 10L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), "the 40-word copied run must pair 1-2")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "unrelated doc paired")
+    assert(!pairs.exists(p => p._1 >= 10L), s"boilerplate pairs survived the df cap: $pairs")
+    // with the cap lifted the boilerplate clique pairs (the cap is the
+    // only thing suppressing the O(df^2) blowup)
+    val uncapped = TextOps.winnowPairs(df, "doc_id", "text",
+      minShared = 2L, maxDf = 1000L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.contains((10L, 11L)), "uncapped run should pair the clique")
+  }
 }
