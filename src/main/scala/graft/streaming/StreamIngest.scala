@@ -287,6 +287,19 @@ object StreamIngest {
                       k: Int = 64): DataFrame =
     graft.ops.Dedup.signatures(docs, idCol, textCol, k)
 
+  /**
+   * Maintain the winnow-fingerprint table at ingest, the same way
+   * [[signatureStream]] maintains shingle signatures: fingerprints are
+   * a pure per-doc function (one `winnow_fps` kernel call), so the
+   * stream is a stateless map + explode into an append sink — the
+   * published span-fingerprint artifact (`text_winnowing` /
+   * `dedup_winnow`'s input) stays current as the corpus grows instead
+   * of re-scanning text per run.
+   */
+  def winnowStream(docs: DataFrame, idCol: String, textCol: String,
+                   k: Int = 4, w: Int = 8): DataFrame =
+    graft.ops.TextOps.winnowing(docs, idCol, textCol, k, w)
+
   /** Append-mode parquet sink for the chunk stream, partitioned by
     * window date for partition pruning on the read side. */
   def writeChunks(chunks: DataFrame, path: String, checkpoint: String) =

@@ -404,6 +404,38 @@ class StreamIngestSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming winnow-fingerprint maintenance equals the batch table") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val q = StreamIngest.winnowStream(docs, "doc_id", "text")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("winnow_sink").start()
+    try {
+      val batch1 = Seq(
+        (1L, (1 to 30).map(i => s"alpha$i").mkString(" ")),
+        (2L, (1 to 30).map(i => s"beta$i").mkString(" ")))
+      val batch2 = Seq(
+        (3L, (1 to 30).map(i => s"alpha$i").mkString(" ")), // dup of 1
+        (4L, "too short"))                                  // < k words: no grams
+      input.addData(batch1: _*); q.processAllAvailable()
+      input.addData(batch2: _*); q.processAllAvailable()
+      val streamed = spark.table("winnow_sink")
+        .orderBy("doc_id", "pos", "fp").collect().toSeq
+      val batch = graft.ops.TextOps.winnowing(
+          (batch1 ++ batch2).toDF("doc_id", "text"), "doc_id", "text")
+        .orderBy("doc_id", "pos", "fp").collect().toSeq
+      assert(streamed == batch)
+      // the dup doc's fingerprints land identical to the original's —
+      // the streamed table feeds dedup_winnow without re-derivation
+      val byDoc = streamed.groupBy(_.getLong(0))
+        .view.mapValues(_.map(r => (r.getLong(1), r.getLong(2))).toSet)
+      assert(byDoc(1L) == byDoc(3L))
+      assert(!byDoc.contains(4L))
+    } finally q.stop()
+  }
+
   test("streaming first-arrival dedup matches the batch stream_dedup survivors") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
