@@ -872,16 +872,24 @@ object OpsQueries {
         |ORDER BY a_id, b_id""".stripMargin,
     // the prefix-join output must equal the unbounded brute set — the
     // oracle is the same inverted-join SQL without the id cap
-    "text_containment_join" -> s"""WITH $shinglesSql
-      |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-      |  len(list_intersect(a.s, b.s)) AS n_common,
-      |  len(list_intersect(a.s, b.s)) / CAST(len(a.s) AS DOUBLE) AS c_a_in_b,
-      |  len(list_intersect(a.s, b.s)) / CAST(len(b.s) AS DOUBLE) AS c_b_in_a
-      |FROM sh a, sh b
-      |WHERE a.doc_id < b.doc_id
-      |  AND greatest(
-      |    len(list_intersect(a.s, b.s)) / CAST(len(a.s) AS DOUBLE),
-      |    len(list_intersect(a.s, b.s)) / CAST(len(b.s) AS DOUBLE)) >= 0.5
+    // inverted-index form of the brute truth (join on shared shingle,
+    // count per pair): identical rows/values/dtypes to the all-pairs
+    // list_intersect spelling — zero-intersection pairs can never pass
+    // 0.5 — but linear in shared-shingle occurrences instead of
+    // quadratic in docs (~30 DuckDB-minutes -> <1 s at sf0.1)
+    "text_containment_join" -> s"""WITH $shinglesSql,
+      |u AS (SELECT doc_id, UNNEST(s) AS g FROM sh),
+      |sz AS (SELECT doc_id, len(s) AS n FROM sh),
+      |i AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_common
+      |      FROM u a JOIN u b ON a.g = b.g AND a.doc_id < b.doc_id
+      |      GROUP BY 1, 2)
+      |SELECT i.a_id, i.b_id, i.n_common,
+      |  i.n_common / CAST(sa.n AS DOUBLE) AS c_a_in_b,
+      |  i.n_common / CAST(sb.n AS DOUBLE) AS c_b_in_a
+      |FROM i JOIN sz sa ON i.a_id = sa.doc_id
+      |       JOIN sz sb ON i.b_id = sb.doc_id
+      |WHERE greatest(i.n_common / CAST(sa.n AS DOUBLE),
+      |               i.n_common / CAST(sb.n AS DOUBLE)) >= 0.5
       |ORDER BY a_id, b_id""".stripMargin,
     // containment replicates the shingle kernel the same way the
     // verify oracle does; both directions emitted, either ≥ 0.5
