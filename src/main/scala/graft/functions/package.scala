@@ -23,7 +23,7 @@ package object functions {
     GorillaIsValid, GorillaNumPoints, HashSetSortedExpr, HyperplaneBucketsExpr, MinHashExpr,
     MinHashFromHashesExpr, MisraGriesAgg, ShingleHashesExpr, SimHashExpr, SimHashTextExpr,
     SortedIntersectCountExpr, Sq8DotExpr, Sq8EncodeExpr, VecDotExpr, VecL2SqExpr,
-    WinnowFingerprintsExpr, WordNgramsExpr}
+    LttbSelectExpr, WinnowFingerprintsExpr, WordNgramsExpr}
 
   type Builder = Seq[Expression] => Expression
 
@@ -72,6 +72,8 @@ package object functions {
     "word_ngrams" -> (es => WordNgramsExpr(es(0),
       es(1).eval(null).asInstanceOf[Number].intValue())),
     "minhash_hashes" -> (es => MinHashFromHashesExpr(es(0),
+      es(1).eval(null).asInstanceOf[Number].intValue())),
+    "lttb_select" -> (es => LttbSelectExpr(es(0),
       es(1).eval(null).asInstanceOf[Number].intValue())),
     "winnow_fps" -> (es => WinnowFingerprintsExpr(es(0),
       es(1).eval(null).asInstanceOf[Number].intValue(),
@@ -147,6 +149,8 @@ package object functions {
     call_function("word_ngrams", text, org.apache.spark.sql.functions.lit(n))
   def minhash_hashes(hashes: Column, k: Int): Column =
     call_function("minhash_hashes", hashes, org.apache.spark.sql.functions.lit(k))
+  def lttb_select(points: Column, nOut: Int): Column =
+    call_function("lttb_select", points, org.apache.spark.sql.functions.lit(nOut))
   def winnow_fps(text: Column, k: Int, w: Int): Column =
     call_function("winnow_fps", text, org.apache.spark.sql.functions.lit(k),
       org.apache.spark.sql.functions.lit(w))

@@ -791,6 +791,26 @@ object TsQueries {
           expr("percentile(cents, 0.9)").as("p90"),
           expr("percentile(cents, 0.99)").as("p99"))
         .orderBy("user_id", "event_type")),
+    // LTTB downsampling (Steinarsson 2013, the Grafana default) of
+    // each metric's line over the fixed dashboard window to 12 points
+    // — the perceptual companion to ts_m4 (M4 keeps per-pixel
+    // extremes, LTTB keeps line SHAPE). ONE fused lttb_select kernel
+    // call per metric (SURVEY §5 rule); selection is all-Long triangle
+    // areas on the (sec, cent) grid, so the recursive-CTE oracle
+    // reproduces it bit-exactly. The collect_list is bounded by the
+    // range window per metric — the same bound holt_winters rides
+    "ts_lttb" -> ((s, dir) =>
+      points(s, dir)
+        .filter(col("ts") >= RangeFrom && col("ts") <= RangeTo)
+        .select(col("event_type"), col("ts"),
+          round(col("v") * 100).cast("long").as("cents"))
+        .groupBy("event_type")
+        .agg(collect_list(struct(col("ts"), col("cents"))).as("__pts"))
+        .select(col("event_type"),
+          explode(graft.functions.lttb_select(col("__pts"), 12)).as("__p"))
+        .select(col("event_type"), col("__p.ts").as("ts"),
+          col("__p.cents").as("cents"))
+        .orderBy("event_type", "ts", "cents")),
     // robust dispersion per series (PromQL mad_over_time): median +
     // median-absolute-deviation over the exact integer cent grid. Two
     // aggregation passes with a per-series median joined back between
@@ -1370,6 +1390,49 @@ object TsQueries {
       |  quantile_cont(CAST(round(v * 100) AS BIGINT), 0.99) AS p99
       |FROM pts GROUP BY user_id, event_type
       |ORDER BY user_id, event_type""".stripMargin,
+    // the kernel's selection loop as a recursive CTE: one row per
+    // (metric, bucket index); list_max over (area, -ts, -cents)
+    // structs replicates the strict-> earliest-wins tie rule
+    "ts_lttb" -> s"""WITH RECURSIVE $ptsSql,
+      |c AS (SELECT event_type, ts, CAST(round(v * 100) AS BIGINT) AS cents
+      |      FROM pts WHERE ts >= $RangeFrom AND ts <= $RangeTo),
+      |a AS (SELECT event_type, count(*) AS n,
+      |        list(struct_pack(t := ts, c := cents) ORDER BY ts, cents) AS ps
+      |      FROM c GROUP BY 1),
+      |r AS (
+      |  SELECT event_type, n, ps, 0 AS i,
+      |         ps[1].t AS pt, ps[1].c AS pc, [ps[1]] AS sel
+      |  FROM a WHERE n > 12
+      |  UNION ALL
+      |  SELECT event_type, n, ps, i + 1,
+      |         -(best.nt), -(best.nc),
+      |         sel || [struct_pack(t := -(best.nt), c := -(best.nc))]
+      |  FROM (
+      |    SELECT event_type, n, ps, i, pt, pc, sel,
+      |      list_max(list_transform(
+      |        range(2 + (i * (n-2)) // 10, 2 + ((i+1) * (n-2)) // 10),
+      |        j -> struct_pack(
+      |          a := abs((pt * nn - sx) * (ps[j].c - pc)
+      |                   - (pt - ps[j].t) * (sy - nn * pc)),
+      |          nt := -ps[j].t, nc := -ps[j].c))) AS best
+      |    FROM (
+      |      SELECT *,
+      |        CASE WHEN i = 9 THEN ps[n].t ELSE CAST(list_sum(list_transform(
+      |          range(2 + ((i+1)*(n-2)) // 10, 2 + ((i+2)*(n-2)) // 10),
+      |          j -> ps[j].t)) AS BIGINT) END AS sx,
+      |        CASE WHEN i = 9 THEN ps[n].c ELSE CAST(list_sum(list_transform(
+      |          range(2 + ((i+1)*(n-2)) // 10, 2 + ((i+2)*(n-2)) // 10),
+      |          j -> ps[j].c)) AS BIGINT) END AS sy,
+      |        CASE WHEN i = 9 THEN 1 ELSE
+      |          (2 + ((i+2)*(n-2)) // 10) - (2 + ((i+1)*(n-2)) // 10) END AS nn
+      |      FROM r WHERE i < 10) ) ),
+      |sel_final AS (SELECT event_type, sel || [ps[n]] AS s FROM r WHERE i = 10),
+      |allsel AS (
+      |  SELECT event_type, UNNEST(s) AS p FROM sel_final
+      |  UNION ALL
+      |  SELECT event_type, UNNEST(ps) AS p FROM a WHERE n <= 12)
+      |SELECT event_type, p.t AS ts, p.c AS cents FROM allsel
+      |ORDER BY event_type, ts, cents""".stripMargin,
     "ts_mad" -> s"""WITH $ptsSql,
       |c AS (SELECT user_id, event_type,
       |  CAST(round(v * 100) AS BIGINT) AS cents FROM pts),
