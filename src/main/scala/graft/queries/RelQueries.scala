@@ -234,6 +234,21 @@ object RelQueries {
         .select("c_custkey", "c_name", "c_mktsegment")
         .orderBy("c_custkey")
     }),
+    // latest-row-per-key (the QUALIFY pattern): each customer's most
+    // recent order — rank window partitioned by the key, so partials
+    // stay per-customer-sized (no whole-table window)
+    "q_latest_per_key" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      Tables(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+          col("o_orderstatus"))
+        .orderBy("o_custkey")
+    }),
     // wide->long reshape: the unpivot dual of q_events_pivot (metric
     // name becomes a column, codegen'd Expand — 3 rows out per agg row,
     // no join/shuffle beyond the agg itself); integer metrics so the
@@ -440,6 +455,13 @@ object RelQueries {
         |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
         |                        WHERE o_orderdate >= TIMESTAMP '2000-06-01 00:00:00')
         |ORDER BY c_custkey""".stripMargin,
+    "q_latest_per_key" ->
+      """SELECT o_custkey, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS o_date, o_orderstatus
+        |FROM orders
+        |QUALIFY row_number() OVER (PARTITION BY o_custkey
+        |  ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+        |ORDER BY o_custkey""".stripMargin,
     "q_unpivot" ->
       """WITH a AS (SELECT l_returnflag,
         |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,

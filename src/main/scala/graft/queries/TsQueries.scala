@@ -1034,6 +1034,20 @@ object TsQueries {
         .agg(count(lit(1)).as("n"),
           min("v").as("min_v"), max("v").as("max_v"))
         .orderBy("user_id", "event_type", "bucket")),
+    // time × value 2-D histogram over the dashboard window — the data
+    // a heatmap panel renders (per metric: 2-h time buckets × 10-unit
+    // value bands). One hash aggregate with map-side partials; cell
+    // count is (window/2h)·bands-bounded, never point-bounded
+    "ts_heatmap" -> ((s, dir) =>
+      points(s, dir)
+        .filter(col("ts") >= RangeFrom && col("ts") <= RangeTo)
+        .groupBy(col("event_type"),
+          ((col("ts") / 7200).cast("long") * 7200).as("t_bucket"),
+          floor(round(col("v") * 100).cast("long") / 1000.0).cast("long")
+            .as("v_band"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("v") * 100).cast("long")).as("sum_cents"))
+        .orderBy("event_type", "t_bucket", "v_band")),
     // PromQL-style histogram_quantile(0.9) per series: the cumulative
     // distribution over the SAME fixed-width integer buckets
     // ts_histogram emits, the target rank at 0.9·n, and a linear
@@ -1660,6 +1674,15 @@ object TsQueries {
       |  count(*) AS n, min(v) AS min_v, max(v) AS max_v
       |FROM pts GROUP BY 1, 2, 3
       |ORDER BY user_id, event_type, bucket""".stripMargin,
+    "ts_heatmap" -> s"""WITH $ptsSql
+      |SELECT event_type,
+      |  CAST(ts // 7200 * 7200 AS BIGINT) AS t_bucket,
+      |  CAST(floor(CAST(round(v * 100) AS BIGINT) / 1000.0) AS BIGINT) AS v_band,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(round(v * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+      |FROM pts WHERE ts >= $RangeFrom AND ts <= $RangeTo
+      |GROUP BY 1, 2, 3
+      |ORDER BY event_type, t_bucket, v_band""".stripMargin,
     // DuckDB's sum(BIGINT) is HUGEINT — cast the window sums back to
     // BIGINT so the schema and the double conversions match Spark's.
     // And DuckDB parses bare `0.9`/`5000.0` literals as DECIMAL, whose
