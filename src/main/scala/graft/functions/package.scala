@@ -20,7 +20,7 @@ package object functions {
     GorillaChunkAgg, GorillaChunkAggRange,
     GorillaChunkBucketAgg, GorillaDecode,
     GorillaDecodeTimestamps, GorillaDecodeValues, GorillaEncode, GorillaEncodeValues,
-    GorillaIsValid, GorillaNumPoints, HashSetSortedExpr, HyperplaneBucketsExpr, MinHashExpr,
+    GorillaIsValid, GorillaNumPoints, ChunkFingerprintsExpr, HashSetSortedExpr, HyperplaneBucketsExpr, MinHashExpr,
     MinHashFromHashesExpr, MisraGriesAgg, ShingleHashesExpr, SimHashExpr, SimHashTextExpr,
     SortedIntersectCountExpr, Sq8DotExpr, Sq8EncodeExpr, VecDotExpr, VecL2SqExpr,
     LttbSelectExpr, WinnowFingerprintsExpr, WordNgramsExpr}
@@ -75,6 +75,9 @@ package object functions {
       es(1).eval(null).asInstanceOf[Number].intValue())),
     "lttb_select" -> (es => LttbSelectExpr(es(0),
       es(1).eval(null).asInstanceOf[Number].intValue())),
+    "chunk_fps" -> (es => ChunkFingerprintsExpr(es(0),
+      es(1).eval(null).asInstanceOf[Number].intValue(),
+      es(2).eval(null).asInstanceOf[Number].intValue())),
     "winnow_fps" -> (es => WinnowFingerprintsExpr(es(0),
       es(1).eval(null).asInstanceOf[Number].intValue(),
       es(2).eval(null).asInstanceOf[Number].intValue())),
@@ -151,6 +154,9 @@ package object functions {
     call_function("minhash_hashes", hashes, org.apache.spark.sql.functions.lit(k))
   def lttb_select(points: Column, nOut: Int): Column =
     call_function("lttb_select", points, org.apache.spark.sql.functions.lit(nOut))
+  def chunk_fps(text: Column, size: Int, stride: Int): Column =
+    call_function("chunk_fps", text, org.apache.spark.sql.functions.lit(size),
+      org.apache.spark.sql.functions.lit(stride))
   def winnow_fps(text: Column, k: Int, w: Int): Column =
     call_function("winnow_fps", text, org.apache.spark.sql.functions.lit(k),
       org.apache.spark.sql.functions.lit(w))

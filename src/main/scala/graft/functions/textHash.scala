@@ -238,6 +238,48 @@ object TextHash {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
   }
 
+  /**
+   * Fixed-size overlapping token chunks (RAG-ingestion splitting):
+   * chunk starts at k·stride for k = 0 .. nChunks−1 with
+   * nChunks = 1 if n ≤ size else ceil((n − size)/stride) + 1 — every
+   * token covered, the last chunk ending exactly at the doc tail.
+   * Emits (chunk_idx, start_token, n_tokens, fp) where fp is the
+   * first 48 md5 bits of the chunk text (the original byte range:
+   * words split on single spaces, empties kept — so the SQL oracle
+   * recomputes it from array_to_string identically). One fused kernel
+   * call per row, O(total chunk bytes).
+   */
+  def chunkFingerprints(text: UTF8String, size: Int, stride: Int): ArrayData = {
+    val bytes = text.getBytes
+    var words = 1
+    var i = 0
+    while (i < bytes.length) { if (bytes(i) == ' ') words += 1; i += 1 }
+    val starts = new Array[Int](words + 1)
+    var wi = 1
+    i = 0
+    while (i < bytes.length) { if (bytes(i) == ' ') { starts(wi) = i + 1; wi += 1 }; i += 1 }
+    starts(words) = bytes.length + 1
+    val nChunks =
+      if (words <= size) 1 else ((words - size + stride - 1) / stride) + 1
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val out = new Array[Any](nChunks)
+    var k = 0
+    while (k < nChunks) {
+      val s = k * stride
+      val len = math.min(size, words - s)
+      md.reset()
+      md.update(bytes, starts(s), starts(s + len) - 1 - starts(s))
+      val d = md.digest()
+      val fp = ((d(0) & 0xFFL) << 40) | ((d(1) & 0xFFL) << 32) |
+        ((d(2) & 0xFFL) << 24) | ((d(3) & 0xFFL) << 16) |
+        ((d(4) & 0xFFL) << 8) | (d(5) & 0xFFL)
+      out(k) = org.apache.spark.sql.catalyst.InternalRow(
+        k.toLong, s.toLong, len.toLong, fp)
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** k min-hashes over pre-hashed shingles (same permutations as
     * [[minHash]], so signatures are interchangeable). */
   def minHashFromHashes(hashes: ArrayData, k: Int): ArrayData = {
@@ -381,6 +423,29 @@ case class WinnowFingerprintsExpr(child: Expression, k: Int, w: Int)
     TextHash.winnowFingerprints(t.asInstanceOf[UTF8String], k, w)
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, t => s"graft.functions.TextHash.winnowFingerprints($t, $k, $w)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** chunk_fps(text, size, stride) ->
+  * array<struct<chunk_idx:long, start_token:long, n_tokens:long, fp:long>> */
+case class ChunkFingerprintsExpr(child: Expression, size: Int, stride: Int)
+    extends UnaryExpression {
+  require(size > 0 && stride > 0 && stride <= size,
+    "chunk_fps needs 0 < stride <= size")
+  override def checkInputDataTypes(): TypeCheckResult =
+    GorillaExprs.expect(child, StringType, s"$prettyName arg 1")
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("chunk_idx", LongType, nullable = false),
+      StructField("start_token", LongType, nullable = false),
+      StructField("n_tokens", LongType, nullable = false),
+      StructField("fp", LongType, nullable = false))), containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "chunk_fps"
+  protected override def nullSafeEval(t: Any): Any =
+    TextHash.chunkFingerprints(t.asInstanceOf[UTF8String], size, stride)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      t => s"graft.functions.TextHash.chunkFingerprints($t, $size, $stride)")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 

@@ -483,6 +483,24 @@ object TextOps {
       .select(col(idCol), col("__f.pos").as("pos"), col("__f.fp").as("fp"))
 
   /**
+   * RAG-ingestion chunking: fixed `size`-token windows at `stride`
+   * overlap per doc — chunk k starts at k·stride, the last chunk ends
+   * exactly at the doc tail, every token covered. Emits (chunk_idx,
+   * start_token, n_tokens, fp) with fp = 48-bit md5 of the chunk
+   * text: the split an embedding indexer runs before encoding, with
+   * the fingerprint standing in for the payload so downstream joins
+   * (chunk-level dedup, chunk→doc lineage) carry 8 bytes, not text.
+   * ONE fused `chunk_fps` kernel call per doc (SURVEY §5 rule).
+   */
+  def chunk(docs: DataFrame, idCol: String, textCol: String,
+            size: Int = 64, stride: Int = 48): DataFrame =
+    docs.select(col(idCol),
+        explode(graft.functions.chunk_fps(col(textCol), size, stride)).as("__c"))
+      .select(col(idCol), col("__c.chunk_idx").as("chunk_idx"),
+        col("__c.start_token").as("start_token"),
+        col("__c.n_tokens").as("n_tokens"), col("__c.fp").as("fp"))
+
+  /**
    * Winnowing-fingerprint near-dup candidates: doc pairs sharing at
    * least `minShared` distinct fingerprints. Each shared fp is a
    * shared k-gram BOTH docs' windows selected, and the winnowing

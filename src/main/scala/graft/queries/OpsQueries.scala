@@ -512,6 +512,11 @@ object OpsQueries {
     "text_winnowing" -> ((s, dir) =>
       TextOps.winnowing(Tables(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id", "pos", "fp")),
+    // RAG-ingestion chunking: 64-token windows at stride 48 per doc,
+    // fingerprints standing in for chunk payloads
+    "text_chunks" -> ((s, dir) =>
+      TextOps.chunk(Tables(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id", "chunk_idx")),
     // span-evidence near-dup candidates: pairs sharing >= 3 winnow
     // fingerprints (each one a k-gram both docs' windows selected),
     // fp-blocked inversion with a hot-fingerprint df cap
@@ -1059,6 +1064,18 @@ object OpsQueries {
         |SELECT DISTINCT doc_id, u.pos AS pos, u.fp AS fp
         |FROM f, LATERAL UNNEST(fps) AS t(u)
         |ORDER BY doc_id, pos, fp""".stripMargin,
+    "text_chunks" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |n AS (SELECT doc_id, ws, len(ws) AS n FROM w),
+        |k AS (SELECT doc_id, ws, n,
+        |  CASE WHEN n <= 64 THEN 1 ELSE (n - 64 + 47) // 48 + 1 END AS nc FROM n)
+        |SELECT doc_id, CAST(u AS BIGINT) AS chunk_idx,
+        |  CAST(u * 48 AS BIGINT) AS start_token,
+        |  CAST(least(64, n - u * 48) AS BIGINT) AS n_tokens,
+        |  CAST(('0x' || substr(md5(array_to_string(
+        |    ws[u*48+1 : u*48+least(64, n-u*48)], ' ')), 1, 12)) AS BIGINT) AS fp
+        |FROM (SELECT doc_id, ws, n, UNNEST(range(0, nc)) AS u FROM k)
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
     // same winnow CTE, inverted: distinct (doc, fp) -> df cap (<= 50)
     // -> fp self-join -> pairs with >= 3 shared fingerprints
     "dedup_winnow" ->

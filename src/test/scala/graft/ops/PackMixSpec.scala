@@ -39,6 +39,27 @@ class PackMixSpec extends AnyFunSuite {
     assert(out.length == docs.count())
   }
 
+  test("chunk: full token coverage, exact stride, tail-aligned last chunk") {
+    import spark.implicits._
+    val n = 150
+    val text = (0 until n).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, text), (2L, "short doc"), (3L, text)).toDF("doc_id", "text")
+    val out = TextOps.chunk(df, "doc_id", "text", size = 64, stride = 48)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("chunk_idx"),
+        r.getAs[Long]("start_token"), r.getAs[Long]("n_tokens"), r.getAs[Long]("fp")))
+    val d1 = out.filter(_._1 == 1L).sortBy(_._2)
+    // starts at k*stride, last chunk ends exactly at the tail, every
+    // token covered (stride < size => no gaps)
+    d1.foreach { case (_, k, s, len, _) => assert(s == k * 48 && len == math.min(64, n - s)) }
+    assert(d1.last._3 + d1.last._4 == n)
+    assert(d1.map(c => c._3 until c._3 + c._4).flatten.toSet == (0 until n).toSet)
+    // a doc shorter than size is one whole-doc chunk
+    assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0L, 0L, 2L, out.filter(_._1 == 2L).head._5)))
+    // identical text => identical fingerprints per chunk index
+    assert(d1.map(c => (c._2, c._5)).toSeq ==
+      out.filter(_._1 == 3L).sortBy(_._2).map(c => (c._2, c._5)).toSeq)
+  }
+
   test("sampleCurriculum: stage-major bijection onto 0..n-1, thresholds honored") {
     val out = TextOps.sampleCurriculum(docs, "doc_id", "text").collect()
     assert(out.length == docs.count())
