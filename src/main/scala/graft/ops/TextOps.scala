@@ -501,6 +501,26 @@ object TextOps {
         col("__c.n_tokens").as("n_tokens"), col("__c.fp").as("fp"))
 
   /**
+   * Chunk-level duplication profile: which of a doc's RAG chunks
+   * already exist elsewhere (another doc OR another offset of the same
+   * doc) — the signal an embedding indexer uses to skip re-encoding
+   * and re-indexing duplicate chunks. Same two-hash-aggregate +
+   * fp-keyed shuffle-join shape as [[spanDedup]] (the fp-total side is
+   * vocabulary-sized — broadcasting it is the anti-pattern); emits
+   * per-doc chunk counts and an integer milli dup fraction.
+   */
+  def chunkDedup(docs: DataFrame, idCol: String, textCol: String,
+                 size: Int = 64, stride: Int = 48): DataFrame = {
+    val ch = chunk(docs, idCol, textCol, size, stride)
+    val tot = ch.groupBy("fp").agg(count(lit(1)).as("__tot"))
+    ch.join(tot, Seq("fp"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("__tot") > 1, 1L).otherwise(0L)).as("dup_chunks"))
+      .withColumn("dup_milli", expr("dup_chunks * 1000 div n_chunks"))
+  }
+
+  /**
    * Winnowing-fingerprint near-dup candidates: doc pairs sharing at
    * least `minShared` distinct fingerprints. Each shared fp is a
    * shared k-gram BOTH docs' windows selected, and the winnowing

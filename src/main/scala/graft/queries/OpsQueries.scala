@@ -517,6 +517,11 @@ object OpsQueries {
     "text_chunks" -> ((s, dir) =>
       TextOps.chunk(Tables(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id", "chunk_idx")),
+    // chunk-level duplication profile: which RAG chunks already exist
+    // elsewhere (skip-re-encode signal for an embedding indexer)
+    "text_chunk_dedup" -> ((s, dir) =>
+      TextOps.chunkDedup(Tables(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
     // span-evidence near-dup candidates: pairs sharing >= 3 winnow
     // fingerprints (each one a k-gram both docs' windows selected),
     // fp-blocked inversion with a hot-fingerprint df cap
@@ -1076,6 +1081,23 @@ object OpsQueries {
         |    ws[u*48+1 : u*48+least(64, n-u*48)], ' ')), 1, 12)) AS BIGINT) AS fp
         |FROM (SELECT doc_id, ws, n, UNNEST(range(0, nc)) AS u FROM k)
         |ORDER BY doc_id, chunk_idx""".stripMargin,
+    "text_chunk_dedup" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |n AS (SELECT doc_id, ws, len(ws) AS n FROM w),
+        |k AS (SELECT doc_id, ws, n,
+        |  CASE WHEN n <= 64 THEN 1 ELSE (n - 64 + 47) // 48 + 1 END AS nc FROM n),
+        |c AS (SELECT doc_id,
+        |  CAST(('0x' || substr(md5(array_to_string(
+        |    ws[u*48+1 : u*48+least(64, n-u*48)], ' ')), 1, 12)) AS BIGINT) AS fp
+        |FROM (SELECT doc_id, ws, n, UNNEST(range(0, nc)) AS u FROM k)),
+        |t AS (SELECT fp, count(*) AS tot FROM c GROUP BY 1)
+        |SELECT c.doc_id, count(*) AS n_chunks,
+        |  CAST(sum(CASE WHEN t.tot > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS dup_chunks,
+        |  CAST(sum(CASE WHEN t.tot > 1 THEN 1 ELSE 0 END) * 1000 // count(*)
+        |    AS BIGINT) AS dup_milli
+        |FROM c JOIN t USING (fp)
+        |GROUP BY c.doc_id ORDER BY doc_id""".stripMargin,
     // same winnow CTE, inverted: distinct (doc, fp) -> df cap (<= 50)
     // -> fp self-join -> pairs with >= 3 shared fingerprints
     "dedup_winnow" ->
