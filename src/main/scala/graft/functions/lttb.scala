@@ -54,6 +54,27 @@ object Lttb {
     if (n <= nOut)
       return new GenericArrayData(Array.tabulate[Any](n)(row))
     val b = nOut - 2 // middle buckets over points 1..n-2
+    // Magnitude precondition: the all-Long area product below is exact
+    // only while 2·bucketSize·tsRange·centsRange < 2⁶³ — comfortably
+    // true on the seconds/cents grid this engine uses, but nanosecond
+    // timestamps or astronomic values would silently wrap and select
+    // wrong points. One O(n) BigInt bound check per call catches that
+    // loudly instead (the oracle CTE would error rather than wrap, so
+    // a wrap here would otherwise surface only as a verify mismatch).
+    var cMin = sc(0); var cMax = sc(0)
+    i = 1
+    while (i < n) {
+      if (sc(i) < cMin) cMin = sc(i)
+      if (sc(i) > cMax) cMax = sc(i)
+      i += 1
+    }
+    val nnMax = BigInt((n - 2).toLong / b + 2)
+    val bound = 2 * nnMax * (BigInt(st(n - 1)) - BigInt(st(0))) * (BigInt(cMax) - BigInt(cMin))
+    if (bound > Long.MaxValue)
+      throw new ArithmeticException(
+        s"lttb_select: inputs exceed the exact-Long area bound " +
+          s"(2*bucket*tsRange*centsRange = $bound > 2^63-1); rescale ts to " +
+          s"seconds / values to a coarser integer grid")
     val out = new Array[Any](nOut)
     out(0) = row(0)
     var prevT = st(0); var prevC = sc(0)

@@ -189,6 +189,10 @@ object TextHash {
    * position of the selected (rightmost-min) gram.
    */
   def winnowFingerprints(text: UTF8String, k: Int, w: Int): ArrayData = {
+    // guard up front: k <= 0 would MessageDigest over a negative span
+    // (obscure exception) and w <= 0 would read an uninitialized deque
+    // slot (garbage fingerprints, no error) — fail loudly instead
+    require(k >= 1 && w >= 1, s"winnow_fps needs k >= 1 and w >= 1 (got k=$k, w=$w)")
     val bytes = text.getBytes
     var words = 1
     var i = 0

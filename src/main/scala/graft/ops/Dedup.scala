@@ -233,13 +233,26 @@ object Dedup {
    */
   def editVerify(pairs: DataFrame, docs: DataFrame, idCol: String,
                  textCol: String, maxDistPermille: Int): DataFrame = {
+    val (out, cand) = editVerifyPlan(pairs, docs, idCol, textCol, maxDistPermille)
+    // the returned frame is candidate-bounded (strictly smaller than
+    // `cand`): pin it eagerly so the persisted intermediate can be
+    // RELEASED here instead of leaking blocks across repeated calls in
+    // a long-lived session — localCheckpoint materializes now, then
+    // the big cand cache drops deterministically
+    try out.localCheckpoint() finally cand.unpersist()
+  }
+
+  /** The lazy plan behind [[editVerify]] plus the persisted candidate
+    * handle — exposed for plan assertions; callers own the unpersist. */
+  private[graft] def editVerifyPlan(pairs: DataFrame, docs: DataFrame, idCol: String,
+                                    textCol: String, maxDistPermille: Int): (DataFrame, DataFrame) = {
     val cand = pairs.select("a_id", "b_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val candIds = cand.select(col("a_id").as("__eid"))
       .unionAll(cand.select(col("b_id").as("__eid"))).distinct()
     val txt = docs.select(col(idCol).as("__eid"), col(textCol).as("__et"))
       .join(candIds, Seq("__eid"), "left_semi")
-    cand
+    val out = cand
       .join(txt.toDF("a_id", "__ta"), "a_id")
       .join(txt.toDF("b_id", "__tb"), "b_id")
       .withColumn("edit_dist", levenshtein(col("__ta"), col("__tb")).cast("long"))
@@ -247,6 +260,7 @@ object Dedup {
         greatest(length(col("__ta")), length(col("__tb"))).cast("long"))
       .filter(col("edit_dist") * 1000L <= col("max_len") * maxDistPermille.toLong)
       .select("a_id", "b_id", "edit_dist", "max_len")
+    (out, cand)
   }
 
   /**

@@ -215,6 +215,55 @@ object RelQueries {
         .select(col("o_custkey"), col("o_orderkey"), col("price_c"))
         .orderBy("o_custkey", "o_orderkey")
     }),
+    // correlated EXISTS with aggregate (TPC-H Q4 shape): orders in one
+    // quarter that had a late line (shipped > 30 days after order),
+    // counted by priority. The EXISTS decorrelates to a LEFT SEMI hash
+    // join on the order key with the non-equi lateness predicate as a
+    // residual condition — the probe side never duplicates orders
+    // however many late lines match, and the aggregate runs over
+    // order-grain rows (map-side partials over 5 priorities)
+    "q_exists_agg" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders")
+        .filter(col("o_orderdate") >= to_timestamp(lit("1998-07-01 00:00:00")) &&
+          col("o_orderdate") < to_timestamp(lit("1998-10-01 00:00:00")))
+      val l = Tables(s, dir, "lineitem").select("l_orderkey", "l_shipdate")
+      o.join(l, o("o_orderkey") === l("l_orderkey") &&
+          l("l_shipdate") > o("o_orderdate") + expr("INTERVAL 30 DAYS"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_late"))
+        .orderBy("o_orderpriority")
+    }),
+    // min-per-group join-tree selection (TPC-H Q2 shape): for each
+    // small part, the ASIA supplier offers achieving the minimum unit
+    // price. The min comes from ONE key-grained aggregate over the
+    // region-filtered offer set, joined back on (part, exact-cents
+    // price) equality — the classic decorrelated scalar-subquery plan;
+    // dimension joins (supplier→nation→region, part) all broadcast,
+    // and restricting offers to the filtered parts up front is
+    // min-preserving (per-part min doesn't change when other parts
+    // drop), so the aggregate is output-sized, not lineitem-sized
+    "q_min_per_group" -> ((s, dir) => {
+      val smallParts = Tables(s, dir, "part").filter(col("p_size") <= 5)
+        .select("p_partkey", "p_name")
+      val supAsia = Tables(s, dir, "supplier")
+        .join(Tables(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+        .join(Tables(s, dir, "region").filter(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("s_suppkey", "s_name", "n_name")
+      val off = Tables(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"),
+          cents(col("l_extendedprice")).as("price_c"))
+        .join(smallParts, col("l_partkey") === col("p_partkey"))
+        .join(supAsia, col("l_suppkey") === col("s_suppkey"))
+      val m = off.groupBy(col("l_partkey").as("m_partkey"))
+        .agg(min("price_c").as("min_price_c"))
+      off.join(m, col("l_partkey") === col("m_partkey") &&
+          col("price_c") === col("min_price_c"))
+        .select(col("p_partkey"), col("p_name"), col("s_name"), col("n_name"),
+          col("min_price_c"))
+        .distinct()
+        .orderBy("p_partkey", "s_name")
+    }),
     // semi join: customers WITH at least one recent order (dual of the
     // anti join; no order columns materialize past the join)
     "q_semijoin" -> ((s, dir) => {
@@ -450,6 +499,29 @@ object RelQueries {
         |WHERE c_custkey IN (SELECT o_custkey FROM orders
         |                    WHERE o_orderdate >= TIMESTAMP '2000-06-01 00:00:00')
         |ORDER BY c_custkey""".stripMargin,
+    "q_exists_agg" ->
+      """SELECT o_orderpriority, count(*) AS n_late
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1998-07-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-10-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_min_per_group" ->
+      """WITH off AS (
+        |  SELECT l_partkey, p_partkey, p_name, s_name, n_name,
+        |         CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey AND p_size <= 5
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'),
+        |m AS (SELECT l_partkey AS m_partkey, min(price_c) AS min_price_c
+        |      FROM off GROUP BY 1)
+        |SELECT DISTINCT p_partkey, p_name, s_name, n_name, min_price_c
+        |FROM off JOIN m ON l_partkey = m_partkey AND price_c = min_price_c
+        |ORDER BY p_partkey, s_name""".stripMargin,
     "q_antijoin" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
         |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders

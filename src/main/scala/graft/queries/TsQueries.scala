@@ -798,7 +798,11 @@ object TsQueries {
     // call per metric (SURVEY §5 rule); selection is all-Long triangle
     // areas on the (sec, cent) grid, so the recursive-CTE oracle
     // reproduces it bit-exactly. The collect_list is bounded by the
-    // range window per metric — the same bound holt_winters rides
+    // range window per metric — the same bound holt_winters rides.
+    // NOTE: nOut=12 here is HARD-CODED into the oracle CTE too (its
+    // `// 10` bucket divisor and the i=9 / i<10 / i=10 recursion
+    // bounds all encode nOut−2 = 10) — changing nOut without rewriting
+    // those constants would silently mismatch at verify time
     "ts_lttb" -> ((s, dir) =>
       points(s, dir)
         .filter(col("ts") >= RangeFrom && col("ts") <= RangeTo)

@@ -82,9 +82,12 @@ class OpsSpec extends AnyFunSuite {
     assert(pairSet(Dedup.editVerify(pairs, d, "doc_id", "text", 50)) ==
       Set((1L, 2L)))
     // candidate pricing: docs never in a pair do not reach the kernel —
-    // the text join is semi-filtered to candidate ids
-    val plan = Dedup.editVerify(pairs, d, "doc_id", "text", 60)
-      .queryExecution.optimizedPlan.toString
+    // the text join is semi-filtered to candidate ids (assert on the
+    // lazy plan; the public editVerify checkpoints the result so its
+    // candidate cache can be released eagerly)
+    val (lazyPlan, cand) = Dedup.editVerifyPlan(pairs, d, "doc_id", "text", 60)
+    val plan = lazyPlan.queryExecution.optimizedPlan.toString
+    cand.unpersist()
     assert(plan.contains("LeftSemi"), s"expected semi-filtered text join:\n$plan")
   }
 

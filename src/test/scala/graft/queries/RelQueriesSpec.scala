@@ -141,6 +141,26 @@ class RelQueriesSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("q_exists_agg decorrelates EXISTS to one semi join, no row amplification") {
+    val p = planOf("q_exists_agg")
+    assert(p.contains("LeftSemi"), p.take(3000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(3000))
+  }
+
+  test("q_min_per_group broadcasts every dimension of the Q2-shape join tree") {
+    val p = planOf("q_min_per_group")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    // the min-join-back must agree with an independent per-group min
+    import org.apache.spark.sql.functions._
+    val got = RelQueries.queries("q_min_per_group")(spark, dir)
+    val byPart = got.groupBy("p_partkey")
+      .agg(countDistinct("min_price_c").as("nprices")).collect()
+    assert(byPart.forall(_.getLong(1) == 1L),
+      "every part must surface exactly one (minimum) price")
+  }
+
   test("relational queries return rows on sf0.001") {
     for ((name, q) <- RelQueries.queries) {
       assert(q(spark, dir).count() > 0, s"$name returned no rows")
