@@ -555,11 +555,28 @@ object Similarity {
     * shuffles before the rerank window. Oversize buckets are dropped
     * from the BUILD side only, exactly like the raw-frame path. */
   private def annCandidatesFromLists(lists0: DataFrame, nBits: Int, probes: Int,
-                                     maxBucket: Int): DataFrame = {
+                                     maxBucket: Int,
+                                     probes2Tables: Int = Int.MaxValue): DataFrame = {
     val lists = lists0.filter(size(col("ids")) <= maxBucket)
-    val probeBuckets = probeExpansion(nBits, probes)
-    lists0.select(col("table"), col("bucket"), explode(col("ids")).as("q_id"))
-      .select(col("q_id"), col("table"), explode(probeBuckets).as("bucket"))
+    val raw = lists0.select(col("table"), col("bucket"), explode(col("ids")).as("q_id"))
+    // probe-budget knob: radius-2 expansion only on tables
+    // [0, probes2Tables) — the tables are independent identically-
+    // distributed hash families, so which ones widen is immaterial;
+    // the candidate fan-out (the query's latency budget) scales from
+    // tables·(1+nBits) up to tables·(1+nBits+C(nBits,2)) as the knob
+    // moves, trading latency against recall per query
+    val probed =
+      if (probes < 2 || probes2Tables == Int.MaxValue)
+        raw.select(col("q_id"), col("table"),
+          explode(probeExpansion(nBits, probes)).as("bucket"))
+      else
+        raw.filter(col("table") < probes2Tables)
+          .select(col("q_id"), col("table"),
+            explode(probeExpansion(nBits, probes)).as("bucket"))
+          .unionAll(raw.filter(col("table") >= probes2Tables)
+            .select(col("q_id"), col("table"),
+              explode(probeExpansion(nBits, 1)).as("bucket")))
+    probed
       .join(lists, Seq("table", "bucket"))
       .select(col("q_id"), explode(col("ids")).as("n_id"))
       .filter(col("q_id") =!= col("n_id"))
@@ -625,13 +642,23 @@ object Similarity {
     * (written by [[writeModels]] at nBits=10, tables=8): the corpus is
     * never re-hashed NOR re-grouped on the query path — candidates
     * come straight off the stored lists with zero pre-rerank
-    * shuffles. */
+    * shuffles.
+    *
+    * Probe budget is a QUERY-TIME parameter pair (r8 verdict: the
+    * recall/latency trade must be tunable per query, not baked in):
+    * `probes` is the hamming probe radius (0-2), and `probes2Tables`
+    * limits the radius-2 fan-out to that many of the hash tables
+    * (the rest stay at radius 1) — candidate volume, and with it
+    * latency, scales smoothly between the radius-1 floor and the full
+    * radius-2 ceiling while recall degrades gracefully (each table is
+    * an independent chance to catch a neighbor). */
   def annTopKStored(idx: AnnIndex, embeddings: DataFrame, idCol: String,
                     vecCol: String, k: Int, probes: Int = 2,
-                    maxBucket: Int = 1000): DataFrame = {
+                    maxBucket: Int = 1000,
+                    probes2Tables: Int = Int.MaxValue): DataFrame = {
     val e = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
-    rerankExact(annCandidatesFromLists(idx.lshLists, nBits = 10, probes, maxBucket),
-      e, e, k)
+    rerankExact(annCandidatesFromLists(idx.lshLists, nBits = 10, probes, maxBucket,
+      probes2Tables), e, e, k)
   }
 
   // === persisted ANN models: train once, query many =================
@@ -663,7 +690,7 @@ object Similarity {
    */
   def writeModels(embeddings: DataFrame, idCol: String, vecCol: String,
                   path: String, nlist: Int = 16, m: Int = 8, ksub: Int = 32,
-                  iters: Int = 4): Unit = {
+                  iters: Int = 4, trainSample: Long = 200000L): Unit = {
     // re-training over an existing complete store: drop the marker
     // FIRST, so a crash mid-rewrite (or a concurrent reader) can never
     // observe _SUCCESS alongside mixed-generation tables — the
@@ -671,12 +698,29 @@ object Similarity {
     val fsOut = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), embeddings.sparkSession.sparkContext.hadoopConfiguration)
     fsOut.delete(new org.apache.hadoop.fs.Path(path, "_SUCCESS"), false)
-    val centroids = materialize(ivfCentroids(embeddings, idCol, vecCol, nlist, iters))
+    // TRAIN on a bounded deterministic sample, ENCODE the full corpus
+    // (the FAISS discipline; the r9 scale run measured full-corpus
+    // k-means at 2M vectors spilling ~677 GB across its iterations —
+    // codebook quality saturates long before corpus size, so the
+    // training passes get a hash-gated ~trainSample-row subsample;
+    // below the cap nothing changes, and the gate is the same
+    // integer-exact ppm construction the samplers use, so the sample —
+    // and with it every trained model — is layout- and
+    // engine-independent). trainSample <= 0 disables the cap.
+    val n = embeddings.count()
+    val train =
+      if (trainSample <= 0 || n <= trainSample) embeddings
+      else {
+        val ppm = math.max(1L, trainSample * 1000000L / n)
+        embeddings.filter(
+          pmod(xxhash64(col(idCol), lit(2166136261L)), lit(1000000L)) < ppm)
+      }
+    val centroids = materialize(ivfCentroids(train, idCol, vecCol, nlist, iters))
     centroids.write.mode("overwrite").parquet(s"$path/centroids")
-    val books = materialize(pqCodebooks(embeddings, idCol, vecCol, m, ksub, iters))
+    val books = materialize(pqCodebooks(train, idCol, vecCol, m, ksub, iters))
     books.write.mode("overwrite").parquet(s"$path/codebooks")
     val resBooks = materialize(
-      residualCodebooks(embeddings, idCol, vecCol, centroids, m, ksub, iters))
+      residualCodebooks(train, idCol, vecCol, centroids, m, ksub, iters))
     resBooks.write.mode("overwrite").parquet(s"$path/res_codebooks")
     val spark = embeddings.sparkSession
     val maxAbs = sq8Scale(embeddings, idCol, vecCol)

@@ -1,0 +1,225 @@
+package graft.tools
+
+import graft.ops.{Dedup, Similarity, TextOps}
+import graft.tsdb.Ts
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Measured scale run of the heaviest operator families (VERDICT r8
+ * "Next round" #1): the SAME library code paths the oracled queries
+ * use, executed end-to-end against the multi-GB ScaleGen corpus AND
+ * against sf0.1, with per-input-row throughput ratios — the evidence
+ * that the 100 TB design claims (blocked candidate generation,
+ * compressed-domain serving, artifact reuse) hold when the input is
+ * 400-2000x the correctness corpus, not just in the plan.
+ *
+ * Emits ONE JSON line (plus a pretty file): per-step wall seconds,
+ * input/output rows, shuffle spill bytes (from a stage listener), and
+ * `per_row_vs_sf01` = (sec/row at scale) / (sec/row at sf0.1) — < ~1
+ * means fixed overheads amortized (sub-linear), >> 1 means the step
+ * grew super-linearly and needs a look.
+ *
+ * Usage: ScaleBench [scaleDir] [sf01Dir] [outJson]
+ */
+object ScaleBench {
+  final case class Res(sec: Double, rowsIn: Long, rowsOut: Long,
+                       spillBytes: Long, note: String = "")
+
+  def main(args: Array[String]): Unit = {
+    val scaleDir = if (args.length > 0) args(0) else "/tmp/graft_scale"
+    val sf01Dir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val outPath = if (args.length > 2) args(2) else "/root/repo/BENCH_SCALE.json"
+    val work = "/tmp/graft_scale_work"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-scale-bench")
+      .config("spark.sql.shuffle.partitions", "256")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.driver.maxResultSize", "4g")
+      .config("spark.local.dir", "/tmp/graft_scale_tmp")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.registerAll(spark)
+
+    // stage-level spill accounting: deltas bracket each step
+    @volatile var spill = 0L
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        spill += sc.stageInfo.taskMetrics.memoryBytesSpilled +
+          sc.stageInfo.taskMetrics.diskBytesSpilled
+      }
+    })
+
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, Res]
+    def timed(name: String, rowsIn: Long, note: String = "")(f: => Long): Unit = {
+      val s0 = spill
+      val t0 = System.nanoTime()
+      val rowsOut = f
+      val sec = (System.nanoTime() - t0) / 1e9
+      results(name) = Res(sec, rowsIn, rowsOut, spill - s0, note)
+      println(f"[scalebench] $name%-28s ${sec}%8.1f s  in=$rowsIn out=$rowsOut")
+    }
+    def noop(df: DataFrame): Long = {
+      val n = spark.sparkContext.longAccumulator
+      df.foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+        var c = 0L; while (it.hasNext) { it.next(); c += 1 }; n.add(c)
+      }
+      n.value
+    }
+
+    /** The LLM-pipeline family against one corpus dir. */
+    def docsFamily(tag: String, dir: String): Unit = {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val nDocs = docs.count()
+      val sigPath = s"$work/$tag/sigs"
+      timed(s"${tag}_sig_build", nDocs,
+        "one corpus text scan -> persisted signature artifact") {
+        Dedup.signatures(docs, "doc_id", "text")
+          .write.mode("overwrite").parquet(sigPath)
+        nDocs
+      }
+      val sigs = spark.read.parquet(sigPath)
+      val pairsPath = s"$work/$tag/pairs"
+      timed(s"${tag}_lsh_pairs", nDocs, "banded minhash bucket join") {
+        Dedup.minhashLshSigs(sigs).write.mode("overwrite").parquet(pairsPath)
+        spark.read.parquet(pairsPath).count()
+      }
+      val pairs = spark.read.parquet(pairsPath)
+      val nPairs = pairs.count()
+      val verPath = s"$work/$tag/verified"
+      timed(s"${tag}_jaccard_verify", nPairs, "exact-merge verify of LSH candidates") {
+        Dedup.jaccardVerifySigs(pairs, sigs, 0.5).select("a_id", "b_id")
+          .write.mode("overwrite").parquet(verPath)
+        spark.read.parquet(verPath).count()
+      }
+      val verified = spark.read.parquet(verPath)
+      val compPath = s"$work/$tag/components"
+      timed(s"${tag}_components", verified.count(), "fixpoint min-label + pointer jump") {
+        Dedup.components(verified, sigs, "id")
+          .write.mode("overwrite").parquet(compPath)
+        spark.read.parquet(compPath).count()
+      }
+      timed(s"${tag}_dedup_apply", nDocs, "drop non-representatives, emit corpus") {
+        val comp = spark.read.parquet(compPath)
+        val drop = comp.filter(col("comp") =!= col("id"))
+          .select(col("id").as("doc_id"))
+        noop(docs.join(drop, Seq("doc_id"), "left_anti"))
+      }
+      timed(s"${tag}_containment_join", nDocs, "PPJoin prefix-filtered containment") {
+        noop(Dedup.containmentJoinSigs(sigs, 0.5))
+      }
+      timed(s"${tag}_winnow_pairs", nDocs, "winnow fp inversion, df-capped") {
+        noop(TextOps.winnowPairs(docs, "doc_id", "text", minShared = 3L))
+      }
+      timed(s"${tag}_chunk_dedup", nDocs, "RAG chunk fp duplication profile") {
+        noop(TextOps.chunkDedup(docs, "doc_id", "text"))
+      }
+      timed(s"${tag}_pack_sequences", nDocs, "concat-and-chunk packing") {
+        noop(TextOps.packSequences(docs, "doc_id", "text", "source", 1024L))
+      }
+      timed(s"${tag}_mix_allocate", nDocs, "largest-remainder budget split") {
+        noop(TextOps.mixAllocate(docs, "lang", "text", 1000000000L))
+      }
+    }
+
+    /** The TSDB store family against one corpus dir. */
+    def tsFamily(tag: String, dir: String): Unit = {
+      val series = Seq("user_id", "event_type")
+      val ev = spark.read.parquet(s"$dir/events.parquet")
+      val nEv = ev.count()
+      val storePath = s"$work/$tag/store"
+      timed(s"${tag}_store_ingest", nEv, "chunkify + date-partitioned write") {
+        Ts.writeStore(Ts.chunkify(ev, series, "ts", "value"), storePath)
+        spark.read.parquet(storePath).count()
+      }
+      // fixed 2-day query window, same as the oracled queries
+      val from = 1704844800L; val to = 1705017600L
+      timed(s"${tag}_store_range_agg", nEv, "label+date pruned, compressed-domain") {
+        noop(Ts.rangeAgg(Ts.readStore(spark, storePath, from, to), series, from, to))
+      }
+      timed(s"${tag}_store_latest", nEv, "newest-chunk pruning per series") {
+        noop(Ts.latest(Ts.readStore(spark, storePath), series))
+      }
+      timed(s"${tag}_store_downsample", nEv, "15-min compressed-domain partials, 2-day window") {
+        noop(Ts.downsampleCompressed(
+          Ts.readStore(spark, storePath, from, to), series)
+          .filter(col("bucket") >= from && col("bucket") < to))
+      }
+      val late = ev.filter(pmod(col("event_id"), lit(100L)) === 0L)
+        .withColumn("ts", col("ts") + expr("INTERVAL 30 MINUTES"))
+      val nLate = late.count()
+      timed(s"${tag}_store_upsert", nLate, "1% late batch, touched dates only") {
+        Ts.upsertIntoStore(spark, storePath, late, series, "ts", "value")
+        nLate
+      }
+      timed(s"${tag}_store_compact", nEv, "decode + re-seal the whole store") {
+        Ts.compactStore(spark, storePath, s"$work/$tag/store_compact")
+        spark.read.parquet(s"$work/$tag/store_compact").count()
+      }
+      timed(s"${tag}_store_expire", nEv, "metadata-only partition drops (7d retention)") {
+        Ts.expireStore(spark, storePath, olderThanDays = 7,
+          asOfSec = 1706659200L) // 2024-01-31
+        spark.read.parquet(storePath).count()
+      }
+    }
+
+    /** ANN index build + query against one corpus dir. */
+    def annFamily(tag: String, dir: String, nlist: Int): Unit = {
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val nVec = emb.count()
+      val annPath = s"$work/$tag/ann"
+      timed(s"${tag}_ann_build", nVec, s"IVF-PQ train+encode once, nlist=$nlist") {
+        Similarity.writeModels(emb, "vec_id", "embedding", annPath,
+          nlist = nlist, m = 8, ksub = 32, iters = 4)
+        nVec
+      }
+      timed(s"${tag}_ann_ivfpq_query", nVec, "100 queries, probe-restricted ADC") {
+        val idx = Similarity.readIndex(spark, annPath)
+        val q = emb.filter(col("vec_id") < 100)
+        noop(Similarity.ivfPqTopKStored(idx, emb, q, "vec_id", "embedding",
+          k = 5, nprobe = 16))
+      }
+    }
+
+    // sf0.1 baselines first (cheap), then the scale corpus; 4th arg
+    // optionally restricts to a family subset ("docs,ts,ann") for
+    // re-measuring one family after a targeted change
+    val fams = (if (args.length > 3) args(3) else "docs,ts,ann").split(",").toSet
+    if (fams("docs")) docsFamily("sf01", sf01Dir)
+    if (fams("ts")) tsFamily("sf01", sf01Dir)
+    if (fams("ann")) annFamily("sf01", sf01Dir, nlist = 16)
+    if (fams("docs")) docsFamily("scale", scaleDir)
+    if (fams("ts")) tsFamily("scale", scaleDir)
+    if (fams("ann")) annFamily("scale", scaleDir, nlist = 256)
+
+    // assemble JSON: scale rows get their sf01 sibling + per-row ratio
+    def fm(d: Double): String = f"$d%.4f"
+    val entries = results.toSeq.collect { case (name, r) if name.startsWith("scale_") =>
+      val base = results.get("sf01_" + name.stripPrefix("scale_"))
+      val ratio = base match {
+        case Some(b) if b.sec > 0 && b.rowsIn > 0 && r.rowsIn > 0 =>
+          fm((r.sec / r.rowsIn) / (b.sec / b.rowsIn))
+        case _ => "null"
+      }
+      val b = base.map(b => s""","sf01_sec":${fm(b.sec)},"sf01_rows_in":${b.rowsIn}""").getOrElse("")
+      s""""${name.stripPrefix("scale_")}":{"sec":${fm(r.sec)},"rows_in":${r.rowsIn},""" +
+        s""""rows_out":${r.rowsOut},"spill_bytes":${r.spillBytes}$b,""" +
+        s""""per_row_vs_sf01":$ratio,"note":"${r.note}"}"""
+    }
+    def rowsIn(k: String): Long = results.get(k).map(_.rowsIn).getOrElse(0L)
+    val corpus =
+      s""""corpus":{"events":${rowsIn("scale_store_ingest")},""" +
+      s""""documents":${rowsIn("scale_sig_build")},""" +
+      s""""embeddings":${rowsIn("scale_ann_build")}}"""
+    val json = s"""{"metric":"scale_bench","scale_dir":"$scaleDir",$corpus,""" +
+      s""""queries":{${entries.mkString(",")}}}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")
+    println(json)
+    spark.stop()
+  }
+}
