@@ -41,6 +41,35 @@ object TsQueries {
     Ts.readStore(s, path, fromSec, toSec)
   }
 
+  /** Label names of the LABELED chunk store ([[labeledStoreChunks]]):
+    * the Gorilla-paper §4 key-search data model — a series is a label
+    * SET, not a fixed column pair. Here the set is derived from the
+    * events table (type = event_type, host = h<user%100>, region =
+    * r<user%4>; host determines region, so the store holds 5·100
+    * well-defined series). */
+  val labelCols: Seq[String] = Seq("type", "host", "region")
+
+  private def labeledEvents(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+    ev.select(col("event_type").as("type"),
+      concat(lit("h"), pmod(col("user_id"), lit(100L))).as("host"),
+      concat(lit("r"), pmod(col("user_id"), lit(4L))).as("region"),
+      col("ts"), col("value"))
+  }
+
+  /** The labeled chunk store for a data dir, ingest-once like
+    * [[storeChunks]]: every label is a top-level (indexed) column, so
+    * selector equality/prefix matchers prune at the parquet scan. */
+  def labeledStoreChunks(s: SparkSession, dir: String,
+                         fromSec: Long = Long.MinValue,
+                         toSec: Long = Long.MaxValue): DataFrame = synchronized {
+    graft.functions.registerAll(s)
+    val path = storePath(dir) + "_lbl"
+    if (!new java.io.File(path, "_SUCCESS").exists())
+      Ts.writeStore(Ts.chunkify(labeledEvents(s, dir), labelCols, "ts", "value"), path)
+    Ts.readStore(s, path, fromSec, toSec)
+  }
+
   /** The materialized 15-min rollup for a data dir: derived from the
     * persisted chunk store ONCE (raw → chunks → rollup, the standing-
     * aggregate lineage), then every serve is a pruned partial scan. */
@@ -82,6 +111,10 @@ object TsQueries {
     * regenerated test dir never reads a stale store (the `s3` suffix
     * versions the stat layout — s3 added the `sumsq_cents` second
     * moment; s2 moved sum_cents to HALF_UP rounding). */
+  /** Public accessor: where [[storeChunks]] persisted `dir`'s store
+    * (for SQL clients registering it via [[Ts.registerStoreView]]). */
+  def storePathFor(dir: String): String = storePath(dir)
+
   private def storePath(dir: String): String = {
     val src = new java.io.File(s"$dir/events.parquet")
     val files = if (src.isDirectory) src.listFiles().toSeq else Seq(src)
@@ -474,6 +507,19 @@ object TsQueries {
     "ts_range_agg" -> ((s, dir) =>
       Ts.rangeAgg(storeChunks(s, dir, RangeFrom, RangeTo), series, RangeFrom, RangeTo)
         .orderBy("user_id", "event_type")),
+    // PromQL-style label-selector query off the LABELED store: the
+    // whole matcher set {type="click", host=~"h1.*", region!="r3"}
+    // compiles to indexed-column predicates — equality and the regex's
+    // literal prefix PUSH to the parquet chunk scan (plan-pinned in
+    // LabelsSpec), the surviving chunks answer compressed-domain via
+    // rangeAgg (covered chunks: header stats only; boundary: one
+    // streaming in-range fold). Label pruning costs chunk METADATA, so
+    // at 100 TB a selective selector reads ~none of the chunk bytes
+    "ts_label_select" -> ((s, dir) =>
+      graft.tsdb.Labels.selectRangeAgg(
+          labeledStoreChunks(s, dir, RangeFrom, RangeTo), labelCols,
+          """{type="click", host=~"h1.*", region!="r3"}""", RangeFrom, RangeTo)
+        .orderBy("type", "host", "region")),
     // per-series VARIANCE over a time range, compressed-domain: the
     // exact integer moments (n, S, Q) come from stored header stats
     // for covered chunks and the streaming range kernel for boundary
@@ -689,13 +735,15 @@ object TsQueries {
     // tf=0.1) over the fixed range: level/trend from the textbook
     // sequential fold — level=x₁, trend=x₁−x₀, then
     // lᵢ = 0.3·xᵢ + 0.7·(l+t); tᵢ = 0.1·(lᵢ−l) + 0.9·t. The recursion
-    // is inherently sequential PER SERIES, so it runs as one
-    // sort_array(collect_list) + aggregate() fold per series — state
-    // bounded by the range's points per series (a PromQL range
-    // vector), never the corpus; series parallelize freely. Inputs
-    // are exact integer cents and the fold is the same IEEE
-    // expression tree on both engines (the lᵢ subterm duplicated
-    // verbatim), so the emitted doubles are bit-stable
+    // is inherently sequential PER SERIES, so it runs as ONE fused
+    // `hw_fold` kernel call over the collected range vector — state
+    // bounded by the range's points per series, series parallelize
+    // freely. (Previously an aggregate(slice(transform(...))) HOF
+    // chain whose derived array fed 4 consumers; project collapse
+    // inlined the transform into each — the repo's fuse-to-native rule
+    // says a multi-reference array pipeline becomes a kernel.) The
+    // kernel evaluates the identical IEEE tree the recursive-CTE
+    // oracle does, so the emitted doubles stay bit-stable
     "ts_holt_winters" -> ((s, dir) =>
       points(s, dir)
         .filter(col("ts") >= RangeFrom && col("ts") <= RangeTo)
@@ -703,20 +751,12 @@ object TsQueries {
           round(col("v") * 100).cast("long").as("cents"))
         .groupBy("user_id", "event_type")
         .agg(count(lit(1)).as("n"),
-          sort_array(collect_list(struct(col("ts"), col("cents")))).as("__arr"))
+          collect_list(struct(col("ts"), col("cents"))).as("__arr"))
         .filter(col("n") >= 2)
-        .withColumn("__xs",
-          expr("transform(__arr, p -> CAST(p.cents AS DOUBLE) / 100.0D)"))
-        .withColumn("__hw", expr(
-          """aggregate(slice(__xs, 3, size(__xs) - 2),
-            |  named_struct('l', __xs[1], 't', __xs[1] - __xs[0]),
-            |  (acc, v) -> named_struct(
-            |    'l', 0.3D * v + 0.7D * (acc.l + acc.t),
-            |    't', 0.1D * ((0.3D * v + 0.7D * (acc.l + acc.t)) - acc.l)
-            |         + 0.9D * acc.t))""".stripMargin))
+        .withColumn("__hw", graft.functions.hw_fold(col("__arr"), 0.3, 0.1))
         .select(col("user_id"), col("event_type"), col("n"),
-          col("__hw.l").as("level"), col("__hw.t").as("trend"),
-          (col("__hw.l") + col("__hw.t")).as("forecast"))
+          col("__hw.level").as("level"), col("__hw.trend").as("trend"),
+          (col("__hw.level") + col("__hw.trend")).as("forecast"))
         .orderBy("user_id", "event_type")),
     // k-point moving average (frame: 3 preceding + current), exact via cents
     "ts_moving_avg" -> ((s, dir) => {
@@ -1672,6 +1712,24 @@ object TsQueries {
       |    AS BIGINT) AS sumsq_cents
       |FROM pts WHERE ts >= $RangeFrom AND ts <= $RangeTo
       |GROUP BY user_id, event_type ORDER BY user_id, event_type""".stripMargin,
+    // the selector's three matcher kinds translate exactly: = is
+    // equality, =~"h1.*" is the anchored literal-prefix form (LIKE
+    // 'h1%'), != is null-safe inequality (derived labels are never
+    // null here)
+    "ts_label_select" ->
+      s"""WITH lbl AS (SELECT event_type AS type,
+        |  'h' || CAST(user_id % 100 AS VARCHAR) AS host,
+        |  'r' || CAST(user_id % 4 AS VARCHAR) AS region,
+        |  CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS ts, value AS v FROM events)
+        |SELECT type, host, region, count(*) AS n,
+        |  min(ts) AS min_ts, max(ts) AS max_ts,
+        |  min(v) AS min_v, max(v) AS max_v,
+        |  CAST(sum(CAST(round(v * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |  CAST(sum(CAST(round(v * 100) AS BIGINT) * CAST(round(v * 100) AS BIGINT))
+        |    AS BIGINT) AS sumsq_cents
+        |FROM lbl WHERE ts >= $RangeFrom AND ts <= $RangeTo
+        |  AND type = 'click' AND host LIKE 'h1%' AND region != 'r3'
+        |GROUP BY 1, 2, 3 ORDER BY type, host, region""".stripMargin,
     "ts_histogram" -> s"""WITH $ptsSql
       |SELECT user_id, event_type,
       |  CAST(floor(CAST(round(v * 100) AS BIGINT) / 5000.0) AS BIGINT) AS bucket,

@@ -884,6 +884,16 @@ object Ts {
    * byte-identical to a direct batch chunkify of the same points
    * (asserted in TsStoreSpec), so readers can't tell compacted and
    * never-fragmented stores apart.
+   *
+   * CONCURRENCY CONTRACT (pinned in StoreInterleaveSpec): compact
+   * SNAPSHOTS `path` (its one full read) and writes to `outPath`; the
+   * cutover is the caller's atomic swap. Upserts landing on the live
+   * store after the snapshot are NOT in the compacted output — before
+   * serving from `outPath`, replay every batch whose marker postdates
+   * the snapshot (the stream layer's batchId markers identify exactly
+   * that set). Replay converges byte-identically to a serial
+   * never-fragmented ingest, because every write path is the same
+   * deterministic sort-encode of the same per-window point multiset.
    */
   def compactStore(spark: org.apache.spark.sql.SparkSession, path: String,
                    outPath: String, windowSec: Long = WindowSec): Unit = {
@@ -895,6 +905,36 @@ object Ts {
     // chunkify's epochSec treats it as seconds, not parquet nanos
     val pts = unpack(chunks, seriesCols).withColumn("ts", to_timestamp(col("ts")))
     writeStore(chunkify(pts, seriesCols, "ts", "v", windowSec), outPath)
+  }
+
+  /**
+   * SQL-surface route into the store (the pure-SQL recipe, pinned in
+   * SqlSurfaceSpec): register a chunk store as a temp view and a
+   * SQL-only client gets the same pruned plans the Scala API builds —
+   * the `gorilla_*` functions are session-registered (GraftExtensions)
+   * and the injected optimizer rules rewrite naive SQL:
+   *
+   * {{{
+   *   Ts.registerStoreView(spark, "/data/store", "metrics")
+   *   spark.sql("""
+   *     SELECT user_id, event_type, p.ts, p.v
+   *     FROM metrics
+   *     LATERAL VIEW explode(gorilla_decode(chunk)) g AS p
+   *     WHERE p.ts BETWEEN 1704844800 AND 1705017600""")
+   * }}}
+   *
+   * ChunkPruneRule adds chunk-stat guards for the decoded-ts WHERE
+   * (pushed to the parquet scan), DecodeNarrowRule narrows the decode
+   * to the consumed side, and ChunkAggRule fuses decode-explode-
+   * aggregate plans into per-chunk partials — ts_range_query /
+   * ts_points_agg plans, from SQL strings. `fromSec`/`toSec` bake
+   * `window_date` partition pruning into the view itself.
+   */
+  def registerStoreView(spark: org.apache.spark.sql.SparkSession, path: String,
+                        name: String, fromSec: Long = Long.MinValue,
+                        toSec: Long = Long.MaxValue): Unit = {
+    graft.functions.registerAll(spark)
+    readStore(spark, path, fromSec, toSec).createOrReplaceTempView(name)
   }
 
   /** Open a chunk store; `fromSec`/`toSec` prune partitions at plan time. */

@@ -1,0 +1,97 @@
+package graft.tsdb
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Label-selector model: parser, matcher semantics (incl. PromQL's
+  * absent-label rules through the map fallback), and the scale pin —
+  * selector predicates PUSH to the labeled chunk store's parquet scan
+  * (equality + regex literal prefix), with window_date partition
+  * pruning composing on top. */
+class LabelsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val dir = "/root/testdata/sf0.001"
+
+  test("parser: all four matcher ops, braces, escapes, whitespace") {
+    assert(Labels.parse("""{a="x", b!="y",c=~"re.*" , d!~"r\"e"}""") == Seq(
+      Labels.Eq("a", "x"), Labels.Ne("b", "y"),
+      Labels.Re("c", "re.*"), Labels.NotRe("d", "r\"e")))
+    assert(Labels.parse("  ") == Seq.empty)
+    assert(Labels.parse("""host_1=~"h\\d+"""") ==
+      Seq(Labels.Re("host_1", "h\\d+")))
+    intercept[IllegalArgumentException](Labels.parse("""a=x"""))
+    intercept[IllegalArgumentException](Labels.parse("""a=="x""""))
+    intercept[IllegalArgumentException](Labels.parse("""a="x" b="y""""))
+  }
+
+  test("literal-prefix extraction: prefix+.* only, metacharacters refuse") {
+    assert(Labels.literalPrefix("h1.*").contains("h1"))
+    assert(Labels.literalPrefix("api.*").contains("api"))
+    assert(Labels.literalPrefix("h[01].*").isEmpty)
+    assert(Labels.literalPrefix("h1.+").isEmpty)
+    assert(Labels.literalPrefix("h.1.*").isEmpty)
+  }
+
+  test("matcher semantics on map-only labels follow PromQL absent-label rules") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Map("job" -> "api", "env" -> "prod")),
+      (2L, Map("job" -> "web")), // env absent
+      (3L, Map("job" -> "apiserver", "env" -> "dev"))
+    ).toDF("id", "labels")
+    def ids(sel: String): Set[Long] =
+      Labels.select(df, sel).select("id").collect().map(_.getLong(0)).toSet
+    assert(ids("""env="prod"""") == Set(1L))
+    // absent label: != and !~ MATCH (PromQL), = and =~ don't
+    assert(ids("""env!="prod"""") == Set(2L, 3L))
+    assert(ids("""env=~"p.*"""") == Set(1L))
+    assert(ids("""env!~"p.*"""") == Set(2L, 3L))
+    // regex is fully anchored: "api" must not match "apiserver"
+    assert(ids("""job=~"api"""") == Set(1L))
+    assert(ids("""job=~"api.*"""") == Set(1L, 3L))
+    // conjunction
+    assert(ids("""job=~"api.*", env!="dev"""") == Set(1L))
+  }
+
+  test("selector predicates push to the labeled store scan; dates prune") {
+    val from = 1704844800L; val to = 1705017600L
+    val chunks = graft.queries.TsQueries.labeledStoreChunks(spark, dir, from, to)
+    val sel = Labels.select(chunks, """{type="click", host=~"h1.*", region!="r3"}""")
+    val plan = sel.queryExecution.executedPlan.toString
+    // equality matcher reaches the parquet scan as a pushed filter
+    assert(plan.contains("EqualTo(type,click)"), plan.take(3000))
+    // the regex literal prefix pushes as StringStartsWith
+    assert(plan.contains("StringStartsWith(host,h1)"), plan.take(3000))
+    // the time range prunes window_date partitions at plan time
+    assert(plan.contains("PartitionFilters: [isnotnull(window_date"), plan.take(3000))
+  }
+
+  test("selectRangeAgg equals the unlabeled compute with manual filters") {
+    val from = 1704844800L; val to = 1705017600L
+    val got = graft.queries.TsQueries.queries("ts_label_select")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    val ev = graft.queries.Tables(spark, dir, "events")
+      .select(col("event_type").as("type"),
+        concat(lit("h"), pmod(col("user_id"), lit(100L))).as("host"),
+        concat(lit("r"), pmod(col("user_id"), lit(4L))).as("region"),
+        col("ts"), col("value"))
+      .filter(col("type") === "click" && col("host").startsWith("h1") &&
+        col("region") =!= "r3")
+    val want = Ts.rangeAgg(
+        Ts.chunkify(ev, Seq("type", "host", "region"), "ts", "value"),
+        Seq("type", "host", "region"), from, to)
+      .orderBy("type", "host", "region").collect().map(_.toSeq).toSeq
+    assert(got == want)
+    assert(got.nonEmpty, "selector should match some series")
+  }
+
+  test("withLabels map view agrees with the indexed columns") {
+    val chunks = graft.queries.TsQueries.labeledStoreChunks(spark, dir)
+    val withMap = Labels.withLabels(chunks, graft.queries.TsQueries.labelCols)
+    val bad = withMap.filter(
+      element_at(col("labels"), "host") =!= col("host") ||
+      element_at(col("labels"), "type") =!= col("type")).count()
+    assert(bad == 0L)
+  }
+}
