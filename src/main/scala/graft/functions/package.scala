@@ -83,6 +83,9 @@ package object functions {
       es(2).eval(null).asInstanceOf[Number].intValue())),
     "simhash_bucket_pairs" -> (es => SimhashBucketPairsExpr(es(0),
       es(1).eval(null).asInstanceOf[Number].intValue())),
+    "hw_fold" -> (es => HoltWintersFoldExpr(es(0),
+      es(1).eval(null).asInstanceOf[Number].doubleValue(),
+      es(2).eval(null).asInstanceOf[Number].doubleValue())),
   )
 
   def expressionInfo(name: String): ExpressionInfo =
@@ -160,6 +163,9 @@ package object functions {
   def winnow_fps(text: Column, k: Int, w: Int): Column =
     call_function("winnow_fps", text, org.apache.spark.sql.functions.lit(k),
       org.apache.spark.sql.functions.lit(w))
+  def hw_fold(points: Column, sf: Double, tf: Double): Column =
+    call_function("hw_fold", points, org.apache.spark.sql.functions.lit(sf),
+      org.apache.spark.sql.functions.lit(tf))
 
   def simhash_bucket_pairs(xs: Column, maxDist: Int): Column =
     call_function("simhash_bucket_pairs", xs,

@@ -395,10 +395,18 @@ object OpsQueries {
     // parquet bucket read — the stored path is chosen deliberately
     // because its cost is bucket-table-sized while re-hashing costs a
     // full read of the raw vector bytes, the term that dominates at
-    // 100 TB (annTopK remains available for small in-memory corpora)
+    // 100 TB (annTopK remains available for small in-memory corpora).
+    // Probe budget is now a QUERY-TIME knob (r8 "weak" fix): radius-2
+    // expansion on 6 of the 8 tables, radius-1 on the rest — the
+    // LshTune sweep (committed tool) measured the full curve at sf0.1
+    // (t2=1..all: 4400..9200 bp recall, 0.78..1.44 s); t2=6 BEATS the
+    // r8 full-radius-2 default on both axes (sf0.1 recall 9000 bp vs
+    // 8000, latency ~1.2 s vs 1.30) with 25% less probe fan-out, and
+    // holds 7200 bp at sf0.01 (floor 6500)
     "sim_ann_lsh" -> ((s, dir) =>
       Similarity.annTopKStored(storeModels(s, dir), Tables(s, dir, "embeddings"),
-        "vec_id", "embedding", k = 5).orderBy("q_id", "rank")),
+        "vec_id", "embedding", k = 5, probes = 2, probes2Tables = 6)
+        .orderBy("q_id", "rank")),
     // IVF ANN off the FULLY persisted index (train+encode once): the
     // query path is probe -> persisted-list scan -> exact rerank only
     "sim_ann_ivf" -> ((s, dir) => {
