@@ -507,6 +507,35 @@ object TsQueries {
     "ts_range_agg" -> ((s, dir) =>
       Ts.rangeAgg(storeChunks(s, dir, RangeFrom, RangeTo), series, RangeFrom, RangeTo)
         .orderBy("user_id", "event_type")),
+    // PromQL `sum by (region)` over the labeled store: selector prunes
+    // series, the compressed-domain range partials (rangeAgg) then
+    // RE-AGGREGATE across series by the label subset — counts/sums add
+    // and min/max compose exactly, so collapsing 500 series to 4
+    // regions costs one label-keyed hash agg over series-grain rows,
+    // never a second pass over points or chunk bytes
+    "ts_label_agg" -> ((s, dir) =>
+      graft.tsdb.Labels.selectRangeAgg(
+          labeledStoreChunks(s, dir, RangeFrom, RangeTo), labelCols,
+          """{type="click"}""", RangeFrom, RangeTo)
+        .groupBy("region")
+        .agg(sum("n").as("n"), min("min_v").as("min_v"),
+          max("max_v").as("max_v"), sum("sum_cents").as("sum_cents"))
+        .orderBy("region")),
+    // PromQL label_values()/series-count meta-query (the first thing a
+    // metrics UI's autocomplete fires): per label, every value with
+    // its series and point counts — answered from chunk METADATA
+    // alone (indexed label columns + the n stat; zero chunk bytes
+    // decoded, plan-pinned in LabelsSpec)
+    "ts_label_values" -> ((s, dir) => {
+      val ch = labeledStoreChunks(s, dir)
+      val seriesKey = concat_ws("\u0001", labelCols.map(col): _*)
+      labelCols.map { lc =>
+        ch.groupBy(col(lc).as("value"))
+          .agg(countDistinct(seriesKey).as("n_series"), sum("n").as("n_points"))
+          .select(lit(lc).as("label"), col("value"), col("n_series"),
+            col("n_points"))
+      }.reduce(_ unionByName _).orderBy("label", "value")
+    }),
     // PromQL-style label-selector query off the LABELED store: the
     // whole matcher set {type="click", host=~"h1.*", region!="r3"}
     // compiles to indexed-column predicates — equality and the regex's
@@ -1712,6 +1741,29 @@ object TsQueries {
       |    AS BIGINT) AS sumsq_cents
       |FROM pts WHERE ts >= $RangeFrom AND ts <= $RangeTo
       |GROUP BY user_id, event_type ORDER BY user_id, event_type""".stripMargin,
+    "ts_label_agg" ->
+      s"""WITH lbl AS (SELECT event_type AS type,
+        |  'h' || CAST(user_id % 100 AS VARCHAR) AS host,
+        |  'r' || CAST(user_id % 4 AS VARCHAR) AS region,
+        |  CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS ts, value AS v FROM events)
+        |SELECT region, count(*) AS n, min(v) AS min_v, max(v) AS max_v,
+        |  CAST(sum(CAST(round(v * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM lbl WHERE ts >= $RangeFrom AND ts <= $RangeTo AND type = 'click'
+        |GROUP BY region ORDER BY region""".stripMargin,
+    "ts_label_values" ->
+      """WITH lbl AS (SELECT event_type AS type,
+        |  'h' || CAST(user_id % 100 AS VARCHAR) AS host,
+        |  'r' || CAST(user_id % 4 AS VARCHAR) AS region FROM events),
+        |k AS (SELECT type, host, region,
+        |        type || chr(1) || host || chr(1) || region AS sk FROM lbl)
+        |SELECT label, value, n_series, n_points FROM (
+        |  SELECT 'type' AS label, type AS value,
+        |    count(DISTINCT sk) AS n_series, count(*) AS n_points FROM k GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'host', host, count(DISTINCT sk), count(*) FROM k GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'region', region, count(DISTINCT sk), count(*) FROM k GROUP BY 2)
+        |ORDER BY label, value""".stripMargin,
     // the selector's three matcher kinds translate exactly: = is
     // equality, =~"h1.*" is the anchored literal-prefix form (LIKE
     // 'h1%'), != is null-safe inequality (derived labels are never

@@ -86,6 +86,31 @@ class LabelsSpec extends AnyFunSuite {
     assert(got.nonEmpty, "selector should match some series")
   }
 
+  test("ts_label_values is metadata-only: the chunk column never reaches the scan") {
+    val df = graft.queries.TsQueries.queries("ts_label_values")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    val readSchemas = plan.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(readSchemas.nonEmpty)
+    readSchemas.foreach(rs => assert(!rs.contains("chunk"),
+      s"label_values must answer from chunk metadata, not bytes: $rs"))
+    assert(df.count() > 0)
+  }
+
+  test("ts_label_agg merges series partials exactly across the label subset") {
+    import org.apache.spark.sql.functions._
+    val got = graft.queries.TsQueries.queries("ts_label_agg")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(4))).toSeq
+    // cross-check: re-aggregate the per-series selector partials
+    val from = 1704844800L; val to = 1705017600L
+    val base = Labels.selectRangeAgg(
+        graft.queries.TsQueries.labeledStoreChunks(spark, dir, from, to),
+        graft.queries.TsQueries.labelCols, """{type="click"}""", from, to)
+      .groupBy("region")
+      .agg(sum("n").as("n"), sum("sum_cents").as("sum_cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got.map(t => (t._1, t._2, t._3)).sortBy(_._1) == base.sortBy(_._1))
+  }
+
   test("withLabels map view agrees with the indexed columns") {
     val chunks = graft.queries.TsQueries.labeledStoreChunks(spark, dir)
     val withMap = Labels.withLabels(chunks, graft.queries.TsQueries.labelCols)
