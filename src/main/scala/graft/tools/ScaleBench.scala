@@ -168,6 +168,40 @@ object ScaleBench {
       }
     }
 
+    /** The labeled-store family: the r9 label-selector surface at
+      * scale, and with it the DENSE-chunk regime the sparse per-user
+      * store doesn't exercise — 3-label series key collapses 200M
+      * events onto ~500 series, so chunks run ~1100 points each. */
+    def labelFamily(tag: String, dir: String): Unit = {
+      val labelCols = Seq("type", "host", "region")
+      val ev = spark.read.parquet(s"$dir/events.parquet")
+      val nEv = ev.count()
+      val lev = ev.select(col("event_type").as("type"),
+        concat(lit("h"), pmod(col("user_id"), lit(100L))).as("host"),
+        concat(lit("r"), pmod(col("user_id"), lit(4L))).as("region"),
+        col("ts"), col("value"))
+      val lblPath = s"$work/$tag/store_lbl"
+      timed(s"${tag}_label_ingest", nEv, "labeled chunkify, dense ~1100-pt chunks") {
+        Ts.writeStore(Ts.chunkify(lev, labelCols, "ts", "value"), lblPath)
+        spark.read.parquet(lblPath).count()
+      }
+      val from = 1704844800L; val to = 1705017600L
+      timed(s"${tag}_label_select", nEv, "pushed matchers + compressed-domain agg") {
+        noop(graft.tsdb.Labels.selectRangeAgg(
+          Ts.readStore(spark, lblPath, from, to), labelCols,
+          """{type="click", host=~"h1.*", region!="r3"}""", from, to))
+      }
+      timed(s"${tag}_label_values", nEv, "metadata-only label/value/series counts") {
+        val ch = Ts.readStore(spark, lblPath)
+        val sk = concat_ws("", labelCols.map(col): _*)
+        noop(labelCols.map { lc =>
+          ch.groupBy(col(lc).as("value"))
+            .agg(countDistinct(sk).as("n_series"), sum("n").as("n_points"))
+            .select(lit(lc).as("label"), col("value"), col("n_series"), col("n_points"))
+        }.reduce(_ unionByName _))
+      }
+    }
+
     /** ANN index build + query against one corpus dir. */
     def annFamily(tag: String, dir: String, nlist: Int): Unit = {
       val emb = spark.read.parquet(s"$dir/embeddings.parquet")
@@ -187,14 +221,16 @@ object ScaleBench {
     }
 
     // sf0.1 baselines first (cheap), then the scale corpus; 4th arg
-    // optionally restricts to a family subset ("docs,ts,ann") for
+    // optionally restricts to a family subset ("docs,ts,label,ann") for
     // re-measuring one family after a targeted change
-    val fams = (if (args.length > 3) args(3) else "docs,ts,ann").split(",").toSet
+    val fams = (if (args.length > 3) args(3) else "docs,ts,label,ann").split(",").toSet
     if (fams("docs")) docsFamily("sf01", sf01Dir)
     if (fams("ts")) tsFamily("sf01", sf01Dir)
+    if (fams("label")) labelFamily("sf01", sf01Dir)
     if (fams("ann")) annFamily("sf01", sf01Dir, nlist = 16)
     if (fams("docs")) docsFamily("scale", scaleDir)
     if (fams("ts")) tsFamily("scale", scaleDir)
+    if (fams("label")) labelFamily("scale", scaleDir)
     if (fams("ann")) annFamily("scale", scaleDir, nlist = 256)
 
     // assemble JSON: scale rows get their sf01 sibling + per-row ratio

@@ -23,6 +23,24 @@ class LttbSpec extends AnyFunSuite {
     assert(run(pts, 12) == pts.sorted)
   }
 
+  test("inputs past the exact-Long area bound fail loudly, not wrap silently") {
+    // nanosecond-scale ts x large cents: the doubled area product
+    // would overflow Long — the kernel must refuse (advisor r8: a
+    // silent wrap selects wrong points and only surfaces as an oracle
+    // hash mismatch)
+    val huge = (0 until 40).map(i => (i.toLong * 1_000_000_000_000L, (i % 7).toLong * 400_000_000L))
+    val e = intercept[org.apache.spark.SparkException] {
+      run(huge, 12)
+    }
+    def chain(t: Throwable): List[Throwable] =
+      if (t == null) Nil else t :: chain(t.getCause)
+    assert(chain(e).exists(c => c.isInstanceOf[ArithmeticException] &&
+      c.getMessage.contains("area bound")), e.toString.take(500))
+    // the same magnitudes on the documented seconds/cents grid are fine
+    val sane = (0 until 40).map(i => (i.toLong * 3600, (i % 7).toLong * 1000))
+    assert(run(sane, 12).size == 12)
+  }
+
   test("first and last points always survive; output is nOut points in ts order") {
     val pts = (0L until 100L).map(t => (t, (t * 37 % 11) - 5))
     val out = run(pts, 12)
