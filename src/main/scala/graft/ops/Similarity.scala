@@ -559,28 +559,31 @@ object Similarity {
                                      probes2Tables: Int = Int.MaxValue): DataFrame = {
     val lists = lists0.filter(size(col("ids")) <= maxBucket)
     val raw = lists0.select(col("table"), col("bucket"), explode(col("ids")).as("q_id"))
-    // probe-budget knob: radius-2 expansion only on tables
-    // [0, probes2Tables) — the tables are independent identically-
-    // distributed hash families, so which ones widen is immaterial;
-    // the candidate fan-out (the query's latency budget) scales from
-    // tables·(1+nBits) up to tables·(1+nBits+C(nBits,2)) as the knob
-    // moves, trading latency against recall per query
-    val probed =
-      if (probes < 2 || probes2Tables == Int.MaxValue)
-        raw.select(col("q_id"), col("table"),
-          explode(probeExpansion(nBits, probes)).as("bucket"))
-      else
-        raw.filter(col("table") < probes2Tables)
-          .select(col("q_id"), col("table"),
-            explode(probeExpansion(nBits, probes)).as("bucket"))
-          .unionAll(raw.filter(col("table") >= probes2Tables)
-            .select(col("q_id"), col("table"),
-              explode(probeExpansion(nBits, 1)).as("bucket")))
-    probed
+    probedBuckets(raw, nBits, probes, probes2Tables)
       .join(lists, Seq("table", "bucket"))
       .select(col("q_id"), explode(col("ids")).as("n_id"))
       .filter(col("q_id") =!= col("n_id"))
   }
+
+  /** Probe-budget expansion of a (q_id, table, bucket) frame: radius-2
+    * fan-out only on tables [0, probes2Tables) — the tables are
+    * independent identically-distributed hash families, so which ones
+    * widen is immaterial; the candidate fan-out (the query's latency
+    * budget) scales from tables·(1+nBits) up to
+    * tables·(1+nBits+C(nBits,2)) as the knob moves, trading latency
+    * against recall per query. */
+  private def probedBuckets(raw: DataFrame, nBits: Int, probes: Int,
+                            probes2Tables: Int): DataFrame =
+    if (probes < 2 || probes2Tables == Int.MaxValue)
+      raw.select(col("q_id"), col("table"),
+        explode(probeExpansion(nBits, probes)).as("bucket"))
+    else
+      raw.filter(col("table") < probes2Tables)
+        .select(col("q_id"), col("table"),
+          explode(probeExpansion(nBits, probes)).as("bucket"))
+        .unionAll(raw.filter(col("table") >= probes2Tables)
+          .select(col("q_id"), col("table"),
+            explode(probeExpansion(nBits, 1)).as("bucket")))
 
   /** Candidate pairs from a prepared (id, table, bucket) frame —
     * the hash-at-query-time path ([[annCandidates]]). */
@@ -659,6 +662,33 @@ object Similarity {
     val e = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
     rerankExact(annCandidatesFromLists(idx.lshLists, nBits = 10, probes, maxBucket,
       probes2Tables), e, e, k)
+  }
+
+  /** Per-QUERY LSH ANN off the stored lists — the serving shape
+    * (queries ≪ corpus), where [[annTopKStored]] is the all-corpus
+    * self-join shape dedup runs. The query batch hashes at query time
+    * through the SAME deterministic hyperplane family the index was
+    * built with (`hyperplane_buckets` is a pure function of the
+    * vector), probes its budgeted bucket set against the pre-grouped
+    * stored lists, and reranks exactly. Cost: |q|·probes bucket
+    * lookups + candidate-bounded rerank — corpus vectors are touched
+    * only by the rerank's candidate join, and for a query id also in
+    * the corpus the candidates (hence results) are identical to the
+    * self-join path's (pinned in OpsSpec). */
+  def annTopKStoredFor(idx: AnnIndex, embeddings: DataFrame, queries: DataFrame,
+                       idCol: String, vecCol: String, k: Int, probes: Int = 2,
+                       maxBucket: Int = 1000,
+                       probes2Tables: Int = Int.MaxValue): DataFrame = {
+    val e = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val q = queries.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val raw = lshBuckets(queries, idCol, vecCol, nBits = 10, tables = 8)
+      .toDF("q_id", "table", "bucket")
+    val lists = idx.lshLists.filter(size(col("ids")) <= maxBucket)
+    val cand = probedBuckets(raw, nBits = 10, probes, probes2Tables)
+      .join(lists, Seq("table", "bucket"))
+      .select(col("q_id"), explode(col("ids")).as("n_id"))
+      .filter(col("q_id") =!= col("n_id"))
+    rerankExact(cand, q, e, k)
   }
 
   // === persisted ANN models: train once, query many =================

@@ -431,6 +431,15 @@ class OpsSpec extends AnyFunSuite {
       df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq.sorted
     assert(fmtAll(Similarity.annTopKStored(idx, emb, "vec_id", "embedding", 5)) ==
       fmtAll(Similarity.annTopK(emb, "vec_id", "embedding", 5)))
+    // per-query serving path == the self-join path restricted to the
+    // same query ids (query-side hashing reproduces the stored family),
+    // at full budget and under a partial radius-2 budget
+    for (t2 <- Seq(Int.MaxValue, 4)) {
+      assert(fmtAll(Similarity.annTopKStoredFor(idx, emb, qs, "vec_id", "embedding",
+          5, probes2Tables = t2)) ==
+        fmtAll(Similarity.annTopKStored(idx, emb, "vec_id", "embedding",
+          5, probes2Tables = t2).filter(col("q_id") < 10)))
+    }
   }
 
   test("ivf assign/probe are kernel scans: no crossJoin row amplification") {
