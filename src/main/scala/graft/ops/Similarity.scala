@@ -641,11 +641,11 @@ object Similarity {
     rerankExact(cand, e, e, k)
   }
 
-  /** LSH ANN top-k off the PERSISTED pre-grouped bucket lists
-    * (written by [[writeModels]] at nBits=10, tables=8): the corpus is
-    * never re-hashed NOR re-grouped on the query path — candidates
-    * come straight off the stored lists with zero pre-rerank
-    * shuffles.
+  /** LSH ANN top-k off the PERSISTED pre-grouped bucket lists (the
+    * store's own corpus-adaptive geometry, carried in `lsh_meta`): the
+    * corpus is never re-hashed NOR re-grouped on the query path —
+    * candidates come straight off the stored lists with zero
+    * pre-rerank shuffles.
     *
     * Probe budget is a QUERY-TIME parameter pair (r8 verdict: the
     * recall/latency trade must be tunable per query, not baked in):
@@ -660,7 +660,7 @@ object Similarity {
                     maxBucket: Int = 1000,
                     probes2Tables: Int = Int.MaxValue): DataFrame = {
     val e = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
-    rerankExact(annCandidatesFromLists(idx.lshLists, nBits = 10, probes, maxBucket,
+    rerankExact(annCandidatesFromLists(idx.lshLists, idx.lshBits, probes, maxBucket,
       probes2Tables), e, e, k)
   }
 
@@ -681,10 +681,10 @@ object Similarity {
                        probes2Tables: Int = Int.MaxValue): DataFrame = {
     val e = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val q = queries.select(col(idCol).as("id"), col(vecCol).as("vec"))
-    val raw = lshBuckets(queries, idCol, vecCol, nBits = 10, tables = 8)
+    val raw = lshBuckets(queries, idCol, vecCol, idx.lshBits, idx.lshTables)
       .toDF("q_id", "table", "bucket")
     val lists = idx.lshLists.filter(size(col("ids")) <= maxBucket)
-    val cand = probedBuckets(raw, nBits = 10, probes, probes2Tables)
+    val cand = probedBuckets(raw, idx.lshBits, probes, probes2Tables)
       .join(lists, Seq("table", "bucket"))
       .select(col("q_id"), explode(col("ids")).as("n_id"))
       .filter(col("q_id") =!= col("n_id"))
@@ -702,7 +702,8 @@ object Similarity {
                             resBooks: DataFrame, lists: DataFrame,
                             codes: DataFrame, resCodes: DataFrame,
                             sq8Codes: DataFrame, lshLists: DataFrame,
-                            maxAbs: Double)
+                            maxAbs: Double,
+                            lshBits: Int = 10, lshTables: Int = 8)
 
   /**
    * Train every ANN model table ONCE and persist them as parquet under
@@ -720,7 +721,8 @@ object Similarity {
    */
   def writeModels(embeddings: DataFrame, idCol: String, vecCol: String,
                   path: String, nlist: Int = 16, m: Int = 8, ksub: Int = 32,
-                  iters: Int = 4, trainSample: Long = 200000L): Unit = {
+                  iters: Int = 4, trainSample: Long = 200000L,
+                  lshBitsOverride: Int = 0): Unit = {
     // re-training over an existing complete store: drop the marker
     // FIRST, so a crash mid-rewrite (or a concurrent reader) can never
     // observe _SUCCESS alongside mixed-generation tables — the
@@ -768,8 +770,22 @@ object Similarity {
         lit(127.0 / maxAbs)).as("code"))
       .write.mode("overwrite").parquet(s"$path/sq8_codes")
     // pre-grouped: the query path's collect_list shuffle happens HERE,
-    // once, instead of on every query
-    lshBuckets(embeddings, idCol, vecCol, nBits = 10, tables = 8)
+    // once, instead of on every query. LSH geometry is CORPUS-ADAPTIVE
+    // (and persisted in lsh_meta so query-time hashing always matches):
+    // at fixed 10 bits a 2M-vector corpus averages ~2000 ids per
+    // bucket — over the default query-time bucket cap, so every list
+    // would be dropped and the stored-LSH path would return nothing at
+    // exactly the scale it exists for. Bits grow with log2(n) to hold
+    // ~16-32 ids per bucket; small corpora keep the historical 10.
+    val lshBits =
+      if (lshBitsOverride > 0) lshBitsOverride
+      else math.max(10, math.min(24,
+        64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n / 32))))
+    val lshTables = 8
+    embeddings.sparkSession.createDataFrame(Seq((lshBits, lshTables)))
+      .toDF("bits", "tables").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/lsh_meta")
+    lshBuckets(embeddings, idCol, vecCol, nBits = lshBits, tables = lshTables)
       .groupBy("table", "bucket").agg(collect_list("id").as("ids"))
       .write.mode("overwrite").parquet(s"$path/lsh_lists")
     // marker AFTER all model tables: a half-written model dir (crash
@@ -779,7 +795,14 @@ object Similarity {
 
   /** Read the complete index: bounded model tables materialized, the
     * encoded corpus left as parquet scans. */
-  def readIndex(spark: SparkSession, path: String): AnnIndex =
+  def readIndex(spark: SparkSession, path: String): AnnIndex = {
+    // stores written before lsh_meta existed were all built at the
+    // old fixed geometry — fall back to it so they stay readable
+    val (bits, tables) =
+      try {
+        val r = spark.read.parquet(s"$path/lsh_meta").collect()(0)
+        (r.getAs[Int]("bits"), r.getAs[Int]("tables"))
+      } catch { case _: Throwable => (10, 8) }
     AnnIndex(
       materialize(spark.read.parquet(s"$path/centroids")),
       materialize(spark.read.parquet(s"$path/codebooks")),
@@ -789,7 +812,9 @@ object Similarity {
       spark.read.parquet(s"$path/res_codes"),
       spark.read.parquet(s"$path/sq8_codes"),
       spark.read.parquet(s"$path/lsh_lists"),
-      readSq8Scale(spark, path))
+      readSq8Scale(spark, path),
+      lshBits = bits, lshTables = tables)
+  }
 
   /** True when a [[writeModels]] store at `path` is complete. */
   def modelsExist(spark: SparkSession, path: String): Boolean = {

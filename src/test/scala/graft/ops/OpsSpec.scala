@@ -440,6 +440,16 @@ class OpsSpec extends AnyFunSuite {
         fmtAll(Similarity.annTopKStored(idx, emb, "vec_id", "embedding",
           5, probes2Tables = t2).filter(col("q_id") < 10)))
     }
+    // the LSH geometry is the STORE's, not the caller's: an index
+    // written at a non-default bit width must round-trip its lsh_meta
+    // and keep self-join == hash-at-query-time at that width (at scale
+    // the width grows with log2(corpus) so bucket lists stay bounded)
+    val path6 = s"/tmp/graft_models_spec_idx6_${System.currentTimeMillis()}"
+    Similarity.writeModels(emb, "vec_id", "embedding", path6, lshBitsOverride = 6)
+    val idx6 = Similarity.readIndex(spark, path6)
+    assert(idx6.lshBits == 6 && idx6.lshTables == 8)
+    assert(fmtAll(Similarity.annTopKStored(idx6, emb, "vec_id", "embedding", 5)) ==
+      fmtAll(Similarity.annTopK(emb, "vec_id", "embedding", 5, nBits = 6)))
   }
 
   test("ivf assign/probe are kernel scans: no crossJoin row amplification") {
