@@ -347,6 +347,57 @@ object TextOps {
   }
 
   /**
+   * Deterministic stride-interleaved mixture order — the "no bursts"
+   * training schedule: after [[mixAllocate]] decides how much of each
+   * source to train on, the loader still needs an ORDER in which
+   * sources appear proportionally to their weight in every prefix
+   * (reading source A's docs then source B's would train on A first —
+   * the classic mixture burst). Stride scheduling's virtual time
+   * (r + 1/2) / w_s does exactly that; here it is the all-integer key
+   *
+   *   ikey = (2·r + 1) · 10¹² div (2·w_s)
+   *
+   * with r the doc's salted-hash shuffle rank WITHIN its source
+   * (the same (group, first-md5-byte)-bucket distributed ranking as
+   * [[sampleCurriculum]] — no whole-source window) and w_s the
+   * source's EXACT total token count. Sorting by (ikey, source, id)
+   * interleaves sources token-mass-proportionally with per-source
+   * prefix deviation bounded by ~1 doc; integer div keeps both
+   * engines bitwise-identical. Magnitude bound: r·10¹² must stay
+   * under 2⁶³ — fine to ~4.6M docs per source; beyond that, shrink
+   * the scale constant (proportionality granularity degrades only
+   * when scale/(2·w_s) reaches 1).
+   */
+  def sampleInterleave(docs: DataFrame, idCol: String, textCol: String,
+                       sourceCol: String, salt: Long = 42L): DataFrame = {
+    val keyed = docs.select(col(idCol), col(sourceCol).as("source"),
+        size(split(col(textCol), " ")).cast("long").as("n_tokens"),
+        md5(concat(col(idCol).cast("string"), lit(":ilv:" + salt))).as("h"))
+      .withColumn("bucket", conv(substring(col("h"), 1, 2), 16, 10).cast("long"))
+    val counts = keyed.groupBy("source", "bucket").agg(count(lit(1)).as("cnt"))
+    // ≤ sources·256 rows: the per-source running offset is a bounded
+    // window over the count table, not over docs
+    val wOff = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("bucket")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = counts.withColumn("offset",
+      coalesce(sum("cnt").over(wOff), lit(0L)))
+    val weights = keyed.groupBy("source").agg(sum("n_tokens").as("w"))
+    val wB = org.apache.spark.sql.expressions.Window
+      .partitionBy("source", "bucket").orderBy(col("h"), col(idCol))
+    keyed.withColumn("rk", row_number().over(wB))
+      .join(broadcast(offsets.select("source", "bucket", "offset")),
+        Seq("source", "bucket"))
+      .join(broadcast(weights), Seq("source"))
+      .withColumn("src_rank", col("offset") + col("rk") - 1L)
+      // integer `div`, NOT `/`: Spark's `/` is double division, and
+      // the numerator (~1e17) is past 2^53 — a float detour would
+      // corrupt low digits and break the bitwise oracle match
+      .select(col(idCol), col("source"), col("src_rank"),
+        expr("(src_rank * 2 + 1) * 1000000000000 div (w * 2)").as("ikey"))
+  }
+
+  /**
    * Length-bucketed batch packing: group docs of similar token length
    * into fixed-size batches so per-batch padding (every sequence pads
    * to the batch max) stays small — the sequence-bucketing trick that

@@ -562,6 +562,23 @@ object OpsQueries {
     "sample_curriculum" -> ((s, dir) =>
       TextOps.sampleCurriculum(Tables(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
+    // stride-interleaved mixture order: sources appear token-mass-
+    // proportionally in every prefix of the training order (no bursts)
+    "sample_interleave" -> ((s, dir) =>
+      TextOps.sampleInterleave(Tables(s, dir, "documents"), "doc_id", "text",
+        "source").orderBy("ikey", "source", "doc_id")),
+    // dedup observability: near-dup cluster size distribution off the
+    // published pair table — the dataset-card numbers a dedup run
+    // reports (how many clusters of each size, docs covered, and the
+    // surviving-corpus count = number of clusters)
+    "dedup_cluster_stats" -> ((s, dir) => {
+      val sigs = docSignatures(s, dir).filter(col("id") < 1000)
+      Dedup.components(verifiedPairs(s, dir), sigs, "id")
+        .groupBy("comp").agg(count(lit(1)).as("size"))
+        .groupBy("size").agg(count(lit(1)).as("n_clusters"),
+          (count(lit(1)) * col("size")).as("n_docs"))
+        .orderBy("size")
+    }),
     // length-bucketed batch packing with padding-waste accounting
     "pack_buckets" -> ((s, dir) =>
       TextOps.packBuckets(Tables(s, dir, "documents"), "doc_id", "text",
@@ -1158,6 +1175,25 @@ object OpsQueries {
         |FROM h
         |QUALIFY rank <= 20
         |ORDER BY lang, rank""".stripMargin,
+    // per-source rank by (md5, id), stride key all-integer: the op's
+    // bucket-offset ranks concatenate to exactly this window rank
+    "sample_interleave" ->
+      """WITH h AS (SELECT doc_id, source,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  md5(CAST(doc_id AS VARCHAR) || ':ilv:42') AS h FROM documents),
+        |r AS (SELECT doc_id, source, n_tokens, h,
+        |  CAST(row_number() OVER (PARTITION BY source ORDER BY h, doc_id) - 1
+        |    AS BIGINT) AS src_rank FROM h),
+        |w AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS w FROM h GROUP BY 1)
+        |SELECT r.doc_id, r.source, r.src_rank,
+        |  CAST((r.src_rank * 2 + 1) * 1000000000000 // (w.w * 2) AS BIGINT) AS ikey
+        |FROM r JOIN w ON r.source = w.source
+        |ORDER BY ikey, r.source, doc_id""".stripMargin,
+    "dedup_cluster_stats" -> s"""$componentsCteSql,
+      |sz AS (SELECT comp, count(*) AS size FROM lbl GROUP BY comp)
+      |SELECT size, count(*) AS n_clusters,
+      |  CAST(count(*) * size AS BIGINT) AS n_docs
+      |FROM sz GROUP BY size ORDER BY size""".stripMargin,
     // global rank by (md5, id) == bucket offset + in-bucket rank: the
     // hex string orders identically to its first-byte numeric bucket
     "sample_shuffle" ->

@@ -724,6 +724,20 @@ class OpsSpec extends AnyFunSuite {
     assert(dot > 0, "self-dot of a nonzero code vector is positive")
   }
 
+  test("dedup_cluster_stats is consistent with pipeline and apply") {
+    val q = graft.queries.OpsQueries.queries
+    val stats = q("dedup_cluster_stats")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("size"), r.getAs[Long]("n_clusters"),
+        r.getAs[Long]("n_docs")))
+    assert(stats.forall { case (s, c, d) => d == s * c })
+    // docs covered == bounded corpus size; clusters == dedup survivors
+    val corpus = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") < 1000).count()
+    assert(stats.map(_._3).sum == corpus)
+    val survivors = q("dedup_apply")(spark, dir).count()
+    assert(stats.map(_._2).sum == survivors)
+  }
+
   test("dedup_apply: survivors are exactly the component representatives") {
     val sub = docs.filter(col("doc_id") < 1000)
     val comp = Dedup.components(

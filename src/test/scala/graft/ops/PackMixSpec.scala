@@ -207,6 +207,49 @@ class PackMixSpec extends AnyFunSuite {
     assert(moved > n / 2, s"salt change moved only $moved of $n docs")
   }
 
+  test("sampleInterleave: proportional prefixes, bijective per-source ranks") {
+    val out = TextOps.sampleInterleave(docs, "doc_id", "text", "source")
+      .orderBy("ikey", "source", "doc_id").collect()
+    assert(out.nonEmpty)
+    val n = out.length
+    // per-source ranks are a bijection onto 0..|source|-1
+    out.groupBy(_.getAs[String]("source")).foreach { case (_, rows) =>
+      assert(rows.map(_.getAs[Long]("src_rank")).sorted.toSeq ==
+        (0L until rows.length.toLong))
+    }
+    // no-bursts property: in every prefix, each source's doc count
+    // tracks its token-mass share. Deviation is NOT ±1 here — the
+    // stride unit is a doc but the weights are token mass, so
+    // per-source token-per-doc variance adds noise — but it must stay
+    // a few docs (~1-2% of the corpus), where a source-sorted order
+    // would deviate by an entire source's doc count
+    val w = docs.groupBy("source")
+      .agg(sum(size(split(col("text"), " ")).cast("long")).as("w"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totalW = w.values.sum.toDouble
+    val seen = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    var maxDev = 0.0
+    out.zipWithIndex.foreach { case (r, i) =>
+      seen(r.getAs[String]("source")) += 1
+      if ((i + 1) % 25 == 0) {
+        w.foreach { case (s, ws) =>
+          val expect = (i + 1) * ws / totalW
+          maxDev = math.max(maxDev, math.abs(seen(s) - expect))
+        }
+      }
+    }
+    val largestSource = out.groupBy(_.getAs[String]("source")).values.map(_.length).max
+    assert(maxDev <= math.max(3.0, 0.02 * n),
+      s"mixture burst: prefix deviation $maxDev docs")
+    assert(maxDev * 10 < largestSource || largestSource < 30,
+      s"deviation $maxDev should be far below a source-sorted order's $largestSource")
+    // deterministic under repartition
+    val re = TextOps.sampleInterleave(docs.repartition(7), "doc_id", "text", "source")
+      .orderBy("ikey", "source", "doc_id").collect()
+    assert(out.map(_.toSeq).toSeq == re.map(_.toSeq).toSeq)
+    assert(n == docs.count())
+  }
+
   test("packBuckets: bounded batches, homogeneous bands, exact waste accounting") {
     val out = TextOps.packBuckets(docs, "doc_id", "text",
       bandTokens = 16L, batchDocs = 8, nShards = 4).collect()
