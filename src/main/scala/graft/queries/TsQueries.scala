@@ -742,6 +742,32 @@ object TsQueries {
     // resolving to the later bucket exactly like the oracle's
     // row_number. No point-count window anywhere — both stages are
     // map-side-combining hash aggregates
+    // multi-window multi-burn-rate SLO alert (Google SRE workbook §5;
+    // PromQL's canonical alerting composition): a user's error RATIO
+    // must exceed the burn threshold over BOTH a short (6 h) and a
+    // long (24 h) window ending at the range head — the short window
+    // catches fast burns, the long window suppresses blips. ONE
+    // conditional hash aggregate over the 24 h scan (map-side
+    // partials); the ratio gates are cross-multiplied integers
+    // (err·1000 > thr‰·total), so engines can never disagree at a
+    // threshold. Output: per-user window counts + the alert flag
+    "ts_burn_rate" -> ((s, dir) => {
+      val longFrom = RangeTo - 24L * 3600
+      val shortFrom = RangeTo - 6L * 3600
+      val thrPm = 180L // alert when the error ratio exceeds 18.0%
+      points(s, dir)
+        .filter(col("ts") > longFrom && col("ts") <= RangeTo)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("tot_long"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("err_long"),
+          sum(when(col("ts") > shortFrom, 1L).otherwise(0L)).as("tot_short"),
+          sum(when(col("ts") > shortFrom && col("event_type") === "error", 1L)
+            .otherwise(0L)).as("err_short"))
+        .withColumn("alert",
+          col("err_short") * 1000L > lit(thrPm) * col("tot_short") &&
+            col("err_long") * 1000L > lit(thrPm) * col("tot_long"))
+        .orderBy("user_id")
+    }),
     "ts_subquery_rate" -> ((s, dir) =>
       points(s, dir)
         .select(col("user_id"), col("event_type"),
@@ -1638,6 +1664,21 @@ object TsQueries {
       |SELECT user_id, event_type, n, l AS level, t AS trend,
       |  l + t AS forecast
       |FROM r WHERE i = n ORDER BY user_id, event_type""".stripMargin,
+    "ts_burn_rate" -> s"""WITH $ptsSql
+      |SELECT user_id, count(*) AS tot_long,
+      |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS err_long,
+      |  CAST(sum(CASE WHEN ts > ${RangeTo - 6L * 3600} THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS tot_short,
+      |  CAST(sum(CASE WHEN ts > ${RangeTo - 6L * 3600} AND event_type = 'error'
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS err_short,
+      |  (sum(CASE WHEN ts > ${RangeTo - 6L * 3600} AND event_type = 'error'
+      |       THEN 1 ELSE 0 END) * 1000 >
+      |     180 * sum(CASE WHEN ts > ${RangeTo - 6L * 3600} THEN 1 ELSE 0 END))
+      |  AND (sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) * 1000 >
+      |     180 * count(*)) AS alert
+      |FROM pts WHERE ts > ${RangeTo - 24L * 3600} AND ts <= $RangeTo
+      |GROUP BY user_id ORDER BY user_id""".stripMargin,
     "ts_subquery_rate" -> s"""WITH $ptsSql,
       |b AS (SELECT user_id, event_type, (ts // 86400) * 86400 AS bucket, ts,
       |        CAST(round(v * 100) AS BIGINT) AS cents

@@ -25,6 +25,38 @@ class LabelsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Labels.parse("""a="x" b="y""""))
   }
 
+  test("parser round-trips rendered matcher lists (seeded fuzz incl. escapes)") {
+    val rnd = new scala.util.Random(4242)
+    def render(m: Labels.Matcher): String = {
+      def q(v: String) = "\"" + v.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString
+      } + "\""
+      m match {
+        case Labels.Eq(l, v) => s"$l=${q(v)}"
+        case Labels.Ne(l, v) => s"$l!=${q(v)}"
+        case Labels.Re(l, p) => s"$l=~${q(p)}"
+        case Labels.NotRe(l, p) => s"$l!~${q(p)}"
+      }
+    }
+    val valueChars = "abcXYZ019_.*[]()\\\"{}|,=~! "
+    for (_ <- 1 to 200) {
+      val ms = Seq.fill(1 + rnd.nextInt(4)) {
+        val label = "l" + rnd.nextInt(10) + (if (rnd.nextBoolean()) "_x" else "")
+        val value = Seq.fill(rnd.nextInt(8))(
+          valueChars(rnd.nextInt(valueChars.length))).mkString
+        rnd.nextInt(4) match {
+          case 0 => Labels.Eq(label, value)
+          case 1 => Labels.Ne(label, value)
+          case 2 => Labels.Re(label, value)
+          case _ => Labels.NotRe(label, value)
+        }
+      }
+      val sel = (if (rnd.nextBoolean()) "{%s}" else "%s")
+        .format(ms.map(render).mkString(if (rnd.nextBoolean()) ", " else ","))
+      assert(Labels.parse(sel) == ms, s"round-trip failed for <$sel>")
+    }
+  }
+
   test("literal-prefix extraction: prefix+.* only, metacharacters refuse") {
     assert(Labels.literalPrefix("h1.*").contains("h1"))
     assert(Labels.literalPrefix("api.*").contains("api"))
