@@ -54,6 +54,10 @@ object Lttb {
     if (n <= nOut)
       return new GenericArrayData(Array.tabulate[Any](n)(row))
     val b = nOut - 2 // middle buckets over points 1..n-2
+    // nOut=2 selects only the endpoints — no area math runs at all,
+    // so skip the bound check (whose nnMax term would divide by b=0)
+    if (b == 0)
+      return new GenericArrayData(Array[Any](row(0), row(n - 1)))
     // Magnitude precondition: the all-Long area product below is exact
     // only while 2·bucketSize·tsRange·centsRange < 2⁶³ — comfortably
     // true on the seconds/cents grid this engine uses, but nanosecond

@@ -797,12 +797,18 @@ object Similarity {
     * encoded corpus left as parquet scans. */
   def readIndex(spark: SparkSession, path: String): AnnIndex = {
     // stores written before lsh_meta existed were all built at the
-    // old fixed geometry — fall back to it so they stay readable
+    // old fixed geometry — fall back ONLY when the file is absent; a
+    // real read failure must propagate, because probing 10-bit
+    // buckets against (say) 16-bit stored lists would silently return
+    // zero candidates instead of erroring
+    val metaPath = new org.apache.hadoop.fs.Path(s"$path/lsh_meta")
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val (bits, tables) =
-      try {
+      if (!fs.exists(metaPath)) (10, 8)
+      else {
         val r = spark.read.parquet(s"$path/lsh_meta").collect()(0)
         (r.getAs[Int]("bits"), r.getAs[Int]("tables"))
-      } catch { case _: Throwable => (10, 8) }
+      }
     AnnIndex(
       materialize(spark.read.parquet(s"$path/centroids")),
       materialize(spark.read.parquet(s"$path/codebooks")),

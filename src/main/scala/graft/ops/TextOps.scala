@@ -374,7 +374,12 @@ object TextOps {
         size(split(col(textCol), " ")).cast("long").as("n_tokens"),
         md5(concat(col(idCol).cast("string"), lit(":ilv:" + salt))).as("h"))
       .withColumn("bucket", conv(substring(col("h"), 1, 2), 16, 10).cast("long"))
-    val counts = keyed.groupBy("source", "bucket").agg(count(lit(1)).as("cnt"))
+    // ONE corpus pass feeds both the rank offsets and the token-mass
+    // weights: counts carries per-(source, bucket) token sums, and the
+    // source totals re-aggregate the bounded count table instead of
+    // re-tokenizing the corpus a second time
+    val counts = keyed.groupBy("source", "bucket")
+      .agg(count(lit(1)).as("cnt"), sum("n_tokens").as("tok"))
     // ≤ sources·256 rows: the per-source running offset is a bounded
     // window over the count table, not over docs
     val wOff = org.apache.spark.sql.expressions.Window
@@ -382,7 +387,7 @@ object TextOps {
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     val offsets = counts.withColumn("offset",
       coalesce(sum("cnt").over(wOff), lit(0L)))
-    val weights = keyed.groupBy("source").agg(sum("n_tokens").as("w"))
+    val weights = counts.groupBy("source").agg(sum("tok").as("w"))
     val wB = org.apache.spark.sql.expressions.Window
       .partitionBy("source", "bucket").orderBy(col("h"), col(idCol))
     keyed.withColumn("rk", row_number().over(wB))

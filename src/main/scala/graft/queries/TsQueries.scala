@@ -49,13 +49,17 @@ object TsQueries {
     * well-defined series). */
   val labelCols: Seq[String] = Seq("type", "host", "region")
 
-  private def labeledEvents(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables(s, dir, "events")
+  /** The label derivation behind the labeled store, as a frame
+    * transformation so tools (ScaleBench's label family) apply the
+    * IDENTICAL scheme to other events frames instead of copying it. */
+  def labeledEventsFrom(ev: DataFrame): DataFrame =
     ev.select(col("event_type").as("type"),
       concat(lit("h"), pmod(col("user_id"), lit(100L))).as("host"),
       concat(lit("r"), pmod(col("user_id"), lit(4L))).as("region"),
       col("ts"), col("value"))
-  }
+
+  private def labeledEvents(s: SparkSession, dir: String): DataFrame =
+    labeledEventsFrom(Tables(s, dir, "events"))
 
   /** The labeled chunk store for a data dir, ingest-once like
     * [[storeChunks]]: every label is a top-level (indexed) column, so
@@ -526,16 +530,9 @@ object TsQueries {
     // its series and point counts — answered from chunk METADATA
     // alone (indexed label columns + the n stat; zero chunk bytes
     // decoded, plan-pinned in LabelsSpec)
-    "ts_label_values" -> ((s, dir) => {
-      val ch = labeledStoreChunks(s, dir)
-      val seriesKey = concat_ws("\u0001", labelCols.map(col): _*)
-      labelCols.map { lc =>
-        ch.groupBy(col(lc).as("value"))
-          .agg(countDistinct(seriesKey).as("n_series"), sum("n").as("n_points"))
-          .select(lit(lc).as("label"), col("value"), col("n_series"),
-            col("n_points"))
-      }.reduce(_ unionByName _).orderBy("label", "value")
-    }),
+    "ts_label_values" -> ((s, dir) =>
+      graft.tsdb.Labels.labelValues(labeledStoreChunks(s, dir), labelCols)
+        .orderBy("label", "value")),
     // PromQL-style label-selector query off the LABELED store: the
     // whole matcher set {type="click", host=~"h1.*", region!="r3"}
     // compiles to indexed-column predicates — equality and the regex's

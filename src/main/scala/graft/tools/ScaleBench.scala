@@ -176,10 +176,9 @@ object ScaleBench {
       val labelCols = Seq("type", "host", "region")
       val ev = spark.read.parquet(s"$dir/events.parquet")
       val nEv = ev.count()
-      val lev = ev.select(col("event_type").as("type"),
-        concat(lit("h"), pmod(col("user_id"), lit(100L))).as("host"),
-        concat(lit("r"), pmod(col("user_id"), lit(4L))).as("region"),
-        col("ts"), col("value"))
+      // the query surface's own derivation — the bench must measure
+      // the same scheme ts_label_* runs, not a copy that can drift
+      val lev = graft.queries.TsQueries.labeledEventsFrom(ev)
       val lblPath = s"$work/$tag/store_lbl"
       timed(s"${tag}_label_ingest", nEv, "labeled chunkify, dense ~1100-pt chunks") {
         Ts.writeStore(Ts.chunkify(lev, labelCols, "ts", "value"), lblPath)
@@ -192,13 +191,8 @@ object ScaleBench {
           """{type="click", host=~"h1.*", region!="r3"}""", from, to))
       }
       timed(s"${tag}_label_values", nEv, "metadata-only label/value/series counts") {
-        val ch = Ts.readStore(spark, lblPath)
-        val sk = concat_ws("", labelCols.map(col): _*)
-        noop(labelCols.map { lc =>
-          ch.groupBy(col(lc).as("value"))
-            .agg(countDistinct(sk).as("n_series"), sum("n").as("n_points"))
-            .select(lit(lc).as("label"), col("value"), col("n_series"), col("n_points"))
-        }.reduce(_ unionByName _))
+        noop(graft.tsdb.Labels.labelValues(
+          Ts.readStore(spark, lblPath), labelCols))
       }
     }
 

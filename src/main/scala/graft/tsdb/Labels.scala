@@ -19,9 +19,10 @@ import org.apache.spark.sql.functions._
  * compile to `startsWith` (pushed as StringStartsWith), and only the
  * general-regex tail stays a post-scan `rlike`. Matchers against
  * labels that exist only inside the map fall back to `element_at`
- * (null-safe: a series lacking the label never matches a positive
- * matcher, matching PromQL's absent-label semantics for `=`/`=~`,
- * and DOES match `!=`/`!~`).
+ * with PromQL's absent≡"" rule: an absent label behaves exactly like
+ * the empty string, so `{env!=""}` means "env present and non-empty",
+ * `env=""` and `env=~".*"` match absent-env series, and non-empty
+ * positive matchers never match them.
  *
  * Regex matchers are fully anchored (`=~ "api.*"` means the WHOLE
  * value matches), like PromQL.
@@ -93,28 +94,72 @@ object Labels {
       Some(pattern.dropRight(2))
     else None
 
-  /** Compile one matcher to a Column predicate over `df`. Indexed
-    * (top-level column) labels get direct column predicates; map-only
-    * labels read through `element_at(labels, name)`. */
-  def predicate(df: DataFrame, m: Matcher): Column = {
+  /** Compile one matcher to a Column predicate over `df`.
+    *
+    * Labels in `indexedLabels` (∩ the frame's columns) get direct
+    * column predicates — they are series-key columns, non-null by
+    * construction, so equality/prefix stay parquet-pushable. Every
+    * other label reads through `element_at(labels, name)` with
+    * PromQL's absent≡"" rule applied via coalesce: `{env!=""}` is the
+    * idiomatic "label is present (and non-empty)" selector and must
+    * NOT match series lacking env; `env=""` and `env=~".*"` must.
+    * Passing `indexedLabels` explicitly (as [[select]]'s 3-arg form
+    * does) also stops a label name from silently binding to a
+    * same-named NON-label column of the frame — on a chunk store a
+    * map label called `n` must never filter on the per-chunk
+    * point-count stat. */
+  def predicate(df: DataFrame, m: Matcher, indexedLabels: Set[String]): Column = {
+    val indexed = indexedLabels.contains(m.label) &&
+      df.schema.fieldNames.contains(m.label)
     val v: Column =
-      if (df.schema.fieldNames.contains(m.label)) col(m.label).cast("string")
-      else element_at(col("labels"), m.label)
+      if (indexed) col(m.label).cast("string")
+      else coalesce(element_at(col("labels"), m.label), lit(""))
     m match {
       case Eq(_, value) => v === value
-      case Ne(_, value) => v.isNull || v =!= value
+      case Ne(_, value) => v =!= value
       case Re(_, p) => literalPrefix(p) match {
         case Some(pre) => v.startsWith(pre) // pushed as StringStartsWith
         case None      => v.rlike("^(?:" + p + ")$") // anchored, like PromQL
       }
-      case NotRe(_, p) => v.isNull || !v.rlike("^(?:" + p + ")$")
+      case NotRe(_, p) => !v.rlike("^(?:" + p + ")$")
     }
   }
 
-  /** Filter any frame carrying label columns (chunk store, decoded
-    * points, rollup partials) by a selector string. */
+  /** [[predicate]] with every frame column treated as indexed — the
+    * convenience form for frames whose columns ARE the labels. */
+  def predicate(df: DataFrame, m: Matcher): Column =
+    predicate(df, m, df.schema.fieldNames.toSet)
+
+  /** Filter a labeled frame by a selector string, treating exactly
+    * `labelCols` as the indexed labels (other matchers go through the
+    * `labels` map — a label may not shadow a stat column). */
+  def select(df: DataFrame, labelCols: Seq[String], selector: String): DataFrame = {
+    val idx = labelCols.toSet
+    parse(selector).foldLeft(df)((d, m) => d.filter(predicate(d, m, idx)))
+  }
+
+  /** Filter any frame whose COLUMNS are the labels (chunk store,
+    * decoded points, rollup partials) by a selector string. Use the
+    * 3-arg form when the frame also carries non-label columns a
+    * matcher name could collide with. */
   def select(df: DataFrame, selector: String): DataFrame =
     parse(selector).foldLeft(df)((d, m) => d.filter(predicate(d, m)))
+
+  /** PromQL label_values()/series-count meta-query (the first thing a
+    * metrics UI's autocomplete fires): per label, every value with its
+    * series and point counts — answered from chunk METADATA alone
+    * (indexed label columns + the `n` stat; zero chunk bytes). The
+    * series key joins label values with a \u0001 separator so values
+    * that are prefix-extensions of each other can never collide. */
+  def labelValues(chunks: DataFrame, labelCols: Seq[String]): DataFrame = {
+    val seriesKey = concat_ws("\u0001", labelCols.map(col): _*)
+    labelCols.map { lc =>
+      chunks.groupBy(col(lc).as("value"))
+        .agg(countDistinct(seriesKey).as("n_series"), sum("n").as("n_points"))
+        .select(lit(lc).as("label"), col("value"), col("n_series"),
+          col("n_points"))
+    }.reduce(_ unionByName _)
+  }
 
   /** The PromQL view of an indexed store: a `labels` map assembled
     * from the given label columns (kept alongside them; matchers still
@@ -131,12 +176,12 @@ object Labels {
     * boundary chunks decode). */
   def selectRangeAgg(chunks: DataFrame, labelCols: Seq[String], selector: String,
                      fromSec: Long, toSec: Long): DataFrame =
-    Ts.rangeAgg(select(chunks, selector), labelCols, fromSec, toSec)
+    Ts.rangeAgg(select(chunks, labelCols, selector), labelCols, fromSec, toSec)
 
   /** Selector + time range → decoded points (the PromQL range-vector
     * materialization): prune by labels and window stats before any
     * decode, then unpack only the survivors. */
   def selectRange(chunks: DataFrame, labelCols: Seq[String], selector: String,
                   fromSec: Long, toSec: Long): DataFrame =
-    Ts.rangeQuery(select(chunks, selector), labelCols, fromSec, toSec)
+    Ts.rangeQuery(select(chunks, labelCols, selector), labelCols, fromSec, toSec)
 }

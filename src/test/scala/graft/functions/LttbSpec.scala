@@ -23,6 +23,11 @@ class LttbSpec extends AnyFunSuite {
     assert(run(pts, 12) == pts.sorted)
   }
 
+  test("nOut=2 returns exactly the endpoints (no area math, no div-by-zero)") {
+    val pts = (0 until 40).map(i => (i.toLong * 60, (i % 7).toLong * 100))
+    assert(run(pts, 2) == Seq(pts.head, pts.last))
+  }
+
   test("inputs past the exact-Long area bound fail loudly, not wrap silently") {
     // nanosecond-scale ts x large cents: the doubled area product
     // would overflow Long — the kernel must refuse (advisor r8: a

