@@ -118,6 +118,60 @@ class StreamIngestSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("labeled ingest streams unchanged: label derivation + chunkStream == batch labeled chunkify") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the label model composes with streaming ingest with zero new
+    // code: the stream maps through the SAME labeledEventsFrom the
+    // batch store uses, chunkStream seals on the label columns, and
+    // the sealed chunks are byte-identical to a batch labeled chunkify
+    val labelCols = Seq("type", "host", "region")
+    val w0 = 1700006400L // 2h-aligned
+    val raw = Seq( // events-table shape: (event_id, ts, user_id, event_type, value)
+      (1L, w0 + 130, 5L, "click", 2.25), (2L, w0 + 10, 5L, "click", 1.5),
+      (3L, w0 + 70, 105L, "click", 1.5), // user 105: same host h5/r1 as user 5
+      (4L, w0 + 65, 7L, "error", 11.0), (5L, w0 + 5, 7L, "error", 10.25))
+    def toDf(rows: Seq[(Long, Long, Long, String, Double)]) =
+      rows.map { case (id, t, u, e, v) => (id, ts(t), u, e, v) }
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+
+    val batch = graft.tsdb.Ts.chunkify(
+      graft.queries.TsQueries.labeledEventsFrom(toDf(raw)),
+      labelCols, "ts", "value")
+
+    val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val labeled = graft.queries.TsQueries.labeledEventsFrom(
+      input.toDF().toDF("event_id", "ts", "user_id", "event_type", "value"))
+    val stream = StreamIngest.chunkStream(labeled, labelCols, "ts", "value",
+      windowDuration = "2 hours", watermark = "1 minute")
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("labeled_parity_sink").start()
+    try {
+      input.addData(raw.map { case (id, t, u, e, v) => (id, ts(t), u, e, v) }: _*)
+      q.processAllAvailable()
+      input.addData((9L, ts(w0 + 7200 + 120), 5L, "click", 9.0)) // close w0
+      q.processAllAvailable()
+
+      def rows(df: org.apache.spark.sql.DataFrame) = df
+        .filter(col("window_start") === w0)
+        .select("type", "host", "region", "window_start", "n", "chunk")
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3),
+          r.getLong(4), r.getAs[Array[Byte]](5).toSeq))
+        .sortBy(t => (t._1, t._2)).toSeq
+      val b = rows(batch)
+      val s = rows(spark.table("labeled_parity_sink"))
+      // (click, h5, r1) holds users 5 AND 105 merged into one series
+      assert(b.map(t => (t._1, t._2, t._3, t._5)) ==
+        Seq(("click", "h5", "r1", 3L), ("error", "h7", "r3", 2L)))
+      assert(b == s, s"batch:\n$b\nstream:\n$s")
+      // and a selector works directly on the stream's sink table
+      val sel = graft.tsdb.Labels.select(
+        spark.table("labeled_parity_sink"), labelCols, """{host=~"h5.*"}""")
+      assert(sel.agg(org.apache.spark.sql.functions.sum("n")).collect()(0).getLong(0) == 3L)
+    } finally q.stop()
+  }
+
   test("per-batch sort-encode sink appends partial chunks, point set intact") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
