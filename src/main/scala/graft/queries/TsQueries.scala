@@ -511,6 +511,17 @@ object TsQueries {
     "ts_range_agg" -> ((s, dir) =>
       Ts.rangeAgg(storeChunks(s, dir, RangeFrom, RangeTo), series, RangeFrom, RangeTo)
         .orderBy("user_id", "event_type")),
+    // the Gorilla paper §4 PRIMARY operation (PromQL /api/v1/series):
+    // which series match a selector — key search before any data read.
+    // Exercises the GENERAL-regex matcher (r[12] has no literal
+    // prefix, so it stays a post-scan anchored rlike) alongside !=;
+    // answered from chunk metadata alone (labels + the n stat)
+    "ts_label_series" -> ((s, dir) =>
+      graft.tsdb.Labels.select(labeledStoreChunks(s, dir), labelCols,
+          """{region=~"r[12]", type!="view"}""")
+        .groupBy(labelCols.map(col): _*)
+        .agg(sum("n").as("n_points"))
+        .orderBy("type", "host", "region")),
     // PromQL `sum by (region)` over the labeled store: selector prunes
     // series, the compressed-domain range partials (rangeAgg) then
     // RE-AGGREGATE across series by the label subset — counts/sums add
@@ -1779,6 +1790,15 @@ object TsQueries {
       |    AS BIGINT) AS sumsq_cents
       |FROM pts WHERE ts >= $RangeFrom AND ts <= $RangeTo
       |GROUP BY user_id, event_type ORDER BY user_id, event_type""".stripMargin,
+    "ts_label_series" ->
+      """WITH lbl AS (SELECT event_type AS type,
+        |  'h' || CAST(user_id % 100 AS VARCHAR) AS host,
+        |  'r' || CAST(user_id % 4 AS VARCHAR) AS region FROM events)
+        |SELECT type, host, region, count(*) AS n_points
+        |FROM lbl
+        |WHERE regexp_full_match(region, 'r[12]') AND type != 'view'
+        |GROUP BY type, host, region
+        |ORDER BY type, host, region""".stripMargin,
     "ts_label_agg" ->
       s"""WITH lbl AS (SELECT event_type AS type,
         |  'h' || CAST(user_id % 100 AS VARCHAR) AS host,
