@@ -105,6 +105,11 @@ object Bench {
     // flag any regression the per-round diff cares about.
     val compact = compactLine(results, total, new java.io.File(sfDir).getName)
     println(compact)
+    // the bench deliberately does NOT release query-scoped caches
+    // between queries: reps of one query must reuse its persisted
+    // intermediates (measure the plan, not a cache rebuild). One
+    // release at the end keeps the shutdown clean.
+    graft.ops.CacheScope.releaseAll()
     spark.stop()
   }
 

@@ -30,6 +30,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // query boundary: drop query-scoped persisted intermediates
+      // (LSH candidate caches etc.) so a 162-query session doesn't
+      // accumulate blocks — see graft.ops.CacheScope
+      graft.ops.CacheScope.releaseAll()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

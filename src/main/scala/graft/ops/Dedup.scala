@@ -158,9 +158,10 @@ object Dedup {
                                 maxBucket: Int = 1000): DataFrame = {
     // the batch's banded signatures feed BOTH the history probe and the
     // in-batch pairs; persist them so the banding pass over the batch
-    // runs once, not once per consumer
-    val bandedBatch = banded(batchSigs, bands, rowsPerBand)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // runs once, not once per consumer — released via CacheScope at the
+    // harness's query boundary (see [[CacheScope]] for the lifecycle)
+    val bandedBatch = CacheScope.register(banded(batchSigs, bands, rowsPerBand)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val hist = banded(histSigs, bands, rowsPerBand)
       .groupBy("band", "bucket")
       .agg(collect_list("id").as("ids"))
@@ -197,7 +198,8 @@ object Dedup {
     * stage never touches raw text. */
   def jaccardVerifySigs(pairs: DataFrame, sigs: DataFrame,
                         threshold: Double): DataFrame = {
-    val cand = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = CacheScope.register(
+      pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val candIds = cand.select(col("a_id").as("__jid"))
       .unionAll(cand.select(col("b_id").as("__jid")))
       .distinct()
@@ -230,16 +232,22 @@ object Dedup {
    * — all-integer, so the gate is exact on both engines. Emits integer
    * distance + max length; no float ratio column (the oracle compares
    * hashes, and the ratio is derivable).
+   *
+   * LAZY: returns the un-materialized plan (downstream filters still
+   * push into the joins). The persisted candidate intermediate is
+   * registered with [[CacheScope]]; the caller releases it at its own
+   * query boundary via `CacheScope.releaseAll()` (or lets it live for
+   * reuse across repeated invocations — Spark's CacheManager dedupes
+   * the plan, so re-running the query hits the cache). The round-9
+   * eager `localCheckpoint` variant freed blocks per-call but billed a
+   * full extra materialization to every invocation and made the result
+   * non-recoverable on executor loss in cluster deployments.
    */
   def editVerify(pairs: DataFrame, docs: DataFrame, idCol: String,
                  textCol: String, maxDistPermille: Int): DataFrame = {
     val (out, cand) = editVerifyPlan(pairs, docs, idCol, textCol, maxDistPermille)
-    // the returned frame is candidate-bounded (strictly smaller than
-    // `cand`): pin it eagerly so the persisted intermediate can be
-    // RELEASED here instead of leaking blocks across repeated calls in
-    // a long-lived session — localCheckpoint materializes now, then
-    // the big cand cache drops deterministically
-    try out.localCheckpoint() finally cand.unpersist()
+    CacheScope.register(cand)
+    out
   }
 
   /** The lazy plan behind [[editVerify]] plus the persisted candidate

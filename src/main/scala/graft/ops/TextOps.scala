@@ -363,10 +363,12 @@ object TextOps {
    * source's EXACT total token count. Sorting by (ikey, source, id)
    * interleaves sources token-mass-proportionally with per-source
    * prefix deviation bounded by ~1 doc; integer div keeps both
-   * engines bitwise-identical. Magnitude bound: r·10¹² must stay
+   * engines bitwise-identical. Magnitude bound: (2r+1)·10¹² must stay
    * under 2⁶³ — fine to ~4.6M docs per source; beyond that, shrink
    * the scale constant (proportionality granularity degrades only
-   * when scale/(2·w_s) reaches 1).
+   * when scale/(2·w_s) reaches 1). The bound is ENFORCED per row
+   * (`raise_error`), not just documented: an oversized source would
+   * otherwise wrap silently and corrupt the training order.
    */
   def sampleInterleave(docs: DataFrame, idCol: String, textCol: String,
                        sourceCol: String, salt: Long = 42L): DataFrame = {
@@ -395,6 +397,16 @@ object TextOps {
         Seq("source", "bucket"))
       .join(broadcast(weights), Seq("source"))
       .withColumn("src_rank", col("offset") + col("rk") - 1L)
+      // exact-Long bound for (2r+1)·10¹²: r ≤ 4611685. Fail LOUDLY on
+      // the first over-bound rank instead of wrapping — NullType from
+      // raise_error coerces to the long branch, so the guard costs one
+      // codegen'd comparison per row
+      .withColumn("src_rank",
+        when(col("src_rank") > 4611685L, raise_error(concat(
+          lit("sampleInterleave: src_rank exceeds the exact-Long ikey bound " +
+            "(4611685) for source "), col("source"),
+          lit(" — shrink the 1e12 scale constant"))))
+          .otherwise(col("src_rank")))
       // integer `div`, NOT `/`: Spark's `/` is double division, and
       // the numerator (~1e17) is past 2^53 — a float detour would
       // corrupt low digits and break the bitwise oracle match

@@ -253,7 +253,11 @@ object OpsQueries {
 
   /** Cache key: input dir + total bytes+mtimes of the embeddings
     * table, so a regenerated test dir never reads stale models (the
-    * `m6` suffix versions the store layout/params — m6 trains with
+    * `m7` suffix versions the store layout/params — m7 forces
+    * regeneration after r9 changed trained-model CONTENT without a
+    * layout change (hash-sampled training, corpus-adaptive lshBits):
+    * a cached pre-r9 store and a fresh one were both readable but
+    * yielded different recall for identical inputs; m6 trained with
     * iters=4 and ksub=32 (the recall uplift round); m5 pre-grouped the
     * LSH buckets into (table, bucket, ids) lists; m4 added the encoded
     * corpus: lists, PQ/residual/int8 codes, LSH buckets). */
@@ -261,22 +265,23 @@ object OpsQueries {
     val src = new java.io.File(s"$dir/embeddings.parquet")
     val files = if (src.isDirectory) src.listFiles().toSeq else Seq(src)
     val fp = files.filter(_.isFile).map(f => f.length() + f.lastModified()).sum
-    s"/tmp/graft_models/${dir.replaceAll("[^A-Za-z0-9.]", "_")}_${java.lang.Long.toHexString(fp)}_m6"
+    s"/tmp/graft_models/${dir.replaceAll("[^A-Za-z0-9.]", "_")}_${java.lang.Long.toHexString(fp)}_m7"
   }
 
   /** Pinned recall floors (basis points) for `quality_recall_gate` —
     * measured at sf0.01 AND sf0.1, then set with enough margin to
     * absorb corpus-regeneration noise but tight enough that a real
     * regression (a broken hash family, a recall-losing cap) goes red. */
-  // measured 2026-08-14 after the recall-uplift round (iters=4,
-  // ksub=32, nprobe=8, rerankFactor=24, LSH hamming-2 multiprobe),
-  // sf0.01 / sf0.1: lsh 8000/9200, ivf 8600/8400, pq 9800/8200,
+  // measured 2026-08-14 at the r9 config (iters=4, ksub=32, nprobe=8,
+  // rerankFactor=24, LSH probes=2 with radius-2 expansion on
+  // probes2Tables=6 of 8 tables — the probe-budget retune),
+  // sf0.01 / sf0.1: lsh 7200/9000, ivf 8600/8400, pq 9800/8200,
   // ivfpq 8600/7400, ivfpq_res 8600/7200, sq8 10000/10000,
   // ivfsq8 8600/8400; floors sit under the measured minimum (most by
-  // 10-20 points; sim_ann_lsh by 7 points at sf0.01 after the r9
-  // probe-budget retune — acceptable because the corpus is seeded and
-  // the measurement is deterministic per config, so the margin only
-  // has to absorb config changes, which are deliberate) so a real
+  // 10-20 points; sim_ann_lsh by 7 points at sf0.01 — acceptable
+  // because the corpus is seeded and the measurement is deterministic
+  // per config, so the margin only has to absorb config changes,
+  // which are deliberate) so a real
   // regression (broken hash family, lost probe, recall-losing cap)
   // goes red. The three pair paths are EXACT by construction
   // (LSH candidate-complete at J>=0.9, 8-band simhash blocking exact

@@ -82,13 +82,45 @@ class OpsSpec extends AnyFunSuite {
     assert(pairSet(Dedup.editVerify(pairs, d, "doc_id", "text", 50)) ==
       Set((1L, 2L)))
     // candidate pricing: docs never in a pair do not reach the kernel —
-    // the text join is semi-filtered to candidate ids (assert on the
-    // lazy plan; the public editVerify checkpoints the result so its
-    // candidate cache can be released eagerly)
+    // the text join is semi-filtered to candidate ids (the public
+    // editVerify now IS this lazy plan; its candidate cache is
+    // released by the caller via CacheScope)
     val (lazyPlan, cand) = Dedup.editVerifyPlan(pairs, d, "doc_id", "text", 60)
     val plan = lazyPlan.queryExecution.optimizedPlan.toString
     cand.unpersist()
     assert(plan.contains("LeftSemi"), s"expected semi-filtered text join:\n$plan")
+  }
+
+  test("CacheScope lifecycle: query-scoped caches release at the harness boundary, no block leak") {
+    import spark.implicits._
+    CacheScope.releaseAll() // clean slate from earlier tests
+    val d = Seq((1L, "aaaa bbbb cccc dddd"), (2L, "aaaa bbbb cccc dddd"),
+      (3L, "aaaa bbbb cccc dddX"), (4L, "zzzz yyyy xxxx wwww"))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.signatures(d, "doc_id", "text")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    // the full candidate->verify->edit pipeline registers TWO
+    // query-scoped persists (jaccard cand + edit cand); the plan stays
+    // lazy (nothing persisted until materialization)
+    val out = Dedup.editVerify(
+      Dedup.jaccardVerifySigs(Dedup.minhashLshSigs(sigs), sigs, 0.5),
+      d, "doc_id", "text", maxDistPermille = 60)
+    assert(CacheScope.pinnedCount >= 2)
+    assert(out.collect().nonEmpty)
+    assert(spark.sparkContext.getPersistentRDDs.keySet.diff(before).nonEmpty,
+      "materialization should have populated the registered caches")
+    // the harness boundary: all query-scoped blocks drop, session-level
+    // caches (none here) untouched
+    CacheScope.releaseAll()
+    assert(CacheScope.pinnedCount == 0)
+    assert(spark.sparkContext.getPersistentRDDs.keySet.diff(before).isEmpty,
+      "query-scoped persisted RDDs must be gone after releaseAll")
+    // second invocation after release still computes correctly
+    val again = Dedup.editVerify(
+      Dedup.jaccardVerifySigs(Dedup.minhashLshSigs(sigs), sigs, 0.5),
+      d, "doc_id", "text", maxDistPermille = 60)
+    assert(again.collect().nonEmpty)
+    CacheScope.releaseAll()
   }
 
   test("containment: catches snippet-in-page pairs jaccard misses, supersets jaccard pairs") {
