@@ -16,5 +16,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => graft.plans.DecodeNarrowRule)
     ext.injectOptimizerRule(_ => graft.plans.ChunkPruneRule)
     ext.injectOptimizerRule(_ => graft.plans.ChunkAggRule)
+    ext.injectOptimizerRule(_ => graft.plans.ChunkBucketAggRule)
   }
 }

@@ -286,7 +286,8 @@ object GorillaCodec {
    * ascending order, so buckets close run-wise with O(1) state.
    */
   def aggregateBuckets(bytes: Array[Byte], bucketSec: Long,
-                       fixedScale: Double): Array[BucketAgg] = {
+                       fixedScale: Double,
+                       fixedAnsi: Boolean = false): Array[BucketAgg] = {
     val h = readHeader(bytes)
     val r = reader(bytes, h)
     val lt = h.variant == VariantLeadTrail
@@ -320,7 +321,8 @@ object GorillaCodec {
         if (v < minV) minV = v
         if (v > maxV) maxV = v
       }
-      val c = halfUpFixed(v * fixedScale)
+      val c = if (fixedAnsi) halfUpFixedAnsi(v * fixedScale)
+              else halfUpFixed(v * fixedScale)
       sumFixed += c
       sumSqFixed += c * c
       i += 1

@@ -83,8 +83,9 @@ object GorillaSql {
     * sum_fixed: long, sumsq_fixed: long>> — per-bucket downsample
     * partials of one chunk, from one streaming decode (see
     * GorillaCodec.aggregateBuckets). */
-  def chunkBucketAgg(bytes: Array[Byte], bucketSec: Long, scale: Double): ArrayData = {
-    val as = GorillaCodec.aggregateBuckets(bytes, bucketSec, scale)
+  def chunkBucketAgg(bytes: Array[Byte], bucketSec: Long, scale: Double,
+                     ansi: Boolean = false): ArrayData = {
+    val as = GorillaCodec.aggregateBuckets(bytes, bucketSec, scale, ansi)
     val rows = new Array[Any](as.length)
     var i = 0
     while (i < as.length) {

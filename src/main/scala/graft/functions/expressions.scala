@@ -195,16 +195,17 @@ case class GorillaChunkAggRange(chunk: Expression, fromSec: Expression, toSec: E
   * DOWNSAMPLE partials: one streaming decode folds a chunk into
   * per-bucket (count, nan-safe min/max, HALF_UP fixed sum) rows —
   * ≤ windowSec/bucketSec rows per chunk instead of one per point. */
-case class GorillaChunkBucketAgg(child: Expression, bucketSec: Long, scale: Double)
+case class GorillaChunkBucketAgg(child: Expression, bucketSec: Long, scale: Double,
+                                 ansi: Boolean = false)
     extends GorillaDecodeBase {
   override def dataType: DataType = GorillaExprs.bucketAggType
   override def prettyName: String = "gorilla_chunk_bucket_agg"
   protected def method: String = "chunkBucketAgg"
   protected def evalBytes(bytes: Array[Byte]): Any =
-    GorillaSql.chunkBucketAgg(bytes, bucketSec, scale)
+    GorillaSql.chunkBucketAgg(bytes, bucketSec, scale, ansi)
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
-      b => s"graft.functions.GorillaSql.chunkBucketAgg($b, ${bucketSec}L, $scale)")
+      b => s"graft.functions.GorillaSql.chunkBucketAgg($b, ${bucketSec}L, $scale, $ansi)")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 

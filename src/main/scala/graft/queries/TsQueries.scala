@@ -557,6 +557,42 @@ object TsQueries {
           labeledStoreChunks(s, dir, RangeFrom, RangeTo), labelCols,
           """{type="click", host=~"h1.*", region!="r3"}""", RangeFrom, RangeTo)
         .orderBy("type", "host", "region")),
+    // PromQL rate() SCOPED BY SELECTOR — `rate({type="click",
+    // host=~"h1.*"}[range])`, the metrics user's second query and the
+    // paper-§4 composition the labeled store exists for: matchers
+    // prune at the chunk-METADATA scan (pushed equality + prefix,
+    // plan-pinned in LabelsSpec), window stats drop out-of-range
+    // chunks, ONLY the survivors decode (selectRange), and the
+    // existing consecutive-sample rate body runs per LABEL-SET series.
+    // At 100 TB the decode cost is the selector's series count × the
+    // range, never the store
+    "ts_label_rate" -> ((s, dir) => {
+      val w = Window.partitionBy(labelCols.map(col): _*).orderBy("ts", "v")
+      graft.tsdb.Labels.selectRange(
+          labeledStoreChunks(s, dir, RangeFrom, RangeTo), labelCols,
+          """{type="click", host=~"h1.*"}""", RangeFrom, RangeTo)
+        .withColumn("prev_ts", lag("ts", 1).over(w))
+        .withColumn("prev_v", lag("v", 1).over(w))
+        .filter(col("prev_ts").isNotNull)
+        .withColumn("dt", col("ts") - col("prev_ts"))
+        .withColumn("rate", (col("v") - col("prev_v")) / nullif(col("dt"), lit(0)))
+        .select(col("type"), col("host"), col("region"), col("ts"), col("v"),
+          col("prev_ts"), col("dt"), col("rate"))
+        .orderBy("type", "host", "region", "ts", "v")
+    }),
+    // selector-scoped COMPRESSED-DOMAIN resample: both matchers are
+    // pushed equality predicates over the chunk metadata, then the
+    // surviving chunks fold straight to 15-min bucket partials
+    // (gorilla_chunk_bucket_agg — one streaming decode per chunk,
+    // ≤ 8 partial rows per 2-h chunk, never a point row). The
+    // downsample dual of ts_label_select: dashboard-resolution
+    // serving for one selector costs that selector's chunks only
+    "ts_label_downsample" -> ((s, dir) =>
+      Ts.downsampleCompressed(
+          graft.tsdb.Labels.select(labeledStoreChunks(s, dir), labelCols,
+            """{type="view", region="r2"}"""),
+          labelCols, 900)
+        .orderBy("type", "host", "region", "bucket")),
     // per-series VARIANCE over a time range, compressed-domain: the
     // exact integer moments (n, S, Q) come from stored header stats
     // for covered chunks and the streaming range kernel for boundary
@@ -1840,6 +1876,34 @@ object TsQueries {
         |FROM lbl WHERE ts >= $RangeFrom AND ts <= $RangeTo
         |  AND type = 'click' AND host LIKE 'h1%' AND region != 'r3'
         |GROUP BY 1, 2, 3 ORDER BY type, host, region""".stripMargin,
+    // selector prune (equality + anchored literal-prefix regex) then
+    // the plain consecutive-sample rate window per label-set series —
+    // ties on (ts, v) are interchangeable rows, same as ts_rate
+    "ts_label_rate" ->
+      s"""WITH lbl AS (SELECT event_type AS type,
+        |  'h' || CAST(user_id % 100 AS VARCHAR) AS host,
+        |  'r' || CAST(user_id % 4 AS VARCHAR) AS region,
+        |  CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS ts, value AS v FROM events),
+        |pts AS (SELECT * FROM lbl WHERE ts >= $RangeFrom AND ts <= $RangeTo
+        |  AND type = 'click' AND host LIKE 'h1%')
+        |SELECT * FROM (
+        |  SELECT type, host, region, ts, v,
+        |    lag(ts) OVER w AS prev_ts,
+        |    ts - lag(ts) OVER w AS dt,
+        |    (v - lag(v) OVER w) / nullif(ts - lag(ts) OVER w, 0) AS rate
+        |  FROM pts WINDOW w AS (PARTITION BY type, host, region ORDER BY ts, v))
+        |WHERE prev_ts IS NOT NULL ORDER BY type, host, region, ts, v""".stripMargin,
+    "ts_label_downsample" ->
+      """WITH lbl AS (SELECT event_type AS type,
+        |  'h' || CAST(user_id % 100 AS VARCHAR) AS host,
+        |  'r' || CAST(user_id % 4 AS VARCHAR) AS region,
+        |  CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS ts, value AS v FROM events)
+        |SELECT type, host, region, (ts // 900) * 900 AS bucket,
+        |  count(*) AS n, min(v) AS min_v, max(v) AS max_v,
+        |  CAST(sum(CAST(round(v * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |  CAST(sum(CAST(round(v * 100) AS BIGINT)) AS BIGINT) / (count(*) * 100.0) AS avg_v
+        |FROM lbl WHERE type = 'view' AND region = 'r2'
+        |GROUP BY 1, 2, 3, 4 ORDER BY type, host, region, bucket""".stripMargin,
     "ts_histogram" -> s"""WITH $ptsSql
       |SELECT user_id, event_type,
       |  CAST(floor(CAST(round(v * 100) AS BIGINT) / 5000.0) AS BIGINT) AS bucket,

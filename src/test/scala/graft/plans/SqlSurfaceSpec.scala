@@ -85,6 +85,73 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("naive SQL time-bucket GROUP BY rewrites to chunk bucket partials") {
+    chunks
+    // ts_store_downsample written the way a SQL client would: decode,
+    // explode, floor-bucket, aggregate — ChunkBucketAggRule must fold
+    // it to per-chunk bucket partials (≤ 8 rows per 2-h chunk, no
+    // point rows)
+    val df = spark.sql(
+      """SELECT user_id, event_type, floor(p.ts / 900) * 900 AS bucket,
+        |  count(*) AS n, min(p.v) AS min_v, max(p.v) AS max_v,
+        |  CAST(sum(CAST(round(p.v * 100.0D) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM gorilla_chunks
+        |LATERAL VIEW explode(gorilla_decode(chunk)) g AS p
+        |GROUP BY user_id, event_type, floor(p.ts / 900) * 900""".stripMargin)
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains("gorilla_chunk_bucket_agg"),
+      s"expected the bucket-partial rewrite in the SQL plan:\n${opt.take(3000)}")
+    assert(!opt.contains("gorilla_decode"),
+      s"no point decode should remain:\n${opt.take(3000)}")
+    // row parity with the Scala compressed-domain path
+    val got = df.collect().map(r => (r.getLong(0), r.getString(1),
+      r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5),
+      r.getLong(6))).toSet
+    val want = Ts.downsampleCompressed(chunks, series, 900)
+      .select(col("user_id"), col("event_type"), col("bucket"), col("n"),
+        col("min_v"), col("max_v"), col("sum_cents"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5), r.getLong(6))).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("label-selector SQL: matchers push to the scan, aggregate folds to chunk partials") {
+    // a SQL-only client's PromQL-ish query over the LABELED store:
+    // WHERE carries the selector, the aggregate is the naive
+    // decode-explode — label equality/prefix predicates must reach
+    // the parquet scan and the aggregate must fold per-chunk
+    val lbl = graft.queries.TsQueries.labeledStoreChunks(spark, dir)
+    lbl.createOrReplaceTempView("lbl_chunks")
+    val df = spark.sql(
+      """SELECT type, host, region, count(*) AS n,
+        |  min(p.v) AS min_v, max(p.v) AS max_v
+        |FROM lbl_chunks
+        |LATERAL VIEW explode(gorilla_decode(chunk)) g AS p
+        |WHERE type = 'click' AND host LIKE 'h1%' AND region != 'r3'
+        |GROUP BY type, host, region""".stripMargin)
+    val phys = df.queryExecution.executedPlan.toString
+    assert(phys.contains("EqualTo(type,click)"), phys.take(3000))
+    assert(phys.contains("StringStartsWith(host") ||
+      phys.contains("StartsWith(host"), phys.take(3000))
+    assert(df.queryExecution.optimizedPlan.toString.contains("gorilla_chunk_agg"),
+      df.queryExecution.optimizedPlan.toString.take(3000))
+    // parity with the Scala label path over the same store
+    val got = df.collect().map(r => (r.getString(0), r.getString(1),
+      r.getString(2), r.getLong(3), r.getDouble(4), r.getDouble(5))).toSet
+    val want = Ts.unpack(
+        graft.tsdb.Labels.select(lbl, graft.queries.TsQueries.labelCols,
+          """{type="click", host=~"h1.*", region!="r3"}""")
+          .drop("window_date"),
+        graft.queries.TsQueries.labelCols)
+      .groupBy("type", "host", "region")
+      .agg(count(lit(1)).as("n"), min("v").as("min_v"), max("v").as("max_v"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5))).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("registerStoreView: a path string is all a SQL client needs") {
     chunks // store exists now
     // re-register through the public helper and query it

@@ -108,6 +108,28 @@ class LabelsSpec extends AnyFunSuite {
     assert(plan.contains("PartitionFilters: [isnotnull(window_date"), plan.take(3000))
   }
 
+  test("ts_label_rate / ts_label_downsample: label pruning reaches the scan before any decode") {
+    // rate: pushed equality + prefix filters sit in the parquet scan,
+    // UNDER the decode — only selector-surviving chunks ever unpack
+    val rate = graft.queries.TsQueries.queries("ts_label_rate")(spark, dir)
+    val rPlan = rate.queryExecution.executedPlan.toString
+    assert(rPlan.contains("EqualTo(type,click)"), rPlan.take(3000))
+    assert(rPlan.contains("StringStartsWith(host") ||
+      rPlan.contains("StartsWith(host"), rPlan.take(3000))
+    assert(rPlan.contains("PartitionFilters: [isnotnull(window_date"), rPlan.take(3000))
+    assert(rate.count() > 0)
+    // downsample: both matchers pushed, and the plan is COMPRESSED-
+    // DOMAIN — bucket partials straight off chunks, no point decode
+    val ds = graft.queries.TsQueries.queries("ts_label_downsample")(spark, dir)
+    val dPlan = ds.queryExecution.executedPlan.toString
+    assert(dPlan.contains("EqualTo(type,view)"), dPlan.take(3000))
+    assert(dPlan.contains("EqualTo(region,r2)"), dPlan.take(3000))
+    assert(dPlan.contains("gorilla_chunk_bucket_agg"), dPlan.take(3000))
+    assert(!dPlan.contains("gorilla_decode"),
+      "selector-scoped downsample must never materialize points:\n" + dPlan.take(3000))
+    assert(ds.count() > 0)
+  }
+
   test("selectRangeAgg equals the unlabeled compute with manual filters") {
     val from = 1704844800L; val to = 1705017600L
     val got = graft.queries.TsQueries.queries("ts_label_select")(spark, dir)
