@@ -129,7 +129,7 @@ object Bench {
     * ride bench_out.json + the committed BENCH_FULL.json. */
   private[graft] def compactLine(results: Seq[(String, Double)], total: Double,
                                  sfName: String): String = {
-    def build(unit: String, scale: Double): String = {
+    def build(unit: String, scale: Double, grammar: Boolean): String = {
       val entries = results.sortBy(_._1)
         .map { case (k, v) =>
           // -1 marks a FAILED query (both timed runs threw) — keep the
@@ -137,14 +137,21 @@ object Bench {
           // it up to a plausible-looking 0
           (k.split('_').toList, if (v < 0) -1L else math.round(v * scale))
         }
-      s"""{"u":"$unit","f":"k:v,g(kids),join _","q":"${emitTrie(entries)}"}"""
+      val f = if (grammar) """"f":"k:v,g(kids),join _",""" else ""
+      s"""{"u":"$unit",$f"q":"${emitTrie(entries)}"}"""
     }
     // budget: the driver keeps the LAST 2000 stdout chars; with the sbt
     // success epilogue suppressed (build.sbt showSuccess := false) the
     // compact line + its newline is the tail's end, so ≤ 1995 keeps the
-    // whole line visible with margin
-    val cs = build("cs", 100.0)
-    if (cs.length <= 1995) cs else build("ds", 10.0)
+    // whole line visible with margin. Fallback tiers: centiseconds
+    // with the inline grammar hint; deciseconds with it; deciseconds
+    // without it (the grammar also lives in this file's doc, and the
+    // full-precision flat map always rides BENCH_FULL.json)
+    Seq(build("cs", 100.0, grammar = true),
+        build("ds", 10.0, grammar = true),
+        build("ds", 10.0, grammar = false))
+      .find(_.length <= 1995)
+      .getOrElse(build("ds", 10.0, grammar = false))
   }
 
   /** Emit items (token-path, value) in the packed grammar, collapsing

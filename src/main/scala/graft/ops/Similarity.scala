@@ -703,7 +703,26 @@ object Similarity {
                             codes: DataFrame, resCodes: DataFrame,
                             sq8Codes: DataFrame, lshLists: DataFrame,
                             maxAbs: Double,
-                            lshBits: Int = 10, lshTables: Int = 8)
+                            lshBits: Int = 10, lshTables: Int = 8,
+                            n: Long = 0L)
+
+  /**
+   * Corpus-adaptive RERANK DEPTH for the quantized stored paths —
+   * the r10 scale-recall gate's finding: quantization error per PAIR
+   * is scale-free, but the number of neighbors inside one error band
+   * grows linearly with corpus density, so a fixed depth (k·24 — the
+   * value that captures the exact top-k at ≤ 75k vectors) captures
+   * almost nothing of a 2M-vector corpus whose clusters hold ~8k
+   * near-equidistant members (measured: PQ recall 9800 bp at 7.5k
+   * vectors → 220 bp at 2M with fixed depth). The index knows its
+   * corpus size (lsh_meta `n`), so depth tracks it: n/300 exact
+   * 64-dim dots per query is ~7k at 2M — negligible against the code
+   * scan that feeds it — and the floor keeps gate-corpus behavior
+   * identical (n/300 < k·24 below ~36k vectors). Stores written
+   * before the meta carried `n` report n=0 and keep the fixed depth.
+   */
+  private def rerankDepth(idx: AnnIndex, k: Int, rerankFactor: Int): Int =
+    math.max(k * rerankFactor, (idx.n / 300L).toInt)
 
   /**
    * Train every ANN model table ONCE and persist them as parquet under
@@ -782,8 +801,10 @@ object Similarity {
       else math.max(10, math.min(24,
         64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n / 32))))
     val lshTables = 8
-    embeddings.sparkSession.createDataFrame(Seq((lshBits, lshTables)))
-      .toDF("bits", "tables").coalesce(1)
+    // the meta also records the encoded CORPUS SIZE: rerank depth on
+    // the quantized query paths scales with it (see [[rerankDepth]])
+    embeddings.sparkSession.createDataFrame(Seq((lshBits, lshTables, n)))
+      .toDF("bits", "tables", "n").coalesce(1)
       .write.mode("overwrite").parquet(s"$path/lsh_meta")
     lshBuckets(embeddings, idCol, vecCol, nBits = lshBits, tables = lshTables)
       .groupBy("table", "bucket").agg(collect_list("id").as("ids"))
@@ -803,11 +824,13 @@ object Similarity {
     // zero candidates instead of erroring
     val metaPath = new org.apache.hadoop.fs.Path(s"$path/lsh_meta")
     val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val (bits, tables) =
-      if (!fs.exists(metaPath)) (10, 8)
+    val (bits, tables, metaN) =
+      if (!fs.exists(metaPath)) (10, 8, 0L)
       else {
-        val r = spark.read.parquet(s"$path/lsh_meta").collect()(0)
-        (r.getAs[Int]("bits"), r.getAs[Int]("tables"))
+        val df = spark.read.parquet(s"$path/lsh_meta")
+        val r = df.collect()(0)
+        val n = if (df.schema.fieldNames.contains("n")) r.getAs[Long]("n") else 0L
+        (r.getAs[Int]("bits"), r.getAs[Int]("tables"), n)
       }
     AnnIndex(
       materialize(spark.read.parquet(s"$path/centroids")),
@@ -819,7 +842,7 @@ object Similarity {
       spark.read.parquet(s"$path/sq8_codes"),
       spark.read.parquet(s"$path/lsh_lists"),
       readSq8Scale(spark, path),
-      lshBits = bits, lshTables = tables)
+      lshBits = bits, lshTables = tables, n = metaN)
   }
 
   /** True when a [[writeModels]] store at `path` is complete. */
@@ -875,7 +898,7 @@ object Similarity {
       .join(broadcast(lut), Seq("j", "code"))
       .filter(col("q_id") =!= col("n_id"))
       .groupBy("q_id", "n_id").agg(sum("pdot").as("approx_dot"))
-    rerankExact(topApprox(approx, k * rerankFactor), q, e, k)
+    rerankExact(topApprox(approx, rerankDepth(idx, k, rerankFactor)), q, e, k)
   }
 
   /** IVF-PQ top-k off persisted lists + codes. */
@@ -891,7 +914,7 @@ object Similarity {
     val approx = cand.join(idx.codes.toDF("n_id", "j", "code"), Seq("n_id"))
       .join(broadcast(adcLut(q, idx.books, m)), Seq("q_id", "j", "code"))
       .groupBy("q_id", "n_id").agg(sum("pdot").as("approx_dot"))
-    rerankExact(topApprox(approx, k * rerankFactor), q, e, k)
+    rerankExact(topApprox(approx, rerankDepth(idx, k, rerankFactor)), q, e, k)
   }
 
   /** Residual IVF-PQ top-k off persisted residual codes (which carry
@@ -919,7 +942,7 @@ object Similarity {
       .groupBy("q_id", "n_id", "cluster").agg(sum("pdot").as("r_dot"))
       .join(broadcast(qc), Seq("q_id", "cluster"))
       .select(col("q_id"), col("n_id"), (col("c_dot") + col("r_dot")).as("approx_dot"))
-    rerankExact(topApprox(approx, k * rerankFactor), q, e, k)
+    rerankExact(topApprox(approx, rerankDepth(idx, k, rerankFactor)), q, e, k)
   }
 
   /** SQ8 top-k off persisted int8 codes: the scan reads ¼ the float
@@ -936,7 +959,7 @@ object Similarity {
       .join(broadcast(qcodes), col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
         sq8_dot(col("q_code"), col("n_code")).cast("double").as("approx_dot"))
-    rerankExact(topApprox(approx, k * rerankFactor), q, e, k)
+    rerankExact(topApprox(approx, rerankDepth(idx, k, rerankFactor)), q, e, k)
   }
 
   /** IVF-SQ8 top-k off persisted lists + int8 codes. */
@@ -955,7 +978,7 @@ object Similarity {
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
         sq8_dot(col("q_code"), col("n_code")).cast("double").as("approx_dot"))
-    rerankExact(topApprox(approx, k * rerankFactor), q, e, k)
+    rerankExact(topApprox(approx, rerankDepth(idx, k, rerankFactor)), q, e, k)
   }
 
   // === residual IVF-PQ ==============================================

@@ -253,7 +253,10 @@ object OpsQueries {
 
   /** Cache key: input dir + total bytes+mtimes of the embeddings
     * table, so a regenerated test dir never reads stale models (the
-    * `m7` suffix versions the store layout/params — m7 forces
+    * `m8` suffix versions the store layout/params — m8 records the
+    * corpus size in lsh_meta so the quantized query paths scale their
+    * rerank depth with it (the r10 scale-recall fix): a cached m7
+    * store would silently keep the fixed depth; m7 forced
     * regeneration after r9 changed trained-model CONTENT without a
     * layout change (hash-sampled training, corpus-adaptive lshBits):
     * a cached pre-r9 store and a fresh one were both readable but
@@ -265,7 +268,7 @@ object OpsQueries {
     val src = new java.io.File(s"$dir/embeddings.parquet")
     val files = if (src.isDirectory) src.listFiles().toSeq else Seq(src)
     val fp = files.filter(_.isFile).map(f => f.length() + f.lastModified()).sum
-    s"/tmp/graft_models/${dir.replaceAll("[^A-Za-z0-9.]", "_")}_${java.lang.Long.toHexString(fp)}_m7"
+    s"/tmp/graft_models/${dir.replaceAll("[^A-Za-z0-9.]", "_")}_${java.lang.Long.toHexString(fp)}_m8"
   }
 
   /** Pinned recall floors (basis points) for `quality_recall_gate` —

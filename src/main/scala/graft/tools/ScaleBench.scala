@@ -196,6 +196,93 @@ object ScaleBench {
       }
     }
 
+    /** Streaming ingest throughput at volume (r9 verdict #8): the
+      * 200M-event corpus replayed as a FILE STREAM through
+      * `StreamIngest.writeChunksPerBatch` — the high-rate sealer
+      * (per-batch sort-encode via the batch chunkify, foreachBatch
+      * sink). That path is the replay-appropriate one: it is
+      * STATELESS, so "state growth across batches" is structurally
+      * zero (recorded from StreamingQueryProgress.stateOperators),
+      * and historical files in arbitrary event-time order are fine —
+      * the watermarked `chunkStream` sealer would spuriously drop
+      * out-of-order history on replay (its parity is proven over
+      * MemoryStream in StreamIngestSpec; its state bound is series ×
+      * open windows by construction). The note carries pts/s,
+      * batch count, median/max batch latency, and total state rows. */
+    def streamFamily(tag: String, dir: String): Unit = {
+      val series = Seq("user_id", "event_type")
+      val evPath = s"$dir/events.parquet"
+      val schema = spark.read.parquet(evPath).schema
+      val nEv = spark.read.parquet(evPath).count()
+      // the file-stream source needs a DIRECTORY of files; the driver
+      // testdata ships single-file tables — stage those into one
+      val evFile = new java.io.File(evPath)
+      val (srcDir, nFiles) =
+        if (evFile.isDirectory)
+          (evPath, evFile.listFiles().count(_.getName.endsWith(".parquet")))
+        else {
+          val staged = new java.io.File(s"$work/$tag/stream_src")
+          staged.mkdirs()
+          java.nio.file.Files.copy(evFile.toPath,
+            new java.io.File(staged, "part-0.parquet").toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          (staged.getPath, 1)
+        }
+      // ~16 micro-batches over the corpus regardless of file count
+      val perTrigger = math.max(1, nFiles / 16)
+      val outPath = s"$work/$tag/stream_store"
+      val ck = s"$work/$tag/stream_ck"
+      val hfs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      hfs.delete(new org.apache.hadoop.fs.Path(outPath), true)
+      hfs.delete(new org.apache.hadoop.fs.Path(ck), true)
+      val src = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", perTrigger).parquet(srcDir)
+      val q = graft.streaming.StreamIngest
+        .writeChunksPerBatch(src, series, "ts", "value", outPath, ck).start()
+      timed(s"${tag}_stream_ingest", nEv, "per-batch sealer over a file stream") {
+        q.processAllAvailable()
+        q.stop()
+        spark.read.parquet(outPath).count()
+      }
+      val progs = q.recentProgress.filter(_.numInputRows > 0)
+      val durs = progs.map(_.durationMs.get("triggerExecution").toLong).sorted
+      val stateRows = progs.flatMap(_.stateOperators.map(_.numRowsTotal))
+      val r = results(s"${tag}_stream_ingest")
+      val ptsPerSec = if (r.sec > 0) (nEv / r.sec).toLong else 0L
+      results(s"${tag}_stream_ingest") = r.copy(note =
+        s"pts/s=$ptsPerSec batches=${progs.length} " +
+        s"batch_ms_p50=${if (durs.nonEmpty) durs(durs.length / 2) else 0} " +
+        s"batch_ms_max=${if (durs.nonEmpty) durs.last else 0} " +
+        s"state_rows_total=${stateRows.sum} (stateless sealer)")
+    }
+
+    /** The relational join family at scale (r9 verdict #4): the THREE
+      * explicit 100 TB join stories — salted skew join, co-located
+      * bucketed join, binned range join — run through the exact
+      * oracled query bodies (`RelQueries.queries`), so the measured
+      * plan IS the graded plan. The scale lineitem plants a power-law
+      * key distribution (20% of rows on 100 hot keys); the bucketed
+      * layout build is timed separately as the ingest-once cost. */
+    def relFamily(tag: String, dir: String): Unit = {
+      val nLine = spark.read.parquet(s"$dir/lineitem.parquet").count()
+      val rel = graft.queries.RelQueries.queries
+      timed(s"${tag}_skew_join", nLine, "salted shuffle join over power-law keys") {
+        noop(rel("q_skew_join")(spark, dir))
+      }
+      val nb = math.max(graft.queries.Tables.defaultBuckets(dir, "lineitem"),
+        graft.queries.Tables.defaultBuckets(dir, "orders"))
+      timed(s"${tag}_bucket_build", nLine, s"bucketBy($nb)+sortBy layout, once per corpus") {
+        graft.queries.Tables.bucketed(spark, dir, "orders", "o_orderkey", nb).count()
+        graft.queries.Tables.bucketed(spark, dir, "lineitem", "l_orderkey", nb).count()
+      }
+      timed(s"${tag}_bucket_join", nLine, "shuffle-free co-located join off the layout") {
+        noop(rel("q_bucket_join")(spark, dir))
+      }
+      timed(s"${tag}_range_join", nLine, "binned interval join, facts x audit windows") {
+        noop(rel("q_range_join")(spark, dir))
+      }
+    }
+
     /** ANN index build + query against one corpus dir. */
     def annFamily(tag: String, dir: String, nlist: Int): Unit = {
       val emb = spark.read.parquet(s"$dir/embeddings.parquet")
@@ -217,15 +304,20 @@ object ScaleBench {
     // sf0.1 baselines first (cheap), then the scale corpus; 4th arg
     // optionally restricts to a family subset ("docs,ts,label,ann") for
     // re-measuring one family after a targeted change
-    val fams = (if (args.length > 3) args(3) else "docs,ts,label,ann").split(",").toSet
+    val fams = (if (args.length > 3) args(3) else "docs,ts,label,ann,rel,stream")
+      .split(",").toSet
     if (fams("docs")) docsFamily("sf01", sf01Dir)
     if (fams("ts")) tsFamily("sf01", sf01Dir)
     if (fams("label")) labelFamily("sf01", sf01Dir)
     if (fams("ann")) annFamily("sf01", sf01Dir, nlist = 16)
+    if (fams("rel")) relFamily("sf01", sf01Dir)
+    if (fams("stream")) streamFamily("sf01", sf01Dir)
     if (fams("docs")) docsFamily("scale", scaleDir)
     if (fams("ts")) tsFamily("scale", scaleDir)
     if (fams("label")) labelFamily("scale", scaleDir)
     if (fams("ann")) annFamily("scale", scaleDir, nlist = 256)
+    if (fams("rel")) relFamily("scale", scaleDir)
+    if (fams("stream")) streamFamily("scale", scaleDir)
 
     // assemble JSON: scale rows get their sf01 sibling + per-row ratio
     def fm(d: Double): String = f"$d%.4f"
@@ -245,7 +337,8 @@ object ScaleBench {
     val corpus =
       s""""corpus":{"events":${rowsIn("scale_store_ingest")},""" +
       s""""documents":${rowsIn("scale_sig_build")},""" +
-      s""""embeddings":${rowsIn("scale_ann_build")}}"""
+      s""""embeddings":${rowsIn("scale_ann_build")},""" +
+      s""""lineitem":${rowsIn("scale_skew_join")}}"""
     val json = s"""{"metric":"scale_bench","scale_dir":"$scaleDir",$corpus,""" +
       s""""queries":{${entries.mkString(",")}}}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")

@@ -19,8 +19,12 @@ import org.apache.spark.sql.types._
  *                                       1 near-dup @ ~2% word edits +
  *                                       1 exact dup of the block base)
  *   embeddings.parquet  nVecs rows     (64-dim, 256 planted clusters)
+ *   orders.parquet      nLine/4 rows   (uniform keys, 1996 dates)
+ *   lineitem.parquet    nLine rows     (power-law l_orderkey: 20% of
+ *                                       rows on 100 hot keys — the
+ *                                       salted-join skew regime)
  *
- * Usage: ScaleGen <outDir> [nEvents] [nDocs] [nVecs]
+ * Usage: ScaleGen <outDir> [nEvents] [nDocs] [nVecs] [nLineitem]
  */
 object ScaleGen {
   // ~40-word tech vocabulary in the flavor of the driver's documents
@@ -110,6 +114,69 @@ object ScaleGen {
           lit("}")).as("props"))
   }
 
+  /** Orders dimension for the relational scale family: uniform keys,
+    * the TPC-H-ish column set the oracled q_* queries read. Dates land
+    * in 1996 (the driver corpus's year, so q6-style pushdown windows
+    * stay meaningful). Pure column expressions — generation is a
+    * codegen'd scan, no RDD. */
+  def orders(spark: SparkSession, n: Long): DataFrame = {
+    val statuses = array(lit("F"), lit("O"), lit("P"))
+    val prios = array(lit("1-URGENT"), lit("2-HIGH"), lit("3-MEDIUM"),
+      lit("4-NOT SPECIFIED"), lit("5-LOW"))
+    val baseSec = 820454400L // 1996-01-01 00:00:00 UTC
+    spark.range(0L, n, 1L, 256)
+      .select(col("id").as("o_orderkey"),
+        pmod(xxhash64(col("id"), lit(23L)), lit(math.max(1L, n / 10))).as("o_custkey"),
+        element_at(statuses,
+          (pmod(xxhash64(col("id"), lit(27L)), lit(3L)) + 1).cast("int"))
+          .as("o_orderstatus"),
+        // 2-decimal grid, cents-exact like the driver corpus
+        (pmod(xxhash64(col("id"), lit(29L)), lit(50000000L)) / 100.0)
+          .as("o_totalprice"),
+        timestamp_seconds(lit(baseSec) +
+          pmod(xxhash64(col("id"), lit(31L)), lit(365L)) * 86400L).as("o_orderdate"),
+        element_at(prios,
+          (pmod(xxhash64(col("id"), lit(37L)), lit(5L)) + 1).cast("int"))
+          .as("o_orderpriority"))
+  }
+
+  /** Lineitem facts with a PLANTED POWER-LAW order-key distribution —
+    * the join-skew regime the salted q_skew_join exists for: 20% of
+    * rows land on 100 hot order keys (~200k lineitems per hot key at
+    * 100M rows — a 60000x fan-out over the 3.2 average; one reducer
+    * per hot key without salting), the other 80% spread uniformly.
+    * Everything is a pure function of the row id. */
+  def lineitem(spark: SparkSession, n: Long, nOrders: Long): DataFrame = {
+    val flags = array(lit("A"), lit("N"), lit("R"))
+    val stats = array(lit("O"), lit("F"))
+    val baseSec = 820454400L // 1996-01-01 UTC
+    val hot = pmod(xxhash64(col("id"), lit(43L)), lit(100L))
+    val uniform = pmod(xxhash64(col("id"), lit(41L)), lit(nOrders))
+    spark.range(0L, n, 1L, 512)
+      .select(col("id"),
+        when(pmod(xxhash64(col("id"), lit(39L)), lit(5L)) === 0L, hot)
+          .otherwise(uniform).as("l_orderkey"),
+        pmod(xxhash64(col("id"), lit(47L)), lit(200000L)).as("l_partkey"),
+        pmod(xxhash64(col("id"), lit(53L)), lit(10000L)).as("l_suppkey"),
+        (pmod(xxhash64(col("id"), lit(59L)), lit(7L)) + 1).cast("int")
+          .as("l_linenumber"),
+        (pmod(xxhash64(col("id"), lit(61L)), lit(50L)) + 1).cast("double")
+          .as("l_quantity"),
+        (pmod(xxhash64(col("id"), lit(67L)), lit(10000000L)) / 100.0)
+          .as("l_extendedprice"),
+        (pmod(xxhash64(col("id"), lit(71L)), lit(11L)) / 100.0).as("l_discount"),
+        (pmod(xxhash64(col("id"), lit(73L)), lit(9L)) / 100.0).as("l_tax"),
+        element_at(flags,
+          (pmod(xxhash64(col("id"), lit(79L)), lit(3L)) + 1).cast("int"))
+          .as("l_returnflag"),
+        element_at(stats,
+          (pmod(xxhash64(col("id"), lit(83L)), lit(2L)) + 1).cast("int"))
+          .as("l_linestatus"),
+        timestamp_seconds(lit(baseSec) +
+          pmod(xxhash64(col("id"), lit(89L)), lit(500L)) * 86400L).as("l_shipdate"))
+      .drop("id")
+  }
+
   def documents(spark: SparkSession, n: Long): DataFrame = {
     val schema = StructType(Seq(
       StructField("doc_id", LongType, nullable = false),
@@ -136,6 +203,7 @@ object ScaleGen {
     val nEvents = if (args.length > 1) args(1).toLong else 200000000L
     val nDocs = if (args.length > 2) args(2).toLong else 2000000L
     val nVecs = if (args.length > 3) args(3).toLong else 2000000L
+    val nLine = if (args.length > 4) args(4).toLong else 100000000L
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -162,6 +230,17 @@ object ScaleGen {
     if (nVecs > 0) t(s"embeddings x$nVecs") {
       embeddings(spark, nVecs).write.mode("overwrite")
         .parquet(s"$outDir/embeddings.parquet")
+    }
+    if (nLine > 0) {
+      val nOrders = math.max(1L, nLine / 4)
+      t(s"orders x$nOrders") {
+        orders(spark, nOrders).write.mode("overwrite")
+          .parquet(s"$outDir/orders.parquet")
+      }
+      t(s"lineitem x$nLine") {
+        lineitem(spark, nLine, nOrders).write.mode("overwrite")
+          .parquet(s"$outDir/lineitem.parquet")
+      }
     }
     spark.stop()
   }

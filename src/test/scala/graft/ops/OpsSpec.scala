@@ -480,6 +480,9 @@ class OpsSpec extends AnyFunSuite {
     Similarity.writeModels(emb, "vec_id", "embedding", path6, lshBitsOverride = 6)
     val idx6 = Similarity.readIndex(spark, path6)
     assert(idx6.lshBits == 6 && idx6.lshTables == 8)
+    // the meta also round-trips the corpus size — the quantized query
+    // paths scale their rerank depth with it (r10 scale-recall fix)
+    assert(idx6.n == emb.count())
     assert(fmtAll(Similarity.annTopKStored(idx6, emb, "vec_id", "embedding", 5)) ==
       fmtAll(Similarity.annTopK(emb, "vec_id", "embedding", 5, nBits = 6)))
   }
