@@ -22,7 +22,7 @@ package object functions {
     GorillaDecodeTimestamps, GorillaDecodeValues, GorillaEncode, GorillaEncodeValues,
     GorillaIsValid, GorillaNumPoints, ChunkFingerprintsExpr, HashSetSortedExpr, HyperplaneBucketsExpr, MinHashExpr,
     MinHashFromHashesExpr, MisraGriesAgg, ShingleHashesExpr, SimHashExpr, SimHashTextExpr,
-    SortedIntersectCountExpr, Sq8DotExpr, Sq8EncodeExpr, VecDotExpr, VecL2SqExpr,
+    SortedIntersectCountExpr, AdcScoreExpr, Sq8DotExpr, Sq8EncodeExpr, VecDotExpr, VecL2SqExpr,
     LttbSelectExpr, WinnowFingerprintsExpr, WordNgramsExpr}
 
   type Builder = Seq[Expression] => Expression
@@ -65,6 +65,7 @@ package object functions {
       es(2).eval(null).asInstanceOf[Number].intValue())),
     "sq8_encode" -> (es => Sq8EncodeExpr(es(0), es(1))),
     "sq8_dot" -> (es => Sq8DotExpr(es(0), es(1))),
+    "adc_score" -> (es => AdcScoreExpr(es(0), es(1))),
     "hash_set_sorted" -> (es => HashSetSortedExpr(es(0))),
     "sorted_intersect_count" -> (es => SortedIntersectCountExpr(es(0), es(1))),
     "shingle_hashes" -> (es => ShingleHashesExpr(es(0),
@@ -123,6 +124,8 @@ package object functions {
   def sq8_encode(vec: Column, invScale: Column): Column =
     call_function("sq8_encode", vec, invScale)
   def sq8_dot(a: Column, b: Column): Column = call_function("sq8_dot", a, b)
+  def adc_score(codes: Column, lut: Column): Column =
+    call_function("adc_score", codes, lut)
   def minhash(shingles: Column, k: Int): Column =
     call_function("minhash", shingles, org.apache.spark.sql.functions.lit(k))
   def misra_gries(item: Column, k: Int): Column =

@@ -125,6 +125,30 @@ object VectorKernels {
   /** Integer dot product of two int8 code arrays — exact and
     * order-independent, so approximate ANN scores are bit-stable
     * across partitionings (unlike float accumulation). */
+  /** ADC score of one PQ-coded vector against a query's dense lookup
+    * table: Σ_j lut[j·ksub + codes[j]], summed in subspace order —
+    * deterministic, unlike the exploded join+sum it replaces. ksub
+    * derives from the shapes (lut carries m·ksub entries). */
+  def adcScore(codes: ArrayData, lut: ArrayData): Double = {
+    val m = codes.numElements()
+    val lutLen = lut.numElements()
+    if (m == 0 || lutLen % m != 0)
+      throw new IllegalArgumentException(
+        s"adc_score: lut length $lutLen not a multiple of m=$m")
+    val ksub = lutLen / m
+    var s = 0.0
+    var j = 0
+    while (j < m) {
+      val c = codes.getInt(j)
+      if (c < 0 || c >= ksub)
+        throw new IllegalArgumentException(
+          s"adc_score: code $c out of range [0, $ksub) at subspace $j")
+      s += lut.getDouble(j * ksub + c)
+      j += 1
+    }
+    s
+  }
+
   def sq8Dot(a: Array[Byte], b: Array[Byte]): Long = {
     if (a.length != b.length)
       throw new IllegalArgumentException(
@@ -345,6 +369,29 @@ case class Sq8EncodeExpr(left: Expression, right: Expression) extends BinaryExpr
     VectorKernels.sq8Encode(a.asInstanceOf[ArrayData], b.asInstanceOf[Double])
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorKernels.sq8Encode($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** adc_score(codes array<int>, lut array<double>) -> double — PQ
+  * asymmetric-distance score of one coded vector against a query's
+  * dense LUT (see VectorKernels.adcScore). One codegen'd kernel call
+  * per (query, vector) pair; replaces the exploded (n_id, j, code) ×
+  * LUT join + re-grouping hash aggregate, which shuffled candidate×m
+  * rows per query batch. */
+case class AdcScoreExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val r = GorillaExprs.expect(left, ArrayType(IntegerType), s"$prettyName arg 1")
+    if (r.isFailure) r
+    else GorillaExprs.expect(right, ArrayType(DoubleType), s"$prettyName arg 2")
+  }
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "adc_score"
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.adcScore(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorKernels.adcScore($a, $b)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }

@@ -386,12 +386,14 @@ object Similarity {
                  rerankFactor: Int = 24): DataFrame = {
     val e = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val q = queries.select(col(idCol).as("id"), col(vecCol).as("vec"))
-    val codes = pqEncode(embeddings, idCol, vecCol, books, m).toDF("n_id", "j", "code")
-    val lut = adcLut(q, books, m)
-    // full-corpus ADC scan: every code row finds its LUT entry per query
-    val approx = codes.join(broadcast(lut), Seq("j", "code"))
-      .filter(col("q_id") =!= col("n_id"))
-      .groupBy("q_id", "n_id").agg(sum("pdot").as("approx_dot"))
+    val codes = packCodes(pqEncode(embeddings, idCol, vecCol, books, m), "id")
+      .toDF("n_id", "codes")
+    // full-corpus ADC scan: one kernel call per (query, vector) —
+    // the query LUTs broadcast like bruteTopK's query side
+    val approx = codes.join(broadcast(adcLutArr(q, books, m)),
+        col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        graft.functions.adc_score(col("codes"), col("lut")).as("approx_dot"))
     rerankExact(topApprox(approx, k * rerankFactor), q, e, k)
   }
 
@@ -401,6 +403,40 @@ object Similarity {
     subspaces(q, m).join(broadcast(books), Seq("j"))
       .select(col("id").as("q_id"), col("j"), col("code"),
         dot(col("sub"), col("cw")).as("pdot"))
+
+  /** Codes PACKED one row per vector (`keyCols`*, codes: array<int>
+    * ordered by subspace) — the store/scan shape: the ADC scan is ONE
+    * `adc_score` kernel call per (query, vector) pair instead of m
+    * exploded (id, j, code) rows dragged through a LUT join and
+    * re-grouped by a hash aggregate. At 2M vectors × 100 queries the
+    * exploded form pushed 1.6B rows through that aggregate — the
+    * entire 280-340 s ADC cost of the r10 scale-recall run; the
+    * packed scan is shuffle-free between the code read and topApprox. */
+  private def packCodes(codes: DataFrame, keyCols: String*): DataFrame =
+    codes.groupBy(keyCols.map(col): _*)
+      .agg(transform(array_sort(collect_list(struct(col("j"), col("code")))),
+        s => s.getField("code")).as("codes"))
+
+  /** Dense per-query ADC LUT (q_id, lut: array<double>) indexed
+    * j·ksub + code, for [[graft.functions.adc_score]]. Codebooks may
+    * hold FEWER than ksub live codewords in a subspace (a codeword
+    * that loses every member during Lloyd iterations disappears), so
+    * the dense array is built by explicit position with dead slots at
+    * 0.0 — corpus codes only reference live codewords, so a dead slot
+    * is never read. Summation runs in fixed subspace order inside the
+    * kernel, so scores are deterministic (the exploded join's partial
+    * aggregation order was not). */
+  private def adcLutArr(q: DataFrame, books: DataFrame, m: Int): DataFrame = {
+    val ksub = books.agg(max("code")).collect()(0)
+      .get(0).asInstanceOf[Number].intValue() + 1
+    adcLut(q, books, m)
+      .groupBy("q_id")
+      .agg(map_from_entries(collect_list(struct(
+        (col("j") * ksub + col("code")).as("k"), col("pdot")))).as("__mm"))
+      .select(col("q_id"),
+        transform(sequence(lit(0), lit(m * ksub - 1)),
+          i => coalesce(element_at(col("__mm"), i), lit(0.0))).as("lut"))
+  }
 
   /** Top n candidates per query by approximate score. */
   private def topApprox(approx: DataFrame, n: Int): DataFrame = {
@@ -519,10 +555,12 @@ object Similarity {
       .filter(col("q_id") =!= col("n_id"))
       .select("q_id", "n_id")
     // list-restricted ADC scan: only probed candidates meet their codes
-    val codes = pqEncode(embeddings, idCol, vecCol, books, m).toDF("n_id", "j", "code")
+    val codes = packCodes(pqEncode(embeddings, idCol, vecCol, books, m), "id")
+      .toDF("n_id", "codes")
     val approx = cand.join(codes, Seq("n_id"))
-      .join(broadcast(adcLut(q, books, m)), Seq("q_id", "j", "code"))
-      .groupBy("q_id", "n_id").agg(sum("pdot").as("approx_dot"))
+      .join(broadcast(adcLutArr(q, books, m)), Seq("q_id"))
+      .select(col("q_id"), col("n_id"),
+        graft.functions.adc_score(col("codes"), col("lut")).as("approx_dot"))
     rerankExact(topApprox(approx, k * rerankFactor), q, e, k)
   }
 
@@ -739,7 +777,7 @@ object Similarity {
    * rows) and broadcastable.
    */
   def writeModels(embeddings: DataFrame, idCol: String, vecCol: String,
-                  path: String, nlist: Int = 16, m: Int = 8, ksub: Int = 32,
+                  path: String, nlist: Int = 0, m: Int = 8, ksub: Int = 32,
                   iters: Int = 4, trainSample: Long = 200000L,
                   lshBitsOverride: Int = 0): Unit = {
     // re-training over an existing complete store: drop the marker
@@ -759,6 +797,16 @@ object Similarity {
     // and with it every trained model — is layout- and
     // engine-independent). trainSample <= 0 disables the cap.
     val n = embeddings.count()
+    // nlist <= 0 means CORPUS-ADAPTIVE (like lshBits): hold inverted
+    // lists at ~8k vectors so the probe cost per query is
+    // nprobe·8k-ish at any corpus size — at the historical fixed 16
+    // a 2M-vector corpus had 125k-vector lists, so nprobe=8 scanned
+    // HALF the corpus per query (the r10 scale run measured that as
+    // the whole IVF-family latency). Small corpora keep the
+    // historical 16, so gate-corpus models are bit-identical.
+    val nlistEff =
+      if (nlist > 0) nlist
+      else math.max(16, math.min(4096, (n / 8000L).toInt))
     val train =
       if (trainSample <= 0 || n <= trainSample) embeddings
       else {
@@ -766,7 +814,7 @@ object Similarity {
         embeddings.filter(
           pmod(xxhash64(col(idCol), lit(2166136261L)), lit(1000000L)) < ppm)
       }
-    val centroids = materialize(ivfCentroids(train, idCol, vecCol, nlist, iters))
+    val centroids = materialize(ivfCentroids(train, idCol, vecCol, nlistEff, iters))
     centroids.write.mode("overwrite").parquet(s"$path/centroids")
     val books = materialize(pqCodebooks(train, idCol, vecCol, m, ksub, iters))
     books.write.mode("overwrite").parquet(s"$path/codebooks")
@@ -778,12 +826,16 @@ object Similarity {
     spark.createDataFrame(Seq(Tuple1(maxAbs)))
       .toDF("max_abs").coalesce(1)
       .write.mode("overwrite").parquet(s"$path/sq8")
-    // the encoded corpus: one kernel pass each, written once
+    // the encoded corpus: one kernel pass each, written once. PQ and
+    // residual codes land PACKED (one array<int> row per vector) —
+    // the packing shuffle happens HERE, at ingest, so the ADC scan on
+    // every query is a plain kernel scan with no code explode
     val e = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
     assign(e, centroids).write.mode("overwrite").parquet(s"$path/lists")
-    pqEncode(embeddings, idCol, vecCol, books, m)
+    packCodes(pqEncode(embeddings, idCol, vecCol, books, m), "id")
       .write.mode("overwrite").parquet(s"$path/codes")
-    residualEncode(embeddings, idCol, vecCol, centroids, resBooks, m)
+    packCodes(residualEncode(embeddings, idCol, vecCol, centroids, resBooks, m),
+        "id", "cluster")
       .write.mode("overwrite").parquet(s"$path/res_codes")
     e.select(col("id"), graft.functions.sq8_encode(col("vec"),
         lit(127.0 / maxAbs)).as("code"))
@@ -886,18 +938,19 @@ object Similarity {
     rerankExact(cand, q, e, k)
   }
 
-  /** PQ ADC top-k off persisted codes: the corpus scan reads m small
-    * ints per vector from parquet — never the float arrays. */
+  /** PQ ADC top-k off persisted PACKED codes: the corpus scan reads
+    * one m-int array per vector from parquet — never the float
+    * arrays — and scores with one `adc_score` kernel call per
+    * (query, vector), no shuffle before topApprox. */
   def pqTopKStored(idx: AnnIndex, embeddings: DataFrame, queries: DataFrame,
                    idCol: String, vecCol: String, k: Int, m: Int = 8,
                    rerankFactor: Int = 24): DataFrame = {
     val e = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val q = queries.select(col(idCol).as("id"), col(vecCol).as("vec"))
-    val lut = adcLut(q, idx.books, m)
-    val approx = idx.codes.toDF("n_id", "j", "code")
-      .join(broadcast(lut), Seq("j", "code"))
-      .filter(col("q_id") =!= col("n_id"))
-      .groupBy("q_id", "n_id").agg(sum("pdot").as("approx_dot"))
+    val approx = idx.codes.toDF("n_id", "codes")
+      .join(broadcast(adcLutArr(q, idx.books, m)), col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        graft.functions.adc_score(col("codes"), col("lut")).as("approx_dot"))
     rerankExact(topApprox(approx, rerankDepth(idx, k, rerankFactor)), q, e, k)
   }
 
@@ -911,9 +964,10 @@ object Similarity {
       .join(idx.lists.toDF("n_id", "cluster"), Seq("cluster"))
       .filter(col("q_id") =!= col("n_id"))
       .select("q_id", "n_id")
-    val approx = cand.join(idx.codes.toDF("n_id", "j", "code"), Seq("n_id"))
-      .join(broadcast(adcLut(q, idx.books, m)), Seq("q_id", "j", "code"))
-      .groupBy("q_id", "n_id").agg(sum("pdot").as("approx_dot"))
+    val approx = cand.join(idx.codes.toDF("n_id", "codes"), Seq("n_id"))
+      .join(broadcast(adcLutArr(q, idx.books, m)), Seq("q_id"))
+      .select(col("q_id"), col("n_id"),
+        graft.functions.adc_score(col("codes"), col("lut")).as("approx_dot"))
     rerankExact(topApprox(approx, rerankDepth(idx, k, rerankFactor)), q, e, k)
   }
 
@@ -925,23 +979,22 @@ object Similarity {
                               rerankFactor: Int = 24): DataFrame = {
     val e = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val q = queries.select(col(idCol).as("id"), col(vecCol).as("vec"))
-    val codes = idx.resCodes.toDF("n_id", "cluster", "j", "code")
+    val codes = idx.resCodes.toDF("n_id", "cluster", "codes")
     // candidate lists come from the persisted `lists` table (the SAME
-    // centroid assignment residual encoding used) — not a distinct()
-    // over the m×-larger codes table
+    // centroid assignment residual encoding used)
     val cand = probeLists(q, idx.centroids, nprobe)
       .join(idx.lists.toDF("n_id", "cluster"), Seq("cluster"))
       .filter(col("q_id") =!= col("n_id"))
       .select("q_id", "n_id", "cluster")
-    val lut = adcLut(q, idx.resBooks, m)
     val qc = q.crossJoin(broadcast(idx.centroids))
       .select(col("id").as("q_id"), col("cluster"),
         dot(col("vec"), col("centroid")).as("c_dot"))
-    val approx = cand.join(codes.select("n_id", "j", "code"), Seq("n_id"))
-      .join(broadcast(lut), Seq("q_id", "j", "code"))
-      .groupBy("q_id", "n_id", "cluster").agg(sum("pdot").as("r_dot"))
+    val approx = cand.join(codes.select("n_id", "codes"), Seq("n_id"))
+      .join(broadcast(adcLutArr(q, idx.resBooks, m)), Seq("q_id"))
       .join(broadcast(qc), Seq("q_id", "cluster"))
-      .select(col("q_id"), col("n_id"), (col("c_dot") + col("r_dot")).as("approx_dot"))
+      .select(col("q_id"), col("n_id"),
+        (col("c_dot") + graft.functions.adc_score(col("codes"), col("lut")))
+          .as("approx_dot"))
     rerankExact(topApprox(approx, rerankDepth(idx, k, rerankFactor)), q, e, k)
   }
 
@@ -1055,8 +1108,9 @@ object Similarity {
     val q = queries.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val resid = residualFrame(e, centroids)
     val lists = resid.select(col("id").as("n_id"), col("cluster"))
-    val codes = pqAssign(subspaces(resid.select("id", "vec"), m), resBooks)
-      .toDF("n_id", "j", "code")
+    val codes = packCodes(
+        pqAssign(subspaces(resid.select("id", "vec"), m), resBooks), "id")
+      .toDF("n_id", "codes")
     // candidates keep the neighbor's list so the centroid term of the
     // score can be added back per (query, list)
     val cand = probeLists(q, centroids, nprobe)
@@ -1064,15 +1118,15 @@ object Similarity {
       .filter(col("q_id") =!= col("n_id"))
       .select("q_id", "n_id", "cluster")
     // query-side model tables: residual ADC LUT + per-list dot terms
-    val lut = adcLut(q, resBooks, m)
     val qc = q.crossJoin(broadcast(centroids))
       .select(col("id").as("q_id"), col("cluster"),
         dot(col("vec"), col("centroid")).as("c_dot"))
     val approx = cand.join(codes, Seq("n_id"))
-      .join(broadcast(lut), Seq("q_id", "j", "code"))
-      .groupBy("q_id", "n_id", "cluster").agg(sum("pdot").as("r_dot"))
+      .join(broadcast(adcLutArr(q, resBooks, m)), Seq("q_id"))
       .join(broadcast(qc), Seq("q_id", "cluster"))
-      .select(col("q_id"), col("n_id"), (col("c_dot") + col("r_dot")).as("approx_dot"))
+      .select(col("q_id"), col("n_id"),
+        (col("c_dot") + graft.functions.adc_score(col("codes"), col("lut")))
+          .as("approx_dot"))
     rerankExact(topApprox(approx, k * rerankFactor), q, e, k)
   }
 }

@@ -253,7 +253,10 @@ object OpsQueries {
 
   /** Cache key: input dir + total bytes+mtimes of the embeddings
     * table, so a regenerated test dir never reads stale models (the
-    * `m8` suffix versions the store layout/params — m8 records the
+    * `m9` suffix versions the store layout/params — m9 packs the
+    * PQ/residual codes (one array<int> row per vector — the adc_score
+    * kernel-scan shape) and makes nlist corpus-adaptive (identical 16
+    * below 128k vectors); m8 records the
     * corpus size in lsh_meta so the quantized query paths scale their
     * rerank depth with it (the r10 scale-recall fix): a cached m7
     * store would silently keep the fixed depth; m7 forced
@@ -268,7 +271,7 @@ object OpsQueries {
     val src = new java.io.File(s"$dir/embeddings.parquet")
     val files = if (src.isDirectory) src.listFiles().toSeq else Seq(src)
     val fp = files.filter(_.isFile).map(f => f.length() + f.lastModified()).sum
-    s"/tmp/graft_models/${dir.replaceAll("[^A-Za-z0-9.]", "_")}_${java.lang.Long.toHexString(fp)}_m8"
+    s"/tmp/graft_models/${dir.replaceAll("[^A-Za-z0-9.]", "_")}_${java.lang.Long.toHexString(fp)}_m9"
   }
 
   /** Pinned recall floors (basis points) for `quality_recall_gate` —

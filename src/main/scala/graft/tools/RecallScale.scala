@@ -19,18 +19,26 @@ import org.apache.spark.sql.functions._
  * RECALL_SCALE.json. A recall below floor prints pass=false (red) and
  * exits 1, so any harness running the tool fails loudly.
  *
- * The gate already earned its keep: the first run (fixed rerank
- * depth k·24, committed as the r10 finding) measured PQ 220 bp,
- * IVF-PQ 260, residual 100, SQ8 760 at 2M vectors — quantized scores
- * cannot rank within an ~8k-member planted cluster and the fixed
- * depth captured almost none of the exact top-k. The fix
- * (corpus-adaptive rerank depth, `Similarity.rerankDepth` — the
- * index records its corpus size in lsh_meta) recovers: measured
- * 2026-08-14 at 2M vectors (floors in the map sit under these with
- * deliberate margin; corpus and models are deterministic per
- * config): lsh full-budget 8340, lsh t2=6 8160 (the join default's
- * budget at adaptive 16-bit geometry), ivf 10000, pq 9000,
- * ivfpq 9000, ivfpq_res 9100, sq8 9520, ivfsq8 9520.
+ * The gate already earned its keep twice in round 10:
+ *
+ *  1. Its first run (fixed rerank depth k·24) measured PQ 220 bp,
+ *     IVF-PQ 260, residual 100, SQ8 760 at 2M vectors — quantized
+ *     scores cannot rank within an ~8k-member planted cluster and
+ *     the fixed depth captured almost none of the exact top-k.
+ *     Fixed by corpus-adaptive rerank depth
+ *     (`Similarity.rerankDepth`; the index records its corpus size).
+ *  2. The same run exposed IVF latency (70-165 s per 100 queries):
+ *     the fixed nlist=16 left 125k-vector lists, so nprobe=8 scanned
+ *     HALF the corpus. Fixed by corpus-adaptive nlist (lists held at
+ *     ~8k vectors) plus the packed-codes `adc_score` kernel scan.
+ *
+ * Final measured 2026-08-14 at 2M vectors (floors in the map sit
+ * under these with deliberate margin; corpus and models are
+ * deterministic per config): lsh full-budget 8340 (3.7 s), lsh t2=6
+ * 8160 (the join default's budget at adaptive 16-bit geometry), ivf
+ * 10000 (7.7 s, was 70-165), pq 8860 (42.7 s full ADC scan, was
+ * 280), ivfpq 8860 (4.2 s, was 98), ivfpq_res 9060 (4.7 s), sq8 9520
+ * (35.5 s full scan), ivfsq8 9520 (4.2 s, was 23).
  *
  * Usage: RecallScale [scaleDir [outJson]]
  */
