@@ -759,6 +759,33 @@ class OpsSpec extends AnyFunSuite {
     assert(dot > 0, "self-dot of a nonzero code vector is positive")
   }
 
+  test("adc_score kernel: positional LUT lookup, dead slots never read, bad codes fail loudly") {
+    import spark.implicits._
+    import graft.functions.adc_score
+    // m=2 subspaces, ksub=3: lut laid out j*ksub+code. codes (1, 2)
+    // must read lut[0*3+1]=10.0 and lut[1*3+2]=0.25 — fixed j-order sum
+    val df = Seq((Seq(1, 2), Seq(1.0, 10.0, 100.0, 0.125, 0.5, 0.25)))
+      .toDF("codes", "lut")
+    assert(df.select(adc_score(col("codes"), col("lut"))).first().getDouble(0)
+      == 10.25)
+    // a dead codeword slot (never referenced by any code) does not
+    // affect the score: change lut[2] only
+    val df2 = Seq((Seq(1, 2), Seq(1.0, 10.0, -999.0, 0.125, 0.5, 0.25)))
+      .toDF("codes", "lut")
+    assert(df2.select(adc_score(col("codes"), col("lut"))).first().getDouble(0)
+      == 10.25)
+    // out-of-range code and misshapen lut must fail loudly, not read
+    // a neighboring subspace's entry
+    intercept[Exception] {
+      Seq((Seq(3, 0), Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0))).toDF("codes", "lut")
+        .select(adc_score(col("codes"), col("lut"))).collect()
+    }
+    intercept[Exception] {
+      Seq((Seq(0, 0), Seq(1.0, 2.0, 3.0, 4.0, 5.0))).toDF("codes", "lut")
+        .select(adc_score(col("codes"), col("lut"))).collect()
+    }
+  }
+
   test("dedup_cluster_stats is consistent with pipeline and apply") {
     val q = graft.queries.OpsQueries.queries
     val stats = q("dedup_cluster_stats")(spark, dir).collect()
