@@ -281,6 +281,30 @@ object ScaleBench {
       timed(s"${tag}_range_join", nLine, "binned interval join, facts x audit windows") {
         noop(rel("q_range_join")(spark, dir))
       }
+      // the oracled q_range_join derives its audit set as a FIXED
+      // FRACTION of orders, so at a 10x corpus jump BOTH join sides
+      // grow and candidate-pair volume grows ~100x (the 1.92
+      // per-input-row linearity reading). Production auditors do not
+      // multiply with the corpus: this variant holds the interval
+      // count at ~2.5k regardless of scale, which is the per-row-flat
+      // claim the 100 TB story actually makes
+      timed(s"${tag}_range_join_fixed", nLine,
+        "same binned join, auditor count held at ~2.5k (production shape)") {
+        val nOrders = spark.read.parquet(s"$dir/orders.parquet").count()
+        val mod = math.max(1L, nOrders / 2500L)
+        val l = spark.read.parquet(s"$dir/lineitem.parquet")
+          .select(col("l_quantity"),
+            col("l_shipdate").cast("timestamp").cast("long").as("ship_sec"))
+        val iv = spark.read.parquet(s"$dir/orders.parquet")
+          .filter(pmod(col("o_orderkey"), lit(mod)) === 0)
+          .select(col("o_orderkey").as("audit_key"),
+            col("o_orderdate").cast("timestamp").cast("long").as("lo"),
+            (col("o_orderdate").cast("timestamp").cast("long") + lit(7L * 86400))
+              .as("hi"))
+        noop(graft.ops.RangeJoin.bucketed(l, "ship_sec", iv, "lo", "hi", 7L * 86400)
+          .groupBy("audit_key")
+          .agg(count(lit(1)).as("n_ship"), sum("l_quantity").as("sum_qty")))
+      }
     }
 
     /** ANN index build + query against one corpus dir. */

@@ -174,6 +174,24 @@ class ExplainAllSpec extends AnyFunSuite {
     }
   }
 
+  test("PQ ADC scan is the packed kernel, not an exploded code join (scale-shape gate)") {
+    // the r10 scale-recall run measured the exploded (id, j, code) ×
+    // LUT join + re-grouping aggregate as the entire 280-340 s ADC
+    // cost at 2M vectors; the packed adc_score kernel scan must not
+    // silently regress back to it
+    graft.queries.OpsQueries.storeModels(spark, dir)
+    for (name <- Seq("sim_ann_pq", "sim_ann_ivfpq", "sim_ann_ivfpq_res")) {
+      val plan = SparkEntry.queries(name)(spark, dir).queryExecution
+        .optimizedPlan.toString
+      assert(plan.contains("adc_score"),
+        s"$name lost the packed ADC kernel:\n${plan.take(3000)}")
+      assert(!plan.toLowerCase.contains("approx_dot) as approx_dot#"),
+        s"$name re-grew an ADC re-grouping aggregate")
+      assert(!plan.contains("sum(pdot"),
+        s"$name re-grew the exploded LUT-join aggregate:\n${plan.take(3000)}")
+    }
+  }
+
   test("q6 scan keeps its pushed filters (regression gate on pushdown)") {
     val plan = SparkEntry.queries("q6_filter")(spark, dir).queryExecution
       .executedPlan.toString
