@@ -593,6 +593,55 @@ object TsQueries {
             """{type="view", region="r2"}"""),
           labelCols, 900)
         .orderBy("type", "host", "region", "bucket")),
+    // PromQL BINARY OP with vector matching — `sum({type="click"})
+    // / on(host, region) sum({type="view"})`, the error-ratio /
+    // conversion-rate query every metrics user writes next: each side
+    // is a selector-pruned COMPRESSED-DOMAIN range aggregate (chunk
+    // metadata prune → header stats + boundary fold, series-grain
+    // rows, never points), re-aggregated to the `on()` label subset,
+    // then one equi-join ON series-grain partials. PromQL one-to-one
+    // matching = inner join (unmatched label-sets drop). At 100 TB
+    // both join inputs are |matched label-sets| rows — the expensive
+    // part stayed compressed-domain; the join is broadcastable noise
+    "ts_label_ratio" -> ((s, dir) => {
+      val ch = labeledStoreChunks(s, dir, RangeFrom, RangeTo)
+      def side(sel: String, alias: String) =
+        graft.tsdb.Labels.selectRangeAgg(ch, labelCols, sel, RangeFrom, RangeTo)
+          .groupBy("host", "region")
+          .agg(sum("n").as(s"n_$alias"), sum("sum_cents").as(s"${alias}_cents"))
+      side("""{type="click"}""", "click")
+        .join(broadcast(side("""{type="view"}""", "view")), Seq("host", "region"))
+        .withColumn("ratio", col("click_cents").cast("double") /
+          nullif(col("view_cents"), lit(0L)).cast("double"))
+        .select("host", "region", "n_click", "click_cents", "n_view",
+          "view_cents", "ratio")
+        .orderBy("host", "region")
+    }),
+    // PromQL OFFSET modifier — `sum({type="click", region="r1"})
+    // [range] vs the same selector `offset 2d`: the window-over-window
+    // comparison behind every "vs last week" dashboard panel. BOTH
+    // evaluation windows are selector-pruned compressed-domain range
+    // aggregates off ONE store read spanning the union range (chunk
+    // metadata prune first; the offset window re-uses the same pruned
+    // chunk frame, no second scan lineage), inner-joined per full
+    // label set (PromQL drops series absent from either window).
+    // Exact BIGINT delta; the ratio is the only float
+    "ts_label_offset" -> ((s, dir) => {
+      val off = 172800L // offset 2d
+      val ch = labeledStoreChunks(s, dir, RangeFrom - off, RangeTo)
+      val sel = """{type="click", region="r1"}"""
+      def win(from: Long, to: Long, alias: String) =
+        graft.tsdb.Labels.selectRangeAgg(ch, labelCols, sel, from, to)
+          .select(col("type"), col("host"), col("region"),
+            col("n").as(s"n_$alias"), col("sum_cents").as(s"${alias}_cents"))
+      win(RangeFrom, RangeTo, "cur")
+        .join(broadcast(win(RangeFrom - off, RangeTo - off, "prev")),
+          Seq("type", "host", "region"))
+        .withColumn("delta_cents", col("cur_cents") - col("prev_cents"))
+        .withColumn("ratio", col("cur_cents").cast("double") /
+          nullif(col("prev_cents"), lit(0L)).cast("double"))
+        .orderBy("type", "host", "region")
+    }),
     // per-series VARIANCE over a time range, compressed-domain: the
     // exact integer moments (n, S, Q) come from stored header stats
     // for covered chunks and the streaming range kernel for boundary
@@ -1904,6 +1953,50 @@ object TsQueries {
         |  CAST(sum(CAST(round(v * 100) AS BIGINT)) AS BIGINT) / (count(*) * 100.0) AS avg_v
         |FROM lbl WHERE type = 'view' AND region = 'r2'
         |GROUP BY 1, 2, 3, 4 ORDER BY type, host, region, bucket""".stripMargin,
+    // vector matching: each side re-aggregates series-grain range
+    // sums to the on(host, region) subset; one-to-one match = inner
+    // join; the division runs on BIGINT cents cast to DOUBLE so both
+    // engines do one identical IEEE division
+    "ts_label_ratio" ->
+      s"""WITH lbl AS (SELECT event_type AS type,
+        |  'h' || CAST(user_id % 100 AS VARCHAR) AS host,
+        |  'r' || CAST(user_id % 4 AS VARCHAR) AS region,
+        |  CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS ts, value AS v FROM events),
+        |pts AS (SELECT * FROM lbl WHERE ts >= $RangeFrom AND ts <= $RangeTo),
+        |c AS (SELECT host, region, CAST(count(*) AS BIGINT) AS n_click,
+        |    CAST(sum(CAST(round(v * 100) AS BIGINT)) AS BIGINT) AS click_cents
+        |  FROM pts WHERE type = 'click' GROUP BY 1, 2),
+        |w AS (SELECT host, region, CAST(count(*) AS BIGINT) AS n_view,
+        |    CAST(sum(CAST(round(v * 100) AS BIGINT)) AS BIGINT) AS view_cents
+        |  FROM pts WHERE type = 'view' GROUP BY 1, 2)
+        |SELECT c.host, c.region, n_click, click_cents, n_view, view_cents,
+        |  CAST(click_cents AS DOUBLE) / CAST(nullif(view_cents, 0) AS DOUBLE)
+        |    AS ratio
+        |FROM c JOIN w ON c.host = w.host AND c.region = w.region
+        |ORDER BY c.host, c.region""".stripMargin,
+    // offset modifier: the same selector over [from, to] and
+    // [from-2d, to-2d]; series must appear in BOTH windows (PromQL
+    // binary-op matching), delta on exact BIGINT cents
+    "ts_label_offset" ->
+      s"""WITH lbl AS (SELECT event_type AS type,
+        |  'h' || CAST(user_id % 100 AS VARCHAR) AS host,
+        |  'r' || CAST(user_id % 4 AS VARCHAR) AS region,
+        |  CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS ts, value AS v FROM events
+        |  WHERE event_type = 'click' AND user_id % 4 = 1),
+        |cur AS (SELECT type, host, region, CAST(count(*) AS BIGINT) AS n_cur,
+        |    CAST(sum(CAST(round(v * 100) AS BIGINT)) AS BIGINT) AS cur_cents
+        |  FROM lbl WHERE ts >= $RangeFrom AND ts <= $RangeTo GROUP BY 1, 2, 3),
+        |prev AS (SELECT type, host, region, CAST(count(*) AS BIGINT) AS n_prev,
+        |    CAST(sum(CAST(round(v * 100) AS BIGINT)) AS BIGINT) AS prev_cents
+        |  FROM lbl WHERE ts >= ${RangeFrom - 172800L} AND ts <= ${RangeTo - 172800L}
+        |  GROUP BY 1, 2, 3)
+        |SELECT cur.type, cur.host, cur.region, n_cur, cur_cents, n_prev,
+        |  prev_cents, cur_cents - prev_cents AS delta_cents,
+        |  CAST(cur_cents AS DOUBLE) / CAST(nullif(prev_cents, 0) AS DOUBLE)
+        |    AS ratio
+        |FROM cur JOIN prev ON cur.type = prev.type AND cur.host = prev.host
+        |  AND cur.region = prev.region
+        |ORDER BY cur.type, cur.host, cur.region""".stripMargin,
     "ts_histogram" -> s"""WITH $ptsSql
       |SELECT user_id, event_type,
       |  CAST(floor(CAST(round(v * 100) AS BIGINT) / 5000.0) AS BIGINT) AS bucket,

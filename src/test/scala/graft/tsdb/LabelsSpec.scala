@@ -130,6 +130,55 @@ class LabelsSpec extends AnyFunSuite {
     assert(ds.count() > 0)
   }
 
+  test("ts_label_ratio / ts_label_offset: selector-first, broadcast-joined, compressed-domain") {
+    val from = 1704844800L; val to = 1705017600L
+    // vector matching: both sides' selectors push to their scans, the
+    // on(host, region) match joins series-grain partials via BROADCAST
+    val ratio = graft.queries.TsQueries.queries("ts_label_ratio")(spark, dir)
+    val rPlan = ratio.queryExecution.executedPlan.toString
+    assert(rPlan.contains("EqualTo(type,click)"), rPlan.take(3000))
+    assert(rPlan.contains("EqualTo(type,view)"), rPlan.take(3000))
+    assert(rPlan.contains("BroadcastHashJoin"), rPlan.take(3000))
+    assert(!rPlan.contains("gorilla_decode"),
+      "binary op must stay compressed-domain:\n" + rPlan.take(3000))
+    // semantics vs raw events: cents ratio per (host, region)
+    val evRaw = graft.queries.Tables(spark, dir, "events")
+    val sec = Ts.epochSec(evRaw, "ts")
+    val ev = evRaw
+      .filter(sec >= from && sec <= to)
+      .groupBy(concat(lit("h"), pmod(col("user_id"), lit(100L))).as("host"),
+        concat(lit("r"), pmod(col("user_id"), lit(4L))).as("region"),
+        col("event_type"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+    val want = ev.filter(col("event_type") === "click")
+      .withColumnRenamed("cents", "click_cents")
+      .join(ev.filter(col("event_type") === "view")
+        .withColumnRenamed("cents", "view_cents"), Seq("host", "region"))
+      .select(col("host"), col("region"), col("click_cents"), col("view_cents"))
+      .orderBy("host", "region").collect().map(_.toSeq).toSeq
+    val got = ratio.select("host", "region", "click_cents", "view_cents")
+      .collect().map(_.toSeq).toSeq
+    assert(got == want)
+    assert(got.nonEmpty)
+
+    // offset: the same selector at two windows; both windows' label
+    // predicates pushed, one store lineage, broadcast inner join
+    val off = graft.queries.TsQueries.queries("ts_label_offset")(spark, dir)
+    val oPlan = off.queryExecution.executedPlan.toString
+    assert(oPlan.contains("EqualTo(type,click)"), oPlan.take(3000))
+    // the scan's PushedFilters render truncates at 100 chars, so pin
+    // the second matcher by its Catalyst filter spelling
+    assert(oPlan.contains(" = r1)"), oPlan.take(3000))
+    assert(oPlan.contains("BroadcastHashJoin"), oPlan.take(3000))
+    val rows = off.collect()
+    assert(rows.nonEmpty)
+    // delta is exactly cur - prev on every row
+    rows.foreach { r =>
+      assert(r.getLong(r.fieldIndex("delta_cents")) ==
+        r.getLong(r.fieldIndex("cur_cents")) - r.getLong(r.fieldIndex("prev_cents")))
+    }
+  }
+
   test("selectRangeAgg equals the unlabeled compute with manual filters") {
     val from = 1704844800L; val to = 1705017600L
     val got = graft.queries.TsQueries.queries("ts_label_select")(spark, dir)
