@@ -129,7 +129,8 @@ object Bench {
     * ride bench_out.json + the committed BENCH_FULL.json. */
   private[graft] def compactLine(results: Seq[(String, Double)], total: Double,
                                  sfName: String): String = {
-    def build(unit: String, scale: Double, grammar: Boolean): String = {
+    def build(unit: String, scale: Double, grammar: Boolean,
+              base36: Boolean = false): String = {
       val entries = results.sortBy(_._1)
         .map { case (k, v) =>
           // -1 marks a FAILED query (both timed runs threw) — keep the
@@ -137,29 +138,41 @@ object Bench {
           // it up to a plausible-looking 0
           (k.split('_').toList, if (v < 0) -1L else math.round(v * scale))
         }
-      val f = if (grammar) """"f":"k:v,g(kids),join _",""" else ""
-      s"""{"u":"$unit",$f"q":"${emitTrie(entries)}"}"""
+      val enc: Long => String =
+        if (base36) v => java.lang.Long.toString(v, 36) else v => v.toString
+      // base36 tiers always self-describe (v36 in the hint): the value
+      // encoding must never depend on out-of-band knowledge
+      val f =
+        if (base36) """"f":"k:v(v base36),g(kids),join _","""
+        else if (grammar) """"f":"k:v,g(kids),join _","""
+        else ""
+      s"""{"u":"$unit",$f"q":"${emitTrie(entries, enc)}"}"""
     }
     // budget: the driver keeps the LAST 2000 stdout chars; with the sbt
     // success epilogue suppressed (build.sbt showSuccess := false) the
     // compact line + its newline is the tail's end, so ≤ 1995 keeps the
     // whole line visible with margin. Fallback tiers: centiseconds
-    // with the inline grammar hint; deciseconds with it; deciseconds
-    // without it (the grammar also lives in this file's doc, and the
-    // full-precision flat map always rides BENCH_FULL.json)
+    // with the inline grammar hint (the r1-r9 format); the same two
+    // units with base-36 values (one char covers 3.5 s at ds — the
+    // 168-key round 10 line outgrew decimal ds); decimal ds without
+    // the hint last (the grammar also lives in this file's doc, and
+    // the full-precision flat map always rides BENCH_FULL.json)
     Seq(build("cs", 100.0, grammar = true),
         build("ds", 10.0, grammar = true),
+        build("cs", 100.0, grammar = true, base36 = true),
+        build("ds", 10.0, grammar = true, base36 = true),
         build("ds", 10.0, grammar = false))
       .find(_.length <= 1995)
-      .getOrElse(build("ds", 10.0, grammar = false))
+      .getOrElse(build("ds", 10.0, grammar = true, base36 = true))
   }
 
   /** Emit items (token-path, value) in the packed grammar, collapsing
     * single-child chains back into '_'-joined names. */
-  private def emitTrie(items: Seq[(List[String], Long)]): String = {
+  private def emitTrie(items: Seq[(List[String], Long)],
+                       enc: Long => String = _.toString): String = {
     val (leaves, rest) = items.partition(_._1.isEmpty)
     val parts = scala.collection.mutable.ArrayBuffer.empty[String]
-    leaves.foreach { case (_, v) => parts += ":" + v }
+    leaves.foreach { case (_, v) => parts += ":" + enc(v) }
     rest.groupBy(_._1.head).toSeq.sortBy(_._1).foreach { case (tok, g) =>
       var path = List(tok)
       var sub: Seq[(List[String], Long)] = g.map { case (t, v) => (t.tail, v) }
@@ -173,8 +186,8 @@ object Bench {
       }
       val name = path.mkString("_")
       sub match {
-        case Seq((Nil, v)) => parts += name + ":" + v
-        case _             => parts += name + "(" + emitTrie(sub) + ")"
+        case Seq((Nil, v)) => parts += name + ":" + enc(v)
+        case _             => parts += name + "(" + emitTrie(sub, enc) + ")"
       }
     }
     parts.mkString(",")

@@ -866,6 +866,95 @@ object Similarity {
     fsOut.create(new org.apache.hadoop.fs.Path(path, "_SUCCESS"), true).close()
   }
 
+  /**
+   * INCREMENTAL index maintenance — append a batch of new vectors to a
+   * complete [[writeModels]] store WITHOUT retraining: the batch is
+   * encoded with the STORED models (centroid assignment, PQ/residual
+   * codes, int8 at the stored scale, LSH at the stored geometry) and
+   * appended to the corpus tables. This is the daily-growth path at
+   * 100 TB: encoding a batch is linear in the batch, while a rebuild
+   * re-trains and re-encodes the whole corpus (the r9 scale run
+   * measured that at 245 s for 2M vectors — per day, for ever).
+   *
+   * Contract: after append, every corpus table equals what
+   * [[writeModels]] would have produced had it encoded base ∪ batch
+   * with the same trained models (encoders are deterministic), so
+   * every `*TopKStored` query path serves the union transparently —
+   * the meta corpus count is bumped so corpus-adaptive rerank depth
+   * tracks growth. Model quality drifts only as far as the corpus
+   * distribution drifts from the training corpus — re-train (a fresh
+   * [[writeModels]]) on schedule, not per batch. The stored sq8 scale
+   * is kept: batch components beyond it CLAMP (same as FAISS's fixed
+   * ScalarQuantizer ranges); LSH lists gain per-batch fragment rows
+   * for touched buckets — query-time bucket caps then apply per
+   * fragment (conservative: fragments are only ever SMALLER than the
+   * merged list) — fold them with [[compactLshLists]] on the same
+   * schedule as retraining.
+   *
+   * Same crash discipline as [[writeModels]]: the `_SUCCESS` marker
+   * drops before the first append and returns after the meta bump, so
+   * a half-appended store reads as absent, never as a torn index.
+   */
+  def appendToModels(batch: DataFrame, idCol: String, vecCol: String,
+                     path: String): Unit = {
+    val spark = batch.sparkSession
+    require(modelsExist(spark, path),
+      s"appendToModels target $path is not a complete model store")
+    val (centroids, books, resBooks) = readModels(spark, path)
+    val maxAbs = readSq8Scale(spark, path)
+    val meta = spark.read.parquet(s"$path/lsh_meta")
+      .select("bits", "tables", "n").collect()(0)
+    val (bits, tables, n0) = (meta.getInt(0), meta.getInt(1), meta.getLong(2))
+    // m is a property of the trained codebooks, not a caller knob —
+    // an append may not silently encode with a different geometry
+    val m = books.agg(max("j")).collect()(0).getInt(0) + 1
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path, "_SUCCESS"), false)
+    val e = batch.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    assign(e, centroids).write.mode("append").parquet(s"$path/lists")
+    packCodes(pqEncode(batch, idCol, vecCol, books, m), "id")
+      .write.mode("append").parquet(s"$path/codes")
+    packCodes(residualEncode(batch, idCol, vecCol, centroids, resBooks, m),
+        "id", "cluster")
+      .write.mode("append").parquet(s"$path/res_codes")
+    e.select(col("id"), graft.functions.sq8_encode(col("vec"),
+        lit(127.0 / maxAbs)).as("code"))
+      .write.mode("append").parquet(s"$path/sq8_codes")
+    lshBuckets(batch, idCol, vecCol, nBits = bits, tables = tables)
+      .groupBy("table", "bucket").agg(collect_list("id").as("ids"))
+      .write.mode("append").parquet(s"$path/lsh_lists")
+    // bump the corpus count (rerank depth scales with it). Parquet
+    // overwrite of a read path self-deadlocks, so stage + rename
+    val n1 = n0 + batch.count()
+    val tmpMeta = s"$path/lsh_meta.tmp"
+    spark.createDataFrame(Seq((bits, tables, n1)))
+      .toDF("bits", "tables", "n").coalesce(1)
+      .write.mode("overwrite").parquet(tmpMeta)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/lsh_meta"), true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmpMeta),
+      new org.apache.hadoop.fs.Path(s"$path/lsh_meta"))
+    fs.create(new org.apache.hadoop.fs.Path(path, "_SUCCESS"), true).close()
+  }
+
+  /** Fold the per-batch LSH fragment rows [[appendToModels]] leaves
+    * into one (table, bucket, ids) row per bucket again — run on the
+    * retrain schedule, not per batch. Marker discipline as above. */
+  def compactLshLists(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path, "_SUCCESS"), false)
+    val merged = spark.read.parquet(s"$path/lsh_lists")
+      .select(col("table"), col("bucket"), explode(col("ids")).as("id"))
+      .groupBy("table", "bucket").agg(collect_list("id").as("ids"))
+    val tmp = s"$path/lsh_lists.tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/lsh_lists"), true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp),
+      new org.apache.hadoop.fs.Path(s"$path/lsh_lists"))
+    fs.create(new org.apache.hadoop.fs.Path(path, "_SUCCESS"), true).close()
+  }
+
   /** Read the complete index: bounded model tables materialized, the
     * encoded corpus left as parquet scans. */
   def readIndex(spark: SparkSession, path: String): AnnIndex = {

@@ -44,6 +44,29 @@ object OpsQueries {
     })
   }
 
+  /** The INCREMENTALLY MAINTAINED index for a dir: trained + encoded
+    * on a 90% base corpus, then the held-out 10% appended through
+    * [[Similarity.appendToModels]] with the STORED models — the
+    * daily-growth maintenance path, published once like
+    * [[storeModels]]. The base/batch split is the same deterministic
+    * id-hash construction the samplers use, so both halves are
+    * engine- and layout-stable. */
+  def appendedModels(s: SparkSession, dir: String): Similarity.AnnIndex = synchronized {
+    val path = modelPath(dir) + "_app"
+    publishOnce(s, path) { tmp =>
+      val e = Tables(s, dir, "embeddings")
+      val isBatch = pmod(xxhash64(col("vec_id"), lit(779L)), lit(10L)) === 7L
+      Similarity.writeModels(e.filter(!isBatch), "vec_id", "embedding", tmp)
+      Similarity.appendToModels(e.filter(isBatch), "vec_id", "embedding", tmp)
+    }
+    indexCache.getOrElseUpdate((s, path), {
+      val idx = Similarity.readIndex(s, path)
+      Seq(idx.lists, idx.codes, idx.resCodes, idx.sq8Codes, idx.lshLists)
+        .foreach(_.persist())
+      idx
+    })
+  }
+
   private val indexCache =
     scala.collection.mutable.Map[(SparkSession, String), Similarity.AnnIndex]()
 
@@ -185,7 +208,7 @@ object OpsQueries {
     // part, and they are identical across those consumers
     recallCache.getOrElseUpdate((s, dir), {
       val df = computeRecallReport(s, dir)
-      val rows = df.collect() // 12 rows — one per approximate op
+      val rows = df.collect() // 13 rows — one per approximate op
       s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1), df.schema)
     })
   }
@@ -208,7 +231,8 @@ object OpsQueries {
           expr("CAST(n_matched * 10000 DIV n_true AS BIGINT)").as("recall_bp"))
     }
     val annOps = Seq("sim_ann_lsh", "sim_ann_lsh_join", "sim_ann_ivf", "sim_ann_pq",
-      "sim_ann_ivfpq", "sim_ann_ivfpq_res", "sim_ann_sq8", "sim_ann_ivfsq8")
+      "sim_ann_ivfpq", "sim_ann_ivfpq_res", "sim_ann_sq8", "sim_ann_ivfsq8",
+      "sim_ann_append")
     val annRows = annOps.map { op =>
       recallRow(op, brutePairs,
         queries(op)(s, dir).filter(col("q_id") < 10)
@@ -284,7 +308,9 @@ object OpsQueries {
   // at the LshTune-tuned probes=2/t2=6 budget), sf0.01 / sf0.1:
   // lsh 8000/9200, lsh_join 7200/9000, ivf 8600/8400, pq 9800/8200,
   // ivfpq 8600/7400, ivfpq_res 8600/7200, sq8 10000/10000,
-  // ivfsq8 8600/8400; floors sit under the measured minimum (most by
+  // ivfsq8 8600/8400, append 8200/6600 (the incremental store trains
+  // on the 90% base, so it sits a few hundred bp under ivfpq by
+  // construction — drift cost, not a bug); floors sit under the measured minimum (most by
   // 10-20 points; the two lsh rows by 5-7 points — acceptable
   // because the corpus is seeded and the measurement is deterministic
   // per config, so the margin only has to absorb config changes,
@@ -300,6 +326,7 @@ object OpsQueries {
     "sim_ann_pq" -> 6500L,
     "sim_ann_ivfpq" -> 6000L,
     "sim_ann_ivfpq_res" -> 6000L,
+    "sim_ann_append" -> 6000L,
     "sim_ann_sq8" -> 9000L,
     "sim_ann_ivfsq8" -> 7000L,
     "dedup_minhash" -> 10000L,
@@ -481,6 +508,20 @@ object OpsQueries {
     "sim_ann_ivfsq8" -> ((s, dir) => {
       val e = Tables(s, dir, "embeddings")
       Similarity.ivfSq8TopKStored(storeModels(s, dir), e,
+        e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+        .orderBy("q_id", "rank")
+    }),
+    // INCREMENTAL index maintenance end-to-end: the store was trained
+    // + encoded on a 90% base corpus and the held-out 10% APPENDED
+    // with the stored models (Similarity.appendToModels — no retrain,
+    // no corpus re-encode), then the flagship IVF-PQ query serves the
+    // union off the maintained tables. The daily-growth path: batch
+    // encode is linear in the batch; a rebuild re-trains + re-encodes
+    // everything (245 s at 2M vectors, per day, for ever). Rows-only:
+    // recall floor + append/rebuild table parity pinned in OpsSpec
+    "sim_ann_append" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      Similarity.ivfPqTopKStored(appendedModels(s, dir), e,
         e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
         .orderBy("q_id", "rank")
     }),

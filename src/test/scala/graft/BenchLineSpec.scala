@@ -29,7 +29,7 @@ class BenchLineSpec extends AnyFunSuite {
   /** Recursive-descent parse of the packed `q` grammar back to the
     * flat name -> value map — the reconstruction rule the "f" field
     * declares to the driver/judge. */
-  private def parsePacked(s: String): Map[String, Long] = {
+  private def parsePacked(s: String, radix: Int = 10): Map[String, Long] = {
     val out = collection.mutable.Map.empty[String, Long]
     var i = 0
     def ident(): String = {
@@ -37,11 +37,13 @@ class BenchLineSpec extends AnyFunSuite {
       while (i < s.length && (s(i).isLetterOrDigit || s(i) == '_')) i += 1
       s.substring(start, i)
     }
+    // a value always follows ':' and runs to the next ',' / ')' / end,
+    // so base-36 digits (which share the ident charset) stay unambiguous
     def number(): Long = {
       val start = i
       if (i < s.length && s(i) == '-') i += 1
-      while (i < s.length && s(i).isDigit) i += 1
-      s.substring(start, i).toLong
+      while (i < s.length && s(i).isLetterOrDigit) i += 1
+      java.lang.Long.parseLong(s.substring(start, i), radix)
     }
     def children(prefix: String): Unit = {
       var more = true
@@ -71,7 +73,13 @@ class BenchLineSpec extends AnyFunSuite {
       case "ds" => 10.0
       case u    => fail(s"unknown unit $u")
     }
-    (scale, parsePacked(root.get("q").asText()))
+    // the value encoding is self-described: base-36 tiers always carry
+    // the "v base36" marker in the grammar hint
+    val radix = Option(root.get("f")).map(_.asText()) match {
+      case Some(f) if f.contains("base36") => 36
+      case _                               => 10
+    }
+    (scale, parsePacked(root.get("q").asText(), radix))
   }
 
   test("compact line fits the driver's tail window with margin") {

@@ -643,6 +643,82 @@ class OpsSpec extends AnyFunSuite {
     assert(fromStore == inline)
   }
 
+  test("appendToModels: tables equal a same-model full encode, meta n bumps, compact folds") {
+    val path = s"/tmp/graft_models_spec_app_${System.currentTimeMillis()}"
+    val isBatch = pmod(xxhash64(col("vec_id"), lit(779L)), lit(10L)) === 7L
+    val base = emb.filter(!isBatch)
+    val batch = emb.filter(isBatch)
+    val (nBase, nBatch) = (base.count(), batch.count())
+    assert(nBase > 0 && nBatch > 0)
+    Similarity.writeModels(base, "vec_id", "embedding", path)
+    Similarity.appendToModels(batch, "vec_id", "embedding", path)
+    assert(Similarity.modelsExist(spark, path))
+    val idx = Similarity.readIndex(spark, path)
+    // the corpus count tracks growth (rerank depth scales with it)
+    assert(idx.n == nBase + nBatch)
+
+    // the append CONTRACT: every corpus table equals what a full
+    // encode of base ∪ batch with the SAME stored models produces —
+    // so every *TopKStored path serves the union transparently
+    val (centroids, books, resBooks) = Similarity.readModels(spark, path)
+    val cm = centroids.orderBy("cluster").collect()
+    val cIds = cm.map(_.getInt(0))
+    val cMat = cm.map(_.getSeq[Float](1).toArray)
+    val expLists = emb.select(col("vec_id").as("id"),
+      element_at(graft.functions.nearest_centroids(
+        col("embedding"), cIds, cMat, 1), 1).as("cluster"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val gotLists = idx.lists.collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(gotLists == expLists)
+
+    def codeSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    val expCodes = codeSet(Similarity.pqEncode(emb, "vec_id", "embedding", books))
+    val gotCodes = codeSet(idx.codes
+      .select(col("id"), posexplode(col("codes"))).toDF("id", "j", "code"))
+    assert(gotCodes == expCodes)
+
+    val expRes = Similarity
+      .residualEncode(emb, "vec_id", "embedding", centroids, resBooks)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3))).toSet
+    val gotRes = idx.resCodes
+      .select(col("id"), col("cluster"), posexplode(col("codes")))
+      .toDF("id", "cluster", "j", "code")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3))).toSet
+    assert(gotRes == expRes)
+
+    val expSq8 = emb.select(col("vec_id").as("id"),
+        graft.functions.sq8_encode(col("embedding"), lit(127.0 / idx.maxAbs)).as("code"))
+      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq)).toSet
+    val gotSq8 = idx.sq8Codes
+      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq)).toSet
+    assert(gotSq8 == expSq8)
+
+    def lshSet(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("table"), col("bucket"), explode(col("ids")).as("id"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    val expLsh = Similarity
+      .lshBuckets(emb, "vec_id", "embedding", idx.lshBits, idx.lshTables)
+      .groupBy("table", "bucket").agg(collect_list("id").as("ids"))
+    assert(lshSet(idx.lshLists) == lshSet(expLsh))
+
+    // compaction folds the per-batch fragment rows back to one row per
+    // bucket without changing membership, and the store stays complete
+    val fragRows = idx.lshLists.count()
+    Similarity.compactLshLists(spark, path)
+    assert(Similarity.modelsExist(spark, path))
+    val compacted = spark.read.parquet(s"$path/lsh_lists")
+    assert(lshSet(compacted) == lshSet(expLsh))
+    assert(compacted.count() <= fragRows)
+    assert(compacted.groupBy("table", "bucket").count()
+      .filter(col("count") > 1).count() == 0)
+
+    // end-to-end: the flagship query path serves the union
+    val res = Similarity.ivfPqTopKStored(Similarity.readIndex(spark, path),
+      emb, emb.filter(col("vec_id") < 3), "vec_id", "embedding", k = 5)
+    assert(res.groupBy("q_id").count().collect().forall(_.getLong(1) == 5))
+  }
+
   test("residual ivf-pq: quantization error drops, recall not worse than raw-pq") {
     val qs = emb.filter(col("vec_id") < 20)
     val brute = Similarity.bruteTopK(qs, emb, "vec_id", "embedding", 5)
