@@ -876,7 +876,11 @@ object Similarity {
    * re-trains and re-encodes the whole corpus (the r9 scale run
    * measured that at 245 s for 2M vectors — per day, for ever).
    *
-   * Contract: after append, every corpus table equals what
+   * Contract: batch ids must be DISJOINT from the stored corpus
+   * (guarded below with an anti-join count against `lists` — a re-run
+   * or overlapping batch would silently append duplicate rows to
+   * every corpus table, inflate meta n, and skew rerank/recall).
+   * After append, every corpus table equals what
    * [[writeModels]] would have produced had it encoded base ∪ batch
    * with the same trained models (encoders are deterministic), so
    * every `*TopKStored` query path serves the union transparently —
@@ -910,8 +914,17 @@ object Similarity {
     val m = books.agg(max("j")).collect()(0).getInt(0) + 1
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(path, "_SUCCESS"), false)
     val e = batch.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    // disjointness guard BEFORE the marker drops: one semi-join count
+    // of the (small) batch against the stored id list — O(batch)
+    // shuffle, the stored side is a pruned single-column scan
+    val overlap = e.select("id").join(
+      spark.read.parquet(s"$path/lists").select("id"), Seq("id"), "left_semi")
+      .count()
+    require(overlap == 0L,
+      s"appendToModels batch shares $overlap id(s) with the stored corpus at " +
+        s"$path; batches must be disjoint (deduplicate or re-key before append)")
+    fs.delete(new org.apache.hadoop.fs.Path(path, "_SUCCESS"), false)
     assign(e, centroids).write.mode("append").parquet(s"$path/lists")
     packCodes(pqEncode(batch, idCol, vecCol, books, m), "id")
       .write.mode("append").parquet(s"$path/codes")
@@ -931,9 +944,16 @@ object Similarity {
     spark.createDataFrame(Seq((bits, tables, n1)))
       .toDF("bits", "tables", "n").coalesce(1)
       .write.mode("overwrite").parquet(tmpMeta)
-    fs.delete(new org.apache.hadoop.fs.Path(s"$path/lsh_meta"), true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmpMeta),
-      new org.apache.hadoop.fs.Path(s"$path/lsh_meta"))
+    // the swap must be VERIFIED before the marker returns: a failed
+    // rename with _SUCCESS present would make readIndex silently fall
+    // back to legacy geometry (bits=10, n=0) — wrong-bit-width probes
+    // and reset rerank depth, not an error. Failing here leaves the
+    // store marker-less, which reads as absent.
+    require(fs.delete(new org.apache.hadoop.fs.Path(s"$path/lsh_meta"), true),
+      s"delete of $path/lsh_meta failed; store left marker-less")
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmpMeta),
+        new org.apache.hadoop.fs.Path(s"$path/lsh_meta")),
+      s"rename $tmpMeta -> $path/lsh_meta failed; store left marker-less")
     fs.create(new org.apache.hadoop.fs.Path(path, "_SUCCESS"), true).close()
   }
 
@@ -949,9 +969,11 @@ object Similarity {
       .groupBy("table", "bucket").agg(collect_list("id").as("ids"))
     val tmp = s"$path/lsh_lists.tmp"
     merged.write.mode("overwrite").parquet(tmp)
-    fs.delete(new org.apache.hadoop.fs.Path(s"$path/lsh_lists"), true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp),
-      new org.apache.hadoop.fs.Path(s"$path/lsh_lists"))
+    require(fs.delete(new org.apache.hadoop.fs.Path(s"$path/lsh_lists"), true),
+      s"delete of $path/lsh_lists failed; store left marker-less")
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmp),
+        new org.apache.hadoop.fs.Path(s"$path/lsh_lists")),
+      s"rename $tmp -> $path/lsh_lists failed; store left marker-less")
     fs.create(new org.apache.hadoop.fs.Path(path, "_SUCCESS"), true).close()
   }
 

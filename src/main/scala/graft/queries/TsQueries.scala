@@ -625,7 +625,11 @@ object TsQueries {
     // metadata prune first; the offset window re-uses the same pruned
     // chunk frame, no second scan lineage), inner-joined per full
     // label set (PromQL drops series absent from either window).
-    // Exact BIGINT delta; the ratio is the only float
+    // Exact BIGINT delta; the ratio is the only float. The prev
+    // window is END-EXCLUSIVE (to − off − 1 on the second grid) so
+    // the two 2-day windows ABUT instead of sharing the boundary
+    // second — an inclusive prev would double-count ts == RangeFrom
+    // in both sides of the comparison
     "ts_label_offset" -> ((s, dir) => {
       val off = 172800L // offset 2d
       val ch = labeledStoreChunks(s, dir, RangeFrom - off, RangeTo)
@@ -635,7 +639,7 @@ object TsQueries {
           .select(col("type"), col("host"), col("region"),
             col("n").as(s"n_$alias"), col("sum_cents").as(s"${alias}_cents"))
       win(RangeFrom, RangeTo, "cur")
-        .join(broadcast(win(RangeFrom - off, RangeTo - off, "prev")),
+        .join(broadcast(win(RangeFrom - off, RangeTo - off - 1, "prev")),
           Seq("type", "host", "region"))
         .withColumn("delta_cents", col("cur_cents") - col("prev_cents"))
         .withColumn("ratio", col("cur_cents").cast("double") /
@@ -1974,9 +1978,11 @@ object TsQueries {
         |    AS ratio
         |FROM c JOIN w ON c.host = w.host AND c.region = w.region
         |ORDER BY c.host, c.region""".stripMargin,
-    // offset modifier: the same selector over [from, to] and
-    // [from-2d, to-2d]; series must appear in BOTH windows (PromQL
-    // binary-op matching), delta on exact BIGINT cents
+    // offset modifier: the same selector over [from, to] and the
+    // END-EXCLUSIVE [from-2d, to-2d) — the windows abut, so the
+    // boundary second ts == from lands in exactly one side; series
+    // must appear in BOTH windows (PromQL binary-op matching),
+    // delta on exact BIGINT cents
     "ts_label_offset" ->
       s"""WITH lbl AS (SELECT event_type AS type,
         |  'h' || CAST(user_id % 100 AS VARCHAR) AS host,
@@ -1988,7 +1994,7 @@ object TsQueries {
         |  FROM lbl WHERE ts >= $RangeFrom AND ts <= $RangeTo GROUP BY 1, 2, 3),
         |prev AS (SELECT type, host, region, CAST(count(*) AS BIGINT) AS n_prev,
         |    CAST(sum(CAST(round(v * 100) AS BIGINT)) AS BIGINT) AS prev_cents
-        |  FROM lbl WHERE ts >= ${RangeFrom - 172800L} AND ts <= ${RangeTo - 172800L}
+        |  FROM lbl WHERE ts >= ${RangeFrom - 172800L} AND ts <= ${RangeTo - 172800L - 1L}
         |  GROUP BY 1, 2, 3)
         |SELECT cur.type, cur.host, cur.region, n_cur, cur_cents, n_prev,
         |  prev_cents, cur_cents - prev_cents AS delta_cents,
