@@ -917,6 +917,28 @@ class OpsSpec extends AnyFunSuite {
       s"chain must collapse to component 1, got $comp")
   }
 
+  test("components: driver union-find path == forced distributed fixpoint") {
+    // the adaptive small-graph arm (broadcast-sized edge sets collapse
+    // to driver-side union-find) must be row-identical to the
+    // distributed pointer-jumping loop on the same graph — including
+    // comp_size and is_dup, on a graph mixing chains, a clique,
+    // singletons, and out-of-order edge ids
+    import spark.implicits._
+    val pairs = Seq((5L, 2L), (2L, 9L), (9L, 1L), // chain hitting min last
+      (20L, 21L), (21L, 22L), (20L, 22L),         // triangle
+      (30L, 31L)).toDF("a_id", "b_id")
+    val ids = ((1L to 2L) ++ Seq(5L, 9L) ++ (20L to 22L) ++
+      Seq(30L, 31L, 40L, 41L)).toDF("doc_id")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSet
+    val small = rows(Dedup.components(pairs, ids, "doc_id"))
+    val dist = rows(Dedup.components(pairs, ids, "doc_id",
+      smallGraphMaxEdges = 0L))
+    assert(small == dist, s"small=$small dist=$dist")
+    assert(small.contains((1L, 1L, 4L, false)) && small.contains((5L, 1L, 4L, true)))
+    assert(small.contains((40L, 40L, 1L, false)))
+  }
+
   test("stratified sample: deterministic, rates honored per stratum") {
     val rates = Map("en" -> 0.5, "fr" -> 0.25, "zh" -> 1.0)
     def run() = TextOps.sampleStratified(docs, "doc_id", "lang", rates, defaultRate = 0.1)
