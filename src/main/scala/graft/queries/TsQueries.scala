@@ -646,6 +646,95 @@ object TsQueries {
           nullif(col("prev_cents"), lit(0L)).cast("double"))
         .orderBy("type", "host", "region")
     }),
+    // PromQL topk() — `topk(3, sum by (host) ({type="click"}))`, the
+    // "which hosts dominate this metric" panel: selector-pruned
+    // compressed-domain range partials re-aggregate to the host
+    // dimension (series-grain rows, never points), then a TakeOrdered
+    // top-k on exact BIGINT cents with the host name as the
+    // deterministic tiebreak — k rows cross the wire, never the
+    // host dimension
+    "ts_label_topk" -> ((s, dir) =>
+      graft.tsdb.Labels.selectRangeAgg(
+          labeledStoreChunks(s, dir, RangeFrom, RangeTo), labelCols,
+          """{type="click"}""", RangeFrom, RangeTo)
+        .groupBy("host")
+        .agg(sum("n").as("n"), sum("sum_cents").as("sum_cents"))
+        .orderBy(col("sum_cents").desc, col("host"))
+        .limit(3)),
+    // PromQL MANY-TO-ONE vector matching — `sum by (host, region)
+    // ({type="click"}) / on(region) group_left sum by (region)
+    // ({type="click"})`: each host row divides by its REGION total
+    // (the share-of-group panel). The one side is a ≤ |regions|-row
+    // aggregate derived from the SAME series-grain partials (one
+    // store read, no second scan lineage), broadcast into the join;
+    // group_left = the many side keeps its full label set. Exact
+    // BIGINT cents on both sides; the share is the only float
+    "ts_label_group_left" -> ((s, dir) => {
+      val perHost = graft.tsdb.Labels.selectRangeAgg(
+          labeledStoreChunks(s, dir, RangeFrom, RangeTo), labelCols,
+          """{type="click"}""", RangeFrom, RangeTo)
+        .groupBy("host", "region")
+        .agg(sum("sum_cents").as("host_cents"))
+      val perRegion = perHost.groupBy("region")
+        .agg(sum("host_cents").as("region_cents"))
+      perHost.join(broadcast(perRegion), Seq("region"))
+        .withColumn("share", col("host_cents").cast("double") /
+          nullif(col("region_cents"), lit(0L)).cast("double"))
+        .select("host", "region", "host_cents", "region_cents", "share")
+        .orderBy("region", "host")
+    }),
+    // PromQL quantile() ACROSS SERIES — `quantile by (region)(0.9,
+    // sum by (host, region)({type="click"}))`: per region, the
+    // interpolated p90 of its hosts' range totals (the "how uneven is
+    // load across hosts" panel). The quantile runs over ≤ |hosts|
+    // series-grain BIGINT rows per region — never points — and
+    // interpolation on the integer cent grid is one identical IEEE
+    // expression on both engines (the ts_quantiles discipline)
+    "ts_label_quantile" -> ((s, dir) =>
+      graft.tsdb.Labels.selectRangeAgg(
+          labeledStoreChunks(s, dir, RangeFrom, RangeTo), labelCols,
+          """{type="click"}""", RangeFrom, RangeTo)
+        .groupBy("host", "region")
+        .agg(sum("sum_cents").as("host_cents"))
+        .groupBy("region")
+        .agg(count(lit(1)).as("n_hosts"),
+          expr("percentile(host_cents, 0.5)").as("p50_cents"),
+          expr("percentile(host_cents, 0.9)").as("p90_cents"))
+        .orderBy("region")),
+    // PromQL `unless` (set complement over label sets) — `sum by
+    // (host)({type="click"}) unless on(host) ({type="error"})`:
+    // hosts that clicked in range but logged NO error in range — the
+    // "healthy but active" slice. Both sides are selector-pruned
+    // series-grain partials; unless = a broadcastable LEFT ANTI join
+    // on the matching label subset (the right side never ships its
+    // values, only its keys)
+    "ts_label_unless" -> ((s, dir) => {
+      val ch = labeledStoreChunks(s, dir, RangeFrom, RangeTo)
+      val clicks = graft.tsdb.Labels.selectRangeAgg(ch, labelCols,
+          """{type="click"}""", RangeFrom, RangeTo)
+        .groupBy("host")
+        .agg(sum("n").as("n"), sum("sum_cents").as("sum_cents"))
+      val errored = graft.tsdb.Labels.selectRangeAgg(ch, labelCols,
+          """{type="error"}""", RangeFrom, RangeTo)
+        .select("host").distinct()
+      clicks.join(broadcast(errored), Seq("host"), "left_anti")
+        .orderBy("host")
+    }),
+    // PromQL count_values() — the value-frequency histogram of a
+    // selector's samples on the exact integer cent grid (`
+    // count_values("v", {type="purchase"})`): which exact amounts
+    // recur and how often. This one genuinely needs sample values, so
+    // survivors DECODE (selectRange) — but the aggregate is one hash
+    // groupBy on (cents), output bounded by distinct values, and the
+    // selector pruned every non-matching chunk before any byte read
+    "ts_count_values" -> ((s, dir) =>
+      graft.tsdb.Labels.selectRange(
+          labeledStoreChunks(s, dir, RangeFrom, RangeTo), labelCols,
+          """{type="purchase", host=~"h1.*"}""", RangeFrom, RangeTo)
+        .withColumn("cents", round(col("v") * 100).cast("long"))
+        .groupBy("cents")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("cents")),
     // per-series VARIANCE over a time range, compressed-domain: the
     // exact integer moments (n, S, Q) come from stored header stats
     // for covered chunks and the streaming range kernel for boundary
@@ -2003,6 +2092,71 @@ object TsQueries {
         |FROM cur JOIN prev ON cur.type = prev.type AND cur.host = prev.host
         |  AND cur.region = prev.region
         |ORDER BY cur.type, cur.host, cur.region""".stripMargin,
+    // topk over the host dimension on exact BIGINT cents; host name
+    // breaks ties so LIMIT is deterministic on both engines
+    "ts_label_topk" ->
+      s"""WITH lbl AS (SELECT event_type AS type,
+        |  'h' || CAST(user_id % 100 AS VARCHAR) AS host,
+        |  CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS ts, value AS v FROM events)
+        |SELECT host, count(*) AS n,
+        |  CAST(sum(CAST(round(v * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM lbl WHERE ts >= $RangeFrom AND ts <= $RangeTo AND type = 'click'
+        |GROUP BY host ORDER BY sum_cents DESC, host LIMIT 3""".stripMargin,
+    // many-to-one group_left: host rows join their region total; the
+    // share is the only float (one IEEE division on both engines)
+    "ts_label_group_left" ->
+      s"""WITH lbl AS (SELECT event_type AS type,
+        |  'h' || CAST(user_id % 100 AS VARCHAR) AS host,
+        |  'r' || CAST(user_id % 4 AS VARCHAR) AS region,
+        |  CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS ts, value AS v FROM events),
+        |h AS (SELECT host, region,
+        |    CAST(sum(CAST(round(v * 100) AS BIGINT)) AS BIGINT) AS host_cents
+        |  FROM lbl WHERE ts >= $RangeFrom AND ts <= $RangeTo AND type = 'click'
+        |  GROUP BY 1, 2),
+        |r AS (SELECT region, CAST(sum(host_cents) AS BIGINT) AS region_cents
+        |  FROM h GROUP BY 1)
+        |SELECT h.host, h.region, host_cents, region_cents,
+        |  CAST(host_cents AS DOUBLE) / CAST(nullif(region_cents, 0) AS DOUBLE)
+        |    AS share
+        |FROM h JOIN r ON h.region = r.region
+        |ORDER BY h.region, h.host""".stripMargin,
+    // quantile across series: interpolated quantiles over the BIGINT
+    // host totals (the ts_quantiles integer-grid discipline)
+    "ts_label_quantile" ->
+      s"""WITH lbl AS (SELECT event_type AS type,
+        |  'h' || CAST(user_id % 100 AS VARCHAR) AS host,
+        |  'r' || CAST(user_id % 4 AS VARCHAR) AS region,
+        |  CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS ts, value AS v FROM events),
+        |h AS (SELECT host, region,
+        |    CAST(sum(CAST(round(v * 100) AS BIGINT)) AS BIGINT) AS host_cents
+        |  FROM lbl WHERE ts >= $RangeFrom AND ts <= $RangeTo AND type = 'click'
+        |  GROUP BY 1, 2)
+        |SELECT region, count(*) AS n_hosts,
+        |  quantile_cont(host_cents, 0.5) AS p50_cents,
+        |  quantile_cont(host_cents, 0.9) AS p90_cents
+        |FROM h GROUP BY region ORDER BY region""".stripMargin,
+    // unless = anti-semi-join on the matching label subset
+    "ts_label_unless" ->
+      s"""WITH lbl AS (SELECT event_type AS type,
+        |  'h' || CAST(user_id % 100 AS VARCHAR) AS host,
+        |  CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS ts, value AS v FROM events),
+        |c AS (SELECT host, count(*) AS n,
+        |    CAST(sum(CAST(round(v * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |  FROM lbl WHERE ts >= $RangeFrom AND ts <= $RangeTo AND type = 'click'
+        |  GROUP BY host)
+        |SELECT host, n, sum_cents FROM c
+        |WHERE host NOT IN (SELECT DISTINCT host FROM lbl
+        |  WHERE ts >= $RangeFrom AND ts <= $RangeTo AND type = 'error')
+        |ORDER BY host""".stripMargin,
+    // count_values on the exact integer cent grid
+    "ts_count_values" ->
+      s"""WITH lbl AS (SELECT event_type AS type,
+        |  'h' || CAST(user_id % 100 AS VARCHAR) AS host,
+        |  CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS ts, value AS v FROM events)
+        |SELECT CAST(round(v * 100) AS BIGINT) AS cents, count(*) AS n
+        |FROM lbl WHERE ts >= $RangeFrom AND ts <= $RangeTo
+        |  AND type = 'purchase' AND host LIKE 'h1%'
+        |GROUP BY 1 ORDER BY cents""".stripMargin,
     "ts_histogram" -> s"""WITH $ptsSql
       |SELECT user_id, event_type,
       |  CAST(floor(CAST(round(v * 100) AS BIGINT) / 5000.0) AS BIGINT) AS bucket,

@@ -78,12 +78,13 @@ class ExplainAllSpec extends AnyFunSuite {
       // candidate/ADC-agg/rerank joins shuffle (was 5 when codes were
       // recomputed per query)
       "sim_ann_ivfpq" -> (3, 6, 0),
-      // survivor join over the fixpoint labels (the fixpoint itself
-      // re-plans per round behind localCheckpoint barriers). Down
-      // 9 -> 7 shuffles with the published pair table: candidates +
-      // verify moved into the once-per-corpus artifact, so the head
-      // plan is clustering + join-back only
-      "dedup_apply" -> (7, 1, 0),
+      // survivor join over the component labels. Round 11: the
+      // broadcast-sized dup subgraph routes to the driver union-find
+      // arm, so the head plan is the corpus scan joined with two
+      // BROADCAST cluster-grain frames (labels, sizes) + the orderBy
+      // exchange — 7 shuffles -> 1, and the only remaining exchange
+      // is the final sort (was: per-round fixpoint barriers)
+      "dedup_apply" -> (1, 3, 0),
       // read-your-writes union: encode repartition + horizon agg +
       // final orderBy drive the shuffles, the one-row-per-series
       // horizon broadcasts, and the sealed side decodes exactly ONCE
