@@ -179,6 +179,45 @@ class LabelsSpec extends AnyFunSuite {
     }
   }
 
+  test("r11 label keys: topk/group_left/quantile/unless stay compressed-domain; count_values decodes behind the selector") {
+    val q = graft.queries.TsQueries.queries
+    // topk: selector pushed, aggregation over series-grain partials,
+    // k-selection is a TakeOrdered (never a full sort), zero decode
+    val topk = q("ts_label_topk")(spark, dir)
+    val tPlan = topk.queryExecution.executedPlan.toString
+    assert(tPlan.contains("EqualTo(type,click)"), tPlan.take(3000))
+    assert(tPlan.contains("TakeOrderedAndProject"), tPlan.take(3000))
+    assert(!tPlan.contains("gorilla_decode"), tPlan.take(3000))
+    assert(topk.count() == 3)
+    // group_left: the one side joins back via BROADCAST, no decode
+    val gl = q("ts_label_group_left")(spark, dir)
+    val gPlan = gl.queryExecution.executedPlan.toString
+    assert(gPlan.contains("BroadcastHashJoin"), gPlan.take(3000))
+    assert(!gPlan.contains("gorilla_decode"), gPlan.take(3000))
+    // every region's shares sum to ~1 (the many side partitions the one)
+    val shares = gl.groupBy("region").agg(sum("share").as("s")).collect()
+    shares.foreach(r => assert(math.abs(r.getDouble(1) - 1.0) < 1e-9))
+    // quantile: series-grain rows only, zero decode
+    val quant = q("ts_label_quantile")(spark, dir)
+    assert(!quant.queryExecution.executedPlan.toString.contains("gorilla_decode"))
+    assert(quant.count() > 0)
+    // unless: LEFT ANTI via broadcast, right side never decodes
+    val unl = q("ts_label_unless")(spark, dir)
+    val uPlan = unl.queryExecution.executedPlan.toString
+    assert(uPlan.contains("LeftAnti"), uPlan.take(3000))
+    assert(uPlan.contains("Broadcast"), uPlan.take(3000))
+    assert(!uPlan.contains("gorilla_decode"), uPlan.take(3000))
+    // count_values genuinely needs samples: the decode IS in the plan,
+    // but only after the pushed selector pruned the chunk scan
+    val cv = q("ts_count_values")(spark, dir)
+    val cPlan = cv.queryExecution.executedPlan.toString
+    assert(cPlan.contains("EqualTo(type,purchase)"), cPlan.take(3000))
+    assert(cPlan.contains("StringStartsWith(host") ||
+      cPlan.contains("StartsWith(host"), cPlan.take(3000))
+    assert(cPlan.contains("gorilla_decode"), cPlan.take(3000))
+    assert(cv.count() > 0)
+  }
+
   test("selectRangeAgg equals the unlabeled compute with manual filters") {
     val from = 1704844800L; val to = 1705017600L
     val got = graft.queries.TsQueries.queries("ts_label_select")(spark, dir)
