@@ -10,11 +10,11 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.TsQueries.queries ++ graft.queries.RelQueries.queries ++
-      graft.queries.OpsQueries.queries
+      graft.queries.OpsQueries.queries ++ graft.queries.PromqlQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.TsQueries.oracleSql ++ graft.queries.RelQueries.oracleSql ++
-      graft.queries.OpsQueries.oracleSql
+      graft.queries.OpsQueries.oracleSql ++ graft.queries.PromqlQueries.oracleSql
 }

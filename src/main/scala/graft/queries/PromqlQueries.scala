@@ -1,0 +1,230 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.tsdb.Promql
+
+/**
+ * PromQL-front-end query keys: every body here goes through
+ * [[graft.tsdb.Promql.eval]] — a QUERY STRING is parsed and compiled
+ * onto the labeled chunk store — rather than hand-composing the
+ * DataFrame plan. The compiled plans are the SAME compressed-domain
+ * shapes the `ts_label_*` keys build by hand (selector pruning at the
+ * chunk-metadata scan, range aggregates from header stats + boundary
+ * folds, decode only where samples are genuinely needed), which
+ * PromqlSpec pins both by plan shape and by row parity.
+ *
+ * Evaluation instant is `EvalTs` (the label family's RangeTo); a
+ * `[2d]` range selector therefore covers the inclusive second grid
+ * [EvalTs − 2d + 1, EvalTs] — the oracle windows below mirror that
+ * exactly, as does every float: each oracle reproduces the compiler's
+ * IEEE expression tree (exact BIGINT partials, one division at
+ * output) so results hash-match bit-for-bit.
+ */
+object PromqlQueries {
+  private val EvalTs = 1705017600L // = TsQueries.RangeTo
+  private val Day = 86400L
+  private val Win = 2 * Day // the [2d] range selector
+  private val From = EvalTs - Win + 1
+  private val OffFrom = EvalTs - 2 * Win + 1 // [2d] offset 2d window
+  private val OffTo = EvalTs - Win
+
+  private val labelCols = TsQueries.labelCols
+
+  private def chunks(s: SparkSession, dir: String, fromSec: Long) =
+    TsQueries.labeledStoreChunks(s, dir, fromSec, EvalTs)
+
+  private def q(s: SparkSession, dir: String, query: String,
+                fromSec: Long = From, lookback: Long = 300L): DataFrame =
+    Promql.eval(chunks(s, dir, fromSec), labelCols, query, EvalTs, lookback)
+
+  /** The shared DuckDB label derivation (identical to TsQueries'):
+    * type = event_type, host = h(user%100), region = r(user%4), plus
+    * the exact integer cent grid. */
+  private val lblCte =
+    """WITH lbl AS (SELECT event_type AS type,
+      |  'h' || CAST(user_id % 100 AS VARCHAR) AS host,
+      |  'r' || CAST(user_id % 4 AS VARCHAR) AS region,
+      |  CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS ts,
+      |  CAST(round(value * 100) AS BIGINT) AS cents FROM events)""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // instant vector: `{type="purchase", host=~"h1.*"}` — the LAST
+    // sample per matching series within the lookback window (PromQL
+    // staleness), compiled to a selector-pruned decode of lookback
+    // chunks + one (ts, cents)-struct max partial agg. 1-day lookback
+    // so the sparse purchase series stay populated at small SF
+    "promql_instant" -> ((s, dir) =>
+      q(s, dir, """{type="purchase", host=~"h1.*"}""",
+          fromSec = EvalTs - Day + 1, lookback = Day)
+        .orderBy("type", "host", "region")),
+    // the canonical PromQL composition `sum by (region)(rate(click[2d]))`
+    // stays EXACT end-to-end: rate carries positive-delta cents as
+    // BIGINT with denominator d·100, the sum accumulates longs, and
+    // the per-second division happens once at output
+    "promql_sum_rate" -> ((s, dir) =>
+      q(s, dir, "sum by (region) (rate(click[2d]))")
+        .orderBy("region")),
+    // binary op with on() matching — the error-ratio panel written as
+    // the USER writes it; both sides compressed-domain partials
+    "promql_ratio" -> ((s, dir) =>
+      q(s, dir, "sum by (host) (sum_over_time(click[2d])) " +
+          "/ on(host) sum by (host) (sum_over_time(view[2d]))")
+        .orderBy("host")),
+    // topk over an OFFSET window: `[2d] offset 2d` shifts the whole
+    // evaluation window; top-3 picked on exact BIGINT cents
+    "promql_topk_offset" -> ((s, dir) =>
+      q(s, dir, "topk(3, sum by (host) (sum_over_time(click[2d] offset 2d)))",
+          fromSec = OffFrom)
+        .orderBy(col("value").desc, col("host"))),
+    // quantile across series on the exact integer grid
+    "promql_quantile" -> ((s, dir) =>
+      q(s, dir, "quantile by (region) (0.9, " +
+          "sum by (host, region) (sum_over_time(click[2d])))")
+        .orderBy("region")),
+    // set complement: hosts clicking in-range with zero error events
+    "promql_unless" -> ((s, dir) =>
+      q(s, dir, "sum by (host) (sum_over_time(click[2d])) " +
+          "unless on(host) sum by (host) (sum_over_time(error[2d]))")
+        .orderBy("host")),
+    // set intersection: the same left side restricted to erroring hosts
+    "promql_and" -> ((s, dir) =>
+      q(s, dir, "sum by (host) (sum_over_time(click[2d])) " +
+          "and on(host) sum by (host) (sum_over_time(error[2d]))")
+        .orderBy("host")),
+    // scalar comparison FILTERS on the exact grid: `> 60` compares
+    // BIGINT cents against 6000, never a float
+    "promql_filter" -> ((s, dir) =>
+      q(s, dir, "sum by (host) (sum_over_time(purchase[2d])) > 60")
+        .orderBy("host")),
+    // many-to-one vector matching: per-host share of its region total,
+    // the one side broadcast (group_left keeps the many side's labels)
+    "promql_group_left" -> ((s, dir) =>
+      q(s, dir, "sum by (host, region) (sum_over_time(click[2d])) " +
+          "/ on(region) group_left sum by (region) (sum_over_time(click[2d]))")
+        .orderBy("region", "host")),
+    // scalar arithmetic chain over an exact increase: each float op is
+    // one fixed IEEE node, reproduced verbatim by the oracle
+    "promql_arith" -> ((s, dir) =>
+      q(s, dir, "sum by (region) (increase(purchase[2d])) / 86400 * 100")
+        .orderBy("region")),
+    // avg_over_time from header-stat partials (sum/n — zero decode),
+    // max across series per region is exact selection over doubles
+    "promql_avg_max" -> ((s, dir) =>
+      q(s, dir, "max by (region) (avg_over_time(view[2d]))")
+        .orderBy("region")),
+    // stddev_over_time: exact BIGINT second moments off header stats,
+    // one division + one sqrt (both correctly-rounded IEEE)
+    "promql_stddev" -> ((s, dir) =>
+      q(s, dir, "max by (region) (stddev_over_time(view[1d]))",
+          fromSec = EvalTs - Day + 1)
+        .orderBy("region")))
+
+  def oracleSql: Map[String, String] = Map(
+    "promql_instant" ->
+      s"""$lblCte,
+        |pts AS (SELECT * FROM lbl WHERE ts >= ${EvalTs - Day + 1} AND ts <= $EvalTs
+        |  AND type = 'purchase' AND host LIKE 'h1%'),
+        |r AS (SELECT type, host, region, cents, row_number() OVER (
+        |    PARTITION BY type, host, region ORDER BY ts DESC, cents DESC) AS rn
+        |  FROM pts)
+        |SELECT type, host, region, CAST(cents AS DOUBLE) / 100.0 AS value
+        |FROM r WHERE rn = 1 ORDER BY type, host, region""".stripMargin,
+    "promql_sum_rate" ->
+      s"""$lblCte,
+        |pts AS (SELECT * FROM lbl WHERE ts >= $From AND ts <= $EvalTs
+        |  AND type = 'click'),
+        |d AS (SELECT region, cents - lag(cents) OVER (
+        |    PARTITION BY type, host, region ORDER BY ts, cents) AS dd FROM pts)
+        |SELECT region,
+        |  CAST(CAST(sum(CASE WHEN dd > 0 THEN dd ELSE 0 END) AS BIGINT) AS DOUBLE)
+        |    / ${Win * 100}.0 AS value
+        |FROM d WHERE dd IS NOT NULL GROUP BY region ORDER BY region""".stripMargin,
+    "promql_ratio" ->
+      s"""$lblCte,
+        |c AS (SELECT host, CAST(sum(cents) AS BIGINT) AS lc FROM lbl
+        |  WHERE ts >= $From AND ts <= $EvalTs AND type = 'click' GROUP BY host),
+        |v AS (SELECT host, CAST(sum(cents) AS BIGINT) AS rc FROM lbl
+        |  WHERE ts >= $From AND ts <= $EvalTs AND type = 'view' GROUP BY host)
+        |SELECT host, value FROM (
+        |  SELECT c.host,
+        |    (CAST(lc AS DOUBLE) / 100.0) / nullif(CAST(rc AS DOUBLE) / 100.0, 0.0)
+        |      AS value
+        |  FROM c JOIN v USING (host))
+        |WHERE value IS NOT NULL ORDER BY host""".stripMargin,
+    "promql_topk_offset" ->
+      s"""$lblCte
+        |SELECT host, CAST(sc AS DOUBLE) / 100.0 AS value FROM (
+        |  SELECT host, CAST(sum(cents) AS BIGINT) AS sc FROM lbl
+        |  WHERE ts >= $OffFrom AND ts <= $OffTo AND type = 'click'
+        |  GROUP BY host ORDER BY sc DESC, host LIMIT 3)
+        |ORDER BY value DESC, host""".stripMargin,
+    "promql_quantile" ->
+      s"""$lblCte,
+        |h AS (SELECT host, region, CAST(sum(cents) AS BIGINT) AS sc FROM lbl
+        |  WHERE ts >= $From AND ts <= $EvalTs AND type = 'click' GROUP BY 1, 2)
+        |SELECT region, quantile_cont(sc, 0.9) / 100.0 AS value
+        |FROM h GROUP BY region ORDER BY region""".stripMargin,
+    "promql_unless" ->
+      s"""$lblCte,
+        |c AS (SELECT host, CAST(sum(cents) AS BIGINT) AS sc FROM lbl
+        |  WHERE ts >= $From AND ts <= $EvalTs AND type = 'click' GROUP BY host)
+        |SELECT host, CAST(sc AS DOUBLE) / 100.0 AS value FROM c
+        |WHERE host NOT IN (SELECT DISTINCT host FROM lbl
+        |  WHERE ts >= $From AND ts <= $EvalTs AND type = 'error')
+        |ORDER BY host""".stripMargin,
+    "promql_and" ->
+      s"""$lblCte,
+        |c AS (SELECT host, CAST(sum(cents) AS BIGINT) AS sc FROM lbl
+        |  WHERE ts >= $From AND ts <= $EvalTs AND type = 'click' GROUP BY host)
+        |SELECT host, CAST(sc AS DOUBLE) / 100.0 AS value FROM c
+        |WHERE host IN (SELECT DISTINCT host FROM lbl
+        |  WHERE ts >= $From AND ts <= $EvalTs AND type = 'error')
+        |ORDER BY host""".stripMargin,
+    "promql_filter" ->
+      s"""$lblCte
+        |SELECT host, CAST(sc AS DOUBLE) / 100.0 AS value FROM (
+        |  SELECT host, CAST(sum(cents) AS BIGINT) AS sc FROM lbl
+        |  WHERE ts >= $From AND ts <= $EvalTs AND type = 'purchase'
+        |  GROUP BY host HAVING CAST(sum(cents) AS BIGINT) > 6000)
+        |ORDER BY host""".stripMargin,
+    "promql_group_left" ->
+      s"""$lblCte,
+        |h AS (SELECT host, region, CAST(sum(cents) AS BIGINT) AS hc FROM lbl
+        |  WHERE ts >= $From AND ts <= $EvalTs AND type = 'click' GROUP BY 1, 2),
+        |r AS (SELECT region, CAST(sum(hc) AS BIGINT) AS rc FROM h GROUP BY region)
+        |SELECT host, region, value FROM (
+        |  SELECT h.host, h.region,
+        |    (CAST(hc AS DOUBLE) / 100.0) / nullif(CAST(rc AS DOUBLE) / 100.0, 0.0)
+        |      AS value
+        |  FROM h JOIN r USING (region))
+        |WHERE value IS NOT NULL ORDER BY region, host""".stripMargin,
+    "promql_arith" ->
+      s"""$lblCte,
+        |pts AS (SELECT * FROM lbl WHERE ts >= $From AND ts <= $EvalTs
+        |  AND type = 'purchase'),
+        |d AS (SELECT region, cents - lag(cents) OVER (
+        |    PARTITION BY type, host, region ORDER BY ts, cents) AS dd FROM pts)
+        |SELECT region,
+        |  CAST(CAST(sum(CASE WHEN dd > 0 THEN dd ELSE 0 END) AS BIGINT) AS DOUBLE)
+        |    / 100.0 / 86400.0 * 100.0 AS value
+        |FROM d WHERE dd IS NOT NULL GROUP BY region ORDER BY region""".stripMargin,
+    "promql_avg_max" ->
+      s"""$lblCte,
+        |p AS (SELECT type, host, region, count(*) AS n,
+        |    CAST(sum(cents) AS BIGINT) AS sc FROM lbl
+        |  WHERE ts >= $From AND ts <= $EvalTs AND type = 'view' GROUP BY 1, 2, 3)
+        |SELECT region, max(CAST(sc AS DOUBLE) / (n * 100.0)) AS value
+        |FROM p GROUP BY region ORDER BY region""".stripMargin,
+    "promql_stddev" ->
+      s"""$lblCte,
+        |p AS (SELECT type, host, region, count(*) AS n,
+        |    CAST(sum(cents) AS BIGINT) AS sc,
+        |    CAST(sum(cents * cents) AS BIGINT) AS qc FROM lbl
+        |  WHERE ts >= ${EvalTs - Day + 1} AND ts <= $EvalTs AND type = 'view'
+        |  GROUP BY 1, 2, 3)
+        |SELECT region,
+        |  max(sqrt(CAST(n * qc - sc * sc AS DOUBLE) / (n * n * 10000.0))) AS value
+        |FROM p GROUP BY region ORDER BY region""".stripMargin)
+}

@@ -1,0 +1,714 @@
+package graft.tsdb
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * PromQL front-end for the labeled chunk store: a real query-string
+ * surface over the Gorilla-paper §4 query model the label family
+ * implements piecewise (`Labels.selectRangeAgg` / `selectRange` and
+ * the `ts_label_*` compositions).
+ *
+ * `Promql.eval(chunks, labelCols, "sum by (region)(rate({type=\"click\"}[2d]))", evalTs)`
+ * parses the string (hand-written lexer + recursive-descent parser,
+ * PromQL operator precedence) and compiles it onto the SAME
+ * compressed-domain bodies the hand-built keys use — so a selector
+ * reaching the evaluator still prunes at the parquet chunk-metadata
+ * scan (pushed equality / regex-literal-prefix predicates; pinned in
+ * PromqlSpec), over-time aggregates still answer from header stats +
+ * boundary folds without materializing points, and only the
+ * functions that genuinely need samples (rate/increase/delta/changes/
+ * resets/last_over_time and instant-vector lookback) decode survivors.
+ *
+ * Evaluation model: one INSTANT evaluation at `evalTs` (the single
+ * step of a range query; PromQL's `query` endpoint). A range selector
+ * `sel[d]` covers the inclusive second grid `[evalTs-d+1, evalTs]`
+ * (PromQL's half-open `(t-d, t]` on integer seconds); `offset o`
+ * shifts that window to `[evalTs-o-d+1, evalTs-o]`. A bare selector
+ * is an instant vector: the LAST sample per series within the 5-min
+ * lookback window, PromQL's staleness rule.
+ *
+ * Numeric discipline (the ts_label_* oracle discipline): every sum
+ * accumulates in exact BIGINT (cents or counts) for as long as the
+ * expression allows — floats appear only through fixed single IEEE
+ * operations (one division, one sqrt), so results are bit-stable
+ * under any partitioning and reproducible in an ANSI-SQL oracle.
+ * A [[Vec]] tracks which representation its value column holds.
+ *
+ * Reference: johshoff/gibbon README (Gorilla §4 query model as the
+ * aspiration); semantics follow the public PromQL spec.
+ */
+object Promql {
+
+  // ===================== AST =====================
+
+  sealed trait Expr
+  /** `{type="click", host=~"h1.*"}[2d] offset 1d`; `range=None` = instant. */
+  final case class VectorSel(matchers: Seq[Labels.Matcher], range: Option[Long],
+                             offset: Long) extends Expr
+  final case class NumLit(v: Double) extends Expr
+  /** Over-time / range-vector function: `rate(sel[d])`, `sum_over_time(..)`. */
+  final case class FnCall(fn: String, arg: Expr) extends Expr
+  /** `sum by (region)(e)`, `topk(3, e)`, `quantile by (g)(0.9, e)`. */
+  final case class AggExpr(op: String, param: Option[Double], grouping: Grouping,
+                           arg: Expr) extends Expr
+  /** `lhs / on(host) group_left rhs`, `a unless on(host) b`, `e > 10`. */
+  final case class BinExpr(op: String, lhs: Expr, rhs: Expr,
+                           matching: Matching) extends Expr
+
+  sealed trait Grouping
+  case object NoGroup extends Grouping
+  final case class By(labels: Seq[String]) extends Grouping
+  final case class Without(labels: Seq[String]) extends Grouping
+
+  /** Vector-matching modifiers on a binary op. */
+  final case class Matching(on: Option[Seq[String]], ignoring: Seq[String],
+                            groupLeft: Boolean, groupRight: Boolean)
+  val DefaultMatching: Matching = Matching(None, Nil, groupLeft = false, groupRight = false)
+
+  // ===================== Lexer =====================
+
+  private sealed trait Tok
+  private final case class TIdent(s: String) extends Tok
+  private final case class TNum(v: Double) extends Tok
+  private final case class TDur(sec: Long) extends Tok
+  private final case class TStr(s: String) extends Tok
+  private final case class TOp(s: String) extends Tok // punctuation + operators
+  private case object TEof extends Tok
+
+  private val durUnit = Map("ms" -> 0L, "s" -> 1L, "m" -> 60L, "h" -> 3600L,
+    "d" -> 86400L, "w" -> 604800L, "y" -> 31536000L)
+
+  private def lex(q: String): Vector[Tok] = {
+    val out = Vector.newBuilder[Tok]
+    var i = 0
+    def err(msg: String): Nothing =
+      throw new IllegalArgumentException(s"PromQL lex error at $i: $msg in: $q")
+    while (i < q.length) {
+      val c = q.charAt(i)
+      if (c.isWhitespace) i += 1
+      else if (c.isDigit || (c == '.' && i + 1 < q.length && q.charAt(i + 1).isDigit)) {
+        val start = i
+        while (i < q.length && q.charAt(i).isDigit) i += 1
+        if (i < q.length && q.charAt(i) == '.') { // float literal
+          i += 1
+          while (i < q.length && q.charAt(i).isDigit) i += 1
+          out += TNum(q.substring(start, i).toDouble)
+        } else if (i < q.length && q.charAt(i).isLetter) {
+          // duration literal: one or more <int><unit> segments (1h30m)
+          i = start
+          var sec = 0L
+          var more = true
+          while (more) {
+            val ns = i
+            while (i < q.length && q.charAt(i).isDigit) i += 1
+            if (ns == i) err("malformed duration")
+            val us = i
+            while (i < q.length && q.charAt(i).isLetter) i += 1
+            val unit = q.substring(us, i)
+            val mult = durUnit.getOrElse(unit, err(s"unknown duration unit '$unit'"))
+            if (unit == "ms") err("sub-second durations unsupported (second grid)")
+            sec += q.substring(ns, us).toLong * mult
+            more = i < q.length && q.charAt(i).isDigit
+          }
+          out += TDur(sec)
+        } else out += TNum(q.substring(start, i).toDouble)
+      } else if (c.isLetter || c == '_') {
+        val start = i
+        while (i < q.length && (q.charAt(i).isLetterOrDigit || q.charAt(i) == '_' ||
+          q.charAt(i) == ':')) i += 1
+        out += TIdent(q.substring(start, i))
+      } else if (c == '"' || c == '\'') {
+        val quote = c
+        val sb = new StringBuilder
+        i += 1
+        while (i < q.length && q.charAt(i) != quote) {
+          if (q.charAt(i) == '\\' && i + 1 < q.length) { sb.append(q.charAt(i + 1)); i += 2 }
+          else { sb.append(q.charAt(i)); i += 1 }
+        }
+        if (i >= q.length) err("unterminated string")
+        i += 1
+        out += TStr(sb.toString)
+      } else {
+        val two = if (i + 1 < q.length) q.substring(i, i + 2) else ""
+        if (Set("==", "!=", ">=", "<=", "=~", "!~").contains(two)) { out += TOp(two); i += 2 }
+        else if ("+-*/%^(){}[],=<>".indexOf(c) >= 0) { out += TOp(c.toString); i += 1 }
+        else err(s"unexpected character '$c'")
+      }
+    }
+    (out += TEof).result()
+  }
+
+  // ===================== Parser =====================
+
+  /** Range-vector functions (need `sel[d]`) → true; the rest take an
+    * instant vector. Both sets compile through [[evalExpr]]. */
+  val RangeFns: Set[String] = Set("rate", "increase", "delta", "changes", "resets",
+    "sum_over_time", "count_over_time", "min_over_time", "max_over_time",
+    "avg_over_time", "stddev_over_time", "stdvar_over_time", "last_over_time",
+    "present_over_time")
+  private val aggOps = Set("sum", "min", "max", "avg", "count", "topk", "bottomk",
+    "quantile", "count_values")
+  private val paramAggs = Set("topk", "bottomk", "quantile")
+  private val setOps = Set("and", "or", "unless")
+  private val cmpOps = Set("==", "!=", ">", "<", ">=", "<=")
+
+  /** `metricLabel` is the label column a bare metric name selects on
+    * (`click{...}` ≡ `{type="click", ...}`): the store's first label
+    * column, the PromQL `__name__` of this data model. */
+  def parse(q: String, metricLabel: String = "type"): Expr =
+    new Parser(lex(q), q, metricLabel).parseAll()
+
+  private final class Parser(toks: Vector[Tok], src: String, metricLabel: String) {
+    private var p = 0
+    private def peek: Tok = toks(p)
+    private def next(): Tok = { val t = toks(p); p += 1; t }
+    private def err(msg: String): Nothing =
+      throw new IllegalArgumentException(s"PromQL parse error: $msg in: $src")
+    private def expectOp(s: String): Unit = next() match {
+      case TOp(`s`) => ()
+      case t => err(s"expected '$s', got $t")
+    }
+    private def ident(): String = next() match {
+      case TIdent(s) => s
+      case t => err(s"expected identifier, got $t")
+    }
+
+    def parseAll(): Expr = {
+      val e = parseOr()
+      if (peek != TEof) err(s"trailing input at token $peek")
+      e
+    }
+
+    // precedence: or < and/unless < cmp < +- < */% < unary/atom
+    private def parseOr(): Expr = {
+      var l = parseAnd()
+      while (peek == TIdent("or")) { next(); val m = parseMatching(); l = BinExpr("or", l, parseAnd(), m) }
+      l
+    }
+    private def parseAnd(): Expr = {
+      var l = parseCmp()
+      while (peek == TIdent("and") || peek == TIdent("unless")) {
+        val op = ident(); val m = parseMatching(); l = BinExpr(op, l, parseCmp(), m)
+      }
+      l
+    }
+    private def parseCmp(): Expr = {
+      var l = parseAdd()
+      while (peek match { case TOp(o) => cmpOps(o); case _ => false }) {
+        val TOp(op) = next(): @unchecked
+        if (peek == TIdent("bool")) err("'bool' modifier unsupported (filter semantics only)")
+        val m = parseMatching(); l = BinExpr(op, l, parseAdd(), m)
+      }
+      l
+    }
+    private def parseAdd(): Expr = {
+      var l = parseMul()
+      while (peek == TOp("+") || peek == TOp("-")) {
+        val TOp(op) = next(): @unchecked
+        val m = parseMatching(); l = BinExpr(op, l, parseMul(), m)
+      }
+      l
+    }
+    private def parseMul(): Expr = {
+      var l = parseUnary()
+      while (peek == TOp("*") || peek == TOp("/") || peek == TOp("%")) {
+        val TOp(op) = next(): @unchecked
+        val m = parseMatching(); l = BinExpr(op, l, parseUnary(), m)
+      }
+      l
+    }
+    private def parseUnary(): Expr = peek match {
+      case TOp("-") => next(); BinExpr("*", NumLit(-1), parseUnary(), DefaultMatching)
+      case TOp("+") => next(); parseUnary()
+      case _ => parseAtom()
+    }
+
+    /** `on(a,b)` / `ignoring(a)` + `group_left` / `group_right` after a
+      * binary operator token. */
+    private def parseMatching(): Matching = {
+      var on: Option[Seq[String]] = None
+      var ign: Seq[String] = Nil
+      peek match {
+        case TIdent("on") => next(); on = Some(labelList())
+        case TIdent("ignoring") => next(); ign = labelList()
+        case _ => ()
+      }
+      var gl = false; var gr = false
+      peek match {
+        case TIdent("group_left") => next(); gl = true
+        case TIdent("group_right") => next(); gr = true
+        case _ => ()
+      }
+      Matching(on, ign, gl, gr)
+    }
+
+    private def labelList(): Seq[String] = {
+      expectOp("(")
+      val out = Seq.newBuilder[String]
+      if (peek != TOp(")")) {
+        out += ident()
+        while (peek == TOp(",")) { next(); out += ident() }
+      }
+      expectOp(")")
+      out.result()
+    }
+
+    private def parseAtom(): Expr = peek match {
+      case TOp("(") => next(); val e = parseOr(); expectOp(")"); withModifiers(e)
+      case TNum(v) => next(); NumLit(v)
+      case TOp("{") => withModifiers(selector(None))
+      case TIdent(name) if aggOps(name) => next(); aggregation(name)
+      case TIdent(name) if RangeFns(name) =>
+        next(); expectOp("("); val a = parseOr(); expectOp(")"); FnCall(name, a)
+      case TIdent(name) => // metric name sugar: first label col equality
+        next(); withModifiers(selector(Some(name)))
+      case t => err(s"unexpected token $t")
+    }
+
+    /** `sum by (region)(e)` / `sum(e) by (region)` / `topk(3, e)`. */
+    private def aggregation(op: String): Expr = {
+      var grouping: Grouping = NoGroup
+      def tryGrouping(): Unit = peek match {
+        case TIdent("by") => next(); grouping = By(labelList())
+        case TIdent("without") => next(); grouping = Without(labelList())
+        case _ => ()
+      }
+      tryGrouping()
+      expectOp("(")
+      val param: Option[Double] =
+        if (paramAggs(op) || op == "count_values") {
+          val v = next() match {
+            case TNum(n) => n
+            case TStr(_) if op == "count_values" => 0.0 // label name ignored: value col is fixed
+            case t => err(s"$op needs a scalar first argument, got $t")
+          }
+          expectOp(",")
+          Some(v)
+        } else None
+      val arg = parseOr()
+      expectOp(")")
+      tryGrouping()
+      AggExpr(op, param, grouping, arg)
+    }
+
+    /** `{m1, m2}` or `name{m1}` or bare `name`; metric name = equality
+      * on the FIRST label column (the store's metric-name label). */
+    private def selector(metricName: Option[String]): VectorSel = {
+      val ms = Seq.newBuilder[Labels.Matcher]
+      metricName.foreach(n => ms += Labels.Eq(metricLabel, n))
+      if (peek == TOp("{")) {
+        next()
+        var first = true
+        while (peek != TOp("}")) {
+          if (!first) expectOp(",")
+          first = false
+          val lbl = ident()
+          val op = next() match { case TOp(o) => o; case t => err(s"expected matcher op, got $t") }
+          val v = next() match { case TStr(s) => s; case t => err(s"expected string, got $t") }
+          ms += (op match {
+            case "=" => Labels.Eq(lbl, v)
+            case "!=" => Labels.Ne(lbl, v)
+            case "=~" => Labels.Re(lbl, v)
+            case "!~" => Labels.NotRe(lbl, v)
+            case o => err(s"unknown matcher operator '$o'")
+          })
+        }
+        expectOp("}")
+      }
+      VectorSel(ms.result(), None, 0L)
+    }
+
+    /** `[range]` and `offset` attach to the selector they follow. */
+    private def withModifiers(e: Expr): Expr = {
+      var cur = e
+      var changed = true
+      while (changed) {
+        changed = false
+        peek match {
+          case TOp("[") =>
+            next()
+            val d = next() match { case TDur(s) => s; case t => err(s"expected duration, got $t") }
+            expectOp("]")
+            cur match {
+              case v: VectorSel if v.range.isEmpty => cur = v.copy(range = Some(d)); changed = true
+              case _ => err("range [] only applies to a selector")
+            }
+          case TIdent("offset") =>
+            next()
+            val d = next() match { case TDur(s) => s; case t => err(s"expected duration, got $t") }
+            cur match {
+              case v: VectorSel => cur = v.copy(offset = d); changed = true
+              case _ => err("offset only applies to a selector")
+            }
+          case _ => ()
+        }
+      }
+      cur
+    }
+  }
+
+  // ===================== Compiler =====================
+
+  /** How the `value` column is represented — exact BIGINT for as long
+    * as the expression allows (sums stay order-independent under any
+    * partitioning), doubles only past a fixed single IEEE op.
+    * `Exact(denom)`: value is a LONG whose double meaning is
+    * value/denom — cents are Exact(100), counts Exact(1), and
+    * `rate[d]` is Exact(d·100) so `sum(rate(x[d]))` accumulates the
+    * positive-delta cents exactly and divides ONCE at output. */
+  private sealed trait ValKind
+  private final case class Exact(denom: Double) extends ValKind
+  private case object Dbl extends ValKind
+  private val Cents = Exact(100.0)
+  private val Count = Exact(1.0)
+
+  /** A compiled vector: `df` holds `labels* , value` where value is
+    * LONG (Exact) or DOUBLE (Dbl). */
+  private final case class Vec(df: DataFrame, labels: Seq[String], kind: ValKind) {
+    def toDouble: DataFrame = kind match {
+      case Dbl => df
+      case Exact(1.0) => df.withColumn("value", col("value").cast("double"))
+      case Exact(d) => df.withColumn("value", col("value").cast("double") / lit(d))
+    }
+  }
+  private def asDouble(c: Column, kind: ValKind): Column = kind match {
+    case Dbl => c
+    case Exact(1.0) => c.cast("double")
+    case Exact(d) => c.cast("double") / lit(d)
+  }
+
+  final case class Ctx(chunks: DataFrame, labelCols: Seq[String], evalTs: Long,
+                       lookbackSec: Long = 300L)
+
+  /** Evaluate a PromQL query at instant `evalTs` against a labeled
+    * chunk store. Returns the result's label columns + `value: double`. */
+  def eval(chunks: DataFrame, labelCols: Seq[String], query: String,
+           evalTs: Long, lookbackSec: Long = 300L): DataFrame = {
+    val v = evalExpr(parse(query, labelCols.head),
+      Ctx(chunks, labelCols, evalTs, lookbackSec))
+    v.toDouble.select((v.labels.map(col) :+ col("value")): _*)
+  }
+
+  private def matcherString(ms: Seq[Labels.Matcher]): String =
+    ms.map {
+      case Labels.Eq(l, v) => s"""$l="$v""""
+      case Labels.Ne(l, v) => s"""$l!="$v""""
+      case Labels.Re(l, v) => s"""$l=~"$v""""
+      case Labels.NotRe(l, v) => s"""$l!~"$v""""
+    }.mkString("{", ", ", "}")
+
+  /** [from, to] second-grid window of a range selector at evalTs. */
+  private def window(sel: VectorSel, ctx: Ctx): (Long, Long) = {
+    val to = ctx.evalTs - sel.offset
+    val d = sel.range.getOrElse(
+      throw new IllegalArgumentException("range function needs sel[duration]"))
+    (to - d + 1, to)
+  }
+
+  private def evalExpr(e: Expr, ctx: Ctx): Vec = e match {
+    case NumLit(_) =>
+      throw new IllegalArgumentException("scalar-only expression has no vector result")
+    case sel: VectorSel => instantVector(sel, ctx)
+    case FnCall(fn, arg) => rangeFn(fn, arg, ctx)
+    case agg: AggExpr => aggregate(agg, ctx)
+    case bin: BinExpr => binary(bin, ctx)
+  }
+
+  /** Instant vector: last sample per series within the lookback
+    * window — decode only the lookback chunks, pick per-series max
+    * (ts, cents) struct (one partial-aggregating hash agg, no rank
+    * window; ties on ts resolve by value like the ts_delta shape). */
+  private def instantVector(sel: VectorSel, ctx: Ctx): Vec = {
+    if (sel.range.isDefined)
+      throw new IllegalArgumentException("range selector outside a range function")
+    val to = ctx.evalTs - sel.offset
+    val from = to - ctx.lookbackSec + 1
+    val pts = Labels.selectRange(ctx.chunks, ctx.labelCols,
+      matcherString(sel.matchers), from, to)
+    val df = pts
+      .withColumn("cents", round(col("v") * 100).cast("long"))
+      .groupBy(ctx.labelCols.map(col): _*)
+      .agg(max(struct(col("ts"), col("cents"))).as("last"))
+      .select(ctx.labelCols.map(col) :+ col("last.cents").as("value"): _*)
+    Vec(df, ctx.labelCols, Cents)
+  }
+
+  /** Range-vector functions. The `_over_time` family answers from
+    * compressed-domain partials (selectRangeAgg — header stats +
+    * boundary folds, zero point rows); the counter/gauge family
+    * decodes survivors and folds consecutive-sample deltas in exact
+    * cents. */
+  private def rangeFn(fn: String, arg: Expr, ctx: Ctx): Vec = {
+    val sel = arg match {
+      case s: VectorSel => s
+      case _ => throw new IllegalArgumentException(s"$fn expects a range selector argument")
+    }
+    val (from, to) = window(sel, ctx)
+    val L = ctx.labelCols
+    def partials: DataFrame =
+      Labels.selectRangeAgg(ctx.chunks, L, matcherString(sel.matchers), from, to)
+    def out(c: Column, kind: ValKind, src: DataFrame): Vec =
+      Vec(src.select(L.map(col) :+ c.as("value"): _*), L, kind)
+
+    fn match {
+      case "sum_over_time" => out(col("sum_cents"), Cents, partials)
+      case "count_over_time" => out(col("n"), Count, partials)
+      case "min_over_time" => out(col("min_v"), Dbl, partials)
+      case "max_over_time" => out(col("max_v"), Dbl, partials)
+      case "present_over_time" => out(lit(1L), Count, partials)
+      case "avg_over_time" =>
+        out(col("sum_cents").cast("double") / (col("n") * lit(100.0)), Dbl, partials)
+      case "stdvar_over_time" =>
+        // exact BIGINT numerator n·Q − S², two exact casts, one division
+        out((col("n") * col("sumsq_cents") - col("sum_cents") * col("sum_cents"))
+          .cast("double") / (col("n") * col("n") * lit(10000.0)).cast("double"), Dbl, partials)
+      case "stddev_over_time" =>
+        out(sqrt((col("n") * col("sumsq_cents") - col("sum_cents") * col("sum_cents"))
+          .cast("double") / (col("n") * col("n") * lit(10000.0)).cast("double")), Dbl, partials)
+      case "last_over_time" =>
+        val pts = decoded(sel, from, to, ctx)
+        out(col("last.cents"), Cents,
+          pts.groupBy(L.map(col): _*).agg(max(struct(col("ts"), col("cents"))).as("last")))
+      case "delta" =>
+        // gauge last − first via one (ts, cents)-struct min/max partial agg
+        val pts = decoded(sel, from, to, ctx)
+        out(col("last.cents") - col("first.cents"), Cents,
+          pts.groupBy(L.map(col): _*).agg(
+            min(struct(col("ts"), col("cents"))).as("first"),
+            max(struct(col("ts"), col("cents"))).as("last")))
+      case "increase" | "rate" | "changes" | "resets" =>
+        val pts = decoded(sel, from, to, ctx)
+        val w = Window.partitionBy(L.map(col): _*).orderBy("ts", "cents")
+        val lagged = pts.withColumn("prev", lag("cents", 1).over(w))
+          .filter(col("prev").isNotNull)
+          .withColumn("d", col("cents") - col("prev"))
+        val grouped = lagged.groupBy(L.map(col): _*)
+        fn match {
+          case "increase" => // reset-aware counter increase: sum of positive deltas
+            out(col("value"), Cents,
+              grouped.agg(sum(when(col("d") > 0, col("d")).otherwise(0L)).as("value")))
+          case "rate" => // increase cents with denom d·100: the per-second
+            // division happens ONCE at output, so sum(rate(..)) stays exact
+            out(col("value"), Exact((to - from + 1) * 100.0),
+              grouped.agg(sum(when(col("d") > 0, col("d")).otherwise(0L)).as("value")))
+          case "changes" =>
+            out(col("value"), Count,
+              grouped.agg(sum(when(col("d") =!= 0, 1L).otherwise(0L)).as("value")))
+          case "resets" =>
+            out(col("value"), Count,
+              grouped.agg(sum(when(col("d") < 0, 1L).otherwise(0L)).as("value")))
+        }
+      case other => throw new IllegalArgumentException(s"unknown function '$other'")
+    }
+  }
+
+  private def decoded(sel: VectorSel, from: Long, to: Long, ctx: Ctx): DataFrame =
+    Labels.selectRange(ctx.chunks, ctx.labelCols, matcherString(sel.matchers), from, to)
+      .withColumn("cents", round(col("v") * 100).cast("long"))
+
+  /** Aggregation operators across series. Exact kinds aggregate in
+    * BIGINT; quantile interpolates on the integer grid (one fixed
+    * expression); topk/bottomk are TakeOrdered with label tiebreaks. */
+  private def aggregate(agg: AggExpr, ctx: Ctx): Vec = {
+    val v = evalExpr(agg.arg, ctx)
+    val out = agg.grouping match {
+      case NoGroup => Nil
+      case By(ls) =>
+        val bad = ls.filterNot(v.labels.contains)
+        if (bad.nonEmpty) throw new IllegalArgumentException(
+          s"by(${bad.mkString(",")}) not in result labels ${v.labels.mkString(",")}")
+        v.labels.filter(ls.contains) // keep store order for determinism
+      case Without(ls) => v.labels.filterNot(ls.contains)
+    }
+    def grouped = if (out.isEmpty) v.df.groupBy() else v.df.groupBy(out.map(col): _*)
+    agg.op match {
+      case "sum" =>
+        if (v.kind == Dbl) throw new IllegalArgumentException(
+          "sum over a float vector is order-dependent; aggregate before the float op")
+        Vec(grouped.agg(sum("value").as("value")), out, v.kind)
+      case "count" => Vec(grouped.agg(count(lit(1)).as("value")), out, Count)
+      case "min" => Vec(grouped.agg(min("value").as("value")), out, v.kind)
+      case "max" => Vec(grouped.agg(max("value").as("value")), out, v.kind)
+      case "avg" =>
+        v.kind match {
+          case Dbl => throw new IllegalArgumentException(
+            "avg over a float vector is order-dependent; aggregate before the float op")
+          case Exact(d) => Vec(grouped.agg((sum("value").cast("double") /
+            (count(lit(1)) * lit(d))).as("value")), out, Dbl)
+        }
+      case "quantile" =>
+        val phi = agg.param.getOrElse(0.5)
+        // interpolation runs on the exact integer grid; the kind's
+        // denominator divides out once afterwards
+        val q = expr(s"percentile(value, $phi)")
+        val scaled = v.kind match {
+          case Dbl => q
+          case Exact(1.0) => q
+          case Exact(d) => q / lit(d)
+        }
+        Vec(grouped.agg(scaled.as("value")), out, Dbl)
+      case "count_values" =>
+        val ls = out :+ "value"
+        Vec(v.toDouble.groupBy(ls.map(col): _*).agg(count(lit(1)).as("__n"))
+          .withColumnRenamed("value", "sample").withColumnRenamed("__n", "value"),
+          out :+ "sample", Count)
+      case "topk" | "bottomk" =>
+        val k = agg.param.getOrElse(1.0).toInt
+        if (out.nonEmpty && out != v.labels) throw new IllegalArgumentException(
+          "topk/bottomk with by() grouping unsupported; apply to the full vector")
+        val ordered =
+          if (agg.op == "topk") v.df.orderBy(col("value").desc +: v.labels.map(col): _*)
+          else v.df.orderBy(col("value").asc +: v.labels.map(col): _*)
+        Vec(ordered.limit(k), v.labels, v.kind)
+      case other => throw new IllegalArgumentException(s"unknown aggregation '$other'")
+    }
+  }
+
+  /** Binary operators with PromQL vector matching: arithmetic joins on
+    * the matching label subset (group_left broadcasts the one side),
+    * comparisons filter, and/or/unless are semi/union/anti joins that
+    * ship only keys for the right side. */
+  private def binary(bin: BinExpr, ctx: Ctx): Vec = (bin.lhs, bin.rhs) match {
+    case (NumLit(a), NumLit(b)) =>
+      throw new IllegalArgumentException(s"scalar-only expression ${a} ${bin.op} ${b}")
+    case (l, NumLit(s)) => scalarOp(evalExpr(l, ctx), bin.op, s, scalarLeft = false)
+    case (NumLit(s), r) => scalarOp(evalExpr(r, ctx), bin.op, s, scalarLeft = true)
+    case (l, r) =>
+      val lv = evalExpr(l, ctx)
+      val rv = evalExpr(r, ctx)
+      val keys = bin.matching.on.getOrElse(
+        lv.labels.toSet.intersect(rv.labels.toSet).toSeq
+          .filterNot(bin.matching.ignoring.contains))
+        .filterNot(bin.matching.ignoring.contains)
+      val keyCols = ctx.labelCols.filter(keys.contains) // store order
+      bin.op match {
+        case "and" =>
+          Vec(lv.df.join(broadcast(rv.df.select(keyCols.map(col): _*).distinct()),
+            keyCols, "left_semi"), lv.labels, lv.kind)
+        case "unless" =>
+          Vec(lv.df.join(broadcast(rv.df.select(keyCols.map(col): _*).distinct()),
+            keyCols, "left_anti"), lv.labels, lv.kind)
+        case "or" =>
+          if (lv.labels != rv.labels) throw new IllegalArgumentException(
+            "'or' needs both sides on the same label set")
+          val rOnly = rv.df.join(broadcast(lv.df.select(keyCols.map(col): _*).distinct()),
+            keyCols, "left_anti")
+          val kind = if (lv.kind == rv.kind) lv.kind else Dbl
+          val ldf = if (kind == lv.kind) lv.df else lv.toDouble
+          val rdf = if (kind == rv.kind) rOnly else Vec(rOnly, rv.labels, rv.kind).toDouble
+          Vec(ldf.unionByName(rdf), lv.labels, kind)
+        case op =>
+          val manyLeft = bin.matching.groupLeft
+          val manyRight = bin.matching.groupRight
+          val outLabels =
+            if (manyLeft) lv.labels
+            else if (manyRight) rv.labels
+            else keyCols
+          val lval = asDouble(col("__lv"), lv.kind)
+          val rval = asDouble(col("__rv"), rv.kind)
+          // the grain side keeps its full label set; the other side
+          // drops non-key labels that would collide after the join
+          val (lkeepLabels, rkeepLabels) =
+            if (manyRight)
+              (lv.labels.filterNot(n => rv.labels.contains(n) && !keyCols.contains(n)),
+                rv.labels)
+            else
+              (lv.labels,
+                rv.labels.filterNot(n => lv.labels.contains(n) && !keyCols.contains(n)))
+          val lside = lv.df.withColumnRenamed("value", "__lv")
+            .select((lkeepLabels :+ "__lv").distinct.map(col): _*)
+          val rside = rv.df.withColumnRenamed("value", "__rv")
+            .select((rkeepLabels :+ "__rv").distinct.map(col): _*)
+          // the "one" side of a many-to-one match is group-grain — broadcast it
+          val joined =
+            if (manyLeft) lside.join(broadcast(rside), keyCols)
+            else if (manyRight) rside.join(broadcast(lside), keyCols)
+            else lside.join(rside, keyCols)
+          if (cmpOps(bin.op)) {
+            // comparison = filter; keep the LEFT value (PromQL filter semantics).
+            // Exact-kind pairs with equal denom compare on exact longs.
+            val cond =
+              if (sameExact(lv.kind, rv.kind)) cmp(bin.op, col("__lv"), col("__rv"))
+              else cmp(bin.op, lval, rval)
+            // comparisons FILTER the left vector: its full label set survives
+            Vec(joined.filter(cond)
+              .select(lkeepLabels.map(col) :+ col("__lv").as("value"): _*),
+              lkeepLabels, lv.kind)
+          } else {
+            val (value, kind) = op match {
+              case "+" if sameExact(lv.kind, rv.kind) => (col("__lv") + col("__rv"), lv.kind)
+              case "-" if sameExact(lv.kind, rv.kind) => (col("__lv") - col("__rv"), lv.kind)
+              case "+" => (lval + rval, Dbl)
+              case "-" => (lval - rval, Dbl)
+              case "*" => (lval * rval, Dbl)
+              case "/" => (lval / nullif(rval, lit(0.0)), Dbl)
+              case "%" => (lval % nullif(rval, lit(0.0)), Dbl)
+              case o => throw new IllegalArgumentException(s"unknown operator '$o'")
+            }
+            val res = joined.select(outLabels.map(col) :+ value.as("value"): _*)
+            // PromQL drops undefined samples (x/0 here yields NULL, not Inf)
+            Vec(if (op == "/" || op == "%") res.filter(col("value").isNotNull) else res,
+              outLabels, kind)
+          }
+      }
+  }
+
+  private def sameExact(a: ValKind, b: ValKind): Boolean = (a, b) match {
+    case (Exact(x), Exact(y)) => x == y
+    case _ => false
+  }
+
+  private def cmp(op: String, l: Column, r: Column): Column = op match {
+    case "==" => l === r
+    case "!=" => l =!= r
+    case ">" => l > r
+    case "<" => l < r
+    case ">=" => l >= r
+    case "<=" => l <= r
+  }
+
+  /** Vector ⟂ scalar. Addition/subtraction against an exact vector
+    * stays exact when the scalar lands on the vector's integer grid;
+    * comparisons against an exact vector compare on the exact grid
+    * when the threshold does. */
+  private def scalarOp(v: Vec, op: String, s: Double, scalarLeft: Boolean): Vec = {
+    val scaled = v.kind match { case Exact(d) => s * d; case Dbl => Double.NaN }
+    val onGrid = v.kind != Dbl && scaled.isWhole && math.abs(scaled) < 9e15
+    if (cmpOps(op)) {
+      val c =
+        if (onGrid) {
+          val t = lit(scaled.toLong)
+          if (scalarLeft) cmp(op, t, col("value")) else cmp(op, col("value"), t)
+        } else {
+          val dv = asDouble(col("value"), v.kind)
+          if (scalarLeft) cmp(op, lit(s), dv) else cmp(op, dv, lit(s))
+        }
+      Vec(v.df.filter(c), v.labels, v.kind)
+    } else (op, onGrid) match {
+      case ("+", true) =>
+        Vec(v.df.withColumn("value", col("value") + lit(scaled.toLong)), v.labels, v.kind)
+      case ("-", true) if !scalarLeft =>
+        Vec(v.df.withColumn("value", col("value") - lit(scaled.toLong)), v.labels, v.kind)
+      case ("-", true) =>
+        Vec(v.df.withColumn("value", lit(scaled.toLong) - col("value")), v.labels, v.kind)
+      case _ =>
+        val d = v.toDouble
+        val value = (op, scalarLeft) match {
+          case ("+", _) => col("value") + lit(s)
+          case ("-", false) => col("value") - lit(s)
+          case ("-", true) => lit(s) - col("value")
+          case ("*", _) => col("value") * lit(s)
+          case ("/", false) => col("value") / lit(s)
+          case ("/", true) => lit(s) / nullif(col("value"), lit(0.0))
+          case ("%", false) => col("value") % lit(s)
+          case ("%", true) => lit(s) % nullif(col("value"), lit(0.0))
+          case (o, _) => throw new IllegalArgumentException(s"unknown operator '$o'")
+        }
+        val res = d.withColumn("value", value)
+        Vec(if (scalarLeft && (op == "/" || op == "%")) res.filter(col("value").isNotNull)
+          else res, v.labels, Dbl)
+    }
+  }
+}

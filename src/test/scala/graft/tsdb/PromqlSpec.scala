@@ -1,0 +1,170 @@
+package graft.tsdb
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import Promql._
+
+/** PromQL front-end: parser (precedence, durations, modifiers,
+  * errors), compiler parity against hand-composed label-store frames,
+  * and the scale pins — a selector arriving through the STRING
+  * front-end must still push to the parquet chunk scan, and the
+  * `_over_time` family must stay compressed-domain (no decode). */
+class PromqlSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val dir = "/root/testdata/sf0.001"
+  val EvalTs = 1705017600L
+  val labelCols = Seq("type", "host", "region")
+  def chunks = graft.queries.TsQueries.labeledStoreChunks(spark, dir)
+
+  // ===== parser =====
+
+  test("parser: aggregation over a range function, metric-name sugar") {
+    assert(parse("sum by (region) (rate(click[2d]))") ==
+      AggExpr("sum", None, By(Seq("region")),
+        FnCall("rate", VectorSel(Seq(Labels.Eq("type", "click")), Some(172800L), 0L))))
+    // sugar composes with explicit matchers
+    assert(parse("""click{region="r1"}""") ==
+      VectorSel(Seq(Labels.Eq("type", "click"), Labels.Eq("region", "r1")), None, 0L))
+    // all four matcher ops arrive as Labels matchers
+    assert(parse("""{a="x", b!="y", c=~"h1.*", d!~"z"}""") ==
+      VectorSel(Seq(Labels.Eq("a", "x"), Labels.Ne("b", "y"),
+        Labels.Re("c", "h1.*"), Labels.NotRe("d", "z")), None, 0L))
+  }
+
+  test("parser: durations, offset, trailing grouping clause") {
+    assert(parse("sum_over_time(x[1h30m])") ==
+      FnCall("sum_over_time",
+        VectorSel(Seq(Labels.Eq("type", "x")), Some(5400L), 0L)))
+    assert(parse("sum_over_time(x[2d] offset 1d)") ==
+      FnCall("sum_over_time",
+        VectorSel(Seq(Labels.Eq("type", "x")), Some(172800L), 86400L)))
+    // PromQL also allows the grouping clause after the parens
+    assert(parse("sum(count_over_time(x[5m])) by (host)") ==
+      parse("sum by (host) (count_over_time(x[5m]))"))
+  }
+
+  test("parser: operator precedence and vector matching modifiers") {
+    val a = VectorSel(Seq(Labels.Eq("type", "a")), None, 0L)
+    val b = VectorSel(Seq(Labels.Eq("type", "b")), None, 0L)
+    val c = VectorSel(Seq(Labels.Eq("type", "c")), None, 0L)
+    // * binds tighter than +, + tighter than comparison, cmp tighter than unless
+    assert(parse("a + b * c") ==
+      BinExpr("+", a, BinExpr("*", b, c, DefaultMatching), DefaultMatching))
+    assert(parse("a + b > 10 unless c") ==
+      BinExpr("unless",
+        BinExpr(">", BinExpr("+", a, b, DefaultMatching), NumLit(10), DefaultMatching),
+        c, DefaultMatching))
+    assert(parse("a / on(host) group_left b") ==
+      BinExpr("/", a, b, Matching(Some(Seq("host")), Nil,
+        groupLeft = true, groupRight = false)))
+    assert(parse("a and ignoring(region) b") ==
+      BinExpr("and", a, b, Matching(None, Seq("region"), false, false)))
+    // unary minus is scalar multiplication
+    assert(parse("-a") == BinExpr("*", NumLit(-1), a, DefaultMatching))
+  }
+
+  test("parser: malformed queries fail loudly") {
+    intercept[IllegalArgumentException](parse("sum by region (x)")) // missing parens
+    intercept[IllegalArgumentException](parse("rate(x[2d]") )       // unbalanced
+    intercept[IllegalArgumentException](parse("x[2q]"))             // bad unit
+    intercept[IllegalArgumentException](parse("""{a=x}"""))         // unquoted value
+    intercept[IllegalArgumentException](parse("rate(x[2d]) extra")) // trailing
+    intercept[IllegalArgumentException](parse("topk(x)"))           // missing k
+    intercept[IllegalArgumentException](parse("x > bool 10"))       // unsupported bool
+  }
+
+  // ===== compiler parity vs hand-composed frames =====
+
+  test("sum_over_time through the parser == hand-built selectRangeAgg") {
+    val from = EvalTs - 172800L + 1
+    val got = Promql.eval(chunks, labelCols,
+      """sum by (region) (sum_over_time({type="click"}[2d]))""", EvalTs)
+      .orderBy("region").collect().map(r => (r.getString(0), r.getDouble(1)))
+    val want = Labels.selectRangeAgg(chunks, labelCols, """{type="click"}""",
+        from, EvalTs)
+      .groupBy("region").agg(sum("sum_cents").as("c"))
+      .select(col("region"), (col("c").cast("double") / lit(100.0)).as("v"))
+      .orderBy("region").collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(got.nonEmpty && got.sameElements(want))
+  }
+
+  test("instant vector == last sample per series within lookback") {
+    val lookback = 86400L
+    val got = Promql.eval(chunks, labelCols, """{type="purchase"}""",
+      EvalTs, lookback).orderBy("type", "host", "region").collect()
+      .map(r => (r.getString(1), r.getDouble(3)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(labelCols.map(col): _*).orderBy(col("ts").desc, col("v").desc)
+    val want = Labels.selectRange(chunks, labelCols, """{type="purchase"}""",
+        EvalTs - lookback + 1, EvalTs)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .orderBy("type", "host", "region").collect()
+      .map(r => (r.getString(1), r.getDouble(4)))
+    assert(got.nonEmpty)
+    assert(got.map(_._1).sameElements(want.map(_._1)))
+    got.zip(want).foreach { case ((h, g), (_, e)) =>
+      assert(math.abs(g - e) < 1e-9, s"host $h: $g vs $e") }
+  }
+
+  test("scalar comparison filters on the exact integer grid") {
+    val from = EvalTs - 172800L + 1
+    val got = Promql.eval(chunks, labelCols,
+      "sum by (host) (sum_over_time(purchase[2d])) > 60", EvalTs)
+      .select("host").collect().map(_.getString(0)).toSet
+    val want = Labels.selectRangeAgg(chunks, labelCols, """{type="purchase"}""",
+        from, EvalTs)
+      .groupBy("host").agg(sum("sum_cents").as("c"))
+      .filter(col("c") > 6000L).collect().map(_.getString(0)).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("sum(rate) stays exact: equals per-series exact increase summed, then one division") {
+    val from = EvalTs - 172800L + 1
+    val got = Promql.eval(chunks, labelCols,
+      "sum by (region) (rate(click[2d]))", EvalTs)
+      .orderBy("region").collect().map(r => (r.getString(0), r.getDouble(1)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(labelCols.map(col): _*).orderBy("ts", "cents")
+    val want = Labels.selectRange(chunks, labelCols, """{type="click"}""", from, EvalTs)
+      .withColumn("cents", round(col("v") * 100).cast("long"))
+      .withColumn("prev", lag("cents", 1).over(w)).filter(col("prev").isNotNull)
+      .withColumn("d", col("cents") - col("prev"))
+      .groupBy("region").agg(sum(when(col("d") > 0, col("d")).otherwise(0L)).as("inc"))
+      .select(col("region"),
+        (col("inc").cast("double") / lit(172800L * 100.0)).as("v"))
+      .orderBy("region").collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(got.nonEmpty && got.sameElements(want)) // bit-equal, not approx
+  }
+
+  // ===== scale pins =====
+
+  test("selector through the string front-end still pushes to the chunk scan") {
+    val df = Promql.eval(chunks, labelCols,
+      """sum by (region) (sum_over_time({type="click", host=~"h1.*"}[2d]))""", EvalTs)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("EqualTo(type,click)"), plan.take(3000))
+    assert(plan.contains("StringStartsWith(host") ||
+      plan.contains("StartsWith(host"), plan.take(3000))
+    // compressed-domain: the _over_time family never materializes points
+    assert(!plan.contains("gorilla_decode"),
+      "sum_over_time must stay compressed-domain:\n" + plan.take(3000))
+    assert(plan.contains("gorilla_chunk_agg_range"), plan.take(3000))
+  }
+
+  test("rate decodes ONLY selector survivors; binary-op one side broadcasts") {
+    val rate = Promql.eval(chunks, labelCols,
+      """sum by (region) (rate({type="click", host=~"h1.*"}[2d]))""", EvalTs)
+    val rPlan = rate.queryExecution.executedPlan.toString
+    assert(rPlan.contains("EqualTo(type,click)"), rPlan.take(3000))
+    assert(rPlan.contains("gorilla_decode"), rPlan.take(3000)) // samples needed
+    val gl = Promql.eval(chunks, labelCols,
+      "sum by (host, region) (sum_over_time(click[2d])) " +
+        "/ on(region) group_left sum by (region) (sum_over_time(click[2d]))", EvalTs)
+    val gPlan = gl.queryExecution.executedPlan.toString
+    assert(gPlan.contains("BroadcastHashJoin") || gPlan.contains("BroadcastExchange"),
+      gPlan.take(3000))
+    assert(gl.count() > 0)
+  }
+}
