@@ -119,7 +119,20 @@ object PromqlQueries {
     "promql_stddev" -> ((s, dir) =>
       q(s, dir, "max by (region) (stddev_over_time(view[1d]))",
           fromSec = EvalTs - Day + 1)
-        .orderBy("region")))
+        .orderBy("region")),
+    // per-group top-k: `topk by (region)(1, ...)` — the busiest host
+    // PER REGION; rank window partitioned by the by() labels (group-
+    // sized partitions, never a global sort), full label set kept
+    "promql_topk_by" -> ((s, dir) =>
+      q(s, dir, "topk by (region) (1, " +
+          "sum by (host, region) (sum_over_time(click[2d])))")
+        .orderBy("region", "host")),
+    // count_values over an instant vector: frequency histogram of the
+    // last-sample values on the exact cent grid (1-day staleness)
+    "promql_count_values" -> ((s, dir) =>
+      q(s, dir, """count_values("v", {type="purchase", host=~"h1.*"})""",
+          fromSec = EvalTs - Day + 1, lookback = Day)
+        .orderBy("sample")))
 
   def oracleSql: Map[String, String] = Map(
     "promql_instant" ->
@@ -226,5 +239,23 @@ object PromqlQueries {
         |  GROUP BY 1, 2, 3)
         |SELECT region,
         |  max(sqrt(CAST(n * qc - sc * sc AS DOUBLE) / (n * n * 10000.0))) AS value
-        |FROM p GROUP BY region ORDER BY region""".stripMargin)
+        |FROM p GROUP BY region ORDER BY region""".stripMargin,
+    "promql_topk_by" ->
+      s"""$lblCte,
+        |h AS (SELECT host, region, CAST(sum(cents) AS BIGINT) AS sc FROM lbl
+        |  WHERE ts >= $From AND ts <= $EvalTs AND type = 'click' GROUP BY 1, 2),
+        |r AS (SELECT host, region, sc, row_number() OVER (
+        |    PARTITION BY region ORDER BY sc DESC, host) AS rk FROM h)
+        |SELECT host, region, CAST(sc AS DOUBLE) / 100.0 AS value
+        |FROM r WHERE rk = 1 ORDER BY region, host""".stripMargin,
+    "promql_count_values" ->
+      s"""$lblCte,
+        |pts AS (SELECT * FROM lbl WHERE ts >= ${EvalTs - Day + 1} AND ts <= $EvalTs
+        |  AND type = 'purchase' AND host LIKE 'h1%'),
+        |last AS (SELECT type, host, region, cents, row_number() OVER (
+        |    PARTITION BY type, host, region ORDER BY ts DESC, cents DESC) AS rn
+        |  FROM pts)
+        |SELECT CAST(cents AS DOUBLE) / 100.0 AS sample,
+        |  CAST(count(*) AS DOUBLE) AS value
+        |FROM last WHERE rn = 1 GROUP BY cents ORDER BY sample""".stripMargin)
 }

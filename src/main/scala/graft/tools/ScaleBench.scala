@@ -194,6 +194,16 @@ object ScaleBench {
         noop(graft.tsdb.Labels.labelValues(
           Ts.readStore(spark, lblPath), labelCols))
       }
+      // the PromQL STRING front-end at volume: compiled plans must
+      // price like the hand-built bodies they lower to
+      timed(s"${tag}_promql_sum", nEv, "string-compiled compressed-domain sum_over_time") {
+        noop(graft.tsdb.Promql.eval(Ts.readStore(spark, lblPath, from, to),
+          labelCols, """sum by (region) (sum_over_time({type="click"}[2d]))""", to))
+      }
+      timed(s"${tag}_promql_rate", nEv, "string-compiled rate: selector-pruned decode") {
+        noop(graft.tsdb.Promql.eval(Ts.readStore(spark, lblPath, from, to),
+          labelCols, """sum by (region) (rate({type="click", host=~"h1.*"}[2d]))""", to))
+      }
     }
 
     /** Streaming ingest throughput at volume (r9 verdict #8): the

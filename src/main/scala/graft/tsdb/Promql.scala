@@ -555,13 +555,21 @@ object Promql {
           .withColumnRenamed("value", "sample").withColumnRenamed("__n", "value"),
           out :+ "sample", Count)
       case "topk" | "bottomk" =>
+        // PromQL topk/bottomk KEEP the full label set; by() means
+        // per-group top-k, no grouping means global
         val k = agg.param.getOrElse(1.0).toInt
-        if (out.nonEmpty && out != v.labels) throw new IllegalArgumentException(
-          "topk/bottomk with by() grouping unsupported; apply to the full vector")
-        val ordered =
-          if (agg.op == "topk") v.df.orderBy(col("value").desc +: v.labels.map(col): _*)
-          else v.df.orderBy(col("value").asc +: v.labels.map(col): _*)
-        Vec(ordered.limit(k), v.labels, v.kind)
+        val valueOrd = if (agg.op == "topk") col("value").desc else col("value").asc
+        val tiebreak = v.labels.filterNot(out.contains).map(col)
+        if (out.isEmpty) {
+          // global: TakeOrdered — k rows cross the wire, never the vector
+          Vec(v.df.orderBy(valueOrd +: tiebreak: _*).limit(k), v.labels, v.kind)
+        } else {
+          // per-group: rank window partitioned by the by() labels —
+          // partitions are group-sized (≤ |series| rows), never global
+          val w = Window.partitionBy(out.map(col): _*).orderBy(valueOrd +: tiebreak: _*)
+          Vec(v.df.withColumn("__rk", row_number().over(w))
+            .filter(col("__rk") <= k).drop("__rk"), v.labels, v.kind)
+        }
       case other => throw new IllegalArgumentException(s"unknown aggregation '$other'")
     }
   }

@@ -138,6 +138,24 @@ class PromqlSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.sameElements(want)) // bit-equal, not approx
   }
 
+  test("topk by (region) keeps the full label set; == per-group rank") {
+    val from = EvalTs - 172800L + 1
+    val got = Promql.eval(chunks, labelCols,
+      "topk by (region) (2, sum by (host, region) (sum_over_time(click[2d])))",
+      EvalTs).orderBy("region", "host").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("region").orderBy(col("c").desc, col("host"))
+    val want = Labels.selectRangeAgg(chunks, labelCols, """{type="click"}""",
+        from, EvalTs)
+      .groupBy("host", "region").agg(sum("sum_cents").as("c"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 2)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == want && got.nonEmpty)
+    // 4 regions x top-2 hosts
+    assert(got.map(_._2).size <= got.size)
+  }
+
   // ===== scale pins =====
 
   test("selector through the string front-end still pushes to the chunk scan") {
