@@ -29,6 +29,8 @@ object PromqlQueries {
   private val From = EvalTs - Win + 1
   private val OffFrom = EvalTs - 2 * Win + 1 // [2d] offset 2d window
   private val OffTo = EvalTs - Win
+  private val RangeStart = 1704844800L // query_range grid start (= RangeFrom)
+  private val StepWin = 21600L // the [6h] stepped window
 
   private val labelCols = TsQueries.labelCols
 
@@ -132,7 +134,24 @@ object PromqlQueries {
     "promql_count_values" -> ((s, dir) =>
       q(s, dir, """count_values("v", {type="purchase", host=~"h1.*"})""",
           fromSec = EvalTs - Day + 1, lookback = Day)
-        .orderBy("sample")))
+        .orderBy("sample")),
+    // query_range (stepped) evaluation — the Grafana panel call: 25
+    // 2-h steps, each a 6-h window; COMPRESSED-DOMAIN end-to-end (one
+    // bucket fold per chunk, partials exploded onto the ≤ 3 windows
+    // each serves, one hash agg). Exact cents throughout
+    "promql_range_sum" -> ((s, dir) =>
+      Promql.evalRange(chunks(s, dir, RangeStart - StepWin), labelCols,
+          "sum by (region) (sum_over_time(click[6h]))",
+          RangeStart, EvalTs, 7200L)
+        .orderBy("region", "ts")),
+    // stepped BINARY op: per-step vector matching (the step column
+    // joins implicitly next to on(region))
+    "promql_range_ratio" -> ((s, dir) =>
+      Promql.evalRange(chunks(s, dir, RangeStart - StepWin), labelCols,
+          "sum by (region) (sum_over_time(click[6h])) " +
+            "/ on(region) sum by (region) (sum_over_time(view[6h]))",
+          RangeStart, EvalTs, 7200L)
+        .orderBy("region", "ts")))
 
   def oracleSql: Map[String, String] = Map(
     "promql_instant" ->
@@ -257,5 +276,32 @@ object PromqlQueries {
         |  FROM pts)
         |SELECT CAST(cents AS DOUBLE) / 100.0 AS sample,
         |  CAST(count(*) AS DOUBLE) AS value
-        |FROM last WHERE rn = 1 GROUP BY cents ORDER BY sample""".stripMargin)
+        |FROM last WHERE rn = 1 GROUP BY cents ORDER BY sample""".stripMargin,
+    // stepped windows are LEFT-CLOSED [t − 6h, t − 1] on the second
+    // grid (the compiler's bucket-alignment convention)
+    "promql_range_sum" ->
+      s"""$lblCte,
+        |steps AS (SELECT ($RangeStart + i * 7200) AS t
+        |  FROM generate_series(0, 24) s(i))
+        |SELECT region, t AS ts,
+        |  CAST(CAST(sum(cents) AS BIGINT) AS DOUBLE) / 100.0 AS value
+        |FROM lbl JOIN steps ON lbl.ts >= t - $StepWin AND lbl.ts <= t - 1
+        |WHERE type = 'click'
+        |GROUP BY region, t ORDER BY region, ts""".stripMargin,
+    "promql_range_ratio" ->
+      s"""$lblCte,
+        |steps AS (SELECT ($RangeStart + i * 7200) AS t
+        |  FROM generate_series(0, 24) s(i)),
+        |c AS (SELECT region, t, CAST(sum(cents) AS BIGINT) AS lc
+        |  FROM lbl JOIN steps ON lbl.ts >= t - $StepWin AND lbl.ts <= t - 1
+        |  WHERE type = 'click' GROUP BY region, t),
+        |v AS (SELECT region, t, CAST(sum(cents) AS BIGINT) AS rc
+        |  FROM lbl JOIN steps ON lbl.ts >= t - $StepWin AND lbl.ts <= t - 1
+        |  WHERE type = 'view' GROUP BY region, t)
+        |SELECT region, ts, value FROM (
+        |  SELECT c.region, c.t AS ts,
+        |    (CAST(lc AS DOUBLE) / 100.0) / nullif(CAST(rc AS DOUBLE) / 100.0, 0.0)
+        |      AS value
+        |  FROM c JOIN v ON c.region = v.region AND c.t = v.t)
+        |WHERE value IS NOT NULL ORDER BY region, ts""".stripMargin)
 }

@@ -379,8 +379,12 @@ object Promql {
     case Exact(d) => c.cast("double") / lit(d)
   }
 
+  /** `grid = Some((startTs, stepSec))` switches to stepped (range-
+    * query) evaluation: every vector carries a `ts` step column,
+    * treated as an extra matching label throughout. */
   final case class Ctx(chunks: DataFrame, labelCols: Seq[String], evalTs: Long,
-                       lookbackSec: Long = 300L)
+                       lookbackSec: Long = 300L,
+                       grid: Option[(Long, Long)] = None)
 
   /** Evaluate a PromQL query at instant `evalTs` against a labeled
     * chunk store. Returns the result's label columns + `value: double`. */
@@ -388,6 +392,40 @@ object Promql {
            evalTs: Long, lookbackSec: Long = 300L): DataFrame = {
     val v = evalExpr(parse(query, labelCols.head),
       Ctx(chunks, labelCols, evalTs, lookbackSec))
+    v.toDouble.select((v.labels.map(col) :+ col("value")): _*)
+  }
+
+  /**
+   * PromQL `query_range`: evaluate at every step t_i = startTs + i·stepSec
+   * with t_i ≤ endTs; the result carries a `ts` column (the step) next
+   * to the labels. The over-time window at a step is the LEFT-CLOSED
+   * second grid [t_i − d, t_i − 1] — exactly k = d/step whole
+   * epoch-aligned step buckets (PromQL's half-open `(t−d, t]` shifted
+   * one second), which is what keeps stepped evaluation
+   * COMPRESSED-DOMAIN: selector survivors fold ONCE into per-(series,
+   * bucket) partials (`gorilla_chunk_bucket_agg` — one streaming
+   * decode per chunk, never a point row), each partial serves ≤ k
+   * steps (an explode onto its window indices), and one hash
+   * aggregate assembles every window. Cost: chunks-of-selector +
+   * |series| · |buckets| · k partial rows — independent of point
+   * count past the fold, the shape a dashboard's 300-step panel
+   * needs at 100 TB.
+   *
+   * Requires `startTs % stepSec == 0` and, per range selector,
+   * `d % stepSec == 0` (the bucket-alignment contract). Supported in
+   * stepped mode: the `_over_time` family, aggregations (by/without —
+   * the step is implicitly part of every grouping), binary ops
+   * (matched per step), scalar arithmetic, topk/bottomk (per step).
+   * Sample-hungry functions (rate/increase/…) and bare instant
+   * selectors need per-step sample windows and are rejected here.
+   */
+  def evalRange(chunks: DataFrame, labelCols: Seq[String], query: String,
+                startTs: Long, endTs: Long, stepSec: Long,
+                lookbackSec: Long = 300L): DataFrame = {
+    require(stepSec > 0 && endTs >= startTs, "need stepSec > 0 and endTs >= startTs")
+    require(startTs % stepSec == 0, "startTs must align to the step grid")
+    val v = evalExpr(parse(query, labelCols.head),
+      Ctx(chunks, labelCols, endTs, lookbackSec, grid = Some((startTs, stepSec))))
     v.toDouble.select((v.labels.map(col) :+ col("value")): _*)
   }
 
@@ -423,6 +461,9 @@ object Promql {
   private def instantVector(sel: VectorSel, ctx: Ctx): Vec = {
     if (sel.range.isDefined)
       throw new IllegalArgumentException("range selector outside a range function")
+    if (ctx.grid.isDefined)
+      throw new IllegalArgumentException(
+        "bare instant selector in a range query: wrap it in an _over_time window")
     val to = ctx.evalTs - sel.offset
     val from = to - ctx.lookbackSec + 1
     val pts = Labels.selectRange(ctx.chunks, ctx.labelCols,
@@ -440,10 +481,19 @@ object Promql {
     * boundary folds, zero point rows); the counter/gauge family
     * decodes survivors and folds consecutive-sample deltas in exact
     * cents. */
+  private val SteppedFns = Set("sum_over_time", "count_over_time", "min_over_time",
+    "max_over_time", "avg_over_time", "stddev_over_time", "stdvar_over_time",
+    "present_over_time")
+
   private def rangeFn(fn: String, arg: Expr, ctx: Ctx): Vec = {
     val sel = arg match {
       case s: VectorSel => s
       case _ => throw new IllegalArgumentException(s"$fn expects a range selector argument")
+    }
+    if (ctx.grid.isDefined) {
+      if (!SteppedFns(fn)) throw new IllegalArgumentException(
+        s"$fn needs per-step sample windows; stepped mode supports ${SteppedFns.mkString(", ")}")
+      return steppedOverTime(fn, sel, ctx)
     }
     val (from, to) = window(sel, ctx)
     val L = ctx.labelCols
@@ -504,6 +554,55 @@ object Promql {
     }
   }
 
+  /** Stepped `_over_time`: one compressed-domain bucket fold, each
+    * per-(series, bucket) partial exploded onto the ≤ k windows it
+    * serves, one hash aggregate. The result carries the step as a
+    * `ts` label column. */
+  private def steppedOverTime(fn: String, sel: VectorSel, ctx: Ctx): Vec = {
+    val (start0, step) = ctx.grid.get
+    val d = sel.range.getOrElse(
+      throw new IllegalArgumentException(s"$fn needs sel[duration]"))
+    require(d % step == 0 && d >= step,
+      s"window ${d}s must be a positive multiple of the ${step}s step grid")
+    val start = start0 - sel.offset // data-side grid; output ts stays un-offset
+    require(start % step == 0, "offset must preserve step alignment")
+    val end = ctx.evalTs - sel.offset
+    val k = d / step
+    val nSteps = (end - start) / step + 1
+    val tLast = start + (nSteps - 1) * step
+    val L = ctx.labelCols
+    // selector prune at the chunk-metadata scan, window-stat prune,
+    // then ONE streaming bucket fold per surviving chunk
+    val sub = Labels.select(ctx.chunks, L, matcherString(sel.matchers))
+      .filter(col("max_ts") >= start - d && col("min_ts") <= tLast - 1)
+    val parts = Ts.downsampleStatsCompressed(sub, L, step)
+      .filter(col("bucket") >= start - d && col("bucket") <= tLast - step)
+    // bucket b (aligned) lies inside windows i ∈ [j+1, j+k], j = (b−start)/step
+    val withStep = parts
+      .withColumn("__j", expr(s"(bucket - ${start}L) div ${step}L"))
+      .withColumn("__i", explode(sequence(
+        greatest(col("__j") + lit(1L), lit(0L)),
+        least(col("__j") + lit(k), lit(nSteps - 1)))))
+    def grouped = withStep.groupBy(L.map(col) :+ col("__i"): _*)
+    val (df, kind) = fn match {
+      case "sum_over_time" => (grouped.agg(sum("sum_cents").as("value")), Cents)
+      case "count_over_time" => (grouped.agg(sum("n").as("value")), Count)
+      case "min_over_time" => (grouped.agg(min("min_v").as("value")), Dbl)
+      case "max_over_time" => (grouped.agg(max("max_v").as("value")), Dbl)
+      case "present_over_time" =>
+        (grouped.agg(count(lit(1)).as("__c")).withColumn("value", lit(1L)), Count)
+      case "avg_over_time" =>
+        (grouped.agg((sum("sum_cents").cast("double") /
+          (sum("n") * lit(100.0))).as("value")), Dbl)
+      case "stdvar_over_time" | "stddev_over_time" =>
+        val v = (sum("n") * sum("sumsq_cents") - sum("sum_cents") * sum("sum_cents"))
+          .cast("double") / (sum("n") * sum("n") * lit(10000.0))
+        (grouped.agg((if (fn == "stddev_over_time") sqrt(v) else v).as("value")), Dbl)
+    }
+    Vec(df.withColumn("ts", lit(start0) + col("__i") * lit(step))
+      .select((L :+ "ts" :+ "value").map(col): _*), L :+ "ts", kind)
+  }
+
   private def decoded(sel: VectorSel, from: Long, to: Long, ctx: Ctx): DataFrame =
     Labels.selectRange(ctx.chunks, ctx.labelCols, matcherString(sel.matchers), from, to)
       .withColumn("cents", round(col("v") * 100).cast("long"))
@@ -513,7 +612,7 @@ object Promql {
     * expression); topk/bottomk are TakeOrdered with label tiebreaks. */
   private def aggregate(agg: AggExpr, ctx: Ctx): Vec = {
     val v = evalExpr(agg.arg, ctx)
-    val out = agg.grouping match {
+    val out0 = agg.grouping match {
       case NoGroup => Nil
       case By(ls) =>
         val bad = ls.filterNot(v.labels.contains)
@@ -522,6 +621,8 @@ object Promql {
         v.labels.filter(ls.contains) // keep store order for determinism
       case Without(ls) => v.labels.filterNot(ls.contains)
     }
+    // the step column is implicitly part of EVERY grouping in range mode
+    val out = if (v.labels.contains("ts") && !out0.contains("ts")) out0 :+ "ts" else out0
     def grouped = if (out.isEmpty) v.df.groupBy() else v.df.groupBy(out.map(col): _*)
     agg.op match {
       case "sum" =>
@@ -590,7 +691,9 @@ object Promql {
         lv.labels.toSet.intersect(rv.labels.toSet).toSeq
           .filterNot(bin.matching.ignoring.contains))
         .filterNot(bin.matching.ignoring.contains)
-      val keyCols = ctx.labelCols.filter(keys.contains) // store order
+      // store order; in range mode the step matches implicitly
+      val keyCols = ctx.labelCols.filter(keys.contains) ++
+        (if (lv.labels.contains("ts") && rv.labels.contains("ts")) Seq("ts") else Nil)
       bin.op match {
         case "and" =>
           Vec(lv.df.join(broadcast(rv.df.select(keyCols.map(col): _*).distinct()),

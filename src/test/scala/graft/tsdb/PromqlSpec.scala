@@ -156,6 +156,58 @@ class PromqlSpec extends AnyFunSuite {
     assert(got.map(_._2).size <= got.size)
   }
 
+  // ===== stepped (query_range) evaluation =====
+
+  test("evalRange == per-step hand computation on the left-closed grid") {
+    val start = 1704844800L; val step = 7200L; val d = 21600L
+    val stepped = Promql.evalRange(chunks, labelCols,
+      "sum by (region) (sum_over_time(click[6h]))", start, EvalTs, step)
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(stepped.nonEmpty)
+    val pts = Labels.selectRange(chunks, labelCols, """{type="click"}""",
+        start - d, EvalTs - 1)
+      .withColumn("cents", round(col("v") * 100).cast("long"))
+      .select("region", "ts", "cents").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    for (t <- Seq(start, start + 5 * step, EvalTs)) {
+      val want = pts.filter(p => p._2 >= t - d && p._2 <= t - 1)
+        .groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+      want.foreach { case (region, cents) =>
+        val got = stepped.getOrElse((region, t),
+          fail(s"missing step ($region, $t)"))
+        assert(got == cents.toDouble / 100.0, s"($region, $t)")
+      }
+      // no phantom steps: stepped rows at t == regions with data
+      assert(stepped.keys.count(_._2 == t) == want.size)
+    }
+  }
+
+  test("evalRange stays compressed-domain and pushes the selector") {
+    val df = Promql.evalRange(chunks, labelCols,
+      """sum by (region) (sum_over_time({type="click", host=~"h1.*"}[6h]))""",
+      1704844800L, EvalTs, 7200L)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("EqualTo(type,click)"), plan.take(3000))
+    assert(plan.contains("gorilla_chunk_bucket_agg"), plan.take(3000))
+    assert(!plan.contains("gorilla_decode"),
+      "stepped _over_time must never materialize points:\n" + plan.take(3000))
+  }
+
+  test("evalRange: misuse fails loudly") {
+    // window not a multiple of the step grid
+    intercept[IllegalArgumentException](Promql.evalRange(chunks, labelCols,
+      "sum(sum_over_time(click[5000s]))", 1704844800L, EvalTs, 7200L).collect())
+    // bare instant selector has no per-step window
+    intercept[IllegalArgumentException](Promql.evalRange(chunks, labelCols,
+      """{type="click"}""", 1704844800L, EvalTs, 7200L))
+    // sample-hungry functions are rejected in stepped mode
+    intercept[IllegalArgumentException](Promql.evalRange(chunks, labelCols,
+      "sum(rate(click[2h]))", 1704844800L, EvalTs, 7200L))
+    // unaligned grid start
+    intercept[IllegalArgumentException](Promql.evalRange(chunks, labelCols,
+      "sum(sum_over_time(click[4h]))", 1704844801L, EvalTs, 7200L))
+  }
+
   // ===== scale pins =====
 
   test("selector through the string front-end still pushes to the chunk scan") {
