@@ -151,6 +151,15 @@ object PromqlQueries {
           "sum by (region) (sum_over_time(click[6h])) " +
             "/ on(region) sum by (region) (sum_over_time(view[6h]))",
           RangeStart, EvalTs, 7200L)
+        .orderBy("region", "ts")),
+    // stepped rate — THE dashboard query: consecutive-sample pairs
+    // formed once, bucket-pair partials exploded onto the windows
+    // containing both endpoints; increase cents stay exact per step,
+    // the per-second division happens once at output
+    "promql_range_rate" -> ((s, dir) =>
+      Promql.evalRange(chunks(s, dir, RangeStart - Day), labelCols,
+          "sum by (region) (rate(click[1d]))",
+          RangeStart, EvalTs, 7200L)
         .orderBy("region", "ts")))
 
   def oracleSql: Map[String, String] = Map(
@@ -303,5 +312,23 @@ object PromqlQueries {
         |    (CAST(lc AS DOUBLE) / 100.0) / nullif(CAST(rc AS DOUBLE) / 100.0, 0.0)
         |      AS value
         |  FROM c JOIN v ON c.region = v.region AND c.t = v.t)
-        |WHERE value IS NOT NULL ORDER BY region, ts""".stripMargin)
+        |WHERE value IS NOT NULL ORDER BY region, ts""".stripMargin,
+    // pair membership in a window == both endpoints inside it; lag runs
+    // over the grid's full coverage, exactly like the compiled plan
+    "promql_range_rate" ->
+      s"""$lblCte,
+        |pts AS (SELECT * FROM lbl
+        |  WHERE ts >= ${RangeStart - Day} AND ts <= ${EvalTs - 1}
+        |  AND type = 'click'),
+        |pr AS (SELECT region, ts, cents,
+        |    lag(ts) OVER w AS prev_ts, cents - lag(cents) OVER w AS dd
+        |  FROM pts WINDOW w AS (PARTITION BY type, host, region ORDER BY ts, cents)),
+        |steps AS (SELECT ($RangeStart + i * 7200) AS t
+        |  FROM generate_series(0, 24) s(i))
+        |SELECT region, t AS ts,
+        |  CAST(CAST(sum(CASE WHEN dd > 0 THEN dd ELSE 0 END) AS BIGINT) AS DOUBLE)
+        |    / ${Day * 100}.0 AS value
+        |FROM pr JOIN steps ON pr.prev_ts >= t - $Day AND pr.ts <= t - 1
+        |WHERE prev_ts IS NOT NULL
+        |GROUP BY region, t ORDER BY region, ts""".stripMargin)
 }

@@ -491,8 +491,10 @@ object Promql {
       case _ => throw new IllegalArgumentException(s"$fn expects a range selector argument")
     }
     if (ctx.grid.isDefined) {
+      if (fn == "rate" || fn == "increase") return steppedRate(fn, sel, ctx)
       if (!SteppedFns(fn)) throw new IllegalArgumentException(
-        s"$fn needs per-step sample windows; stepped mode supports ${SteppedFns.mkString(", ")}")
+        s"$fn needs per-step sample windows; stepped mode supports " +
+          s"rate, increase, ${SteppedFns.mkString(", ")}")
       return steppedOverTime(fn, sel, ctx)
     }
     val (from, to) = window(sel, ctx)
@@ -601,6 +603,55 @@ object Promql {
     }
     Vec(df.withColumn("ts", lit(start0) + col("__i") * lit(step))
       .select((L :+ "ts" :+ "value").map(col): _*), L :+ "ts", kind)
+  }
+
+  /** Stepped rate/increase: consecutive-sample pairs are formed ONCE
+    * over the grid's full coverage (the per-series sort ts_rate
+    * already pays), classified by (prev-bucket, cur-bucket), positive
+    * deltas aggregated per bucket pair, and each pair-partial exploded
+    * onto the windows containing BOTH endpoints — exact, because
+    * windows are unions of whole step buckets and window membership of
+    * a pair is bucket containment. Increase stays BIGINT cents per
+    * step; rate divides once at output (Exact(d·100)), so
+    * `sum by (…)(rate(x[d]))` is exact in stepped mode too. */
+  private def steppedRate(fn: String, sel: VectorSel, ctx: Ctx): Vec = {
+    val (start0, step) = ctx.grid.get
+    val d = sel.range.getOrElse(
+      throw new IllegalArgumentException(s"$fn needs sel[duration]"))
+    require(d % step == 0 && d >= step,
+      s"window ${d}s must be a positive multiple of the ${step}s step grid")
+    val start = start0 - sel.offset
+    require(start % step == 0, "offset must preserve step alignment")
+    val end = ctx.evalTs - sel.offset
+    val k = d / step
+    val nSteps = (end - start) / step + 1
+    val tLast = start + (nSteps - 1) * step
+    val L = ctx.labelCols
+    val j0 = start / step // bucket index origin (start is step-aligned)
+    val pts = decoded(sel, start - d, tLast - 1, ctx)
+    val w = Window.partitionBy(L.map(col): _*).orderBy("ts", "cents")
+    val pairs = pts
+      .withColumn("__pts", lag("ts", 1).over(w))
+      .withColumn("__pc", lag("cents", 1).over(w))
+      .filter(col("__pts").isNotNull)
+      .withColumn("__jp", expr(s"(__pts div ${step}L) - ${j0}L"))
+      .withColumn("__jc", expr(s"(ts div ${step}L) - ${j0}L"))
+      // a pair spanning >= k buckets fits in no window
+      .filter(col("__jc") - col("__jp") < k)
+      .withColumn("__d", col("cents") - col("__pc"))
+      .groupBy(L.map(col) :+ col("__jp") :+ col("__jc"): _*)
+      .agg(sum(when(col("__d") > 0, col("__d")).otherwise(0L)).as("__inc"))
+    // windows containing buckets [jp, jc]: i in [jc+1, jp+k]
+    val perStep = pairs
+      .withColumn("__lo", greatest(col("__jc") + lit(1L), lit(0L)))
+      .withColumn("__hi", least(col("__jp") + lit(k), lit(nSteps - 1)))
+      .filter(col("__lo") <= col("__hi"))
+      .withColumn("__i", explode(sequence(col("__lo"), col("__hi"))))
+      .groupBy(L.map(col) :+ col("__i"): _*)
+      .agg(sum("__inc").as("value"))
+      .withColumn("ts", lit(start0) + col("__i") * lit(step))
+      .select((L :+ "ts" :+ "value").map(col): _*)
+    Vec(perStep, L :+ "ts", if (fn == "increase") Cents else Exact(d * 100.0))
   }
 
   private def decoded(sel: VectorSel, from: Long, to: Long, ctx: Ctx): DataFrame =

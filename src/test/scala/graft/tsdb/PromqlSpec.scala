@@ -182,6 +182,37 @@ class PromqlSpec extends AnyFunSuite {
     }
   }
 
+  test("stepped rate == per-step pairs-in-window hand computation") {
+    val start = 1704844800L; val step = 7200L; val d = 86400L
+    val stepped = Promql.evalRange(chunks, labelCols,
+      "sum by (region) (rate(click[1d]))", start, EvalTs, step)
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(stepped.nonEmpty)
+    // hand computation: consecutive pairs over the full coverage, a
+    // pair counts in the windows containing BOTH endpoints
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(labelCols.map(col): _*).orderBy("ts", "cents")
+    val pairs = Labels.selectRange(chunks, labelCols, """{type="click"}""",
+        start - d, EvalTs - 1)
+      .withColumn("cents", round(col("v") * 100).cast("long"))
+      .withColumn("pts", lag("ts", 1).over(w))
+      .withColumn("pc", lag("cents", 1).over(w))
+      .filter(col("pts").isNotNull)
+      .select("region", "pts", "ts", "cents", "pc").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3) - r.getLong(4)))
+    for (t <- Seq(start, start + 11 * step, EvalTs)) {
+      val want = pairs.filter(p => p._2 >= t - d && p._3 <= t - 1)
+        .groupBy(_._1).view
+        .mapValues(_.map(p => math.max(0L, p._4)).sum).toMap
+      want.foreach { case (region, inc) =>
+        val got = stepped.getOrElse((region, t), fail(s"missing ($region, $t)"))
+        assert(got == inc.toDouble / (d * 100.0), s"($region, $t)") // bit-equal
+      }
+      assert(stepped.keys.count(_._2 == t) == want.size)
+    }
+  }
+
   test("evalRange stays compressed-domain and pushes the selector") {
     val df = Promql.evalRange(chunks, labelCols,
       """sum by (region) (sum_over_time({type="click", host=~"h1.*"}[6h]))""",
@@ -200,9 +231,9 @@ class PromqlSpec extends AnyFunSuite {
     // bare instant selector has no per-step window
     intercept[IllegalArgumentException](Promql.evalRange(chunks, labelCols,
       """{type="click"}""", 1704844800L, EvalTs, 7200L))
-    // sample-hungry functions are rejected in stepped mode
+    // functions without a stepped lowering are rejected
     intercept[IllegalArgumentException](Promql.evalRange(chunks, labelCols,
-      "sum(rate(click[2h]))", 1704844800L, EvalTs, 7200L))
+      "sum(delta(click[2h]))", 1704844800L, EvalTs, 7200L))
     // unaligned grid start
     intercept[IllegalArgumentException](Promql.evalRange(chunks, labelCols,
       "sum(sum_over_time(click[4h]))", 1704844801L, EvalTs, 7200L))
