@@ -160,7 +160,18 @@ object PromqlQueries {
       Promql.evalRange(chunks(s, dir, RangeStart - Day), labelCols,
           "sum by (region) (rate(click[1d]))",
           RangeStart, EvalTs, 7200L)
-        .orderBy("region", "ts")))
+        .orderBy("region", "ts")),
+    // clamp on the EXACT grid: both bounds land on cents, so the
+    // least/greatest runs on BIGINT — never a float detour
+    "promql_clamp" -> ((s, dir) =>
+      q(s, dir, "clamp(sum by (host) (sum_over_time(purchase[2d])), 50, 200)")
+        .orderBy("host")),
+    // absent(): the alerting primitive — 1 iff the selector matches
+    // NOTHING in the lookback; labels from the equality matchers,
+    // emptiness probed by a broadcast anti join (no driver count)
+    "promql_absent" -> ((s, dir) =>
+      q(s, dir, """absent({type="click", host="h999"})""",
+          fromSec = EvalTs - 300 + 1)))
 
   def oracleSql: Map[String, String] = Map(
     "promql_instant" ->
@@ -330,5 +341,19 @@ object PromqlQueries {
         |    / ${Day * 100}.0 AS value
         |FROM pr JOIN steps ON pr.prev_ts >= t - $Day AND pr.ts <= t - 1
         |WHERE prev_ts IS NOT NULL
-        |GROUP BY region, t ORDER BY region, ts""".stripMargin)
+        |GROUP BY region, t ORDER BY region, ts""".stripMargin,
+    "promql_clamp" ->
+      s"""$lblCte
+        |SELECT host,
+        |  CAST(least(greatest(sc, 5000), 20000) AS DOUBLE) / 100.0 AS value
+        |FROM (SELECT host, CAST(sum(cents) AS BIGINT) AS sc FROM lbl
+        |  WHERE ts >= $From AND ts <= $EvalTs AND type = 'purchase'
+        |  GROUP BY host)
+        |ORDER BY host""".stripMargin,
+    "promql_absent" ->
+      s"""$lblCte
+        |SELECT 'click' AS type, 'h999' AS host, CAST(1 AS DOUBLE) AS value
+        |WHERE NOT EXISTS (SELECT 1 FROM lbl
+        |  WHERE ts >= ${EvalTs - 300 + 1} AND ts <= $EvalTs
+        |  AND type = 'click' AND host = 'h999')""".stripMargin)
 }

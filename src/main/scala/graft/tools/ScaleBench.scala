@@ -204,6 +204,11 @@ object ScaleBench {
         noop(graft.tsdb.Promql.eval(Ts.readStore(spark, lblPath, from, to),
           labelCols, """sum by (region) (rate({type="click", host=~"h1.*"}[2d]))""", to))
       }
+      timed(s"${tag}_promql_range", nEv, "query_range: 25 steps, one bucket fold, no decode") {
+        noop(graft.tsdb.Promql.evalRange(Ts.readStore(spark, lblPath, from - 21600, to),
+          labelCols, """sum by (region) (sum_over_time({type="click"}[6h]))""",
+          from, to, 7200L))
+      }
     }
 
     /** Streaming ingest throughput at volume (r9 verdict #8): the

@@ -48,8 +48,12 @@ object Promql {
   final case class VectorSel(matchers: Seq[Labels.Matcher], range: Option[Long],
                              offset: Long) extends Expr
   final case class NumLit(v: Double) extends Expr
-  /** Over-time / range-vector function: `rate(sel[d])`, `sum_over_time(..)`. */
+  /** Over-time / range-vector function: `rate(sel[d])`, `sum_over_time(..)`;
+    * also the instant-vector `absent(sel)`. */
   final case class FnCall(fn: String, arg: Expr) extends Expr
+  /** Pointwise math function with optional scalar params:
+    * `abs(e)`, `clamp(e, lo, hi)`, `round(e)`. */
+  final case class MathCall(fn: String, arg: Expr, params: Seq[Double]) extends Expr
   /** `sum by (region)(e)`, `topk(3, e)`, `quantile by (g)(0.9, e)`. */
   final case class AggExpr(op: String, param: Option[Double], grouping: Grouping,
                            arg: Expr) extends Expr
@@ -150,6 +154,9 @@ object Promql {
     "present_over_time")
   private val aggOps = Set("sum", "min", "max", "avg", "count", "topk", "bottomk",
     "quantile", "count_values")
+  /** Pointwise math functions (optional scalar params after the vector). */
+  val MathFns: Set[String] = Set("abs", "ceil", "floor", "round",
+    "clamp", "clamp_min", "clamp_max")
   private val paramAggs = Set("topk", "bottomk", "quantile")
   private val setOps = Set("and", "or", "unless")
   private val cmpOps = Set("==", "!=", ">", "<", ">=", "<=")
@@ -260,8 +267,25 @@ object Promql {
       case TNum(v) => next(); NumLit(v)
       case TOp("{") => withModifiers(selector(None))
       case TIdent(name) if aggOps(name) => next(); aggregation(name)
-      case TIdent(name) if RangeFns(name) =>
+      case TIdent(name) if RangeFns(name) || name == "absent" =>
         next(); expectOp("("); val a = parseOr(); expectOp(")"); FnCall(name, a)
+      case TIdent(name) if MathFns(name) =>
+        next(); expectOp("(")
+        val a = parseOr()
+        val ps = Seq.newBuilder[Double]
+        while (peek == TOp(",")) {
+          next()
+          ps += (next() match {
+            case TNum(v) => v
+            case TOp("-") => next() match {
+              case TNum(v) => -v
+              case t => err(s"$name expects scalar params, got -$t")
+            }
+            case t => err(s"$name expects scalar params, got $t")
+          })
+        }
+        expectOp(")")
+        MathCall(name, a, ps.result())
       case TIdent(name) => // metric name sugar: first label col equality
         next(); withModifiers(selector(Some(name)))
       case t => err(s"unexpected token $t")
@@ -449,9 +473,91 @@ object Promql {
     case NumLit(_) =>
       throw new IllegalArgumentException("scalar-only expression has no vector result")
     case sel: VectorSel => instantVector(sel, ctx)
+    case FnCall("absent", arg) => absentVec(arg, ctx)
     case FnCall(fn, arg) => rangeFn(fn, arg, ctx)
+    case mc: MathCall => mathFn(mc, ctx)
     case agg: AggExpr => aggregate(agg, ctx)
     case bin: BinExpr => binary(bin, ctx)
+  }
+
+  /** PromQL absent(): a 1-element vector when the selector matches
+    * NOTHING in the lookback window, empty otherwise. The result's
+    * labels are the selector's equality matchers (PromQL's rule); the
+    * emptiness probe is a ≤ 1-row broadcast anti join, never a
+    * driver-side count. */
+  private def absentVec(arg: Expr, ctx: Ctx): Vec = {
+    val sel = arg match {
+      case s: VectorSel if s.range.isEmpty => s
+      case _ => throw new IllegalArgumentException("absent() expects an instant selector")
+    }
+    if (ctx.grid.isDefined) throw new IllegalArgumentException(
+      "absent() is unsupported in stepped mode")
+    val spark = ctx.chunks.sparkSession
+    val eqs = sel.matchers.collect { case Labels.Eq(l, v) => (l, v) }
+    val labels = ctx.labelCols.filter(l => eqs.exists(_._1 == l))
+    val matched = instantVector(sel, ctx).df
+      .select(lit(1).as("__k")).distinct()
+    var one = spark.range(1).select(lit(1).as("__k"))
+    eqs.filter(e => labels.contains(e._1))
+      .foreach { case (l, v) => one = one.withColumn(l, lit(v)) }
+    val df = one.join(broadcast(matched), Seq("__k"), "left_anti")
+      .withColumn("value", lit(1L))
+      .select((labels :+ "value").map(col): _*)
+    Vec(df, labels, Count)
+  }
+
+  /** Pointwise math. Exact kinds stay exact where the operation lands
+    * on the integer grid (abs always; clamp when the bounds do);
+    * ceil/floor/round operate on the double value (PromQL semantics). */
+  private def mathFn(mc: MathCall, ctx: Ctx): Vec = {
+    val v = evalExpr(mc.arg, ctx)
+    def needParams(n: Int): Unit = if (mc.params.size != n)
+      throw new IllegalArgumentException(s"${mc.fn} expects $n scalar param(s)")
+    def onGrid(s: Double): Boolean = v.kind match {
+      case Exact(d) => (s * d).isWhole && math.abs(s * d) < 9e15
+      case Dbl => false
+    }
+    def gridLit(s: Double): Column = v.kind match {
+      case Exact(d) => lit((s * d).toLong)
+      case Dbl => lit(s)
+    }
+    mc.fn match {
+      case "abs" =>
+        needParams(0)
+        Vec(v.df.withColumn("value", abs(col("value"))), v.labels, v.kind)
+      case "ceil" | "floor" | "round" =>
+        needParams(0)
+        val d = v.toDouble
+        val f = mc.fn match {
+          case "ceil" => ceil(col("value")).cast("double")
+          case "floor" => floor(col("value")).cast("double")
+          case _ => round(col("value"), 0)
+        }
+        Vec(d.withColumn("value", f), v.labels, Dbl)
+      case "clamp" =>
+        needParams(2)
+        val (lo, hi) = (mc.params(0), mc.params(1))
+        if (onGrid(lo) && onGrid(hi))
+          Vec(v.df.withColumn("value",
+            least(greatest(col("value"), gridLit(lo)), gridLit(hi))), v.labels, v.kind)
+        else {
+          val d = v.toDouble
+          Vec(d.withColumn("value",
+            least(greatest(col("value"), lit(lo)), lit(hi))), v.labels, Dbl)
+        }
+      case "clamp_min" | "clamp_max" =>
+        needParams(1)
+        val s = mc.params.head
+        val op: (Column, Column) => Column =
+          if (mc.fn == "clamp_min") greatest(_, _) else least(_, _)
+        if (onGrid(s))
+          Vec(v.df.withColumn("value", op(col("value"), gridLit(s))), v.labels, v.kind)
+        else {
+          val d = v.toDouble
+          Vec(d.withColumn("value", op(col("value"), lit(s))), v.labels, Dbl)
+        }
+      case other => throw new IllegalArgumentException(s"unknown function '$other'")
+    }
   }
 
   /** Instant vector: last sample per series within the lookback

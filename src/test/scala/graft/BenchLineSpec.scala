@@ -74,24 +74,27 @@ class BenchLineSpec extends AnyFunSuite {
       case u    => fail(s"unknown unit $u")
     }
     val hint = Option(root.get("f")).map(_.asText())
-    // the gzip tier self-describes its decode pipeline in the hint:
-    // base64 -> gunzip -> flat `name:val` comma list
-    if (hint.exists(_.contains("gunzip"))) {
-      val bytes = java.util.Base64.getDecoder.decode(root.get("q").asText())
-      val in = new java.util.zip.GZIPInputStream(
-        new java.io.ByteArrayInputStream(bytes))
-      val flat = new String(in.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8)
-      return (scale, flat.split(',').map { kv =>
-        val i = kv.lastIndexOf(':')
-        kv.substring(0, i) -> kv.substring(i + 1).toLong
-      }.toMap)
-    }
     // the value encoding is self-described: base-36 tiers always carry
     // the "v base36" marker in the grammar hint
     val radix = hint match {
       case Some(f) if f.contains("base36") => 36
       case _                               => 10
+    }
+    // the gzip tier self-describes its decode pipeline in the hint:
+    // base64 -> gunzip -> then either the packed grammar ("g(kids)")
+    // or the legacy flat `name:val` comma list
+    if (hint.exists(_.contains("gunzip"))) {
+      val bytes = java.util.Base64.getDecoder.decode(root.get("q").asText())
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val payload = new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      if (hint.exists(_.contains("g(kids)")))
+        return (scale, parsePacked(payload, radix))
+      return (scale, payload.split(',').map { kv =>
+        val i = kv.lastIndexOf(':')
+        kv.substring(0, i) -> kv.substring(i + 1).toLong
+      }.toMap)
     }
     (scale, parsePacked(root.get("q").asText(), radix))
   }

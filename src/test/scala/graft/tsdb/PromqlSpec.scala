@@ -156,6 +156,30 @@ class PromqlSpec extends AnyFunSuite {
     assert(got.map(_._2).size <= got.size)
   }
 
+  test("math functions: clamp stays on the exact grid; absent flips on matches") {
+    // clamp bounds land on cents -> exact least/greatest on BIGINT
+    val vals = Promql.eval(chunks, labelCols,
+      "clamp(sum by (host) (sum_over_time(purchase[2d])), 50, 200)", EvalTs)
+      .collect().map(_.getDouble(1))
+    assert(vals.nonEmpty && vals.forall(v => v >= 50.0 && v <= 200.0))
+    // abs/floor compose through the parser
+    val fl = Promql.eval(chunks, labelCols,
+      "floor(abs(sum by (region) (sum_over_time(click[2d]))))", EvalTs)
+      .collect().map(_.getDouble(1))
+    assert(fl.nonEmpty && fl.forall(v => v == math.floor(v)))
+    // absent: nothing matches -> one row with the equality labels
+    val a = Promql.eval(chunks, labelCols,
+      """absent({type="click", host="h999"})""", EvalTs).collect()
+    assert(a.length == 1 && a(0).getString(0) == "click" &&
+      a(0).getString(1) == "h999" && a(0).getDouble(2) == 1.0)
+    // something matches (1-day lookback) -> empty vector
+    val b = Promql.eval(chunks, labelCols,
+      """absent({type="click"})""", EvalTs, lookbackSec = 86400L).collect()
+    assert(b.isEmpty)
+    intercept[IllegalArgumentException](
+      Promql.eval(chunks, labelCols, "clamp(click, 1)", EvalTs)) // arity
+  }
+
   // ===== stepped (query_range) evaluation =====
 
   test("evalRange == per-step hand computation on the left-closed grid") {
