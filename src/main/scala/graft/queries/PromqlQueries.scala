@@ -161,6 +161,15 @@ object PromqlQueries {
           "sum by (region) (rate(click[1d]))",
           RangeStart, EvalTs, 7200L)
         .orderBy("region", "ts")),
+    // stepped topk: the global form ranks WITHIN each step (the step
+    // column is an implicit grouping label), so a 25-step panel gets
+    // its top-2 hosts per step from one rank window over series-grain
+    // partials — never a global sort
+    "promql_range_topk" -> ((s, dir) =>
+      Promql.evalRange(chunks(s, dir, RangeStart - StepWin), labelCols,
+          "topk(2, sum by (host) (sum_over_time(click[6h])))",
+          RangeStart, EvalTs, 7200L)
+        .orderBy("ts", "host")),
     // clamp on the EXACT grid: both bounds land on cents, so the
     // least/greatest runs on BIGINT — never a float detour
     "promql_clamp" -> ((s, dir) =>
@@ -342,6 +351,17 @@ object PromqlQueries {
         |FROM pr JOIN steps ON pr.prev_ts >= t - $Day AND pr.ts <= t - 1
         |WHERE prev_ts IS NOT NULL
         |GROUP BY region, t ORDER BY region, ts""".stripMargin,
+    "promql_range_topk" ->
+      s"""$lblCte,
+        |steps AS (SELECT ($RangeStart + i * 7200) AS t
+        |  FROM generate_series(0, 24) s(i)),
+        |h AS (SELECT host, t, CAST(sum(cents) AS BIGINT) AS sc
+        |  FROM lbl JOIN steps ON lbl.ts >= t - $StepWin AND lbl.ts <= t - 1
+        |  WHERE type = 'click' GROUP BY host, t),
+        |r AS (SELECT host, t, sc, row_number() OVER (
+        |    PARTITION BY t ORDER BY sc DESC, host) AS rk FROM h)
+        |SELECT host, t AS ts, CAST(sc AS DOUBLE) / 100.0 AS value
+        |FROM r WHERE rk <= 2 ORDER BY ts, host""".stripMargin,
     "promql_clamp" ->
       s"""$lblCte
         |SELECT host,
