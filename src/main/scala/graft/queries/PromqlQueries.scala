@@ -170,6 +170,25 @@ object PromqlQueries {
           "topk(2, sum by (host) (sum_over_time(click[6h])))",
           RangeStart, EvalTs, 7200L)
         .orderBy("ts", "host")),
+    // stepped delta — per-(series, bucket) FIRST/LAST (ts, cents)
+    // structs off ONE decode, exploded onto the covering windows;
+    // each step's first/last recovered exactly from bucket partials
+    "promql_range_delta" -> ((s, dir) =>
+      Promql.evalRange(chunks(s, dir, RangeStart - Day), labelCols,
+          "delta(click[1d])", RangeStart, EvalTs, 7200L)
+        .orderBy("host", "region", "ts")),
+    // stepped changes — the pairs body shared with rate, counting
+    // value flips instead of summing positive deltas (Count kind)
+    "promql_range_changes" -> ((s, dir) =>
+      Promql.evalRange(chunks(s, dir, RangeStart - Day), labelCols,
+          "changes(click[1d])", RangeStart, EvalTs, 7200L)
+        .orderBy("host", "region", "ts")),
+    // stepped last_over_time — the struct body's LAST arm: the
+    // window's latest sample per series per step
+    "promql_range_last" -> ((s, dir) =>
+      Promql.evalRange(chunks(s, dir, RangeStart - Day), labelCols,
+          "last_over_time(view[1d])", RangeStart, EvalTs, 7200L)
+        .orderBy("host", "region", "ts")),
     // clamp on the EXACT grid: both bounds land on cents, so the
     // least/greatest runs on BIGINT — never a float detour
     "promql_clamp" -> ((s, dir) =>
@@ -362,6 +381,54 @@ object PromqlQueries {
         |    PARTITION BY t ORDER BY sc DESC, host) AS rk FROM h)
         |SELECT host, t AS ts, CAST(sc AS DOUBLE) / 100.0 AS value
         |FROM r WHERE rk <= 2 ORDER BY ts, host""".stripMargin,
+    // window first/last under the engine's (ts, cents) struct order:
+    // first_value/last_value over the full frame with the same keys
+    "promql_range_delta" ->
+      s"""$lblCte,
+        |steps AS (SELECT ($RangeStart + i * 7200) AS t
+        |  FROM generate_series(0, 24) s(i)),
+        |pts AS (SELECT * FROM lbl
+        |  WHERE ts >= ${RangeStart - Day} AND ts <= ${EvalTs - 1}
+        |  AND type = 'click'),
+        |pr AS (SELECT type, host, region, t,
+        |    first_value(cents) OVER w AS fc, last_value(cents) OVER w AS lc
+        |  FROM pts JOIN steps ON pts.ts >= t - $Day AND pts.ts <= t - 1
+        |  WINDOW w AS (PARTITION BY type, host, region, t ORDER BY pts.ts, cents
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+        |SELECT DISTINCT type, host, region, t AS ts,
+        |  CAST(CAST(lc - fc AS BIGINT) AS DOUBLE) / 100.0 AS value
+        |FROM pr ORDER BY host, region, ts""".stripMargin,
+    "promql_range_changes" ->
+      s"""$lblCte,
+        |pts AS (SELECT * FROM lbl
+        |  WHERE ts >= ${RangeStart - Day} AND ts <= ${EvalTs - 1}
+        |  AND type = 'click'),
+        |pr AS (SELECT type, host, region, ts, cents,
+        |    lag(ts) OVER w AS prev_ts, cents - lag(cents) OVER w AS dd
+        |  FROM pts WINDOW w AS (PARTITION BY type, host, region ORDER BY ts, cents)),
+        |steps AS (SELECT ($RangeStart + i * 7200) AS t
+        |  FROM generate_series(0, 24) s(i))
+        |SELECT type, host, region, t AS ts,
+        |  CAST(CAST(sum(CASE WHEN dd <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+        |    AS value
+        |FROM pr JOIN steps ON pr.prev_ts >= t - $Day AND pr.ts <= t - 1
+        |WHERE prev_ts IS NOT NULL
+        |GROUP BY type, host, region, t ORDER BY host, region, ts""".stripMargin,
+    "promql_range_last" ->
+      s"""$lblCte,
+        |steps AS (SELECT ($RangeStart + i * 7200) AS t
+        |  FROM generate_series(0, 24) s(i)),
+        |pts AS (SELECT * FROM lbl
+        |  WHERE ts >= ${RangeStart - Day} AND ts <= ${EvalTs - 1}
+        |  AND type = 'view'),
+        |pr AS (SELECT type, host, region, t,
+        |    last_value(cents) OVER w AS lc
+        |  FROM pts JOIN steps ON pts.ts >= t - $Day AND pts.ts <= t - 1
+        |  WINDOW w AS (PARTITION BY type, host, region, t ORDER BY pts.ts, cents
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+        |SELECT DISTINCT type, host, region, t AS ts,
+        |  CAST(lc AS DOUBLE) / 100.0 AS value
+        |FROM pr ORDER BY host, region, ts""".stripMargin,
     "promql_clamp" ->
       s"""$lblCte
         |SELECT host,

@@ -597,10 +597,14 @@ object Promql {
       case _ => throw new IllegalArgumentException(s"$fn expects a range selector argument")
     }
     if (ctx.grid.isDefined) {
-      if (fn == "rate" || fn == "increase") return steppedRate(fn, sel, ctx)
+      if (Set("rate", "increase", "changes", "resets")(fn))
+        return steppedPairs(fn, sel, ctx)
+      if (fn == "delta" || fn == "last_over_time")
+        return steppedStruct(fn, sel, ctx)
       if (!SteppedFns(fn)) throw new IllegalArgumentException(
         s"$fn needs per-step sample windows; stepped mode supports " +
-          s"rate, increase, ${SteppedFns.mkString(", ")}")
+          s"rate, increase, changes, resets, delta, last_over_time, " +
+          SteppedFns.mkString(", "))
       return steppedOverTime(fn, sel, ctx)
     }
     val (from, to) = window(sel, ctx)
@@ -720,7 +724,7 @@ object Promql {
     * a pair is bucket containment. Increase stays BIGINT cents per
     * step; rate divides once at output (Exact(d·100)), so
     * `sum by (…)(rate(x[d]))` is exact in stepped mode too. */
-  private def steppedRate(fn: String, sel: VectorSel, ctx: Ctx): Vec = {
+  private def steppedPairs(fn: String, sel: VectorSel, ctx: Ctx): Vec = {
     val (start0, step) = ctx.grid.get
     val d = sel.range.getOrElse(
       throw new IllegalArgumentException(s"$fn needs sel[duration]"))
@@ -746,7 +750,11 @@ object Promql {
       .filter(col("__jc") - col("__jp") < k)
       .withColumn("__d", col("cents") - col("__pc"))
       .groupBy(L.map(col) :+ col("__jp") :+ col("__jc"): _*)
-      .agg(sum(when(col("__d") > 0, col("__d")).otherwise(0L)).as("__inc"))
+      .agg((fn match {
+        case "increase" | "rate" => sum(when(col("__d") > 0, col("__d")).otherwise(0L))
+        case "changes" => sum(when(col("__d") =!= 0, 1L).otherwise(0L))
+        case "resets" => sum(when(col("__d") < 0, 1L).otherwise(0L))
+      }).as("__inc"))
     // windows containing buckets [jp, jc]: i in [jc+1, jp+k]
     val perStep = pairs
       .withColumn("__lo", greatest(col("__jc") + lit(1L), lit(0L)))
@@ -757,7 +765,50 @@ object Promql {
       .agg(sum("__inc").as("value"))
       .withColumn("ts", lit(start0) + col("__i") * lit(step))
       .select((L :+ "ts" :+ "value").map(col): _*)
-    Vec(perStep, L :+ "ts", if (fn == "increase") Cents else Exact(d * 100.0))
+    Vec(perStep, L :+ "ts", fn match {
+      case "rate" => Exact(d * 100.0)
+      case "increase" => Cents
+      case _ => Count // changes / resets
+    })
+  }
+
+  /** Stepped delta / last_over_time: per-(series, bucket) FIRST and
+    * LAST (ts, cents) structs off one decode, exploded onto the
+    * windows containing the bucket; min/max struct per window then
+    * recover the window's first/last sample exactly (bucket time
+    * ranges are disjoint, so struct order == time order). */
+  private def steppedStruct(fn: String, sel: VectorSel, ctx: Ctx): Vec = {
+    val (start0, step) = ctx.grid.get
+    val d = sel.range.getOrElse(
+      throw new IllegalArgumentException(s"$fn needs sel[duration]"))
+    require(d % step == 0 && d >= step,
+      s"window ${d}s must be a positive multiple of the ${step}s step grid")
+    val start = start0 - sel.offset
+    require(start % step == 0, "offset must preserve step alignment")
+    val end = ctx.evalTs - sel.offset
+    val k = d / step
+    val nSteps = (end - start) / step + 1
+    val tLast = start + (nSteps - 1) * step
+    val L = ctx.labelCols
+    val j0 = start / step
+    val perBucket = decoded(sel, start - d, tLast - 1, ctx)
+      .withColumn("__j", expr(s"(ts div ${step}L) - ${j0}L"))
+      .groupBy(L.map(col) :+ col("__j"): _*)
+      .agg(min(struct(col("ts"), col("cents"))).as("__first"),
+        max(struct(col("ts"), col("cents"))).as("__last"))
+    val perStep = perBucket
+      .withColumn("__i", explode(sequence(
+        greatest(col("__j") + lit(1L), lit(0L)),
+        least(col("__j") + lit(k), lit(nSteps - 1)))))
+      .groupBy(L.map(col) :+ col("__i"): _*)
+      .agg(min("__first").as("__wf"), max("__last").as("__wl"))
+      .withColumn("value", fn match {
+        case "delta" => col("__wl.cents") - col("__wf.cents")
+        case _ => col("__wl.cents") // last_over_time
+      })
+      .withColumn("ts", lit(start0) + col("__i") * lit(step))
+      .select((L :+ "ts" :+ "value").map(col): _*)
+    Vec(perStep, L :+ "ts", Cents)
   }
 
   private def decoded(sel: VectorSel, from: Long, to: Long, ctx: Ctx): DataFrame =

@@ -237,6 +237,38 @@ class PromqlSpec extends AnyFunSuite {
     }
   }
 
+  test("stepped changes/delta/last_over_time == per-step hand computation") {
+    val start = 1704844800L; val step = 7200L; val d = 86400L
+    def steppedMap(q: String): Map[(String, String, String, Long), Double] =
+      Promql.evalRange(chunks, labelCols, q, start, EvalTs, step)
+        .collect().map(r => ((r.getString(0), r.getString(1), r.getString(2),
+          r.getLong(3)), r.getDouble(4))).toMap
+    val ch = steppedMap("changes(click[1d])")
+    val de = steppedMap("delta(click[1d])")
+    val lo = steppedMap("last_over_time(click[1d])")
+    assert(ch.nonEmpty && de.nonEmpty && lo.nonEmpty)
+    val pts = Labels.selectRange(chunks, labelCols, """{type="click"}""",
+        start - d, EvalTs - 1)
+      .withColumn("cents", round(col("v") * 100).cast("long"))
+      .collect().map(r => ((r.getString(0), r.getString(1), r.getString(2)),
+        r.getLong(3), r.getLong(r.fieldIndex("cents"))))
+    for (t <- Seq(start + 3 * step, EvalTs)) {
+      val inWin = pts.filter(p => p._2 >= t - d && p._2 <= t - 1)
+        .groupBy(_._1).view.mapValues(_.sortBy(p => (p._2, p._3))).toMap
+      inWin.foreach { case (series, samples) =>
+        val key = (series._1, series._2, series._3, t)
+        val flips = samples.map(_._3).toSeq.sliding(2).count {
+          case Seq(a, b) => a != b; case _ => false }
+        // changes exists iff the series has >= 2 samples in the window
+        if (samples.size >= 2)
+          assert(ch(key) == flips.toDouble, s"changes $key")
+        else assert(!ch.contains(key))
+        assert(de(key) == (samples.last._3 - samples.head._3) / 100.0, s"delta $key")
+        assert(lo(key) == samples.last._3 / 100.0, s"last $key")
+      }
+    }
+  }
+
   test("evalRange stays compressed-domain and pushes the selector") {
     val df = Promql.evalRange(chunks, labelCols,
       """sum by (region) (sum_over_time({type="click", host=~"h1.*"}[6h]))""",
@@ -255,9 +287,9 @@ class PromqlSpec extends AnyFunSuite {
     // bare instant selector has no per-step window
     intercept[IllegalArgumentException](Promql.evalRange(chunks, labelCols,
       """{type="click"}""", 1704844800L, EvalTs, 7200L))
-    // functions without a stepped lowering are rejected
+    // absent() has no stepped lowering
     intercept[IllegalArgumentException](Promql.evalRange(chunks, labelCols,
-      "sum(delta(click[2h]))", 1704844800L, EvalTs, 7200L))
+      """absent({type="click"})""", 1704844800L, EvalTs, 7200L))
     // unaligned grid start
     intercept[IllegalArgumentException](Promql.evalRange(chunks, labelCols,
       "sum(sum_over_time(click[4h]))", 1704844801L, EvalTs, 7200L))
