@@ -194,6 +194,20 @@ object PromqlQueries {
     "promql_clamp" -> ((s, dir) =>
       q(s, dir, "clamp(sum by (host) (sum_over_time(purchase[2d])), 50, 200)")
         .orderBy("host")),
+    // SUBQUERY `expr[2d:6h]`: the inner expression re-evaluated on an
+    // 8-instant inner grid (the SAME stepped machinery query_range
+    // uses), the outer max selecting among exact longs — one division
+    // at output. The alerting staple `max_over_time(rate(..)[d:s])`
+    "promql_subquery" -> ((s, dir) =>
+      Promql.eval(chunks(s, dir, EvalTs - 151200L - Day), labelCols,
+          "max_over_time(sum by (region) (rate(click[1d]))[2d:6h])", EvalTs)
+        .orderBy("region")),
+    // subquery consumed by avg_over_time over exact partials: the
+    // inner stepped sum stays BIGINT, avg = sum/(n·100) once
+    "promql_subquery_avg" -> ((s, dir) =>
+      Promql.eval(chunks(s, dir, EvalTs - Day), labelCols,
+          "avg_over_time(sum by (host) (sum_over_time(view[6h]))[1d:6h])", EvalTs)
+        .orderBy("host")),
     // absent(): the alerting primitive — 1 iff the selector matches
     // NOTHING in the lookback; labels from the equality matchers,
     // emptiness probed by a broadcast anti join (no driver count)
@@ -437,6 +451,33 @@ object PromqlQueries {
         |  WHERE ts >= $From AND ts <= $EvalTs AND type = 'purchase'
         |  GROUP BY host)
         |ORDER BY host""".stripMargin,
+    // subquery grids: instants are the multiples of step in (T-d, T]
+    "promql_subquery" ->
+      s"""$lblCte,
+        |steps AS (SELECT (${EvalTs - 151200L} + i * 21600) AS t
+        |  FROM generate_series(0, 7) s(i)),
+        |pts AS (SELECT * FROM lbl
+        |  WHERE ts >= ${EvalTs - 151200L - Day} AND ts <= ${EvalTs - 1}
+        |  AND type = 'click'),
+        |pr AS (SELECT region, ts, cents,
+        |    lag(ts) OVER w AS prev_ts, cents - lag(cents) OVER w AS dd
+        |  FROM pts WINDOW w AS (PARTITION BY type, host, region ORDER BY ts, cents)),
+        |inc AS (SELECT region, t,
+        |    CAST(sum(CASE WHEN dd > 0 THEN dd ELSE 0 END) AS BIGINT) AS ic
+        |  FROM pr JOIN steps ON pr.prev_ts >= t - $Day AND pr.ts <= t - 1
+        |  WHERE prev_ts IS NOT NULL GROUP BY region, t)
+        |SELECT region, CAST(max(ic) AS DOUBLE) / ${Day * 100}.0 AS value
+        |FROM inc GROUP BY region ORDER BY region""".stripMargin,
+    "promql_subquery_avg" ->
+      s"""$lblCte,
+        |steps AS (SELECT (${EvalTs - 64800L} + i * 21600) AS t
+        |  FROM generate_series(0, 3) s(i)),
+        |sc AS (SELECT host, t, CAST(sum(cents) AS BIGINT) AS sc
+        |  FROM lbl JOIN steps ON lbl.ts >= t - $StepWin AND lbl.ts <= t - 1
+        |  WHERE type = 'view' GROUP BY host, t)
+        |SELECT host,
+        |  CAST(CAST(sum(sc) AS BIGINT) AS DOUBLE) / (count(*) * 100.0) AS value
+        |FROM sc GROUP BY host ORDER BY host""".stripMargin,
     "promql_absent" ->
       s"""$lblCte
         |SELECT 'click' AS type, 'h999' AS host, CAST(1 AS DOUBLE) AS value

@@ -60,6 +60,11 @@ object Promql {
   /** `lhs / on(host) group_left rhs`, `a unless on(host) b`, `e > 10`. */
   final case class BinExpr(op: String, lhs: Expr, rhs: Expr,
                            matching: Matching) extends Expr
+  /** PromQL subquery `expr[range:step]` — the inner expression
+    * re-evaluated at every step of an inner grid, consumed by an
+    * `_over_time` / counter function like a range vector. */
+  final case class Subquery(arg: Expr, range: Long, step: Long,
+                            offset: Long) extends Expr
 
   sealed trait Grouping
   case object NoGroup extends Grouping
@@ -137,7 +142,7 @@ object Promql {
       } else {
         val two = if (i + 1 < q.length) q.substring(i, i + 2) else ""
         if (Set("==", "!=", ">=", "<=", "=~", "!~").contains(two)) { out += TOp(two); i += 2 }
-        else if ("+-*/%^(){}[],=<>".indexOf(c) >= 0) { out += TOp(c.toString); i += 1 }
+        else if ("+-*/%^(){}[],=<>:".indexOf(c) >= 0) { out += TOp(c.toString); i += 1 }
         else err(s"unexpected character '$c'")
       }
     }
@@ -266,9 +271,10 @@ object Promql {
       case TOp("(") => next(); val e = parseOr(); expectOp(")"); withModifiers(e)
       case TNum(v) => next(); NumLit(v)
       case TOp("{") => withModifiers(selector(None))
-      case TIdent(name) if aggOps(name) => next(); aggregation(name)
+      case TIdent(name) if aggOps(name) => next(); withModifiers(aggregation(name))
       case TIdent(name) if RangeFns(name) || name == "absent" =>
-        next(); expectOp("("); val a = parseOr(); expectOp(")"); FnCall(name, a)
+        next(); expectOp("("); val a = parseOr(); expectOp(")")
+        withModifiers(FnCall(name, a))
       case TIdent(name) if MathFns(name) =>
         next(); expectOp("(")
         val a = parseOr()
@@ -285,7 +291,7 @@ object Promql {
           })
         }
         expectOp(")")
-        MathCall(name, a, ps.result())
+        withModifiers(MathCall(name, a, ps.result()))
       case TIdent(name) => // metric name sugar: first label col equality
         next(); withModifiers(selector(Some(name)))
       case t => err(s"unexpected token $t")
@@ -354,17 +360,29 @@ object Promql {
           case TOp("[") =>
             next()
             val d = next() match { case TDur(s) => s; case t => err(s"expected duration, got $t") }
-            expectOp("]")
-            cur match {
-              case v: VectorSel if v.range.isEmpty => cur = v.copy(range = Some(d)); changed = true
-              case _ => err("range [] only applies to a selector")
+            peek match {
+              case TOp(":") => // subquery `expr[range:step]` — on ANY expression
+                next()
+                val st = next() match {
+                  case TDur(s) => s
+                  case t => err(s"subquery needs an explicit step, got $t")
+                }
+                expectOp("]")
+                cur = Subquery(cur, d, st, 0L); changed = true
+              case _ =>
+                expectOp("]")
+                cur match {
+                  case v: VectorSel if v.range.isEmpty => cur = v.copy(range = Some(d)); changed = true
+                  case _ => err("range [] only applies to a selector (use [d:step] for a subquery)")
+                }
             }
           case TIdent("offset") =>
             next()
             val d = next() match { case TDur(s) => s; case t => err(s"expected duration, got $t") }
             cur match {
               case v: VectorSel => cur = v.copy(offset = d); changed = true
-              case _ => err("offset only applies to a selector")
+              case sq: Subquery => cur = sq.copy(offset = d); changed = true
+              case _ => err("offset only applies to a selector or subquery")
             }
           case _ => ()
         }
@@ -474,6 +492,9 @@ object Promql {
       throw new IllegalArgumentException("scalar-only expression has no vector result")
     case sel: VectorSel => instantVector(sel, ctx)
     case FnCall("absent", arg) => absentVec(arg, ctx)
+    case FnCall(fn, sq: Subquery) => subqueryFn(fn, sq, ctx)
+    case _: Subquery =>
+      throw new IllegalArgumentException("subquery [d:step] must be consumed by a range function")
     case FnCall(fn, arg) => rangeFn(fn, arg, ctx)
     case mc: MathCall => mathFn(mc, ctx)
     case agg: AggExpr => aggregate(agg, ctx)
@@ -809,6 +830,88 @@ object Promql {
       .withColumn("ts", lit(start0) + col("__i") * lit(step))
       .select((L :+ "ts" :+ "value").map(col): _*)
     Vec(perStep, L :+ "ts", Cents)
+  }
+
+  /** Range function over a subquery `fn(expr[d:step])`: the inner
+    * expression is re-evaluated on the inner step grid — the SAME
+    * stepped machinery `evalRange` uses (compressed-domain bucket
+    * folds, pair partials, per-step algebra) — and the outer function
+    * folds the per-series step series like a range vector's samples.
+    * Prometheus grid rule: evaluation instants are the multiples of
+    * `step` inside `(T−off−d, T−off]`. The fold stays on the exact
+    * BIGINT grid wherever the inner kind is Exact — `max_over_time(
+    * sum by(g)(rate(x[h]))[d:s])` selects among exact longs and
+    * divides ONCE at output. */
+  private def subqueryFn(fn: String, sq: Subquery, ctx: Ctx): Vec = {
+    if (ctx.grid.isDefined) throw new IllegalArgumentException(
+      "subquery inside a range query is unsupported (nested step grids)")
+    val step = sq.step
+    require(step > 0 && sq.range >= step,
+      s"subquery range ${sq.range}s must cover its ${step}s step")
+    val to = ctx.evalTs - sq.offset
+    val innerEnd = Math.floorDiv(to, step) * step
+    val innerStart = innerEnd - Math.floorDiv(sq.range - (to - innerEnd) - 1, step) * step
+    require(innerEnd >= innerStart, "empty subquery grid")
+    val v = evalExpr(sq.arg, ctx.copy(evalTs = innerEnd,
+      grid = Some((innerStart, step))))
+    val L = v.labels.filterNot(_ == "ts")
+    def grouped = v.df.groupBy(L.map(col): _*)
+    def requireExact(): Double = v.kind match {
+      case Exact(d) => d
+      case Dbl => throw new IllegalArgumentException(
+        s"$fn over a float-valued subquery is order-dependent; " +
+          "keep the inner expression on the exact grid")
+    }
+    def out(df: DataFrame, kind: ValKind): Vec =
+      Vec(df.select(L.map(col) :+ col("value"): _*), L, kind)
+    fn match {
+      case "sum_over_time" =>
+        requireExact(); out(grouped.agg(sum("value").as("value")), v.kind)
+      case "count_over_time" =>
+        out(grouped.agg(count(lit(1)).as("value")), Count)
+      case "present_over_time" =>
+        out(grouped.agg(count(lit(1)).as("__c")).withColumn("value", lit(1L)), Count)
+      case "min_over_time" => out(grouped.agg(min("value").as("value")), v.kind)
+      case "max_over_time" => out(grouped.agg(max("value").as("value")), v.kind)
+      case "avg_over_time" =>
+        val d = requireExact()
+        out(grouped.agg((sum("value").cast("double") /
+          (count(lit(1)) * lit(d))).as("value")), Dbl)
+      case "stdvar_over_time" | "stddev_over_time" =>
+        val d = requireExact() // exact second moments: n·Q − S² in BIGINT
+        val num = (count(lit(1)) * sum(col("value") * col("value")) -
+          sum("value") * sum("value")).cast("double")
+        val den = (count(lit(1)) * count(lit(1))).cast("double") * lit(d * d)
+        val variance = num / den
+        out(grouped.agg((if (fn == "stddev_over_time") sqrt(variance)
+          else variance).as("value")), Dbl)
+      case "last_over_time" =>
+        out(grouped.agg(max(struct(col("ts"), col("value"))).as("__l"))
+          .withColumn("value", col("__l.value")), v.kind)
+      case "delta" =>
+        requireExact()
+        out(grouped.agg(min(struct(col("ts"), col("value"))).as("__f"),
+            max(struct(col("ts"), col("value"))).as("__l"))
+          .withColumn("value", col("__l.value") - col("__f.value")), v.kind)
+      case "rate" | "increase" | "changes" | "resets" =>
+        val dn = requireExact()
+        val w = Window.partitionBy(L.map(col): _*).orderBy("ts")
+        val lagged = v.df.withColumn("__p", lag("value", 1).over(w))
+          .filter(col("__p").isNotNull)
+          .withColumn("__d", col("value") - col("__p"))
+        val folded = lagged.groupBy(L.map(col): _*).agg((fn match {
+          case "rate" | "increase" => sum(when(col("__d") > 0, col("__d")).otherwise(0L))
+          case "changes" => sum(when(col("__d") =!= 0, 1L).otherwise(0L))
+          case "resets" => sum(when(col("__d") < 0, 1L).otherwise(0L))
+        }).as("value"))
+        out(folded, fn match {
+          case "rate" => Exact(dn * sq.range)
+          case "increase" => v.kind
+          case _ => Count
+        })
+      case other => throw new IllegalArgumentException(
+        s"$other cannot consume a subquery")
+    }
   }
 
   private def decoded(sel: VectorSel, from: Long, to: Long, ctx: Ctx): DataFrame =

@@ -75,6 +75,61 @@ class PromqlSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](parse("x > bool 10"))       // unsupported bool
   }
 
+  test("parser: subquery [range:step] on selectors, functions, aggregates") {
+    assert(parse("max_over_time(rate(x[5m])[1h:5m])") ==
+      FnCall("max_over_time", Subquery(
+        FnCall("rate", VectorSel(Seq(Labels.Eq("type", "x")), Some(300L), 0L)),
+        3600L, 300L, 0L)))
+    assert(parse("avg_over_time(sum by (host)(sum_over_time(x[1h]))[1d:1h] offset 2h)") ==
+      FnCall("avg_over_time", Subquery(
+        AggExpr("sum", None, By(Seq("host")),
+          FnCall("sum_over_time", VectorSel(Seq(Labels.Eq("type", "x")), Some(3600L), 0L))),
+        86400L, 3600L, 7200L)))
+    // recording-rule-style identifiers still lex as one token
+    assert(parse("""{a="x"} and job:ratio:sum""") ==
+      BinExpr("and", VectorSel(Seq(Labels.Eq("a", "x")), None, 0L),
+        VectorSel(Seq(Labels.Eq("type", "job:ratio:sum")), None, 0L), DefaultMatching))
+    intercept[IllegalArgumentException](parse("rate(x[1h:])")) // missing step
+  }
+
+  test("subquery: max/avg/rate over an inner stepped evaluation == hand fold") {
+    val innerQ = "sum by (region) (rate(click[1d]))"
+    // inner grid for [1d:6h] at EvalTs: 4 instants EvalTs-64800 .. EvalTs
+    val inner = Promql.evalRange(chunks, labelCols, innerQ,
+        EvalTs - 64800L, EvalTs, 21600L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val byRegion = inner.groupBy(_._1)
+    def got(q: String): Map[String, Double] =
+      Promql.eval(chunks, labelCols, q, EvalTs)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val mx = got(s"max_over_time($innerQ[1d:6h])")
+    val av = got(s"avg_over_time($innerQ[1d:6h])")
+    val ct = got(s"count_over_time($innerQ[1d:6h])")
+    assert(mx.nonEmpty && mx.keySet == byRegion.keySet)
+    byRegion.foreach { case (rg, rows) =>
+      val vs = rows.map(_._3)
+      assert(mx(rg) == vs.max, s"max $rg")
+      assert(math.abs(av(rg) - vs.sum / vs.size) < 1e-9, s"avg $rg")
+      assert(ct(rg) == vs.size.toDouble, s"count $rg")
+    }
+    // counter family over the step series: positive deltas of
+    // consecutive step values (exact longs under the hood)
+    val rt = got(s"increase($innerQ[1d:6h])")
+    byRegion.foreach { case (rg, rows) =>
+      val ordered = rows.sortBy(_._2).map(_._3).toSeq
+      val inc = ordered.sliding(2).collect {
+        case Seq(a, b) if b > a => b - a }.sum
+      assert(math.abs(rt(rg) - inc) < 1e-9, s"increase $rg")
+    }
+  }
+
+  test("subquery: rejected inside a range query and when unconsumed") {
+    intercept[IllegalArgumentException](Promql.evalRange(chunks, labelCols,
+      "max_over_time(rate(click[2h])[1d:2h])", 1704844800L, EvalTs, 7200L))
+    intercept[IllegalArgumentException](Promql.eval(chunks, labelCols,
+      "sum by (region)(rate(click[6h]))[1d:6h]", EvalTs))
+  }
+
   // ===== compiler parity vs hand-composed frames =====
 
   test("sum_over_time through the parser == hand-built selectRangeAgg") {
