@@ -41,6 +41,12 @@ object PromqlQueries {
                 fromSec: Long = From, lookback: Long = 300L): DataFrame =
     Promql.eval(chunks(s, dir, fromSec), labelCols, query, EvalTs, lookback)
 
+  /** The histogram-bucket store (labels type/host/le) for the
+    * `histogram_quantile` keys. */
+  private def histQ(s: SparkSession, dir: String, query: String): DataFrame =
+    Promql.eval(TsQueries.histStoreChunks(s, dir), TsQueries.histLabelCols,
+      query, EvalTs)
+
   /** The shared DuckDB label derivation (identical to TsQueries'):
     * type = event_type, host = h(user%100), region = r(user%4), plus
     * the exact integer cent grid. */
@@ -194,6 +200,20 @@ object PromqlQueries {
     "promql_clamp" -> ((s, dir) =>
       q(s, dir, "clamp(sum by (host) (sum_over_time(purchase[2d])), 50, 200)")
         .orderBy("host")),
+    // histogram_quantile over the `_bucket` store — the SLO/alerting
+    // staple: per-le cumulative counters rated over 2d, summed across
+    // hosts per bucket, then the Prometheus bucket interpolation
+    // (rank = φ·total, lowest bucket reaching it, linear inside);
+    // counts stay exact longs until the one interpolation expression
+    "promql_hist_quantile" -> ((s, dir) =>
+      histQ(s, dir, "histogram_quantile(0.9, sum by (le) (rate(click[2d])))")),
+    // stepped histogram_quantile: the step label rides the group —
+    // a 25-step latency-quantile panel from one bucket-pair fold
+    "promql_range_histq" -> ((s, dir) =>
+      Promql.evalRange(TsQueries.histStoreChunks(s, dir), TsQueries.histLabelCols,
+          "histogram_quantile(0.5, sum by (le) (rate(click[1d])))",
+          RangeStart, EvalTs, 7200L)
+        .orderBy("ts")),
     // SUBQUERY `expr[2d:6h]`: the inner expression re-evaluated on an
     // 8-instant inner grid (the SAME stepped machinery query_range
     // uses), the outer max selecting among exact longs — one division
@@ -451,6 +471,67 @@ object PromqlQueries {
         |  WHERE ts >= $From AND ts <= $EvalTs AND type = 'purchase'
         |  GROUP BY host)
         |ORDER BY host""".stripMargin,
+    // histogram oracles: the bucket store's cumulative counters are
+    // re-derived directly from raw events — increase over a window of
+    // grid samples telescopes to a plain COUNT of events between the
+    // window's first and last scrape instants — then the Prometheus
+    // interpolation replicated op-for-op (raw BIGINT cents, one
+    // multiply, one divide; empty histograms dropped like the engine)
+    "promql_hist_quantile" ->
+      s"""$lblCte,
+        |b(le, le_cents, le_num) AS (VALUES ('10', 1000, 10.0),
+        |  ('25', 2500, 25.0), ('50', 5000, 50.0), ('100', 10000, 100.0),
+        |  ('250', 25000, 250.0), ('+Inf', NULL, CAST('inf' AS DOUBLE))),
+        |ic AS (SELECT b.le_num, CAST(100 * count(l.ts) AS BIGINT) AS ic
+        |  FROM b LEFT JOIN lbl l ON l.type = 'click'
+        |    AND l.ts > ${EvalTs - 165600L} AND l.ts <= $EvalTs
+        |    AND (b.le_cents IS NULL OR l.cents <= b.le_cents)
+        |  GROUP BY b.le_num),
+        |r AS (SELECT le_num, CAST(ic AS DOUBLE) AS cum,
+        |    lag(le_num) OVER w AS prev_le,
+        |    CAST(lag(ic) OVER w AS DOUBLE) AS prev_cum,
+        |    0.9 * CAST(max(CASE WHEN isinf(le_num) THEN ic END) OVER
+        |      (ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |      AS DOUBLE) AS rnk,
+        |    CAST(max(CASE WHEN isinf(le_num) THEN ic END) OVER
+        |      (ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |      AS DOUBLE) AS tot
+        |  FROM ic WINDOW w AS (ORDER BY le_num)),
+        |p AS (SELECT *, row_number() OVER (ORDER BY le_num) AS rn
+        |  FROM r WHERE tot > 0 AND cum >= rnk)
+        |SELECT CASE WHEN isinf(le_num) THEN prev_le
+        |  ELSE coalesce(prev_le, 0.0) + (le_num - coalesce(prev_le, 0.0)) *
+        |    ((rnk - coalesce(prev_cum, 0.0)) / (cum - coalesce(prev_cum, 0.0)))
+        |  END AS value
+        |FROM p WHERE rn = 1""".stripMargin,
+    "promql_range_histq" ->
+      s"""$lblCte,
+        |b(le, le_cents, le_num) AS (VALUES ('10', 1000, 10.0),
+        |  ('25', 2500, 25.0), ('50', 5000, 50.0), ('100', 10000, 100.0),
+        |  ('250', 25000, 250.0), ('+Inf', NULL, CAST('inf' AS DOUBLE))),
+        |steps AS (SELECT ($RangeStart + i * 7200) AS t
+        |  FROM generate_series(0, 24) s(i)),
+        |ic AS (SELECT b.le_num, st.t, CAST(100 * count(l.ts) AS BIGINT) AS ic
+        |  FROM b CROSS JOIN steps st
+        |  LEFT JOIN lbl l ON l.type = 'click'
+        |    AND l.ts > st.t - $Day AND l.ts <= st.t - 7200
+        |    AND (b.le_cents IS NULL OR l.cents <= b.le_cents)
+        |  GROUP BY b.le_num, st.t),
+        |r AS (SELECT t, le_num, CAST(ic AS DOUBLE) AS cum,
+        |    lag(le_num) OVER w AS prev_le,
+        |    CAST(lag(ic) OVER w AS DOUBLE) AS prev_cum,
+        |    0.5 * CAST(max(CASE WHEN isinf(le_num) THEN ic END) OVER
+        |      (PARTITION BY t) AS DOUBLE) AS rnk,
+        |    CAST(max(CASE WHEN isinf(le_num) THEN ic END) OVER
+        |      (PARTITION BY t) AS DOUBLE) AS tot
+        |  FROM ic WINDOW w AS (PARTITION BY t ORDER BY le_num)),
+        |p AS (SELECT *, row_number() OVER (PARTITION BY t ORDER BY le_num) AS rn
+        |  FROM r WHERE tot > 0 AND cum >= rnk)
+        |SELECT t AS ts, CASE WHEN isinf(le_num) THEN prev_le
+        |  ELSE coalesce(prev_le, 0.0) + (le_num - coalesce(prev_le, 0.0)) *
+        |    ((rnk - coalesce(prev_cum, 0.0)) / (cum - coalesce(prev_cum, 0.0)))
+        |  END AS value
+        |FROM p WHERE rn = 1 ORDER BY ts""".stripMargin,
     // subquery grids: instants are the multiples of step in (T-d, T]
     "promql_subquery" ->
       s"""$lblCte,

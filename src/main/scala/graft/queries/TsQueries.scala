@@ -74,6 +74,71 @@ object TsQueries {
     Ts.readStore(s, path, fromSec, toSec)
   }
 
+  /** Label names of the HISTOGRAM-bucket chunk store: the Prometheus
+    * `_bucket` data model — per (metric, host) a family of CUMULATIVE
+    * counter series, one per upper bound `le`, each sample the count
+    * of observations ≤ le so far. `histogram_quantile` consumes this
+    * through the PromQL front-end. */
+  val histLabelCols: Seq[String] = Seq("type", "host", "le")
+
+  /** (le label, upper bound in cents); "+Inf" is the unbounded arm. */
+  val histBuckets: Seq[(String, Long)] = Seq(
+    "10" -> 1000L, "25" -> 2500L, "50" -> 5000L, "100" -> 10000L,
+    "250" -> 25000L, "+Inf" -> Long.MaxValue)
+
+  /** Scrape grid of the histogram store: 2-h instants covering the
+    * whole events range. A sample at instant g carries the count of
+    * events with ts ≤ g (cumulative; every series is sampled at every
+    * instant like a real scraper, so windowed rates always see pairs). */
+  val HistGridFrom = 1704067200L // 2024-01-01T00:00Z
+  val HistGridTo = 1706659200L // 2024-01-31T00:00Z
+  val HistGridStep = 7200L
+
+  /** The histogram-bucket chunk store, ingest-once like
+    * [[labeledStoreChunks]]. Build: per-event bucket fanout (≤ 6
+    * broadcast rows), per-(series, instant) new-observation counts,
+    * then one cumulative window per series onto the full grid —
+    * |present (type, host)| · 6 · |instants| rows into chunkify. */
+  def histStoreChunks(s: SparkSession, dir: String,
+                      fromSec: Long = Long.MinValue,
+                      toSec: Long = Long.MaxValue): DataFrame = synchronized {
+    graft.functions.registerAll(s)
+    val path = storePath(dir) + "_hist"
+    if (!new java.io.File(path, "_SUCCESS").exists()) {
+      val ev0 = Tables(s, dir, "events")
+      val ev = ev0.select(
+        col("event_type").as("type"),
+        concat(lit("h"), pmod(col("user_id"), lit(100L))).as("host"),
+        round(col("value") * 100).cast("long").as("cents"),
+        Ts.epochSec(ev0, "ts").as("tsec"))
+      val b = s.createDataFrame(histBuckets).toDF("le", "le_cents")
+      // event → all buckets it falls into, attributed to the first
+      // scrape instant ≥ its timestamp
+      val counts = ev.crossJoin(broadcast(b))
+        .filter(col("cents") <= col("le_cents"))
+        // first scrape instant >= ts, clamped into the grid so
+        // pre-grid events still land in the first sample's count
+        .withColumn("ts", greatest(expr(
+          s"((tsec + ${HistGridStep - 1}L) div ${HistGridStep}L) * ${HistGridStep}L"),
+          lit(HistGridFrom)))
+        .groupBy("type", "host", "le", "ts").agg(count(lit(1)).as("__n"))
+      val grid = s.range((HistGridTo - HistGridFrom) / HistGridStep + 1)
+        .select((lit(HistGridFrom) + col("id") * HistGridStep).as("ts"))
+      val series = ev.select("type", "host").distinct()
+        .crossJoin(broadcast(b.select("le")))
+      val w = Window.partitionBy("type", "host", "le").orderBy("ts")
+      val samples = series.crossJoin(broadcast(grid))
+        .join(counts, Seq("type", "host", "le", "ts"), "left")
+        .na.fill(0L, Seq("__n"))
+        .withColumn("value", sum("__n").over(w).cast("double"))
+        // chunkify reads LongType ts as nanos; hand it a timestamp
+        .select(col("type"), col("host"), col("le"),
+          to_timestamp(col("ts")).as("ts"), col("value"))
+      Ts.writeStore(Ts.chunkify(samples, histLabelCols, "ts", "value"), path)
+    }
+    Ts.readStore(s, path, fromSec, toSec)
+  }
+
   /** The materialized 15-min rollup for a data dir: derived from the
     * persisted chunk store ONCE (raw → chunks → rollup, the standing-
     * aggregate lineage), then every serve is a pruned partial scan. */

@@ -65,6 +65,8 @@ object Promql {
     * `_over_time` / counter function like a range vector. */
   final case class Subquery(arg: Expr, range: Long, step: Long,
                             offset: Long) extends Expr
+  /** `histogram_quantile(φ, e)` over a vector carrying an `le` label. */
+  final case class HistExpr(phi: Double, arg: Expr) extends Expr
 
   sealed trait Grouping
   case object NoGroup extends Grouping
@@ -271,6 +273,15 @@ object Promql {
       case TOp("(") => next(); val e = parseOr(); expectOp(")"); withModifiers(e)
       case TNum(v) => next(); NumLit(v)
       case TOp("{") => withModifiers(selector(None))
+      case TIdent("histogram_quantile") =>
+        next(); expectOp("(")
+        val phi = next() match {
+          case TNum(v) => v
+          case t => err(s"histogram_quantile needs a scalar φ first, got $t")
+        }
+        expectOp(",")
+        val a = parseOr(); expectOp(")")
+        withModifiers(HistExpr(phi, a))
       case TIdent(name) if aggOps(name) => next(); withModifiers(aggregation(name))
       case TIdent(name) if RangeFns(name) || name == "absent" =>
         next(); expectOp("("); val a = parseOr(); expectOp(")")
@@ -497,8 +508,54 @@ object Promql {
       throw new IllegalArgumentException("subquery [d:step] must be consumed by a range function")
     case FnCall(fn, arg) => rangeFn(fn, arg, ctx)
     case mc: MathCall => mathFn(mc, ctx)
+    case h: HistExpr => histQuantile(h.phi, h.arg, ctx)
     case agg: AggExpr => aggregate(agg, ctx)
     case bin: BinExpr => binary(bin, ctx)
+  }
+
+  /** `histogram_quantile(φ, v)` over a vector with an `le` label —
+    * the Prometheus `_bucket` interpolation: per group (all labels
+    * but le; the step joins implicitly in range mode), rank = φ ·
+    * value(+Inf), pick the lowest bucket whose CUMULATIVE value
+    * reaches the rank, and interpolate linearly inside it (lower
+    * bound 0 for the first bucket; the +Inf bucket answers with the
+    * last finite upper bound). Bucket counts arrive as exact longs
+    * from the counter family; the interpolation is a fixed float
+    * expression — one multiply, one divide — reproducible in SQL.
+    * Groups without a +Inf bucket are dropped (rank undefined), as
+    * are EMPTY histograms (total 0): Prometheus answers those with
+    * NaN; dropping the sample instead keeps every emitted value
+    * defined and the whole expression reproducible in an ANSI
+    * oracle. */
+  private def histQuantile(phi: Double, arg: Expr, ctx: Ctx): Vec = {
+    val v = evalExpr(arg, ctx)
+    if (!v.labels.contains("le")) throw new IllegalArgumentException(
+      "histogram_quantile needs an 'le' label on its input vector " +
+        s"(got ${v.labels.mkString(", ")})")
+    val L = v.labels.filterNot(_ == "le")
+    def ordW = Window.partitionBy(L.map(col): _*).orderBy(col("__le"))
+    val fullW = ordW.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cumD = col("value").cast("double") // raw; φ·total uses the same scale
+    val df = v.df
+      .withColumn("__le", when(col("le") === "+Inf", lit(Double.PositiveInfinity))
+        .otherwise(col("le").cast("double")))
+      .withColumn("__cum", cumD)
+      .withColumn("__prevLe", lag(col("__le"), 1).over(ordW))
+      .withColumn("__prevCum", lag(col("value"), 1).over(ordW).cast("double"))
+      .withColumn("__total",
+        max(when(col("__le") === Double.PositiveInfinity, cumD)).over(fullW))
+      .withColumn("__rank", lit(phi) * col("__total"))
+    val first = df.filter(col("__total") > 0 && col("__cum") >= col("__rank"))
+      .withColumn("__rn", row_number().over(ordW))
+      .filter(col("__rn") === 1)
+    val lower = coalesce(col("__prevLe"), lit(0.0))
+    val prevC = coalesce(col("__prevCum"), lit(0.0))
+    val interp = lower + (col("__le") - lower) *
+      ((col("__rank") - prevC) / (col("__cum") - prevC))
+    val value = when(col("__le") === Double.PositiveInfinity, col("__prevLe"))
+      .otherwise(interp)
+    Vec(first.withColumn("value", value)
+      .select(L.map(col) :+ col("value"): _*), L, Dbl)
   }
 
   /** PromQL absent(): a 1-element vector when the selector matches

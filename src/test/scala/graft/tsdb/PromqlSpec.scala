@@ -324,6 +324,45 @@ class PromqlSpec extends AnyFunSuite {
     }
   }
 
+  test("histogram_quantile == hand interpolation over the bucket vector") {
+    val hch = graft.queries.TsQueries.histStoreChunks(spark, dir)
+    val hlc = graft.queries.TsQueries.histLabelCols
+    // the input vector, already summed per bucket
+    val buckets = Promql.eval(hch, hlc, "sum by (le) (rate(click[2d]))", EvalTs)
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+      .sortBy(p => if (p._1 == "+Inf") Double.PositiveInfinity else p._1.toDouble)
+    assert(buckets.map(_._1).last == "+Inf" && buckets.length == 6)
+    // cumulative by construction
+    assert(buckets.map(_._2).toSeq == buckets.map(_._2).sorted.toSeq)
+    def hand(phi: Double): Double = {
+      val total = buckets.last._2
+      val rank = phi * total
+      val i = buckets.indexWhere(_._2 >= rank)
+      val (le, cum) = buckets(i)
+      if (le == "+Inf") buckets(i - 1)._1.toDouble
+      else {
+        val lower = if (i == 0) 0.0 else buckets(i - 1)._1.toDouble
+        val prevC = if (i == 0) 0.0 else buckets(i - 1)._2
+        lower + (le.toDouble - lower) * ((rank - prevC) / (cum - prevC))
+      }
+    }
+    for (phi <- Seq(0.5, 0.9, 0.99)) {
+      val got = Promql.eval(hch, hlc,
+        s"histogram_quantile($phi, sum by (le) (rate(click[2d])))", EvalTs)
+        .collect().map(_.getDouble(0))
+      assert(got.length == 1 && math.abs(got.head - hand(phi)) < 1e-9, s"phi=$phi")
+    }
+    // grouping labels survive: per-host quantiles keep (type, host)
+    val perHost = Promql.eval(hch, hlc,
+      "histogram_quantile(0.9, rate(click[2d]))", EvalTs)
+    assert(perHost.columns.toSeq == Seq("type", "host", "value"))
+    val vals = perHost.collect().map(_.getDouble(2))
+    assert(vals.nonEmpty && vals.forall(v => v >= 0.0 && v <= 250.0))
+    // input without an le label is rejected
+    intercept[IllegalArgumentException](Promql.eval(chunks, labelCols,
+      "histogram_quantile(0.9, sum by (region) (rate(click[2d])))", EvalTs))
+  }
+
   test("evalRange stays compressed-domain and pushes the selector") {
     val df = Promql.evalRange(chunks, labelCols,
       """sum by (region) (sum_over_time({type="click", host=~"h1.*"}[6h]))""",
