@@ -200,6 +200,18 @@ object PromqlQueries {
     "promql_clamp" -> ((s, dir) =>
       q(s, dir, "clamp(sum by (host) (sum_over_time(purchase[2d])), 50, 200)")
         .orderBy("host")),
+    // label_replace: relabeling mid-expression — hosts roll up to a
+    // synthetic dc label (anchored regex, $1 capture), the outer sum
+    // re-aggregates on it; exact cents survive the relabel
+    "promql_label_replace" -> ((s, dir) =>
+      q(s, dir, "sum by (dc) (label_replace(sum by (host) " +
+        "(sum_over_time(click[2d])), \"dc\", \"dc-$1\", \"host\", \"h([0-9]).*\"))")
+        .orderBy("dc")),
+    // label_join: composite key label from existing labels
+    "promql_label_join" -> ((s, dir) =>
+      q(s, dir, "sum by (hr) (label_join(sum by (host, region) " +
+        "(sum_over_time(click[2d])), \"hr\", \"-\", \"host\", \"region\"))")
+        .orderBy("hr")),
     // histogram_quantile over the `_bucket` store — the SLO/alerting
     // staple: per-le cumulative counters rated over 2d, summed across
     // hosts per bucket, then the Prometheus bucket interpolation
@@ -471,6 +483,18 @@ object PromqlQueries {
         |  WHERE ts >= $From AND ts <= $EvalTs AND type = 'purchase'
         |  GROUP BY host)
         |ORDER BY host""".stripMargin,
+    "promql_label_replace" ->
+      s"""$lblCte
+        |SELECT regexp_replace(host, '^(?:h([0-9]).*)$$', 'dc-\\1') AS dc,
+        |  CAST(CAST(sum(cents) AS BIGINT) AS DOUBLE) / 100.0 AS value
+        |FROM lbl WHERE ts >= $From AND ts <= $EvalTs AND type = 'click'
+        |GROUP BY dc ORDER BY dc""".stripMargin,
+    "promql_label_join" ->
+      s"""$lblCte
+        |SELECT host || '-' || region AS hr,
+        |  CAST(CAST(sum(cents) AS BIGINT) AS DOUBLE) / 100.0 AS value
+        |FROM lbl WHERE ts >= $From AND ts <= $EvalTs AND type = 'click'
+        |GROUP BY hr ORDER BY hr""".stripMargin,
     // histogram oracles: the bucket store's cumulative counters are
     // re-derived directly from raw events — increase over a window of
     // grid samples telescopes to a plain COUNT of events between the

@@ -209,6 +209,21 @@ object ScaleBench {
           labelCols, """sum by (region) (sum_over_time({type="click"}[6h]))""",
           from, to, 7200L))
       }
+      // round-11 additions: subquery + histogram_quantile at volume
+      timed(s"${tag}_promql_subq", nEv, "subquery: 8-instant inner stepped rate, exact outer max") {
+        noop(graft.tsdb.Promql.eval(Ts.readStore(spark, lblPath, to - 260000, to),
+          labelCols,
+          """max_over_time(sum by (region) (rate({type="click"}[1d]))[2d:6h])""", to))
+      }
+      timed(s"${tag}_hist_ingest", nEv, "bucket-fanout cumulative counters -> chunk store") {
+        graft.queries.TsQueries.histStoreChunks(spark, dir).count()
+      }
+      timed(s"${tag}_promql_histq", nEv, "histogram_quantile over the _bucket store") {
+        noop(graft.tsdb.Promql.eval(
+          graft.queries.TsQueries.histStoreChunks(spark, dir),
+          graft.queries.TsQueries.histLabelCols,
+          """histogram_quantile(0.9, sum by (le) (rate({type="click"}[2d])))""", to))
+      }
     }
 
     /** Streaming ingest throughput at volume (r9 verdict #8): the

@@ -67,6 +67,10 @@ object Promql {
                             offset: Long) extends Expr
   /** `histogram_quantile(φ, e)` over a vector carrying an `le` label. */
   final case class HistExpr(phi: Double, arg: Expr) extends Expr
+  /** `label_replace(e, dst, rep, src, regex)` / `label_join(e, dst,
+    * sep, srcs…)` — label-manipulation with string parameters. */
+  final case class LabelCall(fn: String, arg: Expr,
+                             params: Seq[String]) extends Expr
 
   sealed trait Grouping
   case object NoGroup extends Grouping
@@ -273,6 +277,19 @@ object Promql {
       case TOp("(") => next(); val e = parseOr(); expectOp(")"); withModifiers(e)
       case TNum(v) => next(); NumLit(v)
       case TOp("{") => withModifiers(selector(None))
+      case TIdent(name) if name == "label_replace" || name == "label_join" =>
+        next(); expectOp("(")
+        val a = parseOr()
+        val ps = Seq.newBuilder[String]
+        while (peek == TOp(",")) {
+          next()
+          ps += (next() match {
+            case TStr(s) => s
+            case t => err(s"$name expects string params, got $t")
+          })
+        }
+        expectOp(")")
+        withModifiers(LabelCall(name, a, ps.result()))
       case TIdent("histogram_quantile") =>
         next(); expectOp("(")
         val phi = next() match {
@@ -508,9 +525,52 @@ object Promql {
       throw new IllegalArgumentException("subquery [d:step] must be consumed by a range function")
     case FnCall(fn, arg) => rangeFn(fn, arg, ctx)
     case mc: MathCall => mathFn(mc, ctx)
+    case lc: LabelCall => labelFn(lc, ctx)
     case h: HistExpr => histQuantile(h.phi, h.arg, ctx)
     case agg: AggExpr => aggregate(agg, ctx)
     case bin: BinExpr => binary(bin, ctx)
+  }
+
+  /** PromQL label manipulation. `label_replace(v, dst, rep, src, re)`
+    * anchors `re` against the src label (Prometheus full-match rule);
+    * on a match dst gets `rep` with $1… capture substitutions, on a
+    * miss dst keeps its existing value (empty when new). `label_join
+    * (v, dst, sep, srcs…)` concatenates source labels. A NEW dst
+    * appends to the label set; the value representation is untouched
+    * so exact-grid expressions stay exact through relabeling. */
+  private def labelFn(lc: LabelCall, ctx: Ctx): Vec = {
+    val v = evalExpr(lc.arg, ctx)
+    val nameRe = "[a-zA-Z_][a-zA-Z0-9_]*"
+    lc.fn match {
+      case "label_replace" =>
+        val Seq(dst, rep, src, re) = (lc.params match {
+          case p if p.size == 4 => p
+          case p => throw new IllegalArgumentException(
+            s"label_replace(v, dst, rep, src, regex) needs 4 string params, got ${p.size}")
+        }): @unchecked
+        require(dst.matches(nameRe), s"invalid destination label '$dst'")
+        require(v.labels.contains(src), s"source label '$src' not in ${v.labels}")
+        val anchored = "^(?:" + re + ")$"
+        val dstExpr = when(col(src).rlike(anchored),
+          regexp_replace(col(src), anchored, rep))
+          .otherwise(if (v.labels.contains(dst)) col(dst) else lit(""))
+        val labels = if (v.labels.contains(dst)) v.labels else v.labels :+ dst
+        Vec(v.df.withColumn(dst, dstExpr)
+          .select((labels :+ "value").map(col): _*), labels, v.kind)
+      case "label_join" =>
+        val (dst, sep, srcs) = lc.params match {
+          case d +: s +: rest if rest.nonEmpty => (d, s, rest)
+          case p => throw new IllegalArgumentException(
+            s"label_join(v, dst, sep, srcs…) needs ≥ 3 string params, got ${p.size}")
+        }
+        require(dst.matches(nameRe), s"invalid destination label '$dst'")
+        srcs.foreach(s => require(v.labels.contains(s),
+          s"source label '$s' not in ${v.labels}"))
+        val labels = if (v.labels.contains(dst)) v.labels else v.labels :+ dst
+        Vec(v.df.withColumn(dst, concat_ws(sep, srcs.map(col): _*))
+          .select((labels :+ "value").map(col): _*), labels, v.kind)
+      case other => throw new IllegalArgumentException(s"unknown function '$other'")
+    }
   }
 
   /** `histogram_quantile(φ, v)` over a vector with an `le` label —

@@ -324,6 +324,35 @@ class PromqlSpec extends AnyFunSuite {
     }
   }
 
+  test("label_replace / label_join: relabel, re-aggregate, miss keeps dst") {
+    val base = "sum by (host, region) (sum_over_time(click[2d]))"
+    val perHost = Promql.eval(chunks, labelCols, base, EvalTs)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getDouble(2))).toMap
+    // replace: host h42 -> dc-4; the outer sum re-groups exactly
+    val dc = Promql.eval(chunks, labelCols,
+      s"""sum by (dc) (label_replace($base, "dc", "dc-$$1", "host", "h([0-9]).*"))""",
+      EvalTs).collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val want = perHost.groupBy { case ((h, _), _) => "dc-" + h.charAt(1) }
+      .view.mapValues(_.values.sum).toMap
+    assert(dc.keySet == want.keySet && dc.keySet.forall(k =>
+      math.abs(dc(k) - want(k)) < 1e-9))
+    // join: hr = host-region, full label set survives alongside
+    val hr = Promql.eval(chunks, labelCols,
+      s"""label_join($base, "hr", "-", "host", "region")""", EvalTs)
+    assert(hr.columns.toSeq == Seq("host", "region", "hr", "value"))
+    hr.collect().foreach(r =>
+      assert(r.getString(2) == r.getString(0) + "-" + r.getString(1)))
+    // non-matching regex: NEW dst label arrives empty on every row
+    val miss = Promql.eval(chunks, labelCols,
+      s"""label_replace($base, "dc", "x", "host", "zz[0-9]+")""", EvalTs)
+    assert(miss.collect().forall(_.getString(2) == ""))
+    // arity and unknown source label fail loudly
+    intercept[IllegalArgumentException](Promql.eval(chunks, labelCols,
+      s"""label_replace($base, "dc", "x", "nope", ".*")""", EvalTs))
+    intercept[IllegalArgumentException](Promql.eval(chunks, labelCols,
+      s"""label_join($base, "hr")""", EvalTs))
+  }
+
   test("histogram_quantile == hand interpolation over the bucket vector") {
     val hch = graft.queries.TsQueries.histStoreChunks(spark, dir)
     val hlc = graft.queries.TsQueries.histLabelCols
