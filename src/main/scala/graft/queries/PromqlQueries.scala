@@ -200,6 +200,17 @@ object PromqlQueries {
     "promql_clamp" -> ((s, dir) =>
       q(s, dir, "clamp(sum by (host) (sum_over_time(purchase[2d])), 50, 200)")
         .orderBy("host")),
+    // deriv(): per-series least-squares slope from exact integer sums
+    // (BIGINT num/den, one division) — the ts_deriv discipline through
+    // the string front-end
+    "promql_deriv" -> ((s, dir) =>
+      q(s, dir, """deriv({type="view"}[2d])""")
+        .orderBy("host", "region")),
+    // predict_linear(): the regression line extrapolated 1h past the
+    // evaluation instant; three fixed divisions mirrored in the oracle
+    "promql_predict" -> ((s, dir) =>
+      q(s, dir, "predict_linear(view[2d], 1h)")
+        .orderBy("host", "region")),
     // label_replace: relabeling mid-expression — hosts roll up to a
     // synthetic dc label (anchored regex, $1 capture), the outer sum
     // re-aggregates on it; exact cents survive the relabel
@@ -483,6 +494,41 @@ object PromqlQueries {
         |  WHERE ts >= $From AND ts <= $EvalTs AND type = 'purchase'
         |  GROUP BY host)
         |ORDER BY host""".stripMargin,
+    // regression sums on the relative-second × cent grid: BIGINT-exact
+    // on both engines (t ≤ 172799, |cents| ≤ ~5e4 → products < 2^63)
+    "promql_deriv" ->
+      s"""$lblCte,
+        |c AS (SELECT type, host, region, ts - $From AS t, cents
+        |  FROM lbl WHERE ts >= $From AND ts <= $EvalTs AND type = 'view'),
+        |g AS (SELECT type, host, region, count(*) AS n,
+        |    CAST(sum(t) AS BIGINT) AS st, CAST(sum(cents) AS BIGINT) AS sv,
+        |    CAST(sum(t * cents) AS BIGINT) AS stv,
+        |    CAST(sum(t * t) AS BIGINT) AS stt
+        |  FROM c GROUP BY 1, 2, 3),
+        |d AS (SELECT type, host, region,
+        |    CAST(n * stv - st * sv AS BIGINT) AS num,
+        |    CAST(n * stt - st * st AS BIGINT) AS den
+        |  FROM g WHERE n >= 2)
+        |SELECT type, host, region,
+        |  CAST(num AS DOUBLE) / (100.0 * den) AS value
+        |FROM d WHERE den <> 0 ORDER BY host, region""".stripMargin,
+    "promql_predict" ->
+      s"""$lblCte,
+        |c AS (SELECT type, host, region, ts - $From AS t, cents
+        |  FROM lbl WHERE ts >= $From AND ts <= $EvalTs AND type = 'view'),
+        |g AS (SELECT type, host, region, count(*) AS n,
+        |    CAST(sum(t) AS BIGINT) AS st, CAST(sum(cents) AS BIGINT) AS sv,
+        |    CAST(sum(t * cents) AS BIGINT) AS stv,
+        |    CAST(sum(t * t) AS BIGINT) AS stt
+        |  FROM c GROUP BY 1, 2, 3),
+        |d AS (SELECT type, host, region, n, st, sv,
+        |    CAST(n * stv - st * sv AS BIGINT) AS num,
+        |    CAST(n * stt - st * st AS BIGINT) AS den
+        |  FROM g WHERE n >= 2)
+        |SELECT type, host, region,
+        |  (CAST(sv AS DOUBLE) / n + CAST(num AS DOUBLE) / den *
+        |    (176399.0 - CAST(st AS DOUBLE) / n)) / 100.0 AS value
+        |FROM d WHERE den <> 0 ORDER BY host, region""".stripMargin,
     "promql_label_replace" ->
       s"""$lblCte
         |SELECT regexp_replace(host, '^(?:h([0-9]).*)$$', 'dc-\\1') AS dc,

@@ -162,7 +162,7 @@ object Promql {
   val RangeFns: Set[String] = Set("rate", "increase", "delta", "changes", "resets",
     "sum_over_time", "count_over_time", "min_over_time", "max_over_time",
     "avg_over_time", "stddev_over_time", "stdvar_over_time", "last_over_time",
-    "present_over_time")
+    "present_over_time", "deriv", "predict_linear")
   private val aggOps = Set("sum", "min", "max", "avg", "count", "topk", "bottomk",
     "quantile", "count_values")
   /** Pointwise math functions (optional scalar params after the vector). */
@@ -301,8 +301,24 @@ object Promql {
         withModifiers(HistExpr(phi, a))
       case TIdent(name) if aggOps(name) => next(); withModifiers(aggregation(name))
       case TIdent(name) if RangeFns(name) || name == "absent" =>
-        next(); expectOp("("); val a = parseOr(); expectOp(")")
-        withModifiers(FnCall(name, a))
+        next(); expectOp("(")
+        val a = parseOr()
+        // predict_linear's scalar horizon (seconds or a duration)
+        val extra = if (peek == TOp(",")) {
+          next()
+          Some(next() match {
+            case TNum(v) => v
+            case TDur(s) => s.toDouble
+            case t => err(s"$name expects a scalar second argument, got $t")
+          })
+        } else None
+        expectOp(")")
+        withModifiers((name, extra) match {
+          case ("predict_linear", Some(t)) => MathCall("predict_linear", a, Seq(t))
+          case ("predict_linear", None) => err("predict_linear needs a scalar horizon")
+          case (_, Some(_)) => err(s"$name takes one argument")
+          case (_, None) => FnCall(name, a)
+        })
       case TIdent(name) if MathFns(name) =>
         next(); expectOp("(")
         val a = parseOr()
@@ -524,6 +540,7 @@ object Promql {
     case _: Subquery =>
       throw new IllegalArgumentException("subquery [d:step] must be consumed by a range function")
     case FnCall(fn, arg) => rangeFn(fn, arg, ctx)
+    case MathCall("predict_linear", arg, ps) => predictLinear(arg, ps.head, ctx)
     case mc: MathCall => mathFn(mc, ctx)
     case lc: LabelCall => labelFn(lc, ctx)
     case h: HistExpr => histQuantile(h.phi, h.arg, ctx)
@@ -800,8 +817,56 @@ object Promql {
             out(col("value"), Count,
               grouped.agg(sum(when(col("d") < 0, 1L).otherwise(0L)).as("value")))
         }
+      case "deriv" =>
+        // least-squares slope from exact integer sums (the ts_deriv
+        // discipline): BIGINT numerator/denominator, one division
+        out(col("__num").cast("double") / (lit(100.0) * col("__den")), Dbl,
+          regressionSums(sel, ctx)._1)
       case other => throw new IllegalArgumentException(s"unknown function '$other'")
     }
+  }
+
+  /** Per-series exact regression partials over a range selector:
+    * n, Σt, Σv, Σtv, Σt² on the integer (relative-second, cent)
+    * grid; series with < 2 samples or a degenerate denominator are
+    * dropped (PromQL emits nothing for them). `t` is relative to the
+    * window start so products stay far under 2^63. */
+  private def regressionSums(sel: VectorSel, ctx: Ctx): (DataFrame, Long, Long) = {
+    val (from, to) = window(sel, ctx)
+    val L = ctx.labelCols
+    val g = decoded(sel, from, to, ctx)
+      .withColumn("__t", col("ts") - lit(from))
+      .groupBy(L.map(col): _*)
+      .agg(count(lit(1)).as("__n"), sum("__t").as("__st"),
+        sum("cents").as("__sv"), sum(col("__t") * col("cents")).as("__stv"),
+        sum(col("__t") * col("__t")).as("__stt"))
+      .filter(col("__n") >= 2)
+      .withColumn("__num", col("__n") * col("__stv") - col("__st") * col("__sv"))
+      .withColumn("__den", col("__n") * col("__stt") - col("__st") * col("__st"))
+      .filter(col("__den") =!= 0)
+    (g, from, to)
+  }
+
+  /** `predict_linear(sel[d], t)`: the regression line extrapolated t
+    * seconds past the evaluation instant — ŷ = v̄ + slope·(x − t̄),
+    * x = (d−1) + t relative seconds; three fixed divisions, mirrored
+    * op-for-op in the SQL oracle. */
+  private def predictLinear(arg: Expr, tAhead: Double, ctx: Ctx): Vec = {
+    if (ctx.grid.isDefined) throw new IllegalArgumentException(
+      "predict_linear is unsupported in stepped mode")
+    val sel = arg match {
+      case s: VectorSel => s
+      case _ => throw new IllegalArgumentException(
+        "predict_linear expects a range selector argument")
+    }
+    val (g, from, to) = regressionSums(sel, ctx)
+    val x = lit((to - from).toDouble + tAhead)
+    val meanT = col("__st").cast("double") / col("__n")
+    val meanV = col("__sv").cast("double") / col("__n")
+    val slope = col("__num").cast("double") / col("__den")
+    val pred = (meanV + slope * (x - meanT)) / lit(100.0)
+    Vec(g.select(ctx.labelCols.map(col) :+ pred.as("value"): _*),
+      ctx.labelCols, Dbl)
   }
 
   /** Stepped `_over_time`: one compressed-domain bucket fold, each

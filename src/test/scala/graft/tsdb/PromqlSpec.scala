@@ -324,6 +324,38 @@ class PromqlSpec extends AnyFunSuite {
     }
   }
 
+  test("deriv / predict_linear == hand least-squares per series") {
+    val from = EvalTs - 172800L + 1
+    val pts = Labels.selectRange(chunks, labelCols, """{type="view"}""",
+        from, EvalTs)
+      .collect().map(r => ((r.getString(0), r.getString(1), r.getString(2)),
+        (r.getLong(3) - from).toDouble, math.round(r.getDouble(4) * 100).toDouble))
+      .groupBy(_._1).view.mapValues(_.map(p => (p._2, p._3))).toMap
+    def fit(s: Array[(Double, Double)]): Option[(Double, Double, Double)] = {
+      val n = s.length
+      if (n < 2) return None
+      val (st, sv) = (s.map(_._1).sum, s.map(_._2).sum)
+      val stv = s.map(p => p._1 * p._2).sum
+      val stt = s.map(p => p._1 * p._1).sum
+      val den = n * stt - st * st
+      if (den == 0) None else Some((n * stv - st * sv) / den, st / n, sv / n)
+    }
+    val de = Promql.eval(chunks, labelCols, """deriv({type="view"}[2d])""", EvalTs)
+      .collect().map(r => ((r.getString(0), r.getString(1), r.getString(2)),
+        r.getDouble(3))).toMap
+    val pr = Promql.eval(chunks, labelCols, "predict_linear(view[2d], 1h)", EvalTs)
+      .collect().map(r => ((r.getString(0), r.getString(1), r.getString(2)),
+        r.getDouble(3))).toMap
+    val want = pts.flatMap { case (k, s) => fit(s).map(k -> _) }
+    assert(de.nonEmpty && de.keySet == want.keySet && pr.keySet == want.keySet)
+    want.foreach { case (k, (slope, meanT, meanV)) =>
+      assert(math.abs(de(k) - slope / 100.0) < 1e-9, s"deriv $k")
+      val x = 172799.0 + 3600.0
+      assert(math.abs(pr(k) - (meanV + slope * (x - meanT)) / 100.0) < 1e-9,
+        s"predict $k")
+    }
+  }
+
   test("label_replace / label_join: relabel, re-aggregate, miss keeps dst") {
     val base = "sum by (host, region) (sum_over_time(click[2d]))"
     val perHost = Promql.eval(chunks, labelCols, base, EvalTs)
