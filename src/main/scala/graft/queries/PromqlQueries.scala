@@ -256,7 +256,63 @@ object PromqlQueries {
     // emptiness probed by a broadcast anti join (no driver count)
     "promql_absent" -> ((s, dir) =>
       q(s, dir, """absent({type="click", host="h999"})""",
-          fromSec = EvalTs - 300 + 1)))
+          fromSec = EvalTs - 300 + 1)),
+    // absent_over_time: the same probe over an explicit [d] window
+    "promql_absent_ot" -> ((s, dir) =>
+      q(s, dir, """absent_over_time({type="click", host="h999"}[2d])""")),
+    // quantile_over_time: per-series φ-quantile of the window's
+    // samples — exact interpolation on the integer cent grid (Spark's
+    // exact percentile == DuckDB's quantile_cont), /100 once; the
+    // outer max is exact selection over doubles
+    "promql_quantile_ot" -> ((s, dir) =>
+      q(s, dir, "max by (region) (quantile_over_time(0.9, view[1d]))",
+          fromSec = EvalTs - Day + 1)
+        .orderBy("region")),
+    // irate: the last TWO samples per series (rank window, (ts, cents)
+    // desc), counter-reset aware, one division by the sample gap
+    "promql_irate" -> ((s, dir) =>
+      q(s, dir, "irate(click[2d])")
+        .orderBy("host", "region")),
+    // idelta: the same two-sample body, gauge difference in exact cents
+    "promql_idelta" -> ((s, dir) =>
+      q(s, dir, "idelta(view[2d])")
+        .orderBy("host", "region")),
+    // sort_desc: presentation ordering of an instant vector by value
+    // (label tiebreak); representation untouched
+    "promql_sort" -> ((s, dir) =>
+      q(s, dir, "sort_desc(sum by (host) (sum_over_time(purchase[2d])))")),
+    // stddev across series: exact BIGINT second moments (n·ΣV²−(ΣV)²),
+    // one division + one sqrt
+    "promql_stddev_agg" -> ((s, dir) =>
+      q(s, dir, "stddev by (region) (sum by (host, region) " +
+          "(sum_over_time(click[2d])))")
+        .orderBy("region")),
+    // group(): 1 per existing group — the label-set existence operator
+    "promql_group_agg" -> ((s, dir) =>
+      q(s, dir, "group by (region) (sum by (host, region) " +
+          "(sum_over_time(click[2d])))")
+        .orderBy("region")),
+    // @ modifier: the selector pinned to an ABSOLUTE instant (EvalTs −
+    // 1d) regardless of the query's evaluation time
+    "promql_at" -> ((s, dir) =>
+      q(s, dir, s"sum by (region) (sum_over_time(click[2d] @ ${EvalTs - Day}))",
+          fromSec = EvalTs - 3 * Day + 1)
+        .orderBy("region")),
+    // timestamp(): the last sample's unix second per series — exact
+    // integers end-to-end (1-day staleness like promql_instant)
+    "promql_timestamp" -> ((s, dir) =>
+      q(s, dir, """timestamp({type="purchase", host=~"h1.*"})""",
+          fromSec = EvalTs - Day + 1, lookback = Day)
+        .orderBy("type", "host", "region")),
+    // sqrt: one correctly-rounded IEEE op over the exact sum
+    "promql_sqrt" -> ((s, dir) =>
+      q(s, dir, "sqrt(sum by (region) (sum_over_time(click[2d])))")
+        .orderBy("region")),
+    // sgn on the exact grid: the subtraction and the sign both run on
+    // BIGINT cents — never a float
+    "promql_sgn" -> ((s, dir) =>
+      q(s, dir, "sgn(sum by (host) (sum_over_time(purchase[2d])) - 60)")
+        .orderBy("host")))
 
   def oracleSql: Map[String, String] = Map(
     "promql_instant" ->
@@ -634,5 +690,102 @@ object PromqlQueries {
         |SELECT 'click' AS type, 'h999' AS host, CAST(1 AS DOUBLE) AS value
         |WHERE NOT EXISTS (SELECT 1 FROM lbl
         |  WHERE ts >= ${EvalTs - 300 + 1} AND ts <= $EvalTs
-        |  AND type = 'click' AND host = 'h999')""".stripMargin)
+        |  AND type = 'click' AND host = 'h999')""".stripMargin,
+    "promql_absent_ot" ->
+      s"""$lblCte
+        |SELECT 'click' AS type, 'h999' AS host, CAST(1 AS DOUBLE) AS value
+        |WHERE NOT EXISTS (SELECT 1 FROM lbl
+        |  WHERE ts >= $From AND ts <= $EvalTs
+        |  AND type = 'click' AND host = 'h999')""".stripMargin,
+    "promql_quantile_ot" ->
+      s"""$lblCte,
+        |p AS (SELECT type, host, region,
+        |    quantile_cont(cents, 0.9) / 100.0 AS q FROM lbl
+        |  WHERE ts >= ${EvalTs - Day + 1} AND ts <= $EvalTs AND type = 'view'
+        |  GROUP BY 1, 2, 3)
+        |SELECT region, max(q) AS value FROM p GROUP BY region
+        |ORDER BY region""".stripMargin,
+    // last two samples under the engine's rank rule ((ts, cents) desc);
+    // counter reset (last < prev) answers with the last value
+    "promql_irate" ->
+      s"""$lblCte,
+        |r AS (SELECT type, host, region, ts, cents, row_number() OVER (
+        |    PARTITION BY type, host, region ORDER BY ts DESC, cents DESC) AS rn
+        |  FROM lbl WHERE ts >= $From AND ts <= $EvalTs AND type = 'click'),
+        |two AS (SELECT type, host, region,
+        |    max(CASE WHEN rn = 1 THEN ts END) AS lts,
+        |    max(CASE WHEN rn = 1 THEN cents END) AS lc,
+        |    max(CASE WHEN rn = 2 THEN ts END) AS pts,
+        |    max(CASE WHEN rn = 2 THEN cents END) AS pc
+        |  FROM r WHERE rn <= 2 GROUP BY 1, 2, 3
+        |  HAVING count(*) = 2 AND max(CASE WHEN rn = 1 THEN ts END)
+        |    <> max(CASE WHEN rn = 2 THEN ts END))
+        |SELECT type, host, region,
+        |  CAST(CASE WHEN lc >= pc THEN lc - pc ELSE lc END AS DOUBLE)
+        |    / (CAST(lts - pts AS DOUBLE) * 100.0) AS value
+        |FROM two ORDER BY host, region""".stripMargin,
+    "promql_idelta" ->
+      s"""$lblCte,
+        |r AS (SELECT type, host, region, ts, cents, row_number() OVER (
+        |    PARTITION BY type, host, region ORDER BY ts DESC, cents DESC) AS rn
+        |  FROM lbl WHERE ts >= $From AND ts <= $EvalTs AND type = 'view'),
+        |two AS (SELECT type, host, region,
+        |    max(CASE WHEN rn = 1 THEN ts END) AS lts,
+        |    max(CASE WHEN rn = 1 THEN cents END) AS lc,
+        |    max(CASE WHEN rn = 2 THEN ts END) AS pts,
+        |    max(CASE WHEN rn = 2 THEN cents END) AS pc
+        |  FROM r WHERE rn <= 2 GROUP BY 1, 2, 3
+        |  HAVING count(*) = 2 AND max(CASE WHEN rn = 1 THEN ts END)
+        |    <> max(CASE WHEN rn = 2 THEN ts END))
+        |SELECT type, host, region, CAST(lc - pc AS DOUBLE) / 100.0 AS value
+        |FROM two ORDER BY host, region""".stripMargin,
+    "promql_sort" ->
+      s"""$lblCte
+        |SELECT host, CAST(sc AS DOUBLE) / 100.0 AS value FROM (
+        |  SELECT host, CAST(sum(cents) AS BIGINT) AS sc FROM lbl
+        |  WHERE ts >= $From AND ts <= $EvalTs AND type = 'purchase'
+        |  GROUP BY host)
+        |ORDER BY sc DESC, host""".stripMargin,
+    "promql_stddev_agg" ->
+      s"""$lblCte,
+        |h AS (SELECT host, region, CAST(sum(cents) AS BIGINT) AS sc FROM lbl
+        |  WHERE ts >= $From AND ts <= $EvalTs AND type = 'click' GROUP BY 1, 2),
+        |g AS (SELECT region, count(*) AS n, CAST(sum(sc) AS BIGINT) AS ss,
+        |    CAST(sum(sc * sc) AS BIGINT) AS qq FROM h GROUP BY region)
+        |SELECT region,
+        |  sqrt(CAST(n * qq - ss * ss AS DOUBLE) / (n * n * 10000.0)) AS value
+        |FROM g ORDER BY region""".stripMargin,
+    "promql_group_agg" ->
+      s"""$lblCte
+        |SELECT region, CAST(1 AS DOUBLE) AS value FROM (
+        |  SELECT DISTINCT region FROM lbl
+        |  WHERE ts >= $From AND ts <= $EvalTs AND type = 'click')
+        |ORDER BY region""".stripMargin,
+    "promql_at" ->
+      s"""$lblCte
+        |SELECT region,
+        |  CAST(CAST(sum(cents) AS BIGINT) AS DOUBLE) / 100.0 AS value
+        |FROM lbl WHERE ts >= ${EvalTs - 3 * Day + 1} AND ts <= ${EvalTs - Day}
+        |  AND type = 'click'
+        |GROUP BY region ORDER BY region""".stripMargin,
+    "promql_timestamp" ->
+      s"""$lblCte
+        |SELECT type, host, region, CAST(max(ts) AS DOUBLE) AS value
+        |FROM lbl WHERE ts >= ${EvalTs - Day + 1} AND ts <= $EvalTs
+        |  AND type = 'purchase' AND host LIKE 'h1%'
+        |GROUP BY type, host, region ORDER BY type, host, region""".stripMargin,
+    "promql_sqrt" ->
+      s"""$lblCte
+        |SELECT region,
+        |  sqrt(CAST(CAST(sum(cents) AS BIGINT) AS DOUBLE) / 100.0) AS value
+        |FROM lbl WHERE ts >= $From AND ts <= $EvalTs AND type = 'click'
+        |GROUP BY region ORDER BY region""".stripMargin,
+    "promql_sgn" ->
+      s"""$lblCte
+        |SELECT host, CAST(CASE WHEN sc > 6000 THEN 1 WHEN sc < 6000 THEN -1
+        |  ELSE 0 END AS DOUBLE) AS value FROM (
+        |  SELECT host, CAST(sum(cents) AS BIGINT) AS sc FROM lbl
+        |  WHERE ts >= $From AND ts <= $EvalTs AND type = 'purchase'
+        |  GROUP BY host)
+        |ORDER BY host""".stripMargin)
 }

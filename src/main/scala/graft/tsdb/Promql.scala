@@ -44,9 +44,10 @@ object Promql {
   // ===================== AST =====================
 
   sealed trait Expr
-  /** `{type="click", host=~"h1.*"}[2d] offset 1d`; `range=None` = instant. */
+  /** `{type="click", host=~"h1.*"}[2d] offset 1d @ 1705017600`;
+    * `range=None` = instant, `at=None` = the query's evaluation instant. */
   final case class VectorSel(matchers: Seq[Labels.Matcher], range: Option[Long],
-                             offset: Long) extends Expr
+                             offset: Long, at: Option[Long] = None) extends Expr
   final case class NumLit(v: Double) extends Expr
   /** Over-time / range-vector function: `rate(sel[d])`, `sum_over_time(..)`;
     * also the instant-vector `absent(sel)`. */
@@ -148,7 +149,7 @@ object Promql {
       } else {
         val two = if (i + 1 < q.length) q.substring(i, i + 2) else ""
         if (Set("==", "!=", ">=", "<=", "=~", "!~").contains(two)) { out += TOp(two); i += 2 }
-        else if ("+-*/%^(){}[],=<>:".indexOf(c) >= 0) { out += TOp(c.toString); i += 1 }
+        else if ("+-*/%^(){}[],=<>:@".indexOf(c) >= 0) { out += TOp(c.toString); i += 1 }
         else err(s"unexpected character '$c'")
       }
     }
@@ -162,12 +163,12 @@ object Promql {
   val RangeFns: Set[String] = Set("rate", "increase", "delta", "changes", "resets",
     "sum_over_time", "count_over_time", "min_over_time", "max_over_time",
     "avg_over_time", "stddev_over_time", "stdvar_over_time", "last_over_time",
-    "present_over_time", "deriv", "predict_linear")
+    "present_over_time", "deriv", "predict_linear", "irate", "idelta")
   private val aggOps = Set("sum", "min", "max", "avg", "count", "topk", "bottomk",
-    "quantile", "count_values")
+    "quantile", "count_values", "stddev", "stdvar", "group")
   /** Pointwise math functions (optional scalar params after the vector). */
   val MathFns: Set[String] = Set("abs", "ceil", "floor", "round",
-    "clamp", "clamp_min", "clamp_max")
+    "clamp", "clamp_min", "clamp_max", "sqrt", "sgn")
   private val paramAggs = Set("topk", "bottomk", "quantile")
   private val setOps = Set("and", "or", "unless")
   private val cmpOps = Set("==", "!=", ">", "<", ">=", "<=")
@@ -299,8 +300,19 @@ object Promql {
         expectOp(",")
         val a = parseOr(); expectOp(")")
         withModifiers(HistExpr(phi, a))
+      case TIdent("quantile_over_time") =>
+        next(); expectOp("(")
+        val phi = next() match {
+          case TNum(v) => v
+          case t => err(s"quantile_over_time needs a scalar φ first, got $t")
+        }
+        expectOp(",")
+        val a = parseOr(); expectOp(")")
+        withModifiers(MathCall("quantile_over_time", a, Seq(phi)))
       case TIdent(name) if aggOps(name) => next(); withModifiers(aggregation(name))
-      case TIdent(name) if RangeFns(name) || name == "absent" =>
+      case TIdent(name) if RangeFns(name) || name == "absent" ||
+          name == "absent_over_time" || name == "sort" || name == "sort_desc" ||
+          name == "timestamp" =>
         next(); expectOp("(")
         val a = parseOr()
         // predict_linear's scalar horizon (seconds or a duration)
@@ -428,6 +440,16 @@ object Promql {
               case sq: Subquery => cur = sq.copy(offset = d); changed = true
               case _ => err("offset only applies to a selector or subquery")
             }
+          case TOp("@") => // absolute evaluation instant: `sel @ 1705017600`
+            next()
+            val at = next() match {
+              case TNum(v) if v.isWhole => v.toLong
+              case t => err(s"@ expects an integer unix timestamp, got $t")
+            }
+            cur match {
+              case v: VectorSel => cur = v.copy(at = Some(at)); changed = true
+              case _ => err("@ only applies to a selector")
+            }
           case _ => ()
         }
       }
@@ -523,9 +545,10 @@ object Promql {
       case Labels.NotRe(l, v) => s"""$l!~"$v""""
     }.mkString("{", ", ", "}")
 
-  /** [from, to] second-grid window of a range selector at evalTs. */
+  /** [from, to] second-grid window of a range selector at evalTs
+    * (or the selector's pinned `@` instant). */
   private def window(sel: VectorSel, ctx: Ctx): (Long, Long) = {
-    val to = ctx.evalTs - sel.offset
+    val to = sel.at.getOrElse(ctx.evalTs) - sel.offset
     val d = sel.range.getOrElse(
       throw new IllegalArgumentException("range function needs sel[duration]"))
     (to - d + 1, to)
@@ -536,11 +559,16 @@ object Promql {
       throw new IllegalArgumentException("scalar-only expression has no vector result")
     case sel: VectorSel => instantVector(sel, ctx)
     case FnCall("absent", arg) => absentVec(arg, ctx)
+    case FnCall("absent_over_time", arg) => absentVec(arg, ctx)
+    case FnCall("sort", arg) => sortVec(arg, desc = false, ctx)
+    case FnCall("sort_desc", arg) => sortVec(arg, desc = true, ctx)
+    case FnCall("timestamp", arg) => timestampVec(arg, ctx)
     case FnCall(fn, sq: Subquery) => subqueryFn(fn, sq, ctx)
     case _: Subquery =>
       throw new IllegalArgumentException("subquery [d:step] must be consumed by a range function")
     case FnCall(fn, arg) => rangeFn(fn, arg, ctx)
     case MathCall("predict_linear", arg, ps) => predictLinear(arg, ps.head, ctx)
+    case MathCall("quantile_over_time", arg, ps) => quantileOverTime(ps.head, arg, ctx)
     case mc: MathCall => mathFn(mc, ctx)
     case lc: LabelCall => labelFn(lc, ctx)
     case h: HistExpr => histQuantile(h.phi, h.arg, ctx)
@@ -642,15 +670,23 @@ object Promql {
     * driver-side count. */
   private def absentVec(arg: Expr, ctx: Ctx): Vec = {
     val sel = arg match {
-      case s: VectorSel if s.range.isEmpty => s
-      case _ => throw new IllegalArgumentException("absent() expects an instant selector")
+      case s: VectorSel => s
+      case _ => throw new IllegalArgumentException("absent() expects a selector")
     }
     if (ctx.grid.isDefined) throw new IllegalArgumentException(
       "absent() is unsupported in stepped mode")
     val spark = ctx.chunks.sparkSession
     val eqs = sel.matchers.collect { case Labels.Eq(l, v) => (l, v) }
     val labels = ctx.labelCols.filter(l => eqs.exists(_._1 == l))
-    val matched = instantVector(sel, ctx).df
+    // absent_over_time probes the [d] window; absent() the lookback
+    val (pFrom, pTo) = sel.range match {
+      case Some(_) => window(sel, ctx)
+      case None =>
+        val to = sel.at.getOrElse(ctx.evalTs) - sel.offset
+        (to - ctx.lookbackSec + 1, to)
+    }
+    val matched = Labels.selectRange(ctx.chunks, ctx.labelCols,
+        matcherString(sel.matchers), pFrom, pTo)
       .select(lit(1).as("__k")).distinct()
     var one = spark.range(1).select(lit(1).as("__k"))
     eqs.filter(e => labels.contains(e._1))
@@ -659,6 +695,54 @@ object Promql {
       .withColumn("value", lit(1L))
       .select((labels :+ "value").map(col): _*)
     Vec(df, labels, Count)
+  }
+
+  /** PromQL sort()/sort_desc(): order an instant vector by value
+    * (label tiebreak for determinism). Ordering is a presentation
+    * property — the representation and labels are untouched, so the
+    * sort composes under later pointwise ops. */
+  private def sortVec(arg: Expr, desc: Boolean, ctx: Ctx): Vec = {
+    val v = evalExpr(arg, ctx)
+    val first = if (desc) col("value").desc else col("value").asc
+    Vec(v.df.orderBy(first +: v.labels.map(col): _*), v.labels, v.kind)
+  }
+
+  /** PromQL timestamp(): the last sample's timestamp (unix seconds) per
+    * series in the lookback window — exact integers end-to-end. */
+  private def timestampVec(arg: Expr, ctx: Ctx): Vec = {
+    val sel = arg match {
+      case s: VectorSel if s.range.isEmpty => s
+      case _ => throw new IllegalArgumentException("timestamp() expects an instant selector")
+    }
+    if (ctx.grid.isDefined) throw new IllegalArgumentException(
+      "timestamp() is unsupported in stepped mode")
+    val to = sel.at.getOrElse(ctx.evalTs) - sel.offset
+    val from = to - ctx.lookbackSec + 1
+    val L = ctx.labelCols
+    val df = Labels.selectRange(ctx.chunks, L, matcherString(sel.matchers), from, to)
+      .groupBy(L.map(col): _*)
+      .agg(max(col("ts")).as("value"))
+    Vec(df, L, Count)
+  }
+
+  /** `quantile_over_time(φ, sel[d])`: the φ-quantile of a series'
+    * samples in the window — exact interpolation on the integer cent
+    * grid (Spark's exact `percentile`, DuckDB's `quantile_cont`: the
+    * same (1−f)·a + f·b rule), one division by 100 at output. */
+  private def quantileOverTime(phi: Double, arg: Expr, ctx: Ctx): Vec = {
+    if (ctx.grid.isDefined) throw new IllegalArgumentException(
+      "quantile_over_time is unsupported in stepped mode")
+    val sel = arg match {
+      case s: VectorSel => s
+      case _ => throw new IllegalArgumentException(
+        "quantile_over_time expects a range selector argument")
+    }
+    val (from, to) = window(sel, ctx)
+    val L = ctx.labelCols
+    val df = decoded(sel, from, to, ctx)
+      .groupBy(L.map(col): _*)
+      .agg((expr(s"percentile(cents, $phi)") / lit(100.0)).as("value"))
+    Vec(df, L, Dbl)
   }
 
   /** Pointwise math. Exact kinds stay exact where the operation lands
@@ -711,6 +795,17 @@ object Promql {
           val d = v.toDouble
           Vec(d.withColumn("value", op(col("value"), lit(s))), v.labels, Dbl)
         }
+      case "sqrt" => // IEEE sqrt is correctly rounded: one exact float op
+        needParams(0)
+        val d = v.toDouble
+        Vec(d.withColumn("value", sqrt(col("value"))), v.labels, Dbl)
+      case "sgn" => // sign on the exact grid stays exact (−1/0/1)
+        needParams(0)
+        v.kind match {
+          case Exact(_) => Vec(v.df.withColumn("value",
+            signum(col("value")).cast("long")), v.labels, Count)
+          case Dbl => Vec(v.df.withColumn("value", signum(col("value"))), v.labels, Dbl)
+        }
       case other => throw new IllegalArgumentException(s"unknown function '$other'")
     }
   }
@@ -725,7 +820,7 @@ object Promql {
     if (ctx.grid.isDefined)
       throw new IllegalArgumentException(
         "bare instant selector in a range query: wrap it in an _over_time window")
-    val to = ctx.evalTs - sel.offset
+    val to = sel.at.getOrElse(ctx.evalTs) - sel.offset
     val from = to - ctx.lookbackSec + 1
     val pts = Labels.selectRange(ctx.chunks, ctx.labelCols,
       matcherString(sel.matchers), from, to)
@@ -752,6 +847,8 @@ object Promql {
       case _ => throw new IllegalArgumentException(s"$fn expects a range selector argument")
     }
     if (ctx.grid.isDefined) {
+      if (sel.at.isDefined) throw new IllegalArgumentException(
+        "@ pins a selector to one instant and is unsupported in stepped mode")
       if (Set("rate", "increase", "changes", "resets")(fn))
         return steppedPairs(fn, sel, ctx)
       if (fn == "delta" || fn == "last_over_time")
@@ -822,6 +919,27 @@ object Promql {
         // discipline): BIGINT numerator/denominator, one division
         out(col("__num").cast("double") / (lit(100.0) * col("__den")), Dbl,
           regressionSums(sel, ctx)._1)
+      case "irate" | "idelta" =>
+        // last TWO samples per series: rank window (ts, cents) desc —
+        // two rows survive per series, one struct min/max recovers them
+        val pts = decoded(sel, from, to, ctx)
+        val w = Window.partitionBy(L.map(col): _*)
+          .orderBy(col("ts").desc, col("cents").desc)
+        val two = pts.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") <= 2)
+          .groupBy(L.map(col): _*)
+          .agg(max(struct(col("ts"), col("cents"))).as("__l"),
+            min(struct(col("ts"), col("cents"))).as("__p"),
+            count(lit(1)).as("__n"))
+          .filter(col("__n") === 2 && col("__l.ts") =!= col("__p.ts"))
+        fn match {
+          case "idelta" => out(col("__l.cents") - col("__p.cents"), Cents, two)
+          case _ => // irate: counter reset (last < prev) → increase = last
+            val incr = when(col("__l.cents") >= col("__p.cents"),
+              col("__l.cents") - col("__p.cents")).otherwise(col("__l.cents"))
+            out(incr.cast("double") /
+              ((col("__l.ts") - col("__p.ts")) * lit(100.0)).cast("double"), Dbl, two)
+        }
       case other => throw new IllegalArgumentException(s"unknown function '$other'")
     }
   }
@@ -1132,6 +1250,21 @@ object Promql {
           case Exact(d) => Vec(grouped.agg((sum("value").cast("double") /
             (count(lit(1)) * lit(d))).as("value")), out, Dbl)
         }
+      case "stddev" | "stdvar" =>
+        v.kind match {
+          case Dbl => throw new IllegalArgumentException(
+            s"${agg.op} over a float vector is order-dependent; aggregate before the float op")
+          case Exact(d) =>
+            // exact BIGINT second moments across series: n·ΣV² − (ΣV)²
+            val num = (count(lit(1)) * sum(col("value") * col("value")) -
+              sum("value") * sum("value")).cast("double")
+            val den = (count(lit(1)) * count(lit(1))).cast("double") * lit(d * d)
+            val variance = num / den
+            Vec(grouped.agg((if (agg.op == "stddev") sqrt(variance)
+              else variance).as("value")), out, Dbl)
+        }
+      case "group" => // PromQL group(): 1 for every group that exists
+        Vec(grouped.agg(max(lit(1L)).as("value")), out, Count)
       case "quantile" =>
         val phi = agg.param.getOrElse(0.5)
         // interpolation runs on the exact integer grid; the kind's

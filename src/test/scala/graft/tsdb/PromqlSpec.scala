@@ -450,6 +450,134 @@ class PromqlSpec extends AnyFunSuite {
       "sum(sum_over_time(click[4h]))", 1704844801L, EvalTs, 7200L))
   }
 
+  test("parser: @ modifier, quantile_over_time leading scalar, sort/timestamp") {
+    assert(parse("""{a="x"}[2d] @ 1705017600""") ==
+      VectorSel(Seq(Labels.Eq("a", "x")), Some(172800L), 0L, Some(1705017600L)))
+    assert(parse("quantile_over_time(0.9, click[1d])") ==
+      MathCall("quantile_over_time",
+        VectorSel(Seq(Labels.Eq("type", "click")), Some(86400L), 0L), Seq(0.9)))
+    assert(parse("sort_desc(click)") ==
+      FnCall("sort_desc", VectorSel(Seq(Labels.Eq("type", "click")), None, 0L)))
+    assert(parse("timestamp(click)") ==
+      FnCall("timestamp", VectorSel(Seq(Labels.Eq("type", "click")), None, 0L)))
+    intercept[IllegalArgumentException](parse("""{a="x"} @ 1.5"""))
+  }
+
+  test("@ modifier: sel[d] @ T == the same window via offset") {
+    val off = 86400L
+    val atQ = Promql.eval(chunks, labelCols,
+      s"sum by (region) (sum_over_time(click[1d] @ ${EvalTs - off}))", EvalTs)
+    val offQ = Promql.eval(chunks, labelCols,
+      "sum by (region) (sum_over_time(click[1d] offset 1d))", EvalTs)
+    assert(atQ.orderBy("region").collect().toSeq ==
+      offQ.orderBy("region").collect().toSeq)
+    // @ holds under a DIFFERENT evaluation instant; offset moves
+    val atQ2 = Promql.eval(chunks, labelCols,
+      s"sum by (region) (sum_over_time(click[1d] @ ${EvalTs - off}))", EvalTs + 9999)
+    assert(atQ2.orderBy("region").collect().toSeq ==
+      atQ.orderBy("region").collect().toSeq)
+  }
+
+  test("irate/idelta == hand last-two-samples per series") {
+    import org.apache.spark.sql.expressions.Window
+    val from = EvalTs - 172800L + 1
+    val pts = Labels.selectRange(chunks, labelCols, """{type="click"}""", from, EvalTs)
+      .withColumn("cents", round(col("v") * 100).cast("long"))
+    val w = Window.partitionBy(labelCols.map(col): _*)
+      .orderBy(col("ts").desc, col("cents").desc)
+    val two = pts.withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+      .groupBy(labelCols.map(col): _*)
+      .agg(max(struct(col("ts"), col("cents"))).as("l"),
+        min(struct(col("ts"), col("cents"))).as("p"), count(lit(1)).as("n"))
+      .filter(col("n") === 2 && col("l.ts") =!= col("p.ts"))
+    val wantIrate = two.select(col("host"), col("region"),
+      (when(col("l.cents") >= col("p.cents"), col("l.cents") - col("p.cents"))
+        .otherwise(col("l.cents")).cast("double") /
+        ((col("l.ts") - col("p.ts")) * lit(100.0))).as("v"))
+      .orderBy("host", "region").collect().toSeq
+    val gotIrate = Promql.eval(chunks, labelCols, "irate(click[2d])", EvalTs)
+      .select("host", "region", "value").orderBy("host", "region").collect().toSeq
+    assert(gotIrate == wantIrate)
+    val wantIdelta = two.select(col("host"), col("region"),
+      ((col("l.cents") - col("p.cents")).cast("double") / 100.0).as("v"))
+      .orderBy("host", "region").collect().toSeq
+    val gotIdelta = Promql.eval(chunks, labelCols, "idelta(click[2d])", EvalTs)
+      .select("host", "region", "value").orderBy("host", "region").collect().toSeq
+    assert(gotIdelta == wantIdelta)
+  }
+
+  test("quantile_over_time == exact percentile on the cent grid") {
+    val from = EvalTs - 86400L + 1
+    val want = Labels.selectRange(chunks, labelCols, """{type="view"}""", from, EvalTs)
+      .withColumn("cents", round(col("v") * 100).cast("long"))
+      .groupBy("host", "region")
+      .agg((expr("percentile(cents, 0.5)") / lit(100.0)).as("v"))
+      .orderBy("host", "region").collect().toSeq
+    val got = Promql.eval(chunks, labelCols,
+      "quantile_over_time(0.5, view[1d])", EvalTs)
+      .select("host", "region", "value").orderBy("host", "region").collect().toSeq
+    assert(got == want)
+  }
+
+  test("stddev/stdvar/group aggregators; sgn and sqrt pointwise") {
+    val base = "sum by (host, region) (sum_over_time(click[2d]))"
+    val sums = Promql.eval(chunks, labelCols, base, EvalTs)
+    val moments = sums.withColumn("c", (col("value") * 100).cast("long"))
+      .groupBy("region").agg(count(lit(1)).as("n"),
+        sum("c").as("s"), sum(col("c") * col("c")).as("q"))
+    val wantVar = moments.select(col("region"),
+      ((col("n") * col("q") - col("s") * col("s")).cast("double") /
+        ((col("n") * col("n")).cast("double") * lit(10000.0))).as("v"))
+      .orderBy("region").collect().toSeq
+    val gotVar = Promql.eval(chunks, labelCols, s"stdvar by (region) ($base)", EvalTs)
+      .orderBy("region").collect().toSeq
+    assert(gotVar == wantVar)
+    val gotDev = Promql.eval(chunks, labelCols, s"stddev by (region) ($base)", EvalTs)
+      .orderBy("region").collect().toSeq
+    assert(gotDev.map(_.getDouble(1)) == wantVar.map(r => math.sqrt(r.getDouble(1))))
+    val gotGroup = Promql.eval(chunks, labelCols, s"group by (region) ($base)", EvalTs)
+      .orderBy("region").collect().toSeq
+    assert(gotGroup.forall(_.getDouble(1) == 1.0) && gotGroup.size == 4)
+    // sgn on the exact grid: -1/0/1 against the cent threshold
+    val sgn = Promql.eval(chunks, labelCols, s"sgn($base - 100)", EvalTs)
+      .collect()
+    val ref = sums.collect().map(r => (r.getString(0), r.getString(1)) ->
+      math.signum(r.getDouble(2) - 100.0)).toMap
+    assert(sgn.forall(r => r.getDouble(2) == ref((r.getString(0), r.getString(1)))))
+    val sq = Promql.eval(chunks, labelCols, s"sqrt($base)", EvalTs).collect()
+    val refSq = sums.collect().map(r => (r.getString(0), r.getString(1)) ->
+      math.sqrt(r.getDouble(2))).toMap
+    assert(sq.forall(r => r.getDouble(2) == refSq((r.getString(0), r.getString(1)))))
+  }
+
+  test("sort/sort_desc order by value; timestamp() == last sample ts") {
+    val vals = Promql.eval(chunks, labelCols,
+      "sort_desc(sum by (host) (sum_over_time(click[2d])))", EvalTs)
+      .collect().map(_.getDouble(1)).toSeq
+    assert(vals == vals.sorted.reverse && vals.nonEmpty)
+    val asc = Promql.eval(chunks, labelCols,
+      "sort(sum by (host) (sum_over_time(click[2d])))", EvalTs)
+      .collect().map(_.getDouble(1)).toSeq
+    assert(asc == vals.sorted)
+    val from = EvalTs - 86400L + 1
+    val want = Labels.selectRange(chunks, labelCols, """{type="view"}""", from, EvalTs)
+      .groupBy(labelCols.map(col): _*).agg(max("ts").cast("double").as("v"))
+      .orderBy("host", "region").collect().toSeq
+    val got = Promql.eval(chunks, labelCols, """timestamp({type="view"})""",
+      EvalTs, lookbackSec = 86400L)
+      .orderBy("host", "region").collect().toSeq
+    assert(got == want)
+  }
+
+  test("absent_over_time flips on window matches") {
+    val hit = Promql.eval(chunks, labelCols,
+      """absent_over_time({type="click", host="h999"}[2d])""", EvalTs).collect()
+    assert(hit.length == 1 && hit.head.getDouble(2) == 1.0)
+    val miss = Promql.eval(chunks, labelCols,
+      """absent_over_time({type="click"}[2d])""", EvalTs).collect()
+    assert(miss.isEmpty)
+  }
+
   // ===== scale pins =====
 
   test("selector through the string front-end still pushes to the chunk scan") {
