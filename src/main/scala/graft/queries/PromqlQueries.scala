@@ -312,7 +312,24 @@ object PromqlQueries {
     // BIGINT cents — never a float
     "promql_sgn" -> ((s, dir) =>
       q(s, dir, "sgn(sum by (host) (sum_over_time(purchase[2d])) - 60)")
-        .orderBy("host")))
+        .orderBy("host")),
+    // RECORDING rule: `region:click:sum6h` materialized as Gorilla
+    // chunks (graft.tsdb.Rules) — the derived store is a first-class
+    // substrate: the rule name selects at the chunk-metadata scan and
+    // max_over_time answers from its header stats with ZERO decode
+    "promql_recording" -> ((s, dir) =>
+      Promql.eval(TsQueries.recordedStoreChunks(s, dir), labelCols,
+          "max_over_time(region:click:sum6h[2d])", EvalTs)
+        .orderBy("region")),
+    // ALERTING rule with `for`: the condition is a stepped PromQL
+    // filter; 4h continuity (3 consecutive 2-h evaluations) judged by
+    // ONE range window per series — pending vs firing, no driver loop
+    "promql_alert" -> ((s, dir) =>
+      graft.tsdb.Rules.alert(chunks(s, dir, RangeStart - StepWin), labelCols,
+        graft.tsdb.Rules.Alert("HighClickVolume",
+          "sum by (region) (sum_over_time(click[6h])) > 100", 14400L,
+          RangeStart, EvalTs, 7200L))
+        .orderBy("region", "ts")))
 
   def oracleSql: Map[String, String] = Map(
     "promql_instant" ->
@@ -787,5 +804,33 @@ object PromqlQueries {
         |  SELECT host, CAST(sum(cents) AS BIGINT) AS sc FROM lbl
         |  WHERE ts >= $From AND ts <= $EvalTs AND type = 'purchase'
         |  GROUP BY host)
-        |ORDER BY host""".stripMargin)
+        |ORDER BY host""".stripMargin,
+    // the recorded series re-derived from raw events: per-step 6-h
+    // region sums on the 2-h grid, then the outer max over the steps
+    // inside the [2d] window (t > RangeStart ⇒ i ≥ 1)
+    "promql_recording" ->
+      s"""$lblCte,
+        |steps AS (SELECT ($RangeStart + i * 7200) AS t
+        |  FROM generate_series(1, 24) s(i)),
+        |sums AS (SELECT region, t, CAST(sum(cents) AS BIGINT) AS sc
+        |  FROM lbl JOIN steps ON lbl.ts >= t - $StepWin AND lbl.ts <= t - 1
+        |  WHERE type = 'click' GROUP BY region, t)
+        |SELECT 'region:click:sum6h' AS type, '' AS host, region,
+        |  CAST(max(sc) AS DOUBLE) / 100.0 AS value
+        |FROM sums GROUP BY region ORDER BY region""".stripMargin,
+    "promql_alert" ->
+      s"""$lblCte,
+        |steps AS (SELECT ($RangeStart + i * 7200) AS t
+        |  FROM generate_series(0, 24) s(i)),
+        |sums AS (SELECT region, t, CAST(sum(cents) AS BIGINT) AS sc
+        |  FROM lbl JOIN steps ON lbl.ts >= t - $StepWin AND lbl.ts <= t - 1
+        |  WHERE type = 'click' GROUP BY region, t),
+        |cond AS (SELECT region, t, CAST(sc AS DOUBLE) / 100.0 AS value
+        |  FROM sums WHERE sc > 10000),
+        |st AS (SELECT region, t, value, count(*) OVER (
+        |    PARTITION BY region ORDER BY t
+        |    RANGE BETWEEN 14400 PRECEDING AND CURRENT ROW) AS n FROM cond)
+        |SELECT region, t AS ts, value,
+        |  CASE WHEN n >= 3 THEN 'firing' ELSE 'pending' END AS state
+        |FROM st ORDER BY region, ts""".stripMargin)
 }

@@ -94,6 +94,26 @@ object TsQueries {
   val HistGridTo = 1706659200L // 2024-01-31T00:00Z
   val HistGridStep = 7200L
 
+  /** Derived (recording-rule) chunk store: the canonical panel rule
+    * `region:click:sum6h = sum by (region)(sum_over_time(click[6h]))`
+    * evaluated on the 2-h query_range grid over [RangeFrom, RangeTo]
+    * and materialized back into Gorilla chunks ([[graft.tsdb.Rules]]),
+    * ingest-once like the raw stores. Derived series are first-class:
+    * selectors prune on the rule name at the chunk-metadata scan and
+    * `_over_time` functions answer from header stats with zero decode. */
+  def recordedStoreChunks(s: SparkSession, dir: String): DataFrame = synchronized {
+    graft.functions.registerAll(s)
+    val path = storePath(dir) + "_rec"
+    if (!new java.io.File(path, "_SUCCESS").exists()) {
+      val rule = graft.tsdb.Rules.Recording("region:click:sum6h",
+        "sum by (region) (sum_over_time(click[6h]))",
+        RangeFrom, RangeTo, 7200L)
+      Ts.writeStore(graft.tsdb.Rules.materialize(
+        labeledStoreChunks(s, dir), labelCols, Seq(rule)), path)
+    }
+    Ts.readStore(s, path, Long.MinValue, Long.MaxValue)
+  }
+
   /** The histogram-bucket chunk store, ingest-once like
     * [[labeledStoreChunks]]. Build: per-event bucket fanout (≤ 6
     * broadcast rows), per-(series, instant) new-observation counts,
