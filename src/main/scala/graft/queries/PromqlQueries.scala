@@ -313,6 +313,21 @@ object PromqlQueries {
     "promql_sgn" -> ((s, dir) =>
       q(s, dir, "sgn(sum by (host) (sum_over_time(purchase[2d])) - 60)")
         .orderBy("host")),
+    // bool modifier: comparisons EMIT 0/1 instead of filtering, and
+    // the 0/1 grid is exact — `sum(... > bool t)` counts hosts above
+    // threshold per region without a float anywhere
+    "promql_bool" -> ((s, dir) =>
+      q(s, dir, "sum by (region) (sum by (host, region) " +
+          "(sum_over_time(click[2d])) > bool 200)")
+        .orderBy("region")),
+    // stepped deriv — the trend panel: per-(series, bucket) exact
+    // regression partials off ONE decode, exploded onto windows
+    // (slope is shift-invariant in t exactly, so partials compose);
+    // one division per (series, step)
+    "promql_range_deriv" -> ((s, dir) =>
+      Promql.evalRange(chunks(s, dir, RangeStart - Day), labelCols,
+          "deriv(view[1d])", RangeStart, EvalTs, 7200L)
+        .orderBy("host", "region", "ts")),
     // RECORDING rule: `region:click:sum6h` materialized as Gorilla
     // chunks (graft.tsdb.Rules) — the derived store is a first-class
     // substrate: the rule name selects at the chunk-metadata scan and
@@ -805,6 +820,35 @@ object PromqlQueries {
         |  WHERE ts >= $From AND ts <= $EvalTs AND type = 'purchase'
         |  GROUP BY host)
         |ORDER BY host""".stripMargin,
+    "promql_bool" ->
+      s"""$lblCte,
+        |h AS (SELECT host, region, CAST(sum(cents) AS BIGINT) AS sc FROM lbl
+        |  WHERE ts >= $From AND ts <= $EvalTs AND type = 'click' GROUP BY 1, 2)
+        |SELECT region, CAST(CAST(sum(CASE WHEN sc > 20000 THEN 1 ELSE 0 END)
+        |  AS BIGINT) AS DOUBLE) AS value
+        |FROM h GROUP BY region ORDER BY region""".stripMargin,
+    // stepped regression: the same exact integer sums as promql_deriv,
+    // per (series, step window); slope shift-invariance makes the base
+    // choice irrelevant — any t origin gives identical BIGINT num/den
+    "promql_range_deriv" ->
+      s"""$lblCte,
+        |steps AS (SELECT ($RangeStart + i * 7200) AS t
+        |  FROM generate_series(0, 24) s(i)),
+        |c AS (SELECT type, host, region, t, ts - ${RangeStart - Day} AS tt, cents
+        |  FROM lbl JOIN steps ON lbl.ts >= t - $Day AND lbl.ts <= t - 1
+        |  WHERE type = 'view'),
+        |g AS (SELECT type, host, region, t, count(*) AS n,
+        |    CAST(sum(tt) AS BIGINT) AS st, CAST(sum(cents) AS BIGINT) AS sv,
+        |    CAST(sum(tt * cents) AS BIGINT) AS stv,
+        |    CAST(sum(tt * tt) AS BIGINT) AS stt
+        |  FROM c GROUP BY 1, 2, 3, 4),
+        |d AS (SELECT type, host, region, t,
+        |    CAST(n * stv - st * sv AS BIGINT) AS num,
+        |    CAST(n * stt - st * st AS BIGINT) AS den
+        |  FROM g WHERE n >= 2)
+        |SELECT type, host, region, t AS ts,
+        |  CAST(num AS DOUBLE) / (100.0 * den) AS value
+        |FROM d WHERE den <> 0 ORDER BY host, region, ts""".stripMargin,
     // the recorded series re-derived from raw events: per-step 6-h
     // region sums on the 2-h grid, then the outer max over the steps
     // inside the [2d] window (t > RangeStart ⇒ i ≥ 1)

@@ -215,6 +215,25 @@ object ScaleBench {
           labelCols,
           """max_over_time(sum by (region) (rate({type="click"}[1d]))[2d:6h])""", to))
       }
+      // round-11 additions: the RULES layer at volume — a recording
+      // rule costs ONE stepped fold (output structurally capped at
+      // series x steps at ANY corpus size) + a tiny chunkify; alert
+      // state assembly is one range window over the stepped filter
+      timed(s"${tag}_promql_record", nEv, "recording rule: stepped fold -> derived Gorilla chunks") {
+        val recPath = s"$work/$tag/store_rec"
+        Ts.writeStore(graft.tsdb.Rules.materialize(
+          Ts.readStore(spark, lblPath, from - 21600, to), labelCols,
+          Seq(graft.tsdb.Rules.Recording("region:click:sum6h",
+            """sum by (region) (sum_over_time({type="click"}[6h]))""",
+            from, to, 7200L))), recPath)
+        spark.read.parquet(recPath).count()
+      }
+      timed(s"${tag}_promql_alert", nEv, "alert rule: stepped filter + for-window states") {
+        noop(graft.tsdb.Rules.alert(Ts.readStore(spark, lblPath, from - 21600, to),
+          labelCols, graft.tsdb.Rules.Alert("HighClickVolume",
+            """sum by (region) (sum_over_time({type="click"}[6h])) > 100""",
+            14400L, from, to, 7200L)))
+      }
       timed(s"${tag}_hist_ingest", nEv, "bucket-fanout cumulative counters -> chunk store") {
         graft.queries.TsQueries.histStoreChunks(spark, dir).count()
       }

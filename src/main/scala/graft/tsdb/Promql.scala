@@ -58,9 +58,10 @@ object Promql {
   /** `sum by (region)(e)`, `topk(3, e)`, `quantile by (g)(0.9, e)`. */
   final case class AggExpr(op: String, param: Option[Double], grouping: Grouping,
                            arg: Expr) extends Expr
-  /** `lhs / on(host) group_left rhs`, `a unless on(host) b`, `e > 10`. */
+  /** `lhs / on(host) group_left rhs`, `a unless on(host) b`, `e > 10`;
+    * `boolMod` = the `bool` comparison modifier (emit 0/1, don't filter). */
   final case class BinExpr(op: String, lhs: Expr, rhs: Expr,
-                           matching: Matching) extends Expr
+                           matching: Matching, boolMod: Boolean = false) extends Expr
   /** PromQL subquery `expr[range:step]` — the inner expression
     * re-evaluated at every step of an inner grid, consumed by an
     * `_over_time` / counter function like a range vector. */
@@ -217,8 +218,9 @@ object Promql {
       var l = parseAdd()
       while (peek match { case TOp(o) => cmpOps(o); case _ => false }) {
         val TOp(op) = next(): @unchecked
-        if (peek == TIdent("bool")) err("'bool' modifier unsupported (filter semantics only)")
-        val m = parseMatching(); l = BinExpr(op, l, parseAdd(), m)
+        val boolMod = peek == TIdent("bool")
+        if (boolMod) next()
+        val m = parseMatching(); l = BinExpr(op, l, parseAdd(), m, boolMod)
       }
       l
     }
@@ -853,9 +855,11 @@ object Promql {
         return steppedPairs(fn, sel, ctx)
       if (fn == "delta" || fn == "last_over_time")
         return steppedStruct(fn, sel, ctx)
+      if (fn == "deriv")
+        return steppedDeriv(sel, ctx)
       if (!SteppedFns(fn)) throw new IllegalArgumentException(
         s"$fn needs per-step sample windows; stepped mode supports " +
-          s"rate, increase, changes, resets, delta, last_over_time, " +
+          s"rate, increase, changes, resets, delta, last_over_time, deriv, " +
           SteppedFns.mkString(", "))
       return steppedOverTime(fn, sel, ctx)
     }
@@ -1132,6 +1136,52 @@ object Promql {
     Vec(perStep, L :+ "ts", Cents)
   }
 
+  /** Stepped deriv: per-(series, bucket) exact regression partials
+    * (n, Σt, Σv, Σtv, Σt² on the integer grid) off ONE decode,
+    * exploded onto the covering windows and summed — VALID because the
+    * least-squares slope is shift-invariant in t EXACTLY in integer
+    * arithmetic (n·Σtv − Σt·Σv and n·Σt² − (Σt)² both cancel any
+    * common t offset), so partials with one global origin compose for
+    * every window. One division per (series, step) at output. */
+  private def steppedDeriv(sel: VectorSel, ctx: Ctx): Vec = {
+    val (start0, step) = ctx.grid.get
+    val d = sel.range.getOrElse(
+      throw new IllegalArgumentException("deriv needs sel[duration]"))
+    require(d % step == 0 && d >= step,
+      s"window ${d}s must be a positive multiple of the ${step}s step grid")
+    val start = start0 - sel.offset
+    require(start % step == 0, "offset must preserve step alignment")
+    val end = ctx.evalTs - sel.offset
+    val k = d / step
+    val nSteps = (end - start) / step + 1
+    val tLast = start + (nSteps - 1) * step
+    val L = ctx.labelCols
+    val j0 = start / step
+    val base = start - d // one global t origin; slope is shift-invariant
+    val perBucket = decoded(sel, start - d, tLast - 1, ctx)
+      .withColumn("__t", col("ts") - lit(base))
+      .withColumn("__j", expr(s"(ts div ${step}L) - ${j0}L"))
+      .groupBy(L.map(col) :+ col("__j"): _*)
+      .agg(count(lit(1)).as("__n"), sum("__t").as("__st"),
+        sum("cents").as("__sv"), sum(col("__t") * col("cents")).as("__stv"),
+        sum(col("__t") * col("__t")).as("__stt"))
+    val perStep = perBucket
+      .withColumn("__i", explode(sequence(
+        greatest(col("__j") + lit(1L), lit(0L)),
+        least(col("__j") + lit(k), lit(nSteps - 1)))))
+      .groupBy(L.map(col) :+ col("__i"): _*)
+      .agg(sum("__n").as("__n"), sum("__st").as("__st"), sum("__sv").as("__sv"),
+        sum("__stv").as("__stv"), sum("__stt").as("__stt"))
+      .filter(col("__n") >= 2)
+      .withColumn("__num", col("__n") * col("__stv") - col("__st") * col("__sv"))
+      .withColumn("__den", col("__n") * col("__stt") - col("__st") * col("__st"))
+      .filter(col("__den") =!= 0)
+      .withColumn("value", col("__num").cast("double") / (lit(100.0) * col("__den")))
+      .withColumn("ts", lit(start0) + col("__i") * lit(step))
+      .select((L :+ "ts" :+ "value").map(col): _*)
+    Vec(perStep, L :+ "ts", Dbl)
+  }
+
   /** Range function over a subquery `fn(expr[d:step])`: the inner
     * expression is re-evaluated on the inner step grid — the SAME
     * stepped machinery `evalRange` uses (compressed-domain bucket
@@ -1308,8 +1358,10 @@ object Promql {
   private def binary(bin: BinExpr, ctx: Ctx): Vec = (bin.lhs, bin.rhs) match {
     case (NumLit(a), NumLit(b)) =>
       throw new IllegalArgumentException(s"scalar-only expression ${a} ${bin.op} ${b}")
-    case (l, NumLit(s)) => scalarOp(evalExpr(l, ctx), bin.op, s, scalarLeft = false)
-    case (NumLit(s), r) => scalarOp(evalExpr(r, ctx), bin.op, s, scalarLeft = true)
+    case (l, NumLit(s)) =>
+      scalarOp(evalExpr(l, ctx), bin.op, s, scalarLeft = false, bin.boolMod)
+    case (NumLit(s), r) =>
+      scalarOp(evalExpr(r, ctx), bin.op, s, scalarLeft = true, bin.boolMod)
     case (l, r) =>
       val lv = evalExpr(l, ctx)
       val rv = evalExpr(r, ctx)
@@ -1369,10 +1421,14 @@ object Promql {
             val cond =
               if (sameExact(lv.kind, rv.kind)) cmp(bin.op, col("__lv"), col("__rv"))
               else cmp(bin.op, lval, rval)
-            // comparisons FILTER the left vector: its full label set survives
-            Vec(joined.filter(cond)
-              .select(lkeepLabels.map(col) :+ col("__lv").as("value"): _*),
-              lkeepLabels, lv.kind)
+            if (bin.boolMod) // `bool`: emit 0/1 per matched pair, no filter
+              Vec(joined.select(lkeepLabels.map(col) :+
+                when(cond, 1L).otherwise(0L).as("value"): _*), lkeepLabels, Count)
+            else
+              // comparisons FILTER the left vector: its full label set survives
+              Vec(joined.filter(cond)
+                .select(lkeepLabels.map(col) :+ col("__lv").as("value"): _*),
+                lkeepLabels, lv.kind)
           } else {
             val (value, kind) = op match {
               case "+" if sameExact(lv.kind, rv.kind) => (col("__lv") + col("__rv"), lv.kind)
@@ -1410,7 +1466,8 @@ object Promql {
     * stays exact when the scalar lands on the vector's integer grid;
     * comparisons against an exact vector compare on the exact grid
     * when the threshold does. */
-  private def scalarOp(v: Vec, op: String, s: Double, scalarLeft: Boolean): Vec = {
+  private def scalarOp(v: Vec, op: String, s: Double, scalarLeft: Boolean,
+                       boolMod: Boolean = false): Vec = {
     val scaled = v.kind match { case Exact(d) => s * d; case Dbl => Double.NaN }
     val onGrid = v.kind != Dbl && scaled.isWhole && math.abs(scaled) < 9e15
     if (cmpOps(op)) {
@@ -1422,7 +1479,9 @@ object Promql {
           val dv = asDouble(col("value"), v.kind)
           if (scalarLeft) cmp(op, lit(s), dv) else cmp(op, dv, lit(s))
         }
-      Vec(v.df.filter(c), v.labels, v.kind)
+      if (boolMod) // `bool`: 0/1 per sample, exact Count grid
+        Vec(v.df.withColumn("value", when(c, 1L).otherwise(0L)), v.labels, Count)
+      else Vec(v.df.filter(c), v.labels, v.kind)
     } else (op, onGrid) match {
       case ("+", true) =>
         Vec(v.df.withColumn("value", col("value") + lit(scaled.toLong)), v.labels, v.kind)

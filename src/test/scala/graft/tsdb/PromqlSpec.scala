@@ -72,7 +72,10 @@ class PromqlSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](parse("""{a=x}"""))         // unquoted value
     intercept[IllegalArgumentException](parse("rate(x[2d]) extra")) // trailing
     intercept[IllegalArgumentException](parse("topk(x)"))           // missing k
-    intercept[IllegalArgumentException](parse("x > bool 10"))       // unsupported bool
+    // `bool` is now supported: it parses into the boolMod flag
+    assert(parse("x > bool 10") == BinExpr(">",
+      VectorSel(Seq(Labels.Eq("type", "x")), None, 0L), NumLit(10),
+      DefaultMatching, boolMod = true))
   }
 
   test("parser: subquery [range:step] on selectors, functions, aggregates") {
@@ -567,6 +570,60 @@ class PromqlSpec extends AnyFunSuite {
       EvalTs, lookbackSec = 86400L)
       .orderBy("host", "region").collect().toSeq
     assert(got == want)
+  }
+
+  test("bool modifier emits 0/1 on the exact grid instead of filtering") {
+    val base = "sum by (host, region) (sum_over_time(click[2d]))"
+    val all = Promql.eval(chunks, labelCols, base, EvalTs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val b = Promql.eval(chunks, labelCols, s"$base > bool 50", EvalTs).collect()
+    assert(b.length == all.size) // no filtering
+    b.foreach { r =>
+      val v = all((r.getString(0), r.getString(1)))
+      assert(r.getDouble(2) == (if (v > 50.0) 1.0 else 0.0))
+    }
+    // sum of bools == count of hosts above threshold (exact Count kind)
+    val cnt = Promql.eval(chunks, labelCols,
+      s"sum by (region) ($base > bool 50)", EvalTs).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val want = all.toSeq.groupBy(_._1._2)
+      .map { case (rg, xs) => rg -> xs.count(_._2 > 50.0).toDouble }
+    assert(cnt == want)
+  }
+
+  test("stepped deriv == per-window hand least-squares") {
+    import org.apache.spark.sql.expressions.Window
+    val start = 1704844800L
+    val day = 86400L
+    val got = Promql.evalRange(chunks, labelCols, "deriv(view[1d])",
+        start, EvalTs, 7200L)
+      .orderBy("host", "region", "ts").collect().toSeq
+    val pts = Labels.selectRange(chunks, labelCols, """{type="view"}""",
+        start - day, EvalTs - 1)
+      .withColumn("cents", round(col("v") * 100).cast("long"))
+      .select("type", "host", "region", "ts", "cents").collect()
+    val steps = (0 to 24).map(i => start + i * 7200L)
+    val want = (for {
+      t <- steps
+      ((ty, h, rg), xs) <- pts.filter(r => r.getLong(3) >= t - day &&
+          r.getLong(3) <= t - 1)
+        .groupBy(r => (r.getString(0), r.getString(1), r.getString(2)))
+      if xs.length >= 2
+    } yield {
+      val n = xs.length.toLong
+      val tt = xs.map(r => r.getLong(3) - (start - day))
+      val vv = xs.map(_.getLong(4))
+      val (st, sv) = (tt.sum, vv.sum)
+      val stv = tt.zip(vv).map { case (a, b) => a * b }.sum
+      val stt = tt.map(x => x * x).sum
+      val num = n * stv - st * sv
+      val den = n * stt - st * st
+      ((h, rg, t), if (den == 0) None else Some(num.toDouble / (100.0 * den)))
+    }).collect { case (k, Some(v)) => k -> v }.toMap
+    assert(got.size == want.size)
+    got.foreach { r =>
+      assert(r.getDouble(4) == want((r.getString(1), r.getString(2), r.getLong(3))))
+    }
   }
 
   test("absent_over_time flips on window matches") {
