@@ -344,7 +344,69 @@ object PromqlQueries {
         graft.tsdb.Rules.Alert("HighClickVolume",
           "sum by (region) (sum_over_time(click[6h])) > 100", 14400L,
           RangeStart, EvalTs, 7200L))
-        .orderBy("region", "ts")))
+        .orderBy("region", "ts")),
+    // CONTINUOUS recording (graft.streaming.StreamRules): the same
+    // rule shape evaluated by the STREAMING rule-group loop — the
+    // whole events table arrives as three watermark-gated micro-
+    // batches (one slice deliberately a batch late, within the 1-h
+    // lateness bound), each fold sealing raw chunks and evaluating
+    // only the grid steps the event-time watermark newly covers; the
+    // decoded derived store must equal the one-shot grid evaluation
+    // (the oracle computes the identical watermark-derived grid)
+    "promql_stream_record" -> ((s, dir) => {
+      val rec = streamRecordedStore(s, dir)
+      graft.tsdb.Ts.unpack(graft.tsdb.Ts.readStore(s, rec), labelCols)
+        .select(col("region"), col("ts"), col("v").as("value"))
+        .orderBy("region", "ts")
+    }))
+
+  /** Grid/batch geometry of [[streamRecordedStore]] — shared with its
+    * oracle: 2-h steps, 1-h allowed lateness, batch cuts at Jan-10 and
+    * Jan-18 00:00Z (both step-aligned). */
+  private val SRecStep = 7200L
+  private val SRecLate = 3600L
+  private val SRecCut1 = RangeStart // 1704844800 = 2024-01-10T00:00Z
+  private val SRecCut2 = 1705536000L // 2024-01-18T00:00Z
+
+  /** Build (once per dir) the continuously-recorded store: the
+    * `region:click:sum6h` rule run through [[graft.streaming
+    * .StreamRules.foldGroupBatch]] over a 3-batch, out-of-order,
+    * watermark-gated ingest of the events table. The rows at
+    * [cut1 − 1h, cut1) arrive one batch LATE — legal under the 1-h
+    * lateness bound because their covering steps (≥ cut1) are beyond
+    * batch 1's watermark — so the build exercises exactly the
+    * contract the streaming engine guarantees: a step folds only
+    * after everything it can see has arrived. */
+  private def streamRecordedStore(s: SparkSession, dir: String): String =
+    synchronized {
+      graft.functions.registerAll(s)
+      val base = TsQueries.storePathFor(dir) + "_srec"
+      val done = new java.io.File(base, "_DONE")
+      if (!done.exists()) {
+        // wipe partial builds: a half-folded cursor would skip batches
+        val conf = s.sparkContext.hadoopConfiguration
+        val hfs = org.apache.hadoop.fs.FileSystem.getLocal(conf)
+        hfs.delete(new org.apache.hadoop.fs.Path(base), true)
+        val ev = TsQueries.labeledEventsFrom(Tables(s, dir, "events"))
+        val sec = graft.tsdb.Ts.epochSec(ev, "ts")
+        val late = sec >= SRecCut1 - SRecLate && sec < SRecCut1
+        val group = graft.streaming.StreamRules.RuleGroup(SRecStep,
+          recordings = Seq(graft.streaming.StreamRules.Recording(
+            "region:click:sum6h",
+            "sum by (region) (sum_over_time(click[6h]))")),
+          latenessSec = SRecLate, horizonSec = StepWin + SRecStep)
+        val slices = Seq(
+          ev.filter(sec < SRecCut1 && !late),
+          ev.filter(late || (sec >= SRecCut1 && sec < SRecCut2)),
+          ev.filter(sec >= SRecCut2))
+        slices.zipWithIndex.foreach { case (b, i) =>
+          graft.streaming.StreamRules.foldGroupBatch(b, i.toLong, labelCols,
+            "ts", "value", group, s"$base/raw", s"$base/rec")
+        }
+        java.nio.file.Files.write(done.toPath, Array.empty[Byte])
+      }
+      s"$base/rec"
+    }
 
   def oracleSql: Map[String, String] = Map(
     "promql_instant" ->
@@ -876,5 +938,21 @@ object PromqlQueries {
         |    RANGE BETWEEN 14400 PRECEDING AND CURRENT ROW) AS n FROM cond)
         |SELECT region, t AS ts, value,
         |  CASE WHEN n >= 3 THEN 'firing' ELSE 'pending' END AS state
-        |FROM st ORDER BY region, ts""".stripMargin)
+        |FROM st ORDER BY region, ts""".stripMargin,
+    // the continuously-recorded store must equal the one-shot grid
+    // evaluation over the SAME watermark-derived grid: first step =
+    // min event sec aligned UP to the 2-h grid (rules evaluate from
+    // when data begins), last step = (max event sec − 1h lateness)
+    // aligned DOWN (the final watermark)
+    "promql_stream_record" ->
+      s"""$lblCte,
+        |b AS (SELECT ((min(ts) + ${SRecStep - 1}) // $SRecStep) * $SRecStep AS fs,
+        |  ((max(ts) - $SRecLate) // $SRecStep) * $SRecStep AS ls FROM lbl),
+        |steps AS (SELECT fs + i * $SRecStep AS t
+        |  FROM b, generate_series(0, 400) s(i)
+        |  WHERE fs + i * $SRecStep <= ls)
+        |SELECT region, t AS ts, CAST(sum(cents) AS DOUBLE) / 100.0 AS value
+        |FROM lbl JOIN steps ON lbl.ts >= t - $StepWin AND lbl.ts <= t - 1
+        |WHERE type = 'click' GROUP BY region, t
+        |ORDER BY region, ts""".stripMargin)
 }

@@ -1,0 +1,194 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.tsdb.{Rules, Ts}
+
+/**
+ * CONTINUOUS rule evaluation — Prometheus's rule-manager loop
+ * (evaluate every rule of a group each interval, append the results)
+ * re-expressed as a Structured Streaming job over the Gorilla chunk
+ * store:
+ *
+ *  - each micro-batch of raw points seals into chunks and APPENDS to
+ *    the raw store (the [[StreamIngest.writeChunksPerBatch]] path);
+ *  - the engine then advances a persisted EVENT-TIME watermark
+ *    (max event second seen, minus an allowed lateness) and evaluates
+ *    EVERY rule of the group on exactly the grid steps the watermark
+ *    newly covers — [[graft.tsdb.Promql.evalRange]] over the raw
+ *    store, chunk-pruned to the new steps' lookback horizon;
+ *  - recording results seal back into Gorilla chunks and append to
+ *    the DERIVED store; alert states append to a parquet state log.
+ *
+ * Unlike wall-clock Prometheus, step completeness is judged by EVENT
+ * time: a step t is evaluated only once `watermark >= t`, so
+ * out-of-order arrivals within the lateness bound land in the raw
+ * store BEFORE any step that can see them is folded — the streamed
+ * derivation equals the batch [[Rules]] evaluation over the same
+ * grid (parity pinned in StreamRulesSpec), and a rule is never
+ * evaluated against a half-arrived window.
+ *
+ * Scale shape: per batch the engine pays (a) the batch's own encode
+ * (linear in batch points) and (b) one rule-group fold over the NEWLY
+ * covered steps only — the raw-store read is `window_date`-pruned to
+ * `[firstNewStep − horizon, lastNewStep]`, so a standing group over a
+ * 100 TB store touches the trailing horizon, never the history. The
+ * derived store accretes append-only; like raw ingest, a window's
+ * chunks may arrive as several partials across batches (readers are
+ * partial-agnostic; `ts_store_compact` re-seals).
+ *
+ * Exactly-once under foreachBatch's at-least-once replay: the
+ * (batchId, lastStep, maxSeen) cursor persists ATOMICALLY (tmp +
+ * rename) next to the output, and a replayed batchId is skipped
+ * whole — the same transactional-sink pattern as
+ * [[StreamIngest.foldRollupBatch]], extended to carry the watermark
+ * cursor so restarts resume the grid where it stopped. The cursor
+ * only advances AFTER every rule's append of a step range lands, so
+ * a crash mid-group replays the whole range; recording appends are
+ * per-(rule, step) rows and the replayed batchId guard keeps them
+ * single-shot.
+ */
+object StreamRules {
+
+  /** A standing recording rule: `record: <name>  expr: <promql>`. */
+  final case class Recording(record: String, expr: String)
+
+  /** A standing alerting rule; `expr` must FILTER (a PromQL
+    * comparison), `forSec` the continuity requirement (a multiple of
+    * the group's step). */
+  final case class Alert(alert: String, expr: String, forSec: Long)
+
+  /**
+   * A Prometheus rule group: one evaluation interval (`stepSec`),
+   * evaluated together over one shared raw-store ingest.
+   *
+   * `horizonSec` is the largest lookback any member expression needs
+   * (max range selector + offset + staleness lookback); it bounds the
+   * raw-store read per fold. Negative = unpruned (correct but reads
+   * the whole store each fold — fine for tests, wrong at scale).
+   */
+  final case class RuleGroup(stepSec: Long,
+                             recordings: Seq[Recording] = Nil,
+                             alerts: Seq[Alert] = Nil,
+                             latenessSec: Long = 0L,
+                             horizonSec: Long = -1L) {
+    require(stepSec > 0, "stepSec must be positive")
+    require(alerts.forall(a => a.forSec >= 0 && a.forSec % stepSec == 0),
+      "every alert's forSec must be a non-negative multiple of stepSec")
+  }
+
+  /** Persisted evaluation cursor: last folded batch, last evaluated
+    * grid step, max event second seen, first grid step ever (alert
+    * continuity never reaches before it). */
+  private final case class Cursor(batchId: Long, lastStep: Long,
+                                  maxSeen: Long, firstStep: Long)
+  private val NoSec = Long.MinValue
+
+  private def readCursor(path: String): Cursor = {
+    val p = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.exists(p)) Cursor(-1L, NoSec, NoSec, NoSec)
+    else {
+      val a = new String(java.nio.file.Files.readAllBytes(p)).trim.split("\\s+")
+      Cursor(a(0).toLong, a(1).toLong, a(2).toLong, a(3).toLong)
+    }
+  }
+
+  private def writeCursor(path: String, c: Cursor): Unit = {
+    val tmp = java.nio.file.Paths.get(path + ".tmp")
+    java.nio.file.Files.write(tmp,
+      s"${c.batchId} ${c.lastStep} ${c.maxSeen} ${c.firstStep}".getBytes)
+    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(path),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Ingest the batch into the raw store and advance the cursor's
+    * watermark; returns the updated cursor (not yet persisted). */
+  private def ingestBatch(batch: DataFrame, labelCols: Seq[String],
+                          tsCol: String, valCol: String, rawPath: String,
+                          stepSec: Long, cur: Cursor): Cursor = {
+    if (batch.isEmpty) return cur
+    Ts.writeStore(Ts.chunkify(batch, labelCols, tsCol, valCol),
+      rawPath, mode = "append")
+    val sec = Ts.epochSec(batch, tsCol)
+    val mm = batch.agg(min(sec).as("lo"), max(sec).as("hi")).head()
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    // the grid starts at the first step that can see any data: rules
+    // evaluate from when data begins (Prometheus: from rule start)
+    val first =
+      if (cur.firstStep != NoSec) cur.firstStep
+      else Math.floorDiv(lo + stepSec - 1, stepSec) * stepSec // align up
+    val last = if (cur.lastStep != NoSec) cur.lastStep else first - stepSec
+    Cursor(cur.batchId, last, math.max(cur.maxSeen, hi), first)
+  }
+
+  /** Grid steps the watermark newly covers: (firstNew, lastNew), or
+    * None when the watermark hasn't crossed a new step yet. */
+  private def newSteps(cur: Cursor, g: RuleGroup): Option[(Long, Long)] = {
+    if (cur.maxSeen == NoSec || cur.lastStep == NoSec) return None
+    val wm = cur.maxSeen - g.latenessSec
+    val lastNew = Math.floorDiv(wm, g.stepSec) * g.stepSec // align down
+    if (lastNew > cur.lastStep) Some((cur.lastStep + g.stepSec, lastNew)) else None
+  }
+
+  /**
+   * One micro-batch of the continuous loop (exposed so the
+   * replay-skip and stream==batch contracts are testable without a
+   * second stream run): append raw chunks, advance the watermark,
+   * evaluate every rule of the group on the newly covered steps;
+   * recordings append derived chunks to `recPath`, alert states
+   * append to `alertPath`.
+   */
+  def foldGroupBatch(batch: DataFrame, batchId: Long, labelCols: Seq[String],
+                     tsCol: String, valCol: String, group: RuleGroup,
+                     rawPath: String, recPath: String,
+                     alertPath: String = null): Unit = {
+    val marker = recPath + "_rules_batch"
+    val cur0 = readCursor(marker)
+    if (batchId <= cur0.batchId) return // replayed batch: already folded
+    var cur = ingestBatch(batch, labelCols, tsCol, valCol, rawPath,
+      group.stepSec, cur0)
+    newSteps(cur, group).foreach { case (from, to) =>
+      val s = batch.sparkSession
+      def raw(evalFrom: Long, extraBack: Long): DataFrame =
+        Ts.readStore(s, rawPath,
+          if (group.horizonSec < 0) Long.MinValue
+          else evalFrom - group.horizonSec - extraBack, to)
+      group.recordings.foreach { r =>
+        val rows = Rules.record(raw(from, 0L), labelCols,
+          Rules.Recording(r.record, r.expr, from, to, group.stepSec))
+        Ts.writeStore(Ts.chunkify(rows, labelCols, "ts", "value"),
+          recPath, mode = "append")
+      }
+      group.alerts.foreach { a =>
+        // continuity at step t needs the condition over [t − for, t]:
+        // start the evaluation `for` earlier (floored at the grid's
+        // own first step — the batch semantics of one continuous
+        // run), keep only the new steps' states
+        val evalFrom = math.max(from - a.forSec, cur.firstStep)
+        val states = Rules.alert(raw(evalFrom, a.forSec), labelCols,
+          Rules.Alert(a.alert, a.expr, a.forSec, evalFrom, to, group.stepSec))
+          .filter(col("ts") >= from)
+          .withColumn("alert", lit(a.alert))
+        states.write.mode("append").parquet(alertPath)
+      }
+      cur = cur.copy(lastStep = to)
+    }
+    writeCursor(marker, cur.copy(batchId = batchId))
+  }
+
+  /** The standing streaming job for a rule group: events stream →
+    * raw store + continuously materialized derived series + alert
+    * state log. */
+  def groupStream(events: DataFrame, labelCols: Seq[String], tsCol: String,
+                  valCol: String, group: RuleGroup,
+                  rawPath: String, recPath: String, alertPath: String,
+                  checkpoint: String) =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        foldGroupBatch(b, id, labelCols, tsCol, valCol, group,
+          rawPath, recPath, alertPath)
+      }
+}

@@ -1,0 +1,153 @@
+package graft.streaming
+
+import graft.SparkTestSession
+import graft.tsdb.{Rules, Ts}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Continuous rule evaluation (StreamRules): the streamed derivation
+ * must EQUAL the batch [[Rules]] evaluation over the same grid —
+ * recording chunks and alert states alike — under out-of-order
+ * arrival within the lateness bound, and replayed batches must fold
+ * exactly once.
+ */
+class StreamRulesSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private val labelCols = Seq("type", "host")
+  private val T0 = 1700000400L // multiple of the 600s step grid
+  private val Step = 600L
+
+  /** Two hosts' click series, one point per minute over 40 min;
+    * values vary so per-step sums differ across steps and hosts. */
+  private def allEvents: Seq[(String, String, Long, Double)] =
+    for {
+      host <- Seq("h1", "h2")
+      i <- 0 until 40
+    } yield ("click", host, T0 + i * 60L,
+      (i % 7) + (if (host == "h1") 0.25 else 10.0))
+
+  private def toDf(rows: Seq[(String, String, Long, Double)]): DataFrame = {
+    import spark.implicits._
+    // ts in the raw-ingest nanos-as-long convention
+    rows.toDF("type", "host", "sec", "v")
+      .select(col("type"), col("host"),
+        (col("sec") * 1000000000L).as("ts"), col("v"))
+  }
+
+  /** Batch slices: rows at T0+420 and T0+600 (both hosts) arrive one
+    * batch LATE but within the 300s lateness bound — their covering
+    * step (T0+600, watermark-gated) is not yet evaluated when they
+    * land. */
+  private def slices: Seq[Seq[(String, String, Long, Double)]] = {
+    val ev = allEvents
+    val late = ev.filter(e => e._3 == T0 + 420 || e._3 == T0 + 600)
+    val b1 = ev.filter(e => e._3 < T0 + 900 && !late.contains(e))
+    val b2 = late ++ ev.filter(e => e._3 >= T0 + 900 && e._3 < T0 + 1800)
+    val b3 = ev.filter(_._3 >= T0 + 1800)
+    Seq(b1, b2, b3)
+  }
+
+  private val group = StreamRules.RuleGroup(
+    stepSec = Step,
+    recordings = Seq(StreamRules.Recording("host:click:sum10m",
+      "sum by (host) (sum_over_time(click[10m]))")),
+    alerts = Seq(StreamRules.Alert("HighClicks",
+      "sum by (host) (sum_over_time(click[10m])) > 100", forSec = 1200L)),
+    latenessSec = 300L)
+
+  /** The grid the stream must have evaluated once all slices folded:
+    * watermark = maxSeen − lateness, floored to the step. */
+  private val FirstStep = T0
+  private val LastStep = {
+    val maxSeen = allEvents.map(_._3).max
+    Math.floorDiv(maxSeen - 300L, Step) * Step
+  }
+
+  private def freshDirs(tag: String): (String, String, String) = {
+    val base = java.nio.file.Files.createTempDirectory(s"graft_rules_$tag")
+      .toString
+    (s"$base/raw", s"$base/rec", s"$base/alerts")
+  }
+
+  private def recordedPoints(recPath: String): Set[(String, String, Long, Double)] =
+    Ts.unpack(Ts.readStore(spark, recPath), labelCols)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getDouble(3))).toSet
+
+  private def expectedRecording: Set[(String, String, Long, Double)] =
+    Rules.record(
+        Ts.chunkify(toDf(allEvents), labelCols, "ts", "v"), labelCols,
+        Rules.Recording("host:click:sum10m",
+          "sum by (host) (sum_over_time(click[10m]))",
+          FirstStep, LastStep, Step))
+      .collect().map(r => (r.getString(0), r.getString(1),
+        Math.floorDiv(r.getLong(2), 1000000000L), r.getDouble(3))).toSet
+
+  private def expectedAlerts: Set[(String, Long, String)] =
+    Rules.alert(
+        Ts.chunkify(toDf(allEvents), labelCols, "ts", "v"), labelCols,
+        Rules.Alert("HighClicks",
+          "sum by (host) (sum_over_time(click[10m])) > 100", 1200L,
+          FirstStep, LastStep, Step))
+      .collect().map(r => (r.getAs[String]("host"), r.getAs[Long]("ts"),
+        r.getAs[String]("state"))).toSet
+
+  test("streamed rule group == batch Rules over the same grid " +
+       "(out-of-order within lateness)") {
+    val (raw, rec, al) = freshDirs("fold")
+    slices.zipWithIndex.foreach { case (rows, id) =>
+      StreamRules.foldGroupBatch(toDf(rows), id, labelCols, "ts", "v",
+        group, raw, rec, al)
+    }
+    assert(LastStep == T0 + 1800) // the grid the watermark must reach
+    assert(recordedPoints(rec) == expectedRecording)
+    val got = spark.read.parquet(al)
+      .select("host", "ts", "state").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(got == expectedAlerts)
+    assert(expectedAlerts.nonEmpty) // the threshold actually fires
+    assert(expectedAlerts.exists(_._3 == "firing") &&
+      expectedAlerts.exists(_._3 == "pending"))
+  }
+
+  test("replayed batchId folds exactly once") {
+    val (raw, rec, al) = freshDirs("replay")
+    val ss = slices
+    StreamRules.foldGroupBatch(toDf(ss(0)), 0, labelCols, "ts", "v",
+      group, raw, rec, al)
+    StreamRules.foldGroupBatch(toDf(ss(1)), 1, labelCols, "ts", "v",
+      group, raw, rec, al)
+    val once = recordedPoints(rec)
+    val rawOnce = Ts.readStore(spark, raw).count()
+    // at-least-once delivery: batch 1 re-fires
+    StreamRules.foldGroupBatch(toDf(ss(1)), 1, labelCols, "ts", "v",
+      group, raw, rec, al)
+    assert(recordedPoints(rec) == once)
+    assert(Ts.readStore(spark, raw).count() == rawOnce)
+    StreamRules.foldGroupBatch(toDf(ss(2)), 2, labelCols, "ts", "v",
+      group, raw, rec, al)
+    assert(recordedPoints(rec) == expectedRecording)
+  }
+
+  test("end-to-end over a real stream: groupStream materializes the " +
+       "batch-identical derived store") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val (raw, rec, al) = freshDirs("e2e")
+    val ck = java.nio.file.Files.createTempDirectory("graft_rules_ck").toString
+    val input = MemoryStream[(String, String, Long, Double)]
+    val events = input.toDF().toDF("type", "host", "sec", "v")
+      .select(col("type"), col("host"),
+        (col("sec") * 1000000000L).as("ts"), col("v"))
+    val q = StreamRules.groupStream(events, labelCols, "ts", "v",
+      group, raw, rec, al, ck).start()
+    try {
+      slices.foreach { rows => input.addData(rows); q.processAllAvailable() }
+    } finally q.stop()
+    assert(recordedPoints(rec) == expectedRecording)
+  }
+}
