@@ -345,6 +345,21 @@ object PromqlQueries {
           "sum by (region) (sum_over_time(click[6h])) > 100", 14400L,
           RangeStart, EvalTs, 7200L))
         .orderBy("region", "ts")),
+    // `or`: set union preferring the LEFT side for matching label
+    // sets — rhs ships as a broadcast anti-join, both arms stay on
+    // the exact cent grid through the union
+    "promql_or" -> ((s, dir) =>
+      q(s, dir, "sum by (host) (sum_over_time(purchase[2d])) > 60 " +
+          "or sum by (host) (sum_over_time(click[2d])) > 200")
+        .orderBy("host")),
+    // holt_winters (Prometheus 3.x double_exponential_smoothing):
+    // the smoothed level per series — ONE fused kernel fold per
+    // series over the decoded window, bit-identical to the
+    // recursive-CTE oracle because kernel and CTE evaluate the same
+    // IEEE recurrence in the same order
+    "promql_holt_winters" -> ((s, dir) =>
+      q(s, dir, "holt_winters(purchase[2d], 0.3, 0.1)")
+        .orderBy("type", "host", "region")),
     // CONTINUOUS recording (graft.streaming.StreamRules): the same
     // rule shape evaluated by the STREAMING rule-group loop — the
     // whole events table arrives as three watermark-gated micro-
@@ -939,6 +954,44 @@ object PromqlQueries {
         |SELECT region, t AS ts, value,
         |  CASE WHEN n >= 3 THEN 'firing' ELSE 'pending' END AS state
         |FROM st ORDER BY region, ts""".stripMargin,
+    "promql_or" ->
+      s"""$lblCte,
+        |l AS (SELECT host, CAST(sum(cents) AS BIGINT) AS sc FROM lbl
+        |  WHERE type = 'purchase' AND ts >= $From AND ts <= $EvalTs
+        |  GROUP BY host HAVING CAST(sum(cents) AS BIGINT) > 6000),
+        |r AS (SELECT host, CAST(sum(cents) AS BIGINT) AS sc FROM lbl
+        |  WHERE type = 'click' AND ts >= $From AND ts <= $EvalTs
+        |  GROUP BY host HAVING CAST(sum(cents) AS BIGINT) > 20000)
+        |SELECT host, CAST(sc AS DOUBLE) / 100.0 AS value FROM l
+        |UNION ALL
+        |SELECT host, CAST(sc AS DOUBLE) / 100.0 AS value FROM r
+        |WHERE host NOT IN (SELECT host FROM l)
+        |ORDER BY host""".stripMargin,
+    // holt_winters: the level after folding x_i = cents_i/100 through
+    // l_i = sf·x_i + (1−sf)(l+t), t_i = tf·(l_i−l) + (1−tf)·t in
+    // (ts, cents) order — the CTE duplicates the l_i subterm verbatim
+    // (list_reduce would corrupt it: it overwrites the accumulator's
+    // first field before evaluating the second)
+    "promql_holt_winters" ->
+      s"""${lblCte.replaceFirst("WITH lbl", "WITH RECURSIVE lbl")},
+        |c AS (SELECT type, host, region, ts, cents FROM lbl
+        |  WHERE type = 'purchase' AND ts >= $From AND ts <= $EvalTs),
+        |a AS (SELECT type, host, region, count(*) AS n,
+        |    list(cents ORDER BY ts, cents) AS cl
+        |  FROM c GROUP BY 1, 2, 3),
+        |x AS (SELECT type, host, region, n,
+        |    list_transform(cl, q -> CAST(q AS DOUBLE) / 100.0) AS xs
+        |  FROM a WHERE n >= 2),
+        |rr AS (
+        |  SELECT type, host, region, n, xs, 2 AS i,
+        |    xs[2] AS l, xs[2] - xs[1] AS t FROM x
+        |  UNION ALL
+        |  SELECT type, host, region, n, xs, i + 1,
+        |    0.3 * xs[i + 1] + 0.7 * (l + t),
+        |    0.1 * ((0.3 * xs[i + 1] + 0.7 * (l + t)) - l) + 0.9 * t
+        |  FROM rr WHERE i < n)
+        |SELECT type, host, region, l AS value FROM rr WHERE i = n
+        |ORDER BY type, host, region""".stripMargin,
     // the continuously-recorded store must equal the one-shot grid
     // evaluation over the SAME watermark-derived grid: first step =
     // min event sec aligned UP to the 2-h grid (rules evaluate from

@@ -314,24 +314,31 @@ object Promql {
       case TIdent(name) if aggOps(name) => next(); withModifiers(aggregation(name))
       case TIdent(name) if RangeFns(name) || name == "absent" ||
           name == "absent_over_time" || name == "sort" || name == "sort_desc" ||
-          name == "timestamp" =>
+          name == "timestamp" || name == "holt_winters" ||
+          name == "double_exponential_smoothing" =>
         next(); expectOp("(")
         val a = parseOr()
-        // predict_linear's scalar horizon (seconds or a duration)
-        val extra = if (peek == TOp(",")) {
+        // trailing scalars: predict_linear's horizon (seconds or a
+        // duration), holt_winters' two smoothing factors
+        val extras = Seq.newBuilder[Double]
+        while (peek == TOp(",")) {
           next()
-          Some(next() match {
+          extras += (next() match {
             case TNum(v) => v
             case TDur(s) => s.toDouble
-            case t => err(s"$name expects a scalar second argument, got $t")
+            case t => err(s"$name expects scalar trailing arguments, got $t")
           })
-        } else None
+        }
         expectOp(")")
-        withModifiers((name, extra) match {
-          case ("predict_linear", Some(t)) => MathCall("predict_linear", a, Seq(t))
-          case ("predict_linear", None) => err("predict_linear needs a scalar horizon")
-          case (_, Some(_)) => err(s"$name takes one argument")
-          case (_, None) => FnCall(name, a)
+        withModifiers((name, extras.result()) match {
+          case ("predict_linear", Seq(t)) => MathCall("predict_linear", a, Seq(t))
+          case ("predict_linear", _) => err("predict_linear needs a scalar horizon")
+          case ("holt_winters" | "double_exponential_smoothing", Seq(sf, tf)) =>
+            MathCall("holt_winters", a, Seq(sf, tf))
+          case ("holt_winters" | "double_exponential_smoothing", _) =>
+            err(s"$name needs two smoothing factors")
+          case (_, s) if s.nonEmpty => err(s"$name takes one argument")
+          case (_, _) => FnCall(name, a)
         })
       case TIdent(name) if MathFns(name) =>
         next(); expectOp("(")
@@ -571,6 +578,7 @@ object Promql {
     case FnCall(fn, arg) => rangeFn(fn, arg, ctx)
     case MathCall("predict_linear", arg, ps) => predictLinear(arg, ps.head, ctx)
     case MathCall("quantile_over_time", arg, ps) => quantileOverTime(ps.head, arg, ctx)
+    case MathCall("holt_winters", arg, ps) => holtWintersVec(arg, ps(0), ps(1), ctx)
     case mc: MathCall => mathFn(mc, ctx)
     case lc: LabelCall => labelFn(lc, ctx)
     case h: HistExpr => histQuantile(h.phi, h.arg, ctx)
@@ -744,6 +752,35 @@ object Promql {
     val df = decoded(sel, from, to, ctx)
       .groupBy(L.map(col): _*)
       .agg((expr(s"percentile(cents, $phi)") / lit(100.0)).as("value"))
+    Vec(df, L, Dbl)
+  }
+
+  /** `holt_winters(sel[d], sf, tf)` (Prometheus 3.x:
+    * `double_exponential_smoothing`): the smoothed LEVEL of a series'
+    * samples in the window — one fused kernel call per series
+    * ([[graft.functions.HoltWinters]]; the kernel sorts by (ts, cents)
+    * and folds the exact IEEE recurrence the recursive-CTE oracle
+    * evaluates, so emitted doubles are bit-stable). Series with < 2
+    * samples are absent, matching PromQL. */
+  private def holtWintersVec(arg: Expr, sf: Double, tf: Double, ctx: Ctx): Vec = {
+    if (ctx.grid.isDefined) throw new IllegalArgumentException(
+      "holt_winters is unsupported in stepped mode")
+    require(sf > 0 && sf < 1 && tf > 0 && tf < 1,
+      "holt_winters smoothing factors must be in (0, 1)")
+    val sel = arg match {
+      case s: VectorSel => s
+      case _ => throw new IllegalArgumentException(
+        "holt_winters expects a range selector argument")
+    }
+    val (from, to) = window(sel, ctx)
+    val L = ctx.labelCols
+    val df = decoded(sel, from, to, ctx)
+      .groupBy(L.map(col): _*)
+      .agg(count(lit(1)).as("__n"),
+        collect_list(struct(col("ts"), col("cents"))).as("__arr"))
+      .filter(col("__n") >= 2)
+      .withColumn("__hw", graft.functions.hw_fold(col("__arr"), sf, tf))
+      .select(L.map(col) :+ col("__hw.level").as("value"): _*)
     Vec(df, L, Dbl)
   }
 

@@ -635,6 +635,51 @@ class PromqlSpec extends AnyFunSuite {
     assert(miss.isEmpty)
   }
 
+  test("holt_winters == hand decode + hw_fold; misuse fails loudly") {
+    val from = EvalTs - 172800L + 1
+    val want = Labels.selectRange(chunks, labelCols, """{type="purchase"}""",
+        from, EvalTs)
+      .withColumn("cents", round(col("v") * 100).cast("long"))
+      .groupBy(labelCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        collect_list(struct(col("ts"), col("cents"))).as("arr"))
+      .filter(col("n") >= 2)
+      .withColumn("hw", graft.functions.hw_fold(col("arr"), 0.3, 0.1))
+      .select(col("host"), col("region"), col("hw.level").as("v"))
+      .orderBy("host", "region").collect().toSeq
+    val got = Promql.eval(chunks, labelCols,
+      "holt_winters(purchase[2d], 0.3, 0.1)", EvalTs)
+      .select("host", "region", "value").orderBy("host", "region").collect().toSeq
+    assert(got == want && got.nonEmpty)
+    // Prometheus 3.x alias parses to the same tree
+    assert(parse("double_exponential_smoothing(purchase[2d], 0.3, 0.1)") ==
+      parse("holt_winters(purchase[2d], 0.3, 0.1)"))
+    intercept[IllegalArgumentException] { // needs both smoothing factors
+      parse("holt_winters(purchase[2d], 0.3)")
+    }
+    intercept[IllegalArgumentException] { // factors must be in (0, 1)
+      Promql.eval(chunks, labelCols, "holt_winters(purchase[2d], 1.5, 0.1)", EvalTs)
+    }
+  }
+
+  test("or: union prefers the left side for matching label sets") {
+    val l = Promql.eval(chunks, labelCols,
+      "sum by (host) (sum_over_time(purchase[2d])) > 60", EvalTs)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val r = Promql.eval(chunks, labelCols,
+      "sum by (host) (sum_over_time(click[2d])) > 0", EvalTs)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val got = Promql.eval(chunks, labelCols,
+      "sum by (host) (sum_over_time(purchase[2d])) > 60 " +
+        "or sum by (host) (sum_over_time(click[2d])) > 0", EvalTs)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == l.keySet ++ r.keySet)
+    got.foreach { case (h, v) =>
+      assert(v == l.getOrElse(h, r(h))) // lhs wins where both fire
+    }
+    assert((r.keySet -- l.keySet).nonEmpty, "rhs-only arm must be exercised")
+  }
+
   // ===== scale pins =====
 
   test("selector through the string front-end still pushes to the chunk scan") {
