@@ -303,6 +303,46 @@ object ScaleBench {
         s"batch_ms_p50=${if (durs.nonEmpty) durs(durs.length / 2) else 0} " +
         s"batch_ms_max=${if (durs.nonEmpty) durs.last else 0} " +
         s"state_rows_total=${stateRows.sum} (stateless sealer)")
+
+      // round-11: the CONTINUOUS rules loop (StreamRules) at volume.
+      // Event-time-sliced micro-batches (the arrival order the
+      // engine's watermark contract describes); per fold the engine
+      // pays the slice's own encode + ONE horizon-pruned stepped
+      // fold per rule, so a standing group's cost tracks the batch
+      // and the trailing horizon — never the accreted store.
+      val labelCols = Seq("type", "host", "region")
+      val lev = graft.queries.TsQueries.labeledEventsFrom(
+        spark.read.parquet(evPath))
+      val esec = graft.tsdb.Ts.epochSec(lev, "ts")
+      val rulesBase = s"$work/$tag/rules"
+      hfs.delete(new org.apache.hadoop.fs.Path(rulesBase), true)
+      val grp = graft.streaming.StreamRules.RuleGroup(7200L,
+        recordings = Seq(graft.streaming.StreamRules.Recording(
+          "region:click:sum6h",
+          """sum by (region) (sum_over_time({type="click"}[6h]))""")),
+        alerts = Seq(graft.streaming.StreamRules.Alert("HighClickVolume",
+          """sum by (region) (sum_over_time({type="click"}[6h])) > 100""",
+          14400L)),
+        latenessSec = 0L, horizonSec = 28800L)
+      // 8 event-time slices across the corpus's Jan-2024 span
+      val cuts = (1 to 7).map(i => 1704067200L + i * 4L * 86400L)
+      val bounds = (Long.MinValue +: cuts) zip (cuts :+ Long.MaxValue)
+      timed(s"${tag}_stream_rules", nEv,
+          "continuous rule group: 8 event-time folds, horizon-pruned") {
+        bounds.zipWithIndex.foreach { case ((lo, hi), i) =>
+          graft.streaming.StreamRules.foldGroupBatch(
+            lev.filter(esec >= lo && esec < hi), i.toLong, labelCols,
+            "ts", "value", grp,
+            s"$rulesBase/raw", s"$rulesBase/rec", s"$rulesBase/alerts")
+        }
+        spark.read.parquet(s"$rulesBase/rec").count()
+      }
+      val cur = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$rulesBase/rec_rules_batch"))).trim.split("\\s+")
+      val rr = results(s"${tag}_stream_rules")
+      results(s"${tag}_stream_rules") = rr.copy(note = rr.note +
+        s" steps=${(cur(1).toLong - cur(3).toLong) / 7200L + 1} " +
+        s"alert_states=${spark.read.parquet(s"$rulesBase/alerts").count()}")
     }
 
     /** The relational join family at scale (r9 verdict #4): the THREE

@@ -133,6 +133,27 @@ class StreamRulesSpec extends AnyFunSuite {
     assert(recordedPoints(rec) == expectedRecording)
   }
 
+  test("derived store accretes PARTIAL chunks; compaction re-seals " +
+       "without changing answers") {
+    val (raw, rec, al) = freshDirs("compact")
+    slices.zipWithIndex.foreach { case (rows, id) =>
+      StreamRules.foldGroupBatch(toDf(rows), id, labelCols, "ts", "v",
+        group, raw, rec, al)
+    }
+    // per-batch appends leave several chunks per (series, window)
+    val perWindow = Ts.readStore(spark, rec)
+      .groupBy((labelCols :+ "window_start").map(org.apache.spark.sql.functions.col): _*)
+      .count().agg(org.apache.spark.sql.functions.max("count")).head().getLong(0)
+    assert(perWindow > 1, "expected partial chunks from incremental appends")
+    val resealed = rec + "_sealed"
+    Ts.compactStore(spark, rec, resealed)
+    assert(recordedPoints(resealed) == expectedRecording)
+    val sealedPerWindow = Ts.readStore(spark, resealed)
+      .groupBy((labelCols :+ "window_start").map(org.apache.spark.sql.functions.col): _*)
+      .count().agg(org.apache.spark.sql.functions.max("count")).head().getLong(0)
+    assert(sealedPerWindow == 1L)
+  }
+
   test("end-to-end over a real stream: groupStream materializes the " +
        "batch-identical derived store") {
     import spark.implicits._
