@@ -112,6 +112,18 @@ object PromqlQueries {
       q(s, dir, "sum by (host, region) (sum_over_time(click[2d])) " +
           "/ on(region) group_left sum by (region) (sum_over_time(click[2d]))")
         .orderBy("region", "host")),
+    // group_right: the mirrored many-to-one matching — the ONE side
+    // is the LEFT operand (broadcast), the many side keeps its full
+    // label set; coverage-share panels are written this way round
+    "promql_group_right" -> ((s, dir) =>
+      q(s, dir, "sum by (region) (sum_over_time(click[2d])) " +
+          "/ on(region) group_right sum by (host, region) (sum_over_time(click[2d]))")
+        .orderBy("region", "host")),
+    // without(): complement grouping — drop the host label, keep the
+    // rest of the series' label set (type, region) in store order
+    "promql_without" -> ((s, dir) =>
+      q(s, dir, "sum without (host) (sum_over_time(click[2d]))")
+        .orderBy("type", "region")),
     // scalar arithmetic chain over an exact increase: each float op is
     // one fixed IEEE node, reproduced verbatim by the oracle
     "promql_arith" -> ((s, dir) =>
@@ -502,6 +514,24 @@ object PromqlQueries {
         |      AS value
         |  FROM h JOIN r USING (region))
         |WHERE value IS NOT NULL ORDER BY region, host""".stripMargin,
+    // group_right mirrors group_left with the grain sides swapped:
+    // the region total divides INTO each host row, host labels survive
+    "promql_group_right" ->
+      s"""$lblCte,
+        |h AS (SELECT host, region, CAST(sum(cents) AS BIGINT) AS hc FROM lbl
+        |  WHERE ts >= $From AND ts <= $EvalTs AND type = 'click' GROUP BY 1, 2),
+        |r AS (SELECT region, CAST(sum(hc) AS BIGINT) AS rc FROM h GROUP BY region)
+        |SELECT host, region, value FROM (
+        |  SELECT h.host, h.region,
+        |    (CAST(rc AS DOUBLE) / 100.0) / nullif(CAST(hc AS DOUBLE) / 100.0, 0.0)
+        |      AS value
+        |  FROM h JOIN r USING (region))
+        |WHERE value IS NOT NULL ORDER BY region, host""".stripMargin,
+    "promql_without" ->
+      s"""$lblCte
+        |SELECT type, region, CAST(sum(cents) AS DOUBLE) / 100.0 AS value
+        |FROM lbl WHERE ts >= $From AND ts <= $EvalTs AND type = 'click'
+        |GROUP BY type, region ORDER BY type, region""".stripMargin,
     "promql_arith" ->
       s"""$lblCte,
         |pts AS (SELECT * FROM lbl WHERE ts >= $From AND ts <= $EvalTs
