@@ -381,11 +381,20 @@ object PromqlQueries {
     // decoded derived store must equal the one-shot grid evaluation
     // (the oracle computes the identical watermark-derived grid)
     "promql_stream_record" -> ((s, dir) => {
-      val rec = streamRecordedStore(s, dir)
+      val rec = s"${streamRulesStore(s, dir)}/rec"
       graft.tsdb.Ts.unpack(graft.tsdb.Ts.readStore(s, rec), labelCols)
         .select(col("region"), col("ts"), col("v").as("value"))
         .orderBy("region", "ts")
-    }))
+    }),
+    // CONTINUOUS alerting off the same streaming fold: per batch the
+    // engine re-derives `for`-continuity from the store (a for-deep
+    // lookback, no memory state) and appends pending/firing rows to
+    // the state log — the log must equal the one-shot stepped alert
+    // evaluation over the identical watermark-derived grid
+    "promql_stream_alert" -> ((s, dir) =>
+      s.read.parquet(s"${streamRulesStore(s, dir)}/alerts")
+        .select(col("region"), col("ts"), col("value"), col("state"))
+        .orderBy("region", "ts")))
 
   /** Grid/batch geometry of [[streamRecordedStore]] — shared with its
     * oracle: 2-h steps, 1-h allowed lateness, batch cuts at Jan-10 and
@@ -395,19 +404,21 @@ object PromqlQueries {
   private val SRecCut1 = RangeStart // 1704844800 = 2024-01-10T00:00Z
   private val SRecCut2 = 1705536000L // 2024-01-18T00:00Z
 
-  /** Build (once per dir) the continuously-recorded store: the
-    * `region:click:sum6h` rule run through [[graft.streaming
+  /** Build (once per dir) the continuous-rules artifacts: a rule
+    * GROUP (the `region:click:sum6h` recording + a `for`-clause
+    * alert on the same condition) run through [[graft.streaming
     * .StreamRules.foldGroupBatch]] over a 3-batch, out-of-order,
     * watermark-gated ingest of the events table. The rows at
     * [cut1 − 1h, cut1) arrive one batch LATE — legal under the 1-h
     * lateness bound because their covering steps (≥ cut1) are beyond
     * batch 1's watermark — so the build exercises exactly the
     * contract the streaming engine guarantees: a step folds only
-    * after everything it can see has arrived. */
-  private def streamRecordedStore(s: SparkSession, dir: String): String =
+    * after everything it can see has arrived. Returns the base dir
+    * (`rec` = derived chunk store, `alerts` = state log). */
+  private def streamRulesStore(s: SparkSession, dir: String): String =
     synchronized {
       graft.functions.registerAll(s)
-      val base = TsQueries.storePathFor(dir) + "_srec"
+      val base = TsQueries.storePathFor(dir) + "_srec2"
       val done = new java.io.File(base, "_DONE")
       if (!done.exists()) {
         // wipe partial builds: a half-folded cursor would skip batches
@@ -421,6 +432,9 @@ object PromqlQueries {
           recordings = Seq(graft.streaming.StreamRules.Recording(
             "region:click:sum6h",
             "sum by (region) (sum_over_time(click[6h]))")),
+          alerts = Seq(graft.streaming.StreamRules.Alert("HighClickVolume",
+            "sum by (region) (sum_over_time(click[6h])) > 100",
+            forSec = 2 * SRecStep)),
           latenessSec = SRecLate, horizonSec = StepWin + SRecStep)
         val slices = Seq(
           ev.filter(sec < SRecCut1 && !late),
@@ -428,11 +442,11 @@ object PromqlQueries {
           ev.filter(sec >= SRecCut2))
         slices.zipWithIndex.foreach { case (b, i) =>
           graft.streaming.StreamRules.foldGroupBatch(b, i.toLong, labelCols,
-            "ts", "value", group, s"$base/raw", s"$base/rec")
+            "ts", "value", group, s"$base/raw", s"$base/rec", s"$base/alerts")
         }
         java.nio.file.Files.write(done.toPath, Array.empty[Byte])
       }
-      s"$base/rec"
+      base
     }
 
   def oracleSql: Map[String, String] = Map(
@@ -1022,6 +1036,29 @@ object PromqlQueries {
         |  FROM rr WHERE i < n)
         |SELECT type, host, region, l AS value FROM rr WHERE i = n
         |ORDER BY type, host, region""".stripMargin,
+    // the continuous alert log must equal the one-shot stepped alert
+    // over the same watermark-derived grid: continuity = count of
+    // condition-true steps in [t − for, t] (clipped at the grid's own
+    // first step, which the cond rows' grid membership encodes)
+    "promql_stream_alert" ->
+      s"""$lblCte,
+        |b AS (SELECT ((min(ts) + ${SRecStep - 1}) // $SRecStep) * $SRecStep AS fs,
+        |  ((max(ts) - $SRecLate) // $SRecStep) * $SRecStep AS ls FROM lbl),
+        |steps AS (SELECT fs + i * $SRecStep AS t
+        |  FROM b, generate_series(0, 400) s(i)
+        |  WHERE fs + i * $SRecStep <= ls),
+        |sums AS (SELECT region, t, CAST(sum(cents) AS BIGINT) AS sc
+        |  FROM lbl JOIN steps ON lbl.ts >= t - $StepWin AND lbl.ts <= t - 1
+        |  WHERE type = 'click' GROUP BY region, t),
+        |cond AS (SELECT region, t, CAST(sc AS DOUBLE) / 100.0 AS value
+        |  FROM sums WHERE sc > 10000),
+        |st AS (SELECT region, t, value, count(*) OVER (
+        |    PARTITION BY region ORDER BY t
+        |    RANGE BETWEEN ${2 * SRecStep} PRECEDING AND CURRENT ROW) AS n
+        |  FROM cond)
+        |SELECT region, t AS ts, value,
+        |  CASE WHEN n >= 3 THEN 'firing' ELSE 'pending' END AS state
+        |FROM st ORDER BY region, ts""".stripMargin,
     // the continuously-recorded store must equal the one-shot grid
     // evaluation over the SAME watermark-derived grid: first step =
     // min event sec aligned UP to the 2-h grid (rules evaluate from
