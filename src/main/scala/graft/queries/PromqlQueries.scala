@@ -340,6 +340,13 @@ object PromqlQueries {
       Promql.evalRange(chunks(s, dir, RangeStart - Day), labelCols,
           "deriv(view[1d])", RangeStart, EvalTs, 7200L)
         .orderBy("host", "region", "ts")),
+    // stepped predict_linear — the forecast panel: the SAME deriv
+    // partials, each window extrapolating to its own eval instant
+    // + 2h; integer x stays exact, the horizon lands in one double add
+    "promql_range_predict" -> ((s, dir) =>
+      Promql.evalRange(chunks(s, dir, RangeStart - Day), labelCols,
+          "predict_linear(view[1d], 2h)", RangeStart, EvalTs, 7200L)
+        .orderBy("host", "region", "ts")),
     // RECORDING rule: `region:click:sum6h` materialized as Gorilla
     // chunks (graft.tsdb.Rules) — the derived store is a first-class
     // substrate: the rule name selects at the chunk-metadata scan and
@@ -969,6 +976,31 @@ object PromqlQueries {
         |  FROM g WHERE n >= 2)
         |SELECT type, host, region, t AS ts,
         |  CAST(num AS DOUBLE) / (100.0 * den) AS value
+        |FROM d WHERE den <> 0 ORDER BY host, region, ts""".stripMargin,
+    // stepped predict_linear: the deriv partials (identical integer
+    // num/den/st/sv/n per (series, step)), extrapolated to each
+    // window's own eval instant + 2h — the float tree mirrors the
+    // compiler's ŷ = v̄ + slope·(x − t̄) with x's integer part exact
+    "promql_range_predict" ->
+      s"""$lblCte,
+        |steps AS (SELECT ($RangeStart + i * 7200) AS t
+        |  FROM generate_series(0, 24) s(i)),
+        |c AS (SELECT type, host, region, t, ts - ${RangeStart - Day} AS tt, cents
+        |  FROM lbl JOIN steps ON lbl.ts >= t - $Day AND lbl.ts <= t - 1
+        |  WHERE type = 'view'),
+        |g AS (SELECT type, host, region, t, count(*) AS n,
+        |    CAST(sum(tt) AS BIGINT) AS st, CAST(sum(cents) AS BIGINT) AS sv,
+        |    CAST(sum(tt * cents) AS BIGINT) AS stv,
+        |    CAST(sum(tt * tt) AS BIGINT) AS stt
+        |  FROM c GROUP BY 1, 2, 3, 4),
+        |d AS (SELECT type, host, region, t, n, st, sv,
+        |    CAST(n * stv - st * sv AS BIGINT) AS num,
+        |    CAST(n * stt - st * st AS BIGINT) AS den
+        |  FROM g WHERE n >= 2)
+        |SELECT type, host, region, t AS ts,
+        |  (CAST(sv AS DOUBLE) / n + (CAST(num AS DOUBLE) / den) *
+        |    ((CAST(t - 1 - ${RangeStart - Day} AS DOUBLE) + 7200.0)
+        |      - CAST(st AS DOUBLE) / n)) / 100.0 AS value
         |FROM d WHERE den <> 0 ORDER BY host, region, ts""".stripMargin,
     // the recorded series re-derived from raw events: per-step 6-h
     // region sums on the 2-h grid, then the outer max over the steps

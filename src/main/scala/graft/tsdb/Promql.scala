@@ -1011,13 +1011,14 @@ object Promql {
     * x = (d−1) + t relative seconds; three fixed divisions, mirrored
     * op-for-op in the SQL oracle. */
   private def predictLinear(arg: Expr, tAhead: Double, ctx: Ctx): Vec = {
-    if (ctx.grid.isDefined) throw new IllegalArgumentException(
-      "predict_linear is unsupported in stepped mode")
     val sel = arg match {
       case s: VectorSel => s
       case _ => throw new IllegalArgumentException(
         "predict_linear expects a range selector argument")
     }
+    // stepped mode: the deriv partials + the window's own prediction
+    // instant — a full forecast panel from ONE decode
+    if (ctx.grid.isDefined) return steppedDeriv(sel, ctx, Some(tAhead))
     val (g, from, to) = regressionSums(sel, ctx)
     val x = lit((to - from).toDouble + tAhead)
     val meanT = col("__st").cast("double") / col("__n")
@@ -1180,7 +1181,8 @@ object Promql {
     * arithmetic (n·Σtv − Σt·Σv and n·Σt² − (Σt)² both cancel any
     * common t offset), so partials with one global origin compose for
     * every window. One division per (series, step) at output. */
-  private def steppedDeriv(sel: VectorSel, ctx: Ctx): Vec = {
+  private def steppedDeriv(sel: VectorSel, ctx: Ctx,
+                           horizon: Option[Double] = None): Vec = {
     val (start0, step) = ctx.grid.get
     val d = sel.range.getOrElse(
       throw new IllegalArgumentException("deriv needs sel[duration]"))
@@ -1213,7 +1215,19 @@ object Promql {
       .withColumn("__num", col("__n") * col("__stv") - col("__st") * col("__sv"))
       .withColumn("__den", col("__n") * col("__stt") - col("__st") * col("__st"))
       .filter(col("__den") =!= 0)
-      .withColumn("value", col("__num").cast("double") / (lit(100.0) * col("__den")))
+      .withColumn("value", horizon match {
+        case None => col("__num").cast("double") / (lit(100.0) * col("__den"))
+        case Some(h) =>
+          // predict_linear: ŷ = v̄ + slope·(x − t̄) at x = the window's
+          // own eval instant + h, all relative to the ONE global
+          // origin the partials use — the integer part stays exact,
+          // h lands in a single double addition
+          val meanT = col("__st").cast("double") / col("__n")
+          val meanV = col("__sv").cast("double") / col("__n")
+          val slope = col("__num").cast("double") / col("__den")
+          val x = (col("__i") * lit(step) + lit(d - 1L)).cast("double") + lit(h)
+          (meanV + slope * (x - meanT)) / lit(100.0)
+      })
       .withColumn("ts", lit(start0) + col("__i") * lit(step))
       .select((L :+ "ts" :+ "value").map(col): _*)
     Vec(perStep, L :+ "ts", Dbl)

@@ -680,6 +680,34 @@ class PromqlSpec extends AnyFunSuite {
     assert((r.keySet -- l.keySet).nonEmpty, "rhs-only arm must be exercised")
   }
 
+  test("stepped predict_linear is EXACT on an integer line") {
+    import spark.implicits._
+    // cents(u) = 1000 + 2u on a 60s cadence: slope, means, and the
+    // extrapolation instant are all exactly-representable integers,
+    // so every float in ŷ = v̄ + slope·(x − t̄) is exact and the
+    // forecast must equal the true line at x = step instant − 1 + h
+    val T0 = 1700006400L // 600-aligned
+    val (d, step, h) = (3600L, 600L, 1800L)
+    val base = T0 - d
+    val rows = (0L until 110L).map { j =>
+      val m = base + j * 60L
+      val cents = 1000L + 2L * (m - base)
+      ("m", "h1", m * 1000000000L, cents.toDouble / 100.0)
+    }
+    val chunks2 = Ts.chunkify(rows.toDF("type", "host", "ts", "v"),
+      Seq("type", "host"), "ts", "v")
+    val got = Promql.evalRange(chunks2, Seq("type", "host"),
+        s"predict_linear(m[1h], 30m)", T0, T0 + 3000L, step)
+      .orderBy("ts").collect()
+      .map(r => r.getAs[Long]("ts") -> r.getAs[Double]("value")).toMap
+    assert(got.size == 6)
+    (0L to 5L).foreach { i =>
+      val x = i * step + (d - 1) + h // relative to base, integer-exact
+      val want = (1000L + 2L * x).toDouble / 100.0
+      assert(got(T0 + i * step) == want, s"step $i")
+    }
+  }
+
   // ===== scale pins =====
 
   test("selector through the string front-end still pushes to the chunk scan") {
