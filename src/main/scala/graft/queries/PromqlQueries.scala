@@ -31,6 +31,9 @@ object PromqlQueries {
   private val OffTo = EvalTs - Win
   private val RangeStart = 1704844800L // query_range grid start (= RangeFrom)
   private val StepWin = 21600L // the [6h] stepped window
+  // absent panel grid: starts one day BEFORE the corpus's first event
+  // (2024-01-01T00:00Z), so early windows provably match nothing
+  private val AbsentGridStart = 1703980800L // 2023-12-31T00:00Z
 
   private val labelCols = TsQueries.labelCols
 
@@ -340,6 +343,24 @@ object PromqlQueries {
       Promql.evalRange(chunks(s, dir, RangeStart - Day), labelCols,
           "deriv(view[1d])", RangeStart, EvalTs, 7200L)
         .orderBy("host", "region", "ts")),
+    // stepped quantile_over_time — the p95/median panel: quantiles
+    // don't compose from partials, so each decoded point explodes
+    // onto the ≤ k windows containing its bucket and ONE exact
+    // percentile runs per (series, step); still a single decode
+    "promql_range_quantile" -> ((s, dir) =>
+      Promql.evalRange(chunks(s, dir, RangeStart - Day), labelCols,
+          "quantile_over_time(0.5, view[1d])", RangeStart, EvalTs, 7200L)
+        .orderBy("host", "region", "ts")),
+    // stepped absent_over_time — the "no data" panel: the grid spans
+    // the day BEFORE the corpus begins, so the early steps' [6h]
+    // windows match nothing (absent rows) and the later ones match
+    // (no rows) — sample→step visibility is pure integer index
+    // arithmetic, the present set broadcasts, the grid anti-joins
+    "promql_range_absent" -> ((s, dir) =>
+      Promql.evalRange(chunks(s, dir, AbsentGridStart - StepWin), labelCols,
+          """absent_over_time({type="purchase", host="h11"}[6h])""",
+          AbsentGridStart, AbsentGridStart + 24 * 7200L, 7200L)
+        .orderBy("ts")),
     // stepped predict_linear — the forecast panel: the SAME deriv
     // partials, each window extrapolating to its own eval instant
     // + 2h; integer x stays exact, the horizon lands in one double add
@@ -977,6 +998,30 @@ object PromqlQueries {
         |SELECT type, host, region, t AS ts,
         |  CAST(num AS DOUBLE) / (100.0 * den) AS value
         |FROM d WHERE den <> 0 ORDER BY host, region, ts""".stripMargin,
+    // stepped quantile: DuckDB's quantile_cont interpolates with the
+    // same (1−f)·a + f·b rule Spark's exact percentile uses; one
+    // division by 100 after
+    "promql_range_quantile" ->
+      s"""$lblCte,
+        |steps AS (SELECT ($RangeStart + i * 7200) AS t
+        |  FROM generate_series(0, 24) s(i))
+        |SELECT type, host, region, t AS ts,
+        |  quantile_cont(cents, 0.5) / 100.0 AS value
+        |FROM lbl JOIN steps ON lbl.ts >= t - $Day AND lbl.ts <= t - 1
+        |WHERE type = 'view' GROUP BY type, host, region, t
+        |ORDER BY host, region, ts""".stripMargin,
+    // stepped absent: grid steps whose [6h] window matches nothing
+    "promql_range_absent" ->
+      s"""$lblCte,
+        |steps AS (SELECT ($AbsentGridStart + i * 7200) AS t
+        |  FROM generate_series(0, 24) s(i)),
+        |present AS (SELECT DISTINCT t FROM lbl
+        |  JOIN steps ON lbl.ts >= t - $StepWin AND lbl.ts <= t - 1
+        |  WHERE type = 'purchase' AND host = 'h11')
+        |SELECT 'purchase' AS type, 'h11' AS host, t AS ts,
+        |  CAST(1 AS DOUBLE) AS value
+        |FROM steps WHERE t NOT IN (SELECT t FROM present)
+        |ORDER BY ts""".stripMargin,
     // stepped predict_linear: the deriv partials (identical integer
     // num/den/st/sv/n per (series, step)), extrapolated to each
     // window's own eval instant + 2h — the float tree mirrors the

@@ -683,8 +683,7 @@ object Promql {
       case s: VectorSel => s
       case _ => throw new IllegalArgumentException("absent() expects a selector")
     }
-    if (ctx.grid.isDefined) throw new IllegalArgumentException(
-      "absent() is unsupported in stepped mode")
+    if (ctx.grid.isDefined) return steppedAbsent(sel, ctx)
     val spark = ctx.chunks.sparkSession
     val eqs = sel.matchers.collect { case Labels.Eq(l, v) => (l, v) }
     val labels = ctx.labelCols.filter(l => eqs.exists(_._1 == l))
@@ -705,6 +704,52 @@ object Promql {
       .withColumn("value", lit(1L))
       .select((labels :+ "value").map(col): _*)
     Vec(df, labels, Count)
+  }
+
+  /** Stepped absent()/absent_over_time() — the "no data" panel: a
+    * grid row appears exactly at the steps whose probe window
+    * ([t−d, t−1] for a range selector, the lookback (t−L, t] for an
+    * instant one) matches NOTHING. Each matched sample explodes onto
+    * the steps it is visible at (pure integer index arithmetic — no
+    * per-step query, no range join), the distinct visible steps
+    * broadcast, and the grid anti-joins them. */
+  private def steppedAbsent(sel: VectorSel, ctx: Ctx): Vec = {
+    val (start0, step) = ctx.grid.get
+    val spark = ctx.chunks.sparkSession
+    val eqs = sel.matchers.collect { case Labels.Eq(l, v) => (l, v) }
+    val labels = ctx.labelCols.filter(l => eqs.exists(_._1 == l))
+    val start = start0 - sel.offset
+    require(start % step == 0, "offset must preserve step alignment")
+    val end = ctx.evalTs - sel.offset
+    val nSteps = (end - start) / step + 1
+    // sample at ts is visible at step t iff aOff <= t - ts <= bOff
+    val (aOff, bOff) = sel.range match {
+      case Some(d) => (1L, d) // window [t−d, t−1]
+      case None => (0L, ctx.lookbackSec - 1) // lookback (t−L, t]
+    }
+    val probeFrom = start - bOff
+    val probeTo = start + (nSteps - 1) * step - aOff
+    val pts = Labels.selectRange(ctx.chunks, ctx.labelCols,
+      matcherString(sel.matchers), probeFrom, probeTo)
+    val stepD = step.toDouble
+    val present = pts
+      .withColumn("__lo", greatest(
+        ceil((col("ts") + lit(aOff) - lit(start)) / lit(stepD)).cast("long"),
+        lit(0L)))
+      .withColumn("__hi", least(
+        floor((col("ts") + lit(bOff) - lit(start)) / lit(stepD)).cast("long"),
+        lit(nSteps - 1)))
+      .filter(col("__lo") <= col("__hi"))
+      .select(explode(sequence(col("__lo"), col("__hi"))).as("__i"))
+      .distinct()
+    var grid = spark.range(nSteps).select(col("id").as("__i"))
+    eqs.filter(e => labels.contains(e._1))
+      .foreach { case (l, v) => grid = grid.withColumn(l, lit(v)) }
+    val df = grid.join(broadcast(present), Seq("__i"), "left_anti")
+      .withColumn("ts", lit(start0) + col("__i") * lit(step))
+      .withColumn("value", lit(1L))
+      .select((labels :+ "ts" :+ "value").map(col): _*)
+    Vec(df, labels :+ "ts", Count)
   }
 
   /** PromQL sort()/sort_desc(): order an instant vector by value
@@ -740,15 +785,42 @@ object Promql {
     * grid (Spark's exact `percentile`, DuckDB's `quantile_cont`: the
     * same (1−f)·a + f·b rule), one division by 100 at output. */
   private def quantileOverTime(phi: Double, arg: Expr, ctx: Ctx): Vec = {
-    if (ctx.grid.isDefined) throw new IllegalArgumentException(
-      "quantile_over_time is unsupported in stepped mode")
     val sel = arg match {
       case s: VectorSel => s
       case _ => throw new IllegalArgumentException(
         "quantile_over_time expects a range selector argument")
     }
-    val (from, to) = window(sel, ctx)
     val L = ctx.labelCols
+    // stepped mode — the p95 panel: quantiles don't compose from
+    // partials, so each decoded point explodes onto the ≤ k windows
+    // containing its bucket (windows are unions of whole step
+    // buckets) and ONE exact percentile runs per (series, step) —
+    // still a single decode of the selector's survivors
+    if (ctx.grid.isDefined) {
+      val (start0, step) = ctx.grid.get
+      val d = sel.range.getOrElse(
+        throw new IllegalArgumentException("quantile_over_time needs sel[duration]"))
+      require(d % step == 0 && d >= step,
+        s"window ${d}s must be a positive multiple of the ${step}s step grid")
+      val start = start0 - sel.offset
+      require(start % step == 0, "offset must preserve step alignment")
+      val end = ctx.evalTs - sel.offset
+      val k = d / step
+      val nSteps = (end - start) / step + 1
+      val tLast = start + (nSteps - 1) * step
+      val j0 = start / step
+      val perStep = decoded(sel, start - d, tLast - 1, ctx)
+        .withColumn("__j", expr(s"(ts div ${step}L) - ${j0}L"))
+        .withColumn("__i", explode(sequence(
+          greatest(col("__j") + lit(1L), lit(0L)),
+          least(col("__j") + lit(k), lit(nSteps - 1)))))
+        .groupBy(L.map(col) :+ col("__i"): _*)
+        .agg((expr(s"percentile(cents, $phi)") / lit(100.0)).as("value"))
+        .withColumn("ts", lit(start0) + col("__i") * lit(step))
+        .select((L :+ "ts" :+ "value").map(col): _*)
+      return Vec(perStep, L :+ "ts", Dbl)
+    }
+    val (from, to) = window(sel, ctx)
     val df = decoded(sel, from, to, ctx)
       .groupBy(L.map(col): _*)
       .agg((expr(s"percentile(cents, $phi)") / lit(100.0)).as("value"))

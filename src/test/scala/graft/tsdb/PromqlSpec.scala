@@ -445,9 +445,9 @@ class PromqlSpec extends AnyFunSuite {
     // bare instant selector has no per-step window
     intercept[IllegalArgumentException](Promql.evalRange(chunks, labelCols,
       """{type="click"}""", 1704844800L, EvalTs, 7200L))
-    // absent() has no stepped lowering
+    // holt_winters has no stepped lowering
     intercept[IllegalArgumentException](Promql.evalRange(chunks, labelCols,
-      """absent({type="click"})""", 1704844800L, EvalTs, 7200L))
+      "holt_winters(click[4h], 0.3, 0.1)", 1704844800L, EvalTs, 7200L))
     // unaligned grid start
     intercept[IllegalArgumentException](Promql.evalRange(chunks, labelCols,
       "sum(sum_over_time(click[4h]))", 1704844801L, EvalTs, 7200L))
