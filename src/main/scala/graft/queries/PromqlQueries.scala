@@ -343,6 +343,24 @@ object PromqlQueries {
       Promql.evalRange(chunks(s, dir, RangeStart - Day), labelCols,
           "deriv(view[1d])", RangeStart, EvalTs, 7200L)
         .orderBy("host", "region", "ts")),
+    // stepped timestamp() — the freshness panel: last sample second
+    // per (series, step) within each step's 6-h lookback; sample→step
+    // visibility is the stepped-absent index arithmetic, one max per
+    // (series, step), exact integers until the output cast
+    "promql_range_timestamp" -> ((s, dir) =>
+      Promql.evalRange(chunks(s, dir, RangeStart - StepWin), labelCols,
+          """timestamp({type="purchase", host=~"h1.*"})""",
+          RangeStart, EvalTs, 7200L, lookbackSec = 21600L)
+        .orderBy("host", "region", "ts")),
+    // stepped holt_winters — the smoothing panel: the fold is order-
+    // dependent (no partial composition), so points explode onto
+    // covering windows and the fused kernel folds once per
+    // (series, step); the recursive-CTE oracle carries the step
+    // through the same IEEE recurrence
+    "promql_range_hw" -> ((s, dir) =>
+      Promql.evalRange(chunks(s, dir, RangeStart - Day), labelCols,
+          "holt_winters(purchase[1d], 0.3, 0.1)", RangeStart, EvalTs, 7200L)
+        .orderBy("host", "region", "ts")),
     // stepped quantile_over_time — the p95/median panel: quantiles
     // don't compose from partials, so each decoded point explodes
     // onto the ≤ k windows containing its bucket and ONE exact
@@ -998,6 +1016,42 @@ object PromqlQueries {
         |SELECT type, host, region, t AS ts,
         |  CAST(num AS DOUBLE) / (100.0 * den) AS value
         |FROM d WHERE den <> 0 ORDER BY host, region, ts""".stripMargin,
+    // stepped timestamp: per-step last sample second in the lookback
+    "promql_range_timestamp" ->
+      s"""$lblCte,
+        |steps AS (SELECT ($RangeStart + i * 7200) AS t
+        |  FROM generate_series(0, 24) s(i))
+        |SELECT type, host, region, t AS ts, CAST(max(lbl.ts) AS DOUBLE) AS value
+        |FROM lbl JOIN steps ON lbl.ts >= t - 21599 AND lbl.ts <= t
+        |WHERE type = 'purchase' AND host LIKE 'h1%'
+        |GROUP BY type, host, region, t
+        |ORDER BY host, region, ts""".stripMargin,
+    // stepped holt_winters: the instant oracle's recursive CTE with
+    // the step carried through the group keys (trend renamed tr —
+    // the step column owns `t` here)
+    "promql_range_hw" ->
+      s"""${lblCte.replaceFirst("WITH lbl", "WITH RECURSIVE lbl")},
+        |steps AS (SELECT ($RangeStart + i * 7200) AS t
+        |  FROM generate_series(0, 24) s(i)),
+        |c AS (SELECT type, host, region, t, lbl.ts, cents FROM lbl
+        |  JOIN steps ON lbl.ts >= t - $Day AND lbl.ts <= t - 1
+        |  WHERE type = 'purchase'),
+        |a AS (SELECT type, host, region, t, count(*) AS n,
+        |    list(cents ORDER BY ts, cents) AS cl
+        |  FROM c GROUP BY 1, 2, 3, 4),
+        |x AS (SELECT type, host, region, t, n,
+        |    list_transform(cl, q -> CAST(q AS DOUBLE) / 100.0) AS xs
+        |  FROM a WHERE n >= 2),
+        |rr AS (
+        |  SELECT type, host, region, t, n, xs, 2 AS i,
+        |    xs[2] AS l, xs[2] - xs[1] AS tr FROM x
+        |  UNION ALL
+        |  SELECT type, host, region, t, n, xs, i + 1,
+        |    0.3 * xs[i + 1] + 0.7 * (l + tr),
+        |    0.1 * ((0.3 * xs[i + 1] + 0.7 * (l + tr)) - l) + 0.9 * tr
+        |  FROM rr WHERE i < n)
+        |SELECT type, host, region, t AS ts, l AS value FROM rr WHERE i = n
+        |ORDER BY host, region, ts""".stripMargin,
     // stepped quantile: DuckDB's quantile_cont interpolates with the
     // same (1−f)·a + f·b rule Spark's exact percentile uses; one
     // division by 100 after

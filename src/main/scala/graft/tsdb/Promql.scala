@@ -769,11 +769,37 @@ object Promql {
       case s: VectorSel if s.range.isEmpty => s
       case _ => throw new IllegalArgumentException("timestamp() expects an instant selector")
     }
-    if (ctx.grid.isDefined) throw new IllegalArgumentException(
-      "timestamp() is unsupported in stepped mode")
+    val L = ctx.labelCols
+    // stepped mode: last sample second per (series, step) within each
+    // step's lookback — each sample explodes onto the steps it is
+    // visible at (integer index arithmetic, same as stepped absent),
+    // one max per (series, step)
+    if (ctx.grid.isDefined) {
+      val (start0, step) = ctx.grid.get
+      val start = start0 - sel.offset
+      require(start % step == 0, "offset must preserve step alignment")
+      val end = ctx.evalTs - sel.offset
+      val nSteps = (end - start) / step + 1
+      val lb = ctx.lookbackSec
+      val pts = Labels.selectRange(ctx.chunks, L, matcherString(sel.matchers),
+        start - lb + 1, start + (nSteps - 1) * step)
+      val stepD = step.toDouble
+      val perStep = pts
+        .withColumn("__lo", greatest(
+          ceil((col("ts") - lit(start)) / lit(stepD)).cast("long"), lit(0L)))
+        .withColumn("__hi", least(
+          floor((col("ts") + lit(lb - 1) - lit(start)) / lit(stepD)).cast("long"),
+          lit(nSteps - 1)))
+        .filter(col("__lo") <= col("__hi"))
+        .withColumn("__i", explode(sequence(col("__lo"), col("__hi"))))
+        .groupBy(L.map(col) :+ col("__i"): _*)
+        .agg(max(col("ts")).as("value"))
+        .withColumn("ts", lit(start0) + col("__i") * lit(step))
+        .select((L :+ "ts" :+ "value").map(col): _*)
+      return Vec(perStep, L :+ "ts", Count)
+    }
     val to = sel.at.getOrElse(ctx.evalTs) - sel.offset
     val from = to - ctx.lookbackSec + 1
-    val L = ctx.labelCols
     val df = Labels.selectRange(ctx.chunks, L, matcherString(sel.matchers), from, to)
       .groupBy(L.map(col): _*)
       .agg(max(col("ts")).as("value"))
@@ -835,8 +861,6 @@ object Promql {
     * evaluates, so emitted doubles are bit-stable). Series with < 2
     * samples are absent, matching PromQL. */
   private def holtWintersVec(arg: Expr, sf: Double, tf: Double, ctx: Ctx): Vec = {
-    if (ctx.grid.isDefined) throw new IllegalArgumentException(
-      "holt_winters is unsupported in stepped mode")
     require(sf > 0 && sf < 1 && tf > 0 && tf < 1,
       "holt_winters smoothing factors must be in (0, 1)")
     val sel = arg match {
@@ -844,8 +868,39 @@ object Promql {
       case _ => throw new IllegalArgumentException(
         "holt_winters expects a range selector argument")
     }
-    val (from, to) = window(sel, ctx)
     val L = ctx.labelCols
+    // stepped mode — the smoothing panel: the fold is order-dependent
+    // so it can't compose from partials; each decoded point explodes
+    // onto its covering windows and the kernel folds once per
+    // (series, step). One decode of the selector's survivors.
+    if (ctx.grid.isDefined) {
+      val (start0, step) = ctx.grid.get
+      val d = sel.range.getOrElse(
+        throw new IllegalArgumentException("holt_winters needs sel[duration]"))
+      require(d % step == 0 && d >= step,
+        s"window ${d}s must be a positive multiple of the ${step}s step grid")
+      val start = start0 - sel.offset
+      require(start % step == 0, "offset must preserve step alignment")
+      val end = ctx.evalTs - sel.offset
+      val k = d / step
+      val nSteps = (end - start) / step + 1
+      val tLast = start + (nSteps - 1) * step
+      val j0 = start / step
+      val perStep = decoded(sel, start - d, tLast - 1, ctx)
+        .withColumn("__j", expr(s"(ts div ${step}L) - ${j0}L"))
+        .withColumn("__i", explode(sequence(
+          greatest(col("__j") + lit(1L), lit(0L)),
+          least(col("__j") + lit(k), lit(nSteps - 1)))))
+        .groupBy(L.map(col) :+ col("__i"): _*)
+        .agg(count(lit(1)).as("__n"),
+          collect_list(struct(col("ts"), col("cents"))).as("__arr"))
+        .filter(col("__n") >= 2)
+        .withColumn("__hw", graft.functions.hw_fold(col("__arr"), sf, tf))
+        .withColumn("ts", lit(start0) + col("__i") * lit(step))
+        .select(L.map(col) :+ col("ts") :+ col("__hw.level").as("value"): _*)
+      return Vec(perStep, L :+ "ts", Dbl)
+    }
+    val (from, to) = window(sel, ctx)
     val df = decoded(sel, from, to, ctx)
       .groupBy(L.map(col): _*)
       .agg(count(lit(1)).as("__n"),

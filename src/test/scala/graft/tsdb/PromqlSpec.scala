@@ -445,9 +445,10 @@ class PromqlSpec extends AnyFunSuite {
     // bare instant selector has no per-step window
     intercept[IllegalArgumentException](Promql.evalRange(chunks, labelCols,
       """{type="click"}""", 1704844800L, EvalTs, 7200L))
-    // holt_winters has no stepped lowering
+    // @ pins a selector to ONE instant — refused per step (the panel
+    // would be a constant; Prometheus evaluates it per query, not here)
     intercept[IllegalArgumentException](Promql.evalRange(chunks, labelCols,
-      "holt_winters(click[4h], 0.3, 0.1)", 1704844800L, EvalTs, 7200L))
+      s"sum(sum_over_time(click[4h] @ $EvalTs))", 1704844800L, EvalTs, 7200L))
     // unaligned grid start
     intercept[IllegalArgumentException](Promql.evalRange(chunks, labelCols,
       "sum(sum_over_time(click[4h]))", 1704844801L, EvalTs, 7200L))
