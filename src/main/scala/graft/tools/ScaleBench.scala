@@ -209,6 +209,15 @@ object ScaleBench {
           labelCols, """sum by (region) (sum_over_time({type="click"}[6h]))""",
           from, to, 7200L))
       }
+      // round-11: the stepped function with real scale exposure —
+      // quantiles can't compose from partials, so each decoded point
+      // explodes onto <= k covering windows; this row prices that
+      // decode-and-explode against the dense 200M-point store
+      timed(s"${tag}_promql_rangeq", nEv, "stepped quantile: decode x k explosion, exact percentile per (series, step)") {
+        noop(graft.tsdb.Promql.evalRange(Ts.readStore(spark, lblPath, from - 21600, to),
+          labelCols, """quantile_over_time(0.9, {type="click"}[6h])""",
+          from, to, 7200L))
+      }
       // round-11 additions: subquery + histogram_quantile at volume
       timed(s"${tag}_promql_subq", nEv, "subquery: 8-instant inner stepped rate, exact outer max") {
         noop(graft.tsdb.Promql.eval(Ts.readStore(spark, lblPath, to - 260000, to),
