@@ -184,4 +184,19 @@ object Labels {
   def selectRange(chunks: DataFrame, labelCols: Seq[String], selector: String,
                   fromSec: Long, toSec: Long): DataFrame =
     Ts.rangeQuery(select(chunks, labelCols, selector), labelCols, fromSec, toSec)
+
+  /** Selector + time range → sample SECONDS only — the presence/
+    * freshness materialization (`absent`, `timestamp()`): identical
+    * label + window-stat pruning, but only the timestamp stream of a
+    * surviving chunk decodes (`gorilla_decode_ts`); the value bits
+    * are never touched. */
+  def selectRangeTs(chunks: DataFrame, labelCols: Seq[String], selector: String,
+                    fromSec: Long, toSec: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    select(chunks, labelCols, selector)
+      .filter(col("max_ts") >= fromSec && col("min_ts") <= toSec)
+      .select(labelCols.map(col) :+
+        explode(graft.functions.gorilla_decode_ts(col("chunk"))).as("ts"): _*)
+      .filter(col("ts") >= fromSec && col("ts") <= toSec)
+  }
 }

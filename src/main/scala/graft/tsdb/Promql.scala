@@ -694,7 +694,7 @@ object Promql {
         val to = sel.at.getOrElse(ctx.evalTs) - sel.offset
         (to - ctx.lookbackSec + 1, to)
     }
-    val matched = Labels.selectRange(ctx.chunks, ctx.labelCols,
+    val matched = Labels.selectRangeTs(ctx.chunks, ctx.labelCols,
         matcherString(sel.matchers), pFrom, pTo)
       .select(lit(1).as("__k")).distinct()
     var one = spark.range(1).select(lit(1).as("__k"))
@@ -729,7 +729,7 @@ object Promql {
     }
     val probeFrom = start - bOff
     val probeTo = start + (nSteps - 1) * step - aOff
-    val pts = Labels.selectRange(ctx.chunks, ctx.labelCols,
+    val pts = Labels.selectRangeTs(ctx.chunks, ctx.labelCols,
       matcherString(sel.matchers), probeFrom, probeTo)
     val stepD = step.toDouble
     val present = pts
@@ -781,7 +781,7 @@ object Promql {
       val end = ctx.evalTs - sel.offset
       val nSteps = (end - start) / step + 1
       val lb = ctx.lookbackSec
-      val pts = Labels.selectRange(ctx.chunks, L, matcherString(sel.matchers),
+      val pts = Labels.selectRangeTs(ctx.chunks, L, matcherString(sel.matchers),
         start - lb + 1, start + (nSteps - 1) * step)
       val stepD = step.toDouble
       val perStep = pts
@@ -800,7 +800,7 @@ object Promql {
     }
     val to = sel.at.getOrElse(ctx.evalTs) - sel.offset
     val from = to - ctx.lookbackSec + 1
-    val df = Labels.selectRange(ctx.chunks, L, matcherString(sel.matchers), from, to)
+    val df = Labels.selectRangeTs(ctx.chunks, L, matcherString(sel.matchers), from, to)
       .groupBy(L.map(col): _*)
       .agg(max(col("ts")).as("value"))
     Vec(df, L, Count)

@@ -724,6 +724,24 @@ class PromqlSpec extends AnyFunSuite {
     assert(plan.contains("gorilla_chunk_agg_range"), plan.take(3000))
   }
 
+  test("absent/timestamp decode ONLY the timestamp stream (ts-only kernel)") {
+    Seq(
+      Promql.eval(chunks, labelCols,
+        """absent_over_time({type="click", host="h999"}[2d])""", EvalTs),
+      Promql.eval(chunks, labelCols,
+        """timestamp({type="purchase", host=~"h1.*"})""", EvalTs),
+      Promql.evalRange(chunks, labelCols,
+        """absent_over_time({type="purchase", host="h11"}[6h])""",
+        1703980800L, 1704153600L, 7200L)
+    ).foreach { df =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("gorilla_decode_ts"), plan.take(2000))
+      // the value stream must never decode on the presence path
+      assert(!plan.replace("gorilla_decode_ts", "").contains("gorilla_decode"),
+        "value decode on a ts-only path:\n" + plan.take(3000))
+    }
+  }
+
   test("rate decodes ONLY selector survivors; binary-op one side broadcasts") {
     val rate = Promql.eval(chunks, labelCols,
       """sum by (region) (rate({type="click", host=~"h1.*"}[2d]))""", EvalTs)
