@@ -144,6 +144,8 @@ object StreamRules {
                      tsCol: String, valCol: String, group: RuleGroup,
                      rawPath: String, recPath: String,
                      alertPath: String = null): Unit = {
+    require(group.alerts.isEmpty || alertPath != null,
+      "rule group has alerting rules but no alertPath")
     val marker = recPath + "_rules_batch"
     val cur0 = readCursor(marker)
     if (batchId <= cur0.batchId) return // replayed batch: already folded

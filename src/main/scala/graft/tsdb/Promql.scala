@@ -556,6 +556,13 @@ object Promql {
 
   /** [from, to] second-grid window of a range selector at evalTs
     * (or the selector's pinned `@` instant). */
+  /** Stepped lowerings derive every window from the grid; an `@`
+    * modifier would pin them all to one instant — reject it loudly
+    * instead of silently ignoring the pin. */
+  private def noAtInStepped(sel: VectorSel): Unit =
+    if (sel.at.isDefined) throw new IllegalArgumentException(
+      "@ pins a selector to one instant and is unsupported in stepped mode")
+
   private def window(sel: VectorSel, ctx: Ctx): (Long, Long) = {
     val to = sel.at.getOrElse(ctx.evalTs) - sel.offset
     val d = sel.range.getOrElse(
@@ -714,6 +721,7 @@ object Promql {
     * per-step query, no range join), the distinct visible steps
     * broadcast, and the grid anti-joins them. */
   private def steppedAbsent(sel: VectorSel, ctx: Ctx): Vec = {
+    noAtInStepped(sel)
     val (start0, step) = ctx.grid.get
     val spark = ctx.chunks.sparkSession
     val eqs = sel.matchers.collect { case Labels.Eq(l, v) => (l, v) }
@@ -775,6 +783,7 @@ object Promql {
     // visible at (integer index arithmetic, same as stepped absent),
     // one max per (series, step)
     if (ctx.grid.isDefined) {
+      noAtInStepped(sel)
       val (start0, step) = ctx.grid.get
       val start = start0 - sel.offset
       require(start % step == 0, "offset must preserve step alignment")
@@ -823,6 +832,7 @@ object Promql {
     // buckets) and ONE exact percentile runs per (series, step) —
     // still a single decode of the selector's survivors
     if (ctx.grid.isDefined) {
+      noAtInStepped(sel)
       val (start0, step) = ctx.grid.get
       val d = sel.range.getOrElse(
         throw new IllegalArgumentException("quantile_over_time needs sel[duration]"))
@@ -874,6 +884,7 @@ object Promql {
     // onto its covering windows and the kernel folds once per
     // (series, step). One decode of the selector's survivors.
     if (ctx.grid.isDefined) {
+      noAtInStepped(sel)
       val (start0, step) = ctx.grid.get
       val d = sel.range.getOrElse(
         throw new IllegalArgumentException("holt_winters needs sel[duration]"))
@@ -1310,6 +1321,7 @@ object Promql {
     * every window. One division per (series, step) at output. */
   private def steppedDeriv(sel: VectorSel, ctx: Ctx,
                            horizon: Option[Double] = None): Vec = {
+    noAtInStepped(sel)
     val (start0, step) = ctx.grid.get
     val d = sel.range.getOrElse(
       throw new IllegalArgumentException("deriv needs sel[duration]"))

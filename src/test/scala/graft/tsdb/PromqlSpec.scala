@@ -449,6 +449,13 @@ class PromqlSpec extends AnyFunSuite {
     // would be a constant; Prometheus evaluates it per query, not here)
     intercept[IllegalArgumentException](Promql.evalRange(chunks, labelCols,
       s"sum(sum_over_time(click[4h] @ $EvalTs))", 1704844800L, EvalTs, 7200L))
+    // ... and every stepped lowering family refuses it, not just the
+    // _over_time body: point-exploding and presence paths too
+    intercept[IllegalArgumentException](Promql.evalRange(chunks, labelCols,
+      s"quantile_over_time(0.5, view[1d] @ $EvalTs)", 1704844800L, EvalTs, 7200L))
+    intercept[IllegalArgumentException](Promql.evalRange(chunks, labelCols,
+      s"""absent_over_time({type="click"}[4h] @ $EvalTs)""",
+      1704844800L, EvalTs, 7200L))
     // unaligned grid start
     intercept[IllegalArgumentException](Promql.evalRange(chunks, labelCols,
       "sum(sum_over_time(click[4h]))", 1704844801L, EvalTs, 7200L))
