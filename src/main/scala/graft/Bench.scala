@@ -170,9 +170,14 @@ object Bench {
         buildGz(results),
         build("ds", 10.0, grammar = true),
         build("ds", 10.0, grammar = true, base36 = true),
-        build("ds", 10.0, grammar = false))
+        // the true size floor: deciseconds THROUGH the compressor —
+        // the 242-key round-11 line outgrew even the centisecond gzip
+        // tier (base64 undoes ~1/3 of the compression), and a smaller
+        // payload, not a tighter format, is what keeps a size-bounded
+        // guarantee as the key count grows
+        buildGz(results, "ds", 10.0))
       .find(_.length <= 1995)
-      .getOrElse(buildGz(results))
+      .getOrElse(buildGz(results, "ds", 10.0))
   }
 
   /** The size-bounded compact tier: the PACKED-TRIE base-36
@@ -186,17 +191,20 @@ object Bench {
     * pipeline, so the consumer needs no out-of-band knowledge:
     * base64 → gunzip → the packed grammar with base-36 values (failed
     * queries keep the -1 sentinel). */
-  private def buildGz(results: Seq[(String, Double)]): String = {
+  private def buildGz(results: Seq[(String, Double)], unit: String = "cs",
+                      scale: Double = 100.0): String = {
     val entries = results.sortBy(_._1)
       .map { case (k, v) =>
-        (k.split('_').toList, if (v < 0) -1L else math.round(v * 100.0)) }
+        (k.split('_').toList, if (v < 0) -1L else math.round(v * scale)) }
     val packed = emitTrie(entries, v => java.lang.Long.toString(v, 36))
     val bos = new java.io.ByteArrayOutputStream()
-    val gz = new java.util.zip.GZIPOutputStream(bos)
+    val gz = new java.util.zip.GZIPOutputStream(bos) {
+      `def`.setLevel(java.util.zip.Deflater.BEST_COMPRESSION)
+    }
     gz.write(packed.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     gz.close()
     val b64 = java.util.Base64.getEncoder.encodeToString(bos.toByteArray)
-    s"""{"u":"cs","f":"b64 -> gunzip -> k:v(v base36),g(kids),join _","q":"$b64"}"""
+    s"""{"u":"$unit","f":"b64 -> gunzip -> k:v(v base36),g(kids),join _","q":"$b64"}"""
   }
 
   /** Emit items (token-path, value) in the packed grammar, collapsing
