@@ -154,6 +154,39 @@ class StreamRulesSpec extends AnyFunSuite {
     assert(sealedPerWindow == 1L)
   }
 
+  test("empty batches are cursor-only no-ops; beyond-lateness arrivals " +
+       "land in raw but never re-fold an evaluated step") {
+    import spark.implicits._
+    val (raw, rec, al) = freshDirs("edge")
+    val ss = slices
+    val empty = Seq.empty[(String, String, Long, Double)]
+    // an empty batch mid-stream: the cursor advances its batchId, the
+    // grid does not move, and the final parity is unaffected
+    StreamRules.foldGroupBatch(toDf(ss(0)), 0, labelCols, "ts", "v",
+      group, raw, rec, al)
+    StreamRules.foldGroupBatch(toDf(empty), 1, labelCols, "ts", "v",
+      group, raw, rec, al)
+    StreamRules.foldGroupBatch(toDf(ss(1)), 2, labelCols, "ts", "v",
+      group, raw, rec, al)
+    StreamRules.foldGroupBatch(toDf(ss(2)), 3, labelCols, "ts", "v",
+      group, raw, rec, al)
+    assert(recordedPoints(rec) == expectedRecording)
+    // a point LATER than the lateness bound (its covering step already
+    // folded): the raw store accepts it — future steps and ad-hoc raw
+    // queries see it — but the evaluated step stays as-folded
+    // (documented at-most-once staleness, never a re-fold or a crash)
+    val before = recordedPoints(rec)
+    val rawBefore = Ts.readStore(spark, raw).agg(
+      org.apache.spark.sql.functions.sum("n")).head().getLong(0)
+    StreamRules.foldGroupBatch(
+      toDf(Seq(("click", "h1", T0 + 300L, 99.0))), 4, labelCols, "ts", "v",
+      group, raw, rec, al)
+    assert(recordedPoints(rec) == before)
+    val rawAfter = Ts.readStore(spark, raw).agg(
+      org.apache.spark.sql.functions.sum("n")).head().getLong(0)
+    assert(rawAfter == rawBefore + 1)
+  }
+
   test("end-to-end over a real stream: groupStream materializes the " +
        "batch-identical derived store") {
     import spark.implicits._
