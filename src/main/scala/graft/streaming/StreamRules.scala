@@ -180,6 +180,22 @@ object StreamRules {
     writeCursor(marker, cur.copy(batchId = batchId))
   }
 
+  /** The last grid step the group evaluated (from the persisted
+    * cursor next to `recPath`) — None before the first fold crosses a
+    * step. The anchor for [[currentAlerts]]. */
+  def lastEvaluatedStep(recPath: String): Option[Long] = {
+    val c = readCursor(recPath + "_rules_batch")
+    if (c.lastStep == NoSec) None else Some(c.lastStep)
+  }
+
+  /** The CURRENT alert table (what a Prometheus /alerts page shows):
+    * the state-log rows at exactly `atStep` — an alert with no row
+    * there is inactive (the log is sparse by design). Anchor `atStep`
+    * at [[lastEvaluatedStep]] for "now". */
+  def currentAlerts(spark: org.apache.spark.sql.SparkSession,
+                    alertPath: String, atStep: Long): DataFrame =
+    spark.read.parquet(alertPath).filter(col("ts") === atStep)
+
   /** The standing streaming job for a rule group: events stream →
     * raw store + continuously materialized derived series + alert
     * state log. */

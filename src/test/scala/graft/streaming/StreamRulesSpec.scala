@@ -112,6 +112,14 @@ class StreamRulesSpec extends AnyFunSuite {
     assert(expectedAlerts.nonEmpty) // the threshold actually fires
     assert(expectedAlerts.exists(_._3 == "firing") &&
       expectedAlerts.exists(_._3 == "pending"))
+    // the operational "what's firing now" view: the log rows at the
+    // cursor's last evaluated step
+    assert(StreamRules.lastEvaluatedStep(rec).contains(LastStep))
+    val now = StreamRules.currentAlerts(spark, al, LastStep)
+      .select("host", "ts", "state").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(now == expectedAlerts.filter(_._2 == LastStep))
+    assert(now.nonEmpty)
   }
 
   test("replayed batchId folds exactly once") {
