@@ -875,4 +875,39 @@ object TextOps {
       regexp_count(col(textCol), lit(PhoneRe)).cast("long").as("n_phones"),
       md5(regexp_replace(regexp_replace(col(textCol), EmailRe, "<EMAIL>"),
         PhoneRe, "<PHONE>")).as("scrub_md5"))
+
+  /**
+   * Token-distribution DRIFT between two corpus snapshots — the
+   * "did this month's crawl change under me" check a training-data
+   * pipeline runs before mixing corpora. The drift score per token is
+   * the cross-multiplied count difference |c0·n1 − c1·n0| (the
+   * numerator of |c0/n0 − c1/n1| over the common denominator), so the
+   * WHOLE ranking is exact BIGINT arithmetic — no float ever, both
+   * engines agree bitwise, and the total-variation distance is
+   * Σ drift / (2·n0·n1) if a caller wants the scalar. Exact while
+   * snapshot token counts stay under ~2·10⁹ (drift ≤ 2·n0·n1 < 2⁶³).
+   *
+   * Shape at scale: one vocab-sized shuffle (groupBy token), a
+   * 1-row totals broadcast, and a TakeOrdered top-k — never a global
+   * sort, nothing driver-side. Here the two snapshots are the
+   * doc_id-parity halves; a real pipeline passes its own snapshot
+   * predicate via `snapCol`.
+   */
+  def snapshotDrift(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int = 10,
+                    snapCol: DataFrame => Column = d => pmod(col("doc_id"), lit(2L))): DataFrame = {
+    val toks = docs
+      .select(snapCol(docs).as("__snap"),
+        explode(split(col(textCol), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val counts = toks.groupBy("tok")
+      .agg(sum(when(col("__snap") === 0, 1L).otherwise(0L)).as("c0"),
+        sum(when(col("__snap") === 1, 1L).otherwise(0L)).as("c1"))
+    val totals = counts.agg(sum("c0").as("n0"), sum("c1").as("n1"))
+    counts.crossJoin(broadcast(totals))
+      .withColumn("drift", abs(col("c0") * col("n1") - col("c1") * col("n0")))
+      .select("tok", "c0", "c1", "drift")
+      .orderBy(col("drift").desc, col("tok"))
+      .limit(k)
+  }
 }

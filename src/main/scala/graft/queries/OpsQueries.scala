@@ -777,6 +777,11 @@ object OpsQueries {
     // engine-agnostic deterministic subsample (smallest md5(id))
     "sample_hash_topk" -> ((s, dir) =>
       TextOps.sampleTopKByHash(Tables(s, dir, "documents"), "doc_id", 100)),
+    // snapshot drift: cross-multiplied per-token count difference
+    // between the doc_id-parity corpus halves — the whole ranking is
+    // exact BIGINT, no float anywhere
+    "text_drift" -> ((s, dir) =>
+      TextOps.snapshotDrift(Tables(s, dir, "documents"), "doc_id", "text", 10)),
     // the flagship dedup pipeline end-to-end: LSH candidates -> exact
     // jaccard verify -> fixpoint components -> canonical doc per
     // cluster. Oracled against brute-force transitive closure (the
@@ -1516,6 +1521,19 @@ object OpsQueries {
         |    i -> w[i] || ' ' || w[i+1])) AS ngram
         |  FROM (SELECT string_split(text, ' ') AS w FROM documents))
         |GROUP BY ngram ORDER BY cnt DESC, ngram LIMIT 20""".stripMargin,
+    // drift ranking is exact BIGINT cross-multiplication — no float
+    "text_drift" ->
+      """WITH tok AS (SELECT doc_id, tok FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents) WHERE len(tok) > 0),
+        |c AS (SELECT tok,
+        |    CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+        |    CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+        |  FROM tok GROUP BY tok),
+        |t AS (SELECT CAST(sum(c0) AS BIGINT) AS n0,
+        |    CAST(sum(c1) AS BIGINT) AS n1 FROM c)
+        |SELECT tok, c0, c1, abs(c0 * n1 - c1 * n0) AS drift
+        |FROM c, t ORDER BY drift DESC, tok LIMIT 10""".stripMargin,
     "text_keyterms" ->
       """WITH tf AS (
         |  SELECT doc_id, term, count(*) AS tf FROM (
