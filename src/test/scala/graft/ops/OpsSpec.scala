@@ -1038,4 +1038,32 @@ class OpsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(uncapped.contains((10L, 11L)), "uncapped run should pair the clique")
   }
+
+  test("snapshotDrift: exact cross-multiplied ranking, custom snapshot predicate") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // snapshot 0 (even ids): 'stable' everywhere; snapshot 1 adds 'new'
+    val docs = Seq(
+      (0L, "stable stable alpha"), (2L, "stable beta"),
+      (1L, "stable new new"), (3L, "new beta")).toDF("doc_id", "text")
+    val got = graft.ops.TextOps.snapshotDrift(docs, "doc_id", "text", k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // n0 = 5 tokens even, n1 = 5 odd; drift = |c0*n1 - c1*n0| = 5*|c0 - c1|
+    val byTok = got.map(t => t._1 -> t._4).toMap
+    assert(byTok("new") == 15L)    // c0=0, c1=3
+    assert(byTok("stable") == 10L) // c0=3, c1=1
+    assert(byTok("alpha") == 5L && byTok("beta") == 0L)
+    // ranking is (drift desc, tok asc)
+    assert(got.map(_._1).toSeq == Seq("new", "stable", "alpha", "beta"))
+    // a custom snapshot predicate replaces the parity default
+    val flipped = graft.ops.TextOps.snapshotDrift(docs, "doc_id", "text", k = 10,
+        snapCol = _ => when(col("doc_id") < 2, 0L).otherwise(1L))
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    // snap0={0,1}: n0=6 (stable:3, alpha:1, new:2); snap1={2,3}: n1=4
+    // (stable:1, beta:2, new:1)
+    assert(flipped("new") == 2L)    // |2*4 - 1*6|
+    assert(flipped("beta") == 12L)  // |0*4 - 2*6|
+    assert(flipped("stable") == 6L) // |3*4 - 1*6|
+    assert(flipped("alpha") == 4L)  // |1*4 - 0*6|
+  }
 }
