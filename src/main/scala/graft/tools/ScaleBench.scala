@@ -125,6 +125,11 @@ object ScaleBench {
       timed(s"${tag}_mix_allocate", nDocs, "largest-remainder budget split") {
         noop(TextOps.mixAllocate(docs, "lang", "text", 1000000000L))
       }
+      // round-11: snapshot drift — ONE vocab-sized shuffle + a 1-row
+      // totals broadcast + TakeOrdered; exact BIGINT end-to-end
+      timed(s"${tag}_text_drift", nDocs, "snapshot drift: vocab shuffle + totals broadcast + top-k") {
+        noop(TextOps.snapshotDrift(docs, "doc_id", "text", 10))
+      }
     }
 
     /** The TSDB store family against one corpus dir. */
