@@ -688,6 +688,38 @@ class PromqlSpec extends AnyFunSuite {
     assert((r.keySet -- l.keySet).nonEmpty, "rhs-only arm must be exercised")
   }
 
+  test("stepped absent()/timestamp(): exact lookback visibility at the boundary") {
+    import spark.implicits._
+    val T0 = 1700006400L
+    val base = T0 - 3600L // 600-aligned; first sample lands exactly here
+    val rows = (0L until 110L).map { j =>
+      val m = base + j * 60L
+      ("m", "h1", m * 1000000000L, 1.0)
+    }
+    val ch = Ts.chunkify(rows.toDF("type", "host", "ts", "v"),
+      Seq("type", "host"), "ts", "v")
+    // grid straddles the data start; default 300s lookback: a sample
+    // at ts is visible at step t iff ts <= t <= ts + 299
+    val abs1 = Promql.evalRange(ch, Seq("type", "host"),
+        """absent({type="m"})""", base - 1200L, base + 1200L, 600L)
+      .collect().map(_.getAs[Long]("ts")).toSet
+    assert(abs1 == Set(base - 1200L, base - 600L)) // pre-data steps only
+    // a selector matching nothing is absent at EVERY step, labeled by
+    // its equality matchers
+    val abs2 = Promql.evalRange(ch, Seq("type", "host"),
+        """absent({type="m", host="h9"})""", T0, T0 + 3000L, 600L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getAs[Long]("ts")))
+    assert(abs2.length == 6 && abs2.forall(t => t._1 == "m" && t._2 == "h9"))
+    // stepped timestamp: the last visible sample second per step —
+    // samples land every 60s up to T0+2940, so each covered step's
+    // answer is the step itself and the final step sees the last sample
+    val ts1 = Promql.evalRange(ch, Seq("type", "host"),
+        """timestamp({type="m"})""", T0, T0 + 3000L, 600L)
+      .collect().map(r => r.getAs[Long]("ts") -> r.getAs[Double]("value")).toMap
+    assert((0L to 4L).forall(i => ts1(T0 + i * 600) == (T0 + i * 600).toDouble))
+    assert(ts1(T0 + 3000L) == (T0 + 2940L).toDouble)
+  }
+
   test("stepped predict_linear is EXACT on an integer line") {
     import spark.implicits._
     // cents(u) = 1000 + 2u on a 60s cadence: slope, means, and the
