@@ -337,8 +337,16 @@ object Dedup {
    * tighter prefix), then the sorted-merge intersection verifies.
    * Shuffles are linear in Σ|prefix| + candidate pairs.
    */
-  def containmentJoinSigs(sigs: DataFrame, threshold: Double): DataFrame = {
-    val cand = prefixCandidates(sigs, threshold)
+  def containmentJoinSigs(sigs: DataFrame, threshold: Double): DataFrame =
+    containmentJoinPostings(postings(sigs), sigs, threshold)
+
+  /** [[containmentJoinSigs]] over a PRE-PUBLISHED [[postings]] table —
+    * the per-corpus form: the df groupBy + rank window amortize to one
+    * parquet read, and only the (prefix ⋈ postings) candidate join +
+    * verify run per query. */
+  def containmentJoinPostings(post: DataFrame, sigs: DataFrame,
+                              threshold: Double): DataFrame = {
+    val cand = prefixCandidates(post, threshold)
     val sh = sigs.select(col("id"), col("sh"))
     cand
       .join(sh.toDF("a_id", "sh_a"), "a_id")
@@ -351,36 +359,74 @@ object Dedup {
       .select("a_id", "b_id", "n_common", "c_a_in_b", "c_b_in_a")
   }
 
+  /**
+   * POSTING-LIST ARTIFACT for prefix-filtered set joins: one row per
+   * (doc, shingle) with `pos` = the shingle's 1-based rank inside the
+   * doc under the GLOBAL ordering (document frequency ascending, hash
+   * tiebreak) and `n` = the doc's shingle count. This is the second
+   * half of the "pay the text scan once per corpus" contract: the df
+   * groupBy and the per-doc rank window are corpus-sized shuffles that
+   * belong in the published signature store (computed at ingest,
+   * ~tens of bytes/row ≪ the text), NOT rebuilt per containment query
+   * — rebuilding them per run was the repo's one measured spill at 2M
+   * docs. Every prefix at ANY τ is a `pos ≤ ⌊(1−τ)·n⌋+1` filter over
+   * this one table, so the artifact serves all thresholds.
+   */
+  def postings(sigs: DataFrame): DataFrame = {
+    val ex = sigs.select(col("id"), explode(col("sh")).as("g"))
+    // global df per shingle — one groupBy, broadcast-joined back is
+    // wrong at 100 TB (vocabulary-sized), so it rides a shuffle join
+    val df = ex.groupBy("g").agg(count(lit(1)).as("__df"))
+    // rank each doc's shingles rarest-first (ties broken by hash
+    // value, so both docs of any pair see the SAME total order — the
+    // positional filter below depends on that)
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("__df"), col("g"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy("id")
+    ex.join(df, "g")
+      .select(col("id"), col("g"),
+        row_number().over(wRank).as("pos"),
+        count(lit(1)).over(wAll).cast("int").as("n"))
+  }
+
   /** Prefix-filtered candidate pairs: every pair with containment ≥ τ
     * in either direction shares at least one shingle from the shorter
     * side's ⌊(1−τ)·n⌋+1 rarest shingles (pigeonhole on the global-df
     * ordering), so joining each doc's PREFIX against all postings is
     * candidate-complete — and prefixes concentrate on RARE shingles,
     * so posting lists stay bounded by construction instead of by a
-    * recall-losing cap. */
-  private def prefixCandidates(sigs: DataFrame, threshold: Double): DataFrame = {
-    val ex = sigs.select(col("id"), explode(col("sh")).as("g"))
-    // global df per shingle — one groupBy, broadcast-joined back is
-    // wrong at 100 TB (vocabulary-sized), so it rides a shuffle join
-    val df = ex.groupBy("g").agg(count(lit(1)).as("__df"))
-    // rank each doc's shingles rarest-first; keep the containment
-    // prefix ⌊(1−τ)·n⌋+1 (ties broken by hash value for determinism)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("id").orderBy(col("__df"), col("g"))
-    val prefix = ex.join(df, "g")
-      .withColumn("__rk", row_number().over(w))
-      .join(sigs.select(col("id"), size(col("sh")).as("__n")), "id")
-      .filter(col("__rk") <= floor((lit(1.0) - threshold) * col("__n")) + 1)
-      .select(col("id"), col("g"))
+    * recall-losing cap.
+    *
+    * Adds PPJoin's POSITIONAL filter (Xiao et al., WWW'08 §3.2): when
+    * prefix shingle g sits at rank i of doc P (|P|=n_p) and rank j of
+    * doc O (|O|=n_o) under the shared global order, everything shared
+    * beyond g lies strictly after BOTH ranks, so
+    * |P∩O| ≤ 1 + min(n_p−i, n_o−j). A match row dies map-side — before
+    * the candidate-dedup shuffle and the verify join — when that bound
+    * already caps containment below τ. Exact: the pair's earliest
+    * shared shingle minimizes i and j SIMULTANEOUSLY (same total
+    * order on both sides), so for any truly-qualifying pair that row's
+    * bound ≥ the true overlap and survives; division by the same
+    * `least(n)` expression the verify uses keeps the comparison
+    * IEEE-consistent with the verify predicate. */
+  private def prefixCandidates(post: DataFrame, threshold: Double): DataFrame = {
+    val prefix = post
+      .filter(col("pos") <= floor((lit(1.0) - threshold) * col("n")) + 1)
+      .select(col("id").as("p_id"), col("g"),
+        col("pos").as("p_pos"), col("n").as("p_n"))
     // candidate pairs share a prefix shingle of at least one side:
     // A's prefix hit in ANY of B's shingles covers C(A→B) ≥ τ, and
     // symmetrically, so join prefix(A) against ALL postings of g —
     // posting lists of prefix shingles are rare-shingle-sized
-    prefix.toDF("a_id", "g")
-      .join(ex.toDF("b_id", "g"), "g")
-      .filter(col("a_id") =!= col("b_id"))
-      .select(least(col("a_id"), col("b_id")).as("a_id"),
-        greatest(col("a_id"), col("b_id")).as("b_id"))
+    prefix
+      .join(post.select(col("id").as("o_id"), col("g"),
+        col("pos").as("o_pos"), col("n").as("o_n")), "g")
+      .filter(col("p_id") =!= col("o_id"))
+      .filter((lit(1L) + least(col("p_n") - col("p_pos"),
+          col("o_n") - col("o_pos"))).cast("double")
+        / least(col("p_n"), col("o_n")).cast("double") >= threshold)
+      .select(least(col("p_id"), col("o_id")).as("a_id"),
+        greatest(col("p_id"), col("o_id")).as("b_id"))
       .distinct()
   }
 
@@ -396,7 +442,7 @@ object Dedup {
                              threshold: Double): DataFrame = {
     val s = sigs.filter(col("id") < maxId)
     val sh = s.select(col("id"), col("sh"))
-    prefixCandidates(s, threshold)
+    prefixCandidates(postings(s), threshold)
       .join(sh.toDF("a_id", "sh_a"), "a_id")
       .join(sh.toDF("b_id", "sh_b"), "b_id")
       .withColumn("n_common",

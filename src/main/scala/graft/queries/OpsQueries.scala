@@ -142,6 +142,30 @@ object OpsQueries {
     scala.collection.mutable.Map[(SparkSession, String), DataFrame]()
 
   /**
+   * The persisted POSTING-LIST table (id, g, pos, n) for a corpus —
+   * the df-ranked exploded shingles the prefix-filtered containment /
+   * Jaccard joins probe. Published beside the signature table for the
+   * same reason: the vocabulary df groupBy and the per-doc rank window
+   * are corpus-sized shuffles that belong at ingest, not per query —
+   * rebuilding them per containment run was the repo's only measured
+   * shuffle spill at 2M docs.
+   */
+  def docPostings(s: SparkSession, dir: String): DataFrame = synchronized {
+    postCache.getOrElseUpdate((s, dir), {
+      val path = sigPath(dir) + "_p1"
+      publishOnce(s, path) { tmp =>
+        Dedup.postings(docSignatures(s, dir))
+          .write.mode("overwrite").parquet(tmp)
+      }
+      s.read.parquet(path)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+  }
+
+  private val postCache =
+    scala.collection.mutable.Map[(SparkSession, String), DataFrame]()
+
+  /**
    * The VERIFIED near-dup pair table for the bounded correctness
    * corpus (id < 1000): LSH candidates + exact-Jaccard verify,
    * published once per corpus. Pair generation and clustering are
@@ -373,9 +397,11 @@ object OpsQueries {
     // (rarest-shingle prefixes bound the inverted join exactly — no
     // recall-losing bucket cap), equal output to brute over the same
     // corpus (pinned in OpsSpec); runs unbounded where the brute
-    // baseline needs its id cap
+    // baseline needs its id cap. Probes the PUBLISHED posting-list
+    // artifact — the df rank shuffle is paid once per corpus.
     "text_containment_join" -> ((s, dir) =>
-      Dedup.containmentJoinSigs(docSignatures(s, dir), threshold = 0.5)
+      Dedup.containmentJoinPostings(docPostings(s, dir),
+          docSignatures(s, dir), threshold = 0.5)
         .orderBy("a_id", "b_id")),
     "dedup_components" -> ((s, dir) => {
       val sigs = docSignatures(s, dir).filter(col("id") < 1000)

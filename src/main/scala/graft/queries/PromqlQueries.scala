@@ -328,6 +328,93 @@ object PromqlQueries {
     "promql_sgn" -> ((s, dir) =>
       q(s, dir, "sgn(sum by (host) (sum_over_time(purchase[2d])) - 60)")
         .orderBy("host")),
+    // —— round-12: the math-function tail ——
+    // transcendentals differ by ulps between JVM and DuckDB libm, so
+    // these keys round to 9 decimals on BOTH sides of the comparison
+    // contract (a real regression moves far more than 1e-9; the
+    // memory-noted ulp risk rules out full-hash floats here)
+    "promql_ln" -> ((s, dir) =>
+      q(s, dir, "ln(sum by (region) (sum_over_time(click[2d])))")
+        .withColumn("value", round(col("value"), 9)).orderBy("region")),
+    "promql_log" -> ((s, dir) =>
+      q(s, dir, "log2(sum by (region) (sum_over_time(click[2d])))" +
+          " + log10(sum by (region) (sum_over_time(click[2d])))")
+        .withColumn("value", round(col("value"), 9)).orderBy("region")),
+    // exp over per-series rates, folded with max (order-independent —
+    // the engine refuses float SUMS by design, and rightly refused the
+    // first draft of this key)
+    "promql_exp" -> ((s, dir) =>
+      q(s, dir, "max by (region) (exp(rate(click[2d])))")
+        .withColumn("value", round(col("value"), 9)).orderBy("region")),
+    // —— round-12: time() + calendar functions ——
+    // yyyymmdd of each purchase series' last sample — calendar
+    // extraction over a VECTOR argument, all-integer, oracle-exact
+    "promql_calendar" -> ((s, dir) =>
+      q(s, dir, "year(timestamp({type=\"purchase\", host=~\"h1.*\"})) * 10000" +
+          " + month(timestamp({type=\"purchase\", host=~\"h1.*\"})) * 100" +
+          " + day_of_month(timestamp({type=\"purchase\", host=~\"h1.*\"}))",
+          fromSec = EvalTs - Day + 1, lookback = Day)
+        .orderBy("type", "host", "region")),
+    // zero-arg calendar form: days_in_month() ≡ days_in_month(vector
+    // (time())) — one label-free row off the evaluation instant
+    "promql_days" -> ((s, dir) =>
+      q(s, dir, "days_in_month()").orderBy("value")),
+    // scalar-typed arithmetic: time()/100 stays a SCALAR through the
+    // division (no label matching), applied elementwise to the vector
+    "promql_time" -> ((s, dir) =>
+      q(s, dir, "sum by (region) (sum_over_time(click[2d])) - time() / 100")
+        .orderBy("region")),
+    // scalar(v): the corpus-share panel — each region's sum divided by
+    // the global total, the 1-row total broadcast onto every element
+    "promql_scalar" -> ((s, dir) =>
+      q(s, dir, "sum by (region) (sum_over_time(click[2d]))" +
+          " / scalar(sum(sum_over_time(click[2d])))")
+        .orderBy("region")),
+    // hour()-gated alert silencing: `unless on()` suppresses the whole
+    // vector when the (label-free) gate matches; EvalTs is 00:00 UTC,
+    // so hour() >= 8 is empty and the alert passes through — the
+    // suppressing direction is pinned in PromqlSpec
+    "promql_silence" -> ((s, dir) =>
+      q(s, dir, "sum by (region) (sum_over_time(click[2d]))" +
+          " unless on() (hour() >= 8)")
+        .orderBy("region")),
+    // stepped time(): the per-step scalar rides the grid — hour() in a
+    // range query labels each panel column with its wall-clock hour
+    "promql_range_time" -> ((s, dir) =>
+      Promql.evalRange(chunks(s, dir, RangeStart - StepWin), labelCols,
+          "hour()", RangeStart, EvalTs, 7200L)
+        .orderBy("ts")),
+    // NESTED subquery — `[d:step]` inside a range query: the inner
+    // step series evaluates ONCE over the union span, and each inner
+    // instant explodes onto the outer steps it is visible at (integer
+    // index arithmetic, no per-step re-evaluation); max stays on the
+    // exact BIGINT grid, one division at output
+    "promql_subquery_nested" -> ((s, dir) =>
+      Promql.evalRange(chunks(s, dir, RangeStart - Day - StepWin), labelCols,
+          "max_over_time(sum by (region) (sum_over_time(click[6h]))[1d:6h])",
+          RangeStart, EvalTs, 7200L)
+        .orderBy("region", "ts")),
+    // @ in stepped mode — the "compare vs fixed instant" panel: the
+    // pinned window evaluates ONCE in instant mode and replicates
+    // across the grid (a broadcast of the ≤steps-row grid); each
+    // step's live 6h sum is divided by the pinned reference window
+    "promql_range_at" -> ((s, dir) =>
+      Promql.evalRange(chunks(s, dir, RangeStart - Day), labelCols,
+          "sum by (region) (sum_over_time(click[6h]))" +
+            s" / sum by (region) (sum_over_time(click[1d] @ $EvalTs))",
+          RangeStart, EvalTs, 7200L)
+        .orderBy("region", "ts")),
+    // group_left(labels) carry — the info-metric join: the one side's
+    // named labels are COPIED onto every matched many-side element
+    // (the `* on(instance) group_left(version) build_info` pattern);
+    // the synthetic `tier` info label comes off label_replace, and the
+    // one side stays a value-1 bool vector so the product is identity
+    "promql_group_left_carry" -> ((s, dir) =>
+      q(s, dir, "sum by (host, region) (sum_over_time(click[2d]))" +
+          " * on(host) group_left(tier) label_replace(" +
+          "sum by (host) (sum_over_time(purchase[2d])) > bool -1," +
+          " \"tier\", \"gold\", \"host\", \"h1.*\")")
+        .orderBy("host", "region")),
     // bool modifier: comparisons EMIT 0/1 instead of filtering, and
     // the 0/1 grid is exact — `sum(... > bool t)` counts hosts above
     // threshold per region without a float anywhere
@@ -987,6 +1074,125 @@ object PromqlQueries {
         |  WHERE ts >= $From AND ts <= $EvalTs AND type = 'purchase'
         |  GROUP BY host)
         |ORDER BY host""".stripMargin,
+    // transcendental oracles round to 9 decimals on both sides —
+    // JVM and DuckDB libm agree far past 1e-9 but not to the last ulp
+    "promql_ln" ->
+      s"""$lblCte
+        |SELECT region,
+        |  round(ln(CAST(CAST(sum(cents) AS BIGINT) AS DOUBLE) / 100.0), 9)
+        |    AS value
+        |FROM lbl WHERE ts >= $From AND ts <= $EvalTs AND type = 'click'
+        |GROUP BY region ORDER BY region""".stripMargin,
+    "promql_log" ->
+      s"""$lblCte
+        |SELECT region,
+        |  round(log2(CAST(CAST(sum(cents) AS BIGINT) AS DOUBLE) / 100.0)
+        |    + log10(CAST(CAST(sum(cents) AS BIGINT) AS DOUBLE) / 100.0), 9)
+        |    AS value
+        |FROM lbl WHERE ts >= $From AND ts <= $EvalTs AND type = 'click'
+        |GROUP BY region ORDER BY region""".stripMargin,
+    "promql_exp" ->
+      s"""$lblCte,
+        |pts AS (SELECT * FROM lbl WHERE ts >= $From AND ts <= $EvalTs
+        |  AND type = 'click'),
+        |d AS (SELECT type, host, region, cents - lag(cents) OVER (
+        |    PARTITION BY type, host, region ORDER BY ts, cents) AS dd FROM pts),
+        |r AS (SELECT type, host, region,
+        |  CAST(CAST(sum(CASE WHEN dd > 0 THEN dd ELSE 0 END) AS BIGINT)
+        |    AS DOUBLE) / ${Win * 100}.0 AS rv
+        |  FROM d WHERE dd IS NOT NULL GROUP BY type, host, region)
+        |SELECT region, round(max(exp(rv)), 9) AS value
+        |FROM r GROUP BY region ORDER BY region""".stripMargin,
+    // calendar extraction is all-integer (UTC) — exact oracles;
+    // make_timestamp(µs) keeps DuckDB timezone-free like the engine's
+    // UTC session
+    "promql_calendar" ->
+      s"""$lblCte
+        |SELECT type, host, region,
+        |  CAST(year(make_timestamp(max(ts) * 1000000)) * 10000
+        |    + month(make_timestamp(max(ts) * 1000000)) * 100
+        |    + day(make_timestamp(max(ts) * 1000000)) AS DOUBLE) AS value
+        |FROM lbl WHERE ts >= ${EvalTs - Day + 1} AND ts <= $EvalTs
+        |  AND type = 'purchase' AND host LIKE 'h1%'
+        |GROUP BY type, host, region ORDER BY type, host, region""".stripMargin,
+    "promql_days" ->
+      s"""SELECT CAST(day(last_day(make_timestamp(
+        |  CAST($EvalTs AS BIGINT) * 1000000))) AS DOUBLE) AS value""".stripMargin,
+    "promql_time" ->
+      s"""$lblCte
+        |SELECT region,
+        |  CAST(CAST(sum(cents) AS BIGINT) AS DOUBLE) / 100.0
+        |    - (CAST($EvalTs AS DOUBLE) / 100.0) AS value
+        |FROM lbl WHERE ts >= $From AND ts <= $EvalTs AND type = 'click'
+        |GROUP BY region ORDER BY region""".stripMargin,
+    "promql_scalar" ->
+      s"""$lblCte,
+        |w AS (SELECT region, cents FROM lbl
+        |  WHERE ts >= $From AND ts <= $EvalTs AND type = 'click'),
+        |tot AS (SELECT CAST(CAST(sum(cents) AS BIGINT) AS DOUBLE) / 100.0
+        |  AS tv FROM w)
+        |SELECT region,
+        |  (CAST(CAST(sum(cents) AS BIGINT) AS DOUBLE) / 100.0)
+        |    / (SELECT tv FROM tot) AS value
+        |FROM w GROUP BY region ORDER BY region""".stripMargin,
+    // at EvalTs (00:00 UTC) the hour() >= 8 gate is empty, so the
+    // alert passes through untouched — the suppression direction is
+    // spec-pinned where the oracle can't reach it
+    "promql_silence" ->
+      s"""$lblCte
+        |SELECT region,
+        |  CAST(CAST(sum(cents) AS BIGINT) AS DOUBLE) / 100.0 AS value
+        |FROM lbl WHERE ts >= $From AND ts <= $EvalTs AND type = 'click'
+        |GROUP BY region ORDER BY region""".stripMargin,
+    "promql_range_time" ->
+      s"""SELECT ($RangeStart + i * 7200) AS ts,
+        |  CAST(hour(make_timestamp(($RangeStart + i * 7200) * 1000000))
+        |    AS DOUBLE) AS value
+        |FROM generate_series(0, ${(EvalTs - RangeStart) / 7200}) AS t(i)
+        |ORDER BY ts""".stripMargin,
+    "promql_subquery_nested" ->
+      s"""$lblCte,
+        |osteps AS (SELECT ($RangeStart + i * 7200) AS ot
+        |  FROM generate_series(0, 24) s(i)),
+        |isteps AS (SELECT (${RangeStart - 64800L} + i * 21600) AS t
+        |  FROM generate_series(0, ${(EvalTs - (RangeStart - 64800L)) / 21600}) s(i)),
+        |isum AS (SELECT region, t, CAST(sum(cents) AS BIGINT) AS sc
+        |  FROM lbl JOIN isteps ON lbl.ts >= t - $StepWin AND lbl.ts <= t - 1
+        |  WHERE type = 'click' GROUP BY region, t)
+        |SELECT region, ot AS ts, CAST(max(sc) AS DOUBLE) / 100.0 AS value
+        |FROM isum JOIN osteps ON isum.t > ot - $Day AND isum.t <= ot
+        |GROUP BY region, ot ORDER BY region, ts""".stripMargin,
+    "promql_range_at" ->
+      s"""$lblCte,
+        |steps AS (SELECT ($RangeStart + i * 7200) AS t
+        |  FROM generate_series(0, 24) s(i)),
+        |live AS (SELECT region, t,
+        |    CAST(sum(cents) AS BIGINT) AS lc
+        |  FROM lbl JOIN steps ON lbl.ts >= t - $StepWin AND lbl.ts <= t - 1
+        |  WHERE type = 'click' GROUP BY region, t),
+        |pin AS (SELECT region, CAST(sum(cents) AS BIGINT) AS rc
+        |  FROM lbl WHERE type = 'click'
+        |    AND ts >= ${EvalTs - Day + 1} AND ts <= $EvalTs
+        |  GROUP BY region)
+        |SELECT live.region, live.t AS ts,
+        |  (CAST(live.lc AS DOUBLE) / 100.0) / (CAST(pin.rc AS DOUBLE) / 100.0)
+        |    AS value
+        |FROM live JOIN pin ON live.region = pin.region
+        |WHERE pin.rc <> 0
+        |ORDER BY live.region, ts""".stripMargin,
+    "promql_group_left_carry" ->
+      s"""$lblCte,
+        |m AS (SELECT host, region, CAST(sum(cents) AS BIGINT) AS mc FROM lbl
+        |  WHERE ts >= $From AND ts <= $EvalTs AND type = 'click'
+        |  GROUP BY host, region),
+        |o AS (SELECT host,
+        |    CASE WHEN host LIKE 'h1%' THEN 'gold' ELSE '' END AS tier
+        |  FROM lbl WHERE ts >= $From AND ts <= $EvalTs AND type = 'purchase'
+        |  GROUP BY host)
+        |SELECT m.host, m.region, o.tier,
+        |  CAST(m.mc AS DOUBLE) / 100.0 * 1.0 AS value
+        |FROM m JOIN o ON m.host = o.host
+        |ORDER BY m.host, m.region""".stripMargin,
     "promql_bool" ->
       s"""$lblCte,
         |h AS (SELECT host, region, CAST(sum(cents) AS BIGINT) AS sc FROM lbl

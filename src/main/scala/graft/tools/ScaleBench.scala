@@ -110,8 +110,19 @@ object ScaleBench {
           .select(col("id").as("doc_id"))
         noop(docs.join(drop, Seq("doc_id"), "left_anti"))
       }
-      timed(s"${tag}_containment_join", nDocs, "PPJoin prefix-filtered containment") {
-        noop(Dedup.containmentJoinSigs(sigs, 0.5))
+      // postings build is the ingest-time half of the containment
+      // contract (df groupBy + per-doc rank window, once per corpus);
+      // the per-query half probes the published table
+      val postPath = s"$work/$tag/postings"
+      timed(s"${tag}_postings_build", nDocs,
+        "df-ranked posting artifact: vocab groupBy + rank window, once per corpus") {
+        Dedup.postings(sigs).write.mode("overwrite").parquet(postPath)
+        nDocs
+      }
+      timed(s"${tag}_containment_join", nDocs,
+        "PPJoin prefix+positional filtered containment off published postings") {
+        noop(Dedup.containmentJoinPostings(
+          spark.read.parquet(postPath), sigs, 0.5))
       }
       timed(s"${tag}_winnow_pairs", nDocs, "winnow fp inversion, df-capped") {
         noop(TextOps.winnowPairs(docs, "doc_id", "text", minShared = 3L))

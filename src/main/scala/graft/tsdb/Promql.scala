@@ -49,6 +49,14 @@ object Promql {
   final case class VectorSel(matchers: Seq[Labels.Matcher], range: Option[Long],
                              offset: Long, at: Option[Long] = None) extends Expr
   final case class NumLit(v: Double) extends Expr
+  /** `time()` — the evaluation timestamp: a scalar at an instant, the
+    * per-step `ts` in a range query. Also the implicit argument of the
+    * zero-arg calendar functions (`hour()` ≡ `hour(vector(time()))`). */
+  case object TimeExpr extends Expr
+  /** `scalar(v)` — the value of a 1-element vector, NaN otherwise
+    * (per step in a range query). Only meaningful inside arithmetic or
+    * `vector(...)`; a bare scalar result has no vector shape. */
+  final case class ScalarCall(arg: Expr) extends Expr
   /** Over-time / range-vector function: `rate(sel[d])`, `sum_over_time(..)`;
     * also the instant-vector `absent(sel)`. */
   final case class FnCall(fn: String, arg: Expr) extends Expr
@@ -81,7 +89,8 @@ object Promql {
 
   /** Vector-matching modifiers on a binary op. */
   final case class Matching(on: Option[Seq[String]], ignoring: Seq[String],
-                            groupLeft: Boolean, groupRight: Boolean)
+                            groupLeft: Boolean, groupRight: Boolean,
+                            carry: Seq[String] = Nil)
   val DefaultMatching: Matching = Matching(None, Nil, groupLeft = false, groupRight = false)
 
   // ===================== Lexer =====================
@@ -169,7 +178,14 @@ object Promql {
     "quantile", "count_values", "stddev", "stdvar", "group")
   /** Pointwise math functions (optional scalar params after the vector). */
   val MathFns: Set[String] = Set("abs", "ceil", "floor", "round",
-    "clamp", "clamp_min", "clamp_max", "sqrt", "sgn")
+    "clamp", "clamp_min", "clamp_max", "sqrt", "sgn",
+    "exp", "ln", "log2", "log10", "deg", "rad",
+    "sin", "cos", "tan", "asin", "acos", "atan",
+    "sinh", "cosh", "tanh")
+  /** Calendar functions: value interpreted as a UTC unix timestamp;
+    * the vector argument is optional (`hour()` ≡ `hour(vector(time()))`). */
+  val CalFns: Set[String] = Set("minute", "hour", "day_of_week",
+    "day_of_month", "days_in_month", "month", "year")
   private val paramAggs = Set("topk", "bottomk", "quantile")
   private val setOps = Set("and", "or", "unless")
   private val cmpOps = Set("==", "!=", ">", "<", ">=", "<=")
@@ -257,12 +273,17 @@ object Promql {
         case _ => ()
       }
       var gl = false; var gr = false
+      var carry: Seq[String] = Nil
       peek match {
         case TIdent("group_left") => next(); gl = true
         case TIdent("group_right") => next(); gr = true
         case _ => ()
       }
-      Matching(on, ign, gl, gr)
+      // `group_left(version, build)`: copy the named labels from the
+      // "one" side onto every matched many-side element (the
+      // info-metric join pattern)
+      if ((gl || gr) && peek == TOp("(")) carry = labelList()
+      Matching(on, ign, gl, gr, carry)
     }
 
     private def labelList(): Seq[String] = {
@@ -357,6 +378,27 @@ object Promql {
         }
         expectOp(")")
         withModifiers(MathCall(name, a, ps.result()))
+      case TIdent("pi") if toks.lift(p + 1).contains(TOp("(")) =>
+        // pi() is PromQL's only zero-arg scalar function — a literal;
+        // bare `pi` (no parens) still parses as a metric name below
+        next(); expectOp("("); expectOp(")")
+        withModifiers(NumLit(math.Pi))
+      case TIdent("time") if toks.lift(p + 1).contains(TOp("(")) =>
+        next(); expectOp("("); expectOp(")")
+        TimeExpr
+      case TIdent("vector") if toks.lift(p + 1).contains(TOp("(")) =>
+        next(); expectOp("(")
+        val a = parseOr(); expectOp(")")
+        withModifiers(FnCall("vector", a))
+      case TIdent("scalar") if toks.lift(p + 1).contains(TOp("(")) =>
+        next(); expectOp("(")
+        val a = parseOr(); expectOp(")")
+        ScalarCall(a)
+      case TIdent(name) if CalFns(name) && toks.lift(p + 1).contains(TOp("(")) =>
+        next(); expectOp("(")
+        val a = if (peek == TOp(")")) TimeExpr else parseOr()
+        expectOp(")")
+        withModifiers(MathCall(name, a, Nil))
       case TIdent(name) => // metric name sugar: first label col equality
         next(); withModifiers(selector(Some(name)))
       case t => err(s"unexpected token $t")
@@ -556,12 +598,19 @@ object Promql {
 
   /** [from, to] second-grid window of a range selector at evalTs
     * (or the selector's pinned `@` instant). */
-  /** Stepped lowerings derive every window from the grid; an `@`
-    * modifier would pin them all to one instant — reject it loudly
-    * instead of silently ignoring the pin. */
-  private def noAtInStepped(sel: VectorSel): Unit =
-    if (sel.at.isDefined) throw new IllegalArgumentException(
-      "@ pins a selector to one instant and is unsupported in stepped mode")
+  /** `sel @ T` inside a range query: the pinned window is the SAME at
+    * every step (Grafana's "compare vs fixed instant" panel), so the
+    * body evaluates ONCE in instant mode and the per-series constant
+    * replicates across the grid via a broadcast of the (≤ steps)-row
+    * grid — never a per-step re-evaluation. Returns None when the
+    * selector isn't pinned (callers fall through to their stepped
+    * lowering). */
+  private def atPinned(sel: VectorSel, ctx: Ctx)(inst: Ctx => Vec): Option[Vec] =
+    if (ctx.grid.isDefined && sel.at.isDefined) {
+      val v = inst(ctx.copy(grid = None))
+      Some(Vec(v.df.crossJoin(broadcast(timeVec(ctx).df.select("ts"))),
+        v.labels :+ "ts", v.kind))
+    } else None
 
   private def window(sel: VectorSel, ctx: Ctx): (Long, Long) = {
     val to = sel.at.getOrElse(ctx.evalTs) - sel.offset
@@ -573,6 +622,10 @@ object Promql {
   private def evalExpr(e: Expr, ctx: Ctx): Vec = e match {
     case NumLit(_) =>
       throw new IllegalArgumentException("scalar-only expression has no vector result")
+    case TimeExpr => timeVec(ctx)
+    case _: ScalarCall => throw new IllegalArgumentException(
+      "scalar() must be consumed by arithmetic or vector()")
+    case FnCall("vector", arg) => vectorOf(arg, ctx)
     case sel: VectorSel => instantVector(sel, ctx)
     case FnCall("absent", arg) => absentVec(arg, ctx)
     case FnCall("absent_over_time", arg) => absentVec(arg, ctx)
@@ -591,6 +644,84 @@ object Promql {
     case h: HistExpr => histQuantile(h.phi, h.arg, ctx)
     case agg: AggExpr => aggregate(agg, ctx)
     case bin: BinExpr => binary(bin, ctx)
+  }
+
+  /** PromQL scalar TYPE tracking: number literals, `time()`,
+    * `scalar(v)`, and arithmetic over them evaluate to a scalar (one
+    * value per step), never to a labeled vector — binary ops against a
+    * vector apply them elementwise with NO label matching. */
+  private def isScalarExpr(e: Expr): Boolean = e match {
+    case NumLit(_) | TimeExpr | (_: ScalarCall) => true
+    case BinExpr(op, l, r, _, _) if !setOps(op) && !cmpOps(op) =>
+      isScalarExpr(l) && isScalarExpr(r)
+    case _ => false
+  }
+
+  /** Evaluate a scalar-typed expression ([[isScalarExpr]]) to its
+    * column form: one label-free row at an instant, one row per `ts`
+    * step in range mode — always broadcastable by construction. */
+  private def evalScalar(e: Expr, ctx: Ctx): Vec = e match {
+    case n: NumLit => vectorOf(n, ctx)
+    case TimeExpr => timeVec(ctx)
+    case sc: ScalarCall => scalarVec(sc.arg, ctx)
+    case BinExpr(op, l, r, _, _) =>
+      scalarColOp(evalScalar(l, ctx), op, evalScalar(r, ctx), scalarLeft = false)
+    case other => throw new IllegalArgumentException(s"not a scalar expression: $other")
+  }
+
+  /** `time()` as a vector: the evaluation instant (one label-free
+    * row), or in stepped mode one row per grid step with `value = ts`
+    * — a driver-side sequence explode, ≤ steps rows, never data-sized. */
+  private def timeVec(ctx: Ctx): Vec = {
+    val spark = ctx.chunks.sparkSession
+    ctx.grid match {
+      case Some((start, step)) =>
+        val df = spark.range(1).select(
+            explode(sequence(lit(start), lit(ctx.evalTs), lit(step))).as("ts"))
+          .withColumn("value", col("ts"))
+        Vec(df, Seq("ts"), Count)
+      case None =>
+        Vec(spark.range(1).select(lit(ctx.evalTs).as("value")), Seq.empty, Count)
+    }
+  }
+
+  /** PromQL `vector(s)`: a 1-element, label-free instant vector from a
+    * scalar (per step in a range query — rides the [[timeVec]] grid). */
+  private def vectorOf(arg: Expr, ctx: Ctx): Vec = arg match {
+    case NumLit(v) =>
+      val base = timeVec(ctx)
+      if (v.isWhole && math.abs(v) < 9e15)
+        Vec(base.df.withColumn("value", lit(v.toLong)), base.labels, Count)
+      else Vec(base.df.withColumn("value", lit(v)), base.labels, Dbl)
+    case TimeExpr => timeVec(ctx)
+    case sc: ScalarCall => scalarVec(sc.arg, ctx)
+    case _ => throw new IllegalArgumentException(
+      "vector() takes a scalar argument (a number, time(), or scalar(v))")
+  }
+
+  /** PromQL `scalar(v)`: the single element's value when |v| == 1,
+    * NaN otherwise — per step in a range query, with steps where the
+    * vector is empty filled to NaN off the grid. One partial-
+    * aggregating groupBy; the result is ≤ steps rows (broadcastable). */
+  private def scalarVec(arg: Expr, ctx: Ctx): Vec = {
+    val d = evalExpr(arg, ctx)
+    val dd = d.toDouble
+    if (d.labels.contains("ts")) {
+      val agg = dd.groupBy("ts")
+        .agg(count(lit(1)).as("__n"), max("value").as("__v"))
+      val df = timeVec(ctx).df.drop("value")
+        .join(agg, Seq("ts"), "left")
+        .withColumn("value",
+          when(col("__n") === 1, col("__v")).otherwise(lit(Double.NaN)))
+        .select(col("ts"), col("value"))
+      Vec(df, Seq("ts"), Dbl)
+    } else {
+      val df = dd.agg(count(lit(1)).as("__n"), max("value").as("__v"))
+        .withColumn("value",
+          when(col("__n") === 1, col("__v")).otherwise(lit(Double.NaN)))
+        .select("value")
+      Vec(df, Seq.empty, Dbl)
+    }
   }
 
   /** PromQL label manipulation. `label_replace(v, dst, rep, src, re)`
@@ -721,7 +852,10 @@ object Promql {
     * per-step query, no range join), the distinct visible steps
     * broadcast, and the grid anti-joins them. */
   private def steppedAbsent(sel: VectorSel, ctx: Ctx): Vec = {
-    noAtInStepped(sel)
+    atPinned(sel, ctx)(c => absentVec(sel, c)) match {
+      case Some(v) => return v
+      case None => ()
+    }
     val (start0, step) = ctx.grid.get
     val spark = ctx.chunks.sparkSession
     val eqs = sel.matchers.collect { case Labels.Eq(l, v) => (l, v) }
@@ -783,7 +917,10 @@ object Promql {
     // visible at (integer index arithmetic, same as stepped absent),
     // one max per (series, step)
     if (ctx.grid.isDefined) {
-      noAtInStepped(sel)
+      atPinned(sel, ctx)(c => timestampVec(arg, c)) match {
+        case Some(v) => return v
+        case None => ()
+      }
       val (start0, step) = ctx.grid.get
       val start = start0 - sel.offset
       require(start % step == 0, "offset must preserve step alignment")
@@ -832,7 +969,10 @@ object Promql {
     // buckets) and ONE exact percentile runs per (series, step) —
     // still a single decode of the selector's survivors
     if (ctx.grid.isDefined) {
-      noAtInStepped(sel)
+      atPinned(sel, ctx)(c => quantileOverTime(phi, arg, c)) match {
+        case Some(v) => return v
+        case None => ()
+      }
       val (start0, step) = ctx.grid.get
       val d = sel.range.getOrElse(
         throw new IllegalArgumentException("quantile_over_time needs sel[duration]"))
@@ -884,7 +1024,10 @@ object Promql {
     // onto its covering windows and the kernel folds once per
     // (series, step). One decode of the selector's survivors.
     if (ctx.grid.isDefined) {
-      noAtInStepped(sel)
+      atPinned(sel, ctx)(c => holtWintersVec(arg, sf, tf, c)) match {
+        case Some(v) => return v
+        case None => ()
+      }
       val (start0, step) = ctx.grid.get
       val d = sel.range.getOrElse(
         throw new IllegalArgumentException("holt_winters needs sel[duration]"))
@@ -983,6 +1126,51 @@ object Promql {
             signum(col("value")).cast("long")), v.labels, Count)
           case Dbl => Vec(v.df.withColumn("value", signum(col("value"))), v.labels, Dbl)
         }
+      case "ln" | "log2" | "log10" =>
+        // PromQL logs are total: x>0 → log, x==0 → −Inf, x<0/NaN → NaN.
+        // Spark's Logarithm returns NULL off-domain, which would DROP
+        // the sample from the vector instead of carrying NaN — map the
+        // off-domain branches explicitly.
+        needParams(0)
+        val d = v.toDouble
+        val f: Column => Column = mc.fn match {
+          case "ln" => log(_); case "log2" => log2(_); case _ => log10(_)
+        }
+        Vec(d.withColumn("value",
+          when(col("value") > 0, f(col("value")))
+            .when(col("value") === 0, lit(Double.NegativeInfinity))
+            .otherwise(lit(Double.NaN))), v.labels, Dbl)
+      case "exp" | "deg" | "rad" | "sin" | "cos" | "tan" | "asin" | "acos" |
+           "atan" | "sinh" | "cosh" | "tanh" =>
+        // java.lang.Math semantics end-to-end (NaN off-domain, never
+        // NULL), matching PromQL's Go math — one codegen'd float op
+        needParams(0)
+        val d = v.toDouble
+        val f: Column => Column = mc.fn match {
+          case "exp" => exp(_)
+          case "deg" => degrees(_)
+          case "rad" => radians(_)
+          case "sin" => sin(_); case "cos" => cos(_); case "tan" => tan(_)
+          case "asin" => asin(_); case "acos" => acos(_); case "atan" => atan(_)
+          case "sinh" => sinh(_); case "cosh" => cosh(_); case _ => tanh(_)
+        }
+        Vec(d.withColumn("value", f(col("value"))), v.labels, Dbl)
+      case fn if CalFns(fn) =>
+        // value = a UTC unix timestamp (the session timezone is UTC by
+        // SparkEntry contract); outputs land on the integer grid, so
+        // the exact kind survives the extraction
+        needParams(0)
+        val t = timestamp_seconds(asDouble(col("value"), v.kind))
+        val out = fn match {
+          case "minute" => minute(t)
+          case "hour" => hour(t)
+          case "day_of_week" => dayofweek(t) - lit(1) // Prom: 0=Sunday
+          case "day_of_month" => dayofmonth(t)
+          case "days_in_month" => dayofmonth(last_day(t))
+          case "month" => month(t)
+          case _ => year(t)
+        }
+        Vec(v.df.withColumn("value", out.cast("long")), v.labels, Count)
       case other => throw new IllegalArgumentException(s"unknown function '$other'")
     }
   }
@@ -1024,8 +1212,17 @@ object Promql {
       case _ => throw new IllegalArgumentException(s"$fn expects a range selector argument")
     }
     if (ctx.grid.isDefined) {
-      if (sel.at.isDefined) throw new IllegalArgumentException(
-        "@ pins a selector to one instant and is unsupported in stepped mode")
+      if (sel.at.isDefined) {
+        // `fn(sel[d] @ T)` in a range query: the pinned window is the
+        // SAME at every step (Grafana's "compare vs fixed instant"
+        // panel) — evaluate ONCE in instant mode and replicate the
+        // per-series constant across the grid via a broadcast of the
+        // (≤ steps)-row grid, never a per-step re-evaluation
+        val inst = rangeFn(fn, arg, ctx.copy(grid = None))
+        val grid = timeVec(ctx).df.select("ts")
+        return Vec(inst.df.crossJoin(broadcast(grid)),
+          inst.labels :+ "ts", inst.kind)
+      }
       if (Set("rate", "increase", "changes", "resets")(fn))
         return steppedPairs(fn, sel, ctx)
       if (fn == "delta" || fn == "last_over_time")
@@ -1156,7 +1353,13 @@ object Promql {
     }
     // stepped mode: the deriv partials + the window's own prediction
     // instant — a full forecast panel from ONE decode
-    if (ctx.grid.isDefined) return steppedDeriv(sel, ctx, Some(tAhead))
+    if (ctx.grid.isDefined) {
+      atPinned(sel, ctx)(c => predictLinear(arg, tAhead, c)) match {
+        case Some(v) => return v
+        case None => ()
+      }
+      return steppedDeriv(sel, ctx, Some(tAhead))
+    }
     val (g, from, to) = regressionSums(sel, ctx)
     val x = lit((to - from).toDouble + tAhead)
     val meanT = col("__st").cast("double") / col("__n")
@@ -1321,7 +1524,9 @@ object Promql {
     * every window. One division per (series, step) at output. */
   private def steppedDeriv(sel: VectorSel, ctx: Ctx,
                            horizon: Option[Double] = None): Vec = {
-    noAtInStepped(sel)
+    // callers (rangeFn, predictLinear) lower @-pinned selectors via
+    // atPinned before reaching here
+    require(sel.at.isEmpty, "@-pinned selector reached a stepped lowering")
     val (start0, step) = ctx.grid.get
     val d = sel.range.getOrElse(
       throw new IllegalArgumentException("deriv needs sel[duration]"))
@@ -1383,36 +1588,69 @@ object Promql {
     * sum by(g)(rate(x[h]))[d:s])` selects among exact longs and
     * divides ONCE at output. */
   private def subqueryFn(fn: String, sq: Subquery, ctx: Ctx): Vec = {
-    if (ctx.grid.isDefined) throw new IllegalArgumentException(
-      "subquery inside a range query is unsupported (nested step grids)")
     val step = sq.step
     require(step > 0 && sq.range >= step,
       s"subquery range ${sq.range}s must cover its ${step}s step")
-    val to = ctx.evalTs - sq.offset
-    val innerEnd = Math.floorDiv(to, step) * step
-    val innerStart = innerEnd - Math.floorDiv(sq.range - (to - innerEnd) - 1, step) * step
-    require(innerEnd >= innerStart, "empty subquery grid")
-    val v = evalExpr(sq.arg, ctx.copy(evalTs = innerEnd,
-      grid = Some((innerStart, step))))
-    val L = v.labels.filterNot(_ == "ts")
-    def grouped = v.df.groupBy(L.map(col): _*)
-    def requireExact(): Double = v.kind match {
+    // Prometheus grid rule at evaluation instant T: inner instants are
+    // the multiples of `step` inside (T−off−d, T−off] — ABSOLUTE
+    // multiples, so every outer step of a nested subquery reads a
+    // window of the SAME inner step series
+    def innerGrid(to: Long): (Long, Long) = {
+      val end = Math.floorDiv(to, step) * step
+      val start = end - Math.floorDiv(sq.range - (to - end) - 1, step) * step
+      (start, end)
+    }
+    val (samples, groupCols, ord, kind) = ctx.grid match {
+      case None =>
+        val (innerStart, innerEnd) = innerGrid(ctx.evalTs - sq.offset)
+        require(innerEnd >= innerStart, "empty subquery grid")
+        val v = evalExpr(sq.arg, ctx.copy(evalTs = innerEnd,
+          grid = Some((innerStart, step))))
+        (v.df, v.labels.filterNot(_ == "ts"), col("ts"), v.kind)
+      case Some((oStart, oStep)) =>
+        // NESTED subquery: evaluate the inner step series ONCE over
+        // the union span of every outer step's window, then each inner
+        // instant t explodes onto the outer steps it is visible at —
+        // T ∈ [t+off, t+off+d) on the outer grid, pure integer index
+        // arithmetic (the stepped-absent trick; no per-step re-eval,
+        // no range join)
+        val oEnd = ctx.evalTs
+        val (innerStartMin, _) = innerGrid(oStart - sq.offset)
+        val (_, innerEndMax) = innerGrid(oEnd - sq.offset)
+        require(innerEndMax >= innerStartMin, "empty subquery grid")
+        val v = evalExpr(sq.arg, ctx.copy(evalTs = innerEndMax,
+          grid = Some((innerStartMin, step))))
+        val nOuter = (oEnd - oStart) / oStep
+        val stepD = oStep.toDouble
+        // visible at T iff T−off−d < t ≤ T−off ⇔ T ∈ [t+off, t+off+d)
+        val lo = greatest(ceilIdx(col("__its"), sq.offset, oStart, stepD), lit(0L))
+        val hi = least(floorIdx(col("__its"), sq.offset + sq.range - 1,
+          oStart, stepD), lit(nOuter))
+        val exploded = v.df.withColumnRenamed("ts", "__its")
+          .filter(lo <= hi)
+          .withColumn("__oi", explode(sequence(lo, hi)))
+          .withColumn("ts", lit(oStart) + col("__oi") * lit(oStep))
+        (exploded, v.labels.filterNot(_ == "ts") :+ "ts", col("__its"), v.kind)
+    }
+    val L = groupCols
+    def grouped = samples.groupBy(L.map(col): _*)
+    def requireExact(): Double = kind match {
       case Exact(d) => d
       case Dbl => throw new IllegalArgumentException(
         s"$fn over a float-valued subquery is order-dependent; " +
           "keep the inner expression on the exact grid")
     }
-    def out(df: DataFrame, kind: ValKind): Vec =
-      Vec(df.select(L.map(col) :+ col("value"): _*), L, kind)
+    def out(df: DataFrame, k: ValKind): Vec =
+      Vec(df.select(L.map(col) :+ col("value"): _*), L, k)
     fn match {
       case "sum_over_time" =>
-        requireExact(); out(grouped.agg(sum("value").as("value")), v.kind)
+        requireExact(); out(grouped.agg(sum("value").as("value")), kind)
       case "count_over_time" =>
         out(grouped.agg(count(lit(1)).as("value")), Count)
       case "present_over_time" =>
         out(grouped.agg(count(lit(1)).as("__c")).withColumn("value", lit(1L)), Count)
-      case "min_over_time" => out(grouped.agg(min("value").as("value")), v.kind)
-      case "max_over_time" => out(grouped.agg(max("value").as("value")), v.kind)
+      case "min_over_time" => out(grouped.agg(min("value").as("value")), kind)
+      case "max_over_time" => out(grouped.agg(max("value").as("value")), kind)
       case "avg_over_time" =>
         val d = requireExact()
         out(grouped.agg((sum("value").cast("double") /
@@ -1426,17 +1664,17 @@ object Promql {
         out(grouped.agg((if (fn == "stddev_over_time") sqrt(variance)
           else variance).as("value")), Dbl)
       case "last_over_time" =>
-        out(grouped.agg(max(struct(col("ts"), col("value"))).as("__l"))
-          .withColumn("value", col("__l.value")), v.kind)
+        out(grouped.agg(max(struct(ord, col("value"))).as("__l"))
+          .withColumn("value", col("__l.value")), kind)
       case "delta" =>
         requireExact()
-        out(grouped.agg(min(struct(col("ts"), col("value"))).as("__f"),
-            max(struct(col("ts"), col("value"))).as("__l"))
-          .withColumn("value", col("__l.value") - col("__f.value")), v.kind)
+        out(grouped.agg(min(struct(ord, col("value"))).as("__f"),
+            max(struct(ord, col("value"))).as("__l"))
+          .withColumn("value", col("__l.value") - col("__f.value")), kind)
       case "rate" | "increase" | "changes" | "resets" =>
         val dn = requireExact()
-        val w = Window.partitionBy(L.map(col): _*).orderBy("ts")
-        val lagged = v.df.withColumn("__p", lag("value", 1).over(w))
+        val w = Window.partitionBy(L.map(col): _*).orderBy(ord)
+        val lagged = samples.withColumn("__p", lag("value", 1).over(w))
           .filter(col("__p").isNotNull)
           .withColumn("__d", col("value") - col("__p"))
         val folded = lagged.groupBy(L.map(col): _*).agg((fn match {
@@ -1446,13 +1684,20 @@ object Promql {
         }).as("value"))
         out(folded, fn match {
           case "rate" => Exact(dn * sq.range)
-          case "increase" => v.kind
+          case "increase" => kind
           case _ => Count
         })
       case other => throw new IllegalArgumentException(
         s"$other cannot consume a subquery")
     }
   }
+
+  /** Outer-grid index bounds for an inner instant (stepped-absent
+    * index arithmetic, shared by the nested-subquery explode). */
+  private def ceilIdx(ts: Column, off: Long, start: Long, stepD: Double): Column =
+    ceil((ts + lit(off) - lit(start)) / lit(stepD)).cast("long")
+  private def floorIdx(ts: Column, off: Long, start: Long, stepD: Double): Column =
+    floor((ts + lit(off) - lit(start)) / lit(stepD)).cast("long")
 
   private def decoded(sel: VectorSel, from: Long, to: Long, ctx: Ctx): DataFrame =
     Labels.selectRange(ctx.chunks, ctx.labelCols, matcherString(sel.matchers), from, to)
@@ -1552,6 +1797,15 @@ object Promql {
       scalarOp(evalExpr(l, ctx), bin.op, s, scalarLeft = false, bin.boolMod)
     case (NumLit(s), r) =>
       scalarOp(evalExpr(r, ctx), bin.op, s, scalarLeft = true, bin.boolMod)
+    // scalar-TYPED operands (time(), scalar(v), and arithmetic over
+    // them) behave like NumLit — no label matching, the scalar applies
+    // to every element (per step in range mode)
+    case (l, r) if isScalarExpr(r) && !isScalarExpr(l) =>
+      scalarColOp(evalExpr(l, ctx), bin.op, evalScalar(r, ctx),
+        scalarLeft = false, bin.boolMod)
+    case (l, r) if isScalarExpr(l) && !isScalarExpr(r) =>
+      scalarColOp(evalExpr(r, ctx), bin.op, evalScalar(l, ctx),
+        scalarLeft = true, bin.boolMod)
     case (l, r) =>
       val lv = evalExpr(l, ctx)
       val rv = evalExpr(r, ctx)
@@ -1562,13 +1816,21 @@ object Promql {
       // store order; in range mode the step matches implicitly
       val keyCols = ctx.labelCols.filter(keys.contains) ++
         (if (lv.labels.contains("ts") && rv.labels.contains("ts")) Seq("ts") else Nil)
+      // `on()` with NO labels (the alert-silencing idiom `alert unless
+      // on() gate`): every element shares the empty key, so the set op
+      // keys on a constant — suppress-all when the gate is non-empty
+      def setKeyed(df: DataFrame): DataFrame =
+        if (keyCols.isEmpty) df.withColumn("__one", lit(1)) else df
+      val setKeys = if (keyCols.isEmpty) Seq("__one") else keyCols
       bin.op match {
         case "and" =>
-          Vec(lv.df.join(broadcast(rv.df.select(keyCols.map(col): _*).distinct()),
-            keyCols, "left_semi"), lv.labels, lv.kind)
+          Vec(setKeyed(lv.df).join(
+            broadcast(setKeyed(rv.df).select(setKeys.map(col): _*).distinct()),
+            setKeys, "left_semi").drop("__one"), lv.labels, lv.kind)
         case "unless" =>
-          Vec(lv.df.join(broadcast(rv.df.select(keyCols.map(col): _*).distinct()),
-            keyCols, "left_anti"), lv.labels, lv.kind)
+          Vec(setKeyed(lv.df).join(
+            broadcast(setKeyed(rv.df).select(setKeys.map(col): _*).distinct()),
+            setKeys, "left_anti").drop("__one"), lv.labels, lv.kind)
         case "or" =>
           if (lv.labels != rv.labels) throw new IllegalArgumentException(
             "'or' needs both sides on the same label set")
@@ -1581,21 +1843,39 @@ object Promql {
         case op =>
           val manyLeft = bin.matching.groupLeft
           val manyRight = bin.matching.groupRight
+          // `group_left(version)`: labels COPIED from the one side onto
+          // every matched many-side element; a same-named many-side
+          // label is overwritten (dropped from the many projection)
+          val carry = bin.matching.carry
+          if (carry.nonEmpty) {
+            val oneLabels = if (manyRight) lv.labels else rv.labels
+            val missing = carry.filterNot(oneLabels.contains)
+            if (missing.nonEmpty) throw new IllegalArgumentException(
+              s"group_left/group_right(${missing.mkString(",")}): " +
+                s"label not present on the one side (${oneLabels.mkString(",")})")
+          }
           val outLabels =
-            if (manyLeft) lv.labels
-            else if (manyRight) rv.labels
+            if (manyLeft) (lv.labels.filterNot(n =>
+              carry.contains(n) && !keyCols.contains(n)) ++
+              carry.filterNot(keyCols.contains)).distinct
+            else if (manyRight) (rv.labels.filterNot(n =>
+              carry.contains(n) && !keyCols.contains(n)) ++
+              carry.filterNot(keyCols.contains)).distinct
             else keyCols
           val lval = asDouble(col("__lv"), lv.kind)
           val rval = asDouble(col("__rv"), rv.kind)
-          // the grain side keeps its full label set; the other side
-          // drops non-key labels that would collide after the join
+          // the grain side keeps its full label set (minus labels the
+          // carry overwrites); the other side keeps its keys + carried
+          // labels, dropping non-key labels that would collide
           val (lkeepLabels, rkeepLabels) =
             if (manyRight)
-              (lv.labels.filterNot(n => rv.labels.contains(n) && !keyCols.contains(n)),
-                rv.labels)
+              (lv.labels.filter(n => keyCols.contains(n) || carry.contains(n) ||
+                !rv.labels.contains(n)),
+                rv.labels.filterNot(n => carry.contains(n) && !keyCols.contains(n)))
             else
-              (lv.labels,
-                rv.labels.filterNot(n => lv.labels.contains(n) && !keyCols.contains(n)))
+              (lv.labels.filterNot(n => carry.contains(n) && !keyCols.contains(n)),
+                rv.labels.filter(n => keyCols.contains(n) || carry.contains(n) ||
+                  !lv.labels.contains(n)))
           val lside = lv.df.withColumnRenamed("value", "__lv")
             .select((lkeepLabels :+ "__lv").distinct.map(col): _*)
           val rside = rv.df.withColumnRenamed("value", "__rv")
@@ -1656,6 +1936,46 @@ object Promql {
     * stays exact when the scalar lands on the vector's integer grid;
     * comparisons against an exact vector compare on the exact grid
     * when the threshold does. */
+  /** [[scalarOp]] where the scalar is a COLUMN-valued 1-row(-per-step)
+    * vector ([[timeVec]]/[[scalarVec]]): the scalar side broadcasts
+    * (≤ steps rows by construction) and joins on the step in range
+    * mode, cross-joins the single row otherwise — never a shuffle of
+    * the vector side. Doubles end-to-end (the scalar column has no
+    * static grid to stay exact on). */
+  private def scalarColOp(v: Vec, op: String, s: Vec, scalarLeft: Boolean,
+                          boolMod: Boolean = false): Vec = {
+    val d = v.toDouble
+    val sdf = s.toDouble.withColumnRenamed("value", "__sv")
+    val joined =
+      if (v.labels.contains("ts") && s.labels.contains("ts"))
+        d.join(broadcast(sdf), Seq("ts"))
+      else d.crossJoin(broadcast(sdf.select("__sv")))
+    val dv = col("value")
+    val sv = col("__sv")
+    if (cmpOps(op)) {
+      val c = if (scalarLeft) cmp(op, sv, dv) else cmp(op, dv, sv)
+      if (boolMod)
+        Vec(joined.withColumn("value", when(c, 1L).otherwise(0L)).drop("__sv"),
+          v.labels, Count)
+      else Vec(joined.filter(c).drop("__sv"), v.labels, Dbl)
+    } else {
+      val value = (op, scalarLeft) match {
+        case ("+", _) => dv + sv
+        case ("-", false) => dv - sv
+        case ("-", true) => sv - dv
+        case ("*", _) => dv * sv
+        case ("/", false) => dv / sv
+        case ("/", true) => sv / nullif(dv, lit(0.0))
+        case ("%", false) => dv % sv
+        case ("%", true) => sv % nullif(dv, lit(0.0))
+        case (o, _) => throw new IllegalArgumentException(s"unknown operator '$o'")
+      }
+      val res = joined.withColumn("value", value).drop("__sv")
+      Vec(if (scalarLeft && (op == "/" || op == "%"))
+        res.filter(col("value").isNotNull) else res, v.labels, Dbl)
+    }
+  }
+
   private def scalarOp(v: Vec, op: String, s: Double, scalarLeft: Boolean,
                        boolMod: Boolean = false): Vec = {
     val scaled = v.kind match { case Exact(d) => s * d; case Dbl => Double.NaN }

@@ -94,11 +94,13 @@ class ExplainAllSpec extends AnyFunSuite {
       // the pinned point is that NOTHING corpus-sized broadcasts (the
       // 9 broadcasts are candidate-bounded verify sides) and no decode
       "dedup_incremental" -> (23, 9, 0),
-      // prefix-filtered containment: df groupBy + per-doc rank window
-      // + candidate distinct + final orderBy shuffle; the broadcasts
-      // are the doc-size/prefix/shingle sides (all signature-table
-      // projections, none corpus-text-sized), and nothing decodes
-      "text_containment_join" -> (4, 5, 0),
+      // prefix-filtered containment off the PUBLISHED posting table:
+      // the df groupBy + rank window moved into the once-per-corpus
+      // artifact, so per-query shuffles are only the candidate
+      // distinct + final orderBy (was 4 when postings rebuilt per
+      // run); broadcasts are the prefix/shingle verify sides (none
+      // corpus-text-sized), and nothing decodes
+      "text_containment_join" -> (2, 3, 0),
       // delete-durable live view: ONE decode of the deleted store's
       // sealed side; shuffles are the chunk-horizon groupBy, the
       // persisted-marker merge groupBy, and the final orderBy; the

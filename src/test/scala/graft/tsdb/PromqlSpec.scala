@@ -126,11 +126,34 @@ class PromqlSpec extends AnyFunSuite {
     }
   }
 
-  test("subquery: rejected inside a range query and when unconsumed") {
-    intercept[IllegalArgumentException](Promql.evalRange(chunks, labelCols,
-      "max_over_time(rate(click[2h])[1d:2h])", 1704844800L, EvalTs, 7200L))
+  test("subquery: unconsumed fails loudly") {
     intercept[IllegalArgumentException](Promql.eval(chunks, labelCols,
       "sum by (region)(rate(click[6h]))[1d:6h]", EvalTs))
+  }
+
+  test("nested subquery in a range query == the same query per step") {
+    val start = 1704844800L
+    val stepO = 21600L
+    val q = "max_over_time(sum by (region) (sum_over_time(click[6h]))[1d:6h])"
+    val got = Promql.evalRange(chunks, labelCols, q, start, EvalTs, stepO)
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getDouble(2))).toMap
+    val want = (start to EvalTs by stepO).flatMap { t =>
+      Promql.eval(chunks, labelCols, q, t).collect()
+        .map(r => ((r.getString(0), t), r.getDouble(1)))
+    }.toMap
+    assert(got.nonEmpty && got.keySet == want.keySet)
+    want.foreach { case (k, v) => assert(got(k) == v, s"$k: ${got(k)} vs $v") }
+    // double nesting recurses: a subquery inside the nested body
+    val q2 = "max_over_time(min_over_time(sum by (region) " +
+      "(sum_over_time(click[6h]))[1d:6h])[2d:1d])"
+    val g2 = Promql.evalRange(chunks, labelCols, q2, start, EvalTs, stepO)
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getDouble(2))).toMap
+    val w2 = (start to EvalTs by stepO).flatMap { t =>
+      Promql.eval(chunks, labelCols, q2, t).collect()
+        .map(r => ((r.getString(0), t), r.getDouble(1)))
+    }.toMap
+    assert(g2.nonEmpty && g2.keySet == w2.keySet)
+    w2.foreach { case (k, v) => assert(g2(k) == v, s"nested2 $k") }
   }
 
   // ===== compiler parity vs hand-composed frames =====
@@ -445,17 +468,6 @@ class PromqlSpec extends AnyFunSuite {
     // bare instant selector has no per-step window
     intercept[IllegalArgumentException](Promql.evalRange(chunks, labelCols,
       """{type="click"}""", 1704844800L, EvalTs, 7200L))
-    // @ pins a selector to ONE instant — refused per step (the panel
-    // would be a constant; Prometheus evaluates it per query, not here)
-    intercept[IllegalArgumentException](Promql.evalRange(chunks, labelCols,
-      s"sum(sum_over_time(click[4h] @ $EvalTs))", 1704844800L, EvalTs, 7200L))
-    // ... and every stepped lowering family refuses it, not just the
-    // _over_time body: point-exploding and presence paths too
-    intercept[IllegalArgumentException](Promql.evalRange(chunks, labelCols,
-      s"quantile_over_time(0.5, view[1d] @ $EvalTs)", 1704844800L, EvalTs, 7200L))
-    intercept[IllegalArgumentException](Promql.evalRange(chunks, labelCols,
-      s"""absent_over_time({type="click"}[4h] @ $EvalTs)""",
-      1704844800L, EvalTs, 7200L))
     // unaligned grid start
     intercept[IllegalArgumentException](Promql.evalRange(chunks, labelCols,
       "sum(sum_over_time(click[4h]))", 1704844801L, EvalTs, 7200L))
@@ -794,5 +806,190 @@ class PromqlSpec extends AnyFunSuite {
     assert(gPlan.contains("BroadcastHashJoin") || gPlan.contains("BroadcastExchange"),
       gPlan.take(3000))
     assert(gl.count() > 0)
+  }
+
+  // ===== round-12: math tail, time()/calendar, vector()/scalar() =====
+
+  test("parser: pi()/time()/vector()/scalar(), zero-arg calendar, math tail") {
+    assert(parse("pi()") == NumLit(math.Pi))
+    assert(parse("time()") == TimeExpr)
+    assert(parse("hour()") == MathCall("hour", TimeExpr, Nil))
+    assert(parse("day_of_week(timestamp(click))") ==
+      MathCall("day_of_week",
+        FnCall("timestamp", VectorSel(Seq(Labels.Eq("type", "click")), None, 0L)), Nil))
+    assert(parse("scalar(sum(click))") ==
+      ScalarCall(AggExpr("sum", None, NoGroup,
+        VectorSel(Seq(Labels.Eq("type", "click")), None, 0L))))
+    assert(parse("vector(time())") == FnCall("vector", TimeExpr))
+    assert(parse("ln(click)") ==
+      MathCall("ln", VectorSel(Seq(Labels.Eq("type", "click")), None, 0L), Nil))
+    // bare `pi` (no parens) stays a metric-name selector
+    assert(parse("pi") == VectorSel(Seq(Labels.Eq("type", "pi")), None, 0L))
+  }
+
+  test("calendar functions at the evaluation instant (2024-01-12 Friday 00:00Z)") {
+    def one(q: String): Double =
+      Promql.eval(chunks, labelCols, q, EvalTs).collect().head.getDouble(0)
+    assert(one("year()") == 2024.0)
+    assert(one("month()") == 1.0)
+    assert(one("day_of_month()") == 12.0)
+    assert(one("day_of_week()") == 5.0) // Prom convention: 0 = Sunday
+    assert(one("days_in_month()") == 31.0)
+    assert(one("hour()") == 0.0)
+    assert(one("minute()") == 0.0)
+    // and over a VECTOR argument: hour of each series' last sample ts
+    val hv = Promql.eval(chunks, labelCols,
+      """hour(timestamp({type="purchase"}))""", EvalTs, 86400L).collect()
+    assert(hv.nonEmpty && hv.forall { r =>
+      val h = r.getDouble(3); h >= 0 && h <= 23 })
+  }
+
+  test("math tail: exp/ln round-trip, log identities, deg(pi)=180") {
+    val x = Promql.eval(chunks, labelCols,
+      "sum by (region) (sum_over_time(click[2d]))", EvalTs)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    val lnv = Promql.eval(chunks, labelCols,
+      "ln(sum by (region) (sum_over_time(click[2d])))", EvalTs)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(lnv.keySet == x.keySet && x.nonEmpty)
+    lnv.foreach { case (k, v) => assert(math.abs(v - math.log(x(k))) < 1e-12) }
+    val rt = Promql.eval(chunks, labelCols,
+      "exp(ln(sum by (region) (sum_over_time(click[2d]))))", EvalTs)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    rt.foreach { case (k, v) => assert(math.abs(v / x(k) - 1.0) < 1e-12) }
+    val l2 = Promql.eval(chunks, labelCols,
+      "log2(sum by (region) (sum_over_time(click[2d])))", EvalTs)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    l2.foreach { case (k, v) => assert(math.abs(v - math.log(x(k)) / math.log(2)) < 1e-9) }
+    assert(Promql.eval(chunks, labelCols, "deg(vector(pi()))", EvalTs)
+      .collect().head.getDouble(0) == 180.0)
+    // off-domain logs carry NaN / -Inf, never drop the sample
+    val neg = Promql.eval(chunks, labelCols,
+      "ln(sum by (region) (sum_over_time(click[2d])) * 0)", EvalTs).collect()
+    assert(neg.length == x.size && neg.forall(_.getDouble(1).isNegInfinity))
+  }
+
+  test("time()/scalar() are scalar-typed: elementwise, no label matching") {
+    val base = Promql.eval(chunks, labelCols,
+      "sum by (region) (sum_over_time(click[2d]))", EvalTs)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    val t = Promql.eval(chunks, labelCols,
+      "sum by (region) (sum_over_time(click[2d])) - time() / 100", EvalTs)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(t.keySet == base.keySet && base.nonEmpty)
+    t.foreach { case (k, v) =>
+      assert(v == base(k) - EvalTs.toDouble / 100.0) }
+    // scalar(sum(...)): the 1-row total applies to every element
+    val total = base.values.sum
+    val share = Promql.eval(chunks, labelCols,
+      "sum by (region) (sum_over_time(click[2d]))" +
+        " / scalar(sum(sum_over_time(click[2d])))", EvalTs)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    share.foreach { case (k, v) =>
+      assert(math.abs(v - base(k) / total) < 1e-12) }
+    // scalar of a MULTI-element vector is NaN
+    val nan = Promql.eval(chunks, labelCols,
+      "vector(scalar(sum by (region) (sum_over_time(click[2d]))))", EvalTs)
+      .collect()
+    assert(nan.length == 1 && nan.head.getDouble(0).isNaN)
+  }
+
+  test("unless on(): the hour-gated silencing idiom suppresses and passes") {
+    val alert = "sum by (region) (sum_over_time(click[2d]))"
+    // EvalTs is 00:00 UTC: hour() < 8 matches -> whole vector suppressed
+    assert(Promql.eval(chunks, labelCols,
+      s"$alert unless on() (hour() < 8)", EvalTs).count() == 0)
+    // gate empty -> alert passes through untouched
+    val passed = Promql.eval(chunks, labelCols,
+      s"$alert unless on() (hour() >= 8)", EvalTs).count()
+    assert(passed > 0 &&
+      passed == Promql.eval(chunks, labelCols, alert, EvalTs).count())
+    // and on(): the complementary gate keeps iff the gate matches
+    assert(Promql.eval(chunks, labelCols,
+      s"$alert and on() (hour() < 8)", EvalTs).count() == passed)
+    assert(Promql.eval(chunks, labelCols,
+      s"$alert and on() (hour() >= 8)", EvalTs).count() == 0)
+  }
+
+  test("group_left(labels) carries one-side labels onto the many side") {
+    assert(parse("a / on(host) group_left(version, build) b") ==
+      BinExpr("/", VectorSel(Seq(Labels.Eq("type", "a")), None, 0L),
+        VectorSel(Seq(Labels.Eq("type", "b")), None, 0L),
+        Matching(Some(Seq("host")), Nil, groupLeft = true, groupRight = false,
+          carry = Seq("version", "build"))))
+    // info-metric join: tier comes off the one side, value untouched
+    val got = Promql.eval(chunks, labelCols,
+      "sum by (host, region) (sum_over_time(click[2d]))" +
+        " * on(host) group_left(tier) label_replace(" +
+        "sum by (host) (sum_over_time(purchase[2d])) > bool -1," +
+        " \"tier\", \"gold\", \"host\", \"h1.*\")", EvalTs)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getString(2), r.getDouble(3)))).toMap
+    val base = Promql.eval(chunks, labelCols,
+      "sum by (host, region) (sum_over_time(click[2d]))", EvalTs)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getDouble(2))).toMap
+    val oneHosts = Promql.eval(chunks, labelCols,
+      "sum by (host) (sum_over_time(purchase[2d]))", EvalTs)
+      .collect().map(_.getString(0)).toSet
+    assert(got.nonEmpty && got.keySet == base.keySet.filter(k => oneHosts(k._1)))
+    got.foreach { case ((h, r), (tier, v)) =>
+      assert(tier == (if (h.startsWith("h1")) "gold" else ""), s"$h tier $tier")
+      assert(v == base((h, r)) * 1.0)
+    }
+    // a carried label missing on the one side fails loudly
+    intercept[IllegalArgumentException](Promql.eval(chunks, labelCols,
+      "sum by (host, region) (sum_over_time(click[2d]))" +
+        " * on(host) group_left(nope) sum by (host) (sum_over_time(purchase[2d]))",
+      EvalTs))
+  }
+
+  test("@ in stepped mode: the pinned window is one instant eval replicated") {
+    val start = 1704844800L
+    def grid(q: String) = Promql.evalRange(chunks, labelCols, q,
+      start, EvalTs, 7200L, lookbackSec = 86400L)
+    def inst(q: String) = Promql.eval(chunks, labelCols, q, EvalTs, 86400L)
+    // every stepped lowering family lowers the pin, not just _over_time
+    for (q <- Seq(
+      s"sum by (region) (sum_over_time(click[2d] @ $EvalTs))",
+      s"quantile_over_time(0.5, view[1d] @ $EvalTs)",
+      s"""absent_over_time({type="click", host="h999"}[2d] @ $EvalTs)""",
+      s"deriv(view[1d] @ $EvalTs)",
+      s"predict_linear(view[1d] @ $EvalTs, 3600)",
+      s"""timestamp({type="purchase"} @ $EvalTs)""")) {
+      val g = grid(q).collect()
+      val i = inst(q).collect()
+      val nSteps = (EvalTs - start) / 7200 + 1
+      assert(g.length == i.length * nSteps, s"$q: ${g.length} vs ${i.length}")
+      // per step, the constant equals the instant evaluation
+      val perStep = g.groupBy(r => r.getLong(r.fieldIndex("ts")))
+      assert(perStep.size == nSteps)
+      val iSet = i.map(r => r.toSeq.map {
+        case d: Double => math.rint(d * 1e9); case x => x }).toSet
+      perStep.values.foreach { rows =>
+        val tsIdx = rows.head.fieldIndex("ts")
+        val rSet = rows.map(r => r.toSeq.zipWithIndex
+          .filterNot(_._2 == tsIdx).map(_._1).map {
+            case d: Double => math.rint(d * 1e9); case x => x }).toSet
+        assert(rSet == iSet, s"$q step mismatch")
+      }
+    }
+    // an @-free window that is NOT grid-aligned still fails loudly,
+    // while the same window pinned with @ is legal (no grid to align)
+    intercept[IllegalArgumentException](grid("sum(sum_over_time(click[100000s]))"))
+    assert(grid(s"sum(sum_over_time(click[100000s] @ $EvalTs))").count() > 0)
+  }
+
+  test("stepped time(): hour() rides the grid, one row per step") {
+    val start = 1704844800L // 2024-01-10T00:00Z
+    val got = Promql.evalRange(chunks, labelCols, "hour()",
+      start, EvalTs, 7200L).orderBy("ts").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val want = (start to EvalTs by 7200L).map(t => (t, (t % 86400 / 3600).toDouble))
+    assert(got.toSeq == want)
+    // and scalar-typed arithmetic joins per step, not per cross product
+    val shifted = Promql.evalRange(chunks, labelCols,
+      "sum by (region) (sum_over_time(click[6h])) * 0 + time()",
+      start, EvalTs, 7200L).collect()
+    assert(shifted.forall(r => r.getDouble(2) == r.getLong(1).toDouble))
   }
 }
