@@ -31,6 +31,13 @@ package graft.ops
  * stereo==mono — pinned in PHashSpec) intact. Everything is a
  * deterministic loop in fixed order — same samples, same 64 bits on
  * any JVM (one Math.cos per bin, never per sample).
+ *
+ * FORMAT NOTE: the Goertzel rewrite (round 11) changed the rounding
+ * path vs the earlier direct-DFT loop, so emitted bits differ from
+ * pre-rewrite values. Nothing in this repo persists audio
+ * fingerprints across versions (all checks are per-run/structural);
+ * if a store ever starts persisting them, version the fingerprint
+ * (e.g. a format byte beside the 64 bits) before mixing corpora.
  */
 object AudioFp {
   def fingerprint(samples: Array[Short], channels: Int): Long = {

@@ -895,9 +895,10 @@ object TextOps {
    */
   def snapshotDrift(docs: DataFrame, idCol: String, textCol: String,
                     k: Int = 10,
-                    snapCol: DataFrame => Column = d => pmod(col("doc_id"), lit(2L))): DataFrame = {
+                    snapCol: (DataFrame, String) => Column =
+                      (_, id) => pmod(col(id), lit(2L))): DataFrame = {
     val toks = docs
-      .select(snapCol(docs).as("__snap"),
+      .select(snapCol(docs, idCol).as("__snap"),
         explode(split(col(textCol), " ")).as("tok"))
       .filter(length(col("tok")) > 0)
     val counts = toks.groupBy("tok")

@@ -1381,9 +1381,8 @@ object PromqlQueries {
       s"""$lblCte,
         |b AS (SELECT ((min(ts) + ${SRecStep - 1}) // $SRecStep) * $SRecStep AS fs,
         |  ((max(ts) - $SRecLate) // $SRecStep) * $SRecStep AS ls FROM lbl),
-        |steps AS (SELECT fs + i * $SRecStep AS t
-        |  FROM b, generate_series(0, 400) s(i)
-        |  WHERE fs + i * $SRecStep <= ls),
+        |steps AS (SELECT unnest(generate_series(fs, ls,
+        |  CAST($SRecStep AS BIGINT))) AS t FROM b),
         |sums AS (SELECT region, t, CAST(sum(cents) AS BIGINT) AS sc
         |  FROM lbl JOIN steps ON lbl.ts >= t - $StepWin AND lbl.ts <= t - 1
         |  WHERE type = 'click' GROUP BY region, t),
@@ -1405,9 +1404,8 @@ object PromqlQueries {
       s"""$lblCte,
         |b AS (SELECT ((min(ts) + ${SRecStep - 1}) // $SRecStep) * $SRecStep AS fs,
         |  ((max(ts) - $SRecLate) // $SRecStep) * $SRecStep AS ls FROM lbl),
-        |steps AS (SELECT fs + i * $SRecStep AS t
-        |  FROM b, generate_series(0, 400) s(i)
-        |  WHERE fs + i * $SRecStep <= ls)
+        |steps AS (SELECT unnest(generate_series(fs, ls,
+        |  CAST($SRecStep AS BIGINT))) AS t FROM b)
         |SELECT region, t AS ts, CAST(sum(cents) AS DOUBLE) / 100.0 AS value
         |FROM lbl JOIN steps ON lbl.ts >= t - $StepWin AND lbl.ts <= t - 1
         |WHERE type = 'click' GROUP BY region, t

@@ -38,16 +38,26 @@ import graft.tsdb.{Rules, Ts}
  * chunks may arrive as several partials across batches (readers are
  * partial-agnostic; `ts_store_compact` re-seals).
  *
- * Exactly-once under foreachBatch's at-least-once replay: the
- * (batchId, lastStep, maxSeen) cursor persists ATOMICALLY (tmp +
- * rename) next to the output, and a replayed batchId is skipped
- * whole — the same transactional-sink pattern as
- * [[StreamIngest.foldRollupBatch]], extended to carry the watermark
- * cursor so restarts resume the grid where it stopped. The cursor
- * only advances AFTER every rule's append of a step range lands, so
- * a crash mid-group replays the whole range; recording appends are
- * per-(rule, step) rows and the replayed batchId guard keeps them
- * single-shot.
+ * Exactly-once under foreachBatch's at-least-once replay, in two
+ * layers: (1) the (batchId, lastStep, maxSeen) cursor persists
+ * ATOMICALLY (tmp + rename) next to the output and a replayed,
+ * fully-committed batchId is skipped whole; (2) every append is
+ * IDEMPOTENT — raw chunks, derived chunks, and alert rows land in a
+ * `batch_id=<id>` sub-partition via dynamic partition overwrite, so a
+ * crash BETWEEN any append and the cursor move replays the batch and
+ * each re-append REPLACES exactly the crashed attempt's partitions
+ * instead of duplicating beside them (the fold is deterministic given
+ * the same cursor + batch, so the replacement is byte-equivalent).
+ * Within one batch, every recording's rows (and every alert's states)
+ * union into ONE write per store — per-rule writes under dynamic
+ * overwrite would clobber each other's shared partitions.
+ *
+ * Retention: with `retentionDays >= 0` each fold finishes by aging
+ * out `window_date` partitions of the raw and derived stores and
+ * `state_date` partitions of the alert log older than the retention
+ * window behind the event-time watermark — metadata-only directory
+ * deletes ([[Ts.expirePartitions]]), so the standing job's footprint
+ * is bounded by retention, not runtime.
  */
 object StreamRules {
 
@@ -72,7 +82,8 @@ object StreamRules {
                              recordings: Seq[Recording] = Nil,
                              alerts: Seq[Alert] = Nil,
                              latenessSec: Long = 0L,
-                             horizonSec: Long = -1L) {
+                             horizonSec: Long = -1L,
+                             retentionDays: Int = -1) {
     require(stepSec > 0, "stepSec must be positive")
     require(alerts.forall(a => a.forSec >= 0 && a.forSec % stepSec == 0),
       "every alert's forSec must be a non-negative multiple of stepSec")
@@ -103,14 +114,30 @@ object StreamRules {
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** Idempotent per-batch append: the batch's rows land under a
+    * `batch_id=<id>` sub-partition via dynamic partition overwrite, so
+    * a replay after a mid-batch crash REPLACES the crashed attempt's
+    * partitions instead of appending duplicates beside them. Readers
+    * ignore the extra partition column; `window_date` stays the
+    * top-level directory so pruning and retention are untouched. */
+  private def appendIdempotent(chunks: DataFrame, path: String,
+                               batchId: Long): Unit =
+    chunks
+      .withColumn("window_date", to_date(to_timestamp(col("window_start"))))
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("window_date", "batch_id")
+      .parquet(path)
+
   /** Ingest the batch into the raw store and advance the cursor's
     * watermark; returns the updated cursor (not yet persisted). */
   private def ingestBatch(batch: DataFrame, labelCols: Seq[String],
                           tsCol: String, valCol: String, rawPath: String,
-                          stepSec: Long, cur: Cursor): Cursor = {
+                          stepSec: Long, cur: Cursor, batchId: Long): Cursor = {
     if (batch.isEmpty) return cur
-    Ts.writeStore(Ts.chunkify(batch, labelCols, tsCol, valCol),
-      rawPath, mode = "append")
+    appendIdempotent(Ts.chunkify(batch, labelCols, tsCol, valCol),
+      rawPath, batchId)
     val sec = Ts.epochSec(batch, tsCol)
     val mm = batch.agg(min(sec).as("lo"), max(sec).as("hi")).head()
     val (lo, hi) = (mm.getLong(0), mm.getLong(1))
@@ -150,34 +177,55 @@ object StreamRules {
     val cur0 = readCursor(marker)
     if (batchId <= cur0.batchId) return // replayed batch: already folded
     var cur = ingestBatch(batch, labelCols, tsCol, valCol, rawPath,
-      group.stepSec, cur0)
+      group.stepSec, cur0, batchId)
     newSteps(cur, group).foreach { case (from, to) =>
       val s = batch.sparkSession
       def raw(evalFrom: Long, extraBack: Long): DataFrame =
         Ts.readStore(s, rawPath,
           if (group.horizonSec < 0) Long.MinValue
           else evalFrom - group.horizonSec - extraBack, to)
-      group.recordings.foreach { r =>
-        val rows = Rules.record(raw(from, 0L), labelCols,
+      // ONE idempotent write per store per batch: per-rule writes
+      // under dynamic overwrite would clobber each other's shared
+      // (window_date, batch_id) partitions
+      group.recordings.map { r =>
+        Rules.record(raw(from, 0L), labelCols,
           Rules.Recording(r.record, r.expr, from, to, group.stepSec))
-        Ts.writeStore(Ts.chunkify(rows, labelCols, "ts", "value"),
-          recPath, mode = "append")
+      }.reduceOption(_ unionByName _).foreach { rows =>
+        appendIdempotent(Ts.chunkify(rows, labelCols, "ts", "value"),
+          recPath, batchId)
       }
-      group.alerts.foreach { a =>
+      group.alerts.map { a =>
         // continuity at step t needs the condition over [t − for, t]:
         // start the evaluation `for` earlier (floored at the grid's
         // own first step — the batch semantics of one continuous
         // run), keep only the new steps' states
         val evalFrom = math.max(from - a.forSec, cur.firstStep)
-        val states = Rules.alert(raw(evalFrom, a.forSec), labelCols,
+        Rules.alert(raw(evalFrom, a.forSec), labelCols,
           Rules.Alert(a.alert, a.expr, a.forSec, evalFrom, to, group.stepSec))
           .filter(col("ts") >= from)
           .withColumn("alert", lit(a.alert))
-        states.write.mode("append").parquet(alertPath)
+      }.reduceOption(_ unionByName _).foreach { states =>
+        states
+          .withColumn("state_date", to_date(to_timestamp(col("ts"))))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("state_date", "batch_id")
+          .parquet(alertPath)
       }
       cur = cur.copy(lastStep = to)
     }
     writeCursor(marker, cur.copy(batchId = batchId))
+    // age out partitions behind the event-time watermark — the
+    // standing job's footprint is retention-bounded, not unbounded
+    if (group.retentionDays >= 0 && cur.maxSeen != NoSec) {
+      val s = batch.sparkSession
+      Ts.expireStore(s, rawPath, group.retentionDays, cur.maxSeen)
+      Ts.expireStore(s, recPath, group.retentionDays, cur.maxSeen)
+      if (alertPath != null)
+        Ts.expirePartitions(s, alertPath, "state_date",
+          group.retentionDays, cur.maxSeen)
+    }
   }
 
   /** The last grid step the group evaluated (from the persisted

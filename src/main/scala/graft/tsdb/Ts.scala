@@ -615,15 +615,22 @@ object Ts {
    * object stores, not just local disk.
    */
   def expireStore(spark: org.apache.spark.sql.SparkSession, path: String,
-                  olderThanDays: Int, asOfSec: Long): Unit = {
+                  olderThanDays: Int, asOfSec: Long): Unit =
+    expirePartitions(spark, path, "window_date", olderThanDays, asOfSec)
+
+  /** [[expireStore]] generalized to any top-level DATE partition
+    * column — the alert state log ages on `state_date`, the chunk
+    * stores on `window_date`; same metadata-only directory deletes. */
+  def expirePartitions(spark: org.apache.spark.sql.SparkSession, path: String,
+                       column: String, olderThanDays: Int, asOfSec: Long): Unit = {
     val cutoff = java.time.LocalDate.ofEpochDay(
       Math.floorDiv(asOfSec, 86400L) - olderThanDays)
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(root)) fs.listStatus(root).foreach { st =>
       val name = st.getPath.getName
-      if (st.isDirectory && name.startsWith("window_date=")) {
-        val d = java.time.LocalDate.parse(name.stripPrefix("window_date="))
+      if (st.isDirectory && name.startsWith(s"$column=")) {
+        val d = java.time.LocalDate.parse(name.stripPrefix(s"$column="))
         if (d.isBefore(cutoff)) fs.delete(st.getPath, true)
       }
     }
@@ -796,7 +803,8 @@ object Ts {
       .map(_.getString(0)).toSeq
     val boundary = overlapping.map(_.getString(0)).toSeq.diff(covered)
     val fixed = Set("window_start", "n", "min_ts", "max_ts", "min_v", "max_v",
-      "sum_cents", "sumsq_cents", "chunk", "window_date")
+      "sum_cents", "sumsq_cents", "chunk", "window_date",
+      "batch_id") // write provenance (streamed idempotent appends), never a series label
     val seriesCols = spark.read.parquet(path).columns
       .filterNot(fixed.contains).toSeq
     // BEFORE any bytes are deleted: persist each touched series'
@@ -899,7 +907,8 @@ object Ts {
                    outPath: String, windowSec: Long = WindowSec): Unit = {
     val chunks = readStore(spark, path)
     val fixed = Set("window_start", "n", "min_ts", "max_ts", "min_v", "max_v",
-      "sum_cents", "sumsq_cents", "chunk", "window_date")
+      "sum_cents", "sumsq_cents", "chunk", "window_date",
+      "batch_id") // write provenance (streamed idempotent appends), never a series label
     val seriesCols = chunks.columns.filterNot(fixed.contains).toSeq
     // ts comes back as epoch seconds (long); go through timestamp so
     // chunkify's epochSec treats it as seconds, not parquet nanos

@@ -1057,7 +1057,7 @@ class OpsSpec extends AnyFunSuite {
     assert(got.map(_._1).toSeq == Seq("new", "stable", "alpha", "beta"))
     // a custom snapshot predicate replaces the parity default
     val flipped = graft.ops.TextOps.snapshotDrift(docs, "doc_id", "text", k = 10,
-        snapCol = _ => when(col("doc_id") < 2, 0L).otherwise(1L))
+        snapCol = (_, id) => when(col(id) < 2, 0L).otherwise(1L))
       .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
     // snap0={0,1}: n0=6 (stable:3, alpha:1, new:2); snap1={2,3}: n1=4
     // (stable:1, beta:2, new:1)

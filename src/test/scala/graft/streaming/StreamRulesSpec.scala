@@ -212,4 +212,62 @@ class StreamRulesSpec extends AnyFunSuite {
     } finally q.stop()
     assert(recordedPoints(rec) == expectedRecording)
   }
+
+  test("crash between appends and cursor move: replay replaces, never duplicates") {
+    val (raw, rec, al) = freshDirs("crash")
+    val ss = slices
+    val marker = java.nio.file.Paths.get(rec + "_rules_batch")
+    StreamRules.foldGroupBatch(toDf(ss(0)), 0, labelCols, "ts", "v",
+      group, raw, rec, al)
+    val cursorAfter0 = java.nio.file.Files.readAllBytes(marker)
+    StreamRules.foldGroupBatch(toDf(ss(1)), 1, labelCols, "ts", "v",
+      group, raw, rec, al)
+    val rawRows = Ts.readStore(spark, raw).count()
+    val recRows = Ts.readStore(spark, rec).count()
+    val alRows = spark.read.parquet(al).count()
+    // crash simulation: every append of batch 1 landed, but the cursor
+    // move didn't — foreachBatch replays batch 1 against this state
+    java.nio.file.Files.write(marker, cursorAfter0)
+    StreamRules.foldGroupBatch(toDf(ss(1)), 1, labelCols, "ts", "v",
+      group, raw, rec, al)
+    assert(Ts.readStore(spark, raw).count() == rawRows, "raw duplicated")
+    assert(Ts.readStore(spark, rec).count() == recRows, "derived duplicated")
+    assert(spark.read.parquet(al).count() == alRows, "alert log duplicated")
+    // and the stream still equals batch after the crash-replay
+    StreamRules.foldGroupBatch(toDf(ss(2)), 2, labelCols, "ts", "v",
+      group, raw, rec, al)
+    assert(recordedPoints(rec) == expectedRecording)
+    assert(spark.read.parquet(al)
+      .select("host", "ts", "state").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+      == expectedAlerts)
+  }
+
+  test("retention bounds the raw/derived stores and the alert state log") {
+    val (raw, rec, al) = freshDirs("retention")
+    // three batches, each a day apart: with retentionDays = 1 the
+    // oldest day's partitions must age out behind the watermark
+    val days = (0 until 3).map { d =>
+      allEvents.map { case (t, h, sec, v) => (t, h, sec + d * 86400L, v) }
+    }
+    val g = group.copy(retentionDays = 1)
+    days.zipWithIndex.foreach { case (rows, id) =>
+      StreamRules.foldGroupBatch(toDf(rows), id, labelCols, "ts", "v",
+        g, raw, rec, al)
+    }
+    def dates(path: String, prefix: String): Seq[String] =
+      new java.io.File(path).listFiles().toSeq.map(_.getName)
+        .filter(_.startsWith(prefix)).map(_.stripPrefix(prefix)).sorted
+    val cutoff = java.time.LocalDate.ofEpochDay(
+      Math.floorDiv(days.last.map(_._3).max, 86400L) - 1).toString
+    assert(dates(raw, "window_date=").nonEmpty &&
+      dates(raw, "window_date=").forall(_ >= cutoff), dates(raw, "window_date="))
+    assert(dates(rec, "window_date=").forall(_ >= cutoff))
+    assert(dates(al, "state_date=").nonEmpty &&
+      dates(al, "state_date=").forall(_ >= cutoff))
+    // the surviving window still answers: current alerts at the last
+    // evaluated step come straight off the bounded log
+    val last = StreamRules.lastEvaluatedStep(rec).get
+    assert(StreamRules.currentAlerts(spark, al, last).count() >= 0)
+  }
 }
