@@ -150,6 +150,12 @@ package object functions {
     org.apache.spark.sql.GraftSqlBridge.column(
       NearestCentroidsExpr(
         org.apache.spark.sql.GraftSqlBridge.expression(vec), ids, mat, nprobe))
+  /** Same model-rides-the-expression treatment for the full PQ encode. */
+  def pq_encode_all(vec: Column, codes: Array[Array[Int]],
+                    books: Array[Array[Array[Float]]]): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      PqEncodeAllExpr(
+        org.apache.spark.sql.GraftSqlBridge.expression(vec), codes, books))
   def sorted_intersect_count(a: Column, b: Column): Column =
     call_function("sorted_intersect_count", a, b)
   def shingle_hashes(text: Column, n: Int): Column =

@@ -59,6 +59,47 @@ object VectorKernels {
     s
   }
 
+  /** Full PQ encode of one vector: per subspace j the code of the
+    * nearest codeword by l2 (ties → smallest code; codewords arrive
+    * sorted by code ascending and strictly-less keeps the first, so
+    * the result is bit-identical to `min(struct(l2sq, code))` over the
+    * exploded join it replaces). Subspace slicing matches
+    * Similarity.subspaces: dsub = dim/m, the LAST subspace absorbs the
+    * `dim % m` trailing dims. One kernel call per corpus row — the
+    * encode pass is map-only (the exploded ×ksub join + per-(id, j)
+    * hash aggregate + pack shuffle it replaces spilled at 2M vectors). */
+  def pqEncodeAll(vec: ArrayData, codes: Array[Array[Int]],
+                  books: Array[Array[Array[Float]]]): ArrayData = {
+    val m = books.length
+    val dim = vec.numElements()
+    val dsub = dim / m
+    val out = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      val start = j * dsub
+      val len = if (j == m - 1) dim - (m - 1) * dsub else dsub
+      val cws = books(j)
+      var best = Double.PositiveInfinity
+      var bestCode = -1
+      var c = 0
+      while (c < cws.length) {
+        val cw = cws(c)
+        var s = 0.0
+        var i = 0
+        while (i < len) {
+          val d = vec.getFloat(start + i).toDouble - cw(i).toDouble
+          s += d * d
+          i += 1
+        }
+        if (s < best) { best = s; bestCode = codes(j)(c) }
+        c += 1
+      }
+      out(j) = bestCode
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
   /** Deterministic hyperplane component for (table, plane, dim) in [-1, 1). */
   private def component(t: Int, p: Int, d: Int): Double =
     TextHash.splitmix64(((t.toLong << 40) + (p.toLong << 20) + d) * TextHash.Gold)
@@ -318,6 +359,32 @@ case class NearestCentroidsExpr(child: Expression, ids: Array[Int],
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("nearestCentroids", this,
       classOf[NearestCentroidsExpr].getName)
+    defineCodeGen(ctx, ev, a => s"$ref.kernel($a)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** pq_encode_all(vec array<float>) -> array<int>: the full m-subspace
+  * PQ code of one vector. The codebook model rides the expression
+  * (same broadcast-literal treatment as [[NearestCentroidsExpr]] — a
+  * bounded ≤ m·ksub-codeword table), so corpus encoding is a MAP-ONLY
+  * pass: 1 row in, 1 packed code row out — no ×ksub join, no
+  * per-(id, j) aggregate, no pack shuffle. */
+case class PqEncodeAllExpr(child: Expression, codes: Array[Array[Int]],
+                           books: Array[Array[Array[Float]]])
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    GorillaExprs.expect(child, ArrayType(FloatType), s"$prettyName arg 1")
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "pq_encode_all"
+  def kernel(v: ArrayData): ArrayData =
+    VectorKernels.pqEncodeAll(v, codes, books)
+  protected override def nullSafeEval(a: Any): Any =
+    kernel(a.asInstanceOf[ArrayData])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqEncodeAll", this,
+      classOf[PqEncodeAllExpr].getName)
     defineCodeGen(ctx, ev, a => s"$ref.kernel($a)")
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)

@@ -412,7 +412,7 @@ object Similarity {
     * exploded form pushed 1.6B rows through that aggregate — the
     * entire 280-340 s ADC cost of the r10 scale-recall run; the
     * packed scan is shuffle-free between the code read and topApprox. */
-  private def packCodes(codes: DataFrame, keyCols: String*): DataFrame =
+  private[graft] def packCodes(codes: DataFrame, keyCols: String*): DataFrame =
     codes.groupBy(keyCols.map(col): _*)
       .agg(transform(array_sort(collect_list(struct(col("j"), col("code")))),
         s => s.getField("code")).as("codes"))
@@ -832,10 +832,9 @@ object Similarity {
     // every query is a plain kernel scan with no code explode
     val e = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
     assign(e, centroids).write.mode("overwrite").parquet(s"$path/lists")
-    packCodes(pqEncode(embeddings, idCol, vecCol, books, m), "id")
+    pqEncodePacked(embeddings, idCol, vecCol, books, m)
       .write.mode("overwrite").parquet(s"$path/codes")
-    packCodes(residualEncode(embeddings, idCol, vecCol, centroids, resBooks, m),
-        "id", "cluster")
+    residualEncodePacked(embeddings, idCol, vecCol, centroids, resBooks, m)
       .write.mode("overwrite").parquet(s"$path/res_codes")
     e.select(col("id"), graft.functions.sq8_encode(col("vec"),
         lit(127.0 / maxAbs)).as("code"))
@@ -926,10 +925,9 @@ object Similarity {
         s"$path; batches must be disjoint (deduplicate or re-key before append)")
     fs.delete(new org.apache.hadoop.fs.Path(path, "_SUCCESS"), false)
     assign(e, centroids).write.mode("append").parquet(s"$path/lists")
-    packCodes(pqEncode(batch, idCol, vecCol, books, m), "id")
+    pqEncodePacked(batch, idCol, vecCol, books, m)
       .write.mode("append").parquet(s"$path/codes")
-    packCodes(residualEncode(batch, idCol, vecCol, centroids, resBooks, m),
-        "id", "cluster")
+    residualEncodePacked(batch, idCol, vecCol, centroids, resBooks, m)
       .write.mode("append").parquet(s"$path/res_codes")
     e.select(col("id"), graft.functions.sq8_encode(col("vec"),
         lit(127.0 / maxAbs)).as("code"))
@@ -1178,6 +1176,49 @@ object Similarity {
     pqAssign(subspaces(resid.select("id", "vec"), m), resBooks)
       .join(resid.select("id", "cluster"), Seq("id"))
       .select("id", "cluster", "j", "code")
+  }
+
+  /** Collect a bounded codebook table (≤ m·ksub rows) into the
+    * pq_encode_all kernel's model shape: per subspace j the live codes
+    * ASCENDING and their codewords — the ordering the kernel's
+    * strictly-less argmin needs to reproduce `min(struct(d, code))`
+    * tie-breaks bit-exactly. */
+  private def pqBookModel(books: DataFrame,
+                          m: Int): (Array[Array[Int]], Array[Array[Array[Float]]]) = {
+    val rows = books.select("j", "code", "cw").collect()
+      .map(r => (r.get(0).asInstanceOf[Number].intValue(),
+        r.get(1).asInstanceOf[Number].intValue(),
+        r.getSeq[Float](2).toArray))
+    val byJ = rows.groupBy(_._1)
+    val sorted = Array.tabulate(m)(j =>
+      byJ.getOrElse(j, Array.empty[(Int, Int, Array[Float])]).sortBy(_._2))
+    (sorted.map(_.map(_._2)), sorted.map(_.map(_._3)))
+  }
+
+  /** MAP-ONLY packed PQ encode — (id, codes array<int>) straight off
+    * the [[graft.functions.pq_encode_all]] kernel. Replaces the
+    * exploded ×ksub join + per-(id, j) aggregate + pack shuffle on the
+    * ingest path (which spilled at 2M vectors); output is bit-identical
+    * to `packCodes(pqEncode(...))` (pinned in OpsSpec). */
+  def pqEncodePacked(embeddings: DataFrame, idCol: String, vecCol: String,
+                     books: DataFrame, m: Int = 8): DataFrame = {
+    val (cs, bs) = pqBookModel(books, m)
+    embeddings.select(col(idCol).as("id"),
+      graft.functions.pq_encode_all(col(vecCol), cs, bs).as("codes"))
+  }
+
+  /** MAP-ONLY packed residual encode — (id, cluster, codes): centroid
+    * assignment via the nearest_centroids kernel, residual subtraction
+    * against the broadcast centroid table, pq_encode_all on the
+    * residual. No corpus-sized shuffle anywhere. */
+  def residualEncodePacked(embeddings: DataFrame, idCol: String, vecCol: String,
+                           centroids: DataFrame, resBooks: DataFrame,
+                           m: Int = 8): DataFrame = {
+    val (cs, bs) = pqBookModel(resBooks, m)
+    residualFrame(
+        embeddings.select(col(idCol).as("id"), col(vecCol).as("vec")), centroids)
+      .select(col("id"), col("cluster"),
+        graft.functions.pq_encode_all(col("vec"), cs, bs).as("codes"))
   }
 
   /** PQ codebooks trained on per-list residuals (v − centroid). */

@@ -355,6 +355,31 @@ class OpsSpec extends AnyFunSuite {
     assert(r16 >= r4)
   }
 
+  test("packed PQ encode kernel == exploded join + pack, raw and residual") {
+    val books = Similarity.pqCodebooks(emb, "vec_id", "embedding")
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getSeq[Int](r.length - 1).toList).toMap
+    val old = asMap(Similarity.packCodes(
+      Similarity.pqEncode(emb, "vec_id", "embedding", books), "id"))
+    val fused = asMap(Similarity.pqEncodePacked(emb, "vec_id", "embedding", books))
+    assert(fused.nonEmpty && fused == old)
+    // residual path: (id, cluster, codes) identical too
+    val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", 8)
+    val resBooks = Similarity.residualCodebooks(emb, "vec_id", "embedding", cents)
+    val oldR = Similarity.packCodes(
+        Similarity.residualEncode(emb, "vec_id", "embedding", cents, resBooks),
+        "id", "cluster")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2).toList)).toSet
+    val fusedR = Similarity
+      .residualEncodePacked(emb, "vec_id", "embedding", cents, resBooks)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2).toList)).toSet
+    assert(fusedR.nonEmpty && fusedR == oldR)
+    // and the encode PLAN is map-only: no exchange anywhere
+    val plan = Similarity.pqEncodePacked(emb, "vec_id", "embedding", books)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(2000))
+  }
+
   test("pq ann: codes are complete, ADC recall beats floor, rerank is exact") {
     val qs = emb.filter(col("vec_id") < 20)
     val books = Similarity.pqCodebooks(emb, "vec_id", "embedding")
