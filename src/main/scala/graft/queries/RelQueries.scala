@@ -105,9 +105,21 @@ object RelQueries {
     // exact totals; the result equals the unsalted join (the oracle).
     "q_skew_join" -> ((s, dir) => {
       val S = 8
+      // PIN the join partitioning: a shuffle-hash build map cannot
+      // spill, and AQE's size-based coalescing would merge the
+      // (compresses-small) replicated build side into a handful of
+      // partitions — each map growing ×8-coalesced until it throws
+      // "not enough memory to build hash map" (measured at 2M-order
+      // scale). An explicit repartition on the join keys is exempt
+      // from AQE coalescing and scales with the session's shuffle
+      // parallelism, keeping every build map at
+      // |orders|·S / (S·shuffle.partitions) rows — bounded and small
+      // at any corpus size
+      val parts = S * s.sessionState.conf.numShufflePartitions
       val l = Tables(s, dir, "lineitem")
         .withColumn("salt",
           pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(S)).cast("int"))
+        .repartition(parts, col("l_orderkey"), col("salt"))
       // shuffle_hash hint: at test SF the replicated dimension would
       // broadcast, which has no shuffle to de-skew and would make the
       // salt a no-op — force the shuffle join this operator exists for
@@ -115,6 +127,7 @@ object RelQueries {
       val o = Tables(s, dir, "orders")
         .select(col("o_orderkey"), col("o_orderpriority"),
           explode(sequence(lit(0), lit(S - 1))).as("salt"))
+        .repartition(parts, col("o_orderkey"), col("salt"))
         .hint("shuffle_hash")
       l.join(o, l("l_orderkey") === o("o_orderkey") && l("salt") === o("salt"))
         .groupBy(col("o_orderpriority"), l("salt"))
