@@ -112,10 +112,11 @@ object RelQueries {
       // "not enough memory to build hash map" (measured at 2M-order
       // scale). An explicit repartition on the join keys is exempt
       // from AQE coalescing and scales with the session's shuffle
-      // parallelism, keeping every build map at
-      // |orders|·S / (S·shuffle.partitions) rows — bounded and small
-      // at any corpus size
-      val parts = S * s.sessionState.conf.numShufflePartitions
+      // parallelism, keeping every build map at |orders|·2/parts rows
+      // — bounded and small at any corpus size (2× the configured
+      // parallelism: enough headroom for the ×S replication without
+      // drowning small runs in task-scheduling overhead)
+      val parts = 2 * s.sessionState.conf.numShufflePartitions
       val l = Tables(s, dir, "lineitem")
         .withColumn("salt",
           pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(S)).cast("int"))
