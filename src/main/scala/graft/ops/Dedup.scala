@@ -371,6 +371,14 @@ object Dedup {
    * — rebuilding them per run was the repo's one measured spill at 2M
    * docs. Every prefix at ANY τ is a `pos ≤ ⌊(1−τ)·n⌋+1` filter over
    * this one table, so the artifact serves all thresholds.
+   *
+   * Incremental growth contract: correctness needs every doc ranked
+   * under ONE shared total order, not an up-to-date df — so appended
+   * docs must be ranked against the PUBLISHED df table (unseen
+   * shingles slot in as rarest, ties by hash), never against a
+   * recomputed df that would re-order existing rows. df-accuracy only
+   * tunes posting-list sizes; re-publish on the retraining schedule,
+   * like the ANN models.
    */
   def postings(sigs: DataFrame): DataFrame = {
     val ex = sigs.select(col("id"), explode(col("sh")).as("g"))

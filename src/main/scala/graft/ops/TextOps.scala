@@ -911,4 +911,56 @@ object TextOps {
       .orderBy(col("drift").desc, col("tok"))
       .limit(k)
   }
+
+  /**
+   * Reference-LM QUALITY score without a neural model: train bigram /
+   * unigram counts on a REFERENCE corpus slice, then score every
+   * target doc by how well its bigrams are attested there — the
+   * KenLM-shaped "does this read like in-domain text" filter a
+   * training-data pipeline runs before mixing a new crawl in, kept
+   * EXACT end-to-end: n_bigrams / n_hits (bigram seen in reference) /
+   * n_oov (first word unseen even as a unigram) / evidence (Σ reference
+   * count of the doc's attested bigrams) are all BIGINT, and
+   * `hit_ratio` is ONE division of exact longs — no transcendental, no
+   * order-dependent float fold, so engines agree bit-for-bit (a
+   * log-prob perplexity would differ by libm ulps per bigram and by
+   * summation order per doc; the hit-rate family ranks quality almost
+   * identically and stays hash-exact).
+   *
+   * Shape at scale: bigram extraction is one pass (an in-row transform
+   * + explode, no window); the reference bigram/unigram tables are
+   * vocabulary-sized, so both lookups ride SHUFFLE joins (a broadcast
+   * would ship the vocabulary to every task — wrong at 100 TB), and
+   * every aggregate is a partial-aggregating groupBy. Docs with fewer
+   * than two words score no row (no bigram evidence either way).
+   */
+  def lmScore(docs: DataFrame, idCol: String, textCol: String,
+              refPred: (DataFrame, String) => Column =
+                (_, id) => pmod(col(id), lit(2L)) === 0): DataFrame = {
+    val w = docs
+      .select(col(idCol).as("id"), split(col(textCol), " ").as("ws"),
+        refPred(docs, idCol).as("__ref"))
+      .filter(size(col("ws")) >= 2)
+    val big = w.select(col("id"), col("__ref"), explode(
+        transform(sequence(lit(1), size(col("ws")) - 1),
+          i => struct(element_at(col("ws"), i).as("w1"),
+            element_at(col("ws"), i + 1).as("w2")))).as("bg"))
+      .select(col("id"), col("__ref"),
+        col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val refBig = big.filter(col("__ref"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val refUni = w.filter(col("__ref"))
+      .select(explode(col("ws")).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c1"))
+    big.filter(!col("__ref"))
+      .join(refBig, Seq("w1", "w2"), "left")
+      .join(refUni, Seq("w1"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("c12").isNotNull, 1L).otherwise(0L)).as("n_hits"),
+        sum(when(col("c1").isNull, 1L).otherwise(0L)).as("n_oov"),
+        sum(coalesce(col("c12"), lit(0L))).as("evidence"))
+      .withColumn("hit_ratio",
+        col("n_hits").cast("double") / col("n_bigrams").cast("double"))
+  }
 }

@@ -808,6 +808,13 @@ object OpsQueries {
     // exact BIGINT, no float anywhere
     "text_drift" -> ((s, dir) =>
       TextOps.snapshotDrift(Tables(s, dir, "documents"), "doc_id", "text", 10)),
+    // reference-LM quality score: bigram/unigram counts trained on the
+    // even-id half, every odd-id doc scored by bigram attestation —
+    // exact BIGINT counts + ONE division (the perplexity-filter shape
+    // without the libm/float-fold hash hazards)
+    "text_lm_score" -> ((s, dir) =>
+      TextOps.lmScore(Tables(s, dir, "documents"), "doc_id", "text")
+        .orderBy("id")),
     // the flagship dedup pipeline end-to-end: LSH candidates -> exact
     // jaccard verify -> fixpoint components -> canonical doc per
     // cluster. Oracled against brute-force transitive closure (the
@@ -1560,6 +1567,28 @@ object OpsQueries {
         |    CAST(sum(c1) AS BIGINT) AS n1 FROM c)
         |SELECT tok, c0, c1, abs(c0 * n1 - c1 * n0) AS drift
         |FROM c, t ORDER BY drift DESC, tok LIMIT 10""".stripMargin,
+    "text_lm_score" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 2),
+        |bg AS (SELECT doc_id, doc_id % 2 = 0 AS ref, ws[i] AS w1, ws[i+1] AS w2
+        |  FROM (SELECT doc_id, ws,
+        |    unnest(generate_series(1, len(ws) - 1)) AS i FROM w)),
+        |rb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+        |  FROM bg WHERE ref GROUP BY w1, w2),
+        |ru AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM (
+        |  SELECT unnest(ws) AS w1 FROM w WHERE doc_id % 2 = 0) GROUP BY w1)
+        |SELECT t.doc_id AS id, count(*) AS n_bigrams,
+        |  CAST(sum(CASE WHEN rb.c12 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_hits,
+        |  CAST(sum(CASE WHEN ru.c1 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_oov,
+        |  CAST(sum(coalesce(rb.c12, 0)) AS BIGINT) AS evidence,
+        |  CAST(sum(CASE WHEN rb.c12 IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS hit_ratio
+        |FROM bg t LEFT JOIN rb ON t.w1 = rb.w1 AND t.w2 = rb.w2
+        |          LEFT JOIN ru ON t.w1 = ru.w1
+        |WHERE NOT t.ref
+        |GROUP BY t.doc_id ORDER BY id""".stripMargin,
     "text_keyterms" ->
       """WITH tf AS (
         |  SELECT doc_id, term, count(*) AS tf FROM (

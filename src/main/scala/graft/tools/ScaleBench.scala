@@ -141,6 +141,10 @@ object ScaleBench {
       timed(s"${tag}_text_drift", nDocs, "snapshot drift: vocab shuffle + totals broadcast + top-k") {
         noop(TextOps.snapshotDrift(docs, "doc_id", "text", 10))
       }
+      timed(s"${tag}_text_lm_score", nDocs,
+        "reference-LM bigram attestation: two vocab shuffle joins, exact counts") {
+        noop(TextOps.lmScore(docs, "doc_id", "text"))
+      }
     }
 
     /** The TSDB store family against one corpus dir. */

@@ -1064,6 +1064,34 @@ class OpsSpec extends AnyFunSuite {
     assert(uncapped.contains((10L, 11L)), "uncapped run should pair the clique")
   }
 
+  test("lmScore: hand-computed bigram attestation, exact counts") {
+    import spark.implicits._
+    // reference (even ids): "a b c", "a b d"; targets (odd ids):
+    // "a b c d" and a single-word doc that must score NO row
+    val docs = Seq(
+      (0L, "a b c"), (2L, "a b d"),
+      (1L, "a b c d"), (3L, "x")).toDF("doc_id", "text")
+    val got = graft.ops.TextOps.lmScore(docs, "doc_id", "text").collect()
+    assert(got.length == 1) // doc 3 has no bigram
+    val r = got.head
+    assert(r.getLong(0) == 1L)
+    // doc 1 bigrams: (a,b) c12=2 hit; (b,c) c12=1 hit; (c,d) miss.
+    assert(r.getAs[Long]("n_bigrams") == 3L)
+    assert(r.getAs[Long]("n_hits") == 2L)
+    // every first word (a, b, c) is attested as a reference unigram
+    assert(r.getAs[Long]("n_oov") == 0L)
+    assert(r.getAs[Long]("evidence") == 3L) // 2 + 1 + 0
+    assert(r.getAs[Double]("hit_ratio") == 2.0 / 3.0)
+    // custom reference predicate flips the halves
+    val flipped = graft.ops.TextOps.lmScore(docs, "doc_id", "text",
+      refPred = (_, id) => pmod(col(id), lit(2L)) === 1)
+    // now refs are "a b c d" and "x"; target doc 0: (a,b) hit, (b,c)
+    // hit; doc 2: (a,b) hit, (b,d) miss
+    val f = flipped.collect().map(r => r.getLong(0) ->
+      (r.getAs[Long]("n_hits"), r.getAs[Long]("n_oov"))).toMap
+    assert(f(0L) == ((2L, 0L)) && f(2L) == ((1L, 0L)))
+  }
+
   test("snapshotDrift: exact cross-multiplied ranking, custom snapshot predicate") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
