@@ -101,6 +101,11 @@ class ExplainAllSpec extends AnyFunSuite {
       // run); broadcasts are the prefix/shingle verify sides (none
       // corpus-text-sized), and nothing decodes
       "text_containment_join" -> (2, 3, 0),
+      // reference-LM score: bigram/unigram count aggs + per-doc agg +
+      // final orderBy; the tiny gate-corpus reference tables broadcast
+      // (size-driven — at 2M docs they exceed the threshold and the
+      // same plan shuffles, measured spill-free); nothing decodes
+      "text_lm_score" -> (4, 2, 0),
       // delete-durable live view: ONE decode of the deleted store's
       // sealed side; shuffles are the chunk-horizon groupBy, the
       // persisted-marker merge groupBy, and the final orderBy; the
