@@ -384,6 +384,13 @@ object PromqlQueries {
       Promql.evalRange(chunks(s, dir, RangeStart - StepWin), labelCols,
           "hour()", RangeStart, EvalTs, 7200L)
         .orderBy("ts")),
+    // negative offset (Prometheus promql-negative-offset): the window
+    // looks FORWARD of the evaluation instant — at EvalTs the [2d]
+    // window shifted by -1d covers (EvalTs-1d, EvalTs+1d], and the
+    // corpus simply ends at EvalTs, so only the trailing day answers
+    "promql_offset_neg" -> ((s, dir) =>
+      q(s, dir, "sum by (region) (sum_over_time(click[2d] offset -1d))")
+        .orderBy("region")),
     // NESTED subquery — `[d:step]` inside a range query: the inner
     // step series evaluates ONCE over the union span, and each inner
     // instant explodes onto the outer steps it is visible at (integer
@@ -1150,6 +1157,13 @@ object PromqlQueries {
         |    AS DOUBLE) AS value
         |FROM generate_series(0, ${(EvalTs - RangeStart) / 7200}) AS t(i)
         |ORDER BY ts""".stripMargin,
+    "promql_offset_neg" ->
+      s"""$lblCte
+        |SELECT region,
+        |  CAST(CAST(sum(cents) AS BIGINT) AS DOUBLE) / 100.0 AS value
+        |FROM lbl WHERE ts >= ${EvalTs + Day - Win + 1} AND ts <= ${EvalTs + Day}
+        |  AND type = 'click'
+        |GROUP BY region ORDER BY region""".stripMargin,
     "promql_subquery_nested" ->
       s"""$lblCte,
         |osteps AS (SELECT ($RangeStart + i * 7200) AS ot

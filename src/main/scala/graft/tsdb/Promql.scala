@@ -485,7 +485,14 @@ object Promql {
             }
           case TIdent("offset") =>
             next()
-            val d = next() match { case TDur(s) => s; case t => err(s"expected duration, got $t") }
+            // negative offsets look FORWARD of the evaluation time
+            // (Prometheus's promql-negative-offset, now on by default)
+            // — the "compare this window against the one after it"
+            // shape; the window math downstream is signed throughout
+            val neg = peek == TOp("-")
+            if (neg) next()
+            val d0 = next() match { case TDur(s) => s; case t => err(s"expected duration, got $t") }
+            val d = if (neg) -d0 else d0
             cur match {
               case v: VectorSel => cur = v.copy(offset = d); changed = true
               case sq: Subquery => cur = sq.copy(offset = d); changed = true

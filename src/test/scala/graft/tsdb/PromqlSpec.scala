@@ -827,6 +827,39 @@ class PromqlSpec extends AnyFunSuite {
     assert(parse("pi") == VectorSel(Seq(Labels.Eq("type", "pi")), None, 0L))
   }
 
+  test("negative offset looks forward: offset -d at T == no offset at T+d") {
+    assert(parse("sum_over_time(x[2d] offset -1d)") ==
+      FnCall("sum_over_time",
+        VectorSel(Seq(Labels.Eq("type", "x")), Some(172800L), -86400L)))
+    val shifted = Promql.eval(chunks, labelCols,
+      "sum by (region) (sum_over_time(click[1d] offset -1d))", EvalTs - 86400L)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    val plain = Promql.eval(chunks, labelCols,
+      "sum by (region) (sum_over_time(click[1d]))", EvalTs)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(shifted.nonEmpty && shifted == plain)
+  }
+
+  test("parser fuzz: random token soup parses or fails with IAE, never crashes") {
+    // a malformed query must die with the parser's own error type —
+    // a MatchError / NPE / StackOverflow here would crash a serving
+    // endpoint instead of 400ing the query
+    val rnd = new scala.util.Random(20260815L)
+    val atoms = Vector("sum", "rate", "click", "by", "(", ")", "[", "]",
+      "{", "}", "2d", "5m", ",", "+", "*", "/", "on", "group_left",
+      "\"x\"", "=", "=~", "offset", "@", "1705017600", "0.5", "time",
+      "scalar", "vector", "hour", "ln", "unless", "bool", ":", "-",
+      "topk", "quantile_over_time", "pi", "label_replace")
+    var parsed = 0
+    (1 to 500).foreach { _ =>
+      val q = Seq.fill(1 + rnd.nextInt(12))(atoms(rnd.nextInt(atoms.size)))
+        .mkString(" ")
+      try { parse(q); parsed += 1 }
+      catch { case _: IllegalArgumentException => () }
+    }
+    assert(parsed > 0) // the soup occasionally forms a legal query
+  }
+
   test("calendar functions at the evaluation instant (2024-01-12 Friday 00:00Z)") {
     def one(q: String): Double =
       Promql.eval(chunks, labelCols, q, EvalTs).collect().head.getDouble(0)
