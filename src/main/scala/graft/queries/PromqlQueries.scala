@@ -411,6 +411,15 @@ object PromqlQueries {
             s" / sum by (region) (sum_over_time(click[1d] @ $EvalTs))",
           RangeStart, EvalTs, 7200L)
         .orderBy("region", "ts")),
+    // @ end() preset: the same compare-vs-fixed-instant panel written
+    // portably — the pin resolves to the query's OWN end bound before
+    // evaluation, so moving the dashboard window moves the reference
+    "promql_at_preset" -> ((s, dir) =>
+      Promql.evalRange(chunks(s, dir, RangeStart - Day), labelCols,
+          "sum by (region) (sum_over_time(click[6h]))" +
+            " / sum by (region) (sum_over_time(click[1d] @ end()))",
+          RangeStart, EvalTs, 7200L)
+        .orderBy("region", "ts")),
     // group_left(labels) carry — the info-metric join: the one side's
     // named labels are COPIED onto every matched many-side element
     // (the `* on(instance) group_left(version) build_info` pattern);
@@ -1176,6 +1185,24 @@ object PromqlQueries {
         |SELECT region, ot AS ts, CAST(max(sc) AS DOUBLE) / 100.0 AS value
         |FROM isum JOIN osteps ON isum.t > ot - $Day AND isum.t <= ot
         |GROUP BY region, ot ORDER BY region, ts""".stripMargin,
+    "promql_at_preset" ->
+      s"""$lblCte,
+        |steps AS (SELECT ($RangeStart + i * 7200) AS t
+        |  FROM generate_series(0, 24) s(i)),
+        |live AS (SELECT region, t,
+        |    CAST(sum(cents) AS BIGINT) AS lc
+        |  FROM lbl JOIN steps ON lbl.ts >= t - $StepWin AND lbl.ts <= t - 1
+        |  WHERE type = 'click' GROUP BY region, t),
+        |pin AS (SELECT region, CAST(sum(cents) AS BIGINT) AS rc
+        |  FROM lbl WHERE type = 'click'
+        |    AND ts >= ${EvalTs - Day + 1} AND ts <= $EvalTs
+        |  GROUP BY region)
+        |SELECT live.region, live.t AS ts,
+        |  (CAST(live.lc AS DOUBLE) / 100.0) / (CAST(pin.rc AS DOUBLE) / 100.0)
+        |    AS value
+        |FROM live JOIN pin ON live.region = pin.region
+        |WHERE pin.rc <> 0
+        |ORDER BY live.region, ts""".stripMargin,
     "promql_range_at" ->
       s"""$lblCte,
         |steps AS (SELECT ($RangeStart + i * 7200) AS t

@@ -82,6 +82,36 @@ object Promql {
   final case class LabelCall(fn: String, arg: Expr,
                              params: Seq[String]) extends Expr
 
+  /** Sentinels for the `@ start()` / `@ end()` preset modifiers —
+    * parsed into `VectorSel.at` and resolved to the query's concrete
+    * range bounds (or the evaluation instant, for an instant query)
+    * by [[resolveAtPresets]] before any window math can see them. */
+  val AtStart: Long = Long.MinValue + 1
+  val AtEnd: Long = Long.MinValue + 2
+
+  /** Replace `@ start()` / `@ end()` sentinels with the query's
+    * concrete bounds — one AST pass at the eval entry points, so every
+    * downstream window computation sees only real instants. */
+  private def resolveAtPresets(e: Expr, start: Long, end: Long): Expr = {
+    def rec(x: Expr): Expr = x match {
+      case v: VectorSel => v.copy(at = v.at.map {
+        case AtStart => start
+        case AtEnd => end
+        case t => t
+      })
+      case s: Subquery => s.copy(arg = rec(s.arg))
+      case FnCall(f, a) => FnCall(f, rec(a))
+      case MathCall(f, a, p) => MathCall(f, rec(a), p)
+      case AggExpr(op, p, g, a) => AggExpr(op, p, g, rec(a))
+      case BinExpr(op, l, r, m, b) => BinExpr(op, rec(l), rec(r), m, b)
+      case HistExpr(phi, a) => HistExpr(phi, rec(a))
+      case LabelCall(f, a, p) => LabelCall(f, rec(a), p)
+      case ScalarCall(a) => ScalarCall(rec(a))
+      case other => other // NumLit, TimeExpr
+    }
+    rec(e)
+  }
+
   sealed trait Grouping
   case object NoGroup extends Grouping
   final case class By(labels: Seq[String]) extends Grouping
@@ -502,7 +532,11 @@ object Promql {
             next()
             val at = next() match {
               case TNum(v) if v.isWhole => v.toLong
-              case t => err(s"@ expects an integer unix timestamp, got $t")
+              // `@ start()` / `@ end()`: the query's own range bounds,
+              // resolved at the eval entry points (resolveAtPresets)
+              case TIdent("start") => expectOp("("); expectOp(")"); AtStart
+              case TIdent("end") => expectOp("("); expectOp(")"); AtEnd
+              case t => err(s"@ expects an integer unix timestamp, start(), or end(), got $t")
             }
             cur match {
               case v: VectorSel => cur = v.copy(at = Some(at)); changed = true
@@ -556,7 +590,8 @@ object Promql {
     * chunk store. Returns the result's label columns + `value: double`. */
   def eval(chunks: DataFrame, labelCols: Seq[String], query: String,
            evalTs: Long, lookbackSec: Long = 300L): DataFrame = {
-    val v = evalExpr(parse(query, labelCols.head),
+    val v = evalExpr(
+      resolveAtPresets(parse(query, labelCols.head), evalTs, evalTs),
       Ctx(chunks, labelCols, evalTs, lookbackSec))
     v.toDouble.select((v.labels.map(col) :+ col("value")): _*)
   }
@@ -590,7 +625,8 @@ object Promql {
                 lookbackSec: Long = 300L): DataFrame = {
     require(stepSec > 0 && endTs >= startTs, "need stepSec > 0 and endTs >= startTs")
     require(startTs % stepSec == 0, "startTs must align to the step grid")
-    val v = evalExpr(parse(query, labelCols.head),
+    val v = evalExpr(
+      resolveAtPresets(parse(query, labelCols.head), startTs, endTs),
       Ctx(chunks, labelCols, endTs, lookbackSec, grid = Some((startTs, stepSec))))
     v.toDouble.select((v.labels.map(col) :+ col("value")): _*)
   }

@@ -827,6 +827,42 @@ class PromqlSpec extends AnyFunSuite {
     assert(parse("pi") == VectorSel(Seq(Labels.Eq("type", "pi")), None, 0L))
   }
 
+  test("@ start()/end() resolve to the query's own bounds") {
+    assert(parse("sum_over_time(x[2d] @ end())") ==
+      FnCall("sum_over_time",
+        VectorSel(Seq(Labels.Eq("type", "x")), Some(172800L), 0L, Some(AtEnd))))
+    // instant query: start() == end() == the evaluation instant
+    val viaEnd = Promql.eval(chunks, labelCols,
+      "sum by (region) (sum_over_time(click[2d] @ end()))", EvalTs)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    val plain = Promql.eval(chunks, labelCols,
+      "sum by (region) (sum_over_time(click[2d]))", EvalTs)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(viaEnd.nonEmpty && viaEnd == plain)
+    // range query: @ end() pins every step's window at endTs — equal
+    // to the same window pinned at the literal timestamp
+    val start = 1704844800L
+    val ge = Promql.evalRange(chunks, labelCols,
+      "sum by (region) (sum_over_time(click[1d] @ end()))",
+      start, EvalTs, 7200L).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val gl = Promql.evalRange(chunks, labelCols,
+      s"sum by (region) (sum_over_time(click[1d] @ $EvalTs))",
+      start, EvalTs, 7200L).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(ge.nonEmpty && ge == gl)
+    // @ start() pins at the grid start
+    val gs = Promql.evalRange(chunks, labelCols,
+      "sum by (region) (sum_over_time(click[1d] @ start()))",
+      start, EvalTs, 7200L).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val gsl = Promql.evalRange(chunks, labelCols,
+      s"sum by (region) (sum_over_time(click[1d] @ $start))",
+      start, EvalTs, 7200L).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(gs.nonEmpty && gs == gsl && gs != ge)
+  }
+
   test("negative offset looks forward: offset -d at T == no offset at T+d") {
     assert(parse("sum_over_time(x[2d] offset -1d)") ==
       FnCall("sum_over_time",
