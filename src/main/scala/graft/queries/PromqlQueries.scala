@@ -384,6 +384,21 @@ object PromqlQueries {
       Promql.evalRange(chunks(s, dir, RangeStart - StepWin), labelCols,
           "hour()", RangeStart, EvalTs, 7200L)
         .orderBy("ts")),
+    // stepped count_values — the per-step value histogram panel: the
+    // aggregation grid rides the same bucket-fold partials, the step
+    // is an implicit group key
+    "promql_range_count_values" -> ((s, dir) =>
+      Promql.evalRange(chunks(s, dir, RangeStart - StepWin), labelCols,
+          "count_values by (region) (\"v\", sum_over_time(click[6h]))",
+          RangeStart, EvalTs, 7200L)
+        .orderBy("region", "sample", "ts")),
+    // stepped quantile aggregator (ACROSS series, vs quantile_over_
+    // time across samples): p90 of the per-host window sums, per step
+    "promql_range_qagg" -> ((s, dir) =>
+      Promql.evalRange(chunks(s, dir, RangeStart - StepWin), labelCols,
+          "quantile by (region) (0.9, sum by (host, region) (sum_over_time(click[6h])))",
+          RangeStart, EvalTs, 7200L)
+        .orderBy("region", "ts")),
     // negative offset (Prometheus promql-negative-offset): the window
     // looks FORWARD of the evaluation instant — at EvalTs the [2d]
     // window shifted by -1d covers (EvalTs-1d, EvalTs+1d], and the
@@ -1166,6 +1181,26 @@ object PromqlQueries {
         |    AS DOUBLE) AS value
         |FROM generate_series(0, ${(EvalTs - RangeStart) / 7200}) AS t(i)
         |ORDER BY ts""".stripMargin,
+    "promql_range_count_values" ->
+      s"""$lblCte,
+        |steps AS (SELECT ($RangeStart + i * 7200) AS t
+        |  FROM generate_series(0, 24) s(i)),
+        |h AS (SELECT type, host, region, t, CAST(sum(cents) AS BIGINT) AS sc
+        |  FROM lbl JOIN steps ON lbl.ts >= t - $StepWin AND lbl.ts <= t - 1
+        |  WHERE type = 'click' GROUP BY type, host, region, t)
+        |SELECT region, CAST(sc AS DOUBLE) / 100.0 AS sample, t AS ts,
+        |  CAST(count(*) AS DOUBLE) AS value
+        |FROM h GROUP BY region, sc, t
+        |ORDER BY region, sample, ts""".stripMargin,
+    "promql_range_qagg" ->
+      s"""$lblCte,
+        |steps AS (SELECT ($RangeStart + i * 7200) AS t
+        |  FROM generate_series(0, 24) s(i)),
+        |h AS (SELECT host, region, t, CAST(sum(cents) AS BIGINT) AS sc
+        |  FROM lbl JOIN steps ON lbl.ts >= t - $StepWin AND lbl.ts <= t - 1
+        |  WHERE type = 'click' GROUP BY host, region, t)
+        |SELECT region, t AS ts, quantile_cont(sc, 0.9) / 100.0 AS value
+        |FROM h GROUP BY region, t ORDER BY region, ts""".stripMargin,
     "promql_offset_neg" ->
       s"""$lblCte
         |SELECT region,

@@ -639,8 +639,6 @@ object Promql {
       case Labels.NotRe(l, v) => s"""$l!~"$v""""
     }.mkString("{", ", ", "}")
 
-  /** [from, to] second-grid window of a range selector at evalTs
-    * (or the selector's pinned `@` instant). */
   /** `sel @ T` inside a range query: the pinned window is the SAME at
     * every step (Grafana's "compare vs fixed instant" panel), so the
     * body evaluates ONCE in instant mode and the per-series constant
@@ -655,6 +653,8 @@ object Promql {
         v.labels :+ "ts", v.kind))
     } else None
 
+  /** [from, to] second-grid window of a range selector at evalTs
+    * (or the selector's pinned `@` instant). */
   private def window(sel: VectorSel, ctx: Ctx): (Long, Long) = {
     val to = sel.at.getOrElse(ctx.evalTs) - sel.offset
     val d = sel.range.getOrElse(
