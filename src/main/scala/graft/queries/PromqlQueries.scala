@@ -384,6 +384,17 @@ object PromqlQueries {
       Promql.evalRange(chunks(s, dir, RangeStart - StepWin), labelCols,
           "hour()", RangeStart, EvalTs, 7200L)
         .orderBy("ts")),
+    // stepped irate — the instantaneous-rate panel: per-bucket top-2
+    // partials merge into each window's last two samples (bounded
+    // re-sort, never a per-step decode)
+    "promql_range_irate" -> ((s, dir) =>
+      Promql.evalRange(chunks(s, dir, RangeStart - StepWin), labelCols,
+          "irate(click[6h])", RangeStart, EvalTs, 7200L)
+        .orderBy("type", "host", "region", "ts")),
+    "promql_range_idelta" -> ((s, dir) =>
+      Promql.evalRange(chunks(s, dir, RangeStart - StepWin), labelCols,
+          "idelta(view[6h])", RangeStart, EvalTs, 7200L)
+        .orderBy("type", "host", "region", "ts")),
     // stepped count_values — the per-step value histogram panel: the
     // aggregation grid rides the same bucket-fold partials, the step
     // is an implicit group key
@@ -1181,6 +1192,45 @@ object PromqlQueries {
         |    AS DOUBLE) AS value
         |FROM generate_series(0, ${(EvalTs - RangeStart) / 7200}) AS t(i)
         |ORDER BY ts""".stripMargin,
+    "promql_range_irate" ->
+      s"""$lblCte,
+        |steps AS (SELECT ($RangeStart + i * 7200) AS t
+        |  FROM generate_series(0, 24) s(i)),
+        |ranked AS (SELECT type, host, region, t, ts, cents, row_number() OVER (
+        |    PARTITION BY type, host, region, t ORDER BY ts DESC, cents DESC) AS rn
+        |  FROM lbl JOIN steps ON lbl.ts >= t - $StepWin AND lbl.ts <= t - 1
+        |  WHERE type = 'click'),
+        |two AS (SELECT type, host, region, t,
+        |    max(CASE WHEN rn = 1 THEN ts END) AS lt,
+        |    max(CASE WHEN rn = 1 THEN cents END) AS lc,
+        |    max(CASE WHEN rn = 2 THEN ts END) AS pt,
+        |    max(CASE WHEN rn = 2 THEN cents END) AS pc,
+        |    count(*) AS n
+        |  FROM ranked WHERE rn <= 2 GROUP BY type, host, region, t)
+        |SELECT type, host, region, t AS ts,
+        |  CAST(CASE WHEN lc >= pc THEN lc - pc ELSE lc END AS DOUBLE)
+        |    / ((lt - pt) * 100.0) AS value
+        |FROM two WHERE n = 2 AND lt <> pt
+        |ORDER BY type, host, region, ts""".stripMargin,
+    "promql_range_idelta" ->
+      s"""$lblCte,
+        |steps AS (SELECT ($RangeStart + i * 7200) AS t
+        |  FROM generate_series(0, 24) s(i)),
+        |ranked AS (SELECT type, host, region, t, ts, cents, row_number() OVER (
+        |    PARTITION BY type, host, region, t ORDER BY ts DESC, cents DESC) AS rn
+        |  FROM lbl JOIN steps ON lbl.ts >= t - $StepWin AND lbl.ts <= t - 1
+        |  WHERE type = 'view'),
+        |two AS (SELECT type, host, region, t,
+        |    max(CASE WHEN rn = 1 THEN ts END) AS lt,
+        |    max(CASE WHEN rn = 1 THEN cents END) AS lc,
+        |    max(CASE WHEN rn = 2 THEN ts END) AS pt,
+        |    max(CASE WHEN rn = 2 THEN cents END) AS pc,
+        |    count(*) AS n
+        |  FROM ranked WHERE rn <= 2 GROUP BY type, host, region, t)
+        |SELECT type, host, region, t AS ts,
+        |  CAST(lc - pc AS DOUBLE) / 100.0 AS value
+        |FROM two WHERE n = 2 AND lt <> pt
+        |ORDER BY type, host, region, ts""".stripMargin,
     "promql_range_count_values" ->
       s"""$lblCte,
         |steps AS (SELECT ($RangeStart + i * 7200) AS t

@@ -1272,6 +1272,8 @@ object Promql {
         return steppedStruct(fn, sel, ctx)
       if (fn == "deriv")
         return steppedDeriv(sel, ctx)
+      if (fn == "irate" || fn == "idelta")
+        return steppedIrate(fn, sel, ctx)
       if (!SteppedFns(fn)) throw new IllegalArgumentException(
         s"$fn needs per-step sample windows; stepped mode supports " +
           s"rate, increase, changes, resets, delta, last_over_time, deriv, " +
@@ -1556,6 +1558,58 @@ object Promql {
       .withColumn("ts", lit(start0) + col("__i") * lit(step))
       .select((L :+ "ts" :+ "value").map(col): _*)
     Vec(perStep, L :+ "ts", Cents)
+  }
+
+  /** Stepped irate/idelta — the instantaneous-rate panel: each window
+    * needs its LAST TWO samples. Per-(series, bucket) partials keep the
+    * bucket's top-2 (ts, cents) structs — composable, since a window's
+    * last two samples are among its buckets' top-2s — then each
+    * partial explodes onto its ≤ k covering windows and a bounded
+    * (≤ 2k-struct) re-sort merges per (series, step). Same tie-break
+    * as the instant path: (ts, cents) struct order, windows whose two
+    * survivors share a timestamp emit nothing. */
+  private def steppedIrate(fn: String, sel: VectorSel, ctx: Ctx): Vec = {
+    val (start0, step) = ctx.grid.get
+    val d = sel.range.getOrElse(
+      throw new IllegalArgumentException(s"$fn needs sel[duration]"))
+    require(d % step == 0 && d >= step,
+      s"window ${d}s must be a positive multiple of the ${step}s step grid")
+    val start = start0 - sel.offset
+    require(start % step == 0, "offset must preserve step alignment")
+    val end = ctx.evalTs - sel.offset
+    val k = d / step
+    val nSteps = (end - start) / step + 1
+    val tLast = start + (nSteps - 1) * step
+    val L = ctx.labelCols
+    val j0 = start / step
+    def top2(c: Column): Column = slice(reverse(sort_array(c)), 1, 2)
+    val perBucket = decoded(sel, start - d, tLast - 1, ctx)
+      .withColumn("__j", expr(s"(ts div ${step}L) - ${j0}L"))
+      .groupBy(L.map(col) :+ col("__j"): _*)
+      .agg(top2(collect_list(struct(col("ts"), col("cents")))).as("__t2"))
+    val perStep = perBucket
+      .withColumn("__i", explode(sequence(
+        greatest(col("__j") + lit(1L), lit(0L)),
+        least(col("__j") + lit(k), lit(nSteps - 1)))))
+      .groupBy(L.map(col) :+ col("__i"): _*)
+      .agg(top2(flatten(collect_list(col("__t2")))).as("__t2"))
+      .filter(size(col("__t2")) === 2)
+      .withColumn("__l", element_at(col("__t2"), 1))
+      .withColumn("__p", element_at(col("__t2"), 2))
+      .filter(col("__l.ts") =!= col("__p.ts"))
+      .withColumn("ts", lit(start0) + col("__i") * lit(step))
+    val outCols = (L :+ "ts").map(col)
+    fn match {
+      case "idelta" =>
+        Vec(perStep.select(outCols :+
+          (col("__l.cents") - col("__p.cents")).as("value"): _*), L :+ "ts", Cents)
+      case _ => // irate: counter reset (last < prev) → increase = last
+        val incr = when(col("__l.cents") >= col("__p.cents"),
+          col("__l.cents") - col("__p.cents")).otherwise(col("__l.cents"))
+        Vec(perStep.select(outCols :+ (incr.cast("double") /
+          ((col("__l.ts") - col("__p.ts")) * lit(100.0)).cast("double"))
+          .as("value"): _*), L :+ "ts", Dbl)
+    }
   }
 
   /** Stepped deriv: per-(series, bucket) exact regression partials

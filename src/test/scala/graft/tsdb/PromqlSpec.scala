@@ -827,6 +827,24 @@ class PromqlSpec extends AnyFunSuite {
     assert(parse("pi") == VectorSel(Seq(Labels.Eq("type", "pi")), None, 0L))
   }
 
+  test("stepped irate/idelta == per-step instant evaluation") {
+    val start = 1704844800L
+    for (q <- Seq("irate(view[1d])", "idelta(view[1d])")) {
+      val got = Promql.evalRange(chunks, labelCols, q, start, EvalTs, 21600L)
+        .collect().map(r => ((r.getString(0), r.getString(1), r.getString(2),
+          r.getLong(3)), r.getDouble(4))).toMap
+      // the stepped window at t is the LEFT-CLOSED [t−d, t−1] — the
+      // instant window of an evaluation at t−1
+      val want = (start to EvalTs by 21600L).flatMap { t =>
+        Promql.eval(chunks, labelCols, q, t - 1).collect()
+          .map(r => ((r.getString(0), r.getString(1), r.getString(2), t),
+            r.getDouble(3)))
+      }.toMap
+      assert(got.nonEmpty && got.keySet == want.keySet, s"$q keys")
+      want.foreach { case (k, v) => assert(got(k) == v, s"$q $k") }
+    }
+  }
+
   test("@ start()/end() resolve to the query's own bounds") {
     assert(parse("sum_over_time(x[2d] @ end())") ==
       FnCall("sum_over_time",
