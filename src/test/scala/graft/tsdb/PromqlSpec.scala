@@ -1028,6 +1028,19 @@ class PromqlSpec extends AnyFunSuite {
       "sum by (host, region) (sum_over_time(click[2d]))" +
         " * on(host) group_left(nope) sum by (host) (sum_over_time(purchase[2d]))",
       EvalTs))
+    // the carry composes with range queries: the step joins implicitly
+    val stepped = Promql.evalRange(chunks, labelCols,
+      "sum by (host, region) (sum_over_time(click[1d]))" +
+        " * on(host) group_left(tier) label_replace(" +
+        "sum by (host) (sum_over_time(purchase[1d])) > bool -1," +
+        " \"tier\", \"gold\", \"host\", \"h1.*\")",
+      1704844800L, EvalTs, 21600L).collect()
+    assert(stepped.nonEmpty)
+    stepped.foreach { r =>
+      val h = r.getAs[String]("host")
+      val tier = r.getAs[String]("tier")
+      assert(tier == (if (h.startsWith("h1")) "gold" else ""), s"$h $tier")
+    }
   }
 
   test("@ in stepped mode: the pinned window is one instant eval replicated") {
