@@ -384,6 +384,11 @@ object PromqlQueries {
       Promql.evalRange(chunks(s, dir, RangeStart - StepWin), labelCols,
           "hour()", RangeStart, EvalTs, 7200L)
         .orderBy("ts")),
+    // label-free ÷ label-free — the global-ratio scorecard number:
+    // one-row vectors match on the empty label set (a 1×1 join)
+    "promql_global_ratio" -> ((s, dir) =>
+      q(s, dir, "sum(sum_over_time(click[2d])) / sum(sum_over_time(view[2d]))")
+        .orderBy("value")),
     // stepped irate — the instantaneous-rate panel: per-bucket top-2
     // partials merge into each window's last two samples (bounded
     // re-sort, never a per-step decode)
@@ -1192,6 +1197,14 @@ object PromqlQueries {
         |    AS DOUBLE) AS value
         |FROM generate_series(0, ${(EvalTs - RangeStart) / 7200}) AS t(i)
         |ORDER BY ts""".stripMargin,
+    "promql_global_ratio" ->
+      s"""$lblCte
+        |SELECT (CAST(CAST(sum(CASE WHEN type = 'click' THEN cents END)
+        |    AS BIGINT) AS DOUBLE) / 100.0)
+        |  / (CAST(CAST(sum(CASE WHEN type = 'view' THEN cents END)
+        |    AS BIGINT) AS DOUBLE) / 100.0) AS value
+        |FROM lbl WHERE ts >= $From AND ts <= $EvalTs
+        |  AND type IN ('click', 'view')""".stripMargin,
     "promql_range_irate" ->
       s"""$lblCte,
         |steps AS (SELECT ($RangeStart + i * 7200) AS t

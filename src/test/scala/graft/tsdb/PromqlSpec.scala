@@ -894,6 +894,19 @@ class PromqlSpec extends AnyFunSuite {
     assert(shifted.nonEmpty && shifted == plain)
   }
 
+  test("stepped negative offset: window at t == unshifted window at t+d") {
+    val start = 1704844800L
+    val got = Promql.evalRange(chunks, labelCols,
+      "sum by (region) (sum_over_time(click[6h] offset -6h))",
+      start, EvalTs - 21600L, 7200L)
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getDouble(2))).toMap
+    val want = Promql.evalRange(chunks, labelCols,
+      "sum by (region) (sum_over_time(click[6h]))",
+      start + 21600L, EvalTs, 7200L)
+      .collect().map(r => ((r.getString(0), r.getLong(1) - 21600L), r.getDouble(2))).toMap
+    assert(got.nonEmpty && got == want)
+  }
+
   test("parser fuzz: random token soup parses or fails with IAE, never crashes") {
     // a malformed query must die with the parser's own error type —
     // a MatchError / NPE / StackOverflow here would crash a serving
