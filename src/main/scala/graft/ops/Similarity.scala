@@ -1190,8 +1190,14 @@ object Similarity {
         r.get(1).asInstanceOf[Number].intValue(),
         r.getSeq[Float](2).toArray))
     val byJ = rows.groupBy(_._1)
-    val sorted = Array.tabulate(m)(j =>
-      byJ.getOrElse(j, Array.empty[(Int, Int, Array[Float])]).sortBy(_._2))
+    // a books/m mismatch (m larger than the trained codebooks) must
+    // fail HERE at model build, not surface as silent -1 codes from
+    // pq_encode_all that downstream ADC would score as garbage
+    (0 until m).foreach(j => require(
+      byJ.get(j).exists(_.nonEmpty),
+      s"pqBookModel: no codewords for subspace $j — books table was " +
+        s"trained with fewer than m=$m subspaces"))
+    val sorted = Array.tabulate(m)(j => byJ(j).sortBy(_._2))
     (sorted.map(_.map(_._2)), sorted.map(_.map(_._3)))
   }
 

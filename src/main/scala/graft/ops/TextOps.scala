@@ -606,12 +606,25 @@ object TextOps {
    */
   def winnowPairs(docs: DataFrame, idCol: String, textCol: String,
                   k: Int = 4, w: Int = 8, minShared: Long = 5L,
-                  maxDf: Long = 50L): DataFrame = {
-    val fps = winnowing(docs, idCol, textCol, k, w)
-      .select(col(idCol).as("__wid"), col("fp")).distinct()
-    val keep = fps.groupBy("fp").agg(count(lit(1)).as("__df"))
+                  maxDf: Long = 50L): DataFrame =
+    winnowPairsFps(winnowing(docs, idCol, textCol, k, w), idCol,
+      minShared, maxDf)
+
+  /** [[winnowPairs]] over a PRE-PUBLISHED [[winnowing]] fingerprint
+    * table — the per-corpus form, mirroring the containment postings
+    * contract ([[Dedup.postings]]): the text scan + winnow kernel is
+    * the once-per-corpus ingest cost (the fp table is ~2/(w+1) of the
+    * gram count, tens of bytes/row ≪ the text), and only the
+    * distinct → df-cap → fp-blocked inversion runs per query — every
+    * shuffle linear in fingerprint count plus candidate pairs, never
+    * the corpus text. The artifact also serves the span queries (it
+    * keeps `pos`), so one publish feeds both surfaces. */
+  def winnowPairsFps(fps: DataFrame, idCol: String,
+                     minShared: Long = 5L, maxDf: Long = 50L): DataFrame = {
+    val d = fps.select(col(idCol).as("__wid"), col("fp")).distinct()
+    val keep = d.groupBy("fp").agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= maxDf).select("fp")
-    val f = fps.join(keep, Seq("fp")).select("fp", "__wid")
+    val f = d.join(keep, Seq("fp")).select("fp", "__wid")
     f.toDF("fp", "a_id").join(f.toDF("fp", "b_id"), "fp")
       .filter(col("a_id") < col("b_id"))
       .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_shared"))

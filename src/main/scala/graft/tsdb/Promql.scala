@@ -78,9 +78,14 @@ object Promql {
   /** `histogram_quantile(φ, e)` over a vector carrying an `le` label. */
   final case class HistExpr(phi: Double, arg: Expr) extends Expr
   /** `label_replace(e, dst, rep, src, regex)` / `label_join(e, dst,
-    * sep, srcs…)` — label-manipulation with string parameters. */
+    * sep, srcs…)` / `sort_by_label(_desc)(e, lbls…)` —
+    * label-manipulation with string parameters. */
   final case class LabelCall(fn: String, arg: Expr,
                              params: Seq[String]) extends Expr
+  /** `info(e, {sel})` — Prometheus 3.x experimental: enrich `e` with
+    * the data labels of the info series `sel` selects, joined on the
+    * labels the two share (the metric-name label excluded). */
+  final case class InfoCall(arg: Expr, sel: VectorSel) extends Expr
 
   /** Sentinels for the `@ start()` / `@ end()` preset modifiers —
     * parsed into `VectorSel.at` and resolved to the query's concrete
@@ -106,6 +111,7 @@ object Promql {
       case BinExpr(op, l, r, m, b) => BinExpr(op, rec(l), rec(r), m, b)
       case HistExpr(phi, a) => HistExpr(phi, rec(a))
       case LabelCall(f, a, p) => LabelCall(f, rec(a), p)
+      case InfoCall(a, s) => InfoCall(rec(a), rec(s).asInstanceOf[VectorSel])
       case ScalarCall(a) => ScalarCall(rec(a))
       case other => other // NumLit, TimeExpr
     }
@@ -203,9 +209,11 @@ object Promql {
   val RangeFns: Set[String] = Set("rate", "increase", "delta", "changes", "resets",
     "sum_over_time", "count_over_time", "min_over_time", "max_over_time",
     "avg_over_time", "stddev_over_time", "stdvar_over_time", "last_over_time",
-    "present_over_time", "deriv", "predict_linear", "irate", "idelta")
+    "present_over_time", "deriv", "predict_linear", "irate", "idelta",
+    "mad_over_time")
   private val aggOps = Set("sum", "min", "max", "avg", "count", "topk", "bottomk",
-    "quantile", "count_values", "stddev", "stdvar", "group")
+    "quantile", "count_values", "stddev", "stdvar", "group",
+    "limitk", "limit_ratio")
   /** Pointwise math functions (optional scalar params after the vector). */
   val MathFns: Set[String] = Set("abs", "ceil", "floor", "round",
     "clamp", "clamp_min", "clamp_max", "sqrt", "sgn",
@@ -216,7 +224,8 @@ object Promql {
     * the vector argument is optional (`hour()` ≡ `hour(vector(time()))`). */
   val CalFns: Set[String] = Set("minute", "hour", "day_of_week",
     "day_of_month", "days_in_month", "month", "year")
-  private val paramAggs = Set("topk", "bottomk", "quantile")
+  private val paramAggs = Set("topk", "bottomk", "quantile", "limitk",
+    "limit_ratio")
   private val setOps = Set("and", "or", "unless")
   private val cmpOps = Set("==", "!=", ">", "<", ">=", "<=")
 
@@ -331,7 +340,8 @@ object Promql {
       case TOp("(") => next(); val e = parseOr(); expectOp(")"); withModifiers(e)
       case TNum(v) => next(); NumLit(v)
       case TOp("{") => withModifiers(selector(None))
-      case TIdent(name) if name == "label_replace" || name == "label_join" =>
+      case TIdent(name) if name == "label_replace" || name == "label_join" ||
+          name == "sort_by_label" || name == "sort_by_label_desc" =>
         next(); expectOp("(")
         val a = parseOr()
         val ps = Seq.newBuilder[String]
@@ -362,6 +372,39 @@ object Promql {
         expectOp(",")
         val a = parseOr(); expectOp(")")
         withModifiers(MathCall("quantile_over_time", a, Seq(phi)))
+      case TIdent("histogram_fraction") =>
+        // histogram_fraction(lo, hi, v) — two scalar bounds first
+        next(); expectOp("(")
+        def bound(): Double = next() match {
+          case TNum(v) => v
+          case TOp("-") => next() match {
+            case TNum(v) => -v
+            case t => err(s"histogram_fraction needs scalar bounds, got -$t")
+          }
+          case t => err(s"histogram_fraction needs scalar bounds, got $t")
+        }
+        val lo = bound(); expectOp(",")
+        val hi = bound(); expectOp(",")
+        val a = parseOr(); expectOp(")")
+        withModifiers(MathCall("histogram_fraction", a, Seq(lo, hi)))
+      case TIdent(name) if name == "histogram_count" || name == "histogram_sum" ||
+          name == "histogram_avg" =>
+        next(); expectOp("(")
+        val a = parseOr(); expectOp(")")
+        withModifiers(FnCall(name, a))
+      case TIdent("info") if toks.lift(p + 1).contains(TOp("(")) =>
+        // info(v, {info-metric selector}) — Prometheus 3.x experimental:
+        // enrich v with the data labels of the matching info series
+        next(); expectOp("(")
+        val a = parseOr()
+        expectOp(",")
+        val sel = peek match {
+          case TOp("{") => selector(None)
+          case TIdent(n) => next(); selector(Some(n))
+          case t => err(s"info() needs an info-metric selector second, got $t")
+        }
+        expectOp(")")
+        withModifiers(InfoCall(a, sel))
       case TIdent(name) if aggOps(name) => next(); withModifiers(aggregation(name))
       case TIdent(name) if RangeFns(name) || name == "absent" ||
           name == "absent_over_time" || name == "sort" || name == "sort_desc" ||
@@ -448,6 +491,12 @@ object Promql {
         if (paramAggs(op) || op == "count_values") {
           val v = next() match {
             case TNum(n) => n
+            case TOp("-") => next() match {
+              // limit_ratio(-0.5, e): the complement half of the
+              // deterministic hash split
+              case TNum(n) => -n
+              case t => err(s"$op needs a scalar first argument, got -$t")
+            }
             case TStr(_) if op == "count_values" => 0.0 // label name ignored: value col is fixed
             case t => err(s"$op needs a scalar first argument, got $t")
           }
@@ -675,12 +724,18 @@ object Promql {
     case FnCall("sort", arg) => sortVec(arg, desc = false, ctx)
     case FnCall("sort_desc", arg) => sortVec(arg, desc = true, ctx)
     case FnCall("timestamp", arg) => timestampVec(arg, ctx)
+    case FnCall(fn @ ("histogram_count" | "histogram_sum" | "histogram_avg"),
+        arg) => histAgg(fn, Nil, arg, ctx)
     case FnCall(fn, sq: Subquery) => subqueryFn(fn, sq, ctx)
     case _: Subquery =>
       throw new IllegalArgumentException("subquery [d:step] must be consumed by a range function")
+    case FnCall("mad_over_time", arg) => madOverTime(arg, ctx)
     case FnCall(fn, arg) => rangeFn(fn, arg, ctx)
+    case ic: InfoCall => infoFn(ic, ctx)
     case MathCall("predict_linear", arg, ps) => predictLinear(arg, ps.head, ctx)
     case MathCall("quantile_over_time", arg, ps) => quantileOverTime(ps.head, arg, ctx)
+    case MathCall("histogram_fraction", arg, ps) =>
+      histAgg("histogram_fraction", ps, arg, ctx)
     case MathCall("holt_winters", arg, ps) => holtWintersVec(arg, ps(0), ps(1), ctx)
     case mc: MathCall => mathFn(mc, ctx)
     case lc: LabelCall => labelFn(lc, ctx)
@@ -738,6 +793,10 @@ object Promql {
       else Vec(base.df.withColumn("value", lit(v)), base.labels, Dbl)
     case TimeExpr => timeVec(ctx)
     case sc: ScalarCall => scalarVec(sc.arg, ctx)
+    // compound scalar expressions (`vector(time() - 300)`,
+    // `vector(scalar(a) + 1)`) ride the scalar evaluator — already a
+    // 1-row (per-step) label-free frame, exactly vector()'s shape
+    case a if isScalarExpr(a) => evalScalar(a, ctx)
     case _ => throw new IllegalArgumentException(
       "vector() takes a scalar argument (a number, time(), or scalar(v))")
   }
@@ -805,6 +864,19 @@ object Promql {
         val labels = if (v.labels.contains(dst)) v.labels else v.labels :+ dst
         Vec(v.df.withColumn(dst, concat_ws(sep, srcs.map(col): _*))
           .select((labels :+ "value").map(col): _*), labels, v.kind)
+      case "sort_by_label" | "sort_by_label_desc" =>
+        // Prometheus 3.x presentation sort: order by the given labels
+        // (then the remaining labels, then value, for determinism);
+        // representation and label set untouched, like sort()
+        if (lc.params.isEmpty) throw new IllegalArgumentException(
+          s"${lc.fn} needs at least one label to sort by")
+        lc.params.foreach(l => require(v.labels.contains(l),
+          s"${lc.fn}: label '$l' not in result labels ${v.labels.mkString(",")}"))
+        val desc = lc.fn == "sort_by_label_desc"
+        val keyed = lc.params.map(l => if (desc) col(l).desc else col(l).asc)
+        val rest = v.labels.filterNot(lc.params.contains).map(col(_).asc)
+        Vec(v.df.orderBy(keyed ++ rest :+ col("value").asc: _*),
+          v.labels, v.kind)
       case other => throw new IllegalArgumentException(s"unknown function '$other'")
     }
   }
@@ -852,6 +924,207 @@ object Promql {
       .otherwise(interp)
     Vec(first.withColumn("value", value)
       .select(L.map(col) :+ col("value"): _*), L, Dbl)
+  }
+
+  /** `histogram_count/sum/avg/fraction` over a classic `_bucket`
+    * vector (an `le` label with cumulative counters, "+Inf" arm
+    * present) — the dashboard tail next to [[histQuantile]], stepped
+    * for free (the step label rides the group like every other
+    * grouping here).
+    *
+    * - `histogram_count(v)`: the +Inf bucket's value per group —
+    *   exact, representation untouched (composes with `rate`: the
+    *   rate-then-count shape keeps the one-divide-at-output contract).
+    * - `histogram_sum(v)`: the classic-bucket midpoint estimator
+    *   (native histograms carry an exact sum; cumulative buckets
+    *   don't, so this is the standard Σ count_i · mid_i with the +Inf
+    *   arm pinned at the last finite bound — the same convention
+    *   histogram_quantile uses for φ→1). Computed as Σ ΔL·(lo+hi) on
+    *   the exact integer grid with ONE denominator change
+    *   (denom · 200, bounds in cents), so `sum()` over it stays
+    *   order-independent and the float division happens once at
+    *   output. Per-bucket Δ and bound lags are group-sized windows
+    *   (≤ |buckets| rows per series), never data-sized.
+    * - `histogram_avg(v)` = sum/count in ONE float division:
+    *   Σ ΔL·(lo+hi) / (200 · L_inf) — denominators cancel exactly, so
+    *   the emitted double is reproducible from the raw longs.
+    * - `histogram_fraction(lo, hi, v)`: (F(hi) − F(lo)) / total with
+    *   F linearly interpolated inside the bucket containing the bound
+    *   (lower bound 0 for the first bucket, Prometheus's
+    *   histogram_quantile rule); a bound past the last finite bucket
+    *   interpolates against +Inf, which IEEE-collapses to F = prevCum
+    *   — no special-casing, the same expression both engines run.
+    *   Groups without a +Inf bucket or with total 0 drop (fraction
+    *   undefined), like [[histQuantile]]. */
+  private def histAgg(fn: String, params: Seq[Double], arg: Expr,
+                      ctx: Ctx): Vec = {
+    val v = evalExpr(arg, ctx)
+    if (!v.labels.contains("le")) throw new IllegalArgumentException(
+      s"$fn needs an 'le' label on its input vector " +
+        s"(got ${v.labels.mkString(", ")})")
+    val L = v.labels.filterNot(_ == "le")
+    def ordW = Window.partitionBy(L.map(col): _*).orderBy(col("__le"))
+    val fullW = ordW.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    def withLe(df: DataFrame): DataFrame = df.withColumn("__le",
+      when(col("le") === "+Inf", lit(Double.PositiveInfinity))
+        .otherwise(col("le").cast("double")))
+    fn match {
+      case "histogram_count" =>
+        Vec(v.df.filter(col("le") === "+Inf")
+          .select(L.map(col) :+ col("value"): _*), L, v.kind)
+      case "histogram_sum" | "histogram_avg" =>
+        val denom = v.kind match {
+          case Exact(d) => d
+          case Dbl => throw new IllegalArgumentException(
+            s"$fn over a float bucket vector is order-dependent; " +
+              "aggregate before the float op")
+        }
+        // per-bucket Δcount and the (lo + hi) cents factor; the +Inf
+        // arm contributes at 2·(last finite bound)
+        val df = withLe(v.df)
+          .withColumn("__lec", when(col("le") === "+Inf", lit(null))
+            .otherwise((col("__le") * 100).cast("long")))
+          .withColumn("__plec",
+            coalesce(lag(col("__lec"), 1).over(ordW), lit(0L)))
+          .withColumn("__fc", when(col("le") === "+Inf", col("__plec") * 2)
+            .otherwise(col("__plec") + col("__lec")))
+          .withColumn("__dl",
+            col("value") - coalesce(lag(col("value"), 1).over(ordW), lit(0L)))
+        val g = df.groupBy(L.map(col): _*)
+          .agg(sum(col("__dl") * col("__fc")).as("__num"),
+            max(when(col("le") === "+Inf", col("value"))).as("__cnt"))
+          .filter(col("__cnt").isNotNull)
+        if (fn == "histogram_sum")
+          Vec(g.select(L.map(col) :+ col("__num").as("value"): _*),
+            L, Exact(denom * 200.0))
+        else
+          Vec(g.filter(col("__cnt") > 0)
+            .select(L.map(col) :+ (col("__num").cast("double") /
+              (lit(200.0) * col("__cnt").cast("double"))).as("value"): _*),
+            L, Dbl)
+      case "histogram_fraction" =>
+        val Seq(lo, hi) = (params match {
+          case p if p.size == 2 => p
+          case p => throw new IllegalArgumentException(
+            s"histogram_fraction(lo, hi, v) needs two scalar bounds, got ${p.size}")
+        }): @unchecked
+        val base = withLe(v.df)
+          .withColumn("__cum", col("value").cast("double"))
+          .withColumn("__prevLe",
+            coalesce(lag(col("__le"), 1).over(ordW), lit(0.0)))
+          .withColumn("__prevCum",
+            coalesce(lag(col("value"), 1).over(ordW).cast("double"), lit(0.0)))
+        // interpolated cumulative count at bound x: first bucket with
+        // __le ≥ x; (x−prev)/(+Inf−prev) collapses to 0 in IEEE, so a
+        // bound past the last finite bucket answers with prevCum
+        def cumAt(x: Double, out: String): DataFrame = base
+          .filter(col("__le") >= x)
+          .withColumn("__rn", row_number().over(ordW))
+          .filter(col("__rn") === 1)
+          .select(L.map(col) :+ (col("__prevCum") +
+            (col("__cum") - col("__prevCum")) *
+              ((lit(x) - col("__prevLe")) / (col("__le") - col("__prevLe"))))
+            .as(out): _*)
+        val tot = base.filter(col("le") === "+Inf")
+          .filter(col("__cum") > 0)
+          .select(L.map(col) :+ col("__cum").as("__tot"): _*)
+        val joined = cumAt(hi, "__fhi")
+          .join(cumAt(lo, "__flo"), L)
+          .join(tot, L)
+        Vec(joined.select(L.map(col) :+
+          ((col("__fhi") - col("__flo")) / col("__tot")).as("value"): _*),
+          L, Dbl)
+      case other => throw new IllegalArgumentException(s"unknown histogram fn '$other'")
+    }
+  }
+
+  /** `mad_over_time(sel[d])` (Prometheus experimental): the median
+    * absolute deviation of a series' samples in the window —
+    * median(|xᵢ − median(x)|), both medians exact interpolations on
+    * the integer cent grid ([[quantileOverTime]]'s discipline:
+    * Spark's `percentile` and DuckDB's `quantile_cont` share the
+    * (1−f)·a + f·b rule; cent medians land on .0/.5 and the MAD on
+    * .25 binary fractions, so emitted doubles are bit-stable). Two
+    * aggregation passes with the per-group median joined back —
+    * the median frame is series-sized (× steps in range mode),
+    * broadcast-shaped at any point volume; stepped mode rides the
+    * same decode-and-explode as every non-composable window fn. */
+  private def madOverTime(arg: Expr, ctx: Ctx): Vec = {
+    val sel = arg match {
+      case s: VectorSel => s
+      case _ => throw new IllegalArgumentException(
+        "mad_over_time expects a range selector argument")
+    }
+    val L = ctx.labelCols
+    if (ctx.grid.isDefined) {
+      atPinned(sel, ctx)(c => madOverTime(arg, c)) match {
+        case Some(v) => return v
+        case None => ()
+      }
+      val (start0, step) = ctx.grid.get
+      val d = sel.range.getOrElse(
+        throw new IllegalArgumentException("mad_over_time needs sel[duration]"))
+      require(d % step == 0 && d >= step,
+        s"window ${d}s must be a positive multiple of the ${step}s step grid")
+      val start = start0 - sel.offset
+      require(start % step == 0, "offset must preserve step alignment")
+      val end = ctx.evalTs - sel.offset
+      val k = d / step
+      val nSteps = (end - start) / step + 1
+      val tLast = start + (nSteps - 1) * step
+      val j0 = start / step
+      val keyed = decoded(sel, start - d, tLast - 1, ctx)
+        .withColumn("__j", expr(s"(ts div ${step}L) - ${j0}L"))
+        .withColumn("__i", explode(sequence(
+          greatest(col("__j") + lit(1L), lit(0L)),
+          least(col("__j") + lit(k), lit(nSteps - 1)))))
+      val gk = L.map(col) :+ col("__i")
+      val med = keyed.groupBy(gk: _*)
+        .agg(expr("percentile(cents, 0.5)").as("__med"))
+      val perStep = keyed.join(med, L :+ "__i")
+        .groupBy(gk: _*)
+        .agg((expr("percentile(abs(cents - __med), 0.5)") / lit(100.0)).as("value"))
+        .withColumn("ts", lit(start0) + col("__i") * lit(step))
+        .select((L :+ "ts" :+ "value").map(col): _*)
+      return Vec(perStep, L :+ "ts", Dbl)
+    }
+    val (from, to) = window(sel, ctx)
+    val pts = decoded(sel, from, to, ctx)
+    val med = pts.groupBy(L.map(col): _*)
+      .agg(expr("percentile(cents, 0.5)").as("__med"))
+    val df = pts.join(broadcast(med), L)
+      .groupBy(L.map(col): _*)
+      .agg((expr("percentile(abs(cents - __med), 0.5)") / lit(100.0)).as("value"))
+    Vec(df, L, Dbl)
+  }
+
+  /** `info(v, {sel})` — Prometheus 3.x experimental, the general form
+    * of the `group_left(labels)` carry: every element of `v` gains the
+    * DATA labels of the info series it matches. The join keys are the
+    * labels the two sides share with the metric-name label excluded
+    * (the identifying labels — `info` drops the info metric's own
+    * name, like Prometheus drops `__name__`); the info side's
+    * remaining labels are the carried data labels. The info side
+    * reduces to distinct (key, data) rows — series-grain, broadcast
+    * by construction; if one key maps to several data-label
+    * combinations the match fans out like Prometheus's many-to-many
+    * info join. `v`'s representation is untouched, so exact-grid
+    * expressions stay exact through the enrichment. */
+  private def infoFn(ic: InfoCall, ctx: Ctx): Vec = {
+    val v = evalExpr(ic.arg, ctx)
+    val iv = evalExpr(ic.sel, ctx)
+    val metric = ctx.labelCols.headOption.getOrElse("")
+    val ivLabels = iv.labels.filterNot(_ == metric)
+    val keys = v.labels.filter(ivLabels.contains)
+    if (keys.isEmpty) throw new IllegalArgumentException(
+      s"info(): no shared identifying labels between ${v.labels.mkString(",")} " +
+        s"and the info series' ${ivLabels.mkString(",")}")
+    val data = ivLabels.filterNot(l => v.labels.contains(l) || l == "ts")
+    if (data.isEmpty) throw new IllegalArgumentException(
+      "info(): the info series carries no data labels beyond the match keys")
+    val side = iv.df.select((keys ++ data).map(col): _*).distinct()
+    Vec(v.df.join(broadcast(side), keys),
+      v.labels ++ data, v.kind)
   }
 
   /** PromQL absent(): a 1-element vector when the selector matches
@@ -1803,6 +2076,20 @@ object Promql {
   /** Aggregation operators across series. Exact kinds aggregate in
     * BIGINT; quantile interpolates on the integer grid (one fixed
     * expression); topk/bottomk are TakeOrdered with label tiebreaks. */
+  /** Deterministic 32-bit series hash for limitk/limit_ratio: the
+    * first 32 md5 bits of the comma-joined SERIES labels ("ts"
+    * excluded, so a series is consistently in or out across every
+    * step of a range query) plus a fixed salt —
+    * [[graft.ops.TextOps.sampleStratified]]'s engine-portable
+    * construction (md5 is bit-identical everywhere; label values in
+    * this store carry no commas, so the join is injective). */
+  private def seriesHash(labels: Seq[String]): org.apache.spark.sql.Column = {
+    val series = labels.filterNot(_ == "ts")
+    conv(substring(md5(concat(
+      concat_ws(",", series.map(col(_).cast("string")): _*), lit(":42"))),
+      1, 8), 16, 10).cast("long")
+  }
+
   private def aggregate(agg: AggExpr, ctx: Ctx): Vec = {
     val v = evalExpr(agg.arg, ctx)
     val out0 = agg.grouping match {
@@ -1879,6 +2166,38 @@ object Promql {
           Vec(v.df.withColumn("__rk", row_number().over(w))
             .filter(col("__rk") <= k).drop("__rk"), v.labels, v.kind)
         }
+      case "limitk" =>
+        // Prometheus 3.x limitk: k elements per group, chosen by the
+        // deterministic series-hash order (the sampleStratified md5
+        // discipline) so the pick is reproducible across engines,
+        // cluster layouts, and retries — and limitk(k) ⊆ limitk(k+1).
+        // Full label set kept, like topk; per-group via a rank window
+        // over group-sized partitions, global via TakeOrdered.
+        val k = agg.param.getOrElse(1.0).toInt
+        val ord = seriesHash(v.labels).asc +:
+          v.labels.filterNot(out.contains).map(col(_).asc)
+        if (out.isEmpty)
+          Vec(v.df.orderBy(ord: _*).limit(k), v.labels, v.kind)
+        else {
+          val w = Window.partitionBy(out.map(col): _*).orderBy(ord: _*)
+          Vec(v.df.withColumn("__rk", row_number().over(w))
+            .filter(col("__rk") <= k).drop("__rk"), v.labels, v.kind)
+        }
+      case "limit_ratio" =>
+        // Prometheus 3.x limit_ratio: keep ≈ r of the elements via the
+        // INTEGER-EXACT ppm gate over the series hash (h·10⁶ <
+        // round(r·10⁶)·2³²) — sampleStratified's construction, md5 so
+        // both engines compute the identical gate. r < 0 keeps the
+        // exact complement: limit_ratio(r) ∪ limit_ratio(r−1) is the
+        // whole vector, disjointly. A pure per-element filter: no
+        // shuffle, kind and labels untouched.
+        val r = agg.param.getOrElse(1.0)
+        require(r >= -1.0 && r <= 1.0, s"limit_ratio needs r in [-1, 1], got $r")
+        val h = seriesHash(v.labels)
+        val gate =
+          if (r >= 0) h * 1000000L < lit(Math.round(r * 1000000L) * 4294967296L)
+          else h * 1000000L >= lit(Math.round((1.0 + r) * 1000000L) * 4294967296L)
+        Vec(v.df.filter(gate), v.labels, v.kind)
       case other => throw new IllegalArgumentException(s"unknown aggregation '$other'")
     }
   }
@@ -1888,8 +2207,14 @@ object Promql {
     * comparisons filter, and/or/unless are semi/union/anti joins that
     * ship only keys for the right side. */
   private def binary(bin: BinExpr, ctx: Ctx): Vec = (bin.lhs, bin.rhs) match {
-    case (NumLit(a), NumLit(b)) =>
-      throw new IllegalArgumentException(s"scalar-only expression ${a} ${bin.op} ${b}")
+    // BOTH sides scalar-typed (literals, time(), scalar(v), arithmetic
+    // over them): no vector shape at top level — checked BEFORE the
+    // one-sided NumLit cases so `scalar(x) + 1` gets the real reason,
+    // not the "must be consumed by arithmetic" message (it IS)
+    case (l, r) if isScalarExpr(l) && isScalarExpr(r) =>
+      throw new IllegalArgumentException(
+        s"scalar-only expression has no vector result: " +
+          s"${bin.op} over two scalars (wrap in vector() for a vector)")
     case (l, NumLit(s)) =>
       scalarOp(evalExpr(l, ctx), bin.op, s, scalarLeft = false, bin.boolMod)
     case (NumLit(s), r) =>
@@ -1942,7 +2267,12 @@ object Promql {
           val manyRight = bin.matching.groupRight
           // `group_left(version)`: labels COPIED from the one side onto
           // every matched many-side element; a same-named many-side
-          // label is overwritten (dropped from the many projection)
+          // label is overwritten (dropped from the many projection).
+          // DELIBERATE DEVIATION from reference PromQL: a carried label
+          // that is ABSENT from the one side THROWS here, where
+          // Prometheus silently copies it as empty — in a fixed-schema
+          // label store an absent carry label is a typo'd column name,
+          // and failing loud beats emitting a phantom empty column
           val carry = bin.matching.carry
           if (carry.nonEmpty) {
             val oneLabels = if (manyRight) lv.labels else rv.labels

@@ -1062,6 +1062,16 @@ class OpsSpec extends AnyFunSuite {
       minShared = 2L, maxDf = 1000L).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(uncapped.contains((10L, 11L)), "uncapped run should pair the clique")
+    // artifact contract: pairs computed off a round-tripped published
+    // fp table are IDENTICAL to the inline path (winnowPairs is now a
+    // delegate, but the pin guards the parquet round-trip too)
+    val fpPath = java.nio.file.Files.createTempDirectory("winnow_fps").toString
+    TextOps.winnowing(df, "doc_id", "text")
+      .write.mode("overwrite").parquet(fpPath)
+    val viaArtifact = TextOps.winnowPairsFps(
+      spark.read.parquet(fpPath), "doc_id", minShared = 2L, maxDf = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaArtifact == pairs, "artifact-path pairs must equal inline pairs")
   }
 
   test("lmScore: hand-computed bigram attestation, exact counts") {
