@@ -168,16 +168,21 @@ object Bench {
     Seq(build("cs", 100.0, grammar = true),
         build("cs", 100.0, grammar = true, base36 = true),
         buildGz(results),
+        // centiseconds through the DENSER wire encoding before giving
+        // up 10 ms resolution: raw deflate (no 18-byte gzip container)
+        // + Base85 (JSON-safe alphabet, 5 chars per 4 bytes vs
+        // base64's 4-per-3 — ~20% fewer payload chars); the 260-key
+        // round-14 fixture outgrew even the decisecond gzip tier, and
+        // this tier keeps centiseconds for it with ~300 chars of
+        // margin
+        buildB85(results),
         build("ds", 10.0, grammar = true),
         build("ds", 10.0, grammar = true, base36 = true),
-        // the true size floor: deciseconds THROUGH the compressor —
-        // the 242-key round-11 line outgrew even the centisecond gzip
-        // tier (base64 undoes ~1/3 of the compression), and a smaller
-        // payload, not a tighter format, is what keeps a size-bounded
-        // guarantee as the key count grows
-        buildGz(results, "ds", 10.0))
+        buildGz(results, "ds", 10.0),
+        // the true size floor: deciseconds through raw deflate + b85
+        buildB85(results, "ds", 10.0))
       .find(_.length <= 1995)
-      .getOrElse(buildGz(results, "ds", 10.0))
+      .getOrElse(buildB85(results, "ds", 10.0))
   }
 
   /** The size-bounded compact tier: the PACKED-TRIE base-36
@@ -205,6 +210,58 @@ object Bench {
     gz.close()
     val b64 = java.util.Base64.getEncoder.encodeToString(bos.toByteArray)
     s"""{"u":"$unit","f":"b64 -> gunzip -> k:v(v base36),g(kids),join _","q":"$b64"}"""
+  }
+
+  /** Python-stdlib-compatible Base85 (the `base64.b85encode` RFC-1924
+    * alphabet): 4 bytes → 5 chars big-endian, partial final group of
+    * n bytes → n+1 chars. Every alphabet char is JSON-string-safe (no
+    * quote, no backslash, no control chars), so the payload embeds
+    * unescaped. */
+  private val B85Alphabet = "0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZ" +
+    "abcdefghijklmnopqrstuvwxyz!#$%&()*+-;<=>?@^_`{|}~"
+
+  private[graft] def b85(bytes: Array[Byte]): String = {
+    val sb = new StringBuilder((bytes.length / 4 + 1) * 5)
+    var i = 0
+    while (i < bytes.length) {
+      val n = math.min(4, bytes.length - i)
+      var acc = 0L
+      var j = 0
+      while (j < 4) {
+        acc = (acc << 8) | (if (j < n) bytes(i + j) & 0xffL else 0L)
+        j += 1
+      }
+      val chars = new Array[Char](5)
+      var k = 4
+      while (k >= 0) { chars(k) = B85Alphabet((acc % 85).toInt); acc /= 85; k -= 1 }
+      sb.appendAll(chars, 0, n + 1)
+      i += 4
+    }
+    sb.toString
+  }
+
+  /** The densest compact tier: the packed-trie base-36 payload through
+    * RAW deflate (no gzip container — 18 fewer bytes) and Base85 (5
+    * chars per 4 bytes vs base64's 4-per-3). The "f" hint names the
+    * exact decode pipeline — in Python that is
+    * `zlib.decompress(base64.b85decode(q), -15)` — so the consumer
+    * needs no out-of-band knowledge. */
+  private def buildB85(results: Seq[(String, Double)], unit: String = "cs",
+                       scale: Double = 100.0): String = {
+    val entries = results.sortBy(_._1)
+      .map { case (k, v) =>
+        (k.split('_').toList, if (v < 0) -1L else math.round(v * scale)) }
+    val packed = emitTrie(entries, v => java.lang.Long.toString(v, 36))
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val d = new java.util.zip.Deflater(
+      java.util.zip.Deflater.BEST_COMPRESSION, true)
+    d.setInput(packed)
+    d.finish()
+    val bos = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](4096)
+    while (!d.finished()) bos.write(buf, 0, d.deflate(buf))
+    d.end()
+    s"""{"u":"$unit","f":"b85 -> raw deflate -> k:v(v base36),g(kids),join _","q":"${b85(bos.toByteArray)}"}"""
   }
 
   /** Emit items (token-path, value) in the packed grammar, collapsing

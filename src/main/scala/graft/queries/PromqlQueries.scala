@@ -151,11 +151,12 @@ object PromqlQueries {
           "sum by (host, region) (sum_over_time(click[2d])))")
         .orderBy("region", "host")),
     // count_values over an instant vector: frequency histogram of the
-    // last-sample values on the exact cent grid (1-day staleness)
+    // last-sample values on the exact cent grid (1-day staleness);
+    // the string parameter NAMES the output label (Prometheus rule)
     "promql_count_values" -> ((s, dir) =>
       q(s, dir, """count_values("v", {type="purchase", host=~"h1.*"})""",
           fromSec = EvalTs - Day + 1, lookback = Day)
-        .orderBy("sample")),
+        .orderBy("v")),
     // query_range (stepped) evaluation — the Grafana panel call: 25
     // 2-h steps, each a 6-h window; COMPRESSED-DOMAIN end-to-end (one
     // bucket fold per chunk, partials exploded onto the ≤ 3 windows
@@ -252,6 +253,53 @@ object PromqlQueries {
           "histogram_quantile(0.5, sum by (le) (rate(click[1d])))",
           RangeStart, EvalTs, 7200L)
         .orderBy("ts")),
+    // histogram_count: the +Inf bucket's rate — the event-throughput
+    // panel straight off the bucket counters, exact longs until the
+    // one per-second division at output
+    "promql_hist_count" -> ((s, dir) =>
+      histQ(s, dir, "histogram_count(sum by (le) (rate(click[2d])))")),
+    // histogram_sum: the classic-bucket midpoint estimator
+    // Σ ΔL·(lo+hi)/2 over a rate()-composed vector — Δ, bounds (micro
+    // grid), and the numerator all exact BIGINT, ONE division
+    "promql_hist_sum" -> ((s, dir) =>
+      histQ(s, dir, "histogram_sum(sum by (le) (rate(click[2d])))")),
+    // histogram_avg = sum/count with the rate denominators cancelling
+    // exactly: one float division over two raw longs
+    "promql_hist_avg" -> ((s, dir) =>
+      histQ(s, dir, "histogram_avg(sum by (le) (rate(click[2d])))")),
+    // histogram_fraction(20, 150): both bounds OFF the bucket
+    // boundaries (buckets 10/25/50/100/250), so the linear
+    // interpolation inside the straddling buckets is exercised
+    "promql_hist_fraction" -> ((s, dir) =>
+      histQ(s, dir, "histogram_fraction(20, 150, sum by (le) (rate(click[2d])))")),
+    // mad_over_time: median absolute deviation of the window's samples
+    // per series — both medians exact interpolations on the cent grid
+    "promql_mad_ot" -> ((s, dir) =>
+      q(s, dir, "mad_over_time(view[1d])", fromSec = EvalTs - Day + 1)
+        .orderBy("host", "region")),
+    // sort_by_label: presentation ordering by a label (remaining
+    // labels + value tiebreak); representation untouched
+    "promql_sort_by_label" -> ((s, dir) =>
+      q(s, dir, "sort_by_label(sum by (host, region) " +
+          "(sum_over_time(click[2d])), \"region\")")),
+    // limitk: k elements picked by the deterministic md5 series hash
+    // (sampleStratified's construction) — reproducible across engines
+    "promql_limitk" -> ((s, dir) =>
+      q(s, dir, "limitk(5, sum by (host) (sum_over_time(click[2d])))")
+        .orderBy("host")),
+    // limit_ratio: the integer-exact ppm hash gate; r=0.25 keeps the
+    // same quarter of the series on both engines
+    "promql_limit_ratio" -> ((s, dir) =>
+      q(s, dir, "limit_ratio(0.25, sum by (host) (sum_over_time(click[2d])))")
+        .orderBy("host")),
+    // info(): enrich the host sums with the region data label carried
+    // by the purchase info series — LEFT join, so hosts without a
+    // purchase sample in the lookback keep a NULL region (Prometheus
+    // leaves unmatched samples unenriched)
+    "promql_info" -> ((s, dir) =>
+      q(s, dir, "info(sum by (host) (sum_over_time(click[2d])), " +
+          """{type="purchase"})""", lookback = Day)
+        .orderBy("host")),
     // SUBQUERY `expr[2d:6h]`: the inner expression re-evaluated on an
     // 8-instant inner grid (the SAME stepped machinery query_range
     // uses), the outer max selecting among exact longs — one division
@@ -407,7 +455,7 @@ object PromqlQueries {
       Promql.evalRange(chunks(s, dir, RangeStart - StepWin), labelCols,
           "count_values by (region) (\"v\", sum_over_time(click[6h]))",
           RangeStart, EvalTs, 7200L)
-        .orderBy("region", "sample", "ts")),
+        .orderBy("region", "v", "ts")),
     // stepped quantile aggregator (ACROSS series, vs quantile_over_
     // time across samples): p90 of the per-host window sums, per step
     "promql_range_qagg" -> ((s, dir) =>
@@ -768,9 +816,9 @@ object PromqlQueries {
         |last AS (SELECT type, host, region, cents, row_number() OVER (
         |    PARTITION BY type, host, region ORDER BY ts DESC, cents DESC) AS rn
         |  FROM pts)
-        |SELECT CAST(cents AS DOUBLE) / 100.0 AS sample,
+        |SELECT CAST(cents AS DOUBLE) / 100.0 AS v,
         |  CAST(count(*) AS DOUBLE) AS value
-        |FROM last WHERE rn = 1 GROUP BY cents ORDER BY sample""".stripMargin,
+        |FROM last WHERE rn = 1 GROUP BY cents ORDER BY v""".stripMargin,
     // stepped windows are LEFT-CLOSED [t − 6h, t − 1] on the second
     // grid (the compiler's bucket-alignment convention)
     "promql_range_sum" ->
@@ -991,6 +1039,111 @@ object PromqlQueries {
         |    ((rnk - coalesce(prev_cum, 0.0)) / (cum - coalesce(prev_cum, 0.0)))
         |  END AS value
         |FROM p WHERE rn = 1 ORDER BY ts""".stripMargin,
+    // histogram_count/sum/avg/fraction: the bucket counters re-derived
+    // from raw events (rate telescopes to a COUNT between the window's
+    // first and last scrape instants); sum/avg replicate the engine's
+    // Σ Δ·(lo+hi) micro-grid numerator per event (each event lands in
+    // exactly one Δ bucket), fraction replicates the interpolation
+    // expression tree op-for-op
+    "promql_hist_count" ->
+      s"""$lblCte
+        |SELECT CAST(CAST(100 * count(*) AS BIGINT) AS DOUBLE) / 17280000.0 AS value
+        |FROM lbl WHERE type = 'click'
+        |  AND ts > ${EvalTs - 165600L} AND ts <= $EvalTs""".stripMargin,
+    "promql_hist_sum" ->
+      s"""$lblCte
+        |SELECT CAST(CAST(sum(100 * CAST(CASE
+        |    WHEN cents <= 1000 THEN 10000000
+        |    WHEN cents <= 2500 THEN 35000000
+        |    WHEN cents <= 5000 THEN 75000000
+        |    WHEN cents <= 10000 THEN 150000000
+        |    WHEN cents <= 25000 THEN 350000000
+        |    ELSE 500000000 END AS BIGINT)) AS BIGINT) AS DOUBLE) / 34560000000000.0 AS value
+        |FROM lbl WHERE type = 'click'
+        |  AND ts > ${EvalTs - 165600L} AND ts <= $EvalTs""".stripMargin,
+    "promql_hist_avg" ->
+      s"""$lblCte,
+        |g AS (SELECT CAST(sum(100 * CAST(CASE
+        |    WHEN cents <= 1000 THEN 10000000
+        |    WHEN cents <= 2500 THEN 35000000
+        |    WHEN cents <= 5000 THEN 75000000
+        |    WHEN cents <= 10000 THEN 150000000
+        |    WHEN cents <= 25000 THEN 350000000
+        |    ELSE 500000000 END AS BIGINT)) AS BIGINT) AS num,
+        |  CAST(100 * count(*) AS BIGINT) AS cnt
+        |  FROM lbl WHERE type = 'click'
+        |    AND ts > ${EvalTs - 165600L} AND ts <= $EvalTs)
+        |SELECT CAST(num AS DOUBLE) / (2000000.0 * CAST(cnt AS DOUBLE)) AS value
+        |FROM g WHERE cnt > 0""".stripMargin,
+    "promql_hist_fraction" ->
+      s"""$lblCte,
+        |g AS (SELECT
+        |  CAST(100 * count(*) FILTER (WHERE cents <= 1000) AS BIGINT) AS c10,
+        |  CAST(100 * count(*) FILTER (WHERE cents <= 2500) AS BIGINT) AS c25,
+        |  CAST(100 * count(*) FILTER (WHERE cents <= 10000) AS BIGINT) AS c100,
+        |  CAST(100 * count(*) FILTER (WHERE cents <= 25000) AS BIGINT) AS c250,
+        |  CAST(100 * count(*) AS BIGINT) AS ctot
+        |  FROM lbl WHERE type = 'click'
+        |    AND ts > ${EvalTs - 165600L} AND ts <= $EvalTs)
+        |SELECT ((CAST(c100 AS DOUBLE) + (CAST(c250 AS DOUBLE) - CAST(c100 AS DOUBLE)) *
+        |    ((150.0 - 100.0) / (250.0 - 100.0)))
+        |  - (CAST(c10 AS DOUBLE) + (CAST(c25 AS DOUBLE) - CAST(c10 AS DOUBLE)) *
+        |    ((20.0 - 10.0) / (25.0 - 10.0))))
+        |  / CAST(ctot AS DOUBLE) AS value
+        |FROM g WHERE ctot > 0""".stripMargin,
+    // mad_over_time: both medians exact interpolations on the integer
+    // cent grid (quantile_cont == Spark's percentile there), /100 once
+    "promql_mad_ot" ->
+      s"""$lblCte,
+        |pts AS (SELECT type, host, region, cents FROM lbl
+        |  WHERE ts >= ${EvalTs - Day + 1} AND ts <= $EvalTs AND type = 'view'),
+        |med AS (SELECT type, host, region, quantile_cont(cents, 0.5) AS m
+        |  FROM pts GROUP BY type, host, region)
+        |SELECT p.type, p.host, p.region,
+        |  quantile_cont(abs(p.cents - m.m), 0.5) / 100.0 AS value
+        |FROM pts p JOIN med m USING (type, host, region)
+        |GROUP BY p.type, p.host, p.region ORDER BY host, region""".stripMargin,
+    "promql_sort_by_label" ->
+      s"""$lblCte
+        |SELECT host, region,
+        |  CAST(CAST(sum(cents) AS BIGINT) AS DOUBLE) / 100.0 AS value
+        |FROM lbl WHERE ts >= $From AND ts <= $EvalTs AND type = 'click'
+        |GROUP BY host, region ORDER BY region, host, value""".stripMargin,
+    // limitk / limit_ratio: the engine's md5 series hash re-derived
+    // digit-by-digit (first 8 hex chars as a base-16 integer — the
+    // sample_stratified construction)
+    "promql_limitk" ->
+      s"""$lblCte,
+        |h AS (SELECT host, CAST(sum(cents) AS BIGINT) AS sc FROM lbl
+        |  WHERE ts >= $From AND ts <= $EvalTs AND type = 'click' GROUP BY host),
+        |k AS (SELECT host, sc FROM h
+        |  ORDER BY CAST(list_sum(list_transform(generate_series(1, 8), i ->
+        |    (strpos('0123456789abcdef', substr(md5(host || ':42'), i, 1)) - 1)
+        |      * power(16, 8 - i))) AS BIGINT), host
+        |  LIMIT 5)
+        |SELECT host, CAST(sc AS DOUBLE) / 100.0 AS value
+        |FROM k ORDER BY host""".stripMargin,
+    "promql_limit_ratio" ->
+      s"""$lblCte,
+        |h AS (SELECT host, CAST(sum(cents) AS BIGINT) AS sc FROM lbl
+        |  WHERE ts >= $From AND ts <= $EvalTs AND type = 'click' GROUP BY host)
+        |SELECT host, CAST(sc AS DOUBLE) / 100.0 AS value FROM h
+        |WHERE CAST(list_sum(list_transform(generate_series(1, 8), i ->
+        |    (strpos('0123456789abcdef', substr(md5(host || ':42'), i, 1)) - 1)
+        |      * power(16, 8 - i))) AS BIGINT) * 1000000 < ${250000L * 4294967296L}
+        |ORDER BY host""".stripMargin,
+    // info(): LEFT join — hosts with no purchase sample in the 1-day
+    // lookback keep a NULL region, matching the engine's unenriched
+    // pass-through
+    "promql_info" ->
+      s"""$lblCte,
+        |base AS (SELECT host, CAST(sum(cents) AS BIGINT) AS sc FROM lbl
+        |  WHERE ts >= $From AND ts <= $EvalTs AND type = 'click' GROUP BY host),
+        |iv AS (SELECT DISTINCT host, region FROM lbl
+        |  WHERE ts >= ${EvalTs - Day + 1} AND ts <= $EvalTs AND type = 'purchase')
+        |SELECT b.host, iv.region, CAST(b.sc AS DOUBLE) / 100.0 AS value
+        |FROM base b LEFT JOIN iv ON b.host = iv.host
+        |ORDER BY b.host""".stripMargin,
     // subquery grids: instants are the multiples of step in (T-d, T]
     "promql_subquery" ->
       s"""$lblCte,
@@ -1251,10 +1404,10 @@ object PromqlQueries {
         |h AS (SELECT type, host, region, t, CAST(sum(cents) AS BIGINT) AS sc
         |  FROM lbl JOIN steps ON lbl.ts >= t - $StepWin AND lbl.ts <= t - 1
         |  WHERE type = 'click' GROUP BY type, host, region, t)
-        |SELECT region, CAST(sc AS DOUBLE) / 100.0 AS sample, t AS ts,
+        |SELECT region, CAST(sc AS DOUBLE) / 100.0 AS v, t AS ts,
         |  CAST(count(*) AS DOUBLE) AS value
         |FROM h GROUP BY region, sc, t
-        |ORDER BY region, sample, ts""".stripMargin,
+        |ORDER BY region, v, ts""".stripMargin,
     "promql_range_qagg" ->
       s"""$lblCte,
         |steps AS (SELECT ($RangeStart + i * 7200) AS t

@@ -63,9 +63,10 @@ object Promql {
   /** Pointwise math function with optional scalar params:
     * `abs(e)`, `clamp(e, lo, hi)`, `round(e)`. */
   final case class MathCall(fn: String, arg: Expr, params: Seq[Double]) extends Expr
-  /** `sum by (region)(e)`, `topk(3, e)`, `quantile by (g)(0.9, e)`. */
+  /** `sum by (region)(e)`, `topk(3, e)`, `quantile by (g)(0.9, e)`;
+    * `strParam` carries `count_values`' output label name. */
   final case class AggExpr(op: String, param: Option[Double], grouping: Grouping,
-                           arg: Expr) extends Expr
+                           arg: Expr, strParam: Option[String] = None) extends Expr
   /** `lhs / on(host) group_left rhs`, `a unless on(host) b`, `e > 10`;
     * `boolMod` = the `bool` comparison modifier (emit 0/1, don't filter). */
   final case class BinExpr(op: String, lhs: Expr, rhs: Expr,
@@ -107,7 +108,7 @@ object Promql {
       case s: Subquery => s.copy(arg = rec(s.arg))
       case FnCall(f, a) => FnCall(f, rec(a))
       case MathCall(f, a, p) => MathCall(f, rec(a), p)
-      case AggExpr(op, p, g, a) => AggExpr(op, p, g, rec(a))
+      case ag: AggExpr => ag.copy(arg = rec(ag.arg))
       case BinExpr(op, l, r, m, b) => BinExpr(op, rec(l), rec(r), m, b)
       case HistExpr(phi, a) => HistExpr(phi, rec(a))
       case LabelCall(f, a, p) => LabelCall(f, rec(a), p)
@@ -487,8 +488,18 @@ object Promql {
       }
       tryGrouping()
       expectOp("(")
+      var strParam: Option[String] = None
       val param: Option[Double] =
-        if (paramAggs(op) || op == "count_values") {
+        if (op == "count_values") {
+          // Prometheus requires a STRING label name first: it becomes
+          // the output label holding the counted sample value
+          next() match {
+            case TStr(s) => strParam = Some(s)
+            case t => err(s"count_values needs a string label name first, got $t")
+          }
+          expectOp(",")
+          None
+        } else if (paramAggs(op)) {
           val v = next() match {
             case TNum(n) => n
             case TOp("-") => next() match {
@@ -497,7 +508,6 @@ object Promql {
               case TNum(n) => -n
               case t => err(s"$op needs a scalar first argument, got -$t")
             }
-            case TStr(_) if op == "count_values" => 0.0 // label name ignored: value col is fixed
             case t => err(s"$op needs a scalar first argument, got $t")
           }
           expectOp(",")
@@ -506,7 +516,7 @@ object Promql {
       val arg = parseOr()
       expectOp(")")
       tryGrouping()
-      AggExpr(op, param, grouping, arg)
+      AggExpr(op, param, grouping, arg, strParam)
     }
 
     /** `{m1, m2}` or `name{m1}` or bare `name`; metric name = equality
@@ -940,22 +950,25 @@ object Promql {
     *   don't, so this is the standard Σ count_i · mid_i with the +Inf
     *   arm pinned at the last finite bound — the same convention
     *   histogram_quantile uses for φ→1). Computed as Σ ΔL·(lo+hi) on
-    *   the exact integer grid with ONE denominator change
-    *   (denom · 200, bounds in cents), so `sum()` over it stays
+    *   the exact integer MICRO grid (bounds parsed via DECIMAL — a
+    *   double parse would silently truncate Prometheus's default
+    *   .005/.025 layout; off-grid bounds fail loud) with ONE
+    *   denominator change (denom · 2e6), so `sum()` over it stays
     *   order-independent and the float division happens once at
     *   output. Per-bucket Δ and bound lags are group-sized windows
     *   (≤ |buckets| rows per series), never data-sized.
     * - `histogram_avg(v)` = sum/count in ONE float division:
-    *   Σ ΔL·(lo+hi) / (200 · L_inf) — denominators cancel exactly, so
+    *   Σ ΔL·(lo+hi) / (2e6 · L_inf) — denominators cancel exactly, so
     *   the emitted double is reproducible from the raw longs.
     * - `histogram_fraction(lo, hi, v)`: (F(hi) − F(lo)) / total with
     *   F linearly interpolated inside the bucket containing the bound
     *   (lower bound 0 for the first bucket, Prometheus's
-    *   histogram_quantile rule); a bound past the last finite bucket
-    *   interpolates against +Inf, which IEEE-collapses to F = prevCum
-    *   — no special-casing, the same expression both engines run.
-    *   Groups without a +Inf bucket or with total 0 drop (fraction
-    *   undefined), like [[histQuantile]]. */
+    *   histogram_quantile rule). Bounds clamp at 0 (first-bucket
+    *   floor) and lo > hi is rejected; a bound past the last finite
+    *   bucket interpolates against +Inf, which IEEE-collapses to
+    *   F = prevCum — no special-casing, the same expression both
+    *   engines run. Groups without a +Inf bucket or with total 0
+    *   drop (fraction undefined), like [[histQuantile]]. */
   private def histAgg(fn: String, params: Seq[Double], arg: Expr,
                       ctx: Ctx): Vec = {
     val v = evalExpr(arg, ctx)
@@ -979,11 +992,21 @@ object Promql {
             s"$fn over a float bucket vector is order-dependent; " +
               "aggregate before the float op")
         }
-        // per-bucket Δcount and the (lo + hi) cents factor; the +Inf
-        // arm contributes at 2·(last finite bound)
+        // per-bucket Δcount and the (lo + hi) MICRO-unit factor; the
+        // +Inf arm contributes at 2·(last finite bound). Bounds parse
+        // through DECIMAL, never double, so Prometheus's default
+        // .005/.025-style layouts stay exact; a bound off the 1e-6
+        // grid (or past ±9e12) fails loud instead of truncating
+        val led = col("le").cast("decimal(38,12)")
+        val ledBad = led.isNull ||
+          led =!= led.cast("decimal(38,6)").cast("decimal(38,12)") ||
+          abs(led) > lit(9e12)
         val df = withLe(v.df)
           .withColumn("__lec", when(col("le") === "+Inf", lit(null))
-            .otherwise((col("__le") * 100).cast("long")))
+            .otherwise(when(ledBad, raise_error(concat(
+              lit(s"$fn: bucket bound '"), col("le"),
+              lit("' is not on the exact 1e-6 grid"))).cast("long"))
+              .otherwise((led * lit(1000000L)).cast("long"))))
           .withColumn("__plec",
             coalesce(lag(col("__lec"), 1).over(ordW), lit(0L)))
           .withColumn("__fc", when(col("le") === "+Inf", col("__plec") * 2)
@@ -996,18 +1019,26 @@ object Promql {
           .filter(col("__cnt").isNotNull)
         if (fn == "histogram_sum")
           Vec(g.select(L.map(col) :+ col("__num").as("value"): _*),
-            L, Exact(denom * 200.0))
+            L, Exact(denom * 2.0e6))
         else
           Vec(g.filter(col("__cnt") > 0)
             .select(L.map(col) :+ (col("__num").cast("double") /
-              (lit(200.0) * col("__cnt").cast("double"))).as("value"): _*),
+              (lit(2.0e6) * col("__cnt").cast("double"))).as("value"): _*),
             L, Dbl)
       case "histogram_fraction" =>
-        val Seq(lo, hi) = (params match {
+        val Seq(lo0, hi0) = (params match {
           case p if p.size == 2 => p
           case p => throw new IllegalArgumentException(
             s"histogram_fraction(lo, hi, v) needs two scalar bounds, got ${p.size}")
         }): @unchecked
+        require(lo0 <= hi0,
+          s"histogram_fraction needs lo <= hi, got ($lo0, $hi0)")
+        // classic-bucket convention: the first bucket's lower bound is
+        // pinned at 0 (the histogram_quantile rule), so bounds clamp
+        // at 0 — a negative bound must answer F = 0, not interpolate
+        // a NEGATIVE cumulative through the first bucket
+        val lo = math.max(lo0, 0.0)
+        val hi = math.max(hi0, 0.0)
         val base = withLe(v.df)
           .withColumn("__cum", col("value").cast("double"))
           .withColumn("__prevLe",
@@ -1108,11 +1139,19 @@ object Promql {
     * reduces to distinct (key, data) rows — series-grain, broadcast
     * by construction; if one key maps to several data-label
     * combinations the match fans out like Prometheus's many-to-many
-    * info join. `v`'s representation is untouched, so exact-grid
-    * expressions stay exact through the enrichment. */
+    * info join. Elements of `v` with NO matching info series are kept
+    * with null data labels — Prometheus's info() leaves unmatched
+    * samples unenriched, so this is a LEFT join, never an inner one.
+    * `v`'s representation is untouched, so exact-grid expressions
+    * stay exact through the enrichment. */
   private def infoFn(ic: InfoCall, ctx: Ctx): Vec = {
     val v = evalExpr(ic.arg, ctx)
-    val iv = evalExpr(ic.sel, ctx)
+    // the info side's VALUES are discarded — only per-step label
+    // presence matters — so it rides the ts-only decode kernel
+    // (timestampVec): instant mode = the lookback staleness window,
+    // range mode = per-step visibility with the step exploding as a
+    // label, which then joins as a key (per-step enrichment)
+    val iv = timestampVec(ic.sel, ctx)
     val metric = ctx.labelCols.headOption.getOrElse("")
     val ivLabels = iv.labels.filterNot(_ == metric)
     val keys = v.labels.filter(ivLabels.contains)
@@ -1123,7 +1162,7 @@ object Promql {
     if (data.isEmpty) throw new IllegalArgumentException(
       "info(): the info series carries no data labels beyond the match keys")
     val side = iv.df.select((keys ++ data).map(col): _*).distinct()
-    Vec(v.df.join(broadcast(side), keys),
+    Vec(v.df.join(broadcast(side), keys, "left"),
       v.labels ++ data, v.kind)
   }
 
@@ -2146,10 +2185,18 @@ object Promql {
         }
         Vec(grouped.agg(scaled.as("value")), out, Dbl)
       case "count_values" =>
+        // the string parameter names the OUTPUT label carrying the
+        // counted sample value (Prometheus: count_values("version", e))
+        val name = agg.strParam.getOrElse(throw new IllegalArgumentException(
+          "count_values needs a string label name first"))
+        require(name.matches("[a-zA-Z_][a-zA-Z0-9_]*"),
+          s"count_values: invalid label name '$name'")
+        require(!out.contains(name) && name != "value",
+          s"count_values: label '$name' collides with a result column")
         val ls = out :+ "value"
         Vec(v.toDouble.groupBy(ls.map(col): _*).agg(count(lit(1)).as("__n"))
-          .withColumnRenamed("value", "sample").withColumnRenamed("__n", "value"),
-          out :+ "sample", Count)
+          .withColumnRenamed("value", name).withColumnRenamed("__n", "value"),
+          out :+ name, Count)
       case "topk" | "bottomk" =>
         // PromQL topk/bottomk KEEP the full label set; by() means
         // per-group top-k, no grouping means global

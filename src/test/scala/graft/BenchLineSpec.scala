@@ -83,6 +83,38 @@ class BenchLineSpec extends AnyFunSuite {
     // the gzip tier self-describes its decode pipeline in the hint:
     // base64 -> gunzip -> then either the packed grammar ("g(kids)")
     // or the legacy flat `name:val` comma list
+    // the b85 tier self-describes as "b85 -> raw deflate -> ..." —
+    // decode with the Python-b85decode-compatible alphabet, then raw
+    // (nowrap) inflate
+    if (hint.exists(_.contains("b85"))) {
+      val alpha = "0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZ" +
+        "abcdefghijklmnopqrstuvwxyz!#$%&()*+-;<=>?@^_`{|}~"
+      val s = root.get("q").asText()
+      val bos = new java.io.ByteArrayOutputStream()
+      var i = 0
+      while (i < s.length) {
+        val n = math.min(5, s.length - i)
+        var acc = 0L
+        var j = 0
+        while (j < 5) {
+          acc = acc * 85 + (if (j < n) alpha.indexOf(s(i + j)).toLong else 84L)
+          j += 1
+        }
+        var k = 24
+        var m = 0
+        while (m < n - 1) { bos.write(((acc >> k) & 0xff).toInt); k -= 8; m += 1 }
+        i += 5
+      }
+      val inf = new java.util.zip.Inflater(true)
+      inf.setInput(bos.toByteArray)
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      while (!inf.finished()) out.write(buf, 0, inf.inflate(buf))
+      inf.end()
+      val payload = new String(out.toByteArray,
+        java.nio.charset.StandardCharsets.UTF_8)
+      return (scale, parsePacked(payload, radix))
+    }
     if (hint.exists(_.contains("gunzip"))) {
       val bytes = java.util.Base64.getDecoder.decode(root.get("q").asText())
       val in = new java.util.zip.GZIPInputStream(
@@ -97,6 +129,23 @@ class BenchLineSpec extends AnyFunSuite {
       }.toMap)
     }
     (scale, parsePacked(root.get("q").asText(), radix))
+  }
+
+  test("b85 encoder matches Python's base64.b85decode (pinned vectors)") {
+    // vectors computed with CPython's base64.b85encode — the driver
+    // parses our line in Python, so stdlib compatibility IS the contract
+    val vectors = Seq(
+      Array.empty[Byte] -> "",
+      "a".getBytes -> "VE",
+      "ab".getBytes -> "VPX",
+      "abc".getBytes -> "VPaz",
+      "abcd".getBytes -> "VPa!s",
+      "hello world, graft bench line".getBytes ->
+        "Xk~0{Zy<MXa%^NQAZK!6W^^E8Wo~0=AZ%%FWd",
+      Array[Byte](0, 0, 0, 0, -1, -1, -1, -1, 1, 2) -> "00000|NsC00Rj")
+    vectors.foreach { case (in, want) =>
+      assert(Bench.b85(in) == want, s"b85(${in.toSeq})")
+    }
   }
 
   test("compact line fits the driver's tail window with margin") {

@@ -1105,4 +1105,190 @@ class PromqlSpec extends AnyFunSuite {
       start, EvalTs, 7200L).collect()
     assert(shifted.forall(r => r.getDouble(2) == r.getLong(1).toDouble))
   }
+
+  // ===== round-14: histogram_count/sum/avg/fraction =====
+
+  /** A tiny classic-bucket store on Prometheus's DEFAULT layout
+    * (.005/.01/.025) — the exact bounds a cent-grid double parse
+    * silently truncated before the micro-grid fix. Cumulative counts
+    * 2/5/9/10 at one instant. */
+  private def bucketStore = {
+    import spark.implicits._
+    val T0 = 1700006400L
+    val rows = Seq(("m", "h1", "0.005", 2.0), ("m", "h1", "0.01", 5.0),
+      ("m", "h1", "0.025", 9.0), ("m", "h1", "+Inf", 10.0))
+      .map { case (t, h, le, v) => (t, h, le, T0 * 1000000000L, v) }
+    (Ts.chunkify(rows.toDF("type", "host", "le", "ts", "v"),
+      Seq("type", "host", "le"), "ts", "v"), T0)
+  }
+
+  test("histogram_count/sum/avg: hand-computed on the default .005 layout") {
+    val (ch, t0) = bucketStore
+    def one(q: String): Double =
+      Promql.eval(ch, Seq("type", "host", "le"), q, t0)
+        .collect().map(_.getAs[Double]("value")).head
+    assert(one("""histogram_count({type="m"})""") == 10.0)
+    // sum = midpoint estimator: 2*.0025 + 3*.0075 + 4*.0175 + 1*.025
+    assert(one("""histogram_sum({type="m"})""") == 0.1225)
+    assert(one("""histogram_avg({type="m"})""") == 0.01225)
+  }
+
+  test("histogram_sum: a bound OFF the 1e-6 grid fails loud, never truncates") {
+    import spark.implicits._
+    val T0 = 1700006400L
+    val rows = Seq(("m", "h1", "0.0000005", 2.0), ("m", "h1", "+Inf", 3.0))
+      .map { case (t, h, le, v) => (t, h, le, T0 * 1000000000L, v) }
+    val ch = Ts.chunkify(rows.toDF("type", "host", "le", "ts", "v"),
+      Seq("type", "host", "le"), "ts", "v")
+    val e = intercept[Exception] {
+      Promql.eval(ch, Seq("type", "host", "le"),
+        """histogram_sum({type="m"})""", T0).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("not on the exact 1e-6 grid")), msgs(e).toString)
+  }
+
+  test("histogram_fraction: clamped bounds, straddle interpolation, lo>hi rejected") {
+    val (ch, t0) = bucketStore
+    def frac(lo: String, hi: String): Double =
+      Promql.eval(ch, Seq("type", "host", "le"),
+          s"""histogram_fraction($lo, $hi, {type="m"})""", t0)
+        .collect().map(_.getAs[Double]("value")).head
+    // interpolation inside (.005, .01]: F(.0075) = 200 + 300*0.5 = 350
+    assert(frac("0", "0.0075") == 0.35)
+    // a negative bound clamps to the first-bucket floor 0
+    assert(frac("-5", "0.0075") == frac("0", "0.0075"))
+    // bounds past the last finite bucket both collapse to prevCum
+    assert(frac("0.03", "100") == 0.0)
+    assert(frac("0", "1000") == 0.9) // pinned: +Inf mass is unreachable
+    intercept[IllegalArgumentException](frac("1", "0.5"))
+  }
+
+  // ===== round-14: mad_over_time =====
+
+  test("mad_over_time: hand-computed; stepped == instant at each step") {
+    import spark.implicits._
+    val T0 = 1700006400L
+    // cents 1,2,3,10: median 2.5, |dev| {1.5,.5,.5,7.5} -> MAD 1.0 cents
+    val rows = Seq(0.01, 0.02, 0.03, 0.10).zipWithIndex.map { case (v, i) =>
+      ("m", "h1", (T0 - 180 + i * 60) * 1000000000L, v)
+    }
+    val ch = Ts.chunkify(rows.toDF("type", "host", "ts", "v"),
+      Seq("type", "host"), "ts", "v")
+    val got = Promql.eval(ch, Seq("type", "host"),
+      "mad_over_time(m[1h])", T0).collect()
+    assert(got.length == 1 && got.head.getAs[Double]("value") == 0.01)
+    // stepped parity on the real store (6h windows, 2h steps)
+    val start = 1704844800L
+    val g = Promql.evalRange(chunks, labelCols, "mad_over_time(view[6h])",
+        start, EvalTs, 7200L).collect()
+      .map(r => ((r.getString(0), r.getString(1), r.getString(2),
+        r.getAs[Long]("ts")), r.getAs[Double]("value"))).toMap
+    val want = (start to EvalTs by 7200L).flatMap { t =>
+      Promql.eval(chunks, labelCols, "mad_over_time(view[6h])", t).collect()
+        .map(r => ((r.getString(0), r.getString(1), r.getString(2), t),
+          r.getAs[Double]("value")))
+    }.toMap
+    assert(g.nonEmpty && g.keySet == want.keySet)
+    want.foreach { case (k, v) => assert(g(k) == v, s"mad $k") }
+  }
+
+  // ===== round-14: info() =====
+
+  test("info(): LEFT join keeps unmatched elements with null data labels") {
+    import spark.implicits._
+    val T0 = 1700006400L
+    // base series on h1 + h2; the info series only covers h1
+    val rows = Seq(("m", "h1", "", 1.0), ("m", "h2", "", 2.0),
+      ("tinfo", "h1", "prod", 1.0))
+      .map { case (t, h, e, v) => (t, h, e, T0 * 1000000000L, v) }
+    val ch = Ts.chunkify(rows.toDF("type", "host", "env", "ts", "v"),
+      Seq("type", "host", "env"), "ts", "v")
+    val got = Promql.eval(ch, Seq("type", "host", "env"),
+        """info(sum by (host) (sum_over_time({type="m"}[5m])), {type="tinfo"})""",
+        T0).orderBy("host").collect()
+      .map(r => (r.getString(0), Option(r.getString(1)), r.getDouble(2)))
+    assert(got.toSeq == Seq(("h1", Some("prod"), 1.0), ("h2", None, 2.0)))
+  }
+
+  test("info() in range mode: the step joins as a key (per-step enrichment)") {
+    val q = """info(sum by (host) (sum_over_time(click[6h])), {type="purchase"})"""
+    val start = 1704844800L
+    val g = Promql.evalRange(chunks, labelCols, q, start, EvalTs, 7200L,
+        lookbackSec = 86400L).collect()
+      .map(r => ((r.getString(0), r.getAs[Long]("ts")),
+        (Option(r.getString(r.fieldIndex("region"))), r.getAs[Double]("value")))).toMap
+    val want = (start to EvalTs by 7200L).flatMap { t =>
+      Promql.eval(chunks, labelCols, q, t, lookbackSec = 86400L).collect()
+        .map(r => ((r.getString(0), t),
+          (Option(r.getString(1)), r.getAs[Double]("value"))))
+    }.toMap
+    assert(g.nonEmpty && g.keySet == want.keySet)
+    want.foreach { case (k, v) => assert(g(k) == v, s"info $k") }
+    // the left-join arm is exercised: some step must carry a null region
+    assert(g.values.exists(_._1.isEmpty), "expected at least one unenriched row")
+  }
+
+  // ===== round-14: limitk / limit_ratio =====
+
+  test("limitk: deterministic, monotone in k, stepped == instant") {
+    def hosts(q: String): Seq[String] =
+      Promql.eval(chunks, labelCols, q, EvalTs).collect()
+        .map(_.getAs[String]("host")).toSeq.sorted
+    val k3 = hosts("limitk(3, sum by (host) (sum_over_time(click[2d])))")
+    val k5 = hosts("limitk(5, sum by (host) (sum_over_time(click[2d])))")
+    assert(k3.size == 3 && k5.size == 5 && k3.toSet.subsetOf(k5.toSet))
+    // stepped: the per-step pick equals the instant pick at that step
+    val start = 1704844800L
+    val g = Promql.evalRange(chunks, labelCols,
+        "limitk(2, sum by (host) (sum_over_time(click[6h])))",
+        start, EvalTs, 7200L).collect()
+      .map(r => (r.getAs[Long]("ts"), r.getString(0))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val want = (start to EvalTs by 7200L).map { t =>
+      t -> Promql.eval(chunks, labelCols,
+        "limitk(2, sum by (host) (sum_over_time(click[6h])))", t)
+        .collect().map(_.getString(0)).toSet
+    }.toMap
+    assert(g == want.filter(_._2.nonEmpty))
+  }
+
+  test("limit_ratio: r and r-1 partition the vector exactly") {
+    def hosts(q: String): Set[String] =
+      Promql.eval(chunks, labelCols, q, EvalTs).collect()
+        .map(_.getAs[String]("host")).toSet
+    val all = hosts("sum by (host) (sum_over_time(click[2d]))")
+    val keep = hosts("limit_ratio(0.25, sum by (host) (sum_over_time(click[2d])))")
+    val comp = hosts("limit_ratio(-0.75, sum by (host) (sum_over_time(click[2d])))")
+    assert((keep & comp).isEmpty && (keep ++ comp) == all)
+    intercept[IllegalArgumentException](Promql.eval(chunks, labelCols,
+      "limit_ratio(1.5, sum by (host) (sum_over_time(click[2d])))", EvalTs))
+  }
+
+  // ===== round-14: count_values label name, sort_by_label =====
+
+  test("count_values: the string names the output label; collisions rejected") {
+    assert(parse("""count_values("version", x)""") ==
+      AggExpr("count_values", None, NoGroup,
+        VectorSel(Seq(Labels.Eq("type", "x")), None, 0L), Some("version")))
+    intercept[IllegalArgumentException](parse("count_values(3, x)"))
+    val df = Promql.eval(chunks, labelCols,
+      """count_values("version", sum by (host) (sum_over_time(purchase[2d])))""",
+      EvalTs)
+    assert(df.columns.toSeq == Seq("version", "value"))
+    intercept[IllegalArgumentException](Promql.eval(chunks, labelCols,
+      """count_values by (host) ("host", sum by (host) (sum_over_time(purchase[2d])))""",
+      EvalTs))
+  }
+
+  test("sort_by_label orders by the labels then the rest; bad label rejected") {
+    val rows = Promql.eval(chunks, labelCols,
+      """sort_by_label(sum by (host, region) (sum_over_time(click[2d])), "region")""",
+      EvalTs).collect().map(r => (r.getString(1), r.getString(0)))
+    assert(rows.nonEmpty && rows.toSeq == rows.toSeq.sorted)
+    intercept[IllegalArgumentException](Promql.eval(chunks, labelCols,
+      """sort_by_label(sum by (host) (sum_over_time(click[2d])), "nope")""",
+      EvalTs).collect())
+  }
 }
