@@ -481,6 +481,54 @@ object TextOps {
   }
 
   /**
+   * Maximal shared token runs between document pairs — the
+   * span-EXTENT form of exact substring dedup (Lee et al. 2022's
+   * dataset cards report these): every maximal run of ≥ `minRun`
+   * tokens occurring in two documents, with both start offsets and
+   * the exact run length. A shared run of R tokens is exactly
+   * R−minRun+1 consecutive shared minRun-gram positions on one
+   * alignment diagonal (a_pos − b_pos constant), so extents fall out
+   * of a gaps-and-islands pass: group consecutive matches per
+   * (pair, diagonal), run_tokens = island size + minRun − 1. Maximal
+   * by construction — a longer containing run would extend the island.
+   *
+   * Shapes: gram hashes (first 48 md5 bits — the oracle joins on the
+   * RAW gram text instead, so the hash path is independently checked)
+   * are computed BEFORE the shuffle, so the inverted index carries
+   * (fp, id, pos) rows, never gram text. Grams in more than `maxDf`
+   * distinct docs drop (the winnowPairs/decontaminate boilerplate
+   * cap — pairing them is O(df²) noise; a capped gram inside a run
+   * splits the reported extent, and the oracle applies the identical
+   * cap). The island windows partition per (pair, diagonal) —
+   * match-sized, never corpus-sized.
+   */
+  def spanExtents(docs: DataFrame, idCol: String, textCol: String,
+                  minRun: Int = 10, maxDf: Long = 50L): DataFrame = {
+    val grams = docs
+      .select(col(idCol),
+        posexplode(graft.functions.word_ngrams(col(textCol), minRun)))
+      .toDF(idCol, "pos", "g")
+      .select(
+        conv(substring(md5(col("g")), 1, 12), 16, 10).cast("long").as("fp"),
+        col(idCol), col("pos").cast("long").as("pos"))
+    val keep = grams.select(col(idCol), col("fp")).distinct()
+      .groupBy("fp").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf).select("fp")
+    val f = grams.join(keep, Seq("fp"))
+    val m = f.toDF("fp", "a_id", "a_pos")
+      .join(f.toDF("fp", "b_id", "b_pos"), "fp")
+      .filter(col("a_id") < col("b_id"))
+    val diagW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("a_id"), col("b_id"), col("__diag")).orderBy(col("a_pos"))
+    m.withColumn("__diag", col("a_pos") - col("b_pos"))
+      .withColumn("__isl", col("a_pos") - row_number().over(diagW))
+      .groupBy("a_id", "b_id", "__diag", "__isl")
+      .agg(min("a_pos").as("a_start"), min("b_pos").as("b_start"),
+        (count(lit(1)) + lit(minRun - 1).cast("long")).as("run_tokens"))
+      .select("a_id", "b_id", "a_start", "b_start", "run_tokens")
+  }
+
+  /**
    * Mixture allocation for a dataset build: split a total token
    * `budget` across groups (languages, sources) proportionally to
    * their EXACT token counts, with largest-remainder rounding so the

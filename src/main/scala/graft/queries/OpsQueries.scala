@@ -679,6 +679,13 @@ object OpsQueries {
     "text_span_dedup" -> ((s, dir) =>
       TextOps.spanDedup(Tables(s, dir, "documents"), "doc_id", "text",
         k = 10).orderBy("doc_id")),
+    // maximal shared token runs >= 10 between doc pairs with exact
+    // start offsets and lengths — the extent form of exact substring
+    // dedup (the oracle joins on RAW gram text, independently checking
+    // the 48-bit fp path)
+    "text_span_extents" -> ((s, dir) =>
+      TextOps.spanExtents(Tables(s, dir, "documents"), "doc_id", "text",
+        minRun = 10).orderBy("a_id", "b_id", "a_start", "b_start")),
     "text_tokens" -> ((s, dir) =>
       TextOps.tokens(Tables(s, dir, "documents"), "doc_id", "text").orderBy("doc_id")),
     "text_fingerprint" -> ((s, dir) =>
@@ -1352,6 +1359,35 @@ object OpsQueries {
         |  (1000 * CAST(sum(CASE WHEN t.tot >= 2 THEN c.c ELSE 0 END)
         |    AS BIGINT)) // CAST(sum(c.c) AS BIGINT) AS dup_milli
         |FROM c JOIN t USING (g) GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    // brute-force extents off RAW gram text (no hash anywhere): all
+    // 10-gram positions, the same df <= 50 boilerplate cap, pair join
+    // on gram EQUALITY, gaps-and-islands per alignment diagonal
+    "text_span_extents" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |  FROM documents),
+        |sp AS (SELECT doc_id,
+        |  unnest(list_transform(generate_series(1, len(ws) - 9), i ->
+        |    {'pos': i - 1, 'g':
+        |      ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] ||
+        |      ' ' || ws[i+4] || ' ' || ws[i+5] || ' ' || ws[i+6] || ' ' ||
+        |      ws[i+7] || ' ' || ws[i+8] || ' ' || ws[i+9]})) AS u
+        |  FROM w),
+        |g0 AS (SELECT doc_id, u.pos AS pos, u.g AS g FROM sp),
+        |keep AS (SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS df
+        |    FROM g0 GROUP BY g) WHERE df <= 50),
+        |g1 AS (SELECT g0.doc_id, g0.pos, g0.g FROM g0 JOIN keep USING (g)),
+        |m AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    a.pos AS a_pos, b.pos AS b_pos
+        |  FROM g1 a JOIN g1 b ON a.g = b.g AND a.doc_id < b.doc_id),
+        |i AS (SELECT a_id, b_id, a_pos, b_pos, a_pos - b_pos AS diag,
+        |    a_pos - row_number() OVER (
+        |      PARTITION BY a_id, b_id, a_pos - b_pos ORDER BY a_pos) AS isl
+        |  FROM m)
+        |SELECT a_id, b_id, CAST(min(a_pos) AS BIGINT) AS a_start,
+        |  CAST(min(b_pos) AS BIGINT) AS b_start,
+        |  CAST(count(*) + 9 AS BIGINT) AS run_tokens
+        |FROM i GROUP BY a_id, b_id, diag, isl
+        |ORDER BY a_id, b_id, a_start, b_start""".stripMargin,
     "text_quality" ->
       """WITH w AS (SELECT doc_id, length(text) AS n_chars,
         |  string_split(text, ' ') AS ws FROM documents),

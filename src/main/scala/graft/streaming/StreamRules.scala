@@ -119,9 +119,20 @@ object StreamRules {
     * a replay after a mid-batch crash REPLACES the crashed attempt's
     * partitions instead of appending duplicates beside them. Readers
     * ignore the extra partition column; `window_date` stays the
-    * top-level directory so pruning and retention are untouched. */
+    * top-level directory so pruning and retention are untouched.
+    *
+    * FORMAT NOTE: the store layout is `window_date=<d>/batch_id=<id>/`
+    * since the idempotent-replay change; earlier stores wrote parquet
+    * files DIRECTLY under `window_date=<d>/`. Mixing the two depths in
+    * one directory breaks Spark's partition discovery (conflicting
+    * directory structures), so a legacy single-level store is detected
+    * here and REFUSED with a migration recipe (move each partition's
+    * files under a `batch_id=-1` subdirectory — `-1` can never collide
+    * with a real micro-batch id and dynamic overwrite never rewrites
+    * it) rather than corrupted by the first new append. */
   private def appendIdempotent(chunks: DataFrame, path: String,
-                               batchId: Long): Unit =
+                               batchId: Long): Unit = {
+    requireBatchLayout(path)
     chunks
       .withColumn("window_date", to_date(to_timestamp(col("window_start"))))
       .withColumn("batch_id", lit(batchId))
@@ -129,6 +140,28 @@ object StreamRules {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("window_date", "batch_id")
       .parquet(path)
+  }
+
+  /** Fail loud on a pre-`batch_id` store: any `window_date=` partition
+    * holding data files (instead of `batch_id=` subdirectories) is the
+    * legacy layout. Two directory listings, no data read. */
+  private def requireBatchLayout(path: String): Unit = {
+    val root = new java.io.File(path)
+    if (!root.isDirectory) return
+    val legacy = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.getName.startsWith("window_date="))
+      .flatMap(d => Option(d.listFiles()).getOrElse(Array.empty))
+      .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .filterNot(f => f.isDirectory && f.getName.startsWith("batch_id="))
+    require(legacy.isEmpty,
+      s"$path uses the legacy single-level window_date layout " +
+        s"(e.g. ${legacy.head}); appending the (window_date, batch_id) " +
+        "layout beside it would break partition discovery. Migrate once by " +
+        "moving each window_date=<d>/'s files into window_date=<d>/" +
+        "batch_id=-1/ (shell: for d in window_date=*; do mkdir \"$d/" +
+        "batch_id=-1\" && mv \"$d\"/*.parquet \"$d/batch_id=-1/\"; done), " +
+        "then re-run")
+  }
 
   /** Ingest the batch into the raw store and advance the cursor's
     * watermark; returns the updated cursor (not yet persisted). */

@@ -1129,4 +1129,37 @@ class OpsSpec extends AnyFunSuite {
     assert(flipped("stable") == 6L) // |3*4 - 1*6|
     assert(flipped("alpha") == 4L)  // |1*4 - 0*6|
   }
+
+  test("spanExtents: maximal shared runs with exact offsets and lengths") {
+    import spark.implicits._
+    // doc 1 = tokens t0..t49; doc 2 carries t10..t29 (a 20-token run)
+    // starting at its own offset 5, then unrelated tokens; doc 3 shares
+    // nothing long enough
+    val a = (0 until 50).map(i => s"t$i")
+    val b = (0 until 5).map(i => s"x$i") ++ (10 until 30).map(i => s"t$i") ++
+      (0 until 8).map(i => s"y$i")
+    val c = (0 until 12).map(i => s"z$i")
+    val docs = Seq((1L, a.mkString(" ")), (2L, b.mkString(" ")),
+      (3L, c.mkString(" "))).toDF("doc_id", "text")
+    val got = graft.ops.TextOps.spanExtents(docs, "doc_id", "text", minRun = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // ONE maximal extent — never the 11 sub-runs its 10-grams span
+    assert(got.toSeq == Seq((1L, 2L, 10L, 5L, 20L)))
+    // a run shorter than minRun yields nothing
+    val short = Seq((1L, a.mkString(" ")),
+      (4L, ((0 until 9).map(i => s"t$i") ++ Seq("q")).mkString(" ")))
+      .toDF("doc_id", "text")
+    assert(graft.ops.TextOps.spanExtents(short, "doc_id", "text",
+      minRun = 10).count() == 0)
+    // within-doc repeats pair on BOTH diagonals: doc 5 contains the
+    // run twice, so two extents are reported against doc 1
+    val d = (10 until 22).map(i => s"t$i") ++ Seq("gap") ++
+      (10 until 22).map(i => s"t$i")
+    val rep = Seq((1L, a.mkString(" ")), (5L, d.mkString(" ")))
+      .toDF("doc_id", "text")
+    val got2 = graft.ops.TextOps.spanExtents(rep, "doc_id", "text", minRun = 10)
+      .collect().map(r => (r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(got2 == Set((10L, 0L, 12L), (10L, 13L, 12L)))
+  }
 }

@@ -270,4 +270,49 @@ class StreamRulesSpec extends AnyFunSuite {
     val last = StreamRules.lastEvaluatedStep(rec).get
     assert(StreamRules.currentAlerts(spark, al, last).count() >= 0)
   }
+
+  test("legacy single-level store layout is refused with a migration recipe") {
+    val (raw, rec, al) = freshDirs("legacy")
+    val ss = slices
+    // a real pre-upgrade deployment: fold one batch, then down-convert
+    // the raw store to the legacy window_date=<d>/*.parquet layout
+    // (files directly under the date partition, no batch_id level)
+    StreamRules.foldGroupBatch(toDf(ss(0)), 0, labelCols, "ts", "v",
+      group, raw, rec, al)
+    val root = new java.io.File(raw)
+    root.listFiles().filter(_.getName.startsWith("window_date=")).foreach { d =>
+      d.listFiles().filter(_.getName.startsWith("batch_id=")).foreach { b =>
+        b.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+          assert(f.renameTo(new java.io.File(d, f.getName)))
+        }
+        b.listFiles().foreach(_.delete()); b.delete()
+      }
+    }
+    // the next fold must REFUSE before writing anything beside it
+    val e = intercept[IllegalArgumentException] {
+      StreamRules.foldGroupBatch(toDf(ss(1)), 1, labelCols, "ts", "v",
+        group, raw, rec, al)
+    }
+    assert(e.getMessage.contains("legacy single-level window_date layout"))
+    assert(e.getMessage.contains("batch_id=-1"), "migration recipe missing")
+    // nothing was appended by the refused fold
+    assert(!root.listFiles().filter(_.getName.startsWith("window_date="))
+      .flatMap(_.listFiles()).exists(_.getName.startsWith("batch_id=")))
+    // apply the recipe: window_date=<d>/* -> window_date=<d>/batch_id=-1/
+    root.listFiles().filter(_.getName.startsWith("window_date=")).foreach { d =>
+      val tgt = new java.io.File(d, "batch_id=-1")
+      assert(tgt.mkdir())
+      d.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+        assert(f.renameTo(new java.io.File(tgt, f.getName)))
+      }
+    }
+    // the stream continues: remaining batches fold and the final
+    // derivation still equals the one-shot batch evaluation, so the
+    // migrated legacy partitions read together with the new ones
+    StreamRules.foldGroupBatch(toDf(ss(1)), 1, labelCols, "ts", "v",
+      group, raw, rec, al)
+    StreamRules.foldGroupBatch(toDf(ss(2)), 2, labelCols, "ts", "v",
+      group, raw, rec, al)
+    assert(recordedPoints(rec) == expectedRecording)
+  }
 }
