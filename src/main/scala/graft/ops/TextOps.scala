@@ -504,13 +504,7 @@ object TextOps {
    */
   def spanExtents(docs: DataFrame, idCol: String, textCol: String,
                   minRun: Int = 10, maxDf: Long = 50L): DataFrame = {
-    val grams = docs
-      .select(col(idCol),
-        posexplode(graft.functions.word_ngrams(col(textCol), minRun)))
-      .toDF(idCol, "pos", "g")
-      .select(
-        conv(substring(md5(col("g")), 1, 12), 16, 10).cast("long").as("fp"),
-        col(idCol), col("pos").cast("long").as("pos"))
+    val grams = gramIndex(docs, idCol, textCol, minRun)
     val keep = grams.select(col(idCol), col("fp")).distinct()
       .groupBy("fp").agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= maxDf).select("fp")
@@ -518,6 +512,51 @@ object TextOps {
     val m = f.toDF("fp", "a_id", "a_pos")
       .join(f.toDF("fp", "b_id", "b_pos"), "fp")
       .filter(col("a_id") < col("b_id"))
+    extentsFromMatches(m, minRun)
+  }
+
+  /**
+   * [[spanExtents]] restricted to a CANDIDATE PAIR list — the scale
+   * path (feed it LSH/winnow/containment candidates): the corpus-wide
+   * form's fp self-join is Σ df² rows, and near-dup CLUSTERS make df =
+   * cluster size, so a dedup-shaped 2M-doc corpus explodes through it
+   * (measured r14: disk-full) — exactly why [[graft.ops.Dedup]]'s brute
+   * jaccard is bounded. Here both joins are linear: pairs ⋈ grams(a)
+   * by id, then by (b_id, fp) — volume = Σ over pairs of shared grams,
+   * i.e. the size of the answer. No df cap either: boilerplate INSIDE
+   * a curated pair is genuinely shared text, so pair-restricted
+   * extents are cap-free exact (the flat form's capped grams split
+   * extents; OpsSpec pins equality when no gram is capped).
+   */
+  def spanExtentsPairs(docs: DataFrame, pairs: DataFrame, idCol: String,
+                       textCol: String, minRun: Int = 10): DataFrame = {
+    val grams = gramIndex(docs, idCol, textCol, minRun)
+    val p = pairs.select(
+      least(col("a_id"), col("b_id")).as("a_id"),
+      greatest(col("a_id"), col("b_id")).as("b_id")).distinct()
+    val m = p
+      .join(grams.toDF("fp", "a_id", "a_pos"), "a_id")
+      .join(grams.toDF("fp", "b_id", "b_pos"), Seq("b_id", "fp"))
+    extentsFromMatches(m, minRun)
+  }
+
+  /** (fp, id, pos) for every word minRun-gram — fp = first 48 md5
+    * bits, hashed in the projection so no shuffle ever carries gram
+    * text. */
+  private def gramIndex(docs: DataFrame, idCol: String, textCol: String,
+                        minRun: Int): DataFrame =
+    docs
+      .select(col(idCol),
+        posexplode(graft.functions.word_ngrams(col(textCol), minRun)))
+      .toDF(idCol, "pos", "g")
+      .select(
+        conv(substring(md5(col("g")), 1, 12), 16, 10).cast("long").as("fp"),
+        col(idCol), col("pos").cast("long").as("pos"))
+
+  /** Gaps-and-islands over (a_id, b_id, a_pos, b_pos) gram matches:
+    * consecutive positions on one alignment diagonal collapse into a
+    * maximal extent of islandSize + minRun − 1 tokens. */
+  private def extentsFromMatches(m: DataFrame, minRun: Int): DataFrame = {
     val diagW = org.apache.spark.sql.expressions.Window
       .partitionBy(col("a_id"), col("b_id"), col("__diag")).orderBy(col("a_pos"))
     m.withColumn("__diag", col("a_pos") - col("b_pos"))

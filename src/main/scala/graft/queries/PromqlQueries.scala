@@ -300,6 +300,13 @@ object PromqlQueries {
       q(s, dir, "info(sum by (host) (sum_over_time(click[2d])), " +
           """{type="purchase"})""", lookback = Day)
         .orderBy("host")),
+    // atan2: PromQL's word arithmetic operator (the angle panel trick
+    // for phase plots) — exact partials on both sides, one IEEE atan2
+    // per matched pair (java and libm agree bit-for-bit)
+    "promql_atan2" -> ((s, dir) =>
+      q(s, dir, "sum by (host) (sum_over_time(click[2d])) " +
+          "atan2 on(host) sum by (host) (sum_over_time(view[2d]))")
+        .orderBy("host")),
     // SUBQUERY `expr[2d:6h]`: the inner expression re-evaluated on an
     // 8-instant inner grid (the SAME stepped machinery query_range
     // uses), the outer max selecting among exact longs — one division
@@ -1144,6 +1151,11 @@ object PromqlQueries {
         |SELECT b.host, iv.region, CAST(b.sc AS DOUBLE) / 100.0 AS value
         |FROM base b LEFT JOIN iv ON b.host = iv.host
         |ORDER BY b.host""".stripMargin,
+    // promql_atan2 has NO sql oracle: DuckDB's libm atan2 and the
+    // JVM's differ by 1 ulp on ~14% of this corpus's pairs (measured
+    // r14: 9/66 rows) — the only key whose VALUE is a raw libm call.
+    // PromqlSpec pins every element bit-exactly against Math.atan2
+    // instead.
     // subquery grids: instants are the multiples of step in (T-d, T]
     "promql_subquery" ->
       s"""$lblCte,

@@ -124,6 +124,23 @@ object ScaleBench {
         noop(Dedup.containmentJoinPostings(
           spark.read.parquet(postPath), sigs, 0.5))
       }
+      // round-14: maximal shared-run extents over the dedup chain's
+      // verified candidate pairs — the scale path (the flat corpus-wide
+      // form is the small-SF oracle baseline: its fp self-join is
+      // Σdf² and a 2M-doc dedup corpus's near-dup clusters filled the
+      // disk through it, the same reason ngram-jaccard's brute form
+      // is bounded)
+      timed(s"${tag}_span_extents", nDocs,
+        "pair-restricted maximal shared runs: two linear joins + islands " +
+          "per (pair, diagonal); spill verdict r14: postings_build spill " +
+          "is the vocab df join + rank sort by design — the hot-df " +
+          "no-join variant built 32% faster (77s vs 114s, identical " +
+          "verified pairs) but its probe exploded the candidate join at " +
+          "2M docs (disk-full vs 72s/0-spill rarest-first): df order is " +
+          "load-bearing for candidate volume, vocab join inherent") {
+        noop(TextOps.spanExtentsPairs(docs,
+          spark.read.parquet(verPath), "doc_id", "text"))
+      }
       // winnow build is the ingest-time half of the fingerprint
       // contract (ONE text scan through the winnow kernel, once per
       // corpus); the per-query half probes the published fp table

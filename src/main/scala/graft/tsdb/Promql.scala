@@ -290,8 +290,16 @@ object Promql {
     }
     private def parseMul(): Expr = {
       var l = parseUnary()
-      while (peek == TOp("*") || peek == TOp("/") || peek == TOp("%")) {
-        val TOp(op) = next(): @unchecked
+      // atan2 is PromQL's one WORD arithmetic operator (same precedence
+      // as * / %); it only reads as an operator AFTER an atom, so a
+      // metric actually named atan2 still parses at atom position
+      while (peek == TOp("*") || peek == TOp("/") || peek == TOp("%") ||
+          peek == TIdent("atan2")) {
+        val op = next() match {
+          case TOp(o) => o
+          case TIdent(o) => o
+          case t => err(s"unexpected token $t")
+        }
         val m = parseMatching(); l = BinExpr(op, l, parseUnary(), m)
       }
       l
@@ -2382,6 +2390,7 @@ object Promql {
               case "*" => (lval * rval, Dbl)
               case "/" => (lval / nullif(rval, lit(0.0)), Dbl)
               case "%" => (lval % nullif(rval, lit(0.0)), Dbl)
+              case "atan2" => (atan2(lval, rval), Dbl)
               case o => throw new IllegalArgumentException(s"unknown operator '$o'")
             }
             val res = joined.select(outLabels.map(col) :+ value.as("value"): _*)
@@ -2442,6 +2451,8 @@ object Promql {
         case ("/", true) => sv / nullif(dv, lit(0.0))
         case ("%", false) => dv % sv
         case ("%", true) => sv % nullif(dv, lit(0.0))
+        case ("atan2", false) => atan2(dv, sv)
+        case ("atan2", true) => atan2(sv, dv)
         case (o, _) => throw new IllegalArgumentException(s"unknown operator '$o'")
       }
       val res = joined.withColumn("value", value).drop("__sv")
@@ -2484,6 +2495,8 @@ object Promql {
           case ("/", true) => lit(s) / nullif(col("value"), lit(0.0))
           case ("%", false) => col("value") % lit(s)
           case ("%", true) => lit(s) % nullif(col("value"), lit(0.0))
+          case ("atan2", false) => atan2(col("value"), lit(s))
+          case ("atan2", true) => atan2(lit(s), col("value"))
           case (o, _) => throw new IllegalArgumentException(s"unknown operator '$o'")
         }
         val res = d.withColumn("value", value)

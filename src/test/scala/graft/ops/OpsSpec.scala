@@ -165,6 +165,23 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("hot-df postings (vocab join dropped) verify to IDENTICAL pairs") {
+    // any shared global total order is candidate-complete; the hot-df
+    // order must therefore verify to the same exact pair set AND the
+    // same containment doubles as the full-df order, at every tau —
+    // including hotDf = 0 (pure hash order, every shingle cold-ranked)
+    val sigs = Dedup.signatures(docs, "doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("a_id", "b_id").collect().toSeq
+    for (tau <- Seq(0.5, 0.8, 0.95); hot <- Seq(0L, 64L)) {
+      val full = rows(Dedup.containmentJoinPostings(
+        Dedup.postings(sigs), sigs, tau))
+      val hotP = rows(Dedup.containmentJoinPostings(
+        Dedup.postingsHotDf(sigs, hot), sigs, tau))
+      assert(hotP == full, s"tau=$tau hotDf=$hot")
+    }
+  }
+
   test("prefix-filtered jaccard == brute: same pairs, bit-identical jaccard doubles") {
     val sigs = Dedup.signatures(docs, "doc_id", "text")
     def rows(df: org.apache.spark.sql.DataFrame) =
@@ -1161,5 +1178,12 @@ class OpsSpec extends AnyFunSuite {
     val got2 = graft.ops.TextOps.spanExtents(rep, "doc_id", "text", minRun = 10)
       .collect().map(r => (r.getLong(2), r.getLong(3), r.getLong(4))).toSet
     assert(got2 == Set((10L, 0L, 12L), (10L, 13L, 12L)))
+    // the pair-restricted scale form equals the flat form on its pairs
+    val pairs = Seq((2L, 1L)).toDF("a_id", "b_id") // un-canonical on purpose
+    val viaPairs = graft.ops.TextOps.spanExtentsPairs(docs, pairs,
+        "doc_id", "text", minRun = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(viaPairs.toSeq == Seq((1L, 2L, 10L, 5L, 20L)))
   }
 }

@@ -1282,6 +1282,33 @@ class PromqlSpec extends AnyFunSuite {
       EvalTs))
   }
 
+  test("atan2: word operator at * precedence; scalar and vector forms") {
+    // precedence: a atan2 b * c == a atan2 (b * c); and it chains left
+    val a = VectorSel(Seq(Labels.Eq("type", "a")), None, 0L)
+    val b = VectorSel(Seq(Labels.Eq("type", "b")), None, 0L)
+    val c = VectorSel(Seq(Labels.Eq("type", "c")), None, 0L)
+    assert(parse("a atan2 b") == BinExpr("atan2", a, b, DefaultMatching))
+    assert(parse("a + b atan2 c") ==
+      BinExpr("+", a, BinExpr("atan2", b, c, DefaultMatching), DefaultMatching))
+    // a metric literally named atan2 still parses at atom position
+    assert(parse("atan2{host=\"h1\"}") ==
+      VectorSel(Seq(Labels.Eq("type", "atan2"), Labels.Eq("host", "h1")), None, 0L))
+    // vector atan2 scalar == Math.atan2 per element
+    val base = Promql.eval(chunks, labelCols,
+      "sum by (host) (sum_over_time(click[2d]))", EvalTs)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val got = Promql.eval(chunks, labelCols,
+      "sum by (host) (sum_over_time(click[2d])) atan2 2", EvalTs)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got.nonEmpty && got.keySet == base.keySet)
+    got.foreach { case (h, v) => assert(v == math.atan2(base(h), 2.0), h) }
+    // scalar-left form
+    val gl = Promql.eval(chunks, labelCols,
+      "2 atan2 sum by (host) (sum_over_time(click[2d]))", EvalTs)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    gl.foreach { case (h, v) => assert(v == math.atan2(2.0, base(h)), h) }
+  }
+
   test("sort_by_label orders by the labels then the rest; bad label rejected") {
     val rows = Promql.eval(chunks, labelCols,
       """sort_by_label(sum by (host, region) (sum_over_time(click[2d])), "region")""",
