@@ -540,6 +540,45 @@ object TextOps {
     extentsFromMatches(m, minRun)
   }
 
+  /**
+   * APPLY the extents: remove every duplicated run's B-SIDE occurrence
+   * from its document (extents are canonical a_id < b_id, so the
+   * LOWEST-id occurrence survives — Lee et al. 2022's "keep one copy"
+   * applied at span granularity instead of whole-doc). Overlapping
+   * spans union naturally: a token goes iff ANY span covers it. Emits
+   * (id, text_scrubbed, n_removed); docs scrubbed to nothing keep an
+   * empty-string row, untouched docs pass through with n_removed = 0.
+   *
+   * Shapes: the span table is extent-count sized; the anti join is
+   * equi on the doc id with the position range as residual, so tokens
+   * shuffle once by id (the same volume any tokenize pass moves) and
+   * the rebuild is a per-doc-grain aggregate.
+   */
+  def spanScrub(docs: DataFrame, extents: DataFrame, idCol: String,
+                textCol: String): DataFrame = {
+    val spans = extents.select(col("b_id").as("__sid"),
+      col("b_start").as("__s"),
+      (col("b_start") + col("run_tokens")).as("__e"))
+    val toks = docs
+      .select(col(idCol), posexplode(split(col(textCol), " ")))
+      .toDF(idCol, "__p", "__tok")
+    val kept = toks.join(spans,
+      toks(idCol) === spans("__sid") &&
+        col("__p") >= col("__s") && col("__p") < col("__e"),
+      "left_anti")
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(count(lit(1)).as("__nkept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("__p"), col("__tok")))),
+          x => x.getField("__tok")), " ").as("text_scrubbed"))
+    docs
+      .select(col(idCol), size(split(col(textCol), " ")).cast("long").as("__ntok"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("text_scrubbed"), lit("")).as("text_scrubbed"),
+        (col("__ntok") - coalesce(col("__nkept"), lit(0L))).as("n_removed"))
+  }
+
   /** (fp, id, pos) for every word minRun-gram — fp = first 48 md5
     * bits, hashed in the projection so no shuffle ever carries gram
     * text. */

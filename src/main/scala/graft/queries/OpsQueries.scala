@@ -686,6 +686,15 @@ object OpsQueries {
     "text_span_extents" -> ((s, dir) =>
       TextOps.spanExtents(Tables(s, dir, "documents"), "doc_id", "text",
         minRun = 10).orderBy("a_id", "b_id", "a_start", "b_start")),
+    // apply the extents: every duplicated run's b-side occurrence is
+    // removed from its doc (lowest-id copy survives) — exact
+    // span-granular dedup, Lee et al. 2022's "keep one copy"
+    "text_span_scrub" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      TextOps.spanScrub(docs,
+        TextOps.spanExtents(docs, "doc_id", "text", minRun = 10),
+        "doc_id", "text").orderBy("doc_id")
+    }),
     "text_tokens" -> ((s, dir) =>
       TextOps.tokens(Tables(s, dir, "documents"), "doc_id", "text").orderBy("doc_id")),
     "text_fingerprint" -> ((s, dir) =>
@@ -1388,6 +1397,49 @@ object OpsQueries {
         |  CAST(count(*) + 9 AS BIGINT) AS run_tokens
         |FROM i GROUP BY a_id, b_id, diag, isl
         |ORDER BY a_id, b_id, a_start, b_start""".stripMargin,
+    // scrub = the same brute extents, then drop every b-side-covered
+    // token and reassemble in position order
+    "text_span_scrub" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |  FROM documents),
+        |sp AS (SELECT doc_id,
+        |  unnest(list_transform(generate_series(1, len(ws) - 9), i ->
+        |    {'pos': i - 1, 'g':
+        |      ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] ||
+        |      ' ' || ws[i+4] || ' ' || ws[i+5] || ' ' || ws[i+6] || ' ' ||
+        |      ws[i+7] || ' ' || ws[i+8] || ' ' || ws[i+9]})) AS u
+        |  FROM w),
+        |g0 AS (SELECT doc_id, u.pos AS pos, u.g AS g FROM sp),
+        |keep AS (SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS df
+        |    FROM g0 GROUP BY g) WHERE df <= 50),
+        |g1 AS (SELECT g0.doc_id, g0.pos, g0.g FROM g0 JOIN keep USING (g)),
+        |m AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    a.pos AS a_pos, b.pos AS b_pos
+        |  FROM g1 a JOIN g1 b ON a.g = b.g AND a.doc_id < b.doc_id),
+        |i AS (SELECT a_id, b_id, a_pos, b_pos, a_pos - b_pos AS diag,
+        |    a_pos - row_number() OVER (
+        |      PARTITION BY a_id, b_id, a_pos - b_pos ORDER BY a_pos) AS isl
+        |  FROM m),
+        |ext AS (SELECT b_id, min(b_pos) AS b_start,
+        |    count(*) + 9 AS run_tokens
+        |  FROM i GROUP BY a_id, b_id, diag, isl),
+        |spans AS (SELECT b_id AS doc_id, b_start AS s,
+        |    b_start + run_tokens AS e FROM ext),
+        |toks AS (SELECT doc_id, u.p AS p, u.tok AS tok
+        |  FROM (SELECT doc_id, unnest(list_transform(
+        |      generate_series(1, len(ws)), i -> {'p': i - 1, 'tok': ws[i]})) AS u
+        |    FROM w) q),
+        |kept AS (SELECT t.doc_id, t.p, t.tok FROM toks t
+        |  WHERE NOT EXISTS (SELECT 1 FROM spans sp2
+        |    WHERE sp2.doc_id = t.doc_id AND t.p >= sp2.s AND t.p < sp2.e)),
+        |reb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nkept,
+        |    string_agg(tok, ' ' ORDER BY p) AS text_scrubbed
+        |  FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(reb.text_scrubbed, '') AS text_scrubbed,
+        |  CAST(len(string_split(d.text, ' ')) AS BIGINT) - coalesce(nkept, 0)
+        |    AS n_removed
+        |FROM documents d LEFT JOIN reb USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "text_quality" ->
       """WITH w AS (SELECT doc_id, length(text) AS n_chars,
         |  string_split(text, ' ') AS ws FROM documents),

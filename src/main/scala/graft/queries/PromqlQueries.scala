@@ -267,6 +267,13 @@ object PromqlQueries {
     // exactly: one float division over two raw longs
     "promql_hist_avg" -> ((s, dir) =>
       histQ(s, dir, "histogram_avg(sum by (le) (rate(click[2d])))")),
+    // histogram_stddev/stdvar: midpoint-estimator spread — second
+    // moment aggregated in DECIMAL (exact, order-independent), two
+    // divisions + one subtraction (+ sqrt) at output
+    "promql_hist_stddev" -> ((s, dir) =>
+      histQ(s, dir, "histogram_stddev(sum by (le) (rate(click[2d])))")),
+    "promql_hist_stdvar" -> ((s, dir) =>
+      histQ(s, dir, "histogram_stdvar(sum by (le) (rate(click[2d])))")),
     // histogram_fraction(20, 150): both bounds OFF the bucket
     // boundaries (buckets 10/25/50/100/250), so the linear
     // interpolation inside the straddling buckets is exercised
@@ -1082,6 +1089,64 @@ object PromqlQueries {
         |    AND ts > ${EvalTs - 165600L} AND ts <= $EvalTs)
         |SELECT CAST(num AS DOUBLE) / (2000000.0 * CAST(cnt AS DOUBLE)) AS value
         |FROM g WHERE cnt > 0""".stripMargin,
+    "promql_hist_stddev" ->
+      s"""$lblCte,
+        |g AS (SELECT CAST(sum(100 * CAST(CASE
+        |    WHEN cents <= 1000 THEN 10000000
+        |    WHEN cents <= 2500 THEN 35000000
+        |    WHEN cents <= 5000 THEN 75000000
+        |    WHEN cents <= 10000 THEN 150000000
+        |    WHEN cents <= 25000 THEN 350000000
+        |    ELSE 500000000 END AS BIGINT)) AS BIGINT) AS num,
+        |  sum(100 * CAST(CASE
+        |    WHEN cents <= 1000 THEN 10000000
+        |    WHEN cents <= 2500 THEN 35000000
+        |    WHEN cents <= 5000 THEN 75000000
+        |    WHEN cents <= 10000 THEN 150000000
+        |    WHEN cents <= 25000 THEN 350000000
+        |    ELSE 500000000 END AS HUGEINT) * CAST(CASE
+        |    WHEN cents <= 1000 THEN 10000000
+        |    WHEN cents <= 2500 THEN 35000000
+        |    WHEN cents <= 5000 THEN 75000000
+        |    WHEN cents <= 10000 THEN 150000000
+        |    WHEN cents <= 25000 THEN 350000000
+        |    ELSE 500000000 END AS HUGEINT)) AS m2,
+        |  CAST(100 * count(*) AS BIGINT) AS cnt
+        |  FROM lbl WHERE type = 'click'
+        |    AND ts > ${EvalTs - 165600L} AND ts <= $EvalTs),
+        |v AS (SELECT CAST(num AS DOUBLE) / (2000000.0 * CAST(cnt AS DOUBLE)) AS mu,
+        |  CAST(m2 AS DOUBLE) / (4000000000000.0 * CAST(cnt AS DOUBLE)) AS em2
+        |  FROM g WHERE cnt > 0)
+        |SELECT sqrt(em2 - mu * mu) AS value FROM v""".stripMargin,
+    "promql_hist_stdvar" ->
+      s"""$lblCte,
+        |g AS (SELECT CAST(sum(100 * CAST(CASE
+        |    WHEN cents <= 1000 THEN 10000000
+        |    WHEN cents <= 2500 THEN 35000000
+        |    WHEN cents <= 5000 THEN 75000000
+        |    WHEN cents <= 10000 THEN 150000000
+        |    WHEN cents <= 25000 THEN 350000000
+        |    ELSE 500000000 END AS BIGINT)) AS BIGINT) AS num,
+        |  sum(100 * CAST(CASE
+        |    WHEN cents <= 1000 THEN 10000000
+        |    WHEN cents <= 2500 THEN 35000000
+        |    WHEN cents <= 5000 THEN 75000000
+        |    WHEN cents <= 10000 THEN 150000000
+        |    WHEN cents <= 25000 THEN 350000000
+        |    ELSE 500000000 END AS HUGEINT) * CAST(CASE
+        |    WHEN cents <= 1000 THEN 10000000
+        |    WHEN cents <= 2500 THEN 35000000
+        |    WHEN cents <= 5000 THEN 75000000
+        |    WHEN cents <= 10000 THEN 150000000
+        |    WHEN cents <= 25000 THEN 350000000
+        |    ELSE 500000000 END AS HUGEINT)) AS m2,
+        |  CAST(100 * count(*) AS BIGINT) AS cnt
+        |  FROM lbl WHERE type = 'click'
+        |    AND ts > ${EvalTs - 165600L} AND ts <= $EvalTs),
+        |v AS (SELECT CAST(num AS DOUBLE) / (2000000.0 * CAST(cnt AS DOUBLE)) AS mu,
+        |  CAST(m2 AS DOUBLE) / (4000000000000.0 * CAST(cnt AS DOUBLE)) AS em2
+        |  FROM g WHERE cnt > 0)
+        |SELECT em2 - mu * mu AS value FROM v""".stripMargin,
     "promql_hist_fraction" ->
       s"""$lblCte,
         |g AS (SELECT

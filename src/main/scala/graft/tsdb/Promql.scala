@@ -397,7 +397,8 @@ object Promql {
         val a = parseOr(); expectOp(")")
         withModifiers(MathCall("histogram_fraction", a, Seq(lo, hi)))
       case TIdent(name) if name == "histogram_count" || name == "histogram_sum" ||
-          name == "histogram_avg" =>
+          name == "histogram_avg" || name == "histogram_stddev" ||
+          name == "histogram_stdvar" =>
         next(); expectOp("(")
         val a = parseOr(); expectOp(")")
         withModifiers(FnCall(name, a))
@@ -742,7 +743,8 @@ object Promql {
     case FnCall("sort", arg) => sortVec(arg, desc = false, ctx)
     case FnCall("sort_desc", arg) => sortVec(arg, desc = true, ctx)
     case FnCall("timestamp", arg) => timestampVec(arg, ctx)
-    case FnCall(fn @ ("histogram_count" | "histogram_sum" | "histogram_avg"),
+    case FnCall(fn @ ("histogram_count" | "histogram_sum" | "histogram_avg" |
+                      "histogram_stddev" | "histogram_stdvar"),
         arg) => histAgg(fn, Nil, arg, ctx)
     case FnCall(fn, sq: Subquery) => subqueryFn(fn, sq, ctx)
     case _: Subquery =>
@@ -968,6 +970,13 @@ object Promql {
     * - `histogram_avg(v)` = sum/count in ONE float division:
     *   Σ ΔL·(lo+hi) / (2e6 · L_inf) — denominators cancel exactly, so
     *   the emitted double is reproducible from the raw longs.
+    * - `histogram_stddev/stdvar(v)`: the midpoint-estimator variance
+    *   E[mid²] − μ² (Prometheus defines these for NATIVE histograms
+    *   only; this is the classic-bucket estimator, the same midpoint
+    *   convention histogram_sum uses). The second moment Σ ΔL·(lo+hi)²
+    *   aggregates in DECIMAL — exact AND order-independent where a
+    *   float sum would be neither — so the output is two divisions,
+    *   one subtraction (and one sqrt) over exact integers.
     * - `histogram_fraction(lo, hi, v)`: (F(hi) − F(lo)) / total with
     *   F linearly interpolated inside the bucket containing the bound
     *   (lower bound 0 for the first bucket, Prometheus's
@@ -993,7 +1002,8 @@ object Promql {
       case "histogram_count" =>
         Vec(v.df.filter(col("le") === "+Inf")
           .select(L.map(col) :+ col("value"): _*), L, v.kind)
-      case "histogram_sum" | "histogram_avg" =>
+      case "histogram_sum" | "histogram_avg" |
+           "histogram_stddev" | "histogram_stdvar" =>
         val denom = v.kind match {
           case Exact(d) => d
           case Dbl => throw new IllegalArgumentException(
@@ -1021,18 +1031,35 @@ object Promql {
             .otherwise(col("__plec") + col("__lec")))
           .withColumn("__dl",
             col("value") - coalesce(lag(col("value"), 1).over(ordW), lit(0L)))
+        val fcDec = col("__fc").cast("decimal(38,0)")
         val g = df.groupBy(L.map(col): _*)
           .agg(sum(col("__dl") * col("__fc")).as("__num"),
+            // second moment in DECIMAL: Δ·fc² overflows BIGINT at
+            // plausible counter volumes, and decimal sums stay exact
+            // AND order-independent (the float-sum ban holds)
+            sum(col("__dl").cast("decimal(38,0)") * fcDec * fcDec).as("__m2"),
             max(when(col("le") === "+Inf", col("value"))).as("__cnt"))
           .filter(col("__cnt").isNotNull)
-        if (fn == "histogram_sum")
-          Vec(g.select(L.map(col) :+ col("__num").as("value"): _*),
-            L, Exact(denom * 2.0e6))
-        else
-          Vec(g.filter(col("__cnt") > 0)
-            .select(L.map(col) :+ (col("__num").cast("double") /
-              (lit(2.0e6) * col("__cnt").cast("double"))).as("value"): _*),
-            L, Dbl)
+        fn match {
+          case "histogram_sum" =>
+            Vec(g.select(L.map(col) :+ col("__num").as("value"): _*),
+              L, Exact(denom * 2.0e6))
+          case "histogram_avg" =>
+            Vec(g.filter(col("__cnt") > 0)
+              .select(L.map(col) :+ (col("__num").cast("double") /
+                (lit(2.0e6) * col("__cnt").cast("double"))).as("value"): _*),
+              L, Dbl)
+          case _ => // histogram_stddev / histogram_stdvar
+            // midpoint-estimator variance E[mid²] − μ²: both moments
+            // exact integers (BIGINT / DECIMAL) until the two divisions
+            val cntd = col("__cnt").cast("double")
+            val mu = col("__num").cast("double") / (lit(2.0e6) * cntd)
+            val vr = col("__m2").cast("double") / (lit(4.0e12) * cntd) - mu * mu
+            Vec(g.filter(col("__cnt") > 0)
+              .select(L.map(col) :+
+                (if (fn == "histogram_stddev") sqrt(vr) else vr).as("value"): _*),
+              L, Dbl)
+        }
       case "histogram_fraction" =>
         val Seq(lo0, hi0) = (params match {
           case p if p.size == 2 => p

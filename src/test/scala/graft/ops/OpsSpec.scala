@@ -1178,6 +1178,16 @@ class OpsSpec extends AnyFunSuite {
     val got2 = graft.ops.TextOps.spanExtents(rep, "doc_id", "text", minRun = 10)
       .collect().map(r => (r.getLong(2), r.getLong(3), r.getLong(4))).toSet
     assert(got2 == Set((10L, 0L, 12L), (10L, 13L, 12L)))
+    // scrub: doc 2's duplicated run (its tokens 5..24) is removed,
+    // the lower-id copy in doc 1 survives untouched
+    val scrub = graft.ops.TextOps.spanScrub(docs,
+        graft.ops.TextOps.spanExtents(docs, "doc_id", "text", minRun = 10),
+        "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(scrub(1L) == (a.mkString(" "), 0L))
+    assert(scrub(2L) == (((0 until 5).map(i => s"x$i") ++
+      (0 until 8).map(i => s"y$i")).mkString(" "), 20L))
+    assert(scrub(3L) == (c.mkString(" "), 0L))
     // the pair-restricted scale form equals the flat form on its pairs
     val pairs = Seq((2L, 1L)).toDF("a_id", "b_id") // un-canonical on purpose
     val viaPairs = graft.ops.TextOps.spanExtentsPairs(docs, pairs,

@@ -1133,6 +1133,19 @@ class PromqlSpec extends AnyFunSuite {
     assert(one("""histogram_avg({type="m"})""") == 0.01225)
   }
 
+  test("histogram_stddev/stdvar: exact-moment variance on the .005 layout") {
+    val (ch, t0) = bucketStore
+    def one(q: String): Double =
+      Promql.eval(ch, Seq("type", "host", "le"), q, t0)
+        .collect().map(_.getAs[Double]("value")).head
+    // cents deltas 200/300/400/100, fc micros 5000/15000/35000/50000:
+    // the same expression tree the engine runs, over the exact moments
+    val mu = 24500000.0 / (2.0e6 * 1000.0)
+    val vr = 812500000000.0 / (4.0e12 * 1000.0) - mu * mu
+    assert(one("""histogram_stdvar({type="m"})""") == vr)
+    assert(one("""histogram_stddev({type="m"})""") == math.sqrt(vr))
+  }
+
   test("histogram_sum: a bound OFF the 1e-6 grid fails loud, never truncates") {
     import spark.implicits._
     val T0 = 1700006400L
