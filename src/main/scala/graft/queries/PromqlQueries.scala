@@ -307,6 +307,18 @@ object PromqlQueries {
       q(s, dir, "info(sum by (host) (sum_over_time(click[2d])), " +
           """{type="purchase"})""", lookback = Day)
         .orderBy("host")),
+    // ts_of_{last,max,min}_over_time (Prometheus 3.1 experimental):
+    // the timestamp of the window's last / extreme sample per series —
+    // integer seconds end-to-end, value ties resolve to the latest
+    "promql_ts_of_last" -> ((s, dir) =>
+      q(s, dir, "ts_of_last_over_time(purchase[2d])")
+        .orderBy("host", "region")),
+    "promql_ts_of_max" -> ((s, dir) =>
+      q(s, dir, "ts_of_max_over_time(view[2d])")
+        .orderBy("host", "region")),
+    "promql_ts_of_min" -> ((s, dir) =>
+      q(s, dir, "ts_of_min_over_time(view[2d])")
+        .orderBy("host", "region")),
     // atan2: PromQL's word arithmetic operator (the angle panel trick
     // for phase plots) — exact partials on both sides, one IEEE atan2
     // per matched pair (java and libm agree bit-for-bit)
@@ -1216,6 +1228,25 @@ object PromqlQueries {
         |SELECT b.host, iv.region, CAST(b.sc AS DOUBLE) / 100.0 AS value
         |FROM base b LEFT JOIN iv ON b.host = iv.host
         |ORDER BY b.host""".stripMargin,
+    "promql_ts_of_last" ->
+      s"""$lblCte
+        |SELECT type, host, region, CAST(max(ts) AS DOUBLE) AS value
+        |FROM lbl WHERE ts >= $From AND ts <= $EvalTs AND type = 'purchase'
+        |GROUP BY type, host, region ORDER BY host, region""".stripMargin,
+    "promql_ts_of_max" ->
+      s"""$lblCte,
+        |r AS (SELECT type, host, region, ts, row_number() OVER (
+        |    PARTITION BY type, host, region ORDER BY cents DESC, ts DESC) AS rn
+        |  FROM lbl WHERE ts >= $From AND ts <= $EvalTs AND type = 'view')
+        |SELECT type, host, region, CAST(ts AS DOUBLE) AS value
+        |FROM r WHERE rn = 1 ORDER BY host, region""".stripMargin,
+    "promql_ts_of_min" ->
+      s"""$lblCte,
+        |r AS (SELECT type, host, region, ts, row_number() OVER (
+        |    PARTITION BY type, host, region ORDER BY cents ASC, ts DESC) AS rn
+        |  FROM lbl WHERE ts >= $From AND ts <= $EvalTs AND type = 'view')
+        |SELECT type, host, region, CAST(ts AS DOUBLE) AS value
+        |FROM r WHERE rn = 1 ORDER BY host, region""".stripMargin,
     // promql_atan2 has NO sql oracle: DuckDB's libm atan2 and the
     // JVM's differ by 1 ulp on ~14% of this corpus's pairs (measured
     // r14: 9/66 rows) — the only key whose VALUE is a raw libm call.

@@ -211,7 +211,8 @@ object Promql {
     "sum_over_time", "count_over_time", "min_over_time", "max_over_time",
     "avg_over_time", "stddev_over_time", "stdvar_over_time", "last_over_time",
     "present_over_time", "deriv", "predict_linear", "irate", "idelta",
-    "mad_over_time")
+    "mad_over_time", "ts_of_last_over_time", "ts_of_max_over_time",
+    "ts_of_min_over_time")
   private val aggOps = Set("sum", "min", "max", "avg", "count", "topk", "bottomk",
     "quantile", "count_values", "stddev", "stdvar", "group",
     "limitk", "limit_ratio")
@@ -1653,6 +1654,26 @@ object Promql {
         val pts = decoded(sel, from, to, ctx)
         out(col("last.cents"), Cents,
           pts.groupBy(L.map(col): _*).agg(max(struct(col("ts"), col("cents"))).as("last")))
+      // Prometheus 3.1 experimental `ts_of_*`: the TIMESTAMP of the
+      // window's last / minimum / maximum sample — one (value, ts)
+      // struct extreme per series off the same decode last_over_time
+      // pays. Value ties resolve to the LATEST sample (max struct on
+      // (cents, ts); the min arm negates ts inside the struct so ties
+      // still answer with the latest), integer seconds end-to-end
+      case "ts_of_last_over_time" =>
+        val pts = decoded(sel, from, to, ctx)
+        out(col("__t"), Count,
+          pts.groupBy(L.map(col): _*).agg(max(col("ts")).as("__t")))
+      case "ts_of_max_over_time" =>
+        val pts = decoded(sel, from, to, ctx)
+        out(col("__m.ts"), Count,
+          pts.groupBy(L.map(col): _*)
+            .agg(max(struct(col("cents"), col("ts"))).as("__m")))
+      case "ts_of_min_over_time" =>
+        val pts = decoded(sel, from, to, ctx)
+        out(-col("__m.nts"), Count,
+          pts.groupBy(L.map(col): _*)
+            .agg(min(struct(col("cents"), (-col("ts")).as("nts"))).as("__m")))
       case "delta" =>
         // gauge last − first via one (ts, cents)-struct min/max partial agg
         val pts = decoded(sel, from, to, ctx)

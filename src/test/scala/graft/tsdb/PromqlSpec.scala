@@ -1178,6 +1178,23 @@ class PromqlSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](frac("1", "0.5"))
   }
 
+  test("ts_of_{last,max,min}_over_time: extreme timestamps, ties -> latest") {
+    import spark.implicits._
+    val T0 = 1700006400L
+    // values 5, 9, 2, 9, 5: max 9 at t1 AND t3 (tie -> t3), min 2 at t2
+    val rows = Seq(5.0, 9.0, 2.0, 9.0, 5.0).zipWithIndex.map { case (v, i) =>
+      ("m", "h1", (T0 - 240 + i * 60) * 1000000000L, v)
+    }
+    val ch = Ts.chunkify(rows.toDF("type", "host", "ts", "v"),
+      Seq("type", "host"), "ts", "v")
+    def one(q: String): Double =
+      Promql.eval(ch, Seq("type", "host"), q, T0)
+        .collect().map(_.getAs[Double]("value")).head
+    assert(one("ts_of_last_over_time(m[5m])") == T0.toDouble)
+    assert(one("ts_of_max_over_time(m[5m])") == (T0 - 60).toDouble) // tie -> later
+    assert(one("ts_of_min_over_time(m[5m])") == (T0 - 120).toDouble)
+  }
+
   // ===== round-14: mad_over_time =====
 
   test("mad_over_time: hand-computed; stepped == instant at each step") {
