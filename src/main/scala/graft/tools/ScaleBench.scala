@@ -130,6 +130,7 @@ object ScaleBench {
       // Σdf² and a 2M-doc dedup corpus's near-dup clusters filled the
       // disk through it, the same reason ngram-jaccard's brute form
       // is bounded)
+      val extentsPath = s"$work/$tag/span_extents"
       timed(s"${tag}_span_extents", nDocs,
         "pair-restricted maximal shared runs: two linear joins + islands " +
           "per (pair, diagonal); spill verdict r14: postings_build spill " +
@@ -138,8 +139,15 @@ object ScaleBench {
           "verified pairs) but its probe exploded the candidate join at " +
           "2M docs (disk-full vs 72s/0-spill rarest-first): df order is " +
           "load-bearing for candidate volume, vocab join inherent") {
-        noop(TextOps.spanExtentsPairs(docs,
-          spark.read.parquet(verPath), "doc_id", "text"))
+        TextOps.spanExtentsPairs(docs, spark.read.parquet(verPath),
+          "doc_id", "text").write.mode("overwrite").parquet(extentsPath)
+        spark.read.parquet(extentsPath).count()
+      }
+      timed(s"${tag}_span_scrub", nDocs,
+        "apply the extents: token anti join (equi id + range residual) " +
+          "+ per-doc rebuild") {
+        noop(TextOps.spanScrub(docs,
+          spark.read.parquet(extentsPath), "doc_id", "text"))
       }
       // winnow build is the ingest-time half of the fingerprint
       // contract (ONE text scan through the winnow kernel, once per

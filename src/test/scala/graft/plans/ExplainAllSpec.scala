@@ -106,6 +106,17 @@ class ExplainAllSpec extends AnyFunSuite {
       // (size-driven — at 2M docs they exceed the threshold and the
       // same plan shuffles, measured spill-free); nothing decodes
       "text_lm_score" -> (4, 2, 0),
+      // maximal shared-run extents (flat small-SF baseline): gram
+      // index agg, df-cap agg, fp self-join, island window, final
+      // orderBy; the 3 broadcasts are SIZE-DRIVEN small-SF joins (the
+      // df-cap keep side and fp-blocked sides shuffle at corpus scale
+      // — the 2M-doc run is shuffle-shaped, 0 spill); never a decode
+      "text_span_extents" -> (6, 3, 0),
+      // scrub = extents + token anti join (equi id + range residual)
+      // + per-doc rebuild agg + pass-through left join + orderBy; the
+      // extra broadcast is the extent-count-sized span side, which is
+      // the INTENDED shape at every scale (spans ≪ tokens)
+      "text_span_scrub" -> (8, 4, 0),
       // delete-durable live view: ONE decode of the deleted store's
       // sealed side; shuffles are the chunk-horizon groupBy, the
       // persisted-marker merge groupBy, and the final orderBy; the
