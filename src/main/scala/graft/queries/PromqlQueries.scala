@@ -1129,7 +1129,7 @@ object PromqlQueries {
         |v AS (SELECT CAST(num AS DOUBLE) / (2000000.0 * CAST(cnt AS DOUBLE)) AS mu,
         |  CAST(m2 AS DOUBLE) / (4000000000000.0 * CAST(cnt AS DOUBLE)) AS em2
         |  FROM g WHERE cnt > 0)
-        |SELECT sqrt(em2 - mu * mu) AS value FROM v""".stripMargin,
+        |SELECT sqrt(greatest(em2 - mu * mu, 0.0)) AS value FROM v""".stripMargin,
     "promql_hist_stdvar" ->
       s"""$lblCte,
         |g AS (SELECT CAST(sum(100 * CAST(CASE
@@ -1158,7 +1158,7 @@ object PromqlQueries {
         |v AS (SELECT CAST(num AS DOUBLE) / (2000000.0 * CAST(cnt AS DOUBLE)) AS mu,
         |  CAST(m2 AS DOUBLE) / (4000000000000.0 * CAST(cnt AS DOUBLE)) AS em2
         |  FROM g WHERE cnt > 0)
-        |SELECT em2 - mu * mu AS value FROM v""".stripMargin,
+        |SELECT greatest(em2 - mu * mu, 0.0) AS value FROM v""".stripMargin,
     "promql_hist_fraction" ->
       s"""$lblCte,
         |g AS (SELECT

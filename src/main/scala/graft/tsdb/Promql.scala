@@ -1055,7 +1055,13 @@ object Promql {
             // exact integers (BIGINT / DECIMAL) until the two divisions
             val cntd = col("__cnt").cast("double")
             val mu = col("__num").cast("double") / (lit(2.0e6) * cntd)
-            val vr = col("__m2").cast("double") / (lit(4.0e12) * cntd) - mu * mu
+            // clamp at 0: a single-bucket histogram's true variance is
+            // 0, but E[mid²] and μ² round through DIFFERENT expression
+            // trees, so the subtraction can land one ulp negative —
+            // sqrt would answer NaN for a perfectly ordinary input
+            val vr = greatest(
+              col("__m2").cast("double") / (lit(4.0e12) * cntd) - mu * mu,
+              lit(0.0))
             Vec(g.filter(col("__cnt") > 0)
               .select(L.map(col) :+
                 (if (fn == "histogram_stddev") sqrt(vr) else vr).as("value"): _*),

@@ -1144,6 +1144,20 @@ class PromqlSpec extends AnyFunSuite {
     val vr = 812500000000.0 / (4.0e12 * 1000.0) - mu * mu
     assert(one("""histogram_stdvar({type="m"})""") == vr)
     assert(one("""histogram_stddev({type="m"})""") == math.sqrt(vr))
+    // single-bucket histogram: E[mid²] and μ² round through different
+    // trees and can land one ulp apart — the clamp must answer exactly
+    // 0, never a NaN stddev
+    import spark.implicits._
+    val T1 = 1700006400L
+    val one1 = Seq(("m", "h1", "0.005", 7.0), ("m", "h1", "+Inf", 7.0))
+      .map { case (t, h, le, v) => (t, h, le, T1 * 1000000000L, v) }
+    val ch1 = Ts.chunkify(one1.toDF("type", "host", "le", "ts", "v"),
+      Seq("type", "host", "le"), "ts", "v")
+    def one2(q: String): Double =
+      Promql.eval(ch1, Seq("type", "host", "le"), q, T1)
+        .collect().map(_.getAs[Double]("value")).head
+    assert(one2("""histogram_stdvar({type="m"})""") == 0.0)
+    assert(one2("""histogram_stddev({type="m"})""") == 0.0)
   }
 
   test("histogram_sum: a bound OFF the 1e-6 grid fails loud, never truncates") {
