@@ -916,7 +916,11 @@ class PromqlSpec extends AnyFunSuite {
       "{", "}", "2d", "5m", ",", "+", "*", "/", "on", "group_left",
       "\"x\"", "=", "=~", "offset", "@", "1705017600", "0.5", "time",
       "scalar", "vector", "hour", "ln", "unless", "bool", ":", "-",
-      "topk", "quantile_over_time", "pi", "label_replace")
+      "topk", "quantile_over_time", "pi", "label_replace",
+      // round-14 surface: the fuzz must churn through the new arms too
+      "atan2", "info", "limitk", "limit_ratio", "sort_by_label",
+      "histogram_sum", "histogram_fraction", "mad_over_time",
+      "ts_of_max_over_time", "count_values", "histogram_stddev")
     var parsed = 0
     (1 to 500).foreach { _ =>
       val q = Seq.fill(1 + rnd.nextInt(12))(atoms(rnd.nextInt(atoms.size)))
