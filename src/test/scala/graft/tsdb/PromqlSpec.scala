@@ -1287,6 +1287,21 @@ class PromqlSpec extends AnyFunSuite {
     val k3 = hosts("limitk(3, sum by (host) (sum_over_time(click[2d])))")
     val k5 = hosts("limitk(5, sum by (host) (sum_over_time(click[2d])))")
     assert(k3.size == 3 && k5.size == 5 && k3.toSet.subsetOf(k5.toSet))
+    // per-group arm: limitk by (region)(1, …) keeps exactly one host
+    // per region, and it is the region's smallest-hash host
+    val byG = Promql.eval(chunks, labelCols,
+      "limitk by (region) (1, sum by (host, region) (sum_over_time(click[2d])))",
+      EvalTs).collect().map(r => r.getString(1) -> r.getString(0)).toMap
+    val allHR = Promql.eval(chunks, labelCols,
+      "sum by (host, region) (sum_over_time(click[2d]))", EvalTs)
+      .collect().map(r => (r.getString(1), r.getString(0)))
+    def h32(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5").digest((s + ":42").getBytes)
+        .take(4).map("%02x".format(_)).mkString, 16)
+    allHR.groupBy(_._1).foreach { case (rg, hs) =>
+      val want = hs.map(_._2).minBy(h => (h32(h + "," + rg), h))
+      assert(byG(rg) == want, s"region $rg")
+    }
     // stepped: the per-step pick equals the instant pick at that step
     val start = 1704844800L
     val g = Promql.evalRange(chunks, labelCols,
