@@ -319,6 +319,12 @@ object PromqlQueries {
     "promql_ts_of_min" -> ((s, dir) =>
       q(s, dir, "ts_of_min_over_time(view[2d])")
         .orderBy("host", "region")),
+    // stepped ts_of_max: the extreme's timestamp per series per step —
+    // per-bucket struct extremes compose, so one decode serves 25 steps
+    "promql_range_ts_of" -> ((s, dir) =>
+      Promql.evalRange(chunks(s, dir, RangeStart - StepWin), labelCols,
+          "ts_of_max_over_time(view[6h])", RangeStart, EvalTs, 7200L)
+        .orderBy("host", "region", "ts")),
     // atan2: PromQL's word arithmetic operator (the angle panel trick
     // for phase plots) — exact partials on both sides, one IEEE atan2
     // per matched pair (java and libm agree bit-for-bit)
@@ -1247,6 +1253,17 @@ object PromqlQueries {
         |  FROM lbl WHERE ts >= $From AND ts <= $EvalTs AND type = 'view')
         |SELECT type, host, region, CAST(ts AS DOUBLE) AS value
         |FROM r WHERE rn = 1 ORDER BY host, region""".stripMargin,
+    "promql_range_ts_of" ->
+      s"""$lblCte,
+        |steps AS (SELECT ($RangeStart + i * 7200) AS t
+        |  FROM generate_series(0, 24) s(i)),
+        |r AS (SELECT type, host, region, t, lbl.ts AS sts, row_number() OVER (
+        |    PARTITION BY type, host, region, t
+        |    ORDER BY cents DESC, lbl.ts DESC) AS rn
+        |  FROM lbl JOIN steps ON lbl.ts >= t - $StepWin AND lbl.ts <= t - 1
+        |  WHERE type = 'view')
+        |SELECT type, host, region, t AS ts, CAST(sts AS DOUBLE) AS value
+        |FROM r WHERE rn = 1 ORDER BY host, region, ts""".stripMargin,
     // promql_atan2 has NO sql oracle: DuckDB's libm atan2 and the
     // JVM's differ by 1 ulp on ~14% of this corpus's pairs (measured
     // r14: 9/66 rows) — the only key whose VALUE is a raw libm call.

@@ -1628,6 +1628,8 @@ object Promql {
         return steppedDeriv(sel, ctx)
       if (fn == "irate" || fn == "idelta")
         return steppedIrate(fn, sel, ctx)
+      if (fn.startsWith("ts_of_"))
+        return steppedTsOf(fn, sel, ctx)
       if (!SteppedFns(fn)) throw new IllegalArgumentException(
         s"$fn needs per-step sample windows; stepped mode supports " +
           s"rate, increase, changes, resets, delta, last_over_time, deriv, " +
@@ -1932,6 +1934,53 @@ object Promql {
       .withColumn("ts", lit(start0) + col("__i") * lit(step))
       .select((L :+ "ts" :+ "value").map(col): _*)
     Vec(perStep, L :+ "ts", Cents)
+  }
+
+  /** Stepped `ts_of_{last,max,min}_over_time`: per-(series, bucket)
+    * struct extremes COMPOSE — a window's extreme sample is among its
+    * buckets' extremes — so one decode feeds bucket partials that
+    * explode onto their ≤ k covering windows, one extreme per
+    * (series, step). Same tie contract as the instant path (value
+    * ties answer the latest sample); integer seconds end-to-end. */
+  private def steppedTsOf(fn: String, sel: VectorSel, ctx: Ctx): Vec = {
+    val (start0, step) = ctx.grid.get
+    val d = sel.range.getOrElse(
+      throw new IllegalArgumentException(s"$fn needs sel[duration]"))
+    require(d % step == 0 && d >= step,
+      s"window ${d}s must be a positive multiple of the ${step}s step grid")
+    val start = start0 - sel.offset
+    require(start % step == 0, "offset must preserve step alignment")
+    val end = ctx.evalTs - sel.offset
+    val k = d / step
+    val nSteps = (end - start) / step + 1
+    val tLast = start + (nSteps - 1) * step
+    val L = ctx.labelCols
+    val j0 = start / step
+    val bucketAgg = fn match {
+      case "ts_of_last_over_time" => max(col("ts"))
+      case "ts_of_max_over_time" => max(struct(col("cents"), col("ts")))
+      case _ => min(struct(col("cents"), (-col("ts")).as("nts")))
+    }
+    val perBucket = decoded(sel, start - d, tLast - 1, ctx)
+      .withColumn("__j", expr(s"(ts div ${step}L) - ${j0}L"))
+      .groupBy(L.map(col) :+ col("__j"): _*)
+      .agg(bucketAgg.as("__x"))
+    val windowAgg =
+      if (fn == "ts_of_min_over_time") min(col("__x")) else max(col("__x"))
+    val perStep = perBucket
+      .withColumn("__i", explode(sequence(
+        greatest(col("__j") + lit(1L), lit(0L)),
+        least(col("__j") + lit(k), lit(nSteps - 1)))))
+      .groupBy(L.map(col) :+ col("__i"): _*)
+      .agg(windowAgg.as("__w"))
+      .withColumn("value", fn match {
+        case "ts_of_last_over_time" => col("__w")
+        case "ts_of_max_over_time" => col("__w.ts")
+        case _ => -col("__w.nts")
+      })
+      .withColumn("ts", lit(start0) + col("__i") * lit(step))
+      .select((L :+ "ts" :+ "value").map(col): _*)
+    Vec(perStep, L :+ "ts", Count)
   }
 
   /** Stepped irate/idelta — the instantaneous-rate panel: each window

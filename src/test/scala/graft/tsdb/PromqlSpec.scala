@@ -1211,6 +1211,34 @@ class PromqlSpec extends AnyFunSuite {
     assert(one("ts_of_last_over_time(m[5m])") == T0.toDouble)
     assert(one("ts_of_max_over_time(m[5m])") == (T0 - 60).toDouble) // tie -> later
     assert(one("ts_of_min_over_time(m[5m])") == (T0 - 120).toDouble)
+    // stepped == instant at each step, for all three (the bucket
+    // struct-extreme partials must compose exactly, ties included).
+    // PRECONDITION for every stepped==instant parity in this suite:
+    // instant windows are (t−d, t] while stepped buckets are left-
+    // closed [t−d, t−1], so parity is exact iff no sample lands on a
+    // step-aligned second — true of this corpus family BY CONSTRUCTION
+    // (the generator never emits step-aligned seconds); assert it so a
+    // regenerated corpus that breaks the premise fails HERE, not as an
+    // inscrutable value mismatch
+    val start = 1704844800L
+    assert(spark.read.parquet(s"$dir/events.parquet")
+      .filter(expr("unix_timestamp(ts) % 7200 = 0")).isEmpty,
+      "corpus now has step-aligned samples: the stepped/instant window " +
+        "conventions differ at edges, every parity test needs revisiting")
+    for (fn <- Seq("ts_of_last_over_time", "ts_of_max_over_time",
+        "ts_of_min_over_time")) {
+      val g = Promql.evalRange(chunks, labelCols, s"$fn(view[6h])",
+          start, EvalTs, 7200L).collect()
+        .map(r => ((r.getString(0), r.getString(1), r.getString(2),
+          r.getAs[Long]("ts")), r.getAs[Double]("value"))).toMap
+      val want = (start to EvalTs by 7200L).flatMap { t =>
+        Promql.eval(chunks, labelCols, s"$fn(view[6h])", t).collect()
+          .map(r => ((r.getString(0), r.getString(1), r.getString(2), t),
+            r.getAs[Double]("value")))
+      }.toMap
+      assert(g.nonEmpty && g.keySet == want.keySet, fn)
+      want.foreach { case (k, v) => assert(g(k) == v, s"$fn $k") }
+    }
   }
 
   // ===== round-14: mad_over_time =====
