@@ -267,6 +267,14 @@ object PromqlQueries {
     // exactly: one float division over two raw longs
     "promql_hist_avg" -> ((s, dir) =>
       histQ(s, dir, "histogram_avg(sum by (le) (rate(click[2d])))")),
+    // stepped histogram_count: the +Inf-bucket rate per step — the
+    // step label rides the histogram grouping, one bucket-pair fold
+    // serves all 25 steps (same machinery as promql_range_histq)
+    "promql_range_hist_count" -> ((s, dir) =>
+      Promql.evalRange(TsQueries.histStoreChunks(s, dir), TsQueries.histLabelCols,
+          "histogram_count(sum by (le) (rate(click[1d])))",
+          RangeStart, EvalTs, 7200L)
+        .orderBy("ts")),
     // histogram_stddev/stdvar: midpoint-estimator spread — second
     // moment aggregated in DECIMAL (exact, order-independent), two
     // divisions + one subtraction (+ sqrt) at output
@@ -1107,6 +1115,19 @@ object PromqlQueries {
         |    AND ts > ${EvalTs - 165600L} AND ts <= $EvalTs)
         |SELECT CAST(num AS DOUBLE) / (2000000.0 * CAST(cnt AS DOUBLE)) AS value
         |FROM g WHERE cnt > 0""".stripMargin,
+    // per-step telescope: events between the step window's first and
+    // last scrape instants (the range_histq ic derivation), one rate
+    // denominator division at output
+    "promql_range_hist_count" ->
+      s"""$lblCte,
+        |steps AS (SELECT ($RangeStart + i * 7200) AS t
+        |  FROM generate_series(0, 24) s(i)),
+        |ic AS (SELECT st.t, CAST(100 * count(l.ts) AS BIGINT) AS ic
+        |  FROM steps st LEFT JOIN lbl l ON l.type = 'click'
+        |    AND l.ts > st.t - $Day AND l.ts <= st.t - 7200
+        |  GROUP BY st.t)
+        |SELECT t AS ts, CAST(ic AS DOUBLE) / 8640000.0 AS value
+        |FROM ic ORDER BY ts""".stripMargin,
     "promql_hist_stddev" ->
       s"""$lblCte,
         |g AS (SELECT CAST(sum(100 * CAST(CASE
