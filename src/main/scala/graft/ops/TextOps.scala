@@ -531,9 +531,16 @@ object TextOps {
   def spanExtentsPairs(docs: DataFrame, pairs: DataFrame, idCol: String,
                        textCol: String, minRun: Int = 10): DataFrame = {
     val grams = gramIndex(docs, idCol, textCol, minRun)
+    // drop self-pairs: a caller-supplied (x, x) row survives the
+    // least/greatest canonicalization, matches every gram of the doc
+    // against itself on diagonal 0, and would report the WHOLE
+    // document as a shared extent (spanScrub would then erase it) —
+    // the flat form's a_id < b_id filter, applied here too
     val p = pairs.select(
       least(col("a_id"), col("b_id")).as("a_id"),
-      greatest(col("a_id"), col("b_id")).as("b_id")).distinct()
+      greatest(col("a_id"), col("b_id")).as("b_id"))
+      .filter(col("a_id") =!= col("b_id"))
+      .distinct()
     val m = p
       .join(grams.toDF("fp", "a_id", "a_pos"), "a_id")
       .join(grams.toDF("fp", "b_id", "b_pos"), Seq("b_id", "fp"))
@@ -552,11 +559,32 @@ object TextOps {
    * Shapes: the span table is extent-count sized; the anti join is
    * equi on the doc id with the position range as residual, so tokens
    * shuffle once by id (the same volume any tokenize pass moves) and
-   * the rebuild is a per-doc-grain aggregate.
+   * the rebuild is a per-doc-grain aggregate. Extents are CONFIRMED
+   * against the raw token text first (two extent-count-sized
+   * equi-joins) — the fp-built extent tables can carry 48-bit
+   * collision fabrications at corpus scale, and scrub is destructive.
    */
   def spanScrub(docs: DataFrame, extents: DataFrame, idCol: String,
                 textCol: String): DataFrame = {
-    val spans = extents.select(col("b_id").as("__sid"),
+    // CONFIRM each extent against the RAW token text before deleting:
+    // the extent tables are built on 48-bit gram fingerprints, and at
+    // corpus scale (~1e9 grams) colliding gram pairs are EXPECTED —
+    // an unconfirmed collision extent would silently erase genuine
+    // text. The confirm is two extent-count-sized equi-joins on doc
+    // id (the b-side join doubles as the scrub's own doc lookup), a
+    // token-slice compare per extent, and nothing at corpus scale —
+    // the small-SF oracle cannot see collisions, so the guard must
+    // live in the operator, not the test.
+    val confirmed = extents
+      .join(docs.select(col(idCol).as("a_id"),
+        split(col(textCol), " ").as("__at")), "a_id")
+      .join(docs.select(col(idCol).as("b_id"),
+        split(col(textCol), " ").as("__bt")), "b_id")
+      .filter(slice(col("__at"), (col("a_start") + 1).cast("int"),
+          col("run_tokens").cast("int")) ===
+        slice(col("__bt"), (col("b_start") + 1).cast("int"),
+          col("run_tokens").cast("int")))
+    val spans = confirmed.select(col("b_id").as("__sid"),
       col("b_start").as("__s"),
       (col("b_start") + col("run_tokens")).as("__e"))
     val toks = docs

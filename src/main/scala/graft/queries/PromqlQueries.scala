@@ -60,6 +60,21 @@ object PromqlQueries {
       |  CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS ts,
       |  CAST(round(value * 100) AS BIGINT) AS cents FROM events)""".stripMargin
 
+  /** The classic-bucket (lo + hi) MICRO-unit factor per raw event
+    * (each event lands in exactly one Δ bucket, so the engine's
+    * per-bucket Δ·(lo+hi) numerator telescopes to a per-event CASE) —
+    * shared by the per-step histogram oracles below. The NULL guard
+    * keeps LEFT-JOIN-unmatched step rows out of the sum (they would
+    * otherwise fall through to the ELSE arm). */
+  private val HistFc =
+    """CASE WHEN cents IS NULL THEN NULL
+      |      WHEN cents <= 1000 THEN 10000000
+      |      WHEN cents <= 2500 THEN 35000000
+      |      WHEN cents <= 5000 THEN 75000000
+      |      WHEN cents <= 10000 THEN 150000000
+      |      WHEN cents <= 25000 THEN 350000000
+      |      ELSE 500000000 END""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // instant vector: `{type="purchase", host=~"h1.*"}` — the LAST
     // sample per matching series within the lookback window (PromQL
@@ -275,6 +290,40 @@ object PromqlQueries {
           "histogram_count(sum by (le) (rate(click[1d])))",
           RangeStart, EvalTs, 7200L)
         .orderBy("ts")),
+    // stepped histogram_sum/avg/stddev/stdvar/fraction: the rest of
+    // the classic-bucket estimator family per step — histAgg is
+    // label-generic so the step label rides the histogram grouping
+    // and ONE bucket-pair fold serves all 25 steps (the
+    // promql_range_histq machinery); exact BIGINT/DECIMAL moments
+    // per (step, bucket), the same one-division output trees as the
+    // instant forms
+    "promql_range_hist_sum" -> ((s, dir) =>
+      Promql.evalRange(TsQueries.histStoreChunks(s, dir), TsQueries.histLabelCols,
+          "histogram_sum(sum by (le) (rate(click[1d])))",
+          RangeStart, EvalTs, 7200L)
+        .orderBy("ts")),
+    "promql_range_hist_avg" -> ((s, dir) =>
+      Promql.evalRange(TsQueries.histStoreChunks(s, dir), TsQueries.histLabelCols,
+          "histogram_avg(sum by (le) (rate(click[1d])))",
+          RangeStart, EvalTs, 7200L)
+        .orderBy("ts")),
+    "promql_range_hist_stddev" -> ((s, dir) =>
+      Promql.evalRange(TsQueries.histStoreChunks(s, dir), TsQueries.histLabelCols,
+          "histogram_stddev(sum by (le) (rate(click[1d])))",
+          RangeStart, EvalTs, 7200L)
+        .orderBy("ts")),
+    "promql_range_hist_stdvar" -> ((s, dir) =>
+      Promql.evalRange(TsQueries.histStoreChunks(s, dir), TsQueries.histLabelCols,
+          "histogram_stdvar(sum by (le) (rate(click[1d])))",
+          RangeStart, EvalTs, 7200L)
+        .orderBy("ts")),
+    // bounds (20, 150) both OFF the bucket boundaries, per step —
+    // the straddling-bucket interpolation exercised on every step
+    "promql_range_hist_fraction" -> ((s, dir) =>
+      Promql.evalRange(TsQueries.histStoreChunks(s, dir), TsQueries.histLabelCols,
+          "histogram_fraction(20, 150, sum by (le) (rate(click[1d])))",
+          RangeStart, EvalTs, 7200L)
+        .orderBy("ts")),
     // histogram_stddev/stdvar: midpoint-estimator spread — second
     // moment aggregated in DECIMAL (exact, order-independent), two
     // divisions + one subtraction (+ sqrt) at output
@@ -292,6 +341,14 @@ object PromqlQueries {
     "promql_mad_ot" -> ((s, dir) =>
       q(s, dir, "mad_over_time(view[1d])", fromSec = EvalTs - Day + 1)
         .orderBy("host", "region")),
+    // stepped mad_over_time — the robust-spread panel: medians don't
+    // compose from partials, so each decoded point explodes onto the
+    // ≤ k windows containing its bucket and the two exact cent-grid
+    // medians run per (series, step) (the range_quantile machinery)
+    "promql_range_mad" -> ((s, dir) =>
+      Promql.evalRange(chunks(s, dir, RangeStart - Day), labelCols,
+          "mad_over_time(view[1d])", RangeStart, EvalTs, 7200L)
+        .orderBy("host", "region", "ts")),
     // sort_by_label: presentation ordering by a label (remaining
     // labels + value tiebreak); representation untouched
     "promql_sort_by_label" -> ((s, dir) =>
@@ -332,6 +389,16 @@ object PromqlQueries {
     "promql_range_ts_of" -> ((s, dir) =>
       Promql.evalRange(chunks(s, dir, RangeStart - StepWin), labelCols,
           "ts_of_max_over_time(view[6h])", RangeStart, EvalTs, 7200L)
+        .orderBy("host", "region", "ts")),
+    // stepped ts_of_min / ts_of_last: same bucket struct-extreme
+    // partials, min-side and last-sample arms (value ties -> latest)
+    "promql_range_ts_of_min" -> ((s, dir) =>
+      Promql.evalRange(chunks(s, dir, RangeStart - StepWin), labelCols,
+          "ts_of_min_over_time(view[6h])", RangeStart, EvalTs, 7200L)
+        .orderBy("host", "region", "ts")),
+    "promql_range_ts_of_last" -> ((s, dir) =>
+      Promql.evalRange(chunks(s, dir, RangeStart - StepWin), labelCols,
+          "ts_of_last_over_time(purchase[6h])", RangeStart, EvalTs, 7200L)
         .orderBy("host", "region", "ts")),
     // atan2: PromQL's word arithmetic operator (the angle panel trick
     // for phase plots) — exact partials on both sides, one IEEE atan2
@@ -1128,6 +1195,94 @@ object PromqlQueries {
         |  GROUP BY st.t)
         |SELECT t AS ts, CAST(ic AS DOUBLE) / 8640000.0 AS value
         |FROM ic ORDER BY ts""".stripMargin,
+    // per-step versions of the classic-bucket estimator oracles: the
+    // same telescoped event derivation as promql_range_hist_count,
+    // the instant keys' exact BIGINT/HUGEINT moment trees run per
+    // step. [1d] rate denominator = 8640000 (86400 s × the store's
+    // 100× scaling): hist_sum divides num by 2e6·8640000; the
+    // avg/stddev/stdvar/fraction denominators cancel per step.
+    // hist_sum keeps event-empty steps at 0 (the engine's flat-counter
+    // rate row still exists there); the others drop them (cnt > 0)
+    "promql_range_hist_sum" ->
+      s"""$lblCte,
+        |steps AS (SELECT ($RangeStart + i * 7200) AS t
+        |  FROM generate_series(0, 24) s(i)),
+        |g AS (SELECT st.t, CAST(coalesce(sum(100 *
+        |      CAST($HistFc AS BIGINT)), 0) AS BIGINT) AS num
+        |  FROM steps st LEFT JOIN lbl ON type = 'click'
+        |    AND lbl.ts > st.t - $Day AND lbl.ts <= st.t - 7200
+        |  GROUP BY st.t)
+        |SELECT t AS ts, CAST(num AS DOUBLE) / 17280000000000.0 AS value
+        |FROM g ORDER BY ts""".stripMargin,
+    "promql_range_hist_avg" ->
+      s"""$lblCte,
+        |steps AS (SELECT ($RangeStart + i * 7200) AS t
+        |  FROM generate_series(0, 24) s(i)),
+        |g AS (SELECT st.t,
+        |    CAST(sum(100 * CAST($HistFc AS BIGINT)) AS BIGINT) AS num,
+        |    CAST(100 * count(*) AS BIGINT) AS cnt
+        |  FROM steps st JOIN lbl ON type = 'click'
+        |    AND lbl.ts > st.t - $Day AND lbl.ts <= st.t - 7200
+        |  GROUP BY st.t)
+        |SELECT t AS ts,
+        |  CAST(num AS DOUBLE) / (2000000.0 * CAST(cnt AS DOUBLE)) AS value
+        |FROM g WHERE cnt > 0 ORDER BY ts""".stripMargin,
+    "promql_range_hist_stddev" ->
+      s"""$lblCte,
+        |steps AS (SELECT ($RangeStart + i * 7200) AS t
+        |  FROM generate_series(0, 24) s(i)),
+        |g AS (SELECT st.t,
+        |    CAST(sum(100 * CAST($HistFc AS BIGINT)) AS BIGINT) AS num,
+        |    sum(100 * CAST($HistFc AS HUGEINT)
+        |      * CAST($HistFc AS HUGEINT)) AS m2,
+        |    CAST(100 * count(*) AS BIGINT) AS cnt
+        |  FROM steps st JOIN lbl ON type = 'click'
+        |    AND lbl.ts > st.t - $Day AND lbl.ts <= st.t - 7200
+        |  GROUP BY st.t),
+        |v AS (SELECT t,
+        |    CAST(num AS DOUBLE) / (2000000.0 * CAST(cnt AS DOUBLE)) AS mu,
+        |    CAST(m2 AS DOUBLE) / (4000000000000.0 * CAST(cnt AS DOUBLE)) AS em2
+        |  FROM g WHERE cnt > 0)
+        |SELECT t AS ts, sqrt(greatest(em2 - mu * mu, 0.0)) AS value
+        |FROM v ORDER BY ts""".stripMargin,
+    "promql_range_hist_stdvar" ->
+      s"""$lblCte,
+        |steps AS (SELECT ($RangeStart + i * 7200) AS t
+        |  FROM generate_series(0, 24) s(i)),
+        |g AS (SELECT st.t,
+        |    CAST(sum(100 * CAST($HistFc AS BIGINT)) AS BIGINT) AS num,
+        |    sum(100 * CAST($HistFc AS HUGEINT)
+        |      * CAST($HistFc AS HUGEINT)) AS m2,
+        |    CAST(100 * count(*) AS BIGINT) AS cnt
+        |  FROM steps st JOIN lbl ON type = 'click'
+        |    AND lbl.ts > st.t - $Day AND lbl.ts <= st.t - 7200
+        |  GROUP BY st.t),
+        |v AS (SELECT t,
+        |    CAST(num AS DOUBLE) / (2000000.0 * CAST(cnt AS DOUBLE)) AS mu,
+        |    CAST(m2 AS DOUBLE) / (4000000000000.0 * CAST(cnt AS DOUBLE)) AS em2
+        |  FROM g WHERE cnt > 0)
+        |SELECT t AS ts, greatest(em2 - mu * mu, 0.0) AS value
+        |FROM v ORDER BY ts""".stripMargin,
+    "promql_range_hist_fraction" ->
+      s"""$lblCte,
+        |steps AS (SELECT ($RangeStart + i * 7200) AS t
+        |  FROM generate_series(0, 24) s(i)),
+        |g AS (SELECT st.t,
+        |  CAST(100 * count(*) FILTER (WHERE cents <= 1000) AS BIGINT) AS c10,
+        |  CAST(100 * count(*) FILTER (WHERE cents <= 2500) AS BIGINT) AS c25,
+        |  CAST(100 * count(*) FILTER (WHERE cents <= 10000) AS BIGINT) AS c100,
+        |  CAST(100 * count(*) FILTER (WHERE cents <= 25000) AS BIGINT) AS c250,
+        |  CAST(100 * count(*) AS BIGINT) AS ctot
+        |  FROM steps st JOIN lbl ON type = 'click'
+        |    AND lbl.ts > st.t - $Day AND lbl.ts <= st.t - 7200
+        |  GROUP BY st.t)
+        |SELECT t AS ts,
+        |  ((CAST(c100 AS DOUBLE) + (CAST(c250 AS DOUBLE) - CAST(c100 AS DOUBLE)) *
+        |    ((150.0 - 100.0) / (250.0 - 100.0)))
+        |  - (CAST(c10 AS DOUBLE) + (CAST(c25 AS DOUBLE) - CAST(c10 AS DOUBLE)) *
+        |    ((20.0 - 10.0) / (25.0 - 10.0))))
+        |  / CAST(ctot AS DOUBLE) AS value
+        |FROM g WHERE ctot > 0 ORDER BY ts""".stripMargin,
     "promql_hist_stddev" ->
       s"""$lblCte,
         |g AS (SELECT CAST(sum(100 * CAST(CASE
@@ -1214,6 +1369,23 @@ object PromqlQueries {
         |  quantile_cont(abs(p.cents - m.m), 0.5) / 100.0 AS value
         |FROM pts p JOIN med m USING (type, host, region)
         |GROUP BY p.type, p.host, p.region ORDER BY host, region""".stripMargin,
+    // stepped mad_over_time: both medians exact interpolations on the
+    // integer cent grid per (series, step) — the range_quantile window
+    // derivation with the instant mad's double-median tree
+    "promql_range_mad" ->
+      s"""$lblCte,
+        |steps AS (SELECT ($RangeStart + i * 7200) AS t
+        |  FROM generate_series(0, 24) s(i)),
+        |pts AS (SELECT type, host, region, t, cents
+        |  FROM lbl JOIN steps ON lbl.ts >= t - $Day AND lbl.ts <= t - 1
+        |  WHERE type = 'view'),
+        |med AS (SELECT type, host, region, t, quantile_cont(cents, 0.5) AS m
+        |  FROM pts GROUP BY type, host, region, t)
+        |SELECT p.type, p.host, p.region, p.t AS ts,
+        |  quantile_cont(abs(p.cents - m.m), 0.5) / 100.0 AS value
+        |FROM pts p JOIN med m USING (type, host, region, t)
+        |GROUP BY p.type, p.host, p.region, p.t
+        |ORDER BY host, region, ts""".stripMargin,
     "promql_sort_by_label" ->
       s"""$lblCte
         |SELECT host, region,
@@ -1285,6 +1457,30 @@ object PromqlQueries {
         |  WHERE type = 'view')
         |SELECT type, host, region, t AS ts, CAST(sts AS DOUBLE) AS value
         |FROM r WHERE rn = 1 ORDER BY host, region, ts""".stripMargin,
+    // stepped ts_of_min: the same per-step extreme derivation with the
+    // min arm (value ties -> latest second, like the engine)
+    "promql_range_ts_of_min" ->
+      s"""$lblCte,
+        |steps AS (SELECT ($RangeStart + i * 7200) AS t
+        |  FROM generate_series(0, 24) s(i)),
+        |r AS (SELECT type, host, region, t, lbl.ts AS sts, row_number() OVER (
+        |    PARTITION BY type, host, region, t
+        |    ORDER BY cents ASC, lbl.ts DESC) AS rn
+        |  FROM lbl JOIN steps ON lbl.ts >= t - $StepWin AND lbl.ts <= t - 1
+        |  WHERE type = 'view')
+        |SELECT type, host, region, t AS ts, CAST(sts AS DOUBLE) AS value
+        |FROM r WHERE rn = 1 ORDER BY host, region, ts""".stripMargin,
+    // stepped ts_of_last: the last sample second per (series, step);
+    // sparse purchase series — steps whose window matches nothing drop
+    "promql_range_ts_of_last" ->
+      s"""$lblCte,
+        |steps AS (SELECT ($RangeStart + i * 7200) AS t
+        |  FROM generate_series(0, 24) s(i))
+        |SELECT type, host, region, t AS ts,
+        |  CAST(max(lbl.ts) AS DOUBLE) AS value
+        |FROM lbl JOIN steps ON lbl.ts >= t - $StepWin AND lbl.ts <= t - 1
+        |WHERE type = 'purchase' GROUP BY type, host, region, t
+        |ORDER BY host, region, ts""".stripMargin,
     // promql_atan2 has NO sql oracle: DuckDB's libm atan2 and the
     // JVM's differ by 1 ulp on ~14% of this corpus's pairs (measured
     // r14: 9/66 rows) — the only key whose VALUE is a raw libm call.

@@ -132,7 +132,8 @@ object StreamRules {
     * it) rather than corrupted by the first new append. */
   private def appendIdempotent(chunks: DataFrame, path: String,
                                batchId: Long): Unit = {
-    requireBatchLayout(path)
+    requireBatchLayout(path,
+      chunks.sparkSession.sparkContext.hadoopConfiguration)
     chunks
       .withColumn("window_date", to_date(to_timestamp(col("window_start"))))
       .withColumn("batch_id", lit(batchId))
@@ -144,18 +145,28 @@ object StreamRules {
 
   /** Fail loud on a pre-`batch_id` store: any `window_date=` partition
     * holding data files (instead of `batch_id=` subdirectories) is the
-    * legacy layout. Two directory listings, no data read. */
-  private def requireBatchLayout(path: String): Unit = {
-    val root = new java.io.File(path)
-    if (!root.isDirectory) return
-    val legacy = Option(root.listFiles()).getOrElse(Array.empty)
-      .filter(d => d.isDirectory && d.getName.startsWith("window_date="))
-      .flatMap(d => Option(d.listFiles()).getOrElse(Array.empty))
-      .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
-      .filterNot(f => f.isDirectory && f.getName.startsWith("batch_id="))
+    * legacy layout. Two directory listings, no data read. Listed via
+    * the Hadoop FileSystem API so the guard holds on EVERY filesystem
+    * the store can live on (HDFS, S3A, local) — a java.io.File check
+    * would silently pass on distributed storage and let the first new
+    * append corrupt partition discovery. */
+  private def requireBatchLayout(path: String,
+                                 conf: org.apache.hadoop.conf.Configuration): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    if (!fs.exists(root) || !fs.getFileStatus(root).isDirectory) return
+    val legacy = fs.listStatus(root)
+      .filter(d => d.isDirectory && d.getPath.getName.startsWith("window_date="))
+      .flatMap(d => fs.listStatus(d.getPath))
+      .filter { f =>
+        val n = f.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      }
+      .filterNot(f => f.isDirectory && f.getPath.getName.startsWith("batch_id="))
     require(legacy.isEmpty,
       s"$path uses the legacy single-level window_date layout " +
-        s"(e.g. ${legacy.head}); appending the (window_date, batch_id) " +
+        s"(e.g. ${legacy.headOption.map(_.getPath).getOrElse("")}); " +
+        "appending the (window_date, batch_id) " +
         "layout beside it would break partition discovery. Migrate once by " +
         "moving each window_date=<d>/'s files into window_date=<d>/" +
         "batch_id=-1/ (shell: for d in window_date=*; do mkdir \"$d/" +

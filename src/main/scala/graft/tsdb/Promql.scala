@@ -1015,11 +1015,14 @@ object Promql {
         // +Inf arm contributes at 2·(last finite bound). Bounds parse
         // through DECIMAL, never double, so Prometheus's default
         // .005/.025-style layouts stay exact; a bound off the 1e-6
-        // grid (or past ±9e12) fails loud instead of truncating
+        // grid (or past ±2e12) fails loud instead of truncating.
+        // The ±2e12 cap keeps every derived LONG in range: __lec ≤
+        // 2e18, so __fc = __plec + __lec (and the +Inf arm's
+        // __plec·2) stays ≤ 4e18 < Long.MaxValue
         val led = col("le").cast("decimal(38,12)")
         val ledBad = led.isNull ||
           led =!= led.cast("decimal(38,6)").cast("decimal(38,12)") ||
-          abs(led) > lit(9e12)
+          abs(led) > lit(2e12)
         val df = withLe(v.df)
           .withColumn("__lec", when(col("le") === "+Inf", lit(null))
             .otherwise(when(ledBad, raise_error(concat(
@@ -1034,10 +1037,11 @@ object Promql {
             col("value") - coalesce(lag(col("value"), 1).over(ordW), lit(0L)))
         val fcDec = col("__fc").cast("decimal(38,0)")
         val g = df.groupBy(L.map(col): _*)
-          .agg(sum(col("__dl") * col("__fc")).as("__num"),
-            // second moment in DECIMAL: Δ·fc² overflows BIGINT at
-            // plausible counter volumes, and decimal sums stay exact
-            // AND order-independent (the float-sum ban holds)
+          // both moments in DECIMAL: Δ·fc (first) and Δ·fc² (second)
+          // overflow BIGINT at plausible counter volumes (Δ ~ 1e9 ×
+          // fc ~ 4e18 ≫ 2⁶³), and decimal sums stay exact AND
+          // order-independent (the float-sum ban holds)
+          .agg(sum(col("__dl").cast("decimal(38,0)") * fcDec).as("__num"),
             sum(col("__dl").cast("decimal(38,0)") * fcDec * fcDec).as("__m2"),
             max(when(col("le") === "+Inf", col("value"))).as("__cnt"))
           .filter(col("__cnt").isNotNull)

@@ -1195,5 +1195,37 @@ class OpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         r.getLong(3), r.getLong(4)))
     assert(viaPairs.toSeq == Seq((1L, 2L, 10L, 5L, 20L)))
+    // a caller-supplied SELF-pair must yield nothing — without the
+    // guard it would match every gram against itself on diagonal 0
+    // and report the whole document as a shared extent
+    val selfPairs = Seq((1L, 1L), (2L, 1L)).toDF("a_id", "b_id")
+    val viaSelf = graft.ops.TextOps.spanExtentsPairs(docs, selfPairs,
+        "doc_id", "text", minRun = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(viaSelf.toSeq == Seq((1L, 2L)))
+  }
+
+  test("spanScrub confirms extents against raw text before deleting") {
+    import spark.implicits._
+    // a fabricated extent (the shape a 48-bit fp collision produces at
+    // corpus scale): doc 1 and doc 2 share NO text at those positions,
+    // so scrub must refuse to delete — and the genuine extent beside
+    // it must still apply
+    val a = (0 until 50).map(i => s"t$i")
+    val b = (0 until 5).map(i => s"x$i") ++ (10 until 30).map(i => s"t$i") ++
+      (0 until 8).map(i => s"y$i")
+    val docs = Seq((1L, a.mkString(" ")), (2L, b.mkString(" ")))
+      .toDF("doc_id", "text")
+    val fabricated = Seq((1L, 2L, 30L, 25L, 8L)).toDF(
+      "a_id", "b_id", "a_start", "b_start", "run_tokens")
+    val s1 = graft.ops.TextOps.spanScrub(docs, fabricated, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(s1 == Map(1L -> 0L, 2L -> 0L)) // nothing deleted
+    val genuine = Seq((1L, 2L, 10L, 5L, 20L)).toDF(
+      "a_id", "b_id", "a_start", "b_start", "run_tokens")
+    val s2 = graft.ops.TextOps.spanScrub(docs,
+        fabricated.union(genuine), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(s2 == Map(1L -> 0L, 2L -> 20L)) // only the genuine extent fires
   }
 }

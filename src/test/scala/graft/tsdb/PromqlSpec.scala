@@ -1196,6 +1196,37 @@ class PromqlSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](frac("1", "0.5"))
   }
 
+  // ===== round-15: the stepped classic-histogram family =====
+
+  test("stepped histogram family == instant shifted one scrape") {
+    // the hist store's counters sit ON the 7200-s scrape grid, so the
+    // stepped left-closed window [t−d, t−1] covers scrapes
+    // {t−d … t−7200} while the instant window (t'−d, t'] at
+    // t' = t−7200 covers the same set — the stepped value at t must
+    // equal the instant value at t−7200 BIT-EXACTLY for every
+    // estimator in the family (same moments, same division trees)
+    val hch = graft.queries.TsQueries.histStoreChunks(spark, dir)
+    val hlc = graft.queries.TsQueries.histLabelCols
+    val start = 1704844800L
+    for (q <- Seq(
+        "histogram_count(sum by (le) (rate(click[1d])))",
+        "histogram_sum(sum by (le) (rate(click[1d])))",
+        "histogram_avg(sum by (le) (rate(click[1d])))",
+        "histogram_stddev(sum by (le) (rate(click[1d])))",
+        "histogram_stdvar(sum by (le) (rate(click[1d])))",
+        "histogram_fraction(20, 150, sum by (le) (rate(click[1d])))")) {
+      val g = Promql.evalRange(hch, hlc, q, start, EvalTs, 7200L)
+        .collect().map(r => (r.getAs[Long]("ts"), r.getAs[Double]("value")))
+        .toMap
+      assert(g.size == 25, q)
+      for (t <- Seq(start, start + 12 * 7200L, EvalTs)) {
+        val want = Promql.eval(hch, hlc, q, t - 7200L)
+          .collect().map(_.getAs[Double]("value"))
+        assert(want.length == 1 && g(t) == want.head, s"$q @ $t")
+      }
+    }
+  }
+
   test("ts_of_{last,max,min}_over_time: extreme timestamps, ties -> latest") {
     import spark.implicits._
     val T0 = 1700006400L
