@@ -529,8 +529,33 @@ object TextOps {
    * extents; OpsSpec pins equality when no gram is capped).
    */
   def spanExtentsPairs(docs: DataFrame, pairs: DataFrame, idCol: String,
-                       textCol: String, minRun: Int = 10): DataFrame = {
-    val grams = gramIndex(docs, idCol, textCol, minRun)
+                       textCol: String, minRun: Int = 10): DataFrame =
+    spanExtentsPairsIndexed(
+      spanGramIndex(docs, idCol, textCol, minRun), pairs, minRun)
+
+  /**
+   * The PUBLISH-ONCE half of the span contract: the (fp, id, pos)
+   * gram-index table — every word `minRun`-gram's 48-bit fingerprint
+   * with its doc and position. Mirrors the signature/postings/winnow
+   * artifact discipline ([[graft.ops.Dedup.postings]],
+   * [[winnowPairsFps]]): the corpus text scan + gram hashing is the
+   * once-per-corpus ingest cost; [[spanExtentsPairsIndexed]] probes
+   * the published table per candidate batch without re-reading a byte
+   * of text — at 100 TB the text re-scan dominates the probe, so the
+   * split is load-bearing, not cosmetic. The artifact is keyed by
+   * (corpus, minRun): a different run length hashes different grams.
+   */
+  def spanGramIndex(docs: DataFrame, idCol: String, textCol: String,
+                    minRun: Int = 10): DataFrame =
+    gramIndex(docs, idCol, textCol, minRun).withColumnRenamed(idCol, "id")
+
+  /** [[spanExtentsPairs]] over a PRE-PUBLISHED [[spanGramIndex]]
+    * table — the per-query probe: two linear equi-joins (pairs ⋈
+    * grams(a) by id, then by (b_id, fp)) + the islands pass, volume =
+    * Σ over pairs of shared grams. `minRun` must equal the value the
+    * index was built with (it sets the reported extent floor). */
+  def spanExtentsPairsIndexed(grams: DataFrame, pairs: DataFrame,
+                              minRun: Int = 10): DataFrame = {
     // drop self-pairs: a caller-supplied (x, x) row survives the
     // least/greatest canonicalization, matches every gram of the doc
     // against itself on diagonal 0, and would report the WHOLE
@@ -541,9 +566,10 @@ object TextOps {
       greatest(col("a_id"), col("b_id")).as("b_id"))
       .filter(col("a_id") =!= col("b_id"))
       .distinct()
+    val g = grams.select("fp", "id", "pos")
     val m = p
-      .join(grams.toDF("fp", "a_id", "a_pos"), "a_id")
-      .join(grams.toDF("fp", "b_id", "b_pos"), Seq("b_id", "fp"))
+      .join(g.toDF("fp", "a_id", "a_pos"), "a_id")
+      .join(g.toDF("fp", "b_id", "b_pos"), Seq("b_id", "fp"))
     extentsFromMatches(m, minRun)
   }
 

@@ -130,17 +130,29 @@ object ScaleBench {
       // Σdf² and a 2M-doc dedup corpus's near-dup clusters filled the
       // disk through it, the same reason ngram-jaccard's brute form
       // is bounded)
+      // round-15: the span gram index is a once-per-corpus PUBLISHED
+      // artifact (the signature/postings/winnow discipline) — the
+      // text scan + gram hashing prices once, the per-batch probe
+      // never re-reads text. (spill verdict r14: postings_build spill
+      // is the vocab df join + rank sort by design — the hot-df
+      // no-join variant built 32% faster (77s vs 114s, identical
+      // verified pairs) but its probe exploded the candidate join at
+      // 2M docs (disk-full vs 72s/0-spill rarest-first): df order is
+      // load-bearing for candidate volume, vocab join inherent)
+      val spanIdxPath = s"$work/$tag/span_gram_index"
+      timed(s"${tag}_span_index_build", nDocs,
+        "span gram-index artifact: one text scan, (fp, id, pos) rows, " +
+          "once per corpus") {
+        TextOps.spanGramIndex(docs, "doc_id", "text")
+          .write.mode("overwrite").parquet(spanIdxPath)
+        nDocs
+      }
       val extentsPath = s"$work/$tag/span_extents"
-      timed(s"${tag}_span_extents", nDocs,
-        "pair-restricted maximal shared runs: two linear joins + islands " +
-          "per (pair, diagonal); spill verdict r14: postings_build spill " +
-          "is the vocab df join + rank sort by design — the hot-df " +
-          "no-join variant built 32% faster (77s vs 114s, identical " +
-          "verified pairs) but its probe exploded the candidate join at " +
-          "2M docs (disk-full vs 72s/0-spill rarest-first): df order is " +
-          "load-bearing for candidate volume, vocab join inherent") {
-        TextOps.spanExtentsPairs(docs, spark.read.parquet(verPath),
-          "doc_id", "text").write.mode("overwrite").parquet(extentsPath)
+      timed(s"${tag}_span_extents_probe", nDocs,
+        "pair-restricted maximal shared runs off the published index: " +
+          "two linear joins + islands per (pair, diagonal), zero text read") {
+        TextOps.spanExtentsPairsIndexed(spark.read.parquet(spanIdxPath),
+          spark.read.parquet(verPath)).write.mode("overwrite").parquet(extentsPath)
         spark.read.parquet(extentsPath).count()
       }
       timed(s"${tag}_span_scrub", nDocs,

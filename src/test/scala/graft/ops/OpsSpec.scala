@@ -1203,6 +1203,18 @@ class OpsSpec extends AnyFunSuite {
         "doc_id", "text", minRun = 10)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(viaSelf.toSeq == Seq((1L, 2L)))
+    // the published-artifact round trip: spanGramIndex written to
+    // parquet and probed back equals the direct form exactly — the
+    // once-per-corpus publish contract the scale path depends on
+    val idxPath = java.nio.file.Files
+      .createTempDirectory("span_idx").toString + "/idx"
+    graft.ops.TextOps.spanGramIndex(docs, "doc_id", "text", minRun = 10)
+      .write.mode("overwrite").parquet(idxPath)
+    val viaArtifact = graft.ops.TextOps.spanExtentsPairsIndexed(
+        spark.read.parquet(idxPath), pairs, minRun = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(viaArtifact.toSeq == viaPairs.toSeq)
   }
 
   test("spanScrub confirms extents against raw text before deleting") {
