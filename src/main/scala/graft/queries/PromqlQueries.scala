@@ -50,6 +50,12 @@ object PromqlQueries {
     Promql.eval(TsQueries.histStoreChunks(s, dir), TsQueries.histLabelCols,
       query, EvalTs)
 
+  /** The NATIVE-histogram store (labels type/host/nb — exponential
+    * bucket indices + count/sum/zero arms) for the `_native_` keys. */
+  private def nativeQ(s: SparkSession, dir: String, query: String): DataFrame =
+    Promql.eval(TsQueries.nativeHistStoreChunks(s, dir),
+      TsQueries.nativeHistLabelCols, query, EvalTs)
+
   /** The shared DuckDB label derivation (identical to TsQueries'):
     * type = event_type, host = h(user%100), region = r(user%4), plus
     * the exact integer cent grid. */
@@ -59,6 +65,25 @@ object PromqlQueries {
       |  'r' || CAST(user_id % 4 AS VARCHAR) AS region,
       |  CAST(epoch_ns(ts) // 1000000000 AS BIGINT) AS ts,
       |  CAST(round(value * 100) AS BIGINT) AS cents FROM events)""".stripMargin
+
+  /** The native-histogram bucket table as SQL VALUES rows:
+    * (ord, lo_cents, hi_cents, lo_bound, hi_bound) from
+    * [[graft.tsdb.NativeHist.buckets]] — the SAME integer cent
+    * thresholds and bound doubles the engine broadcasts, so bucket
+    * assignment and interpolation constants agree by construction
+    * (Double.toString round-trips through DuckDB's literal parse). */
+  private lazy val NativeBucketValues: String =
+    graft.tsdb.NativeHist.buckets
+      .map { case (i, lo, hi, lod, hid) =>
+        // the trailing e0 forces a DOUBLE literal: a bare decimal
+        // string in VALUES types as DECIMAL in DuckDB, and the
+        // decimal->double coercions inside the interpolation land a
+        // ulp off the engine's pure-double tree (caught at sf0.1)
+        require(!s"$lod$hid".contains("E"), s"bucket $i bound formats " +
+          "in scientific notation; the e0 suffix would corrupt it")
+        s"($i, $lo, $hi, ${lod}e0, ${hid}e0)"
+      }
+      .mkString(", ")
 
   /** The classic-bucket (lo + hi) MICRO-unit factor per raw event
     * (each event lands in exactly one Δ bucket, so the engine's
@@ -324,6 +349,25 @@ object PromqlQueries {
           "histogram_fraction(20, 150, sum by (le) (rate(click[1d])))",
           RangeStart, EvalTs, 7200L)
         .orderBy("ts")),
+    // NATIVE histograms (Prometheus 3.x exponential buckets, schema 3
+    // — graft.tsdb.NativeHist): the same histogram_quantile call
+    // dispatches on the `nb` label. Buckets are NOT cumulative, so
+    // the lowering cumulates over the index order (zero arm lowest),
+    // then interpolates linearly inside the containing exponential
+    // bucket — bucket ASSIGNMENT is integer-exact (c⁸ ≤ 2^i·10¹⁶),
+    // the bound doubles are shared literals, so the oracle reproduces
+    // the value bit-for-bit
+    "promql_native_histq" -> ((s, dir) =>
+      nativeQ(s, dir, "histogram_quantile(0.9, sum by (nb) (rate(click[2d])))")),
+    // native count/sum arms pass through — sum is EXACT (the native
+    // data model carries it; no midpoint estimation), avg is one
+    // raw-over-raw division with the rate denominators cancelling
+    "promql_native_hist_count" -> ((s, dir) =>
+      nativeQ(s, dir, "histogram_count(sum by (nb) (rate(click[2d])))")),
+    "promql_native_hist_sum" -> ((s, dir) =>
+      nativeQ(s, dir, "histogram_sum(sum by (nb) (rate(click[2d])))")),
+    "promql_native_hist_avg" -> ((s, dir) =>
+      nativeQ(s, dir, "histogram_avg(sum by (nb) (rate(click[2d])))")),
     // histogram_stddev/stdvar: midpoint-estimator spread — second
     // moment aggregated in DECIMAL (exact, order-independent), two
     // divisions + one subtraction (+ sqrt) at output
@@ -400,6 +444,13 @@ object PromqlQueries {
       Promql.evalRange(chunks(s, dir, RangeStart - StepWin), labelCols,
           "ts_of_last_over_time(purchase[6h])", RangeStart, EvalTs, 7200L)
         .orderBy("host", "region", "ts")),
+    // ^ — PromQL's power operator (tightest binop, right-assoc;
+    // −x^2 = −(x^2)): one Math.pow over the exact per-host sums,
+    // squared then halved so the parse exercises both the scalar arm
+    // and the precedence
+    "promql_pow" -> ((s, dir) =>
+      q(s, dir, "sum by (host) (sum_over_time(click[2d])) ^ 2 / 2")
+        .orderBy("host")),
     // atan2: PromQL's word arithmetic operator (the angle panel trick
     // for phase plots) — exact partials on both sides, one IEEE atan2
     // per matched pair (java and libm agree bit-for-bit)
@@ -1357,6 +1408,57 @@ object PromqlQueries {
         |    ((20.0 - 10.0) / (25.0 - 10.0))))
         |  / CAST(ctot AS DOUBLE) AS value
         |FROM g WHERE ctot > 0""".stripMargin,
+    // native-histogram oracles: per-bucket event counts re-derived
+    // from raw events via the SAME integer cent thresholds the engine
+    // broadcasts (NativeBucketValues); the count telescope and the
+    // one interpolation mirror the engine's expression tree op-for-op
+    "promql_native_histq" ->
+      s"""$lblCte,
+        |b(ord, lo_c, hi_c, blo, bhi) AS (VALUES $NativeBucketValues),
+        |ev AS (SELECT cents FROM lbl WHERE type = 'click'
+        |  AND ts > ${EvalTs - 165600L} AND ts <= $EvalTs),
+        |t AS (SELECT CAST(100 * count(*) AS BIGINT) AS tot FROM ev),
+        |bc AS (
+        |  SELECT b.ord, b.blo, b.bhi,
+        |    CAST(100 * count(e.cents) AS BIGINT) AS n
+        |  FROM b LEFT JOIN ev e ON e.cents > b.lo_c AND e.cents <= b.hi_c
+        |  GROUP BY b.ord, b.blo, b.bhi
+        |  UNION ALL
+        |  SELECT -2147483648, 0.0e0, 0.0e0, CAST(100 * count(*) AS BIGINT)
+        |  FROM ev WHERE cents <= 0),
+        |c AS (SELECT ord, blo, bhi, n, sum(n) OVER (ORDER BY ord
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM bc),
+        |p AS (SELECT c.*, t.tot, row_number() OVER (ORDER BY ord) AS rn
+        |  FROM c, t WHERE t.tot > 0
+        |    AND CAST(cum AS DOUBLE) >= 0.9 * CAST(t.tot AS DOUBLE))
+        |SELECT blo + (bhi - blo) *
+        |    ((0.9 * CAST(tot AS DOUBLE) - CAST(cum - n AS DOUBLE))
+        |     / (CAST(cum AS DOUBLE) - CAST(cum - n AS DOUBLE))) AS value
+        |FROM p WHERE rn = 1""".stripMargin,
+    // count telescope identical to the classic store's; sum is the
+    // exact cent total over the same window; avg = sum/(100·count)
+    // (the raw-over-raw division the engine emits)
+    "promql_native_hist_count" ->
+      s"""$lblCte
+        |SELECT CAST(CAST(100 * count(*) AS BIGINT) AS DOUBLE)
+        |  / 17280000.0 AS value
+        |FROM lbl WHERE type = 'click'
+        |  AND ts > ${EvalTs - 165600L} AND ts <= $EvalTs""".stripMargin,
+    "promql_native_hist_sum" ->
+      s"""$lblCte
+        |SELECT CAST(CAST(sum(cents) AS BIGINT) AS DOUBLE)
+        |  / 17280000.0 AS value
+        |FROM lbl WHERE type = 'click'
+        |  AND ts > ${EvalTs - 165600L} AND ts <= $EvalTs""".stripMargin,
+    "promql_native_hist_avg" ->
+      s"""$lblCte,
+        |g AS (SELECT CAST(sum(cents) AS BIGINT) AS s,
+        |    CAST(100 * count(*) AS BIGINT) AS c
+        |  FROM lbl WHERE type = 'click'
+        |    AND ts > ${EvalTs - 165600L} AND ts <= $EvalTs)
+        |SELECT CAST(s AS DOUBLE) / CAST(c AS DOUBLE) AS value
+        |FROM g WHERE c > 0""".stripMargin,
     // mad_over_time: both medians exact interpolations on the integer
     // cent grid (quantile_cont == Spark's percentile there), /100 once
     "promql_mad_ot" ->
@@ -1481,6 +1583,16 @@ object PromqlQueries {
         |FROM lbl JOIN steps ON lbl.ts >= t - $StepWin AND lbl.ts <= t - 1
         |WHERE type = 'purchase' GROUP BY type, host, region, t
         |ORDER BY host, region, ts""".stripMargin,
+    // ^: one power() over the exact per-host sums; DuckDB's and the
+    // JVM's pow agree on these inputs (verified at sf0.01/0.1 —
+    // unlike atan2, squaring is exactly representable here)
+    "promql_pow" ->
+      s"""$lblCte
+        |SELECT host,
+        |  power(CAST(CAST(sum(cents) AS BIGINT) AS DOUBLE) / 100.0, 2.0)
+        |    / 2 AS value
+        |FROM lbl WHERE ts >= $From AND ts <= $EvalTs AND type = 'click'
+        |GROUP BY host ORDER BY host""".stripMargin,
     // promql_atan2 has NO sql oracle: DuckDB's libm atan2 and the
     // JVM's differ by 1 ulp on ~14% of this corpus's pairs (measured
     // r14: 9/66 rows) — the only key whose VALUE is a raw libm call.

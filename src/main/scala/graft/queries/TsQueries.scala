@@ -159,6 +159,83 @@ object TsQueries {
     Ts.readStore(s, path, fromSec, toSec)
   }
 
+  /** Label names of the NATIVE-histogram chunk store (Prometheus 3.x
+    * exponential buckets): per (metric, host) a family of CUMULATIVE
+    * counter series keyed by `nb` — the exponential bucket index as a
+    * string, plus the `count` / `sum` / `zero` arms a native histogram
+    * carries (sum is EXACT here, unlike the classic midpoint
+    * estimator). Schema (resolution) is [[NativeSchema]]; bucket i
+    * covers (2^((i−1)/8), 2^(i/8)] in value units. */
+  val nativeHistLabelCols: Seq[String] = Seq("type", "host", "nb")
+
+  /** The exponential bucket table ([[graft.tsdb.NativeHist]] — schema,
+    * exact cent thresholds, and interpolation bound doubles live
+    * there so the PromQL lowering and the oracles share one source). */
+  def nativeBuckets: Seq[(Int, Long, Long, Double, Double)] =
+    graft.tsdb.NativeHist.buckets
+
+  /** The native-histogram chunk store, ingest-once like
+    * [[histStoreChunks]] and on the same 2-h scrape grid. Build:
+    * integer-exact bucket assignment via a broadcast of
+    * [[nativeBuckets]] cent ranges (zero-or-negative cents land in
+    * the `zero` arm), per-event `count`/`sum` arms, one cumulative
+    * window per present series onto the grid. Series presence is
+    * data-derived (a bucket series exists iff an observation ever
+    * landed in it) — the sparse encoding native histograms exist
+    * for. */
+  def nativeHistStoreChunks(s: SparkSession, dir: String,
+                            fromSec: Long = Long.MinValue,
+                            toSec: Long = Long.MaxValue): DataFrame = synchronized {
+    graft.functions.registerAll(s)
+    val path = storePath(dir) + "_nhist"
+    if (!new java.io.File(path, "_SUCCESS").exists()) {
+      val ev0 = Tables(s, dir, "events")
+      val ev = ev0.select(
+        col("event_type").as("type"),
+        concat(lit("h"), pmod(col("user_id"), lit(100L))).as("host"),
+        round(col("value") * 100).cast("long").as("cents"),
+        Ts.epochSec(ev0, "ts").as("tsec"))
+      val maxC = ev.agg(max("cents")).head().getLong(0)
+      require(maxC <= nativeBuckets.last._3,
+        s"event cents $maxC past the enumerated native bucket table")
+      val b = s.createDataFrame(nativeBuckets.map(t => (t._1.toString, t._2, t._3)))
+        .toDF("nb", "lo_c", "hi_c")
+      // each observation feeds THREE arms: its bucket (or zero),
+      // count, and sum (weight = cents; count/bucket weight = 1)
+      val bucketed = ev.join(broadcast(b),
+          col("cents") > col("lo_c") && col("cents") <= col("hi_c"), "left")
+        .withColumn("nb", when(col("cents") <= 0, lit("zero"))
+          .otherwise(col("nb")))
+      val arms = bucketed.select(col("type"), col("host"), col("nb"),
+          col("tsec"), lit(1L).as("__w"))
+        .unionByName(ev.select(col("type"), col("host"),
+          lit("count").as("nb"), col("tsec"), lit(1L).as("__w")))
+        .unionByName(ev.select(col("type"), col("host"),
+          lit("sum").as("nb"), col("tsec"), col("cents").as("__w")))
+      val counts = arms
+        .withColumn("ts", greatest(expr(
+          s"((tsec + ${HistGridStep - 1}L) div ${HistGridStep}L) * ${HistGridStep}L"),
+          lit(HistGridFrom)))
+        .groupBy("type", "host", "nb", "ts").agg(sum("__w").as("__n"))
+      val grid = s.range((HistGridTo - HistGridFrom) / HistGridStep + 1)
+        .select((lit(HistGridFrom) + col("id") * HistGridStep).as("ts"))
+      val series = arms.select("type", "host", "nb").distinct()
+      val w = Window.partitionBy("type", "host", "nb").orderBy("ts")
+      val samples = series.crossJoin(broadcast(grid))
+        .join(counts, Seq("type", "host", "nb", "ts"), "left")
+        .na.fill(0L, Seq("__n"))
+        // value in DOLLARS-convention units: counts stay integral,
+        // the sum arm carries cents/100 (chunkify's ×100 cent encode
+        // recovers the exact cent integer)
+        .withColumn("value", (sum("__n").over(w).cast("double")) /
+          when(col("nb") === "sum", lit(100.0)).otherwise(lit(1.0)))
+        .select(col("type"), col("host"), col("nb"),
+          to_timestamp(col("ts")).as("ts"), col("value"))
+      Ts.writeStore(Ts.chunkify(samples, nativeHistLabelCols, "ts", "value"), path)
+    }
+    Ts.readStore(s, path, fromSec, toSec)
+  }
+
   /** The materialized 15-min rollup for a data dir: derived from the
     * persisted chunk store ONCE (raw → chunks → rollup, the standing-
     * aggregate lineage), then every serve is a pruned partial scan. */

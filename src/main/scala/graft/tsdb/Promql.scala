@@ -308,7 +308,17 @@ object Promql {
     private def parseUnary(): Expr = peek match {
       case TOp("-") => next(); BinExpr("*", NumLit(-1), parseUnary(), DefaultMatching)
       case TOp("+") => next(); parseUnary()
-      case _ => parseAtom()
+      case _ => parsePow()
+    }
+    // `^` binds tightest of the binops and is RIGHT-associative;
+    // unary minus binds looser (−x^2 = −(x^2)), so the right operand
+    // re-enters through parseUnary — 2^3^2 parses as 2^(3^2)
+    private def parsePow(): Expr = {
+      val l = parseAtom()
+      if (peek == TOp("^")) {
+        next(); val m = parseMatching()
+        BinExpr("^", l, parseUnary(), m)
+      } else l
     }
 
     /** `on(a,b)` / `ignoring(a)` + `group_left` / `group_right` after a
@@ -363,7 +373,22 @@ object Promql {
           })
         }
         expectOp(")")
-        withModifiers(LabelCall(name, a, ps.result()))
+        val params = ps.result()
+        // arity is grammatical in Prometheus — reject at parse, not
+        // at first evaluation
+        name match {
+          case "label_replace" if params.size != 4 =>
+            err(s"label_replace(v, dst, rep, src, regex) needs 4 " +
+              s"string params, got ${params.size}")
+          case "label_join" if params.size < 2 =>
+            err(s"label_join(v, dst, sep, srcs…) needs at least 2 " +
+              s"string params, got ${params.size}")
+          case n if (n == "sort_by_label" || n == "sort_by_label_desc") &&
+              params.isEmpty =>
+            err(s"$n needs at least one label param")
+          case _ => ()
+        }
+        withModifiers(LabelCall(name, a, params))
       case TIdent("histogram_quantile") =>
         next(); expectOp("(")
         val phi = next() match {
@@ -918,9 +943,11 @@ object Promql {
     * oracle. */
   private def histQuantile(phi: Double, arg: Expr, ctx: Ctx): Vec = {
     val v = evalExpr(arg, ctx)
+    if (!v.labels.contains("le") && v.labels.contains("nb"))
+      return histQuantileNative(phi, v)
     if (!v.labels.contains("le")) throw new IllegalArgumentException(
-      "histogram_quantile needs an 'le' label on its input vector " +
-        s"(got ${v.labels.mkString(", ")})")
+      "histogram_quantile needs an 'le' (classic) or 'nb' (native) " +
+        s"label on its input vector (got ${v.labels.mkString(", ")})")
     val L = v.labels.filterNot(_ == "le")
     def ordW = Window.partitionBy(L.map(col): _*).orderBy(col("__le"))
     val fullW = ordW.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
@@ -945,6 +972,76 @@ object Promql {
       .otherwise(interp)
     Vec(first.withColumn("value", value)
       .select(L.map(col) :+ col("value"): _*), L, Dbl)
+  }
+
+  /** `histogram_quantile(φ, v)` over a NATIVE-histogram vector (an
+    * `nb` label: exponential bucket indices + count/sum/zero arms,
+    * [[NativeHist]]). Unlike classic `le` buckets the per-index
+    * counts are NOT cumulative, so the lowering cumulates over the
+    * index order first (zero arm sorts lowest), takes rank =
+    * φ · count-arm value, picks the first bucket whose running sum
+    * reaches it, and interpolates LINEARLY between the bucket's
+    * exponential bounds — the documented convention here (it matches
+    * the classic-bucket rule; a rank in the zero arm answers exactly
+    * 0 since its bounds collapse). Counts stay exact longs through
+    * the cumulation; the one float expression at output embeds the
+    * SAME bound doubles the oracle carries, so results reproduce
+    * bit-for-bit. Groups without a count arm or with total 0 drop,
+    * like the classic form. */
+  private def histQuantileNative(phi: Double, v: Vec): Vec = {
+    val L = v.labels.filterNot(_ == "nb")
+    val s = v.df.sparkSession
+    import s.implicits._
+    val bounds = broadcast(NativeHist.boundRows
+      .toDF("nb", "__ord", "__blo", "__bhi"))
+    val tot = v.df.filter(col("nb") === "count")
+      .select(L.map(col) :+ col("value").as("__tot"): _*)
+    val ordW = Window.partitionBy(L.map(col): _*).orderBy(col("__ord"))
+    val cumW = ordW.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val base = v.df.filter(col("nb") =!= "count" && col("nb") =!= "sum")
+      .join(bounds, "nb")
+      .withColumn("__cum", sum(col("value")).over(cumW))
+    val joined = if (L.isEmpty) base.crossJoin(broadcast(tot))
+      else base.join(tot, L)
+    val df = joined.withColumn("__rank", lit(phi) * col("__tot").cast("double"))
+    val first = df.filter(col("__tot") > 0 &&
+        col("__cum").cast("double") >= col("__rank"))
+      .withColumn("__rn", row_number().over(ordW))
+      .filter(col("__rn") === 1)
+    val prevC = (col("__cum") - col("value")).cast("double")
+    val interp = col("__blo") + (col("__bhi") - col("__blo")) *
+      ((col("__rank") - prevC) / (col("__cum").cast("double") - prevC))
+    Vec(first.withColumn("value", interp)
+      .select(L.map(col) :+ col("value"): _*), L, Dbl)
+  }
+
+  /** `histogram_count/sum/avg` over a NATIVE-histogram vector: the
+    * count and sum ARMS pass through (native histograms carry an
+    * EXACT sum — no midpoint estimation, the main accuracy win over
+    * classic buckets); avg is the one raw-over-raw division (the
+    * shared rate denominators cancel exactly). stddev/stdvar and
+    * fraction are classic-only for now — they need a per-bucket
+    * moment convention this engine hasn't pinned for exponential
+    * bounds. */
+  private def histAggNative(fn: String, v: Vec): Vec = {
+    val L = v.labels.filterNot(_ == "nb")
+    def arm(a: String) = v.df.filter(col("nb") === a)
+    fn match {
+      case "histogram_count" =>
+        Vec(arm("count").select(L.map(col) :+ col("value"): _*), L, v.kind)
+      case "histogram_sum" =>
+        Vec(arm("sum").select(L.map(col) :+ col("value"): _*), L, v.kind)
+      case "histogram_avg" =>
+        val c = arm("count").select(L.map(col) :+ col("value").as("__c"): _*)
+        val sm = arm("sum").select(L.map(col) :+ col("value").as("__s"): _*)
+        val j = if (L.isEmpty) sm.crossJoin(broadcast(c)) else sm.join(c, L)
+        Vec(j.filter(col("__c") > 0)
+          .select(L.map(col) :+ (col("__s").cast("double") /
+            col("__c").cast("double")).as("value"): _*), L, Dbl)
+      case other => throw new IllegalArgumentException(
+        s"$other over a native-histogram (nb) vector is not supported " +
+          "(classic-bucket `le` vectors carry the full family)")
+    }
   }
 
   /** `histogram_count/sum/avg/fraction` over a classic `_bucket`
@@ -990,9 +1087,11 @@ object Promql {
   private def histAgg(fn: String, params: Seq[Double], arg: Expr,
                       ctx: Ctx): Vec = {
     val v = evalExpr(arg, ctx)
+    if (!v.labels.contains("le") && v.labels.contains("nb"))
+      return histAggNative(fn, v)
     if (!v.labels.contains("le")) throw new IllegalArgumentException(
-      s"$fn needs an 'le' label on its input vector " +
-        s"(got ${v.labels.mkString(", ")})")
+      s"$fn needs an 'le' (classic) or 'nb' (native) label on its " +
+        s"input vector (got ${v.labels.mkString(", ")})")
     val L = v.labels.filterNot(_ == "le")
     def ordW = Window.partitionBy(L.map(col): _*).orderBy(col("__le"))
     val fullW = ordW.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
@@ -2497,6 +2596,7 @@ object Promql {
               case "*" => (lval * rval, Dbl)
               case "/" => (lval / nullif(rval, lit(0.0)), Dbl)
               case "%" => (lval % nullif(rval, lit(0.0)), Dbl)
+              case "^" => (pow(lval, rval), Dbl)
               case "atan2" => (atan2(lval, rval), Dbl)
               case o => throw new IllegalArgumentException(s"unknown operator '$o'")
             }
@@ -2558,6 +2658,8 @@ object Promql {
         case ("/", true) => sv / nullif(dv, lit(0.0))
         case ("%", false) => dv % sv
         case ("%", true) => sv % nullif(dv, lit(0.0))
+        case ("^", false) => pow(dv, sv)
+        case ("^", true) => pow(sv, dv)
         case ("atan2", false) => atan2(dv, sv)
         case ("atan2", true) => atan2(sv, dv)
         case (o, _) => throw new IllegalArgumentException(s"unknown operator '$o'")
@@ -2602,6 +2704,8 @@ object Promql {
           case ("/", true) => lit(s) / nullif(col("value"), lit(0.0))
           case ("%", false) => col("value") % lit(s)
           case ("%", true) => lit(s) % nullif(col("value"), lit(0.0))
+          case ("^", false) => pow(col("value"), lit(s))
+          case ("^", true) => pow(lit(s), col("value"))
           case ("atan2", false) => atan2(col("value"), lit(s))
           case ("atan2", true) => atan2(lit(s), col("value"))
           case (o, _) => throw new IllegalArgumentException(s"unknown operator '$o'")

@@ -116,7 +116,10 @@ class ExplainAllSpec extends AnyFunSuite {
       // + per-doc rebuild agg + pass-through left join + orderBy; the
       // extra broadcast is the extent-count-sized span side, which is
       // the INTENDED shape at every scale (spans ≪ tokens)
-      "text_span_scrub" -> (8, 4, 0),
+      // +2 broadcasts r15: the destructive path CONFIRMS each extent
+      // against raw token text first (two extent-count-sized doc
+      // joins) — fp-collision extents must never delete genuine text
+      "text_span_scrub" -> (8, 6, 0),
       // delete-durable live view: ONE decode of the deleted store's
       // sealed side; shuffles are the chunk-horizon groupBy, the
       // persisted-marker merge groupBy, and the final orderBy; the

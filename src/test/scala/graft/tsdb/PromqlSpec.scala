@@ -907,6 +907,176 @@ class PromqlSpec extends AnyFunSuite {
     assert(got.nonEmpty && got == want)
   }
 
+  test("conformance sweep: real-world query shapes parse; malformed reject") {
+    // the shapes Prometheus's own documentation, the querying examples
+    // page, and common Grafana/SLO dashboards use — compositions
+    // (nested binops, @ + offset + subquery, aggregation-over-binop,
+    // postfix grouping), not just tokens. Metric names adapted to the
+    // corpus (click/view/purchase; labels host/region). Parse-level:
+    // accept means the parser builds an Expr; semantic errors (e.g. a
+    // bare range vector fed to eval) are eval's job.
+    val accept = Seq(
+      // selectors & modifiers
+      "click",
+      """{type="click"}""",
+      """click{host="h1"}""",
+      """click{host=~"h1.*", region!="r2"}""",
+      """click{host!~"h[0-9]"}""",
+      "click offset 5m",
+      "click offset -5m",
+      "click @ 1705017600",
+      "click @ 1705017600 offset 1h",
+      // rates & windows
+      "rate(click[5m])",
+      "irate(click[5m])",
+      "increase(click[1h])",
+      "delta(view[1h])",
+      "idelta(view[1h])",
+      "deriv(view[1h])",
+      "predict_linear(view[1h], 3600)",
+      "resets(click[1d])",
+      "changes(click[1d])",
+      "avg_over_time(view[1h])",
+      "min_over_time(view[1h])",
+      "max_over_time(view[1h])",
+      "sum_over_time(view[1h])",
+      "count_over_time(view[1h])",
+      "last_over_time(view[1h])",
+      "present_over_time(view[1h])",
+      "stddev_over_time(view[1h])",
+      "stdvar_over_time(view[1h])",
+      "quantile_over_time(0.95, view[1h])",
+      "mad_over_time(view[1h])",
+      "holt_winters(view[1d], 0.3, 0.1)",
+      "rate(click[5m] offset 1h)",
+      // aggregations, prefix AND postfix grouping
+      "sum(click)",
+      "sum by (host) (click)",
+      "sum without (host, region) (click)",
+      "sum(click) by (host)",
+      "sum(rate(click[5m])) without (host)",
+      "avg by (region) (click)",
+      "count(click)",
+      """count_values("val", click)""",
+      "topk(3, click)",
+      "bottomk(3, click)",
+      "quantile(0.9, click)",
+      "stddev(click)",
+      "stdvar(click)",
+      "group by (host) (click)",
+      "limitk(10, click)",
+      "limit_ratio(0.5, click)",
+      // binops, comparisons, set ops, matching
+      "click + view",
+      "click - view",
+      "click * view",
+      "click / view",
+      "click % view",
+      "click ^ 2",
+      "click > 10",
+      "click == bool 10",
+      "click != bool 0",
+      "click and view",
+      "click or view",
+      "click unless view",
+      "click and on (host) view",
+      "click or ignoring (region) view",
+      "click * on (host) group_left view",
+      "view * on (host) group_right sum by (host) (click)",
+      "click atan2 view",
+      "(click + view) * 2",
+      "-click",
+      // the Grafana/SLO composition staples
+      "sum(rate(click[5m])) / sum(rate(view[5m]))",
+      "100 * (1 - avg by (host) (rate(click[5m])))",
+      "histogram_quantile(0.9, sum by (le) (rate(click[5m])))",
+      "histogram_quantile(0.95, sum(rate(click[5m])) by (le))",
+      "topk(5, sum by (host) (rate(click[5m])))",
+      "(sum(rate(click[5m])) - sum(rate(view[5m]))) / sum(rate(click[5m]))",
+      """sum(rate(click{region="r1"}[1h])) / sum(rate(view{region="r1"}[1h])) > bool 0.01""",
+      """sum by (region) (label_replace(rate(click[5m]), "dc", "$1", "host", "h(.*)"))""",
+      // functions
+      "abs(click - view)",
+      "ceil(click)",
+      "floor(click)",
+      "round(click, 5)",
+      "clamp(click, 0, 10)",
+      "clamp_max(click, 10)",
+      "clamp_min(click, 0)",
+      "exp(ln(click))",
+      "sqrt(click)",
+      "log2(click)",
+      "log10(click)",
+      "sgn(click - view)",
+      "sort(click)",
+      "sort_desc(click)",
+      """sort_by_label(click, "host")""",
+      """label_join(click, "hr", "-", "host", "region")""",
+      "vector(1)",
+      "click - scalar(sum(view))",
+      """absent(click{host="nope"})""",
+      "absent_over_time(click[1h])",
+      "timestamp(click)",
+      "hour(timestamp(click))",
+      "time()",
+      "day_of_week()",
+      "histogram_count(click)",
+      "histogram_sum(click)",
+      "histogram_avg(click)",
+      "histogram_stddev(click)",
+      "histogram_fraction(0, 0.5, click)",
+      """info(click, {type="purchase"})""",
+      // subqueries and @/offset composition
+      "sum_over_time(click[1h:5m])",
+      "max_over_time(rate(click[5m])[30m:5m])",
+      "avg_over_time(max_over_time(view[5m])[1h:5m])",
+      "sum_over_time(click[1h:5m] offset 1h)",
+      "rate(click[5m] @ 1705017600)",
+      "sum(rate(click[5m] @ 1705017600) or rate(view[5m]))")
+    val reject = Seq(
+      "sum(",
+      "rate(click[5])",        // duration needs a unit
+      "click offset",          // dangling modifier
+      "histogram_quantile(click)", // missing phi
+      "sum by host (click)",   // grouping labels need parens
+      """click{host=}""",
+      "topk(click)",           // missing k
+      "click[5m",              // unterminated range
+      "click{",                // unterminated selector
+      "rate(click[5m]",        // unbalanced parens
+      """label_replace(click, "dc")""", // arity
+      "click @ ",              // dangling @
+      "1 +",                   // dangling operator
+      "sum() (click)",         // empty call
+      """count_values(click, "v")""") // param order
+    val failed = accept.filter { q =>
+      try { parse(q); false } catch { case _: IllegalArgumentException => true }
+    }
+    assert(failed.isEmpty, s"real-world shapes REJECTED:\n  ${failed.mkString("\n  ")}")
+    val wrongly = reject.filter { q =>
+      try { parse(q); true } catch { case _: IllegalArgumentException => false }
+    }
+    assert(wrongly.isEmpty, s"malformed shapes ACCEPTED:\n  ${wrongly.mkString("\n  ")}")
+  }
+
+  test("^: right-assoc, tighter than unary minus, one pow per element") {
+    val base = "sum by (region) (sum_over_time(click[2d]))"
+    val x = Promql.eval(chunks, labelCols, base, EvalTs)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    val sq = Promql.eval(chunks, labelCols, s"$base ^ 2", EvalTs)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(sq.nonEmpty && sq.keySet == x.keySet)
+    sq.foreach { case (k, v) => assert(v == math.pow(x(k), 2.0)) }
+    // unary minus binds LOOSER: −x^2 = −(x^2), never (−x)^2
+    val neg = Promql.eval(chunks, labelCols, s"-$base ^ 2", EvalTs)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    neg.foreach { case (k, v) => assert(v == -math.pow(x(k), 2.0)) }
+    // right associativity: 2^3^2 = 2^(3^2) = 512, not (2^3)^2 = 64
+    val ra = Promql.eval(chunks, labelCols, "vector(2 ^ 3 ^ 2)", EvalTs)
+      .collect().map(_.getDouble(0))
+    assert(ra.toSeq == Seq(512.0))
+  }
+
   test("parser fuzz: random token soup parses or fails with IAE, never crashes") {
     // a malformed query must die with the parser's own error type —
     // a MatchError / NPE / StackOverflow here would crash a serving
@@ -1194,6 +1364,67 @@ class PromqlSpec extends AnyFunSuite {
     assert(frac("0.03", "100") == 0.0)
     assert(frac("0", "1000") == 0.9) // pinned: +Inf mass is unreachable
     intercept[IllegalArgumentException](frac("1", "0.5"))
+  }
+
+  // ===== round-15: native histograms (exponential buckets) =====
+
+  test("NativeHist bucket table: exact integer thresholds, exact membership") {
+    val b = NativeHist.buckets
+    // monotone, gap-free cent coverage from 0
+    assert(b.head._2 == 0L)
+    b.sliding(2).foreach { case Seq(p, n) => assert(p._3 == n._2) case _ => }
+    // membership agrees with the exact inequality c⁸ ≤ 2^i·10¹⁶ on
+    // boundary-heavy cents (200 = exactly 2.00, a power-of-two bound)
+    val T = BigInt(10).pow(16)
+    for (c <- Seq(1L, 2L, 99L, 100L, 101L, 199L, 200L, 201L, 4999L, 50000L)) {
+      val Seq((i, _, _, lod, hid)) =
+        b.filter(t => c > t._2 && c <= t._3).toSeq: @unchecked
+      def fits(j: Int): Boolean = {
+        val shift = if (j < 0) -j else 0
+        (BigInt(c).pow(8) << shift) <=
+          (if (j > 0) BigInt(2).pow(j) else BigInt(1)) * T
+      }
+      assert(fits(i) && !fits(i - 1), s"cents $c -> idx $i")
+      assert(lod == math.pow(2, (i - 1) / 8.0) && hid == math.pow(2, i / 8.0))
+    }
+  }
+
+  test("native histogram_quantile/count/sum/avg: hand-computed; zero arm") {
+    import spark.implicits._
+    val T0 = 1700006400L
+    // h1: 4 obs in idx 8 = (2^(7/8), 2], 6 obs in idx 16 = (2^(15/8), 4],
+    // sum 4·2 + 6·4 = 32; h2: 3 zero obs + 1 in idx 8, sum 2
+    val rows = Seq(
+      ("m", "h1", "8", 4.0), ("m", "h1", "16", 6.0),
+      ("m", "h1", "count", 10.0), ("m", "h1", "sum", 32.0),
+      ("m", "h2", "zero", 3.0), ("m", "h2", "8", 1.0),
+      ("m", "h2", "count", 4.0), ("m", "h2", "sum", 2.0))
+      .map { case (t, h, nb, v) => (t, h, nb, T0 * 1000000000L, v) }
+    val ch = Ts.chunkify(rows.toDF("type", "host", "nb", "ts", "v"),
+      Seq("type", "host", "nb"), "ts", "v")
+    def byHost(q: String): Map[String, Double] =
+      Promql.eval(ch, Seq("type", "host", "nb"), q, T0)
+        .collect().map(r => r.getString(1) -> r.getAs[Double]("value")).toMap
+    // rank = .5·1000 raw lands in idx 16: linear inside (2^(15/8), 4]
+    val lo = math.pow(2, 15 / 8.0); val hi = math.pow(2, 2.0)
+    val want = lo + (hi - lo) * ((500.0 - 400.0) / (1000.0 - 400.0))
+    val q5 = byHost("""histogram_quantile(0.5, {type="m"})""")
+    assert(q5("h1") == want)
+    assert(q5("h2") == 0.0) // rank 200 < zero-arm cum 300 -> exactly 0
+    // φ = 1 answers the top bucket's exact upper bound
+    assert(byHost("""histogram_quantile(1.0, {type="m"})""")("h1") == 4.0)
+    assert(byHost("""histogram_count({type="m"})""") ==
+      Map("h1" -> 10.0, "h2" -> 4.0))
+    // native sum is EXACT (carried, not midpoint-estimated)
+    assert(byHost("""histogram_sum({type="m"})""") ==
+      Map("h1" -> 32.0, "h2" -> 2.0))
+    assert(byHost("""histogram_avg({type="m"})""") ==
+      Map("h1" -> 3.2, "h2" -> 0.5))
+    // the classic-only members fail loud on a native vector
+    val e = intercept[IllegalArgumentException](
+      Promql.eval(ch, Seq("type", "host", "nb"),
+        """histogram_stddev({type="m"})""", T0))
+    assert(e.getMessage.contains("native-histogram"))
   }
 
   // ===== round-15: the stepped classic-histogram family =====
