@@ -368,6 +368,15 @@ object PromqlQueries {
       nativeQ(s, dir, "histogram_sum(sum by (nb) (rate(click[2d])))")),
     "promql_native_hist_avg" -> ((s, dir) =>
       nativeQ(s, dir, "histogram_avg(sum by (nb) (rate(click[2d])))")),
+    // stepped native quantile: the step label rides the quantile's
+    // grouping exactly like the classic promql_range_histq — one
+    // bucket fold serves all 25 steps
+    "promql_range_native_histq" -> ((s, dir) =>
+      Promql.evalRange(TsQueries.nativeHistStoreChunks(s, dir),
+          TsQueries.nativeHistLabelCols,
+          "histogram_quantile(0.9, sum by (nb) (rate(click[1d])))",
+          RangeStart, EvalTs, 7200L)
+        .orderBy("ts")),
     // histogram_stddev/stdvar: midpoint-estimator spread — second
     // moment aggregated in DECIMAL (exact, order-independent), two
     // divisions + one subtraction (+ sqrt) at output
@@ -1436,6 +1445,40 @@ object PromqlQueries {
         |    ((0.9 * CAST(tot AS DOUBLE) - CAST(cum - n AS DOUBLE))
         |     / (CAST(cum AS DOUBLE) - CAST(cum - n AS DOUBLE))) AS value
         |FROM p WHERE rn = 1""".stripMargin,
+    // stepped native quantile: the per-step telescoped window with
+    // the same bucket table and interpolation tree
+    "promql_range_native_histq" ->
+      s"""$lblCte,
+        |b(ord, lo_c, hi_c, blo, bhi) AS (VALUES $NativeBucketValues),
+        |steps AS (SELECT ($RangeStart + i * 7200) AS t
+        |  FROM generate_series(0, 24) s(i)),
+        |ev AS (SELECT st.t, l.cents FROM steps st JOIN lbl l
+        |  ON l.type = 'click'
+        |  AND l.ts > st.t - $Day AND l.ts <= st.t - 7200),
+        |tt AS (SELECT t, CAST(100 * count(*) AS BIGINT) AS tot
+        |  FROM ev GROUP BY t),
+        |bc AS (
+        |  SELECT st.t, b.ord, b.blo, b.bhi,
+        |    CAST(100 * count(e.cents) AS BIGINT) AS n
+        |  FROM b CROSS JOIN steps st
+        |  LEFT JOIN ev e ON e.t = st.t
+        |    AND e.cents > b.lo_c AND e.cents <= b.hi_c
+        |  GROUP BY st.t, b.ord, b.blo, b.bhi
+        |  UNION ALL
+        |  SELECT t, -2147483648, 0.0e0, 0.0e0,
+        |    CAST(100 * count(*) AS BIGINT)
+        |  FROM ev WHERE cents <= 0 GROUP BY t),
+        |c AS (SELECT t, ord, blo, bhi, n, sum(n) OVER (PARTITION BY t
+        |    ORDER BY ord ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM bc),
+        |p AS (SELECT c.*, tt.tot,
+        |    row_number() OVER (PARTITION BY c.t ORDER BY ord) AS rn
+        |  FROM c JOIN tt ON tt.t = c.t WHERE tt.tot > 0
+        |    AND CAST(cum AS DOUBLE) >= 0.9 * CAST(tt.tot AS DOUBLE))
+        |SELECT t AS ts, blo + (bhi - blo) *
+        |    ((0.9 * CAST(tot AS DOUBLE) - CAST(cum - n AS DOUBLE))
+        |     / (CAST(cum AS DOUBLE) - CAST(cum - n AS DOUBLE))) AS value
+        |FROM p WHERE rn = 1 ORDER BY ts""".stripMargin,
     // count telescope identical to the classic store's; sum is the
     // exact cent total over the same window; avg = sum/(100·count)
     // (the raw-over-raw division the engine emits)
