@@ -596,23 +596,38 @@ object TextOps {
     // the extent tables are built on 48-bit gram fingerprints, and at
     // corpus scale (~1e9 grams) colliding gram pairs are EXPECTED —
     // an unconfirmed collision extent would silently erase genuine
-    // text. The confirm is two extent-count-sized equi-joins on doc
-    // id (the b-side join doubles as the scrub's own doc lookup), a
-    // token-slice compare per extent, and nothing at corpus scale —
-    // the small-SF oracle cannot see collisions, so the guard must
-    // live in the operator, not the test.
-    val confirmed = extents
-      .join(docs.select(col(idCol).as("a_id"),
-        split(col(textCol), " ").as("__at")), "a_id")
-      .join(docs.select(col(idCol).as("b_id"),
-        split(col(textCol), " ").as("__bt")), "b_id")
-      .filter(slice(col("__at"), (col("a_start") + 1).cast("int"),
-          col("run_tokens").cast("int")) ===
-        slice(col("__bt"), (col("b_start") + 1).cast("int"),
-          col("run_tokens").cast("int")))
-    val spans = confirmed.select(col("b_id").as("__sid"),
-      col("b_start").as("__s"),
-      (col("b_start") + col("run_tokens")).as("__e"))
+    // text. Shape: both extent sides union into ONE slice-request
+    // table, docs join ONCE (a single extra text shuffle — a naive
+    // per-side join would shuffle the corpus text twice and measured
+    // 3× the scrub), each request hashes its token slice, and an
+    // extent-grain groupBy compares the two hashes. An extent whose
+    // doc is missing (or whose sides mismatch) is NOT scrubbed —
+    // destructive ops fail safe. The small-SF oracle cannot see
+    // collisions, so the guard must live in the operator.
+    val ek = struct(col("a_id"), col("b_id"), col("a_start"),
+      col("b_start"), col("run_tokens"))
+    // explode, don't union: a union of two side-projections would
+    // re-execute the caller's extents subtree twice
+    val hashed = extents.select(ek.as("__ek"),
+        col("run_tokens").as("__len"), explode(array(
+          struct(col("a_id").as("rid"), col("a_start").as("st"),
+            lit("a").as("sd")),
+          struct(col("b_id").as("rid"), col("b_start").as("st"),
+            lit("b").as("sd")))).as("__r"))
+      .select(col("__ek"), col("__len"), col("__r.rid").as("__rid"),
+        col("__r.st").as("__st"), col("__r.sd").as("__sd"))
+      .join(docs.select(col(idCol).as("__rid"),
+        split(col(textCol), " ").as("__t")), "__rid")
+      .select(col("__ek"), col("__sd"), md5(concat_ws(" ",
+        slice(col("__t"), (col("__st") + 1).cast("int"),
+          col("__len").cast("int")))).as("__h"))
+    val confirmed = hashed.groupBy("__ek")
+      .agg(max(when(col("__sd") === "a", col("__h"))).as("__ha"),
+        max(when(col("__sd") === "b", col("__h"))).as("__hb"))
+      .filter(col("__ha").isNotNull && col("__ha") === col("__hb"))
+    val spans = confirmed.select(col("__ek.b_id").as("__sid"),
+      col("__ek.b_start").as("__s"),
+      (col("__ek.b_start") + col("__ek.run_tokens")).as("__e"))
     val toks = docs
       .select(col(idCol), posexplode(split(col(textCol), " ")))
       .toDF(idCol, "__p", "__tok")

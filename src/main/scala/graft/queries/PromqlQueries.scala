@@ -368,6 +368,14 @@ object PromqlQueries {
       nativeQ(s, dir, "histogram_sum(sum by (nb) (rate(click[2d])))")),
     "promql_native_hist_avg" -> ((s, dir) =>
       nativeQ(s, dir, "histogram_avg(sum by (nb) (rate(click[2d])))")),
+    // native histogram_fraction(0.2, 1.5): both bounds OFF the
+    // exponential boundaries; each bound's bucket + intra-bucket
+    // fraction resolve at COMPILE time (NativeHist.locate), so F(x)
+    // is two conditional integer sums and one multiply by a shared
+    // literal
+    "promql_native_hist_fraction" -> ((s, dir) =>
+      nativeQ(s, dir,
+        "histogram_fraction(0.2, 1.5, sum by (nb) (rate(click[2d])))")),
     // stepped native quantile: the step label rides the quantile's
     // grouping exactly like the classic promql_range_histq — one
     // bucket fold serves all 25 steps
@@ -1445,6 +1453,35 @@ object PromqlQueries {
         |    ((0.9 * CAST(tot AS DOUBLE) - CAST(cum - n AS DOUBLE))
         |     / (CAST(cum AS DOUBLE) - CAST(cum - n AS DOUBLE))) AS value
         |FROM p WHERE rn = 1""".stripMargin,
+    // native fraction: the engine's compile-time bucket location
+    // re-derived through the SAME NativeHist.locate call, the two
+    // conditional sums and the one multiply mirrored op-for-op
+    "promql_native_hist_fraction" -> {
+      val (ordLo, fracLo) = graft.tsdb.NativeHist.locate(0.2)
+      val (ordHi, fracHi) = graft.tsdb.NativeHist.locate(1.5)
+      s"""$lblCte,
+        |b(ord, lo_c, hi_c, blo, bhi) AS (VALUES $NativeBucketValues),
+        |ev AS (SELECT cents FROM lbl WHERE type = 'click'
+        |  AND ts > ${EvalTs - 165600L} AND ts <= $EvalTs),
+        |t AS (SELECT CAST(100 * count(*) AS BIGINT) AS tot FROM ev),
+        |bc AS (
+        |  SELECT b.ord, CAST(100 * count(e.cents) AS BIGINT) AS n
+        |  FROM b LEFT JOIN ev e ON e.cents > b.lo_c AND e.cents <= b.hi_c
+        |  GROUP BY b.ord
+        |  UNION ALL
+        |  SELECT -2147483648, CAST(100 * count(*) AS BIGINT)
+        |  FROM ev WHERE cents <= 0),
+        |g AS (SELECT
+        |  CAST(coalesce(sum(CASE WHEN ord < $ordHi THEN n END), 0) AS DOUBLE)
+        |    + CAST(coalesce(sum(CASE WHEN ord = $ordHi THEN n END), 0) AS DOUBLE)
+        |      * ${fracHi}e0 AS fhi,
+        |  CAST(coalesce(sum(CASE WHEN ord < $ordLo THEN n END), 0) AS DOUBLE)
+        |    + CAST(coalesce(sum(CASE WHEN ord = $ordLo THEN n END), 0) AS DOUBLE)
+        |      * ${fracLo}e0 AS flo
+        |  FROM bc)
+        |SELECT (fhi - flo) / CAST(tot AS DOUBLE) AS value
+        |FROM g, t WHERE tot > 0""".stripMargin
+    },
     // stepped native quantile: the per-step telescoped window with
     // the same bucket table and interpolation tree
     "promql_range_native_histq" ->

@@ -55,4 +55,19 @@ object NativeHist {
   lazy val boundRows: Seq[(String, Int, Double, Double)] =
     ("zero", Int.MinValue, 0.0, 0.0) +:
       buckets.map(t => (t._1.toString, t._1, t._4, t._5))
+
+  /** Locate a SCALAR bound x for `histogram_fraction`: the ord of the
+    * bucket containing x and the intra-bucket linear fraction —
+    * computed ONCE at compile time (the bound is a query constant),
+    * so the cumulative F(x) needs only conditional integer sums plus
+    * one multiply by this literal. x ≤ 0 lands on the zero arm with
+    * fraction 1 (F = zero count); x past the enumerated table answers
+    * the full cumulative. */
+  def locate(x: Double): (Int, Double) =
+    if (x <= 0) (Int.MinValue, 1.0)
+    else buckets.find(b => x > b._4 && x <= b._5) match {
+      case Some((i, _, _, lod, hid)) => (i, (x - lod) / (hid - lod))
+      case None if x <= buckets.head._4 => (buckets.head._1, 0.0)
+      case None => (Int.MaxValue, 0.0)
+    }
 }

@@ -1015,18 +1015,53 @@ object Promql {
       .select(L.map(col) :+ col("value"): _*), L, Dbl)
   }
 
-  /** `histogram_count/sum/avg` over a NATIVE-histogram vector: the
-    * count and sum ARMS pass through (native histograms carry an
-    * EXACT sum — no midpoint estimation, the main accuracy win over
-    * classic buckets); avg is the one raw-over-raw division (the
-    * shared rate denominators cancel exactly). stddev/stdvar and
-    * fraction are classic-only for now — they need a per-bucket
-    * moment convention this engine hasn't pinned for exponential
-    * bounds. */
-  private def histAggNative(fn: String, v: Vec): Vec = {
+  /** `histogram_count/sum/avg/fraction` over a NATIVE-histogram
+    * vector: the count and sum ARMS pass through (native histograms
+    * carry an EXACT sum — no midpoint estimation, the main accuracy
+    * win over classic buckets); avg is the one raw-over-raw division
+    * (the shared rate denominators cancel exactly); fraction locates
+    * each scalar bound's bucket AT COMPILE TIME ([[NativeHist.locate]])
+    * so F(x) is two conditional integer sums plus one multiply by a
+    * shared literal — reproducible in an ANSI oracle. stddev/stdvar
+    * stay classic-only — they need a per-bucket moment convention
+    * this engine hasn't pinned for exponential bounds (the bound
+    * midpoints are irrational, so no exact integer grid exists). */
+  private def histAggNative(fn: String, params: Seq[Double], v: Vec): Vec = {
     val L = v.labels.filterNot(_ == "nb")
     def arm(a: String) = v.df.filter(col("nb") === a)
     fn match {
+      case "histogram_fraction" =>
+        val Seq(lo0, hi0) = (params match {
+          case p if p.size == 2 => p
+          case p => throw new IllegalArgumentException(
+            s"histogram_fraction(lo, hi, v) needs two scalar bounds, got ${p.size}")
+        }): @unchecked
+        require(lo0 <= hi0,
+          s"histogram_fraction needs lo <= hi, got ($lo0, $hi0)")
+        val (ordLo, fracLo) = NativeHist.locate(math.max(lo0, 0.0))
+        val (ordHi, fracHi) = NativeHist.locate(math.max(hi0, 0.0))
+        val s = v.df.sparkSession
+        import s.implicits._
+        val bounds = broadcast(NativeHist.boundRows
+          .map(t => (t._1, t._2)).toDF("nb", "__ord"))
+        // F(x) per group = Σ_{ord<ordX} n + n_{ordX}·frac — sparse
+        // series just contribute 0 where a bucket is absent
+        def fAt(ordX: Int, frac: Double) =
+          coalesce(sum(when(col("__ord") < ordX, col("value"))), lit(0L))
+            .cast("double") +
+            coalesce(sum(when(col("__ord") === ordX, col("value"))), lit(0L))
+              .cast("double") * lit(frac)
+        val tot = arm("count")
+          .select(L.map(col) :+ col("value").as("__tot"): _*)
+        val g = v.df.filter(col("nb") =!= "count" && col("nb") =!= "sum")
+          .join(bounds, "nb")
+          .groupBy(L.map(col): _*)
+          .agg(fAt(ordHi, fracHi).as("__fhi"), fAt(ordLo, fracLo).as("__flo"))
+        val joined = if (L.isEmpty) g.crossJoin(broadcast(tot))
+          else g.join(tot, L)
+        Vec(joined.filter(col("__tot") > 0)
+          .select(L.map(col) :+ ((col("__fhi") - col("__flo")) /
+            col("__tot").cast("double")).as("value"): _*), L, Dbl)
       case "histogram_count" =>
         Vec(arm("count").select(L.map(col) :+ col("value"): _*), L, v.kind)
       case "histogram_sum" =>
@@ -1088,7 +1123,7 @@ object Promql {
                       ctx: Ctx): Vec = {
     val v = evalExpr(arg, ctx)
     if (!v.labels.contains("le") && v.labels.contains("nb"))
-      return histAggNative(fn, v)
+      return histAggNative(fn, params, v)
     if (!v.labels.contains("le")) throw new IllegalArgumentException(
       s"$fn needs an 'le' (classic) or 'nb' (native) label on its " +
         s"input vector (got ${v.labels.mkString(", ")})")

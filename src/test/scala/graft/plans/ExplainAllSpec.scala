@@ -116,10 +116,12 @@ class ExplainAllSpec extends AnyFunSuite {
       // + per-doc rebuild agg + pass-through left join + orderBy; the
       // extra broadcast is the extent-count-sized span side, which is
       // the INTENDED shape at every scale (spans ≪ tokens)
-      // +2 broadcasts r15: the destructive path CONFIRMS each extent
-      // against raw token text first (two extent-count-sized doc
-      // joins) — fp-collision extents must never delete genuine text
-      "text_span_scrub" -> (8, 6, 0),
+      // +1 shuffle +1 bcast r15: the destructive path CONFIRMS each
+      // extent against raw token text first — both extent sides
+      // explode into ONE slice-request join (a single extra text
+      // shuffle; the naive two-join spelling measured 3× the scrub
+      // at 2M docs) — fp-collision extents must never delete text
+      "text_span_scrub" -> (9, 5, 0),
       // delete-durable live view: ONE decode of the deleted store's
       // sealed side; shuffles are the chunk-horizon groupBy, the
       // persisted-marker merge groupBy, and the final orderBy; the

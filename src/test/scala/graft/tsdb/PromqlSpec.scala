@@ -1032,7 +1032,13 @@ class PromqlSpec extends AnyFunSuite {
       "avg_over_time(max_over_time(view[5m])[1h:5m])",
       "sum_over_time(click[1h:5m] offset 1h)",
       "rate(click[5m] @ 1705017600)",
-      "sum(rate(click[5m] @ 1705017600) or rate(view[5m]))")
+      "sum(rate(click[5m] @ 1705017600) or rate(view[5m]))",
+      "click @ start()",
+      "rate(click[5m] @ end())",
+      "double_exponential_smoothing(view[1d], 0.3, 0.1)",
+      "click ^ 2",
+      "2 ^ -1 * click",
+      "-click ^ 2")
     val reject = Seq(
       "sum(",
       "rate(click[5])",        // duration needs a unit
@@ -1420,6 +1426,16 @@ class PromqlSpec extends AnyFunSuite {
       Map("h1" -> 32.0, "h2" -> 2.0))
     assert(byHost("""histogram_avg({type="m"})""") ==
       Map("h1" -> 3.2, "h2" -> 0.5))
+    // fraction: bound 1.9 lands inside idx 8, lo 0 on the zero arm —
+    // the expected values re-run the engine's exact float tree
+    val (o8, fr) = NativeHist.locate(1.9)
+    assert(o8 == 8)
+    val fx = byHost("""histogram_fraction(0, 1.9, {type="m"})""")
+    assert(fx("h1") == ((0.0 + 400.0 * fr) - (0.0 + 0.0 * 1.0)) / 1000.0)
+    // h2: the zero arm holds 3 of 4 obs (F(0) = 300 raw), idx 8 the rest
+    assert(fx("h2") == ((300.0 + 100.0 * fr) - (0.0 + 300.0 * 1.0)) / 400.0)
+    // a bound past the table answers the full cumulative -> fraction 1
+    assert(byHost("""histogram_fraction(0, 100000, {type="m"})""")("h1") == 1.0)
     // the classic-only members fail loud on a native vector
     val e = intercept[IllegalArgumentException](
       Promql.eval(ch, Seq("type", "host", "nb"),
