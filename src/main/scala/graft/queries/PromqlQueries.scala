@@ -385,6 +385,34 @@ object PromqlQueries {
           "histogram_quantile(0.9, sum by (nb) (rate(click[1d])))",
           RangeStart, EvalTs, 7200L)
         .orderBy("ts")),
+    // the rest of the stepped native family — the arms and the
+    // compile-time fraction are label-generic, so range mode is
+    // reachable the moment the instant form is; every reachable
+    // surface carries a gate
+    "promql_range_native_hist_count" -> ((s, dir) =>
+      Promql.evalRange(TsQueries.nativeHistStoreChunks(s, dir),
+          TsQueries.nativeHistLabelCols,
+          "histogram_count(sum by (nb) (rate(click[1d])))",
+          RangeStart, EvalTs, 7200L)
+        .orderBy("ts")),
+    "promql_range_native_hist_sum" -> ((s, dir) =>
+      Promql.evalRange(TsQueries.nativeHistStoreChunks(s, dir),
+          TsQueries.nativeHistLabelCols,
+          "histogram_sum(sum by (nb) (rate(click[1d])))",
+          RangeStart, EvalTs, 7200L)
+        .orderBy("ts")),
+    "promql_range_native_hist_avg" -> ((s, dir) =>
+      Promql.evalRange(TsQueries.nativeHistStoreChunks(s, dir),
+          TsQueries.nativeHistLabelCols,
+          "histogram_avg(sum by (nb) (rate(click[1d])))",
+          RangeStart, EvalTs, 7200L)
+        .orderBy("ts")),
+    "promql_range_native_hist_fraction" -> ((s, dir) =>
+      Promql.evalRange(TsQueries.nativeHistStoreChunks(s, dir),
+          TsQueries.nativeHistLabelCols,
+          "histogram_fraction(0.2, 1.5, sum by (nb) (rate(click[1d])))",
+          RangeStart, EvalTs, 7200L)
+        .orderBy("ts")),
     // histogram_stddev/stdvar: midpoint-estimator spread — second
     // moment aggregated in DECIMAL (exact, order-independent), two
     // divisions + one subtraction (+ sqrt) at output
@@ -1481,6 +1509,75 @@ object PromqlQueries {
         |  FROM bc)
         |SELECT (fhi - flo) / CAST(tot AS DOUBLE) AS value
         |FROM g, t WHERE tot > 0""".stripMargin
+    },
+    // stepped native count/sum/avg: the per-step telescoped event
+    // derivation (count == the classic +Inf arm's telescope; sum is
+    // the exact cent total; avg's denominators cancel per step)
+    "promql_range_native_hist_count" ->
+      s"""$lblCte,
+        |steps AS (SELECT ($RangeStart + i * 7200) AS t
+        |  FROM generate_series(0, 24) s(i)),
+        |ic AS (SELECT st.t, CAST(100 * count(l.ts) AS BIGINT) AS ic
+        |  FROM steps st LEFT JOIN lbl l ON l.type = 'click'
+        |    AND l.ts > st.t - $Day AND l.ts <= st.t - 7200
+        |  GROUP BY st.t)
+        |SELECT t AS ts, CAST(ic AS DOUBLE) / 8640000.0 AS value
+        |FROM ic ORDER BY ts""".stripMargin,
+    "promql_range_native_hist_sum" ->
+      s"""$lblCte,
+        |steps AS (SELECT ($RangeStart + i * 7200) AS t
+        |  FROM generate_series(0, 24) s(i)),
+        |g AS (SELECT st.t,
+        |    CAST(coalesce(sum(l.cents), 0) AS BIGINT) AS s
+        |  FROM steps st LEFT JOIN lbl l ON l.type = 'click'
+        |    AND l.ts > st.t - $Day AND l.ts <= st.t - 7200
+        |  GROUP BY st.t)
+        |SELECT t AS ts, CAST(s AS DOUBLE) / 8640000.0 AS value
+        |FROM g ORDER BY ts""".stripMargin,
+    "promql_range_native_hist_avg" ->
+      s"""$lblCte,
+        |steps AS (SELECT ($RangeStart + i * 7200) AS t
+        |  FROM generate_series(0, 24) s(i)),
+        |g AS (SELECT st.t, CAST(sum(cents) AS BIGINT) AS s,
+        |    CAST(100 * count(*) AS BIGINT) AS c
+        |  FROM steps st JOIN lbl ON type = 'click'
+        |    AND lbl.ts > st.t - $Day AND lbl.ts <= st.t - 7200
+        |  GROUP BY st.t)
+        |SELECT t AS ts, CAST(s AS DOUBLE) / CAST(c AS DOUBLE) AS value
+        |FROM g WHERE c > 0 ORDER BY ts""".stripMargin,
+    // stepped native fraction: the compile-time bucket location with
+    // per-step conditional sums
+    "promql_range_native_hist_fraction" -> {
+      val (ordLo, fracLo) = graft.tsdb.NativeHist.locate(0.2)
+      val (ordHi, fracHi) = graft.tsdb.NativeHist.locate(1.5)
+      s"""$lblCte,
+        |b(ord, lo_c, hi_c, blo, bhi) AS (VALUES $NativeBucketValues),
+        |steps AS (SELECT ($RangeStart + i * 7200) AS t
+        |  FROM generate_series(0, 24) s(i)),
+        |ev AS (SELECT st.t, l.cents FROM steps st JOIN lbl l
+        |  ON l.type = 'click'
+        |  AND l.ts > st.t - $Day AND l.ts <= st.t - 7200),
+        |tt AS (SELECT t, CAST(100 * count(*) AS BIGINT) AS tot
+        |  FROM ev GROUP BY t),
+        |bc AS (
+        |  SELECT st.t, b.ord, CAST(100 * count(e.cents) AS BIGINT) AS n
+        |  FROM b CROSS JOIN steps st
+        |  LEFT JOIN ev e ON e.t = st.t
+        |    AND e.cents > b.lo_c AND e.cents <= b.hi_c
+        |  GROUP BY st.t, b.ord
+        |  UNION ALL
+        |  SELECT t, -2147483648, CAST(100 * count(*) AS BIGINT)
+        |  FROM ev WHERE cents <= 0 GROUP BY t),
+        |g AS (SELECT t,
+        |  CAST(coalesce(sum(CASE WHEN ord < $ordHi THEN n END), 0) AS DOUBLE)
+        |    + CAST(coalesce(sum(CASE WHEN ord = $ordHi THEN n END), 0) AS DOUBLE)
+        |      * ${fracHi}e0 AS fhi,
+        |  CAST(coalesce(sum(CASE WHEN ord < $ordLo THEN n END), 0) AS DOUBLE)
+        |    + CAST(coalesce(sum(CASE WHEN ord = $ordLo THEN n END), 0) AS DOUBLE)
+        |      * ${fracLo}e0 AS flo
+        |  FROM bc GROUP BY t)
+        |SELECT g.t AS ts, (fhi - flo) / CAST(tot AS DOUBLE) AS value
+        |FROM g JOIN tt ON tt.t = g.t WHERE tot > 0 ORDER BY ts""".stripMargin
     },
     // stepped native quantile: the per-step telescoped window with
     // the same bucket table and interpolation tree
