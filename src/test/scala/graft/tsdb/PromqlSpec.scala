@@ -1472,6 +1472,26 @@ class PromqlSpec extends AnyFunSuite {
         assert(want.length == 1 && g(t) == want.head, s"$q @ $t")
       }
     }
+    // the NATIVE store sits on the same scrape grid, so the same
+    // one-scrape-shift parity must hold for its whole family
+    val nch = graft.queries.TsQueries.nativeHistStoreChunks(spark, dir)
+    val nlc = graft.queries.TsQueries.nativeHistLabelCols
+    for (q <- Seq(
+        "histogram_quantile(0.9, sum by (nb) (rate(click[1d])))",
+        "histogram_count(sum by (nb) (rate(click[1d])))",
+        "histogram_sum(sum by (nb) (rate(click[1d])))",
+        "histogram_avg(sum by (nb) (rate(click[1d])))",
+        "histogram_fraction(0.2, 1.5, sum by (nb) (rate(click[1d])))")) {
+      val g = Promql.evalRange(nch, nlc, q, start, EvalTs, 7200L)
+        .collect().map(r => (r.getAs[Long]("ts"), r.getAs[Double]("value")))
+        .toMap
+      assert(g.size == 25, q)
+      for (t <- Seq(start, start + 12 * 7200L, EvalTs)) {
+        val want = Promql.eval(nch, nlc, q, t - 7200L)
+          .collect().map(_.getAs[Double]("value"))
+        assert(want.length == 1 && g(t) == want.head, s"native $q @ $t")
+      }
+    }
   }
 
   test("ts_of_{last,max,min}_over_time: extreme timestamps, ties -> latest") {
