@@ -179,10 +179,16 @@ object Bench {
         build("ds", 10.0, grammar = true),
         build("ds", 10.0, grammar = true, base36 = true),
         buildGz(results, "ds", 10.0),
-        // the true size floor: deciseconds through raw deflate + b85
-        buildB85(results, "ds", 10.0))
+        buildB85(results, "ds", 10.0),
+        // paranoia floor: WHOLE seconds through raw deflate + b85 —
+        // sub-second resolution is gone, but the line always fits
+        // (the 289-key round-15 fixture outgrew even decisecond b85
+        // by 8 chars; a line that clips in the driver's tail window
+        // loses EVERY query, so a coarse tier beats a truncated one.
+        // BENCH_FULL.json always rides full precision regardless)
+        buildB85(results, "s", 1.0))
       .find(_.length <= 1995)
-      .getOrElse(buildB85(results, "ds", 10.0))
+      .getOrElse(buildB85(results, "s", 1.0))
   }
 
   /** The size-bounded compact tier: the PACKED-TRIE base-36

@@ -71,6 +71,7 @@ class BenchLineSpec extends AnyFunSuite {
     val scale = root.get("u").asText() match {
       case "cs" => 100.0
       case "ds" => 10.0
+      case "s"  => 1.0
       case u    => fail(s"unknown unit $u")
     }
     val hint = Option(root.get("f")).map(_.asText())
