@@ -994,16 +994,21 @@ object Promql {
     import s.implicits._
     val bounds = broadcast(NativeHist.boundRows
       .toDF("nb", "__ord", "__blo", "__bhi"))
-    val tot = v.df.filter(col("nb") === "count")
-      .select(L.map(col) :+ col("value").as("__tot"): _*)
     val ordW = Window.partitionBy(L.map(col): _*).orderBy(col("__ord"))
     val cumW = ordW.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val base = v.df.filter(col("nb") =!= "count" && col("nb") =!= "sum")
+    // the count-arm total rides a group-sized window over the SAME
+    // frame (the classic histQuantile __total trick) — a filter+join
+    // spelling would reference the rate subtree twice and decode the
+    // selector's chunks twice (caught by the plan pin)
+    val totW = Window.partitionBy(L.map(col): _*).orderBy(col("nb"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val df = v.df
+      .withColumn("__tot",
+        max(when(col("nb") === "count", col("value"))).over(totW))
+      .filter(col("nb") =!= "count" && col("nb") =!= "sum")
       .join(bounds, "nb")
       .withColumn("__cum", sum(col("value")).over(cumW))
-    val joined = if (L.isEmpty) base.crossJoin(broadcast(tot))
-      else base.join(tot, L)
-    val df = joined.withColumn("__rank", lit(phi) * col("__tot").cast("double"))
+      .withColumn("__rank", lit(phi) * col("__tot").cast("double"))
     val first = df.filter(col("__tot") > 0 &&
         col("__cum").cast("double") >= col("__rank"))
       .withColumn("__rn", row_number().over(ordW))
@@ -1045,21 +1050,20 @@ object Promql {
         val bounds = broadcast(NativeHist.boundRows
           .map(t => (t._1, t._2)).toDF("nb", "__ord"))
         // F(x) per group = Σ_{ord<ordX} n + n_{ordX}·frac — sparse
-        // series just contribute 0 where a bucket is absent
+        // series just contribute 0 where a bucket is absent; the
+        // count/sum arms ride the SAME aggregate (left-joined bounds
+        // leave their __ord null, so the conditional sums skip them)
+        // instead of a second vector reference that would decode twice
         def fAt(ordX: Int, frac: Double) =
           coalesce(sum(when(col("__ord") < ordX, col("value"))), lit(0L))
             .cast("double") +
             coalesce(sum(when(col("__ord") === ordX, col("value"))), lit(0L))
               .cast("double") * lit(frac)
-        val tot = arm("count")
-          .select(L.map(col) :+ col("value").as("__tot"): _*)
-        val g = v.df.filter(col("nb") =!= "count" && col("nb") =!= "sum")
-          .join(bounds, "nb")
+        val g = v.df.join(bounds, Seq("nb"), "left")
           .groupBy(L.map(col): _*)
-          .agg(fAt(ordHi, fracHi).as("__fhi"), fAt(ordLo, fracLo).as("__flo"))
-        val joined = if (L.isEmpty) g.crossJoin(broadcast(tot))
-          else g.join(tot, L)
-        Vec(joined.filter(col("__tot") > 0)
+          .agg(fAt(ordHi, fracHi).as("__fhi"), fAt(ordLo, fracLo).as("__flo"),
+            max(when(col("nb") === "count", col("value"))).as("__tot"))
+        Vec(g.filter(col("__tot") > 0)
           .select(L.map(col) :+ ((col("__fhi") - col("__flo")) /
             col("__tot").cast("double")).as("value"): _*), L, Dbl)
       case "histogram_count" =>
@@ -1067,10 +1071,12 @@ object Promql {
       case "histogram_sum" =>
         Vec(arm("sum").select(L.map(col) :+ col("value"): _*), L, v.kind)
       case "histogram_avg" =>
-        val c = arm("count").select(L.map(col) :+ col("value").as("__c"): _*)
-        val sm = arm("sum").select(L.map(col) :+ col("value").as("__s"): _*)
-        val j = if (L.isEmpty) sm.crossJoin(broadcast(c)) else sm.join(c, L)
-        Vec(j.filter(col("__c") > 0)
+        // one conditional aggregate over the single vector reference
+        // (a sum⋈count self-join would decode the selector twice)
+        val g = v.df.groupBy(L.map(col): _*)
+          .agg(max(when(col("nb") === "sum", col("value"))).as("__s"),
+            max(when(col("nb") === "count", col("value"))).as("__c"))
+        Vec(g.filter(col("__s").isNotNull && col("__c") > 0)
           .select(L.map(col) :+ (col("__s").cast("double") /
             col("__c").cast("double")).as("value"): _*), L, Dbl)
       case other => throw new IllegalArgumentException(

@@ -150,7 +150,15 @@ class ExplainAllSpec extends AnyFunSuite {
       // shuffles = 2 encode repartitions (identical twins — AQE's
       // ReuseExchange collapses them at runtime) + med agg + final agg
       // + orderBy; 2 decode sites for the same reason
-      "ts_mad" -> (5, 1, 2))
+      "ts_mad" -> (5, 1, 2),
+      // native histogram_quantile: ONE decode of the selector's
+      // chunks (the count-arm total rides a group-sized window over
+      // the same frame — the r15 first cut filter+joined the count
+      // arm and decoded twice); 3 shuffles = chunk scan agg + the two
+      // window exchanges, 1 broadcast = the ~140-row bound table
+      "promql_native_histq" -> (3, 1, 1),
+      // stepped adds the grid-assembly exchange; still one decode
+      "promql_range_native_histq" -> (4, 1, 1))
     val failures = expected.flatMap { case (name, want) =>
       val got = shape(name)
       if (got != want)
