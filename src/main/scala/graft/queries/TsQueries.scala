@@ -195,7 +195,10 @@ object TsQueries {
         concat(lit("h"), pmod(col("user_id"), lit(100L))).as("host"),
         round(col("value") * 100).cast("long").as("cents"),
         Ts.epochSec(ev0, "ts").as("tsec"))
-      val maxC = ev.agg(max("cents")).head().getLong(0)
+      val maxRow = ev.agg(max("cents")).head()
+      require(!maxRow.isNullAt(0),
+        s"nativeHistStoreChunks: no events under $dir — nothing to ingest")
+      val maxC = maxRow.getLong(0)
       require(maxC <= nativeBuckets.last._3,
         s"event cents $maxC past the enumerated native bucket table")
       val b = s.createDataFrame(nativeBuckets.map(t => (t._1.toString, t._2, t._3)))

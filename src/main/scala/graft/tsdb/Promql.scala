@@ -989,6 +989,12 @@ object Promql {
     * bit-for-bit. Groups without a count arm or with total 0 drop,
     * like the classic form. */
   private def histQuantileNative(phi: Double, v: Vec): Vec = {
+    // fail loud outside [0, 1]: φ > 1 would silently drop every
+    // series (rank past the last cumulative) and φ < 0 would
+    // interpolate a negative rank through the first bucket
+    require(phi >= 0 && phi <= 1,
+      s"histogram_quantile over a native-histogram vector needs " +
+        s"phi in [0, 1], got $phi")
     val L = v.labels.filterNot(_ == "nb")
     val s = v.df.sparkSession
     import s.implicits._
@@ -1009,7 +1015,11 @@ object Promql {
       .join(bounds, "nb")
       .withColumn("__cum", sum(col("value")).over(cumW))
       .withColumn("__rank", lit(phi) * col("__tot").cast("double"))
-    val first = df.filter(col("__tot") > 0 &&
+    // the __cum > 0 arm only bites at φ = 0 (rank 0): it skips empty
+    // leading buckets so the answer is the LOWEST POPULATED bucket's
+    // lower bound (prevCum = 0 there, so the interpolation lands
+    // exactly on __blo) instead of 0/0 → NaN on an empty first row
+    val first = df.filter(col("__tot") > 0 && col("__cum") > 0 &&
         col("__cum").cast("double") >= col("__rank"))
       .withColumn("__rn", row_number().over(ordW))
       .filter(col("__rn") === 1)
@@ -1176,15 +1186,38 @@ object Promql {
           .withColumn("__dl",
             col("value") - coalesce(lag(col("value"), 1).over(ordW), lit(0L)))
         val fcDec = col("__fc").cast("decimal(38,0)")
-        val g = df.groupBy(L.map(col): _*)
-          // both moments in DECIMAL: Δ·fc (first) and Δ·fc² (second)
-          // overflow BIGINT at plausible counter volumes (Δ ~ 1e9 ×
-          // fc ~ 4e18 ≫ 2⁶³), and decimal sums stay exact AND
-          // order-independent (the float-sum ban holds)
-          .agg(sum(col("__dl").cast("decimal(38,0)") * fcDec).as("__num"),
-            sum(col("__dl").cast("decimal(38,0)") * fcDec * fcDec).as("__m2"),
-            max(when(col("le") === "+Inf", col("value"))).as("__cnt"))
+        // both moments in DECIMAL: Δ·fc (first) and Δ·fc² (second)
+        // overflow BIGINT at plausible counter volumes (Δ ~ 1e9 ×
+        // fc ~ 4e18 ≫ 2⁶³), and decimal sums stay exact AND
+        // order-independent (the float-sum ban holds). The ±2e12 le
+        // cap bounds the per-row FIRST moment (Δ·fc ≤ 9.3e18·4e18
+        // overflows? no: |Δ| ≤ 2⁶³ and fc ≤ 4e18 CAN overflow 1e38
+        // together, and Δ·fc² does so at Δ ≥ 7) — under non-ANSI
+        // mode an overflowed product or sum is a silent NULL that
+        // sum() would drop (or greatest() would absorb), quietly
+        // corrupting the moment. Guard BOTH layers loud: a per-row
+        // product that nulls out raises, and a nulled aggregate
+        // (sum overflow across rows) raises after the fold.
+        def ovGuard(prod: Column, what: String): Column =
+          when(prod.isNull, raise_error(lit(
+            s"$fn: $what overflows decimal(38,0) — bucket bounds too " +
+              "large for exact midpoint moments at this count volume"))
+            .cast("decimal(38,0)")).otherwise(prod)
+        val dlDec = col("__dl").cast("decimal(38,0)")
+        val g0 = df.groupBy(L.map(col): _*)
+          .agg(sum(ovGuard(dlDec * fcDec, "a Δ·(lo+hi) term")).as("__num"),
+            sum(ovGuard(dlDec * fcDec * fcDec, "a Δ·(lo+hi)² term")).as("__m2"),
+            max(when(col("le") === "+Inf", col("value"))).as("__cnt"),
+            count(col("__dl")).as("__nrows"))
           .filter(col("__cnt").isNotNull)
+        val g = g0
+          .withColumn("__num", when(col("__nrows") > 0 && col("__num").isNull,
+            raise_error(lit(s"$fn: first-moment sum overflows decimal(38,0)"))
+              .cast("decimal(38,0)")).otherwise(col("__num")))
+          .withColumn("__m2", when(col("__nrows") > 0 && col("__m2").isNull,
+            raise_error(lit(s"$fn: second-moment sum overflows decimal(38,0)"))
+              .cast("decimal(38,0)")).otherwise(col("__m2")))
+          .drop("__nrows")
         fn match {
           case "histogram_sum" =>
             Vec(g.select(L.map(col) :+ col("__num").as("value"): _*),

@@ -1436,11 +1436,109 @@ class PromqlSpec extends AnyFunSuite {
     assert(fx("h2") == ((300.0 + 100.0 * fr) - (0.0 + 300.0 * 1.0)) / 400.0)
     // a bound past the table answers the full cumulative -> fraction 1
     assert(byHost("""histogram_fraction(0, 100000, {type="m"})""")("h1") == 1.0)
-    // the classic-only members fail loud on a native vector
-    val e = intercept[IllegalArgumentException](
+  }
+
+  // ===== round-16: ADVICE fixes =====
+
+  /** The h1/h2 native vector the round-15 test uses, for the r16
+    * boundary pins: h1 = 4 obs in idx 8 + 6 in idx 16 (sum 32),
+    * h2 = 3 zeros + 1 in idx 8 (sum 2). */
+  private def nativeVec = {
+    import spark.implicits._
+    val T0 = 1700006400L
+    val rows = Seq(
+      ("m", "h1", "8", 4.0), ("m", "h1", "16", 6.0),
+      ("m", "h1", "count", 10.0), ("m", "h1", "sum", 32.0),
+      ("m", "h2", "zero", 3.0), ("m", "h2", "8", 1.0),
+      ("m", "h2", "count", 4.0), ("m", "h2", "sum", 2.0))
+      .map { case (t, h, nb, v) => (t, h, nb, T0 * 1000000000L, v) }
+    (Ts.chunkify(rows.toDF("type", "host", "nb", "ts", "v"),
+      Seq("type", "host", "nb"), "ts", "v"), T0)
+  }
+
+  test("NativeHist.locate: a gap bound answers the cumulative below it") {
+    // below ~0.07 the cent-empty filter leaves gaps between kept
+    // buckets' bound doubles (bucket −53 ends at ~0.01013, bucket −45
+    // starts at ~0.01858); a bound in a gap holds no observable mass,
+    // so F(bound) must count exactly the buckets entirely below —
+    // (first kept bucket above, fraction 0) — never Int.MaxValue
+    // ("past the table" would count ALL mass below the bound)
+    val b = NativeHist.buckets
+    val gapX = 0.015
+    assert(!b.exists(t => gapX > t._4 && gapX <= t._5)) // genuinely a gap
+    assert(NativeHist.locate(gapX) == (-45, 0.0))
+    // below the whole table: first bucket at fraction 0 (unchanged)
+    assert(NativeHist.locate(1e-9) == (b.head._1, 0.0))
+    // past the table: the full cumulative (unchanged)
+    assert(NativeHist.locate(1e9) == (Int.MaxValue, 0.0))
+    // engine-level consequence: a gap bound inside histogram_fraction
+    // counts nothing between 0.015 and 0.05 for h2 (zero arm + idx 8
+    // only) — before the fix flo counted ALL 400 raw and the fraction
+    // came out −0.25
+    val (ch, t0) = nativeVec
+    val fx = Promql.eval(ch, Seq("type", "host", "nb"),
+        """histogram_fraction(0.015, 0.05, {type="m"})""", t0)
+      .collect().map(r => r.getString(1) -> r.getAs[Double]("value")).toMap
+    assert(fx("h2") == 0.0)
+    assert(fx("h1") == 0.0)
+  }
+
+  test("native histogram_quantile: phi outside [0,1] rejected, phi=0 pinned") {
+    val (ch, t0) = nativeVec
+    def q(phi: String): Map[String, Double] =
       Promql.eval(ch, Seq("type", "host", "nb"),
-        """histogram_stddev({type="m"})""", T0))
-    assert(e.getMessage.contains("native-histogram"))
+          s"""histogram_quantile($phi, {type="m"})""", t0)
+        .collect().map(r => r.getString(1) -> r.getAs[Double]("value")).toMap
+    assert(intercept[IllegalArgumentException](q("1.5"))
+      .getMessage.contains("phi in [0, 1]"))
+    // a negative φ literal is already rejected at PARSE time (the
+    // grammar takes a bare scalar); either layer is a loud rejection
+    intercept[IllegalArgumentException](q("-0.1"))
+    // φ = 0: the LOWEST POPULATED bucket's lower bound — rank 0 must
+    // skip empty leading buckets, never evaluate 0/0 → NaN; h2's
+    // lowest populated arm is the zero bucket → exactly 0
+    val q0 = q("0")
+    assert(q0("h1") == math.pow(2, 7 / 8.0))
+    assert(q0("h2") == 0.0)
+  }
+
+  test("histogram_stdvar: a second-moment decimal overflow fails loud") {
+    // le bounds near the ±2e12 cap: the +2e12 cap keeps every fc LONG
+    // in range but fc² ≈ 1.5e37 needs only Δ ≥ 7 to pass decimal(38,0)
+    // — under non-ANSI Spark the overflowed product is a silent NULL
+    // that sum() would drop, quietly shrinking the second moment
+    import spark.implicits._
+    val T0 = 1700006400L
+    val rows = Seq(("m", "h1", "1900000000000", 2.0),
+      ("m", "h1", "2000000000000", 9.0), ("m", "h1", "+Inf", 9.0))
+      .map { case (t, h, le, v) => (t, h, le, T0 * 1000000000L, v) }
+    val ch = Ts.chunkify(rows.toDF("type", "host", "le", "ts", "v"),
+      Seq("type", "host", "le"), "ts", "v")
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    val e = intercept[Exception] {
+      Promql.eval(ch, Seq("type", "host", "le"),
+        """histogram_stdvar({type="m"})""", T0).collect()
+    }
+    // under ANSI (Spark 4 default) the product itself raises; under
+    // non-ANSI the product nulls and the engine's guard raises — both
+    // paths fail LOUD, neither quietly shrinks the moment
+    assert(msgs(e).exists(m => m.contains("overflows decimal(38,0)") ||
+      m.contains("cannot be represented as Decimal")), msgs(e).toString)
+    // the same layout stays fine for the FIRST moment only
+    val s = Promql.eval(ch, Seq("type", "host", "le"),
+      """histogram_sum({type="m"})""", T0).collect()
+    assert(s.length == 1)
+  }
+
+  test("nativeHistStoreChunks: an empty events table fails with a clear message") {
+    val tmp = java.nio.file.Files.createTempDirectory("nhist_empty")
+      .toFile.getAbsolutePath
+    spark.read.parquet(s"$dir/events.parquet").limit(0)
+      .write.parquet(s"$tmp/events.parquet")
+    val e = intercept[IllegalArgumentException](
+      graft.queries.TsQueries.nativeHistStoreChunks(spark, tmp))
+    assert(e.getMessage.contains("no events"))
   }
 
   // ===== round-15: the stepped classic-histogram family =====
