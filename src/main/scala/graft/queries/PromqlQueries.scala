@@ -56,6 +56,14 @@ object PromqlQueries {
     Promql.eval(TsQueries.nativeHistStoreChunks(s, dir),
       TsQueries.nativeHistLabelCols, query, EvalTs)
 
+  /** The MIXED-SCHEMA native-histogram store (a per-series `schema`
+    * label: even hosts scrape at schema 3, odd at the coarser 2) for
+    * the `_mixed` keys — aggregations that drop `schema` downscale
+    * every index to the group's coarsest resolution first. */
+  private def mixedQ(s: SparkSession, dir: String, query: String): DataFrame =
+    Promql.eval(TsQueries.mixedNativeHistStoreChunks(s, dir),
+      TsQueries.mixedNativeHistLabelCols, query, EvalTs)
+
   /** The shared DuckDB label derivation (identical to TsQueries'):
     * type = event_type, host = h(user%100), region = r(user%4), plus
     * the exact integer cent grid. */
@@ -72,8 +80,8 @@ object PromqlQueries {
     * thresholds and bound doubles the engine broadcasts, so bucket
     * assignment and interpolation constants agree by construction
     * (Double.toString round-trips through DuckDB's literal parse). */
-  private lazy val NativeBucketValues: String =
-    graft.tsdb.NativeHist.buckets
+  private def nativeBucketValuesFor(schema: Int): String =
+    graft.tsdb.NativeHist.bucketsFor(schema)
       .map { case (i, lo, hi, lod, hid) =>
         // the trailing e0 forces a DOUBLE literal: a bare decimal
         // string in VALUES types as DECIMAL in DuckDB, and the
@@ -84,6 +92,8 @@ object PromqlQueries {
         s"($i, $lo, $hi, ${lod}e0, ${hid}e0)"
       }
       .mkString(", ")
+
+  private lazy val NativeBucketValues: String = nativeBucketValuesFor(3)
 
   /** The classic-bucket (lo + hi) MICRO-unit factor per raw event
     * (each event lands in exactly one Δ bucket, so the engine's
@@ -413,6 +423,30 @@ object PromqlQueries {
           "histogram_fraction(0.2, 1.5, sum by (nb) (rate(click[1d])))",
           RangeStart, EvalTs, 7200L)
         .orderBy("ts")),
+    // MIXED-SCHEMA fleet (even hosts scrape at schema 3, odd at the
+    // coarser 2): sum by (nb) downscales every schema-3 index
+    // i → ⌈i/2⌉ onto the group's coarsest resolution BEFORE merging
+    // (exact — the integer cent thresholds nest across schemas), the
+    // result carries schema=2, and the quantile interpolates on the
+    // SCHEMA-2 bound doubles. The oracle assigns every raw event at
+    // schema 2 directly — equal by the nesting property, so a wrong
+    // remap (floor, truncate, off-by-one) hash-fails
+    "promql_native_histq_mixed" -> ((s, dir) =>
+      mixedQ(s, dir, "histogram_quantile(0.9, sum by (nb) (rate(click[2d])))")),
+    // the EXACT sum arm rides the downscale merge untouched — the
+    // mixed fleet's total must equal the single-schema store's
+    "promql_native_hist_sum_mixed" -> ((s, dir) =>
+      mixedQ(s, dir, "histogram_sum(sum by (nb) (rate(click[2d])))")),
+    // native histogram_stddev/stdvar: Prometheus's native-histogram
+    // spread convention — Σ n·(√(lo·hi) − μ)²/count, the zero arm at
+    // mid 0, μ = sum/count — folded in sort_array(ord) order so the
+    // irrational float sum is layout-independent. Rows-only (the fold
+    // order isn't portably expressible in SQL); PromqlSpec pins the
+    // values bit-exact against a driver-computed fold
+    "promql_native_hist_stddev" -> ((s, dir) =>
+      nativeQ(s, dir, "histogram_stddev(sum by (nb) (rate(click[2d])))")),
+    "promql_native_hist_stdvar" -> ((s, dir) =>
+      nativeQ(s, dir, "histogram_stdvar(sum by (nb) (rate(click[2d])))")),
     // histogram_stddev/stdvar: midpoint-estimator spread — second
     // moment aggregated in DECIMAL (exact, order-independent), two
     // divisions + one subtraction (+ sqrt) at output
@@ -1636,6 +1670,44 @@ object PromqlQueries {
         |    AND ts > ${EvalTs - 165600L} AND ts <= $EvalTs)
         |SELECT CAST(s AS DOUBLE) / CAST(c AS DOUBLE) AS value
         |FROM g WHERE c > 0""".stripMargin,
+    // mixed-schema quantile: the engine remaps the schema-3 series'
+    // indices onto schema 2 and merges; the oracle assigns EVERY raw
+    // event at schema 2 directly — equal because the integer cent
+    // thresholds nest (hi_2(j) = hi_3(2j)), so any remap defect
+    // hash-fails. Interpolation constants are the schema-2 bound
+    // doubles the engine broadcasts.
+    "promql_native_histq_mixed" ->
+      s"""$lblCte,
+        |b(ord, lo_c, hi_c, blo, bhi) AS (VALUES ${nativeBucketValuesFor(2)}),
+        |ev AS (SELECT cents FROM lbl WHERE type = 'click'
+        |  AND ts > ${EvalTs - 165600L} AND ts <= $EvalTs),
+        |t AS (SELECT CAST(100 * count(*) AS BIGINT) AS tot FROM ev),
+        |bc AS (
+        |  SELECT b.ord, b.blo, b.bhi,
+        |    CAST(100 * count(e.cents) AS BIGINT) AS n
+        |  FROM b LEFT JOIN ev e ON e.cents > b.lo_c AND e.cents <= b.hi_c
+        |  GROUP BY b.ord, b.blo, b.bhi
+        |  UNION ALL
+        |  SELECT -2147483648, 0.0e0, 0.0e0, CAST(100 * count(*) AS BIGINT)
+        |  FROM ev WHERE cents <= 0),
+        |c AS (SELECT ord, blo, bhi, n, sum(n) OVER (ORDER BY ord
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM bc),
+        |p AS (SELECT c.*, t.tot, row_number() OVER (ORDER BY ord) AS rn
+        |  FROM c, t WHERE t.tot > 0
+        |    AND CAST(cum AS DOUBLE) >= 0.9 * CAST(t.tot AS DOUBLE))
+        |SELECT '2' AS schema, blo + (bhi - blo) *
+        |    ((0.9 * CAST(tot AS DOUBLE) - CAST(cum - n AS DOUBLE))
+        |     / (CAST(cum AS DOUBLE) - CAST(cum - n AS DOUBLE))) AS value
+        |FROM p WHERE rn = 1""".stripMargin,
+    // the exact sum arm is schema-independent: the mixed fleet's
+    // total equals the single-schema telescope, tagged schema=2
+    "promql_native_hist_sum_mixed" ->
+      s"""$lblCte
+        |SELECT '2' AS schema, CAST(CAST(sum(cents) AS BIGINT) AS DOUBLE)
+        |  / 17280000.0 AS value
+        |FROM lbl WHERE type = 'click'
+        |  AND ts > ${EvalTs - 165600L} AND ts <= $EvalTs""".stripMargin,
     // mad_over_time: both medians exact interpolations on the integer
     // cent grid (quantile_cont == Spark's percentile there), /100 once
     "promql_mad_ot" ->

@@ -239,6 +239,81 @@ object TsQueries {
     Ts.readStore(s, path, fromSec, toSec)
   }
 
+  /** Label names of the MIXED-SCHEMA native-histogram store: a
+    * per-series `schema` label (the Prometheus native-histogram
+    * resolution the series scraped at) rides between the identity
+    * labels and the bucket index. Aggregating across series with
+    * different schemas downscales every index to the group's COARSEST
+    * schema (i → ⌈i/2^Δ⌉ — exact, the cent thresholds nest across
+    * schemas) before merging; see [[graft.tsdb.Promql]]'s nb-vector
+    * aggregation. */
+  val mixedNativeHistLabelCols: Seq[String] = Seq("type", "host", "schema", "nb")
+
+  /** The mixed-fleet native-histogram chunk store: even-numbered
+    * hosts scrape at schema 3 (2^(1/8) buckets), odd-numbered at the
+    * coarser schema 2 (2^(1/4)) — the first thing a real fleet does
+    * after a partial rollout of a new scrape resolution. Build is
+    * [[nativeHistStoreChunks]] with the bucket-table join keyed by
+    * each series' schema; assignment stays integer-exact per schema
+    * (c^(2^s) ≤ 2^i·100^(2^s)). */
+  def mixedNativeHistStoreChunks(s: SparkSession, dir: String,
+                                 fromSec: Long = Long.MinValue,
+                                 toSec: Long = Long.MaxValue): DataFrame = synchronized {
+    graft.functions.registerAll(s)
+    val path = storePath(dir) + "_nhistm"
+    if (!new java.io.File(path, "_SUCCESS").exists()) {
+      val ev0 = Tables(s, dir, "events")
+      val ev = ev0.select(
+        col("event_type").as("type"),
+        concat(lit("h"), pmod(col("user_id"), lit(100L))).as("host"),
+        when(pmod(col("user_id"), lit(2L)) === 0, lit("3"))
+          .otherwise(lit("2")).as("schema"),
+        round(col("value") * 100).cast("long").as("cents"),
+        Ts.epochSec(ev0, "ts").as("tsec"))
+      val maxRow = ev.agg(max("cents")).head()
+      require(!maxRow.isNullAt(0),
+        s"mixedNativeHistStoreChunks: no events under $dir")
+      val maxC = maxRow.getLong(0)
+      // the tables cover the same value span at every schema
+      // (hi_cents nest: hi_s(last) = hi_3(last)), so one check covers both
+      require(maxC <= nativeBuckets.last._3,
+        s"event cents $maxC past the enumerated native bucket table")
+      val b = s.createDataFrame(Seq(2, 3).flatMap(sc =>
+          graft.tsdb.NativeHist.bucketsFor(sc)
+            .map(t => (sc.toString, t._1.toString, t._2, t._3))))
+        .toDF("bsch", "nb", "lo_c", "hi_c")
+      val bucketed = ev.join(broadcast(b),
+          col("schema") === col("bsch") &&
+            col("cents") > col("lo_c") && col("cents") <= col("hi_c"), "left")
+        .withColumn("nb", when(col("cents") <= 0, lit("zero"))
+          .otherwise(col("nb")))
+      val arms = bucketed.select(col("type"), col("host"), col("schema"),
+          col("nb"), col("tsec"), lit(1L).as("__w"))
+        .unionByName(ev.select(col("type"), col("host"), col("schema"),
+          lit("count").as("nb"), col("tsec"), lit(1L).as("__w")))
+        .unionByName(ev.select(col("type"), col("host"), col("schema"),
+          lit("sum").as("nb"), col("tsec"), col("cents").as("__w")))
+      val counts = arms
+        .withColumn("ts", greatest(expr(
+          s"((tsec + ${HistGridStep - 1}L) div ${HistGridStep}L) * ${HistGridStep}L"),
+          lit(HistGridFrom)))
+        .groupBy("type", "host", "schema", "nb", "ts").agg(sum("__w").as("__n"))
+      val grid = s.range((HistGridTo - HistGridFrom) / HistGridStep + 1)
+        .select((lit(HistGridFrom) + col("id") * HistGridStep).as("ts"))
+      val series = arms.select("type", "host", "schema", "nb").distinct()
+      val w = Window.partitionBy("type", "host", "schema", "nb").orderBy("ts")
+      val samples = series.crossJoin(broadcast(grid))
+        .join(counts, Seq("type", "host", "schema", "nb", "ts"), "left")
+        .na.fill(0L, Seq("__n"))
+        .withColumn("value", (sum("__n").over(w).cast("double")) /
+          when(col("nb") === "sum", lit(100.0)).otherwise(lit(1.0)))
+        .select(col("type"), col("host"), col("schema"), col("nb"),
+          to_timestamp(col("ts")).as("ts"), col("value"))
+      Ts.writeStore(Ts.chunkify(samples, mixedNativeHistLabelCols, "ts", "value"), path)
+    }
+    Ts.readStore(s, path, fromSec, toSec)
+  }
+
   /** The materialized 15-min rollup for a data dir: derived from the
     * persisted chunk store ONCE (raw → chunks → rollup, the standing-
     * aggregate lineage), then every serve is a pruned partial scan. */

@@ -998,8 +998,16 @@ object Promql {
     val L = v.labels.filterNot(_ == "nb")
     val s = v.df.sparkSession
     import s.implicits._
-    val bounds = broadcast(NativeHist.boundRows
-      .toDF("nb", "__ord", "__blo", "__bhi"))
+    // a `schema` label (mixed-fleet store, or the coarsest carried out
+    // of a downscaling aggregation) keys the bound table per
+    // resolution; without one the store-wide default schema applies
+    val hasSchema = v.labels.contains("schema")
+    val bounds = broadcast(
+      if (hasSchema)
+        (0 to 3).flatMap(sc => NativeHist.boundRowsFor(sc)
+            .map(t => (sc.toString, t._1, t._2, t._3, t._4)))
+          .toDF("schema", "nb", "__ord", "__blo", "__bhi")
+      else NativeHist.boundRows.toDF("nb", "__ord", "__blo", "__bhi"))
     val ordW = Window.partitionBy(L.map(col): _*).orderBy(col("__ord"))
     val cumW = ordW.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // the count-arm total rides a group-sized window over the SAME
@@ -1012,7 +1020,7 @@ object Promql {
       .withColumn("__tot",
         max(when(col("nb") === "count", col("value"))).over(totW))
       .filter(col("nb") =!= "count" && col("nb") =!= "sum")
-      .join(bounds, "nb")
+      .join(bounds, if (hasSchema) Seq("schema", "nb") else Seq("nb"))
       .withColumn("__cum", sum(col("value")).over(cumW))
       .withColumn("__rank", lit(phi) * col("__tot").cast("double"))
     // the __cum > 0 arm only bites at φ = 0 (rank 0): it skips empty
@@ -1030,19 +1038,27 @@ object Promql {
       .select(L.map(col) :+ col("value"): _*), L, Dbl)
   }
 
-  /** `histogram_count/sum/avg/fraction` over a NATIVE-histogram
-    * vector: the count and sum ARMS pass through (native histograms
-    * carry an EXACT sum — no midpoint estimation, the main accuracy
-    * win over classic buckets); avg is the one raw-over-raw division
-    * (the shared rate denominators cancel exactly); fraction locates
-    * each scalar bound's bucket AT COMPILE TIME ([[NativeHist.locate]])
-    * so F(x) is two conditional integer sums plus one multiply by a
-    * shared literal — reproducible in an ANSI oracle. stddev/stdvar
-    * stay classic-only — they need a per-bucket moment convention
-    * this engine hasn't pinned for exponential bounds (the bound
-    * midpoints are irrational, so no exact integer grid exists). */
+  /** `histogram_count/sum/avg/fraction/stddev/stdvar` over a
+    * NATIVE-histogram vector: the count and sum ARMS pass through
+    * (native histograms carry an EXACT sum — no midpoint estimation,
+    * the main accuracy win over classic buckets); avg is the one
+    * raw-over-raw division (the shared rate denominators cancel
+    * exactly); fraction locates each scalar bound's bucket AT COMPILE
+    * TIME ([[NativeHist.locate]]) so F(x) is two conditional integer
+    * sums plus one multiply by a shared literal — reproducible in an
+    * ANSI oracle. stddev/stdvar use the Prometheus native-histogram
+    * convention — each bucket contributes n·(mid − mean)² with mid =
+    * the GEOMETRIC midpoint √(lo·hi) (0 for the zero arm), mean =
+    * sum/count — folded over a sort_array'd bucket list so the float
+    * sum has ONE deterministic order regardless of layout; rows-only
+    * gated (the fold order is pinned in PromqlSpec, not expressible
+    * in a portable SQL oracle). A `schema` label keys the bound /
+    * locate tables per resolution (mixed-fleet stores). */
   private def histAggNative(fn: String, params: Seq[Double], v: Vec): Vec = {
     val L = v.labels.filterNot(_ == "nb")
+    val hasSchema = v.labels.contains("schema")
+    val s = v.df.sparkSession
+    import s.implicits._
     def arm(a: String) = v.df.filter(col("nb") === a)
     fn match {
       case "histogram_fraction" =>
@@ -1053,25 +1069,39 @@ object Promql {
         }): @unchecked
         require(lo0 <= hi0,
           s"histogram_fraction needs lo <= hi, got ($lo0, $hi0)")
-        val (ordLo, fracLo) = NativeHist.locate(math.max(lo0, 0.0))
-        val (ordHi, fracHi) = NativeHist.locate(math.max(hi0, 0.0))
-        val s = v.df.sparkSession
-        import s.implicits._
-        val bounds = broadcast(NativeHist.boundRows
-          .map(t => (t._1, t._2)).toDF("nb", "__ord"))
+        val bounds = broadcast(
+          if (hasSchema)
+            (0 to 3).flatMap(sc => NativeHist.boundRowsFor(sc)
+                .map(t => (sc.toString, t._1, t._2)))
+              .toDF("schema", "nb", "__ord")
+          else NativeHist.boundRows.map(t => (t._1, t._2)).toDF("nb", "__ord"))
         // F(x) per group = Σ_{ord<ordX} n + n_{ordX}·frac — sparse
         // series just contribute 0 where a bucket is absent; the
         // count/sum arms ride the SAME aggregate (left-joined bounds
         // leave their __ord null, so the conditional sums skip them)
-        // instead of a second vector reference that would decode twice
-        def fAt(ordX: Int, frac: Double) =
-          coalesce(sum(when(col("__ord") < ordX, col("value"))), lit(0L))
-            .cast("double") +
-            coalesce(sum(when(col("__ord") === ordX, col("value"))), lit(0L))
-              .cast("double") * lit(frac)
-        val g = v.df.join(bounds, Seq("nb"), "left")
+        // instead of a second vector reference that would decode twice.
+        // With a schema label the (ordX, frac) constants are resolved
+        // per resolution and selected by the row's schema — a group
+        // only ever holds one schema, so exactly one chain is live
+        def fAt(x: Double): Column =
+          if (!hasSchema) {
+            val (ordX, frac) = NativeHist.locate(x)
+            coalesce(sum(when(col("__ord") < ordX, col("value"))), lit(0L))
+              .cast("double") +
+              coalesce(sum(when(col("__ord") === ordX, col("value"))), lit(0L))
+                .cast("double") * lit(frac)
+          } else (0 to 3).map { sc =>
+            val (ordX, frac) = NativeHist.locateAt(x, sc)
+            val m = col("schema") === sc.toString
+            coalesce(sum(when(m && col("__ord") < ordX, col("value"))), lit(0L))
+              .cast("double") +
+              coalesce(sum(when(m && col("__ord") === ordX, col("value"))), lit(0L))
+                .cast("double") * lit(frac)
+          }.reduce(_ + _)
+        val g = v.df.join(bounds,
+            if (hasSchema) Seq("schema", "nb") else Seq("nb"), "left")
           .groupBy(L.map(col): _*)
-          .agg(fAt(ordHi, fracHi).as("__fhi"), fAt(ordLo, fracLo).as("__flo"),
+          .agg(fAt(math.max(hi0, 0.0)).as("__fhi"), fAt(math.max(lo0, 0.0)).as("__flo"),
             max(when(col("nb") === "count", col("value"))).as("__tot"))
         Vec(g.filter(col("__tot") > 0)
           .select(L.map(col) :+ ((col("__fhi") - col("__flo")) /
@@ -1089,6 +1119,41 @@ object Promql {
         Vec(g.filter(col("__s").isNotNull && col("__c") > 0)
           .select(L.map(col) :+ (col("__s").cast("double") /
             col("__c").cast("double")).as("value"): _*), L, Dbl)
+      case "histogram_stddev" | "histogram_stdvar" =>
+        // Prometheus native convention: Σ n_i·(mid_i − μ)² / count
+        // with mid = √(lo·hi) geometric (0 for the zero arm), μ =
+        // sum/count. The mids are irrational, so the variance is a
+        // FLOAT sum — made layout-independent by folding a
+        // sort_array'd (ord, n, mid) list left-to-right; the mid
+        // literals are driver-computed doubles shared with the spec
+        // pin. One conditional aggregate over the single vector
+        // reference, like avg.
+        val bounds = broadcast(
+          if (hasSchema)
+            (0 to 3).flatMap(sc => NativeHist.boundRowsFor(sc).map(t =>
+                (sc.toString, t._1, t._2,
+                  if (t._2 == Int.MinValue) 0.0 else Math.sqrt(t._3 * t._4))))
+              .toDF("schema", "nb", "__ord", "__mid")
+          else NativeHist.boundRows.map(t =>
+              (t._1, t._2, if (t._2 == Int.MinValue) 0.0 else Math.sqrt(t._3 * t._4)))
+            .toDF("nb", "__ord", "__mid"))
+        val g = v.df.join(bounds,
+            if (hasSchema) Seq("schema", "nb") else Seq("nb"), "left")
+          .groupBy(L.map(col): _*)
+          .agg(sort_array(collect_list(when(col("__ord").isNotNull,
+              struct(col("__ord").as("o"),
+                col("value").cast("double").as("n"),
+                col("__mid").as("m"))))).as("__bs"),
+            max(when(col("nb") === "count", col("value"))).as("__c"),
+            max(when(col("nb") === "sum", col("value"))).as("__s"))
+          .filter(col("__s").isNotNull && col("__c") > 0)
+          .withColumn("__mu", col("__s").cast("double") / col("__c").cast("double"))
+          .withColumn("__vr", expr(
+            "aggregate(__bs, 0.0D, (acc, x) -> acc + x.n * (x.m - __mu) * (x.m - __mu))")
+            / col("__c").cast("double"))
+        Vec(g.select(L.map(col) :+
+          (if (fn == "histogram_stddev") sqrt(col("__vr")) else col("__vr"))
+            .as("value"): _*), L, Dbl)
       case other => throw new IllegalArgumentException(
         s"$other over a native-histogram (nb) vector is not supported " +
           "(classic-bucket `le` vectors carry the full family)")
@@ -2417,19 +2482,69 @@ object Promql {
       1, 8), 16, 10).cast("long")
   }
 
+  /** Remap a mixed-schema native-histogram vector onto each output
+    * group's COARSEST schema: Δ = schema − min(schema) over the group
+    * identity (the out labels minus the bucket index), index
+    * i → ⌈i/2^Δ⌉ = floorDiv(i + 2^Δ − 1, 2^Δ) — integer-only end to
+    * end (pmod-based floor division; the division is exact by
+    * construction), so two engines can never disagree on the merged
+    * layout. The count/sum/zero arms pass through unchanged (they are
+    * resolution-independent), and the `schema` label collapses to the
+    * coarsest. Same-index rows are NOT merged here — the aggregation
+    * that triggered the downscale does that. The window is
+    * group-sized (≤ |series|·|buckets| rows per group identity),
+    * never data-sized. */
+  private def downscaleToCoarsest(v: Vec, outG: Seq[String]): Vec = {
+    val part = outG.filterNot(_ == "nb")
+    val w = if (part.isEmpty) Window.partitionBy()
+            else Window.partitionBy(part.map(col): _*)
+    val schInt = expr("try_cast(schema AS INT)") // ANSI-safe: null, not throw
+    val df = v.df
+      .withColumn("__sch", when(schInt.isNull, raise_error(concat(
+          lit("native-histogram schema label '"), col("schema"),
+          lit("' is not an integer"))).cast("int"))
+        .otherwise(schInt))
+      .withColumn("__cs", min(col("__sch")).over(w))
+      .withColumn("__d", expr("CAST(shiftleft(1, __sch - __cs) AS LONG)"))
+      .withColumn("__i", expr("try_cast(nb AS LONG)")) // arms cast to null
+      .withColumn("__x", col("__i") + col("__d") - 1)
+      .withColumn("nb", when(col("__i").isNull, col("nb"))
+        .otherwise(expr("CAST((__x - pmod(__x, __d)) DIV __d AS STRING)")))
+      .withColumn("schema", col("__cs").cast("string"))
+      .drop("__sch", "__cs", "__d", "__i", "__x")
+    Vec(df, v.labels, v.kind)
+  }
+
   private def aggregate(agg: AggExpr, ctx: Ctx): Vec = {
-    val v = evalExpr(agg.arg, ctx)
+    val v0 = evalExpr(agg.arg, ctx)
     val out0 = agg.grouping match {
       case NoGroup => Nil
       case By(ls) =>
-        val bad = ls.filterNot(v.labels.contains)
+        val bad = ls.filterNot(v0.labels.contains)
         if (bad.nonEmpty) throw new IllegalArgumentException(
-          s"by(${bad.mkString(",")}) not in result labels ${v.labels.mkString(",")}")
-        v.labels.filter(ls.contains) // keep store order for determinism
-      case Without(ls) => v.labels.filterNot(ls.contains)
+          s"by(${bad.mkString(",")}) not in result labels ${v0.labels.mkString(",")}")
+        v0.labels.filter(ls.contains) // keep store order for determinism
+      case Without(ls) => v0.labels.filterNot(ls.contains)
     }
     // the step column is implicitly part of EVERY grouping in range mode
-    val out = if (v.labels.contains("ts") && !out0.contains("ts")) out0 :+ "ts" else out0
+    val outG = if (v0.labels.contains("ts") && !out0.contains("ts")) out0 :+ "ts" else out0
+    // MIXED-SCHEMA native histograms: a merging aggregation that keeps
+    // the bucket index but drops the per-series `schema` label is
+    // summing histograms that scraped at different resolutions — the
+    // Prometheus convention downscales every index to the group's
+    // COARSEST schema first (i → ⌈i/2^Δ⌉, exact because the integer
+    // cent thresholds nest across schemas), and the result CARRIES the
+    // coarsest schema (a native histogram sample always knows its
+    // resolution). topk/limitk/limit_ratio keep the full label set and
+    // never merge buckets, so they stay untouched.
+    val mergingOp = Set("sum", "count", "min", "max", "avg", "stddev",
+      "stdvar", "group", "quantile", "count_values")(agg.op)
+    val (v, out) =
+      if (mergingOp && v0.labels.contains("nb") && v0.labels.contains("schema") &&
+          outG.contains("nb") && !outG.contains("schema"))
+        (downscaleToCoarsest(v0, outG),
+          v0.labels.filter(l => outG.contains(l) || l == "schema"))
+      else (v0, outG)
     def grouped = if (out.isEmpty) v.df.groupBy() else v.df.groupBy(out.map(col): _*)
     agg.op match {
       case "sum" =>

@@ -1531,6 +1531,117 @@ class PromqlSpec extends AnyFunSuite {
     assert(s.length == 1)
   }
 
+  // ===== round-16: mixed-schema native histograms =====
+
+  /** A two-resolution fleet: h1 scrapes at schema 3 (2^(1/8)
+    * buckets), h2 at the coarser schema 2 (2^(1/4)). The thresholds
+    * nest, so h1's idx 8/16 land inside schema-2 buckets 4/8. */
+  private def mixedVec = {
+    import spark.implicits._
+    val T0 = 1700006400L
+    val rows = Seq(
+      ("m", "h1", "3", "8", 4.0), ("m", "h1", "3", "16", 6.0),
+      ("m", "h1", "3", "count", 10.0), ("m", "h1", "3", "sum", 32.0),
+      ("m", "h2", "2", "zero", 1.0), ("m", "h2", "2", "4", 2.0),
+      ("m", "h2", "2", "8", 2.0),
+      ("m", "h2", "2", "count", 5.0), ("m", "h2", "2", "sum", 10.0))
+      .map { case (t, h, sc, nb, v) => (t, h, sc, nb, T0 * 1000000000L, v) }
+    (Ts.chunkify(rows.toDF("type", "host", "schema", "nb", "ts", "v"),
+      Seq("type", "host", "schema", "nb"), "ts", "v"), T0)
+  }
+  private val mixedLbl = Seq("type", "host", "schema", "nb")
+
+  test("NativeHist: cent thresholds nest across schemas") {
+    // bucket_2(c) == ⌈bucket_3(c)/2⌉ for every cent — the exactness
+    // that makes downscale-then-merge equal direct coarse assignment
+    def idxAt(bs: Seq[(Int, Long, Long, Double, Double)], c: Long): Int =
+      bs.find(t => c > t._2 && c <= t._3).get._1
+    for (c <- Seq(1L, 2L, 5L, 99L, 100L, 101L, 200L, 201L, 4999L, 50000L, 243486L)) {
+      val i3 = idxAt(NativeHist.buckets, c)
+      val i2 = idxAt(NativeHist.bucketsFor(2), c)
+      assert(i2 == math.ceil(i3 / 2.0).toInt, s"c=$c ($i3 -> $i2)")
+    }
+  }
+
+  test("mixed-schema sum by (nb): downscale-to-coarsest merge") {
+    val (ch, t0) = mixedVec
+    val got = Promql.eval(ch, mixedLbl, """sum by (nb) ({type="m"})""", t0)
+      .collect().map(r => (r.getAs[String]("schema"), r.getAs[String]("nb")) ->
+        r.getAs[Double]("value")).toMap
+    // h1's idx 8/16 remap to ⌈8/2⌉=4 / ⌈16/2⌉=8 and merge with h2's
+    // native schema-2 buckets; arms pass through; the result CARRIES
+    // the coarsest schema
+    assert(got == Map(("2", "zero") -> 1.0, ("2", "4") -> 6.0,
+      ("2", "8") -> 8.0, ("2", "count") -> 15.0, ("2", "sum") -> 42.0))
+  }
+
+  test("mixed-schema downscale: ceiling index mapping, both signs") {
+    import spark.implicits._
+    val T0 = 1700006400L
+    // idx 9 → ⌈9/2⌉ = 5 (a truncating div would answer 4);
+    // idx −53 → ⌈−53/2⌉ = −26 (a floor div would answer −27)
+    val rows = Seq(("m", "h1", "3", "9", 1.0), ("m", "h1", "3", "-53", 2.0),
+      ("m", "h2", "2", "4", 4.0))
+      .map { case (t, h, sc, nb, v) => (t, h, sc, nb, T0 * 1000000000L, v) }
+    val ch = Ts.chunkify(rows.toDF("type", "host", "schema", "nb", "ts", "v"),
+      mixedLbl, "ts", "v")
+    val got = Promql.eval(ch, mixedLbl, """sum by (nb) ({type="m"})""", T0)
+      .collect().map(r => r.getAs[String]("nb") -> r.getAs[Double]("value")).toMap
+    assert(got == Map("5" -> 1.0, "-26" -> 2.0, "4" -> 4.0))
+  }
+
+  test("mixed-schema histogram_quantile: interpolates on the coarsest bounds") {
+    val (ch, t0) = mixedVec
+    val q = Promql.eval(ch, mixedLbl,
+        """histogram_quantile(0.5, sum by (nb) ({type="m"}))""", t0).collect()
+    assert(q.length == 1 && q.head.getAs[String]("schema") == "2")
+    // merged: zero 100, nb4 700, nb8 1500 raw; rank .5·1500 = 750 →
+    // nb8 at SCHEMA-2 bounds (2^(7/4), 2^2]
+    val lo = math.pow(2, 7 / 4.0); val hi = 4.0
+    assert(q.head.getAs[Double]("value") ==
+      lo + (hi - lo) * ((750.0 - 700.0) / (1500.0 - 700.0)))
+    // arms survive the merge: count/sum/avg over the mixed fleet
+    def one(fn: String): Double =
+      Promql.eval(ch, mixedLbl, s"""$fn(sum by (nb) ({type="m"}))""", t0)
+        .collect().map(_.getAs[Double]("value")).head
+    assert(one("histogram_count") == 15.0)
+    assert(one("histogram_sum") == 42.0)
+    assert(one("histogram_avg") == 4200.0 / 1500.0)
+    // fraction over the merged (schema-labeled) vector: bounds locate
+    // per resolution; (0, 2] covers zero + nb4 fully and none of nb8
+    // (2 is exactly nb4's upper bound at schema 2)
+    val fr = Promql.eval(ch, mixedLbl,
+        """histogram_fraction(0, 2, sum by (nb) ({type="m"}))""", t0)
+      .collect().map(_.getAs[Double]("value")).head
+    val (o2, f2) = NativeHist.locateAt(2.0, 2)
+    assert(o2 == 4 && f2 == 1.0)
+    // F(2) = zero(100) + nb4 mass(600)·1.0; F(0) = zero(100)
+    assert(fr == ((100.0 + 600.0 * 1.0) - 100.0) / 1500.0)
+  }
+
+  test("native histogram_stddev/stdvar: geometric-midpoint convention") {
+    val (ch, t0) = nativeVec
+    def byHost(q: String): Map[String, Double] =
+      Promql.eval(ch, Seq("type", "host", "nb"), q, t0)
+        .collect().map(r => r.getString(1) -> r.getAs[Double]("value")).toMap
+    // Prometheus native convention: Σ n·(√(lo·hi) − μ)² / count, the
+    // zero arm at mid 0 — expected values re-run the engine's exact
+    // float tree in the SAME sort_array(ord) fold order
+    def mid(i: Int) = {
+      val b = NativeHist.buckets.find(_._1 == i).get; Math.sqrt(b._4 * b._5)
+    }
+    val mu1 = 3200.0 / 1000.0
+    val vr1 = (400.0 * (mid(8) - mu1) * (mid(8) - mu1) +
+      600.0 * (mid(16) - mu1) * (mid(16) - mu1)) / 1000.0
+    val mu2 = 200.0 / 400.0
+    val vr2 = (300.0 * (0.0 - mu2) * (0.0 - mu2) +
+      100.0 * (mid(8) - mu2) * (mid(8) - mu2)) / 400.0
+    val sv = byHost("""histogram_stdvar({type="m"})""")
+    assert(sv == Map("h1" -> vr1, "h2" -> vr2))
+    val sd = byHost("""histogram_stddev({type="m"})""")
+    assert(sd == Map("h1" -> math.sqrt(vr1), "h2" -> math.sqrt(vr2)))
+  }
+
   test("nativeHistStoreChunks: an empty events table fails with a clear message") {
     val tmp = java.nio.file.Files.createTempDirectory("nhist_empty")
       .toFile.getAbsolutePath
@@ -1579,6 +1690,8 @@ class PromqlSpec extends AnyFunSuite {
         "histogram_count(sum by (nb) (rate(click[1d])))",
         "histogram_sum(sum by (nb) (rate(click[1d])))",
         "histogram_avg(sum by (nb) (rate(click[1d])))",
+        "histogram_stddev(sum by (nb) (rate(click[1d])))",
+        "histogram_stdvar(sum by (nb) (rate(click[1d])))",
         "histogram_fraction(0.2, 1.5, sum by (nb) (rate(click[1d])))")) {
       val g = Promql.evalRange(nch, nlc, q, start, EvalTs, 7200L)
         .collect().map(r => (r.getAs[Long]("ts"), r.getAs[Double]("value")))
@@ -1588,6 +1701,23 @@ class PromqlSpec extends AnyFunSuite {
         val want = Promql.eval(nch, nlc, q, t - 7200L)
           .collect().map(_.getAs[Double]("value"))
         assert(want.length == 1 && g(t) == want.head, s"native $q @ $t")
+      }
+    }
+    // and the MIXED-SCHEMA store: downscale + merge must commute with
+    // stepping exactly like the single-schema lowering
+    val mch = graft.queries.TsQueries.mixedNativeHistStoreChunks(spark, dir)
+    val mlc = graft.queries.TsQueries.mixedNativeHistLabelCols
+    for (q <- Seq(
+        "histogram_quantile(0.9, sum by (nb) (rate(click[1d])))",
+        "histogram_sum(sum by (nb) (rate(click[1d])))")) {
+      val g = Promql.evalRange(mch, mlc, q, start, EvalTs, 7200L)
+        .collect().map(r => (r.getAs[Long]("ts"), r.getAs[Double]("value")))
+        .toMap
+      assert(g.size == 25, q)
+      for (t <- Seq(start, start + 12 * 7200L, EvalTs)) {
+        val want = Promql.eval(mch, mlc, q, t - 7200L)
+          .collect().map(_.getAs[Double]("value"))
+        assert(want.length == 1 && g(t) == want.head, s"mixed $q @ $t")
       }
     }
   }
