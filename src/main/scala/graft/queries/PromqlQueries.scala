@@ -822,6 +822,20 @@ object PromqlQueries {
           "sum by (region) (sum_over_time(click[6h])) > 100", 14400L,
           RangeStart, EvalTs, 7200L))
         .orderBy("region", "ts")),
+    // ALERTING rule with `keep_firing_for` (Prometheus ≥ 2.42): the
+    // un-fire hysteresis — a firing series whose condition stops
+    // holding keeps firing for 4h (2 extra evaluations) past the last
+    // condition-true step, re-arms WITHOUT re-entering pending when
+    // the condition returns inside the window, and dies after a
+    // > keep gap. Hysteresis rows carry cond=false and the last true
+    // value; the oracle reproduces the island state machine with the
+    // identical window chain
+    "promql_alert_keep" -> ((s, dir) =>
+      graft.tsdb.Rules.alert(chunks(s, dir, RangeStart - StepWin), labelCols,
+        graft.tsdb.Rules.Alert("HighClickVolume",
+          "sum by (region) (sum_over_time(click[6h])) > 100", 14400L,
+          RangeStart, EvalTs, 7200L, keepFiringForSec = 14400L))
+        .orderBy("region", "ts", "cond")),
     // `or`: set union preferring the LEFT side for matching label
     // sets — rhs ships as a broadcast anti-join, both arms stay on
     // the exact cent grid through the union
@@ -2330,6 +2344,43 @@ object PromqlQueries {
         |SELECT region, t AS ts, value,
         |  CASE WHEN n >= 3 THEN 'firing' ELSE 'pending' END AS state
         |FROM st ORDER BY region, ts""".stripMargin,
+    // keep_firing_for: the engine's island state machine re-derived —
+    // condition-true steps chain while gaps ≤ keep, a step fires iff
+    // its island has seen for-continuity (running max), and every
+    // firing true step emits hysteresis tails up to
+    // min(next true − step, t + keep, endTs)
+    "promql_alert_keep" ->
+      s"""$lblCte,
+        |steps AS (SELECT ($RangeStart + i * 7200) AS t
+        |  FROM generate_series(0, 24) s(i)),
+        |sums AS (SELECT region, t, CAST(sum(cents) AS BIGINT) AS sc
+        |  FROM lbl JOIN steps ON lbl.ts >= t - $StepWin AND lbl.ts <= t - 1
+        |  WHERE type = 'click' GROUP BY region, t),
+        |cond AS (SELECT region, t, CAST(sc AS DOUBLE) / 100.0 AS value
+        |  FROM sums WHERE sc > 10000),
+        |st AS (SELECT region, t, value, count(*) OVER (
+        |    PARTITION BY region ORDER BY t
+        |    RANGE BETWEEN 14400 PRECEDING AND CURRENT ROW) >= 3 AS fr,
+        |  CASE WHEN t - lag(t) OVER (PARTITION BY region ORDER BY t)
+        |    IS DISTINCT FROM NULL
+        |    AND t - lag(t) OVER (PARTITION BY region ORDER BY t) <= 14400
+        |    THEN 0 ELSE 1 END AS brk FROM cond),
+        |isl AS (SELECT *, sum(brk) OVER (PARTITION BY region ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp FROM st),
+        |mk AS (SELECT *, max(CASE WHEN fr THEN 1 ELSE 0 END) OVER (
+        |    PARTITION BY region, grp ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1 AS fire,
+        |  lead(t) OVER (PARTITION BY region ORDER BY t) AS nxt FROM isl)
+        |SELECT region, t AS ts, value,
+        |  CASE WHEN fire THEN 'firing' ELSE 'pending' END AS state,
+        |  TRUE AS cond FROM mk
+        |UNION ALL
+        |SELECT region, t + 7200 * j AS ts, value, 'firing' AS state,
+        |  FALSE AS cond
+        |FROM mk CROSS JOIN generate_series(1, 2) s(j)
+        |WHERE fire AND t + 7200 * j <=
+        |  least(t + 14400, coalesce(nxt - 7200, t + 14400), $EvalTs)
+        |ORDER BY region, ts, cond""".stripMargin,
     "promql_or" ->
       s"""$lblCte,
         |l AS (SELECT host, CAST(sum(cents) AS BIGINT) AS sc FROM lbl

@@ -65,9 +65,11 @@ object StreamRules {
   final case class Recording(record: String, expr: String)
 
   /** A standing alerting rule; `expr` must FILTER (a PromQL
-    * comparison), `forSec` the continuity requirement (a multiple of
-    * the group's step). */
-  final case class Alert(alert: String, expr: String, forSec: Long)
+    * comparison), `forSec` the continuity requirement,
+    * `keepFiringForSec` the un-fire hysteresis (both multiples of the
+    * group's step). */
+  final case class Alert(alert: String, expr: String, forSec: Long,
+                         keepFiringForSec: Long = 0L)
 
   /**
    * A Prometheus rule group: one evaluation interval (`stepSec`),
@@ -87,6 +89,9 @@ object StreamRules {
     require(stepSec > 0, "stepSec must be positive")
     require(alerts.forall(a => a.forSec >= 0 && a.forSec % stepSec == 0),
       "every alert's forSec must be a non-negative multiple of stepSec")
+    require(alerts.forall(a =>
+        a.keepFiringForSec >= 0 && a.keepFiringForSec % stepSec == 0),
+      "every alert's keepFiringForSec must be a non-negative multiple of stepSec")
   }
 
   /** Persisted evaluation cursor: last folded batch, last evaluated
@@ -239,14 +244,29 @@ object StreamRules {
           recPath, batchId)
       }
       group.alerts.map { a =>
-        // continuity at step t needs the condition over [t − for, t]:
-        // start the evaluation `for` earlier (floored at the grid's
-        // own first step — the batch semantics of one continuous
-        // run), keep only the new steps' states
-        val evalFrom = math.max(from - a.forSec, cur.firstStep)
-        Rules.alert(raw(evalFrom, a.forSec), labelCols,
-          Rules.Alert(a.alert, a.expr, a.forSec, evalFrom, to, group.stepSec))
-          .filter(col("ts") >= from)
+        // continuity at step t needs the condition over [t − for, t],
+        // and keep_firing_for hysteresis additionally reaches back a
+        // keep window: start the evaluation for+keep earlier (floored
+        // at the grid's own first step — the batch semantics of one
+        // continuous run), keep only the new steps' states. Chains
+        // whose for-continuity predates even that window are
+        // recovered from the persisted STATE LOG (firingSeedFor) —
+        // the alert-state analog of the for-clause's store-recovered
+        // lookback, bounded by the keep window
+        val evalFrom = math.max(from - a.forSec - a.keepFiringForSec,
+          cur.firstStep)
+        val seed =
+          if (a.keepFiringForSec > 0 && alertPath != null)
+            firingSeedFor(batch.sparkSession, alertPath, a, from)
+          else None
+        val st0 = Rules.alert(raw(evalFrom, a.forSec), labelCols,
+          Rules.Alert(a.alert, a.expr, a.forSec, evalFrom, to,
+            group.stepSec, a.keepFiringForSec), seed)
+        // keep-less alerts carry cond = true so every rule of the
+        // group unions into ONE state-log schema
+        val st = if (a.keepFiringForSec == 0)
+          st0.withColumn("cond", lit(true)) else st0
+        st.filter(col("ts") >= from)
           .withColumn("alert", lit(a.alert))
       }.reduceOption(_ unionByName _).foreach { states =>
         states
@@ -270,6 +290,36 @@ object StreamRules {
         Ts.expirePartitions(s, alertPath, "state_date",
           group.retentionDays, cur.maxSeen)
     }
+  }
+
+  /** Chains alive at the batch boundary, recovered from the persisted
+    * state log: per series, the LAST condition-true log row within
+    * keep_firing_for behind `from` that was FIRING. The new fold's
+    * re-derivation force-marks the matching condition rows as
+    * continuity-satisfied, so a chain whose `for`-continuity predates
+    * the re-evaluated window survives a restart exactly like the
+    * for-clause does. Bounded reads: `state_date`-pruned to the keep
+    * window, never the log's history. */
+  private def firingSeedFor(spark: org.apache.spark.sql.SparkSession,
+                            alertPath: String,
+                            a: Alert, from: Long): Option[DataFrame] = {
+    val root = new org.apache.hadoop.fs.Path(alertPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return None
+    val log = spark.read.parquet(alertPath)
+    if (!log.columns.contains("cond")) return None
+    val lo = from - a.keepFiringForSec
+    val labels = log.columns.filterNot(Set("ts", "value", "state", "alert",
+      "cond", "state_date", "batch_id")).toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(labels.map(col): _*).orderBy(col("ts").desc)
+    Some(log
+      .filter(col("state_date") >= to_date(to_timestamp(lit(lo))) &&
+        col("alert") === a.alert && col("cond") &&
+        col("ts") >= lo && col("ts") < from)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col("state") === "firing")
+      .select((labels.map(col) :+ col("ts")): _*))
   }
 
   /** The last grid step the group evaluated (from the persisted

@@ -271,6 +271,79 @@ class StreamRulesSpec extends AnyFunSuite {
     assert(StreamRules.currentAlerts(spark, al, last).count() >= 0)
   }
 
+  // ===== round-16: keep_firing_for (un-fire hysteresis) =====
+
+  /** One event per 600-s step window (at step−300), so the per-step
+    * condition `sum_over_time(m[10m]) > 5` is exactly v_i > 5:
+    * true/true/true/false/true/false/false/false/true/true/true —
+    * with for=1200 (3 steps) and keep_firing_for=1200 (2 steps) this
+    * exercises: pending ramp, firing, a kept-alive false step, re-arm
+    * WITHOUT re-entering pending, hysteresis tails, chain death after
+    * a > keep gap, and a fresh pending ramp. Trailing false event
+    * moves the watermark past step 11. */
+  private val keepVals =
+    Seq(10.0, 10.0, 10.0, 1.0, 10.0, 1.0, 1.0, 1.0, 10.0, 10.0, 10.0, 1.0)
+  private def keepEvents: Seq[(String, String, Long, Double)] =
+    keepVals.zipWithIndex.map { case (v, i) => ("m", "h1", T0 + i * 600L + 300L, v) }
+  private val KeepExpr = "sum by (host) (sum_over_time(m[10m])) > 5"
+
+  /** The hand-derived state machine (step# relative to T0). */
+  private val keepExpected: Set[(Long, String, Boolean, Double)] = Set(
+    (1L, "pending", true, 10.0), (2L, "pending", true, 10.0),
+    (3L, "firing", true, 10.0),  // for-continuity earned
+    (4L, "firing", false, 10.0), // kept alive, value carried forward
+    (5L, "firing", true, 10.0),  // re-armed: NO pending re-entry
+    (6L, "firing", false, 10.0), (7L, "firing", false, 10.0), // tails
+    // step 8: > keep gap -> chain dead, no row
+    (9L, "pending", true, 10.0), (10L, "pending", true, 10.0), // re-earn
+    (11L, "firing", true, 10.0))
+
+  test("keep_firing_for: hysteresis state machine, hand-pinned (batch)") {
+    val ch = Ts.chunkify(toDf(keepEvents), labelCols, "ts", "v")
+    val got = Rules.alert(ch, labelCols,
+        Rules.Alert("Flappy", KeepExpr, 1200L,
+          T0 + 600L, T0 + 11 * 600L, 600L, keepFiringForSec = 1200L))
+      .collect().map(r => (Math.floorDiv(r.getAs[Long]("ts") - T0, 600L),
+        r.getAs[String]("state"), r.getAs[Boolean]("cond"),
+        r.getAs[Double]("value"))).toSet
+    assert(got == keepExpected)
+    // keepFiringForSec = 0 keeps the original sparse schema (no cond
+    // column, no hysteresis rows)
+    val plain = Rules.alert(ch, labelCols,
+      Rules.Alert("Flappy", KeepExpr, 1200L,
+        T0 + 600L, T0 + 11 * 600L, 600L))
+    assert(!plain.columns.contains("cond"))
+    assert(plain.count() == keepExpected.count(_._3))
+  }
+
+  test("keep_firing_for stream == batch across a chain-splitting boundary") {
+    val (raw, rec, al) = freshDirs("keep")
+    val g = StreamRules.RuleGroup(stepSec = 600L,
+      alerts = Seq(StreamRules.Alert("Flappy", KeepExpr,
+        forSec = 1200L, keepFiringForSec = 1200L)),
+      latenessSec = 0L)
+    // boundary BETWEEN step 5 and step 6: fold 2's local lookback
+    // (for+keep = steps 2..) cannot re-derive that step 3 earned
+    // for-continuity (step 1 is outside it), so step 5's firing — and
+    // the step-6/7 tails — are recoverable ONLY through the state-log
+    // seed; a lost seed shows up as pending/missing rows here
+    val ev = keepEvents
+    StreamRules.foldGroupBatch(toDf(ev.take(6)), 0, labelCols, "ts", "v",
+      g, raw, rec, al)
+    StreamRules.foldGroupBatch(toDf(ev.drop(6)), 1, labelCols, "ts", "v",
+      g, raw, rec, al)
+    val got = spark.read.parquet(al)
+      .collect().map(r => (Math.floorDiv(r.getAs[Long]("ts") - T0, 600L),
+        r.getAs[String]("state"), r.getAs[Boolean]("cond"),
+        r.getAs[Double]("value"))).toSet
+    assert(got == keepExpected)
+    // and a crash-replay of the second fold neither duplicates nor
+    // re-resolves the kept-alive rows
+    StreamRules.foldGroupBatch(toDf(ev.drop(6)), 1, labelCols, "ts", "v",
+      g, raw, rec, al)
+    assert(spark.read.parquet(al).count() == keepExpected.size)
+  }
+
   test("legacy single-level store layout is refused with a migration recipe") {
     val (raw, rec, al) = freshDirs("legacy")
     val ss = slices
