@@ -64,6 +64,13 @@ object PromqlQueries {
     Promql.eval(TsQueries.mixedNativeHistStoreChunks(s, dir),
       TsQueries.mixedNativeHistLabelCols, query, EvalTs)
 
+  /** The NHCB store (native histogram with CUSTOM buckets, schema
+    * −53: `nbc` = explicit upper bound with NON-cumulative counts +
+    * exact count/sum arms) for the `_nhcb` keys. */
+  private def nhcbQ(s: SparkSession, dir: String, query: String): DataFrame =
+    Promql.eval(TsQueries.nhcbStoreChunks(s, dir),
+      TsQueries.nhcbLabelCols, query, EvalTs)
+
   /** The shared DuckDB label derivation (identical to TsQueries'):
     * type = event_type, host = h(user%100), region = r(user%4), plus
     * the exact integer cent grid. */
@@ -447,6 +454,20 @@ object PromqlQueries {
       nativeQ(s, dir, "histogram_stddev(sum by (nb) (rate(click[2d])))")),
     "promql_native_hist_stdvar" -> ((s, dir) =>
       nativeQ(s, dir, "histogram_stdvar(sum by (nb) (rate(click[2d])))")),
+    // NHCB — native histogram with CUSTOM buckets (Prometheus 3.x
+    // schema −53, the scrape_classic_histograms migration bridge):
+    // the `nbc` label carries the classic layout's explicit bounds
+    // with NON-cumulative per-bucket counts + the native model's
+    // EXACT count/sum arms. quantile cumulates over the bound order
+    // and dispatches into the classic interpolation body (first lower
+    // bound 0, +Inf rank answers the last finite bound), so a
+    // migrated `le` dashboard reads identically off the new store
+    "promql_nhcb_quantile" -> ((s, dir) =>
+      nhcbQ(s, dir, "histogram_quantile(0.9, sum by (nbc) (rate(click[2d])))")),
+    // the EXACT sum arm — what the migration preserves that classic
+    // midpoint estimation could not
+    "promql_nhcb_sum" -> ((s, dir) =>
+      nhcbQ(s, dir, "histogram_sum(sum by (nbc) (rate(click[2d])))")),
     // histogram_stddev/stdvar: midpoint-estimator spread — second
     // moment aggregated in DECIMAL (exact, order-independent), two
     // divisions + one subtraction (+ sqrt) at output
@@ -1719,6 +1740,40 @@ object PromqlQueries {
     "promql_native_hist_sum_mixed" ->
       s"""$lblCte
         |SELECT '2' AS schema, CAST(CAST(sum(cents) AS BIGINT) AS DOUBLE)
+        |  / 17280000.0 AS value
+        |FROM lbl WHERE type = 'click'
+        |  AND ts > ${EvalTs - 165600L} AND ts <= $EvalTs""".stripMargin,
+    // NHCB quantile: per-bucket NON-cumulative event counts on the
+    // classic bound layout, cumulated in bound order, the classic
+    // interpolation tree (first lower bound 0, +Inf rank -> the last
+    // finite bound) — op-for-op the engine's expression
+    "promql_nhcb_quantile" ->
+      s"""$lblCte,
+        |b(nbc, lo_c, hi_c, bound) AS (VALUES
+        |  ('10', -9223372036854775808, 1000, 10.0e0),
+        |  ('25', 1000, 2500, 25.0e0), ('50', 2500, 5000, 50.0e0),
+        |  ('100', 5000, 10000, 100.0e0), ('250', 10000, 25000, 250.0e0),
+        |  ('+Inf', 25000, 9223372036854775807, CAST('infinity' AS DOUBLE))),
+        |ev AS (SELECT cents FROM lbl WHERE type = 'click'
+        |  AND ts > ${EvalTs - 165600L} AND ts <= $EvalTs),
+        |t AS (SELECT CAST(100 * count(*) AS BIGINT) AS tot FROM ev),
+        |bc AS (SELECT b.bound, CAST(100 * count(e.cents) AS BIGINT) AS n
+        |  FROM b LEFT JOIN ev e ON e.cents > b.lo_c AND e.cents <= b.hi_c
+        |  GROUP BY b.bound),
+        |c AS (SELECT bound, n, sum(n) OVER (ORDER BY bound
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |  lag(bound) OVER (ORDER BY bound) AS prevle FROM bc),
+        |p AS (SELECT c.*, t.tot, row_number() OVER (ORDER BY bound) AS rn
+        |  FROM c, t WHERE t.tot > 0 AND cum > 0
+        |    AND CAST(cum AS DOUBLE) >= 0.9 * CAST(t.tot AS DOUBLE))
+        |SELECT CASE WHEN isinf(bound) THEN prevle
+        |  ELSE coalesce(prevle, 0.0e0) + (bound - coalesce(prevle, 0.0e0)) *
+        |    ((0.9 * CAST(tot AS DOUBLE) - CAST(cum - n AS DOUBLE))
+        |     / (CAST(cum AS DOUBLE) - CAST(cum - n AS DOUBLE))) END AS value
+        |FROM p WHERE rn = 1""".stripMargin,
+    "promql_nhcb_sum" ->
+      s"""$lblCte
+        |SELECT CAST(CAST(sum(cents) AS BIGINT) AS DOUBLE)
         |  / 17280000.0 AS value
         |FROM lbl WHERE type = 'click'
         |  AND ts > ${EvalTs - 165600L} AND ts <= $EvalTs""".stripMargin,

@@ -314,6 +314,76 @@ object TsQueries {
     Ts.readStore(s, path, fromSec, toSec)
   }
 
+  /** Label names of the NHCB chunk store (native histogram with
+    * CUSTOM buckets, Prometheus 3.x schema −53 — the
+    * scrape_classic_histograms migration bridge): `nbc` carries each
+    * bucket's explicit upper bound (the SAME 10/25/…/250 layout the
+    * classic `le` store scrapes, "+Inf" top arm) with NON-cumulative
+    * per-bucket counts, plus the native data model's exact
+    * count/sum arms. */
+  val nhcbLabelCols: Seq[String] = Seq("type", "host", "nbc")
+
+  /** The NHCB chunk store, ingest-once on the classic 2-h scrape
+    * grid. Every bucket series of the bound list is materialized per
+    * (type, host) — an NHCB scrape carries the full layout each
+    * sample, exactly like the classic store — so the quantile's
+    * bound-lag interpolation sees the same bucket rows a migrated
+    * `le` dashboard saw. */
+  def nhcbStoreChunks(s: SparkSession, dir: String,
+                      fromSec: Long = Long.MinValue,
+                      toSec: Long = Long.MaxValue): DataFrame = synchronized {
+    graft.functions.registerAll(s)
+    val path = storePath(dir) + "_nhcb"
+    if (!new java.io.File(path, "_SUCCESS").exists()) {
+      val ev0 = Tables(s, dir, "events")
+      val ev = ev0.select(
+        col("event_type").as("type"),
+        concat(lit("h"), pmod(col("user_id"), lit(100L))).as("host"),
+        round(col("value") * 100).cast("long").as("cents"),
+        Ts.epochSec(ev0, "ts").as("tsec"))
+      // (nbc, lo_c exclusive, hi_c inclusive): each observation lands
+      // in exactly ONE bucket (non-cumulative, unlike the classic
+      // le fanout)
+      val lays = histBuckets.map(_._2)
+      val b = s.createDataFrame(histBuckets.zipWithIndex.map {
+          case ((le, hi), i) =>
+            (le, if (i == 0) Long.MinValue else lays(i - 1), hi)
+        }).toDF("nbc", "lo_c", "hi_c")
+      val bucketed = ev.join(broadcast(b),
+        col("cents") > col("lo_c") && col("cents") <= col("hi_c"))
+      val arms = bucketed.select(col("type"), col("host"), col("nbc"),
+          col("tsec"), lit(1L).as("__w"))
+        .unionByName(ev.select(col("type"), col("host"),
+          lit("count").as("nbc"), col("tsec"), lit(1L).as("__w")))
+        .unionByName(ev.select(col("type"), col("host"),
+          lit("sum").as("nbc"), col("tsec"), col("cents").as("__w")))
+      val counts = arms
+        .withColumn("ts", greatest(expr(
+          s"((tsec + ${HistGridStep - 1}L) div ${HistGridStep}L) * ${HistGridStep}L"),
+          lit(HistGridFrom)))
+        .groupBy("type", "host", "nbc", "ts").agg(sum("__w").as("__n"))
+      val grid = s.range((HistGridTo - HistGridFrom) / HistGridStep + 1)
+        .select((lit(HistGridFrom) + col("id") * HistGridStep).as("ts"))
+      // full layout per present (type, host): bucket series exist even
+      // when empty, plus the count/sum arms
+      val armNames = s.createDataFrame(
+          (histBuckets.map(_._1) ++ Seq("count", "sum")).map(Tuple1(_)))
+        .toDF("nbc")
+      val series = ev.select("type", "host").distinct()
+        .crossJoin(broadcast(armNames))
+      val w = Window.partitionBy("type", "host", "nbc").orderBy("ts")
+      val samples = series.crossJoin(broadcast(grid))
+        .join(counts, Seq("type", "host", "nbc", "ts"), "left")
+        .na.fill(0L, Seq("__n"))
+        .withColumn("value", (sum("__n").over(w).cast("double")) /
+          when(col("nbc") === "sum", lit(100.0)).otherwise(lit(1.0)))
+        .select(col("type"), col("host"), col("nbc"),
+          to_timestamp(col("ts")).as("ts"), col("value"))
+      Ts.writeStore(Ts.chunkify(samples, nhcbLabelCols, "ts", "value"), path)
+    }
+    Ts.readStore(s, path, fromSec, toSec)
+  }
+
   /** The materialized 15-min rollup for a data dir: derived from the
     * persisted chunk store ONCE (raw → chunks → rollup, the standing-
     * aggregate lineage), then every serve is a pruned partial scan. */

@@ -945,9 +945,12 @@ object Promql {
     val v = evalExpr(arg, ctx)
     if (!v.labels.contains("le") && v.labels.contains("nb"))
       return histQuantileNative(phi, v)
+    if (!v.labels.contains("le") && v.labels.contains("nbc"))
+      return histQuantileNhcb(phi, v)
     if (!v.labels.contains("le")) throw new IllegalArgumentException(
-      "histogram_quantile needs an 'le' (classic) or 'nb' (native) " +
-        s"label on its input vector (got ${v.labels.mkString(", ")})")
+      "histogram_quantile needs an 'le' (classic), 'nb' (native " +
+        "exponential) or 'nbc' (native custom-bucket) label on its " +
+        s"input vector (got ${v.labels.mkString(", ")})")
     val L = v.labels.filterNot(_ == "le")
     def ordW = Window.partitionBy(L.map(col): _*).orderBy(col("__le"))
     val fullW = ordW.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
@@ -968,6 +971,56 @@ object Promql {
     val prevC = coalesce(col("__prevCum"), lit(0.0))
     val interp = lower + (col("__le") - lower) *
       ((col("__rank") - prevC) / (col("__cum") - prevC))
+    val value = when(col("__le") === Double.PositiveInfinity, col("__prevLe"))
+      .otherwise(interp)
+    Vec(first.withColumn("value", value)
+      .select(L.map(col) :+ col("value"): _*), L, Dbl)
+  }
+
+  /** `histogram_quantile(φ, v)` over an NHCB vector — a native
+    * histogram with CUSTOM buckets (Prometheus 3.x schema −53, the
+    * scrape_classic_histograms migration bridge): an `nbc` label
+    * carrying each bucket's explicit upper bound (decimal string,
+    * "+Inf" top arm) with NON-cumulative per-bucket counts, plus the
+    * exact count/sum arms of the native data model. The lowering
+    * cumulates over the bound order and dispatches into the CLASSIC
+    * interpolation body — first bucket's lower bound pinned at 0, a
+    * rank in the +Inf arm answering the last finite bound — so a
+    * migrated `le` dashboard reads identically off the new store.
+    * Counts stay exact longs through the cumulation; one float
+    * expression at output. */
+  private def histQuantileNhcb(phi: Double, v: Vec): Vec = {
+    require(phi >= 0 && phi <= 1,
+      s"histogram_quantile over an NHCB (nbc) vector needs " +
+        s"phi in [0, 1], got $phi")
+    val L = v.labels.filterNot(_ == "nbc")
+    val ordW = Window.partitionBy(L.map(col): _*).orderBy(col("__le"))
+    val cumW = ordW.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // the count-arm total rides a group-sized window over the same
+    // frame (single vector reference — no second decode)
+    val totW = Window.partitionBy(L.map(col): _*).orderBy(col("nbc"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val parsed = expr("try_cast(nbc AS DOUBLE)")
+    val df = v.df
+      .withColumn("__tot",
+        max(when(col("nbc") === "count", col("value"))).over(totW))
+      .filter(col("nbc") =!= "count" && col("nbc") =!= "sum")
+      .withColumn("__le",
+        when(col("nbc") === "+Inf", lit(Double.PositiveInfinity))
+          .otherwise(when(parsed.isNull, raise_error(concat(
+            lit("NHCB bucket bound '"), col("nbc"),
+            lit("' is not numeric"))).cast("double")).otherwise(parsed)))
+      .withColumn("__cum", sum(col("value")).over(cumW))
+      .withColumn("__prevLe", lag(col("__le"), 1).over(ordW))
+      .withColumn("__rank", lit(phi) * col("__tot").cast("double"))
+    val first = df.filter(col("__tot") > 0 && col("__cum") > 0 &&
+        col("__cum").cast("double") >= col("__rank"))
+      .withColumn("__rn", row_number().over(ordW))
+      .filter(col("__rn") === 1)
+    val lower = coalesce(col("__prevLe"), lit(0.0))
+    val prevC = (col("__cum") - col("value")).cast("double")
+    val interp = lower + (col("__le") - lower) *
+      ((col("__rank") - prevC) / (col("__cum").cast("double") - prevC))
     val value = when(col("__le") === Double.PositiveInfinity, col("__prevLe"))
       .otherwise(interp)
     Vec(first.withColumn("value", value)
@@ -1160,6 +1213,36 @@ object Promql {
     }
   }
 
+  /** `histogram_count/sum/avg` over an NHCB (`nbc`) vector: like the
+    * exponential-native family the count and EXACT sum arms are
+    * carried data (the accuracy win NHCB preserves through the
+    * migration — no midpoint estimation), so count/sum pass through
+    * and avg is one raw-over-raw division. fraction/stddev/stdvar
+    * over nbc fail loud: the classic estimators exist for them, and a
+    * user migrating off `le` buckets keeps the exact arms instead. */
+  private def histAggNhcb(fn: String, v: Vec): Vec = {
+    val L = v.labels.filterNot(_ == "nbc")
+    fn match {
+      case "histogram_count" =>
+        Vec(v.df.filter(col("nbc") === "count")
+          .select(L.map(col) :+ col("value"): _*), L, v.kind)
+      case "histogram_sum" =>
+        Vec(v.df.filter(col("nbc") === "sum")
+          .select(L.map(col) :+ col("value"): _*), L, v.kind)
+      case "histogram_avg" =>
+        val g = v.df.groupBy(L.map(col): _*)
+          .agg(max(when(col("nbc") === "sum", col("value"))).as("__s"),
+            max(when(col("nbc") === "count", col("value"))).as("__c"))
+        Vec(g.filter(col("__s").isNotNull && col("__c") > 0)
+          .select(L.map(col) :+ (col("__s").cast("double") /
+            col("__c").cast("double")).as("value"): _*), L, Dbl)
+      case other => throw new IllegalArgumentException(
+        s"$other over an NHCB (nbc) vector is not supported — the " +
+          "exact count/sum arms and histogram_quantile carry the " +
+          "migrated dashboard surface")
+    }
+  }
+
   /** `histogram_count/sum/avg/fraction` over a classic `_bucket`
     * vector (an `le` label with cumulative counters, "+Inf" arm
     * present) — the dashboard tail next to [[histQuantile]], stepped
@@ -1205,9 +1288,11 @@ object Promql {
     val v = evalExpr(arg, ctx)
     if (!v.labels.contains("le") && v.labels.contains("nb"))
       return histAggNative(fn, params, v)
+    if (!v.labels.contains("le") && v.labels.contains("nbc"))
+      return histAggNhcb(fn, v)
     if (!v.labels.contains("le")) throw new IllegalArgumentException(
-      s"$fn needs an 'le' (classic) or 'nb' (native) label on its " +
-        s"input vector (got ${v.labels.mkString(", ")})")
+      s"$fn needs an 'le' (classic), 'nb' (native) or 'nbc' (NHCB) " +
+        s"label on its input vector (got ${v.labels.mkString(", ")})")
     val L = v.labels.filterNot(_ == "le")
     def ordW = Window.partitionBy(L.map(col): _*).orderBy(col("__le"))
     val fullW = ordW.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)

@@ -1642,6 +1642,44 @@ class PromqlSpec extends AnyFunSuite {
     assert(sd == Map("h1" -> math.sqrt(vr1), "h2" -> math.sqrt(vr2)))
   }
 
+  // ===== round-16: NHCB (native histogram, custom buckets) =====
+
+  test("NHCB (nbc) vector: classic interpolation off non-cumulative buckets") {
+    import spark.implicits._
+    val T0 = 1700006400L
+    // custom bounds 10/25/50 + +Inf, NON-cumulative counts 2/3/4/1,
+    // exact sum arm 123 (classic midpoint estimation would answer
+    // 2·5 + 3·17.5 + 4·37.5 + 1·50 = 262.5 — the NHCB migration keeps
+    // the true sum)
+    val rows = Seq(("m", "h1", "10", 2.0), ("m", "h1", "25", 3.0),
+      ("m", "h1", "50", 4.0), ("m", "h1", "+Inf", 1.0),
+      ("m", "h1", "count", 10.0), ("m", "h1", "sum", 123.0))
+      .map { case (t, h, nbc, v) => (t, h, nbc, T0 * 1000000000L, v) }
+    val ch = Ts.chunkify(rows.toDF("type", "host", "nbc", "ts", "v"),
+      Seq("type", "host", "nbc"), "ts", "v")
+    def one(q: String): Double =
+      Promql.eval(ch, Seq("type", "host", "nbc"), q, T0)
+        .collect().map(_.getAs[Double]("value")).head
+    // rank .5·1000 = 500 raw; cum 200/500/900/1000 → the 25 bucket at
+    // its exact upper edge: 10 + 15·(500−200)/(500−200) = 25
+    assert(one("""histogram_quantile(0.5, {type="m"})""") == 25.0)
+    // a rank below the first bound interpolates from lower bound 0
+    assert(one("""histogram_quantile(0.1, {type="m"})""") ==
+      0.0 + 10.0 * (100.0 - 0.0) / (200.0 - 0.0))
+    // rank 950 lands in +Inf → the last finite bound
+    assert(one("""histogram_quantile(0.95, {type="m"})""") == 50.0)
+    assert(one("""histogram_count({type="m"})""") == 10.0)
+    assert(one("""histogram_sum({type="m"})""") == 123.0) // EXACT
+    assert(one("""histogram_avg({type="m"})""") == 12.3)
+    // the unsupported members fail loud with the migration guidance
+    val e = intercept[IllegalArgumentException](
+      one("""histogram_stddev({type="m"})"""))
+    assert(e.getMessage.contains("NHCB"))
+    // phi validation mirrors the native path
+    intercept[IllegalArgumentException](
+      one("""histogram_quantile(1.5, {type="m"})"""))
+  }
+
   test("nativeHistStoreChunks: an empty events table fails with a clear message") {
     val tmp = java.nio.file.Files.createTempDirectory("nhist_empty")
       .toFile.getAbsolutePath
