@@ -55,6 +55,34 @@ object Bench {
     ordered.foreach { case (_, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
     }
+    // ===== self-normalizing warm control (the BASELINE.md round-7 /
+    // round-15 drift-adjudication protocol, automated): 5 warm reps of
+    // the store-family control keys right after the pre-pass, medians
+    // ratioed against the pinned 2026-08-13 5-rep medians (sf0.1).
+    // control_ratio >> 1 means THIS SESSION's host is slow — per-key
+    // numbers divide by it before being read as regressions, no human
+    // re-run needed. Ratio only applies at sf0.1 (the pins' scale);
+    // other SFs emit the raw medians with ratio null.
+    val controlPins = Seq("ts_store_anomaly" -> 0.56,
+      "ts_store_latest" -> 0.57, "ts_store_downsample" -> 0.40)
+    def median(xs: Seq[Double]): Double = { val s = xs.sorted; s(s.size / 2) }
+    val controlMeds: Seq[(String, Double)] = controlPins.flatMap { case (k, _) =>
+      SparkEntry.queries.get(k).flatMap { fn =>
+        val ts = (1 to 5).flatMap { _ =>
+          System.gc()
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+          catch { case _: Throwable => None }
+        }
+        if (ts.size == 5) Some(k -> median(ts)) else None
+      }
+    }
+    val controlRatio: Option[Double] =
+      if (new java.io.File(sfDir).getName == "sf0.1" &&
+          controlMeds.size == controlPins.size)
+        Some(median(controlMeds.zip(controlPins)
+          .map { case ((_, m), (_, p)) => m / p }))
+      else None
     val results = ordered.map { case (name, fn) =>
       // drain the previous query's garbage before starting the clock:
       // without this, whichever query follows a heap-heavy neighbor
@@ -81,7 +109,10 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val ctl = controlMeds.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val ratioJson = controlRatio.map(fmt).getOrElse("null")
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","control":$ctl,"control_ratio":$ratioJson,"queries":$qs,"sf":"$sfDir"}"""
     println(json)
     // full-precision flat map to a file for deep diffs (the stdout tail
     // the driver keeps is 2000 chars — the flat 114-key line no longer
@@ -92,10 +123,14 @@ object Bench {
     // the same map as a COMMITTED per-round artifact (BENCH_FULL.json,
     // alongside RECALL.json): once the compact stdout line crosses the
     // tail budget it degrades to deciseconds, so the repo file is the
-    // durable exact record round-over-round diffs read
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("/root/repo/BENCH_FULL.json"), json + "\n")
-    catch { case _: Throwable => () }
+    // durable exact record round-over-round diffs read. sf0.1 ONLY:
+    // twice now a small-SF smoke run clobbered the committed sf0.1
+    // record (restored by hand in r15 and r16) — the graded artifact
+    // is pinned to its scale, smoke runs keep bench_out.json
+    if (new java.io.File(sfDir).getName == "sf0.1")
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("/root/repo/BENCH_FULL.json"), json + "\n")
+      catch { case _: Throwable => () }
     // LAST line: a compact trie-grouped encoding that fits the driver's
     // 2000-char tail window entirely, so its last-JSON-line parse
     // always sees every query. Keys nest on '_' tokens wherever >= 2

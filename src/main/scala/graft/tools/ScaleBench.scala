@@ -321,6 +321,21 @@ object ScaleBench {
           graft.queries.TsQueries.histLabelCols,
           """histogram_quantile(0.9, sum by (le) (rate({type="click"}[2d])))""", to))
       }
+      // round-16: the NATIVE-histogram family at volume — ingest is
+      // one broadcast bucket join + three arm unions + one cumulative
+      // window per present series (structural cap: series x kept
+      // buckets x grid instants, independent of event count past the
+      // groupBy); the quantile is the same one-fold shape as the
+      // classic row with the exponential bound join on top
+      timed(s"${tag}_nhist_ingest", nEv, "integer-exact exponential arms -> _nhist chunk store") {
+        graft.queries.TsQueries.nativeHistStoreChunks(spark, dir).count()
+      }
+      timed(s"${tag}_promql_native_histq", nEv, "native histogram_quantile over the _nhist store") {
+        noop(graft.tsdb.Promql.eval(
+          graft.queries.TsQueries.nativeHistStoreChunks(spark, dir),
+          graft.queries.TsQueries.nativeHistLabelCols,
+          """histogram_quantile(0.9, sum by (nb) (rate({type="click"}[2d])))""", to))
+      }
     }
 
     /** Streaming ingest throughput at volume (r9 verdict #8): the

@@ -40,7 +40,10 @@ object NativeHist {
   /** (idx, lo_cents exclusive, hi_cents inclusive, lo/hi bound
     * doubles) at `schema`, restricted to buckets with a non-empty
     * cent range. The index range scales with resolution so every
-    * schema covers the same value span (up to 2^11.25 ≈ 2435). */
+    * schema covers the same value span (up to 2^13.5 ≈ 11585 —
+    * past the scale corpus's [0, 10000) value domain; empty high
+    * buckets cost nothing in sparse data-derived stores and never
+    * shift an interpolation). */
   def bucketsFor(schema: Int): Seq[(Int, Long, Long, Double, Double)] = {
     require(schema >= 0 && schema <= 3, s"schema $schema outside [0, 3]")
     val p = 1 << schema // the exponent clearing the irrational base
@@ -48,15 +51,15 @@ object NativeHist {
     def hiCents(i: Int): Long = {
       val shift = if (i < 0) -i else 0
       val rhs = (if (i > 0) BigInt(2).pow(i) else BigInt(1)) * T
-      var lo = 0L; var hi = 300000L
+      var lo = 0L; var hi = 1200000L
       while (lo < hi) {
         val m = (lo + hi + 1) / 2
         if ((BigInt(m).pow(p) << shift) <= rhs) lo = m else hi = m - 1
       }
       lo
     }
-    // −60..90 at schema 3, scaled to the same value span elsewhere
-    (-(60 * p) / 8 to (90 * p + 7) / 8).map { i =>
+    // −60..108 at schema 3, scaled to the same value span elsewhere
+    (-(60 * p) / 8 to (108 * p + 7) / 8).map { i =>
       (i, hiCents(i - 1), hiCents(i),
         math.pow(2, (i - 1).toDouble / p), math.pow(2, i.toDouble / p))
     }.filter(t => t._3 > t._2)

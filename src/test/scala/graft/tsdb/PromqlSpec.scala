@@ -907,15 +907,13 @@ class PromqlSpec extends AnyFunSuite {
     assert(got.nonEmpty && got == want)
   }
 
-  test("conformance sweep: real-world query shapes parse; malformed reject") {
-    // the shapes Prometheus's own documentation, the querying examples
-    // page, and common Grafana/SLO dashboards use — compositions
-    // (nested binops, @ + offset + subquery, aggregation-over-binop,
-    // postfix grouping), not just tokens. Metric names adapted to the
-    // corpus (click/view/purchase; labels host/region). Parse-level:
-    // accept means the parser builds an Expr; semantic errors (e.g. a
-    // bare range vector fed to eval) are eval's job.
-    val accept = Seq(
+  // the shapes Prometheus's own documentation, the querying examples
+  // page, and common Grafana/SLO dashboards use — compositions
+  // (nested binops, @ + offset + subquery, aggregation-over-binop,
+  // postfix grouping), not just tokens. Metric names adapted to the
+  // corpus (click/view/purchase; labels host/region). Shared by the
+  // parse-level sweep AND the round-16 eval-level sweep below.
+  private lazy val acceptShapes = Seq(
       // selectors & modifiers
       "click",
       """{type="click"}""",
@@ -1039,6 +1037,12 @@ class PromqlSpec extends AnyFunSuite {
       "click ^ 2",
       "2 ^ -1 * click",
       "-click ^ 2")
+
+  test("conformance sweep: real-world query shapes parse; malformed reject") {
+    // Parse-level: accept means the parser builds an Expr; semantic
+    // errors (e.g. a histogram member on a non-bucket vector) are
+    // eval's job (the eval-level sweep below).
+    val accept = acceptShapes
     val reject = Seq(
       "sum(",
       "rate(click[5])",        // duration needs a unit
@@ -1063,6 +1067,35 @@ class PromqlSpec extends AnyFunSuite {
       try { parse(q); true } catch { case _: IllegalArgumentException => false }
     }
     assert(wrongly.isEmpty, s"malformed shapes ACCEPTED:\n  ${wrongly.mkString("\n  ")}")
+  }
+
+  test("conformance sweep: every accepted shape EVALUATES or rejects semantically") {
+    // round-16: composition bugs live in LOWERING, not parsing — every
+    // parse-accepted shape must drive through Promql.eval against the
+    // real sf0.001 store and either produce a materialized result
+    // (rows ≥ 0) or raise the engine's own IllegalArgumentException (a
+    // DOCUMENTED semantic rejection, e.g. a histogram member on a
+    // non-bucket vector). An AnalysisException, codegen failure,
+    // MatchError, or NPE here is a lowering bug: a serving endpoint
+    // would 500 instead of 400.
+    var evaluated = 0
+    var rejected = Vector.empty[String]
+    val crashes = acceptShapes.flatMap { q =>
+      try { Promql.eval(chunks, labelCols, q, EvalTs).count(); evaluated += 1; None }
+      catch {
+        case e: IllegalArgumentException => rejected :+= s"$q -> ${e.getMessage}"; None
+        case e: Throwable => Some(s"$q -> ${e.getClass.getName}: " +
+          Option(e.getMessage).getOrElse("").linesIterator.take(1).mkString)
+      }
+    }
+    assert(crashes.isEmpty, s"lowering CRASHES:\n  ${crashes.mkString("\n  ")}")
+    // the pass must not vacuously succeed by rejecting everything: the
+    // overwhelming majority of documented shapes genuinely evaluate
+    // (the only legitimate rejections are histogram members over the
+    // non-bucket store and the float-sum ordering guards)
+    assert(evaluated >= acceptShapes.size - 12,
+      s"only $evaluated/${acceptShapes.size} evaluated; rejections:\n  " +
+        rejected.mkString("\n  "))
   }
 
   test("^: right-assoc, tighter than unary minus, one pow per element") {
