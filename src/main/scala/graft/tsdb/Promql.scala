@@ -2581,15 +2581,22 @@ object Promql {
     * never data-sized. */
   private def downscaleToCoarsest(v: Vec, outG: Seq[String]): Vec = {
     val part = outG.filterNot(_ == "nb")
-    val w = if (part.isEmpty) Window.partitionBy()
-            else Window.partitionBy(part.map(col): _*)
     val schInt = expr("try_cast(schema AS INT)") // ANSI-safe: null, not throw
-    val df = v.df
+    val withSch = v.df
       .withColumn("__sch", when(schInt.isNull, raise_error(concat(
           lit("native-histogram schema label '"), col("schema"),
           lit("' is not an integer"))).cast("int"))
         .otherwise(schInt))
-      .withColumn("__cs", min(col("__sch")).over(w))
+    // coarsest per group identity: a group-sized window when there IS
+    // one; for a global grouping a 1-row broadcast join (a no-partition
+    // window would drag the whole vector through one task)
+    val withCs = if (part.isEmpty)
+      withSch.crossJoin(broadcast(
+        withSch.agg(min(col("__sch")).as("__cs"))))
+    else
+      withSch.withColumn("__cs",
+        min(col("__sch")).over(Window.partitionBy(part.map(col): _*)))
+    val df = withCs
       .withColumn("__d", expr("CAST(shiftleft(1, __sch - __cs) AS LONG)"))
       .withColumn("__i", expr("try_cast(nb AS LONG)")) // arms cast to null
       .withColumn("__x", col("__i") + col("__d") - 1)
