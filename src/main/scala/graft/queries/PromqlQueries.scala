@@ -468,6 +468,21 @@ object PromqlQueries {
     // midpoint estimation could not
     "promql_nhcb_sum" -> ((s, dir) =>
       nhcbQ(s, dir, "histogram_sum(sum by (nbc) (rate(click[2d])))")),
+    // stepped twins: the nbc / mixed-schema lowerings are
+    // label-generic, so range mode is reachable the moment the
+    // instant form is — every reachable surface carries a gate
+    "promql_range_nhcb_quantile" -> ((s, dir) =>
+      Promql.evalRange(TsQueries.nhcbStoreChunks(s, dir),
+          TsQueries.nhcbLabelCols,
+          "histogram_quantile(0.9, sum by (nbc) (rate(click[1d])))",
+          RangeStart, EvalTs, 7200L)
+        .orderBy("ts")),
+    "promql_range_native_histq_mixed" -> ((s, dir) =>
+      Promql.evalRange(TsQueries.mixedNativeHistStoreChunks(s, dir),
+          TsQueries.mixedNativeHistLabelCols,
+          "histogram_quantile(0.9, sum by (nb) (rate(click[1d])))",
+          RangeStart, EvalTs, 7200L)
+        .orderBy("ts")),
     // histogram_stddev/stdvar: midpoint-estimator spread — second
     // moment aggregated in DECIMAL (exact, order-independent), two
     // divisions + one subtraction (+ sqrt) at output
@@ -1777,6 +1792,75 @@ object PromqlQueries {
         |  / 17280000.0 AS value
         |FROM lbl WHERE type = 'click'
         |  AND ts > ${EvalTs - 165600L} AND ts <= $EvalTs""".stripMargin,
+    // stepped NHCB quantile: the per-step telescoped window with the
+    // custom bound table and the classic interpolation tree
+    "promql_range_nhcb_quantile" ->
+      s"""$lblCte,
+        |b(nbc, lo_c, hi_c, bound) AS (VALUES
+        |  ('10', -9223372036854775808, 1000, 10.0e0),
+        |  ('25', 1000, 2500, 25.0e0), ('50', 2500, 5000, 50.0e0),
+        |  ('100', 5000, 10000, 100.0e0), ('250', 10000, 25000, 250.0e0),
+        |  ('+Inf', 25000, 9223372036854775807, CAST('infinity' AS DOUBLE))),
+        |steps AS (SELECT ($RangeStart + i * 7200) AS t
+        |  FROM generate_series(0, 24) s(i)),
+        |ev AS (SELECT st.t, l.cents FROM steps st JOIN lbl l
+        |  ON l.type = 'click'
+        |  AND l.ts > st.t - $Day AND l.ts <= st.t - 7200),
+        |tt AS (SELECT t, CAST(100 * count(*) AS BIGINT) AS tot
+        |  FROM ev GROUP BY t),
+        |bc AS (SELECT st.t, b.bound,
+        |    CAST(100 * count(e.cents) AS BIGINT) AS n
+        |  FROM b CROSS JOIN steps st
+        |  LEFT JOIN ev e ON e.t = st.t
+        |    AND e.cents > b.lo_c AND e.cents <= b.hi_c
+        |  GROUP BY st.t, b.bound),
+        |c AS (SELECT t, bound, n, sum(n) OVER (PARTITION BY t
+        |    ORDER BY bound ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |  lag(bound) OVER (PARTITION BY t ORDER BY bound) AS prevle FROM bc),
+        |p AS (SELECT c.*, tt.tot,
+        |    row_number() OVER (PARTITION BY c.t ORDER BY bound) AS rn
+        |  FROM c JOIN tt ON tt.t = c.t WHERE tt.tot > 0 AND cum > 0
+        |    AND CAST(cum AS DOUBLE) >= 0.9 * CAST(tt.tot AS DOUBLE))
+        |SELECT t AS ts, CASE WHEN isinf(bound) THEN prevle
+        |  ELSE coalesce(prevle, 0.0e0) + (bound - coalesce(prevle, 0.0e0)) *
+        |    ((0.9 * CAST(tot AS DOUBLE) - CAST(cum - n AS DOUBLE))
+        |     / (CAST(cum AS DOUBLE) - CAST(cum - n AS DOUBLE))) END AS value
+        |FROM p WHERE rn = 1 ORDER BY ts""".stripMargin,
+    // stepped mixed-schema quantile: the oracle assigns every raw
+    // event at schema 2 per step (the nesting property), interpolates
+    // on the schema-2 bounds, and tags the carried coarsest schema
+    "promql_range_native_histq_mixed" ->
+      s"""$lblCte,
+        |b(ord, lo_c, hi_c, blo, bhi) AS (VALUES ${nativeBucketValuesFor(2)}),
+        |steps AS (SELECT ($RangeStart + i * 7200) AS t
+        |  FROM generate_series(0, 24) s(i)),
+        |ev AS (SELECT st.t, l.cents FROM steps st JOIN lbl l
+        |  ON l.type = 'click'
+        |  AND l.ts > st.t - $Day AND l.ts <= st.t - 7200),
+        |tt AS (SELECT t, CAST(100 * count(*) AS BIGINT) AS tot
+        |  FROM ev GROUP BY t),
+        |bc AS (
+        |  SELECT st.t, b.ord, b.blo, b.bhi,
+        |    CAST(100 * count(e.cents) AS BIGINT) AS n
+        |  FROM b CROSS JOIN steps st
+        |  LEFT JOIN ev e ON e.t = st.t
+        |    AND e.cents > b.lo_c AND e.cents <= b.hi_c
+        |  GROUP BY st.t, b.ord, b.blo, b.bhi
+        |  UNION ALL
+        |  SELECT t, -2147483648, 0.0e0, 0.0e0,
+        |    CAST(100 * count(*) AS BIGINT)
+        |  FROM ev WHERE cents <= 0 GROUP BY t),
+        |c AS (SELECT t, ord, blo, bhi, n, sum(n) OVER (PARTITION BY t
+        |    ORDER BY ord ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM bc),
+        |p AS (SELECT c.*, tt.tot,
+        |    row_number() OVER (PARTITION BY c.t ORDER BY ord) AS rn
+        |  FROM c JOIN tt ON tt.t = c.t WHERE tt.tot > 0
+        |    AND CAST(cum AS DOUBLE) >= 0.9 * CAST(tt.tot AS DOUBLE))
+        |SELECT '2' AS schema, t AS ts, blo + (bhi - blo) *
+        |    ((0.9 * CAST(tot AS DOUBLE) - CAST(cum - n AS DOUBLE))
+        |     / (CAST(cum AS DOUBLE) - CAST(cum - n AS DOUBLE))) AS value
+        |FROM p WHERE rn = 1 ORDER BY ts""".stripMargin,
     // mad_over_time: both medians exact interpolations on the integer
     // cent grid (quantile_cont == Spark's percentile there), /100 once
     "promql_mad_ot" ->

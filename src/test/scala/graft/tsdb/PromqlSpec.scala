@@ -1774,6 +1774,24 @@ class PromqlSpec extends AnyFunSuite {
         assert(want.length == 1 && g(t) == want.head, s"native $q @ $t")
       }
     }
+    // and the NHCB store: non-cumulative custom buckets must commute
+    // with stepping through the classic interpolation body
+    val cch = graft.queries.TsQueries.nhcbStoreChunks(spark, dir)
+    val clc = graft.queries.TsQueries.nhcbLabelCols
+    for (q <- Seq(
+        "histogram_quantile(0.9, sum by (nbc) (rate(click[1d])))",
+        "histogram_sum(sum by (nbc) (rate(click[1d])))",
+        "histogram_count(sum by (nbc) (rate(click[1d])))")) {
+      val g = Promql.evalRange(cch, clc, q, start, EvalTs, 7200L)
+        .collect().map(r => (r.getAs[Long]("ts"), r.getAs[Double]("value")))
+        .toMap
+      assert(g.size == 25, q)
+      for (t <- Seq(start, start + 12 * 7200L, EvalTs)) {
+        val want = Promql.eval(cch, clc, q, t - 7200L)
+          .collect().map(_.getAs[Double]("value"))
+        assert(want.length == 1 && g(t) == want.head, s"nhcb $q @ $t")
+      }
+    }
     // and the MIXED-SCHEMA store: downscale + merge must commute with
     // stepping exactly like the single-schema lowering
     val mch = graft.queries.TsQueries.mixedNativeHistStoreChunks(spark, dir)
