@@ -2587,15 +2587,17 @@ object Promql {
           lit("native-histogram schema label '"), col("schema"),
           lit("' is not an integer"))).cast("int"))
         .otherwise(schInt))
-    // coarsest per group identity: a group-sized window when there IS
-    // one; for a global grouping a 1-row broadcast join (a no-partition
-    // window would drag the whole vector through one task)
-    val withCs = if (part.isEmpty)
-      withSch.crossJoin(broadcast(
-        withSch.agg(min(col("__sch")).as("__cs"))))
-    else
-      withSch.withColumn("__cs",
-        min(col("__sch")).over(Window.partitionBy(part.map(col): _*)))
+    // coarsest per group identity, via ONE window over the FOLDED
+    // vector (series-sized — the rate/selector fold already ran, so
+    // even the global-grouping no-partition case moves ≤ |series| tiny
+    // rows through one task, never point data). The agg+crossJoin
+    // spelling is NOT an optimization: it references the vector
+    // subtree twice and re-decodes the selector's chunks — caught by
+    // the promql_native_histq_mixed plan pin (decodes must stay 1)
+    val withCs = withSch.withColumn("__cs",
+      min(col("__sch")).over(
+        if (part.isEmpty) Window.partitionBy()
+        else Window.partitionBy(part.map(col): _*)))
     val df = withCs
       .withColumn("__d", expr("CAST(shiftleft(1, __sch - __cs) AS LONG)"))
       .withColumn("__i", expr("try_cast(nb AS LONG)")) // arms cast to null

@@ -158,7 +158,25 @@ class ExplainAllSpec extends AnyFunSuite {
       // window exchanges, 1 broadcast = the ~140-row bound table
       "promql_native_histq" -> (3, 1, 1),
       // stepped adds the grid-assembly exchange; still one decode
-      "promql_range_native_histq" -> (4, 1, 1))
+      "promql_range_native_histq" -> (4, 1, 1),
+      // mixed-schema quantile: ONE decode of the selector's chunks —
+      // the downscale's coarsest-schema lookup is a window over the
+      // FOLDED (series-sized) vector, never an agg+crossJoin that
+      // would reference the rate subtree twice and re-decode (the r16
+      // first cut did exactly that: (5,2,2)); 1 broadcast = the
+      // schema-keyed bound table, 2 shuffles = fold + window exchange
+      "promql_native_histq_mixed" -> (2, 1, 1),
+      // NHCB quantile: bounds are DATA-CARRIED (the nbc label), so
+      // zero broadcasts — one decode, fold + two window exchanges
+      "promql_nhcb_quantile" -> (3, 0, 1),
+      // stepped NHCB adds the grid-assembly exchange; still one decode
+      "promql_range_nhcb_quantile" -> (4, 0, 1),
+      // keep_firing_for: fully compressed-domain (ZERO decode — the
+      // stepped sum_over_time filter answers from header partials);
+      // the 9 exchanges are the stepped assembly + for-window, island,
+      // fire and tail windows + the trueRows∪tails union + orderBy —
+      // all over grid-sized state rows, never point data
+      "promql_alert_keep" -> (9, 0, 0))
     val failures = expected.flatMap { case (name, want) =>
       val got = shape(name)
       if (got != want)
