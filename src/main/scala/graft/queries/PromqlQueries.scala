@@ -468,6 +468,18 @@ object PromqlQueries {
     // midpoint estimation could not
     "promql_nhcb_sum" -> ((s, dir) =>
       nhcbQ(s, dir, "histogram_sum(sum by (nbc) (rate(click[2d])))")),
+    // NHCB fraction(20, 150): both bounds OFF the custom boundaries —
+    // one conditional aggregate (full buckets as exact longs, ONE
+    // float multiply per straddling bucket), the +Inf partial term
+    // IEEE-collapsing to 0
+    "promql_nhcb_fraction" -> ((s, dir) =>
+      nhcbQ(s, dir, "histogram_fraction(20, 150, sum by (nbc) (rate(click[2d])))")),
+    // mixed-schema fraction: the compile-time locate constants are
+    // resolved PER RESOLUTION and selected by the carried schema —
+    // gates the schema-keyed bound path end-to-end
+    "promql_native_hist_fraction_mixed" -> ((s, dir) =>
+      mixedQ(s, dir,
+        "histogram_fraction(0.2, 1.5, sum by (nb) (rate(click[2d])))")),
     // stepped twins: the nbc / mixed-schema lowerings are
     // label-generic, so range mode is reachable the moment the
     // instant form is — every reachable surface carries a gate
@@ -1792,6 +1804,56 @@ object PromqlQueries {
         |  / 17280000.0 AS value
         |FROM lbl WHERE type = 'click'
         |  AND ts > ${EvalTs - 165600L} AND ts <= $EvalTs""".stripMargin,
+    // NHCB fraction: full buckets sum exact (cents thresholds), each
+    // straddling bucket's summed count multiplied ONCE by the shared
+    // double-literal ratio — op-for-op the engine's aggregate
+    "promql_nhcb_fraction" ->
+      s"""$lblCte,
+        |ev AS (SELECT cents FROM lbl WHERE type = 'click'
+        |  AND ts > ${EvalTs - 165600L} AND ts <= $EvalTs),
+        |g AS (SELECT
+        |  CAST(100 * count(*) AS BIGINT) AS tot,
+        |  CAST(100 * coalesce(sum(CASE WHEN cents <= 10000
+        |    THEN 1 END), 0) AS DOUBLE)
+        |    + CAST(100 * coalesce(sum(CASE WHEN cents > 10000
+        |        AND cents <= 25000 THEN 1 END), 0) AS DOUBLE)
+        |      * ((150.0e0 - 100.0e0) / (250.0e0 - 100.0e0)) AS fhi,
+        |  CAST(100 * coalesce(sum(CASE WHEN cents <= 1000
+        |    THEN 1 END), 0) AS DOUBLE)
+        |    + CAST(100 * coalesce(sum(CASE WHEN cents > 1000
+        |        AND cents <= 2500 THEN 1 END), 0) AS DOUBLE)
+        |      * ((20.0e0 - 10.0e0) / (25.0e0 - 10.0e0)) AS flo
+        |  FROM ev)
+        |SELECT (fhi - flo) / CAST(tot AS DOUBLE) AS value
+        |FROM g WHERE tot > 0""".stripMargin,
+    // mixed-schema fraction: the schema-2 locate constants (the
+    // coarsest the merge lands on), the same two conditional sums
+    "promql_native_hist_fraction_mixed" -> {
+      val (ordLo, fracLo) = graft.tsdb.NativeHist.locateAt(0.2, 2)
+      val (ordHi, fracHi) = graft.tsdb.NativeHist.locateAt(1.5, 2)
+      s"""$lblCte,
+        |b(ord, lo_c, hi_c, blo, bhi) AS (VALUES ${nativeBucketValuesFor(2)}),
+        |ev AS (SELECT cents FROM lbl WHERE type = 'click'
+        |  AND ts > ${EvalTs - 165600L} AND ts <= $EvalTs),
+        |t AS (SELECT CAST(100 * count(*) AS BIGINT) AS tot FROM ev),
+        |bc AS (
+        |  SELECT b.ord, CAST(100 * count(e.cents) AS BIGINT) AS n
+        |  FROM b LEFT JOIN ev e ON e.cents > b.lo_c AND e.cents <= b.hi_c
+        |  GROUP BY b.ord
+        |  UNION ALL
+        |  SELECT -2147483648, CAST(100 * count(*) AS BIGINT)
+        |  FROM ev WHERE cents <= 0),
+        |g AS (SELECT
+        |  CAST(coalesce(sum(CASE WHEN ord < $ordHi THEN n END), 0) AS DOUBLE)
+        |    + CAST(coalesce(sum(CASE WHEN ord = $ordHi THEN n END), 0) AS DOUBLE)
+        |      * ${fracHi}e0 AS fhi,
+        |  CAST(coalesce(sum(CASE WHEN ord < $ordLo THEN n END), 0) AS DOUBLE)
+        |    + CAST(coalesce(sum(CASE WHEN ord = $ordLo THEN n END), 0) AS DOUBLE)
+        |      * ${fracLo}e0 AS flo
+        |  FROM bc)
+        |SELECT '2' AS schema, (fhi - flo) / CAST(tot AS DOUBLE) AS value
+        |FROM g, t WHERE tot > 0""".stripMargin
+    },
     // stepped NHCB quantile: the per-step telescoped window with the
     // custom bound table and the classic interpolation tree
     "promql_range_nhcb_quantile" ->

@@ -1213,14 +1213,21 @@ object Promql {
     }
   }
 
-  /** `histogram_count/sum/avg` over an NHCB (`nbc`) vector: like the
-    * exponential-native family the count and EXACT sum arms are
-    * carried data (the accuracy win NHCB preserves through the
+  /** `histogram_count/sum/avg/fraction` over an NHCB (`nbc`) vector:
+    * like the exponential-native family the count and EXACT sum arms
+    * are carried data (the accuracy win NHCB preserves through the
     * migration — no midpoint estimation), so count/sum pass through
-    * and avg is one raw-over-raw division. fraction/stddev/stdvar
-    * over nbc fail loud: the classic estimators exist for them, and a
-    * user migrating off `le` buckets keeps the exact arms instead. */
-  private def histAggNhcb(fn: String, v: Vec): Vec = {
+    * and avg is one raw-over-raw division. fraction is a SINGLE
+    * conditional aggregate over the one vector reference: a bucket
+    * (prevLe, le] contributes its full count when le ≤ x, the
+    * straddling bucket contributes n·(x−prevLe)/(le−prevLe), and the
+    * +Inf arm's partial term IEEE-collapses to 0 — so a bound past
+    * the last finite bucket answers the full finite cumulative, the
+    * classic convention. Counts stay exact longs except the one
+    * straddle multiply. stddev/stdvar over nbc fail loud: no moment
+    * convention is defined for custom buckets, and a user migrating
+    * off `le` buckets keeps the exact arms instead. */
+  private def histAggNhcb(fn: String, params: Seq[Double], v: Vec): Vec = {
     val L = v.labels.filterNot(_ == "nbc")
     fn match {
       case "histogram_count" =>
@@ -1236,10 +1243,49 @@ object Promql {
         Vec(g.filter(col("__s").isNotNull && col("__c") > 0)
           .select(L.map(col) :+ (col("__s").cast("double") /
             col("__c").cast("double")).as("value"): _*), L, Dbl)
+      case "histogram_fraction" =>
+        val Seq(lo0, hi0) = (params match {
+          case p if p.size == 2 => p
+          case p => throw new IllegalArgumentException(
+            s"histogram_fraction(lo, hi, v) needs two scalar bounds, got ${p.size}")
+        }): @unchecked
+        require(lo0 <= hi0,
+          s"histogram_fraction needs lo <= hi, got ($lo0, $hi0)")
+        val parsed = expr("try_cast(nbc AS DOUBLE)")
+        // arm rows keep a NULL __le and sort first, so the first real
+        // bucket's lag coalesces to the classic 0 lower bound and the
+        // arms drop out of every conditional term (null comparisons)
+        val ordW = Window.partitionBy(L.map(col): _*)
+          .orderBy(col("__le").asc_nulls_first, col("nbc"))
+        val base = v.df
+          .withColumn("__le",
+            when(col("nbc") === "+Inf", lit(Double.PositiveInfinity))
+              .otherwise(when(col("nbc") === "count" || col("nbc") === "sum",
+                lit(null).cast("double"))
+                .otherwise(when(parsed.isNull, raise_error(concat(
+                  lit("NHCB bucket bound '"), col("nbc"),
+                  lit("' is not numeric"))).cast("double")).otherwise(parsed))))
+          .withColumn("__plo",
+            coalesce(lag(col("__le"), 1).over(ordW), lit(0.0)))
+        def fAt(x0: Double): Column = {
+          val x = math.max(x0, 0.0) // classic first-bucket floor at 0
+          coalesce(sum(when(col("__le") <= x, col("value"))), lit(0L))
+            .cast("double") +
+            coalesce(sum(when(col("__plo") < x && lit(x) < col("__le"),
+              col("value").cast("double") *
+                ((lit(x) - col("__plo")) / (col("__le") - col("__plo"))))),
+              lit(0.0))
+        }
+        val g = base.groupBy(L.map(col): _*)
+          .agg(fAt(hi0).as("__fhi"), fAt(lo0).as("__flo"),
+            max(when(col("nbc") === "count", col("value"))).as("__tot"))
+        Vec(g.filter(col("__tot") > 0)
+          .select(L.map(col) :+ ((col("__fhi") - col("__flo")) /
+            col("__tot").cast("double")).as("value"): _*), L, Dbl)
       case other => throw new IllegalArgumentException(
         s"$other over an NHCB (nbc) vector is not supported — the " +
-          "exact count/sum arms and histogram_quantile carry the " +
-          "migrated dashboard surface")
+          "exact count/sum arms, histogram_quantile and " +
+          "histogram_fraction carry the migrated dashboard surface")
     }
   }
 
@@ -1289,7 +1335,7 @@ object Promql {
     if (!v.labels.contains("le") && v.labels.contains("nb"))
       return histAggNative(fn, params, v)
     if (!v.labels.contains("le") && v.labels.contains("nbc"))
-      return histAggNhcb(fn, v)
+      return histAggNhcb(fn, params, v)
     if (!v.labels.contains("le")) throw new IllegalArgumentException(
       s"$fn needs an 'le' (classic), 'nb' (native) or 'nbc' (NHCB) " +
         s"label on its input vector (got ${v.labels.mkString(", ")})")

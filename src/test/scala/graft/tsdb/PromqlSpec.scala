@@ -1704,6 +1704,17 @@ class PromqlSpec extends AnyFunSuite {
     assert(one("""histogram_count({type="m"})""") == 10.0)
     assert(one("""histogram_sum({type="m"})""") == 123.0) // EXACT
     assert(one("""histogram_avg({type="m"})""") == 12.3)
+    // fraction: bucket 10 full (200 raw) + straddle of (10, 25] at
+    // (20−10)/(25−10); a bound past the last finite bucket collapses
+    // the +Inf partial term to exactly 0 (full finite cumulative)
+    assert(one("""histogram_fraction(0, 20, {type="m"})""") ==
+      (200.0 + 300.0 * ((20.0 - 10.0) / (25.0 - 10.0))) / 1000.0)
+    assert(one("""histogram_fraction(0, 1000, {type="m"})""") == 0.9)
+    // a negative lo clamps to the first-bucket floor 0
+    assert(one("""histogram_fraction(-5, 20, {type="m"})""") ==
+      one("""histogram_fraction(0, 20, {type="m"})"""))
+    intercept[IllegalArgumentException](
+      one("""histogram_fraction(5, 1, {type="m"})"""))
     // the unsupported members fail loud with the migration guidance
     val e = intercept[IllegalArgumentException](
       one("""histogram_stddev({type="m"})"""))
