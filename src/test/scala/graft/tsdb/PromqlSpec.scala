@@ -1623,6 +1623,64 @@ class PromqlSpec extends AnyFunSuite {
     assert(got == Map("5" -> 1.0, "-26" -> 2.0, "4" -> 4.0))
   }
 
+  test("mixed-schema merge == direct coarse assignment (randomized property)") {
+    // the algebraic content of the downscale: assigning observations
+    // at schema 3 and downscaling the indices MUST be
+    // indistinguishable from assigning the same observations at
+    // schema 2 directly — for the index map on random cents, and
+    // END-TO-END for the merged quantile/sum/count against a
+    // pre-coarsened single-schema twin (bit-equal, not approximately)
+    val rnd = new scala.util.Random(20260816L)
+    val b3 = NativeHist.buckets; val b2 = NativeHist.bucketsFor(2)
+    def idxAt(bs: Seq[(Int, Long, Long, Double, Double)], c: Long): Int =
+      bs.find(t => c > t._2 && c <= t._3).get._1
+    (1 to 2000).foreach { _ =>
+      // log-uniform cents over the full enumerated span
+      val c = math.max(1L, math.exp(rnd.nextDouble() * math.log(1158524.0)).toLong)
+      val i3 = idxAt(b3, c); val i2 = idxAt(b2, c)
+      assert(i2 == math.ceil(i3 / 2.0).toInt, s"c=$c ($i3 -> $i2)")
+    }
+    // end-to-end twin: h1 scrapes half the observations at schema 3,
+    // h2 the other half at schema 2; the single-host twin assigns ALL
+    // of them at schema 2
+    import spark.implicits._
+    val T0 = 1700006400L
+    val obs = Seq.fill(300)(
+      math.max(0L, math.exp(rnd.nextDouble() * math.log(1158524.0)).toLong -
+        (if (rnd.nextInt(20) == 0) 10000000L else 0L))) // a few zeros
+    val (o1, o2) = obs.splitAt(150)
+    def bucketRows(host: String, sch: String,
+                   bs: Seq[(Int, Long, Long, Double, Double)],
+                   os: Seq[Long]): Seq[(String, String, String, String, Long, Double)] = {
+      val byIdx = os.filter(_ > 0).groupBy(c => idxAt(bs, c).toString)
+        .map { case (i, cs) => (i, cs.size.toDouble) }
+      val zero = os.count(_ <= 0).toDouble
+      (byIdx.toSeq ++ (if (zero > 0) Seq("zero" -> zero) else Nil) ++
+        Seq("count" -> os.size.toDouble, "sum" -> os.map(math.max(_, 0L)).sum / 100.0))
+        .map { case (nb, v) => ("m", host, sch, nb, T0 * 1000000000L, v) }
+    }
+    val mixed = Ts.chunkify(
+      (bucketRows("h1", "3", b3, o1) ++ bucketRows("h2", "2", b2, o2))
+        .toDF("type", "host", "schema", "nb", "ts", "v"),
+      mixedLbl, "ts", "v")
+    val twin = Ts.chunkify(
+      bucketRows("h0", "2", b2, obs)
+        .toDF("type", "host", "schema", "nb", "ts", "v"),
+      mixedLbl, "ts", "v")
+    for (q <- Seq("histogram_quantile(0.25, sum by (nb) ({type=\"m\"}))",
+        "histogram_quantile(0.7, sum by (nb) ({type=\"m\"}))",
+        "histogram_quantile(0.99, sum by (nb) ({type=\"m\"}))",
+        "histogram_sum(sum by (nb) ({type=\"m\"}))",
+        "histogram_count(sum by (nb) ({type=\"m\"}))",
+        "histogram_fraction(0.2, 7.7, sum by (nb) ({type=\"m\"}))")) {
+      val a = Promql.eval(mixed, mixedLbl, q, T0)
+        .collect().map(_.getAs[Double]("value")).toSeq
+      val b = Promql.eval(twin, mixedLbl, q, T0)
+        .collect().map(_.getAs[Double]("value")).toSeq
+      assert(a.length == 1 && a == b, s"$q: mixed=$a twin=$b")
+    }
+  }
+
   test("mixed-schema histogram_quantile: interpolates on the coarsest bounds") {
     val (ch, t0) = mixedVec
     val q = Promql.eval(ch, mixedLbl,
