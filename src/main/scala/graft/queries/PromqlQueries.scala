@@ -920,8 +920,21 @@ object PromqlQueries {
     // evaluation over the identical watermark-derived grid
     "promql_stream_alert" -> ((s, dir) =>
       s.read.parquet(s"${streamRulesStore(s, dir)}/alerts")
+        .filter(col("alert") === "HighClickVolume")
         .select(col("region"), col("ts"), col("value"), col("state"))
-        .orderBy("region", "ts")))
+        .orderBy("region", "ts")),
+    // CONTINUOUS keep_firing_for: the same group carries the
+    // hysteresis twin — per batch the chain state is recovered from
+    // the persisted state log (the keep analog of the for-deep
+    // lookback), so the streamed log must equal the one-shot island
+    // state machine over the identical watermark-derived grid,
+    // including hysteresis tails that cross the batch cuts
+    "promql_stream_alert_keep" -> ((s, dir) =>
+      s.read.parquet(s"${streamRulesStore(s, dir)}/alerts")
+        .filter(col("alert") === "HighClickVolumeKeep")
+        .select(col("region"), col("ts"), col("value"), col("state"),
+          col("cond"))
+        .orderBy("region", "ts", "cond")))
 
   /** Grid/batch geometry of [[streamRecordedStore]] — shared with its
     * oracle: 2-h steps, 1-h allowed lateness, batch cuts at Jan-10 and
@@ -945,7 +958,7 @@ object PromqlQueries {
   private def streamRulesStore(s: SparkSession, dir: String): String =
     synchronized {
       graft.functions.registerAll(s)
-      val base = TsQueries.storePathFor(dir) + "_srec2"
+      val base = TsQueries.storePathFor(dir) + "_srec3" // r16: + keep-alert
       val done = new java.io.File(base, "_DONE")
       if (!done.exists()) {
         // wipe partial builds: a half-folded cursor would skip batches
@@ -959,9 +972,16 @@ object PromqlQueries {
           recordings = Seq(graft.streaming.StreamRules.Recording(
             "region:click:sum6h",
             "sum by (region) (sum_over_time(click[6h]))")),
-          alerts = Seq(graft.streaming.StreamRules.Alert("HighClickVolume",
-            "sum by (region) (sum_over_time(click[6h])) > 100",
-            forSec = 2 * SRecStep)),
+          alerts = Seq(
+            graft.streaming.StreamRules.Alert("HighClickVolume",
+              "sum by (region) (sum_over_time(click[6h])) > 100",
+              forSec = 2 * SRecStep),
+            // the keep_firing_for twin: same condition, 2-step
+            // hysteresis — chains crossing the batch cuts recover
+            // from the state log (firingSeedFor)
+            graft.streaming.StreamRules.Alert("HighClickVolumeKeep",
+              "sum by (region) (sum_over_time(click[6h])) > 100",
+              forSec = 2 * SRecStep, keepFiringForSec = 2 * SRecStep)),
           latenessSec = SRecLate, horizonSec = StepWin + SRecStep)
         val slices = Seq(
           ev.filter(sec < SRecCut1 && !late),
@@ -2642,6 +2662,47 @@ object PromqlQueries {
         |SELECT region, t AS ts, value,
         |  CASE WHEN n >= 3 THEN 'firing' ELSE 'pending' END AS state
         |FROM st ORDER BY region, ts""".stripMargin,
+    // the continuous keep_firing_for log must equal the one-shot
+    // island state machine over the watermark-derived grid: chains by
+    // gap ≤ keep, fire = running max of the for-gate per island,
+    // hysteresis tails to min(next true − step, t + keep, last step)
+    "promql_stream_alert_keep" ->
+      s"""$lblCte,
+        |b AS (SELECT ((min(ts) + ${SRecStep - 1}) // $SRecStep) * $SRecStep AS fs,
+        |  ((max(ts) - $SRecLate) // $SRecStep) * $SRecStep AS ls FROM lbl),
+        |steps AS (SELECT unnest(generate_series(fs, ls,
+        |  CAST($SRecStep AS BIGINT))) AS t FROM b),
+        |sums AS (SELECT region, t, CAST(sum(cents) AS BIGINT) AS sc
+        |  FROM lbl JOIN steps ON lbl.ts >= t - $StepWin AND lbl.ts <= t - 1
+        |  WHERE type = 'click' GROUP BY region, t),
+        |cond AS (SELECT region, t, CAST(sc AS DOUBLE) / 100.0 AS value
+        |  FROM sums WHERE sc > 10000),
+        |st AS (SELECT region, t, value, count(*) OVER (
+        |    PARTITION BY region ORDER BY t
+        |    RANGE BETWEEN ${2 * SRecStep} PRECEDING AND CURRENT ROW) >= 3 AS fr,
+        |  CASE WHEN t - lag(t) OVER (PARTITION BY region ORDER BY t)
+        |    IS DISTINCT FROM NULL
+        |    AND t - lag(t) OVER (PARTITION BY region ORDER BY t)
+        |      <= ${2 * SRecStep}
+        |    THEN 0 ELSE 1 END AS brk FROM cond),
+        |isl AS (SELECT *, sum(brk) OVER (PARTITION BY region ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp FROM st),
+        |mk AS (SELECT isl.*, b.ls, max(CASE WHEN fr THEN 1 ELSE 0 END) OVER (
+        |    PARTITION BY region, grp ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1 AS fire,
+        |  lead(t) OVER (PARTITION BY region ORDER BY t) AS nxt
+        |  FROM isl, b)
+        |SELECT region, t AS ts, value,
+        |  CASE WHEN fire THEN 'firing' ELSE 'pending' END AS state,
+        |  TRUE AS cond FROM mk
+        |UNION ALL
+        |SELECT region, t + $SRecStep * j AS ts, value, 'firing' AS state,
+        |  FALSE AS cond
+        |FROM mk CROSS JOIN generate_series(1, 2) s(j)
+        |WHERE fire AND t + $SRecStep * j <=
+        |  least(t + ${2 * SRecStep}, coalesce(nxt - $SRecStep,
+        |    t + ${2 * SRecStep}), ls)
+        |ORDER BY region, ts, cond""".stripMargin,
     // the continuously-recorded store must equal the one-shot grid
     // evaluation over the SAME watermark-derived grid: first step =
     // min event sec aligned UP to the 2-h grid (rules evaluate from
