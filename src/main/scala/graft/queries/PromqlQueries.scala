@@ -1585,7 +1585,7 @@ object PromqlQueries {
         |  FROM b LEFT JOIN ev e ON e.cents > b.lo_c AND e.cents <= b.hi_c
         |  GROUP BY b.ord, b.blo, b.bhi
         |  UNION ALL
-        |  SELECT -2147483648, 0.0e0, 0.0e0, CAST(100 * count(*) AS BIGINT)
+        |  SELECT -536870912, 0.0e0, 0.0e0, CAST(100 * count(*) AS BIGINT)
         |  FROM ev WHERE cents <= 0),
         |c AS (SELECT ord, blo, bhi, n, sum(n) OVER (ORDER BY ord
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
@@ -1613,7 +1613,7 @@ object PromqlQueries {
         |  FROM b LEFT JOIN ev e ON e.cents > b.lo_c AND e.cents <= b.hi_c
         |  GROUP BY b.ord
         |  UNION ALL
-        |  SELECT -2147483648, CAST(100 * count(*) AS BIGINT)
+        |  SELECT -536870912, CAST(100 * count(*) AS BIGINT)
         |  FROM ev WHERE cents <= 0),
         |g AS (SELECT
         |  CAST(coalesce(sum(CASE WHEN ord < $ordHi THEN n END), 0) AS DOUBLE)
@@ -1682,7 +1682,7 @@ object PromqlQueries {
         |    AND e.cents > b.lo_c AND e.cents <= b.hi_c
         |  GROUP BY st.t, b.ord
         |  UNION ALL
-        |  SELECT t, -2147483648, CAST(100 * count(*) AS BIGINT)
+        |  SELECT t, -536870912, CAST(100 * count(*) AS BIGINT)
         |  FROM ev WHERE cents <= 0 GROUP BY t),
         |g AS (SELECT t,
         |  CAST(coalesce(sum(CASE WHEN ord < $ordHi THEN n END), 0) AS DOUBLE)
@@ -1715,7 +1715,7 @@ object PromqlQueries {
         |    AND e.cents > b.lo_c AND e.cents <= b.hi_c
         |  GROUP BY st.t, b.ord, b.blo, b.bhi
         |  UNION ALL
-        |  SELECT t, -2147483648, 0.0e0, 0.0e0,
+        |  SELECT t, -536870912, 0.0e0, 0.0e0,
         |    CAST(100 * count(*) AS BIGINT)
         |  FROM ev WHERE cents <= 0 GROUP BY t),
         |c AS (SELECT t, ord, blo, bhi, n, sum(n) OVER (PARTITION BY t
@@ -1770,7 +1770,7 @@ object PromqlQueries {
         |  FROM b LEFT JOIN ev e ON e.cents > b.lo_c AND e.cents <= b.hi_c
         |  GROUP BY b.ord, b.blo, b.bhi
         |  UNION ALL
-        |  SELECT -2147483648, 0.0e0, 0.0e0, CAST(100 * count(*) AS BIGINT)
+        |  SELECT -536870912, 0.0e0, 0.0e0, CAST(100 * count(*) AS BIGINT)
         |  FROM ev WHERE cents <= 0),
         |c AS (SELECT ord, blo, bhi, n, sum(n) OVER (ORDER BY ord
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
@@ -1861,7 +1861,7 @@ object PromqlQueries {
         |  FROM b LEFT JOIN ev e ON e.cents > b.lo_c AND e.cents <= b.hi_c
         |  GROUP BY b.ord
         |  UNION ALL
-        |  SELECT -2147483648, CAST(100 * count(*) AS BIGINT)
+        |  SELECT -536870912, CAST(100 * count(*) AS BIGINT)
         |  FROM ev WHERE cents <= 0),
         |g AS (SELECT
         |  CAST(coalesce(sum(CASE WHEN ord < $ordHi THEN n END), 0) AS DOUBLE)
@@ -1929,7 +1929,7 @@ object PromqlQueries {
         |    AND e.cents > b.lo_c AND e.cents <= b.hi_c
         |  GROUP BY st.t, b.ord, b.blo, b.bhi
         |  UNION ALL
-        |  SELECT t, -2147483648, 0.0e0, 0.0e0,
+        |  SELECT t, -536870912, 0.0e0, 0.0e0,
         |    CAST(100 * count(*) AS BIGINT)
         |  FROM ev WHERE cents <= 0 GROUP BY t),
         |c AS (SELECT t, ord, blo, bhi, n, sum(n) OVER (PARTITION BY t

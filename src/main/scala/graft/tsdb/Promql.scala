@@ -971,7 +971,10 @@ object Promql {
     val prevC = coalesce(col("__prevCum"), lit(0.0))
     val interp = lower + (col("__le") - lower) *
       ((col("__rank") - prevC) / (col("__cum") - prevC))
-    val value = when(col("__le") === Double.PositiveInfinity, col("__prevLe"))
+    // degenerate layout (a rank in +Inf with no finite bucket): NaN,
+    // like the reference bucketQuantile — never a null sample
+    val value = when(col("__le") === Double.PositiveInfinity,
+        coalesce(col("__prevLe"), lit(Double.NaN)))
       .otherwise(interp)
     Vec(first.withColumn("value", value)
       .select(L.map(col) :+ col("value"): _*), L, Dbl)
@@ -1021,7 +1024,11 @@ object Promql {
     val prevC = (col("__cum") - col("value")).cast("double")
     val interp = lower + (col("__le") - lower) *
       ((col("__rank") - prevC) / (col("__cum").cast("double") - prevC))
-    val value = when(col("__le") === Double.PositiveInfinity, col("__prevLe"))
+    // a rank in the +Inf arm with NO finite bucket below it has no
+    // interpolable bound: answer NaN (the reference bucketQuantile's
+    // degenerate-layout convention), never a null sample
+    val value = when(col("__le") === Double.PositiveInfinity,
+        coalesce(col("__prevLe"), lit(Double.NaN)))
       .otherwise(interp)
     Vec(first.withColumn("value", value)
       .select(L.map(col) :+ col("value"): _*), L, Dbl)
@@ -1057,7 +1064,7 @@ object Promql {
     val hasSchema = v.labels.contains("schema")
     val bounds = broadcast(
       if (hasSchema)
-        (0 to 3).flatMap(sc => NativeHist.boundRowsFor(sc)
+        SchemaRange.flatMap(sc => NativeHist.boundRowsFor(sc)
             .map(t => (sc.toString, t._1, t._2, t._3, t._4)))
           .toDF("schema", "nb", "__ord", "__blo", "__bhi")
       else NativeHist.boundRows.toDF("nb", "__ord", "__blo", "__bhi"))
@@ -1069,7 +1076,7 @@ object Promql {
     // selector's chunks twice (caught by the plan pin)
     val totW = Window.partitionBy(L.map(col): _*).orderBy(col("nb"))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val df = v.df
+    val df = (if (hasSchema) validSchema(v.df) else v.df)
       .withColumn("__tot",
         max(when(col("nb") === "count", col("value"))).over(totW))
       .filter(col("nb") =!= "count" && col("nb") =!= "sum")
@@ -1124,7 +1131,7 @@ object Promql {
           s"histogram_fraction needs lo <= hi, got ($lo0, $hi0)")
         val bounds = broadcast(
           if (hasSchema)
-            (0 to 3).flatMap(sc => NativeHist.boundRowsFor(sc)
+            SchemaRange.flatMap(sc => NativeHist.boundRowsFor(sc)
                 .map(t => (sc.toString, t._1, t._2)))
               .toDF("schema", "nb", "__ord")
           else NativeHist.boundRows.map(t => (t._1, t._2)).toDF("nb", "__ord"))
@@ -1143,7 +1150,7 @@ object Promql {
               .cast("double") +
               coalesce(sum(when(col("__ord") === ordX, col("value"))), lit(0L))
                 .cast("double") * lit(frac)
-          } else (0 to 3).map { sc =>
+          } else SchemaRange.map { sc =>
             val (ordX, frac) = NativeHist.locateAt(x, sc)
             val m = col("schema") === sc.toString
             coalesce(sum(when(m && col("__ord") < ordX, col("value"))), lit(0L))
@@ -1151,10 +1158,10 @@ object Promql {
               coalesce(sum(when(m && col("__ord") === ordX, col("value"))), lit(0L))
                 .cast("double") * lit(frac)
           }.reduce(_ + _)
-        val g = v.df.join(bounds,
+        val g = (if (hasSchema) validSchema(v.df) else v.df).join(bounds,
             if (hasSchema) Seq("schema", "nb") else Seq("nb"), "left")
           .groupBy(L.map(col): _*)
-          .agg(fAt(math.max(hi0, 0.0)).as("__fhi"), fAt(math.max(lo0, 0.0)).as("__flo"),
+          .agg(fAt(hi0).as("__fhi"), fAt(lo0).as("__flo"),
             max(when(col("nb") === "count", col("value"))).as("__tot"))
         Vec(g.filter(col("__tot") > 0)
           .select(L.map(col) :+ ((col("__fhi") - col("__flo")) /
@@ -1181,16 +1188,21 @@ object Promql {
         // literals are driver-computed doubles shared with the spec
         // pin. One conditional aggregate over the single vector
         // reference, like avg.
+        // geometric midpoint √(lo·hi), 0 for the zero arm, NEGATED for
+        // the mirrored span (its bound pair is (−hi, −lo): the product
+        // is positive, the midpoint must carry the span's sign)
+        def midOf(t: (String, Int, Double, Double)): Double =
+          if (t._2 == NativeHist.ZeroOrd) 0.0
+          else if (t._3 < 0) -Math.sqrt(t._3 * t._4)
+          else Math.sqrt(t._3 * t._4)
         val bounds = broadcast(
           if (hasSchema)
-            (0 to 3).flatMap(sc => NativeHist.boundRowsFor(sc).map(t =>
-                (sc.toString, t._1, t._2,
-                  if (t._2 == Int.MinValue) 0.0 else Math.sqrt(t._3 * t._4))))
+            SchemaRange.flatMap(sc => NativeHist.boundRowsFor(sc).map(t =>
+                (sc.toString, t._1, t._2, midOf(t))))
               .toDF("schema", "nb", "__ord", "__mid")
-          else NativeHist.boundRows.map(t =>
-              (t._1, t._2, if (t._2 == Int.MinValue) 0.0 else Math.sqrt(t._3 * t._4)))
+          else NativeHist.boundRows.map(t => (t._1, t._2, midOf(t)))
             .toDF("nb", "__ord", "__mid"))
-        val g = v.df.join(bounds,
+        val g = (if (hasSchema) validSchema(v.df) else v.df).join(bounds,
             if (hasSchema) Seq("schema", "nb") else Seq("nb"), "left")
           .groupBy(L.map(col): _*)
           .agg(sort_array(collect_list(when(col("__ord").isNotNull,
@@ -2613,26 +2625,47 @@ object Promql {
       1, 8), 16, 10).cast("long")
   }
 
+  /** The full Prometheus exponential schema range: every per-schema
+    * bound/locate table in the nb-vector family enumerates this. */
+  private val SchemaRange: Range = -4 to 8
+
+  /** Fail-loud `schema` label guard: the bound tables key on the
+    * CANONICAL decimal string of an integer in [[SchemaRange]], so a
+    * malformed label ("03", "foo", "9") would silently drop every
+    * bucket row at the join — inconsistent with the engine's
+    * convention (bucketsFor/locateAt `require` their schema). Raise
+    * instead, naming the bad label. */
+  private def validSchema(df: DataFrame): DataFrame = {
+    val si = expr("try_cast(schema AS INT)") // ANSI-safe: null, not throw
+    df.withColumn("schema",
+      when(si.isNull || si < SchemaRange.head || si > SchemaRange.last ||
+          si.cast("string") =!= col("schema"),
+        raise_error(concat(
+          lit("native-histogram schema label '"), col("schema"),
+          lit(s"' is not a canonical integer in [${SchemaRange.head}, " +
+            s"${SchemaRange.last}]"))))
+        .otherwise(col("schema")))
+  }
+
   /** Remap a mixed-schema native-histogram vector onto each output
     * group's COARSEST schema: Δ = schema − min(schema) over the group
     * identity (the out labels minus the bucket index), index
     * i → ⌈i/2^Δ⌉ = floorDiv(i + 2^Δ − 1, 2^Δ) — integer-only end to
     * end (pmod-based floor division; the division is exact by
     * construction), so two engines can never disagree on the merged
-    * layout. The count/sum/zero arms pass through unchanged (they are
-    * resolution-independent), and the `schema` label collapses to the
-    * coarsest. Same-index rows are NOT merged here — the aggregation
-    * that triggered the downscale does that. The window is
+    * layout. Mirrored negative-span buckets ("n"+i) remap |i| through
+    * the same formula and keep their tag (the thresholds nest on
+    * |value| identically). The count/sum/zero arms pass through
+    * unchanged (they are resolution-independent), and the `schema`
+    * label collapses to the coarsest. Same-index rows are NOT merged
+    * here — [[mergeSeriesBuckets]] (for ops that need per-series
+    * merged buckets) or the triggering sum does that. The window is
     * group-sized (≤ |series|·|buckets| rows per group identity),
     * never data-sized. */
   private def downscaleToCoarsest(v: Vec, outG: Seq[String]): Vec = {
     val part = outG.filterNot(_ == "nb")
-    val schInt = expr("try_cast(schema AS INT)") // ANSI-safe: null, not throw
-    val withSch = v.df
-      .withColumn("__sch", when(schInt.isNull, raise_error(concat(
-          lit("native-histogram schema label '"), col("schema"),
-          lit("' is not an integer"))).cast("int"))
-        .otherwise(schInt))
+    val withSch = validSchema(v.df)
+      .withColumn("__sch", expr("CAST(schema AS INT)"))
     // coarsest per group identity, via ONE window over the FOLDED
     // vector (series-sized — the rate/selector fold already ran, so
     // even the global-grouping no-partition case moves ≤ |series| tiny
@@ -2646,13 +2679,33 @@ object Promql {
         else Window.partitionBy(part.map(col): _*)))
     val df = withCs
       .withColumn("__d", expr("CAST(shiftleft(1, __sch - __cs) AS LONG)"))
-      .withColumn("__i", expr("try_cast(nb AS LONG)")) // arms cast to null
+      .withColumn("__neg", col("nb").startsWith("n"))
+      .withColumn("__i", expr( // arms cast to null; "n"+i strips the tag
+        "try_cast(CASE WHEN nb LIKE 'n%' THEN substring(nb, 2) ELSE nb END AS LONG)"))
       .withColumn("__x", col("__i") + col("__d") - 1)
       .withColumn("nb", when(col("__i").isNull, col("nb"))
-        .otherwise(expr("CAST((__x - pmod(__x, __d)) DIV __d AS STRING)")))
+        .otherwise(concat(when(col("__neg"), lit("n")).otherwise(lit("")),
+          expr("CAST((__x - pmod(__x, __d)) DIV __d AS STRING)"))))
       .withColumn("schema", col("__cs").cast("string"))
-      .drop("__sch", "__cs", "__d", "__i", "__x")
+      .drop("__sch", "__cs", "__d", "__neg", "__i", "__x")
     Vec(df, v.labels, v.kind)
+  }
+
+  /** Merge same-(series, bucket) fragment rows a downscale leaves
+    * behind: after i → ⌈i/2^Δ⌉ a fine series can hold SEVERAL rows per
+    * coarse index, which is transparent to a sum (the outer aggregate
+    * merges them anyway) but wrong for every other merging op — avg
+    * over fragments averages fragment values where the reference
+    * merges each histogram's buckets BEFORE cross-series aggregation.
+    * One exact integer-grid sum per series grain restores the
+    * per-histogram layout; fails loud on a float vector (a float
+    * merge would be order-dependent, the engine-wide convention). */
+  private def mergeSeriesBuckets(v: Vec): Vec = {
+    if (v.kind == Dbl) throw new IllegalArgumentException(
+      "merging a mixed-schema native-histogram float vector is " +
+        "order-dependent; aggregate before the float op")
+    Vec(v.df.groupBy(v.labels.map(col): _*).agg(sum("value").as("value")),
+      v.labels, v.kind)
   }
 
   private def aggregate(agg: AggExpr, ctx: Ctx): Vec = {
@@ -2681,10 +2734,15 @@ object Promql {
       "stdvar", "group", "quantile", "count_values")(agg.op)
     val (v, out) =
       if (mergingOp && v0.labels.contains("nb") && v0.labels.contains("schema") &&
-          outG.contains("nb") && !outG.contains("schema"))
-        (downscaleToCoarsest(v0, outG),
+          outG.contains("nb") && !outG.contains("schema")) {
+        val down = downscaleToCoarsest(v0, outG)
+        // sum merges a series' fragment rows by itself; every other
+        // merging op needs the per-series merged buckets first
+        // (fragments would inflate counts and skew avg/min/max/
+        // quantile/stddev) — see mergeSeriesBuckets
+        (if (agg.op == "sum") down else mergeSeriesBuckets(down),
           v0.labels.filter(l => outG.contains(l) || l == "schema"))
-      else (v0, outG)
+      } else (v0, outG)
     def grouped = if (out.isEmpty) v.df.groupBy() else v.df.groupBy(out.map(col): _*)
     agg.op match {
       case "sum" =>

@@ -2093,4 +2093,226 @@ class PromqlSpec extends AnyFunSuite {
       """sort_by_label(sum by (host) (sum_over_time(click[2d])), "nope")""",
       EvalTs).collect())
   }
+
+  // ===== round-17: full Prometheus schema range [-4, 8] =====
+
+  test("NativeHist.bucketsFor: full-range tables are exact and nested") {
+    // every schema in the Prometheus exponential range [-4, 8]:
+    // gap-free monotone cent coverage from 0, same value span (the
+    // top threshold reaches at least 100·2^13.5 — past the corpus
+    // domain), bound doubles on the exact dyadic grid
+    for (sc <- -4 to 8) {
+      val b = NativeHist.bucketsFor(sc)
+      assert(b.head._2 == 0L, s"schema $sc lo")
+      b.sliding(2).foreach {
+        case Seq(p, n) => assert(p._3 == n._2, s"schema $sc gap at ${n._1}")
+        case _ =>
+      }
+      assert(b.last._3 >= 1158523L, s"schema $sc span ${b.last._3}")
+      val p = if (sc >= 0) 1 << sc else 1
+      val q = if (sc < 0) 1 << -sc else 1
+      b.foreach { t =>
+        assert(t._4 == math.pow(2, (t._1 - 1).toDouble * q / p) &&
+          t._5 == math.pow(2, t._1.toDouble * q / p), s"schema $sc bound ${t._1}")
+      }
+    }
+    // the schema-0 top bucket is the TRUE threshold 100·2^14 (the r16
+    // search cap silently clamped it to 1200000 — ADVICE pin)
+    assert(NativeHist.bucketsFor(0).last._3 == 1638400L)
+    // exact membership at the extremes of the range: the cleared
+    // inequality c^(2^s) ≤ 2^i·100^(2^s) at s = 8 (p = 256), and the
+    // integer-base inequality c ≤ 100·2^(16i) at s = −4
+    val b8 = NativeHist.bucketsFor(8)
+    val T8 = BigInt(100).pow(256)
+    for (c <- Seq(1L, 99L, 100L, 101L, 4999L, 50000L, 1158523L)) {
+      val Seq((i, _, _, _, _)) =
+        b8.filter(t => c > t._2 && c <= t._3).toSeq: @unchecked
+      def fits(j: Int): Boolean = {
+        val shift = if (j < 0) -j else 0
+        (BigInt(c).pow(256) << shift) <=
+          (if (j > 0) BigInt(2).pow(j) else BigInt(1)) * T8
+      }
+      assert(fits(i) && !fits(i - 1), s"schema 8 cents $c -> idx $i")
+    }
+    val bm4 = NativeHist.bucketsFor(-4)
+    assert(bm4.map(_._1) == Seq(0, 1)) // (0.01¢…1], (1…65536] dollars
+    assert(bm4.map(_._3) == Seq(100L, 6553600L))
+    // out-of-range schemas fail loud
+    intercept[IllegalArgumentException](NativeHist.bucketsFor(-5))
+    intercept[IllegalArgumentException](NativeHist.bucketsFor(9))
+  }
+
+  test("NativeHist: thresholds nest across EVERY consecutive schema pair") {
+    // idx_s(c) == ⌈idx_{s+1}(c)/2⌉ for random log-uniform cents at
+    // every pair in [-4, 8] — the exactness the downscale remap rests
+    // on, now over the full Prometheus range
+    def idxAt(bs: Seq[(Int, Long, Long, Double, Double)], c: Long): Int =
+      bs.find(t => c > t._2 && c <= t._3).get._1
+    val rnd = new scala.util.Random(20260817L)
+    val cents = Seq(1L, 2L, 99L, 100L, 101L, 6400L, 1158523L) ++
+      Seq.fill(200)(math.max(1L,
+        math.exp(rnd.nextDouble() * math.log(1158523.0)).toLong))
+    for (s <- -4 to 7) {
+      val bLo = NativeHist.bucketsFor(s); val bHi = NativeHist.bucketsFor(s + 1)
+      cents.foreach { c =>
+        val iLo = idxAt(bLo, c); val iHi = idxAt(bHi, c)
+        assert(iLo == math.ceil(iHi / 2.0).toInt, s"s=$s c=$c ($iHi -> $iLo)")
+      }
+    }
+  }
+
+  test("mixed-schema downscale with a NEGATIVE coarsest schema") {
+    import spark.implicits._
+    val T0 = 1700006400L
+    // h1 scrapes at schema 3, h2 at schema −2 (base 16): Δ = 5, so
+    // h1's idx 8 (…, 2] and idx 16 (…, 4] both remap to ⌈i/32⌉ = 1 =
+    // (1, 16] at schema −2 and merge with h2's native bucket 1
+    val rows = Seq(
+      ("m", "h1", "3", "8", 4.0), ("m", "h1", "3", "16", 6.0),
+      ("m", "h1", "3", "count", 10.0), ("m", "h1", "3", "sum", 32.0),
+      ("m", "h2", "-2", "zero", 1.0), ("m", "h2", "-2", "1", 2.0),
+      ("m", "h2", "-2", "2", 2.0),
+      ("m", "h2", "-2", "count", 5.0), ("m", "h2", "-2", "sum", 40.0))
+      .map { case (t, h, sc, nb, v) => (t, h, sc, nb, T0 * 1000000000L, v) }
+    val ch = Ts.chunkify(rows.toDF("type", "host", "schema", "nb", "ts", "v"),
+      mixedLbl, "ts", "v")
+    val got = Promql.eval(ch, mixedLbl, """sum by (nb) ({type="m"})""", T0)
+      .collect().map(r => (r.getAs[String]("schema"), r.getAs[String]("nb")) ->
+        r.getAs[Double]("value")).toMap
+    assert(got == Map(("-2", "zero") -> 1.0, ("-2", "1") -> 12.0,
+      ("-2", "2") -> 2.0, ("-2", "count") -> 15.0, ("-2", "sum") -> 72.0))
+    // quantile interpolates on the schema-(−2) bounds (1, 16]:
+    // rank .5·1500 = 750 lands in merged bucket 1 (cum 100+1200)
+    val q = Promql.eval(ch, mixedLbl,
+      """histogram_quantile(0.5, sum by (nb) ({type="m"}))""", T0).collect()
+    assert(q.length == 1 && q.head.getAs[String]("schema") == "-2")
+    assert(q.head.getAs[Double]("value") ==
+      1.0 + (16.0 - 1.0) * ((750.0 - 100.0) / (1300.0 - 100.0)))
+  }
+
+  test("mixed-schema non-sum aggregation merges per-series buckets first") {
+    import spark.implicits._
+    val T0 = 1700006400L
+    // the ADVICE r16 case: h1's schema-3 indices 15/16 BOTH remap to
+    // schema-2 index 8 — avg by (nb) must average the per-series
+    // MERGED buckets (h1: 4+6=10, h2: 2 → avg 6), never the fragment
+    // rows (avg(4,6,2) = 4)
+    val rows = Seq(
+      ("m", "h1", "3", "15", 4.0), ("m", "h1", "3", "16", 6.0),
+      ("m", "h1", "3", "count", 10.0), ("m", "h1", "3", "sum", 32.0),
+      ("m", "h2", "2", "8", 2.0),
+      ("m", "h2", "2", "count", 2.0), ("m", "h2", "2", "sum", 7.0))
+      .map { case (t, h, sc, nb, v) => (t, h, sc, nb, T0 * 1000000000L, v) }
+    val ch = Ts.chunkify(rows.toDF("type", "host", "schema", "nb", "ts", "v"),
+      mixedLbl, "ts", "v")
+    def by(q: String): Map[String, Double] =
+      Promql.eval(ch, mixedLbl, q, T0)
+        .collect().map(r => r.getAs[String]("nb") ->
+          r.getAs[Number]("value").doubleValue).toMap
+    assert(by("""avg by (nb) ({type="m"})""")("8") == 6.0)
+    // count counts SERIES with the bucket, not fragments
+    assert(by("""count by (nb) ({type="m"})""")("8") == 2.0)
+    // min/max see the merged per-series value 10, not fragments 4/6
+    assert(by("""max by (nb) ({type="m"})""")("8") == 10.0)
+    assert(by("""min by (nb) ({type="m"})""")("8") == 2.0)
+    // sum unchanged (fragments merge in the outer aggregate)
+    assert(by("""sum by (nb) ({type="m"})""")("8") == 12.0)
+  }
+
+  test("schema label outside [-4,8] or non-canonical fails loud, never drops") {
+    import spark.implicits._
+    val T0 = 1700006400L
+    def store(sc: String) = {
+      val rows = Seq(("m", "h1", sc, "2", 4.0), ("m", "h1", sc, "count", 4.0),
+        ("m", "h1", sc, "sum", 8.0))
+        .map { case (t, h, s2, nb, v) => (t, h, s2, nb, T0 * 1000000000L, v) }
+      Ts.chunkify(rows.toDF("type", "host", "schema", "nb", "ts", "v"),
+        mixedLbl, "ts", "v")
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    for (bad <- Seq("9", "-5", "03", "x")) {
+      val e = intercept[Exception](Promql.eval(store(bad), mixedLbl,
+        """histogram_quantile(0.5, sum by (nb) ({type="m"}))""", T0).collect())
+      assert(msgs(e).exists(_.contains("not a canonical integer")),
+        s"schema '$bad': ${msgs(e)}")
+    }
+    // a VALID negative schema sails through the same path
+    val ok = Promql.eval(store("-2"), mixedLbl,
+      """histogram_quantile(0.5, sum by (nb) ({type="m"}))""", T0).collect()
+    assert(ok.length == 1)
+  }
+
+  // ===== round-17: mirrored negative bucket spans =====
+
+  /** A gauge-shaped native vector with NEGATIVE observations: h1 holds
+    * 3 obs in mirror bucket n8 = [−2, −2^(7/8)), 2 zeros, and 5 in
+    * positive idx 8 = (2^(7/8), 2]; sum = 3·(−2) + 5·2 = 4. */
+  private def signedVec = {
+    import spark.implicits._
+    val T0 = 1700006400L
+    val rows = Seq(
+      ("m", "h1", "n8", 3.0), ("m", "h1", "zero", 2.0), ("m", "h1", "8", 5.0),
+      ("m", "h1", "count", 10.0), ("m", "h1", "sum", 4.0))
+      .map { case (t, h, nb, v) => (t, h, nb, T0 * 1000000000L, v) }
+    (Ts.chunkify(rows.toDF("type", "host", "nb", "ts", "v"),
+      Seq("type", "host", "nb"), "ts", "v"), T0)
+  }
+
+  test("negative spans: quantile cumulates n-buckets, zero, then positive") {
+    val (ch, t0) = signedVec
+    def q(phi: Double): Double =
+      Promql.eval(ch, Seq("type", "host", "nb"),
+          s"""histogram_quantile($phi, {type="m"})""", t0)
+        .collect().map(_.getAs[Double]("value")).head
+    val lo8 = math.pow(2, 7 / 8.0); val hi8 = 2.0
+    // rank .2·1000 = 200 lands inside n8 = [−2, −2^(7/8)): linear on
+    // the MIRRORED bounds
+    assert(q(0.2) == -hi8 + (-lo8 - -hi8) * ((200.0 - 0.0) / (300.0 - 0.0)))
+    // rank .4·1000 = 400 lands in the zero arm → exactly 0
+    assert(q(0.4) == 0.0)
+    // rank .8·1000 = 800 lands in positive idx 8 (cum 300+200+500)
+    assert(q(0.8) == lo8 + (hi8 - lo8) * ((800.0 - 500.0) / (1000.0 - 500.0)))
+    // φ = 0: the LOWEST populated bucket's lower bound (n8's −2)
+    assert(q(0.0) == -2.0)
+  }
+
+  test("negative spans: locateAt mirrors gaps and fraction uses signed F(x)") {
+    // inside the mirror of idx 8: frac measures from the NEGATIVE end
+    val lo8 = math.pow(2, 7 / 8.0)
+    assert(NativeHist.locateAt(-1.9, 3) ==
+      (NativeHist.negOrd(8), (-1.9 + 2.0) / (2.0 - lo8)))
+    // exactly 0 → the zero arm in full (negative spans count below it)
+    assert(NativeHist.locateAt(0.0, 3) == (NativeHist.ZeroOrd, 1.0))
+    // a mirrored GAP bound: everything at-or-beyond the first kept
+    // bucket counts in full (the positive-gap rule, mirrored)
+    val gapX = -0.015
+    val b = NativeHist.buckets
+    assert(!b.exists(t => 0.015 > t._4 && 0.015 <= t._5))
+    assert(NativeHist.locateAt(gapX, 3) == (NativeHist.negOrd(-45), 1.0))
+    // below the table's most negative bound: F = 0
+    assert(NativeHist.locateAt(-1e9, 3) == (Int.MinValue, 0.0))
+    // engine: F(−1.9) counts the part of n8 below −1.9; F(2) is
+    // everything — fraction(−1.9, 2) spans both signs and the zero arm
+    val (ch, t0) = signedVec
+    val fr = Promql.eval(ch, Seq("type", "host", "nb"),
+        """histogram_fraction(-1.9, 2, {type="m"})""", t0)
+      .collect().map(_.getAs[Double]("value")).head
+    val fLo = (-1.9 + 2.0) / (2.0 - lo8)
+    assert(fr == ((300.0 + 200.0 + 500.0 * 1.0) - (0.0 + 300.0 * fLo)) / 1000.0)
+  }
+
+  test("negative spans: stddev midpoint carries the span's sign") {
+    val (ch, t0) = signedVec
+    val mid8 = Math.sqrt(math.pow(2, 7 / 8.0) * 2.0)
+    val mu = 4.0 / 10.0
+    // sort_array fold order: n8 (lowest ord), zero, idx 8
+    val vr = (300.0 * (-mid8 - mu) * (-mid8 - mu) +
+      200.0 * (0.0 - mu) * (0.0 - mu) +
+      500.0 * (mid8 - mu) * (mid8 - mu)) / 1000.0
+    val got = Promql.eval(ch, Seq("type", "host", "nb"),
+        """histogram_stdvar({type="m"})""", t0)
+      .collect().map(_.getAs[Double]("value")).head
+    assert(got == vr)
+  }
 }
