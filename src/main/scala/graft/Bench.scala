@@ -1,6 +1,30 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** The WRITE-heavy control op (round-17): chunkify + store-write a
+    * fixed 10% slice of events to a throwaway dir, deleted between
+    * reps. The r16 control was all read-path, but the rows that drift
+    * worst on slow hosts are write-heavy (store builds inside key
+    * timings) — one write key makes control_ratio honest for the
+    * store/ingest families. Deterministic slice (user_id % 10 = 0),
+    * same chunkify body the persisted store uses. */
+  private[graft] def controlWrite(spark: SparkSession, sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ctlw").toFile
+    try {
+      val ev = spark.read.parquet(s"$sfDir/events.parquet")
+        .where(pmod(col("user_id"), lit(10L)) === 0)
+      graft.tsdb.Ts.writeStore(
+        graft.tsdb.Ts.chunkify(ev, Seq("user_id", "event_type"), "ts", "value"),
+        dir.getAbsolutePath)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // default to the machine's full parallelism: the bench models a

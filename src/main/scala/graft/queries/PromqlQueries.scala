@@ -71,6 +71,21 @@ object PromqlQueries {
     Promql.eval(TsQueries.nhcbStoreChunks(s, dir),
       TsQueries.nhcbLabelCols, query, EvalTs)
 
+  /** The WIDE mixed-schema store (schemas 3 / −2 / 5 / 0 by
+    * user_id mod 4 — the full Prometheus range, coarsest NEGATIVE)
+    * for the `_mixed_wide` keys: the downscale crosses the schema
+    * sign boundary with Δ up to 7. */
+  private def wideQ(s: SparkSession, dir: String, query: String): DataFrame =
+    Promql.eval(TsQueries.wideNativeHistStoreChunks(s, dir),
+      TsQueries.mixedNativeHistLabelCols, query, EvalTs)
+
+  /** The SIGNED native store (click values re-centered by −25.00, so
+    * observations populate the MIRRORED negative spans) for the
+    * `_signed` keys. */
+  private def signedQ(s: SparkSession, dir: String, query: String): DataFrame =
+    Promql.eval(TsQueries.signedNativeHistStoreChunks(s, dir),
+      TsQueries.nativeHistLabelCols, query, EvalTs)
+
   /** The shared DuckDB label derivation (identical to TsQueries'):
     * type = event_type, host = h(user%100), region = r(user%4), plus
     * the exact integer cent grid. */
@@ -444,6 +459,31 @@ object PromqlQueries {
     // mixed fleet's total must equal the single-schema store's
     "promql_native_hist_sum_mixed" -> ((s, dir) =>
       mixedQ(s, dir, "histogram_sum(sum by (nb) (rate(click[2d])))")),
+    // WIDE mixed fleet (schemas 3/−2/5/0): the downscale lands on a
+    // NEGATIVE coarsest schema (−2, base 16) with Δ up to 7 — the
+    // oracle assigns every raw event at schema −2 directly, so any
+    // defect in the cross-sign remap hash-fails
+    "promql_native_histq_mixed_wide" -> ((s, dir) =>
+      wideQ(s, dir, "histogram_quantile(0.9, sum by (nb) (rate(click[2d])))")),
+    "promql_native_hist_sum_mixed_wide" -> ((s, dir) =>
+      wideQ(s, dir, "histogram_sum(sum by (nb) (rate(click[2d])))")),
+    // NON-sum merging aggregation over the mixed fleet: avg by (nb)
+    // must average each series' MERGED buckets (fragments from the
+    // fine schema pre-merge per series before the cross-series avg) —
+    // the r16 ADVICE case, now oracle-gated
+    "promql_native_hist_avg_mixed" -> ((s, dir) =>
+      mixedQ(s, dir, "avg by (nb) (rate(click[2d]))")),
+    // SIGNED (gauge-shaped) store: click values re-centered by −25.00
+    // populate the mirrored negative spans; φ = 0.25 lands INSIDE a
+    // negative bucket at every SF (~a third of window mass is below
+    // zero), interpolating on the mirrored bound pair
+    "promql_native_histq_signed" -> ((s, dir) =>
+      signedQ(s, dir, "histogram_quantile(0.25, sum by (nb) (rate(click[2d])))")),
+    // fraction with a NEGATIVE lower bound: F(−5) counts the part of
+    // the mirror bucket below −5 plus everything more negative
+    "promql_native_hist_fraction_signed" -> ((s, dir) =>
+      signedQ(s, dir,
+        "histogram_fraction(-5, 2, sum by (nb) (rate(click[2d])))")),
     // native histogram_stddev/stdvar: Prometheus's native-histogram
     // spread convention — Σ n·(√(lo·hi) − μ)²/count, the zero arm at
     // mid 0, μ = sum/count — folded in sort_array(ord) order so the
@@ -1790,6 +1830,151 @@ object PromqlQueries {
         |  / 17280000.0 AS value
         |FROM lbl WHERE type = 'click'
         |  AND ts > ${EvalTs - 165600L} AND ts <= $EvalTs""".stripMargin,
+    // WIDE mixed fleet: the engine downscales schemas 5/3/0 onto the
+    // NEGATIVE coarsest −2 (Δ up to 7, crossing the sign boundary);
+    // the oracle assigns every raw event at schema −2 directly —
+    // equal because the integer cent thresholds nest across the FULL
+    // range (hi_s(i) = hi_{s+1}(2i), property-pinned in PromqlSpec)
+    "promql_native_histq_mixed_wide" ->
+      s"""$lblCte,
+        |b(ord, lo_c, hi_c, blo, bhi) AS (VALUES ${nativeBucketValuesFor(-2)}),
+        |ev AS (SELECT cents FROM lbl WHERE type = 'click'
+        |  AND ts > ${EvalTs - 165600L} AND ts <= $EvalTs),
+        |t AS (SELECT CAST(100 * count(*) AS BIGINT) AS tot FROM ev),
+        |bc AS (
+        |  SELECT b.ord, b.blo, b.bhi,
+        |    CAST(100 * count(e.cents) AS BIGINT) AS n
+        |  FROM b LEFT JOIN ev e ON e.cents > b.lo_c AND e.cents <= b.hi_c
+        |  GROUP BY b.ord, b.blo, b.bhi
+        |  UNION ALL
+        |  SELECT -536870912, 0.0e0, 0.0e0, CAST(100 * count(*) AS BIGINT)
+        |  FROM ev WHERE cents <= 0),
+        |c AS (SELECT ord, blo, bhi, n, sum(n) OVER (ORDER BY ord
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM bc),
+        |p AS (SELECT c.*, t.tot, row_number() OVER (ORDER BY ord) AS rn
+        |  FROM c, t WHERE t.tot > 0
+        |    AND CAST(cum AS DOUBLE) >= 0.9 * CAST(t.tot AS DOUBLE))
+        |SELECT '-2' AS schema, blo + (bhi - blo) *
+        |    ((0.9 * CAST(tot AS DOUBLE) - CAST(cum - n AS DOUBLE))
+        |     / (CAST(cum AS DOUBLE) - CAST(cum - n AS DOUBLE))) AS value
+        |FROM p WHERE rn = 1""".stripMargin,
+    "promql_native_hist_sum_mixed_wide" ->
+      s"""$lblCte
+        |SELECT '-2' AS schema, CAST(CAST(sum(cents) AS BIGINT) AS DOUBLE)
+        |  / 17280000.0 AS value
+        |FROM lbl WHERE type = 'click'
+        |  AND ts > ${EvalTs - 165600L} AND ts <= $EvalTs""".stripMargin,
+    // avg by (nb) over the mixed fleet: per-series buckets MERGE to
+    // the coarse layout first (the engine's pre-merge), THEN average
+    // across the series HOLDING each bucket — the oracle derives both
+    // the numerator (window counts at schema 2) and the denominator
+    // (all-time series presence per coarse bucket) from raw events;
+    // the count/sum arms average over every host that ever clicked
+    "promql_native_hist_avg_mixed" ->
+      s"""$lblCte,
+        |b(ord, lo_c, hi_c, blo, bhi) AS (VALUES ${nativeBucketValuesFor(2)}),
+        |ev AS (SELECT host, cents, ts FROM lbl WHERE type = 'click'),
+        |pres AS (SELECT DISTINCT e.host, b.ord
+        |  FROM ev e JOIN b ON e.cents > b.lo_c AND e.cents <= b.hi_c
+        |  UNION
+        |  SELECT DISTINCT host, -536870912 FROM ev WHERE cents <= 0),
+        |wn AS (SELECT e.host, b.ord, CAST(100 * count(*) AS BIGINT) AS n
+        |  FROM ev e JOIN b ON e.cents > b.lo_c AND e.cents <= b.hi_c
+        |  WHERE e.ts > ${EvalTs - 165600L} AND e.ts <= $EvalTs
+        |  GROUP BY e.host, b.ord
+        |  UNION ALL
+        |  SELECT host, -536870912, CAST(100 * count(*) AS BIGINT)
+        |  FROM ev WHERE cents <= 0
+        |    AND ts > ${EvalTs - 165600L} AND ts <= $EvalTs
+        |  GROUP BY host),
+        |bg AS (SELECT p.ord, CAST(coalesce(sum(w.n), 0) AS BIGINT) AS tot,
+        |    count(*) AS c
+        |  FROM pres p LEFT JOIN wn w ON w.host = p.host AND w.ord = p.ord
+        |  GROUP BY p.ord),
+        |hosts AS (SELECT count(DISTINCT host) AS h FROM ev),
+        |warm AS (SELECT CAST(100 * count(*) AS BIGINT) AS wc,
+        |    CAST(coalesce(sum(cents), 0) AS BIGINT) AS ws
+        |  FROM ev WHERE ts > ${EvalTs - 165600L} AND ts <= $EvalTs)
+        |SELECT '2' AS schema,
+        |  CASE WHEN ord = -536870912 THEN 'zero'
+        |       ELSE CAST(ord AS VARCHAR) END AS nb,
+        |  CAST(tot AS DOUBLE) / (CAST(c AS DOUBLE) * 17280000.0e0) AS value
+        |FROM bg
+        |UNION ALL
+        |SELECT '2', 'count',
+        |  CAST(wc AS DOUBLE) / (CAST(h AS DOUBLE) * 17280000.0e0)
+        |FROM warm, hosts
+        |UNION ALL
+        |SELECT '2', 'sum',
+        |  CAST(ws AS DOUBLE) / (CAST(h AS DOUBLE) * 17280000.0e0)
+        |FROM warm, hosts""".stripMargin,
+    // SIGNED store quantile: re-centered cents exercise the MIRRORED
+    // spans — negative observations join on |sc| and take ord
+    // NegBase − i with the NEGATED bound pair, cumulating below the
+    // zero arm; φ = 0.25 lands inside a mirror bucket
+    "promql_native_histq_signed" ->
+      s"""$lblCte,
+        |b(ord, lo_c, hi_c, blo, bhi) AS (VALUES $NativeBucketValues),
+        |ev AS (SELECT cents - 2500 AS sc FROM lbl WHERE type = 'click'
+        |  AND ts > ${EvalTs - 165600L} AND ts <= $EvalTs),
+        |t AS (SELECT CAST(100 * count(*) AS BIGINT) AS tot FROM ev),
+        |bc AS (
+        |  SELECT b.ord, b.blo, b.bhi,
+        |    CAST(100 * count(e.sc) AS BIGINT) AS n
+        |  FROM b LEFT JOIN ev e ON e.sc > b.lo_c AND e.sc <= b.hi_c
+        |  GROUP BY b.ord, b.blo, b.bhi
+        |  UNION ALL
+        |  SELECT -1073741824 - b.ord, -b.bhi, -b.blo,
+        |    CAST(100 * count(e.sc) AS BIGINT)
+        |  FROM b LEFT JOIN ev e ON -e.sc > b.lo_c AND -e.sc <= b.hi_c
+        |  GROUP BY b.ord, b.blo, b.bhi
+        |  UNION ALL
+        |  SELECT -536870912, 0.0e0, 0.0e0, CAST(100 * count(*) AS BIGINT)
+        |  FROM ev WHERE sc = 0),
+        |c AS (SELECT ord, blo, bhi, n, sum(n) OVER (ORDER BY ord
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM bc),
+        |p AS (SELECT c.*, t.tot, row_number() OVER (ORDER BY ord) AS rn
+        |  FROM c, t WHERE t.tot > 0
+        |    AND CAST(cum AS DOUBLE) >= 0.25 * CAST(t.tot AS DOUBLE))
+        |SELECT blo + (bhi - blo) *
+        |    ((0.25 * CAST(tot AS DOUBLE) - CAST(cum - n AS DOUBLE))
+        |     / (CAST(cum AS DOUBLE) - CAST(cum - n AS DOUBLE))) AS value
+        |FROM p WHERE rn = 1""".stripMargin,
+    // SIGNED fraction(−5, 2): the compile-time locate constants land
+    // on a mirror bucket (ordLo) and a positive bucket (ordHi); the
+    // conditional sums run over the three-branch signed bucket table
+    "promql_native_hist_fraction_signed" -> {
+      val (ordLo, fracLo) = graft.tsdb.NativeHist.locate(-5.0)
+      val (ordHi, fracHi) = graft.tsdb.NativeHist.locate(2.0)
+      s"""$lblCte,
+        |b(ord, lo_c, hi_c, blo, bhi) AS (VALUES $NativeBucketValues),
+        |ev AS (SELECT cents - 2500 AS sc FROM lbl WHERE type = 'click'
+        |  AND ts > ${EvalTs - 165600L} AND ts <= $EvalTs),
+        |t AS (SELECT CAST(100 * count(*) AS BIGINT) AS tot FROM ev),
+        |bc AS (
+        |  SELECT b.ord, CAST(100 * count(e.sc) AS BIGINT) AS n
+        |  FROM b LEFT JOIN ev e ON e.sc > b.lo_c AND e.sc <= b.hi_c
+        |  GROUP BY b.ord
+        |  UNION ALL
+        |  SELECT -1073741824 - b.ord, CAST(100 * count(e.sc) AS BIGINT)
+        |  FROM b LEFT JOIN ev e ON -e.sc > b.lo_c AND -e.sc <= b.hi_c
+        |  GROUP BY b.ord
+        |  UNION ALL
+        |  SELECT -536870912, CAST(100 * count(*) AS BIGINT)
+        |  FROM ev WHERE sc = 0),
+        |g AS (SELECT
+        |  CAST(coalesce(sum(CASE WHEN ord < $ordHi THEN n END), 0) AS DOUBLE)
+        |    + CAST(coalesce(sum(CASE WHEN ord = $ordHi THEN n END), 0) AS DOUBLE)
+        |      * ${fracHi}e0 AS fhi,
+        |  CAST(coalesce(sum(CASE WHEN ord < $ordLo THEN n END), 0) AS DOUBLE)
+        |    + CAST(coalesce(sum(CASE WHEN ord = $ordLo THEN n END), 0) AS DOUBLE)
+        |      * ${fracLo}e0 AS flo
+        |  FROM bc)
+        |SELECT (fhi - flo) / CAST(tot AS DOUBLE) AS value
+        |FROM g, t WHERE tot > 0""".stripMargin
+    },
     // NHCB quantile: per-bucket NON-cumulative event counts on the
     // classic bound layout, cumulated in bound order, the classic
     // interpolation tree (first lower bound 0, +Inf rank -> the last

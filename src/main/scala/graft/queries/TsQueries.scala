@@ -314,6 +314,137 @@ object TsQueries {
     Ts.readStore(s, path, fromSec, toSec)
   }
 
+  /** The WIDE mixed-fleet native-histogram store: hosts scrape across
+    * the FULL Prometheus schema range — user_id mod 4 picks schema 3
+    * (2^(1/8)), −2 (integer base 2^4 = 16), 5 (2^(1/32)) or 0
+    * (base 2) — so downscale-to-coarsest must cross the sign boundary
+    * (coarsest −2) with Δ up to 7. Build is
+    * [[mixedNativeHistStoreChunks]] with the bucket-table join keyed
+    * by each series' schema; assignment stays integer-exact per
+    * schema (the same cleared inequality at every resolution, and
+    * negative schemas need no root-clearing at all — the base is an
+    * integer power of two). */
+  def wideNativeHistStoreChunks(s: SparkSession, dir: String,
+                                fromSec: Long = Long.MinValue,
+                                toSec: Long = Long.MaxValue): DataFrame = synchronized {
+    graft.functions.registerAll(s)
+    val path = storePath(dir) + "_nhistw"
+    if (!new java.io.File(path, "_SUCCESS").exists()) {
+      val ev0 = Tables(s, dir, "events")
+      val m4 = pmod(col("user_id"), lit(4L))
+      val ev = ev0.select(
+        col("event_type").as("type"),
+        concat(lit("h"), pmod(col("user_id"), lit(100L))).as("host"),
+        when(m4 === 0, lit("3")).when(m4 === 1, lit("-2"))
+          .when(m4 === 2, lit("5")).otherwise(lit("0")).as("schema"),
+        round(col("value") * 100).cast("long").as("cents"),
+        Ts.epochSec(ev0, "ts").as("tsec"))
+      val schemas = Seq(3, -2, 5, 0)
+      val maxRow = ev.agg(max("cents")).head()
+      require(!maxRow.isNullAt(0),
+        s"wideNativeHistStoreChunks: no events under $dir")
+      val maxC = maxRow.getLong(0)
+      val span = schemas.map(graft.tsdb.NativeHist.bucketsFor(_).last._3).min
+      require(maxC <= span,
+        s"event cents $maxC past the narrowest enumerated table ($span)")
+      val b = s.createDataFrame(schemas.flatMap(sc =>
+          graft.tsdb.NativeHist.bucketsFor(sc)
+            .map(t => (sc.toString, t._1.toString, t._2, t._3))))
+        .toDF("bsch", "nb", "lo_c", "hi_c")
+      val bucketed = ev.join(broadcast(b),
+          col("schema") === col("bsch") &&
+            col("cents") > col("lo_c") && col("cents") <= col("hi_c"), "left")
+        .withColumn("nb", when(col("cents") <= 0, lit("zero"))
+          .otherwise(col("nb")))
+      val arms = bucketed.select(col("type"), col("host"), col("schema"),
+          col("nb"), col("tsec"), lit(1L).as("__w"))
+        .unionByName(ev.select(col("type"), col("host"), col("schema"),
+          lit("count").as("nb"), col("tsec"), lit(1L).as("__w")))
+        .unionByName(ev.select(col("type"), col("host"), col("schema"),
+          lit("sum").as("nb"), col("tsec"), col("cents").as("__w")))
+      val counts = arms
+        .withColumn("ts", greatest(expr(
+          s"((tsec + ${HistGridStep - 1}L) div ${HistGridStep}L) * ${HistGridStep}L"),
+          lit(HistGridFrom)))
+        .groupBy("type", "host", "schema", "nb", "ts").agg(sum("__w").as("__n"))
+      val grid = s.range((HistGridTo - HistGridFrom) / HistGridStep + 1)
+        .select((lit(HistGridFrom) + col("id") * HistGridStep).as("ts"))
+      val series = arms.select("type", "host", "schema", "nb").distinct()
+      val w = Window.partitionBy("type", "host", "schema", "nb").orderBy("ts")
+      val samples = series.crossJoin(broadcast(grid))
+        .join(counts, Seq("type", "host", "schema", "nb", "ts"), "left")
+        .na.fill(0L, Seq("__n"))
+        .withColumn("value", (sum("__n").over(w).cast("double")) /
+          when(col("nb") === "sum", lit(100.0)).otherwise(lit(1.0)))
+        .select(col("type"), col("host"), col("schema"), col("nb"),
+          to_timestamp(col("ts")).as("ts"), col("value"))
+      Ts.writeStore(Ts.chunkify(samples, mixedNativeHistLabelCols, "ts", "value"), path)
+    }
+    Ts.readStore(s, path, fromSec, toSec)
+  }
+
+  /** The SIGNED (gauge-shaped) native-histogram store: each click's
+    * value is re-centered by −25.00 (a delta metric — roughly a third
+    * of the window mass lands below zero at every SF), so
+    * observations exercise the MIRRORED negative bucket spans:
+    * signed cents c < 0 land in "n"+i where |c| fits bucket i, c = 0
+    * in the zero arm, c > 0 in the positive span. Bucket and count
+    * arms stay MONOTONE counters (rate's reset correction never
+    * fires); the sum arm carries the signed cent total and is NOT
+    * rate-safe — quantile/fraction read only buckets + count. Default
+    * schema 3, labels (type, host, nb) like [[nativeHistStoreChunks]]. */
+  def signedNativeHistStoreChunks(s: SparkSession, dir: String,
+                                  fromSec: Long = Long.MinValue,
+                                  toSec: Long = Long.MaxValue): DataFrame = synchronized {
+    graft.functions.registerAll(s)
+    val path = storePath(dir) + "_nhistg"
+    if (!new java.io.File(path, "_SUCCESS").exists()) {
+      val ev0 = Tables(s, dir, "events")
+      val ev = ev0.select(
+        col("event_type").as("type"),
+        concat(lit("h"), pmod(col("user_id"), lit(100L))).as("host"),
+        (round(col("value") * 100).cast("long") - 2500L).as("cents"),
+        Ts.epochSec(ev0, "ts").as("tsec"))
+      val absRow = ev.agg(max(abs(col("cents")))).head()
+      require(!absRow.isNullAt(0),
+        s"signedNativeHistStoreChunks: no events under $dir")
+      require(absRow.getLong(0) <= nativeBuckets.last._3,
+        s"event |cents| ${absRow.getLong(0)} past the enumerated table")
+      val b = s.createDataFrame(nativeBuckets.map(t => (t._1.toString, t._2, t._3)))
+        .toDF("nb", "lo_c", "hi_c")
+      // |cents| keys the join; the sign re-tags the bucket afterwards
+      val bucketed = ev.join(broadcast(b),
+          abs(col("cents")) > col("lo_c") && abs(col("cents")) <= col("hi_c"), "left")
+        .withColumn("nb", when(col("cents") === 0, lit("zero"))
+          .when(col("cents") < 0, concat(lit("n"), col("nb")))
+          .otherwise(col("nb")))
+      val arms = bucketed.select(col("type"), col("host"), col("nb"),
+          col("tsec"), lit(1L).as("__w"))
+        .unionByName(ev.select(col("type"), col("host"),
+          lit("count").as("nb"), col("tsec"), lit(1L).as("__w")))
+        .unionByName(ev.select(col("type"), col("host"),
+          lit("sum").as("nb"), col("tsec"), col("cents").as("__w")))
+      val counts = arms
+        .withColumn("ts", greatest(expr(
+          s"((tsec + ${HistGridStep - 1}L) div ${HistGridStep}L) * ${HistGridStep}L"),
+          lit(HistGridFrom)))
+        .groupBy("type", "host", "nb", "ts").agg(sum("__w").as("__n"))
+      val grid = s.range((HistGridTo - HistGridFrom) / HistGridStep + 1)
+        .select((lit(HistGridFrom) + col("id") * HistGridStep).as("ts"))
+      val series = arms.select("type", "host", "nb").distinct()
+      val w = Window.partitionBy("type", "host", "nb").orderBy("ts")
+      val samples = series.crossJoin(broadcast(grid))
+        .join(counts, Seq("type", "host", "nb", "ts"), "left")
+        .na.fill(0L, Seq("__n"))
+        .withColumn("value", (sum("__n").over(w).cast("double")) /
+          when(col("nb") === "sum", lit(100.0)).otherwise(lit(1.0)))
+        .select(col("type"), col("host"), col("nb"),
+          to_timestamp(col("ts")).as("ts"), col("value"))
+      Ts.writeStore(Ts.chunkify(samples, nativeHistLabelCols, "ts", "value"), path)
+    }
+    Ts.readStore(s, path, fromSec, toSec)
+  }
+
   /** Label names of the NHCB chunk store (native histogram with
     * CUSTOM buckets, Prometheus 3.x schema −53 — the
     * scrape_classic_histograms migration bridge): `nbc` carries each

@@ -166,6 +166,18 @@ class ExplainAllSpec extends AnyFunSuite {
       // first cut did exactly that: (5,2,2)); 1 broadcast = the
       // schema-keyed bound table, 2 shuffles = fold + window exchange
       "promql_native_histq_mixed" -> (2, 1, 1),
+      // WIDE mixed (negative coarsest): identical shape — the wider
+      // schema table changes only broadcast CONTENT, never the plan
+      "promql_native_histq_mixed_wide" -> (2, 1, 1),
+      // signed store quantile: same shape as the unsigned native form
+      // (mirror spans ride the same bound broadcast + windows)
+      "promql_native_histq_signed" -> (3, 1, 1),
+      // avg by (nb) over the mixed fleet: ONE decode and only TWO
+      // exchanges — the per-series pre-merge partial-aggregates
+      // map-side on the downscale fold's output, so restoring the
+      // per-histogram layout costs no extra decode and no third
+      // shuffle (fold + merged-agg exchanges only)
+      "promql_native_hist_avg_mixed" -> (2, 0, 1),
       // NHCB quantile: bounds are DATA-CARRIED (the nbc label), so
       // zero broadcasts — one decode, fold + two window exchanges
       "promql_nhcb_quantile" -> (3, 0, 1),

@@ -1098,6 +1098,50 @@ class PromqlSpec extends AnyFunSuite {
         rejected.mkString("\n  "))
   }
 
+  test("conformance sweep: every accepted shape drives evalRange too") {
+    // round-17: the STEPPED lowering is the larger composition surface
+    // (40+ promql_range_* keys) — every parse-accepted shape must also
+    // drive through Promql.evalRange on a real grid and either
+    // materialize or raise the engine's own IllegalArgumentException.
+    // A crash here is a range-mode lowering bug the instant sweep
+    // cannot see (grid assembly, step-keyed joins, @/offset
+    // composition against the panel window). Step 300 s divides every
+    // window duration the shapes use; rejections must belong to the
+    // engine's DOCUMENTED classes — an IAE outside the whitelist is a
+    // new semantic bug, not a pass.
+    val start = EvalTs - 4 * 300L
+    val documented = Seq(
+      "bare instant selector in a range query", // wrap-in-_over_time rule
+      "must be a positive multiple",            // window vs step grid
+      "needs an 'le'",                          // histogram member, non-bucket store
+      "order-dependent",                        // float-sum ordering guards
+      "not in result labels",                   // by(le) on the non-bucket store
+      "absent(v) needs a plain selector")
+    var evaluated = 0
+    var rejected = Vector.empty[String]
+    val crashes = acceptShapes.flatMap { q =>
+      try {
+        Promql.evalRange(chunks, labelCols, q, start, EvalTs, 300L).count()
+        evaluated += 1; None
+      } catch {
+        case e: IllegalArgumentException => rejected :+= s"$q -> ${e.getMessage}"; None
+        case e: Throwable => Some(s"$q -> ${e.getClass.getName}: " +
+          Option(e.getMessage).getOrElse("").linesIterator.take(1).mkString)
+      }
+    }
+    assert(crashes.isEmpty, s"range lowering CRASHES:\n  ${crashes.mkString("\n  ")}")
+    val undocumented = rejected.filterNot(r => documented.exists(r.contains))
+    assert(undocumented.isEmpty,
+      s"UNDOCUMENTED range-mode rejections:\n  ${undocumented.mkString("\n  ")}")
+    // 41 of the 116 instant shapes are range-evaluable as written (the
+    // wrap-in-_over_time rule rejects every bare-selector composition
+    // by design); pin the floor so a lowering regression that silently
+    // flips evaluating shapes into rejections fails here
+    assert(evaluated >= 41,
+      s"only $evaluated/${acceptShapes.size} evaluated in range mode; " +
+        s"rejections:\n  ${rejected.mkString("\n  ")}")
+  }
+
   test("^: right-assoc, tighter than unary minus, one pow per element") {
     val base = "sum by (region) (sum_over_time(click[2d]))"
     val x = Promql.eval(chunks, labelCols, base, EvalTs)
