@@ -87,15 +87,29 @@ object Bench {
     // numbers divide by it before being read as regressions, no human
     // re-run needed. Ratio only applies at sf0.1 (the pins' scale);
     // other SFs emit the raw medians with ratio null.
+    // round-17 adds the WRITE-heavy 4th key (`store_write` =
+    // controlWrite: chunkify + store-write a 10% events slice): the
+    // r16 control was all read-path while the worst host drift lands
+    // on write-heavy rows. Its pin is this round's 5-rep median on the
+    // r17 builder host (0.8157 s) divided by that host's read-key
+    // ratio vs the 2026-08-13 pins (1.091) = 0.75 — i.e. expressed in
+    // the SAME reference-host frame as the three read pins
+    // (BASELINE.md, round-17 control re-pin entry).
     val controlPins = Seq("ts_store_anomaly" -> 0.56,
-      "ts_store_latest" -> 0.57, "ts_store_downsample" -> 0.40)
+      "ts_store_latest" -> 0.57, "ts_store_downsample" -> 0.40,
+      "store_write" -> 0.75)
     def median(xs: Seq[Double]): Double = { val s = xs.sorted; s(s.size / 2) }
+    try controlWrite(spark, sfDir) catch { case _: Throwable => () } // warm
     val controlMeds: Seq[(String, Double)] = controlPins.flatMap { case (k, _) =>
-      SparkEntry.queries.get(k).flatMap { fn =>
+      val body: Option[() => Unit] =
+        if (k == "store_write") Some(() => controlWrite(spark, sfDir))
+        else SparkEntry.queries.get(k).map(fn =>
+          () => { fn(spark, sfDir).count(); () })
+      body.flatMap { run =>
         val ts = (1 to 5).flatMap { _ =>
           System.gc()
           val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+          try { run(); Some((System.nanoTime() - t0) / 1e9) }
           catch { case _: Throwable => None }
         }
         if (ts.size == 5) Some(k -> median(ts)) else None

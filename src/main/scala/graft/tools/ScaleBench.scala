@@ -338,6 +338,49 @@ object ScaleBench {
       }
     }
 
+    /** Round-17: NHCB + mixed-schema native histograms priced at
+      * volume (VERDICT r16 missing #3) — its OWN family flag so a
+      * targeted re-measure merges into BENCH_SCALE.json without
+      * re-running (and re-writing) the whole ts family. Ingest rows
+      * delete any cached store first so a partial re-run still
+      * measures the build, not a cache read; both ingests share
+      * nhist's structural cap (series × layout × grid instants past
+      * the groupBy), and the mixed quantile's downscale window runs
+      * over the FOLDED series-grain vector — series-bounded, never
+      * per-point. */
+    def nhcbFamily(tag: String, dir: String): Unit = {
+      val nEv = spark.read.parquet(s"$dir/events.parquet").count()
+      val to = 1705017600L
+      def dropStore(suffix: String): Unit = {
+        val p = new java.io.File(
+          graft.queries.TsQueries.storePathFor(dir) + suffix)
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        if (p.exists()) rm(p)
+      }
+      dropStore("_nhcb")
+      timed(s"${tag}_nhcb_ingest", nEv, "custom-bound buckets (schema -53) -> _nhcb chunk store") {
+        graft.queries.TsQueries.nhcbStoreChunks(spark, dir).count()
+      }
+      timed(s"${tag}_promql_nhcb_quantile", nEv, "NHCB quantile: bound-lag interpolation over the _nhcb store") {
+        noop(graft.tsdb.Promql.eval(
+          graft.queries.TsQueries.nhcbStoreChunks(spark, dir),
+          graft.queries.TsQueries.nhcbLabelCols,
+          """histogram_quantile(0.9, sum by (nbc) (rate({type="click"}[2d])))""", to))
+      }
+      dropStore("_nhistm")
+      timed(s"${tag}_nhistm_ingest", nEv, "per-series-schema mixed fleet -> _nhistm chunk store") {
+        graft.queries.TsQueries.mixedNativeHistStoreChunks(spark, dir).count()
+      }
+      timed(s"${tag}_promql_native_histq_mixed", nEv, "mixed-schema quantile: downscale-to-coarsest + schema-keyed bounds") {
+        noop(graft.tsdb.Promql.eval(
+          graft.queries.TsQueries.mixedNativeHistStoreChunks(spark, dir),
+          graft.queries.TsQueries.mixedNativeHistLabelCols,
+          """histogram_quantile(0.9, sum by (nb) (rate({type="click"}[2d])))""", to))
+      }
+    }
+
     /** Streaming ingest throughput at volume (r9 verdict #8): the
       * 200M-event corpus replayed as a FILE STREAM through
       * `StreamIngest.writeChunksPerBatch` — the high-rate sealer
@@ -510,7 +553,7 @@ object ScaleBench {
     // sf0.1 baselines first (cheap), then the scale corpus; 4th arg
     // optionally restricts to a family subset ("docs,ts,label,ann") for
     // re-measuring one family after a targeted change
-    val fams = (if (args.length > 3) args(3) else "docs,ts,label,ann,rel,stream")
+    val fams = (if (args.length > 3) args(3) else "docs,ts,label,ann,rel,stream,nhcb")
       .split(",").toSet
     if (fams("docs")) docsFamily("sf01", sf01Dir)
     if (fams("ts")) tsFamily("sf01", sf01Dir)
@@ -518,12 +561,14 @@ object ScaleBench {
     if (fams("ann")) annFamily("sf01", sf01Dir, nlist = 16)
     if (fams("rel")) relFamily("sf01", sf01Dir)
     if (fams("stream")) streamFamily("sf01", sf01Dir)
+    if (fams("nhcb")) nhcbFamily("sf01", sf01Dir)
     if (fams("docs")) docsFamily("scale", scaleDir)
     if (fams("ts")) tsFamily("scale", scaleDir)
     if (fams("label")) labelFamily("scale", scaleDir)
     if (fams("ann")) annFamily("scale", scaleDir, nlist = 256)
     if (fams("rel")) relFamily("scale", scaleDir)
     if (fams("stream")) streamFamily("scale", scaleDir)
+    if (fams("nhcb")) nhcbFamily("scale", scaleDir)
 
     // assemble JSON: scale rows get their sf01 sibling + per-row ratio
     def fm(d: Double): String = f"$d%.4f"
