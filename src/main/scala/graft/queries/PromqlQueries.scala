@@ -484,6 +484,26 @@ object PromqlQueries {
     "promql_native_hist_fraction_signed" -> ((s, dir) =>
       signedQ(s, dir,
         "histogram_fraction(-5, 2, sum by (nb) (rate(click[2d])))")),
+    // the GAUGE-histogram read: delta() is last − first with NO reset
+    // correction, so the signed (non-monotone) sum arm is readable —
+    // the window's exact signed total, which rate() would corrupt
+    "promql_native_hist_sum_signed" -> ((s, dir) =>
+      signedQ(s, dir, "histogram_sum(sum by (nb) (delta(click[2d])))")),
+    "promql_native_hist_avg_signed" -> ((s, dir) =>
+      signedQ(s, dir, "histogram_avg(sum by (nb) (delta(click[2d])))")),
+    // wide-fleet fraction: the compile-time locate constants resolve
+    // at the NEGATIVE coarsest schema (−2) via the schema-keyed chains
+    "promql_native_hist_fraction_mixed_wide" -> ((s, dir) =>
+      wideQ(s, dir,
+        "histogram_fraction(0.2, 1.5, sum by (nb) (rate(click[2d])))")),
+    // stepped wide quantile: downscale onto the negative coarsest
+    // schema per step partition
+    "promql_range_native_histq_wide" -> ((s, dir) =>
+      Promql.evalRange(TsQueries.wideNativeHistStoreChunks(s, dir),
+          TsQueries.mixedNativeHistLabelCols,
+          "histogram_quantile(0.9, sum by (nb) (rate(click[1d])))",
+          RangeStart, EvalTs, 7200L)
+        .orderBy("ts")),
     // native histogram_stddev/stdvar: Prometheus's native-histogram
     // spread convention — Σ n·(√(lo·hi) − μ)²/count, the zero arm at
     // mid 0, μ = sum/count — folded in sort_array(ord) order so the
@@ -2059,6 +2079,85 @@ object PromqlQueries {
         |SELECT '2' AS schema, (fhi - flo) / CAST(tot AS DOUBLE) AS value
         |FROM g, t WHERE tot > 0""".stripMargin
     },
+    // the GAUGE read over the signed store: delta's last − first on
+    // the 2-h grid telescopes to the window's exact signed cent total
+    // — readable precisely BECAUSE delta does no reset correction
+    "promql_native_hist_sum_signed" ->
+      s"""$lblCte
+        |SELECT CAST(CAST(sum(cents - 2500) AS BIGINT) AS DOUBLE)
+        |  / 100.0 AS value
+        |FROM lbl WHERE type = 'click'
+        |  AND ts > ${EvalTs - 165600L} AND ts <= $EvalTs""".stripMargin,
+    "promql_native_hist_avg_signed" ->
+      s"""$lblCte,
+        |g AS (SELECT CAST(sum(cents - 2500) AS BIGINT) AS s,
+        |    CAST(100 * count(*) AS BIGINT) AS c
+        |  FROM lbl WHERE type = 'click'
+        |    AND ts > ${EvalTs - 165600L} AND ts <= $EvalTs)
+        |SELECT CAST(s AS DOUBLE) / CAST(c AS DOUBLE) AS value
+        |FROM g WHERE c > 0""".stripMargin,
+    // wide-fleet fraction: locate constants at the NEGATIVE coarsest
+    // schema (−2), the same two conditional sums
+    "promql_native_hist_fraction_mixed_wide" -> {
+      val (ordLo, fracLo) = graft.tsdb.NativeHist.locateAt(0.2, -2)
+      val (ordHi, fracHi) = graft.tsdb.NativeHist.locateAt(1.5, -2)
+      s"""$lblCte,
+        |b(ord, lo_c, hi_c, blo, bhi) AS (VALUES ${nativeBucketValuesFor(-2)}),
+        |ev AS (SELECT cents FROM lbl WHERE type = 'click'
+        |  AND ts > ${EvalTs - 165600L} AND ts <= $EvalTs),
+        |t AS (SELECT CAST(100 * count(*) AS BIGINT) AS tot FROM ev),
+        |bc AS (
+        |  SELECT b.ord, CAST(100 * count(e.cents) AS BIGINT) AS n
+        |  FROM b LEFT JOIN ev e ON e.cents > b.lo_c AND e.cents <= b.hi_c
+        |  GROUP BY b.ord
+        |  UNION ALL
+        |  SELECT -536870912, CAST(100 * count(*) AS BIGINT)
+        |  FROM ev WHERE cents <= 0),
+        |g AS (SELECT
+        |  CAST(coalesce(sum(CASE WHEN ord < $ordHi THEN n END), 0) AS DOUBLE)
+        |    + CAST(coalesce(sum(CASE WHEN ord = $ordHi THEN n END), 0) AS DOUBLE)
+        |      * ${fracHi}e0 AS fhi,
+        |  CAST(coalesce(sum(CASE WHEN ord < $ordLo THEN n END), 0) AS DOUBLE)
+        |    + CAST(coalesce(sum(CASE WHEN ord = $ordLo THEN n END), 0) AS DOUBLE)
+        |      * ${fracLo}e0 AS flo
+        |  FROM bc)
+        |SELECT '-2' AS schema, (fhi - flo) / CAST(tot AS DOUBLE) AS value
+        |FROM g, t WHERE tot > 0""".stripMargin
+    },
+    // stepped wide quantile: per-step downscale onto schema −2; the
+    // oracle assigns every raw event at −2 directly per step
+    "promql_range_native_histq_wide" ->
+      s"""$lblCte,
+        |b(ord, lo_c, hi_c, blo, bhi) AS (VALUES ${nativeBucketValuesFor(-2)}),
+        |steps AS (SELECT ($RangeStart + i * 7200) AS t
+        |  FROM generate_series(0, 24) s(i)),
+        |ev AS (SELECT st.t, l.cents FROM steps st JOIN lbl l
+        |  ON l.type = 'click'
+        |  AND l.ts > st.t - $Day AND l.ts <= st.t - 7200),
+        |tt AS (SELECT t, CAST(100 * count(*) AS BIGINT) AS tot
+        |  FROM ev GROUP BY t),
+        |bc AS (
+        |  SELECT st.t, b.ord, b.blo, b.bhi,
+        |    CAST(100 * count(e.cents) AS BIGINT) AS n
+        |  FROM b CROSS JOIN steps st
+        |  LEFT JOIN ev e ON e.t = st.t
+        |    AND e.cents > b.lo_c AND e.cents <= b.hi_c
+        |  GROUP BY st.t, b.ord, b.blo, b.bhi
+        |  UNION ALL
+        |  SELECT t, -536870912, 0.0e0, 0.0e0,
+        |    CAST(100 * count(*) AS BIGINT)
+        |  FROM ev WHERE cents <= 0 GROUP BY t),
+        |c AS (SELECT t, ord, blo, bhi, n, sum(n) OVER (PARTITION BY t
+        |    ORDER BY ord ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM bc),
+        |p AS (SELECT c.*, tt.tot,
+        |    row_number() OVER (PARTITION BY c.t ORDER BY ord) AS rn
+        |  FROM c JOIN tt ON tt.t = c.t WHERE tt.tot > 0
+        |    AND CAST(cum AS DOUBLE) >= 0.9 * CAST(tt.tot AS DOUBLE))
+        |SELECT '-2' AS schema, t AS ts, blo + (bhi - blo) *
+        |    ((0.9 * CAST(tot AS DOUBLE) - CAST(cum - n AS DOUBLE))
+        |     / (CAST(cum AS DOUBLE) - CAST(cum - n AS DOUBLE))) AS value
+        |FROM p WHERE rn = 1 ORDER BY ts""".stripMargin,
     // stepped NHCB quantile: the per-step telescoped window with the
     // custom bound table and the classic interpolation tree
     "promql_range_nhcb_quantile" ->
