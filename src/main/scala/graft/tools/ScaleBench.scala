@@ -379,6 +379,30 @@ object ScaleBench {
           graft.queries.TsQueries.mixedNativeHistLabelCols,
           """histogram_quantile(0.9, sum by (nb) (rate({type="click"}[2d])))""", to))
       }
+      // round-17 flagships at volume: the WIDE fleet (schemas 3/−2/5/0,
+      // negative coarsest — the schema-5 layout alone carries 513
+      // buckets, so this is the densest store of the family) and the
+      // SIGNED store (mirrored negative spans)
+      dropStore("_nhistw")
+      timed(s"${tag}_nhistw_ingest", nEv, "full-range mixed fleet (3/-2/5/0) -> _nhistw chunk store") {
+        graft.queries.TsQueries.wideNativeHistStoreChunks(spark, dir).count()
+      }
+      timed(s"${tag}_promql_native_histq_wide", nEv, "wide quantile: cross-sign downscale onto schema -2") {
+        noop(graft.tsdb.Promql.eval(
+          graft.queries.TsQueries.wideNativeHistStoreChunks(spark, dir),
+          graft.queries.TsQueries.mixedNativeHistLabelCols,
+          """histogram_quantile(0.9, sum by (nb) (rate({type="click"}[2d])))""", to))
+      }
+      dropStore("_nhistg")
+      timed(s"${tag}_nhistg_ingest", nEv, "signed observations -> mirrored-span _nhistg chunk store") {
+        graft.queries.TsQueries.signedNativeHistStoreChunks(spark, dir).count()
+      }
+      timed(s"${tag}_promql_native_histq_signed", nEv, "signed quantile: mirror-span cumulation, phi=0.25 in a negative bucket") {
+        noop(graft.tsdb.Promql.eval(
+          graft.queries.TsQueries.signedNativeHistStoreChunks(spark, dir),
+          graft.queries.TsQueries.nativeHistLabelCols,
+          """histogram_quantile(0.25, sum by (nb) (rate({type="click"}[2d])))""", to))
+      }
     }
 
     /** Streaming ingest throughput at volume (r9 verdict #8): the
