@@ -2346,6 +2346,66 @@ class PromqlSpec extends AnyFunSuite {
     assert(fr == ((300.0 + 200.0 + 500.0 * 1.0) - (0.0 + 300.0 * fLo)) / 1000.0)
   }
 
+  test("wide-fleet merge == direct coarse assignment (randomized, signed)") {
+    // the r16 randomized twin property extended to round 17's surface:
+    // a 4-schema fleet spanning the sign boundary (5/3/0/−2) with
+    // SIGNED observations must be indistinguishable — bit-equal, not
+    // approximately — from a single-host twin that assigns every
+    // observation at the coarsest schema (−2) directly. Exercises the
+    // cross-sign index remap, the mirrored-span remap tag, and the
+    // signed cumulation order in one end-to-end property.
+    val rnd = new scala.util.Random(20260818L)
+    val schemas = Seq("5", "3", "0", "-2")
+    val tables = schemas.map(s => s -> NativeHist.bucketsFor(s.toInt)).toMap
+    def idxAt(bs: Seq[(Int, Long, Long, Double, Double)], c: Long): Int =
+      bs.find(t => c > t._2 && c <= t._3).get._1
+    // signed log-uniform cents: ~half negative, a few exact zeros
+    val obs = Seq.fill(400) {
+      val mag = math.max(1L,
+        math.exp(rnd.nextDouble() * math.log(1158523.0)).toLong)
+      if (rnd.nextInt(25) == 0) 0L
+      else if (rnd.nextBoolean()) mag else -mag
+    }
+    import spark.implicits._
+    val T0 = 1700006400L
+    def bucketRows(host: String, sch: String,
+                   os: Seq[Long]): Seq[(String, String, String, String, Long, Double)] = {
+      val bs = tables(sch)
+      val byIdx = os.filterNot(_ == 0L)
+        .groupBy(c => (if (c < 0) "n" else "") + idxAt(bs, math.abs(c)))
+        .map { case (nb, cs) => (nb, cs.size.toDouble) }
+      val zero = os.count(_ == 0L).toDouble
+      (byIdx.toSeq ++ (if (zero > 0) Seq("zero" -> zero) else Nil) ++
+        Seq("count" -> os.size.toDouble, "sum" -> os.sum / 100.0))
+        .map { case (nb, v) => ("m", host, sch, nb, T0 * 1000000000L, v) }
+    }
+    val groups = obs.grouped(100).toSeq
+    val mixed = Ts.chunkify(
+      schemas.zip(groups).flatMap { case (sch, os) =>
+        bucketRows(s"h$sch", sch, os)
+      }.toDF("type", "host", "schema", "nb", "ts", "v"),
+      mixedLbl, "ts", "v")
+    val twin = Ts.chunkify(
+      bucketRows("h0", "-2", obs)
+        .toDF("type", "host", "schema", "nb", "ts", "v"),
+      mixedLbl, "ts", "v")
+    for (q <- Seq("histogram_quantile(0.15, sum by (nb) ({type=\"m\"}))",
+        "histogram_quantile(0.5, sum by (nb) ({type=\"m\"}))",
+        "histogram_quantile(0.85, sum by (nb) ({type=\"m\"}))",
+        "histogram_sum(sum by (nb) ({type=\"m\"}))",
+        "histogram_count(sum by (nb) ({type=\"m\"}))",
+        "histogram_fraction(-7.7, 7.7, sum by (nb) ({type=\"m\"}))")) {
+      // (avg by (nb) is deliberately absent: its denominator counts
+      // SERIES holding each bucket, which differs between a 4-host
+      // fleet and its 1-host twin by construction)
+      val a = Promql.eval(mixed, mixedLbl, q, T0)
+        .collect().map(r => r.toSeq.toList).toSet
+      val b = Promql.eval(twin, mixedLbl, q, T0)
+        .collect().map(r => r.toSeq.toList).toSet
+      assert(a.nonEmpty && a == b, s"$q: mixed=$a twin=$b")
+    }
+  }
+
   test("negative spans: stddev midpoint carries the span's sign") {
     val (ch, t0) = signedVec
     val mid8 = Math.sqrt(math.pow(2, 7 / 8.0) * 2.0)
