@@ -212,6 +212,77 @@ object StreamIngest {
   final case class AnomalyPoint(series: String, ts: Long, cents: Long, n_prior: Long)
   final case class MomentState(n: Long, s: Long, q: Long)
 
+  final case class GridState(emittedThrough: Long, cum: Long,
+                             pending: Map[Long, Long])
+  final case class GridSample(series: String, ts: Long, cum: Long)
+
+  /**
+   * CONTINUOUS cumulative-counter ingest on a fixed scrape grid — the
+   * streaming twin of the native-histogram store derivation
+   * ([[graft.queries.TsQueries.nativeHistStoreChunks]] and its
+   * mixed/wide/signed siblings): weighted increments per series fold
+   * into a RUNNING cumulative, emitted as one dense sample per grid
+   * instant in [gridFrom, gridTo] — exactly the per-arm counter
+   * series a Prometheus scrape exposes, and exactly the batch
+   * builder's crossJoin(grid) + cumulative-window derivation, so the
+   * emitted samples chunkify into the same store.
+   *
+   * One `flatMapGroupsWithState` with EVENT-TIME TIMEOUT per series:
+   * increments gather in a pending per-cell map until the watermark
+   * passes the cell (cell g covers event seconds in (g − step, g],
+   * ceiling-aligned and floored at gridFrom like the batch builder;
+   * a cell finalizes only when watermark > g, since an in-contract
+   * event may still carry second == g while watermark == g), then
+   * every closed cell emits cum += pending(g) — including GAP cells,
+   * whose flat samples the timeout produces with no data at all (the
+   * batch grid's na.fill(0) rows). State per series is the running
+   * cum + the pending map, bounded by the out-of-orderness horizon in
+   * cells — never event volume; a series past gridTo drops its state
+   * entirely. Increments for already-emitted cells (later than the
+   * watermark allows) are dropped, the same trade the chunk sealer
+   * makes. Emission is exactly-once per (series, instant) by
+   * construction: `emittedThrough` only moves forward.
+   */
+  def cumulativeGridStream(points: Dataset[(String, java.sql.Timestamp, Long)],
+                           gridFrom: Long, gridTo: Long, stepSec: Long,
+                           watermark: String = "1 minute"): Dataset[GridSample] = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    points.toDF("series", "ts", "w").withWatermark("ts", watermark)
+      .as[(String, java.sql.Timestamp, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[GridState, GridSample](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (series, rows, state: GroupState[GridState]) =>
+          val st = state.getOption
+            .getOrElse(GridState(gridFrom - stepSec, 0L, Map.empty))
+          var pending = st.pending
+          rows.foreach { case (_, t, w) =>
+            val sec = t.getTime / 1000L
+            val g = math.max(gridFrom, ((sec + stepSec - 1) / stepSec) * stepSec)
+            if (g > st.emittedThrough) // beyond-lateness increments drop
+              pending = pending.updated(g, pending.getOrElse(g, 0L) + w)
+          }
+          val wm = state.getCurrentWatermarkMs() / 1000L
+          val out = scala.collection.mutable.ArrayBuffer.empty[GridSample]
+          var thr = st.emittedThrough
+          var cum = st.cum
+          while (thr < gridTo && thr + stepSec < wm) {
+            thr += stepSec
+            cum += pending.getOrElse(thr, 0L)
+            pending -= thr
+            out += GridSample(series, thr, cum)
+          }
+          if (thr >= gridTo) state.remove()
+          else {
+            state.update(GridState(thr, cum, pending))
+            // fire once the watermark passes the next cell's close
+            state.setTimeoutTimestamp((thr + stepSec) * 1000L + 1000L)
+          }
+          out.iterator
+      }
+  }
+
   /**
    * Streaming anomaly detection with PREFIX-EXACT semantics: each
    * point is judged against the integer moments (n, S=Σx, Q=Σx²) of

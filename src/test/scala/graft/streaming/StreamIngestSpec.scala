@@ -609,4 +609,88 @@ class StreamIngestSpec extends AnyFunSuite {
       assert(streamed == batch, "stream==batch sessionize parity")
     } finally q.stop()
   }
+
+  // ===== round-17: continuous cumulative-counter (native-hist) ingest =====
+
+  test("cumulativeGridStream: dense grid, gaps, late-in/late-out, exactly-once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp, Long)]
+    val w0 = 1700006400L; val step = 7200L
+    val gridTo = w0 + 4 * step
+    val samples = StreamIngest.cumulativeGridStream(
+      input.toDS(), w0, gridTo, step, watermark = "10 seconds")
+    val q = samples.writeStream.outputMode("append").format("memory")
+      .queryName("grid_sink").start()
+    try {
+      // cell convention: (g − step, g], ceiling-aligned, floored at w0
+      // — so w0+10 lands in cell w0+step and w0−100 in cell w0
+      input.addData(("a", ts(w0 + 10), 2L), ("b", ts(w0 - 100), 5L))
+      q.processAllAvailable()
+      // out-of-order WITHIN lateness (w0+5 arrives after w0+10 but the
+      // watermark is only w0) + a far cell for a
+      input.addData(("a", ts(w0 + 3 * step + 1), 7L), ("a", ts(w0 + 5), 1L))
+      q.processAllAvailable()
+      // beyond-lateness: cell w0+step already emitted by now — dropped
+      input.addData(("b", ts(w0 + 100), 9L))
+      q.processAllAvailable()
+      // sentinel advances the watermark past gridTo: every group
+      // flushes its tail (gap cells emit FLAT samples) and drops state
+      input.addData(("__wm", ts(gridTo + step + 100), 1L))
+      q.processAllAvailable()
+      val out = spark.table("grid_sink").as[StreamIngest.GridSample]
+        .collect().filter(_.series != "__wm")
+        .map(s => (s.series, s.ts, s.cum)).toSet
+      val expect = Set(
+        ("a", w0, 0L), ("a", w0 + step, 3L), ("a", w0 + 2 * step, 3L),
+        ("a", w0 + 3 * step, 3L), ("a", w0 + 4 * step, 10L),
+        ("b", w0, 5L), ("b", w0 + step, 5L), ("b", w0 + 2 * step, 5L),
+        ("b", w0 + 3 * step, 5L), ("b", w0 + 4 * step, 5L))
+      assert(out == expect, s"got $out")
+    } finally q.stop()
+  }
+
+  test("cumulativeGridStream == the batch cumulative-grid derivation (randomized)") {
+    // the native-hist store contract: the streamed samples must equal
+    // the batch builder's crossJoin(grid) + na.fill(0) + cumulative
+    // window derivation for the SAME weighted increments — computed
+    // here directly from the raw events (the algebra the builder runs)
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(20260819L)
+    val w0 = 1700006400L; val step = 7200L
+    val nCells = 6
+    val gridTo = w0 + nCells * step
+    val series = Seq("m|h1|8", "m|h1|count", "m|h2|n3", "m|h2|sum")
+    val events = Seq.fill(200)((series(rnd.nextInt(series.size)),
+      w0 - step + rnd.nextLong(5 * step + 2 * step),
+      1L + rnd.nextInt(9))).sortBy(_._2) // in-order arrival: no drops
+    val input = MemoryStream[(String, Timestamp, Long)]
+    val q = StreamIngest.cumulativeGridStream(
+        input.toDS(), w0, gridTo, step, watermark = "1 minute")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("grid_twin_sink").start()
+    try {
+      events.grouped(70).foreach { b =>
+        input.addData(b.map { case (s, sec, w) => (s, ts(sec), w) }: _*)
+        q.processAllAvailable()
+      }
+      input.addData(("__wm", ts(gridTo + step + 100), 1L))
+      q.processAllAvailable()
+      val got = spark.table("grid_twin_sink").as[StreamIngest.GridSample]
+        .collect().filter(_.series != "__wm")
+        .map(s => (s.series, s.ts, s.cum)).toSet
+      // the batch twin, straight from the builder's algebra
+      val expect = series.flatMap { s =>
+        val byCell = events.filter(_._1 == s).groupBy { case (_, sec, _) =>
+          math.max(w0, ((sec + step - 1) / step) * step)
+        }.map { case (g, es) => g -> es.map(_._3).sum }
+        var cum = 0L
+        (w0 to gridTo by step).map { g =>
+          cum += byCell.getOrElse(g, 0L); (s, g, cum)
+        }
+      }.toSet
+      assert(got == expect)
+    } finally q.stop()
+  }
 }
