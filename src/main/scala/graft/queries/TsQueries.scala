@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.tsdb.Ts
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -174,69 +174,94 @@ object TsQueries {
   def nativeBuckets: Seq[(Int, Long, Long, Double, Double)] =
     graft.tsdb.NativeHist.buckets
 
-  /** The native-histogram chunk store, ingest-once like
-    * [[histStoreChunks]] and on the same 2-h scrape grid. Build:
-    * integer-exact bucket assignment via a broadcast of
-    * [[nativeBuckets]] cent ranges (zero-or-negative cents land in
-    * the `zero` arm), per-event `count`/`sum` arms, one cumulative
-    * window per present series onto the grid. Series presence is
-    * data-derived (a bucket series exists iff an observation ever
-    * landed in it) — the sparse encoding native histograms exist
-    * for. */
-  def nativeHistStoreChunks(s: SparkSession, dir: String,
-                            fromSec: Long = Long.MinValue,
-                            toSec: Long = Long.MaxValue): DataFrame = synchronized {
-    graft.functions.registerAll(s)
-    val path = storePath(dir) + "_nhist"
+  /** Shared ingest body of the FOUR native-histogram stores (_nhist,
+    * _nhistm, _nhistw, _nhistg): integer-exact bucket assignment via
+    * a broadcast of the per-schema cent thresholds (|cents| keys the
+    * join; zero cents land in the `zero` arm, negative cents take the
+    * MIRRORED "n"+i tag), per-event `count`/`sum` arms (sum keeps the
+    * sign), one cumulative window per present series onto the 2-h
+    * grid. Series presence is data-derived (a bucket series exists
+    * iff an observation ever landed in it) — the sparse encoding
+    * native histograms exist for. `schemaExpr` adds the per-series
+    * `schema` label (mixed fleets); `centsOffset` re-centers
+    * observations (the signed gauge fixture); value stays in the
+    * DOLLARS convention (counts integral, the sum arm cents/100 —
+    * chunkify's ×100 cent encode recovers the exact integer). */
+  private def buildNativeHistStore(s: SparkSession, dir: String, suffix: String,
+                                   labelCols: Seq[String],
+                                   schemaExpr: Option[Column],
+                                   schemas: Seq[Int],
+                                   centsOffset: Long): String = {
+    val path = storePath(dir) + suffix
     if (!new java.io.File(path, "_SUCCESS").exists()) {
       val ev0 = Tables(s, dir, "events")
-      val ev = ev0.select(
-        col("event_type").as("type"),
-        concat(lit("h"), pmod(col("user_id"), lit(100L))).as("host"),
-        round(col("value") * 100).cast("long").as("cents"),
-        Ts.epochSec(ev0, "ts").as("tsec"))
-      val maxRow = ev.agg(max("cents")).head()
+      val idSel = Seq(col("event_type").as("type"),
+        concat(lit("h"), pmod(col("user_id"), lit(100L))).as("host")) ++
+        schemaExpr.map(_.as("schema"))
+      val ev = ev0.select(idSel ++ Seq(
+        (round(col("value") * 100).cast("long") - centsOffset).as("cents"),
+        Ts.epochSec(ev0, "ts").as("tsec")): _*)
+      val maxRow = ev.agg(max(abs(col("cents")))).head()
       require(!maxRow.isNullAt(0),
-        s"nativeHistStoreChunks: no events under $dir — nothing to ingest")
-      val maxC = maxRow.getLong(0)
-      require(maxC <= nativeBuckets.last._3,
-        s"event cents $maxC past the enumerated native bucket table")
-      val b = s.createDataFrame(nativeBuckets.map(t => (t._1.toString, t._2, t._3)))
-        .toDF("nb", "lo_c", "hi_c")
-      // each observation feeds THREE arms: its bucket (or zero),
-      // count, and sum (weight = cents; count/bucket weight = 1)
-      val bucketed = ev.join(broadcast(b),
-          col("cents") > col("lo_c") && col("cents") <= col("hi_c"), "left")
-        .withColumn("nb", when(col("cents") <= 0, lit("zero"))
+        s"native-histogram ingest ($suffix): no events under $dir — nothing to ingest")
+      // the tables nest, so the NARROWEST schema's top threshold gates
+      val span = schemas.map(graft.tsdb.NativeHist.bucketsFor(_).last._3).min
+      require(maxRow.getLong(0) <= span,
+        s"event |cents| ${maxRow.getLong(0)} past the narrowest enumerated table ($span)")
+      val hasSchema = schemaExpr.isDefined
+      val b =
+        if (hasSchema) s.createDataFrame(schemas.flatMap(sc =>
+            graft.tsdb.NativeHist.bucketsFor(sc)
+              .map(t => (sc.toString, t._1.toString, t._2, t._3))))
+          .toDF("bsch", "nb", "lo_c", "hi_c")
+        else s.createDataFrame(graft.tsdb.NativeHist.bucketsFor(schemas.head)
+            .map(t => (t._1.toString, t._2, t._3)))
+          .toDF("nb", "lo_c", "hi_c")
+      // each observation feeds THREE arms: its bucket (zero / mirrored
+      // by sign), count, and sum (weight = signed cents; others = 1)
+      val joinCond = (if (hasSchema) col("schema") === col("bsch") else lit(true)) &&
+        abs(col("cents")) > col("lo_c") && abs(col("cents")) <= col("hi_c")
+      val bucketed = ev.join(broadcast(b), joinCond, "left")
+        .withColumn("nb", when(col("cents") === 0, lit("zero"))
+          .when(col("cents") < 0, concat(lit("n"), col("nb")))
           .otherwise(col("nb")))
-      val arms = bucketed.select(col("type"), col("host"), col("nb"),
-          col("tsec"), lit(1L).as("__w"))
-        .unionByName(ev.select(col("type"), col("host"),
-          lit("count").as("nb"), col("tsec"), lit(1L).as("__w")))
-        .unionByName(ev.select(col("type"), col("host"),
-          lit("sum").as("nb"), col("tsec"), col("cents").as("__w")))
+      val idOut = labelCols.filterNot(_ == "nb").map(col)
+      val arms = bucketed.select(
+          idOut ++ Seq(col("nb"), col("tsec"), lit(1L).as("__w")): _*)
+        .unionByName(ev.select(
+          idOut ++ Seq(lit("count").as("nb"), col("tsec"), lit(1L).as("__w")): _*))
+        .unionByName(ev.select(
+          idOut ++ Seq(lit("sum").as("nb"), col("tsec"), col("cents").as("__w")): _*))
       val counts = arms
         .withColumn("ts", greatest(expr(
           s"((tsec + ${HistGridStep - 1}L) div ${HistGridStep}L) * ${HistGridStep}L"),
           lit(HistGridFrom)))
-        .groupBy("type", "host", "nb", "ts").agg(sum("__w").as("__n"))
+        .groupBy((labelCols :+ "ts").map(col): _*).agg(sum("__w").as("__n"))
       val grid = s.range((HistGridTo - HistGridFrom) / HistGridStep + 1)
         .select((lit(HistGridFrom) + col("id") * HistGridStep).as("ts"))
-      val series = arms.select("type", "host", "nb").distinct()
-      val w = Window.partitionBy("type", "host", "nb").orderBy("ts")
+      val series = arms.select(labelCols.map(col): _*).distinct()
+      val w = Window.partitionBy(labelCols.map(col): _*).orderBy("ts")
       val samples = series.crossJoin(broadcast(grid))
-        .join(counts, Seq("type", "host", "nb", "ts"), "left")
+        .join(counts, labelCols :+ "ts", "left")
         .na.fill(0L, Seq("__n"))
-        // value in DOLLARS-convention units: counts stay integral,
-        // the sum arm carries cents/100 (chunkify's ×100 cent encode
-        // recovers the exact cent integer)
         .withColumn("value", (sum("__n").over(w).cast("double")) /
           when(col("nb") === "sum", lit(100.0)).otherwise(lit(1.0)))
-        .select(col("type"), col("host"), col("nb"),
-          to_timestamp(col("ts")).as("ts"), col("value"))
-      Ts.writeStore(Ts.chunkify(samples, nativeHistLabelCols, "ts", "value"), path)
+        .select(labelCols.map(col) ++
+          Seq(to_timestamp(col("ts")).as("ts"), col("value")): _*)
+      Ts.writeStore(Ts.chunkify(samples, labelCols, "ts", "value"), path)
     }
-    Ts.readStore(s, path, fromSec, toSec)
+    path
+  }
+
+  /** The native-histogram chunk store, ingest-once like
+    * [[histStoreChunks]] and on the same 2-h scrape grid
+    * ([[buildNativeHistStore]] at the default schema). */
+  def nativeHistStoreChunks(s: SparkSession, dir: String,
+                            fromSec: Long = Long.MinValue,
+                            toSec: Long = Long.MaxValue): DataFrame = synchronized {
+    graft.functions.registerAll(s)
+    Ts.readStore(s, buildNativeHistStore(s, dir, "_nhist", nativeHistLabelCols,
+      None, Seq(graft.tsdb.NativeHist.Schema), 0L), fromSec, toSec)
   }
 
   /** Label names of the MIXED-SCHEMA native-histogram store: a
@@ -260,58 +285,11 @@ object TsQueries {
                                  fromSec: Long = Long.MinValue,
                                  toSec: Long = Long.MaxValue): DataFrame = synchronized {
     graft.functions.registerAll(s)
-    val path = storePath(dir) + "_nhistm"
-    if (!new java.io.File(path, "_SUCCESS").exists()) {
-      val ev0 = Tables(s, dir, "events")
-      val ev = ev0.select(
-        col("event_type").as("type"),
-        concat(lit("h"), pmod(col("user_id"), lit(100L))).as("host"),
-        when(pmod(col("user_id"), lit(2L)) === 0, lit("3"))
-          .otherwise(lit("2")).as("schema"),
-        round(col("value") * 100).cast("long").as("cents"),
-        Ts.epochSec(ev0, "ts").as("tsec"))
-      val maxRow = ev.agg(max("cents")).head()
-      require(!maxRow.isNullAt(0),
-        s"mixedNativeHistStoreChunks: no events under $dir")
-      val maxC = maxRow.getLong(0)
-      // the tables cover the same value span at every schema
-      // (hi_cents nest: hi_s(last) = hi_3(last)), so one check covers both
-      require(maxC <= nativeBuckets.last._3,
-        s"event cents $maxC past the enumerated native bucket table")
-      val b = s.createDataFrame(Seq(2, 3).flatMap(sc =>
-          graft.tsdb.NativeHist.bucketsFor(sc)
-            .map(t => (sc.toString, t._1.toString, t._2, t._3))))
-        .toDF("bsch", "nb", "lo_c", "hi_c")
-      val bucketed = ev.join(broadcast(b),
-          col("schema") === col("bsch") &&
-            col("cents") > col("lo_c") && col("cents") <= col("hi_c"), "left")
-        .withColumn("nb", when(col("cents") <= 0, lit("zero"))
-          .otherwise(col("nb")))
-      val arms = bucketed.select(col("type"), col("host"), col("schema"),
-          col("nb"), col("tsec"), lit(1L).as("__w"))
-        .unionByName(ev.select(col("type"), col("host"), col("schema"),
-          lit("count").as("nb"), col("tsec"), lit(1L).as("__w")))
-        .unionByName(ev.select(col("type"), col("host"), col("schema"),
-          lit("sum").as("nb"), col("tsec"), col("cents").as("__w")))
-      val counts = arms
-        .withColumn("ts", greatest(expr(
-          s"((tsec + ${HistGridStep - 1}L) div ${HistGridStep}L) * ${HistGridStep}L"),
-          lit(HistGridFrom)))
-        .groupBy("type", "host", "schema", "nb", "ts").agg(sum("__w").as("__n"))
-      val grid = s.range((HistGridTo - HistGridFrom) / HistGridStep + 1)
-        .select((lit(HistGridFrom) + col("id") * HistGridStep).as("ts"))
-      val series = arms.select("type", "host", "schema", "nb").distinct()
-      val w = Window.partitionBy("type", "host", "schema", "nb").orderBy("ts")
-      val samples = series.crossJoin(broadcast(grid))
-        .join(counts, Seq("type", "host", "schema", "nb", "ts"), "left")
-        .na.fill(0L, Seq("__n"))
-        .withColumn("value", (sum("__n").over(w).cast("double")) /
-          when(col("nb") === "sum", lit(100.0)).otherwise(lit(1.0)))
-        .select(col("type"), col("host"), col("schema"), col("nb"),
-          to_timestamp(col("ts")).as("ts"), col("value"))
-      Ts.writeStore(Ts.chunkify(samples, mixedNativeHistLabelCols, "ts", "value"), path)
-    }
-    Ts.readStore(s, path, fromSec, toSec)
+    Ts.readStore(s, buildNativeHistStore(s, dir, "_nhistm",
+      mixedNativeHistLabelCols,
+      Some(when(pmod(col("user_id"), lit(2L)) === 0, lit("3"))
+        .otherwise(lit("2"))),
+      Seq(2, 3), 0L), fromSec, toSec)
   }
 
   /** The WIDE mixed-fleet native-histogram store: hosts scrape across
@@ -328,59 +306,12 @@ object TsQueries {
                                 fromSec: Long = Long.MinValue,
                                 toSec: Long = Long.MaxValue): DataFrame = synchronized {
     graft.functions.registerAll(s)
-    val path = storePath(dir) + "_nhistw"
-    if (!new java.io.File(path, "_SUCCESS").exists()) {
-      val ev0 = Tables(s, dir, "events")
-      val m4 = pmod(col("user_id"), lit(4L))
-      val ev = ev0.select(
-        col("event_type").as("type"),
-        concat(lit("h"), pmod(col("user_id"), lit(100L))).as("host"),
-        when(m4 === 0, lit("3")).when(m4 === 1, lit("-2"))
-          .when(m4 === 2, lit("5")).otherwise(lit("0")).as("schema"),
-        round(col("value") * 100).cast("long").as("cents"),
-        Ts.epochSec(ev0, "ts").as("tsec"))
-      val schemas = Seq(3, -2, 5, 0)
-      val maxRow = ev.agg(max("cents")).head()
-      require(!maxRow.isNullAt(0),
-        s"wideNativeHistStoreChunks: no events under $dir")
-      val maxC = maxRow.getLong(0)
-      val span = schemas.map(graft.tsdb.NativeHist.bucketsFor(_).last._3).min
-      require(maxC <= span,
-        s"event cents $maxC past the narrowest enumerated table ($span)")
-      val b = s.createDataFrame(schemas.flatMap(sc =>
-          graft.tsdb.NativeHist.bucketsFor(sc)
-            .map(t => (sc.toString, t._1.toString, t._2, t._3))))
-        .toDF("bsch", "nb", "lo_c", "hi_c")
-      val bucketed = ev.join(broadcast(b),
-          col("schema") === col("bsch") &&
-            col("cents") > col("lo_c") && col("cents") <= col("hi_c"), "left")
-        .withColumn("nb", when(col("cents") <= 0, lit("zero"))
-          .otherwise(col("nb")))
-      val arms = bucketed.select(col("type"), col("host"), col("schema"),
-          col("nb"), col("tsec"), lit(1L).as("__w"))
-        .unionByName(ev.select(col("type"), col("host"), col("schema"),
-          lit("count").as("nb"), col("tsec"), lit(1L).as("__w")))
-        .unionByName(ev.select(col("type"), col("host"), col("schema"),
-          lit("sum").as("nb"), col("tsec"), col("cents").as("__w")))
-      val counts = arms
-        .withColumn("ts", greatest(expr(
-          s"((tsec + ${HistGridStep - 1}L) div ${HistGridStep}L) * ${HistGridStep}L"),
-          lit(HistGridFrom)))
-        .groupBy("type", "host", "schema", "nb", "ts").agg(sum("__w").as("__n"))
-      val grid = s.range((HistGridTo - HistGridFrom) / HistGridStep + 1)
-        .select((lit(HistGridFrom) + col("id") * HistGridStep).as("ts"))
-      val series = arms.select("type", "host", "schema", "nb").distinct()
-      val w = Window.partitionBy("type", "host", "schema", "nb").orderBy("ts")
-      val samples = series.crossJoin(broadcast(grid))
-        .join(counts, Seq("type", "host", "schema", "nb", "ts"), "left")
-        .na.fill(0L, Seq("__n"))
-        .withColumn("value", (sum("__n").over(w).cast("double")) /
-          when(col("nb") === "sum", lit(100.0)).otherwise(lit(1.0)))
-        .select(col("type"), col("host"), col("schema"), col("nb"),
-          to_timestamp(col("ts")).as("ts"), col("value"))
-      Ts.writeStore(Ts.chunkify(samples, mixedNativeHistLabelCols, "ts", "value"), path)
-    }
-    Ts.readStore(s, path, fromSec, toSec)
+    val m4 = pmod(col("user_id"), lit(4L))
+    Ts.readStore(s, buildNativeHistStore(s, dir, "_nhistw",
+      mixedNativeHistLabelCols,
+      Some(when(m4 === 0, lit("3")).when(m4 === 1, lit("-2"))
+        .when(m4 === 2, lit("5")).otherwise(lit("0"))),
+      Seq(3, -2, 5, 0), 0L), fromSec, toSec)
   }
 
   /** The SIGNED (gauge-shaped) native-histogram store: each click's
@@ -397,52 +328,8 @@ object TsQueries {
                                   fromSec: Long = Long.MinValue,
                                   toSec: Long = Long.MaxValue): DataFrame = synchronized {
     graft.functions.registerAll(s)
-    val path = storePath(dir) + "_nhistg"
-    if (!new java.io.File(path, "_SUCCESS").exists()) {
-      val ev0 = Tables(s, dir, "events")
-      val ev = ev0.select(
-        col("event_type").as("type"),
-        concat(lit("h"), pmod(col("user_id"), lit(100L))).as("host"),
-        (round(col("value") * 100).cast("long") - 2500L).as("cents"),
-        Ts.epochSec(ev0, "ts").as("tsec"))
-      val absRow = ev.agg(max(abs(col("cents")))).head()
-      require(!absRow.isNullAt(0),
-        s"signedNativeHistStoreChunks: no events under $dir")
-      require(absRow.getLong(0) <= nativeBuckets.last._3,
-        s"event |cents| ${absRow.getLong(0)} past the enumerated table")
-      val b = s.createDataFrame(nativeBuckets.map(t => (t._1.toString, t._2, t._3)))
-        .toDF("nb", "lo_c", "hi_c")
-      // |cents| keys the join; the sign re-tags the bucket afterwards
-      val bucketed = ev.join(broadcast(b),
-          abs(col("cents")) > col("lo_c") && abs(col("cents")) <= col("hi_c"), "left")
-        .withColumn("nb", when(col("cents") === 0, lit("zero"))
-          .when(col("cents") < 0, concat(lit("n"), col("nb")))
-          .otherwise(col("nb")))
-      val arms = bucketed.select(col("type"), col("host"), col("nb"),
-          col("tsec"), lit(1L).as("__w"))
-        .unionByName(ev.select(col("type"), col("host"),
-          lit("count").as("nb"), col("tsec"), lit(1L).as("__w")))
-        .unionByName(ev.select(col("type"), col("host"),
-          lit("sum").as("nb"), col("tsec"), col("cents").as("__w")))
-      val counts = arms
-        .withColumn("ts", greatest(expr(
-          s"((tsec + ${HistGridStep - 1}L) div ${HistGridStep}L) * ${HistGridStep}L"),
-          lit(HistGridFrom)))
-        .groupBy("type", "host", "nb", "ts").agg(sum("__w").as("__n"))
-      val grid = s.range((HistGridTo - HistGridFrom) / HistGridStep + 1)
-        .select((lit(HistGridFrom) + col("id") * HistGridStep).as("ts"))
-      val series = arms.select("type", "host", "nb").distinct()
-      val w = Window.partitionBy("type", "host", "nb").orderBy("ts")
-      val samples = series.crossJoin(broadcast(grid))
-        .join(counts, Seq("type", "host", "nb", "ts"), "left")
-        .na.fill(0L, Seq("__n"))
-        .withColumn("value", (sum("__n").over(w).cast("double")) /
-          when(col("nb") === "sum", lit(100.0)).otherwise(lit(1.0)))
-        .select(col("type"), col("host"), col("nb"),
-          to_timestamp(col("ts")).as("ts"), col("value"))
-      Ts.writeStore(Ts.chunkify(samples, nativeHistLabelCols, "ts", "value"), path)
-    }
-    Ts.readStore(s, path, fromSec, toSec)
+    Ts.readStore(s, buildNativeHistStore(s, dir, "_nhistg", nativeHistLabelCols,
+      None, Seq(graft.tsdb.NativeHist.Schema), 2500L), fromSec, toSec)
   }
 
   /** Label names of the NHCB chunk store (native histogram with
