@@ -169,6 +169,10 @@ class ExplainAllSpec extends AnyFunSuite {
       // WIDE mixed (negative coarsest): identical shape — the wider
       // schema table changes only broadcast CONTENT, never the plan
       "promql_native_histq_mixed_wide" -> (2, 1, 1),
+      // stepped wide: the grid-assembly exchange on top, still ONE
+      // decode (the cross-sign downscale stays a window over the
+      // folded per-step vector)
+      "promql_range_native_histq_wide" -> (3, 1, 1),
       // signed store quantile: same shape as the unsigned native form
       // (mirror spans ride the same bound broadcast + windows)
       "promql_native_histq_signed" -> (3, 1, 1),
