@@ -405,6 +405,99 @@ object ScaleBench {
       }
     }
 
+    /** Round-17: the CONTINUOUS cumulative-counter ingest
+      * (`StreamIngest.cumulativeGridStream`) at volume — the raw
+      * corpus replayed through the real streaming engine as
+      * event-time-SLICED files (60-h slices arriving in order, the
+      * scrape-arrival contract; a 62-h watermark covers the
+      * intra-slice disorder so nothing drops), the per-event arm
+      * derivation running stateless against the broadcast bucket
+      * table (one explode, no self-union), and the per-series
+      * cumulative grid emitted exactly once per instant into a
+      * parquet sink. State per series = the running cum + a pending
+      * map bounded by watermark/step (~31 cells), never event
+      * volume. */
+    def nstreamFamily(tag: String, dir: String): Unit = {
+      val evPath = s"$dir/events.parquet"
+      val nEv = spark.read.parquet(evPath).count()
+      val from = graft.queries.TsQueries.HistGridFrom
+      val to = graft.queries.TsQueries.HistGridTo
+      val step = graft.queries.TsQueries.HistGridStep
+      val srcDir = s"$work/$tag/nstream_src"
+      val outPath = s"$work/$tag/nstream_out"
+      val ck = s"$work/$tag/nstream_ck"
+      val hfs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      Seq(srcDir, outPath, ck).foreach(p =>
+        hfs.delete(new org.apache.hadoop.fs.Path(p), true))
+      new java.io.File(srcDir).mkdirs()
+      // stage 60-h event-time slices as ordered file groups (file
+      // source processes by modification time, so arrival == event
+      // time at slice granularity)
+      val ev = spark.read.parquet(evPath)
+      val esec = Ts.epochSec(ev, "ts")
+      val sliceSec = 216000L
+      val nSlices = ((to - from) / sliceSec + 1).toInt
+      (0 until nSlices).foreach { i =>
+        val lo = from + i * sliceSec
+        val slice = ev.filter(
+          (if (i == 0) lit(true) else esec >= lo) &&
+          (if (i == nSlices - 1) lit(true) else esec < lo + sliceSec))
+        val tmp = s"$work/$tag/nstream_tmp"
+        slice.coalesce(4).write.mode("overwrite").parquet(tmp)
+        new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+          .zipWithIndex.foreach { case (f, j) =>
+            java.nio.file.Files.move(f.toPath,
+              new java.io.File(srcDir, f"ev-$i%03d-$j.parquet").toPath)
+          }
+      }
+      val schema = ev.schema
+      val src = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 4).parquet(srcDir)
+      val b = broadcast(spark.createDataFrame(
+          graft.queries.TsQueries.nativeBuckets.map(t => (t._1.toString, t._2, t._3)))
+        .toDF("bnb", "lo_c", "hi_c"))
+      val e = src.select(concat_ws("|", col("event_type"),
+          concat(lit("h"), pmod(col("user_id"), lit(100L)))).as("sid"),
+        round(col("value") * 100).cast("long").as("cents"),
+        to_timestamp(Ts.epochSec(src, "ts")).as("tts"))
+      val arms = e.join(b,
+          col("cents") > col("lo_c") && col("cents") <= col("hi_c"), "left")
+        .withColumn("bnb", when(col("cents") <= 0, lit("zero")).otherwise(col("bnb")))
+        .select(col("sid"), col("tts"), explode(array(
+          struct(col("bnb").as("arm"), lit(1L).as("w")),
+          struct(lit("count").as("arm"), lit(1L).as("w")),
+          struct(lit("sum").as("arm"), col("cents").as("w")))).as("x"))
+        .select(concat_ws("|", col("sid"), col("x.arm")).as("_1"),
+          col("tts").as("_2"), col("x.w").as("_3"))
+        .as[(String, java.sql.Timestamp, Long)](
+          org.apache.spark.sql.Encoders.product[(String, java.sql.Timestamp, Long)])
+      val samples = graft.streaming.StreamIngest
+        .cumulativeGridStream(arms, from, to, step, watermark = "62 hours")
+      val q = samples.writeStream.outputMode("append")
+        .option("checkpointLocation", ck).format("parquet").start(outPath)
+      timed(s"${tag}_nhist_stream_ingest", nEv,
+          "cumulativeGridStream: sliced replay -> dense cumulative grid") {
+        q.processAllAvailable()
+        // sentinel advances the watermark past the grid end so every
+        // series flushes its tail (its own 3 zero-grid series noted);
+        // built in the ts column's NATIVE representation (long = nanos)
+        val sentTs = schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            lit((to + 226800L) * 1000000000L)
+          case dt => to_timestamp(lit(to + 226800L)).cast(dt)
+        }
+        ev.limit(1).withColumn("ts", sentTs)
+          .withColumn("event_type", lit("wmsentinel"))
+          .coalesce(1).write.mode("append").parquet(srcDir)
+        q.processAllAvailable()
+        q.stop()
+        spark.read.parquet(outPath)
+          .filter(!col("series").startsWith("wmsentinel")).count()
+      }
+    }
+
     /** Streaming ingest throughput at volume (r9 verdict #8): the
       * 200M-event corpus replayed as a FILE STREAM through
       * `StreamIngest.writeChunksPerBatch` — the high-rate sealer
@@ -577,8 +670,8 @@ object ScaleBench {
     // sf0.1 baselines first (cheap), then the scale corpus; 4th arg
     // optionally restricts to a family subset ("docs,ts,label,ann") for
     // re-measuring one family after a targeted change
-    val fams = (if (args.length > 3) args(3) else "docs,ts,label,ann,rel,stream,nhcb")
-      .split(",").toSet
+    val fams = (if (args.length > 3) args(3)
+      else "docs,ts,label,ann,rel,stream,nhcb,nstream").split(",").toSet
     if (fams("docs")) docsFamily("sf01", sf01Dir)
     if (fams("ts")) tsFamily("sf01", sf01Dir)
     if (fams("label")) labelFamily("sf01", sf01Dir)
@@ -586,6 +679,7 @@ object ScaleBench {
     if (fams("rel")) relFamily("sf01", sf01Dir)
     if (fams("stream")) streamFamily("sf01", sf01Dir)
     if (fams("nhcb")) nhcbFamily("sf01", sf01Dir)
+    if (fams("nstream")) nstreamFamily("sf01", sf01Dir)
     if (fams("docs")) docsFamily("scale", scaleDir)
     if (fams("ts")) tsFamily("scale", scaleDir)
     if (fams("label")) labelFamily("scale", scaleDir)
@@ -593,6 +687,7 @@ object ScaleBench {
     if (fams("rel")) relFamily("scale", scaleDir)
     if (fams("stream")) streamFamily("scale", scaleDir)
     if (fams("nhcb")) nhcbFamily("scale", scaleDir)
+    if (fams("nstream")) nstreamFamily("scale", scaleDir)
 
     // assemble JSON: scale rows get their sf01 sibling + per-row ratio
     def fm(d: Double): String = f"$d%.4f"
