@@ -105,14 +105,25 @@ object Bench {
         if (k == "store_write") Some(() => controlWrite(spark, sfDir))
         else SparkEntry.queries.get(k).map(fn =>
           () => { fn(spark, sfDir).count(); () })
+      if (body.isEmpty)
+        System.err.println(s"[graft.Bench] WARN: control key '$k' has no body; control_ratio falls back to the remaining keys")
       body.flatMap { run =>
         val ts = (1 to 5).flatMap { _ =>
           System.gc()
           val t0 = System.nanoTime()
           try { run(); Some((System.nanoTime() - t0) / 1e9) }
-          catch { case _: Throwable => None }
+          catch { case e: Throwable =>
+            // a silently-vanishing control key is exactly the drift blind
+            // spot the write control exists to close — make failure loud
+            System.err.println(s"[graft.Bench] WARN: control key '$k' rep failed: ${e.getClass.getSimpleName}: ${e.getMessage}")
+            None
+          }
         }
-        if (ts.size == 5) Some(k -> median(ts)) else None
+        if (ts.size == 5) Some(k -> median(ts))
+        else {
+          System.err.println(s"[graft.Bench] WARN: control key '$k' completed ${ts.size}/5 reps; OMITTED from control medians — control_ratio reverts to the remaining keys")
+          None
+        }
       }
     }
     val controlRatio: Option[Double] =

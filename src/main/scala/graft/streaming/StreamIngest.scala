@@ -237,11 +237,17 @@ object StreamIngest {
    * whose flat samples the timeout produces with no data at all (the
    * batch grid's na.fill(0) rows). State per series is the running
    * cum + the pending map, bounded by the out-of-orderness horizon in
-   * cells — never event volume; a series past gridTo drops its state
-   * entirely. Increments for already-emitted cells (later than the
-   * watermark allows) are dropped, the same trade the chunk sealer
+   * cells — never event volume; a series past gridTo keeps a TOMBSTONE
+   * (emittedThrough = gridTo, empty pending — two longs, bounded by
+   * series cardinality, never event volume). Increments for
+   * already-emitted cells (later than the watermark allows) and for
+   * cells beyond gridTo are dropped, the same trade the chunk sealer
    * makes. Emission is exactly-once per (series, instant) by
-   * construction: `emittedThrough` only moves forward.
+   * construction: `emittedThrough` only moves forward, and the
+   * tombstone means a completed series can NEVER re-initialize at
+   * (gridFrom − step, cum = 0) and re-emit the grid when post-gridTo
+   * traffic (which the watermark does not filter) keeps arriving —
+   * the continuous-scrape case, spec-pinned in StreamIngestSpec.
    */
   def cumulativeGridStream(points: Dataset[(String, java.sql.Timestamp, Long)],
                            gridFrom: Long, gridTo: Long, stepSec: Long,
@@ -260,7 +266,10 @@ object StreamIngest {
           rows.foreach { case (_, t, w) =>
             val sec = t.getTime / 1000L
             val g = math.max(gridFrom, ((sec + stepSec - 1) / stepSec) * stepSec)
-            if (g > st.emittedThrough) // beyond-lateness increments drop
+            // beyond-lateness and off-grid (post-gridTo) increments drop:
+            // the cap keeps pending from growing past the grid horizon
+            // under continuous post-gridTo traffic
+            if (g > st.emittedThrough && g <= gridTo)
               pending = pending.updated(g, pending.getOrElse(g, 0L) + w)
           }
           val wm = state.getCurrentWatermarkMs() / 1000L
@@ -273,8 +282,16 @@ object StreamIngest {
             pending -= thr
             out += GridSample(series, thr, cum)
           }
-          if (thr >= gridTo) state.remove()
-          else {
+          if (thr >= gridTo) {
+            // tombstone, not remove(): getOption must stay non-empty so a
+            // later event for this series (post-gridTo scrape traffic, or
+            // an in-grid straggler beyond the watermark) cannot re-create
+            // fresh state at (gridFrom − step, cum = 0) and re-emit the
+            // entire grid — the accept guard above then drops everything,
+            // so completed means completed. No timeout set: the tombstone
+            // is only touched again if data arrives, and then no-ops.
+            state.update(GridState(thr, cum, Map.empty))
+          } else {
             state.update(GridState(thr, cum, pending))
             // fire once the watermark passes the next cell's close
             state.setTimeoutTimestamp((thr + stepSec) * 1000L + 1000L)

@@ -650,6 +650,42 @@ class StreamIngestSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("cumulativeGridStream: post-gridTo traffic never re-emits a completed series") {
+    // the continuous-scrape shape (round-17 ADVICE): the grid ends at
+    // gridTo but the stream does not — later events for a COMPLETED
+    // series must not re-initialize state at (gridFrom − step, cum 0)
+    // and re-emit the grid. The tombstone state makes completed mean
+    // completed: post-gridTo traffic AND in-grid stragglers both drop.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp, Long)]
+    val w0 = 1700006400L; val step = 7200L
+    val gridTo = w0 + 2 * step
+    val q = StreamIngest.cumulativeGridStream(
+        input.toDS(), w0, gridTo, step, watermark = "10 seconds")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("grid_tomb_sink").start()
+    try {
+      input.addData(("a", ts(w0 + 10), 2L))
+      q.processAllAvailable()
+      // watermark sails past gridTo: series a completes its grid
+      input.addData(("a", ts(gridTo + 5 * step), 1L))
+      q.processAllAvailable()
+      val afterComplete = spark.table("grid_tomb_sink").count()
+      assert(afterComplete == 3L, "a must have emitted its full 3-cell grid")
+      // ongoing scrape traffic after completion + an in-grid straggler
+      input.addData(("a", ts(gridTo + 6 * step), 3L), ("a", ts(w0 + 20), 9L))
+      q.processAllAvailable()
+      input.addData(("a", ts(gridTo + 8 * step), 3L))
+      q.processAllAvailable()
+      assert(spark.table("grid_tomb_sink").count() == afterComplete,
+        "a completed series re-emitted under post-gridTo traffic")
+      val out = spark.table("grid_tomb_sink").as[StreamIngest.GridSample]
+        .collect().map(s => (s.series, s.ts, s.cum)).toSet
+      assert(out == Set(("a", w0, 0L), ("a", w0 + step, 2L), ("a", gridTo, 2L)))
+    } finally q.stop()
+  }
+
   test("cumulativeGridStream == the batch cumulative-grid derivation (randomized)") {
     // the native-hist store contract: the streamed samples must equal
     // the batch builder's crossJoin(grid) + na.fill(0) + cumulative
