@@ -236,8 +236,24 @@ object Similarity {
    * broadcast back (≤ k rows, never a corpus-sized join side).
    */
   def kmeans(embeddings: DataFrame, idCol: String, vecCol: String,
-             k: Int, iters: Int = 4): DataFrame = {
-    val cents = materialize(ivfCentroids(embeddings, idCol, vecCol, k, iters))
+             k: Int, iters: Int = 4): DataFrame =
+    kmeansAssignWith(kmeansCentroids(embeddings, idCol, vecCol, k, iters),
+      embeddings, idCol, vecCol)
+
+  /** The materialized ≤ k centroid table behind [[kmeans]] (cluster,
+    * centroid float array) — public so the sim_kmeans SQL oracle can
+    * export the EXACT model DuckDB re-runs the nearest-centroid
+    * argmax against (r18: assignments are deterministic and the
+    * centroids 1e-6-quantized by design, so the oracle needs no
+    * Lloyd's — only the ≤ k-row model as literals). */
+  def kmeansCentroids(embeddings: DataFrame, idCol: String, vecCol: String,
+                      k: Int, iters: Int = 4): DataFrame =
+    materialize(ivfCentroids(embeddings, idCol, vecCol, k, iters))
+
+  /** [[kmeans]]'s assignment + membership sizes over a pre-trained
+    * centroid table. */
+  def kmeansAssignWith(cents: DataFrame, embeddings: DataFrame,
+                       idCol: String, vecCol: String): DataFrame = {
     val e = embeddings.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val assigned = assign(e, cents)
     val sizes = assigned.groupBy("cluster").agg(count(lit(1)).as("n_members"))

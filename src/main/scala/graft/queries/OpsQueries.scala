@@ -432,11 +432,20 @@ object OpsQueries {
         .orderBy("q_id", "rank")
     }),
     // corpus segmentation: deterministic k-means cluster assignments
-    // with membership counts (rows-only: Lloyd's has no SQL oracle;
-    // assignment==independent-nearest-centroid pinned in OpsSpec)
-    "sim_kmeans" -> ((s, dir) =>
-      Similarity.kmeans(Tables(s, dir, "embeddings"), "vec_id", "embedding",
-        k = 8).orderBy("id")),
+    // with membership counts. SQL-oracled since r18: Lloyd's itself
+    // has no SQL twin, but the assignments are a pure function of the
+    // trained ≤ k-row centroid model (deterministic seeding,
+    // 1e-6-quantized means), so the query exports the model as SQL
+    // literals and DuckDB re-runs the nearest-centroid argmax —
+    // assignment==independent-nearest-centroid additionally pinned in
+    // OpsSpec
+    "sim_kmeans" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val cents = Similarity.kmeansCentroids(e, "vec_id", "embedding", k = 8)
+      stashKmeansOracle(cents.select("cluster", "centroid").collect()
+        .map(r => (r.getInt(0), r.getSeq[Float](1).toArray)))
+      Similarity.kmeansAssignWith(cents, e, "vec_id", "embedding").orderBy("id")
+    }),
     // radius dual of sim_topk: ALL neighbors above a similarity
     // threshold per query (retrieval wants "sufficiently similar",
     // not "k closest"); query side broadcasts, corpus is the scan
@@ -956,7 +965,52 @@ object OpsQueries {
       |SELECT sh.doc_id, sh.doc_id IN (SELECT doc_id FROM hit) AS is_contaminated
       |FROM sh WHERE sh.doc_id < 450 ORDER BY sh.doc_id""".stripMargin
 
-  val oracleSql: Map[String, String] = Map(
+  /** The sim_kmeans oracle is DATA-DEPENDENT: the trained ≤ k-row
+    * centroid model becomes SQL literals when the query runs. Verify
+    * dumps oracle_sql.json AFTER the query loop, so the stash is
+    * always populated for the driver's compare; an unpopulated stash
+    * (query filtered out or failed) just leaves sim_kmeans rows-only,
+    * as before r18. Doubles export via Double.toString (round-trips
+    * exactly) with an e0 suffix so DuckDB types them DOUBLE, never
+    * DECIMAL; the per-centroid norm is precomputed in the kernel's
+    * index order, and the oracle's per-vector dot/norm fold through
+    * list_sum in the same index order. */
+  @volatile private var kmeansOracleSql: Option[String] = None
+
+  private def dlit(d: Double): String = {
+    val s = d.toString
+    if (s.contains("E") || s.contains("e")) s else s + "e0"
+  }
+
+  private def stashKmeansOracle(cents: Array[(Int, Array[Float])]): Unit = {
+    val rows = cents.sortBy(_._1).map { case (c, cw) =>
+      var nb = 0.0
+      var i = 0
+      while (i < cw.length) { nb += cw(i).toDouble * cw(i).toDouble; i += 1 }
+      s"($c, [${cw.map(f => dlit(f.toDouble)).mkString(", ")}], ${dlit(nb)})"
+    }
+    kmeansOracleSql = Some(
+      s"""WITH c(cluster, centroid, nb) AS (VALUES
+        |  ${rows.mkString(",\n  ")}),
+        |d AS (SELECT e.vec_id, c.cluster,
+        |    list_sum(list_transform(list_zip(e.embedding, c.centroid),
+        |      p -> CAST(p[1] AS DOUBLE) * p[2])) AS dot,
+        |    list_sum(list_transform(e.embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS na,
+        |    c.nb AS nb
+        |  FROM embeddings e CROSS JOIN c),
+        |a AS (SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, cluster) AS rn FROM d),
+        |m AS (SELECT vec_id AS id, cluster FROM a WHERE rn = 1),
+        |s AS (SELECT cluster, count(*) AS n_members FROM m GROUP BY cluster)
+        |SELECT m.id, CAST(m.cluster AS BIGINT) AS cluster, s.n_members
+        |FROM m JOIN s USING (cluster) ORDER BY m.id""".stripMargin)
+  }
+
+  def oracleSql: Map[String, String] = staticOracleSql ++
+    kmeansOracleSql.map("sim_kmeans" -> _).toMap
+
+  private val staticOracleSql: Map[String, String] = Map(
     // one pinned (op, pass=true) row per approximate path, generated
     // from the same floor map the Spark side reads — a measured recall
     // below its floor flips the Spark row to pass=false and the gate

@@ -86,6 +86,13 @@ object PromqlQueries {
     Promql.eval(TsQueries.signedNativeHistStoreChunks(s, dir),
       TsQueries.nativeHistLabelCols, query, EvalTs)
 
+  /** The MIGRATION store (BOTH models of one metric mid-rollout:
+    * even hosts classic `le`, odd hosts NHCB `nbc`) for the
+    * `_migration` keys. */
+  private def migQ(s: SparkSession, dir: String, query: String): DataFrame =
+    Promql.eval(TsQueries.migrationHistStoreChunks(s, dir),
+      TsQueries.migrationHistLabelCols, query, EvalTs)
+
   /** The shared DuckDB label derivation (identical to TsQueries'):
     * type = event_type, host = h(user%100), region = r(user%4), plus
     * the exact integer cent grid. */
@@ -391,6 +398,26 @@ object PromqlQueries {
     // the value bit-for-bit
     "promql_native_histq" -> ((s, dir) =>
       nativeQ(s, dir, "histogram_quantile(0.9, sum by (nb) (rate(click[2d])))")),
+    // counter RESET at the HISTOGRAM grain: the _nhistr store
+    // restarts the whole fleet right after the scrape at
+    // NativeResetAt − step, so every arm re-bases mid-window.
+    // Prometheus detects native-histogram resets at the histogram
+    // grain (any arm's drop re-bases the whole sample) — rate over an
+    // nb vector drops exactly the reset-crossing cell for EVERY arm,
+    // which the oracle expresses as excluding that one cell's events:
+    // zero reset machinery on the oracle side
+    "promql_native_histq_reset" -> ((s, dir) =>
+      Promql.eval(TsQueries.resetNativeHistStoreChunks(s, dir),
+        TsQueries.nativeHistLabelCols,
+        "histogram_quantile(0.9, sum by (nb) (rate(click[2d])))", EvalTs)),
+    // the stepped twin gates the same histogram-grain re-base through
+    // the pair-containment lowering
+    "promql_range_native_histq_reset" -> ((s, dir) =>
+      Promql.evalRange(TsQueries.resetNativeHistStoreChunks(s, dir),
+          TsQueries.nativeHistLabelCols,
+          "histogram_quantile(0.9, sum by (nb) (rate(click[1d])))",
+          RangeStart, EvalTs, 7200L)
+        .orderBy("ts")),
     // native count/sum arms pass through — sum is EXACT (the native
     // data model carries it; no midpoint estimation), avg is one
     // raw-over-raw division with the rate denominators cancelling
@@ -524,6 +551,17 @@ object PromqlQueries {
     // migrated `le` dashboard reads identically off the new store
     "promql_nhcb_quantile" -> ((s, dir) =>
       nhcbQ(s, dir, "histogram_quantile(0.9, sum by (nbc) (rate(click[2d])))")),
+    // the STREAMED NHCB store (r18): the same quantile read off a
+    // store whose samples came out of the REAL streaming engine — the
+    // events replayed as event-time-sliced files through
+    // cumulativeGridStream with the bound-list arm derivation
+    // (HistArms.nhcbArms). Stream == batch == oracle: the oracle is
+    // the plain NHCB quantile recomputed from raw events, zero stream
+    // machinery in it
+    "promql_stream_nhcb_quantile" -> ((s, dir) =>
+      Promql.eval(TsQueries.streamedNhcbStoreChunks(s, dir),
+        TsQueries.nhcbLabelCols,
+        "histogram_quantile(0.9, sum by (nbc) (rate(click[2d])))", EvalTs)),
     // the EXACT sum arm — what the migration preserves that classic
     // midpoint estimation could not
     "promql_nhcb_sum" -> ((s, dir) =>
@@ -553,6 +591,26 @@ object PromqlQueries {
       Promql.evalRange(TsQueries.mixedNativeHistStoreChunks(s, dir),
           TsQueries.mixedNativeHistLabelCols,
           "histogram_quantile(0.9, sum by (nb) (rate(click[1d])))",
+          RangeStart, EvalTs, 7200L)
+        .orderBy("ts")),
+    // MIGRATION UNION — the scrape_classic_histograms rollout fleet:
+    // the SAME metric carries classic `le` series (even hosts) AND
+    // NHCB `nbc` series (odd hosts). The NHCB bridge rewrites the
+    // migrated half onto the classic bound table and same-bound rows
+    // merge by addition, so the day-one dashboard reads EXACTLY what
+    // the all-classic fleet read — which is what the oracle asserts:
+    // it recomputes the classic quantile over ALL hosts from raw
+    // events, with zero migration machinery in it
+    "promql_histq_migration" -> ((s, dir) =>
+      migQ(s, dir,
+        "histogram_quantile(0.75, sum by (le, nbc) (rate(click[2d])))")),
+    // the stepped twin: the union lowering is label-generic, so range
+    // mode is reachable the moment the instant form is — every
+    // reachable surface carries a gate
+    "promql_range_histq_migration" -> ((s, dir) =>
+      Promql.evalRange(TsQueries.migrationHistStoreChunks(s, dir),
+          TsQueries.migrationHistLabelCols,
+          "histogram_quantile(0.5, sum by (le, nbc) (rate(click[1d])))",
           RangeStart, EvalTs, 7200L)
         .orderBy("ts")),
     // histogram_stddev/stdvar: midpoint-estimator spread — second
@@ -1418,6 +1476,65 @@ object PromqlQueries {
         |    ((rnk - coalesce(prev_cum, 0.0)) / (cum - coalesce(prev_cum, 0.0)))
         |  END AS value
         |FROM p WHERE rn = 1 ORDER BY ts""".stripMargin,
+    // the migration-union oracles are the CLASSIC quantile recomputed
+    // over ALL hosts from raw events — zero migration machinery: the
+    // engine's bridge rewrite + bound-table merge must land exactly
+    // where the pre-rollout all-classic fleet landed
+    "promql_histq_migration" ->
+      s"""$lblCte,
+        |b(le, le_cents, le_num) AS (VALUES ('10', 1000, 10.0),
+        |  ('25', 2500, 25.0), ('50', 5000, 50.0), ('100', 10000, 100.0),
+        |  ('250', 25000, 250.0), ('+Inf', NULL, CAST('inf' AS DOUBLE))),
+        |ic AS (SELECT b.le_num, CAST(100 * count(l.ts) AS BIGINT) AS ic
+        |  FROM b LEFT JOIN lbl l ON l.type = 'click'
+        |    AND l.ts > ${EvalTs - 165600L} AND l.ts <= $EvalTs
+        |    AND (b.le_cents IS NULL OR l.cents <= b.le_cents)
+        |  GROUP BY b.le_num),
+        |r AS (SELECT le_num, CAST(ic AS DOUBLE) AS cum,
+        |    lag(le_num) OVER w AS prev_le,
+        |    CAST(lag(ic) OVER w AS DOUBLE) AS prev_cum,
+        |    0.75 * CAST(max(CASE WHEN isinf(le_num) THEN ic END) OVER
+        |      (ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |      AS DOUBLE) AS rnk,
+        |    CAST(max(CASE WHEN isinf(le_num) THEN ic END) OVER
+        |      (ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |      AS DOUBLE) AS tot
+        |  FROM ic WINDOW w AS (ORDER BY le_num)),
+        |p AS (SELECT *, row_number() OVER (ORDER BY le_num) AS rn
+        |  FROM r WHERE tot > 0 AND cum >= rnk)
+        |SELECT CASE WHEN isinf(le_num) THEN prev_le
+        |  ELSE coalesce(prev_le, 0.0) + (le_num - coalesce(prev_le, 0.0)) *
+        |    ((rnk - coalesce(prev_cum, 0.0)) / (cum - coalesce(prev_cum, 0.0)))
+        |  END AS value
+        |FROM p WHERE rn = 1""".stripMargin,
+    "promql_range_histq_migration" ->
+      s"""$lblCte,
+        |b(le, le_cents, le_num) AS (VALUES ('10', 1000, 10.0),
+        |  ('25', 2500, 25.0), ('50', 5000, 50.0), ('100', 10000, 100.0),
+        |  ('250', 25000, 250.0), ('+Inf', NULL, CAST('inf' AS DOUBLE))),
+        |steps AS (SELECT ($RangeStart + i * 7200) AS t
+        |  FROM generate_series(0, 24) s(i)),
+        |ic AS (SELECT b.le_num, st.t, CAST(100 * count(l.ts) AS BIGINT) AS ic
+        |  FROM b CROSS JOIN steps st
+        |  LEFT JOIN lbl l ON l.type = 'click'
+        |    AND l.ts > st.t - $Day AND l.ts <= st.t - 7200
+        |    AND (b.le_cents IS NULL OR l.cents <= b.le_cents)
+        |  GROUP BY b.le_num, st.t),
+        |r AS (SELECT t, le_num, CAST(ic AS DOUBLE) AS cum,
+        |    lag(le_num) OVER w AS prev_le,
+        |    CAST(lag(ic) OVER w AS DOUBLE) AS prev_cum,
+        |    0.5 * CAST(max(CASE WHEN isinf(le_num) THEN ic END) OVER
+        |      (PARTITION BY t) AS DOUBLE) AS rnk,
+        |    CAST(max(CASE WHEN isinf(le_num) THEN ic END) OVER
+        |      (PARTITION BY t) AS DOUBLE) AS tot
+        |  FROM ic WINDOW w AS (PARTITION BY t ORDER BY le_num)),
+        |p AS (SELECT *, row_number() OVER (PARTITION BY t ORDER BY le_num) AS rn
+        |  FROM r WHERE tot > 0 AND cum >= rnk)
+        |SELECT t AS ts, CASE WHEN isinf(le_num) THEN prev_le
+        |  ELSE coalesce(prev_le, 0.0) + (le_num - coalesce(prev_le, 0.0)) *
+        |    ((rnk - coalesce(prev_cum, 0.0)) / (cum - coalesce(prev_cum, 0.0)))
+        |  END AS value
+        |FROM p WHERE rn = 1 ORDER BY ts""".stripMargin,
     // histogram_count/sum/avg/fraction: the bucket counters re-derived
     // from raw events (rate telescopes to a COUNT between the window's
     // first and last scrape instants); sum/avg replicate the engine's
@@ -1657,6 +1774,72 @@ object PromqlQueries {
         |    ((0.9 * CAST(tot AS DOUBLE) - CAST(cum - n AS DOUBLE))
         |     / (CAST(cum AS DOUBLE) - CAST(cum - n AS DOUBLE))) AS value
         |FROM p WHERE rn = 1""".stripMargin,
+    // the reset twins: the SAME native-quantile oracles with ONE
+    // change — the reset-crossing cell's events are excluded (the
+    // fleet restarted right after the scrape at NativeResetAt − step,
+    // so the delta at NativeResetAt is a re-base, not an increase).
+    // Every fixture series carries mass long before the reset, so the
+    // histogram-grain drop fires for every (type, host)
+    "promql_native_histq_reset" ->
+      s"""$lblCte,
+        |b(ord, lo_c, hi_c, blo, bhi) AS (VALUES $NativeBucketValues),
+        |ev AS (SELECT cents FROM lbl WHERE type = 'click'
+        |  AND ts > ${EvalTs - 165600L} AND ts <= $EvalTs
+        |  AND NOT (ts > ${TsQueries.NativeResetAt - 7200L}
+        |           AND ts <= ${TsQueries.NativeResetAt})),
+        |t AS (SELECT CAST(100 * count(*) AS BIGINT) AS tot FROM ev),
+        |bc AS (
+        |  SELECT b.ord, b.blo, b.bhi,
+        |    CAST(100 * count(e.cents) AS BIGINT) AS n
+        |  FROM b LEFT JOIN ev e ON e.cents > b.lo_c AND e.cents <= b.hi_c
+        |  GROUP BY b.ord, b.blo, b.bhi
+        |  UNION ALL
+        |  SELECT -536870912, 0.0e0, 0.0e0, CAST(100 * count(*) AS BIGINT)
+        |  FROM ev WHERE cents <= 0),
+        |c AS (SELECT ord, blo, bhi, n, sum(n) OVER (ORDER BY ord
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM bc),
+        |p AS (SELECT c.*, t.tot, row_number() OVER (ORDER BY ord) AS rn
+        |  FROM c, t WHERE t.tot > 0
+        |    AND CAST(cum AS DOUBLE) >= 0.9 * CAST(t.tot AS DOUBLE))
+        |SELECT blo + (bhi - blo) *
+        |    ((0.9 * CAST(tot AS DOUBLE) - CAST(cum - n AS DOUBLE))
+        |     / (CAST(cum AS DOUBLE) - CAST(cum - n AS DOUBLE))) AS value
+        |FROM p WHERE rn = 1""".stripMargin,
+    "promql_range_native_histq_reset" ->
+      s"""$lblCte,
+        |b(ord, lo_c, hi_c, blo, bhi) AS (VALUES $NativeBucketValues),
+        |steps AS (SELECT ($RangeStart + i * 7200) AS t
+        |  FROM generate_series(0, 24) s(i)),
+        |ev AS (SELECT st.t, l.cents FROM steps st JOIN lbl l
+        |  ON l.type = 'click'
+        |  AND l.ts > st.t - $Day AND l.ts <= st.t - 7200
+        |  AND NOT (l.ts > ${TsQueries.NativeResetAt - 7200L}
+        |           AND l.ts <= ${TsQueries.NativeResetAt})),
+        |tt AS (SELECT t, CAST(100 * count(*) AS BIGINT) AS tot
+        |  FROM ev GROUP BY t),
+        |bc AS (
+        |  SELECT st.t, b.ord, b.blo, b.bhi,
+        |    CAST(100 * count(e.cents) AS BIGINT) AS n
+        |  FROM b CROSS JOIN steps st
+        |  LEFT JOIN ev e ON e.t = st.t
+        |    AND e.cents > b.lo_c AND e.cents <= b.hi_c
+        |  GROUP BY st.t, b.ord, b.blo, b.bhi
+        |  UNION ALL
+        |  SELECT t, -536870912, 0.0e0, 0.0e0,
+        |    CAST(100 * count(*) AS BIGINT)
+        |  FROM ev WHERE cents <= 0 GROUP BY t),
+        |c AS (SELECT t, ord, blo, bhi, n, sum(n) OVER (PARTITION BY t
+        |    ORDER BY ord ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM bc),
+        |p AS (SELECT c.*, tt.tot,
+        |    row_number() OVER (PARTITION BY c.t ORDER BY ord) AS rn
+        |  FROM c JOIN tt ON tt.t = c.t WHERE tt.tot > 0
+        |    AND CAST(cum AS DOUBLE) >= 0.9 * CAST(tt.tot AS DOUBLE))
+        |SELECT t AS ts, blo + (bhi - blo) *
+        |    ((0.9 * CAST(tot AS DOUBLE) - CAST(cum - n AS DOUBLE))
+        |     / (CAST(cum AS DOUBLE) - CAST(cum - n AS DOUBLE))) AS value
+        |FROM p WHERE rn = 1 ORDER BY ts""".stripMargin,
     // native fraction: the engine's compile-time bucket location
     // re-derived through the SAME NativeHist.locate call, the two
     // conditional sums and the one multiply mirrored op-for-op
@@ -2000,6 +2183,32 @@ object PromqlQueries {
     // interpolation tree (first lower bound 0, +Inf rank -> the last
     // finite bound) — op-for-op the engine's expression
     "promql_nhcb_quantile" ->
+      s"""$lblCte,
+        |b(nbc, lo_c, hi_c, bound) AS (VALUES
+        |  ('10', -9223372036854775808, 1000, 10.0e0),
+        |  ('25', 1000, 2500, 25.0e0), ('50', 2500, 5000, 50.0e0),
+        |  ('100', 5000, 10000, 100.0e0), ('250', 10000, 25000, 250.0e0),
+        |  ('+Inf', 25000, 9223372036854775807, CAST('infinity' AS DOUBLE))),
+        |ev AS (SELECT cents FROM lbl WHERE type = 'click'
+        |  AND ts > ${EvalTs - 165600L} AND ts <= $EvalTs),
+        |t AS (SELECT CAST(100 * count(*) AS BIGINT) AS tot FROM ev),
+        |bc AS (SELECT b.bound, CAST(100 * count(e.cents) AS BIGINT) AS n
+        |  FROM b LEFT JOIN ev e ON e.cents > b.lo_c AND e.cents <= b.hi_c
+        |  GROUP BY b.bound),
+        |c AS (SELECT bound, n, sum(n) OVER (ORDER BY bound
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |  lag(bound) OVER (ORDER BY bound) AS prevle FROM bc),
+        |p AS (SELECT c.*, t.tot, row_number() OVER (ORDER BY bound) AS rn
+        |  FROM c, t WHERE t.tot > 0 AND cum > 0
+        |    AND CAST(cum AS DOUBLE) >= 0.9 * CAST(t.tot AS DOUBLE))
+        |SELECT CASE WHEN isinf(bound) THEN prevle
+        |  ELSE coalesce(prevle, 0.0e0) + (bound - coalesce(prevle, 0.0e0)) *
+        |    ((0.9 * CAST(tot AS DOUBLE) - CAST(cum - n AS DOUBLE))
+        |     / (CAST(cum AS DOUBLE) - CAST(cum - n AS DOUBLE))) END AS value
+        |FROM p WHERE rn = 1""".stripMargin,
+    // streamed-store twin: the IDENTICAL oracle — the streamed store
+    // must land exactly where the batch-built store lands
+    "promql_stream_nhcb_quantile" ->
       s"""$lblCte,
         |b(nbc, lo_c, hi_c, bound) AS (VALUES
         |  ('10', -9223372036854775808, 1000, 10.0e0),

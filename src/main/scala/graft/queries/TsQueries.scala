@@ -186,15 +186,36 @@ object TsQueries {
     * `schema` label (mixed fleets); `centsOffset` re-centers
     * observations (the signed gauge fixture); value stays in the
     * DOLLARS convention (counts integral, the sum arm cents/100 —
-    * chunkify's ×100 cent encode recovers the exact integer). */
+    * chunkify's ×100 cent encode recovers the exact integer).
+    * `resetAtSec = Some(R)` restarts the whole fleet right after the
+    * scrape at R − step: every arm of every series re-bases to the
+    * events of cells ≥ R (the simultaneous all-arm counter reset a
+    * real process restart produces — the r18 histogram-grain reset
+    * fixture). */
   private def buildNativeHistStore(s: SparkSession, dir: String, suffix: String,
                                    labelCols: Seq[String],
                                    schemaExpr: Option[Column],
                                    schemas: Seq[Int],
-                                   centsOffset: Long): String = {
+                                   centsOffset: Long,
+                                   resetAtSec: Option[Long] = None): String = {
     val path = storePath(dir) + suffix
-    if (!new java.io.File(path, "_SUCCESS").exists()) {
-      val ev0 = Tables(s, dir, "events")
+    if (!new java.io.File(path, "_SUCCESS").exists())
+      buildNativeHistStoreFrom(s, Tables(s, dir, "events"), path, labelCols,
+        schemaExpr, schemas, centsOffset, resetAtSec)
+    path
+  }
+
+  /** The ingest body behind [[buildNativeHistStore]], parameterized by
+    * the raw events frame so the streaming batch-twin parity specs can
+    * drive THE SAME builder over synthetic fixtures. */
+  private[graft] def buildNativeHistStoreFrom(s: SparkSession, ev0: DataFrame,
+                                              path: String,
+                                              labelCols: Seq[String],
+                                              schemaExpr: Option[Column],
+                                              schemas: Seq[Int],
+                                              centsOffset: Long,
+                                              resetAtSec: Option[Long] = None): Unit = {
+    {
       val idSel = Seq(col("event_type").as("type"),
         concat(lit("h"), pmod(col("user_id"), lit(100L))).as("host")) ++
         schemaExpr.map(_.as("schema"))
@@ -203,7 +224,7 @@ object TsQueries {
         Ts.epochSec(ev0, "ts").as("tsec")): _*)
       val maxRow = ev.agg(max(abs(col("cents")))).head()
       require(!maxRow.isNullAt(0),
-        s"native-histogram ingest ($suffix): no events under $dir — nothing to ingest")
+        s"native-histogram ingest ($path): no events — nothing to ingest")
       // the tables nest, so the NARROWEST schema's top threshold gates
       val span = schemas.map(graft.tsdb.NativeHist.bucketsFor(_).last._3).min
       require(maxRow.getLong(0) <= span,
@@ -241,16 +262,28 @@ object TsQueries {
         .select((lit(HistGridFrom) + col("id") * HistGridStep).as("ts"))
       val series = arms.select(labelCols.map(col): _*).distinct()
       val w = Window.partitionBy(labelCols.map(col): _*).orderBy("ts")
+      // the raw integer cumulative; with a reset, samples at g >= R
+      // re-base by the cumulative at R − step (the last pre-restart
+      // scrape) — same partitioning, so the re-base costs no exchange
+      val cum = sum("__n").over(w)
+      val rebased = resetAtSec match {
+        case None => cum
+        case Some(r) =>
+          val base = max(when(col("ts") === r - HistGridStep, cum))
+            .over(Window.partitionBy(labelCols.map(col): _*)
+              .orderBy("ts")
+              .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+          cum - when(col("ts") >= r, coalesce(base, lit(0L))).otherwise(lit(0L))
+      }
       val samples = series.crossJoin(broadcast(grid))
         .join(counts, labelCols :+ "ts", "left")
         .na.fill(0L, Seq("__n"))
-        .withColumn("value", (sum("__n").over(w).cast("double")) /
+        .withColumn("value", (rebased.cast("double")) /
           when(col("nb") === "sum", lit(100.0)).otherwise(lit(1.0)))
         .select(labelCols.map(col) ++
           Seq(to_timestamp(col("ts")).as("ts"), col("value")): _*)
       Ts.writeStore(Ts.chunkify(samples, labelCols, "ts", "value"), path)
     }
-    path
   }
 
   /** The native-histogram chunk store, ingest-once like
@@ -262,6 +295,28 @@ object TsQueries {
     graft.functions.registerAll(s)
     Ts.readStore(s, buildNativeHistStore(s, dir, "_nhist", nativeHistLabelCols,
       None, Seq(graft.tsdb.NativeHist.Schema), 0L), fromSec, toSec)
+  }
+
+  /** Grid instant of the [[resetNativeHistStoreChunks]] fleet
+    * restart: one day before the eval instant, mid-window for the
+    * canonical 2-d dashboards. */
+  val NativeResetAt: Long = 1704931200L // = RangeTo − 86400, grid-aligned
+
+  /** The RESET native-histogram store: [[nativeHistStoreChunks]]'s
+    * build, but the whole fleet restarts right after the scrape at
+    * [[NativeResetAt]] − step — every arm of every series re-bases
+    * simultaneously (the real process-restart shape). Prometheus
+    * detects native-histogram resets at the HISTOGRAM grain (any
+    * arm's drop re-bases the whole sample); the engine's rate over nb
+    * vectors implements exactly that, and this fixture is its oracled
+    * gate with the restart mid-window. */
+  def resetNativeHistStoreChunks(s: SparkSession, dir: String,
+                                 fromSec: Long = Long.MinValue,
+                                 toSec: Long = Long.MaxValue): DataFrame = synchronized {
+    graft.functions.registerAll(s)
+    Ts.readStore(s, buildNativeHistStore(s, dir, "_nhistr", nativeHistLabelCols,
+      None, Seq(graft.tsdb.NativeHist.Schema), 0L,
+      resetAtSec = Some(NativeResetAt)), fromSec, toSec)
   }
 
   /** Label names of the MIXED-SCHEMA native-histogram store: a
@@ -352,8 +407,17 @@ object TsQueries {
                       toSec: Long = Long.MaxValue): DataFrame = synchronized {
     graft.functions.registerAll(s)
     val path = storePath(dir) + "_nhcb"
-    if (!new java.io.File(path, "_SUCCESS").exists()) {
-      val ev0 = Tables(s, dir, "events")
+    if (!new java.io.File(path, "_SUCCESS").exists())
+      buildNhcbStoreFrom(s, Tables(s, dir, "events"), path)
+    Ts.readStore(s, path, fromSec, toSec)
+  }
+
+  /** The ingest body behind [[nhcbStoreChunks]], parameterized by the
+    * raw events frame so the streaming batch-twin parity specs can
+    * drive THE SAME builder over synthetic fixtures. */
+  private[graft] def buildNhcbStoreFrom(s: SparkSession, ev0: DataFrame,
+                                        path: String): Unit = {
+    {
       val ev = ev0.select(
         col("event_type").as("type"),
         concat(lit("h"), pmod(col("user_id"), lit(100L))).as("host"),
@@ -398,6 +462,182 @@ object TsQueries {
         .select(col("type"), col("host"), col("nbc"),
           to_timestamp(col("ts")).as("ts"), col("value"))
       Ts.writeStore(Ts.chunkify(samples, nhcbLabelCols, "ts", "value"), path)
+    }
+  }
+
+  /** The STREAMED NHCB chunk store: the same scrape derivation as
+    * [[nhcbStoreChunks]], but the samples come out of the REAL
+    * streaming engine — the raw events replayed as event-time-sliced
+    * files through [[graft.streaming.StreamIngest.cumulativeGridStream]]
+    * (the r17 continuous-scrape path, now covering the bound-list arm
+    * family), the per-event arm derivation running stateless against
+    * the broadcast bound table ([[graft.streaming.HistArms.nhcbArms]]).
+    * The emitted dense cumulative grid chunkifies into the SAME store
+    * layout the batch path writes, so the oracled
+    * `promql_stream_nhcb_quantile` key reads the plain NHCB oracle off
+    * it — stream == batch == oracle, with zero stream machinery on
+    * the oracle side. Built once per dir. State per series = running
+    * cum + a ≤ watermark/step pending map, never event volume. */
+  def streamedNhcbStoreChunks(s: SparkSession, dir: String,
+                              fromSec: Long = Long.MinValue,
+                              toSec: Long = Long.MaxValue): DataFrame = synchronized {
+    graft.functions.registerAll(s)
+    val path = storePath(dir) + "_nhcbstr"
+    if (!new java.io.File(path, "_SUCCESS").exists()) {
+      val work = path + "_work"
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(work))
+      val srcDir = s"$work/src"
+      new java.io.File(srcDir).mkdirs()
+      val ev = Tables(s, dir, "events")
+      val esec = Ts.epochSec(ev, "ts")
+      // stage 5-day event-time slices as ordered files (the file
+      // source processes in name order per trigger, so arrival
+      // respects event time at slice granularity — the scrape-arrival
+      // contract; the watermark covers intra-slice disorder)
+      val sliceSec = 432000L
+      val nSlices = ((HistGridTo - HistGridFrom) / sliceSec + 1).toInt
+      (0 until nSlices).foreach { i =>
+        val lo = HistGridFrom + i * sliceSec
+        val slice = ev.filter(
+          (if (i == 0) lit(true) else esec >= lo) &&
+          (if (i == nSlices - 1) lit(true) else esec < lo + sliceSec))
+        val tmp = s"$work/tmp"
+        slice.coalesce(2).write.mode("overwrite").parquet(tmp)
+        new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+          .zipWithIndex.foreach { case (f, j) =>
+            java.nio.file.Files.move(f.toPath,
+              new java.io.File(srcDir, f"ev-$i%03d-$j.parquet").toPath)
+          }
+      }
+      val src = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 2).parquet(srcDir)
+      val arms = graft.streaming.HistArms.nhcbArms(src, histBuckets)
+      val outPath = s"$work/out"
+      val q = graft.streaming.StreamIngest
+        .cumulativeGridStream(arms, HistGridFrom, HistGridTo, HistGridStep,
+          watermark = "121 hours")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", s"$work/ck")
+        .format("parquet").start(outPath)
+      q.processAllAvailable()
+      // a sentinel past grid end + watermark flushes every series'
+      // tail (its own junk series filters out below); built in the ts
+      // column's native representation
+      val sentSec = HistGridTo + 440000L
+      val sentTs = ev.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => lit(sentSec * 1000000000L)
+        case dt => to_timestamp(lit(sentSec)).cast(dt)
+      }
+      ev.limit(1).withColumn("ts", sentTs)
+        .withColumn("event_type", lit("wmsentinel"))
+        .coalesce(1).write.mode("append").parquet(srcDir)
+      q.processAllAvailable()
+      q.stop()
+      val samp = s.read.parquet(outPath)
+        .filter(!col("series").startsWith("wmsentinel"))
+        .withColumn("p", split(col("series"), "\\|"))
+        .select(col("p").getItem(0).as("type"), col("p").getItem(1).as("host"),
+          col("p").getItem(2).as("nbc"), to_timestamp(col("ts")).as("ts"),
+          (col("cum").cast("double") /
+            when(col("p").getItem(2) === "sum", lit(100.0)).otherwise(lit(1.0)))
+            .as("value"))
+      Ts.writeStore(Ts.chunkify(samp, nhcbLabelCols, "ts", "value"), path)
+      rm(new java.io.File(work))
+    }
+    Ts.readStore(s, path, fromSec, toSec)
+  }
+
+  /** Label names of the MIGRATION chunk store — a
+    * scrape_classic_histograms rollout caught mid-flight: the SAME
+    * metric's fleet carries BOTH models. Even hosts still expose
+    * classic `le` cumulative bucket series (nbc = ""), odd hosts
+    * already migrated to NHCB `nbc` series (le = "") with
+    * one-bucket-per-observation counts plus the native count/sum
+    * arms — one shared bound table ([[histBuckets]]), one scrape
+    * grid. Absent label == empty string (the Prometheus data
+    * model). */
+  val migrationHistLabelCols: Seq[String] = Seq("type", "host", "le", "nbc")
+
+  /** The migration-union chunk store: [[histStoreChunks]]'s classic
+    * build over even hosts ∪ [[nhcbStoreChunks]]'s NHCB build over
+    * odd hosts, ingest-once on the classic 2-h scrape grid. The
+    * day-one dashboard over this store —
+    * `histogram_quantile(φ, sum by (le, nbc) (rate(m[d])))` — must
+    * read the SAME answer the all-classic fleet read before the
+    * rollout started (the NHCB bridge telescopes both halves onto
+    * one bound table), which is exactly what its oracle asserts. */
+  def migrationHistStoreChunks(s: SparkSession, dir: String,
+                               fromSec: Long = Long.MinValue,
+                               toSec: Long = Long.MaxValue): DataFrame = synchronized {
+    graft.functions.registerAll(s)
+    val path = storePath(dir) + "_histmig"
+    if (!new java.io.File(path, "_SUCCESS").exists()) {
+      val ev0 = Tables(s, dir, "events")
+      val evAll = ev0.select(
+        col("event_type").as("type"),
+        concat(lit("h"), pmod(col("user_id"), lit(100L))).as("host"),
+        round(col("value") * 100).cast("long").as("cents"),
+        Ts.epochSec(ev0, "ts").as("tsec"),
+        pmod(col("user_id"), lit(2L)).as("__par"))
+      val grid = s.range((HistGridTo - HistGridFrom) / HistGridStep + 1)
+        .select((lit(HistGridFrom) + col("id") * HistGridStep).as("ts"))
+      val snap = greatest(expr(
+        s"((tsec + ${HistGridStep - 1}L) div ${HistGridStep}L) * ${HistGridStep}L"),
+        lit(HistGridFrom))
+      // classic half (even hosts): cumulative per-le fanout, nbc = ""
+      val evC = evAll.filter(col("__par") === 0)
+      val bC = s.createDataFrame(histBuckets).toDF("le", "le_cents")
+      val cntC = evC.crossJoin(broadcast(bC))
+        .filter(col("cents") <= col("le_cents"))
+        .withColumn("ts", snap)
+        .groupBy("type", "host", "le", "ts").agg(count(lit(1)).as("__n"))
+      val wC = Window.partitionBy("type", "host", "le").orderBy("ts")
+      val sampC = evC.select("type", "host").distinct()
+        .crossJoin(broadcast(bC.select("le")))
+        .crossJoin(broadcast(grid))
+        .join(cntC, Seq("type", "host", "le", "ts"), "left")
+        .na.fill(0L, Seq("__n"))
+        .withColumn("value", sum("__n").over(wC).cast("double"))
+        .select(col("type"), col("host"), col("le"), lit("").as("nbc"),
+          to_timestamp(col("ts")).as("ts"), col("value"))
+      // NHCB half (odd hosts): each observation lands in exactly ONE
+      // bucket of the SAME bound table (the bridge premise), plus the
+      // native count/sum arms; le = ""
+      val evN = evAll.filter(col("__par") === 1)
+      val lays = histBuckets.map(_._2)
+      val bN = s.createDataFrame(histBuckets.zipWithIndex.map {
+          case ((le, hi), i) =>
+            (le, if (i == 0) Long.MinValue else lays(i - 1), hi)
+        }).toDF("nbc", "lo_c", "hi_c")
+      val arms = evN.join(broadcast(bN),
+          col("cents") > col("lo_c") && col("cents") <= col("hi_c"))
+        .select(col("type"), col("host"), col("nbc"), col("tsec"),
+          lit(1L).as("__w"))
+        .unionByName(evN.select(col("type"), col("host"),
+          lit("count").as("nbc"), col("tsec"), lit(1L).as("__w")))
+        .unionByName(evN.select(col("type"), col("host"),
+          lit("sum").as("nbc"), col("tsec"), col("cents").as("__w")))
+      val cntN = arms.withColumn("ts", snap)
+        .groupBy("type", "host", "nbc", "ts").agg(sum("__w").as("__n"))
+      val armNames = s.createDataFrame(
+          (histBuckets.map(_._1) ++ Seq("count", "sum")).map(Tuple1(_)))
+        .toDF("nbc")
+      val wN = Window.partitionBy("type", "host", "nbc").orderBy("ts")
+      val sampN = evN.select("type", "host").distinct()
+        .crossJoin(broadcast(armNames))
+        .crossJoin(broadcast(grid))
+        .join(cntN, Seq("type", "host", "nbc", "ts"), "left")
+        .na.fill(0L, Seq("__n"))
+        .withColumn("value", (sum("__n").over(wN).cast("double")) /
+          when(col("nbc") === "sum", lit(100.0)).otherwise(lit(1.0)))
+        .select(col("type"), col("host"), lit("").as("le"), col("nbc"),
+          to_timestamp(col("ts")).as("ts"), col("value"))
+      Ts.writeStore(Ts.chunkify(sampC.unionByName(sampN),
+        migrationHistLabelCols, "ts", "value"), path)
     }
     Ts.readStore(s, path, fromSec, toSec)
   }

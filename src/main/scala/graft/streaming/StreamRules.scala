@@ -139,6 +139,13 @@ object StreamRules {
                                batchId: Long): Unit = {
     requireBatchLayout(path,
       chunks.sparkSession.sparkContext.hadoopConfiguration)
+    // an all-empty append must not CREATE the store: a directory
+    // holding only _SUCCESS breaks every reader's parquet schema
+    // inference, so a standing rule whose expr legitimately yields
+    // nothing on its first batches (e.g. a binary op against a
+    // not-yet-scraped metric) would wedge the whole group. Found by
+    // the r18 streaming-rule conformance sweep.
+    if (chunks.isEmpty) return
     chunks
       .withColumn("window_date", to_date(to_timestamp(col("window_start"))))
       .withColumn("batch_id", lit(batchId))

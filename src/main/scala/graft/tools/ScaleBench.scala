@@ -237,6 +237,46 @@ object ScaleBench {
       }
     }
 
+    /** Round-18: the NEXT DATA DECADE — a 1B-event single-family run
+      * (VERDICT r17 ask #5): store ingest, the pruned compressed-domain
+      * range aggregate, the labeled ingest + stepped PromQL panel, and
+      * one native-histogram ingest, at 5× the r17 scale corpus. Its
+      * own family flag ("billion") and its own `b1_` tag: rows merge
+      * into BENCH_SCALE.json next to the 200M rows, and per-row
+      * flatness vs the committed 200M run is the claim (recorded in
+      * BASELINE.md — the ratio is computed at merge time against the
+      * committed scale_ rows, since a billion run never re-prices the
+      * 200M family). Corpus via ScaleGen (events only). */
+    def billionFamily(tag: String, dir: String): Unit = {
+      val series = Seq("user_id", "event_type")
+      val ev = spark.read.parquet(s"$dir/events.parquet")
+      val nEv = ev.count()
+      val storePath = s"$work/$tag/store"
+      timed(s"${tag}_store_ingest", nEv, "chunkify + date-partitioned write (1B events)") {
+        Ts.writeStore(Ts.chunkify(ev, series, "ts", "value"), storePath)
+        spark.read.parquet(storePath).count()
+      }
+      val from = 1704844800L; val to = 1705017600L
+      timed(s"${tag}_store_range_agg", nEv, "label+date pruned, compressed-domain") {
+        noop(Ts.rangeAgg(Ts.readStore(spark, storePath, from, to), series, from, to))
+      }
+      val labelCols = Seq("type", "host", "region")
+      val lev = graft.queries.TsQueries.labeledEventsFrom(ev)
+      val lblPath = s"$work/$tag/store_lbl"
+      timed(s"${tag}_label_ingest", nEv, "labeled chunkify, ~5500-pt dense chunks") {
+        Ts.writeStore(Ts.chunkify(lev, labelCols, "ts", "value"), lblPath)
+        spark.read.parquet(lblPath).count()
+      }
+      timed(s"${tag}_promql_range", nEv, "query_range: 25 steps, one bucket fold, no decode") {
+        noop(graft.tsdb.Promql.evalRange(Ts.readStore(spark, lblPath, from - 21600, to),
+          labelCols, """sum by (region) (sum_over_time({type="click"}[6h]))""",
+          from, to, 7200L))
+      }
+      timed(s"${tag}_nhist_ingest", nEv, "integer-exact exponential arms -> _nhist chunk store") {
+        graft.queries.TsQueries.nativeHistStoreChunks(spark, dir).count()
+      }
+    }
+
     /** The labeled-store family: the r9 label-selector surface at
       * scale, and with it the DENSE-chunk regime the sparse per-user
       * store doesn't exercise — 3-label series key collapses 200M
@@ -423,79 +463,76 @@ object ScaleBench {
       val from = graft.queries.TsQueries.HistGridFrom
       val to = graft.queries.TsQueries.HistGridTo
       val step = graft.queries.TsQueries.HistGridStep
-      val srcDir = s"$work/$tag/nstream_src"
-      val outPath = s"$work/$tag/nstream_out"
-      val ck = s"$work/$tag/nstream_ck"
-      val hfs = org.apache.hadoop.fs.FileSystem.get(
-        spark.sparkContext.hadoopConfiguration)
-      Seq(srcDir, outPath, ck).foreach(p =>
-        hfs.delete(new org.apache.hadoop.fs.Path(p), true))
-      new java.io.File(srcDir).mkdirs()
-      // stage 60-h event-time slices as ordered file groups (file
-      // source processes by modification time, so arrival == event
-      // time at slice granularity)
       val ev = spark.read.parquet(evPath)
-      val esec = Ts.epochSec(ev, "ts")
-      val sliceSec = 216000L
-      val nSlices = ((to - from) / sliceSec + 1).toInt
-      (0 until nSlices).foreach { i =>
-        val lo = from + i * sliceSec
-        val slice = ev.filter(
-          (if (i == 0) lit(true) else esec >= lo) &&
-          (if (i == nSlices - 1) lit(true) else esec < lo + sliceSec))
-        val tmp = s"$work/$tag/nstream_tmp"
-        slice.coalesce(4).write.mode("overwrite").parquet(tmp)
-        new java.io.File(tmp).listFiles()
-          .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-          .zipWithIndex.foreach { case (f, j) =>
-            java.nio.file.Files.move(f.toPath,
-              new java.io.File(srcDir, f"ev-$i%03d-$j.parquet").toPath)
-          }
-      }
       val schema = ev.schema
-      val src = spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 4).parquet(srcDir)
-      val b = broadcast(spark.createDataFrame(
-          graft.queries.TsQueries.nativeBuckets.map(t => (t._1.toString, t._2, t._3)))
-        .toDF("bnb", "lo_c", "hi_c"))
-      val e = src.select(concat_ws("|", col("event_type"),
-          concat(lit("h"), pmod(col("user_id"), lit(100L)))).as("sid"),
-        round(col("value") * 100).cast("long").as("cents"),
-        to_timestamp(Ts.epochSec(src, "ts")).as("tts"))
-      val arms = e.join(b,
-          col("cents") > col("lo_c") && col("cents") <= col("hi_c"), "left")
-        .withColumn("bnb", when(col("cents") <= 0, lit("zero")).otherwise(col("bnb")))
-        .select(col("sid"), col("tts"), explode(array(
-          struct(col("bnb").as("arm"), lit(1L).as("w")),
-          struct(lit("count").as("arm"), lit(1L).as("w")),
-          struct(lit("sum").as("arm"), col("cents").as("w")))).as("x"))
-        .select(concat_ws("|", col("sid"), col("x.arm")).as("_1"),
-          col("tts").as("_2"), col("x.w").as("_3"))
-        .as[(String, java.sql.Timestamp, Long)](
-          org.apache.spark.sql.Encoders.product[(String, java.sql.Timestamp, Long)])
-      val samples = graft.streaming.StreamIngest
-        .cumulativeGridStream(arms, from, to, step, watermark = "62 hours")
-      val q = samples.writeStream.outputMode("append")
-        .option("checkpointLocation", ck).format("parquet").start(outPath)
-      timed(s"${tag}_nhist_stream_ingest", nEv,
-          "cumulativeGridStream: sliced replay -> dense cumulative grid") {
-        q.processAllAvailable()
-        // sentinel advances the watermark past the grid end so every
-        // series flushes its tail (its own 3 zero-grid series noted);
-        // built in the ts column's NATIVE representation (long = nanos)
-        val sentTs = schema("ts").dataType match {
-          case org.apache.spark.sql.types.LongType =>
-            lit((to + 226800L) * 1000000000L)
-          case dt => to_timestamp(lit(to + 226800L)).cast(dt)
+      val esec = Ts.epochSec(ev, "ts")
+      // one rung per store shape: the arm derivation is the shared
+      // HistArms body (the same code the batch-twin parity specs and
+      // the streamed store builders run), everything else identical
+      def streamRung(shape: String,
+                     arms: DataFrame => org.apache.spark.sql.Dataset[
+                       (String, java.sql.Timestamp, Long)],
+                     note: String): Unit = {
+        val srcDir = s"$work/$tag/nstream_${shape}_src"
+        val outPath = s"$work/$tag/nstream_${shape}_out"
+        val ck = s"$work/$tag/nstream_${shape}_ck"
+        val hfs = org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+        Seq(srcDir, outPath, ck).foreach(p =>
+          hfs.delete(new org.apache.hadoop.fs.Path(p), true))
+        new java.io.File(srcDir).mkdirs()
+        // stage 60-h event-time slices as ordered file groups (file
+        // source processes by modification time, so arrival == event
+        // time at slice granularity)
+        val sliceSec = 216000L
+        val nSlices = ((to - from) / sliceSec + 1).toInt
+        (0 until nSlices).foreach { i =>
+          val lo = from + i * sliceSec
+          val slice = ev.filter(
+            (if (i == 0) lit(true) else esec >= lo) &&
+            (if (i == nSlices - 1) lit(true) else esec < lo + sliceSec))
+          val tmp = s"$work/$tag/nstream_${shape}_tmp"
+          slice.coalesce(4).write.mode("overwrite").parquet(tmp)
+          new java.io.File(tmp).listFiles()
+            .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+            .zipWithIndex.foreach { case (f, j) =>
+              java.nio.file.Files.move(f.toPath,
+                new java.io.File(srcDir, f"ev-$i%03d-$j.parquet").toPath)
+            }
         }
-        ev.limit(1).withColumn("ts", sentTs)
-          .withColumn("event_type", lit("wmsentinel"))
-          .coalesce(1).write.mode("append").parquet(srcDir)
-        q.processAllAvailable()
-        q.stop()
-        spark.read.parquet(outPath)
-          .filter(!col("series").startsWith("wmsentinel")).count()
+        val src = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 4).parquet(srcDir)
+        val samples = graft.streaming.StreamIngest
+          .cumulativeGridStream(arms(src), from, to, step, watermark = "62 hours")
+        val q = samples.writeStream.outputMode("append")
+          .option("checkpointLocation", ck).format("parquet").start(outPath)
+        timed(s"${tag}_${shape}_stream_ingest", nEv, note) {
+          q.processAllAvailable()
+          // sentinel advances the watermark past the grid end so every
+          // series flushes its tail (its own zero-grid series noted);
+          // built in the ts column's NATIVE representation (long = nanos)
+          val sentTs = schema("ts").dataType match {
+            case org.apache.spark.sql.types.LongType =>
+              lit((to + 226800L) * 1000000000L)
+            case dt => to_timestamp(lit(to + 226800L)).cast(dt)
+          }
+          ev.limit(1).withColumn("ts", sentTs)
+            .withColumn("event_type", lit("wmsentinel"))
+            .coalesce(1).write.mode("append").parquet(srcDir)
+          q.processAllAvailable()
+          q.stop()
+          spark.read.parquet(outPath)
+            .filter(!col("series").startsWith("wmsentinel")).count()
+        }
       }
+      streamRung("nhist",
+        s => graft.streaming.HistArms.nativeArms(s, None,
+          Seq(graft.tsdb.NativeHist.Schema), 0L),
+        "cumulativeGridStream: sliced replay -> dense cumulative grid")
+      streamRung("nhcb",
+        s => graft.streaming.HistArms.nhcbArms(s,
+          graft.queries.TsQueries.histBuckets),
+        "cumulativeGridStream: NHCB full-layout arms -> dense cumulative grid")
     }
 
     /** Streaming ingest throughput at volume (r9 verdict #8): the
@@ -688,6 +725,11 @@ object ScaleBench {
     if (fams("stream")) streamFamily("scale", scaleDir)
     if (fams("nhcb")) nhcbFamily("scale", scaleDir)
     if (fams("nstream")) nstreamFamily("scale", scaleDir)
+    // the 1B decade family is OPT-IN only ("billion" in the 4th arg):
+    // it reads its corpus from SPARK_GRAFT_B1_DIR (default
+    // /tmp/graft_scale_1b, ScaleGen events-only)
+    if (fams("billion")) billionFamily("b1",
+      sys.env.getOrElse("SPARK_GRAFT_B1_DIR", "/tmp/graft_scale_1b"))
 
     // assemble JSON: scale rows get their sf01 sibling + per-row ratio
     def fm(d: Double): String = f"$d%.4f"
@@ -703,6 +745,13 @@ object ScaleBench {
         s""""rows_out":${r.rowsOut},"spill_bytes":${r.spillBytes}$b,""" +
         s""""per_row_vs_sf01":$ratio,"note":"${r.note}"}"""
     }
+    // 1B-decade rows keep their b1_ prefix (the merge script computes
+    // per-row ratios against the COMMITTED 200M scale_ rows)
+    val entriesB1 = results.toSeq.collect { case (name, r) if name.startsWith("b1_") =>
+      s""""$name":{"sec":${fm(r.sec)},"rows_in":${r.rowsIn},""" +
+        s""""rows_out":${r.rowsOut},"spill_bytes":${r.spillBytes},""" +
+        s""""note":"${r.note}"}"""
+    }
     def rowsIn(k: String): Long = results.get(k).map(_.rowsIn).getOrElse(0L)
     val corpus =
       s""""corpus":{"events":${rowsIn("scale_store_ingest")},""" +
@@ -710,7 +759,7 @@ object ScaleBench {
       s""""embeddings":${rowsIn("scale_ann_build")},""" +
       s""""lineitem":${rowsIn("scale_skew_join")}}"""
     val json = s"""{"metric":"scale_bench","scale_dir":"$scaleDir",$corpus,""" +
-      s""""queries":{${entries.mkString(",")}}}"""
+      s""""queries":{${(entries ++ entriesB1).mkString(",")}}}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")
     println(json)
     spark.stop()

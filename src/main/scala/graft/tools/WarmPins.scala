@@ -27,12 +27,16 @@ object WarmPins {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val keys = Seq(
-      // the r16 read-path control
-      "ts_store_anomaly", "ts_store_latest", "ts_store_downsample",
-      // the native-hist family under r16→r17 drift adjudication
-      "promql_native_hist_sum", "promql_native_hist_avg",
-      "promql_native_hist_count", "promql_hist_count")
+    // the control keys always run (normalization frame); the keys
+    // under adjudication come from args when given (r18: the three
+    // r17-flagged sub-second movers), else the r16→r17 defaults
+    val controlKeys = Seq(
+      "ts_store_anomaly", "ts_store_latest", "ts_store_downsample")
+    val adjudicated =
+      if (args.nonEmpty) args.toSeq
+      else Seq("promql_native_hist_sum", "promql_native_hist_avg",
+        "promql_native_hist_count", "promql_hist_count")
+    val keys = controlKeys ++ adjudicated
     // warm-up: tables, the persisted stores the keys read, one cold
     // run of each key (Bench's pre-pass discipline)
     try spark.read.parquet(s"$sfDir/events.parquet").count()

@@ -951,6 +951,26 @@ object Promql {
       "histogram_quantile needs an 'le' (classic), 'nb' (native " +
         "exponential) or 'nbc' (native custom-bucket) label on its " +
         s"input vector (got ${v.labels.mkString(", ")})")
+    // a vector carrying BOTH models of one metric — the
+    // scrape_classic_histograms rollout fleet. le+nbc merges through
+    // the NHCB bridge; le+nb has no bridge and fails loud (silently
+    // treating the other bucket label as a plain grouping label was
+    // the one remaining silent-wrong class).
+    if (v.labels.contains("nb")) throw new IllegalArgumentException(
+      "histogram_quantile over a vector carrying BOTH 'le' (classic) " +
+        "and 'nb' (native exponential) labels has no defined merge — " +
+        "exponential bounds do not telescope onto a classic bound " +
+        "table; aggregate the models apart or bridge the classic " +
+        "side through NHCB (nbc)")
+    histQuantileClassic(phi,
+      if (v.labels.contains("nbc")) migrationUnion("histogram_quantile", v)
+      else v)
+  }
+
+  /** The classic `le`-bucket interpolation body ([[histQuantile]]'s
+    * original lowering); the migration union routes rewritten NHCB
+    * fleets through this same body. */
+  private def histQuantileClassic(phi: Double, v: Vec): Vec = {
     val L = v.labels.filterNot(_ == "le")
     def ordW = Window.partitionBy(L.map(col): _*).orderBy(col("__le"))
     val fullW = ordW.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
@@ -978,6 +998,103 @@ object Promql {
       .otherwise(interp)
     Vec(first.withColumn("value", value)
       .select(L.map(col) :+ col("value"): _*), L, Dbl)
+  }
+
+  /** MIGRATION UNION — the scrape_classic_histograms rollout fleet:
+    * a vector whose store carries BOTH `le` classic bucket series and
+    * `nbc` NHCB series of the SAME metric (day one of a rollout, some
+    * hosts migrated, some not). The NHCB bridge makes the union
+    * well-defined: schema −53 carries EXPLICIT upper bounds — the
+    * classic layout — so every NHCB series rewrites exactly onto
+    * classic form (bucket counts cumulate over the bound order, which
+    * makes the rewritten "+Inf" row equal the count arm — count and
+    * the exact sum arm drop; `le` := `nbc`), and then same-(group,
+    * bound) rows MERGE by addition: the union telescopes on the
+    * shared bound table, exactly what `sum by (le)` does to an
+    * all-classic fleet, so a migration dashboard reads the same
+    * answer it read before the rollout started. Absent label == empty
+    * string (the Prometheus data model). Returned labels: the input
+    * minus `nbc`. Because the exact NHCB sum arm cannot merge with a
+    * classic side that never had one, downstream sum/avg/stddev/
+    * stdvar degrade to the classic MIDPOINT estimator — a union is
+    * never more exact than its classic half.
+    *
+    * Fail-loud, never silent-wrong:
+    *  - a row claiming both models (le and nbc both non-empty) or
+    *    neither raises, naming the labels;
+    *  - a group identity carrying both models whose bound tables
+    *    DIFFER raises (cumulative series over different bound sets
+    *    cannot add — the shared layout IS the bridge premise).
+    *
+    * Scale: one series-grain window per group identity plus one tiny
+    * groupBy — the vector is post-fold (≤ |series|·|bounds| rows),
+    * never point data. */
+  private def migrationUnion(fn: String, v: Vec): Vec = {
+    val G = v.labels.filterNot(l => l == "le" || l == "nbc")
+    val outL = v.labels.filterNot(_ == "nbc")
+    val vt = v.df.schema("value").dataType.catalogString
+    val leS = coalesce(col("le"), lit(""))
+    val nbcS = coalesce(col("nbc"), lit(""))
+    def partW(cols: Seq[String]) =
+      if (cols.isEmpty) Window.partitionBy()
+      else Window.partitionBy(cols.map(col): _*)
+    // classify each row exactly once; the malformed arms live INSIDE
+    // the classification expression so no later filter can drop a
+    // malformed row before its error evaluates
+    val model = when(leS =!= "" && nbcS =!= "", raise_error(concat(
+        lit(s"$fn: a series carries both le='"), col("le"),
+        lit("' and nbc='"), col("nbc"),
+        lit("' — one series cannot be classic and NHCB at " +
+          "once"))).cast("int"))
+      .when(leS === "" && nbcS === "", raise_error(lit(
+        s"$fn: a series in a migration (le+nbc) vector carries " +
+          "neither bucket label — not a histogram series")).cast("int"))
+      .when(leS =!= "", lit(1)).otherwise(lit(2))
+    val isC = col("__m") === 1
+    val isN = col("__m") === 2
+    // the bound-order key for the NHCB cumulation (classic counts are
+    // already cumulative and never read it; nulls sort first, before
+    // every real bound)
+    val parsed = expr("try_cast(nbc AS DOUBLE)")
+    val nbcOrd = when(col("nbc") === "+Inf", lit(Double.PositiveInfinity))
+      .otherwise(when(parsed.isNull, raise_error(concat(
+        lit(s"$fn: NHCB bucket bound '"), col("nbc"),
+        lit("' is not numeric"))).cast("double")).otherwise(parsed))
+    val cumW = partW(G).orderBy(col("__mord"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val rewritten = v.df.withColumn("__m", model)
+      // NHCB count/sum arms drop: the cumulated "+Inf" bucket IS the
+      // count, and the classic side has no exact-sum twin to merge with
+      .filter(isC || (col("nbc") =!= "count" && col("nbc") =!= "sum"))
+      .withColumn("__mord", when(isC, lit(null).cast("double")).otherwise(nbcOrd))
+      .withColumn("value", when(isC, col("value"))
+        .otherwise(sum(when(isN, col("value"))).over(cumW)))
+      .withColumn("le", when(isC, col("le")).otherwise(col("nbc")))
+    // the telescope gate: a group holding both models must hold them
+    // on the SAME bound table — checked per bound (each bound row
+    // must then see both models)
+    val gW = partW(G)
+    val bW = partW(G :+ "le")
+    val gated = rewritten
+      .withColumn("__gc", max(when(isC, 1).otherwise(0)).over(gW))
+      .withColumn("__gn", max(when(isN, 1).otherwise(0)).over(gW))
+      .withColumn("__bc", max(when(isC, 1).otherwise(0)).over(bW))
+      .withColumn("__bn", max(when(isN, 1).otherwise(0)).over(bW))
+      .withColumn("value", when(
+          col("__gc") === 1 && col("__gn") === 1 &&
+            (col("__bc") === 0 || col("__bn") === 0),
+          raise_error(concat(lit(s"$fn: migration union: bound '"),
+            col("le"), lit("' exists in only one model of a group " +
+              "carrying both classic (le) and NHCB (nbc) series — " +
+              "the bound tables do not telescope; fix the NHCB " +
+              "layout to the classic bounds or aggregate the models " +
+              "apart"))).cast(vt))
+        .otherwise(col("value")))
+    // the telescoping merge: ≤ 2 rows per (group, bound), one per
+    // model — histogram addition on the shared bound table
+    val merged = gated.groupBy((G :+ "le").map(col): _*)
+      .agg(sum("value").as("value"))
+    Vec(merged.select(outL.map(col) :+ col("value"): _*), outL, v.kind)
   }
 
   /** `histogram_quantile(φ, v)` over an NHCB vector — a native
@@ -1343,14 +1460,25 @@ object Promql {
     *   drop (fraction undefined), like [[histQuantile]]. */
   private def histAgg(fn: String, params: Seq[Double], arg: Expr,
                       ctx: Ctx): Vec = {
-    val v = evalExpr(arg, ctx)
-    if (!v.labels.contains("le") && v.labels.contains("nb"))
-      return histAggNative(fn, params, v)
-    if (!v.labels.contains("le") && v.labels.contains("nbc"))
-      return histAggNhcb(fn, params, v)
-    if (!v.labels.contains("le")) throw new IllegalArgumentException(
+    val v0 = evalExpr(arg, ctx)
+    if (!v0.labels.contains("le") && v0.labels.contains("nb"))
+      return histAggNative(fn, params, v0)
+    if (!v0.labels.contains("le") && v0.labels.contains("nbc"))
+      return histAggNhcb(fn, params, v0)
+    if (!v0.labels.contains("le")) throw new IllegalArgumentException(
       s"$fn needs an 'le' (classic), 'nb' (native) or 'nbc' (NHCB) " +
-        s"label on its input vector (got ${v.labels.mkString(", ")})")
+        s"label on its input vector (got ${v0.labels.mkString(", ")})")
+    // both models in one vector: same dispatch discipline as
+    // histogram_quantile — le+nbc merges through the NHCB bridge
+    // (degrading sum/avg/stddev/stdvar to the classic midpoint
+    // estimator, see migrationUnion), le+nb fails loud
+    if (v0.labels.contains("nb")) throw new IllegalArgumentException(
+      s"$fn over a vector carrying BOTH 'le' (classic) and 'nb' " +
+        "(native exponential) labels has no defined merge — " +
+        "exponential bounds do not telescope onto a classic bound " +
+        "table; aggregate the models apart or bridge the classic " +
+        "side through NHCB (nbc)")
+    val v = if (v0.labels.contains("nbc")) migrationUnion(fn, v0) else v0
     val L = v.labels.filterNot(_ == "le")
     def ordW = Window.partitionBy(L.map(col): _*).orderBy(col("__le"))
     val fullW = ordW.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
@@ -1866,6 +1994,20 @@ object Promql {
       case "abs" =>
         needParams(0)
         Vec(v.df.withColumn("value", abs(col("value"))), v.labels, v.kind)
+      case "round" if mc.params.size == 1 =>
+        // PromQL round(v, to_nearest): the nearest MULTIPLE of
+        // to_nearest, ties rounding up — Prometheus computes
+        // floor(v/toNearest + 0.5) · toNearest, reproduced literally
+        // (r18: the streaming-rule conformance sweep exposed that the
+        // one-param form rejected; the instant sweep's bare-selector
+        // wrapper had hidden the gap)
+        val n = mc.params.head
+        if (n <= 0) throw new IllegalArgumentException(
+          s"round(v, to_nearest) needs to_nearest > 0, got $n")
+        val d = v.toDouble
+        Vec(d.withColumn("value",
+          floor(col("value") / lit(n) + lit(0.5)).cast("double") * lit(n)),
+          v.labels, Dbl)
       case "ceil" | "floor" | "round" =>
         needParams(0)
         val d = v.toDouble
@@ -2076,10 +2218,54 @@ object Promql {
             max(struct(col("ts"), col("cents"))).as("last")))
       case "increase" | "rate" | "changes" | "resets" =>
         val pts = decoded(sel, from, to, ctx)
-        val w = Window.partitionBy(L.map(col): _*).orderBy("ts", "cents")
-        val lagged = pts.withColumn("prev", lag("cents", 1).over(w))
-          .filter(col("prev").isNotNull)
-          .withColumn("d", col("cents") - col("prev"))
+        // NATIVE-HISTOGRAM (nb) vectors: Prometheus detects counter
+        // resets at the HISTOGRAM grain — a drop in ANY arm (count or
+        // a bucket) means the whole sample re-based, so EVERY arm's
+        // delta at that instant is a post-restart re-base, not an
+        // increase. graft decomposes an nb store into per-arm counter
+        // series; per-arm positive-delta is identical when all arms
+        // drop together (the real restart) but diverges when one arm
+        // moves against the others (e.g. a bucket that already
+        // out-grew its pre-reset value across the restart gap) — so
+        // rate/increase over an nb vector zero the WHOLE histogram's
+        // deltas at any instant where any STRUCTURAL arm drops. The
+        // sum arm is excluded from the DETECTION (Prometheus reads
+        // count/bucket structure, never the sum, which legitimately
+        // falls when negative observations ride a gauge histogram —
+        // the signed mirrored-span store) but re-bases WITH the
+        // sample when a true reset fires. Both windows share one
+        // partitioning (the histogram identity), so the grain change
+        // costs a sort, never a second exchange. Arms share the
+        // scrape grid (native scrapes carry the full layout), which
+        // is what makes the same-instant frame the histogram sample.
+        // changes()/resets() stay PER-ARM by
+        // definition here: each arm is its own counter series in this
+        // data model (documented; Prometheus-side native resets() is
+        // the count-arm's resets, which this model expresses as
+        // resets(...{nb="count"})). Subquery-composed rate keeps
+        // per-arm semantics too — Prometheus never routes native
+        // histograms through subqueries (float-sample surface).
+        val histGrain = Set("rate", "increase")(fn) && L.contains("nb")
+        val lagged = if (histGrain) {
+          val hg = L.filterNot(_ == "nb")
+          def hgW = if (hg.isEmpty) Window.partitionBy()
+            else Window.partitionBy(hg.map(col): _*)
+          val w = hgW.orderBy("nb", "ts", "cents")
+          val rstW = hgW.orderBy("ts").rangeBetween(0, 0)
+          pts.withColumn("prev", lag("cents", 1).over(w))
+            .withColumn("__pnb", lag("nb", 1).over(w))
+            .filter(col("prev").isNotNull && col("__pnb") === col("nb"))
+            .withColumn("d", col("cents") - col("prev"))
+            .withColumn("d",
+              when(max(when(col("d") < 0 && col("nb") =!= "sum", 1)
+                  .otherwise(0)).over(rstW) === 1,
+                lit(0L)).otherwise(greatest(col("d"), lit(0L))))
+        } else {
+          val w = Window.partitionBy(L.map(col): _*).orderBy("ts", "cents")
+          pts.withColumn("prev", lag("cents", 1).over(w))
+            .filter(col("prev").isNotNull)
+            .withColumn("d", col("cents") - col("prev"))
+        }
         val grouped = lagged.groupBy(L.map(col): _*)
         fn match {
           case "increase" => // reset-aware counter increase: sum of positive deltas
@@ -2249,16 +2435,40 @@ object Promql {
     val L = ctx.labelCols
     val j0 = start / step // bucket index origin (start is step-aligned)
     val pts = decoded(sel, start - d, tLast - 1, ctx)
-    val w = Window.partitionBy(L.map(col): _*).orderBy("ts", "cents")
-    val pairs = pts
-      .withColumn("__pts", lag("ts", 1).over(w))
-      .withColumn("__pc", lag("cents", 1).over(w))
-      .filter(col("__pts").isNotNull)
+    // nb vectors rate/increase at the HISTOGRAM grain in stepped mode
+    // too (a STRUCTURAL arm's drop re-bases the whole sample's deltas
+    // at that instant; the sum arm never triggers detection — see the
+    // instant lowering's note); arms share the scrape grid, so the
+    // same-ts range frame IS the histogram sample, and the shared
+    // partitioning keeps it one exchange
+    val histGrain = Set("rate", "increase")(fn) && L.contains("nb")
+    val lagged = if (histGrain) {
+      val hg = L.filterNot(_ == "nb")
+      def hgW = if (hg.isEmpty) Window.partitionBy()
+        else Window.partitionBy(hg.map(col): _*)
+      val w = hgW.orderBy("nb", "ts", "cents")
+      val rstW = hgW.orderBy("ts").rangeBetween(0, 0)
+      pts.withColumn("__pts", lag("ts", 1).over(w))
+        .withColumn("__pc", lag("cents", 1).over(w))
+        .withColumn("__pnb", lag("nb", 1).over(w))
+        .filter(col("__pts").isNotNull && col("__pnb") === col("nb"))
+        .withColumn("__d", col("cents") - col("__pc"))
+        .withColumn("__d",
+          when(max(when(col("__d") < 0 && col("nb") =!= "sum", 1)
+              .otherwise(0)).over(rstW) === 1,
+            lit(0L)).otherwise(greatest(col("__d"), lit(0L))))
+    } else {
+      val w = Window.partitionBy(L.map(col): _*).orderBy("ts", "cents")
+      pts.withColumn("__pts", lag("ts", 1).over(w))
+        .withColumn("__pc", lag("cents", 1).over(w))
+        .filter(col("__pts").isNotNull)
+        .withColumn("__d", col("cents") - col("__pc"))
+    }
+    val pairs = lagged
       .withColumn("__jp", expr(s"(__pts div ${step}L) - ${j0}L"))
       .withColumn("__jc", expr(s"(ts div ${step}L) - ${j0}L"))
       // a pair spanning >= k buckets fits in no window
       .filter(col("__jc") - col("__jp") < k)
-      .withColumn("__d", col("cents") - col("__pc"))
       .groupBy(L.map(col) :+ col("__jp") :+ col("__jc"): _*)
       .agg((fn match {
         case "increase" | "rate" => sum(when(col("__d") > 0, col("__d")).otherwise(0L))
@@ -2629,22 +2839,43 @@ object Promql {
     * bound/locate table in the nb-vector family enumerates this. */
   private val SchemaRange: Range = -4 to 8
 
+  /** Column-metadata tag marking a `schema` column that is already
+    * validated — either it passed [[validSchema]] once, or
+    * [[downscaleToCoarsest]] synthesized it from `__cs` (an INT min
+    * over validated inputs, canonical by construction). The tag lets
+    * the second validSchema on the quantile-after-downscale path
+    * no-op instead of paying per-row try_cast/when work twice
+    * (round-17 ADVICE). Metadata rides projections and groupBy keys;
+    * if a plan shape drops it, validSchema simply re-validates —
+    * fail-safe in both directions. */
+  private val SchemaValidatedKey = "graft.schemaValidated"
+  private val SchemaValidatedMeta =
+    new org.apache.spark.sql.types.MetadataBuilder()
+      .putBoolean(SchemaValidatedKey, true).build()
+
   /** Fail-loud `schema` label guard: the bound tables key on the
     * CANONICAL decimal string of an integer in [[SchemaRange]], so a
     * malformed label ("03", "foo", "9") would silently drop every
     * bucket row at the join — inconsistent with the engine's
     * convention (bucketsFor/locateAt `require` their schema). Raise
-    * instead, naming the bad label. */
+    * instead, naming the bad label. Idempotent: a column already
+    * carrying [[SchemaValidatedMeta]] passes through untouched. */
   private def validSchema(df: DataFrame): DataFrame = {
-    val si = expr("try_cast(schema AS INT)") // ANSI-safe: null, not throw
-    df.withColumn("schema",
-      when(si.isNull || si < SchemaRange.head || si > SchemaRange.last ||
-          si.cast("string") =!= col("schema"),
-        raise_error(concat(
-          lit("native-histogram schema label '"), col("schema"),
-          lit(s"' is not a canonical integer in [${SchemaRange.head}, " +
-            s"${SchemaRange.last}]"))))
-        .otherwise(col("schema")))
+    val already = df.schema.fields.find(_.name == "schema")
+      .exists(_.metadata.contains(SchemaValidatedKey))
+    if (already) df
+    else {
+      val si = expr("try_cast(schema AS INT)") // ANSI-safe: null, not throw
+      df.withColumn("schema",
+        when(si.isNull || si < SchemaRange.head || si > SchemaRange.last ||
+            si.cast("string") =!= col("schema"),
+          raise_error(concat(
+            lit("native-histogram schema label '"), col("schema"),
+            lit(s"' is not a canonical integer in [${SchemaRange.head}, " +
+              s"${SchemaRange.last}]"))))
+          .otherwise(col("schema")))
+        .withMetadata("schema", SchemaValidatedMeta)
+    }
   }
 
   /** Remap a mixed-schema native-histogram vector onto each output
@@ -2688,6 +2919,9 @@ object Promql {
           expr("CAST((__x - pmod(__x, __d)) DIV __d AS STRING)"))))
       .withColumn("schema", col("__cs").cast("string"))
       .drop("__sch", "__cs", "__d", "__neg", "__i", "__x")
+      // valid by construction (min over validated INTs) — tag so the
+      // downstream histQuantile/histAggNative validSchema no-ops
+      .withMetadata("schema", SchemaValidatedMeta)
     Vec(df, v.labels, v.kind)
   }
 

@@ -187,6 +187,17 @@ class ExplainAllSpec extends AnyFunSuite {
       "promql_nhcb_quantile" -> (3, 0, 1),
       // stepped NHCB adds the grid-assembly exchange; still one decode
       "promql_range_nhcb_quantile" -> (4, 0, 1),
+      // migration union (classic le + NHCB nbc in ONE store): the
+      // bridge rewrite + telescope gate + bound merge are windows and
+      // one tiny groupBy over the FOLDED vector, so the shape stays
+      // the NHCB quantile's — ONE decode (the union never references
+      // the rate subtree twice), zero broadcasts (bounds are
+      // data-carried), fold + union-window/merge + quantile-window
+      // exchanges
+      "promql_histq_migration" -> (3, 0, 1),
+      // stepped migration adds the grid-assembly exchange; still one
+      // decode
+      "promql_range_histq_migration" -> (4, 0, 1),
       // keep_firing_for: fully compressed-domain (ZERO decode — the
       // stepped sum_over_time filter answers from header partials);
       // the 9 exchanges are the stepped assembly + for-window, island,

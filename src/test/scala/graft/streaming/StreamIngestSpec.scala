@@ -686,6 +686,117 @@ class StreamIngestSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  // ===== round-18: the full histogram-store family through the stream =====
+
+  /** Drive THE batch builder body and the streaming twin (HistArms →
+    * cumulativeGridStream) over the same synthetic raw events and
+    * assert sample-for-sample equality — per store shape. */
+  private def histStreamParity(
+      tag: String,
+      build: (org.apache.spark.sql.DataFrame, String) => Unit,
+      arms: org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.Dataset[(String, Timestamp, Long)],
+      labels: Seq[String], valueScale: Double): Unit = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val from = graft.queries.TsQueries.HistGridFrom
+    val to = graft.queries.TsQueries.HistGridTo
+    val step = graft.queries.TsQueries.HistGridStep
+    val rnd = new scala.util.Random(1800L + tag.hashCode)
+    val events = Seq.tabulate(180) { _ =>
+      (Seq("click", "view")(rnd.nextInt(2)), rnd.nextInt(3).toLong,
+        rnd.nextDouble() * valueScale,
+        from - 3600 + (rnd.nextDouble() * (to - from + 3600)).toLong)
+    }.sortBy(_._4)
+    def evDf(rows: Seq[(String, Long, Double, Long)]) =
+      rows.toDF("event_type", "user_id", "value", "__sec")
+        .withColumn("ts", to_timestamp(col("__sec"))).drop("__sec")
+    // batch: the REAL builder body over the synthetic events
+    val base = java.nio.file.Files.createTempDirectory(s"graft_hsp_$tag")
+    val path = base.resolve("store").toString
+    build(evDf(events), path)
+    val want = graft.tsdb.Ts.unpack(
+        graft.tsdb.Ts.readStore(spark, path), labels)
+      .collect().map { r =>
+        val key = labels.map(r.getAs[String](_)).mkString("|")
+        val cents = math.round(r.getAs[Double]("v") *
+          (if (key.endsWith("|sum")) 100.0 else 1.0))
+        (key, r.getAs[Long]("ts"), cents)
+      }.toSet
+    // stream: the same raw events through the real streaming engine,
+    // event-time-ordered micro-batches
+    val input = MemoryStream[(String, Long, Double, Timestamp)]
+    val src = input.toDF().toDF("event_type", "user_id", "value", "ts")
+    val q = StreamIngest.cumulativeGridStream(arms(src), from, to, step,
+        watermark = "1 minute")
+      .writeStream.outputMode("append").format("memory")
+      .queryName(s"hsp_${tag}_sink").start()
+    try {
+      events.grouped(60).foreach { batch =>
+        input.addData(batch.map { case (t, u, v, sec) => (t, u, v, ts(sec)) }: _*)
+        q.processAllAvailable()
+      }
+      // a sentinel event past grid end + watermark flushes every tail
+      input.addData(("wmsent", 0L, 1.0, ts(to + 100000)))
+      q.processAllAvailable()
+      val got = spark.table(s"hsp_${tag}_sink").as[StreamIngest.GridSample]
+        .collect().filterNot(_.series.startsWith("wmsent"))
+        .map(s => (s.series, s.ts, s.cum)).toSet
+      assert(got == want, s"$tag: stream/batch sample sets differ; " +
+        s"stream-only=${(got -- want).take(5)} batch-only=${(want -- got).take(5)}")
+    } finally q.stop()
+  }
+
+  test("stream == batch: plain exponential native-histogram store") {
+    histStreamParity("nhist",
+      (ev, p) => graft.queries.TsQueries.buildNativeHistStoreFrom(spark, ev, p,
+        graft.queries.TsQueries.nativeHistLabelCols, None,
+        Seq(graft.tsdb.NativeHist.Schema), 0L),
+      src => HistArms.nativeArms(src, None,
+        Seq(graft.tsdb.NativeHist.Schema), 0L),
+      graft.queries.TsQueries.nativeHistLabelCols, 10.0)
+  }
+
+  test("stream == batch: NHCB bound-list store (full layout per scrape)") {
+    histStreamParity("nhcb",
+      (ev, p) => graft.queries.TsQueries.buildNhcbStoreFrom(spark, ev, p),
+      src => HistArms.nhcbArms(src, graft.queries.TsQueries.histBuckets),
+      graft.queries.TsQueries.nhcbLabelCols, 300.0)
+  }
+
+  test("stream == batch: mixed-schema store (per-series schema arms)") {
+    val schemaOf = when(pmod(col("user_id"), lit(2L)) === 0, lit("3"))
+      .otherwise(lit("2"))
+    histStreamParity("nhistm",
+      (ev, p) => graft.queries.TsQueries.buildNativeHistStoreFrom(spark, ev, p,
+        graft.queries.TsQueries.mixedNativeHistLabelCols, Some(schemaOf),
+        Seq(2, 3), 0L),
+      src => HistArms.nativeArms(src, Some(schemaOf), Seq(2, 3), 0L),
+      graft.queries.TsQueries.mixedNativeHistLabelCols, 10.0)
+  }
+
+  test("stream == batch: WIDE mixed-schema store (full schema range)") {
+    val m4 = pmod(col("user_id"), lit(4L))
+    val schemaOf = when(m4 === 0, lit("3")).when(m4 === 1, lit("-2"))
+      .when(m4 === 2, lit("5")).otherwise(lit("0"))
+    histStreamParity("nhistw",
+      (ev, p) => graft.queries.TsQueries.buildNativeHistStoreFrom(spark, ev, p,
+        graft.queries.TsQueries.mixedNativeHistLabelCols, Some(schemaOf),
+        Seq(3, -2, 5, 0), 0L),
+      src => HistArms.nativeArms(src, Some(schemaOf), Seq(3, -2, 5, 0), 0L),
+      graft.queries.TsQueries.mixedNativeHistLabelCols, 10.0)
+  }
+
+  test("stream == batch: SIGNED store (mirrored spans, signed sum arm)") {
+    histStreamParity("nhistg",
+      (ev, p) => graft.queries.TsQueries.buildNativeHistStoreFrom(spark, ev, p,
+        graft.queries.TsQueries.nativeHistLabelCols, None,
+        Seq(graft.tsdb.NativeHist.Schema), 2500L),
+      src => HistArms.nativeArms(src, None,
+        Seq(graft.tsdb.NativeHist.Schema), 2500L),
+      graft.queries.TsQueries.nativeHistLabelCols, 50.0)
+  }
+
   test("cumulativeGridStream == the batch cumulative-grid derivation (randomized)") {
     // the native-hist store contract: the streamed samples must equal
     // the batch builder's crossJoin(grid) + na.fill(0) + cumulative

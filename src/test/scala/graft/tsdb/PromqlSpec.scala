@@ -2419,4 +2419,212 @@ class PromqlSpec extends AnyFunSuite {
       .collect().map(_.getAs[Double]("value")).head
     assert(got == vr)
   }
+
+  // ===== round-18: native-histogram counter resets (histogram grain) =====
+
+  private val nbLbl = Seq("type", "host", "nb")
+
+  private def nbStore(rows: Seq[(String, String, String, Long, Double)]) = {
+    import spark.implicits._
+    Ts.chunkify(rows.map { case (t, h, nb, sec, v) =>
+        (t, h, nb, sec * 1000000000L, v) }
+      .toDF("type", "host", "nb", "ts", "v"), nbLbl, "ts", "v")
+  }
+
+  test("nb rate: a partial-arm drop re-bases the WHOLE histogram sample") {
+    // the divergent case: the process restarts between t1 and t2 and
+    // bucket 8 OUTGROWS its pre-reset value across the gap (count
+    // 8→2 drops, bucket 2→6 rises). Prometheus detects the reset at
+    // the HISTOGRAM grain: the whole t2 sample is a re-base, so
+    // bucket 8's +4 must NOT count even though that arm never
+    // dropped (per-arm positive-delta would answer 6)
+    val T0 = 1700006400L
+    def at(i: Int) = T0 + i * 3600L
+    val ch = nbStore(Seq(
+      ("m", "h1", "8", at(0), 1.0), ("m", "h1", "count", at(0), 5.0),
+      ("m", "h1", "8", at(1), 2.0), ("m", "h1", "count", at(1), 8.0),
+      ("m", "h1", "8", at(2), 6.0), ("m", "h1", "count", at(2), 2.0),
+      ("m", "h1", "8", at(3), 7.0), ("m", "h1", "count", at(3), 3.0)))
+    val inc = Promql.eval(ch, nbLbl, """increase({type="m"}[4h])""", at(3))
+      .collect().map(r => r.getString(2) -> r.getAs[Double]("value")).toMap
+    assert(inc == Map("count" -> 4.0, "8" -> 2.0))
+  }
+
+  test("nb rate: simultaneous all-arm reset == per-arm positive delta") {
+    // the real restart: every arm drops at t2 — histogram-grain and
+    // per-arm agree by construction (the crossing delta drops)
+    val T0 = 1700006400L
+    def at(i: Int) = T0 + i * 3600L
+    val ch = nbStore(Seq(
+      ("m", "h1", "8", at(0), 2.0), ("m", "h1", "count", at(0), 4.0),
+      ("m", "h1", "8", at(1), 5.0), ("m", "h1", "count", at(1), 9.0),
+      ("m", "h1", "8", at(2), 1.0), ("m", "h1", "count", at(2), 2.0),
+      ("m", "h1", "8", at(3), 3.0), ("m", "h1", "count", at(3), 6.0)))
+    val inc = Promql.eval(ch, nbLbl, """increase({type="m"}[4h])""", at(3))
+      .collect().map(r => r.getString(2) -> r.getAs[Double]("value")).toMap
+    assert(inc == Map("count" -> 9.0, "8" -> 5.0))
+  }
+
+  test("nb stepped rate re-bases at the histogram grain per step") {
+    val T0 = 1700006400L
+    def at(i: Int) = T0 + i * 3600L
+    val ch = nbStore(Seq(
+      ("m", "h1", "8", at(0), 1.0), ("m", "h1", "count", at(0), 5.0),
+      ("m", "h1", "8", at(1), 2.0), ("m", "h1", "count", at(1), 8.0),
+      ("m", "h1", "8", at(2), 6.0), ("m", "h1", "count", at(2), 2.0),
+      ("m", "h1", "8", at(3), 7.0), ("m", "h1", "count", at(3), 3.0)))
+    val got = Promql.evalRange(ch, nbLbl,
+        """increase({type="m"}[2h])""", at(1), at(3), 3600L)
+      .collect().map(r => (r.getString(2), r.getLong(3), r.getAs[Double]("value")))
+      .toSet
+    // pair (t0,t1) lands in the t2-step window (+3 count, +1 bucket);
+    // the reset-crossing pair (t1,t2) lands in the t3-step window
+    // ZEROED for both arms — the grain re-base, per step
+    assert(got == Set(
+      ("count", at(2), 3.0), ("8", at(2), 1.0),
+      ("count", at(3), 0.0), ("8", at(3), 0.0)))
+  }
+
+  test("nb rate: a sum-arm drop is NOT a reset (gauge histograms)") {
+    // negative observations (the signed mirrored-span store) pull the
+    // sum arm down without any restart — reset detection reads
+    // count/bucket STRUCTURE only (the Prometheus convention), so the
+    // bucket/count increases at that instant still count; the sum
+    // arm's own negative delta clamps to 0 like any counter delta
+    val T0 = 1700006400L
+    def at(i: Int) = T0 + i * 3600L
+    val ch = nbStore(Seq(
+      ("m", "h1", "n8", at(0), 1.0), ("m", "h1", "count", at(0), 3.0),
+      ("m", "h1", "sum", at(0), 5.0),
+      ("m", "h1", "n8", at(1), 2.0), ("m", "h1", "count", at(1), 4.0),
+      ("m", "h1", "sum", at(1), 3.0)))
+    val inc = Promql.eval(ch, nbLbl, """increase({type="m"}[2h])""", at(1))
+      .collect().map(r => r.getString(2) -> r.getAs[Double]("value")).toMap
+    assert(inc == Map("n8" -> 1.0, "count" -> 1.0, "sum" -> 0.0))
+  }
+
+  test("nb changes/resets stay per-arm counter series (documented)") {
+    // resets() on an nb vector counts PER-ARM drops: each arm is its
+    // own counter series in this data model; the histogram-grain
+    // reset count is resets of the count arm
+    val T0 = 1700006400L
+    def at(i: Int) = T0 + i * 3600L
+    val ch = nbStore(Seq(
+      ("m", "h1", "8", at(0), 1.0), ("m", "h1", "count", at(0), 5.0),
+      ("m", "h1", "8", at(1), 2.0), ("m", "h1", "count", at(1), 8.0),
+      ("m", "h1", "8", at(2), 6.0), ("m", "h1", "count", at(2), 2.0)))
+    val rs = Promql.eval(ch, nbLbl, """resets({type="m"}[3h])""", at(2))
+      .collect().map(r => r.getString(2) -> r.getAs[Double]("value")).toMap
+    assert(rs == Map("count" -> 1.0, "8" -> 0.0))
+  }
+
+  // ===== round-18: classic+NHCB migration union =====
+
+  private val migLbl = Seq("type", "host", "le", "nbc")
+
+  /** A rollout fleet caught mid-flight: h1 still classic (cumulative
+    * le rows 1→3, 2→7, +Inf→10; nbc = ""), h2 migrated to NHCB
+    * (one-per-bucket counts 1→2, 2→3, +Inf→1, count 6, sum 9;
+    * le = "") — the SAME {1, 2, +Inf} bound table. */
+  private def migVec = {
+    import spark.implicits._
+    val T0 = 1700006400L
+    val rows = Seq(
+      ("m", "h1", "1", "", 3.0), ("m", "h1", "2", "", 7.0),
+      ("m", "h1", "+Inf", "", 10.0),
+      ("m", "h2", "", "1", 2.0), ("m", "h2", "", "2", 3.0),
+      ("m", "h2", "", "+Inf", 1.0),
+      ("m", "h2", "", "count", 6.0), ("m", "h2", "", "sum", 9.0))
+      .map { case (t, h, le, nbc, v) => (t, h, le, nbc, T0 * 1000000000L, v) }
+    (Ts.chunkify(rows.toDF("type", "host", "le", "nbc", "ts", "v"),
+      migLbl, "ts", "v"), T0)
+  }
+
+  private def errMsgs(t: Throwable): Seq[String] =
+    if (t == null) Nil else Option(t.getMessage).toSeq ++ errMsgs(t.getCause)
+
+  test("migration union: fleet quantile == hand merge; per-host untouched") {
+    val (ch, t0) = migVec
+    // fleet-wide: merged cum (raw cents scale cancels) 1→3+2=5,
+    // 2→7+5=12, +Inf→10+6=16; rank .5·16=8 lands in bucket 2:
+    // 1 + (2−1)·(8−5)/(12−5)
+    val fleet = Promql.eval(ch, migLbl,
+        """histogram_quantile(0.5, sum by (le, nbc) ({type="m"}))""", t0)
+      .collect().map(_.getAs[Double]("value")).toSeq
+    assert(fleet == Seq(1.0 + 3.0 / 7.0))
+    // per-host (group identity = host): each host is single-model —
+    // h1 answers its classic quantile (rank 5 in bucket 2: 1 + 1·(5−3)/(7−3)),
+    // h2 its NHCB quantile (cum 1→2, 2→5, +Inf→6; rank 3 in bucket 2:
+    // 1 + 1·(3−2)/(5−2))
+    val byHost = Promql.eval(ch, migLbl,
+        """histogram_quantile(0.5, {type="m"})""", t0)
+      .collect().map(r => r.getString(1) -> r.getAs[Double]("value")).toMap
+    assert(byHost == Map("h1" -> 1.5, "h2" -> (1.0 + 1.0 / 3.0)))
+    // histAgg routes through the same union: fleet count = the merged
+    // +Inf row (10 + 6)
+    val cnt = Promql.eval(ch, migLbl,
+        """histogram_count(sum by (le, nbc) ({type="m"}))""", t0)
+      .collect().map(_.getAs[Double]("value")).toSeq
+    assert(cnt == Seq(16.0))
+  }
+
+  test("migration union: le+nb has no bridge and fails loud") {
+    import spark.implicits._
+    val T0 = 1700006400L
+    val rows = Seq(("m", "h1", "1", "", 3.0), ("m", "h2", "", "8", 4.0))
+      .map { case (t, h, le, nb, v) => (t, h, le, nb, T0 * 1000000000L, v) }
+    val ch = Ts.chunkify(rows.toDF("type", "host", "le", "nb", "ts", "v"),
+      Seq("type", "host", "le", "nb"), "ts", "v")
+    for (q <- Seq("""histogram_quantile(0.5, {type="m"})""",
+        """histogram_count({type="m"})""")) {
+      val e = intercept[IllegalArgumentException](
+        Promql.eval(ch, Seq("type", "host", "le", "nb"), q, T0))
+      assert(e.getMessage.contains("no defined merge"), e.getMessage)
+    }
+  }
+
+  test("migration union: a row claiming both or neither model raises") {
+    import spark.implicits._
+    val T0 = 1700006400L
+    def evalRows(rows: Seq[(String, String, String, String, Double)]) = {
+      val ch = Ts.chunkify(rows.map { case (t, h, le, nbc, v) =>
+          (t, h, le, nbc, T0 * 1000000000L, v) }
+        .toDF("type", "host", "le", "nbc", "ts", "v"), migLbl, "ts", "v")
+      Promql.eval(ch, migLbl,
+        """histogram_quantile(0.5, {type="m"})""", T0).collect()
+    }
+    val both = intercept[Exception](evalRows(Seq(
+      ("m", "h1", "1", "1", 3.0), ("m", "h1", "+Inf", "", 3.0))))
+    assert(errMsgs(both).exists(_.contains("cannot be classic and NHCB")),
+      errMsgs(both).toString)
+    val neither = intercept[Exception](evalRows(Seq(
+      ("m", "h1", "", "", 3.0), ("m", "h1", "+Inf", "", 3.0))))
+    assert(errMsgs(neither).exists(_.contains("neither bucket label")),
+      errMsgs(neither).toString)
+  }
+
+  test("migration union: bound tables that do not telescope raise") {
+    import spark.implicits._
+    val T0 = 1700006400L
+    // classic half on {1, +Inf}, NHCB half on {2, +Inf}: the fleet
+    // aggregation puts both models in one group with DIFFERENT bound
+    // sets — cumulative series over different bounds cannot add
+    val rows = Seq(
+      ("m", "h1", "1", "", 3.0), ("m", "h1", "+Inf", "", 10.0),
+      ("m", "h2", "", "2", 3.0), ("m", "h2", "", "+Inf", 3.0),
+      ("m", "h2", "", "count", 6.0))
+      .map { case (t, h, le, nbc, v) => (t, h, le, nbc, T0 * 1000000000L, v) }
+    val ch = Ts.chunkify(rows.toDF("type", "host", "le", "nbc", "ts", "v"),
+      migLbl, "ts", "v")
+    val e = intercept[Exception](Promql.eval(ch, migLbl,
+      """histogram_quantile(0.5, sum by (le, nbc) ({type="m"}))""", T0)
+      .collect())
+    assert(errMsgs(e).exists(_.contains("do not telescope")),
+      errMsgs(e).toString)
+    // the SAME two hosts are fine per-host: each group is single-model
+    val byHost = Promql.eval(ch, migLbl,
+        """histogram_quantile(1.0, {type="m"})""", T0)
+      .collect().map(r => r.getString(1) -> r.getAs[Double]("value")).toMap
+    assert(byHost.keySet == Set("h1", "h2"))
+  }
 }
