@@ -797,6 +797,17 @@ object PromqlQueries {
     "promql_exp" -> ((s, dir) =>
       q(s, dir, "max by (region) (exp(rate(click[2d])))")
         .withColumn("value", round(col("value"), 9)).orderBy("region")),
+    // inverse hyperbolics (r18 — the last three Prometheus math
+    // functions): domain-shifted so every term is in-domain over the
+    // non-negative rate (acosh needs ≥ 1, atanh needs |x| < 1); the
+    // engine lowers each to its log closed form, which the oracle
+    // replays verbatim (DuckDB has no asinh/acosh/atanh) — max-folded
+    // (order-independent) and rounded to 9 like the other libm keys
+    "promql_trig_inverse" -> ((s, dir) =>
+      q(s, dir, "max by (region) (asinh(rate(click[2d]))" +
+          " + acosh(1 + rate(click[2d]))" +
+          " + atanh(1 / (2 + rate(click[2d]))))")
+        .withColumn("value", round(col("value"), 9)).orderBy("region")),
     // —— round-12: time() + calendar functions ——
     // yyyymmdd of each purchase series' last sample — calendar
     // extraction over a VECTOR argument, all-integer, oracle-exact
@@ -2733,6 +2744,25 @@ object PromqlQueries {
         |    AS DOUBLE) / ${Win * 100}.0 AS rv
         |  FROM d WHERE dd IS NOT NULL GROUP BY type, host, region)
         |SELECT region, round(max(exp(rv)), 9) AS value
+        |FROM r GROUP BY region ORDER BY region""".stripMargin,
+    // the engine's log closed forms replayed verbatim (DuckDB ships no
+    // inverse hyperbolics); rv >= 0 keeps every term in-domain, so the
+    // domain guards never fire here (they are spec-pinned instead)
+    "promql_trig_inverse" ->
+      s"""$lblCte,
+        |pts AS (SELECT * FROM lbl WHERE ts >= $From AND ts <= $EvalTs
+        |  AND type = 'click'),
+        |d AS (SELECT type, host, region, cents - lag(cents) OVER (
+        |    PARTITION BY type, host, region ORDER BY ts, cents) AS dd FROM pts),
+        |r AS (SELECT type, host, region,
+        |  CAST(CAST(sum(CASE WHEN dd > 0 THEN dd ELSE 0 END) AS BIGINT)
+        |    AS DOUBLE) / ${Win * 100}.0 AS rv
+        |  FROM d WHERE dd IS NOT NULL GROUP BY type, host, region)
+        |SELECT region, round(max(
+        |    ln(rv + sqrt(rv * rv + 1.0))
+        |    + ln((1.0 + rv) + sqrt((1.0 + rv) * (1.0 + rv) - 1.0))
+        |    + 0.5 * ln((1.0 + 1.0 / (2.0 + rv)) / (1.0 - 1.0 / (2.0 + rv)))
+        |  ), 9) AS value
         |FROM r GROUP BY region ORDER BY region""".stripMargin,
     // calendar extraction is all-integer (UTC) — exact oracles;
     // make_timestamp(µs) keeps DuckDB timezone-free like the engine's

@@ -221,7 +221,7 @@ object Promql {
     "clamp", "clamp_min", "clamp_max", "sqrt", "sgn",
     "exp", "ln", "log2", "log10", "deg", "rad",
     "sin", "cos", "tan", "asin", "acos", "atan",
-    "sinh", "cosh", "tanh")
+    "sinh", "cosh", "tanh", "asinh", "acosh", "atanh")
   /** Calendar functions: value interpreted as a UTC unix timestamp;
     * the vector argument is optional (`hour()` ≡ `hour(vector(time()))`). */
   val CalFns: Set[String] = Set("minute", "hour", "day_of_week",
@@ -2079,6 +2079,36 @@ object Promql {
           case "sinh" => sinh(_); case "cosh" => cosh(_); case _ => tanh(_)
         }
         Vec(d.withColumn("value", f(col("value"))), v.labels, Dbl)
+      case "asinh" | "acosh" | "atanh" =>
+        // Inverse hyperbolics via their log closed forms, domain-guarded
+        // so off-domain carries NaN (never NULL — a NULL would DROP the
+        // sample from the vector, as with ln above). asinh mirrors the
+        // positive branch for odd symmetry (the naive single formula
+        // cancels catastrophically for x ≪ 0 and loses ±Inf); atanh's
+        // poles at ±1 are Go's ±Inf. sqrt/*/÷ are correctly-rounded
+        // IEEE ops, so the only libm op is one ln — same class as
+        // ln/log2/log10 above, and the DuckDB oracle runs the identical
+        // closed form.
+        needParams(0)
+        val d = v.toDouble
+        val x = col("value")
+        val out = mc.fn match {
+          case "asinh" =>
+            val pos: Column => Column = y => log(y + sqrt(y * y + lit(1.0)))
+            when(x < 0, -pos(-x)).otherwise(pos(x))
+          case "acosh" =>
+            when(x >= 1, log(x + sqrt(x * x - lit(1.0))))
+              .otherwise(lit(Double.NaN))
+          case _ =>
+            val pos: Column => Column = // 0 <= y < 1; mirrored for odd symmetry
+              y => lit(0.5) * log((lit(1.0) + y) / (lit(1.0) - y))
+            when(x === 1, lit(Double.PositiveInfinity))
+              .when(x === -1, lit(Double.NegativeInfinity))
+              .when(x > -1 && x < 0, -pos(-x))
+              .when(x >= 0 && x < 1, pos(x))
+              .otherwise(lit(Double.NaN))
+        }
+        Vec(d.withColumn("value", out), v.labels, Dbl)
       case fn if CalFns(fn) =>
         // value = a UTC unix timestamp (the session timezone is UTC by
         // SparkEntry contract); outputs land on the integer grid, so
