@@ -29,7 +29,13 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 32g default (r18): local[32] means up to 32 concurrent tasks share
+  // one driver heap; at 8g that was ~150 MB of execution memory per
+  // task — the heavy stepped keys spilled and the bench's timed pass
+  // ran up to 4x slower than the same queries in a fresh session
+  // (OPTIMIZATION_r18.md §heap). The sandbox has 128 GiB; 32g is a cap,
+  // not a reservation, and SPARK_DRIVER_MEM still overrides.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )
 // The driver keeps only the last 2000 stdout chars of a bench run; the
 // "[success] Total time ..." epilogue would evict ~80 chars of the

@@ -14,9 +14,14 @@ object Bench {
     try {
       val ev = spark.read.parquet(s"$sfDir/events.parquet")
         .where(pmod(col("user_id"), lit(10L)) === 0)
+      // rebalance = false: this op's cross-round pin (0.75, BASELINE.md
+      // round-17 control re-pin) was measured on the pre-r18 write body;
+      // the r18 file-sizing rebalance in writeStore would add a shuffle
+      // the pin never paid, silently inflating control_ratio. The
+      // control measures HOST write speed, so it keeps the pinned shape.
       graft.tsdb.Ts.writeStore(
         graft.tsdb.Ts.chunkify(ev, Seq("user_id", "event_type"), "ts", "value"),
-        dir.getAbsolutePath)
+        dir.getAbsolutePath, rebalance = false)
     } finally {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()

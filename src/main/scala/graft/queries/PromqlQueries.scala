@@ -37,6 +37,18 @@ object PromqlQueries {
 
   private val labelCols = TsQueries.labelCols
 
+  // NOTE (r18 optimization round): window_date partition bounds were
+  // tried on the histogram-store reads here and REVERTED — the r18
+  // adaptive chunking packs a sparse 2-h-scrape series into multi-day
+  // chunks whose window_date (the chunk START date) can precede any
+  // query window that the chunk still overlaps, so a `window_date >=
+  // date(from)` prune silently drops live chunks (caught by the DuckDB
+  // oracle gate: every instant histogram key went empty). Time pruning
+  // on these stores is carried by the per-chunk min_ts/max_ts stat
+  // columns, which push to the parquet scan as row-group filters and
+  // are sound for any chunk length. The labeled/raw stores keep their
+  // date bounds: their windows stay 2-h-aligned inside one date.
+
   private def chunks(s: SparkSession, dir: String, fromSec: Long) =
     TsQueries.labeledStoreChunks(s, dir, fromSec, EvalTs)
 

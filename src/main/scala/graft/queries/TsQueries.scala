@@ -154,7 +154,13 @@ object TsQueries {
         // chunkify reads LongType ts as nanos; hand it a timestamp
         .select(col("type"), col("host"), col("le"),
           to_timestamp(col("ts")).as("ts"), col("value"))
-      Ts.writeStore(Ts.chunkify(samples, histLabelCols, "ts", "value"), path)
+      // chunkifyAdaptive (r18): at a 2-h scrape step the 2-h default
+      // window stored ONE point per chunk (8.1M single-point chunks on
+      // the sf0.1 native store — header-dominated, and every query
+      // paid a scan row + decode call per point). Density-adaptive
+      // windows pack ~512 points per chunk: same decoded points, same
+      // query results, ~two orders of magnitude fewer store rows.
+      Ts.writeStore(Ts.chunkifyAdaptive(samples, histLabelCols, "ts", "value"), path)
     }
     Ts.readStore(s, path, fromSec, toSec)
   }
@@ -282,7 +288,13 @@ object TsQueries {
           when(col("nb") === "sum", lit(100.0)).otherwise(lit(1.0)))
         .select(labelCols.map(col) ++
           Seq(to_timestamp(col("ts")).as("ts"), col("value")): _*)
-      Ts.writeStore(Ts.chunkify(samples, labelCols, "ts", "value"), path)
+      // chunkifyAdaptive (r18): at a 2-h scrape step the 2-h default
+      // window stored ONE point per chunk (8.1M single-point chunks on
+      // the sf0.1 native store — header-dominated, and every query
+      // paid a scan row + decode call per point). Density-adaptive
+      // windows pack ~512 points per chunk: same decoded points, same
+      // query results, ~two orders of magnitude fewer store rows.
+      Ts.writeStore(Ts.chunkifyAdaptive(samples, labelCols, "ts", "value"), path)
     }
   }
 
@@ -461,7 +473,13 @@ object TsQueries {
           when(col("nbc") === "sum", lit(100.0)).otherwise(lit(1.0)))
         .select(col("type"), col("host"), col("nbc"),
           to_timestamp(col("ts")).as("ts"), col("value"))
-      Ts.writeStore(Ts.chunkify(samples, nhcbLabelCols, "ts", "value"), path)
+      // chunkifyAdaptive (r18): at a 2-h scrape step the 2-h default
+      // window stored ONE point per chunk (8.1M single-point chunks on
+      // the sf0.1 native store — header-dominated, and every query
+      // paid a scan row + decode call per point). Density-adaptive
+      // windows pack ~512 points per chunk: same decoded points, same
+      // query results, ~two orders of magnitude fewer store rows.
+      Ts.writeStore(Ts.chunkifyAdaptive(samples, nhcbLabelCols, "ts", "value"), path)
     }
   }
 
@@ -545,7 +563,13 @@ object TsQueries {
           (col("cum").cast("double") /
             when(col("p").getItem(2) === "sum", lit(100.0)).otherwise(lit(1.0)))
             .as("value"))
-      Ts.writeStore(Ts.chunkify(samp, nhcbLabelCols, "ts", "value"), path)
+      // chunkifyAdaptive (r18): at a 2-h scrape step the 2-h default
+      // window stored ONE point per chunk (8.1M single-point chunks on
+      // the sf0.1 native store — header-dominated, and every query
+      // paid a scan row + decode call per point). Density-adaptive
+      // windows pack ~512 points per chunk: same decoded points, same
+      // query results, ~two orders of magnitude fewer store rows.
+      Ts.writeStore(Ts.chunkifyAdaptive(samp, nhcbLabelCols, "ts", "value"), path)
       rm(new java.io.File(work))
     }
     Ts.readStore(s, path, fromSec, toSec)
@@ -636,7 +660,13 @@ object TsQueries {
           when(col("nbc") === "sum", lit(100.0)).otherwise(lit(1.0)))
         .select(col("type"), col("host"), lit("").as("le"), col("nbc"),
           to_timestamp(col("ts")).as("ts"), col("value"))
-      Ts.writeStore(Ts.chunkify(sampC.unionByName(sampN),
+      // chunkifyAdaptive (r18): at a 2-h scrape step the 2-h default
+      // window stored ONE point per chunk (8.1M single-point chunks on
+      // the sf0.1 native store — header-dominated, and every query
+      // paid a scan row + decode call per point). Density-adaptive
+      // windows pack ~512 points per chunk: same decoded points, same
+      // query results, ~two orders of magnitude fewer store rows.
+      Ts.writeStore(Ts.chunkifyAdaptive(sampC.unionByName(sampN),
         migrationHistLabelCols, "ts", "value"), path)
     }
     Ts.readStore(s, path, fromSec, toSec)
@@ -691,7 +721,11 @@ object TsQueries {
     val src = new java.io.File(s"$dir/events.parquet")
     val files = if (src.isDirectory) src.listFiles().toSeq else Seq(src)
     val fp = files.filter(_.isFile).map(f => f.length() + f.lastModified()).sum
-    s"/tmp/graft_store/${dir.replaceAll("[^A-Za-z0-9.]", "_")}_${java.lang.Long.toHexString(fp)}_s3"
+    // _s4: store-format generation tag — bumped in r18 when writeStore
+    // gained date-clustered file sizing, so stores cached by older code
+    // (992 near-empty files on the sf0.1 native store) rebuild instead
+    // of silently serving the old layout
+    s"/tmp/graft_store/${dir.replaceAll("[^A-Za-z0-9.]", "_")}_${java.lang.Long.toHexString(fp)}_s4"
   }
 
   /** A byte-copy of the chunk store with [RangeFrom, RangeTo] deleted

@@ -435,6 +435,7 @@ object Ts {
   def writeRollup(chunks: DataFrame, seriesCols: Seq[String], path: String,
                   bucketSec: Long = 900, fixedScale: Double = FixedScale): Unit =
     rollupPartials(chunks, seriesCols, bucketSec, fixedScale)
+      .hint("rebalance", col("bucket_date")) // file sizing, see writeStore
       .write.mode("overwrite")
       .partitionBy("bucket_date")
       .parquet(path)
@@ -467,6 +468,7 @@ object Ts {
   def upsertRollup(chunks: DataFrame, seriesCols: Seq[String], path: String,
                    bucketSec: Long = 900, fixedScale: Double = FixedScale): Unit =
     rollupPartials(chunks, seriesCols, bucketSec, fixedScale)
+      .hint("rebalance", col("bucket_date")) // file sizing, see writeStore
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("bucket_date")
@@ -580,13 +582,28 @@ object Ts {
    * Persist a chunk table partitioned by window date: partition pruning
    * handles coarse time ranges, per-chunk stat columns handle the rest,
    * and only surviving chunks are ever decoded.
+   *
+   * File sizing (optimization guide §6): chunk rows arrive in
+   * shuffle-partition-count tasks, so a naive write emits
+   * (#shuffle partitions)×(#dates) near-empty files — measured 992
+   * files / 82 MB on the sf0.1 native store, and every read pays the
+   * per-file open+footer cost 992×. The AQE REBALANCE hint clusters
+   * rows by `window_date` and then splits/coalesces to the advisory
+   * partition size, so small stores collapse to ~one file per date
+   * while at 100 TB a hot date still fans out into many
+   * advisory-sized files — scale-adaptive, not tuned to local mode.
+   * `rebalance = false` exists for the bench's pinned write-control
+   * op, whose cross-round pin predates this change (Bench.scala).
    */
-  def writeStore(chunks: DataFrame, path: String, mode: String = "overwrite"): Unit =
-    chunks
+  def writeStore(chunks: DataFrame, path: String, mode: String = "overwrite",
+                 rebalance: Boolean = true): Unit = {
+    val dated = chunks
       .withColumn("window_date", to_date(to_timestamp(col("window_start"))))
+    (if (rebalance) dated.hint("rebalance", col("window_date")) else dated)
       .write.mode(mode)
       .partitionBy("window_date")
       .parquet(path)
+  }
 
   /**
    * Idempotent per-window-date (re-)ingest: dynamic partition overwrite
@@ -601,6 +618,7 @@ object Ts {
   def upsertStore(chunks: DataFrame, path: String): Unit =
     chunks
       .withColumn("window_date", to_date(to_timestamp(col("window_start"))))
+      .hint("rebalance", col("window_date")) // file sizing, see writeStore
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("window_date")
