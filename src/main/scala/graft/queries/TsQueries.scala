@@ -847,8 +847,20 @@ object TsQueries {
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
   /** Decoded points straight off the compressed chunk store. */
+  /** Decoded points for the generic ts_* QUERY keys, off the
+    * PERSISTED chunk store (r18 optimization): the previous inline
+    * `chunks(s, dir)` re-encoded the full events corpus (repartition +
+    * sort + gorilla encode of 10M rows at sf0.1) on EVERY query — and
+    * ts_mad's two-branch plan paid it twice per run. The store's
+    * chunks are byte-identical to an inline chunkify (deterministic
+    * sort-based encode of the same events — the compaction identity
+    * TsStoreSpec pins), so every result is unchanged; this is the same
+    * ingest-once/query-many scoping the ts_store_* / promql / hist
+    * families already use. Codec-semantics keys (roundtrip,
+    * compression accounting, chunk maintenance) deliberately keep
+    * inline chunkify — the encode IS what they measure. */
   def points(s: SparkSession, dir: String): DataFrame =
-    Ts.unpack(chunks(s, dir), series)
+    Ts.unpack(storeChunks(s, dir), series)
 
   /** 15-min resample of a decoded point frame; avg derived from exact
     * integer cents (shared by the in-memory and store-backed queries). */

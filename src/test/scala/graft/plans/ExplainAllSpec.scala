@@ -42,11 +42,11 @@ class ExplainAllSpec extends AnyFunSuite {
       // round-5 whole-partition window buffered each series in one
       // task — a hot-series straggler at scale (asserted below)
       "ts_store_anomaly" -> (2, 1, 1),
-      // same join shape off the in-memory chunk lineage; moments from
-      // a 3-column raw-events aggregate (cheaper than re-encoding or
-      // windowing the decoded points), chunkify + moments agg + final
+      // same join shape off the PERSISTED store (r18: points() reads
+      // the ingest-once store instead of re-encoding events inline —
+      // the chunkify repartition left the plan); moments agg + final
       // orderBy shuffles
-      "ts_anomaly" -> (3, 1, 1),
+      "ts_anomaly" -> (2, 1, 1),
       // decode-free: ChunkAggRule answers count/min/max/sum_cents from
       // per-chunk partials (encode repartition + agg + orderBy; ZERO
       // decode call sites in the plan)
@@ -140,17 +140,18 @@ class ExplainAllSpec extends AnyFunSuite {
       // orderBy shuffles only). The merge cost lives at write time,
       // queries pay the normal compressed-store path
       "ts_store_upsert" -> (2, 0, 0),
-      // M4: one hash aggregate over decoded points (encode repartition
-      // + agg + orderBy), no Window operator, no joins — the 4-points-
+      // M4: one hash aggregate over store-decoded points (agg +
+      // orderBy; the r18 store-backed points() dropped the encode
+      // repartition), no Window operator, no joins — the 4-points-
       // per-pixel reduction must stay a single-pass partial agg
-      "ts_m4" -> (3, 0, 1),
+      "ts_m4" -> (2, 0, 1),
       // MAD: two aggregation passes over the decoded points with the
       // one-row-per-series median BROADCAST back between them (never a
-      // shuffle join against the point stream, never a Window). 5
-      // shuffles = 2 encode repartitions (identical twins — AQE's
-      // ReuseExchange collapses them at runtime) + med agg + final agg
-      // + orderBy; 2 decode sites for the same reason
-      "ts_mad" -> (5, 1, 2),
+      // shuffle join against the point stream, never a Window). 3
+      // shuffles = med agg + final agg + orderBy (the two inline
+      // encode repartitions left the plan when r18 moved points() to
+      // the persisted store); still 2 decode sites, one per pass
+      "ts_mad" -> (3, 1, 2),
       // native histogram_quantile: ONE decode of the selector's
       // chunks (the count-arm total rides a group-sized window over
       // the same frame — the r15 first cut filter+joined the count
