@@ -29,13 +29,21 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 32g default (r18): local[32] means up to 32 concurrent tasks share
-  // one driver heap; at 8g that was ~150 MB of execution memory per
-  // task — the heavy stepped keys spilled and the bench's timed pass
-  // ran up to 4x slower than the same queries in a fresh session
-  // (OPTIMIZATION_r18.md §heap). The sandbox has 128 GiB; 32g is a cap,
-  // not a reservation, and SPARK_DRIVER_MEM still overrides.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  // 31g default (r19; r18 used 32g): local[32] means up to 32
+  // concurrent tasks share one driver heap; at the old 8g that was
+  // ~150 MB of execution memory per task — the heavy stepped keys
+  // spilled and the bench's timed pass ran up to 4x slower than the
+  // same queries in a fresh session (OPTIMIZATION_r18.md §heap). But
+  // exactly 32g is the JVM's compressed-oops cliff: CompressedOops
+  // disables at >= 32 GiB heaps, doubling every object pointer, and
+  // the r18 driver data showed a ~15-25% fleet-wide tax on the ~250
+  // small/codec keys at 32 threads that vanished at 8 threads — the
+  // classic cache-pressure signature (VERDICT r18 §2). 31g keeps
+  // compressed oops AND the spill fix. The sandbox has 128 GiB; this
+  // is a cap, not a reservation, and SPARK_DRIVER_MEM still overrides
+  // (set it on machines with less memory — the default assumes the
+  // 128 GiB bench host).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "31g")}",
 )
 // The driver keeps only the last 2000 stdout chars of a bench run; the
 // "[success] Total time ..." epilogue would evict ~80 chars of the

@@ -114,6 +114,25 @@ object TsQueries {
     Ts.readStore(s, path, Long.MinValue, Long.MaxValue)
   }
 
+  /** Open an ADAPTIVE-chunked store with SOUND time bounds (r19,
+    * ADVICE follow-up). [[Ts.readStore]]'s `window_date >= date(from)`
+    * partition prune assumes a chunk never starts before the window
+    * it overlaps — true for the fixed-2-h stores (a 2-h window never
+    * spans a date), UNSOUND for [[Ts.chunkifyAdaptive]] stores whose
+    * windows stretch to days: the exact bug the r18 oracle gate
+    * caught and reverted (PromqlQueries NOTE). Every current caller
+    * passes defaults, but the parameters silently re-armed the trap
+    * for the next caller — so the adaptive readers now bound on the
+    * per-chunk `min_ts`/`max_ts` STAT columns instead, which are
+    * sound for any chunk length and still reach the parquet scan as
+    * pushed filters. */
+  private def readAdaptiveStore(s: SparkSession, path: String,
+                                fromSec: Long, toSec: Long): DataFrame = {
+    val df = Ts.readStore(s, path)
+    if (fromSec == Long.MinValue && toSec == Long.MaxValue) df
+    else df.filter(col("max_ts") >= fromSec && col("min_ts") <= toSec)
+  }
+
   /** The histogram-bucket chunk store, ingest-once like
     * [[labeledStoreChunks]]. Build: per-event bucket fanout (≤ 6
     * broadcast rows), per-(series, instant) new-observation counts,
@@ -162,7 +181,7 @@ object TsQueries {
       // query results, ~two orders of magnitude fewer store rows.
       Ts.writeStore(Ts.chunkifyAdaptive(samples, histLabelCols, "ts", "value"), path)
     }
-    Ts.readStore(s, path, fromSec, toSec)
+    readAdaptiveStore(s, path, fromSec, toSec)
   }
 
   /** Label names of the NATIVE-histogram chunk store (Prometheus 3.x
@@ -305,7 +324,7 @@ object TsQueries {
                             fromSec: Long = Long.MinValue,
                             toSec: Long = Long.MaxValue): DataFrame = synchronized {
     graft.functions.registerAll(s)
-    Ts.readStore(s, buildNativeHistStore(s, dir, "_nhist", nativeHistLabelCols,
+    readAdaptiveStore(s, buildNativeHistStore(s, dir, "_nhist", nativeHistLabelCols,
       None, Seq(graft.tsdb.NativeHist.Schema), 0L), fromSec, toSec)
   }
 
@@ -326,7 +345,7 @@ object TsQueries {
                                  fromSec: Long = Long.MinValue,
                                  toSec: Long = Long.MaxValue): DataFrame = synchronized {
     graft.functions.registerAll(s)
-    Ts.readStore(s, buildNativeHistStore(s, dir, "_nhistr", nativeHistLabelCols,
+    readAdaptiveStore(s, buildNativeHistStore(s, dir, "_nhistr", nativeHistLabelCols,
       None, Seq(graft.tsdb.NativeHist.Schema), 0L,
       resetAtSec = Some(NativeResetAt)), fromSec, toSec)
   }
@@ -352,7 +371,7 @@ object TsQueries {
                                  fromSec: Long = Long.MinValue,
                                  toSec: Long = Long.MaxValue): DataFrame = synchronized {
     graft.functions.registerAll(s)
-    Ts.readStore(s, buildNativeHistStore(s, dir, "_nhistm",
+    readAdaptiveStore(s, buildNativeHistStore(s, dir, "_nhistm",
       mixedNativeHistLabelCols,
       Some(when(pmod(col("user_id"), lit(2L)) === 0, lit("3"))
         .otherwise(lit("2"))),
@@ -374,7 +393,7 @@ object TsQueries {
                                 toSec: Long = Long.MaxValue): DataFrame = synchronized {
     graft.functions.registerAll(s)
     val m4 = pmod(col("user_id"), lit(4L))
-    Ts.readStore(s, buildNativeHistStore(s, dir, "_nhistw",
+    readAdaptiveStore(s, buildNativeHistStore(s, dir, "_nhistw",
       mixedNativeHistLabelCols,
       Some(when(m4 === 0, lit("3")).when(m4 === 1, lit("-2"))
         .when(m4 === 2, lit("5")).otherwise(lit("0"))),
@@ -395,7 +414,7 @@ object TsQueries {
                                   fromSec: Long = Long.MinValue,
                                   toSec: Long = Long.MaxValue): DataFrame = synchronized {
     graft.functions.registerAll(s)
-    Ts.readStore(s, buildNativeHistStore(s, dir, "_nhistg", nativeHistLabelCols,
+    readAdaptiveStore(s, buildNativeHistStore(s, dir, "_nhistg", nativeHistLabelCols,
       None, Seq(graft.tsdb.NativeHist.Schema), 2500L), fromSec, toSec)
   }
 
@@ -421,7 +440,7 @@ object TsQueries {
     val path = storePath(dir) + "_nhcb"
     if (!new java.io.File(path, "_SUCCESS").exists())
       buildNhcbStoreFrom(s, Tables(s, dir, "events"), path)
-    Ts.readStore(s, path, fromSec, toSec)
+    readAdaptiveStore(s, path, fromSec, toSec)
   }
 
   /** The ingest body behind [[nhcbStoreChunks]], parameterized by the
@@ -572,7 +591,7 @@ object TsQueries {
       Ts.writeStore(Ts.chunkifyAdaptive(samp, nhcbLabelCols, "ts", "value"), path)
       rm(new java.io.File(work))
     }
-    Ts.readStore(s, path, fromSec, toSec)
+    readAdaptiveStore(s, path, fromSec, toSec)
   }
 
   /** Label names of the MIGRATION chunk store — a
@@ -669,7 +688,7 @@ object TsQueries {
       Ts.writeStore(Ts.chunkifyAdaptive(sampC.unionByName(sampN),
         migrationHistLabelCols, "ts", "value"), path)
     }
-    Ts.readStore(s, path, fromSec, toSec)
+    readAdaptiveStore(s, path, fromSec, toSec)
   }
 
   /** The materialized 15-min rollup for a data dir: derived from the
@@ -846,7 +865,6 @@ object TsQueries {
       |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
-  /** Decoded points straight off the compressed chunk store. */
   /** Decoded points for the generic ts_* QUERY keys, off the
     * PERSISTED chunk store (r18 optimization): the previous inline
     * `chunks(s, dir)` re-encoded the full events corpus (repartition +

@@ -16,7 +16,11 @@ object QBench {
     // optional leading "-rN": N warm reps after the cold pass (the
     // noisy-host protocol — report min AND median, read the median)
     val (reps, names) = args.toSeq match {
-      case r +: rest if r.startsWith("-r") => (r.drop(2).toInt, rest)
+      case r +: rest if r.startsWith("-r") =>
+        val n = r.drop(2).toIntOption.getOrElse(
+          sys.error(s"-rN needs an integer, got '$r'"))
+        require(n >= 1, s"-rN needs N >= 1, got $n")
+        (n, rest)
       case rest => (1, rest)
     }
     names.foreach { n =>

@@ -445,6 +445,48 @@ object ScaleBench {
       }
     }
 
+    /** Round-19: the r18 build-round's migration-union and
+      * histogram-grain-reset stores priced at volume (VERDICT r18 #8,
+      * the same evidence the r17 NHCB/wide family got) — own family
+      * flag so a targeted run merges into BENCH_SCALE.json without
+      * re-measuring anything else. Both ingests share the native
+      * family's structural cap (series × layout × grid instants past
+      * the groupBy); the reset quantile additionally carries the
+      * histogram-grain reset windows (arm-major lag + same-ts frame)
+      * over the folded series-grain vector. */
+    def migFamily(tag: String, dir: String): Unit = {
+      val nEv = spark.read.parquet(s"$dir/events.parquet").count()
+      val to = 1705017600L
+      def dropStore(suffix: String): Unit = {
+        val p = new java.io.File(
+          graft.queries.TsQueries.storePathFor(dir) + suffix)
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        if (p.exists()) rm(p)
+      }
+      dropStore("_histmig")
+      timed(s"${tag}_histmig_ingest", nEv, "classic(even hosts) U NHCB(odd hosts) -> _histmig chunk store") {
+        graft.queries.TsQueries.migrationHistStoreChunks(spark, dir).count()
+      }
+      timed(s"${tag}_promql_histq_migration", nEv, "mid-migration quantile: NHCB bridge onto the classic bound table") {
+        noop(graft.tsdb.Promql.eval(
+          graft.queries.TsQueries.migrationHistStoreChunks(spark, dir),
+          graft.queries.TsQueries.migrationHistLabelCols,
+          """histogram_quantile(0.75, sum by (le, nbc) (rate({type="click"}[2d])))""", to))
+      }
+      dropStore("_nhistr")
+      timed(s"${tag}_nhistr_ingest", nEv, "mid-window all-arm fleet restart -> _nhistr chunk store") {
+        graft.queries.TsQueries.resetNativeHistStoreChunks(spark, dir).count()
+      }
+      timed(s"${tag}_promql_native_histq_reset", nEv, "histogram-grain reset detection inside rate over the _nhistr store") {
+        noop(graft.tsdb.Promql.eval(
+          graft.queries.TsQueries.resetNativeHistStoreChunks(spark, dir),
+          graft.queries.TsQueries.nativeHistLabelCols,
+          """histogram_quantile(0.9, sum by (nb) (rate({type="click"}[2d])))""", to))
+      }
+    }
+
     /** Round-17: the CONTINUOUS cumulative-counter ingest
       * (`StreamIngest.cumulativeGridStream`) at volume — the raw
       * corpus replayed through the real streaming engine as
@@ -708,7 +750,7 @@ object ScaleBench {
     // optionally restricts to a family subset ("docs,ts,label,ann") for
     // re-measuring one family after a targeted change
     val fams = (if (args.length > 3) args(3)
-      else "docs,ts,label,ann,rel,stream,nhcb,nstream").split(",").toSet
+      else "docs,ts,label,ann,rel,stream,nhcb,nstream,mig").split(",").toSet
     if (fams("docs")) docsFamily("sf01", sf01Dir)
     if (fams("ts")) tsFamily("sf01", sf01Dir)
     if (fams("label")) labelFamily("sf01", sf01Dir)
@@ -717,6 +759,7 @@ object ScaleBench {
     if (fams("stream")) streamFamily("sf01", sf01Dir)
     if (fams("nhcb")) nhcbFamily("sf01", sf01Dir)
     if (fams("nstream")) nstreamFamily("sf01", sf01Dir)
+    if (fams("mig")) migFamily("sf01", sf01Dir)
     if (fams("docs")) docsFamily("scale", scaleDir)
     if (fams("ts")) tsFamily("scale", scaleDir)
     if (fams("label")) labelFamily("scale", scaleDir)
@@ -725,6 +768,7 @@ object ScaleBench {
     if (fams("stream")) streamFamily("scale", scaleDir)
     if (fams("nhcb")) nhcbFamily("scale", scaleDir)
     if (fams("nstream")) nstreamFamily("scale", scaleDir)
+    if (fams("mig")) migFamily("scale", scaleDir)
     // the 1B decade family is OPT-IN only ("billion" in the 4th arg):
     // it reads its corpus from SPARK_GRAFT_B1_DIR (default
     // /tmp/graft_scale_1b, ScaleGen events-only)

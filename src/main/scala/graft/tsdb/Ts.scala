@@ -633,8 +633,38 @@ object Ts {
    * object stores, not just local disk.
    */
   def expireStore(spark: org.apache.spark.sql.SparkSession, path: String,
-                  olderThanDays: Int, asOfSec: Long): Unit =
-    expirePartitions(spark, path, "window_date", olderThanDays, asOfSec)
+                  olderThanDays: Int, asOfSec: Long): Unit = {
+    val cutoffDay = Math.floorDiv(asOfSec, 86400L) - olderThanDays
+    val cutoff = java.time.LocalDate.ofEpochDay(cutoffDay)
+    val cutoffSec = cutoffDay * 86400L
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    val candidates = fs.listStatus(root).filter { st =>
+      st.isDirectory && st.getPath.getName.startsWith("window_date=") &&
+        java.time.LocalDate.parse(
+          st.getPath.getName.stripPrefix("window_date=")).isBefore(cutoff)
+    }
+    if (candidates.isEmpty) return
+    // Retention guard (r19, ADVICE follow-up): `window_date` is the
+    // chunk's START date, and a [[chunkifyAdaptive]] store's windows
+    // stretch to days — a candidate partition can hold chunks whose
+    // max_ts reaches AT OR PAST the cutoff midnight, i.e. live points.
+    // One stat-column scan over just the candidate partitions (chunk
+    // payload bytes never read) finds those; they survive the drop.
+    // On fixed-2-h stores (windows never straddle midnight) the guard
+    // never fires and behavior is identical to the plain date drop.
+    val live = spark.read.option("basePath", path)
+      .parquet(candidates.map(_.getPath.toString).toSeq: _*)
+      .groupBy("window_date").agg(max("max_ts").as("__mx"))
+      .filter(col("__mx") >= cutoffSec)
+      .select(col("window_date").cast("string"))
+      .collect().map(_.getString(0)).toSet
+    candidates.foreach { st =>
+      val d = st.getPath.getName.stripPrefix("window_date=")
+      if (!live.contains(d)) fs.delete(st.getPath, true)
+    }
+  }
 
   /** [[expireStore]] generalized to any top-level DATE partition
     * column — the alert state log ages on `state_date`, the chunk

@@ -173,6 +173,45 @@ class BenchLineSpec extends AnyFunSuite {
     assert(flat == Map("ok" -> 50L, "broken" -> -1L))
   }
 
+  test("driver line: fits the tail window, valid flat JSON, slowest-first") {
+    val total = results.map(_._2).sum
+    val line = Bench.driverLine(results, total, Some(1.23), "/root/testdata/sf0.1")
+    assert(line.length <= 1900, s"driver line ${line.length} chars > 1900")
+    assert(!line.contains('\n'))
+    val root = new ObjectMapper().readTree(line)
+    assert(root.get("metric").asText() == "total")
+    assert(root.get("unit").asText() == "sec")
+    assert(math.abs(root.get("value").asDouble() - total) < 1e-3)
+    assert(math.abs(root.get("control_ratio").asDouble() - 1.23) < 1e-9)
+    assert(root.get("n_queries").asInt() == results.size)
+    assert(root.get("sf").asText() == "/root/testdata/sf0.1")
+    val q = root.get("queries")
+    assert(q.size() > 0 && q.size() <= results.size)
+    // every entry matches its source value, and the shown set is the
+    // slowest prefix of the suite (modulo entries skipped only because
+    // a longer name no longer fit)
+    val shown = q.fieldNames()
+    val src = results.toMap
+    var minShown = Double.MaxValue
+    while (shown.hasNext) {
+      val k = shown.next()
+      assert(math.abs(q.get(k).asDouble() - src(k)) < 1e-3, k)
+      minShown = math.min(minShown, src(k))
+    }
+    // the single slowest query is always present
+    val slowest = results.maxBy(_._2)._1
+    assert(q.has(slowest), s"slowest key $slowest missing from driver line")
+  }
+
+  test("driver line: null control_ratio and -1 sentinels survive") {
+    val line = Bench.driverLine(Seq("ok" -> 0.5, "broken" -> -1.0), 0.5,
+      None, "sf0")
+    val root = new ObjectMapper().readTree(line)
+    assert(root.get("control_ratio").isNull)
+    assert(root.get("queries").get("broken").asDouble() == -1.0)
+    assert(root.get("queries").get("ok").asDouble() == 0.5)
+  }
+
   test("sibling-leaf keys (ts_anomaly vs ts_anomaly_prefix) survive nesting") {
     val entries = Seq("a_b" -> 0.1, "a_b_c" -> 0.2, "a_b_d" -> 0.3, "x" -> 0.4)
     val line = Bench.compactLine(entries, 1.0, "sf0")

@@ -525,6 +525,35 @@ class TsStoreSpec extends AnyFunSuite {
     assert(kept.nonEmpty && kept.length < dates.length)
   }
 
+  test("expireStore keeps an adaptive partition whose chunks span past the cutoff") {
+    import spark.implicits._
+    // one sparse series: 100 points at 1-h cadence starting day D —
+    // chunkifyAdaptive (target 512 pts/chunk) packs them into ONE
+    // multi-day chunk whose window_date is D while its max_ts lands
+    // ~4 days later; plus one genuinely old point 30 days earlier
+    // that forms its own prunable chunk
+    val d0 = 1704067200L // 2024-01-01T00:00Z
+    val pts = ((0 until 100).map(i =>
+        ("live", new java.sql.Timestamp((d0 + i * 3600L) * 1000L), i.toDouble)) :+
+        ("old", new java.sql.Timestamp((d0 - 30L * 86400) * 1000L), 1.0))
+      .toDF("series", "ts", "value")
+    val path = java.nio.file.Files.createTempDirectory("graft-expire-adaptive").toString
+    Ts.writeStore(Ts.chunkifyAdaptive(pts, Seq("series"), "ts", "value"), path)
+    val before = Ts.unpack(Ts.readStore(spark, path), Seq("series"))
+      .filter(col("series") === "live").count()
+    assert(before == 100L)
+    // cutoff lands 2 days INTO the live chunk's span: the old date
+    // drops, but the live chunk's partition (START date d0, strictly
+    // before the cutoff) holds points at and past the cutoff and must
+    // survive the retention pass intact
+    Ts.expireStore(spark, path, olderThanDays = 1, asOfSec = d0 + 3 * 86400)
+    val after = Ts.unpack(Ts.readStore(spark, path), Seq("series"))
+    assert(after.filter(col("series") === "live").count() == 100L,
+      "retention deleted live points out of a multi-day adaptive chunk")
+    assert(after.filter(col("series") === "old").count() == 0L,
+      "the genuinely expired partition must still drop")
+  }
+
   test("dense 1Hz series compress far below raw 16B/point through the pipeline") {
     import spark.implicits._
     // the shape gorilla is built for: regular cadence, slowly-moving values
